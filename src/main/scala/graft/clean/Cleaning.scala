@@ -1,0 +1,53 @@
+package graft.clean
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, IntegerType}
+
+/** Data-cleaning operators (SURVEY §2.2, §2.8 F3–F5).
+  *
+  * The reference cleans with pandas: `dropna(subset=...)` (`etl.py:21`,
+  * `workflow.py:126-138`), nullable-int casts (`etl.py:25`), timestamp
+  * parsing (`workflow.py:164`), and constrains enum columns via Postgres
+  * enum types (`database-schema.sql:8-14`). Here each is a declarative
+  * DataFrame op, so predicates stay pushdown-able.
+  */
+object Cleaning {
+
+  /** Drop rows with a null in any of `cols` (pandas `dropna(subset=cols)`). */
+  def dropNullRows(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.na.drop("any", cols)
+
+  /** Null-predicate split (the reference's 2-phase hierarchy load,
+    * `etl.py:39-58`): rows where `c` is null vs not null. */
+  def splitOnNull(df: DataFrame, c: String): (DataFrame, DataFrame) =
+    (df.filter(col(c).isNull), df.filter(col(c).isNotNull))
+
+  /** Enum-domain validation (Postgres enum analog). Returns (valid rows,
+    * quarantined rows) — cleaning keeps rejects inspectable instead of
+    * silently dropping them. */
+  def validateDomain(df: DataFrame, c: String, domain: Seq[String]): (DataFrame, DataFrame) = {
+    val ok = col(c).isInCollection(domain)
+    (df.filter(ok), df.filter(!ok))
+  }
+
+  /** Per-row domain flag, for audit-style outputs. */
+  def domainFlag(c: Column, domain: Seq[String]): Column = c.isInCollection(domain)
+
+  /** Nullable cast — the reference's `lambda x: int(x) if notna else None`
+    * (`etl.py:25`) is just this; no UDF needed. */
+  def nullableCast(c: Column, to: DataType = IntegerType): Column = c.cast(to)
+
+  /** Parse `yyyy-MM-dd HH:mm:ss` strings (reference `workflow.py:164`). */
+  def parseTimestamp(c: Column): Column = to_timestamp(c, "yyyy-MM-dd HH:mm:ss")
+
+  /** Default nulls in `cols` to 0 (pandas `fillna(0)`, `workflow.py:133,181`). */
+  def fillZero(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.na.fill(0, cols)
+
+  /** Write-path timestamp maintenance — the reference does this with a
+    * trigger on every table (`database-schema.sql:234-257`); in a lake
+    * engine it folds into the load. */
+  def withUpdatedAt(df: DataFrame): DataFrame =
+    df.withColumn("updated_at", current_timestamp())
+}

@@ -1,0 +1,73 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, IntegerType}
+
+/** Text-analysis operators for corpus curation: language ID, quality
+  * scoring, token statistics. Everything is built-in expressions (codegen'd,
+  * shuffle only at the final aggregations) — no UDFs.
+  */
+object TextAnalysis {
+
+  /** Tiny per-language stopword tables for the n-gram/stopword-count
+    * language-ID heuristic. Deliberately small and fixed so the heuristic is
+    * portable (the same lists are replayed in the DuckDB oracle). */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une"),
+    "es" -> Seq("el", "los", "las", "y", "es", "una"),
+    "zh" -> Seq("的", "是", "了", "在", "和"))
+
+  /** Language-ID: score = stopword hits per language, predict the argmax
+    * (ties and zero scores → "und" = undetermined, ISO 639-3 style).
+    * Argmax is a static fold with a fixed language order, so the prediction
+    * is deterministic. */
+  def langIdScores(text: Column): Seq[(String, Column)] = {
+    val toks = tokens(text)
+    stopwords.map { case (lang, words) => lang -> vocabHits(toks, words) }
+  }
+
+  def langId(text: Column): Column = {
+    val scores = langIdScores(text)
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldLeft(when(best <= 0, lit("und"))) { case (acc, (lang, s)) =>
+      acc.when(s === best, lit(lang))
+    }.otherwise(lit("und"))
+  }
+
+  /** Per-document quality metrics (length / token / stopword ratios — the
+    * classic pre-training corpus filters). All ratios are exact integer
+    * arithmetic surfaced as double, so they are engine-portable. */
+  def qualityMetrics(documents: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTokens = size(toks)
+    val stopHits = vocabHits(toks, stopwords.flatMap(_._2))
+    documents.select(
+      col("doc_id"),
+      length(col("text")).cast(IntegerType).as("n_chars_calc"),
+      nTokens.as("n_tokens"),
+      size(array_distinct(toks)).as("n_unique_tokens"),
+      ((length(col("text")) - (nTokens - lit(1))).cast(DoubleType) / nTokens.cast(DoubleType))
+        .as("avg_token_len"),
+      (stopHits.cast(DoubleType) / nTokens.cast(DoubleType)).as("stopword_ratio"),
+      (size(array_distinct(toks)).cast(DoubleType) / nTokens.cast(DoubleType))
+        .as("type_token_ratio"))
+  }
+
+  /** Corpus rollup per language: docs, tokens, token stats, distinct
+    * sources. The per-doc token count is computed map-side; only the small
+    * rollup shuffles. */
+  def corpusStats(documents: DataFrame): DataFrame =
+    documents
+      .select(col("lang"), col("source"), size(tokens(col("text"))).as("n_tokens"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        min(col("n_tokens")).as("min_tokens"),
+        max(col("n_tokens")).as("max_tokens"),
+        countDistinct(col("source")).as("n_sources"))
+      .orderBy(col("lang"))
+}

@@ -1,0 +1,62 @@
+package graft.multimodal
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: opaque `binary` payloads + typed metadata.
+  *
+  * The pattern for image/audio/video at scale: keep the raw bytes in a
+  * binary column, run decode/feature-extraction per partition in batches,
+  * and land a typed metadata struct next to the payload. The Spark-side
+  * plumbing here — schema, `Dataset` encoders, `mapPartitions` batch shape,
+  * partition sizing — is real and tested; the *decoder itself* is a
+  * clearly-marked deterministic STUB (`decodeStub`), because no media codecs
+  * ship in this container. A production build swaps `decodeStub` for a JNI /
+  * native decoder with the same signature.
+  *
+  * `mapPartitions` (not a per-row UDF) so a real decoder can amortize model/
+  * codec init once per partition — the standard batch-inference shape.
+  */
+object Multimodal {
+
+  final case class MediaRecord(doc_id: Long, payload: Array[Byte])
+
+  final case class MediaMeta(
+      doc_id: Long,
+      n_bytes: Int,
+      payload_sha: String,
+      width: Int,
+      height: Int)
+
+  /** Stand-in media payloads: the document text's UTF-8 bytes. In a real
+    * pipeline this column arrives as image/audio bytes from the source. */
+  def asBinaryPayloads(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+
+  /** STUB decoder — deterministic fake of an image header parse. A real
+    * implementation decodes `r.payload` with a codec; everything else
+    * (batching, encoders, schema) is production-shaped. */
+  private def decodeStub(r: MediaRecord): MediaMeta = {
+    val md = MessageDigest.getInstance("SHA-256")
+    val sha = md.digest(r.payload).map("%02x".format(_)).mkString
+    val n = r.payload.length
+    MediaMeta(
+      doc_id = r.doc_id,
+      n_bytes = n,
+      payload_sha = sha,
+      width = 64 + n % 512,
+      height = 64 + (n / 7) % 512)
+  }
+
+  /** Decode/feature-extract pass: binary payloads → typed metadata, executed
+    * per partition so decoder setup cost is paid once per task, not per row. */
+  def extractMetadata(spark: SparkSession, payloads: DataFrame): Dataset[MediaMeta] = {
+    import spark.implicits._
+    payloads.as[MediaRecord].mapPartitions { it =>
+      // per-partition init goes here (codec handles, model weights, …)
+      it.map(decodeStub)
+    }
+  }
+}

@@ -1,0 +1,99 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Readers over the driver testdata and reference-style CSV inputs.
+  *
+  * Scale posture: reads are plain declarative scans so Catalyst pushes
+  * filters/projections into the vectorized parquet reader (verify with
+  * `.explain`: `PushedFilters`, `ReadSchema`). Nothing here collects or
+  * caches eagerly.
+  */
+object Tables {
+
+  /** One driver testdata table: `<dir>/<name>.parquet`. */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "customer")
+  def part(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "part")
+  def supplier(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "supplier")
+  def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
+  /** The events table ships INT64 TIMESTAMP(NANOS) parquet, which Spark 4
+    * only reads as long (`spark.sql.legacy.parquet.nanosAsLong=true`, set by
+    * [[graft.Verify]]/[[graft.Bench]]); normalize to µs TimestampType here
+    * (`div 1000` stays in long arithmetic — double division would lose
+    * precision on epoch-nanos magnitudes). */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = table(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw
+    }
+  }
+  def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+
+  /** Header CSV with an explicit schema — the deterministic replacement for
+    * the reference's inferred `pd.read_csv` (reference `etl.py:18`,
+    * `workflow.py:30-35`; chunked reading is subsumed by Spark's partitioned
+    * scan, SURVEY §2.1 S2/S3). */
+  def csv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+      .schema(schema)
+      .csv(path)
+}
+
+/** Write-side semantics of the reference, re-expressed for a columnar lake.
+  *
+  * The reference loads via `INSERT ... ON CONFLICT DO NOTHING`
+  * (`etl.py:44,54,62`, `workflow.py:189-205`) — i.e. idempotent, first-writer
+  * -wins appends keyed by PK — plus `TRUNCATE`-then-load for `dim_time`
+  * (`workflow.py:86-97`) and a per-date recompute for the daily aggregate
+  * (`database-schema.sql:202-231`).
+  */
+object Writers {
+
+  /** Full-refresh load (TRUNCATE + INSERT analog, SURVEY §2.1 S6). */
+  def overwrite(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** Idempotent PK append (ON CONFLICT DO NOTHING analog, SURVEY §2.1 S5):
+    * dedup the incoming batch on the PK, then anti-join against what is
+    * already at `path` so a re-run inserts nothing. First-writer-wins, like
+    * the reference. */
+  def idempotentAppend(spark: SparkSession, df: DataFrame, path: String, pk: Seq[String]): Unit = {
+    val incoming = df.dropDuplicates(pk)
+    val toWrite =
+      if (pathExists(spark, path)) {
+        val existing = spark.read.parquet(path).select(pk.map(col): _*)
+        incoming.join(existing, pk, "left_anti")
+      } else incoming
+    toWrite.write.mode(SaveMode.Append).parquet(path)
+  }
+
+  /** Recompute-one-slice maintenance (the plpgsql
+    * `create_daily_sales_aggregation` pattern, reference
+    * `database-schema.sql:202-231`): dynamic partition overwrite replaces
+    * only the partitions present in `df`. At 100 TB this is the only sane
+    * shape — a day's slice rewrites without touching history. */
+  def overwritePartitions(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
+  private def pathExists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+}

@@ -1,0 +1,124 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.functions.moneySum
+import graft.schema.Schemas
+import graft.sources.Writers
+
+/** Structured Streaming over the `events` table shape (SURVEY §2.9 — the
+  * reference is batch-only; this is the §7.4 streaming extension).
+  *
+  * Every transform below takes a plain `DataFrame`, so the *same code* runs
+  * in batch (for the DuckDB oracle) and under `readStream` (with a
+  * watermark) — the batch/streaming parity Spark's incremental execution
+  * guarantees for windowed aggregations.
+  */
+object EventStreams {
+
+  /** Streaming source over an events directory; schema must be explicit for
+    * `readStream`. */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(Schemas.events).parquet(dir)
+
+  def withWatermark(events: DataFrame, delay: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", delay)
+
+  /** Tumbling-window aggregation per event type (the streaming twin of the
+    * reference's daily aggregation, `database-schema.sql:202-231`). */
+  def tumblingCounts(events: DataFrame, width: String = "1 hour"): DataFrame =
+    events
+      .groupBy(window(col("ts"), width), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), moneySum(col("value")).as("value_sum"))
+      .select(
+        col("window.start").as("bucket"),
+        col("event_type"), col("n_events"), col("value_sum"))
+
+  /** Sliding-window aggregation — each event lands in width/slide buckets. */
+  def slidingCounts(events: DataFrame, width: String = "1 hour", slide: String = "15 minutes"): DataFrame =
+    events
+      .groupBy(window(col("ts"), width, slide))
+      .agg(count(lit(1)).as("n_events"), moneySum(col("value")).as("value_sum"))
+      .select(col("window.start").as("bucket"), col("n_events"), col("value_sum"))
+
+  /** Gap-based sessionization via the built-in `session_window` (works in
+    * batch and streaming; window end = last event + gap). */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), moneySum(col("value")).as("value_sum"))
+      .select(
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("value_sum"))
+
+  // ------------------------------------------------- custom state (FMGWS) ----
+
+  final case class Event(
+      event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double, props: String)
+
+  final case class SessionAcc(startMs: Long, lastMs: Long, n: Int, sum: Double)
+
+  final case class Session(
+      user_id: Long, session_start: Timestamp, session_end: Timestamp,
+      n_events: Int, value_sum: Double)
+
+  /** Custom stateful sessionization with `flatMapGroupsWithState` — the
+    * escape hatch for session semantics `session_window` can't express
+    * (e.g. emit-on-close with custom accumulators). Event-time timeout =
+    * watermark-driven session close. */
+  def sessionizeStateful(spark: SparkSession, events: DataFrame, gapMs: Long = 30 * 60 * 1000L): Dataset[Session] = {
+    import spark.implicits._
+    events.as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[SessionAcc], Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[List[SessionAcc]]) =>
+          if (state.hasTimedOut) {
+            val done = state.getOption.getOrElse(Nil)
+            state.remove()
+            done.iterator.map(toSession(userId, _, gapMs))
+          } else {
+            val sorted = it.toSeq.sortBy(_.ts.getTime)
+            var open = state.getOption.getOrElse(Nil)
+            var closed = List.empty[SessionAcc]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              open match {
+                case cur :: rest if t - cur.lastMs <= gapMs =>
+                  open = cur.copy(lastMs = math.max(cur.lastMs, t), n = cur.n + 1, sum = cur.sum + e.value) :: rest
+                case cur :: rest =>
+                  closed = cur :: closed
+                  open = SessionAcc(t, t, 1, e.value) :: rest
+                case Nil =>
+                  open = SessionAcc(t, t, 1, e.value) :: Nil
+              }
+            }
+            state.update(open)
+            open.headOption.foreach { cur =>
+              state.setTimeoutTimestamp(cur.lastMs + gapMs)
+            }
+            closed.reverseIterator.map(toSession(userId, _, gapMs))
+          }
+      }
+  }
+
+  private def toSession(userId: Long, acc: SessionAcc, gapMs: Long): Session =
+    Session(userId, new Timestamp(acc.startMs), new Timestamp(acc.lastMs + gapMs), acc.n, acc.sum)
+
+  /** Incremental maintenance sink (the streaming analog of the reference's
+    * per-date recompute, `database-schema.sql:202-231`): each micro-batch
+    * recomputes only the dates it touches via dynamic partition overwrite. */
+  def dailyAggToPartitionedSink(stream: DataFrame, path: String) =
+    stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val daily = batch
+        .groupBy(to_date(col("ts")).as("event_date"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), moneySum(col("value")).as("value_sum"))
+      Writers.overwritePartitions(daily, path, Seq("event_date"))
+    }
+}

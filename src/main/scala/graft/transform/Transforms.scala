@@ -1,0 +1,118 @@
+package graft.transform
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+import graft.functions._
+
+/** Business transforms of the reference pipeline, mapped onto the driver
+  * testdata star schema (FIXTURES.md §4: lineitem≈order_items, orders≈orders,
+  * part≈products, customer≈customers).
+  *
+  * Scale notes (100 TB posture):
+  *  - dims (`part`, `supplier`, `nation`, `region`) are broadcast — no
+  *    shuffle of the fact side for those joins;
+  *  - fact⋈fact (`lineitem⋈orders`) shuffles on the join key once; the
+  *    subsequent groupBys reuse aggregation partials (HashAggregate
+  *    partial→final comes free from Catalyst);
+  *  - exact `countDistinct` is kept where the reference semantics require it
+  *    (SURVEY §2.4) — at true 100 TB scale the cheap variant is
+  *    `approx_count_distinct`, exposed alongside.
+  */
+object Transforms {
+
+  /** F1 — recompute net revenue per line (reference `workflow.py:122-125`:
+    * `total = price*quantity - discount`; testdata analog
+    * `l_extendedprice*(1-l_discount)`). Exact decimal, surfaced as double. */
+  def withRevenue(lineitem: DataFrame): DataFrame =
+    lineitem.withColumn(
+      "revenue",
+      lineRevenueDec(col("l_extendedprice"), col("l_discount")).cast(DoubleType))
+
+  /** A1+J1 — customer lifetime value: left-join the per-customer order
+    * rollup, missing → 0 (reference `workflow.py:128-134`). */
+  def lifetimeValue(customer: DataFrame, orders: DataFrame): DataFrame = {
+    val ltv = orders
+      .groupBy(col("o_custkey"))
+      .agg(moneySum(col("o_totalprice")).as("ltv"))
+    customer
+      .join(ltv, customer("c_custkey") === ltv("o_custkey"), "left")
+      .select(
+        col("c_custkey"),
+        col("c_name"),
+        coalesce(col("ltv"), lit(0.0)).as("lifetime_value"))
+  }
+
+  /** A2+J2+J3 — daily sales aggregation (reference `workflow.py:152-184`):
+    * items ⟕ orders (sale date) ⟕ product dim (category analog `p_brand`),
+    * grouped by (date, brand). `avg_unit_price` = revenue/units with
+    * divide-by-zero defaulted to 0 (`workflow.py:181`). */
+  def dailySales(lineitem: DataFrame, orders: DataFrame, part: DataFrame): DataFrame =
+    lineitem
+      .join(orders.select(col("o_orderkey"), col("o_orderdate")),
+        lineitem("l_orderkey") === col("o_orderkey"), "left")
+      .join(broadcast(part.select(col("p_partkey"), col("p_brand"))),
+        lineitem("l_partkey") === col("p_partkey"), "left")
+      .groupBy(date_trunc("day", col("o_orderdate")).as("sale_date"), col("p_brand"))
+      .agg(
+        sum(col("l_quantity")).as("units_sold"),
+        decSum(lineRevenueDec(col("l_extendedprice"), col("l_discount"))).as("revenue"),
+        countDistinct(col("l_orderkey")).as("order_count"))
+      .withColumn(
+        "avg_unit_price",
+        coalesce(col("revenue") / nullif(col("units_sold"), lit(0.0)), lit(0.0)))
+
+  /** A5 — product sales summary (the reference matview,
+    * `database-schema.sql:157-179`): per product, units/revenue/orders/
+    * customers/last order, excluding dead statuses (`:173`). Two exact
+    * distincts in one group → Catalyst plans the Expand-based multi-distinct
+    * aggregate automatically. */
+  def productSalesSummary(
+      lineitem: DataFrame,
+      orders: DataFrame,
+      part: DataFrame,
+      excludeStatuses: Seq[String] = Seq("F")): DataFrame =
+    lineitem
+      .join(orders.filter(!col("o_orderstatus").isInCollection(excludeStatuses)),
+        lineitem("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(part), lineitem("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_partkey"), col("p_name"))
+      .agg(
+        sum(col("l_quantity")).as("total_units_sold"),
+        decSum(lineRevenueDec(col("l_extendedprice"), col("l_discount"))).as("total_revenue"),
+        countDistinct(col("l_orderkey")).as("order_count"),
+        countDistinct(col("o_custkey")).as("customer_count"),
+        max(col("o_orderdate")).as("last_order_date"))
+
+  /** A6 — customer purchase summary (the reference view,
+    * `database-schema.sql:182-199`), incl. `avg_days_between_orders` =
+    * (max-min)/count expressed in days (Postgres returns an interval). */
+  def customerPurchaseSummary(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer
+      .join(orders, customer("c_custkey") === orders("o_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(
+        countDistinct(col("o_orderkey")).as("order_count"),
+        moneySum(col("o_totalprice")).as("lifetime_value"),
+        min(col("o_orderdate")).as("first_order_date"),
+        max(col("o_orderdate")).as("last_order_date"))
+      .withColumn(
+        "avg_days_between_orders",
+        datediff(to_date(col("last_order_date")), to_date(col("first_order_date")))
+          .cast(DoubleType) / col("order_count").cast(DoubleType))
+
+  /** Exact + approximate distinct statistics over the fact table. The exact
+    * multi-distinct is reference semantics (SURVEY §2.4 A5); the
+    * `approx_count_distinct` twin is the 100 TB-scale variant (HLL, no
+    * Expand blow-up) exposed for callers that can tolerate ~2% error. */
+  def distinctStats(lineitem: DataFrame, approx: Boolean = false): DataFrame = {
+    val d: (org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+      if (approx) c => approx_count_distinct(c).cast(LongType) else c => countDistinct(c)
+    lineitem.agg(
+      count(lit(1)).as("n_rows"),
+      d(col("l_orderkey")).as("n_orders"),
+      d(col("l_partkey")).as("n_parts"),
+      d(col("l_suppkey")).as("n_suppliers"))
+  }
+}

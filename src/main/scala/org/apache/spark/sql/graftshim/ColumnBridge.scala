@@ -1,0 +1,18 @@
+package org.apache.spark.sql.graftshim
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge between the public `Column` API and Catalyst `Expression`s.
+  *
+  * Spark 4 moved `Column` to a backend-agnostic representation (sql-api
+  * `ColumnNode`); the classic conversion helpers are `private[sql]`, so a
+  * library that ships native Catalyst expressions needs this one-file shim
+  * inside the `org.apache.spark.sql` namespace. No Spark internals are
+  * modified — these are straight delegations.
+  */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
