@@ -13,6 +13,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // JVM/codegen warm-up: the first measured query otherwise absorbs
+    // one-time class-loading, Janino compilation, and FS init costs.
+    try {
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .limit(1000).groupBy("l_returnflag").count().collect()
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -27,13 +27,20 @@ object Similarity {
     * as tie-break, which makes the result order-stable across engines
     * (float last-bit noise cannot reorder). */
   def bruteForceKnn(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
-    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-    val c = candidates.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
+    val q = queries.select(
+      col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+      l2Norm(col("embedding")).as("q_nrm"))
+    val c = candidates
+      .repartition(candidates.sparkSession.sparkContext.defaultParallelism)
+      .select(
+        col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
+        l2Norm(col("embedding")).as("c_nrm"))
     val scored = broadcast(q)
       .join(c, col("query_id") =!= col("neighbor_id"))
       .select(
         col("query_id"), col("neighbor_id"),
-        round(cosineSimilarity(col("q_emb"), col("c_emb")), 6).as("cosine"))
+        round(dotProduct(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")), 6)
+          .as("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored
@@ -72,16 +79,21 @@ object Similarity {
   def lshKnn(queries: DataFrame, candidates: DataFrame, k: Int, planes: Int = 8): DataFrame = {
     val q = queries.select(
       col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+      l2Norm(col("embedding")).as("q_nrm"),
       hyperplaneSignature(col("embedding"), planes, dims = 64).as("bucket"))
-    val c = candidates.select(
-      col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
-      hyperplaneSignature(col("embedding"), planes, dims = 64).as("bucket"))
+    val c = candidates
+      .repartition(candidates.sparkSession.sparkContext.defaultParallelism)
+      .select(
+        col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
+        l2Norm(col("embedding")).as("c_nrm"),
+        hyperplaneSignature(col("embedding"), planes, dims = 64).as("bucket"))
     val scored = q
       .join(c, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(
         col("query_id"), col("neighbor_id"),
-        round(cosineSimilarity(col("q_emb"), col("c_emb")), 6).as("cosine"))
+        round(dotProduct(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")), 6)
+          .as("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored
