@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions._
+import graft.functions.RollingHash.rollingHash
+import graft.functions.VectorExpressions._
+
+class FunctionsSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  // Mirror of the reference's revenue golden test (`workflow.py:326-332`):
+  // qty=2, price=10.0, discount=1.0, stale total=0.0 → recomputed 19.0.
+  // Our testdata carries the same rule as extendedprice*(1-discount).
+  test("revenue golden value overrides stale input total") {
+    val df = Seq((2.0, 10.0, 1.0, 0.0)).toDF("quantity", "price", "discount", "stale_total")
+    val total = df.select(
+      (dec2($"price" * $"quantity") - dec2($"discount")).cast("double").as("total"))
+    assert(total.head.getDouble(0) == 19.0)
+
+    val rev = Seq((20.0, 0.05)).toDF("l_extendedprice", "l_discount")
+      .select(lineRevenueDec($"l_extendedprice", $"l_discount").cast("double"))
+    assert(rev.head.getDouble(0) == 19.0)
+  }
+
+  test("isoDayOfWeek matches java.time for a full year") {
+    val dates = spark.sql(
+      "SELECT explode(sequence(date'2023-01-01', date'2023-12-31', interval 1 day)) AS d")
+    val got = dates.select($"d", isoDayOfWeek($"d").as("dow")).collect()
+    got.foreach { r =>
+      val expected = r.getDate(0).toLocalDate.getDayOfWeek.getValue // 1=Mon..7=Sun
+      assert(r.getInt(1) == expected, s"mismatch for ${r.getDate(0)}")
+    }
+  }
+
+  test("wordShingles produces n-grams and degenerates gracefully") {
+    val df = Seq("a b c d", "a b").toDF("text")
+      .select(wordShingles(tokens($"text"), 3).as("sh"))
+    val rows = df.collect().map(_.getSeq[String](0))
+    assert(rows(0) == Seq("a b c", "b c d"))
+    assert(rows(1) == Seq("a b")) // shorter than n → whole text
+  }
+
+  test("rollingHash: known value, and codegen agrees with interpreted eval") {
+    // h("ab") = (0*31 + 97)*31 + 98 = 3105
+    val got = Seq("ab").toDF("t").select(rollingHash($"t")).head.getLong(0)
+    assert(got == 3105L)
+    // force interpreted path
+    val interp = RollingHash(org.apache.spark.sql.catalyst.expressions.Literal("ab")).eval(null)
+    assert(interp == 3105L)
+  }
+
+  test("VectorDot matches manual dot product for float and double arrays") {
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f))).toDF("a", "b")
+    assert(df.select(vectorDot($"a", $"b")).head.getDouble(0) == 32.0)
+    val dd = Seq((Array(0.5, 0.25), Array(4.0, 8.0))).toDF("a", "b")
+    assert(dd.select(vectorDot($"a", $"b")).head.getDouble(0) == 4.0)
+  }
+
+  test("cosineSimilarity of identical vectors is 1") {
+    val df = Seq((Array(1.0f, 2.0f), Array(1.0f, 2.0f))).toDF("a", "b")
+    val c = df.select(cosineSimilarity($"a", $"b")).head.getDouble(0)
+    assert(math.abs(c - 1.0) < 1e-12)
+  }
+
+  test("SortedIntersectSize: string and long arrays, empty edge") {
+    val s = Seq((Seq("a", "b", "d"), Seq("b", "c", "d"))).toDF("a", "b")
+    assert(s.select(sortedIntersectSize($"a", $"b")).head.getInt(0) == 2)
+    val l = Seq((Seq(1L, 5L, 9L), Seq(2L, 5L, 9L, 11L))).toDF("a", "b")
+    assert(l.select(sortedIntersectSize($"a", $"b")).head.getInt(0) == 2)
+    val e = Seq((Seq.empty[Long], Seq(1L))).toDF("a", "b")
+    assert(e.select(sortedIntersectSize($"a", $"b")).head.getInt(0) == 0)
+  }
+
+  test("MinHashSig: deterministic, and band buckets are consistent with it") {
+    val df = Seq(Seq(10L, 20L, 30L), Seq(10L, 20L, 30L), Seq(99L)).toDF("h")
+    val sigs = df.select(minHashSig($"h", 8).as("sig")).collect().map(_.getSeq[Long](0))
+    assert(sigs(0) == sigs(1)) // identical input → identical signature
+    assert(sigs(0) != sigs(2))
+    val buckets = df.select(minHashBandBuckets($"h", 2, 4).as("b")).collect().map(_.getSeq[Long](0))
+    assert(buckets(0) == buckets(1) && buckets(0) != buckets(2))
+    assert(buckets(0).length == 2)
+  }
+
+  test("MinHash signature agreement approximates Jaccard") {
+    // two sets with Jaccard 0.8 (8 shared of 10); agreement over k=64 ≈ 0.8
+    val a = (1L to 9L).toSeq
+    val b = (2L to 11L).filterNot(_ == 11L).toSeq :+ 20L // 2..10 + 20 → shares 2..9
+    val df = Seq(a, b).toDF("h")
+    val Array(sa, sb) = df.select(minHashSig($"h", 64).as("s")).collect().map(_.getSeq[Long](0))
+    val agree = sa.zip(sb).count { case (x, y) => x == y } / 64.0
+    val jac = a.toSet.intersect(b.toSet).size.toDouble / a.toSet.union(b.toSet).size
+    assert(math.abs(agree - jac) < 0.25) // k=64 → σ≈0.06, generous bound
+  }
+
+  test("simHash: identical texts collide, near texts are close, hamming works") {
+    val df = Seq("the quick brown fox jumps", "the quick brown fox jumps", "totally different words here")
+      .toDF("text").select(simHash64(tokens($"text")).as("s"))
+    val s = df.collect().map(_.getLong(0))
+    assert(s(0) == s(1))
+    val dfh = Seq((s(0), s(2))).toDF("a", "b")
+    assert(dfh.select(hamming64($"a", $"b").cast("long")).head.getLong(0) > 0)
+  }
+}

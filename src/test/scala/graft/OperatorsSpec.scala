@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Similarity}
+import graft.query.Analytics
+import graft.query.Analytics.Page
+
+class OperatorsSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private val near1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+  private val near2 = "alpha beta gamma delta epsilon zeta eta theta iota lambda" // 1 word off
+  private val far = "one two three four five six seven eight nine ten"
+
+  private def docs = Seq(
+    (0L, near1, "s0"), (1L, near2, "s0"), (2L, far, "s0"),
+    (3L, "completely unrelated text about query engines and shuffles", "s1"))
+    .toDF("doc_id", "text", "source")
+
+  test("exactGroups collapses duplicate texts to min id with counts") {
+    val d = Seq((5L, "same"), (9L, "same"), (7L, "other")).toDF("doc_id", "text")
+    val rows = Dedup.exactGroups(d).orderBy($"doc_id").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[Long]("doc_id") == 5L && rows(0).getAs[Long]("dup_count") == 2L)
+  }
+
+  test("minHashNearDuplicates finds the planted near-dup pair and only it") {
+    val pairs = Dedup.minHashNearDuplicates(docs, threshold = 0.5).collect()
+    assert(pairs.length == 1)
+    assert(pairs(0).getAs[Long]("doc_a") == 0L && pairs(0).getAs[Long]("doc_b") == 1L)
+    // 8 shared of 10+10-8=12 3-gram shingles... verify value is sane
+    val j = pairs(0).getAs[Double]("jaccard")
+    assert(j > 0.5 && j < 1.0)
+  }
+
+  test("simHashNearDuplicates flags near-identical token streams") {
+    val pairs = Dedup.simHashNearDuplicates(docs, maxHamming = 16).collect()
+    assert(pairs.exists(r => r.getAs[Long]("doc_a") == 0L && r.getAs[Long]("doc_b") == 1L))
+    assert(!pairs.exists(r => r.getAs[Long]("doc_b") == 3L)) // different block content
+  }
+
+  test("blockedJaccardPairs computes exact set jaccard within blocks") {
+    // near1 vs near2 share 9 of 11 distinct tokens → J = 9/11 ≈ 0.818
+    val pairs = Dedup.blockedJaccardPairs(docs, threshold = 0.5).collect()
+    assert(pairs.length == 1)
+    assert(math.abs(pairs(0).getAs[Double]("jaccard") - 9.0 / 11.0) < 1e-6)
+  }
+
+  test("bruteForceKnn ranks by cosine with deterministic tie-break") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f)),   // closest to 0
+      (2L, Array(0.0f, 1.0f)),   // orthogonal
+      (3L, Array(-1.0f, 0.0f)))  // opposite
+      .toDF("vec_id", "embedding")
+    val knn = Similarity.bruteForceKnn(emb.filter($"vec_id" === 0), emb, k = 3).collect()
+    assert(knn.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(1L, 2L, 3L))
+    assert(knn(0).getAs[Int]("rank") == 1)
+  }
+
+  test("lshKnn returns a subset of brute-force neighbors with exact scores") {
+    val emb = (0L until 40L).map { i =>
+      (i, Array.tabulate(8)(j => math.sin(i * 8 + j).toFloat))
+    }.toDF("vec_id", "embedding")
+    val brute = Similarity.bruteForceKnn(emb.filter($"vec_id" < 3), emb, k = 5)
+      .select($"query_id", $"neighbor_id", $"cosine").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = Similarity.lshKnn(emb.filter($"vec_id" < 3), emb, k = 5, planes = 2).collect()
+    lsh.foreach { r =>
+      val key = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      // any LSH hit that brute force also ranked must carry the same score
+      brute.get(key).foreach(c => assert(c == r.getAs[Double]("cosine")))
+    }
+  }
+
+  test("paginate enforces the sort whitelist and offset window") {
+    val df = (1 to 100).map(i => (i.toLong, i * 2.0)).toDF("o_orderkey", "o_totalprice")
+    val page = Analytics.paginate(
+      df, Page("o_totalprice", ascending = true, limit = 5, offset = 10),
+      whitelist = Set("o_totalprice"), tieBreaker = "o_orderkey").collect()
+    assert(page.map(_.getLong(0)).toSeq == Seq(11L, 12L, 13L, 14L, 15L))
+    intercept[IllegalArgumentException] {
+      Analytics.paginate(df, Page("evil_col"), Set("o_totalprice"), "o_orderkey")
+    }
+  }
+
+  test("productSales preserves duplicate order rows (one per item)") {
+    val orders = Seq((1L, 7L, "O", 10.0, "2024-06-01 00:00:00"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "d")
+      .withColumn("o_orderdate", to_timestamp($"d")).drop("d")
+    val li = Seq((1L, 100L, 1), (1L, 100L, 2)).toDF("l_orderkey", "l_partkey", "l_linenumber")
+    val part = Seq((100L, "Brand#1")).toDF("p_partkey", "p_brand")
+    val rows = Analytics.productSales(
+      orders, li, part, "2024-01-01 00:00:00", "2024-12-31 00:00:00",
+      page = Page("o_orderdate", limit = 10)).collect()
+    assert(rows.length == 2) // J4 semantics: dupes preserved, not semi-joined
+  }
+}

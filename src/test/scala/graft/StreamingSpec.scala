@@ -1,0 +1,112 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Writers
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.Event
+
+class StreamingSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def ev(id: Long, t: String, user: Long, v: Double) =
+    Event(id, Timestamp.valueOf(t), user, "click", v, "{}")
+
+  private val batch = Seq(
+    ev(1, "2024-01-01 00:05:00", 1, 1.0),
+    ev(2, "2024-01-01 00:20:00", 1, 2.0),
+    ev(3, "2024-01-01 01:10:00", 1, 4.0), // >30min gap → new session, new hour
+    ev(4, "2024-01-01 00:45:00", 2, 8.0))
+
+  test("streaming tumbling window equals the batch computation") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val q = EventStreams.tumblingCounts(EventStreams.withWatermark(ms.toDF(), "1 minute"))
+      .writeStream.format("memory").queryName("tumbling_out").outputMode("complete").start()
+    try {
+      ms.addData(batch: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("tumbling_out")
+        .orderBy($"bucket", $"event_type").collect()
+      val batched = EventStreams.tumblingCounts(batch.toDF())
+        .orderBy($"bucket", $"event_type").collect()
+      assert(streamed.toSeq == batched.toSeq)
+    } finally q.stop()
+  }
+
+  test("session_window closes on gap > 30min (batch)") {
+    val sessions = EventStreams.sessionCounts(batch.toDF())
+      .orderBy($"user_id", $"session_start").collect()
+    assert(sessions.length == 3) // user1: 2 sessions, user2: 1
+    val first = sessions(0)
+    assert(first.getAs[Long]("n_events") == 2)
+    assert(first.getAs[Timestamp]("session_end") ==
+      Timestamp.valueOf("2024-01-01 00:50:00")) // last event + 30min gap
+  }
+
+  test("stateful sessionization emits closed sessions as watermark advances") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val sessions = EventStreams.sessionizeStateful(
+      spark, ms.toDF().withWatermark("ts", "0 seconds"))
+    val q = sessions.writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      ms.addData(ev(1, "2024-01-01 00:05:00", 1, 1.0), ev(2, "2024-01-01 00:20:00", 1, 2.0))
+      q.processAllAvailable()
+      // watermark jumps far past the session's timeout → session closes
+      ms.addData(ev(9, "2024-01-01 06:00:00", 2, 1.0))
+      q.processAllAvailable()
+      ms.addData(ev(10, "2024-01-01 07:00:00", 2, 1.0))
+      q.processAllAvailable()
+      val out = spark.table("sess_out").filter($"user_id" === 1).collect()
+      assert(out.length == 1)
+      assert(out(0).getAs[Int]("n_events") == 2)
+      assert(out(0).getAs[Double]("value_sum") == 3.0)
+      assert(out(0).getAs[Timestamp]("session_end") ==
+        Timestamp.valueOf("2024-01-01 00:50:00"))
+    } finally q.stop()
+  }
+
+  test("writers: idempotent append and dynamic partition overwrite") {
+    val dir = Files.createTempDirectory("graft-writers").toString
+    val t1 = s"$dir/t1"
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    Writers.idempotentAppend(spark, df, t1, Seq("id"))
+    Writers.idempotentAppend(spark, df, t1, Seq("id")) // re-run: no-op
+    assert(spark.read.parquet(t1).count() == 2)
+    Writers.idempotentAppend(spark, Seq((3L, "c")).toDF("id", "v"), t1, Seq("id"))
+    assert(spark.read.parquet(t1).count() == 3)
+
+    val t2 = s"$dir/t2"
+    val day1 = Seq(("2024-01-01", 10L), ("2024-01-02", 20L)).toDF("d", "n")
+    Writers.overwritePartitions(day1, t2, Seq("d"))
+    // recompute only day 2; day 1 must survive
+    val day2fix = Seq(("2024-01-02", 99L)).toDF("d", "n")
+    Writers.overwritePartitions(day2fix, t2, Seq("d"))
+    // partition column type inference turns d into a DATE on read-back
+    val out = spark.read.parquet(t2)
+      .select($"d".cast("string"), $"n").orderBy($"d").collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1))).toList ==
+      List(("2024-01-01", 10L), ("2024-01-02", 99L)))
+  }
+
+  test("multimodal metadata stub is deterministic and correct") {
+    val d = Seq((1L, "ab")).toDF("doc_id", "text")
+    val meta = graft.multimodal.Multimodal.extractMetadata(
+      spark, graft.multimodal.Multimodal.asBinaryPayloads(d)).head()
+    assert(meta.n_bytes == 2)
+    assert(meta.payload_sha ==
+      "fb8e20fc2e4c3f248c60c39bd652f3c1347298bb977b8b4d5903b85055620603") // sha256("ab")
+    assert(meta.width == 64 + 2 % 512 && meta.height == 64 + (2 / 7) % 512)
+  }
+
+  test("driver contract: entry returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
