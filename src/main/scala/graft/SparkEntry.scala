@@ -219,6 +219,21 @@ object SparkEntry {
 
     "q_token_count" -> ((s, d) => TextAnalysis.corpusStats(Tables.documents(s, d))),
 
+    "q_token_count_bpe" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(tokens(col("text"))).as("n_ws_tokens"),
+          TextAnalysis.bpeTokenCount(col("text")).as("n_bpe_tokens"))
+        .orderBy(col("doc_id"))),
+
+    // salted two-phase aggregation must be bit-identical to the plain one —
+    // the oracle IS the unsalted GROUP BY.
+    "q_salted_agg" -> ((s, d) =>
+      graft.operators.Skew.saltedSum(
+        Tables.lineitem(s, d), Seq("l_returnflag"), dec2(col("l_extendedprice")),
+        resultName = "gross", saltFrom = col("l_orderkey"))
+        .orderBy(col("l_returnflag"))),
+
     "q_fingerprint" -> ((s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"), rollingHash(col("text")).as("fingerprint"))
@@ -451,6 +466,17 @@ object SparkEntry {
                 CAST(max(len(string_split(text, ' '))) AS INT) AS max_tokens,
                 count(DISTINCT source) AS n_sources
          FROM documents GROUP BY lang ORDER BY lang""",
+
+    // SQL string literal: apostrophes doubled; backslashes are literal in
+    // standard (non-E) DuckDB strings, so \s passes through unchanged.
+    "q_token_count_bpe" ->
+      s"""SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens,
+                 CAST(len(regexp_extract_all(text, '${TextAnalysis.BpePattern.replace("'", "''")}')) AS INT) AS n_bpe_tokens
+          FROM documents ORDER BY doc_id""",
+
+    "q_salted_agg" ->
+      """SELECT l_returnflag, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS gross
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
     "q_multimodal_meta" ->
       """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes,

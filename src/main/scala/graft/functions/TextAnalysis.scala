@@ -56,6 +56,16 @@ object TextAnalysis {
         .as("type_token_ratio"))
   }
 
+  /** GPT-2-style pretokenizer pattern, ASCII-simplified: contraction
+    * suffixes, space-prefixed letter runs, digit runs, punctuation runs,
+    * residual whitespace. Valid under both Java regex (Spark) and RE2
+    * (DuckDB oracle) — no lookarounds. */
+  val BpePattern: String = "'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^\\sa-zA-Z0-9]+|\\s+"
+
+  /** BPE-ish token count — the pretokenizer split count, the standard cheap
+    * stand-in for "how many LLM tokens is this corpus". */
+  def bpeTokenCount(text: Column): Column = regexp_count(text, lit(BpePattern))
+
   /** Corpus rollup per language: docs, tokens, token stats, distinct
     * sources. The per-doc token count is computed map-side; only the small
     * rollup shuffles. */
