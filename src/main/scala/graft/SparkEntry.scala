@@ -116,6 +116,47 @@ object SparkEntry {
 
     "q_distinct_stats" -> ((s, d) => Transforms.distinctStats(Tables.lineitem(s, d))),
 
+    // HLL twin of q_distinct_stats — the 100 TB default (no Expand blow-up);
+    // sketch internals differ across engines, so rows-only check.
+    "q_distinct_stats_approx" -> ((s, d) =>
+      Transforms.distinctStats(Tables.lineitem(s, d), approx = true)),
+
+    // Window functions (beyond the reference surface, SURVEY §2.5): running
+    // revenue per customer with a unique total order inside each partition.
+    "q_window_running" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .filter(col("o_custkey") < 100)
+        .select(
+          col("o_custkey"), col("o_orderkey"),
+          row_number().over(w).as("rn"),
+          sum(dec2(col("o_totalprice"))).over(w).cast("double").as("running_total"))
+        .orderBy(col("o_custkey"), col("rn"))
+    }),
+
+    // The SQL entry point (same engine, `spark.sql`): TPC-H Q1 shape.
+    "q_sql_tpch_q1" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+          |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+          |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price,
+          |       count(*) AS count_order
+          |FROM lineitem
+          |WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+          |GROUP BY l_returnflag, l_linestatus
+          |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+    }),
+
+    // F14 — API-layer ISO-8601 serialization, kept in the engine as a
+    // formatting expression (reference `app.py:68,105`).
+    "q_iso_format" -> ((s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss").as("iso"))
+        .orderBy(col("o_orderkey"))),
+
     // `date` surfaced as midnight timestamp: parquet DATE and DuckDB DATE
     // deserialize to different host types and defeat value-hash comparison.
     "q_dim_time" -> ((s, _) =>
@@ -345,6 +386,27 @@ object SparkEntry {
       """SELECT count(*) AS n_rows, count(DISTINCT l_orderkey) AS n_orders,
                 count(DISTINCT l_partkey) AS n_parts, count(DISTINCT l_suppkey) AS n_suppliers
          FROM lineitem""",
+
+    "q_window_running" ->
+      """SELECT o_custkey, o_orderkey, CAST(row_number() OVER w AS INT) AS rn,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS running_total
+         FROM orders WHERE o_custkey < 100
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+         ORDER BY o_custkey, rn""",
+
+    "q_sql_tpch_q1" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price,
+                count(*) AS count_order
+         FROM lineitem
+         WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+
+    "q_iso_format" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S') AS iso
+         FROM orders ORDER BY o_orderkey""",
 
     "q_dim_time" ->
       """SELECT CAST(d AS TIMESTAMP) AS date, CAST(isodow(d) AS INT) AS day_of_week,
