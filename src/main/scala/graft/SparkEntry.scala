@@ -292,6 +292,14 @@ object SparkEntry {
     "q_events_sliding" -> ((s, d) =>
       EventStreams.slidingCounts(Tables.events(s, d)).orderBy(col("bucket"))),
 
+    // Same aggregation, but executed through Structured Streaming end-to-end
+    // (readStream → watermark → stateful window agg → memory sink) — shares
+    // the batch twin's oracle, which is exactly the parity Spark guarantees.
+    "q_events_tumbling_stream" -> ((s, d) =>
+      EventStreams.runStreamToBatch(s, d, "q_events_tumbling_stream_sink",
+          EventStreams.tumblingCounts(_))
+        .orderBy(col("bucket"), col("event_type"))),
+
     "q_events_session" -> ((s, d) =>
       EventStreams.sessionCounts(Tables.events(s, d))
         .orderBy(col("user_id"), col("session_start")))
@@ -548,6 +556,11 @@ object SparkEntry {
          FROM documents ORDER BY doc_id""",
 
     "q_events_tumbling" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket, event_type, count(*) AS n_events,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q_events_tumbling_stream" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket, event_type, count(*) AS n_events,
                 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",

@@ -25,6 +25,35 @@ object EventStreams {
   def readEventStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(Schemas.events).parquet(dir)
 
+  /** Streaming source over the driver testdata layout: the events parquet
+    * sits next to nine other tables, so glob-filter it; with
+    * `nanosAsLong` the raw ts is INT64 nanos — normalize to µs like
+    * [[graft.sources.Tables.events]]. */
+  def readTestdataEventStream(spark: SparkSession, dir: String): DataFrame = {
+    val raw = org.apache.spark.sql.types.StructType(
+      Schemas.events.map(f => if (f.name == "ts") f.copy(dataType = org.apache.spark.sql.types.LongType) else f))
+    spark.readStream.schema(raw)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Runs a streaming transform of the events table to completion
+    * (AvailableNow semantics via `processAllAvailable`) and returns the
+    * final result — lets the batch-oriented driver gate exercise the real
+    * incremental execution path. `transform` must be an aggregation viable
+    * in complete output mode. */
+  def runStreamToBatch(
+      spark: SparkSession,
+      dir: String,
+      name: String,
+      transform: DataFrame => DataFrame): DataFrame = {
+    val q = transform(withWatermark(readTestdataEventStream(spark, dir)))
+      .writeStream.format("memory").queryName(name).outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
   def withWatermark(events: DataFrame, delay: String = "10 minutes"): DataFrame =
     events.withWatermark("ts", delay)
 

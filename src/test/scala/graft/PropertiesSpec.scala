@@ -1,0 +1,68 @@
+package graft
+
+import java.time.LocalDate
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.isoDayOfWeek
+import graft.operators.Dedup
+
+/** Property-style checks over generated inputs. Samples are drawn once with
+  * a fixed seed and evaluated in a single Spark pass per property (a Spark
+  * job per ScalaCheck case would be prohibitively slow). */
+class PropertiesSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def sample[A](g: Gen[List[A]]): List[A] =
+    g.apply(Gen.Parameters.default, Seed(42L)).get
+
+  test("isoDayOfWeek agrees with java.time over random dates 1970–2035") {
+    val days = sample(Gen.listOfN(300, Gen.choose(0L, 24000L)))
+    val dates = days.map(d => java.sql.Date.valueOf(LocalDate.ofEpochDay(d)))
+    val rows = dates.toDF("d")
+      .select($"d", isoDayOfWeek($"d").as("dow"),
+        weekofyear($"d").as("woy"), dayofyear($"d").as("doy"))
+      .collect()
+    rows.foreach { r =>
+      val ld = r.getDate(0).toLocalDate
+      assert(r.getInt(1) == ld.getDayOfWeek.getValue)
+      assert(r.getInt(2) == ld.get(java.time.temporal.IsoFields.WEEK_OF_WEEK_BASED_YEAR))
+      assert(r.getInt(3) == ld.getDayOfYear)
+    }
+  }
+
+  test("sortedJaccard: bounded, symmetric, 1 iff equal, 0 iff disjoint") {
+    val gen = for {
+      a <- Gen.listOfN(12, Gen.choose(0L, 30L))
+      b <- Gen.listOfN(12, Gen.choose(0L, 30L))
+    } yield (a.distinct.sorted, b.distinct.sorted)
+    val pairs = sample(Gen.listOfN(100, gen))
+    val rows = pairs.toDF("a", "b")
+      .select(
+        Dedup.sortedJaccard($"a", $"b").as("jab"),
+        Dedup.sortedJaccard($"b", $"a").as("jba"),
+        $"a", $"b")
+      .collect()
+    rows.zip(pairs).foreach { case (r, (a, b)) =>
+      val (jab, jba) = (r.getDouble(0), r.getDouble(1))
+      assert(jab >= 0.0 && jab <= 1.0)
+      assert(jab == jba)
+      val expect = a.toSet.intersect(b.toSet).size.toDouble / a.toSet.union(b.toSet).size
+      assert(math.abs(jab - expect) < 1e-12)
+      if (a == b) assert(jab == 1.0)
+      if (a.toSet.intersect(b.toSet).isEmpty) assert(jab == 0.0)
+    }
+  }
+
+  test("idempotent dedup: dropDuplicates is a fixpoint and keeps one row per key") {
+    val gen = Gen.listOfN(200, Gen.zip(Gen.choose(0, 20), Gen.choose(0, 5)))
+    val data = sample(gen)
+    val df = data.toDF("k", "v")
+    val once = Dedup.dropDuplicatesByKey(df, Seq("k"))
+    assert(once.count() == data.map(_._1).distinct.size)
+    assert(Dedup.dropDuplicatesByKey(once, Seq("k")).count() == once.count())
+  }
+}
