@@ -249,6 +249,14 @@ object SparkEntry {
       Similarity.lshKnn(emb.filter(col("vec_id") < 32), emb, k = 5, planes = 4)
     }),
 
+    // IVF (k-means coarse quantizer) ANN — the partition-pruned scale path;
+    // seeded k-means is deterministic but engine-specific → rows-only check.
+    "q_embed_knn_ivf" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val index = graft.operators.IvfIndex.build(s, emb, nLists = 16)
+      graft.operators.IvfIndex.search(s, index, emb.filter(col("vec_id") < 32), k = 5, nProbe = 4)
+    }),
+
     // -------------------------------------------------- text analysis ----
     "q_lang_id" -> ((s, d) =>
       Tables.documents(s, d)

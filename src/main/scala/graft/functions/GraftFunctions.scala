@@ -1,0 +1,48 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** SQL registration for the native graft expressions, so `spark.sql` users
+  * get them too:
+  *
+  *   - at submit time: `--conf spark.sql.extensions=graft.functions.GraftExtensions`
+  *   - at runtime: `GraftFunctions.registerAll(spark)`
+  *
+  * `minhash_band_buckets(hashes, bands, rowsPerBand)` takes its shape
+  * parameters as integer literals (they parameterize generated code, so they
+  * must be compile-time constants).
+  */
+object GraftFunctions {
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(s"$what must be an integer literal, got $other")
+  }
+
+  val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "rolling_hash" -> (args => RollingHash(args.head)),
+    "vector_dot" -> (args => VectorDot(args(0), args(1))),
+    "sorted_intersect_size" -> (args => SortedIntersectSize(args(0), args(1))),
+    "minhash_sig" -> (args => MinHashSig(args(0), intLit(args(1), "k"))),
+    "minhash_band_buckets" -> (args =>
+      MinHashBandBuckets(args(0), intLit(args(1), "bands"), intLit(args(2), "rowsPerBand"))))
+
+  /** Register on a live session (classic path, via the sql-package shim). */
+  def registerAll(spark: SparkSession): Unit =
+    all.foreach { case (name, builder) =>
+      org.apache.spark.sql.graftshim.ColumnBridge.registerFunction(spark, name, builder)
+    }
+}
+
+/** `spark.sql.extensions` entry point. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach { case (name, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft", name),
+        builder))
+    }
+}

@@ -49,6 +49,53 @@ class ScaleSpec extends AnyFunSuite with SparkSpec {
     assert(plan(df).contains("*(1) Project") && plan(df).contains("vector_dot"), plan(df))
   }
 
+  test("bucketed tables join without a shuffle") {
+    spark.sql("DROP TABLE IF EXISTS li_bucketed")
+    spark.sql("DROP TABLE IF EXISTS o_bucketed")
+    Tables.lineitem(spark, sf).write
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("li_bucketed")
+    Tables.orders(spark, sf).write
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("o_bucketed")
+    // disable auto-broadcast: at this test scale Spark would broadcast and
+    // hide the property under test (bucketed co-location replacing shuffle)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("li_bucketed")
+        .join(spark.table("o_bucketed"), $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderstatus").count()
+      val p = plan(joined)
+      assert(p.contains("SortMergeJoin"), p)
+      assert(p.contains("Bucketed: true"), p)
+      assert(!p.contains("Exchange hashpartitioning(l_orderkey"), p)
+      assert(!p.contains("Exchange hashpartitioning(o_orderkey"), p)
+      assert(joined.count() > 0)
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("SQL surface exposes the native kernels (runtime registration)") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    assert(spark.sql("SELECT rolling_hash('ab') AS h").head.getLong(0) == 3105L)
+    assert(spark.sql("SELECT vector_dot(array(1.0f, 2.0f), array(3.0f, 4.0f)) AS d")
+      .head.getDouble(0) == 11.0)
+    assert(spark.sql(
+      "SELECT sorted_intersect_size(array('a','b','c'), array('b','c','d')) AS n")
+      .head.getInt(0) == 2)
+  }
+
+  test("IVF ANN finds the true nearest neighbor for most queries") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter($"vec_id" < 20)
+    val brute = graft.operators.Similarity.bruteForceKnn(queries, emb, k = 1)
+      .collect().map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id")).toMap
+    val index = graft.operators.IvfIndex.build(spark, emb, nLists = 8)
+    val ivf = graft.operators.IvfIndex.search(spark, index, queries, k = 1, nProbe = 5)
+      .collect().map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id")).toMap
+    val recall = brute.count { case (q, n) => ivf.get(q).contains(n) }.toDouble / brute.size
+    // near-uniform random embeddings are IVF's worst case (no cluster
+    // structure); with 5/8 cells probed recall@1 should still clear 0.6
+    assert(recall >= 0.6, s"IVF recall@1 too low: $recall")
+  }
+
   test("year-partitioned writes prune partitions on read") {
     val dir = Files.createTempDirectory("graft-part").toString
     Tables.orders(spark, sf)
