@@ -271,6 +271,63 @@ case class MinHashBandBuckets(child: Expression, bands: Int, rowsPerBand: Int)
   override protected def withNewChildInternal(c: Expression): MinHashBandBuckets = copy(child = c)
 }
 
+/** 64-bit SimHash from pre-hashed tokens: per hash, vote ±1 on each bit;
+  * fingerprint bit j is set iff the vote sum is positive. Bit-identical to
+  * the 64-aggregate HOF formulation it replaces (same per-token hashes, same
+  * vote rule), but one tight loop instead of 64 interpreted folds. */
+case class SimHash64(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(input: Any): Any = {
+    val h = input.asInstanceOf[ArrayData]
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < h.numElements()) {
+      val v = h.getLong(i)
+      var j = 0
+      while (j < 64) {
+        if (((v >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var j = 0
+    while (j < 64) {
+      if (votes(j) > 0) fp |= (1L << j)
+      j += 1
+    }
+    fp
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val votes = ctx.freshName("votes")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val v = ctx.freshName("v")
+      val fp = ctx.freshName("fp")
+      s"""
+         |int[] $votes = new int[64];
+         |for (int $i = 0; $i < $c.numElements(); $i++) {
+         |  long $v = $c.getLong($i);
+         |  for (int $j = 0; $j < 64; $j++) {
+         |    if ((($v >>> $j) & 1L) == 1L) $votes[$j]++; else $votes[$j]--;
+         |  }
+         |}
+         |long $fp = 0L;
+         |for (int $j = 0; $j < 64; $j++) {
+         |  if ($votes[$j] > 0) $fp |= (1L << $j);
+         |}
+         |${ev.value} = $fp;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
+}
+
 object VectorExpressions {
   def vectorDot(a: Column, b: Column): Column =
     ColumnBridge.column(VectorDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))
@@ -283,4 +340,7 @@ object VectorExpressions {
 
   def minHashBandBuckets(hashes: Column, bands: Int, rowsPerBand: Int): Column =
     ColumnBridge.column(MinHashBandBuckets(ColumnBridge.expression(hashes), bands, rowsPerBand))
+
+  def simHash64Native(hashes: Column): Column =
+    ColumnBridge.column(SimHash64(ColumnBridge.expression(hashes)))
 }

@@ -94,19 +94,13 @@ package object functions {
       struct(lit(b).as("band"), xxhash64(slots :+ lit(b): _*).as("bucket"))
     }: _*)
 
-  /** 64-bit SimHash over a token array: per token hash, vote +1/-1 on each
-    * bit; fingerprint bit j set iff the vote sum is positive. Static loop
-    * over the 64 bits; everything stays in built-in expressions. */
-  def simHash64(toks: Column): Column = {
-    val hashes = transform(toks, t => xxhash64(t))
-    (0 until 64).map { j =>
-      val vote = aggregate(
-        hashes,
-        lit(0),
-        (acc, h) => acc + when(shiftright(h, j).bitwiseAND(lit(1L)) === lit(1L), lit(1)).otherwise(lit(-1)))
-      when(vote > 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ bitwiseOR _)
-  }
+  /** 64-bit SimHash over a token array: per token hash (xxhash64), vote
+    * +1/-1 on each bit; fingerprint bit j set iff the vote sum is positive.
+    * One string hash per token, then the native [[SimHash64]] voting kernel
+    * (a 64-fold interpreted HOF formulation of the same rule measured ~25×
+    * slower). */
+  def simHash64(toks: Column): Column =
+    VectorExpressions.simHash64Native(transform(toks, t => xxhash64(t)))
 
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: Column, b: Column): Column =

@@ -79,25 +79,25 @@ object Dedup {
     val shingled = spread
       .select(col("doc_id"), sortedShingleHashes(col("text"), shingleSize).as("shingles"))
 
+    // banding rows carry the shingle set so candidate pairs are verified in
+    // the join projection itself -- no joins back to the documents
     val banded = shingled
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("shingles"),
         posexplode(minHashBandBuckets(col("shingles"), bands, rowsPerBand)))
-      .select(col("doc_id"), col("pos").as("band"), col("col").as("bucket"))
+      .select(col("doc_id"), col("shingles"), col("pos").as("band"), col("col").as("bucket"))
 
-    val candidates = banded.alias("a")
+    banded.alias("a")
       .join(banded.alias("b"),
         col("a.band") === col("b.band") &&
           col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .dropDuplicates("doc_a", "doc_b")
-
-    candidates
-      .join(shingled.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), Seq("doc_a"))
-      .join(shingled.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), Seq("doc_b"))
-      .withColumn("jaccard", round(sortedJaccard(col("sh_a"), col("sh_b")), 6))
+      .select(
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        // scored pre-dedup: the native kernel is cheaper than shuffling
+        // shingle arrays through a distinct
+        round(sortedJaccard(col("a.shingles"), col("b.shingles")), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .dropDuplicates("doc_a", "doc_b")
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
