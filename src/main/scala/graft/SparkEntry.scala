@@ -310,7 +310,26 @@ object SparkEntry {
 
     "q_events_session" -> ((s, d) =>
       EventStreams.sessionCounts(Tables.events(s, d))
-        .orderBy(col("user_id"), col("session_start")))
+        .orderBy(col("user_id"), col("session_start"))),
+
+    // Semi-structured: extract a field from the JSON props column and
+    // aggregate on it (get_json_object stays codegen'd; no UDF).
+    "q_json_extract" -> ((s, d) =>
+      Tables.events(s, d)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .groupBy(col("event_type"), (col("k") % 10).as("k_mod"))
+        .agg(count(lit(1)).as("n"), moneySum(col("value")).as("value_sum"))
+        .orderBy(col("event_type"), col("k_mod"))),
+
+    // Text search (the reference's trigram-index intent,
+    // `database-schema.sql:64` — no query ever used it; here it is):
+    // LIKE filter + edit-distance ranking.
+    "q_like_search" -> ((s, d) =>
+      Tables.part(s, d)
+        .filter(col("p_name").like("%bolt%"))
+        .select(col("p_partkey"), col("p_name"),
+          levenshtein(col("p_name"), lit("blue bolt")).as("dist"))
+        .orderBy(col("dist"), col("p_partkey")))
   )
 
   private def trends(s: SparkSession, d: String, unit: String): DataFrame =
@@ -568,6 +587,9 @@ object SparkEntry {
                 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
 
+    "q_json_extract" -> jsonExtractSql,
+    "q_like_search" -> likeSearchSql,
+
     "q_events_tumbling_stream" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket, event_type, count(*) AS n_events,
                 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
@@ -596,6 +618,15 @@ object SparkEntry {
                 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
          FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start"""
   )
+
+  private val jsonExtractSql: String =
+    """SELECT event_type, CAST(CAST(json_extract_string(props, '$.k') AS INT) % 10 AS INT) AS k_mod,
+              count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+       FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  private val likeSearchSql: String =
+    """SELECT p_partkey, p_name, CAST(levenshtein(p_name, 'blue bolt') AS INT) AS dist
+       FROM part WHERE p_name LIKE '%bolt%' ORDER BY dist, p_partkey"""
 
   private def trendsSql(unit: String): String =
     s"""SELECT CAST(date_trunc('$unit', CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS bucket,
