@@ -321,6 +321,12 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), moneySum(col("value")).as("value_sum"))
         .orderBy(col("event_type"), col("k_mod"))),
 
+    // As-of join (operator Spark lacks; composed union+window — SURVEY
+    // custom-operator ladder (a)): for each purchase, the user's most
+    // recent click at or before it. Oracle is DuckDB's native ASOF JOIN.
+    "q_asof_join" -> ((s, d) =>
+      graft.operators.AsOfJoin.eventsAsOf(Tables.events(s, d), "purchase", "click")),
+
     // Text search (the reference's trigram-index intent,
     // `database-schema.sql:64` — no query ever used it; here it is):
     // LIKE filter + edit-distance ranking.
@@ -589,6 +595,15 @@ object SparkEntry {
 
     "q_json_extract" -> jsonExtractSql,
     "q_like_search" -> likeSearchSql,
+
+    "q_asof_join" ->
+      """SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS left_ts,
+                CAST(c.ts AS TIMESTAMP) AS last_right_ts,
+                date_diff('microsecond', c.ts, p.ts) AS gap_us
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+           ON p.user_id = c.user_id AND c.ts <= p.ts
+         ORDER BY p.event_id""",
 
     "q_events_tumbling_stream" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket, event_type, count(*) AS n_events,

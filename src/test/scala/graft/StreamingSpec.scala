@@ -106,6 +106,23 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(meta.width == 64 + 2 % 512 && meta.height == 64 + (2 / 7) % 512)
   }
 
+  test("as-of join picks the latest right row at or before each left row") {
+    val events = Seq(
+      ev(1, "2024-01-01 00:00:00", 1, 0).copy(event_type = "click"),
+      ev(2, "2024-01-01 00:10:00", 1, 0).copy(event_type = "click"),
+      ev(3, "2024-01-01 00:10:00", 1, 0).copy(event_type = "purchase"), // ties with click 2 → matches it
+      ev(4, "2024-01-01 01:00:00", 1, 0).copy(event_type = "purchase"),
+      ev(5, "2024-01-01 00:05:00", 2, 0).copy(event_type = "purchase")) // user 2: no prior click
+      .toDF()
+    val rows = graft.operators.AsOfJoin.eventsAsOf(events, "purchase", "click").collect()
+    val byId = rows.map(r => r.getAs[Long]("event_id") -> r).toMap
+    assert(byId(3).getAs[Timestamp]("last_right_ts") == Timestamp.valueOf("2024-01-01 00:10:00"))
+    assert(byId(3).getAs[Long]("gap_us") == 0L)
+    assert(byId(4).getAs[Timestamp]("last_right_ts") == Timestamp.valueOf("2024-01-01 00:10:00"))
+    assert(byId(4).getAs[Long]("gap_us") == 50L * 60 * 1000 * 1000)
+    assert(byId(5).getAs[Timestamp]("last_right_ts") == null)
+  }
+
   test("driver contract: entry returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
