@@ -327,6 +327,12 @@ object SparkEntry {
     "q_asof_join" -> ((s, d) =>
       graft.operators.AsOfJoin.eventsAsOf(Tables.events(s, d), "purchase", "click")),
 
+    // Keyed range join via bucketized equi-join (no nested-loop range
+    // product): clicks within 5 minutes before each error, per user.
+    "q_range_join" -> ((s, d) =>
+      graft.operators.RangeJoin.lookbackCount(
+        Tables.events(s, d), "error", "click", windowMicros = 5L * 60 * 1000 * 1000)),
+
     // Text search (the reference's trigram-index intent,
     // `database-schema.sql:64` — no query ever used it; here it is):
     // LIKE filter + edit-distance ranking.
@@ -595,6 +601,15 @@ object SparkEntry {
 
     "q_json_extract" -> jsonExtractSql,
     "q_like_search" -> likeSearchSql,
+
+    "q_range_join" ->
+      """SELECT e.event_id, e.user_id, count(c.ts) AS n_in_window
+         FROM (SELECT * FROM events WHERE event_type = 'error') e
+         LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+           ON c.user_id = e.user_id AND c.ts <= e.ts
+          AND c.ts > e.ts - INTERVAL '5 minutes'
+         GROUP BY e.event_id, e.user_id
+         ORDER BY e.event_id""",
 
     "q_asof_join" ->
       """SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS left_ts,
