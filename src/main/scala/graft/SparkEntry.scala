@@ -116,6 +116,28 @@ object SparkEntry {
 
     "q_distinct_stats" -> ((s, d) => Transforms.distinctStats(Tables.lineitem(s, d))),
 
+    // OLAP extras beyond the reference surface: rollup hierarchies,
+    // exact interpolated percentiles, bucketed histograms.
+    "q_rollup" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), moneySum(col("l_extendedprice")).as("gross"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
+
+    "q_percentiles" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"))
+        .orderBy(col("l_returnflag"))),
+
+    "q_histogram" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy(width_bucket(col("o_totalprice"), lit(0d), lit(700000d), lit(14)).as("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("bucket"))),
+
     // HLL twin of q_distinct_stats — the 100 TB default (no Expand blow-up);
     // sketch internals differ across engines, so rows-only check.
     "q_distinct_stats_approx" -> ((s, d) =>
@@ -433,6 +455,23 @@ object SparkEntry {
       """SELECT count(*) AS n_rows, count(DISTINCT l_orderkey) AS n_orders,
                 count(DISTINCT l_partkey) AS n_parts, count(DISTINCT l_suppkey) AS n_suppliers
          FROM lineitem""",
+
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS gross
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+
+    "q_percentiles" ->
+      """SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+                round(quantile_cont(l_extendedprice, 0.95), 4) AS p95
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    // DuckDB 1.0 has no width_bucket; for in-range values it is
+    // floor((v - min) / ((max - min) / n)) + 1 — identical double math.
+    "q_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 50000.0) + 1 AS BIGINT) AS bucket, count(*) AS n
+         FROM orders GROUP BY 1 ORDER BY 1""",
 
     "q_window_running" ->
       """SELECT o_custkey, o_orderkey, CAST(row_number() OVER w AS INT) AS rn,
