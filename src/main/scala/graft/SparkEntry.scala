@@ -143,6 +143,58 @@ object SparkEntry {
     "q_distinct_stats_approx" -> ((s, d) =>
       Transforms.distinctStats(Tables.lineitem(s, d), approx = true)),
 
+    // CUBE with grouping_id — all four grouping sets in one Expand pass.
+    "q_cube" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().cast("int").as("gmask"), count(lit(1)).as("n"),
+          moneySum(col("l_extendedprice")).as("gross"))
+        .orderBy(col("gmask"), col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
+
+    // Pivot (long→wide): one output column per linestatus value. Values are
+    // declared explicitly so the plan is a single aggregation (no extra
+    // distinct-collect job to discover them — the 100 TB posture).
+    "q_pivot" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(moneySum(col("l_extendedprice")))
+        .orderBy(col("l_returnflag"))),
+
+    // Unpivot / melt (wide→long) — the inverse reshape, zero shuffles past
+    // the source aggregation (Expand on the map side).
+    "q_unpivot" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(sum(col("l_quantity")).as("sum_qty"),
+          moneySum(col("l_extendedprice")).as("gross"))
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("sum_qty"), col("gross")), "metric", "value")
+        .orderBy(col("l_returnflag"), col("metric"))),
+
+    // Statistical moments + correlation — single pass, partial-merge
+    // aggregates (no per-group sort, no second scan).
+    "q_stats_agg" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(avg(col("l_quantity")), 6).as("avg_qty"),
+          round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("qty_price_corr"))
+        .orderBy(col("l_returnflag"))),
+
+    // Deterministic hash-style sampling: Knuth multiplicative scramble of
+    // the key, mod 97 — reproducible across engines and cluster sizes
+    // (unlike TABLESAMPLE, which is partition-dependent). ~1% systematic
+    // sample that any two runs agree on row-for-row.
+    "q_sample_hash" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter((col("l_orderkey") * lit(2654435761L)) % 97 === 3)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), moneySum(col("l_extendedprice")).as("gross"))
+        .orderBy(col("l_returnflag"))),
+
     // Window functions (beyond the reference surface, SURVEY §2.5): running
     // revenue per customer with a unique total order inside each partition.
     "q_window_running" -> ((s, d) => {
@@ -156,6 +208,38 @@ object SparkEntry {
           sum(dec2(col("o_totalprice"))).over(w).cast("double").as("running_total"))
         .orderBy(col("o_custkey"), col("rn"))
     }),
+
+    // lag/lead windows: inter-order gap per customer — the feature-
+    // engineering shape (one shuffle on the partition key).
+    "q_lag_lead" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .filter(col("o_custkey") < 200)
+        .select(
+          col("o_custkey"), col("o_orderkey"),
+          datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(w)).as("days_since_prev"),
+          lead(col("o_orderkey"), 1).over(w).as("next_orderkey"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // ntile bucketing (global quartiles by account balance). A global
+    // window is a single-reducer sort — fine for a dim-sized table like
+    // customer; for facts, bucket with width_bucket/percent_rank instead.
+    "q_ntile" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_acctbal"), ntile(4).over(w).cast("int").as("quartile"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // Latest-row-per-key compaction (CDC/upsert-log shape).
+    "q_latest_per_key" -> ((s, d) =>
+      Dedup.latestByKey(Tables.orders(s, d), Seq("o_custkey"),
+        Seq(col("o_orderdate"), col("o_orderkey")))
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+        .orderBy(col("o_custkey"))),
 
     // The SQL entry point (same engine, `spark.sql`): TPC-H Q1 shape.
     "q_sql_tpch_q1" -> ((s, d) => {
@@ -234,6 +318,31 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_lines"), moneySum(col("l_extendedprice")).as("gross"))
         .orderBy(col("l_returnflag"))
     }),
+
+    // INTERSECT / EXCEPT — distinct set semantics; Catalyst plans both as
+    // aggregated semi/anti joins (one shuffle each side, no sort).
+    "q_intersect" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      o.filter(year(col("o_orderdate")) === 1995).select(col("o_custkey"))
+        .intersect(o.filter(year(col("o_orderdate")) === 1996).select(col("o_custkey")))
+        .orderBy(col("o_custkey"))
+    }),
+
+    "q_except" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      o.filter(year(col("o_orderdate")) === 1995).select(col("o_custkey"))
+        .except(o.filter(year(col("o_orderdate")) === 1996).select(col("o_custkey")))
+        .orderBy(col("o_custkey"))
+    }),
+
+    // Explicit left-semi join (EXISTS): one pass over the probe side, build
+    // side reduced to its keys — never duplicates customer rows.
+    "q_semi_join" -> ((s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d).filter(col("o_totalprice") > 300000),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))),
 
     "q_dedup_pk" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
@@ -363,7 +472,14 @@ object SparkEntry {
         .filter(col("p_name").like("%bolt%"))
         .select(col("p_partkey"), col("p_name"),
           levenshtein(col("p_name"), lit("blue bolt")).as("dist"))
-        .orderBy(col("dist"), col("p_partkey")))
+        .orderBy(col("dist"), col("p_partkey"))),
+
+    // Regex extraction (codegen'd RE2-compatible pattern; no UDF).
+    "q_regex_extract" -> ((s, d) =>
+      Tables.part(s, d)
+        .groupBy(regexp_extract(col("p_name"), "^([a-z]+)", 1).as("first_word"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("first_word")))
   )
 
   private def trends(s: SparkSession, d: String, unit: String): DataFrame =
@@ -479,6 +595,82 @@ object SparkEntry {
          FROM orders WHERE o_custkey < 100
          WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
          ORDER BY o_custkey, rn""",
+
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+                CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gmask, count(*) AS n,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS gross
+         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+         ORDER BY gmask, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+
+    "q_pivot" ->
+      """SELECT l_returnflag,
+                CAST(sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE) AS F,
+                CAST(sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE) AS O
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+
+    "q_unpivot" ->
+      """WITH m AS (
+           SELECT l_returnflag, CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+                  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS gross
+           FROM lineitem GROUP BY 1)
+         SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM m
+         UNION ALL
+         SELECT l_returnflag, 'gross' AS metric, gross AS value FROM m
+         ORDER BY l_returnflag, metric""",
+
+    "q_stats_agg" ->
+      """SELECT l_returnflag, round(avg(l_quantity), 6) AS avg_qty,
+                round(stddev_samp(l_quantity), 6) AS sd_qty,
+                round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+
+    "q_sample_hash" ->
+      """SELECT l_returnflag, count(*) AS n,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS gross
+         FROM lineitem WHERE (l_orderkey * 2654435761) % 97 = 3
+         GROUP BY 1 ORDER BY 1""",
+
+    "q_lag_lead" ->
+      """SELECT o_custkey, o_orderkey,
+                CAST(date_diff('day', CAST(lag(o_orderdate) OVER w AS DATE), CAST(o_orderdate AS DATE)) AS INT) AS days_since_prev,
+                lead(o_orderkey) OVER w AS next_orderkey
+         FROM orders WHERE o_custkey < 200
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+         ORDER BY o_custkey, o_orderkey""",
+
+    "q_ntile" ->
+      """SELECT c_custkey, c_acctbal,
+                CAST(ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS INT) AS quartile
+         FROM customer ORDER BY c_custkey""",
+
+    "q_latest_per_key" ->
+      """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS TIMESTAMP) AS o_orderdate, o_totalprice
+         FROM orders
+         QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+         ORDER BY o_custkey""",
+
+    "q_intersect" ->
+      """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+         INTERSECT
+         SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+         ORDER BY o_custkey""",
+
+    "q_except" ->
+      """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+         EXCEPT
+         SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+         ORDER BY o_custkey""",
+
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+         ORDER BY c_custkey""",
+
+    "q_regex_extract" ->
+      """SELECT regexp_extract(p_name, '^([a-z]+)', 1) AS first_word, count(*) AS n
+         FROM part GROUP BY 1 ORDER BY 1""",
 
     "q_sql_tpch_q1" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,

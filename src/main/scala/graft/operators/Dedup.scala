@@ -35,6 +35,20 @@ object Dedup {
   def dropDuplicatesByKey(df: DataFrame, pk: Seq[String]): DataFrame =
     df.dropDuplicates(pk)
 
+  /** Snapshot compaction: keep exactly the newest row per key, newest defined
+    * by `ordering` descending with the caller required to make it total (add
+    * a unique tie-breaker). The CDC/upsert-log compaction shape — one
+    * shuffle on the key, per-group state is a single row (`row_number`
+    * stops at 1; no full-partition sort materialization beyond the window
+    * shuffle Spark already needs). */
+  def latestByKey(df: DataFrame, keys: Seq[String], ordering: Seq[Column]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ordering.map(_.desc): _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
   /** Sorted, deduplicated word-`n`-gram shingle set of a text column — the
     * canonical form both the MinHash sketch and the exact verifier consume. */
   def sortedShingles(text: Column, n: Int): Column =

@@ -97,4 +97,17 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
       page = Page("o_orderdate", limit = 10)).collect()
     assert(rows.length == 2) // J4 semantics: dupes preserved, not semi-joined
   }
+
+  test("latestByKey keeps exactly the newest row per key with tie-break") {
+    val df = Seq(
+      (1L, 10L, "old"), (1L, 20L, "new"),
+      (2L, 30L, "only"),
+      (3L, 40L, "tie-lo"), (3L, 40L, "tie-lo2") // same ordering value → needs tie-break
+    ).toDF("k", "ts", "v")
+    // tie-break on v makes the ordering total
+    val out = Dedup.latestByKey(df, Seq("k"), Seq(col("ts"), col("v")))
+      .orderBy("k").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq ==
+      Seq((1L, 20L, "new"), (2L, 30L, "only"), (3L, 40L, "tie-lo2")))
+  }
 }
