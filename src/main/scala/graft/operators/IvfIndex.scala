@@ -1,8 +1,6 @@
 package graft.operators
 
-import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.functions.array_to_vector
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -12,32 +10,68 @@ import graft.functions._
   * coarse-quantizer design: k-means partitions the corpus into `nLists`
   * cells; a query only scores vectors in its `nProbe` closest cells.
   *
-  * Scale shape: the index build is one MLlib k-means fit (seeded →
-  * deterministic) + one assignment pass; centroids (nLists × dim floats)
-  * are tiny and broadcast. Search is a broadcast join of queries×probed
-  * cells against the cell-partitioned corpus — at 100 TB the corpus would
-  * be *written partitioned by cell_id*, so a probe reads only
-  * nProbe/nLists of the data (partition pruning does the fan-out cut).
+  * Scale shape (the FAISS recipe): the quantizer is trained on a BOUNDED
+  * sample — k centroids need O(k) examples each, so training cost is
+  * independent of corpus size — while the corpus-scale work is exactly one
+  * distributed assignment pass, a codegen projection against the broadcast
+  * centroid literals (k × dim doubles; tiny). No iterative distributed jobs:
+  * Lloyd runs on the driver over ≤ `trainCap` vectors. At 100 TB the
+  * assigned corpus would be *written partitioned by cell_id*, so a probe
+  * reads only nProbe/nLists of the data (partition pruning does the
+  * fan-out cut).
   */
 object IvfIndex {
 
   final case class Index(assigned: DataFrame, centroids: Array[(Int, Array[Double])])
 
-  /** Build: fit seeded k-means on the embeddings, assign each vector to its
-    * cell. */
-  def build(spark: SparkSession, embeddings: DataFrame, nLists: Int, seed: Long = 42L): Index = {
-    val withVec = embeddings
-      .repartition(spark.sparkContext.defaultParallelism)
-      .withColumn("features", array_to_vector(col("embedding")))
-      .cache() // Lloyd iterations re-scan this frame
-    val model = new KMeans()
-      .setK(nLists).setSeed(seed).setMaxIter(10).setTol(1e-3).setFeaturesCol("features")
-      .fit(withVec)
-    val assigned = model.transform(withVec)
-      .select(col("vec_id"), col("embedding"), col("prediction").as("cell_id"))
-    withVec.unpersist()
-    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) }
-    Index(assigned, centroids)
+  /** Build: train seeded k-means (k-means++ init, Lloyd refinement) on a
+    * deterministic hash-sample of at most `trainCap` vectors, then assign
+    * every vector to its nearest cell in one distributed pass.
+    * argmin over cells uses |x−c|² = |x|² − 2x·c + |c|²: the |x|² term is
+    * constant per row, so each cell costs one native dot product and the
+    * argmin is an `array_min` over (distance, cell) structs — all inside
+    * whole-stage codegen. */
+  def build(
+      spark: SparkSession,
+      embeddings: DataFrame,
+      nLists: Int,
+      seed: Long = 42L,
+      trainCap: Int = 16384,
+      maxIter: Int = 10,
+      tol: Double = 1e-4): Index = {
+    val base = embeddings.select(col("vec_id"), col("embedding"))
+
+    // Deterministic bounded sample: hash-threshold filter (no global sort,
+    // no limit — the picked SET is independent of partitioning), then a
+    // driver-side collect of ≤ ~trainCap rows.
+    val total = base.count()
+    val picked =
+      if (total <= trainCap) base
+      else {
+        val m = 1000003L
+        // slight over-sample is fine; the threshold keeps E[|sample|] ≈ cap
+        val thresh = math.max(1L, (trainCap.toLong * m) / total + m / 100)
+        base.filter(pmod(xxhash64(col("vec_id")), lit(m)) < lit(thresh))
+      }
+    val sample: Array[Array[Double]] = picked
+      .select(col("embedding"))
+      .collect()
+      .map(_.getSeq[Float](0).iterator.map(_.toDouble).toArray)
+
+    val cents = lloyd(sample, nLists, seed, maxIter, tol)
+
+    // one codegen pass: nearest centroid per vector, ties to the lowest cell
+    val scored: Seq[Column] = cents.toSeq.zipWithIndex.map { case (c, i) =>
+      val cNormSq = c.map(v => v * v).sum
+      struct(
+        (lit(cNormSq) - lit(2.0) * dotProduct(col("embedding"), typedlit(c.map(_.toFloat)))).as("d"),
+        lit(i).as("cell"))
+    }
+    val assigned = base.select(
+      col("vec_id"), col("embedding"),
+      array_min(array(scored: _*)).getField("cell").as("cell_id"))
+
+    Index(assigned, cents.zipWithIndex.map { case (c, i) => (i, c) })
   }
 
   /** Search: route each query to its `nProbe` nearest centroids, score only
@@ -78,5 +112,91 @@ object IvfIndex {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  // ------------------------------------------------------------------ //
+  // Driver-local quantizer training (bounded input, deterministic seed) //
+  // ------------------------------------------------------------------ //
+
+  private def sqDist(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+    s
+  }
+
+  /** k-means++ seeding: each next seed drawn ∝ D²(x) to current seeds. */
+  private def kppInit(xs: Array[Array[Double]], k: Int, rnd: scala.util.Random): Array[Array[Double]] = {
+    val n = xs.length
+    val cents = Array.ofDim[Array[Double]](k)
+    cents(0) = xs(rnd.nextInt(n)).clone()
+    val d2 = Array.fill(n)(Double.MaxValue)
+    var c = 0
+    while (c < k - 1) {
+      var i = 0
+      while (i < n) { val d = sqDist(xs(i), cents(c)); if (d < d2(i)) d2(i) = d; i += 1 }
+      val sum = d2.sum
+      var pick = 0
+      if (sum > 0) {
+        val r = rnd.nextDouble() * sum
+        var acc = 0.0
+        var j = 0
+        while (j < n) {
+          acc += d2(j)
+          if (acc >= r) { pick = j; j = n } else j += 1
+        }
+      }
+      c += 1
+      cents(c) = xs(pick).clone()
+    }
+    cents
+  }
+
+  /** Lloyd iterations until centroids move < `tol` (squared L2) or
+    * `maxIter`. Empty cells keep their previous centroid. */
+  private def lloyd(
+      xs: Array[Array[Double]], k: Int, seed: Long, maxIter: Int, tol: Double): Array[Array[Double]] = {
+    require(xs.nonEmpty, "empty training sample")
+    val kk = math.min(k, xs.length)
+    val dim = xs.head.length
+    val rnd = new scala.util.Random(seed)
+    val cents = kppInit(xs, kk, rnd)
+    var iter = 0
+    var moved = Double.MaxValue
+    while (iter < maxIter && moved > tol) {
+      val sums = Array.ofDim[Double](kk, dim)
+      val cnt = new Array[Int](kk)
+      var i = 0
+      while (i < xs.length) {
+        val x = xs(i)
+        var best = 0
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < kk) {
+          val d = sqDist(x, cents(c))
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        val s = sums(best)
+        var j = 0
+        while (j < dim) { s(j) += x(j); j += 1 }
+        cnt(best) += 1
+        i += 1
+      }
+      moved = 0.0
+      var c = 0
+      while (c < kk) {
+        if (cnt(c) > 0) {
+          val nc = new Array[Double](dim)
+          var j = 0
+          while (j < dim) { nc(j) = sums(c)(j) / cnt(c); j += 1 }
+          moved = math.max(moved, sqDist(nc, cents(c)))
+          cents(c) = nc
+        }
+        c += 1
+      }
+      iter += 1
+    }
+    cents
   }
 }
