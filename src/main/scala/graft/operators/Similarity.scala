@@ -17,8 +17,9 @@ import graft.functions._
   *    candidate set, exact cosine re-ranks inside the probed buckets. The
   *    scale path: at 100 TB the bucket join replaces the |Q|·|C| product.
   *
-  * Hyperplanes are derived deterministically from `xxhash64`, so results are
-  * reproducible with no RNG state and identical across executors.
+  * Hyperplanes are derived deterministically from a splitmix64 stream, so
+  * results are reproducible with no RNG state and identical across
+  * executors.
   */
 object Similarity {
 
@@ -49,16 +50,31 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** splitmix64 finalizer — deterministic pseudo-random stream with no RNG
+    * state, identical on every executor and across runs. */
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Plane `p`'s components, each mix64(p*dims+j) scaled to [-1,1).
+    * Computed driver-side and shipped as ONE array literal per plane — an
+    * expression-tree of O(planes) nodes instead of O(planes × dims), which
+    * keeps Catalyst analysis/codegen time flat as dims grows. */
+  private def planeComponents(plane: Int, dims: Int, firstPlane: Int): Array[Double] =
+    Array.tabulate(dims) { j =>
+      mix64((firstPlane + plane).toLong * dims + j).toDouble / Long.MaxValue.toDouble
+    }
+
   /** Sign pattern of the vector against `planes` deterministic random
-    * hyperplanes, packed into one long — an LSH bucket key. Plane p's j-th
-    * component is `xxhash64(p*dims+j)` scaled to [-1,1); no RNG state.
+    * hyperplanes, packed into one long — an LSH bucket key.
     * `firstPlane` offsets the plane family so banded (OR-amplified) schemes
     * can draw independent planes per band. */
   def hyperplaneSignature(embedding: Column, planes: Int, dims: Int, firstPlane: Int = 0): Column =
     (0 until planes).map { p =>
-      val plane = array((0 until dims).map { j =>
-        (xxhash64(lit((firstPlane + p) * dims + j)).cast("double") / lit(Long.MaxValue.toDouble))
-      }: _*)
+      val plane = typedlit(planeComponents(p, dims, firstPlane))
       when(dotProduct(embedding, plane) > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ bitwiseOR _)
 
