@@ -48,9 +48,19 @@ object EventStreams {
       dir: String,
       name: String,
       transform: DataFrame => DataFrame): DataFrame = {
-    val q = transform(withWatermark(readTestdataEventStream(spark, dir)))
-      .writeStream.format("memory").queryName(name).outputMode("complete").start()
-    try q.processAllAvailable() finally q.stop()
+    // Stateful streaming wants shuffle partitions sized to KEY cardinality,
+    // not to batch-scan parallelism: every shuffle partition is a state
+    // store with its own per-batch snapshot/commit I/O. The window×type key
+    // space here is tiny; 32 stores would be pure fixed overhead. (The
+    // partition count is baked into the checkpoint at first start, so this
+    // is a design-time choice, not a tunable.)
+    val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val q = transform(withWatermark(readTestdataEventStream(spark, dir)))
+        .writeStream.format("memory").queryName(name).outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
     spark.table(name)
   }
 
