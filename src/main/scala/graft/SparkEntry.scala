@@ -443,6 +443,29 @@ object SparkEntry {
       EventStreams.sessionCounts(Tables.events(s, d))
         .orderBy(col("user_id"), col("session_start"))),
 
+    // Interval join, batch twin (oracle) + real stream-stream execution
+    // (two watermarked streams, state bounded by the time-range condition).
+    "q_events_interval_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      EventStreams.intervalJoin(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "purchase"))
+        .orderBy(col("click_id"), col("purchase_id"))
+    }),
+
+    "q_events_interval_join_stream" -> ((s, d) =>
+      EventStreams.runStreamJoin(s, d, "q_events_interval_join_stream_sink")
+        .orderBy(col("click_id"), col("purchase_id"))),
+
+    // Streaming exact dedup of a doubled stream; the sink holds one row per
+    // event_id, aggregated here batch-side for a compact oracle-checked
+    // result.
+    "q_events_dedup_stream" -> ((s, d) =>
+      EventStreams.runStreamDedup(s, d, "q_events_dedup_stream_sink")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), moneySum(col("value")).as("value_sum"))
+        .orderBy(col("event_type"))),
+
     // Semi-structured: extract a field from the JSON props column and
     // aggregate on it (get_json_object stays codegen'd; no UDF).
     "q_json_extract" -> ((s, d) =>
@@ -877,8 +900,24 @@ object SparkEntry {
                 CAST(max(ts) + INTERVAL '30 minutes' AS TIMESTAMP) AS session_end,
                 user_id, count(*) AS n_events,
                 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
-         FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start"""
+         FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start""",
+
+    "q_events_interval_join" -> intervalJoinSql,
+    "q_events_interval_join_stream" -> intervalJoinSql,
+
+    // dedup of the doubled stream restores exactly the original events
+    "q_events_dedup_stream" ->
+      """SELECT event_type, count(*) AS n,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+         FROM events GROUP BY 1 ORDER BY 1"""
   )
+
+  private val intervalJoinSql: String =
+    """SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id
+       FROM (SELECT * FROM events WHERE event_type = 'click') c
+       JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+         ON c.user_id = p.user_id AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE
+       ORDER BY click_id, purchase_id"""
 
   private val jsonExtractSql: String =
     """SELECT event_type, CAST(CAST(json_extract_string(props, '$.k') AS INT) % 10 AS INT) AS k_mod,

@@ -67,6 +67,62 @@ object EventStreams {
   def withWatermark(events: DataFrame, delay: String = "10 minutes"): DataFrame =
     events.withWatermark("ts", delay)
 
+  /** Interval join: each click paired with the same user's purchases within
+    * `windowMinutes` after it. The SAME combinators run in batch (for the
+    * DuckDB oracle) and as a stream-stream join — in streaming, the
+    * two-sided time-range condition is what lets Spark bound the join state
+    * (each side's buffer is evicted once the other side's watermark passes
+    * the range), so state is O(rate × window), not O(history). */
+  def intervalJoin(clicks: DataFrame, purchases: DataFrame, windowMinutes: Int = 10): DataFrame = {
+    val c = clicks.select(col("event_id").as("click_id"), col("user_id"), col("ts").as("c_ts"))
+    val p = purchases.select(
+      col("event_id").as("purchase_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+    c.join(p,
+        col("user_id") === col("p_user") &&
+          col("p_ts") >= col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr(s"INTERVAL $windowMinutes MINUTES"))
+      .select(col("click_id"), col("purchase_id"), col("user_id"))
+  }
+
+  /** The real stream-stream path for [[intervalJoin]]: two watermarked
+    * readStreams, append-mode memory sink, run to completion. Watermark
+    * metadata survives the column renames inside the join (it rides on the
+    * attribute). */
+  def runStreamJoin(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val clicks = withWatermark(
+        readTestdataEventStream(spark, dir).filter(col("event_type") === "click"))
+      val purchases = withWatermark(
+        readTestdataEventStream(spark, dir).filter(col("event_type") === "purchase"))
+      val q = intervalJoin(clicks, purchases)
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+    spark.table(name)
+  }
+
+  /** Streaming exact dedup with bounded state:
+    * `dropDuplicatesWithinWatermark` keeps one row per `event_id` and
+    * drops key state once the watermark passes — the streaming face of the
+    * idempotent-load operator (SURVEY §2.1 S5). Demonstrated over a
+    * deliberately doubled stream (the same source unioned with itself). */
+  def runStreamDedup(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val doubled = readTestdataEventStream(spark, dir)
+        .unionByName(readTestdataEventStream(spark, dir))
+      val q = withWatermark(doubled)
+        .dropDuplicatesWithinWatermark("event_id")
+        .select(col("event_id"), col("event_type"), col("value"))
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+    spark.table(name)
+  }
+
   /** Tumbling-window aggregation per event type (the streaming twin of the
     * reference's daily aggregation, `database-schema.sql:202-231`). */
   def tumblingCounts(events: DataFrame, width: String = "1 hour"): DataFrame =

@@ -106,6 +106,21 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(meta.width == 64 + 2 % 512 && meta.height == 64 + (2 / 7) % 512)
   }
 
+  test("intervalJoin window bounds are closed on both ends") {
+    def e(id: Long, t: String, typ: String) =
+      Event(id, Timestamp.valueOf(t), 1, typ, 0.0, "{}")
+    val clicks = Seq(e(1, "2024-01-01 00:00:00", "click")).toDF()
+    val purchases = Seq(
+      e(10, "2024-01-01 00:00:00", "purchase"), // at click ts → in
+      e(11, "2024-01-01 00:10:00", "purchase"), // exactly +10min → in
+      e(12, "2024-01-01 00:10:00.000001", "purchase"), // 1µs past → out
+      e(13, "2023-12-31 23:59:59", "purchase")  // before click → out
+    ).toDF()
+    val got = EventStreams.intervalJoin(clicks, purchases)
+      .select("purchase_id").as[Long].collect().sorted.toSeq
+    assert(got == Seq(10L, 11L))
+  }
+
   test("as-of join picks the latest right row at or before each left row") {
     val events = Seq(
       ev(1, "2024-01-01 00:00:00", 1, 0).copy(event_type = "click"),
