@@ -234,6 +234,17 @@ object SparkEntry {
         .orderBy(col("c_custkey"))
     }),
 
+    // Relative-rank windows (no ties possible: the order is total).
+    "q_percent_rank" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_acctbal"),
+          round(percent_rank().over(w), 6).as("pr"),
+          round(cume_dist().over(w), 6).as("cd"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // Latest-row-per-key compaction (CDC/upsert-log shape).
     "q_latest_per_key" -> ((s, d) =>
       Dedup.latestByKey(Tables.orders(s, d), Seq("o_custkey"),
@@ -335,6 +346,39 @@ object SparkEntry {
         .orderBy(col("o_custkey"))
     }),
 
+    // Full outer join of two yearly rollups — both sides aggregated before
+    // the join, so the shuffle carries one row per (custkey, year) not the
+    // raw orders.
+    "q_full_outer" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      def yearly(y: Int, out: String) =
+        o.filter(year(col("o_orderdate")) === y)
+          .groupBy(col("o_custkey"))
+          .agg(moneySum(col("o_totalprice")).as(out))
+      yearly(1995, "t95").join(yearly(1996, "t96"), Seq("o_custkey"), "full_outer")
+        .select(col("o_custkey"),
+          coalesce(col("t95"), lit(0.0)).as("t95"),
+          coalesce(col("t96"), lit(0.0)).as("t96"))
+        .orderBy(col("o_custkey"))
+    }),
+
+    // Cartesian product — legitimate only when both sides are tiny
+    // (dim × domain scaffold rows); Spark requires the explicit crossJoin.
+    "q_cross_join" -> ((s, d) =>
+      Tables.region(s, d).select(col("r_name"))
+        .crossJoin(Tables.orders(s, d).select(col("o_orderstatus")).distinct())
+        .orderBy(col("r_name"), col("o_orderstatus"))),
+
+    // Ordered string aggregation: collect_list is made deterministic by
+    // sorting the collected array before joining — same contract as
+    // string_agg(... ORDER BY).
+    "q_string_agg" -> ((s, d) =>
+      Tables.nation(s, d)
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(array_join(array_sort(collect_list(col("n_name"))), ",").as("nations"))
+        .orderBy(col("r_name"))),
+
     // Explicit left-semi join (EXISTS): one pass over the probe side, build
     // side reduced to its keys — never duplicates customer rows.
     "q_semi_join" -> ((s, d) =>
@@ -398,6 +442,8 @@ object SparkEntry {
       TextAnalysis.qualityMetrics(Tables.documents(s, d)).orderBy(col("doc_id"))),
 
     "q_token_count" -> ((s, d) => TextAnalysis.corpusStats(Tables.documents(s, d))),
+
+    "q_tfidf_terms" -> ((s, d) => TextAnalysis.tfIdfTerms(Tables.documents(s, d))),
 
     "q_token_count_bpe" -> ((s, d) =>
       Tables.documents(s, d)
@@ -684,6 +730,39 @@ object SparkEntry {
          EXCEPT
          SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
          ORDER BY o_custkey""",
+
+    "q_full_outer" ->
+      """WITH a AS (SELECT o_custkey, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS t95
+                    FROM orders WHERE year(o_orderdate) = 1995 GROUP BY 1),
+              b AS (SELECT o_custkey, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS t96
+                    FROM orders WHERE year(o_orderdate) = 1996 GROUP BY 1)
+         SELECT o_custkey, coalesce(t95, 0) AS t95, coalesce(t96, 0) AS t96
+         FROM a FULL JOIN b USING (o_custkey)
+         ORDER BY o_custkey""",
+
+    "q_cross_join" ->
+      """SELECT r_name, o_orderstatus
+         FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders)
+         ORDER BY 1, 2""",
+
+    "q_string_agg" ->
+      """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
+         FROM nation JOIN region ON n_regionkey = r_regionkey
+         GROUP BY 1 ORDER BY 1""",
+
+    "q_percent_rank" ->
+      """SELECT c_custkey, c_acctbal,
+                round(percent_rank() OVER (ORDER BY c_acctbal, c_custkey), 6) AS pr,
+                round(cume_dist() OVER (ORDER BY c_acctbal, c_custkey), 6) AS cd
+         FROM customer ORDER BY c_custkey""",
+
+    "q_tfidf_terms" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+              s AS (SELECT term, count(*) AS total_tf, count(DISTINCT doc_id) AS df
+                    FROM t GROUP BY 1)
+         SELECT term, total_tf, df,
+                round(total_tf * ln((SELECT count(*) FROM documents) * 1.0 / df), 6) AS tfidf
+         FROM s ORDER BY tfidf DESC, term LIMIT 20""",
 
     "q_semi_join" ->
       """SELECT c_custkey, c_name FROM customer

@@ -69,6 +69,25 @@ object TextAnalysis {
   /** Corpus rollup per language: docs, tokens, token stats, distinct
     * sources. The per-doc token count is computed map-side; only the small
     * rollup shuffles. */
+  /** Corpus-level TF-IDF term ranking: explode tokens, one hash-agg for
+    * (total term frequency, document frequency), score total_tf ·
+    * ln(N/df), top-k. N is the corpus size — a scalar the driver computes
+    * once (metadata-cheap count), the same bounded-scalar pattern as the
+    * IVF quantizer. The explode fan-out is map-side; the only shuffle is
+    * the term aggregation. */
+  def tfIdfTerms(documents: DataFrame, topK: Int = 20): DataFrame = {
+    val docs = documents.select(col("doc_id"), col("text"))
+    val n = docs.count()
+    docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("total_tf"), countDistinct(col("doc_id")).as("df"))
+      .select(col("term"), col("total_tf"), col("df"),
+        round(col("total_tf") * log(lit(n.toDouble) / col("df")), 6).as("tfidf"))
+      .orderBy(col("tfidf").desc, col("term"))
+      .limit(topK)
+  }
+
   def corpusStats(documents: DataFrame): DataFrame =
     documents
       .select(col("lang"), col("source"), size(tokens(col("text"))).as("n_tokens"))
