@@ -469,6 +469,15 @@ object SparkEntry {
       Multimodal.extractMetadata(s, Multimodal.asBinaryPayloads(Tables.documents(s, d)))
         .toDF().orderBy(col("doc_id"))),
 
+    // Frame sampling (1→N multimodal fan-out). Frame BYTES flow through the
+    // operator; the oracle checks the deterministic geometry (index,
+    // length) since DuckDB can't hash Spark binary output portably.
+    "q_multimodal_frames" -> ((s, d) =>
+      Multimodal.sampleFrames(s, Multimodal.asBinaryPayloads(Tables.documents(s, d)))
+        .toDF()
+        .select(col("doc_id"), col("frame_idx"), length(col("frame")).as("frame_len"))
+        .orderBy(col("doc_id"), col("frame_idx"))),
+
     // ------------------------------------------------------- streaming ----
     "q_events_tumbling" -> ((s, d) =>
       EventStreams.tumblingCounts(Tables.events(s, d))
@@ -980,6 +989,15 @@ object SparkEntry {
                 user_id, count(*) AS n_events,
                 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
          FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start""",
+
+    "q_multimodal_frames" ->
+      """WITH d AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+              f AS (SELECT doc_id, n,
+                           unnest(range(least(8, CAST(ceil(n / 256.0) AS BIGINT)))) AS frame_idx
+                    FROM d)
+         SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+                CAST(least(n, (frame_idx + 1) * 256) - frame_idx * 256 AS INT) AS frame_len
+         FROM f ORDER BY doc_id, frame_idx""",
 
     "q_events_interval_join" -> intervalJoinSql,
     "q_events_interval_join_stream" -> intervalJoinSql,

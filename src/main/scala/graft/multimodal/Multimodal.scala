@@ -59,4 +59,46 @@ object Multimodal {
       it.map(decodeStub)
     }
   }
+
+  final case class FrameRecord(doc_id: Long, frame_idx: Int, frame: Array[Byte])
+
+  /** Frame-sampling window in bytes — stands in for a codec's GOP/frame
+    * stride. */
+  val FrameStride = 256
+  val MaxFrames = 8
+
+  /** STUB frame-sample: treat the payload as `FrameStride`-byte frames and
+    * emit up to `MaxFrames` of them (a real implementation seeks keyframes
+    * with a codec). The 1→N fan-out is the operative plumbing: a lazy
+    * iterator flatMap inside `mapPartitions`, so memory is bounded by one
+    * frame — never the whole exploded partition — regardless of payload
+    * size. */
+  def sampleFrames(spark: SparkSession, payloads: DataFrame): Dataset[FrameRecord] = {
+    import spark.implicits._
+    payloads.as[MediaRecord].mapPartitions { it =>
+      it.flatMap { r =>
+        val n = r.payload.length
+        val frames = math.min(MaxFrames, (n + FrameStride - 1) / FrameStride)
+        Iterator.tabulate(frames) { i =>
+          FrameRecord(r.doc_id, i,
+            java.util.Arrays.copyOfRange(r.payload, i * FrameStride, math.min(n, (i + 1) * FrameStride)))
+        }
+      }
+    }
+  }
+
+  /** STUB resize: clamp/pad the payload to exactly `w*h` bytes (a real
+    * implementation rescales pixels). Shape contract of a resize kernel:
+    * fixed-size output per row, independent of input size. */
+  def resizeStub(payload: Array[Byte], w: Int, h: Int): Array[Byte] =
+    java.util.Arrays.copyOf(payload, w * h)
+
+  /** Resize pass over a payload column — same per-partition batch shape as
+    * [[extractMetadata]]. */
+  def resizeAll(spark: SparkSession, payloads: DataFrame, w: Int, h: Int): Dataset[MediaRecord] = {
+    import spark.implicits._
+    payloads.as[MediaRecord].mapPartitions { it =>
+      it.map(r => MediaRecord(r.doc_id, resizeStub(r.payload, w, h)))
+    }
+  }
 }

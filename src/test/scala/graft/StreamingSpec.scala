@@ -106,6 +106,21 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(meta.width == 64 + 2 % 512 && meta.height == 64 + (2 / 7) % 512)
   }
 
+  test("multimodal frame sampling slices the payload at the stride, capped") {
+    import graft.multimodal.Multimodal
+    // 600 bytes → frames of 256+256+88; 5000 bytes → capped at MaxFrames
+    val d = Seq((1L, "x" * 600), (2L, "y" * 5000)).toDF("doc_id", "text")
+    val frames = Multimodal.sampleFrames(spark, Multimodal.asBinaryPayloads(d))
+      .collect().groupBy(_.doc_id)
+    assert(frames(1L).sortBy(_.frame_idx).map(_.frame.length).toSeq == Seq(256, 256, 88))
+    assert(frames(2L).length == Multimodal.MaxFrames)
+    assert(frames(2L).forall(_.frame.length == Multimodal.FrameStride))
+    // resize: fixed-size output regardless of input size (truncate or pad)
+    assert(Multimodal.resizeStub(Array[Byte](1, 2, 3), 2, 2).toSeq == Seq[Byte](1, 2, 3, 0))
+    assert(Multimodal.resizeAll(spark, Multimodal.asBinaryPayloads(d), 8, 8)
+      .collect().forall(_.payload.length == 64))
+  }
+
   test("intervalJoin window bounds are closed on both ends") {
     def e(id: Long, t: String, typ: String) =
       Event(id, Timestamp.valueOf(t), 1, typ, 0.0, "{}")
