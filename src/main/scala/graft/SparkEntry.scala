@@ -445,6 +445,10 @@ object SparkEntry {
 
     "q_tfidf_terms" -> ((s, d) => TextAnalysis.tfIdfTerms(Tables.documents(s, d))),
 
+    // The composed curation pipeline (lang gate → quality gate → content
+    // dedup → stats) as one query — operator composition, not a new op.
+    "q_corpus_curate" -> ((s, d) => TextAnalysis.curateCorpus(Tables.documents(s, d))),
+
     "q_token_count_bpe" -> ((s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"),
@@ -898,6 +902,8 @@ object SparkEntry {
 
     "q_lang_id" -> langIdSql,
 
+    "q_corpus_curate" -> corpusCurateSql,
+
     "q_doc_quality" ->
       s"""SELECT doc_id, CAST(length(text) AS INT) AS n_chars_calc,
                  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
@@ -1049,5 +1055,37 @@ object SparkEntry {
                 $scores
           FROM documents))
         ORDER BY doc_id"""
+  }
+
+  // the curation pipeline replayed in SQL: same lang-ID scoring as
+  // langIdSql, then the quality gates, sha-keyed first-writer dedup, and
+  // per-source rollup
+  private val corpusCurateSql: String = {
+    val scores = TextAnalysis.stopwords.map { case (lang, words) =>
+      val list = words.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(string_split(text, ' '), x -> x IN ($list))) AS s_$lang"
+    }.mkString(",\n                ")
+    val langs = TextAnalysis.stopwords.map(_._1)
+    val g = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+    val cases = langs.map(l => s"WHEN s_$l = g THEN '$l'").mkString(" ")
+    s"""WITH pred AS (
+          SELECT doc_id, source, text,
+                 CASE WHEN g <= 0 THEN 'und' $cases ELSE 'und' END AS lang_pred
+          FROM (SELECT *, $g AS g FROM (
+            SELECT doc_id, source, text,
+                  $scores
+            FROM documents))),
+        gated AS (
+          SELECT * FROM pred
+          WHERE lang_pred = 'en'
+            AND len(string_split(text, ' ')) >= 5
+            AND len(list_distinct(string_split(text, ' '))) * 1.0
+                  / len(string_split(text, ' ')) >= 0.3),
+        deduped AS (
+          SELECT * FROM gated
+          QUALIFY row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) = 1)
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+        FROM deduped GROUP BY 1 ORDER BY 1"""
   }
 }

@@ -69,6 +69,35 @@ object TextAnalysis {
   /** Corpus rollup per language: docs, tokens, token stats, distinct
     * sources. The per-doc token count is computed map-side; only the small
     * rollup shuffles. */
+  /** The composed corpus-curation pipeline — the end-to-end shape a
+    * training-data run actually executes: language gate → quality gate
+    * (min tokens, min type-token ratio) → exact content dedup (first
+    * doc_id survives per sha256, so re-runs are idempotent) → per-source
+    * stats. One scan feeds the gates (all codegen'd predicates); the only
+    * shuffles are the dedup window on the CONTENT HASH — never the full
+    * text — and the final small aggregation. */
+  def curateCorpus(
+      documents: DataFrame,
+      lang: String = "en",
+      minTokens: Int = 5,
+      minTypeTokenRatio: Double = 0.3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = tokens(col("text"))
+    val gated = documents
+      .filter(langId(col("text")) === lang)
+      .filter(size(toks) >= minTokens &&
+        size(array_distinct(toks)).cast(DoubleType) / size(toks).cast(DoubleType)
+          >= minTypeTokenRatio)
+    val w = Window.partitionBy(col("text_sha")).orderBy(col("doc_id"))
+    gated
+      .withColumn("text_sha", sha2(col("text"), 256))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(size(toks)).as("total_tokens"))
+      .orderBy(col("source"))
+  }
+
   /** Corpus-level TF-IDF term ranking: explode tokens, one hash-agg for
     * (total term frequency, document frequency), score total_tf ·
     * ln(N/df), top-k. N is the corpus size — a scalar the driver computes
