@@ -331,18 +331,21 @@ object SparkEntry {
     }),
 
     // INTERSECT / EXCEPT — distinct set semantics; Catalyst plans both as
-    // aggregated semi/anti joins (one shuffle each side, no sort).
+    // aggregated semi/anti joins (one shuffle each side, no sort). Year
+    // membership is a RANGE predicate, not year()=… — ranges reach
+    // PushedFilters and prune parquet row groups / date partitions;
+    // expressions don't.
     "q_intersect" -> ((s, d) => {
       val o = Tables.orders(s, d)
-      o.filter(year(col("o_orderdate")) === 1995).select(col("o_custkey"))
-        .intersect(o.filter(year(col("o_orderdate")) === 1996).select(col("o_custkey")))
+      o.filter(inYear(col("o_orderdate"), 1995)).select(col("o_custkey"))
+        .intersect(o.filter(inYear(col("o_orderdate"), 1996)).select(col("o_custkey")))
         .orderBy(col("o_custkey"))
     }),
 
     "q_except" -> ((s, d) => {
       val o = Tables.orders(s, d)
-      o.filter(year(col("o_orderdate")) === 1995).select(col("o_custkey"))
-        .except(o.filter(year(col("o_orderdate")) === 1996).select(col("o_custkey")))
+      o.filter(inYear(col("o_orderdate"), 1995)).select(col("o_custkey"))
+        .except(o.filter(inYear(col("o_orderdate"), 1996)).select(col("o_custkey")))
         .orderBy(col("o_custkey"))
     }),
 
@@ -352,7 +355,7 @@ object SparkEntry {
     "q_full_outer" -> ((s, d) => {
       val o = Tables.orders(s, d)
       def yearly(y: Int, out: String) =
-        o.filter(year(col("o_orderdate")) === y)
+        o.filter(inYear(col("o_orderdate"), y))
           .groupBy(col("o_custkey"))
           .agg(moneySum(col("o_totalprice")).as(out))
       yearly(1995, "t95").join(yearly(1996, "t96"), Seq("o_custkey"), "full_outer")
@@ -563,6 +566,13 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("first_word")))
   )
+
+  /** Pushdown-friendly calendar-year membership: a half-open timestamp
+    * range instead of `year(c) = y` (a derived expression never reaches
+    * `PushedFilters`; a range prunes row groups and date partitions). */
+  private def inYear(c: org.apache.spark.sql.Column, y: Int): org.apache.spark.sql.Column =
+    c >= to_timestamp(lit(f"$y%04d-01-01 00:00:00")) &&
+      c < to_timestamp(lit(f"${y + 1}%04d-01-01 00:00:00"))
 
   private def trends(s: SparkSession, d: String, unit: String): DataFrame =
     Analytics.salesTrends(
