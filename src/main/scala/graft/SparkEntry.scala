@@ -252,6 +252,30 @@ object SparkEntry {
         .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
         .orderBy(col("o_custkey"))),
 
+    // Scalar subquery: orders above the global mean. The subquery plans as
+    // its own tiny aggregate job whose single row is broadcast into the
+    // filter; the mean goes through exact DECIMAL so the threshold is
+    // bit-identical across engines.
+    "q_scalar_subquery" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_ssq")
+      s.sql(
+        """SELECT o_orderkey, o_totalprice FROM orders_ssq
+          |WHERE o_totalprice > 2 * (SELECT avg(CAST(o_totalprice AS DECIMAL(18,2))) FROM orders_ssq)
+          |ORDER BY o_orderkey""".stripMargin)
+    }),
+
+    // Correlated scalar subquery — Catalyst's RewriteCorrelatedScalarSubquery
+    // turns it into an aggregate + left outer join (no per-row re-execution).
+    "q_correlated_subquery" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("customer_csq")
+      s.sql(
+        """SELECT c_custkey, c_acctbal FROM customer_csq c
+          |WHERE c_acctbal > 2 * (SELECT avg(CAST(c2.c_acctbal AS DECIMAL(18,2)))
+          |                       FROM customer_csq c2
+          |                       WHERE c2.c_nationkey = c.c_nationkey)
+          |ORDER BY c_custkey""".stripMargin)
+    }),
+
     // The SQL entry point (same engine, `spark.sql`): TPC-H Q1 shape.
     "q_sql_tpch_q1" -> ((s, d) => {
       Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
@@ -796,6 +820,18 @@ object SparkEntry {
     "q_regex_extract" ->
       """SELECT regexp_extract(p_name, '^([a-z]+)', 1) AS first_word, count(*) AS n
          FROM part GROUP BY 1 ORDER BY 1""",
+
+    "q_scalar_subquery" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         WHERE o_totalprice > 2 * (SELECT avg(CAST(o_totalprice AS DECIMAL(18,2))) FROM orders)
+         ORDER BY o_orderkey""",
+
+    "q_correlated_subquery" ->
+      """SELECT c_custkey, c_acctbal FROM customer c
+         WHERE c_acctbal > 2 * (SELECT avg(CAST(c2.c_acctbal AS DECIMAL(18,2)))
+                                FROM customer c2
+                                WHERE c2.c_nationkey = c.c_nationkey)
+         ORDER BY c_custkey""",
 
     "q_sql_tpch_q1" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
