@@ -143,6 +143,28 @@ object SparkEntry {
     "q_distinct_stats_approx" -> ((s, d) =>
       Transforms.distinctStats(Tables.lineitem(s, d), approx = true)),
 
+    // Sketch twin of q_percentiles: one pass, bounded memory (no per-group
+    // sort) — the 100 TB default for quantiles. Sketch internals are
+    // engine-specific → rows-only check; the exact twin carries the oracle.
+    "q_percentiles_approx" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("p50"),
+          expr("approx_percentile(l_extendedprice, 0.95, 10000)").as("p95"))
+        .orderBy(col("l_returnflag"))),
+
+    // Heavy hitters: exact top-k by frequency (count + TakeOrdered — two
+    // shuffles of (key, count), never the rows). The sketch alternative
+    // (count-min / freqItems) trades exactness for one pass; exact is
+    // oracle-checkable, so it carries the contract entry.
+    "q_heavy_hitters" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("l_partkey"))
+        .limit(25)),
+
     // CUBE with grouping_id — all four grouping sets in one Expand pass.
     "q_cube" -> ((s, d) =>
       Tables.lineitem(s, d)
@@ -698,6 +720,10 @@ object SparkEntry {
       """SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
                 round(quantile_cont(l_extendedprice, 0.95), 4) AS p95
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q_heavy_hitters" ->
+      """SELECT l_partkey, count(*) AS n FROM lineitem
+         GROUP BY 1 ORDER BY n DESC, l_partkey LIMIT 25""",
 
     // DuckDB 1.0 has no width_bucket; for in-range values it is
     // floor((v - min) / ((max - min) / n)) + 1 — identical double math.
