@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Time-series similarity search over event streams (the streaming-data
+  * similarity-search shape): bucket each key's activity into a fixed-width
+  * time series, then find the most-correlated key pairs.
+  *
+  * Scale shape: the candidate set is bounded FIRST (top-`topUsers` most
+  * active keys — a (key,count) aggregate + TakeOrdered, broadcast back as a
+  * semi-filter), so the pair join is over `topUsers²/2` series pairs, never
+  * all-keys². Series align on the bucket equi-join (co-active buckets);
+  * Pearson correlation is a single partial-merge aggregate per pair — no
+  * per-pair sort, no windowed re-scan.
+  */
+object TimeSeries {
+
+  /** Most-correlated co-activity pairs among the `topUsers` most active
+    * users: hourly count series, Pearson corr over hours where BOTH are
+    * active (co-active buckets), at least `minOverlap` shared hours.
+    * Correlation is rounded before ranking so the order is stable across
+    * engines; ties break on the user ids. */
+  def correlatedActivity(events: DataFrame, topUsers: Int = 20, minOverlap: Int = 24): DataFrame = {
+    val series = events
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("bucket"))
+      .agg(count(lit(1)).cast(DoubleType).as("n"))
+    val top = events
+      .groupBy(col("user_id")).agg(count(lit(1)).as("total"))
+      .orderBy(col("total").desc, col("user_id"))
+      .limit(topUsers)
+      .select(col("user_id"))
+    val s = series.join(broadcast(top), Seq("user_id"))
+    val a = s.select(col("user_id").as("user_a"), col("bucket"), col("n").as("na"))
+    val b = s.select(col("user_id").as("user_b"), col("bucket"), col("n").as("nb"))
+    a.join(b, Seq("bucket"))
+      .filter(col("user_a") < col("user_b"))
+      .groupBy(col("user_a"), col("user_b"))
+      .agg(count(lit(1)).as("n_overlap"),
+        covar_samp(col("na"), col("nb")).as("cv"),
+        stddev_samp(col("na")).as("sa"),
+        stddev_samp(col("nb")).as("sb"))
+      .filter(col("n_overlap") >= minOverlap)
+      // Pearson spelled out with a zero-variance guard: built-in `corr`
+      // raises DIVIDE_BY_ZERO under ANSI when a series is constant; the
+      // guarded form yields NULL there (matching SQL corr semantics).
+      .select(col("user_a"), col("user_b"), col("n_overlap"),
+        round(when(col("sa") > 0 && col("sb") > 0,
+          col("cv") / (col("sa") * col("sb"))), 4).as("activity_corr"))
+      .orderBy(col("activity_corr").desc_nulls_last, col("user_a"), col("user_b"))
+      .limit(25)
+  }
+}
