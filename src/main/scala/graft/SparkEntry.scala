@@ -595,6 +595,12 @@ object SparkEntry {
       graft.operators.RangeJoin.lookbackCount(
         Tables.events(s, d), "error", "click", windowMicros = 5L * 60 * 1000 * 1000)),
 
+    // Time-series similarity search: most-correlated hourly activity
+    // series among the top-k active users (candidate set bounded before
+    // the pair join).
+    "q_ts_similarity" -> ((s, d) =>
+      graft.operators.TimeSeries.correlatedActivity(Tables.events(s, d))),
+
     // Text search (the reference's trigram-index intent,
     // `database-schema.sql:64` — no query ever used it; here it is):
     // LIKE filter + edit-distance ranking.
@@ -846,6 +852,19 @@ object SparkEntry {
     "q_regex_extract" ->
       """SELECT regexp_extract(p_name, '^([a-z]+)', 1) AS first_word, count(*) AS n
          FROM part GROUP BY 1 ORDER BY 1""",
+
+    "q_ts_similarity" ->
+      """WITH series AS (
+           SELECT user_id, date_trunc('hour', ts) AS bucket, CAST(count(*) AS DOUBLE) AS n
+           FROM events GROUP BY 1, 2),
+         top AS (
+           SELECT user_id FROM events GROUP BY 1 ORDER BY count(*) DESC, user_id LIMIT 20),
+         s AS (SELECT series.* FROM series JOIN top USING (user_id))
+         SELECT a.user_id AS user_a, b.user_id AS user_b, count(*) AS n_overlap,
+                round(corr(a.n, b.n), 4) AS activity_corr
+         FROM s a JOIN s b ON a.bucket = b.bucket AND a.user_id < b.user_id
+         GROUP BY 1, 2 HAVING count(*) >= 24
+         ORDER BY activity_corr DESC NULLS LAST, user_a, user_b LIMIT 25""",
 
     "q_scalar_subquery" ->
       """SELECT o_orderkey, o_totalprice FROM orders
