@@ -98,6 +98,26 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(rows.length == 2) // J4 semantics: dupes preserved, not semi-joined
   }
 
+  test("correlatedActivity ranks the planted identical pair first") {
+    // users 1 and 2 share an identical 30-hour activity pattern (corr 1);
+    // user 3 runs the inverted pattern (corr -1 with both)
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:10:00").getTime
+    val rows = for {
+      h <- 0 until 30
+      level = (h % 5) + 1
+      (user, cnt) <- Seq((1L, level), (2L, level), (3L, 7 - level))
+      _ <- 0 until cnt
+    } yield (user, new java.sql.Timestamp(base + h * 3600000L))
+    val events = rows.toDF("user_id", "ts")
+    val got = graft.operators.TimeSeries.correlatedActivity(events, topUsers = 3, minOverlap = 24)
+      .collect()
+    assert(got.length == 3)
+    val first = got.head
+    assert((first.getLong(0), first.getLong(1)) == (1L, 2L))
+    assert(first.getAs[Double]("activity_corr") == 1.0)
+    assert(got.tail.forall(_.getAs[Double]("activity_corr") == -1.0))
+  }
+
   test("latestByKey keeps exactly the newest row per key with tie-break") {
     val df = Seq(
       (1L, 10L, "old"), (1L, 20L, "new"),
