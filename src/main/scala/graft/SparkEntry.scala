@@ -494,6 +494,19 @@ object SparkEntry {
 
     "q_tfidf_terms" -> ((s, d) => TextAnalysis.tfIdfTerms(Tables.documents(s, d))),
 
+    "q_tfidf_top_per_doc" -> ((s, d) =>
+      TextAnalysis.topTermsPerDoc(Tables.documents(s, d).filter(col("doc_id") < 50))),
+
+    // Bigram frequency table (docs shorter than the n-gram are dropped on
+    // both sides so Spark's short-doc fallback shingle never fires).
+    "q_ngram_freq" -> ((s, d) =>
+      Tables.documents(s, d)
+        .filter(size(tokens(col("text"))) >= 2)
+        .select(explode(wordShingles(tokens(col("text")), 2)).as("bigram"))
+        .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram"))
+        .limit(20)),
+
     // The composed curation pipeline (lang gate → quality gate → content
     // dedup → stats) as one query — operator composition, not a new op.
     "q_corpus_curate" -> ((s, d) => TextAnalysis.curateCorpus(Tables.documents(s, d))),
@@ -994,6 +1007,31 @@ object SparkEntry {
     "q_lang_id" -> langIdSql,
 
     "q_corpus_curate" -> corpusCurateSql,
+
+    "q_tfidf_top_per_doc" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 50),
+              t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM d),
+              tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+              dfreq AS (SELECT term, count(DISTINCT doc_id) AS df
+                        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                              FROM (SELECT doc_id, text FROM documents WHERE doc_id < 50))
+                        GROUP BY 1)
+         SELECT term, doc_id,
+                round(tf * ln((SELECT count(*) FROM d) * 1.0 / df), 6) AS score,
+                CAST(row_number() OVER (PARTITION BY doc_id
+                       ORDER BY round(tf * ln((SELECT count(*) FROM d) * 1.0 / df), 6) DESC, term)
+                     AS INT) AS rank
+         FROM tf JOIN dfreq USING (term)
+         QUALIFY rank <= 3
+         ORDER BY doc_id, rank""",
+
+    "q_ngram_freq" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS l FROM documents
+                    WHERE len(string_split(text, ' ')) >= 2),
+              b AS (SELECT unnest(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])) AS bigram
+                    FROM t)
+         SELECT bigram, count(*) AS n FROM b GROUP BY 1
+         ORDER BY n DESC, bigram LIMIT 20""",
 
     "q_doc_quality" ->
       s"""SELECT doc_id, CAST(length(text) AS INT) AS n_chars_calc,

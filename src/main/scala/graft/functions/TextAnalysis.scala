@@ -117,6 +117,27 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** Per-document keyword extraction: top `perDoc` terms by tf·ln(N/df).
+    * Same two aggregations as [[tfIdfTerms]] plus a per-doc rank window —
+    * the df table is the small side (vocabulary-sized) and broadcasts into
+    * the per-doc term counts. */
+  def topTermsPerDoc(documents: DataFrame, perDoc: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = documents.select(col("doc_id"), col("text"))
+    val n = docs.count()
+    val terms = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = terms.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(broadcast(df), Seq("term"))
+      .select(col("doc_id"), col("term"),
+        round(col("tf") * log(lit(n.toDouble) / col("df")), 6).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= perDoc)
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
   def corpusStats(documents: DataFrame): DataFrame =
     documents
       .select(col("lang"), col("source"), size(tokens(col("text"))).as("n_tokens"))

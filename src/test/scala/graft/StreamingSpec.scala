@@ -96,6 +96,19 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       List(("2024-01-01", 10L), ("2024-01-02", 99L)))
   }
 
+  test("JSON-lines source round-trips with an explicit schema") {
+    // third source format next to parquet and CSV; schema is declared (no
+    // inference pass — one scan, deterministic types)
+    val dir = Files.createTempDirectory("graft-jsonl").toString
+    val df = Seq((1L, "alpha", 1.5), (2L, "beta", -2.0), (3L, null.asInstanceOf[String], 0.0))
+      .toDF("id", "name", "score")
+    df.write.mode("overwrite").json(dir)
+    val back = spark.read.schema(df.schema).json(dir)
+    // JSON sources surface every field as nullable; names and types round-trip
+    assert(back.schema.map(f => (f.name, f.dataType)) == df.schema.map(f => (f.name, f.dataType)))
+    assert(back.orderBy($"id").collect().toSeq == df.orderBy($"id").collect().toSeq)
+  }
+
   test("multimodal metadata stub is deterministic and correct") {
     val d = Seq((1L, "ab")).toDF("doc_id", "text")
     val meta = graft.multimodal.Multimodal.extractMetadata(
