@@ -498,9 +498,12 @@ object SparkEntry {
       TextAnalysis.topTermsPerDoc(Tables.documents(s, d).filter(col("doc_id") < 50))),
 
     // Bigram frequency table (docs shorter than the n-gram are dropped on
-    // both sides so Spark's short-doc fallback shingle never fires).
+    // both sides so Spark's short-doc fallback shingle never fires). The
+    // shingle explode is CPU-dense — spread the single parquet split
+    // before it (SCALE.md: splits < cores under-partitions dense stages).
     "q_ngram_freq" -> ((s, d) =>
       Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
         .filter(size(tokens(col("text"))) >= 2)
         .select(explode(wordShingles(tokens(col("text")), 2)).as("bigram"))
         .groupBy(col("bigram")).agg(count(lit(1)).as("n"))

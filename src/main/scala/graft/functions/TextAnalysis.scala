@@ -108,6 +108,7 @@ object TextAnalysis {
     val docs = documents.select(col("doc_id"), col("text"))
     val n = docs.count()
     docs
+      .repartition(documents.sparkSession.sparkContext.defaultParallelism)
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .groupBy(col("term"))
       .agg(count(lit(1)).as("total_tf"), countDistinct(col("doc_id")).as("df"))
