@@ -611,6 +611,21 @@ object SparkEntry {
       graft.operators.RangeJoin.lookbackCount(
         Tables.events(s, d), "error", "click", windowMicros = 5L * 60 * 1000 * 1000)),
 
+    // Gaps-and-islands: longest run of consecutive active days per user.
+    // The island key is d − row_number (constant within a run) — two
+    // window-free aggregations after one ranking window; no self-join, no
+    // recursive scan.
+    "q_longest_streak" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("d"))
+      Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+        .withColumn("grp", date_sub(col("d"), row_number().over(w)))
+        .groupBy(col("user_id"), col("grp")).agg(count(lit(1)).as("len"))
+        .groupBy(col("user_id")).agg(max(col("len")).cast("int").as("longest_streak"))
+        .orderBy(col("user_id"))
+    }),
+
     // Time-series similarity search: most-correlated hourly activity
     // series among the top-k active users (candidate set bounded before
     // the pair join).
@@ -868,6 +883,15 @@ object SparkEntry {
     "q_regex_extract" ->
       """SELECT regexp_extract(p_name, '^([a-z]+)', 1) AS first_word, count(*) AS n
          FROM part GROUP BY 1 ORDER BY 1""",
+
+    "q_longest_streak" ->
+      """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+              g AS (SELECT user_id, d,
+                           d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d) AS INT) AS grp
+                    FROM days),
+              runs AS (SELECT user_id, grp, count(*) AS len FROM g GROUP BY 1, 2)
+         SELECT user_id, CAST(max(len) AS INT) AS longest_streak
+         FROM runs GROUP BY 1 ORDER BY 1""",
 
     "q_ts_similarity" ->
       """WITH series AS (
