@@ -38,11 +38,14 @@ object GraftFunctions {
 
 /** `spark.sql.extensions` entry point. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (name, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo("graft", name),
         builder))
     }
+    // analysis-phase guardrail (opt-in via its conf key; see CartesianGuard)
+    ext.injectCheckRule(session => graft.plans.CartesianGuard.check(session))
+  }
 }

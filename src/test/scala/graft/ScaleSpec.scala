@@ -96,6 +96,31 @@ class ScaleSpec extends AnyFunSuite with SparkSpec {
     assert(recall >= 0.6, s"IVF recall@1 too low: $recall")
   }
 
+  test("cartesian guard rejects large x large, allows bounded and keyed joins") {
+    import graft.plans.CartesianGuard
+    spark.conf.set(CartesianGuard.ConfKey, "1000")
+    try {
+      val big1 = spark.range(100000).toDF("a")
+      val big2 = spark.range(100000).toDF("b")
+      intercept[IllegalStateException] {
+        CartesianGuard.check(spark)(big1.crossJoin(big2).queryExecution.analyzed)
+      }
+      // inner join with NO condition is the typo case — also caught
+      intercept[IllegalStateException] {
+        CartesianGuard.check(spark)(big1.join(big2).queryExecution.analyzed)
+      }
+      // bounded side → legitimate scaffold/ANN shape, allowed
+      val small = spark.range(10).toDF("b")
+      CartesianGuard.check(spark)(big1.crossJoin(small).queryExecution.analyzed)
+      // keyed join always passes
+      CartesianGuard.check(spark)(
+        big1.join(big2, $"a" === $"b").queryExecution.analyzed)
+      // guard off (key unset) → anything analyzes
+      spark.conf.unset(CartesianGuard.ConfKey)
+      CartesianGuard.check(spark)(big1.crossJoin(big2).queryExecution.analyzed)
+    } finally spark.conf.unset(CartesianGuard.ConfKey)
+  }
+
   test("year-partitioned writes prune partitions on read") {
     val dir = Files.createTempDirectory("graft-part").toString
     Tables.orders(spark, sf)
