@@ -437,6 +437,39 @@ object SparkEntry {
         .select(col("c_custkey"), col("c_name"))
         .orderBy(col("c_custkey"))),
 
+    // UNION with distinct semantics (plans as Aggregate over Union — the
+    // dedup rides the same shuffle, no extra pass).
+    "q_union_distinct" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      o.filter(inYear(col("o_orderdate"), 1995)).select(col("o_custkey"))
+        .union(o.filter(inYear(col("o_orderdate"), 1996)).select(col("o_custkey")))
+        .distinct()
+        .orderBy(col("o_custkey"))
+    }),
+
+    // Explicit GROUPING SETS (the general form of rollup/cube: one Expand,
+    // only the requested sets).
+    "q_grouping_sets" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_gs")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus, count(*) AS n
+          |FROM lineitem_gs
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+          |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
+    }),
+
+    // FILTER-clause aggregation: several differently-filtered aggregates in
+    // ONE pass over the fact (no per-metric re-scan).
+    "q_filtered_agg" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_fa")
+      s.sql(
+        """SELECT l_returnflag,
+          |       count(*) AS n_all,
+          |       count(*) FILTER (WHERE l_quantity >= 25) AS n_bulk,
+          |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS gross_f
+          |FROM lineitem_fa GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    }),
+
     "q_dedup_pk" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
       Dedup.dropDuplicatesByKey(li.unionByName(li), li.columns.toSeq)
@@ -873,6 +906,25 @@ object SparkEntry {
          SELECT term, total_tf, df,
                 round(total_tf * ln((SELECT count(*) FROM documents) * 1.0 / df), 6) AS tfidf
          FROM s ORDER BY tfidf DESC, term LIMIT 20""",
+
+    "q_union_distinct" ->
+      """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+         UNION
+         SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+         ORDER BY o_custkey""",
+
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+
+    "q_filtered_agg" ->
+      """SELECT l_returnflag,
+                count(*) AS n_all,
+                count(*) FILTER (WHERE l_quantity >= 25) AS n_bulk,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS gross_f
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
     "q_semi_join" ->
       """SELECT c_custkey, c_name FROM customer
