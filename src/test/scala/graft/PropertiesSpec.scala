@@ -57,6 +57,26 @@ class PropertiesSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("intervalJoin equals the brute-force pair set on random events") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val all = sample(Gen.listOfN(300, Gen.zip(Gen.choose(1L, 10L), Gen.choose(0L, 2000L))))
+    val (c, p) = all.splitAt(150)
+    val clicks = c.zipWithIndex.map { case ((u, m), i) =>
+      (i.toLong, u, new java.sql.Timestamp(base + m * 60000L)) }
+    val purchases = p.zipWithIndex.map { case ((u, m), i) =>
+      ((1000 + i).toLong, u, new java.sql.Timestamp(base + m * 60000L)) }
+    val got = graft.streaming.EventStreams
+      .intervalJoin(clicks.toDF("event_id", "user_id", "ts"),
+        purchases.toDF("event_id", "user_id", "ts"))
+      .select($"click_id", $"purchase_id").as[(Long, Long)].collect().toSet
+    val want = (for {
+      (cid, cu, cts) <- clicks
+      (pid, pu, pts) <- purchases
+      if cu == pu && pts.getTime >= cts.getTime && pts.getTime <= cts.getTime + 600000L
+    } yield (cid, pid)).toSet
+    assert(got == want)
+  }
+
   test("idempotent dedup: dropDuplicates is a fixpoint and keeps one row per key") {
     val gen = Gen.listOfN(200, Gen.zip(Gen.choose(0, 20), Gen.choose(0, 5)))
     val data = sample(gen)
