@@ -600,6 +600,13 @@ object SparkEntry {
       EventStreams.sessionCounts(Tables.events(s, d))
         .orderBy(col("user_id"), col("session_start"))),
 
+    // Custom-state sessionization through the real flatMapGroupsWithState
+    // stream (rows-only: open sessions at end-of-source stay in state).
+    "q_events_session_stateful" -> ((s, d) =>
+      EventStreams.runStreamSessionize(s, d, "q_events_session_stateful_sink")
+        .orderBy(col("user_id"), col("session_start"), col("session_end"),
+          col("n_events"), col("value_sum"))),
+
     // Interval join, batch twin (oracle) + real stream-stream execution
     // (two watermarked streams, state bounded by the time-range condition).
     "q_events_interval_join" -> ((s, d) => {

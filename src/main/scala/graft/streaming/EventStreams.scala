@@ -103,6 +103,24 @@ object EventStreams {
     spark.table(name)
   }
 
+  /** The custom-state path ([[sessionizeStateful]]) run end-to-end as a
+    * stream: sessions CLOSED by the event-time timeout are emitted;
+    * sessions still open when the source drains stay in state (the
+    * watermark never passes them), so this is a rows-only driver check —
+    * closed-session semantics are oracle-equivalent only batch-side
+    * (`q_events_session`) and watermark-advance-tested in ScalaTest. */
+  def runStreamSessionize(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val q = sessionizeStateful(spark, withWatermark(readTestdataEventStream(spark, dir)))
+        .toDF()
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+    spark.table(name)
+  }
+
   /** Streaming exact dedup with bounded state:
     * `dropDuplicatesWithinWatermark` keeps one row per `event_id` and
     * drops key state once the watermark passes — the streaming face of the
