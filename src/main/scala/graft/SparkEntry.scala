@@ -231,6 +231,24 @@ object SparkEntry {
         .orderBy(col("o_custkey"), col("rn"))
     }),
 
+    // Explicit ROWS frame (trailing-7 moving window) + first_value. The
+    // moving sum stays exact DECIMAL — a sliding double sum would be
+    // association-order-dependent and break cross-engine equality.
+    "q_window_frame" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(-6, Window.currentRow)
+      Tables.orders(s, d)
+        .filter(col("o_custkey") < 100)
+        .select(
+          col("o_custkey"), col("o_orderkey"),
+          sum(dec2(col("o_totalprice"))).over(w).cast("double").as("sum7"),
+          count(lit(1)).over(w).as("cnt7"),
+          first(col("o_orderkey")).over(w).as("first_in_frame"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
     // lag/lead windows: inter-order gap per customer — the feature-
     // engineering shape (one shuffle on the partition key).
     "q_lag_lead" -> ((s, d) => {
@@ -849,6 +867,16 @@ object SparkEntry {
                 CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS gross
          FROM lineitem WHERE (l_orderkey * 2654435761) % 97 = 3
          GROUP BY 1 ORDER BY 1""",
+
+    "q_window_frame" ->
+      """SELECT o_custkey, o_orderkey,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum7,
+                count(*) OVER w AS cnt7,
+                first_value(o_orderkey) OVER w AS first_in_frame
+         FROM orders WHERE o_custkey < 100
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+         ORDER BY o_custkey, o_orderkey""",
 
     "q_lag_lead" ->
       """SELECT o_custkey, o_orderkey,
