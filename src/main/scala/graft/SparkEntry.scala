@@ -209,10 +209,12 @@ object SparkEntry {
     // Deterministic hash-style sampling: Knuth multiplicative scramble of
     // the key, mod 97 — reproducible across engines and cluster sizes
     // (unlike TABLESAMPLE, which is partition-dependent). ~1% systematic
-    // sample that any two runs agree on row-for-row.
+    // sample that any two runs agree on row-for-row. The key is first
+    // reduced mod 3037000499 (⌊√Long.Max⌋) so key × 2654435761 can never
+    // overflow ANSI bigint arithmetic, for ANY key value.
     "q_sample_hash" -> ((s, d) =>
       Tables.lineitem(s, d)
-        .filter((col("l_orderkey") * lit(2654435761L)) % 97 === 3)
+        .filter(((col("l_orderkey") % 3037000499L) * lit(2654435761L)) % 97 === 3)
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"), moneySum(col("l_extendedprice")).as("gross"))
         .orderBy(col("l_returnflag"))),
@@ -865,7 +867,7 @@ object SparkEntry {
     "q_sample_hash" ->
       """SELECT l_returnflag, count(*) AS n,
                 CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS gross
-         FROM lineitem WHERE (l_orderkey * 2654435761) % 97 = 3
+         FROM lineitem WHERE ((l_orderkey % 3037000499) * 2654435761) % 97 = 3
          GROUP BY 1 ORDER BY 1""",
 
     "q_window_frame" ->
