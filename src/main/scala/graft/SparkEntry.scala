@@ -713,7 +713,219 @@ object SparkEntry {
       Tables.part(s, d)
         .groupBy(regexp_extract(col("p_name"), "^([a-z]+)", 1).as("first_word"))
         .agg(count(lit(1)).as("n"))
-        .orderBy(col("first_word")))
+        .orderBy(col("first_word"))),
+
+    // ------------------------------------------------- round-2 additions ----
+
+    // MERGE/upsert semantics (the production path is Delta/Iceberg MERGE;
+    // the dataflow is one full-outer join on the key): matched keys update,
+    // unmatched source keys insert, unmatched target keys pass through.
+    "q_merge_upsert" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val cut = to_timestamp(lit("1997-01-01 00:00:00"))
+      val target = o.filter(col("o_orderdate") < cut)
+        .groupBy(col("o_custkey"))
+        .agg(sum(dec2(col("o_totalprice"))).as("t_total"), count(lit(1)).as("t_n"))
+      val source = o.filter(col("o_orderdate") >= cut)
+        .groupBy(col("o_custkey"))
+        .agg(sum(dec2(col("o_totalprice"))).as("s_total"), count(lit(1)).as("s_n"))
+      target.join(source, Seq("o_custkey"), "full_outer")
+        .select(
+          col("o_custkey"),
+          (coalesce(col("t_total"), lit(0).cast(Money)) +
+            coalesce(col("s_total"), lit(0).cast(Money))).cast("double").as("total_spent"),
+          (coalesce(col("t_n"), lit(0L)) + coalesce(col("s_n"), lit(0L))).as("n_orders"),
+          when(col("t_n").isNotNull && col("s_n").isNotNull, "updated")
+            .when(col("t_n").isNotNull, "unchanged")
+            .otherwise("inserted").as("merge_action"))
+        .orderBy(col("o_custkey"))
+    }),
+
+    // S5 fidelity — ON CONFLICT DO NOTHING as a dataflow: incoming rows
+    // whose PK already exists are dropped (left-anti), the rest append.
+    // One shuffle on the PK; at 100 TB the anti-join prunes via dynamic
+    // partition pruning when the sink is PK-partitioned.
+    "q_incremental_load" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val existing = o.filter(col("o_orderkey") % 3 === 0)
+      val incoming = o.filter(col("o_orderkey") % 2 === 0)
+      existing.unionByName(
+        incoming.join(existing.select(col("o_orderkey")), Seq("o_orderkey"), "left_anti"))
+        .orderBy(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    }),
+
+    // RANGE frame over event time (trailing 1 hour by value, not row
+    // count) — the time-windowed feature shape. The frame key is floored
+    // epoch seconds so both engines agree on peer groups; the moving sum
+    // stays exact DECIMAL.
+    "q_window_range" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(unix_timestamp(col("ts")))
+        .rangeBetween(-3600, Window.currentRow)
+      Tables.events(s, d)
+        .filter(col("user_id") < 40)
+        .select(
+          col("user_id"), col("event_id"), col("ts"),
+          sum(dec2(col("value"))).over(w).cast("double").as("rolling_1h"),
+          count(lit(1)).over(w).as("n_1h"))
+        .orderBy(col("user_id"), col("ts"), col("event_id"))
+    }),
+
+    // OLS regression from exact-decimal moments: the five sums are
+    // order-independent DECIMAL (bit-identical across engines and cluster
+    // sizes); the closed-form combine happens in double on both sides in
+    // the same expression order. One pass, partial-merge — no ML library.
+    "q_regr_moments" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val moments = li.groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).cast("double").as("n"),
+          sum(dec2(col("l_quantity"))).cast("double").as("sx"),
+          sum(dec2(col("l_extendedprice"))).cast("double").as("sy"),
+          sum(dec2(col("l_quantity")) * dec2(col("l_quantity"))).cast("double").as("sxx"),
+          sum(dec2(col("l_quantity")) * dec2(col("l_extendedprice"))).cast("double").as("sxy"),
+          sum(dec2(col("l_extendedprice")) * dec2(col("l_extendedprice"))).cast("double").as("syy"))
+      val cov = moments("n") * moments("sxy") - moments("sx") * moments("sy")
+      val varX = moments("n") * moments("sxx") - moments("sx") * moments("sx")
+      val varY = moments("n") * moments("syy") - moments("sy") * moments("sy")
+      moments.select(
+        col("l_returnflag"),
+        col("n").cast("long").as("n"),
+        round(cov / varX, 6).as("slope"),
+        round((moments("sy") - (cov / varX) * moments("sx")) / moments("n"), 6).as("intercept"),
+        round((cov * cov) / (varX * varY), 6).as("r2"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Gap-fill + forward fill (LOCF): per-user day spine from the data's
+    // own span (sequence/explode — distributed, no driver loop), left join
+    // the daily aggregate, then last-non-null carried forward. The classic
+    // time-series regularization shape: one shuffle on user_id.
+    "q_forward_fill" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d).filter(col("user_id") < 20)
+      val daily = ev
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(sum(dec2(col("value"))).cast("double").as("day_value"))
+      val spine = ev.groupBy(col("user_id"))
+        .agg(min(to_date(col("ts"))).as("mn"), max(to_date(col("ts"))).as("mx"))
+        .select(col("user_id"),
+          explode(sequence(col("mn"), col("mx"), expr("interval 1 day"))).as("day"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(daily, Seq("user_id", "day"), "left")
+        .select(
+          col("user_id"), col("day").cast("timestamp").as("day"), col("day_value"),
+          last(col("day_value"), ignoreNulls = true).over(w).as("filled_value"))
+        .orderBy(col("user_id"), col("day"))
+    }),
+
+    // Higher-order array functions (filter/transform/distinct/sort/slice)
+    // — all codegen-friendly built-ins, no UDF, no explode/re-group cycle.
+    "q_array_hof" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          array_sort(array_distinct(
+            filter(tokens(col("text")), t => length(t) >= 6))).as("lt"))
+        .select(
+          col("doc_id"),
+          size(col("lt")).as("n_long"),
+          concat_ws(",", slice(col("lt"), 1, 3)).as("first3"))
+        .orderBy(col("doc_id"))),
+
+    // dense_rank / cume_dist / nth_value in one partitioned window (unique
+    // ordering ⇒ deterministic ties across engines).
+    "q_cume_dist_nth" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      Tables.customer(s, d).select(
+        col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+        dense_rank().over(w).as("drank"),
+        round(cume_dist().over(w), 6).as("cd"),
+        nth_value(col("c_custkey"), 3).over(w).as("third_key"))
+        .orderBy(col("c_mktsegment"), col("drank"), col("c_custkey"))
+    }),
+
+    // Calendar arithmetic: month bucket, month end (last_day), month
+    // length, quarter — the dim_time derivations as inline expressions.
+    "q_date_arith" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy(date_trunc("month", col("o_orderdate")).as("month_start"))
+        .agg(count(lit(1)).as("n_orders"))
+        .select(
+          col("month_start"),
+          last_day(col("month_start")).cast("timestamp").as("month_end"),
+          (datediff(last_day(col("month_start")), col("month_start").cast("date")) + 1)
+            .as("days_in_month"),
+          quarter(col("month_start")).as("qtr"),
+          col("n_orders"))
+        .orderBy(col("month_start"))),
+
+    // Skew-proof large×large join: probe rows carry a deterministic salt,
+    // the build side replicates ×SALT, so ONE hot key spreads across SALT
+    // reducers instead of melting one. Result ≡ the unsalted join (the
+    // oracle). AQE's skew-join split is the automatic variant; salting is
+    // the portable one that also works mid-aggregation.
+    "q_salted_join" -> ((s, d) => {
+      val SALT = 8
+      val li = Tables.lineitem(s, d)
+        .withColumn("salt",
+          pmod(xxhash64(col("l_linenumber"), col("l_extendedprice")), lit(SALT)).cast("int"))
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          explode(sequence(lit(0), lit(SALT - 1))).as("salt"))
+      li.join(o,
+          li("l_orderkey") === o("o_orderkey") && li("salt") === o("salt"))
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          count(lit(1)).as("n_lines"),
+          decSum(lineRevenueDec(col("l_extendedprice"), col("l_discount"))).as("revenue"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // Boolean / bitwise aggregates + exact median (one pass; median is the
+    // only sort-based one — groups are returnflag-sized, never row-sized).
+    "q_bool_bit_agg" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("bool_and(l_quantity > 0)").as("all_qty_positive"),
+          expr("bool_or(l_discount > 0.05)").as("any_big_discount"),
+          expr("bit_and(l_linenumber)").as("ln_band"),
+          expr("bit_or(l_linenumber)").as("ln_bor"),
+          expr("bit_xor(l_linenumber)").as("ln_bxor"),
+          round(expr("median(l_quantity)"), 4).as("median_qty"))
+        .orderBy(col("l_returnflag"))),
+
+    // CSV robustness (S1/S2 beyond the reference): PERMISSIVE mode parses
+    // what it can, quarantines broken rows via the corrupt-record column
+    // instead of failing the job (DROPMALFORMED / FAILFAST are the other
+    // dial positions). Inline literal rows keep the case self-contained.
+    "q_csv_malformed" -> ((s, d) => {
+      import s.implicits._
+      val raw = Seq(
+        "id,qty,price",
+        "1,5,10.50",
+        "2,oops,3.25",
+        "3,7",
+        "4,2,99.00").toDS()
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("qty", org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("price", org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("_corrupt_record", org.apache.spark.sql.types.StringType)))
+      s.read
+        .option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .schema(schema)
+        .csv(raw)
+        .select(col("id"), col("qty"), col("price"),
+          col("_corrupt_record").isNotNull.as("malformed"))
+        .orderBy(col("id"))
+    })
   )
 
   /** Pushdown-friendly calendar-year membership: a half-open timestamp
@@ -723,10 +935,28 @@ object SparkEntry {
     c >= to_timestamp(lit(f"$y%04d-01-01 00:00:00")) &&
       c < to_timestamp(lit(f"${y + 1}%04d-01-01 00:00:00"))
 
-  private def trends(s: SparkSession, d: String, unit: String): DataFrame =
+  // Date span of orders per data dir — derived once (a column-pruned scalar
+  // aggregate, i.e. a catalog statistic) and reused by all trends queries.
+  private val orderSpanCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  private def orderSpan(s: SparkSession, d: String): (String, String) =
+    orderSpanCache.computeIfAbsent(d, _ => {
+      val bounds = Tables.orders(s, d).agg(
+        min(to_date(col("o_orderdate"))).as("mn"),
+        max(to_date(col("o_orderdate"))).as("mx")).head()
+      if (bounds.isNullAt(0)) ("1995-01-01", "1995-01-01")
+      else (bounds.getDate(0).toString, bounds.getDate(1).toString)
+    })
+
+  private def trends(s: SparkSession, d: String, unit: String): DataFrame = {
+    // Derive the dim_time span from the orders themselves — a hardcoded
+    // range would silently drop orders outside it, diverging from the
+    // unconditioned oracle on any data with a different date span.
+    val (mn, mx) = orderSpan(s, d)
     Analytics.salesTrends(
-      Tables.orders(s, d), Tables.lineitem(s, d), unit,
-      dimStart = "1995-01-01", dimEnd = "2001-12-31")
+      Tables.orders(s, d), Tables.lineitem(s, d), unit, dimStart = mn, dimEnd = mx)
+  }
 
   // ---------------------------------------------------------------------
   // DuckDB oracles. Keys without an entry (minhash/simhash/LSH-ANN/rolling
@@ -830,8 +1060,12 @@ object SparkEntry {
 
     // DuckDB 1.0 has no width_bucket; for in-range values it is
     // floor((v - min) / ((max - min) / n)) + 1 — identical double math.
+    // LEAST/GREATEST mirrors width_bucket's clamping (bucket 0 below the
+    // range, nBuckets+1 at/above it) so the two sides stay equivalent on
+    // ANY data, not just data that happens to fall inside [0, 700000).
     "q_histogram" ->
-      """SELECT CAST(floor(o_totalprice / 50000.0) + 1 AS BIGINT) AS bucket, count(*) AS n
+      """SELECT CAST(LEAST(GREATEST(floor(o_totalprice / 50000.0) + 1, 0), 15) AS BIGINT) AS bucket,
+                count(*) AS n
          FROM orders GROUP BY 1 ORDER BY 1""",
 
     "q_window_running" ->
@@ -1263,7 +1497,132 @@ object SparkEntry {
     "q_events_dedup_stream" ->
       """SELECT event_type, count(*) AS n,
                 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
-         FROM events GROUP BY 1 ORDER BY 1"""
+         FROM events GROUP BY 1 ORDER BY 1""",
+
+    // ------------------------------------------------- round-2 additions ----
+
+    "q_merge_upsert" ->
+      """WITH t AS (SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total, count(*) AS n
+                    FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00' GROUP BY 1),
+              s AS (SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total, count(*) AS n
+                    FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00' GROUP BY 1)
+         SELECT COALESCE(t.o_custkey, s.o_custkey) AS o_custkey,
+                CAST(COALESCE(t.total, 0) + COALESCE(s.total, 0) AS DOUBLE) AS total_spent,
+                CAST(COALESCE(t.n, 0) + COALESCE(s.n, 0) AS BIGINT) AS n_orders,
+                CASE WHEN t.n IS NOT NULL AND s.n IS NOT NULL THEN 'updated'
+                     WHEN t.n IS NOT NULL THEN 'unchanged' ELSE 'inserted' END AS merge_action
+         FROM t FULL OUTER JOIN s ON t.o_custkey = s.o_custkey
+         ORDER BY o_custkey""",
+
+    "q_incremental_load" ->
+      """WITH existing AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey % 3 = 0),
+              incoming AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 0)
+         SELECT * FROM existing
+         UNION ALL
+         SELECT * FROM incoming i
+         WHERE NOT EXISTS (SELECT 1 FROM existing e WHERE e.o_orderkey = i.o_orderkey)
+         ORDER BY o_orderkey, o_custkey, o_totalprice""",
+
+    "q_window_range" ->
+      """SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS rolling_1h,
+                count(*) OVER w AS n_1h
+         FROM events WHERE user_id < 40
+         WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                      RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+         ORDER BY user_id, ts, event_id""",
+
+    // same exact-decimal moments, same double combine in the same
+    // expression order → bit-identical slope/intercept/r2 before round
+    "q_regr_moments" ->
+      """WITH m AS (
+           SELECT l_returnflag,
+                  CAST(count(*) AS DOUBLE) AS n,
+                  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+                  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+                  CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+                  CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+                  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
+           FROM lineitem GROUP BY 1)
+         SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+                round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS slope,
+                round((sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n, 6) AS intercept,
+                round(((n*sxy - sx*sy) * (n*sxy - sx*sy)) / ((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) AS r2
+         FROM m ORDER BY l_returnflag""",
+
+    "q_forward_fill" ->
+      """WITH ev AS (SELECT * FROM events WHERE user_id < 20),
+         daily AS (SELECT user_id, CAST(ts AS DATE) AS day,
+                          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS day_value
+                   FROM ev GROUP BY 1, 2),
+         spine AS (SELECT user_id,
+                          CAST(unnest(generate_series(CAST(mn AS TIMESTAMP), CAST(mx AS TIMESTAMP),
+                                                      INTERVAL 1 DAY)) AS DATE) AS day
+                   FROM (SELECT user_id, min(CAST(ts AS DATE)) AS mn, max(CAST(ts AS DATE)) AS mx
+                         FROM ev GROUP BY 1))
+         SELECT s.user_id, CAST(s.day AS TIMESTAMP) AS day, d.day_value,
+                last_value(d.day_value IGNORE NULLS)
+                  OVER (PARTITION BY s.user_id ORDER BY s.day
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+         FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+         ORDER BY 1, 2""",
+
+    "q_array_hof" ->
+      """SELECT doc_id, CAST(len(lt) AS INT) AS n_long,
+                COALESCE(array_to_string(lt[1:3], ','), '') AS first3
+         FROM (SELECT doc_id,
+                      list_sort(list_distinct(list_filter(string_split(text, ' '), x -> len(x) >= 6))) AS lt
+               FROM documents)
+         ORDER BY doc_id""",
+
+    "q_cume_dist_nth" ->
+      """SELECT c_mktsegment, c_custkey, c_acctbal,
+                CAST(dense_rank() OVER w AS INT) AS drank,
+                round(cume_dist() OVER w, 6) AS cd,
+                nth_value(c_custkey, 3) OVER w AS third_key
+         FROM customer
+         WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+         ORDER BY c_mktsegment, drank, c_custkey""",
+
+    "q_date_arith" ->
+      """SELECT month_start,
+                CAST(last_day(CAST(month_start AS DATE)) AS TIMESTAMP) AS month_end,
+                CAST(date_diff('day', CAST(month_start AS DATE), last_day(CAST(month_start AS DATE))) + 1 AS INT) AS days_in_month,
+                CAST(quarter(month_start) AS INT) AS qtr,
+                n_orders
+         FROM (SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+                      count(*) AS n_orders
+               FROM orders GROUP BY 1)
+         ORDER BY month_start""",
+
+    // the oracle is the UNSALTED join — salting must be a pure plan-level
+    // rewrite with zero result change
+    "q_salted_join" ->
+      s"""SELECT o_orderstatus, count(*) AS n_lines, $RevSum AS revenue
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          GROUP BY 1 ORDER BY 1""",
+
+    "q_bool_bit_agg" ->
+      """SELECT l_returnflag,
+                bool_and(l_quantity > 0) AS all_qty_positive,
+                bool_or(l_discount > 0.05) AS any_big_discount,
+                CAST(bit_and(l_linenumber) AS INT) AS ln_band,
+                CAST(bit_or(l_linenumber) AS INT) AS ln_bor,
+                CAST(bit_xor(l_linenumber) AS INT) AS ln_bxor,
+                round(median(l_quantity), 4) AS median_qty
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+
+    // expected output of the inline malformed CSV (see q_csv_malformed):
+    // row 2 fails the int parse (field nulled, row quarantined), row 3 is
+    // short (missing fields padded with null, row quarantined)
+    "q_csv_malformed" ->
+      """SELECT CAST(id AS INT) AS id, CAST(qty AS INT) AS qty,
+                CAST(price AS DOUBLE) AS price, malformed
+         FROM (VALUES (1, 5, 10.50, false),
+                      (2, NULL, 3.25, true),
+                      (3, 7, NULL, true),
+                      (4, 2, 99.00, false)) t(id, qty, price, malformed)
+         ORDER BY id"""
   )
 
   private val intervalJoinSql: String =

@@ -1,11 +1,30 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult.{TypeCheckFailure, TypeCheckSuccess}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftshim.ColumnBridge
 import org.apache.spark.sql.types._
+
+/** Analysis-time input validation shared by the native array kernels: these
+  * are registered as SQL functions, so a caller can hand them any type —
+  * without a check the mismatch surfaces as a ClassCastException at
+  * execution instead of a clear AnalysisException. */
+private[functions] object ArrayTypeChecks {
+  def numericArray(dt: DataType, fn: String, arg: String): TypeCheckResult = dt match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckSuccess
+    case other =>
+      TypeCheckFailure(s"$fn: $arg must be array<float> or array<double>, got ${other.catalogString}")
+  }
+
+  def longArray(dt: DataType, fn: String): TypeCheckResult = dt match {
+    case ArrayType(LongType, _) => TypeCheckSuccess
+    case other => TypeCheckFailure(s"$fn: input must be array<bigint>, got ${other.catalogString}")
+  }
+}
 
 /** Native codegen'd array kernels for the similarity/dedup hot paths.
   *
@@ -23,6 +42,12 @@ case class VectorDot(left: Expression, right: Expression) extends BinaryExpressi
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vector_dot"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val l = ArrayTypeChecks.numericArray(left.dataType, prettyName, "left")
+    if (l != TypeCheckSuccess) l
+    else ArrayTypeChecks.numericArray(right.dataType, prettyName, "right")
+  }
 
   private def elemType(e: Expression): DataType =
     e.dataType.asInstanceOf[ArrayType].elementType
@@ -76,6 +101,15 @@ case class SortedIntersectSize(left: Expression, right: Expression) extends Bina
 
   override def dataType: DataType = IntegerType
   override def prettyName: String = "sorted_intersect_size"
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckSuccess
+    case (ArrayType(StringType, _), ArrayType(StringType, _)) => TypeCheckSuccess
+    case (l, r) =>
+      TypeCheckFailure(
+        s"$prettyName: both inputs must be array<bigint> or both array<string>, " +
+          s"got ${l.catalogString} and ${r.catalogString}")
+  }
 
   private lazy val longs: Boolean =
     left.dataType.asInstanceOf[ArrayType].elementType == LongType
@@ -131,6 +165,9 @@ case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sig"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    ArrayTypeChecks.longArray(child.dataType, prettyName)
 
   @transient private lazy val (coeffA, coeffB) = MinHashSig.coefficients(k)
 
@@ -208,6 +245,9 @@ case class MinHashBandBuckets(child: Expression, bands: Int, rowsPerBand: Int)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_band_buckets"
 
+  override def checkInputDataTypes(): TypeCheckResult =
+    ArrayTypeChecks.longArray(child.dataType, prettyName)
+
   @transient private lazy val (coeffA, coeffB) = MinHashSig.coefficients(k)
 
   override def nullSafeEval(input: Any): Any = {
@@ -279,6 +319,9 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    ArrayTypeChecks.longArray(child.dataType, prettyName)
 
   override def nullSafeEval(input: Any): Any = {
     val h = input.asInstanceOf[ArrayData]

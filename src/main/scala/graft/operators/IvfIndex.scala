@@ -49,8 +49,12 @@ object IvfIndex {
       if (total <= trainCap) base
       else {
         val m = 1000003L
-        // slight over-sample is fine; the threshold keeps E[|sample|] ≈ cap
-        val thresh = math.max(1L, (trainCap.toLong * m) / total + m / 100)
+        // Threshold keeps E[|sample|] ≈ cap: the pad is 5% OF THE CAP (to
+        // absorb hash variance), not a fraction of the hash range — a
+        // range-proportional pad would collect O(total) extra rows to the
+        // driver on a large corpus.
+        val base_ = (trainCap.toLong * m) / total
+        val thresh = math.max(1L, base_ + math.max(1L, base_ / 20))
         base.filter(pmod(xxhash64(col("vec_id")), lit(m)) < lit(thresh))
       }
     val sample: Array[Array[Double]] = picked

@@ -72,11 +72,18 @@ object Similarity {
     * hyperplanes, packed into one long — an LSH bucket key.
     * `firstPlane` offsets the plane family so banded (OR-amplified) schemes
     * can draw independent planes per band. */
-  def hyperplaneSignature(embedding: Column, planes: Int, dims: Int, firstPlane: Int = 0): Column =
-    (0 until planes).map { p =>
+  def hyperplaneSignature(embedding: Column, planes: Int, dims: Int, firstPlane: Int = 0): Column = {
+    val sig = (0 until planes).map { p =>
       val plane = typedlit(planeComponents(p, dims, firstPlane))
       when(dotProduct(embedding, plane) > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ bitwiseOR _)
+    // The plane family has exactly `dims` components; a longer vector would
+    // silently ignore its tail in the dot products (skewing buckets), so a
+    // length mismatch fails loudly instead.
+    when(size(embedding) === dims, sig).otherwise(raise_error(concat(
+      lit(s"hyperplaneSignature: plane family has $dims dims but embedding has "),
+      size(embedding).cast("string"))))
+  }
 
   /** Banded hyperplane buckets for OR-amplified LSH: `bands` independent
     * signatures of `rowsPerBand` planes each. Sharing ANY band bucket makes
@@ -92,17 +99,17 @@ object Similarity {
   /** ANN top-k: bucket-join on the hyperplane signature, exact cosine
     * re-rank within the shared bucket. Recall is tuned by `planes` (fewer
     * planes → bigger buckets → higher recall, more re-rank work). */
-  def lshKnn(queries: DataFrame, candidates: DataFrame, k: Int, planes: Int = 8): DataFrame = {
+  def lshKnn(queries: DataFrame, candidates: DataFrame, k: Int, planes: Int = 8, dims: Int = 64): DataFrame = {
     val q = queries.select(
       col("vec_id").as("query_id"), col("embedding").as("q_emb"),
       l2Norm(col("embedding")).as("q_nrm"),
-      hyperplaneSignature(col("embedding"), planes, dims = 64).as("bucket"))
+      hyperplaneSignature(col("embedding"), planes, dims).as("bucket"))
     val c = candidates
       .repartition(candidates.sparkSession.sparkContext.defaultParallelism)
       .select(
         col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
         l2Norm(col("embedding")).as("c_nrm"),
-        hyperplaneSignature(col("embedding"), planes, dims = 64).as("bucket"))
+        hyperplaneSignature(col("embedding"), planes, dims).as("bucket"))
     val scored = q
       .join(c, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))

@@ -102,4 +102,35 @@ class FunctionsSpec extends AnyFunSuite with SparkSpec {
     val dfh = Seq((s(0), s(2))).toDF("a", "b")
     assert(dfh.select(hamming64($"a", $"b").cast("long")).head.getLong(0) > 0)
   }
+
+  test("native SQL functions reject wrong input types at analysis time") {
+    GraftFunctions.registerAll(spark)
+    Seq("a", "b").toDF("t").createOrReplaceTempView("typecheck_t")
+    // each call hands a non-array (or wrong-element-type array) argument;
+    // the failure must be an AnalysisException, not a runtime ClassCast
+    val bad = Seq(
+      "SELECT vector_dot(t, t) FROM typecheck_t",
+      "SELECT vector_dot(array(1, 2), array(1, 2)) FROM typecheck_t", // int elements
+      "SELECT sorted_intersect_size(t, t) FROM typecheck_t",
+      "SELECT sorted_intersect_size(array(1.5), array('x')) FROM typecheck_t",
+      "SELECT minhash_sig(t, 8) FROM typecheck_t",
+      "SELECT minhash_band_buckets(array('x'), 2, 4) FROM typecheck_t")
+    bad.foreach { q =>
+      val e = intercept[org.apache.spark.sql.AnalysisException](spark.sql(q).collect())
+      assert(e.getMessage != null, q)
+    }
+    // and the happy path still analyzes + runs
+    val ok = spark.sql(
+      "SELECT vector_dot(array(CAST(1.0 AS DOUBLE), 2.0), array(CAST(3.0 AS DOUBLE), 4.0)) AS d")
+    assert(ok.head.getDouble(0) == 11.0)
+  }
+
+  test("hyperplaneSignature fails loudly on a dims mismatch") {
+    import graft.operators.Similarity
+    val df = Seq((1L, Array.fill(8)(0.5f))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      df.select(Similarity.hyperplaneSignature($"embedding", planes = 4, dims = 64)).collect()
+    }
+    assert(e.getMessage.contains("64") || e.getCause != null)
+  }
 }

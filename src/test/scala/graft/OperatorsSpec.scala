@@ -67,7 +67,7 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     val brute = Similarity.bruteForceKnn(emb.filter($"vec_id" < 3), emb, k = 5)
       .select($"query_id", $"neighbor_id", $"cosine").collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
-    val lsh = Similarity.lshKnn(emb.filter($"vec_id" < 3), emb, k = 5, planes = 2).collect()
+    val lsh = Similarity.lshKnn(emb.filter($"vec_id" < 3), emb, k = 5, planes = 2, dims = 8).collect()
     lsh.foreach { r =>
       val key = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
       // any LSH hit that brute force also ranked must carry the same score
