@@ -513,6 +513,17 @@ object SparkEntry {
     "q_minhash_lsh" -> ((s, d) =>
       Dedup.minHashNearDuplicates(Tables.documents(s, d))),
 
+    // Near-dup pairs → dedup CLUSTERS (connected components by min-label
+    // propagation): the step that turns pairwise similarity into "keep one
+    // canonical doc per cluster". Oracle = recursive CTE over the same
+    // pair set.
+    "q_dedup_clusters" -> ((s, d) =>
+      Dedup.connectedComponents(
+        Dedup.blockedJaccardPairs(Tables.documents(s, d), threshold = 0.9),
+        "doc_a", "doc_b")
+        .select(col("v").as("doc_id"), col("cluster_id"), col("cluster_size"))
+        .orderBy(col("doc_id"))),
+
     "q_simhash" -> ((s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"), simHash64(tokens(col("text"))).as("simhash"))
@@ -925,7 +936,72 @@ object SparkEntry {
         .select(col("id"), col("qty"), col("price"),
           col("_corrupt_record").isNotNull.as("malformed"))
         .orderBy(col("id"))
-    })
+    }),
+
+    // Ordinal explode (LATERAL VIEW posexplode): token + position — the
+    // tokenization shape that keeps word order for downstream n-grams.
+    "q_posexplode" -> ((s, d) =>
+      Tables.documents(s, d)
+        .filter(col("doc_id") < 50)
+        .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "token")))
+        .orderBy(col("doc_id"), col("pos"))),
+
+    // Sequence-gap detection WITHOUT a global window: key k starts a gap
+    // iff k+1 is absent — a distributed anti-join against the shifted key
+    // set (distinct column names; a same-name self-join silently resolves
+    // to a trivially-true condition). The lag()-over-everything formulation
+    // would funnel all keys through one reducer; this shape scales to any
+    // key count. Gaps are planted by dropping event_id ≡ 13 (mod 97) from
+    // the dense event_id sequence.
+    "q_gap_detect" -> ((s, d) => {
+      val keys = Tables.events(s, d)
+        .filter(col("event_id") % 97 =!= 13)
+        .select(col("event_id").as("k")).distinct()
+      val hasSucc = keys.select((col("k") - 1).as("pred"))
+      keys.join(hasSucc, col("k") === col("pred"), "left_anti")
+        .crossJoin(broadcast(keys.agg(max(col("k")).as("mx"))))
+        .filter(col("k") < col("mx"))
+        .select((col("k") + 1).as("gap_start"))
+        .orderBy(col("gap_start"))
+    }),
+
+    // Stratified deterministic sampling: per-stratum rates via the same
+    // overflow-proof multiplicative hash as q_sample_hash — the
+    // training-data downsampling shape (reproducible across engines,
+    // cluster sizes, and runs; no RNG state).
+    "q_stratified_sample" -> ((s, d) => {
+      val rate = when(col("l_returnflag") === "A", 7)
+        .when(col("l_returnflag") === "N", 13)
+        .otherwise(3)
+      Tables.lineitem(s, d)
+        .filter(((col("l_orderkey") % 3037000499L) * lit(2654435761L) + col("l_linenumber")) % rate === 0)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), moneySum(col("l_extendedprice")).as("gross"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Equi-depth histogram boundaries (deciles) — the partition-split
+    // planning primitive (range-partitioner boundaries, bucketing splits).
+    "q_equi_depth" -> ((s, d) =>
+      Tables.orders(s, d)
+        .agg(expr(
+          "percentile(o_totalprice, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))").as("b"))
+        .select(posexplode(col("b")).as(Seq("i", "boundary")))
+        .select(col("i").cast("int").as("i"), round(col("boundary"), 4).as("boundary"))
+        .orderBy(col("i"))),
+
+    // Weighted average from two exact-decimal sums (one pass, no window):
+    // quantity-weighted mean unit price per line status.
+    "q_weighted_avg" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_linestatus"))
+        .agg(
+          sum(dec2(col("l_extendedprice")) * dec2(col("l_quantity"))).cast("double").as("wsum"),
+          sum(dec2(col("l_quantity"))).cast("double").as("wtot"))
+        .select(
+          col("l_linestatus"),
+          round(col("wsum") / col("wtot"), 6).as("weighted_avg_price"))
+        .orderBy(col("l_linestatus")))
   )
 
   /** Pushdown-friendly calendar-year membership: a half-open timestamp
@@ -1622,7 +1698,63 @@ object SparkEntry {
                       (2, NULL, 3.25, true),
                       (3, 7, NULL, true),
                       (4, 2, 99.00, false)) t(id, qty, price, malformed)
-         ORDER BY id"""
+         ORDER BY id""",
+
+    // zipped unnests emulate posexplode's (pos, value) pairs
+    "q_posexplode" ->
+      """SELECT doc_id,
+                CAST(unnest(generate_series(1, len(toks))) - 1 AS INT) AS pos,
+                unnest(toks) AS token
+         FROM (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents WHERE doc_id < 50)
+         ORDER BY doc_id, pos""",
+
+    "q_gap_detect" ->
+      """WITH keys AS (SELECT DISTINCT event_id AS k FROM events WHERE event_id % 97 <> 13),
+              mx AS (SELECT max(k) AS mx FROM keys)
+         SELECT ko.k + 1 AS gap_start FROM keys ko, mx
+         WHERE ko.k < mx AND NOT EXISTS (SELECT 1 FROM keys k2 WHERE k2.k = ko.k + 1)
+         ORDER BY gap_start""",
+
+    "q_stratified_sample" ->
+      """SELECT l_returnflag, count(*) AS n,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS gross
+         FROM lineitem
+         WHERE ((l_orderkey % 3037000499) * 2654435761 + l_linenumber)
+               % (CASE l_returnflag WHEN 'A' THEN 7 WHEN 'N' THEN 13 ELSE 3 END) = 0
+         GROUP BY 1 ORDER BY 1""",
+
+    "q_equi_depth" ->
+      """SELECT CAST(unnest(generate_series(0, 8)) AS INT) AS i,
+                round(unnest(b), 4) AS boundary
+         FROM (SELECT quantile_cont(o_totalprice, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS b
+               FROM orders)
+         ORDER BY i""",
+
+    "q_dedup_clusters" ->
+      """WITH RECURSIVE pairs AS (
+           SELECT doc_a, doc_b FROM (
+             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                    round(len(list_intersect(a.toks, b.toks)) * 1.0
+                          / len(list_distinct(list_concat(a.toks, b.toks))), 6) AS jaccard
+             FROM (SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS toks FROM documents) a
+             JOIN (SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS toks FROM documents) b
+               ON a.source = b.source AND a.doc_id < b.doc_id)
+           WHERE jaccard >= 0.9),
+         edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+         reach(v, r) AS (
+           SELECT a, a FROM edges
+           UNION
+           SELECT r.v, e.b FROM reach r JOIN edges e ON r.r = e.a)
+         SELECT v AS doc_id, min(r) AS cluster_id,
+                CAST(count(DISTINCT r) AS BIGINT) AS cluster_size
+         FROM reach GROUP BY 1 ORDER BY 1""",
+
+    "q_weighted_avg" ->
+      """SELECT l_linestatus,
+                round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                      / CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 6) AS weighted_avg_price
+         FROM lineitem GROUP BY 1 ORDER BY 1"""
   )
 
   private val intervalJoinSql: String =

@@ -211,4 +211,44 @@ object Dedup {
 
   def distinctShingles(text: Column, n: Int): Column =
     array_distinct(wordShingles(tokens(text), n))
+
+  /** Connected components over an undirected pair graph by min-label
+    * propagation — turns near-duplicate PAIRS into dedup CLUSTERS, so a
+    * curation pass can keep one canonical document (the min id) per
+    * cluster. Returns (v, cluster_id, cluster_size).
+    *
+    * Each iteration is one distributed join + min-aggregation; the driver
+    * loop runs until no label changes (≤ graph diameter iterations —
+    * near-dup graphs are forests of tiny cliques/chains, so 2-4 in
+    * practice, `maxIter` as a guard). The convergence check is a cheap
+    * `limit(1).count` probe, not a data collect. At web scale the same
+    * fixpoint is run as alternating large-star/small-star rounds; the
+    * per-round dataflow (join, min-agg, check) is identical to this one. */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String, maxIter: Int = 20): DataFrame = {
+    val fwd = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+    val edges = fwd.unionByName(fwd.select(col("dst").as("src"), col("src").as("dst"))).cache()
+    var labels = edges.select(col("src").as("v")).distinct()
+      .select(col("v"), col("v").as("label")).cache()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val msgs = edges.join(labels, edges("src") === labels("v"))
+        .select(col("dst").as("v"), col("label"))
+      val next = labels.unionByName(msgs)
+        .groupBy(col("v")).agg(min(col("label")).as("label")).cache()
+      val shrank = next.alias("n")
+        .join(labels.alias("o"), col("n.v") === col("o.v"))
+        .filter(col("n.label") < col("o.label"))
+        .limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = shrank == 0
+      iter += 1
+    }
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+    val out = labels.join(sizes, Seq("label"))
+      .select(col("v"), col("label").as("cluster_id"), col("cluster_size"))
+    edges.unpersist()
+    out
+  }
 }

@@ -75,6 +75,18 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("connectedComponents merges chains and keeps components separate") {
+    import graft.operators.Dedup
+    // chain 1-2-3, pair 10-11, triangle 20-21-22
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (20L, 22L))
+      .toDF("a", "b")
+    val cc = Dedup.connectedComponents(pairs, "a", "b").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(cc(1L) == ((1L, 3L)) && cc(2L) == ((1L, 3L)) && cc(3L) == ((1L, 3L)))
+    assert(cc(10L) == ((10L, 2L)) && cc(11L) == ((10L, 2L)))
+    assert(cc(20L) == ((20L, 3L)) && cc(21L) == ((20L, 3L)) && cc(22L) == ((20L, 3L)))
+  }
+
   test("paginate enforces the sort whitelist and offset window") {
     val df = (1 to 100).map(i => (i.toLong, i * 2.0)).toDF("o_orderkey", "o_totalprice")
     val page = Analytics.paginate(

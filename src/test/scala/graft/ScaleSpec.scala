@@ -96,6 +96,37 @@ class ScaleSpec extends AnyFunSuite with SparkSpec {
     assert(recall >= 0.6, s"IVF recall@1 too low: $recall")
   }
 
+  test("IVF recall rises with nProbe (the recall/cost dial)") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter($"vec_id" < 20)
+    val brute = graft.operators.Similarity.bruteForceKnn(queries, emb, k = 1)
+      .collect().map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id")).toMap
+    val index = graft.operators.IvfIndex.build(spark, emb, nLists = 8)
+    def recallAt(nProbe: Int): Double = {
+      val got = graft.operators.IvfIndex.search(spark, index, queries, k = 1, nProbe = nProbe)
+        .collect().map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id")).toMap
+      brute.count { case (q, n) => got.get(q).contains(n) }.toDouble / brute.size
+    }
+    val r1 = recallAt(1)
+    val r4 = recallAt(4)
+    val r8 = recallAt(8)
+    // probing every cell = exhaustive search = exact recall; fewer probes
+    // trade recall for a proportional cut of the scan fan-out
+    assert(r8 == 1.0, s"full probe must be exact, got $r8")
+    assert(r1 <= r4 + 1e-9 && r4 <= r8 + 1e-9, s"recall not monotone: $r1 / $r4 / $r8")
+  }
+
+  test("gap detection is anti-join shaped: no Window operator in the plan") {
+    val p = plan(SparkEntry.queries("q_gap_detect")(spark, sf))
+    assert(!p.contains("Window"), p)
+    assert(p.contains("LeftAnti"), p)
+  }
+
+  test("event-time RANGE frame pushes the user predicate into the scan") {
+    val p = plan(SparkEntry.queries("q_window_range")(spark, sf))
+    assert(p.contains("LessThan(user_id,40)"), p)
+  }
+
   test("cartesian guard rejects large x large, allows bounded and keyed joins") {
     import graft.plans.CartesianGuard
     spark.conf.set(CartesianGuard.ConfKey, "1000")
