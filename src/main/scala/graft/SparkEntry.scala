@@ -519,7 +519,7 @@ object SparkEntry {
     // pair set.
     "q_dedup_clusters" -> ((s, d) =>
       Dedup.connectedComponents(
-        Dedup.blockedJaccardPairs(Tables.documents(s, d), threshold = 0.9),
+        Dedup.blockedJaccardPairsUnsorted(Tables.documents(s, d), threshold = 0.9),
         "doc_a", "doc_b")
         .select(col("v").as("doc_id"), col("cluster_id"), col("cluster_size"))
         .orderBy(col("doc_id"))),
@@ -880,7 +880,7 @@ object SparkEntry {
     // oracle). AQE's skew-join split is the automatic variant; salting is
     // the portable one that also works mid-aggregation.
     "q_salted_join" -> ((s, d) => {
-      val SALT = 8
+      val SALT = 4
       val li = Tables.lineitem(s, d)
         .withColumn("salt",
           pmod(xxhash64(col("l_linenumber"), col("l_extendedprice")), lit(SALT)).cast("int"))

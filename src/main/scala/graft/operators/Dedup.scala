@@ -148,7 +148,12 @@ object Dedup {
     * (here: `source`). The blocked self-join is the classic record-linkage
     * shape: the quadratic term is bounded per block, and per-pair scoring is
     * the native two-pointer kernel over sorted token sets. */
-  def blockedJaccardPairs(documents: DataFrame, threshold: Double): DataFrame = {
+  def blockedJaccardPairs(documents: DataFrame, threshold: Double): DataFrame =
+    blockedJaccardPairsUnsorted(documents, threshold).orderBy(col("doc_a"), col("doc_b"))
+
+  /** [[blockedJaccardPairs]] without the final harness sort — for consumers
+    * (clustering) that immediately repartition anyway. */
+  def blockedJaccardPairsUnsorted(documents: DataFrame, threshold: Double): DataFrame = {
     val tok = documents.select(
       col("doc_id"), col("source"),
       array_sort(transform(distinctTokens(col("text")), t => xxhash64(t))).as("toks"))
@@ -167,7 +172,6 @@ object Dedup {
         col("b.doc_id").as("doc_b"),
         round(sortedJaccard(col("a.toks"), col("b.toks")), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** Embedding near-duplicates: cosine ≥ `threshold` pairs, candidates from
@@ -212,39 +216,81 @@ object Dedup {
   def distinctShingles(text: Column, n: Int): Column =
     array_distinct(wordShingles(tokens(text), n))
 
-  /** Connected components over an undirected pair graph by min-label
-    * propagation — turns near-duplicate PAIRS into dedup CLUSTERS, so a
-    * curation pass can keep one canonical document (the min id) per
-    * cluster. Returns (v, cluster_id, cluster_size).
+  /** Connected components over an undirected pair graph — turns
+    * near-duplicate PAIRS into dedup CLUSTERS, so a curation pass can keep
+    * one canonical document (the min id) per cluster. Returns
+    * (v, cluster_id, cluster_size).
     *
-    * Each iteration is one distributed join + min-aggregation; the driver
-    * loop runs until no label changes (≤ graph diameter iterations —
-    * near-dup graphs are forests of tiny cliques/chains, so 2-4 in
-    * practice, `maxIter` as a guard). The convergence check is a cheap
-    * `limit(1).count` probe, not a data collect. At web scale the same
-    * fixpoint is run as alternating large-star/small-star rounds; the
-    * per-round dataflow (join, min-agg, check) is identical to this one. */
-  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String, maxIter: Int = 20): DataFrame = {
+    * Each iteration does (a) a neighbor-min step (join + min-agg: every
+    * vertex adopts the smallest label in its closed neighborhood) and (b) a
+    * pointer-jump step (label ← label(label)), which HALVES remaining path
+    * lengths — so convergence is O(log diameter), not O(diameter). Without
+    * (b), a 1000-doc near-dup chain (common in scraped corpora: each page a
+    * near-copy of the previous) needs 1000 rounds; with it, ten. This is
+    * the Hash-to-Min / pointer-doubling shape the large-graph CC literature
+    * uses; at web scale the same rounds run as alternating
+    * large-star/small-star contractions.
+    *
+    * The pair graph is orders of magnitude smaller than the corpus, so the
+    * loop runs at a narrow fixed shuffle width instead of inheriting the
+    * corpus-scan parallelism; the convergence check is a `limit(1).count`
+    * probe, not a data collect. */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String, maxIter: Int = 25): DataFrame = {
+    val spark = pairs.sparkSession
+    // The pair graph is corpus-scale-independent (only near-dup docs appear)
+    // and the loop reuses the 4-partition edge cache every round — run the
+    // loop's shuffles at that width so the cached partitioning is reused
+    // instead of re-shuffled to the scan-sized session default each round.
+    val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try connectedComponentsLoop(pairs, aCol, bCol, maxIter)
+    finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+  }
+
+  private def connectedComponentsLoop(pairs: DataFrame, aCol: String, bCol: String, maxIter: Int): DataFrame = {
     val fwd = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-    val edges = fwd.unionByName(fwd.select(col("dst").as("src"), col("src").as("dst"))).cache()
+    val edges = fwd.unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(4, col("src")).cache()
+    // localCheckpoint (not cache) each round: an iterative dataflow's
+    // lineage otherwise grows by one join+agg per round and the plan —
+    // re-analyzed, re-optimized, re-stringified every iteration — blows up
+    // long before the data does. Checkpointing truncates lineage so every
+    // round starts from a leaf.
     var labels = edges.select(col("src").as("v")).distinct()
-      .select(col("v"), col("v").as("label")).cache()
+      .select(col("v"), col("v").as("label")).localCheckpoint(true)
+    // Labels are monotone non-increasing, so Σlabel strictly decreases
+    // until the fixpoint — comparing sums is a one-agg convergence check
+    // (no join against the previous round needed).
+    var prevSum = BigDecimal(labels.agg(sum(col("label")).cast("decimal(38,0)")).head.getDecimal(0))
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
+      // fresh aliases on BOTH columns: the union of a checkpointed frame
+      // with a frame derived from it must not share attribute ids across
+      // branches (constraint propagation resolves them into one map)
       val msgs = edges.join(labels, edges("src") === labels("v"))
-        .select(col("dst").as("v"), col("label"))
-      val next = labels.unionByName(msgs)
-        .groupBy(col("v")).agg(min(col("label")).as("label")).cache()
-      val shrank = next.alias("n")
-        .join(labels.alias("o"), col("n.v") === col("o.v"))
-        .filter(col("n.label") < col("o.label"))
-        .limit(1).count()
-      labels.unpersist()
+        .select(col("dst").as("v"), col("label").as("label"))
+      val nm = labels.select(col("v").as("v"), col("label").as("label")).unionByName(msgs)
+        .groupBy(col("v")).agg(min(col("label")).as("label"))
+      // pointer jump: adopt the label OF the label (labels only ever hold
+      // ids inside the same component, so this stays within it; labels are
+      // monotone non-increasing, so the fixpoint is the component min)
+      val parents = nm.select(col("v").as("pv"), col("label").as("plabel"))
+      val next = nm.alias("x")
+        .join(parents, col("x.label") === col("pv"), "left")
+        .select(
+          col("x.v").as("v"),
+          least(col("x.label"), coalesce(col("plabel"), col("x.label"))).as("label"))
+        .localCheckpoint(true)
+      val nextSum = BigDecimal(next.agg(sum(col("label")).cast("decimal(38,0)")).head.getDecimal(0))
       labels = next
-      converged = shrank == 0
+      converged = nextSum == prevSum
+      prevSum = nextSum
       iter += 1
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        println(s"[cc] round $iter sum=$nextSum converged=$converged t=${System.nanoTime() / 1e9}")
     }
+    require(converged, s"connectedComponents did not converge in $maxIter iterations")
     val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
     val out = labels.join(sizes, Seq("label"))
       .select(col("v"), col("label").as("cluster_id"), col("cluster_size"))

@@ -55,12 +55,24 @@ object EventStreams {
     // partition count is baked into the checkpoint at first start, so this
     // is a design-time choice, not a tunable.)
     val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    val savedNoData = spark.conf.getOption("spark.sql.streaming.noDataMicroBatches.enabled")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
+    // Complete-mode output re-emits full state every batch, so the trailing
+    // no-data micro-batch (whose job is to flush append-mode results after
+    // a watermark advance) adds nothing here — skip its fixed cost. Append-
+    // mode runners (join/dedup/sessionize) MUST keep it.
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     try {
       val q = transform(withWatermark(readTestdataEventStream(spark, dir)))
         .writeStream.format("memory").queryName(name).outputMode("complete").start()
       try q.processAllAvailable() finally q.stop()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", saved)
+      savedNoData match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", v)
+        case None => spark.conf.unset("spark.sql.streaming.noDataMicroBatches.enabled")
+      }
+    }
     spark.table(name)
   }
 

@@ -32,6 +32,12 @@ object PerfProbe {
     t("token_jaccard")(Dedup.blockedJaccardPairs(docs, 0.9).count())
     t("simhash_neardup")(Dedup.simHashNearDuplicates(docs).count())
     t("embed_neardup")(Dedup.embeddingNearDuplicates(Tables.embeddings(spark, dir)).count())
+    t("dedup_clusters")(
+      Dedup.connectedComponents(
+        Dedup.blockedJaccardPairs(docs, 0.9), "doc_a", "doc_b").count())
+    t("dedup_clusters_warm")(
+      Dedup.connectedComponents(
+        Dedup.blockedJaccardPairs(docs, 0.9), "doc_a", "doc_b").count())
     spark.stop()
   }
 }

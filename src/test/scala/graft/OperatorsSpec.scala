@@ -87,6 +87,16 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(cc(20L) == ((20L, 3L)) && cc(21L) == ((20L, 3L)) && cc(22L) == ((20L, 3L)))
   }
 
+  test("connectedComponents converges on a long chain (pointer-jump rounds)") {
+    import graft.operators.Dedup
+    // a 201-vertex path: O(diameter) propagation would blow maxIter; the
+    // pointer-jump step must close it in O(log n) rounds
+    val chain = (0L until 200L).map(i => (i, i + 1)).toDF("a", "b")
+    val cc = Dedup.connectedComponents(chain, "a", "b").collect()
+    assert(cc.length == 201)
+    assert(cc.forall(r => r.getLong(1) == 0L && r.getLong(2) == 201L))
+  }
+
   test("paginate enforces the sort whitelist and offset window") {
     val df = (1 to 100).map(i => (i.toLong, i * 2.0)).toDF("o_orderkey", "o_totalprice")
     val page = Analytics.paginate(
