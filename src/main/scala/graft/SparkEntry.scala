@@ -990,6 +990,48 @@ object SparkEntry {
         .select(col("i").cast("int").as("i"), round(col("boundary"), 4).as("boundary"))
         .orderBy(col("i"))),
 
+    // Typed JSON parsing: from_json with an explicit schema (analysis-time
+    // typed fields, codegen'd parse — vs get_json_object's per-call string
+    // extraction in q_json_extract).
+    "q_json_flatten" -> ((s, d) => {
+      val sch = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.IntegerType)))
+      Tables.events(s, d)
+        .select(col("event_type"), col("value"), from_json(col("props"), sch).as("p"))
+        .select(col("event_type"), col("value"), col("p.k").as("k"))
+        .filter(col("k").isNotNull)
+        .groupBy(col("event_type"), floor(col("k") / 10).cast("int").as("k_decile"))
+        .agg(count(lit(1)).as("n"), moneySum(col("value")).as("value_sum"))
+        .orderBy(col("event_type"), col("k_decile"))
+    }),
+
+    // Null-safe equality join (<=>): NULL keys match each other — the
+    // "unknown bucket joins the unknown dim row" shape a plain equi-join
+    // silently drops.
+    "q_null_safe_join" -> ((s, d) => {
+      import s.implicits._
+      val o = Tables.orders(s, d)
+        .select(expr("nullif(o_custkey % 5, 4)").as("k5"), col("o_totalprice"))
+      val dim = Seq[(java.lang.Long, String)](
+        (0L, "g0"), (1L, "g1"), (2L, "g2"), (3L, "g3"), (null, "gnull"))
+        .toDF("k", "label")
+      o.join(broadcast(dim), o("k5") <=> dim("k"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("total"))
+        .orderBy(col("label"))
+    }),
+
+    // arg-max/arg-min aggregation (max_by/min_by): value of one column at
+    // another column's extremum, one pass — no self-join, no window.
+    "q_argmax" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(
+          expr("max_by(o_orderstatus, o_orderkey)").as("latest_status"),
+          expr("min_by(o_orderdate, o_orderkey)").as("first_order_date"),
+          max(col("o_orderkey")).as("last_orderkey"))
+        .orderBy(col("o_custkey"))),
+
     // Weighted average from two exact-decimal sums (one pass, no window):
     // quantity-weighted mean unit price per line status.
     "q_weighted_avg" -> ((s, d) =>
@@ -1749,6 +1791,30 @@ object SparkEntry {
          SELECT v AS doc_id, min(r) AS cluster_id,
                 CAST(count(DISTINCT r) AS BIGINT) AS cluster_size
          FROM reach GROUP BY 1 ORDER BY 1""",
+
+    "q_json_flatten" ->
+      """SELECT event_type,
+                CAST(floor(CAST(json_extract_string(props, '$.k') AS INT) / 10.0) AS INT) AS k_decile,
+                count(*) AS n,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+         FROM events
+         WHERE json_extract_string(props, '$.k') IS NOT NULL
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q_null_safe_join" ->
+      """WITH o AS (SELECT nullif(o_custkey % 5, 4) AS k5, o_totalprice FROM orders),
+              dim(k, label) AS (SELECT * FROM (VALUES (0, 'g0'), (1, 'g1'), (2, 'g2'), (3, 'g3'), (NULL, 'gnull')) v)
+         SELECT label, count(*) AS n,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM o JOIN dim ON o.k5 IS NOT DISTINCT FROM dim.k
+         GROUP BY 1 ORDER BY 1""",
+
+    "q_argmax" ->
+      """SELECT o_custkey,
+                arg_max(o_orderstatus, o_orderkey) AS latest_status,
+                CAST(arg_min(o_orderdate, o_orderkey) AS TIMESTAMP) AS first_order_date,
+                max(o_orderkey) AS last_orderkey
+         FROM orders GROUP BY 1 ORDER BY 1""",
 
     "q_weighted_avg" ->
       """SELECT l_linestatus,

@@ -85,4 +85,26 @@ class PropertiesSpec extends AnyFunSuite with SparkSpec {
     assert(once.count() == data.map(_._1).distinct.size)
     assert(Dedup.dropDuplicatesByKey(once, Seq("k")).count() == once.count())
   }
+
+  test("connectedComponents matches union-find on random graphs") {
+    val n = 30
+    val raw = sample(Gen.listOfN(50, Gen.zip(Gen.choose(0, n - 1), Gen.choose(0, n - 1))))
+    val edges = raw.filter { case (a, b) => a != b }
+    // reference union-find over the same edge list
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val expected = verts.groupBy(find).flatMap { case (_, vs) =>
+      val cid = vs.min
+      vs.map(v => v.toLong -> (cid.toLong, vs.size.toLong))
+    }
+    val got = Dedup.connectedComponents(
+        edges.map { case (a, b) => (a.toLong, b.toLong) }.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expected)
+  }
 }
