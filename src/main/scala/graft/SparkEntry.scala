@@ -1021,6 +1021,23 @@ object SparkEntry {
         .orderBy(col("label"))
     }),
 
+    // Grouped top-k via the native bounded-heap aggregate ([[TopKBy]]):
+    // ONE agg pass with map-side partial merge — the shuffle carries at
+    // most k entries per (group, task) instead of every row, and no
+    // per-group sort ever runs. Oracle = the window row_number form (the
+    // shape this replaces at scale).
+    "q_topk_agg" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(graft.functions.TopKBy.topKBy(col("o_totalprice"), col("o_orderkey"), 3).as("top"))
+        .select(col("o_custkey"), posexplode(col("top")).as(Seq("pos", "t")))
+        .select(
+          col("o_custkey"),
+          (col("pos") + 1).cast("int").as("rn"),
+          col("t.score").as("o_totalprice"),
+          col("t.id").as("o_orderkey"))
+        .orderBy(col("o_custkey"), col("rn"))),
+
     // arg-max/arg-min aggregation (max_by/min_by): value of one column at
     // another column's extremum, one pass — no self-join, no window.
     "q_argmax" -> ((s, d) =>
@@ -1808,6 +1825,14 @@ object SparkEntry {
                 CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
          FROM o JOIN dim ON o.k5 IS NOT DISTINCT FROM dim.k
          GROUP BY 1 ORDER BY 1""",
+
+    "q_topk_agg" ->
+      """SELECT o_custkey, CAST(rn AS INT) AS rn, o_totalprice, o_orderkey
+         FROM (SELECT o_custkey, o_totalprice, o_orderkey,
+                      row_number() OVER (PARTITION BY o_custkey
+                                         ORDER BY o_totalprice DESC, o_orderkey) AS rn
+               FROM orders)
+         WHERE rn <= 3 ORDER BY o_custkey, rn""",
 
     "q_argmax" ->
       """SELECT o_custkey,

@@ -27,7 +27,9 @@ object GraftFunctions {
     "sorted_intersect_size" -> (args => SortedIntersectSize(args(0), args(1))),
     "minhash_sig" -> (args => MinHashSig(args(0), intLit(args(1), "k"))),
     "minhash_band_buckets" -> (args =>
-      MinHashBandBuckets(args(0), intLit(args(1), "bands"), intLit(args(2), "rowsPerBand"))))
+      MinHashBandBuckets(args(0), intLit(args(1), "bands"), intLit(args(2), "rowsPerBand"))),
+    "topk_by" -> (args =>
+      TopKBy(args(0), args(1), intLit(args(2), "k")).toAggregateExpression()))
 
   /** Register on a live session (classic path, via the sql-package shim). */
   def registerAll(spark: SparkSession): Unit =

@@ -103,6 +103,31 @@ class FunctionsSpec extends AnyFunSuite with SparkSpec {
     assert(dfh.select(hamming64($"a", $"b").cast("long")).head.getLong(0) > 0)
   }
 
+  test("topKBy matches the window row_number formulation, ties to smaller id") {
+    import graft.functions.TopKBy.topKBy
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(7)
+    val rows = (1L to 500L).map(i => (i % 13, rnd.nextInt(40).toDouble, i))
+    val df = rows.toDF("g", "score", "id")
+    val agg = df.groupBy($"g").agg(topKBy($"score", $"id", 4).as("top"))
+      .select($"g", posexplode($"top").as(Seq("pos", "t")))
+      .select($"g", ($"pos" + 1).cast("int").as("rn"), $"t.score".as("score"), $"t.id".as("id"))
+    val w = Window.partitionBy($"g").orderBy($"score".desc, $"id".asc)
+    val win = df.select($"g", $"score", $"id", row_number().over(w).as("rn"))
+      .filter($"rn" <= 4).select($"g", $"rn", $"score", $"id")
+    assert(agg.collect().map(_.toSeq).toSet == win.collect().map(_.toSeq).toSet)
+    // fewer rows than k → all returned, still sorted best-first
+    val small = Seq((1L, 5.0, 10L), (1L, 5.0, 2L)).toDF("g", "score", "id")
+      .groupBy($"g").agg(topKBy($"score", $"id", 4).as("top"))
+      .head.getSeq[org.apache.spark.sql.Row](1)
+    assert(small.map(_.getLong(1)) == Seq(2L, 10L)) // tie keeps smaller id first
+    // SQL registration path
+    GraftFunctions.registerAll(spark)
+    df.createOrReplaceTempView("topk_t")
+    val viaSql = spark.sql("SELECT g, topk_by(score, id, 2) AS top FROM topk_t GROUP BY g")
+    assert(viaSql.count() == 13)
+  }
+
   test("native SQL functions reject wrong input types at analysis time") {
     GraftFunctions.registerAll(spark)
     Seq("a", "b").toDF("t").createOrReplaceTempView("typecheck_t")

@@ -116,6 +116,12 @@ class ScaleSpec extends AnyFunSuite with SparkSpec {
     assert(r1 <= r4 + 1e-9 && r4 <= r8 + 1e-9, s"recall not monotone: $r1 / $r4 / $r8")
   }
 
+  test("grouped top-k aggregate plans as partial-merge agg, not a window sort") {
+    val p = plan(SparkEntry.queries("q_topk_agg")(spark, sf))
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("gap detection is anti-join shaped: no Window operator in the plan") {
     val p = plan(SparkEntry.queries("q_gap_detect")(spark, sf))
     assert(!p.contains("Window"), p)
