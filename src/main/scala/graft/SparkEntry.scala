@@ -938,6 +938,16 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    // explode_outer: a doc whose filter leaves NO tokens still emits one
+    // null row — the inner-explode variant silently drops such parents
+    // (the classic lost-rows ETL trap).
+    "q_explode_outer" -> ((s, d) =>
+      Tables.documents(s, d)
+        .filter(col("doc_id") < 120)
+        .select(col("doc_id"),
+          explode_outer(filter(tokens(col("text")), t => length(t) >= 9)).as("long_token"))
+        .orderBy(col("doc_id"), col("long_token"))),
+
     // Ordinal explode (LATERAL VIEW posexplode): token + position — the
     // tokenization shape that keeps word order for downstream n-grams.
     "q_posexplode" -> ((s, d) =>
@@ -1758,6 +1768,15 @@ object SparkEntry {
                       (3, 7, NULL, true),
                       (4, 2, 99.00, false)) t(id, qty, price, malformed)
          ORDER BY id""",
+
+    // LEFT LATERAL unnest keeps empty-list parents as a NULL row, matching
+    // explode_outer; NULLS FIRST mirrors Spark's ascending null order
+    "q_explode_outer" ->
+      """SELECT d.doc_id, u.long_token
+         FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) >= 9) AS lt
+               FROM documents WHERE doc_id < 120) d
+         LEFT JOIN LATERAL (SELECT unnest(d.lt) AS long_token) u ON true
+         ORDER BY doc_id, long_token NULLS FIRST""",
 
     // zipped unnests emulate posexplode's (pos, value) pairs
     "q_posexplode" ->
