@@ -158,6 +158,18 @@ class ScaleSpec extends AnyFunSuite with SparkSpec {
     } finally spark.conf.unset(CartesianGuard.ConfKey)
   }
 
+  test("IVF cells partition-prune at rest (a probe reads nProbe/nLists of the data)") {
+    val emb = Tables.embeddings(spark, sf)
+    val index = graft.operators.IvfIndex.build(spark, emb, nLists = 4)
+    val dir = Files.createTempDirectory("graft-ivf").toString
+    index.assigned.write.mode("overwrite").partitionBy("cell_id").parquet(dir)
+    val read = spark.read.parquet(dir).filter($"cell_id" === 1)
+    val leaf = read.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(leaf.contains("PartitionFilters") && leaf.contains("cell_id"), leaf)
+    val expected = index.assigned.filter($"cell_id" === 1).count()
+    assert(read.count() == expected)
+  }
+
   test("year-partitioned writes prune partitions on read") {
     val dir = Files.createTempDirectory("graft-part").toString
     Tables.orders(spark, sf)
