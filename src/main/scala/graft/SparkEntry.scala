@@ -1006,11 +1006,13 @@ object SparkEntry {
     "q_json_flatten" -> ((s, d) => {
       val sch = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.IntegerType)))
+      // the parse appears in exactly ONE expression (the grouping key) — a
+      // separate filter on the parsed field would make CollapseProject
+      // re-run from_json per reference (SCALE.md lesson 1); unparseable
+      // rows land in the null-decile group on both engines instead
       Tables.events(s, d)
         .select(col("event_type"), col("value"), from_json(col("props"), sch).as("p"))
-        .select(col("event_type"), col("value"), col("p.k").as("k"))
-        .filter(col("k").isNotNull)
-        .groupBy(col("event_type"), floor(col("k") / 10).cast("int").as("k_decile"))
+        .groupBy(col("event_type"), floor(col("p.k") / 10).cast("int").as("k_decile"))
         .agg(count(lit(1)).as("n"), moneySum(col("value")).as("value_sum"))
         .orderBy(col("event_type"), col("k_decile"))
     }),
@@ -1834,8 +1836,7 @@ object SparkEntry {
                 count(*) AS n,
                 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
          FROM events
-         WHERE json_extract_string(props, '$.k') IS NOT NULL
-         GROUP BY 1, 2 ORDER BY 1, 2""",
+         GROUP BY 1, 2 ORDER BY 1, 2 NULLS FIRST""",
 
     "q_null_safe_join" ->
       """WITH o AS (SELECT nullif(o_custkey % 5, 4) AS k5, o_totalprice FROM orders),
