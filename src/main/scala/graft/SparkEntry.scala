@@ -938,6 +938,46 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    // Sequential funnel (view → click → purchase, each stage's first event
+    // at-or-after the previous stage's): per-stage conditional min-ts
+    // aggregations chained by join — stage k's user set is a subset of
+    // stage k-1's, so the stage number is a sum of membership flags.
+    // Three shuffles on user_id, each over a type-prefiltered slice.
+    "q_funnel" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+      val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+        .filter(col("ts") >= col("t_view"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+      val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+        .filter(col("ts") >= col("t_click"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+      ev.select(col("user_id")).distinct()
+        .join(v.select(col("user_id"), lit(1).as("s1")), Seq("user_id"), "left")
+        .join(c.select(col("user_id"), lit(1).as("s2")), Seq("user_id"), "left")
+        .join(p.select(col("user_id"), lit(1).as("s3")), Seq("user_id"), "left")
+        .select((coalesce(col("s1"), lit(0)) + coalesce(col("s2"), lit(0))
+          + coalesce(col("s3"), lit(0))).cast("int").as("funnel_stage"))
+        .groupBy(col("funnel_stage")).agg(count(lit(1)).as("n_users"))
+        .orderBy(col("funnel_stage"))
+    }),
+
+    // Cohort retention: cohort = a user's first active week; cell (cohort,
+    // offset) counts distinct users active that many weeks later.
+    "q_cohort_retention" -> ((s, d) => {
+      val w = Tables.events(s, d)
+        .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+      val cohort = w.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+      w.join(cohort, "user_id")
+        .groupBy(
+          col("cohort_wk"),
+          (datediff(col("wk").cast("date"), col("cohort_wk").cast("date")) / 7)
+            .cast("int").as("week_offset"))
+        .agg(countDistinct(col("user_id")).as("active_users"))
+        .orderBy(col("cohort_wk"), col("week_offset"))
+    }),
+
     // explode_outer: a doc whose filter leaves NO tokens still emits one
     // null row — the inner-explode variant silently drops such parents
     // (the classic lost-rows ETL trap).
@@ -1770,6 +1810,34 @@ object SparkEntry {
                       (3, 7, NULL, true),
                       (4, 2, 99.00, false)) t(id, qty, price, malformed)
          ORDER BY id""",
+
+    "q_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+                    WHERE event_type = 'view' GROUP BY 1),
+              c AS (SELECT e.user_id, min(e.ts) AS t_click FROM events e
+                    JOIN v ON e.user_id = v.user_id
+                    WHERE e.event_type = 'click' AND e.ts >= v.t_view GROUP BY 1),
+              p AS (SELECT e.user_id, min(e.ts) AS t_purchase FROM events e
+                    JOIN c ON e.user_id = c.user_id
+                    WHERE e.event_type = 'purchase' AND e.ts >= c.t_click GROUP BY 1),
+              allu AS (SELECT DISTINCT user_id FROM events)
+         SELECT CAST(CASE WHEN v.user_id IS NULL THEN 0
+                          WHEN c.user_id IS NULL THEN 1
+                          WHEN p.user_id IS NULL THEN 2 ELSE 3 END AS INT) AS funnel_stage,
+                count(*) AS n_users
+         FROM allu a LEFT JOIN v ON a.user_id = v.user_id
+                     LEFT JOIN c ON a.user_id = c.user_id
+                     LEFT JOIN p ON a.user_id = p.user_id
+         GROUP BY 1 ORDER BY 1""",
+
+    "q_cohort_retention" ->
+      """WITH w AS (SELECT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk FROM events),
+              c AS (SELECT user_id, min(wk) AS cohort_wk FROM w GROUP BY 1)
+         SELECT c.cohort_wk,
+                CAST(date_diff('day', CAST(c.cohort_wk AS DATE), CAST(w.wk AS DATE)) / 7 AS INT) AS week_offset,
+                count(DISTINCT w.user_id) AS active_users
+         FROM w JOIN c ON w.user_id = c.user_id
+         GROUP BY 1, 2 ORDER BY 1, 2""",
 
     // LEFT LATERAL unnest keeps empty-list parents as a NULL row, matching
     // explode_outer; NULLS FIRST mirrors Spark's ascending null order
