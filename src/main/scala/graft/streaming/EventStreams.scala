@@ -104,10 +104,11 @@ object EventStreams {
     val saved = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     try {
-      val clicks = withWatermark(
-        readTestdataEventStream(spark, dir).filter(col("event_type") === "click"))
-      val purchases = withWatermark(
-        readTestdataEventStream(spark, dir).filter(col("event_type") === "purchase"))
+      // ONE source, filtered twice — a stream-stream SELF-join. Two separate
+      // readStreams would scan the input once per side per micro-batch.
+      val src = readTestdataEventStream(spark, dir)
+      val clicks = withWatermark(src.filter(col("event_type") === "click"))
+      val purchases = withWatermark(src.filter(col("event_type") === "purchase"))
       val q = intervalJoin(clicks, purchases)
         .writeStream.format("memory").queryName(name).outputMode("append").start()
       try q.processAllAvailable() finally q.stop()
