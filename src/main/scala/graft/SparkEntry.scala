@@ -1090,6 +1090,21 @@ object SparkEntry {
           col("t.id").as("o_orderkey"))
         .orderBy(col("o_custkey"), col("rn"))),
 
+    // Deterministic per-group mode: built-in mode() breaks ties engine-
+    // dependently, so derive it — count (group, value) pairs, then arg-max
+    // by the collision-free key n*10000 - value (count wins, ties go to the
+    // SMALLER value; exact for integer counts and |value| < 100). Two
+    // aggregations, no sort, no window.
+    "q_mode" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_quantity"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("max_by(l_quantity, n * 10000 - l_quantity)").as("mode_qty"),
+          max(col("n")).as("mode_count"))
+        .orderBy(col("l_returnflag"))),
+
     // arg-max/arg-min aggregation (max_by/min_by): value of one column at
     // another column's extremum, one pass — no self-join, no window.
     "q_argmax" -> ((s, d) =>
@@ -1921,6 +1936,14 @@ object SparkEntry {
                                          ORDER BY o_totalprice DESC, o_orderkey) AS rn
                FROM orders)
          WHERE rn <= 3 ORDER BY o_custkey, rn""",
+
+    "q_mode" ->
+      """SELECT l_returnflag,
+                arg_max(l_quantity, n * 10000 - l_quantity) AS mode_qty,
+                max(n) AS mode_count
+         FROM (SELECT l_returnflag, l_quantity, count(*) AS n
+               FROM lineitem GROUP BY 1, 2)
+         GROUP BY 1 ORDER BY 1""",
 
     "q_argmax" ->
       """SELECT o_custkey,
