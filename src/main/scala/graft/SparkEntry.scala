@@ -938,6 +938,37 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    // RFM segmentation (recency/frequency/monetary quartile scores): per-
+    // customer rollup, then bucket each metric against its exact quartile
+    // thresholds. Thresholds come from ONE scalar aggregate broadcast back
+    // — NOT a global ntile window, which would funnel every customer
+    // through a single reducer. Comparisons against interpolated
+    // thresholds are engine-stable: a data value can only equal a
+    // threshold when the interpolation is exact.
+    "q_rfm" -> ((s, d) => {
+      val m = Tables.orders(s, d).groupBy(col("o_custkey")).agg(
+        unix_timestamp(max(col("o_orderdate"))).as("recency_ts"),
+        count(lit(1)).as("frequency"),
+        sum(dec2(col("o_totalprice"))).cast("double").as("monetary"))
+      val t = m.agg(
+        expr("percentile(recency_ts, array(0.25, 0.5, 0.75))").as("rq"),
+        expr("percentile(frequency, array(0.25, 0.5, 0.75))").as("fq"),
+        expr("percentile(monetary, array(0.25, 0.5, 0.75))").as("mq"))
+      def score(v: org.apache.spark.sql.Column, q: String) =
+        (lit(1) + (v > element_at(col(q), 1)).cast("int")
+          + (v > element_at(col(q), 2)).cast("int")
+          + (v > element_at(col(q), 3)).cast("int"))
+      m.crossJoin(broadcast(t))
+        .select(
+          col("o_custkey"),
+          score(col("recency_ts"), "rq").as("r_score"),
+          score(col("frequency"), "fq").as("f_score"),
+          score(col("monetary"), "mq").as("m_score"))
+        .withColumn("segment",
+          concat(col("r_score"), col("f_score"), col("m_score")))
+        .orderBy(col("o_custkey"))
+    }),
+
     // Sequential funnel (view → click → purchase, each stage's first event
     // at-or-after the previous stage's): per-stage conditional min-ts
     // aggregations chained by join — stage k's user set is a subset of
@@ -1825,6 +1856,25 @@ object SparkEntry {
                       (3, 7, NULL, true),
                       (4, 2, 99.00, false)) t(id, qty, price, malformed)
          ORDER BY id""",
+
+    "q_rfm" ->
+      """WITH m AS (SELECT o_custkey,
+                           CAST(floor(epoch(max(o_orderdate))) AS BIGINT) AS recency_ts,
+                           count(*) AS frequency,
+                           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+                    FROM orders GROUP BY 1),
+              t AS (SELECT quantile_cont(recency_ts * 1.0, [0.25, 0.5, 0.75]) AS rq,
+                           quantile_cont(frequency * 1.0, [0.25, 0.5, 0.75]) AS fq,
+                           quantile_cont(monetary, [0.25, 0.5, 0.75]) AS mq
+                    FROM m)
+         SELECT o_custkey,
+                CAST(1 + (recency_ts > rq[1])::INT + (recency_ts > rq[2])::INT + (recency_ts > rq[3])::INT AS INT) AS r_score,
+                CAST(1 + (frequency > fq[1])::INT + (frequency > fq[2])::INT + (frequency > fq[3])::INT AS INT) AS f_score,
+                CAST(1 + (monetary > mq[1])::INT + (monetary > mq[2])::INT + (monetary > mq[3])::INT AS INT) AS m_score,
+                CAST(1 + (recency_ts > rq[1])::INT + (recency_ts > rq[2])::INT + (recency_ts > rq[3])::INT AS VARCHAR)
+                  || CAST(1 + (frequency > fq[1])::INT + (frequency > fq[2])::INT + (frequency > fq[3])::INT AS VARCHAR)
+                  || CAST(1 + (monetary > mq[1])::INT + (monetary > mq[2])::INT + (monetary > mq[3])::INT AS VARCHAR) AS segment
+         FROM m, t ORDER BY o_custkey""",
 
     "q_funnel" ->
       """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
