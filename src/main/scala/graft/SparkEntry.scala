@@ -633,6 +633,13 @@ object SparkEntry {
           EventStreams.tumblingCounts(_))
         .orderBy(col("bucket"), col("event_type"))),
 
+    // Stream-static enrichment: streaming events broadcast-joined to a
+    // static category dim, then daily windowed aggregation — the in-flight
+    // reference-data join (dim re-resolved per micro-batch, no join state).
+    "q_events_enrich_stream" -> ((s, d) =>
+      EventStreams.runStreamStaticEnrich(s, d, "q_events_enrich_stream_sink")
+        .orderBy(col("bucket"), col("category"))),
+
     "q_events_session" -> ((s, d) =>
       EventStreams.sessionCounts(Tables.events(s, d))
         .orderBy(col("user_id"), col("session_start"))),
@@ -1688,6 +1695,16 @@ object SparkEntry {
 
     "q_events_tumbling_stream" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket, event_type, count(*) AS n_events,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q_events_enrich_stream" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+                CASE event_type
+                  WHEN 'view' THEN 'engagement' WHEN 'click' THEN 'engagement'
+                  WHEN 'purchase' THEN 'conversion' WHEN 'signup' THEN 'conversion'
+                  ELSE 'ops' END AS category,
+                count(*) AS n_events,
                 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
 

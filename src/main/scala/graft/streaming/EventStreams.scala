@@ -116,6 +116,31 @@ object EventStreams {
     spark.table(name)
   }
 
+  /** Stream-static enrichment: a streaming source broadcast-joined to a
+    * static dimension (no state, no watermark needed for the join itself —
+    * the dim is re-resolved per micro-batch), then a windowed aggregation.
+    * The standard "enrich events with reference data in flight" shape. */
+  def runStreamStaticEnrich(spark: SparkSession, dir: String, name: String): DataFrame = {
+    import spark.implicits._
+    val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val dim = Seq(
+        ("view", "engagement"), ("click", "engagement"),
+        ("purchase", "conversion"), ("signup", "conversion"),
+        ("error", "ops")).toDF("event_type", "category")
+      val q = withWatermark(readTestdataEventStream(spark, dir))
+        .join(broadcast(dim), Seq("event_type"))
+        .groupBy(window(col("ts"), "1 day"), col("category"))
+        .agg(count(lit(1)).as("n_events"), moneySum(col("value")).as("value_sum"))
+        .select(col("window.start").as("bucket"), col("category"),
+          col("n_events"), col("value_sum"))
+        .writeStream.format("memory").queryName(name).outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+    spark.table(name)
+  }
+
   /** The custom-state path ([[sessionizeStateful]]) run end-to-end as a
     * stream: sessions CLOSED by the event-time timeout are emitted;
     * sessions still open when the source drains stay in state (the
