@@ -119,9 +119,11 @@ object TextAnalysis {
   }
 
   /** Per-document keyword extraction: top `perDoc` terms by tf·ln(N/df).
-    * Same two aggregations as [[tfIdfTerms]] plus a per-doc rank window —
-    * the df table is the small side (vocabulary-sized) and broadcasts into
-    * the per-doc term counts. */
+    * Same two aggregations as [[tfIdfTerms]] plus a per-doc rank window.
+    * The df table joins by SHUFFLE, not broadcast: "vocabulary-sized" is
+    * unbounded on a web corpus (10⁸⁺ distinct terms), so broadcasting it
+    * would OOM the driver at scale — and both sides are already keyed by
+    * `term`, so the shuffle join is one co-partitioned exchange. */
   def topTermsPerDoc(documents: DataFrame, perDoc: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = documents.select(col("doc_id"), col("text"))
@@ -131,7 +133,7 @@ object TextAnalysis {
     val df = terms.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("term"))
-    tf.join(broadcast(df), Seq("term"))
+    tf.join(df, Seq("term"))
       .select(col("doc_id"), col("term"),
         round(col("tf") * log(lit(n.toDouble) / col("df")), 6).as("score"))
       .withColumn("rank", row_number().over(w))

@@ -93,25 +93,31 @@ object Dedup {
     val shingled = spread
       .select(col("doc_id"), sortedShingleHashes(col("text"), shingleSize).as("shingles"))
 
-    // banding rows carry the shingle set so candidate pairs are verified in
-    // the join projection itself -- no joins back to the documents
+    // Only (doc_id, band, bucket) rides the banding shuffle: carrying the
+    // shingle arrays through the explode + both sides of the self-join
+    // would replicate every document's array `bands`× through the exchange
+    // (corpus bandwidth × bands at 100 TB). Candidates are deduplicated as
+    // bare id pairs, then ONE join back to the compact (doc_id, shingles)
+    // table per side feeds exact verification — arrays move 2×, not 2×bands.
     val banded = shingled
-      .select(col("doc_id"), col("shingles"),
+      .select(col("doc_id"),
         posexplode(minHashBandBuckets(col("shingles"), bands, rowsPerBand)))
-      .select(col("doc_id"), col("shingles"), col("pos").as("band"), col("col").as("bucket"))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("bucket"))
 
-    banded.alias("a")
+    val candidates = banded.alias("a")
       .join(banded.alias("b"),
         col("a.band") === col("b.band") &&
           col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(
-        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        // scored pre-dedup: the native kernel is cheaper than shuffling
-        // shingle arrays through a distinct
-        round(sortedJaccard(col("a.shingles"), col("b.shingles")), 6).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
+
+    candidates
+      .join(shingled.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), Seq("doc_a"))
+      .join(shingled.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(sortedJaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -235,22 +241,37 @@ object Dedup {
     * loop runs at a narrow fixed shuffle width instead of inheriting the
     * corpus-scan parallelism; the convergence check is a `limit(1).count`
     * probe, not a data collect. */
-  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String, maxIter: Int = 25): DataFrame = {
+  def connectedComponents(
+      pairs: DataFrame, aCol: String, bCol: String, maxIter: Int = 25,
+      loopShuffleWidth: Int = 0): DataFrame = {
     val spark = pairs.sparkSession
-    // The pair graph is corpus-scale-independent (only near-dup docs appear)
-    // and the loop reuses the 4-partition edge cache every round — run the
-    // loop's shuffles at that width so the cached partitioning is reused
-    // instead of re-shuffled to the scan-sized session default each round.
+    // The pair graph is corpus-scale-independent (only near-dup docs appear),
+    // so the loop should NOT inherit the corpus-scan shuffle width. Size it
+    // to the edge count instead: one shuffle partition per ~250k directed
+    // edges (a few MB of (long,long) rows each), clamped to [4, session
+    // parallelism]. Counting the cached forward edges costs one pass that
+    // the loop would pay anyway to materialize them. `loopShuffleWidth > 0`
+    // overrides the heuristic for callers that know their graph.
+    val fwd = pairs.select(col(aCol).as("src"), col(bCol).as("dst")).cache()
+    val width =
+      if (loopShuffleWidth > 0) loopShuffleWidth
+      else {
+        val nEdges = fwd.count() * 2 // undirected → both directions shuffled
+        math.max(4, math.min(spark.sparkContext.defaultParallelism,
+          (nEdges / 250000L + 1).toInt))
+      }
     val saved = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try connectedComponentsLoop(pairs, aCol, bCol, maxIter)
-    finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+    spark.conf.set("spark.sql.shuffle.partitions", width.toString)
+    try connectedComponentsLoop(fwd, width, maxIter)
+    finally {
+      spark.conf.set("spark.sql.shuffle.partitions", saved)
+      fwd.unpersist()
+    }
   }
 
-  private def connectedComponentsLoop(pairs: DataFrame, aCol: String, bCol: String, maxIter: Int): DataFrame = {
-    val fwd = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+  private def connectedComponentsLoop(fwd: DataFrame, width: Int, maxIter: Int): DataFrame = {
     val edges = fwd.unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
-      .repartition(4, col("src")).cache()
+      .repartition(width, col("src")).cache()
     // localCheckpoint (not cache) each round: an iterative dataflow's
     // lineage otherwise grows by one join+agg per round and the plan —
     // re-analyzed, re-optimized, re-stringified every iteration — blows up
