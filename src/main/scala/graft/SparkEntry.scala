@@ -142,20 +142,43 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("bucket"))),
 
-    // HLL twin of q_distinct_stats — the 100 TB default (no Expand blow-up);
-    // sketch internals differ across engines, so rows-only check.
+    // HLL twin of q_distinct_stats — the 100 TB default (no Expand blow-up).
+    // Sketch internals are engine-specific, so the query SELF-ASSERTS: it
+    // emits |approx−exact|/exact ≤ 10% booleans (measured HLL error on this
+    // data ≤ 3.6%; default rsd 5%) — the exact twin here is the
+    // VERIFICATION harness, not the operator. Hash-checkable oracle:
+    // the same group keys with literal `true`s.
     "q_distinct_stats_approx" -> ((s, d) =>
-      Transforms.distinctStats(Tables.lineitem(s, d), approx = true)),
+      Tables.lineitem(s, d)
+        .agg(
+          count(lit(1)).as("n_rows"),
+          countDistinct(col("l_orderkey")).as("xo"),
+          countDistinct(col("l_partkey")).as("xp"),
+          countDistinct(col("l_suppkey")).as("xs"),
+          approx_count_distinct(col("l_orderkey")).as("ao"),
+          approx_count_distinct(col("l_partkey")).as("ap"),
+          approx_count_distinct(col("l_suppkey")).as("asu"))
+        .select(col("n_rows"),
+          (abs(col("ao") - col("xo")) <= col("xo") * 0.1).as("orders_ok"),
+          (abs(col("ap") - col("xp")) <= col("xp") * 0.1).as("parts_ok"),
+          (abs(col("asu") - col("xs")) <= col("xs") * 0.1).as("suppliers_ok"))),
 
     // Sketch twin of q_percentiles: one pass, bounded memory (no per-group
-    // sort) — the 100 TB default for quantiles. Sketch internals are
-    // engine-specific → rows-only check; the exact twin carries the oracle.
+    // sort) — the 100 TB default for quantiles. Self-asserting like
+    // q_distinct_stats_approx: emits |approx−exact|/exact ≤ 0.5% per group
+    // (measured ≤ 0.02% at accuracy 10000); the exact percentile is the
+    // verification twin.
     "q_percentiles_approx" -> ((s, d) =>
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
         .agg(
-          expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("p50"),
-          expr("approx_percentile(l_extendedprice, 0.95, 10000)").as("p95"))
+          expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("a50"),
+          expr("approx_percentile(l_extendedprice, 0.95, 10000)").as("a95"),
+          expr("percentile(l_extendedprice, 0.5)").as("e50"),
+          expr("percentile(l_extendedprice, 0.95)").as("e95"))
+        .select(col("l_returnflag"),
+          (abs(col("a50") - col("e50")) <= col("e50") * 0.005).as("p50_ok"),
+          (abs(col("a95") - col("e95")) <= col("e95") * 0.005).as("p95_ok"))
         .orderBy(col("l_returnflag"))),
 
     // Heavy hitters: exact top-k by frequency (count + TakeOrdered — two
@@ -538,17 +561,43 @@ object SparkEntry {
       Similarity.bruteForceKnn(emb.filter(col("vec_id") < 32), emb, k = 5)
     }),
 
+    // Banded hyperplane-LSH ANN, SELF-ASSERTING: the query emits recall@5
+    // against the exact brute-force top-k (computed in the same plan — the
+    // |Q|·|C| twin is the verification harness, bounded by |Q|=32). Measured
+    // recall with 8 bands × 4 planes is ~0.67-0.69 on this uniform-random
+    // data (LSH's worst case: true neighbors sit at modest cosine); the
+    // assertion floor is 0.5.
     "q_embed_knn_lsh" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      Similarity.lshKnn(emb.filter(col("vec_id") < 32), emb, k = 5, planes = 4)
+      val q = emb.filter(col("vec_id") < 32)
+      val exact = Similarity.bruteForceKnn(q, emb, k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val approx = Similarity.lshKnn(q, emb, k = 5, planes = 4, bands = 8)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = approx.join(exact, Seq("query_id", "neighbor_id"))
+        .agg(count(lit(1)).as("n_hits"))
+      exact.agg(countDistinct(col("query_id")).as("n_queries"), count(lit(1)).as("n_exact"))
+        .crossJoin(hits)
+        .select(col("n_queries"), (col("n_hits") >= col("n_exact") * 0.5).as("recall_ok"))
     }),
 
-    // IVF (k-means coarse quantizer) ANN — the partition-pruned scale path;
-    // seeded k-means is deterministic but engine-specific → rows-only check.
+    // IVF (k-means coarse quantizer) ANN — the partition-pruned scale path.
+    // Self-asserting recall@5 vs brute force, same pattern as the LSH entry:
+    // probing 8/16 cells measures ~0.81-0.84 recall on uniform-random data
+    // (IVF's worst case — no cluster structure); assertion floor 0.65.
     "q_embed_knn_ivf" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") < 32)
+      val exact = Similarity.bruteForceKnn(q, emb, k = 5)
+        .select(col("query_id"), col("neighbor_id"))
       val index = graft.operators.IvfIndex.build(s, emb, nLists = 16)
-      graft.operators.IvfIndex.search(s, index, emb.filter(col("vec_id") < 32), k = 5, nProbe = 4)
+      val approx = graft.operators.IvfIndex.search(s, index, q, k = 5, nProbe = 8)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = approx.join(exact, Seq("query_id", "neighbor_id"))
+        .agg(count(lit(1)).as("n_hits"))
+      exact.agg(countDistinct(col("query_id")).as("n_queries"), count(lit(1)).as("n_exact"))
+        .crossJoin(hits)
+        .select(col("n_queries"), (col("n_hits") >= col("n_exact") * 0.65).as("recall_ok"))
     }),
 
     // -------------------------------------------------- text analysis ----
@@ -599,10 +648,27 @@ object SparkEntry {
         resultName = "gross", saltFrom = col("l_orderkey"))
         .orderBy(col("l_returnflag"))),
 
+    // Native codegen rolling-hash kernel, SELF-ASSERTING against an
+    // independent interpreted twin: the same Rabin–Karp recurrence folded
+    // over the characters with the `aggregate` HOF (interpreted Catalyst —
+    // shares no code with the kernel's doGenCode). The twin reads
+    // codepoints, so it equals the byte-wise kernel only on ASCII text;
+    // non-ASCII docs (none in this corpus, but the query must not silently
+    // weaken) are excluded from the check and counted.
     "q_fingerprint" -> ((s, d) =>
       Tables.documents(s, d)
-        .select(col("doc_id"), rollingHash(col("text")).as("fingerprint"))
-        .orderBy(col("doc_id"))),
+        .select(col("doc_id"),
+          rollingHash(col("text")).as("fp"),
+          (octet_length(col("text")) === length(col("text"))).as("is_ascii"),
+          aggregate(
+            filter(split(col("text"), ""), c => length(c) > 0),
+            lit(0L),
+            (h, c) => pmod(h * 31 + ascii(c), lit(1000000007L))).as("fp_twin"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("is_ascii"), 1L).otherwise(0L)).as("n_ascii_checked"),
+          (sum(when(col("is_ascii") && col("fp") =!= col("fp_twin"), 1L).otherwise(0L)) === 0L)
+            .as("all_match"))),
 
     "q_multimodal_meta" -> ((s, d) =>
       Multimodal.extractMetadata(s, Multimodal.asBinaryPayloads(Tables.documents(s, d)))
@@ -646,10 +712,25 @@ object SparkEntry {
 
     // Custom-state sessionization through the real flatMapGroupsWithState
     // stream (rows-only: open sessions at end-of-source stay in state).
-    "q_events_session_stateful" -> ((s, d) =>
-      EventStreams.runStreamSessionize(s, d, "q_events_session_stateful_sink")
-        .orderBy(col("user_id"), col("session_start"), col("session_end"),
-          col("n_events"), col("value_sum"))),
+    // Custom flatMapGroupsWithState sessionizer run as a REAL stream,
+    // SELF-ASSERTING against the batch session_window twin: every session
+    // the stream CLOSED (emitted) must appear in the batch sessionization
+    // with identical bounds/counts (sessions still open when the source
+    // drains stay in state by design, so subset-match is the correct
+    // relation). Emits (has_closed_sessions, all_match) booleans.
+    "q_events_session_stateful" -> ((s, d) => {
+      val streamed = EventStreams.runStreamSessionize(s, d, "q_events_session_stateful_sink")
+        .select(col("user_id"), col("session_start"), col("session_end"),
+          col("n_events").cast("long").as("s_n"), col("value_sum").as("s_sum"))
+      val batch = EventStreams.sessionCounts(Tables.events(s, d), "30 minutes")
+      streamed
+        .join(batch, Seq("user_id", "session_start", "session_end"), "left")
+        .agg(
+          (count(lit(1)) > 0).as("has_closed_sessions"),
+          (sum(when(col("n_events").isNotNull && col("n_events") === col("s_n") &&
+            abs(col("value_sum") - col("s_sum")) < 0.001, 0L).otherwise(1L)) === 0L)
+            .as("all_match"))
+    }),
 
     // Interval join, batch twin (oracle) + real stream-stream execution
     // (two watermarked streams, state bounded by the time-range condition).
@@ -1294,6 +1375,19 @@ object SparkEntry {
                 round(quantile_cont(l_extendedprice, 0.95), 4) AS p95
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
+    // Self-asserting sketch queries: the Spark side emits error-bound
+    // booleans (approx vs exact computed in-plan), so the oracle is the
+    // same group keys with literal trues — any sketch drifting past its
+    // bound flips a row to false and fails the hash compare.
+    "q_distinct_stats_approx" ->
+      """SELECT count(*) AS n_rows, true AS orders_ok, true AS parts_ok,
+                true AS suppliers_ok
+         FROM lineitem""",
+
+    "q_percentiles_approx" ->
+      """SELECT l_returnflag, true AS p50_ok, true AS p95_ok
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
     "q_heavy_hitters" ->
       """SELECT l_partkey, count(*) AS n FROM lineitem
          GROUP BY 1 ORDER BY n DESC, l_partkey LIMIT 25""",
@@ -1600,6 +1694,26 @@ object SparkEntry {
            WHERE q.vec_id < 32)
          WHERE rank <= 5 ORDER BY query_id, rank""",
 
+    // ANN entries are self-asserting (recall@5 vs the in-plan brute-force
+    // twin ≥ a floor far below the measured value): the oracle pins the
+    // query-set size and the literal `true`.
+    "q_embed_knn_lsh" ->
+      """SELECT count(DISTINCT vec_id) AS n_queries, true AS recall_ok
+         FROM embeddings WHERE vec_id < 32""",
+
+    "q_embed_knn_ivf" ->
+      """SELECT count(DISTINCT vec_id) AS n_queries, true AS recall_ok
+         FROM embeddings WHERE vec_id < 32""",
+
+    // The native rolling-hash kernel self-asserts against an interpreted
+    // HOF twin (ASCII docs only; the corpus is all-ASCII, which the oracle
+    // pins via octet_length = length).
+    "q_fingerprint" ->
+      """SELECT count(*) AS n_docs,
+                count(*) FILTER (WHERE octet_length(encode(text)) = length(text)) AS n_ascii_checked,
+                true AS all_match
+         FROM documents""",
+
     "q_lang_id" -> langIdSql,
 
     "q_corpus_curate" -> corpusCurateSql,
@@ -1748,6 +1862,12 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n,
                 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
          FROM events GROUP BY 1 ORDER BY 1""",
+
+    // the stateful sessionizer self-asserts (closed sessions ⊆ batch
+    // session_window twin, checked in-plan); the oracle is the literal
+    // expected booleans
+    "q_events_session_stateful" ->
+      "SELECT true AS has_closed_sessions, true AS all_match",
 
     // ------------------------------------------------- round-2 additions ----
 

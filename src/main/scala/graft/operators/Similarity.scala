@@ -96,27 +96,40 @@ object Similarity {
         hyperplaneSignature(embedding, rowsPerBand, dims, firstPlane = b * rowsPerBand).as("bucket"))
     }: _*)
 
-  /** ANN top-k: bucket-join on the hyperplane signature, exact cosine
-    * re-rank within the shared bucket. Recall is tuned by `planes` (fewer
-    * planes → bigger buckets → higher recall, more re-rank work). */
-  def lshKnn(queries: DataFrame, candidates: DataFrame, k: Int, planes: Int = 8, dims: Int = 64): DataFrame = {
-    val q = queries.select(
-      col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-      l2Norm(col("embedding")).as("q_nrm"),
-      hyperplaneSignature(col("embedding"), planes, dims).as("bucket"))
-    val c = candidates
-      .repartition(candidates.sparkSession.sparkContext.defaultParallelism)
-      .select(
-        col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
-        l2Norm(col("embedding")).as("c_nrm"),
-        hyperplaneSignature(col("embedding"), planes, dims).as("bucket"))
+  /** ANN top-k: bucket-join on hyperplane signatures, exact cosine re-rank
+    * within the shared buckets. Recall is tuned by two dials: `planes`
+    * (fewer planes → bigger buckets → higher recall, more re-rank work) and
+    * `bands` (OR-amplification: `bands` independent signature families, a
+    * candidate is scored if it shares ANY band's bucket — recall at cosine c
+    * is 1−(1−p^planes)^bands with p = 1−arccos(c)/π). `bands = 1` is the
+    * classic single-signature scheme.
+    *
+    * Only slim (ids, embedding, band, bucket) rows ride the bucket join;
+    * duplicate candidate pairs from different bands are deduplicated AFTER
+    * scoring, so the dedup shuffle moves (id, id, score) rows, never the
+    * vectors. */
+  def lshKnn(
+      queries: DataFrame, candidates: DataFrame, k: Int,
+      planes: Int = 8, dims: Int = 64, bands: Int = 1): DataFrame = {
+    def sig(df: DataFrame, idAs: String, embAs: String, nrmAs: String): DataFrame =
+      df.select(
+        col("vec_id").as(idAs), col("embedding").as(embAs),
+        l2Norm(col("embedding")).as(nrmAs),
+        explode(hyperplaneBands(col("embedding"), bands, planes, dims)).as("bb"))
+        .select(col(idAs), col(embAs), col(nrmAs),
+          col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val q = sig(queries, "query_id", "q_emb", "q_nrm")
+    val c = sig(
+      candidates.repartition(candidates.sparkSession.sparkContext.defaultParallelism),
+      "neighbor_id", "c_emb", "c_nrm")
     val scored = q
-      .join(c, Seq("bucket"))
+      .join(c, Seq("band", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(
         col("query_id"), col("neighbor_id"),
         round(dotProduct(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")), 6)
           .as("cosine"))
+      .dropDuplicates("query_id", "neighbor_id")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored

@@ -213,11 +213,23 @@ object EventStreams {
       event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double, props: String)
 
-  final case class SessionAcc(startMs: Long, lastMs: Long, n: Int, sum: Double)
+  final case class SessionAcc(startUs: Long, lastUs: Long, n: Int, sum: Double)
 
   final case class Session(
       user_id: Long, session_start: Timestamp, session_end: Timestamp,
       n_events: Int, value_sum: Double)
+
+  // Session arithmetic runs at MICROsecond resolution — `Timestamp.getTime`
+  // alone is ms and would truncate event times (the events table carries µs),
+  // silently shifting session bounds off the built-in session_window's.
+  private def tsToUs(t: Timestamp): Long =
+    math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+  private def usToTs(us: Long): Timestamp = {
+    val ts = new Timestamp(math.floorDiv(us, 1000000L) * 1000L)
+    ts.setNanos((math.floorMod(us, 1000000L) * 1000L).toInt)
+    ts
+  }
 
   /** Custom stateful sessionization with `flatMapGroupsWithState` — the
     * escape hatch for session semantics `session_window` can't express
@@ -225,6 +237,7 @@ object EventStreams {
     * watermark-driven session close. */
   def sessionizeStateful(spark: SparkSession, events: DataFrame, gapMs: Long = 30 * 60 * 1000L): Dataset[Session] = {
     import spark.implicits._
+    val gapUs = gapMs * 1000L
     events.as[Event]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[List[SessionAcc], Session](
@@ -233,16 +246,16 @@ object EventStreams {
           if (state.hasTimedOut) {
             val done = state.getOption.getOrElse(Nil)
             state.remove()
-            done.iterator.map(toSession(userId, _, gapMs))
+            done.iterator.map(toSession(userId, _, gapUs))
           } else {
-            val sorted = it.toSeq.sortBy(_.ts.getTime)
+            val sorted = it.toSeq.sortBy(e => tsToUs(e.ts))
             var open = state.getOption.getOrElse(Nil)
             var closed = List.empty[SessionAcc]
             sorted.foreach { e =>
-              val t = e.ts.getTime
+              val t = tsToUs(e.ts)
               open match {
-                case cur :: rest if t - cur.lastMs <= gapMs =>
-                  open = cur.copy(lastMs = math.max(cur.lastMs, t), n = cur.n + 1, sum = cur.sum + e.value) :: rest
+                case cur :: rest if t - cur.lastUs <= gapUs =>
+                  open = cur.copy(lastUs = math.max(cur.lastUs, t), n = cur.n + 1, sum = cur.sum + e.value) :: rest
                 case cur :: rest =>
                   closed = cur :: closed
                   open = SessionAcc(t, t, 1, e.value) :: rest
@@ -252,15 +265,17 @@ object EventStreams {
             }
             state.update(open)
             open.headOption.foreach { cur =>
-              state.setTimeoutTimestamp(cur.lastMs + gapMs)
+              // timeout API is ms-resolution; round UP so the timeout never
+              // fires a fraction early
+              state.setTimeoutTimestamp(math.floorDiv(cur.lastUs + gapUs + 999L, 1000L))
             }
-            closed.reverseIterator.map(toSession(userId, _, gapMs))
+            closed.reverseIterator.map(toSession(userId, _, gapUs))
           }
       }
   }
 
-  private def toSession(userId: Long, acc: SessionAcc, gapMs: Long): Session =
-    Session(userId, new Timestamp(acc.startMs), new Timestamp(acc.lastMs + gapMs), acc.n, acc.sum)
+  private def toSession(userId: Long, acc: SessionAcc, gapUs: Long): Session =
+    Session(userId, usToTs(acc.startUs), usToTs(acc.lastUs + gapUs), acc.n, acc.sum)
 
   /** Incremental maintenance sink (the streaming analog of the reference's
     * per-date recompute, `database-schema.sql:202-231`): each micro-batch
