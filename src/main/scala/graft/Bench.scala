@@ -1,15 +1,20 @@
 package graft
+import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val scratch = Scratch.tmpfs()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config(scratch.map("spark.local.dir" -> _).toMap)
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("GRAFT_SHUFFLE", cpus))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("GRAFT_AQE", "true"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -32,14 +37,23 @@ object Bench {
     val p1 = pass()
     val p2 = pass()
     val results = p1.map { case (k, v) => k -> math.min(v, p2(k)) }
-    // Keep the JSON line short: harnesses that capture only the tail of the
-    // build output must still see the whole line, so per-query times are
-    // rounded to milliseconds (the measurement noise floor anyway).
-    def ms(v: Double): Double = math.round(v * 1000) / 1000.0
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + ms(v) }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","runs_per_query":2,"aggregation":"min"}""")
+    def r2(v: Double): Double = math.round(v * 100) / 100.0
+    def r3(v: Double): Double = math.round(v * 1000) / 1000.0
+    val bySlowest = results.toSeq.sortBy { case (k, v) => (-v, k) }
+    // Full per-query detail (ms precision) goes to a FILE in the repo —
+    // the driver captures only the TAIL (~3.3 KB) of the build output, and
+    // a 117-query map at 3 decimals (~4.3 KB) overflowed it in rounds 1-2.
+    val detail = bySlowest.map { case (k, v) => s""""$k":${r3(v)}""" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get("bench_detail.json"),
+      s"""{"sf":"$sfDir","runs_per_query":2,"aggregation":"min","total_sec":${r3(total)},"queries":$detail}""" + "\n")
+    // The stdout contract line stays small: total + the 40 slowest queries
+    // (the regression-relevant ones) at 2 decimals — ~1.3 KB, comfortably
+    // inside the tail capture. Printed LAST so the tail always contains it.
+    val top = bySlowest.take(40).map { case (k, v) => s""""$k":${r2(v)}""" }
+      .mkString("{", ",", "}")
     spark.stop()
+    println(s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$top,"n_queries":${results.size},"queries_shown":40,"detail":"bench_detail.json","sf":"$sfDir","runs_per_query":2,"aggregation":"min"}""")
   }
 }

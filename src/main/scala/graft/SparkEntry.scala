@@ -573,12 +573,12 @@ object SparkEntry {
       val exact = Similarity.bruteForceKnn(q, emb, k = 5)
         .select(col("query_id"), col("neighbor_id"))
       val approx = Similarity.lshKnn(q, emb, k = 5, planes = 4, bands = 8)
-        .select(col("query_id"), col("neighbor_id"))
-      val hits = approx.join(exact, Seq("query_id", "neighbor_id"))
-        .agg(count(lit(1)).as("n_hits"))
-      exact.agg(countDistinct(col("query_id")).as("n_queries"), count(lit(1)).as("n_exact"))
-        .crossJoin(hits)
-        .select(col("n_queries"), (col("n_hits") >= col("n_exact") * 0.5).as("recall_ok"))
+        .select(col("query_id"), col("neighbor_id")).withColumn("hit", lit(1L))
+      // ONE left join + one agg: the brute-force twin appears once in the
+      // DAG (a hits-join + separate totals agg would compute it twice)
+      exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+        .agg(countDistinct(col("query_id")).as("n_queries"),
+          (coalesce(sum(col("hit")), lit(0L)) >= count(lit(1)) * 0.5).as("recall_ok"))
     }),
 
     // IVF (k-means coarse quantizer) ANN — the partition-pruned scale path.
@@ -592,12 +592,10 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"))
       val index = graft.operators.IvfIndex.build(s, emb, nLists = 16)
       val approx = graft.operators.IvfIndex.search(s, index, q, k = 5, nProbe = 8)
-        .select(col("query_id"), col("neighbor_id"))
-      val hits = approx.join(exact, Seq("query_id", "neighbor_id"))
-        .agg(count(lit(1)).as("n_hits"))
-      exact.agg(countDistinct(col("query_id")).as("n_queries"), count(lit(1)).as("n_exact"))
-        .crossJoin(hits)
-        .select(col("n_queries"), (col("n_hits") >= col("n_exact") * 0.65).as("recall_ok"))
+        .select(col("query_id"), col("neighbor_id")).withColumn("hit", lit(1L))
+      exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+        .agg(countDistinct(col("query_id")).as("n_queries"),
+          (coalesce(sum(col("hit")), lit(0L)) >= count(lit(1)) * 0.65).as("recall_ok"))
     }),
 
     // -------------------------------------------------- text analysis ----

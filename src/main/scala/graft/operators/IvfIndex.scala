@@ -104,18 +104,17 @@ object IvfIndex {
       col("cell_id"), col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
       l2Norm(col("embedding")).as("c_nrm"))
 
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    probes
-      .join(corpus, Seq("cell_id"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .select(
-        col("query_id"), col("neighbor_id"),
-        round(dotProduct(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")), 6)
-          .as("cosine"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .orderBy(col("query_id"), col("rank"))
+    // final top-k via the bounded-heap aggregate (ships ≤ k rows per
+    // (query, task) instead of window-sorting every scored candidate)
+    Similarity.rankTopK(
+      probes
+        .join(corpus, Seq("cell_id"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select(
+          col("query_id"), col("neighbor_id"),
+          round(dotProduct(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")), 6)
+            .as("cosine")),
+      k)
   }
 
   // ------------------------------------------------------------------ //

@@ -2,9 +2,9 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 import graft.functions._
+import graft.functions.TopKBy.topKBy
 
 /** Approximate-nearest-neighbor search over an embedding column.
   *
@@ -42,13 +42,22 @@ object Similarity {
         col("query_id"), col("neighbor_id"),
         round(dotProduct(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")), 6)
           .as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .orderBy(col("query_id"), col("rank"))
+    rankTopK(scored, k)
   }
+
+  /** Per-query top-k via the bounded-heap [[graft.functions.TopKBy]]
+    * aggregate: map-side partial heaps ship ≤ k entries per (query, task)
+    * through the shuffle, where the `row_number` window form would shuffle
+    * and sort EVERY scored row. Ordering (cosine DESC, neighbor_id ASC)
+    * matches the window twin exactly, ties included. */
+  private[operators] def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    scored
+      .groupBy(col("query_id"))
+      .agg(topKBy(col("cosine"), col("neighbor_id"), k).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")))
+      .select(col("query_id"), col("col.id").as("neighbor_id"),
+        col("col.score").as("cosine"), (col("pos") + 1).cast("int").as("rank"))
+      .orderBy(col("query_id"), col("rank"))
 
   /** splitmix64 finalizer — deterministic pseudo-random stream with no RNG
     * state, identical on every executor and across runs. */
@@ -104,9 +113,13 @@ object Similarity {
     * is 1−(1−p^planes)^bands with p = 1−arccos(c)/π). `bands = 1` is the
     * classic single-signature scheme.
     *
-    * Only slim (ids, embedding, band, bucket) rows ride the bucket join;
-    * duplicate candidate pairs from different bands are deduplicated AFTER
-    * scoring, so the dedup shuffle moves (id, id, score) rows, never the
+    * Scoring happens in the bucket-join projection (vectors ride the
+    * exchange once per band): candidates vastly outnumber the surviving
+    * top-k and the per-pair dot is cheap codegen, so filtering in-join
+    * beats shipping every candidate pair through two join-back exchanges
+    * (see [[graft.operators.Dedup.embeddingNearDuplicates]] for the full
+    * trade; minhash sits on the other side of it). Duplicate pairs from
+    * different bands dedup AFTER scoring — (id, id, score) rows, never
     * vectors. */
   def lshKnn(
       queries: DataFrame, candidates: DataFrame, k: Int,
@@ -130,11 +143,6 @@ object Similarity {
         round(dotProduct(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")), 6)
           .as("cosine"))
       .dropDuplicates("query_id", "neighbor_id")
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .orderBy(col("query_id"), col("rank"))
+    rankTopK(scored, k)
   }
 }

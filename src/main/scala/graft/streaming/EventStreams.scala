@@ -20,6 +20,12 @@ import graft.sources.Writers
   */
 object EventStreams {
 
+  /** Stateful-stream shuffle width: every shuffle partition is a state
+    * store with its own per-batch snapshot/commit I/O, so this is sized to
+    * KEY cardinality (tiny here), not scan parallelism. Baked into a
+    * checkpoint at first start — a design-time choice per deployment. */
+  private val StreamShuffleWidth = "2"
+
   /** Streaming source over an events directory; schema must be explicit for
     * `readStream`. */
   def readEventStream(spark: SparkSession, dir: String): DataFrame =
@@ -56,7 +62,7 @@ object EventStreams {
     // is a design-time choice, not a tunable.)
     val saved = spark.conf.get("spark.sql.shuffle.partitions")
     val savedNoData = spark.conf.getOption("spark.sql.streaming.noDataMicroBatches.enabled")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set("spark.sql.shuffle.partitions", StreamShuffleWidth)
     // Complete-mode output re-emits full state every batch, so the trailing
     // no-data micro-batch (whose job is to flush append-mode results after
     // a watermark advance) adds nothing here — skip its fixed cost. Append-
@@ -102,7 +108,7 @@ object EventStreams {
     * attribute). */
   def runStreamJoin(spark: SparkSession, dir: String, name: String): DataFrame = {
     val saved = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set("spark.sql.shuffle.partitions", StreamShuffleWidth)
     try {
       // ONE source, filtered twice — a stream-stream SELF-join. Two separate
       // readStreams would scan the input once per side per micro-batch.
@@ -123,7 +129,10 @@ object EventStreams {
   def runStreamStaticEnrich(spark: SparkSession, dir: String, name: String): DataFrame = {
     import spark.implicits._
     val saved = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    val savedNoData = spark.conf.getOption("spark.sql.streaming.noDataMicroBatches.enabled")
+    spark.conf.set("spark.sql.shuffle.partitions", StreamShuffleWidth)
+    // complete-mode output: the trailing no-data flush batch adds nothing
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     try {
       val dim = Seq(
         ("view", "engagement"), ("click", "engagement"),
@@ -137,7 +146,13 @@ object EventStreams {
           col("n_events"), col("value_sum"))
         .writeStream.format("memory").queryName(name).outputMode("complete").start()
       try q.processAllAvailable() finally q.stop()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", saved)
+      savedNoData match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", v)
+        case None => spark.conf.unset("spark.sql.streaming.noDataMicroBatches.enabled")
+      }
+    }
     spark.table(name)
   }
 
@@ -149,7 +164,7 @@ object EventStreams {
     * (`q_events_session`) and watermark-advance-tested in ScalaTest. */
   def runStreamSessionize(spark: SparkSession, dir: String, name: String): DataFrame = {
     val saved = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set("spark.sql.shuffle.partitions", StreamShuffleWidth)
     try {
       val q = sessionizeStateful(spark, withWatermark(readTestdataEventStream(spark, dir)))
         .toDF()
@@ -166,10 +181,12 @@ object EventStreams {
     * deliberately doubled stream (the same source unioned with itself). */
   def runStreamDedup(spark: SparkSession, dir: String, name: String): DataFrame = {
     val saved = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set("spark.sql.shuffle.partitions", StreamShuffleWidth)
     try {
-      val doubled = readTestdataEventStream(spark, dir)
-        .unionByName(readTestdataEventStream(spark, dir))
+      // ONE source unioned with itself: a second readStream over the same
+      // path would pay separate file-listing/offset admin per micro-batch.
+      val src = readTestdataEventStream(spark, dir)
+      val doubled = src.unionByName(src)
       val q = withWatermark(doubled)
         .dropDuplicatesWithinWatermark("event_id")
         .select(col("event_id"), col("event_type"), col("value"))

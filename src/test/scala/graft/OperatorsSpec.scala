@@ -80,8 +80,14 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     // chain 1-2-3, pair 10-11, triangle 20-21-22
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (20L, 22L))
       .toDF("a", "b")
-    val cc = Dedup.connectedComponents(pairs, "a", "b").collect()
+    // run BOTH paths: the driver union-find (default for small graphs) and
+    // the distributed pointer-jump loop must agree exactly
+    val ccDriver = Dedup.connectedComponents(pairs, "a", "b").collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val ccLoop = Dedup.connectedComponents(pairs, "a", "b", loopShuffleWidth = 4).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(ccDriver == ccLoop)
+    val cc = ccDriver
     assert(cc(1L) == ((1L, 3L)) && cc(2L) == ((1L, 3L)) && cc(3L) == ((1L, 3L)))
     assert(cc(10L) == ((10L, 2L)) && cc(11L) == ((10L, 2L)))
     assert(cc(20L) == ((20L, 3L)) && cc(21L) == ((20L, 3L)) && cc(22L) == ((20L, 3L)))
@@ -92,7 +98,9 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     // a 201-vertex path: O(diameter) propagation would blow maxIter; the
     // pointer-jump step must close it in O(log n) rounds
     val chain = (0L until 200L).map(i => (i, i + 1)).toDF("a", "b")
-    val cc = Dedup.connectedComponents(chain, "a", "b").collect()
+    // loopShuffleWidth > 0 forces the distributed loop (the driver
+    // union-find fast path would otherwise absorb a graph this small)
+    val cc = Dedup.connectedComponents(chain, "a", "b", loopShuffleWidth = 4).collect()
     assert(cc.length == 201)
     assert(cc.forall(r => r.getLong(1) == 0L && r.getLong(2) == 201L))
   }
