@@ -851,6 +851,30 @@ object SparkEntry {
         .orderBy(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
     }),
 
+    // The literal JDBC load path (reference sink is PostgreSQL with batched
+    // execute_values + ON CONFLICT DO NOTHING): full-load supplier into
+    // embedded Derby with batchsize, replay a duplicate slice through the
+    // idempotent append (must insert 0 rows), read back and compare to the
+    // source — emits (n_rows, all_match) against a hash-checkable oracle.
+    "q_jdbc_load" -> ((s, d) => {
+      import graft.sources.JdbcDemo
+      val sup = Tables.supplier(s, d)
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"), col("s_acctbal"))
+      val url = JdbcDemo.derbyUrl("graft_jdbc_demo")
+      JdbcDemo.fullLoad(sup, url, "supplier_load")
+      JdbcDemo.idempotentAppend(s, sup.limit(100), url, "supplier_load", Seq("s_suppkey"))
+      val back = JdbcDemo.readTable(s, url, "supplier_load")
+        .select(col("s_suppkey"), col("s_name").as("b_name"),
+          col("s_nationkey").as("b_nationkey"), col("s_acctbal").as("b_acctbal"))
+      sup.join(back, Seq("s_suppkey"), "full_outer")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          (sum(when(col("s_name") === col("b_name") &&
+            col("s_nationkey") === col("b_nationkey") &&
+            abs(col("s_acctbal") - col("b_acctbal")) < 0.001, 0L).otherwise(1L)) === 0L)
+            .as("all_match"))
+    }),
+
     // RANGE frame over event time (trailing 1 hour by value, not row
     // count) — the time-windowed feature shape. The frame key is floored
     // epoch seconds so both engines agree on peer groups; the moving sum
@@ -1881,6 +1905,11 @@ object SparkEntry {
                      WHEN t.n IS NOT NULL THEN 'unchanged' ELSE 'inserted' END AS merge_action
          FROM t FULL OUTER JOIN s ON t.o_custkey = s.o_custkey
          ORDER BY o_custkey""",
+
+    // the JDBC round-trip self-asserts (read-back equals source, duplicate
+    // replay inserts nothing); the oracle pins row count + the booleans
+    "q_jdbc_load" ->
+      "SELECT count(*) AS n_rows, true AS all_match FROM supplier",
 
     "q_incremental_load" ->
       """WITH existing AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey % 3 = 0),

@@ -24,7 +24,7 @@ object EventStreams {
     * store with its own per-batch snapshot/commit I/O, so this is sized to
     * KEY cardinality (tiny here), not scan parallelism. Baked into a
     * checkpoint at first start — a design-time choice per deployment. */
-  private val StreamShuffleWidth = "2"
+  private val StreamShuffleWidth = "4"
 
   /** Streaming source over an events directory; schema must be explicit for
     * `readStream`. */
