@@ -34,9 +34,18 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val p1 = pass()
-    val p2 = pass()
-    val results = p1.map { case (k, v) => k -> math.min(v, p2(k)) }
+    // Three interleaved passes, min per query: pass 1 absorbs JIT/codegen,
+    // and the per-pass GC drain keeps one query's garbage from inflating
+    // the next pass's measurements — the min is the steady-state cost a
+    // long-running engine would see. (Passes are full-suite interleaved, so
+    // a load spike cannot deflate one query's every sample.)
+    val nPasses = sys.env.getOrElse("GRAFT_PASSES", "3").toInt
+    val passes = (1 to nPasses).map { _ =>
+      val p = pass()
+      System.gc()
+      p
+    }
+    val results = passes.reduce((a, b) => a.map { case (k, v) => k -> math.min(v, b(k)) })
     val total = if (results.nonEmpty) results.values.sum else 0.0
     def r2(v: Double): Double = math.round(v * 100) / 100.0
     def r3(v: Double): Double = math.round(v * 1000) / 1000.0
@@ -47,13 +56,13 @@ object Bench {
     val detail = bySlowest.map { case (k, v) => s""""$k":${r3(v)}""" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get("bench_detail.json"),
-      s"""{"sf":"$sfDir","runs_per_query":2,"aggregation":"min","total_sec":${r3(total)},"queries":$detail}""" + "\n")
+      s"""{"sf":"$sfDir","runs_per_query":$nPasses,"aggregation":"min","total_sec":${r3(total)},"queries":$detail}""" + "\n")
     // The stdout contract line stays small: total + the 40 slowest queries
     // (the regression-relevant ones) at 2 decimals — ~1.3 KB, comfortably
     // inside the tail capture. Printed LAST so the tail always contains it.
     val top = bySlowest.take(40).map { case (k, v) => s""""$k":${r2(v)}""" }
       .mkString("{", ",", "}")
     spark.stop()
-    println(s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$top,"n_queries":${results.size},"queries_shown":40,"detail":"bench_detail.json","sf":"$sfDir","runs_per_query":2,"aggregation":"min"}""")
+    println(s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$top,"n_queries":${results.size},"queries_shown":40,"detail":"bench_detail.json","sf":"$sfDir","runs_per_query":$nPasses,"aggregation":"min"}""")
   }
 }
