@@ -54,4 +54,21 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     val counts2 = Pipeline.run(spark, Pipeline.Config(csvDir, wh))
     assert(counts2 == counts)
   }
+
+  test("JDBC load path: batched write, idempotent replay, first-writer-wins") {
+    import graft.sources.JdbcDemo
+    val url = JdbcDemo.derbyUrl(s"graft_jdbc_test_${System.nanoTime()}")
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    JdbcDemo.fullLoad(df, url, "t1")
+    // exact duplicate replay inserts nothing
+    JdbcDemo.idempotentAppend(spark, df, url, "t1", Seq("k"))
+    assert(JdbcDemo.readTable(spark, url, "t1").count() == 3)
+    // mixed batch: only the genuinely new key lands; key 3 keeps its
+    // original value (ON CONFLICT DO NOTHING, not upsert)
+    val extra = Seq((3L, "dup"), (4L, "d")).toDF("k", "v")
+    JdbcDemo.idempotentAppend(spark, extra, url, "t1", Seq("k"))
+    val back = JdbcDemo.readTable(spark, url, "t1")
+    assert(back.count() == 4)
+    assert(back.filter($"k" === 3).head.getString(1) == "c")
+  }
 }

@@ -181,4 +181,47 @@ class ScaleSpec extends AnyFunSuite with SparkSpec {
     val expected = Tables.orders(spark, sf).filter(year($"o_orderdate") === 1996).count()
     assert(read.count() == expected)
   }
+
+  test("kNN ranks with the bounded-heap aggregate, not a window sort") {
+    val emb = Tables.embeddings(spark, sf)
+    val p = plan(graft.operators.Similarity.bruteForceKnn(emb.filter($"vec_id" < 4), emb, k = 3))
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("MinHash banding exchange carries only slim rows (no shingle arrays)") {
+    // every exchange (shuffle OR broadcast) feeding the banding self-join
+    // must ship fixed-width rows: the shingle hash arrays ride ONLY the
+    // final verification joins. Join exchanges exist only post-
+    // EnsureRequirements, and AQE hides them pre-execution — plan with AQE
+    // off for the inspection.
+    val saved = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val exchanges =
+      try {
+        val df = graft.operators.Dedup.minHashNearDuplicates(Tables.documents(spark, sf))
+        df.queryExecution.executedPlan.collect {
+          case e: org.apache.spark.sql.execution.exchange.Exchange => e
+        }
+      } finally spark.conf.set("spark.sql.adaptive.enabled", saved)
+    val banding = exchanges.filter(_.child.output.exists(a => a.name == "band" || a.name == "bucket"))
+    assert(banding.nonEmpty, "expected banding-side exchanges")
+    banding.foreach { e =>
+      assert(!e.child.output.exists(_.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]),
+        s"banding exchange carries an array column: ${e.child.output.map(a => s"${a.name}:${a.dataType.simpleString}")}")
+    }
+  }
+
+  test("blocked Jaccard generates each qualifying pair exactly once (size bands)") {
+    // doc sizes straddling band boundaries: near-equal sizes must pair ONCE,
+    // far-apart sizes must not pair at all
+    val docs = Seq(
+      (1L, "w", (1 to 40).map(i => s"t$i").mkString(" ")),
+      (2L, "w", (1 to 40).map(i => s"t$i").mkString(" ") + " x1"),
+      (3L, "w", (1 to 9).map(i => s"t$i").mkString(" "))
+    ).toDF("doc_id", "source", "text")
+    val pairs = graft.operators.Dedup.blockedJaccardPairs(docs, threshold = 0.5).collect()
+    assert(pairs.length == 1, pairs.mkString(","))
+    assert(pairs.head.getLong(0) == 1L && pairs.head.getLong(1) == 2L)
+  }
 }
