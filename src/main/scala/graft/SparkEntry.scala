@@ -805,6 +805,13 @@ object SparkEntry {
           levenshtein(col("p_name"), lit("blue bolt")).as("dist"))
         .orderBy(col("dist"), col("p_partkey"))),
 
+    // pg_trgm similarity proper: trigram-Jaccard fuzzy match against a
+    // literal query string (constant-folded trigram set; no join), the
+    // reference's GIN trigram index analog (`database-schema.sql:5,64`).
+    "q_trigram_search" -> ((s, d) =>
+      TextAnalysis.trigramSearch(Tables.part(s, d), "p_name",
+        query = "spring green yellow", minSim = 0.1, k = 10)),
+
     // Regex extraction (codegen'd RE2-compatible pattern; no UDF).
     "q_regex_extract" -> ((s, d) =>
       Tables.part(s, d)
@@ -1810,6 +1817,23 @@ object SparkEntry {
 
     "q_json_extract" -> jsonExtractSql,
     "q_like_search" -> likeSearchSql,
+
+    "q_trigram_search" ->
+      """WITH q AS (
+           SELECT list_distinct([lower('spring green yellow')[i:i+2]
+                                 for i in range(1, greatest(len('spring green yellow')-1, 2))]) AS qt),
+         p AS (
+           SELECT p_partkey, p_name,
+                  list_distinct([lower(p_name)[i:i+2]
+                                 for i in range(1, greatest(len(p_name)-1, 2))]) AS pt
+           FROM part),
+         scored AS (
+           SELECT p_partkey, p_name,
+                  round(len(list_intersect(pt, qt)) * 1.0
+                        / (len(pt) + len(qt) - len(list_intersect(pt, qt))), 6) AS sim
+           FROM p, q)
+         SELECT p_partkey, p_name, sim FROM scored
+         WHERE sim >= 0.1 ORDER BY sim DESC, p_partkey LIMIT 10""",
 
     "q_range_join" ->
       """SELECT e.event_id, e.user_id, count(c.ts) AS n_in_window

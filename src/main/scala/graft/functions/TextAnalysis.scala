@@ -37,6 +37,34 @@ object TextAnalysis {
     }.otherwise(lit("und"))
   }
 
+  /** Distinct lowercase character trigrams of a string — the pg_trgm
+    * building block (reference `database-schema.sql:5,64` creates a GIN
+    * trigram index on product name). Strings shorter than 3 chars collapse
+    * to one (possibly short) gram, mirroring the oracle's slice semantics.
+    * No padding (pg_trgm pads with spaces; similarity ORDERING is
+    * unaffected for same-length comparisons, and the unpadded form replays
+    * exactly in ANSI SQL). At scale the trigram set is the posting key of
+    * an inverted index; here similarity scans are block/broadcast-sized
+    * (name dictionaries), never fact-sized. */
+  def charTrigrams(c: Column): Column = {
+    val lc = lower(c)
+    array_distinct(transform(
+      sequence(lit(1), greatest(length(lc) - 2, lit(1))),
+      i => lc.substr(i, lit(3))))
+  }
+
+  /** Fuzzy name search: trigram-Jaccard of every `nameCol` against a query
+    * string, threshold + top-k — the query side is a LITERAL trigram set
+    * (constant-folded into the scan projection; no join at all). */
+  def trigramSearch(df: DataFrame, nameCol: String, query: String, minSim: Double, k: Int): DataFrame = {
+    val qt = charTrigrams(lit(query))
+    df.select(col("p_partkey"), col(nameCol),
+        round(graft.operators.Dedup.jaccard(charTrigrams(col(nameCol)), qt), 6).as("sim"))
+      .filter(col("sim") >= minSim)
+      .orderBy(col("sim").desc, col("p_partkey"))
+      .limit(k)
+  }
+
   /** Per-document quality metrics (length / token / stopword ratios — the
     * classic pre-training corpus filters). All ratios are exact integer
     * arithmetic surfaced as double, so they are engine-portable. */
