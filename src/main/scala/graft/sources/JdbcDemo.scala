@@ -29,7 +29,7 @@ import org.apache.spark.sql.functions._
   */
 object JdbcDemo {
 
-  private def props: Properties = {
+  private[graft] def props: Properties = {
     val p = new Properties()
     p.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
     p

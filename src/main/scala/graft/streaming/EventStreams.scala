@@ -304,4 +304,39 @@ object EventStreams {
         .agg(count(lit(1)).as("n_events"), moneySum(col("value")).as("value_sum"))
       Writers.overwritePartitions(daily, path, Seq("event_date"))
     }
+
+  /** The same per-date recompute against the reference's ACTUAL sink type —
+    * an RDBMS (`database-schema.sql:202-231` is plpgsql): per micro-batch,
+    * recompute the daily aggregate for only the dates the batch touches,
+    * DELETE those dates' rows, and append the recomputed slice with batched
+    * inserts. The touched-date list is collected driver-side — bounded by
+    * the batch's date span, not its row count (the same bounded-driver-work
+    * pattern as every other scalar here). Append auto-creates the table on
+    * the first batch. */
+  def dailyAggToJdbcSink(stream: DataFrame, url: String, table: String) =
+    stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      import graft.sources.JdbcDemo
+      val daily = batch
+        .groupBy(to_date(col("ts")).as("event_date"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), moneySum(col("value")).as("value_sum"))
+      val dates = daily.select(col("event_date")).distinct().collect().map(_.getDate(0))
+      val conn = java.sql.DriverManager.getConnection(url)
+      try {
+        // Spark's JDBC writer passes the TABLE name through verbatim (the
+        // DB normalizes it — uppercase in Derby) but quotes COLUMN names
+        // lowercase; the DELETE must follow both conventions or it
+        // resolves to an absent identifier and silently no-ops the
+        // recompute.
+        val exists = conn.getMetaData
+          .getTables(null, null, table.toUpperCase(java.util.Locale.ROOT), null).next()
+        if (exists) {
+          val st = conn.prepareStatement(s"""DELETE FROM $table WHERE "event_date" = ?""")
+          dates.foreach { d => st.setDate(1, d); st.addBatch() }
+          st.executeBatch()
+          st.close()
+        }
+      } finally conn.close()
+      daily.write.mode(org.apache.spark.sql.SaveMode.Append)
+        .option("batchsize", 1000).jdbc(url, table, JdbcDemo.props)
+    }
 }
