@@ -39,7 +39,7 @@ object Bench {
     // the next pass's measurements — the min is the steady-state cost a
     // long-running engine would see. (Passes are full-suite interleaved, so
     // a load spike cannot deflate one query's every sample.)
-    val nPasses = sys.env.getOrElse("GRAFT_PASSES", "3").toInt
+    val nPasses = math.max(1, sys.env.getOrElse("GRAFT_PASSES", "3").toInt)
     val passes = (1 to nPasses).map { _ =>
       val p = pass()
       System.gc()

@@ -809,7 +809,7 @@ object SparkEntry {
     // literal query string (constant-folded trigram set; no join), the
     // reference's GIN trigram index analog (`database-schema.sql:5,64`).
     "q_trigram_search" -> ((s, d) =>
-      TextAnalysis.trigramSearch(Tables.part(s, d), "p_name",
+      TextAnalysis.trigramSearch(Tables.part(s, d), "p_partkey", "p_name",
         query = "spring green yellow", minSim = 0.1, k = 10)),
 
     // Regex extraction (codegen'd RE2-compatible pattern; no UDF).
@@ -867,18 +867,23 @@ object SparkEntry {
       import graft.sources.JdbcDemo
       val sup = Tables.supplier(s, d)
         .select(col("s_suppkey"), col("s_name"), col("s_nationkey"), col("s_acctbal"))
-      val url = JdbcDemo.derbyUrl("graft_jdbc_demo")
+      // per-process database name: embedded Derby allows ONE JVM per
+      // database (db.lck), and Verify/Bench share the tmpfs scratch dir
+      val url = JdbcDemo.derbyUrl(s"graft_jdbc_demo_${ProcessHandle.current().pid()}")
       JdbcDemo.fullLoad(sup, url, "supplier_load")
       JdbcDemo.idempotentAppend(s, sup.limit(100), url, "supplier_load", Seq("s_suppkey"))
       val back = JdbcDemo.readTable(s, url, "supplier_load")
         .select(col("s_suppkey"), col("s_name").as("b_name"),
           col("s_nationkey").as("b_nationkey"), col("s_acctbal").as("b_acctbal"))
+      // null-safe equality throughout: a faithfully round-tripped NULL must
+      // count as a match, not fall through to the mismatch branch
       sup.join(back, Seq("s_suppkey"), "full_outer")
         .agg(
           count(lit(1)).as("n_rows"),
-          (sum(when(col("s_name") === col("b_name") &&
-            col("s_nationkey") === col("b_nationkey") &&
-            abs(col("s_acctbal") - col("b_acctbal")) < 0.001, 0L).otherwise(1L)) === 0L)
+          (sum(when(col("s_name") <=> col("b_name") &&
+            col("s_nationkey") <=> col("b_nationkey") &&
+            (abs(col("s_acctbal") - col("b_acctbal")) < 0.001 ||
+              (col("s_acctbal").isNull && col("b_acctbal").isNull)), 0L).otherwise(1L)) === 0L)
             .as("all_match"))
     }),
 

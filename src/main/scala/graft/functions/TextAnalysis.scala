@@ -55,13 +55,17 @@ object TextAnalysis {
 
   /** Fuzzy name search: trigram-Jaccard of every `nameCol` against a query
     * string, threshold + top-k — the query side is a LITERAL trigram set
-    * (constant-folded into the scan projection; no join at all). */
-  def trigramSearch(df: DataFrame, nameCol: String, query: String, minSim: Double, k: Int): DataFrame = {
+    * (constant-folded into the scan projection; no join at all). `idCol`
+    * is the key column carried through and used as the deterministic
+    * tie-break. */
+  def trigramSearch(
+      df: DataFrame, idCol: String, nameCol: String,
+      query: String, minSim: Double, k: Int): DataFrame = {
     val qt = charTrigrams(lit(query))
-    df.select(col("p_partkey"), col(nameCol),
+    df.select(col(idCol), col(nameCol),
         round(graft.operators.Dedup.jaccard(charTrigrams(col(nameCol)), qt), 6).as("sim"))
       .filter(col("sim") >= minSim)
-      .orderBy(col("sim").desc, col("p_partkey"))
+      .orderBy(col("sim").desc, col(idCol))
       .limit(k)
   }
 

@@ -70,9 +70,11 @@ case class TopKBy(
   }
 
   override def eval(buf: TopKBy.Heap): Any = {
+    // same total order as the heap (Double.compare): NaN sorts as the
+    // largest score, exactly like Spark's window-sort DESC would rank it
     val idx = Array.range(0, buf.size).sortWith { (x, y) =>
-      buf.scores(x) > buf.scores(y) ||
-        (buf.scores(x) == buf.scores(y) && buf.ids(x) < buf.ids(y))
+      val c = java.lang.Double.compare(buf.scores(x), buf.scores(y))
+      c > 0 || (c == 0 && buf.ids(x) < buf.ids(y))
     }
     new GenericArrayData(idx.map { j =>
       InternalRow(buf.scores(j), buf.ids(j))
@@ -114,10 +116,17 @@ object TopKBy {
     val ids = new Array[Long](k)
     var size = 0
 
-    private def worse(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
-      s1 < s2 || (s1 == s2 && i1 > i2)
+    // Total order via Double.compare so NaN behaves like Spark's sort
+    // (NaN = largest double, ranked first under DESC) instead of the IEEE
+    // comparisons, under which a NaN entry would be unevictable and the
+    // result arrival-order-dependent.
+    private def worse(s1: Double, i1: Long, s2: Double, i2: Long): Boolean = {
+      val c = java.lang.Double.compare(s1, s2)
+      c < 0 || (c == 0 && i1 > i2)
+    }
 
-    def offer(s: Double, i: Long): Unit = {
+    def offer(s0: Double, i: Long): Unit = {
+      val s = if (s0 == 0.0) 0.0 else s0 // normalize -0.0 (Spark sorts it equal to 0.0)
       if (size < k) {
         var c = size
         scores(c) = s; ids(c) = i; size += 1

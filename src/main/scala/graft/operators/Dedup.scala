@@ -263,19 +263,24 @@ object Dedup {
     * probe, not a data collect. */
   def connectedComponents(
       pairs: DataFrame, aCol: String, bCol: String, maxIter: Int = 25,
-      loopShuffleWidth: Int = 0, driverMaxEdges: Long = 4L << 20): DataFrame = {
+      loopShuffleWidth: Int = 0, driverMaxEdges: Long = 1L << 20): DataFrame = {
     val spark = pairs.sparkSession
-    val fwd = pairs.select(col(aCol).as("src"), col(bCol).as("dst")).cache()
+    // ids normalized to long up front so both paths accept int-typed pair
+    // columns and emit the same output schema
+    val fwd = pairs
+      .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+      .cache()
     val nPairs = fwd.count()
     // The pair graph is orders of magnitude smaller than the corpus (only
     // near-dup docs appear). When it fits comfortably on the driver
-    // (default ≤4M edges ≈ 64 MB of id pairs) solve it there with
-    // union-find — the same bounded-driver-work pattern as the IVF
-    // quantizer trainer: exact, deterministic, and O(E α(V)) instead of
-    // O(log d) distributed rounds each paying join+agg fixed costs. Beyond
-    // the cutoff, the distributed pointer-jumping loop takes over with a
-    // shuffle width sized to the edge count (one partition per ~250k
-    // directed edges, clamped to [4, session parallelism]);
+    // (default ≤1M edges — ~50 MB of collected tuples plus ~150 MB of
+    // transient hash maps, well inside any realistic driver heap) solve it
+    // there with union-find — the same bounded-driver-work pattern as the
+    // IVF quantizer trainer: exact, deterministic, and O(E α(V)) instead
+    // of O(log d) distributed rounds each paying join+agg fixed costs.
+    // Beyond the cutoff, the distributed pointer-jumping loop takes over
+    // with a shuffle width sized to the edge count (one partition per
+    // ~250k directed edges, clamped to [4, session parallelism]);
     // `loopShuffleWidth > 0` both forces the loop and pins its width.
     if (loopShuffleWidth == 0 && nPairs <= driverMaxEdges) {
       try driverUnionFind(spark, fwd)
@@ -298,7 +303,8 @@ object Dedup {
   /** Exact union-find (path compression + union by size) over a
     * driver-bounded pair list; canonical cluster id = min member id. */
   private def driverUnionFind(spark: org.apache.spark.sql.SparkSession, fwd: DataFrame): DataFrame = {
-    val edges = fwd.collect().map(r => (r.getLong(0), r.getLong(1)))
+    import spark.implicits._
+    val edges = fwd.as[(Long, Long)].collect()
     val parent = scala.collection.mutable.HashMap.empty[Long, Long]
     val rank = scala.collection.mutable.HashMap.empty[Long, Int]
     def find(x0: Long): Long = {

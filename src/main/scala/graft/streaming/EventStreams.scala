@@ -305,30 +305,45 @@ object EventStreams {
       Writers.overwritePartitions(daily, path, Seq("event_date"))
     }
 
-  /** The same per-date recompute against the reference's ACTUAL sink type —
-    * an RDBMS (`database-schema.sql:202-231` is plpgsql): per micro-batch,
-    * recompute the daily aggregate for only the dates the batch touches,
-    * DELETE those dates' rows, and append the recomputed slice with batched
-    * inserts. The touched-date list is collected driver-side — bounded by
-    * the batch's date span, not its row count (the same bounded-driver-work
-    * pattern as every other scalar here). Append auto-creates the table on
-    * the first batch. */
+  /** The reference's daily-aggregation maintenance against its ACTUAL sink
+    * type — an RDBMS (`database-schema.sql:202-231` is plpgsql), made
+    * streaming-incremental: per micro-batch, aggregate the batch's rows,
+    * MERGE additively with the sink's existing rows for the touched dates
+    * (counts and exact-decimal money sums are both associative, so a date
+    * arriving across many batches accumulates correctly), then DELETE +
+    * re-insert just those dates. The touched-date list is collected
+    * driver-side — bounded by the batch's date span, not its row count.
+    * Append auto-creates the table on the first batch. */
   def dailyAggToJdbcSink(stream: DataFrame, url: String, table: String) =
     stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
       import graft.sources.JdbcDemo
+      val spark = batch.sparkSession
       val daily = batch
         .groupBy(to_date(col("ts")).as("event_date"), col("event_type"))
         .agg(count(lit(1)).as("n_events"), moneySum(col("value")).as("value_sum"))
       val dates = daily.select(col("event_date")).distinct().collect().map(_.getDate(0))
       val conn = java.sql.DriverManager.getConnection(url)
-      try {
-        // Spark's JDBC writer passes the TABLE name through verbatim (the
-        // DB normalizes it — uppercase in Derby) but quotes COLUMN names
-        // lowercase; the DELETE must follow both conventions or it
-        // resolves to an absent identifier and silently no-ops the
-        // recompute.
-        val exists = conn.getMetaData
+      // Spark's JDBC writer passes the TABLE name through verbatim (the
+      // DB normalizes it — uppercase in Derby) but quotes COLUMN names
+      // lowercase; raw SQL against the table must follow both conventions
+      // or it resolves to an absent identifier and silently no-ops.
+      val exists =
+        try conn.getMetaData
           .getTables(null, null, table.toUpperCase(java.util.Locale.ROOT), null).next()
+        finally ()
+      val merged =
+        if (exists) {
+          val existingSlice = JdbcDemo.readTable(spark, url, table)
+            .filter(col("event_date").isin(dates.toIndexedSeq: _*))
+          daily.unionByName(existingSlice)
+            .groupBy(col("event_date"), col("event_type"))
+            .agg(sum(col("n_events")).as("n_events"),
+              moneySum(col("value_sum")).as("value_sum"))
+        } else daily
+      // materialize BEFORE the delete: the merged slice reads the rows the
+      // delete is about to remove
+      val rows = merged.collect()
+      try {
         if (exists) {
           val st = conn.prepareStatement(s"""DELETE FROM $table WHERE "event_date" = ?""")
           dates.foreach { d => st.setDate(1, d); st.addBatch() }
@@ -336,7 +351,8 @@ object EventStreams {
           st.close()
         }
       } finally conn.close()
-      daily.write.mode(org.apache.spark.sql.SaveMode.Append)
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), merged.schema)
+        .write.mode(org.apache.spark.sql.SaveMode.Append)
         .option("batchsize", 1000).jdbc(url, table, JdbcDemo.props)
     }
 }

@@ -47,13 +47,14 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     val q = EventStreams.dailyAggToJdbcSink(
       EventStreams.withWatermark(ms.toDF(), "1 minute"), url, "daily_agg").start()
     try {
-      // per-date RELOAD semantics (the reference's daily recompute replays
-      // a whole date): first a partial slice lands, then the full day —
-      // the second batch must DELETE the date's rows and recompute, so
-      // nothing double-counts
-      ms.addData(batch.take(2): _*)
+      // a date's events arrive across TWO micro-batches: the sink must
+      // merge additively with the already-landed slice (not clobber it
+      // with the batch-local aggregate), so the final table equals the
+      // full-batch aggregate
+      val (b1, b2) = batch.splitAt(2)
+      ms.addData(b1: _*)
       q.processAllAvailable()
-      ms.addData(batch: _*)
+      ms.addData(b2: _*)
       q.processAllAvailable()
     } finally q.stop()
     val back = JdbcDemo.readTable(spark, url, "daily_agg")
