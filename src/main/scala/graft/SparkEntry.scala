@@ -631,6 +631,12 @@ object SparkEntry {
     // dedup → stats) as one query — operator composition, not a new op.
     "q_corpus_curate" -> ((s, d) => TextAnalysis.curateCorpus(Tables.documents(s, d))),
 
+    // Gopher-style repetition gates (duplicate n-gram fraction, top-token
+    // concentration) — the curation signals large-corpus pipelines
+    // threshold on; all map-side expression work.
+    "q_doc_repetition" -> ((s, d) =>
+      TextAnalysis.repetitionSignals(Tables.documents(s, d)).orderBy(col("doc_id"))),
+
     "q_token_count_bpe" -> ((s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"),
@@ -1803,6 +1809,22 @@ object SparkEntry {
       s"""SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens,
                  CAST(len(regexp_extract_all(text, '${TextAnalysis.BpePattern.replace("'", "''")}')) AS INT) AS n_bpe_tokens
           FROM documents ORDER BY doc_id""",
+
+    "q_doc_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+              g AS (SELECT doc_id, toks,
+                           [array_to_string(toks[i:i+1], ' ') for i in range(1, len(toks))] AS bi,
+                           [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)] AS tri
+                    FROM t)
+         SELECT doc_id,
+                CASE WHEN len(toks) < 2 THEN 0.0
+                     ELSE round(1.0 - len(list_distinct(bi)) * 1.0 / len(bi), 6) END AS dup_bigram_frac,
+                CASE WHEN len(toks) < 3 THEN 0.0
+                     ELSE round(1.0 - len(list_distinct(tri)) * 1.0 / len(tri), 6) END AS dup_trigram_frac,
+                CASE WHEN len(toks) = 0 THEN 0.0
+                     ELSE round(list_max(list_transform(list_distinct(toks),
+                            t -> len(list_filter(toks, x -> x = t)))) * 1.0 / len(toks), 6) END AS top_token_frac
+         FROM g ORDER BY doc_id""",
 
     "q_salted_agg" ->
       """SELECT l_returnflag, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS gross

@@ -173,6 +173,39 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("rank"))
   }
 
+  /** Fraction of duplicate word `n`-grams in a document — the Gopher-rule
+    * repetition signal (a boilerplate/spam detector: scraped pages that
+    * repeat navigation or templates score high). 0 for docs shorter than
+    * `n` tokens. Pure per-row expression work: the signal costs one
+    * map-side pass, no shuffle. */
+  def dupNGramFraction(toks: Column, n: Int): Column = {
+    val sh = wordShingles(toks, n)
+    when(size(toks) < n, lit(0.0))
+      .otherwise(round(
+        lit(1.0) - size(array_distinct(sh)).cast(DoubleType) / size(sh).cast(DoubleType), 6))
+  }
+
+  /** Fraction of tokens taken by the single most frequent token — the
+    * "most common word" concentration signal (near 1.0 ⇒ degenerate
+    * repetition). Per-doc O(distinct × tokens) HOF work, still map-side. */
+  def topTokenFraction(toks: Column): Column =
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(round(
+        array_max(transform(array_distinct(toks),
+          t => size(filter(toks, x => x === t)))).cast(DoubleType)
+          / size(toks).cast(DoubleType), 6))
+
+  /** Per-document repetition scorecard (the Gopher-style quality gates a
+    * curation pipeline thresholds on). */
+  def repetitionSignals(documents: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    documents.select(
+      col("doc_id"),
+      dupNGramFraction(toks, 2).as("dup_bigram_frac"),
+      dupNGramFraction(toks, 3).as("dup_trigram_frac"),
+      topTokenFraction(toks).as("top_token_frac"))
+  }
+
   def corpusStats(documents: DataFrame): DataFrame =
     documents
       .select(col("lang"), col("source"), size(tokens(col("text"))).as("n_tokens"))
