@@ -598,6 +598,28 @@ object SparkEntry {
           (coalesce(sum(col("hit")), lit(0L)) >= count(lit(1)) * 0.65).as("recall_ok"))
     }),
 
+    // int8 scalar quantization (FAISS SQ8): 4× smaller embeddings at rest.
+    // Self-asserting: per-component reconstruction error must stay within
+    // the round-to-nearest bound scale/2 (+ float slack), and cosine
+    // against the original must stay ≥ 0.99 — the oracle pins corpus size
+    // and the literal trues.
+    "q_embed_quantize" -> ((s, d) => {
+      import graft.operators.Similarity
+      val emb = Tables.embeddings(s, d)
+      val q = emb.select(col("vec_id"), col("embedding"),
+        Similarity.quantizeInt8(col("embedding")).as("q"))
+      val r = q.select(col("vec_id"), col("embedding"),
+        Similarity.dequantizeInt8(col("q")).as("recon"),
+        (col("q.scale").cast("double") / 2 + lit(1e-6)).as("bound"))
+      r.select(col("vec_id"),
+          (aggregate(zip_with(col("embedding"), col("recon"), (a, b) => abs(a - b)),
+            lit(0.0), (m, e) => greatest(m, e)) <= col("bound")).as("err_ok"),
+          (cosineSimilarity(col("embedding"), col("recon")) >= 0.99 ||
+            l2Norm(col("embedding")) === 0.0).as("cos_ok"))
+        .agg(count(lit(1)).as("n_vectors"),
+          (sum(when(col("err_ok") && col("cos_ok"), 0L).otherwise(1L)) === 0L).as("all_ok"))
+    }),
+
     // -------------------------------------------------- text analysis ----
     "q_lang_id" -> ((s, d) =>
       Tables.documents(s, d)
@@ -1740,6 +1762,9 @@ object SparkEntry {
     "q_embed_knn_lsh" ->
       """SELECT count(DISTINCT vec_id) AS n_queries, true AS recall_ok
          FROM embeddings WHERE vec_id < 32""",
+
+    "q_embed_quantize" ->
+      "SELECT count(*) AS n_vectors, true AS all_ok FROM embeddings",
 
     "q_embed_knn_ivf" ->
       """SELECT count(DISTINCT vec_id) AS n_queries, true AS recall_ok

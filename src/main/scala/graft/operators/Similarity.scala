@@ -59,6 +59,27 @@ object Similarity {
         col("col.score").as("cosine"), (col("pos") + 1).cast("int").as("rank"))
       .orderBy(col("query_id"), col("rank"))
 
+  /** Symmetric per-vector int8 quantization: scale = max|x|/127, stored as
+    * (tinyint codes, float scale) — 4× smaller at rest than float32, the
+    * standard memory-bound trade for a 100 TB embedding store (the same
+    * scheme FAISS calls SQ8). Reconstruction x̂ = code·scale bounds the
+    * per-component error by scale/2 (round-to-nearest), which
+    * [[SparkEntry]]'s `q_embed_quantize` asserts in-plan. Pure expression
+    * work — quantization rides the scan projection, no shuffle. */
+  def quantizeInt8(embedding: Column): Column = {
+    val scale = array_max(transform(embedding, x => abs(x))) / lit(127.0)
+    struct(
+      // scale == 0 (all-zero vector) ⇒ all codes 0
+      transform(embedding, x =>
+        when(lit(0.0) === scale, lit(0))
+          .otherwise(round(x / scale, 0)).cast("tinyint")).as("codes"),
+      scale.cast("float").as("scale"))
+  }
+
+  /** Dequantized (lossy) reconstruction of [[quantizeInt8]] output. */
+  def dequantizeInt8(q: Column): Column =
+    transform(q.getField("codes"), c => c.cast("double") * q.getField("scale").cast("double"))
+
   /** splitmix64 finalizer — deterministic pseudo-random stream with no RNG
     * state, identical on every executor and across runs. */
   private def mix64(z0: Long): Long = {
