@@ -659,6 +659,46 @@ object SparkEntry {
     "q_doc_repetition" -> ((s, d) =>
       TextAnalysis.repetitionSignals(Tables.documents(s, d)).orderBy(col("doc_id"))),
 
+    // Per-source quota sampling (domain caps, the pretraining-mix dedupe of
+    // over-represented hosts): keep ≤ 20 docs per source by a deterministic
+    // hash priority — grouped top-k via the bounded-heap aggregate, so the
+    // shuffle carries ≤ k rows per (source, task), never the corpus. The
+    // priority is plain modular arithmetic (portable to the oracle; no
+    // engine hash).
+    "q_source_quota" -> ((s, d) => {
+      import graft.functions.TopKBy.topKBy
+      Tables.documents(s, d)
+        .select(col("source"), col("doc_id"),
+          pmod(col("doc_id") * lit(2654435761L), lit(1000000007L)).cast("double").as("pri"))
+        .groupBy(col("source"))
+        .agg(topKBy(col("pri"), col("doc_id"), 20).as("keep"))
+        .select(col("source"), explode(col("keep.id")).as("doc_id"))
+        .orderBy(col("source"), col("doc_id"))
+    }),
+
+    // Benchmark decontamination: drop/flag training docs sharing any word
+    // 5-gram with an eval set (here: docs 0-2 play the benchmark). The
+    // benchmark shingle set is small by nature → broadcast; doc shingles
+    // explode map-side and the semi-join prunes before any wide shuffle.
+    // Docs shorter than the shingle width contribute no shingles on either
+    // side (guarded identically in the oracle).
+    "q_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      def sh(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        when(size(tokens(c)) >= 5, wordShingles(tokens(c), 5))
+          .otherwise(array().cast("array<string>"))
+      val bench = docs.filter(col("doc_id") < 3)
+        .select(explode(sh(col("text"))).as("shingle")).distinct()
+      val flagged = docs
+        .select(col("doc_id"), explode(sh(col("text"))).as("shingle"))
+        .join(broadcast(bench), Seq("shingle"))
+        .select(col("doc_id")).distinct()
+        .withColumn("hit", lit(true))
+      docs.join(flagged, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("hit"), lit(false)).as("contaminated"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_token_count_bpe" -> ((s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"),
@@ -1850,6 +1890,33 @@ object SparkEntry {
                      ELSE round(list_max(list_transform(list_distinct(toks),
                             t -> len(list_filter(toks, x -> x = t)))) * 1.0 / len(toks), 6) END AS top_token_frac
          FROM g ORDER BY doc_id""",
+
+    // window-twin oracle for the bounded-heap grouped top-k
+    "q_source_quota" ->
+      """SELECT source, doc_id FROM (
+           SELECT source, doc_id,
+                  row_number() OVER (
+                    PARTITION BY source
+                    ORDER BY (doc_id * 2654435761) % 1000000007 DESC, doc_id) AS rn
+           FROM documents)
+         WHERE rn <= 20 ORDER BY source, doc_id""",
+
+    "q_decontaminate" ->
+      """WITH sh AS (
+           SELECT doc_id,
+                  CASE WHEN len(string_split(text, ' ')) >= 5
+                       THEN [array_to_string(string_split(text, ' ')[i:i+4], ' ')
+                             for i in range(1, len(string_split(text, ' ')) - 3)]
+                       ELSE [] END AS shingles
+           FROM documents),
+         bench AS (SELECT DISTINCT unnest(shingles) AS shingle FROM sh WHERE doc_id < 3),
+         flagged AS (
+           SELECT DISTINCT s.doc_id
+           FROM (SELECT doc_id, unnest(shingles) AS shingle FROM sh) s
+           JOIN bench b ON s.shingle = b.shingle)
+         SELECT d.doc_id, f.doc_id IS NOT NULL AS contaminated
+         FROM documents d LEFT JOIN flagged f ON d.doc_id = f.doc_id
+         ORDER BY d.doc_id""",
 
     "q_salted_agg" ->
       """SELECT l_returnflag, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS gross
