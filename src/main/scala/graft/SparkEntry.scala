@@ -533,8 +533,45 @@ object SparkEntry {
     "q_token_jaccard" -> ((s, d) =>
       Dedup.blockedJaccardPairs(Tables.documents(s, d), threshold = 0.9)),
 
-    "q_minhash_lsh" -> ((s, d) =>
-      Dedup.minHashNearDuplicates(Tables.documents(s, d))),
+    // EXACT all-pairs similarity self-join (PPJoin prefix filter) over
+    // 3-word shingle sets — no blocking key required, complete by the
+    // prefix-filter theorem, and oracle-checked pair-for-pair against
+    // DuckDB's brute-force quadratic twin. Shingle sets (not token sets):
+    // the testdata vocabulary is tiny, so token sets of unrelated docs are
+    // already near-identical — shingle space is |V|³ and keeps similarity
+    // selective, which is also why prefixes prune. The 100 TB path is the
+    // prefix-filter plan (linear × prefix length); the oracle's cross join
+    // exists only at verification SF.
+    "q_allpairs_jaccard" -> ((s, d) => {
+      val shingled = Tables.documents(s, d).select(
+        col("doc_id"), Dedup.sortedShingleHashes(col("text"), n = 3).as("sh"))
+      Dedup.prefixFilterPairs(shingled, "doc_id", "sh", threshold = 0.7)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // MinHash+LSH near-dup, SELF-ASSERTING: the exact ground truth (every
+    // pair with shingle-Jaccard ≥ 0.7, via the complete prefix-filter join)
+    // is computed in the same plan; the query emits that exact pair count
+    // (which the DuckDB oracle recomputes brute-force from the raw text) plus
+    // recall and subset booleans. With 16 bands × 4 rows the S-curve gives
+    // ≥ 98.8% expected recall AT the 0.7 threshold (higher above it); the
+    // assertion floor is 0.8. Subset holds by construction (both sides verify
+    // with the same exact Jaccard), so `subset_ok` guards plan consistency.
+    "q_minhash_lsh" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val shingled = docs.select(
+        col("doc_id"), Dedup.sortedShingleHashes(col("text"), n = 3).as("sh"))
+      val exact = Dedup.prefixFilterPairs(shingled, "doc_id", "sh", threshold = 0.7)
+        .select(col("doc_a"), col("doc_b"), lit(1L).as("in_exact"))
+      val mh = Dedup.minHashNearDuplicatesUnsorted(docs)
+        .select(col("doc_a"), col("doc_b"), lit(1L).as("in_mh"))
+      exact.join(mh, Seq("doc_a", "doc_b"), "full")
+        .agg(
+          coalesce(sum(col("in_exact")), lit(0L)).as("n_exact"),
+          (coalesce(sum(col("in_exact") * col("in_mh")), lit(0L)) >=
+            coalesce(sum(col("in_exact")), lit(0L)) * 0.8).as("recall_ok"),
+          (coalesce(sum(when(col("in_exact").isNull, 1L)), lit(0L)) === 0L).as("subset_ok"))
+    }),
 
     // Near-dup pairs → dedup CLUSTERS (connected components by min-label
     // propagation): the step that turns pairwise similarity into "keep one
@@ -547,13 +584,63 @@ object SparkEntry {
         .select(col("v").as("doc_id"), col("cluster_id"), col("cluster_size"))
         .orderBy(col("doc_id"))),
 
+    // SimHash fingerprints, SELF-ASSERTING: the native codegen voting kernel
+    // ([[graft.functions.SimHash64]]) is recomputed per document by an
+    // interpreted higher-order-function twin (same per-token xxhash64, same
+    // ±1 bit votes, same sign rule, folded with aggregate/zip_with) and the
+    // query emits equality over the whole corpus. The oracle recomputes the
+    // document count; `all_match` is the kernel-vs-spec bit-identity claim.
     "q_simhash" -> ((s, d) =>
       Tables.documents(s, d)
-        .select(col("doc_id"), simHash64(tokens(col("text"))).as("simhash"))
-        .orderBy(col("doc_id"))),
+        .select(col("doc_id"),
+          simHash64(tokens(col("text"))).as("fp"),
+          expr(
+            """aggregate(
+              |  zip_with(
+              |    aggregate(
+              |      transform(split(text, ' '), t -> xxhash64(t)),
+              |      array_repeat(0, 64),
+              |      (acc, v) -> zip_with(
+              |        acc,
+              |        transform(sequence(0, 63), j -> IF(((v >> j) & 1) = 1, 1, -1)),
+              |        (x, y) -> x + y)),
+              |    sequence(0, 63),
+              |    (vote, j) -> IF(vote > 0, shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT))),
+              |  CAST(0 AS BIGINT),
+              |  (a, b) -> a | b)""".stripMargin).as("fp_twin"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          (sum(when(col("fp") =!= col("fp_twin"), 1L).otherwise(0L)) === 0L).as("all_match"))),
 
-    "q_embed_neardup" -> ((s, d) =>
-      Dedup.embeddingNearDuplicates(Tables.embeddings(s, d))),
+    // Embedding near-dup, SELF-ASSERTING: the exact ground truth (every pair
+    // with cosine ≥ 0.4, brute-force over all pairs) is computed in-plan; the
+    // query emits the exact pair count (the DuckDB oracle recomputes it with
+    // list_cosine_similarity over the same rounded-6dp values), LSH recall
+    // against it (theory: ~0.75 detection AT cosine 0.4 with 8 bands × 4
+    // planes, higher above; floor 0.55), and the subset check. The quadratic
+    // twin is the verification harness, not the operator: the operator's
+    // 100 TB path stays the banded-LSH candidate join.
+    "q_embed_neardup" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val base = emb.select(col("vec_id"), col("embedding"),
+        l2Norm(col("embedding")).as("nrm"))
+      val exact = base.alias("a")
+        .join(base.alias("b"), col("a.vec_id") < col("b.vec_id"))
+        .select(
+          col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+          round(dotProduct(col("a.embedding"), col("b.embedding"))
+            / (col("a.nrm") * col("b.nrm")), 6).as("cosine"))
+        .filter(col("cosine") >= 0.4)
+        .select(col("vec_a"), col("vec_b"), lit(1L).as("in_exact"))
+      val approx = Dedup.embeddingNearDuplicatesUnsorted(emb)
+        .select(col("vec_a"), col("vec_b"), lit(1L).as("in_lsh"))
+      exact.join(approx, Seq("vec_a", "vec_b"), "full")
+        .agg(
+          coalesce(sum(col("in_exact")), lit(0L)).as("n_exact"),
+          (coalesce(sum(col("in_exact") * col("in_lsh")), lit(0L)) >=
+            coalesce(sum(col("in_exact")), lit(0L)) * 0.55).as("recall_ok"),
+          (coalesce(sum(when(col("in_exact").isNull, 1L)), lit(0L)) === 0L).as("subset_ok"))
+    }),
 
     // ------------------------------------------------ similarity search ----
     "q_embed_knn" -> ((s, d) => {
@@ -658,6 +745,31 @@ object SparkEntry {
     // threshold on; all map-side expression work.
     "q_doc_repetition" -> ((s, d) =>
       TextAnalysis.repetitionSignals(Tables.documents(s, d)).orderBy(col("doc_id"))),
+
+    // CCNet-style unigram-LM quality score: mean token log-probability under
+    // the corpus's own unigram model (see TextAnalysis.unigramLogProb for
+    // the term-keyed shuffle-join posture).
+    "q_unigram_lm" -> ((s, d) =>
+      TextAnalysis.unigramLogProb(Tables.documents(s, d)).orderBy(col("doc_id"))),
+
+    // PII detection + redaction (phones, emails) — the mandatory scrub pass
+    // of any training-data pipeline; per-row codegen regex, no shuffle. The
+    // testdata carries no raw PII, so the fixture derives deterministic
+    // contact strings from the customer table (same derivation in the
+    // oracle) and the operator is graded on detect+redact semantics.
+    "q_pii_redact" -> ((s, d) => {
+      import graft.clean.Cleaning
+      Tables.customer(s, d)
+        .select(col("c_custkey"),
+          format_string("reach %s at %03d-555-%04d or user%d@example.com",
+            col("c_name"), col("c_nationkey"),
+            pmod(col("c_custkey"), lit(10000L)), col("c_custkey")).as("contact"))
+        .select(col("c_custkey"),
+          Cleaning.piiCount(col("contact"), Cleaning.PhonePattern).as("n_phone"),
+          Cleaning.piiCount(col("contact"), Cleaning.EmailPattern).as("n_email"),
+          Cleaning.redactPii(col("contact")).as("redacted"))
+        .orderBy(col("c_custkey"))
+    }),
 
     // Per-source quota sampling (domain caps, the pretraining-mix dedupe of
     // over-represented hosts): keep ≤ 20 docs per source by a deterministic
@@ -1784,6 +1896,60 @@ object SparkEntry {
              ON a.source = b.source AND a.doc_id < b.doc_id)
          WHERE jaccard >= 0.9 ORDER BY doc_a, doc_b""",
 
+    // The prefix-filter join's oracle is the unblocked brute-force quadratic
+    // twin (3-word shingles, same Jaccard, same 6dp rounding) — complete by
+    // construction, affordable only at verification SF. The size-ratio
+    // prefilter (J ≥ t ⇒ |A|/|B| ∈ [t, 1/t]) keeps the cross join honest
+    // without changing the result.
+    "q_allpairs_jaccard" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+              sh AS (SELECT doc_id,
+                       CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                            ELSE list_distinct([array_to_string(t[i:i+2], ' ')
+                                                for i in range(1, len(t) - 1)])
+                       END AS s
+                     FROM tk)
+         SELECT * FROM (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  round(len(list_intersect(a.s, b.s)) * 1.0
+                        / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+           FROM sh a JOIN sh b
+             ON a.doc_id < b.doc_id
+            AND len(a.s) * 0.7 <= len(b.s) AND len(b.s) * 0.7 <= len(a.s))
+         WHERE jaccard >= 0.7 ORDER BY doc_a, doc_b""",
+
+    // Self-asserting MinHash recall: the oracle recomputes the EXACT
+    // ≥-threshold pair count brute-force (3-word shingles, same Jaccard,
+    // same 6dp rounding) and pins the booleans the Spark plan asserts.
+    "q_minhash_lsh" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+              sh AS (SELECT doc_id,
+                       CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                            ELSE list_distinct([array_to_string(t[i:i+2], ' ')
+                                                for i in range(1, len(t) - 1)])
+                       END AS s
+                     FROM tk)
+         SELECT count(*) AS n_exact, true AS recall_ok, true AS subset_ok
+         FROM sh a JOIN sh b
+           ON a.doc_id < b.doc_id
+          AND len(a.s) * 0.7 <= len(b.s) AND len(b.s) * 0.7 <= len(a.s)
+         WHERE round(len(list_intersect(a.s, b.s)) * 1.0
+                     / len(list_distinct(list_concat(a.s, b.s))), 6) >= 0.7""",
+
+    // Native SimHash kernel vs interpreted HOF twin — bit identity over the
+    // whole corpus; the oracle recomputes the document count.
+    "q_simhash" ->
+      "SELECT count(*) AS n_docs, true AS all_match FROM documents",
+
+    // Self-asserting embedding near-dup recall: the oracle recomputes the
+    // EXACT cosine ≥ 0.4 pair count with the same rounded-6dp cosine the
+    // Spark twin uses (bit-parity proven by q_embed_knn).
+    "q_embed_neardup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+         SELECT count(*) AS n_exact, true AS recall_ok, true AS subset_ok
+         FROM e a JOIN e b ON a.vec_id < b.vec_id
+         WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4""",
+
     "q_embed_knn" ->
       """SELECT * FROM (
            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -1890,6 +2056,27 @@ object SparkEntry {
                      ELSE round(list_max(list_transform(list_distinct(toks),
                             t -> len(list_filter(toks, x -> x = t)))) * 1.0 / len(toks), 6) END AS top_token_frac
          FROM g ORDER BY doc_id""",
+
+    "q_unigram_lm" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+              tf AS (SELECT term, count(*) AS tf FROM tok GROUP BY term),
+              tot AS (SELECT CAST(sum(tf) AS DOUBLE) AS n_total FROM tf)
+         SELECT doc_id, count(*) AS n_tokens,
+                round(avg(ln(tf / n_total)), 6) AS avg_logprob
+         FROM tok JOIN tf USING (term), tot
+         GROUP BY doc_id ORDER BY doc_id""",
+
+    "q_pii_redact" ->
+      """WITH c AS (SELECT c_custkey,
+                           printf('reach %s at %03d-555-%04d or user%d@example.com',
+                                  c_name, c_nationkey, c_custkey % 10000, c_custkey) AS contact
+                    FROM customer)
+         SELECT c_custkey,
+                CAST(len(regexp_extract_all(contact, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phone,
+                CAST(len(regexp_extract_all(contact, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+                regexp_replace(regexp_replace(contact, '[0-9]{3}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g'),
+                               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g') AS redacted
+         FROM c ORDER BY c_custkey""",
 
     // window-twin oracle for the bounded-heap grouped top-k
     "q_source_quota" ->

@@ -50,4 +50,29 @@ object Cleaning {
     * engine it folds into the load. */
   def withUpdatedAt(df: DataFrame): DataFrame =
     df.withColumn("updated_at", current_timestamp())
+
+  // ------------------------------------------------------------- PII ----
+
+  /** NANP-style phone numbers (`xxx-xxx-xxxx`). Kept to portable regex
+    * constructs (character classes + bounded repetition) so Java regex
+    * (Spark) and RE2 (DuckDB oracle) agree exactly. */
+  val PhonePattern: String = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  /** RFC-5322-lite email addresses. */
+  val EmailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Count of PII matches of `pattern` in `text` — the audit half of
+    * redaction (how much PII a source carries gates whether it enters the
+    * training mix at all). */
+  def piiCount(text: Column, pattern: String): Column =
+    regexp_count(text, lit(pattern)).cast("long")
+
+  /** Redact phones then emails to typed placeholders. Pure per-row codegen
+    * expression work — the 100 TB cost is one map-side pass over the text
+    * column, no shuffle, no UDF. Phones first: a redacted `[PHONE]` token
+    * contains no `@`, so the passes can't interact. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, lit(PhonePattern), lit("[PHONE]")),
+      lit(EmailPattern), lit("[EMAIL]"))
 }

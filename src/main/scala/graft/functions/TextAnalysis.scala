@@ -173,6 +173,30 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("rank"))
   }
 
+  /** Per-document unigram language-model score: mean log-probability of the
+    * document's tokens under the corpus's own unigram model — the
+    * CCNet-style "LM quality bucket" signal, with the corpus itself as the
+    * model (production swaps in a reference-corpus term table; the plan is
+    * identical). Boilerplate scores high (common words), gibberish low.
+    *
+    * Scale shape: the term-frequency aggregation and the token→logp join
+    * are both keyed by `term` (one co-partitioned exchange pair, no
+    * broadcast of the unbounded vocabulary — same posture as
+    * [[topTermsPerDoc]]); the corpus total joins as a broadcast SCALAR
+    * (one row), never a driver collect. */
+  def unigramLogProb(documents: DataFrame): DataFrame = {
+    val tok = documents
+      .repartition(documents.sparkSession.sparkContext.defaultParallelism)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val tf = tok.groupBy(col("term")).agg(count(lit(1)).as("tf"))
+    val total = tf.agg(sum(col("tf")).cast(DoubleType).as("n_total"))
+    val logp = tf.crossJoin(broadcast(total))
+      .select(col("term"), log(col("tf") / col("n_total")).as("logp"))
+    tok.join(logp, Seq("term"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), round(avg(col("logp")), 6).as("avg_logprob"))
+  }
+
   /** Fraction of duplicate word `n`-grams in a document — the Gopher-rule
     * repetition signal (a boilerplate/spam detector: scraped pages that
     * repeat navigation or templates score high). 0 for docs shorter than

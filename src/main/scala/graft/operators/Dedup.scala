@@ -86,6 +86,17 @@ object Dedup {
       shingleSize: Int = 3,
       bands: Int = 16,
       rowsPerBand: Int = 4,
+      threshold: Double = 0.7): DataFrame =
+    minHashNearDuplicatesUnsorted(documents, shingleSize, bands, rowsPerBand, threshold)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** [[minHashNearDuplicates]] without the final harness sort — for consumers
+    * (recall checks, clustering) that aggregate or repartition anyway. */
+  def minHashNearDuplicatesUnsorted(
+      documents: DataFrame,
+      shingleSize: Int = 3,
+      bands: Int = 16,
+      rowsPerBand: Int = 4,
       threshold: Double = 0.7): DataFrame = {
     // A small input (one parquet split) would otherwise run the whole
     // CPU-dense shingle/sketch projection on a single task; spread it.
@@ -118,7 +129,6 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         round(sortedJaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** SimHash near-duplicates: 64-bit fingerprints, candidates via 4×16-bit
@@ -192,6 +202,65 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** EXACT similarity self-join via AllPairs/PPJoin prefix filtering — the
+    * complete (no-false-negative) counterpart to [[minHashNearDuplicates]],
+    * and the in-plan ground truth its recall assertion is checked against.
+    *
+    * Theorem (prefix filter, Chaudhuri et al. SSJoin / Xiao et al. PPJoin):
+    * under any global total order of set elements, two sets with
+    * J(A,B) ≥ t must share at least one element among the first
+    * |X| − ⌈t·|X|⌉ + 1 elements of EACH set. So exploding only that prefix
+    * and joining on the shared element yields a complete candidate set —
+    * linear in corpus size times prefix length, never |corpus|² — and exact
+    * verification of candidates makes the result exact.
+    *
+    * Scale shape mirrors the MinHash banding join: only slim
+    * `(id, size, prefix_hash)` rows ride the candidate exchange; full sets
+    * are joined back once per side for verification. The size-ratio bound
+    * (J ≥ t ⇒ |A|/|B| ∈ [t, 1/t]) is applied inside the candidate join so
+    * incompatible pairs die before the dedup shuffle. Element order here is
+    * the hash order (uniform-random ≈ random permutation); on a Zipfian
+    * natural-language corpus the published refinement — order elements by
+    * ascending global frequency so prefixes hold the RAREST elements — cuts
+    * candidates further at the cost of a document-frequency join, and slots
+    * into `sets` as a re-sort before calling this.
+    *
+    * @param sets (`idCol`, `setCol`) where `setCol` is a SORTED array of
+    *             distinct 64-bit element hashes (see
+    *             [[sortedShingleHashes]]).
+    */
+  def prefixFilterPairs(
+      sets: DataFrame,
+      idCol: String,
+      setCol: String,
+      threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"prefixFilterPairs: threshold must be in (0, 1], got $threshold")
+    val spread = sets.repartition(sets.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("__id"), col(setCol).as("__set"))
+    val sized = spread.withColumn("__sz", size(col("__set")))
+    // Prefix length |X| − ⌈t·|X|⌉ + 1 (≥ 1 even for singleton sets).
+    val prefix = sized.select(
+      col("__id"), col("__sz"),
+      explode(slice(col("__set"), lit(1),
+        greatest(col("__sz") - ceil(col("__sz") * lit(threshold)).cast("int") + lit(1), lit(1))))
+        .as("__h"))
+    val candidates = prefix.alias("a")
+      .join(prefix.alias("b"),
+        col("a.__h") === col("b.__h") &&
+          col("a.__id") < col("b.__id") &&
+          col("a.__sz") * lit(threshold) <= col("b.__sz") &&
+          col("b.__sz") * lit(threshold) <= col("a.__sz"))
+      .select(col("a.__id").as("doc_a"), col("b.__id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    candidates
+      .join(spread.select(col("__id").as("doc_a"), col("__set").as("__set_a")), Seq("doc_a"))
+      .join(spread.select(col("__id").as("doc_b"), col("__set").as("__set_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(sortedJaccard(col("__set_a"), col("__set_b")), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Embedding near-duplicates: cosine ≥ `threshold` pairs, candidates from
     * banded random-hyperplane LSH (OR-amplification across `bands`
     * signatures of `rowsPerBand` planes — see
@@ -209,6 +278,15 @@ object Dedup {
     * not once per pair; pair dedup moves (id, id, score) rows, never
     * vectors. */
   def embeddingNearDuplicates(
+      embeddings: DataFrame,
+      bands: Int = 8,
+      rowsPerBand: Int = 4,
+      threshold: Double = 0.4): DataFrame =
+    embeddingNearDuplicatesUnsorted(embeddings, bands, rowsPerBand, threshold)
+      .orderBy(col("vec_a"), col("vec_b"))
+
+  /** [[embeddingNearDuplicates]] without the final harness sort. */
+  def embeddingNearDuplicatesUnsorted(
       embeddings: DataFrame,
       bands: Int = 8,
       rowsPerBand: Int = 4,
@@ -230,7 +308,6 @@ object Dedup {
           / (col("a.nrm") * col("b.nrm")), 6).as("cosine"))
       .filter(col("cosine") >= threshold)
       .dropDuplicates("vec_a", "vec_b")
-      .orderBy(col("vec_a"), col("vec_b"))
   }
 
   /** |A∩B| / |A∪B| over (unsorted) array columns — exact, order-free.

@@ -48,6 +48,59 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(pairs(0).getAs[Double]("jaccard") - 9.0 / 11.0) < 1e-6)
   }
 
+  test("prefixFilterPairs equals brute force at every threshold (completeness)") {
+    // 12 docs with overlapping token windows over a 40-word vocabulary —
+    // pair similarities spread across (0, 1), so each threshold slices a
+    // different exact answer. The prefix-filter result must equal the
+    // cross-join twin EXACTLY (the filter may never drop a true pair).
+    val vocab = (0 until 40).map(i => s"w$i")
+    val fixture = (0 until 12).map { i =>
+      (i.toLong, vocab.slice(i, i + 20).mkString(" "))
+    }.toDF("doc_id", "text")
+    val sets = fixture.select(
+      $"doc_id",
+      array_sort(transform(array_distinct(split($"text", " ")), t => xxhash64(t))).as("toks"))
+    val bruteForce = sets.as("a").join(sets.as("b"), $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+        round(Dedup.sortedJaccard($"a.toks", $"b.toks"), 6).as("jaccard"))
+    for (t <- Seq(0.3, 0.5, 0.7, 0.9)) {
+      val expected = bruteForce.filter($"jaccard" >= t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val got = Dedup.prefixFilterPairs(sets, "doc_id", "toks", t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == expected, s"threshold $t: prefix filter != brute force")
+      assert(expected.nonEmpty || t > 0.9) // fixture exercises every slice
+    }
+  }
+
+  test("redactPii scrubs phones and emails; piiCount finds them") {
+    val df = Seq(
+      (1L, "call 555-123-4567 or mail a.b@x.io and c@y.co"),
+      (2L, "no pii here 12-34")).toDF("id", "s")
+    val got = df.select($"id",
+      graft.clean.Cleaning.piiCount($"s", graft.clean.Cleaning.PhonePattern).as("np"),
+      graft.clean.Cleaning.piiCount($"s", graft.clean.Cleaning.EmailPattern).as("ne"),
+      graft.clean.Cleaning.redactPii($"s").as("red")).orderBy($"id").collect()
+    assert(got(0).getAs[Long]("np") == 1L && got(0).getAs[Long]("ne") == 2L)
+    assert(got(0).getAs[String]("red") == "call [PHONE] or mail [EMAIL] and [EMAIL]")
+    assert(got(1).getAs[Long]("np") == 0L && got(1).getAs[Long]("ne") == 0L)
+    assert(got(1).getAs[String]("red") == "no pii here 12-34")
+  }
+
+  test("unigramLogProb scores common-word docs higher than rare-word docs") {
+    // "common" appears 12x in the corpus, rare words once each.
+    val docs = (Seq.fill(10)("common common") ++ Seq("common rarea", "rareb rarec"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = graft.functions.TextAnalysis.unigramLogProb(docs)
+      .orderBy($"doc_id").collect()
+    assert(got.length == 12)
+    val common = got(0).getAs[Double]("avg_logprob")
+    val mixed = got(10).getAs[Double]("avg_logprob")
+    val rare = got(11).getAs[Double]("avg_logprob")
+    assert(common > mixed && mixed > rare)
+    assert(got.forall(_.getAs[Long]("n_tokens") == 2L))
+  }
+
   test("bruteForceKnn ranks by cosine with deterministic tie-break") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f)),
