@@ -542,12 +542,10 @@ object SparkEntry {
     // selective, which is also why prefixes prune. The 100 TB path is the
     // prefix-filter plan (linear × prefix length); the oracle's cross join
     // exists only at verification SF.
-    "q_allpairs_jaccard" -> ((s, d) => {
-      val shingled = Tables.documents(s, d).select(
-        col("doc_id"), Dedup.sortedShingleHashes(col("text"), n = 3).as("sh"))
-      Dedup.prefixFilterPairs(shingled, "doc_id", "sh", threshold = 0.7)
-        .orderBy(col("doc_a"), col("doc_b"))
-    }),
+    "q_allpairs_jaccard" -> ((s, d) =>
+      Dedup.prefixFilterPairs(
+        Dedup.shingleSets(Tables.documents(s, d), n = 3), "doc_id", "sh", threshold = 0.7)
+        .orderBy(col("doc_a"), col("doc_b"))),
 
     // MinHash+LSH near-dup, SELF-ASSERTING: the exact ground truth (every
     // pair with shingle-Jaccard ≥ 0.7, via the complete prefix-filter join)
@@ -558,12 +556,12 @@ object SparkEntry {
     // assertion floor is 0.8. Subset holds by construction (both sides verify
     // with the same exact Jaccard), so `subset_ok` guards plan consistency.
     "q_minhash_lsh" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val shingled = docs.select(
-        col("doc_id"), Dedup.sortedShingleHashes(col("text"), n = 3).as("sh"))
+      // ONE materialized shingle table feeds both the exact ground truth
+      // and the MinHash operator under test.
+      val shingled = Dedup.shingleSets(Tables.documents(s, d), n = 3)
       val exact = Dedup.prefixFilterPairs(shingled, "doc_id", "sh", threshold = 0.7)
         .select(col("doc_a"), col("doc_b"), lit(1L).as("in_exact"))
-      val mh = Dedup.minHashNearDuplicatesUnsorted(docs)
+      val mh = Dedup.minHashPairsFromShingles(shingled)
         .select(col("doc_a"), col("doc_b"), lit(1L).as("in_mh"))
       exact.join(mh, Seq("doc_a", "doc_b"), "full")
         .agg(
@@ -622,8 +620,13 @@ object SparkEntry {
     // 100 TB path stays the banded-LSH candidate join.
     "q_embed_neardup" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      val base = emb.select(col("vec_id"), col("embedding"),
-        l2Norm(col("embedding")).as("nrm"))
+      // Materialize (id, vec, norm) once: the brute-force twin and the LSH
+      // operator both branch from it (norms would otherwise recompute per
+      // branch).
+      val base = emb
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("vec_id"), col("embedding"), l2Norm(col("embedding")).as("nrm"))
+        .localCheckpoint(false)
       val exact = base.alias("a")
         .join(base.alias("b"), col("a.vec_id") < col("b.vec_id"))
         .select(
@@ -632,7 +635,7 @@ object SparkEntry {
             / (col("a.nrm") * col("b.nrm")), 6).as("cosine"))
         .filter(col("cosine") >= 0.4)
         .select(col("vec_a"), col("vec_b"), lit(1L).as("in_exact"))
-      val approx = Dedup.embeddingNearDuplicatesUnsorted(emb)
+      val approx = Dedup.embeddingNearDupFromBase(base)
         .select(col("vec_a"), col("vec_b"), lit(1L).as("in_lsh"))
       exact.join(approx, Seq("vec_a", "vec_b"), "full")
         .agg(

@@ -54,6 +54,22 @@ object Dedup {
   def sortedShingles(text: Column, n: Int): Column =
     array_sort(array_distinct(wordShingles(tokens(text), n)))
 
+  /** `(doc_id, sh)` — each document's sorted shingle-hash set, spread
+    * across the cluster and MATERIALIZED (`localCheckpoint`). Every
+    * similarity consumer (MinHash banding, prefix filtering, and both
+    * verification join-backs) branches from this one table; without the
+    * checkpoint each DAG branch re-derives the HOF-heavy shingle chain from
+    * the raw text (4+ full recomputes, and constraint inference even copies
+    * the whole expression into scan-side null filters). At 100 TB this
+    * compact integer table IS the similarity index — computing it once and
+    * persisting it before multi-consumer candidate generation is the
+    * standard design, not a local-mode workaround. */
+  def shingleSets(documents: DataFrame, n: Int): DataFrame =
+    documents
+      .repartition(documents.sparkSession.sparkContext.defaultParallelism)
+      .select(col("doc_id"), sortedShingleHashes(col("text"), n).as("sh"))
+      .localCheckpoint(false)
+
   /** The same shingle set collapsed to sorted 64-bit hashes — one string
     * hash per shingle, after which every downstream comparison (MinHash
     * permutations, exact set intersection) is integer work. Collision
@@ -97,12 +113,19 @@ object Dedup {
       shingleSize: Int = 3,
       bands: Int = 16,
       rowsPerBand: Int = 4,
+      threshold: Double = 0.7): DataFrame =
+    minHashPairsFromShingles(shingleSets(documents, shingleSize), bands, rowsPerBand, threshold)
+
+  /** MinHash banding + exact verification over a prebuilt `(doc_id, sh)`
+    * shingle table ([[shingleSets]]) — callers that also run other
+    * consumers over the same shingles (e.g. the prefix-filter ground truth)
+    * share one materialized table instead of re-shingling per operator. */
+  def minHashPairsFromShingles(
+      shingleTable: DataFrame,
+      bands: Int = 16,
+      rowsPerBand: Int = 4,
       threshold: Double = 0.7): DataFrame = {
-    // A small input (one parquet split) would otherwise run the whole
-    // CPU-dense shingle/sketch projection on a single task; spread it.
-    val spread = documents.repartition(documents.sparkSession.sparkContext.defaultParallelism)
-    val shingled = spread
-      .select(col("doc_id"), sortedShingleHashes(col("text"), shingleSize).as("shingles"))
+    val shingled = shingleTable.select(col("doc_id"), col("sh").as("shingles"))
 
     // Only (doc_id, band, bucket) rides the banding shuffle: carrying the
     // shingle arrays through the explode + both sides of the self-join
@@ -226,8 +249,11 @@ object Dedup {
     * into `sets` as a re-sort before calling this.
     *
     * @param sets (`idCol`, `setCol`) where `setCol` is a SORTED array of
-    *             distinct 64-bit element hashes (see
-    *             [[sortedShingleHashes]]).
+    *             distinct 64-bit element hashes. Pass a MATERIALIZED,
+    *             well-partitioned table ([[shingleSets]]) — this plan
+    *             branches from `sets` three times (prefix explode + two
+    *             verification join-backs), so an unmaterialized expensive
+    *             projection would be recomputed per branch.
     */
   def prefixFilterPairs(
       sets: DataFrame,
@@ -236,8 +262,7 @@ object Dedup {
       threshold: Double): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"prefixFilterPairs: threshold must be in (0, 1], got $threshold")
-    val spread = sets.repartition(sets.sparkSession.sparkContext.defaultParallelism)
-      .select(col(idCol).as("__id"), col(setCol).as("__set"))
+    val spread = sets.select(col(idCol).as("__id"), col(setCol).as("__set"))
     val sized = spread.withColumn("__sz", size(col("__set")))
     // Prefix length |X| − ⌈t·|X|⌉ + 1 (≥ 1 even for singleton sets).
     val prefix = sized.select(
@@ -290,10 +315,25 @@ object Dedup {
       embeddings: DataFrame,
       bands: Int = 8,
       rowsPerBand: Int = 4,
+      threshold: Double = 0.4): DataFrame =
+    embeddingNearDupFromBase(
+      embeddings
+        .repartition(embeddings.sparkSession.sparkContext.defaultParallelism)
+        .select(col("vec_id"), col("embedding"), l2Norm(col("embedding")).as("nrm"))
+        .localCheckpoint(false),
+      bands, rowsPerBand, threshold)
+
+  /** Banded-LSH near-dup over a prebuilt, MATERIALIZED `(vec_id, embedding,
+    * nrm)` table — both sides of the bucket self-join branch from it, and
+    * callers running other consumers (the brute-force recall twin) share
+    * the same norms. */
+  def embeddingNearDupFromBase(
+      base: DataFrame,
+      bands: Int = 8,
+      rowsPerBand: Int = 4,
       threshold: Double = 0.4): DataFrame = {
-    val sig = embeddings
-      .repartition(embeddings.sparkSession.sparkContext.defaultParallelism)
-      .select(col("vec_id"), col("embedding"), l2Norm(col("embedding")).as("nrm"),
+    val sig = base
+      .select(col("vec_id"), col("embedding"), col("nrm"),
         explode(Similarity.hyperplaneBands(col("embedding"), bands, rowsPerBand, dims = 64)).as("bb"))
       .select(col("vec_id"), col("embedding"), col("nrm"), col("bb.band"), col("bb.bucket"))
     val a = sig.alias("a")
