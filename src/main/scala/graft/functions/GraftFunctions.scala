@@ -28,6 +28,7 @@ object GraftFunctions {
     "minhash_sig" -> (args => MinHashSig(args(0), intLit(args(1), "k"))),
     "minhash_band_buckets" -> (args =>
       MinHashBandBuckets(args(0), intLit(args(1), "bands"), intLit(args(2), "rowsPerBand"))),
+    "shingle_hashes" -> (args => ShingleHashes(args(0), intLit(args(1), "n"))),
     "topk_by" -> (args =>
       TopKBy(args(0), args(1), intLit(args(2), "k")).toAggregateExpression()))
 

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
 import graft.functions._
+import graft.functions.VectorExpressions
 import graft.functions.VectorExpressions.{minHashBandBuckets, sortedIntersectSize}
 
 /** Deduplication for large text corpora — the training-data-pipeline side of
@@ -70,12 +71,21 @@ object Dedup {
       .select(col("doc_id"), sortedShingleHashes(col("text"), n).as("sh"))
       .localCheckpoint(false)
 
-  /** The same shingle set collapsed to sorted 64-bit hashes — one string
-    * hash per shingle, after which every downstream comparison (MinHash
-    * permutations, exact set intersection) is integer work. Collision
+  /** The same shingle set collapsed to sorted 64-bit hashes, after which
+    * every downstream comparison (MinHash permutations, exact set
+    * intersection) is integer work. One fused native pass
+    * ([[graft.functions.ShingleHashes]]): per-token XXH64 → chained window
+    * combine → sort+dedup, never materializing shingle strings. Collision
     * probability across a corpus's shingle inventory is ~|S|²/2⁶⁴ —
     * negligible. */
   def sortedShingleHashes(text: Column, n: Int): Column =
+    VectorExpressions.shingleHashes(tokens(text), n)
+
+  /** The interpreted HOF formulation of [[sortedShingleHashes]] — same
+    * equivalence classes (hash VALUES differ; set sizes and intersection
+    * cardinalities match), kept as the spec twin the kernel is tested
+    * against. */
+  def sortedShingleHashesHof(text: Column, n: Int): Column =
     array_sort(transform(array_distinct(wordShingles(tokens(text), n)), s => xxhash64(s)))
 
   /** Exact Jaccard |A∩B|/|A∪B| over two SORTED distinct arrays, using the

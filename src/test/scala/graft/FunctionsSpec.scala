@@ -51,6 +51,51 @@ class FunctionsSpec extends AnyFunSuite with SparkSpec {
     assert(interp == 3105L)
   }
 
+  test("ShingleHashes: same set structure as the HOF string-shingle twin") {
+    // Equivalence classes must match the interpreted string-based twin:
+    // same set SIZES per doc and same pairwise INTERSECTION sizes (hash
+    // values differ by design). Repeats inside a doc must collapse.
+    val docs = Seq(
+      (0L, "a b c d e a b c d e"),      // repeated window → dup shingles collapse
+      (1L, "a b c d e f"),              // overlaps doc 0
+      (2L, "x y"),                      // shorter than n → ONE whole-doc shingle
+      (3L, "x y"),                      // identical short doc → same single hash
+      (4L, "q")).toDF("doc_id", "text")
+    val both = docs.select(
+      $"doc_id",
+      graft.operators.Dedup.sortedShingleHashes($"text", 3).as("nat"),
+      graft.operators.Dedup.sortedShingleHashesHof($"text", 3).as("hof"))
+    val rows = both.orderBy($"doc_id").collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](1).size == r.getSeq[Long](2).size,
+        s"doc ${r.getLong(0)}: native/HOF set sizes differ")
+    }
+    val nat = rows.map(r => r.getSeq[Long](1).toSet)
+    val hof = rows.map(r => r.getSeq[Long](2).toSet)
+    for (i <- nat.indices; j <- nat.indices if i < j) {
+      assert((nat(i) & nat(j)).size == (hof(i) & hof(j)).size,
+        s"pair ($i,$j): intersection cardinality differs")
+    }
+    // sorted + distinct invariant
+    rows.foreach { r =>
+      val s = r.getSeq[Long](1)
+      assert(s == s.sorted && s.distinct == s)
+    }
+    // interpreted eval agrees with the codegen path
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    val toks = new GenericArrayData(
+      Array("a", "b", "c", "d").map(t => UTF8String.fromString(t): Any))
+    val interp = graft.functions.ShingleHashes(
+      Literal.create(toks, org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType)), 3)
+      .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray()
+    val viaDf = Seq("a b c d").toDF("text")
+      .select(graft.operators.Dedup.sortedShingleHashes($"text", 3)).head.getSeq[Long](0)
+    assert(interp.toSeq == viaDf)
+  }
+
   test("VectorDot matches manual dot product for float and double arrays") {
     val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f))).toDF("a", "b")
     assert(df.select(vectorDot($"a", $"b")).head.getDouble(0) == 32.0)
