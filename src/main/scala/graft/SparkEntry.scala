@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.clean.Cleaning
@@ -774,6 +774,28 @@ object SparkEntry {
         .orderBy(col("c_custkey"))
     }),
 
+    // Z-order (Morton) clustering key, SELF-ASSERTING: interleave two
+    // 16-bit dimensions, then de-interleave with the inverse bitwise
+    // expression and require exact reconstruction on every row. The layout
+    // payoff (every clustered file bounded in BOTH dimensions → min/max
+    // skipping for two-sided predicates) is asserted in ScaleSpec over a
+    // real clustered write; this row pins the kernel's algebra.
+    "q_zorder_key" -> ((s, d) => {
+      import graft.operators.Layout
+      val xy = Tables.orders(s, d).select(
+        pmod(col("o_orderkey"), lit(65536L)).as("x"),
+        pmod(col("o_custkey"), lit(65536L)).as("y"))
+      val keyed = xy.withColumn("k", Layout.interleave16(col("x"), col("y")))
+      def deinterleave(k: Column, offset: Int): Column =
+        (0 until 16).map { i =>
+          shiftleft(shiftrightunsigned(k, 2 * i + offset).bitwiseAND(lit(1L)), i)
+        }.reduce(_ bitwiseOR _)
+      keyed.agg(
+        count(lit(1)).as("n_rows"),
+        (sum(when(deinterleave(col("k"), 0) === col("x") &&
+          deinterleave(col("k"), 1) === col("y"), 0L).otherwise(1L)) === 0L).as("all_match"))
+    }),
+
     // Per-source quota sampling (domain caps, the pretraining-mix dedupe of
     // over-represented hosts): keep ≤ 20 docs per source by a deterministic
     // hash priority — grouped top-k via the bounded-heap aggregate, so the
@@ -1241,6 +1263,35 @@ object SparkEntry {
         .select(col("id"), col("qty"), col("price"),
           col("_corrupt_record").isNotNull.as("malformed"))
         .orderBy(col("id"))
+    }),
+
+    // JSON-lines SOURCE with quarantine (the spark.read.json twin of the
+    // CSV path): explicit schema (no sampling-based inference at 100 TB),
+    // PERMISSIVE corrupt-record capture, nested-struct projection. Rows
+    // that fail record- or field-level parsing surface with
+    // `malformed=true` instead of killing the load.
+    "q_json_lines" -> ((s, d) => {
+      import s.implicits._
+      val raw = Seq(
+        """{"id": 1, "qty": 5, "meta": {"tag": "a"}}""",
+        """{"id": 2, "qty": "oops", "meta": {"tag": "b"}}""",
+        """{"id": 3, "qty": 7}""",
+        """this is not json""",
+        """{"id": 5, "qty": 2, "meta": {"tag": "c"}}""").toDS()
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("id", IntegerType),
+        StructField("qty", IntegerType),
+        StructField("meta", StructType(Seq(StructField("tag", StringType)))),
+        StructField("_corrupt_record", StringType)))
+      s.read
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .schema(schema)
+        .json(raw)
+        .select(col("id"), col("qty"), col("meta.tag").as("tag"),
+          col("_corrupt_record").isNotNull.as("malformed"))
+        .orderBy(col("id").asc_nulls_first, col("malformed"))
     }),
 
     // RFM segmentation (recency/frequency/monetary quartile scores): per-
@@ -2081,6 +2132,9 @@ object SparkEntry {
                                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g') AS redacted
          FROM c ORDER BY c_custkey""",
 
+    "q_zorder_key" ->
+      "SELECT count(*) AS n_rows, true AS all_match FROM orders",
+
     // window-twin oracle for the bounded-heap grouped top-k
     "q_source_quota" ->
       """SELECT source, doc_id FROM (
@@ -2353,6 +2407,18 @@ object SparkEntry {
                       (3, 7, NULL, true),
                       (4, 2, 99.00, false)) t(id, qty, price, malformed)
          ORDER BY id""",
+
+    // Pinned PERMISSIVE semantics: record-level garbage → all-null row with
+    // the corrupt flag; field-level type error → other fields survive, row
+    // still flagged; missing nested struct → null, NOT flagged.
+    "q_json_lines" ->
+      """SELECT CAST(id AS INT) AS id, CAST(qty AS INT) AS qty, tag, malformed
+         FROM (VALUES (NULL, NULL, NULL, true),
+                      (1, 5, 'a', false),
+                      (2, NULL, 'b', true),
+                      (3, 7, NULL, false),
+                      (5, 2, 'c', false)) t(id, qty, tag, malformed)
+         ORDER BY id NULLS FIRST, malformed""",
 
     "q_rfm" ->
       """WITH m AS (SELECT o_custkey,

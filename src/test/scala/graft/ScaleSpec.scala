@@ -224,4 +224,47 @@ class ScaleSpec extends AnyFunSuite with SparkSpec {
     assert(pairs.length == 1, pairs.mkString(","))
     assert(pairs.head.getLong(0) == 1L && pairs.head.getLong(1) == 2L)
   }
+
+  test("Z-order clustering bounds every file in BOTH dimensions (data skipping)") {
+    import graft.operators.Layout
+    // x uniform, y an independent-looking deterministic permutation of the
+    // same domain — a single-column sort would leave y unclustered.
+    val n = 20000
+    val domain = 10000L
+    val df = spark.range(n)
+      .select(($"id" % domain).as("x"), (($"id" * 2654435761L) % domain).as("y"))
+    // Morton key sanity: interleaved bits reconstruct the inputs
+    val key = df.select(Layout.interleave16($"x", $"y").as("k"), $"x", $"y").head
+    val k = key.getLong(0)
+    val xBack = (0 until 16).map(i => ((k >> (2 * i)) & 1L) << i).sum
+    val yBack = (0 until 16).map(i => ((k >> (2 * i + 1)) & 1L) << i).sum
+    assert(xBack == key.getLong(1) && yBack == key.getLong(2))
+
+    val dir = Files.createTempDirectory("graft-zorder").toString
+    Layout.writeClustered(df, s"$dir/z", numFiles = 16, "x", "y")
+    df.repartitionByRange(16, $"x").sortWithinPartitions($"x")
+      .write.mode("overwrite").parquet(s"$dir/linear")
+
+    def fileBounds(path: String) = spark.read.parquet(path)
+      .groupBy(input_file_name())
+      .agg(min($"x").as("x0"), max($"x").as("x1"), min($"y").as("y0"), max($"y").as("y1"))
+      .collect()
+    val zb = fileBounds(s"$dir/z")
+    val lb = fileBounds(s"$dir/linear")
+    assert(zb.length == 16 && lb.length == 16)
+    // A y-only range predicate (10% of the domain): the x-sorted layout
+    // cannot skip ANY file; the Z-order layout skips most.
+    def touched(bounds: Array[org.apache.spark.sql.Row], lo: Long, hi: Long) =
+      bounds.count(r => r.getLong(3) <= hi && r.getLong(4) >= lo)
+    val (lo, hi) = (3000L, 3999L)
+    assert(touched(lb, lo, hi) == 16, "x-sorted layout should not prune a y predicate")
+    assert(touched(zb, lo, hi) <= 8, s"z-order should bound y per file, touched=${touched(zb, lo, hi)}")
+    // Every x-sorted file spans the FULL y domain; a z-order file's y extent
+    // is a fraction of it (rectangles, not stripes). Mean extents compared
+    // per dimension — extent, not area, is what min/max skipping prunes on.
+    def meanYExtent(bounds: Array[org.apache.spark.sql.Row]) =
+      bounds.map(r => (r.getLong(4) - r.getLong(3) + 1).toDouble / domain).sum / bounds.length
+    assert(meanYExtent(lb) > 0.95, f"x-sorted layout should span y fully: ${meanYExtent(lb)}%.3f")
+    assert(meanYExtent(zb) < 0.55, f"z-order y extent should be fractional: ${meanYExtent(zb)}%.3f")
+  }
 }
