@@ -277,9 +277,53 @@ object Dedup {
     // Prefix length |X| − ⌈t·|X|⌉ + 1 (≥ 1 even for singleton sets).
     val prefix = sized.select(
       col("__id"), col("__sz"),
-      explode(slice(col("__set"), lit(1),
-        greatest(col("__sz") - ceil(col("__sz") * lit(threshold)).cast("int") + lit(1), lit(1))))
-        .as("__h"))
+      explode(slice(col("__set"), lit(1), prefixLen(col("__sz"), threshold))).as("__h"))
+    verifyCandidates(prefix, spread, threshold)
+  }
+
+  /** [[prefixFilterPairs]] with the published AllPairs ordering refinement:
+    * elements are re-ordered by ascending GLOBAL frequency (rarest first)
+    * before prefix slicing. Any total order preserves completeness; the
+    * FREQUENCY order makes prefixes hold each set's rarest elements, so on
+    * a Zipfian corpus (where a few near-universal "stop shingles" would
+    * otherwise land in hash-order prefixes and pay |bucket|² in the
+    * candidate join) buckets stay small. Costs one document-frequency
+    * aggregation plus a per-document rank window — both keyed shuffles —
+    * on top of the base plan; candidate join and verification are
+    * unchanged. Uniformly-distributed element sets don't need it (hash
+    * order already behaves like a random permutation); corpora with skewed
+    * element frequencies do. */
+  def prefixFilterPairsRareFirst(
+      sets: DataFrame,
+      idCol: String,
+      setCol: String,
+      threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"prefixFilterPairsRareFirst: threshold must be in (0, 1], got $threshold")
+    val spread = sets.select(col(idCol).as("__id"), col(setCol).as("__set"))
+    val exploded = spread.select(
+      col("__id"), size(col("__set")).as("__sz"), explode(col("__set")).as("__h"))
+    val dfreq = exploded.groupBy(col("__h")).agg(count(lit(1)).as("__df"))
+    val w = Window.partitionBy(col("__id")).orderBy(col("__df"), col("__h"))
+    val prefix = exploded.join(dfreq, Seq("__h"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= prefixLen(col("__sz"), threshold))
+      .select(col("__id"), col("__sz"), col("__h"))
+    verifyCandidates(prefix, spread, threshold)
+  }
+
+  private def prefixLen(sz: Column, threshold: Double): Column =
+    greatest(sz - ceil(sz * lit(threshold)).cast("int") + lit(1), lit(1))
+
+  /** Shared tail of the prefix-filter variants: slim candidate self-join on
+    * shared prefix elements (with the size-ratio bound applied in-join),
+    * pair dedup, then ONE join back per side to the full sets for exact
+    * verification. */
+  private def verifyCandidates(
+      prefix: DataFrame,
+      spread: DataFrame,
+      threshold: Double): DataFrame = {
     val candidates = prefix.alias("a")
       .join(prefix.alias("b"),
         col("a.__h") === col("b.__h") &&

@@ -69,6 +69,11 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
       val got = Dedup.prefixFilterPairs(sets, "doc_id", "toks", t)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
       assert(got == expected, s"threshold $t: prefix filter != brute force")
+      // any global order is complete — the rarest-first refinement must
+      // produce the identical exact answer
+      val rare = Dedup.prefixFilterPairsRareFirst(sets, "doc_id", "toks", t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(rare == expected, s"threshold $t: rare-first prefix filter != brute force")
       assert(expected.nonEmpty || t > 0.9) // fixture exercises every slice
     }
   }
