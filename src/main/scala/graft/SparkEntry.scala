@@ -813,6 +813,27 @@ object SparkEntry {
         .orderBy(col("source"), col("doc_id"))
     }),
 
+    // WEIGHTED sampling without replacement (Efraimidis–Spirakis A-Res):
+    // P(doc sampled) ∝ weight, here document length — the pretraining-mix
+    // move of oversampling high-value sources/documents. Key = ln(u)/w
+    // (order-equivalent to u^(1/w)) with u a deterministic engine-portable
+    // uniform from the doc id; per-source top-k via the bounded-heap
+    // aggregate, so the shuffle carries ≤ k rows per (source, task). Key
+    // rounded to 9dp (libm ln differs by ulps across engines) with the
+    // aggregate's id tiebreak keeping order total.
+    "q_weighted_sample" -> ((s, d) => {
+      import graft.functions.TopKBy.topKBy
+      val u = (pmod(col("doc_id") * lit(2654435761L), lit(1000000007L)) + lit(1L))
+        .cast("double") / lit(1000000008.0)
+      Tables.documents(s, d)
+        .select(col("source"), col("doc_id"),
+          round(log(u) / col("n_chars"), 9).as("pri"))
+        .groupBy(col("source"))
+        .agg(topKBy(col("pri"), col("doc_id"), 10).as("keep"))
+        .select(col("source"), explode(col("keep.id")).as("doc_id"))
+        .orderBy(col("source"), col("doc_id"))
+    }),
+
     // Benchmark decontamination: drop/flag training docs sharing any word
     // 5-gram with an eval set (here: docs 0-2 play the benchmark). The
     // benchmark shingle set is small by nature → broadcast; doc shingles
@@ -2134,6 +2155,16 @@ object SparkEntry {
 
     "q_zorder_key" ->
       "SELECT count(*) AS n_rows, true AS all_match FROM orders",
+
+    "q_weighted_sample" ->
+      """SELECT source, doc_id FROM (
+           SELECT source, doc_id,
+                  row_number() OVER (
+                    PARTITION BY source
+                    ORDER BY round(ln(((doc_id * 2654435761) % 1000000007 + 1) / 1000000008.0)
+                                   / n_chars, 9) DESC, doc_id) AS rn
+           FROM documents)
+         WHERE rn <= 10 ORDER BY source, doc_id""",
 
     // window-twin oracle for the bounded-heap grouped top-k
     "q_source_quota" ->
