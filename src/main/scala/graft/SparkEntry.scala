@@ -1535,7 +1535,48 @@ object SparkEntry {
         .select(
           col("l_linestatus"),
           round(col("wsum") / col("wtot"), 6).as("weighted_avg_price"))
-        .orderBy(col("l_linestatus")))
+        .orderBy(col("l_linestatus"))),
+
+    // Bloom-filter semi-join reduction: sketch the selective dim side
+    // (urgent orders), prefilter the fact scan BEFORE its shuffle, then the
+    // exact join. No false negatives → identical to the oracle's plain
+    // join; the driver hash-compare IS the correctness proof.
+    "q_bloom_join" -> ((s, d) => {
+      val urgent = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      val reduced = graft.operators.BloomJoin.semiReduce(
+        Tables.lineitem(s, d), col("l_orderkey"),
+        urgent, "o_orderkey", expectedItems = 1L << 20)
+      reduced.join(urgent, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(
+          count(lit(1)).as("n_lines"),
+          decSum(lineRevenueDec(col("l_extendedprice"), col("l_discount"))).as("revenue"))
+        .orderBy(col("o_year"))
+    }),
+
+    // Concat-and-chunk sequence packing via the two-level distributed
+    // prefix sum (never a single-partition global window).
+    "q_seq_pack" -> ((s, d) =>
+      graft.operators.SequencePack.packAssignments(
+        Tables.documents(s, d).select(
+          col("doc_id"), size(tokens(col("text"))).as("n_toks")),
+        "doc_id", col("n_toks"), capacity = 512)
+        .orderBy(col("doc_id"))),
+
+    // C4-style line-level dedup (10-token blocks as "lines").
+    "q_line_dedup" -> ((s, d) =>
+      TextAnalysis.lineDedup(Tables.documents(s, d))),
+
+    // Sliding-window chunking with overlap (window 64, stride 48).
+    "q_chunk_overlap" -> ((s, d) =>
+      TextAnalysis.slidingChunks(Tables.documents(s, d))),
+
+    // Robust per-group stats: discrete quantiles, MAD, winsorized mean.
+    "q_robust_stats" -> ((s, d) =>
+      graft.operators.Robust.robustStats(
+        Tables.lineitem(s, d), "l_returnflag", col("l_extendedprice")))
   )
 
   /** Pushdown-friendly calendar-year membership: a half-open timestamp
@@ -2600,7 +2641,93 @@ object SparkEntry {
       """SELECT l_linestatus,
                 round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
                       / CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 6) AS weighted_avg_price
-         FROM lineitem GROUP BY 1 ORDER BY 1"""
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+
+    // The oracle is the PLAIN join — the bloom prefilter must be invisible
+    // in the result (no false negatives).
+    "q_bloom_join" ->
+      s"""SELECT CAST(year(o_orderdate) AS INT) AS o_year, count(*) AS n_lines, $RevSum AS revenue
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE o_orderpriority = '1-URGENT'
+          GROUP BY 1 ORDER BY 1""",
+
+    // Global windowed cumsum replays the distributed two-level prefix sum.
+    // DuckDB window sum(BIGINT) widens to HUGEINT → cast back.
+    "q_seq_pack" ->
+      """WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+              c AS (SELECT doc_id, n_tokens,
+                           CAST(sum(n_tokens) OVER (ORDER BY doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT) AS s
+                    FROM t)
+         SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+                s // 512 AS seq_id,
+                CAST(s % 512 AS INT) AS seq_offset,
+                CAST((s + n_tokens - 1) // 512 - s // 512 + 1 AS INT) AS n_seqs,
+                (s + n_tokens - 1) // 512 <> s // 512 AS straddles
+         FROM c ORDER BY doc_id""",
+
+    // 10-token blocks, corpus-wide first-occurrence keep, survivors
+    // re-assembled in position order and sha-fingerprinted. Zipped unnests
+    // play posexplode; string_agg(... ORDER BY pos) plays the sorted
+    // collect_list; a fully-deduped doc yields '' on both sides.
+    "q_line_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+              b AS (SELECT doc_id,
+                           [array_to_string(toks[i*10+1 : i*10+10], ' ')
+                            for i in range(0, CAST(ceil(len(toks) / 10.0) AS INT))] AS blocks
+                    FROM t),
+              e AS (SELECT doc_id, unnest(range(len(blocks))) AS pos, unnest(blocks) AS block FROM b),
+              r AS (SELECT doc_id, pos, block,
+                           row_number() OVER (PARTITION BY block ORDER BY doc_id, pos) AS rn
+                    FROM e)
+         SELECT doc_id, CAST(count(*) AS INT) AS n_blocks,
+                CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS INT) AS n_kept,
+                sha256(coalesce(string_agg(CASE WHEN rn = 1 THEN block END, ' ' ORDER BY pos), '')) AS kept_sha
+         FROM r GROUP BY doc_id ORDER BY doc_id""",
+
+    "q_chunk_overlap" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+              n AS (SELECT doc_id, toks,
+                           CASE WHEN len(toks) <= 64 THEN 1
+                                ELSE (len(toks) - 64 + 47) // 48 + 1 END AS n_chunks
+                    FROM t),
+              c AS (SELECT doc_id, toks, unnest(range(n_chunks)) AS chunk_id FROM n),
+              s AS (SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+                           CAST(chunk_id * 48 AS INT) AS start_tok,
+                           toks[chunk_id*48+1 : chunk_id*48+64] AS chunk
+                    FROM c)
+         SELECT doc_id, chunk_id, start_tok,
+                CAST(len(chunk) AS INT) AS n_chunk_tokens,
+                chunk[1] AS first_tok, chunk[-1] AS last_tok
+         FROM s ORDER BY doc_id, chunk_id""",
+
+    // Discrete (rank-based) quantiles: the value at rank ceil(p·n) in pure
+    // integer arithmetic — tie-invariant, interpolation-free, so MAD and
+    // the decimal winsorized sum replay exactly.
+    "q_robust_stats" ->
+      """WITH b AS (SELECT l_returnflag AS g, l_extendedprice AS v FROM lineitem),
+              r AS (SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+                           count(*) OVER (PARTITION BY g) AS n
+                    FROM b),
+              q AS (SELECT g, max(n) AS n,
+                           max(CASE WHEN rn = (5 * n + 99) // 100 THEN v END) AS p05,
+                           max(CASE WHEN rn = (50 * n + 99) // 100 THEN v END) AS med,
+                           max(CASE WHEN rn = (95 * n + 99) // 100 THEN v END) AS p95
+                    FROM r GROUP BY g),
+              d AS (SELECT b.g, abs(b.v - q.med) AS dev FROM b JOIN q ON b.g = q.g),
+              r2 AS (SELECT g, dev, row_number() OVER (PARTITION BY g ORDER BY dev) AS rn,
+                            count(*) OVER (PARTITION BY g) AS n
+                     FROM d),
+              m AS (SELECT g, max(CASE WHEN rn = (50 * n + 99) // 100 THEN dev END) AS mad_raw
+                    FROM r2 GROUP BY g),
+              w AS (SELECT b.g,
+                           CAST(sum(CAST(least(greatest(b.v, q.p05), q.p95) AS DECIMAL(18,2))) AS DOUBLE) AS wsum,
+                           count(*) AS cnt
+                    FROM b JOIN q ON b.g = q.g GROUP BY b.g)
+         SELECT q.g AS l_returnflag, q.n AS n, q.p05 AS p05, q.med AS median, q.p95 AS p95,
+                round(m.mad_raw, 6) AS mad, round(w.wsum / w.cnt, 6) AS wins_mean
+         FROM q JOIN m ON q.g = m.g JOIN w ON q.g = w.g
+         ORDER BY 1"""
   )
 
   private val intervalJoinSql: String =

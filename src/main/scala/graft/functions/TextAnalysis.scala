@@ -241,4 +241,71 @@ object TextAnalysis {
         max(col("n_tokens")).as("max_tokens"),
         countDistinct(col("source")).as("n_sources"))
       .orderBy(col("lang"))
+
+  /** Line-level exact dedup (the C4 recipe: drop every repeated "line"
+    * corpus-wide, keeping only its FIRST occurrence in (doc_id, position)
+    * order). This corpus has no newlines, so a "line" is a fixed block of
+    * `blockTokens` consecutive tokens — same operator shape, deterministic
+    * block boundary.
+    *
+    * Scale: one explode (fan-out ≤ n_tokens/blockTokens per doc), one
+    * shuffle keyed on the BLOCK TEXT for the first-occurrence window, one
+    * keyed re-aggregation per doc. The block, not the document, is the
+    * shuffle payload, and each block moves exactly twice (window + regroup).
+    * At 100 TB this is the same posture as exact doc-dedup, ×(blocks/doc).
+    * Survivors are re-assembled in position order and fingerprinted
+    * (sha256) so the result row stays narrow no matter how big the doc is.
+    */
+  def lineDedup(documents: DataFrame, blockTokens: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = tokens(col("text"))
+    val nBlocks = ceil(size(toks) / lit(blockTokens.toDouble)).cast(IntegerType)
+    val blocks = transform(
+      sequence(lit(0), nBlocks - 1),
+      i => array_join(slice(toks, i * blockTokens + 1, lit(blockTokens)), " "))
+    val exploded = documents.select(
+      col("doc_id"), posexplode(blocks).as(Seq("pos", "block")))
+    val w = Window.partitionBy("block").orderBy("doc_id", "pos")
+    exploded
+      .withColumn("__rn", row_number().over(w))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).cast(IntegerType).as("n_blocks"),
+        sum(when(col("__rn") === 1, 1).otherwise(0)).cast(IntegerType).as("n_kept"),
+        sha2(array_join(
+          transform(
+            array_sort(collect_list(when(col("__rn") === 1, struct(col("pos"), col("block"))))),
+            s => s.getField("block")),
+          " "), 256).as("kept_sha"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Sliding-window chunking with overlap — the RAG / long-context
+    * training splitter: windows of `window` tokens every `stride` tokens,
+    * last window truncated, single window when the doc fits. Pure per-row
+    * fan-out (explode of a generated index sequence) — embarrassingly
+    * parallel, no shuffle at all until a consumer aggregates. */
+  def slidingChunks(documents: DataFrame, window: Int = 64, stride: Int = 48): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"need 0 < stride <= window, got window=$window stride=$stride")
+    val toks = tokens(col("text"))
+    val n = size(toks)
+    // ceil((n - window) / stride) + 1 in pure integer math, 1 when n <= window
+    val nChunks = when(n <= window, lit(1))
+      .otherwise(floor((n - window + stride - 1) / lit(stride.toDouble)).cast(IntegerType) + 1)
+    documents
+      .select(col("doc_id"), toks.as("__toks"),
+        explode(sequence(lit(0), nChunks - 1)).as("chunk_id"))
+      .select(
+        col("doc_id"),
+        col("chunk_id"),
+        (col("chunk_id") * stride).as("start_tok"),
+        slice(col("__toks"), col("chunk_id") * stride + 1, lit(window)).as("__chunk"))
+      .select(
+        col("doc_id"), col("chunk_id"), col("start_tok"),
+        size(col("__chunk")).as("n_chunk_tokens"),
+        element_at(col("__chunk"), 1).as("first_tok"),
+        element_at(col("__chunk"), -1).as("last_tok"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
 }

@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+import graft.functions.dec2
+
+/** Robust per-group statistics — median, MAD (median absolute deviation)
+  * and a winsorized mean — the outlier-resistant profile an ingest pipeline
+  * runs over a numeric column before trusting min/max/avg (the reference's
+  * summary endpoints surface plain AVG; `workflow.py:151-170`).
+  *
+  * Quantiles here are DISCRETE (the value at rank `ceil(p·n)`), not
+  * interpolated: the selected cut points are actual data values, so the
+  * clamped winsorized sum stays in exact `DECIMAL(18,2)` arithmetic and the
+  * whole result is bit-portable across engines (interpolated quantiles
+  * would inject engine-specific floating error into every downstream
+  * aggregate). Rank targets use pure integer math — `(p·100·n + 99) div
+  * 100` — never a `0.05 * n` double.
+  *
+  * Shape: two keyed shuffles (rank window + final agg) plus one tiny
+  * broadcast of the per-group cut points. Rows never leave their group's
+  * partitions; nothing is quadratic; group count bounds the broadcast.
+  */
+object Robust {
+
+  /** Rank target `ceil(pct/100 · n)` in pure integer math, referencing the
+    * per-row `__n` group-count column. */
+  private def ceilRank(pct: Int): Column =
+    expr(s"($pct * __n + 99) div 100")
+
+  /** Per-group `(n, p05, median, p95, mad, wins_mean)` over `value`.
+    * `wins_mean` is the mean with values clamped to `[p05, p95]` —
+    * computed in exact decimal, surfaced as a 6-dp double. */
+  def robustStats(df: DataFrame, groupCol: String, value: Column): DataFrame = {
+    val base = df.select(col(groupCol).as("__g"), value.cast(DoubleType).as("__v"))
+
+    val wRank = Window.partitionBy("__g").orderBy("__v")
+    val wAll = Window.partitionBy("__g")
+    val ranked = base
+      .withColumn("__rn", row_number().over(wRank))
+      .withColumn("__n", count(lit(1)).over(wAll))
+
+    // Ties make the rank→row mapping non-deterministic but the VALUE at a
+    // rank is tie-invariant (same sorted multiset), so max(CASE rank) is
+    // deterministic.
+    val cuts = ranked.groupBy("__g").agg(
+      max(col("__n")).as("__n"),
+      max(when(col("__rn") === ceilRank(5), col("__v"))).as("__p05"),
+      max(when(col("__rn") === ceilRank(50), col("__v"))).as("__med"),
+      max(when(col("__rn") === ceilRank(95), col("__v"))).as("__p95"))
+
+    val joined = base.join(broadcast(cuts), "__g")
+
+    // MAD: rank the absolute deviations per group, pick rank ceil(n/2).
+    val wDev = Window.partitionBy("__g").orderBy("__dev")
+    val mad = joined
+      .withColumn("__dev", abs(col("__v") - col("__med")))
+      .withColumn("__rn", row_number().over(wDev))
+      .groupBy("__g")
+      .agg(max(when(col("__rn") === ceilRank(50), col("__dev"))).as("__mad_raw"))
+
+    val wins = joined.groupBy("__g").agg(
+      sum(dec2(least(greatest(col("__v"), col("__p05")), col("__p95")))).as("__wsum"),
+      count(lit(1)).cast(LongType).as("__cnt"))
+
+    cuts.join(mad, "__g").join(wins, "__g")
+      .select(
+        col("__g").as(groupCol),
+        col("__n").as("n"),
+        col("__p05").as("p05"),
+        col("__med").as("median"),
+        col("__p95").as("p95"),
+        round(col("__mad_raw"), 6).as("mad"),
+        round(col("__wsum").cast(DoubleType) / col("__cnt"), 6).as("wins_mean"))
+      .orderBy(groupCol)
+  }
+}

@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.AnalysisException
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TextAnalysis
+import graft.operators.{BloomJoin, Robust, SequencePack}
+
+/** Round-3 curation/scale operators: bloom semi-join reduction, sequence
+  * packing, line dedup, sliding chunks, robust stats. */
+class CurationSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  test("bloom semiReduce keeps every true match (no false negatives) and prunes most others") {
+    val dim = (0L until 100L).filter(_ % 10 == 0).toDF("k") // 10 selective keys
+    val fact = (0L until 10000L).map(i => (i, i % 100)).toDF("row_id", "fk")
+    val reduced = BloomJoin.semiReduce(fact, $"fk", dim, "k", expectedItems = 1000)
+    val exact = fact.join(dim, $"fk" === $"k")
+    val reducedJoin = reduced.join(dim, $"fk" === $"k")
+    // identical exact result through the prefilter
+    assert(reducedJoin.count() == exact.count())
+    assert(reducedJoin.except(exact).isEmpty && exact.except(reducedJoin).isEmpty)
+    // and the prefilter genuinely reduced the fact side (10% true + fpp)
+    val kept = reduced.count()
+    assert(kept >= exact.count() / dim.count() * 10) // sanity: >= true match keys
+    assert(kept < 10000, s"bloom prefilter kept everything ($kept rows)")
+    assert(kept < 2000, s"bloom prefilter barely reduced ($kept of 10000)")
+  }
+
+  test("bloom mightContain rejects non-integer keys at analysis time") {
+    val bf = (1L to 10L).toDF("k").stat.bloomFilter("k", 100, 0.01)
+    val strings = Seq("a", "b").toDF("s")
+    val ex = intercept[AnalysisException] {
+      strings.filter(BloomJoin.mightContain($"s", bf)).collect()
+    }
+    assert(ex.getMessage.contains("bloom_might_contain"))
+  }
+
+  test("sequence packing equals the single-window twin and never globally re-sorts the data") {
+    val docs = (0L until 997L).map(i => (i, 1 + (i * 7919 % 93).toInt))
+      .toDF("doc_id", "n_toks")
+    val packed = SequencePack.packAssignments(docs, "doc_id", $"n_toks", capacity = 256,
+      bucketWidth = 64)
+    // twin: the naive global-window formulation (fine at test scale)
+    val w = Window.orderBy("doc_id")
+    val twin = docs
+      .withColumn("start", sum("n_toks").over(w) - $"n_toks")
+      .select($"doc_id", $"n_toks".cast("int").as("n_tokens"),
+        expr("start div 256").as("seq_id"),
+        pmod($"start", lit(256L)).cast("int").as("seq_offset"),
+        (expr("(start + n_toks - 1) div 256") - expr("start div 256") + 1).cast("int").as("n_seqs"),
+        (expr("(start + n_toks - 1) div 256") =!= expr("start div 256")).as("straddles"))
+    assert(packed.except(twin).isEmpty && twin.except(packed).isEmpty)
+    // plan shape: every window over the DOC-SIZED side is partitioned; the
+    // only unpartitioned window runs over the bucket totals (64× smaller)
+    val plan = packed.queryExecution.executedPlan.toString()
+    val windowLines = plan.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windowLines.nonEmpty)
+    // the doc-level window must carry the bucket partition key
+    assert(plan.contains("__bucket"))
+  }
+
+  test("sequence packing conserves tokens: every sequence boundary accounted once") {
+    val docs = Seq((0L, 100), (1L, 200), (2L, 300), (3L, 50)).toDF("doc_id", "n_toks")
+    val rows = SequencePack.packAssignments(docs, "doc_id", $"n_toks", capacity = 128)
+      .orderBy("doc_id").collect()
+    // doc0: [0,100) seq0 off0; doc1: [100,300) seq0 off100 spans 0..2 → 3 seqs
+    assert(rows(0).getAs[Long]("seq_id") == 0 && rows(0).getAs[Int]("seq_offset") == 0
+      && !rows(0).getAs[Boolean]("straddles"))
+    assert(rows(1).getAs[Long]("seq_id") == 0 && rows(1).getAs[Int]("seq_offset") == 100
+      && rows(1).getAs[Int]("n_seqs") == 3 && rows(1).getAs[Boolean]("straddles"))
+    // doc2 starts at 300: seq 2 offset 44
+    assert(rows(2).getAs[Long]("seq_id") == 2 && rows(2).getAs[Int]("seq_offset") == 300 - 256)
+  }
+
+  test("lineDedup removes a repeated 10-token block corpus-wide, keeping first occurrence") {
+    val block = (1 to 10).map(i => s"tok$i").mkString(" ")
+    val other = (11 to 20).map(i => s"tok$i").mkString(" ")
+    val third = (21 to 30).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (0L, s"$block $other"), // both blocks fresh
+      (1L, s"$block $third"), // first block is a corpus-dup → dropped
+      (2L, third) // dup of doc1's second block → dropped entirely
+    ).toDF("doc_id", "text")
+    val rows = TextAnalysis.lineDedup(docs).orderBy("doc_id").collect()
+    assert(rows(0).getAs[Int]("n_blocks") == 2 && rows(0).getAs[Int]("n_kept") == 2)
+    assert(rows(1).getAs[Int]("n_blocks") == 2 && rows(1).getAs[Int]("n_kept") == 1)
+    assert(rows(2).getAs[Int]("n_blocks") == 1 && rows(2).getAs[Int]("n_kept") == 0)
+    // doc2's surviving text is empty → sha of ""
+    assert(rows(2).getAs[String]("kept_sha") ==
+      "e3b0c44298fc1c149afbf4c8996fb92427ae41e4649b934ca495991b7852b855")
+  }
+
+  test("slidingChunks covers every token with stride spacing and truncated tail") {
+    val docs = Seq((0L, (1 to 150).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+    val rows = TextAnalysis.slidingChunks(docs, window = 64, stride = 48)
+      .orderBy("chunk_id").collect()
+    // n=150: chunks at 0,48,96 → ceil((150-64)/48)+1 = 3
+    assert(rows.length == 3)
+    assert(rows.map(_.getAs[Int]("start_tok")).toSeq == Seq(0, 48, 96))
+    assert(rows(0).getAs[Int]("n_chunk_tokens") == 64)
+    assert(rows(2).getAs[Int]("n_chunk_tokens") == 54) // truncated tail
+    assert(rows(2).getAs[String]("last_tok") == "t150") // full coverage
+    // short doc → single whole-doc chunk
+    val one = TextAnalysis.slidingChunks(
+      Seq((1L, "a b c")).toDF("doc_id", "text")).collect()
+    assert(one.length == 1 && one(0).getAs[Int]("n_chunk_tokens") == 3)
+  }
+
+  test("robustStats: discrete quantiles, MAD and winsorized mean on a known fixture") {
+    // group g: values 1..20 → n=20, p05 = v@rank1 = 1, med = v@rank10 = 10,
+    // p95 = v@rank19 = 19; MAD: |v-10| sorted → rank10 value = 5
+    val df = (1 to 20).map(i => ("g", i.toDouble)).toDF("grp", "v")
+    val r = Robust.robustStats(df, "grp", $"v").collect()(0)
+    assert(r.getAs[Long]("n") == 20)
+    assert(r.getAs[Double]("p05") == 1.0)
+    assert(r.getAs[Double]("median") == 10.0)
+    assert(r.getAs[Double]("p95") == 19.0)
+    assert(r.getAs[Double]("mad") == 5.0)
+    // winsorized: 1 and 20 clamp to [1,19] → only 20→19; mean = (210-1)/20
+    assert(math.abs(r.getAs[Double]("wins_mean") - 209.0 / 20.0) < 1e-9)
+  }
+}
