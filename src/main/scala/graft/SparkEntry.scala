@@ -1576,8 +1576,36 @@ object SparkEntry {
     // Robust per-group stats: discrete quantiles, MAD, winsorized mean.
     "q_robust_stats" -> ((s, d) =>
       graft.operators.Robust.robustStats(
-        Tables.lineitem(s, d), "l_returnflag", col("l_extendedprice")))
+        Tables.lineitem(s, d), "l_returnflag", col("l_extendedprice"))),
+
+    // Dolma-style source mixing: deterministic hash-sample to a per-source
+    // rate derived from target weights + token budget.
+    "q_data_mixture" -> ((s, d) =>
+      graft.operators.Curation.dataMixture(
+        Tables.documents(s, d), MixtureWeights, budgetFrac = 0.5)),
+
+    // Incremental (batch-vs-corpus) dedup with reason-coded statuses; the
+    // corpus/batch split is the id midpoint, derived like orderSpan.
+    "q_incremental_dedup" -> ((s, d) => {
+      val half = Tables.documents(s, d).agg(max(col("doc_id"))).head().getLong(0) / 2
+      graft.operators.Curation.incrementalDedup(Tables.documents(s, d), half)
+    }),
+
+    // Deterministic 90/5/5 split manifest per source.
+    "q_dataset_split" -> ((s, d) =>
+      graft.operators.Curation.datasetSplit(Tables.documents(s, d))),
+
+    // Fused curation gate with reason codes (language → length → TTR →
+    // repetition; first failing gate wins).
+    "q_curation_audit" -> ((s, d) =>
+      graft.operators.Curation.curationAudit(Tables.documents(s, d)))
   )
+
+  /** Target mixture weights per source — suffix mod 5 + 1, so the 20
+    * sources span a 1..5× weight range. Shared with the generated oracle
+    * SQL so both engines see the same literals. */
+  private val MixtureWeights: Map[String, Double] =
+    (0 until 20).map(i => s"src$i" -> ((i % 5) + 1).toDouble).toMap
 
   /** Pushdown-friendly calendar-year membership: a half-open timestamp
     * range instead of `year(c) = y` (a derived expression never reaches
@@ -2727,8 +2755,116 @@ object SparkEntry {
          SELECT q.g AS l_returnflag, q.n AS n, q.p05 AS p05, q.med AS median, q.p95 AS p95,
                 round(m.mad_raw, 6) AS mad, round(w.wsum / w.cnt, 6) AS wins_mean
          FROM q JOIN m ON q.g = m.g JOIN w ON q.g = w.g
-         ORDER BY 1"""
+         ORDER BY 1""",
+
+    "q_data_mixture" -> dataMixtureSql,
+
+    // Brute-force quadratic replay of the prefix-filter near checks (the
+    // driver runs oracles at sf0.01 only); same 6-dp rounded Jaccard, same
+    // size-ratio precondition, same precedence CASE.
+    "q_incremental_dedup" ->
+      """WITH sp AS (SELECT max(doc_id) // 2 AS half FROM documents),
+              tk AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+              sh AS (SELECT doc_id, sha256(text) AS sha,
+                            CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                                 ELSE list_distinct([array_to_string(t[i:i+2], ' ')
+                                                     for i in range(1, len(t) - 1)]) END AS s
+                     FROM tk),
+              c AS (SELECT sh.* FROM sh, sp WHERE doc_id < half),
+              b AS (SELECT sh.* FROM sh, sp WHERE doc_id >= half),
+              ec AS (SELECT DISTINCT b.doc_id FROM b JOIN c ON b.sha = c.sha),
+              eb AS (SELECT b1.doc_id FROM b b1
+                     WHERE EXISTS (SELECT 1 FROM b b2 WHERE b2.sha = b1.sha AND b2.doc_id < b1.doc_id)),
+              nc AS (SELECT DISTINCT b.doc_id FROM b JOIN c
+                       ON len(c.s) * 0.7 <= len(b.s) AND len(b.s) * 0.7 <= len(c.s)
+                      AND round(len(list_intersect(b.s, c.s)) * 1.0
+                                / len(list_distinct(list_concat(b.s, c.s))), 6) >= 0.7),
+              nb AS (SELECT DISTINCT b2.doc_id FROM b b1 JOIN b b2
+                       ON b1.doc_id < b2.doc_id
+                      AND len(b1.s) * 0.7 <= len(b2.s) AND len(b2.s) * 0.7 <= len(b1.s)
+                      AND round(len(list_intersect(b1.s, b2.s)) * 1.0
+                                / len(list_distinct(list_concat(b1.s, b2.s))), 6) >= 0.7)
+         SELECT doc_id,
+                CASE WHEN doc_id IN (SELECT doc_id FROM ec) THEN 'exact_corpus'
+                     WHEN doc_id IN (SELECT doc_id FROM eb) THEN 'exact_batch'
+                     WHEN doc_id IN (SELECT doc_id FROM nc) THEN 'near_corpus'
+                     WHEN doc_id IN (SELECT doc_id FROM nb) THEN 'near_batch'
+                     ELSE 'kept' END AS status
+         FROM b ORDER BY doc_id""",
+
+    "q_dataset_split" ->
+      """SELECT source,
+                CASE WHEN (doc_id * 2654435761) % 1000000007 % 100 < 90 THEN 'train'
+                     WHEN (doc_id * 2654435761) % 1000000007 % 100 < 95 THEN 'val'
+                     ELSE 'test' END AS split,
+                count(*) AS n_docs,
+                CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+         FROM documents GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q_curation_audit" -> curationAuditSql
   )
+
+  // Mixture oracle: same weight literals (generated from MixtureWeights),
+  // same op order in the rate arithmetic (bit-identical doubles), and the
+  // keep decision as an INTEGER cut on the portable hash.
+  private lazy val dataMixtureSql: String = {
+    val wcase = MixtureWeights.toSeq.sortBy(_._1)
+      .map { case (src, w) => s"WHEN '$src' THEN $w" }.mkString(" ")
+    val wsum = MixtureWeights.values.sum
+    s"""WITH d AS (SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+                          (doc_id * 2654435761) % 1000000007 AS u
+                   FROM documents),
+             a AS (SELECT source, CAST(sum(n_toks) AS BIGINT) AS avail FROM d GROUP BY source),
+             t AS (SELECT CAST(sum(avail) AS DOUBLE) AS total FROM a),
+             r AS (SELECT source, avail,
+                          least(1.0, (CASE source $wcase END) * 0.5 / $wsum * total
+                                     / CAST(avail AS DOUBLE)) AS rate_real
+                   FROM a, t),
+             k AS (SELECT d.source, count(*) AS n_kept, CAST(sum(d.n_toks) AS BIGINT) AS kept_tokens
+                   FROM d JOIN r ON d.source = r.source
+                   WHERE d.u < CAST(floor(rate_real * 1000000007.0) AS BIGINT)
+                   GROUP BY d.source)
+        SELECT r.source, r.avail AS avail_tokens, round(r.rate_real, 6) AS rate,
+               coalesce(k.n_kept, 0) AS n_kept, coalesce(k.kept_tokens, 0) AS kept_tokens
+        FROM r LEFT JOIN k ON r.source = k.source ORDER BY r.source"""
+  }
+
+  // Audit oracle: language CASE generated from the same stopword tables as
+  // corpusCurateSql; repetition fragment mirrors q_doc_repetition.
+  private lazy val curationAuditSql: String = {
+    val scores = TextAnalysis.stopwords.map { case (lang, words) =>
+      val list = words.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(string_split(text, ' '), x -> x IN ($list))) AS s_$lang"
+    }.mkString(",\n                ")
+    val langs = TextAnalysis.stopwords.map(_._1)
+    val g = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+    val cases = langs.map(l => s"WHEN s_$l = g THEN '$l'").mkString(" ")
+    s"""WITH pred AS (
+          SELECT doc_id, text,
+                 CASE WHEN g <= 0 THEN 'und' $cases ELSE 'und' END AS lang_pred
+          FROM (SELECT *, $g AS g FROM (
+            SELECT doc_id, text,
+                  $scores
+            FROM documents))),
+        sig AS (
+          SELECT doc_id, lang_pred,
+                 CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+                 len(list_distinct(string_split(text, ' '))) * 1.0
+                   / len(string_split(text, ' ')) AS ttr,
+                 CASE WHEN len(string_split(text, ' ')) < 2 THEN 0.0
+                      ELSE round(1.0 - len(list_distinct(
+                               [array_to_string(string_split(text, ' ')[i:i+1], ' ')
+                                for i in range(1, len(string_split(text, ' ')))])) * 1.0
+                             / (len(string_split(text, ' ')) - 1), 6) END AS rep
+          FROM pred)
+        SELECT doc_id, lang_pred, n_tokens,
+               CASE WHEN lang_pred <> 'en' THEN 'lang_other'
+                    WHEN n_tokens < 20 THEN 'too_short'
+                    WHEN ttr < 0.4 THEN 'low_quality'
+                    WHEN rep > 0.2 THEN 'repetitive'
+                    ELSE 'kept' END AS reason
+        FROM sig ORDER BY doc_id"""
+  }
 
   private val intervalJoinSql: String =
     """SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id

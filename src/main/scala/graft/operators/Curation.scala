@@ -1,0 +1,181 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
+
+import graft.functions.{tokens, TextAnalysis}
+
+/** Corpus-curation pipeline stages beyond per-document scoring: source
+  * mixing, incremental (batch-vs-corpus) dedup, split assignment, and the
+  * fused keep/drop audit — the operators a production training-data run
+  * chains between raw scan and tokenizer.
+  *
+  * All sampling decisions use the repo's portable deterministic hash
+  * `(doc_id · 2654435761) mod 1000000007` so every engine (and every
+  * re-run) draws the same sample — reproducibility is a correctness
+  * property for dataset releases, not a convenience.
+  */
+object Curation {
+
+  private val HashPrime = 1000000007L
+
+  private def docHash(c: org.apache.spark.sql.Column) =
+    pmod(c * lit(2654435761L), lit(HashPrime))
+
+  /** Dolma/Pile-style source mixing: given target mixture `weights` and a
+    * token budget (`budgetFrac` of the total corpus), derive each source's
+    * deterministic sampling rate `min(1, target_tokens / avail_tokens)`
+    * and take the hash-sample. Up-weighting (rate > 1 ⇒ repeat epochs) is
+    * reported as rate 1.0 — epoch multiplication is the trainer's job.
+    *
+    * Scale: one per-source aggregation (tiny), a scalar total, a broadcast
+    * of per-source rates back onto the scan, and the final per-source
+    * rollup. The fact table is scanned twice (avail pass + sample pass) —
+    * at 100 TB a caller would persist the per-doc token counts; the rate
+    * table itself is |sources|-sized, never data-sized.
+    *
+    * The rate threshold is materialized as an INTEGER cut on the hash
+    * (`floor(rate · P)`) so the keep decision is integer-exact and
+    * engine-portable — no float `<` at the sampling boundary. */
+  def dataMixture(
+      documents: DataFrame,
+      weights: Map[String, Double],
+      budgetFrac: Double): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0), "weights must be positive")
+    require(budgetFrac > 0 && budgetFrac <= 1, s"budgetFrac in (0,1], got $budgetFrac")
+    val wsum = weights.values.sum
+
+    val docTok = documents.select(
+      col("doc_id"), col("source"),
+      size(tokens(col("text"))).cast(LongType).as("n_toks"),
+      docHash(col("doc_id")).as("__u"))
+
+    val avail = docTok.groupBy("source").agg(sum("n_toks").as("avail_tokens"))
+    val total = avail.agg(sum(col("avail_tokens")).cast(DoubleType).as("__total"))
+
+    // rate = min(1, ((w·bf)/Σw · total) / avail) — the exact op order is
+    // mirrored in the oracle SQL so the doubles are bit-identical.
+    val rated = avail
+      .crossJoin(broadcast(total))
+      .withColumn("__w", element_at(typedLit(weights), col("source")))
+      .withColumn("rate_real",
+        least(lit(1.0),
+          col("__w") * lit(budgetFrac) / lit(wsum) * col("__total")
+            / col("avail_tokens").cast(DoubleType)))
+      .withColumn("__cut", floor(col("rate_real") * lit(HashPrime.toDouble)).cast(LongType))
+
+    val kept = docTok
+      .join(broadcast(rated.select(col("source"), col("__cut"))), "source")
+      .filter(col("__u") < col("__cut"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"), sum("n_toks").as("kept_tokens"))
+
+    rated.join(kept, Seq("source"), "left")
+      .select(
+        col("source"),
+        col("avail_tokens"),
+        round(col("rate_real"), 6).as("rate"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"))
+      .orderBy("source")
+  }
+
+  /** Incremental dedup: classify each NEW document (`doc_id >= splitId`)
+    * against the existing corpus (`doc_id < splitId`) and against the rest
+    * of its own batch. Statuses, by precedence:
+    * `exact_corpus` (sha match vs corpus) > `exact_batch` (sha match to an
+    * earlier batch doc) > `near_corpus` (shingle-Jaccard ≥ `threshold` to
+    * any corpus doc) > `near_batch` (same, to an earlier batch doc) >
+    * `kept`.
+    *
+    * Scale: exact checks ride sha-keyed semi-join / first-writer window
+    * shuffles (the hash, never the text); near checks reuse the complete
+    * PPJoin prefix-filter pair join ([[Dedup.prefixFilterPairs]]) — the
+    * candidate exchange carries slim prefix rows, verification is exact.
+    * This is the "continuous ingestion" shape: the corpus side would be
+    * the persisted shingle index, not a rescan. */
+  def incrementalDedup(
+      documents: DataFrame,
+      splitId: Long,
+      threshold: Double = 0.7): DataFrame = {
+    val sha = documents.select(
+      col("doc_id"), sha2(col("text"), 256).as("__sha"))
+    val corpusSha = sha.filter(col("doc_id") < splitId).select("__sha").distinct()
+    val batch = sha.filter(col("doc_id") >= splitId)
+
+    val exactCorpus = batch.join(corpusSha, Seq("__sha"), "left_semi")
+      .select(col("doc_id")).withColumn("__exact_corpus", lit(true))
+    val w = Window.partitionBy("__sha").orderBy("doc_id")
+    val exactBatch = batch.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") > 1)
+      .select(col("doc_id")).withColumn("__exact_batch", lit(true))
+
+    val pairs = Dedup.prefixFilterPairs(
+      Dedup.shingleSets(documents, n = 3), "doc_id", "sh", threshold)
+    val nearCorpus = pairs
+      .filter(col("doc_a") < splitId && col("doc_b") >= splitId)
+      .select(col("doc_b").as("doc_id")).distinct()
+      .withColumn("__near_corpus", lit(true))
+    val nearBatch = pairs
+      .filter(col("doc_a") >= splitId)
+      .select(col("doc_b").as("doc_id")).distinct()
+      .withColumn("__near_batch", lit(true))
+
+    batch.select(col("doc_id"))
+      .join(exactCorpus, Seq("doc_id"), "left")
+      .join(exactBatch, Seq("doc_id"), "left")
+      .join(nearCorpus, Seq("doc_id"), "left")
+      .join(nearBatch, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("__exact_corpus"), "exact_corpus")
+          .when(col("__exact_batch"), "exact_batch")
+          .when(col("__near_corpus"), "near_corpus")
+          .when(col("__near_batch"), "near_batch")
+          .otherwise("kept").as("status"))
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic train/val/test assignment (90/5/5 on the portable doc
+    * hash) rolled up per (source, split) — the release manifest. Pure
+    * map-side decision + one small aggregation. */
+  def datasetSplit(documents: DataFrame): DataFrame = {
+    val h = docHash(col("doc_id")) % 100
+    documents
+      .select(col("source"),
+        when(h < 90, "train").when(h < 95, "val").otherwise("test").as("split"),
+        size(tokens(col("text"))).cast(LongType).as("n_toks"))
+      .groupBy("source", "split")
+      .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"))
+      .orderBy("source", "split")
+  }
+
+  /** Fused curation gate with reason codes — the audit table a real run
+    * writes next to the kept corpus (every drop must be attributable).
+    * First failing gate wins, in fixed order: language → length → lexical
+    * diversity → repetition. All four signals are per-row expression work
+    * on one scan; no shuffle until a consumer aggregates. */
+  def curationAudit(
+      documents: DataFrame,
+      lang: String = "en",
+      minTokens: Int = 20,
+      minTtr: Double = 0.4,
+      maxDupBigram: Double = 0.2): DataFrame = {
+    val toks = tokens(col("text"))
+    val n = size(toks)
+    documents.select(
+      col("doc_id"),
+      TextAnalysis.langId(col("text")).as("lang_pred"),
+      n.cast(IntegerType).as("n_tokens"),
+      (size(array_distinct(toks)).cast(DoubleType) / n.cast(DoubleType)).as("__ttr"),
+      TextAnalysis.dupNGramFraction(toks, 2).as("__rep"))
+      .select(col("doc_id"), col("lang_pred"), col("n_tokens"),
+        when(col("lang_pred") =!= lang, "lang_other")
+          .when(col("n_tokens") < minTokens, "too_short")
+          .when(col("__ttr") < minTtr, "low_quality")
+          .when(col("__rep") > maxDupBigram, "repetitive")
+          .otherwise("kept").as("reason"))
+      .orderBy("doc_id")
+  }
+}

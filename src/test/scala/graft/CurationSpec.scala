@@ -109,6 +109,76 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(one.length == 1 && one(0).getAs[Int]("n_chunk_tokens") == 3)
   }
 
+  test("incrementalDedup classifies by precedence: exact_corpus > exact_batch > near > kept") {
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val aNear = "alpha beta gamma delta epsilon zeta eta theta iota lambda"
+    val fresh = "one two three four five six seven eight nine ten"
+    val docs = Seq(
+      (0L, a), // corpus
+      (1L, fresh), // corpus
+      (10L, a), // exact dup of corpus doc 0
+      (11L, "brand new content about engines and shuffles here today"),
+      (12L, "brand new content about engines and shuffles here today"), // exact dup of 11 (batch)
+      (13L, aNear), // near-dup of corpus doc 0 (not exact)
+      (14L, "totally unrelated words nobody repeats anywhere else ever written")
+    ).toDF("doc_id", "text")
+    val got = graft.operators.Curation.incrementalDedup(docs, splitId = 10L, threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(
+      10L -> "exact_corpus",
+      11L -> "kept",
+      12L -> "exact_batch",
+      13L -> "near_corpus",
+      14L -> "kept"))
+  }
+
+  test("dataMixture clamps oversampled sources to rate 1.0 and samples deterministically") {
+    val docs = (0L until 400L).map { i =>
+      val src = if (i < 20) "rare" else "common"
+      (i, src, (1 to 50).map(j => s"w${i}_$j").mkString(" "))
+    }.toDF("doc_id", "source", "text")
+    // rare: 20 docs × 50 tok = 1000 avail; common: 19000. budget = 0.5·20000
+    // weights 1:1 → target 5000 each → rare rate clamps to 1.0
+    val r = graft.operators.Curation.dataMixture(
+      docs, Map("rare" -> 1.0, "common" -> 1.0), budgetFrac = 0.5)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(r("rare").getAs[Double]("rate") == 1.0)
+    assert(r("rare").getAs[Long]("n_kept") == 20L) // rate 1 keeps everything
+    val commonRate = r("common").getAs[Double]("rate")
+    assert(commonRate > 0.2 && commonRate < 0.3) // 5000/19000 ≈ 0.263
+    val kept = r("common").getAs[Long]("n_kept")
+    assert(kept > 0 && kept < 380)
+    // deterministic: second run identical
+    val again = graft.operators.Curation.dataMixture(
+      docs, Map("rare" -> 1.0, "common" -> 1.0), budgetFrac = 0.5).collect()
+    assert(again.map(_.getAs[Long]("n_kept")).sum == 20L + kept)
+  }
+
+  test("datasetSplit assigns every doc exactly once with ~90/5/5 shape") {
+    val docs = (0L until 1000L).map(i => (i, "s", "a b c")).toDF("doc_id", "source", "text")
+    val rows = graft.operators.Curation.datasetSplit(docs).collect()
+    val byodSplit = rows.map(r => r.getString(1) -> r.getAs[Long]("n_docs")).toMap
+    assert(byodSplit.values.sum == 1000L)
+    assert(byodSplit("train") > 850 && byodSplit("train") < 950)
+    assert(byodSplit.keySet == Set("train", "val", "test"))
+  }
+
+  test("curationAudit: first failing gate wins in fixed order") {
+    val en = "the cat sat of the mat and the dog is in the house with a friend of mine today"
+    val docs = Seq(
+      (0L, en + " extra words to pass all gates easily one two three"), // kept
+      (1L, "der und ist ein das die der und ist ein das die der und ist ein das die der und"), // lang_other
+      (2L, "the cat sat"), // en but too short
+      (3L, "the the the the the the the the the the the the the the the the the the the the") // en, 20 toks, low ttr
+    ).toDF("doc_id", "text")
+    val got = graft.operators.Curation.curationAudit(docs)
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("reason")).toMap
+    assert(got(0L) == "kept")
+    assert(got(1L) == "lang_other")
+    assert(got(2L) == "too_short")
+    assert(got(3L) == "low_quality") // TTR gate fires before repetition
+  }
+
   test("robustStats: discrete quantiles, MAD and winsorized mean on a known fixture") {
     // group g: values 1..20 → n=20, p05 = v@rank1 = 1, med = v@rank10 = 10,
     // p95 = v@rank19 = 19; MAD: |v-10| sorted → rank10 value = 5
