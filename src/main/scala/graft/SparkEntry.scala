@@ -1598,7 +1598,20 @@ object SparkEntry {
     // Fused curation gate with reason codes (language → length → TTR →
     // repetition; first failing gate wins).
     "q_curation_audit" -> ((s, d) =>
-      graft.operators.Curation.curationAudit(Tables.documents(s, d)))
+      graft.operators.Curation.curationAudit(Tables.documents(s, d))),
+
+    // SCD Type 2: order-status snapshots per customer → versioned validity
+    // intervals. Same-day conflicts collapse via max_by(status, orderkey)
+    // so the version chain is deterministic.
+    "q_scd2" -> ((s, d) => {
+      val snap = Tables.orders(s, d)
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(expr("max_by(o_orderstatus, o_orderkey)").as("status"))
+      Transforms.scdType2(snap, "o_custkey", "o_orderdate", "status")
+        .select(col("o_custkey"), col("status"),
+          col("valid_from"), col("valid_to"), col("is_current"))
+        .orderBy(col("o_custkey"), col("valid_from"))
+    })
   )
 
   /** Target mixture weights per source — suffix mod 5 + 1, so the 20
@@ -2801,7 +2814,21 @@ object SparkEntry {
                 CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
          FROM documents GROUP BY 1, 2 ORDER BY 1, 2""",
 
-    "q_curation_audit" -> curationAuditSql
+    "q_curation_audit" -> curationAuditSql,
+
+    "q_scd2" ->
+      """WITH snap AS (SELECT o_custkey, CAST(o_orderdate AS TIMESTAMP) AS ts,
+                              arg_max(o_orderstatus, o_orderkey) AS status
+                       FROM orders GROUP BY 1, 2),
+              chg AS (SELECT o_custkey, ts, status,
+                             lag(status) OVER (PARTITION BY o_custkey ORDER BY ts) AS prev
+                      FROM snap),
+              v AS (SELECT o_custkey, status, ts AS valid_from FROM chg
+                    WHERE prev IS NULL OR prev <> status)
+         SELECT o_custkey, status, valid_from,
+                lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY valid_from) AS valid_to,
+                lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY valid_from) IS NULL AS is_current
+         FROM v ORDER BY o_custkey, valid_from"""
   )
 
   // Mixture oracle: same weight literals (generated from MixtureWeights),

@@ -1,6 +1,7 @@
 package graft.transform
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
 
@@ -114,5 +115,31 @@ object Transforms {
       d(col("l_orderkey")).as("n_orders"),
       d(col("l_partkey")).as("n_parts"),
       d(col("l_suppkey")).as("n_suppliers"))
+  }
+
+  /** Slowly-changing-dimension Type 2: turn per-key attribute SNAPSHOTS
+    * into versioned validity intervals — consecutive unchanged snapshots
+    * collapse, each surviving change opens a `[valid_from, valid_to)`
+    * interval, the open interval (`valid_to IS NULL`) is the current row.
+    * The warehouse counterpart of the reference's row-update mutation
+    * (SURVEY §2.1 S9): instead of updating in place, history is preserved.
+    *
+    * Input must be unique per (`keyCol`, `tsCol`) — collapse same-instant
+    * conflicts upstream (e.g. `max_by` on a tiebreak column) or versioning
+    * order would be non-deterministic.
+    *
+    * Scale: one shuffle on the key; both window passes (change detection +
+    * interval close) and the filter between them share that partitioning,
+    * so Spark plans a single exchange. Per-key state is one row of lag —
+    * no accumulation, no skew risk beyond key cardinality itself. */
+  def scdType2(snapshots: DataFrame, keyCol: String, tsCol: String, attrCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(tsCol)
+    snapshots
+      .withColumn("__prev", lag(col(attrCol), 1).over(w))
+      .filter(col("__prev").isNull || col("__prev") =!= col(attrCol))
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .select(col(keyCol), col(attrCol), col("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
   }
 }

@@ -62,6 +62,27 @@ class TransformsSpec extends AnyFunSuite with SparkSpec {
     assert(parsed.head.getTimestamp(0) != null)
   }
 
+  test("scdType2 collapses unchanged snapshots and chains validity intervals") {
+    val snap = Seq(
+      (1L, "2024-01-01 00:00:00", "O"),
+      (1L, "2024-01-05 00:00:00", "O"), // unchanged → collapses
+      (1L, "2024-01-10 00:00:00", "F"), // change → new version
+      (1L, "2024-01-20 00:00:00", "O"), // change back → third version
+      (2L, "2024-01-02 00:00:00", "P") // single-version key
+    ).toDF("k", "d", "attr").withColumn("ts", to_timestamp($"d")).drop("d")
+    val rows = Transforms.scdType2(snap, "k", "ts", "attr")
+      .orderBy("k", "valid_from").collect()
+    assert(rows.length == 4)
+    // key 1: three versions O/F/O with chained intervals
+    assert(rows(0).getAs[String]("attr") == "O"
+      && rows(0).getAs[java.sql.Timestamp]("valid_to").toString.startsWith("2024-01-10"))
+    assert(rows(1).getAs[String]("attr") == "F"
+      && rows(1).getAs[java.sql.Timestamp]("valid_to").toString.startsWith("2024-01-20"))
+    assert(rows(2).getAs[String]("attr") == "O"
+      && rows(2).getAs[Boolean]("is_current") && rows(2).isNullAt(rows(2).fieldIndex("valid_to")))
+    assert(rows(3).getAs[Long]("k") == 2L && rows(3).getAs[Boolean]("is_current"))
+  }
+
   test("dailySales: div-by-zero avg defaults to 0 and groups correctly") {
     val li = Seq((1L, 100L, 2.0, 10.0, 0.0)).toDF(
       "l_orderkey", "l_partkey", "l_quantity", "l_extendedprice", "l_discount")
