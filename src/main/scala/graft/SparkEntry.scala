@@ -973,6 +973,23 @@ object SparkEntry {
     // Streaming exact dedup of a doubled stream; the sink holds one row per
     // event_id, aggregated here batch-side for a compact oracle-checked
     // result.
+    // Watermark-gated LEFT OUTER stream-stream join: unmatched clicks get
+    // their null row only once the watermark proves no purchase can still
+    // arrive; the click side is cut off at max_ts − (window + delay) so
+    // every admitted click resolves before the source drains (see
+    // runStreamLeftJoin; the extra 1 s covers the watermark's ms
+    // truncation). Null purchase_id sorts via a -1 sentinel key.
+    "q_events_interval_join_left_stream" -> ((s, d) => {
+      val b = Tables.events(s, d).agg(
+        max(when(col("event_type") === "click", col("ts"))).as("mc"),
+        max(when(col("event_type") === "purchase", col("ts"))).as("mp")).head()
+      val bound =
+        if (b.getTimestamp(0).before(b.getTimestamp(1))) b.getTimestamp(0) else b.getTimestamp(1)
+      val cutoff = java.sql.Timestamp.from(bound.toInstant.minusSeconds(20 * 60 + 1))
+      EventStreams.runStreamLeftJoin(s, d, "q_events_interval_join_left_stream_sink", cutoff)
+        .orderBy(col("click_id"), coalesce(col("purchase_id"), lit(-1L)))
+    }),
+
     "q_events_dedup_stream" -> ((s, d) =>
       EventStreams.runStreamDedup(s, d, "q_events_dedup_stream_sink")
         .groupBy(col("event_type"))
@@ -2377,6 +2394,19 @@ object SparkEntry {
          FROM f ORDER BY doc_id, frame_idx""",
 
     "q_events_interval_join" -> intervalJoinSql,
+
+    "q_events_interval_join_left_stream" ->
+      """WITH mx AS (SELECT least(max(ts) FILTER (WHERE event_type = 'click'),
+                                 max(ts) FILTER (WHERE event_type = 'purchase')) AS m
+                     FROM events),
+              c AS (SELECT event_id AS click_id, user_id, ts AS c_ts
+                    FROM events, mx WHERE event_type = 'click' AND ts < m - INTERVAL 20 MINUTE - INTERVAL 1 SECOND),
+              p AS (SELECT event_id AS purchase_id, user_id AS p_user, ts AS p_ts
+                    FROM events WHERE event_type = 'purchase')
+         SELECT c.click_id, p.purchase_id, c.user_id
+         FROM c LEFT JOIN p
+           ON c.user_id = p.p_user AND p.p_ts >= c.c_ts AND p.p_ts <= c.c_ts + INTERVAL 10 MINUTE
+         ORDER BY click_id, coalesce(purchase_id, -1)""",
     "q_events_interval_join_stream" -> intervalJoinSql,
 
     // dedup of the doubled stream restores exactly the original events

@@ -122,6 +122,60 @@ object EventStreams {
     spark.table(name)
   }
 
+  /** Left-outer interval join: every click, with its in-window purchases or
+    * a null row if none arrived. Same bounded-state shape as [[intervalJoin]];
+    * the OUTER (null-extended) row for a click is emitted only once the
+    * watermark proves no purchase can still match — Spark's watermark-gated
+    * outer join semantics, the streaming analog of "abandoned funnel". */
+  def intervalJoinLeft(clicks: DataFrame, purchases: DataFrame, windowMinutes: Int = 10): DataFrame = {
+    val c = clicks.select(col("event_id").as("click_id"), col("user_id"), col("ts").as("c_ts"))
+    val p = purchases.select(
+      col("event_id").as("purchase_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+    c.join(p,
+        col("user_id") === col("p_user") &&
+          col("p_ts") >= col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr(s"INTERVAL $windowMinutes MINUTES"),
+        "left_outer")
+      .select(col("click_id"), col("purchase_id"), col("user_id"))
+  }
+
+  /** Run [[intervalJoinLeft]] as a real watermarked stream-stream join.
+    *
+    * Determinism contract: an unmatched click's null row only flushes once
+    * the GLOBAL watermark passes `c_ts + window`. The global watermark is
+    * the MIN over both sides' watermark operators, and Catalyst pushes the
+    * `event_type` filters below them — so each side's watermark is driven
+    * by its own type's max event time, and the final watermark is
+    * `min(max click ts, max purchase ts) − delay`. The caller must derive
+    * `cutoff = min(max click ts, max purchase ts) − (window + delay)` (less
+    * a safety margin for the watermark's ms truncation) and we filter the
+    * click side to `c_ts < cutoff` INSIDE the streaming query: every
+    * admitted click is then guaranteed to resolve (match or null) before
+    * the source drains, and the result equals the batch twin with the same
+    * predicate. */
+  def runStreamLeftJoin(
+      spark: SparkSession,
+      dir: String,
+      name: String,
+      cutoff: java.sql.Timestamp): DataFrame = {
+    val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", StreamShuffleWidth)
+    try {
+      // Watermark BEFORE the type/cutoff filters: the watermark must track
+      // the full event stream's time, not the filtered click side's — the
+      // last admitted click is otherwise 10 min ahead of its own side's
+      // watermark and its outer row would never flush (the watermark node
+      // only sees rows that reach it).
+      val wm = withWatermark(readTestdataEventStream(spark, dir))
+      val clicks = wm.filter(col("event_type") === "click" && col("ts") < lit(cutoff))
+      val purchases = wm.filter(col("event_type") === "purchase")
+      val q = intervalJoinLeft(clicks, purchases)
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+    spark.table(name)
+  }
+
   /** Stream-static enrichment: a streaming source broadcast-joined to a
     * static dimension (no state, no watermark needed for the join itself —
     * the dim is re-resolved per micro-batch), then a windowed aggregation.

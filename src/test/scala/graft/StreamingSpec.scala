@@ -182,6 +182,42 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(got == Seq(10L, 11L))
   }
 
+  test("streamed left-outer interval join flushes unmatched clicks once the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    def e(id: Long, t: String, typ: String, user: Long) =
+      Event(id, Timestamp.valueOf(t), user, typ, 0.0, "{}")
+    val ms = MemoryStream[Event]
+    val wm = EventStreams.withWatermark(ms.toDF())
+    val clicks = wm.filter($"event_type" === "click")
+    val purchases = wm.filter($"event_type" === "purchase")
+    val q = EventStreams.intervalJoinLeft(clicks, purchases)
+      .writeStream.format("memory").queryName("lj_out").outputMode("append").start()
+    try {
+      ms.addData(
+        e(1, "2024-01-01 00:00:00", "click", 1), // purchase at +5min → matched
+        e(2, "2024-01-01 00:00:00", "click", 2), // no purchase → null row after watermark
+        e(10, "2024-01-01 00:05:00", "purchase", 1))
+      q.processAllAvailable()
+      // The event_type filters push BELOW the watermark operators, so each
+      // side's watermark advances only on its own type: drive both with a
+      // late click+purchase pair, then one more batch (state evicts, and
+      // outer rows emit, in the batch AFTER the watermark update).
+      ms.addData(
+        e(98, "2024-01-01 02:00:00", "click", 8),
+        e(97, "2024-01-01 02:00:00", "purchase", 7))
+      q.processAllAvailable()
+      ms.addData(
+        e(96, "2024-01-01 04:00:00", "click", 6),
+        e(95, "2024-01-01 04:00:00", "purchase", 5))
+      q.processAllAvailable()
+      val rows = spark.table("lj_out").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+      // clicks 1, 2 and 98 are all behind the final watermark (03:50) by
+      // more than the 10 min window; clicks 96 stays buffered.
+      assert(rows == Set((1L, 10L), (2L, -1L), (98L, -1L)))
+    } finally q.stop()
+  }
+
   test("as-of join picks the latest right row at or before each left row") {
     val events = Seq(
       ev(1, "2024-01-01 00:00:00", 1, 0).copy(event_type = "click"),
