@@ -1051,6 +1051,16 @@ object SparkEntry {
     // pg_trgm similarity proper: trigram-Jaccard fuzzy match against a
     // literal query string (constant-folded trigram set; no join), the
     // reference's GIN trigram index analog (`database-schema.sql:5,64`).
+    // Native codegen Jaro–Winkler top-k: one scan, TakeOrderedAndProject —
+    // the entity-resolution scorer next to the trigram search.
+    "q_fuzzy_match" -> ((s, d) =>
+      Tables.part(s, d)
+        .select(col("p_partkey"), col("p_name"),
+          round(graft.functions.JaroWinklerImpl.jaroWinkler(
+            col("p_name"), lit("spring green yellow purple cornsilk")), 6).as("sim"))
+        .orderBy(col("sim").desc, col("p_partkey"))
+        .limit(25)),
+
     "q_trigram_search" -> ((s, d) =>
       TextAnalysis.trigramSearch(Tables.part(s, d), "p_partkey", "p_name",
         query = "spring green yellow", minSim = 0.1, k = 10)),
@@ -2310,6 +2320,11 @@ object SparkEntry {
 
     "q_json_extract" -> jsonExtractSql,
     "q_like_search" -> likeSearchSql,
+
+    "q_fuzzy_match" ->
+      """SELECT p_partkey, p_name,
+                round(jaro_winkler_similarity(p_name, 'spring green yellow purple cornsilk'), 6) AS sim
+         FROM part ORDER BY sim DESC, p_partkey LIMIT 25""",
 
     "q_trigram_search" ->
       """WITH q AS (

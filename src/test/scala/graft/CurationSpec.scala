@@ -179,6 +179,36 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(got(3L) == "low_quality") // TTR gate fires before repetition
   }
 
+  test("jaroWinkler matches the reference scorer on golden pairs, both execution paths") {
+    // golden values probed from DuckDB jaro_winkler_similarity
+    val golden = Seq(
+      ("dwayne", "duane", 0.8400000000000001),
+      ("martha", "marhta", 0.9611111111111111),
+      ("dixon", "dicksonx", 0.8133333333333332),
+      ("abcdefgh", "abzzzzzz", 0.5), // boost NOT applied at jaro <= 0.7
+      ("abcdef", "bcadef", 0.9444444444444445), // odd transpositions floor
+      ("ab", "ab", 1.0),
+      ("a", "", 0.0),
+      ("", "", 0.0))
+    golden.foreach { case (a, b, exp) =>
+      assert(math.abs(graft.functions.JaroWinklerImpl.jw(a, b) - exp) < 1e-12,
+        s"scalar jw($a, $b)")
+    }
+    // expression path (codegen) equals the scalar impl on real data
+    val df = Seq(("dwayne", "duane"), ("dixon", "dicksonx"), ("", "x")).toDF("a", "b")
+    val rows = df.select(
+      graft.functions.JaroWinklerImpl.jaroWinkler($"a", $"b").as("sim")).collect()
+    assert(math.abs(rows(0).getDouble(0) - 0.8400000000000001) < 1e-12)
+    assert(math.abs(rows(1).getDouble(0) - 0.8133333333333332) < 1e-12)
+    assert(rows(2).getDouble(0) == 0.0)
+    // analysis-time rejection of non-string inputs
+    val ex = intercept[AnalysisException] {
+      Seq((1, 2)).toDF("x", "y")
+        .select(graft.functions.JaroWinklerImpl.jaroWinkler($"x", $"y")).collect()
+    }
+    assert(ex.getMessage.contains("jaro_winkler"))
+  }
+
   test("robustStats: discrete quantiles, MAD and winsorized mean on a known fixture") {
     // group g: values 1..20 → n=20, p05 = v@rank1 = 1, med = v@rank10 = 10,
     // p95 = v@rank19 = 19; MAD: |v-10| sorted → rank10 value = 5
