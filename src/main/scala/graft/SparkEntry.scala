@@ -990,6 +990,15 @@ object SparkEntry {
         .orderBy(col("click_id"), coalesce(col("purchase_id"), lit(-1L)))
     }),
 
+    // Spark 4 arbitrary-state API (transformWithState + ValueState on
+    // RocksDB): per-user running purchase ledger, state = one (count, sum)
+    // pair per user. Oracle = the batch window cumsum in event-time order.
+    "q_events_running_stream" -> ((s, d) =>
+      EventStreams.runStreamRunningTotals(s, d, "q_events_running_stream_sink")
+        .select(col("event_id"), col("user_id"), col("seq"),
+          round(col("running_value"), 6).as("running_value"))
+        .orderBy(col("user_id"), col("seq"))),
+
     "q_events_dedup_stream" -> ((s, d) =>
       EventStreams.runStreamDedup(s, d, "q_events_dedup_stream_sink")
         .groupBy(col("event_type"))
@@ -2409,6 +2418,14 @@ object SparkEntry {
          FROM f ORDER BY doc_id, frame_idx""",
 
     "q_events_interval_join" -> intervalJoinSql,
+
+    "q_events_running_stream" ->
+      """SELECT event_id, user_id,
+                CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS seq,
+                round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS running_value
+         FROM events WHERE event_type = 'purchase'
+         ORDER BY user_id, seq""",
 
     "q_events_interval_join_left_stream" ->
       """WITH mx AS (SELECT least(max(ts) FILTER (WHERE event_type = 'click'),

@@ -290,6 +290,80 @@ object EventStreams {
       user_id: Long, session_start: Timestamp, session_end: Timestamp,
       n_events: Int, value_sum: Double)
 
+  // ----------------------------- arbitrary state (transformWithState) ----
+
+  final case class RunningTotal(event_id: Long, user_id: Long, seq: Int, running_value: Double)
+
+  /** Per-user running purchase totals on the Spark 4 arbitrary-state API
+    * (`transformWithState` + `ValueState`, RocksDB state store — the
+    * successor to `flatMapGroupsWithState` with typed, TTL-able state
+    * primitives). State per key is ONE (count, sum) pair — O(users), not
+    * O(events).
+    *
+    * Determinism: rows inside a micro-batch arrive in shuffle order, so the
+    * processor sorts each key's batch iterator by (ts, event_id) before
+    * folding — with the single-file source (one batch) the emitted sequence
+    * is exactly the per-user event-time order, which is what the batch
+    * window-cumsum oracle replays. Multi-batch deployments get per-batch
+    * ordering, the semantics any arrival-ordered ledger has. */
+  class RunningTotalsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, RunningTotal] {
+    @transient private var state: org.apache.spark.sql.streaming.ValueState[(Int, Double)] = _
+
+    override def init(
+        outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      state = getHandle.getValueState[(Int, Double)](
+        "running",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaInt, org.apache.spark.sql.Encoders.scalaDouble),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(
+        user: Long,
+        rows: Iterator[Event],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[RunningTotal] = {
+      val sorted = rows.toIndexedSeq.sortBy(e => (tsToUs(e.ts), e.event_id))
+      var (n, sum) = if (state.exists()) state.get() else (0, 0.0)
+      val out = sorted.map { e =>
+        n += 1; sum += e.value
+        RunningTotal(e.event_id, user, n, sum)
+      }
+      state.update((n, sum))
+      out.iterator
+    }
+  }
+
+  /** Run [[RunningTotalsProcessor]] over the purchase stream. RocksDB is
+    * the only state-store provider that supports transformWithState; the
+    * conf flips for the query and restores after. */
+  def runStreamRunningTotals(spark: SparkSession, dir: String, name: String): DataFrame = {
+    import spark.implicits._
+    val savedWidth = spark.conf.get("spark.sql.shuffle.partitions")
+    val savedProv = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.shuffle.partitions", StreamShuffleWidth)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val src = readTestdataEventStream(spark, dir)
+        .filter(col("event_type") === "purchase").as[Event]
+      val q = src.groupByKey(_.user_id)
+        .transformWithState(
+          new RunningTotalsProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          OutputMode.Append())
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", savedWidth)
+      savedProv match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+    spark.table(name)
+  }
+
   // Session arithmetic runs at MICROsecond resolution — `Timestamp.getTime`
   // alone is ms and would truncate event times (the events table carries µs),
   // silently shifting session bounds off the built-in session_window's.

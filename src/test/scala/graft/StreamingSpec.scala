@@ -218,6 +218,37 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState running totals carry state across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val savedProv = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ms = MemoryStream[Event]
+    val q = ms.toDS().groupByKey(_.user_id)
+      .transformWithState(
+        new EventStreams.RunningTotalsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      .writeStream.format("memory").queryName("tws_out").outputMode("append").start()
+    try {
+      ms.addData(
+        ev(2, "2024-01-01 00:10:00", 1, 5.0), // same batch, later ts → seq 2
+        ev(1, "2024-01-01 00:00:00", 1, 2.0)) // sorted first within the batch
+      q.processAllAvailable()
+      ms.addData(ev(3, "2024-01-01 00:20:00", 1, 1.0)) // second batch resumes state
+      q.processAllAvailable()
+      val rows = spark.table("tws_out").orderBy($"seq").collect()
+        .map(r => (r.getAs[Long]("event_id"), r.getAs[Int]("seq"), r.getAs[Double]("running_value")))
+      assert(rows.toSeq == Seq((1L, 1, 2.0), (2L, 2, 7.0), (3L, 3, 8.0)))
+    } finally {
+      q.stop()
+      savedProv match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("as-of join picks the latest right row at or before each left row") {
     val events = Seq(
       ev(1, "2024-01-01 00:00:00", 1, 0).copy(event_type = "click"),
