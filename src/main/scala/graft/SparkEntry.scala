@@ -1614,6 +1614,32 @@ object SparkEntry {
       graft.operators.Robust.robustStats(
         Tables.lineitem(s, d), "l_returnflag", col("l_extendedprice"))),
 
+    // Mergeable HLL sketches (DataSketches): per-source term sketches
+    // union-merged to the corpus-wide distinct estimate — THE distributed
+    // distinct-counting pattern at 100 TB (sketches are tiny, associative,
+    // and persistable; re-aggregation needs no raw-data rescan).
+    // Self-asserting: per-source and union estimates vs their exact twins.
+    "q_hll_merge" -> ((s, d) => {
+      val tok = Tables.documents(s, d)
+        .select(col("source"), explode(tokens(col("text"))).as("term"))
+      val perSource = tok.groupBy(col("source")).agg(
+        expr("hll_sketch_agg(term)").as("sk"),
+        countDistinct(col("term")).as("exact_terms"))
+      val exactUnion = tok.agg(countDistinct(col("term")).as("exact_union"))
+      perSource.agg(
+        count(lit(1)).as("n_sources"),
+        expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_union"),
+        expr("bool_and(abs(cast(hll_sketch_estimate(sk) as double) - exact_terms)" +
+          " / exact_terms <= 0.05)").as("per_source_within"))
+        .crossJoin(broadcast(exactUnion))
+        .select(
+          col("n_sources"),
+          col("exact_union"),
+          (abs(col("est_union").cast("double") - col("exact_union"))
+            / col("exact_union") <= 0.05).as("union_within"),
+          col("per_source_within"))
+    }),
+
     // Dolma-style source mixing: deterministic hash-sample to a per-source
     // rate derived from target weights + token budget.
     "q_data_mixture" -> ((s, d) =>
@@ -2831,6 +2857,15 @@ object SparkEntry {
                 round(m.mad_raw, 6) AS mad, round(w.wsum / w.cnt, 6) AS wins_mean
          FROM q JOIN m ON q.g = m.g JOIN w ON q.g = w.g
          ORDER BY 1""",
+
+    // exact twins + pinned accuracy booleans (HLL lgK=12 ⇒ ~1.6% σ; the
+    // 5% bound holds with wide margin at any cardinality)
+    "q_hll_merge" ->
+      """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS term FROM documents)
+         SELECT count(DISTINCT source) AS n_sources,
+                count(DISTINCT term) AS exact_union,
+                true AS union_within, true AS per_source_within
+         FROM tok""",
 
     "q_data_mixture" -> dataMixtureSql,
 
