@@ -361,6 +361,35 @@ object SparkEntry {
           |ORDER BY l_returnflag, l_linestatus""".stripMargin)
     }),
 
+    // WITH RECURSIVE (Spark 4 UnionLoop): month spine from the order-date
+    // span, left-joined to monthly order counts — gap-free trends, the
+    // classic recursive-CTE use. The ORACLE RUNS THE SAME SQL in DuckDB
+    // (both engines' recursion is ANSI), modulo count type casting.
+    "q_recursive_cte" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      s.sql(RecursiveMonthsSql)
+    }),
+
+    // Spark 4.1 approx_top_k (frequent-items sketch): estimated top-10
+    // terms self-asserted against the exact counts — count-exactness and
+    // tie-safe top-k validity (every returned item's exact count reaches
+    // the exact 10th-largest).
+    "q_approx_topk" -> ((s, d) => {
+      val tok = Tables.documents(s, d).select(explode(tokens(col("text"))).as("term"))
+      val exact = tok.groupBy(col("term")).agg(count(lit(1)).as("exact_n"))
+      val est = tok.agg(expr("approx_top_k(term, 10)").as("tk"))
+        .select(explode(col("tk")).as("e"))
+        .select(col("e.item").as("term"), col("e.count").as("est_n"))
+      val kth = exact.orderBy(col("exact_n").desc, col("term")).limit(10)
+        .agg(min(col("exact_n")).as("kth_n"))
+      est.join(exact, "term")
+        .crossJoin(broadcast(kth))
+        .agg(
+          count(lit(1)).as("k"),
+          expr("bool_and(est_n = exact_n)").as("all_counts_exact"),
+          expr("bool_and(exact_n >= kth_n)").as("is_valid_topk"))
+    }),
+
     // F14 — API-layer ISO-8601 serialization, kept in the engine as a
     // formatting expression (reference `app.py:68,105`).
     "q_iso_format" -> ((s, d) =>
@@ -1663,12 +1692,19 @@ object SparkEntry {
       graft.operators.Curation.curationAudit(Tables.documents(s, d))),
 
     // SCD Type 2: order-status snapshots per customer → versioned validity
-    // intervals. Same-day conflicts collapse via max_by(status, orderkey)
-    // so the version chain is deterministic.
+    // intervals. Same-day conflicts collapse to max_by(status, orderkey)
+    // via a lead() window over the SAME (custkey) partitioning the
+    // versioning passes use — the whole query runs on ONE exchange (the
+    // (date, orderkey) sort satisfies every later (date)-ordered window).
     "q_scd2" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
       val snap = Tables.orders(s, d)
-        .groupBy(col("o_custkey"), col("o_orderdate"))
-        .agg(expr("max_by(o_orderstatus, o_orderkey)").as("status"))
+        .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+          col("o_orderstatus").as("status"))
+        .withColumn("__nd", lead(col("o_orderdate"), 1).over(w))
+        .filter(col("__nd").isNull || col("__nd") =!= col("o_orderdate"))
+        .drop("__nd", "o_orderkey")
       Transforms.scdType2(snap, "o_custkey", "o_orderdate", "status")
         .select(col("o_custkey"), col("status"),
           col("valid_from"), col("valid_to"), col("is_current"))
@@ -2867,6 +2903,12 @@ object SparkEntry {
                 true AS union_within, true AS per_source_within
          FROM tok""",
 
+    "q_recursive_cte" -> RecursiveMonthsSql,
+
+    "q_approx_topk" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+         SELECT CAST(10 AS BIGINT) AS k, true AS all_counts_exact, true AS is_valid_topk FROM tok LIMIT 1""",
+
     "q_data_mixture" -> dataMixtureSql,
 
     // Brute-force quadratic replay of the prefix-filter near checks (the
@@ -2927,6 +2969,22 @@ object SparkEntry {
                 lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY valid_from) IS NULL AS is_current
          FROM v ORDER BY o_custkey, valid_from"""
   )
+
+  /** Gap-free month spine via WITH RECURSIVE — valid in BOTH Spark 4 and
+    * DuckDB verbatim; each engine runs its own recursion (Spark: UnionLoop;
+    * DuckDB: recursive union) and must converge to the same spine. The
+    * count is cast for DuckDB's wider aggregate type. */
+  private val RecursiveMonthsSql: String =
+    """WITH RECURSIVE months(m) AS (
+      |  SELECT date_trunc('month', (SELECT min(o_orderdate) FROM orders)) AS m
+      |  UNION ALL
+      |  SELECT m + INTERVAL '1' MONTH FROM months
+      |  WHERE m < (SELECT date_trunc('month', max(o_orderdate)) FROM orders)
+      |)
+      |SELECT m AS month_start,
+      |       CAST(count(o_orderkey) AS BIGINT) AS n_orders
+      |FROM months LEFT JOIN orders ON date_trunc('month', o_orderdate) = m
+      |GROUP BY m ORDER BY m""".stripMargin
 
   // Mixture oracle: same weight literals (generated from MixtureWeights),
   // same op order in the rate arithmetic (bit-identical doubles), and the

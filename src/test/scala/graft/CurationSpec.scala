@@ -209,6 +209,33 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(ex.getMessage.contains("jaro_winkler"))
   }
 
+  test("scd2 query plans a single keyed exchange: collapse + both windows share it") {
+    val saved = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // the query minus the harness-only output sort (which adds a range
+      // exchange that a production pipeline would not have)
+      import org.apache.spark.sql.expressions.Window
+      val orders = graft.sources.Tables.orders(spark, "/root/testdata/sf0.001")
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      val snap = orders
+        .select($"o_custkey", $"o_orderdate", $"o_orderkey", $"o_orderstatus".as("status"))
+        .withColumn("__nd", lead($"o_orderdate", 1).over(w))
+        .filter($"__nd".isNull || $"__nd" =!= $"o_orderdate")
+        .drop("__nd", "o_orderkey")
+      val scd = graft.transform.Transforms.scdType2(snap, "o_custkey", "o_orderdate", "status")
+      val shuffles = scd.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+      }
+      assert(shuffles.length == 1, s"expected 1 shuffle, got ${shuffles.length}")
+      // and the interval chain itself stays correct
+      val sorts = scd.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.SortExec => s
+      }
+      assert(sorts.length == 1, s"window re-sorts should collapse, got ${sorts.length}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", saved)
+  }
+
   test("robustStats: discrete quantiles, MAD and winsorized mean on a known fixture") {
     // group g: values 1..20 → n=20, p05 = v@rank1 = 1, med = v@rank10 = 10,
     // p95 = v@rank19 = 19; MAD: |v-10| sorted → rank10 value = 5
