@@ -390,6 +390,35 @@ object SparkEntry {
           expr("bool_and(exact_n >= kth_n)").as("is_valid_topk"))
     }),
 
+    // Spark 4 VARIANT: parse once into the binary semi-structured type,
+    // then typed paths extract WITHOUT re-parsing the JSON text per field —
+    // the 100 TB answer to schema-on-read (parse cost paid once, pushdown-
+    // friendly shredding). Oracle replays with plain JSON extraction.
+    "q_variant" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"),
+          expr("variant_get(parse_json(props), '$.k', 'int')").as("k"))
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("k")).as("k_sum"),
+          min(col("k")).as("k_min"),
+          max(col("k")).as("k_max"))
+        .orderBy(col("event_type"))),
+
+    // LATERAL correlated subquery (per-customer top-2 orders by price):
+    // exercises the LateralJoin plan; same SQL shape runs in DuckDB.
+    "q_lateral" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      s.sql(
+        """SELECT c.o_custkey, t.o_orderkey, t.o_totalprice
+          |FROM (SELECT DISTINCT o_custkey FROM orders) c,
+          |LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+          |         WHERE o.o_custkey = c.o_custkey
+          |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+          |ORDER BY c.o_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin)
+    }),
+
     // F14 — API-layer ISO-8601 serialization, kept in the engine as a
     // formatting expression (reference `app.py:68,105`).
     "q_iso_format" -> ((s, d) =>
@@ -2902,6 +2931,21 @@ object SparkEntry {
                 count(DISTINCT term) AS exact_union,
                 true AS union_within, true AS per_source_within
          FROM tok""",
+
+    "q_variant" ->
+      """SELECT event_type, count(*) AS n,
+                CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS k_sum,
+                CAST(min(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS k_min,
+                CAST(max(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS k_max
+         FROM events GROUP BY 1 ORDER BY 1""",
+
+    "q_lateral" ->
+      """SELECT c.o_custkey, t.o_orderkey, t.o_totalprice
+         FROM (SELECT DISTINCT o_custkey FROM orders) c,
+         LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+                  WHERE o.o_custkey = c.o_custkey
+                  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+         ORDER BY c.o_custkey, t.o_totalprice DESC, t.o_orderkey""",
 
     "q_recursive_cte" -> RecursiveMonthsSql,
 
