@@ -29,7 +29,10 @@ object Bench {
     // to zero on a long-running engine, and best-of-N also damps
     // machine-load noise. Runs are interleaved (full pass 1, full pass 2)
     // so a transient load spike cannot inflate both samples of a query.
-    def pass(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
+    // GRAFT_ONLY=q_a,q_b restricts the suite — fast iteration on one query.
+    val only = sys.env.get("GRAFT_ONLY").map(_.split(",").toSet)
+    val suite = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
+    def pass(): Map[String, Double] = suite.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
@@ -55,8 +58,9 @@ object Bench {
     // a 117-query map at 3 decimals (~4.3 KB) overflowed it in rounds 1-2.
     val detail = bySlowest.map { case (k, v) => s""""$k":${r3(v)}""" }
       .mkString("{", ",", "}")
-    Files.writeString(Paths.get("bench_detail.json"),
-      s"""{"sf":"$sfDir","runs_per_query":$nPasses,"aggregation":"min","total_sec":${r3(total)},"queries":$detail}""" + "\n")
+    if (only.isEmpty) // a GRAFT_ONLY subset must not clobber the full record
+      Files.writeString(Paths.get("bench_detail.json"),
+        s"""{"sf":"$sfDir","runs_per_query":$nPasses,"aggregation":"min","total_sec":${r3(total)},"queries":$detail}""" + "\n")
     // The stdout contract line stays small: total + the 40 slowest queries
     // (the regression-relevant ones) at 2 decimals — ~1.3 KB, comfortably
     // inside the tail capture. Printed LAST so the tail always contains it.

@@ -363,11 +363,26 @@ object SparkEntry {
 
     // WITH RECURSIVE (Spark 4 UnionLoop): month spine from the order-date
     // span, left-joined to monthly order counts — gap-free trends, the
-    // classic recursive-CTE use. The ORACLE RUNS THE SAME SQL in DuckDB
-    // (both engines' recursion is ANSI), modulo count type casting.
+    // classic recursive-CTE use. The recursion bounds are inlined as
+    // LITERALS (derived once via the cached orderSpan scalar aggregate):
+    // a scalar subquery in the step condition would re-scan orders on
+    // EVERY loop iteration (~80 scans — measured 8.7 s at sf0.1, the exact
+    // iterated-rescan trap a recursive plan must avoid at scale). The
+    // DuckDB oracle keeps the subquery form — same data, same spine.
     "q_recursive_cte" -> ((s, d) => {
+      val (mn, mx) = orderSpan(s, d)
       Tables.orders(s, d).createOrReplaceTempView("orders")
-      s.sql(RecursiveMonthsSql)
+      s.sql(
+        s"""WITH RECURSIVE months(m) AS (
+           |  SELECT date_trunc('month', TIMESTAMP '$mn 00:00:00') AS m
+           |  UNION ALL
+           |  SELECT m + INTERVAL '1' MONTH FROM months
+           |  WHERE m < date_trunc('month', TIMESTAMP '$mx 00:00:00')
+           |)
+           |SELECT m AS month_start,
+           |       CAST(count(o_orderkey) AS BIGINT) AS n_orders
+           |FROM months LEFT JOIN orders ON date_trunc('month', o_orderdate) = m
+           |GROUP BY m ORDER BY m""".stripMargin)
     }),
 
     // Spark 4.1 approx_top_k (frequent-items sketch): estimated top-10
