@@ -405,6 +405,61 @@ object SparkEntry {
           expr("bool_and(exact_n >= kth_n)").as("is_valid_topk"))
     }),
 
+    // Table-version reconciliation: classify every PK across two versions
+    // of orders (base vs a derived "next" snapshot with deterministic
+    // drops / urgent-price bumps / re-keyed adds) via ONE full-outer join —
+    // the dataset-release diff report. Exact decimal delta sums.
+    "q_table_diff" -> ((s, d) => {
+      val base = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      val src = Tables.orders(s, d)
+      val kept = src
+        .filter(pmod(col("o_orderkey") % 3037000499L * 2654435761L, lit(1000000007L)) % 97 =!= 3)
+        .select(col("o_orderkey"),
+          when(col("o_orderpriority") === "1-URGENT",
+            (dec2(col("o_totalprice")) * dec2(lit(1.1))).cast("double"))
+            .otherwise(col("o_totalprice")).as("o_totalprice"),
+          col("o_orderstatus"))
+      val added = src
+        .filter(pmod(col("o_orderkey") % 3037000499L * 2654435761L, lit(1000000007L)) % 101 === 5)
+        .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+          col("o_totalprice"), col("o_orderstatus"))
+      val next = kept.unionByName(added)
+      base.as("a").join(next.as("b"), Seq("o_orderkey"), "full_outer")
+        .select(
+          when(col("a.o_totalprice").isNull, "added")
+            .when(col("b.o_totalprice").isNull, "removed")
+            .when(col("a.o_totalprice") =!= col("b.o_totalprice")
+              || col("a.o_orderstatus") =!= col("b.o_orderstatus"), "changed")
+            .otherwise("unchanged").as("change"),
+          // DECIMAL(18,3): bumped prices carry 3 exact decimals, and a
+          // 3-dp value round-trips double→decimal identically in both
+          // engines (no midpoint ambiguity, unlike re-rounding to 2 dp)
+          coalesce(col("b.o_totalprice").cast("decimal(18,3)"),
+            lit(0.0).cast("decimal(18,3)")).as("__new"),
+          coalesce(col("a.o_totalprice").cast("decimal(18,3)"),
+            lit(0.0).cast("decimal(18,3)")).as("__old"))
+        .groupBy(col("change"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("__new") - col("__old")).cast("double").as("delta_sum"))
+        .orderBy(col("change"))
+    }),
+
+    // Moving (trailing-5-row) DISCRETE median per customer — windowed
+    // quantiles via sorted collect over a row frame; the lower-median
+    // convention matches DuckDB's quantile_disc exactly.
+    "q_window_median" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey")).rowsBetween(-4, 0)
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          array_sort(collect_list(col("o_totalprice")).over(w)).as("__arr"))
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          expr("element_at(__arr, CAST((size(__arr) + 1) div 2 AS INT))").as("moving_median"))
+        .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+    }),
+
     // Spark 4 VARIANT: parse once into the binary semi-structured type,
     // then typed paths extract WITHOUT re-parsing the JSON text per field —
     // the 100 TB answer to schema-on-read (parse cost paid once, pushdown-
@@ -2946,6 +3001,36 @@ object SparkEntry {
                 count(DISTINCT term) AS exact_union,
                 true AS union_within, true AS per_source_within
          FROM tok""",
+
+    "q_table_diff" ->
+      """WITH base AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),
+              kept AS (SELECT o_orderkey,
+                              CASE WHEN o_orderpriority = '1-URGENT'
+                                   THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.1 AS DECIMAL(18,2)) AS DOUBLE)
+                                   ELSE o_totalprice END AS o_totalprice,
+                              o_orderstatus
+                       FROM orders
+                       WHERE (o_orderkey % 3037000499 * 2654435761) % 1000000007 % 97 <> 3),
+              added AS (SELECT o_orderkey + 10000000 AS o_orderkey, o_totalprice, o_orderstatus
+                        FROM orders
+                        WHERE (o_orderkey % 3037000499 * 2654435761) % 1000000007 % 101 = 5),
+              nxt AS (SELECT * FROM kept UNION ALL SELECT * FROM added)
+         SELECT CASE WHEN a.o_totalprice IS NULL THEN 'added'
+                     WHEN b.o_totalprice IS NULL THEN 'removed'
+                     WHEN a.o_totalprice <> b.o_totalprice OR a.o_orderstatus <> b.o_orderstatus THEN 'changed'
+                     ELSE 'unchanged' END AS change,
+                count(*) AS n,
+                CAST(sum(coalesce(CAST(b.o_totalprice AS DECIMAL(18,3)), 0)
+                         - coalesce(CAST(a.o_totalprice AS DECIMAL(18,3)), 0)) AS DOUBLE) AS delta_sum
+         FROM base a FULL JOIN nxt b USING (o_orderkey)
+         GROUP BY 1 ORDER BY 1""",
+
+    "q_window_median" ->
+      """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS TIMESTAMP) AS o_orderdate,
+                quantile_disc(o_totalprice, 0.5) OVER (
+                  PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS moving_median
+         FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey""",
 
     "q_variant" ->
       """SELECT event_type, count(*) AS n,
