@@ -1127,6 +1127,12 @@ object SparkEntry {
           round(col("running_value"), 6).as("running_value"))
         .orderBy(col("user_id"), col("seq"))),
 
+    // MapState variant of the arbitrary-state API: per-user map of
+    // event_type → count; output is each event's per-type sequence number.
+    "q_events_profile_stream" -> ((s, d) =>
+      EventStreams.runStreamTypeProfile(s, d, "q_events_profile_stream_sink")
+        .orderBy(col("event_id"))),
+
     "q_events_dedup_stream" -> ((s, d) =>
       EventStreams.runStreamDedup(s, d, "q_events_dedup_stream_sink")
         .groupBy(col("event_type"))
@@ -2579,6 +2585,12 @@ object SparkEntry {
          FROM f ORDER BY doc_id, frame_idx""",
 
     "q_events_interval_join" -> intervalJoinSql,
+
+    "q_events_profile_stream" ->
+      """SELECT event_id, user_id, event_type,
+                CAST(row_number() OVER (PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id) AS BIGINT) AS type_seq
+         FROM events ORDER BY event_id""",
 
     "q_events_running_stream" ->
       """SELECT event_id, user_id,

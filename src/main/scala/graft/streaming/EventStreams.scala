@@ -334,6 +334,67 @@ object EventStreams {
     }
   }
 
+  final case class TypeSeq(event_id: Long, user_id: Long, event_type: String, type_seq: Long)
+
+  /** Per-user behavioural profile via `MapState[event_type → count]` — the
+    * keyed-sub-state primitive of the arbitrary-state API (a map entry per
+    * OBSERVED type, not a dense vector; state stays O(users × seen types)).
+    * Emits each event's updated per-type sequence number, so the output is
+    * an attributable ledger the window-rank oracle replays. */
+  class TypeProfileProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, TypeSeq] {
+    @transient private var counts: org.apache.spark.sql.streaming.MapState[String, Long] = _
+
+    override def init(
+        outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      counts = getHandle.getMapState[String, Long](
+        "typeCounts",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(
+        user: Long,
+        rows: Iterator[Event],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[TypeSeq] = {
+      val sorted = rows.toIndexedSeq.sortBy(e => (tsToUs(e.ts), e.event_id))
+      val out = sorted.map { e =>
+        val n = (if (counts.containsKey(e.event_type)) counts.getValue(e.event_type) else 0L) + 1L
+        counts.updateValue(e.event_type, n)
+        TypeSeq(e.event_id, user, e.event_type, n)
+      }
+      out.iterator
+    }
+  }
+
+  /** Run [[TypeProfileProcessor]] over the full event stream. */
+  def runStreamTypeProfile(spark: SparkSession, dir: String, name: String): DataFrame = {
+    import spark.implicits._
+    val savedWidth = spark.conf.get("spark.sql.shuffle.partitions")
+    val savedProv = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.shuffle.partitions", StreamShuffleWidth)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val src = readTestdataEventStream(spark, dir).as[Event]
+      val q = src.groupByKey(_.user_id)
+        .transformWithState(
+          new TypeProfileProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          OutputMode.Append())
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", savedWidth)
+      savedProv match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+    spark.table(name)
+  }
+
   /** Run [[RunningTotalsProcessor]] over the purchase stream. RocksDB is
     * the only state-store provider that supports transformWithState; the
     * conf flips for the query and restores after. */
