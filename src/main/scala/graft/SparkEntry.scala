@@ -1127,6 +1127,15 @@ object SparkEntry {
           round(col("running_value"), 6).as("running_value"))
         .orderBy(col("user_id"), col("seq"))),
 
+    // ListState variant: bounded recent-purchase history per user (last 3
+    // ids, most recent last), serialized as CSV so the array compares
+    // portably. Oracle = list() over a trailing row frame.
+    "q_events_recent_stream" -> ((s, d) =>
+      EventStreams.runStreamRecentPurchases(s, d, "q_events_recent_stream_sink")
+        .select(col("event_id"), col("user_id"),
+          concat_ws(",", col("recent_ids")).as("recent_csv"))
+        .orderBy(col("event_id"))),
+
     // MapState variant of the arbitrary-state API: per-user map of
     // event_type → count; output is each event's per-type sequence number.
     "q_events_profile_stream" -> ((s, d) =>
@@ -2585,6 +2594,14 @@ object SparkEntry {
          FROM f ORDER BY doc_id, frame_idx""",
 
     "q_events_interval_join" -> intervalJoinSql,
+
+    "q_events_recent_stream" ->
+      """SELECT event_id, user_id,
+                array_to_string(list(event_id) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), ',') AS recent_csv
+         FROM events WHERE event_type = 'purchase'
+         ORDER BY event_id""",
 
     "q_events_profile_stream" ->
       """SELECT event_id, user_id, event_type,

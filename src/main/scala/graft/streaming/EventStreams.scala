@@ -368,6 +368,69 @@ object EventStreams {
     }
   }
 
+  final case class RecentPurchases(
+      event_id: Long, user_id: Long, recent_ids: Seq[Long])
+
+  /** Bounded recent-history ledger via `ListState` — the third state
+    * primitive: after each purchase, emit the user's last ≤ `keep`
+    * purchase ids (most recent LAST). State is truncated on write
+    * (`put` of the trimmed list), so it is O(users × keep) regardless of
+    * history length — the "recently viewed" / fraud-recency shape. */
+  class RecentPurchasesProcessor(keep: Int = 3)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, RecentPurchases] {
+    @transient private var recent: org.apache.spark.sql.streaming.ListState[Long] = _
+
+    override def init(
+        outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      recent = getHandle.getListState[Long](
+        "recent",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(
+        user: Long,
+        rows: Iterator[Event],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[RecentPurchases] = {
+      val sorted = rows.toIndexedSeq.sortBy(e => (tsToUs(e.ts), e.event_id))
+      var window = if (recent.exists()) recent.get().toVector else Vector.empty[Long]
+      val out = sorted.map { e =>
+        window = (window :+ e.event_id).takeRight(keep)
+        RecentPurchases(e.event_id, user, window)
+      }
+      recent.put(window.toArray)
+      out.iterator
+    }
+  }
+
+  /** Run [[RecentPurchasesProcessor]] over the purchase stream. */
+  def runStreamRecentPurchases(spark: SparkSession, dir: String, name: String): DataFrame = {
+    import spark.implicits._
+    val savedWidth = spark.conf.get("spark.sql.shuffle.partitions")
+    val savedProv = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.shuffle.partitions", StreamShuffleWidth)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val src = readTestdataEventStream(spark, dir)
+        .filter(col("event_type") === "purchase").as[Event]
+      val q = src.groupByKey(_.user_id)
+        .transformWithState(
+          new RecentPurchasesProcessor(),
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          OutputMode.Append())
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", savedWidth)
+      savedProv match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+    spark.table(name)
+  }
+
   /** Run [[TypeProfileProcessor]] over the full event stream. */
   def runStreamTypeProfile(spark: SparkSession, dir: String, name: String): DataFrame = {
     import spark.implicits._
