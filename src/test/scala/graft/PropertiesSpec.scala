@@ -107,4 +107,21 @@ class PropertiesSpec extends AnyFunSuite with SparkSpec {
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(got == expected)
   }
+
+  test("jaroWinkler is symmetric, bounded, and exact on identity/disjoint pairs") {
+    import graft.functions.JaroWinklerImpl.jw
+    val word = Gen.choose(0, 12).flatMap(n => Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+    val pairs = sample(Gen.listOfN(400, Gen.zip(word, word)))
+    pairs.foreach { case (a, b) =>
+      val s = jw(a, b)
+      assert(s >= 0.0 && s <= 1.0, s"out of range: jw($a, $b) = $s")
+      assert(s == jw(b, a), s"asymmetric: jw($a, $b) != jw($b, $a)")
+      if (a == b && a.nonEmpty) assert(s == 1.0, s"identity: jw($a, $a) = $s")
+    }
+    // disjoint alphabets can never match
+    assert(jw("aaaa", "bbbb") == 0.0)
+    // monotone prefix bonus: sharing a longer prefix cannot reduce the
+    // score relative to the same jaro with no shared prefix
+    assert(jw("martha", "marhta") > jw("artham", "arhtam") - 1e-12)
+  }
 }
