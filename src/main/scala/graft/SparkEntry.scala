@@ -1783,6 +1783,13 @@ object SparkEntry {
           col("per_source_within"))
     }),
 
+    // Neyman-allocation stratified sampling: budget split ∝ N_h·σ_h (the
+    // minimum-variance allocation), drawn with deterministic hash cuts.
+    "q_neyman_sample" -> ((s, d) =>
+      graft.operators.Robust.neymanSample(
+        Tables.orders(s, d), "o_orderstatus", col("o_totalprice"),
+        col("o_orderkey"), totalSamples = 1000)),
+
     // Dolma-style source mixing: deterministic hash-sample to a per-source
     // rate derived from target weights + token budget.
     "q_data_mixture" -> ((s, d) =>
@@ -3081,6 +3088,27 @@ object SparkEntry {
     "q_approx_topk" ->
       """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
          SELECT CAST(10 AS BIGINT) AS k, true AS all_counts_exact, true AS is_valid_topk FROM tok LIMIT 1""",
+
+    // mirror the exact arithmetic: 6-dp sigma before allocation, exact
+    // decimal normalizer, identical op order in the rate expression
+    "q_neyman_sample" ->
+      """WITH b AS (SELECT o_orderstatus AS s, o_totalprice AS v,
+                           (o_orderkey * 2654435761) % 1000000007 AS u
+                    FROM orders),
+              st AS (SELECT s, count(*) AS n_rows, round(stddev_samp(v), 6) AS sigma
+                     FROM b GROUP BY s),
+              t AS (SELECT sum(n_rows * CAST(sigma AS DECIMAL(18,6))) AS w FROM st),
+              r AS (SELECT s, n_rows, sigma,
+                           least(1.0, 1000.0 * (CAST(n_rows AS DOUBLE) * sigma)
+                                      / CAST(w AS DOUBLE) / CAST(n_rows AS DOUBLE)) AS rate
+                    FROM st, t),
+              k AS (SELECT b.s, count(*) AS n_kept
+                    FROM b JOIN r ON b.s = r.s
+                    WHERE b.u < CAST(floor(rate * 1000000007.0) AS BIGINT)
+                    GROUP BY b.s)
+         SELECT r.s AS o_orderstatus, r.n_rows, r.sigma, round(r.rate, 6) AS rate,
+                coalesce(k.n_kept, 0) AS n_kept
+         FROM r LEFT JOIN k ON r.s = k.s ORDER BY 1""",
 
     "q_data_mixture" -> dataMixtureSql,
 

@@ -57,9 +57,11 @@ object Curation {
 
     // rate = min(1, ((w·bf)/Σw · total) / avail) — the exact op order is
     // mirrored in the oracle SQL so the doubles are bit-identical.
+    // a source absent from the mixture gets weight 0 → rate 0 → dropped
+    // (explicitly, not via a null-propagating comparison)
     val rated = avail
       .crossJoin(broadcast(total))
-      .withColumn("__w", element_at(typedLit(weights), col("source")))
+      .withColumn("__w", coalesce(element_at(typedLit(weights), col("source")), lit(0.0)))
       .withColumn("rate_real",
         least(lit(1.0),
           col("__w") * lit(budgetFrac) / lit(wsum) * col("__total")

@@ -77,4 +77,46 @@ object Robust {
         round(col("__wsum").cast(DoubleType) / col("__cnt"), 6).as("wins_mean"))
       .orderBy(groupCol)
   }
+
+  /** Neyman-allocation stratified sampling: a total budget of
+    * `totalSamples` rows split across strata ∝ N_h·σ_h (bigger, more
+    * variable strata get more samples — the minimum-variance allocation
+    * for estimating the population mean), then drawn per stratum with the
+    * repo's deterministic integer hash cut.
+    *
+    * Portability: σ_h is rounded to 6 dp BEFORE allocation (a raw
+    * one-pass stddev differs across engines in the last bits), and the
+    * Σ N_h·σ_h normalizer is summed in exact decimal so the per-stratum
+    * rates are bit-identical everywhere. Shape: per-stratum stats (one
+    * shuffle), a |strata|-sized broadcast, one sampling scan. */
+  def neymanSample(
+      df: DataFrame,
+      stratumCol: String,
+      value: Column,
+      hashKey: Column,
+      totalSamples: Long): DataFrame = {
+    val base = df.select(
+      col(stratumCol).as("__s"), value.cast(DoubleType).as("__v"),
+      pmod(hashKey * lit(2654435761L), lit(1000000007L)).as("__u"))
+    val stats = base.groupBy("__s").agg(
+      count(lit(1)).as("n_rows"),
+      round(stddev_samp(col("__v")), 6).as("sigma"))
+    val tot = stats.agg(
+      sum(col("n_rows") * col("sigma").cast("decimal(18,6)")).as("__w"))
+    val rated = stats.crossJoin(broadcast(tot))
+      .withColumn("rate",
+        least(lit(1.0),
+          lit(totalSamples.toDouble) * (col("n_rows").cast(DoubleType) * col("sigma"))
+            / col("__w").cast(DoubleType) / col("n_rows").cast(DoubleType)))
+      .withColumn("__cut", floor(col("rate") * lit(1000000007.0)).cast(LongType))
+    val kept = base
+      .join(broadcast(rated.select(col("__s"), col("__cut"))), "__s")
+      .filter(col("__u") < col("__cut"))
+      .groupBy("__s").agg(count(lit(1)).as("n_kept"))
+    rated.join(kept, Seq("__s"), "left")
+      .select(col("__s").as(stratumCol), col("n_rows"), col("sigma"),
+        round(col("rate"), 6).as("rate"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+      .orderBy(stratumCol)
+  }
 }
