@@ -1163,6 +1163,12 @@ object SparkEntry {
     "q_asof_join" -> ((s, d) =>
       graft.operators.AsOfJoin.eventsAsOf(Tables.events(s, d), "purchase", "click")),
 
+    // FORWARD as-of (time-to-next-purchase per click), verified against
+    // DuckDB's native ASOF JOIN with the >= inequality — an independent
+    // engine implementation, not a window twin.
+    "q_asof_forward" -> ((s, d) =>
+      graft.operators.AsOfJoin.eventsAsOfForward(Tables.events(s, d), "click", "purchase")),
+
     // Keyed range join via bucketized equi-join (no nested-loop range
     // product): clicks within 5 minutes before each error, per user.
     "q_range_join" -> ((s, d) =>
@@ -2552,6 +2558,15 @@ object SparkEntry {
          ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
            ON p.user_id = c.user_id AND c.ts <= p.ts
          ORDER BY p.event_id""",
+
+    "q_asof_forward" ->
+      """SELECT c.event_id, c.user_id, CAST(c.ts AS TIMESTAMP) AS left_ts,
+                CAST(p.ts AS TIMESTAMP) AS next_right_ts,
+                date_diff('microsecond', c.ts, p.ts) AS gap_us
+         FROM (SELECT * FROM events WHERE event_type = 'click') c
+         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+           ON c.user_id = p.user_id AND p.ts >= c.ts
+         ORDER BY c.event_id""",
 
     "q_events_tumbling_stream" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket, event_type, count(*) AS n_events,

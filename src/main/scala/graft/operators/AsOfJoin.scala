@@ -22,6 +22,33 @@ import org.apache.spark.sql.functions._
   */
 object AsOfJoin {
 
+  /** FORWARD as-of: for each `leftType` event, the EARLIEST `rightType`
+    * event at or after it by the same user — "time to next purchase". The
+    * mirror of [[eventsAsOf]]: the running window scans time DESCENDING,
+    * so `last(right, ignoreNulls)` carries the nearest FUTURE right row;
+    * at an exact tie the right row still sorts first (`>=` semantics).
+    * Same single-shuffle linear cost shape. */
+  def eventsAsOfForward(events: DataFrame, leftType: String, rightType: String): DataFrame = {
+    val tagged = events
+      .filter(col("event_type").isin(leftType, rightType))
+      .select(
+        col("event_id"), col("user_id"), col("ts"),
+        (col("event_type") === lit(leftType)).as("is_left"),
+        when(col("event_type") === lit(rightType), col("ts")).as("right_ts"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("is_left").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("next_right_ts", last(col("right_ts"), ignoreNulls = true).over(w))
+      .filter(col("is_left"))
+      .select(
+        col("event_id"), col("user_id"),
+        col("ts").as("left_ts"),
+        col("next_right_ts"),
+        (unix_micros(col("next_right_ts")) - unix_micros(col("ts"))).as("gap_us"))
+      .orderBy(col("event_id"))
+  }
+
   /** events-shaped convenience: for each `leftType` event, the most recent
     * `rightType` event by the same user: (event_id, user_id, left ts, last
     * right ts, gap in µs; nulls when no prior right event exists). */

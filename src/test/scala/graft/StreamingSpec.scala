@@ -280,6 +280,23 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("forward as-of join picks the earliest right row at or after each left row") {
+    val events = Seq(
+      ev(1, "2024-01-01 00:00:00", 1, 0).copy(event_type = "click"),
+      ev(2, "2024-01-01 00:10:00", 1, 0).copy(event_type = "purchase"), // next for click 1
+      ev(3, "2024-01-01 00:10:00", 1, 0).copy(event_type = "click"), // ties with purchase 2 → matches it
+      ev(4, "2024-01-01 00:30:00", 1, 0).copy(event_type = "purchase"),
+      ev(5, "2024-01-01 01:00:00", 2, 0).copy(event_type = "click")) // user 2: no purchase → null
+      .toDF()
+    val byId = graft.operators.AsOfJoin.eventsAsOfForward(events, "click", "purchase")
+      .collect().map(r => r.getAs[Long]("event_id") -> r).toMap
+    assert(byId(1).getAs[Timestamp]("next_right_ts") == Timestamp.valueOf("2024-01-01 00:10:00"))
+    assert(byId(1).getAs[Long]("gap_us") == 10L * 60 * 1000 * 1000)
+    assert(byId(3).getAs[Timestamp]("next_right_ts") == Timestamp.valueOf("2024-01-01 00:10:00"))
+    assert(byId(3).getAs[Long]("gap_us") == 0L) // >= tie matches
+    assert(byId(5).getAs[Timestamp]("next_right_ts") == null)
+  }
+
   test("as-of join picks the latest right row at or before each left row") {
     val events = Seq(
       ev(1, "2024-01-01 00:00:00", 1, 0).copy(event_type = "click"),
