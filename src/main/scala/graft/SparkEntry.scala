@@ -1789,6 +1789,11 @@ object SparkEntry {
           col("per_source_within"))
     }),
 
+    // Join-key skew diagnostics: the concentration profile that justifies
+    // (or rules out) salting before a big join.
+    "q_skew_profile" -> ((s, d) =>
+      graft.operators.Skew.keySkewProfile(Tables.lineitem(s, d), "l_orderkey")),
+
     // Neyman-allocation stratified sampling: budget split ∝ N_h·σ_h (the
     // minimum-variance allocation), drawn with deterministic hash cuts.
     "q_neyman_sample" -> ((s, d) =>
@@ -3103,6 +3108,18 @@ object SparkEntry {
     "q_approx_topk" ->
       """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
          SELECT CAST(10 AS BIGINT) AS k, true AS all_counts_exact, true AS is_valid_topk FROM tok LIMIT 1""",
+
+    "q_skew_profile" ->
+      """WITH f AS (SELECT l_orderkey, count(*) AS n FROM lineitem GROUP BY 1),
+              t AS (SELECT max(n) AS top1_n, sum(n) AS topk_n
+                    FROM (SELECT n FROM f ORDER BY n DESC, l_orderkey LIMIT 10)),
+              g AS (SELECT count(*) AS n_keys, CAST(sum(n) AS BIGINT) AS n_rows FROM f)
+         SELECT n_keys, n_rows,
+                round(CAST(top1_n AS DOUBLE) / n_rows, 6) AS top1_share,
+                round(CAST(topk_n AS DOUBLE) / n_rows, 6) AS topk_share,
+                round(CAST(n_rows AS DOUBLE) / n_keys, 6) AS mean_rows_per_key,
+                round(CAST(top1_n AS DOUBLE) / (CAST(n_rows AS DOUBLE) / n_keys), 6) AS top1_vs_mean
+         FROM t, g""",
 
     // mirror the exact arithmetic: 6-dp sigma before allocation, exact
     // decimal normalizer, identical op order in the rate expression
