@@ -1841,8 +1841,62 @@ object SparkEntry {
         .select(col("o_custkey"), col("status"),
           col("valid_from"), col("valid_to"), col("is_current"))
         .orderBy(col("o_custkey"), col("valid_from"))
+    }),
+
+    // BM25 relevance ranking for a literal query — per-doc tfs map-side,
+    // ONE single-row corpus-stats broadcast, top-k; nothing shuffles at
+    // data size (TextAnalysis.bm25Rank).
+    "q_bm25" -> ((s, d) =>
+      TextAnalysis.bm25Rank(Tables.documents(s, d), Bm25QueryTerms)),
+
+    // Character-entropy gibberish signal: map-side HOF, no shuffle.
+    "q_char_entropy" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextAnalysis.charEntropy(col("text")).as("char_entropy"))
+        .orderBy(col("doc_id"))),
+
+    // Two-sample KS drift statistic between two sources' length
+    // distributions: distributed per-value pre-agg, cumulative window over
+    // the DISTINCT-value table only (Robust.ksStatistic).
+    "q_ks_drift" -> ((s, d) =>
+      graft.operators.Robust.ksStatistic(
+        Tables.documents(s, d), col("n_chars"), col("source"), "src0", "src1")),
+
+    // Fixed-round weighted PageRank over the event-type transition graph;
+    // the DuckDB oracle unrolls the same 10 power-iteration rounds
+    // (operators/Graph.scala — per round one keyed join + one keyed agg,
+    // localCheckpoint lineage truncation, nothing driver-sized).
+    "q_pagerank" -> ((s, d) =>
+      graft.operators.Graph.pageRank(
+        graft.operators.Graph.eventTransitions(Tables.events(s, d)),
+        "src", "dst", "weight", iterations = 10, damping = 0.85)
+        .orderBy(col("node"))),
+
+    // Count-min sketch, SELF-ASSERTING: deterministic fixed-seed sketch of
+    // order custkeys, probed for keys 1..25; asserts the CM guarantees
+    // (estimate ≥ exact, overshoot ≤ 4·e·N/width) instead of the
+    // non-ANSI-expressible counter table (operators/Sketches.scala).
+    "q_countmin" -> ((s, d) => {
+      import graft.operators.CountMin
+      val keys = Tables.orders(s, d).select(col("o_custkey"))
+      val sk = CountMin.sketch(keys, col("o_custkey"))
+      val probes = s.range(1, 26).select(col("id").as("k"))
+      val est = CountMin.estimate(probes, col("k"), sk)
+      val exact = keys.filter(col("o_custkey") <= 25)
+        .groupBy(col("o_custkey").as("key")).agg(count(lit(1)).as("n_true"))
+      val n = keys.count()
+      val bound = 4.0 * math.E * n / 2048.0
+      est.join(exact, Seq("key"), "left")
+        .select(col("key"), col("est"), coalesce(col("n_true"), lit(0L)).as("n_true"))
+        .agg(
+          count(lit(1)).as("n_probes"),
+          min(col("est") >= col("n_true")).as("all_lower_bounded"),
+          max(col("est") - col("n_true")).cast("double").leq(lit(bound)).as("all_within_eps"))
     })
   )
+
+  /** Query-term set for the BM25 row — shared with the generated oracle. */
+  private val Bm25QueryTerms: Seq[String] = Seq("spark", "join", "merge")
 
   /** Target mixture weights per source — suffix mod 5 + 1, so the 20
     * sources span a 1..5× weight range. Shared with the generated oracle
@@ -3200,8 +3254,93 @@ object SparkEntry {
          SELECT o_custkey, status, valid_from,
                 lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY valid_from) AS valid_to,
                 lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY valid_from) IS NULL AS is_current
-         FROM v ORDER BY o_custkey, valid_from"""
+         FROM v ORDER BY o_custkey, valid_from""",
+
+    // Same static `+` chain in query-term order as the Spark fold; 2.2 =
+    // 1 + k1 and 0.25 = 1 − b are replayed as the same double literals.
+    "q_bm25" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+              f AS (SELECT doc_id, CAST(len(tk) AS DOUBLE) AS dl,
+                           CAST(len(list_filter(tk, x -> x = 'spark')) AS DOUBLE) AS tf0,
+                           CAST(len(list_filter(tk, x -> x = 'join')) AS DOUBLE) AS tf1,
+                           CAST(len(list_filter(tk, x -> x = 'merge')) AS DOUBLE) AS tf2
+                    FROM t),
+              c AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
+                           sum(CASE WHEN tf0 > 0 THEN 1.0 ELSE 0.0 END) AS df0,
+                           sum(CASE WHEN tf1 > 0 THEN 1.0 ELSE 0.0 END) AS df1,
+                           sum(CASE WHEN tf2 > 0 THEN 1.0 ELSE 0.0 END) AS df2
+                    FROM f)
+         SELECT doc_id, score FROM (
+           SELECT doc_id,
+                  round(ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5)) * tf0 * 2.2 / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                      + ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5)) * tf1 * 2.2 / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                      + ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5)) * tf2 * 2.2 / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6) AS score
+           FROM f, c)
+         WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 15""",
+
+    // Same sorted-distinct fold order as the Spark HOF, so the double sum
+    // is bit-identical before the shared round(…, 6).
+    "q_char_entropy" ->
+      """WITH t AS (SELECT doc_id, list_transform(range(1, length(text) + 1), i -> text[i]) AS cs
+                    FROM documents)
+         SELECT doc_id,
+                CASE WHEN len(cs) = 0 THEN 0.0 ELSE
+                  round(-list_sum(list_transform(list_sort(list_distinct(cs)),
+                    c -> (len(list_filter(cs, x -> x = c)) * 1.0 / len(cs))
+                         * log2(len(list_filter(cs, x -> x = c)) * 1.0 / len(cs)))), 6)
+                END AS char_entropy
+         FROM t ORDER BY doc_id""",
+
+    // ECDFs as exact-integer cumulative counts divided once at the end —
+    // bit-portable; max() is order-independent.
+    "q_ks_drift" ->
+      """WITH t AS (SELECT n_chars AS v, source = 'src0' AS is_a FROM documents
+                    WHERE source IN ('src0', 'src1')),
+              p AS (SELECT v, sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS ca,
+                           sum(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS cb
+                    FROM t GROUP BY v),
+              c AS (SELECT sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sa,
+                           sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sb
+                    FROM p),
+              g AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a, CAST(sum(cb) AS BIGINT) AS n_b FROM p)
+         SELECT n_a, n_b,
+                round(max(abs(CAST(sa AS DOUBLE) / n_a - CAST(sb AS DOUBLE) / n_b)), 6) AS ks_stat
+         FROM c, g GROUP BY n_a, n_b""",
+
+    "q_pagerank" -> pageRankSql,
+
+    // CM-guarantee assertion twin of the deterministic fixed-seed sketch.
+    "q_countmin" ->
+      "SELECT CAST(25 AS BIGINT) AS n_probes, true AS all_lower_bounded, true AS all_within_eps"
   )
+
+  /** Unrolled 10-round power-iteration oracle for [[q_pagerank]] — the
+    * recursive-CTE route is closed (DuckDB disallows aggregates in the
+    * recursive term), so each round is a generated CTE. `(1.0 - 0.85)`
+    * stays SPELLED as a subtraction: Scala's `1 - damping` is exact by
+    * Sterbenz, while a literal `0.15` is a DIFFERENT double 1 ulp away. */
+  private def pageRankSql: String = {
+    val head =
+      """WITH seq AS (SELECT user_id, event_type,
+                             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+                      FROM events),
+              e AS (SELECT prev AS src, event_type AS dst, CAST(count(*) AS DOUBLE) AS w
+                    FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2),
+              ow AS (SELECT src, sum(w) AS ow FROM e GROUP BY 1),
+              ne AS (SELECT e.src, e.dst, e.w / ow.ow AS p FROM e JOIN ow ON e.src = ow.src),
+              nodes AS (SELECT DISTINCT src AS node FROM e UNION SELECT dst FROM e),
+              nc AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+              r0 AS (SELECT node, 1.0 / n AS r FROM nodes, nc)"""
+    val rounds = (1 to 10).map { k =>
+      s""",
+              r$k AS (SELECT nodes.node, (1.0 - 0.85) / nc.n + 0.85 * COALESCE(s.inflow, 0.0) AS r
+                      FROM nodes CROSS JOIN nc
+                      LEFT JOIN (SELECT ne.dst AS node, sum(r.r * ne.p) AS inflow
+                                 FROM ne JOIN r${k - 1} r ON ne.src = r.node GROUP BY ne.dst) s
+                      ON nodes.node = s.node)"""
+    }.mkString
+    head + rounds + "\n         SELECT node, round(r, 6) AS rank FROM r10 ORDER BY node"
+  }
 
   /** Gap-free month spine via WITH RECURSIVE — valid in BOTH Spark 4 and
     * DuckDB verbatim; each engine runs its own recursion (Spark: UnionLoop;

@@ -280,6 +280,64 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** BM25 relevance ranking of the corpus against a literal query-term set
+    * (Robertson–Spärck Jones; the scoring function behind Lucene/
+    * Elasticsearch defaults). Because the query is a SMALL LITERAL set,
+    * per-document term frequencies are computed map-side with array HOFs —
+    * no corpus-wide token explode, no vocabulary table at all. The only
+    * other input is ONE corpus-stats row (N, avgdl, per-term df) that
+    * broadcasts as a single-row cross join. At 100 TB: one scan, one
+    * scalar-sized aggregate, one top-k — nothing shuffles at data size.
+    *
+    * The per-term score sum is a static left fold in query order, so the
+    * floating-point result replays bit-identically in the SQL oracle's
+    * `+` chain. */
+  def bm25Rank(
+      documents: DataFrame, queryTerms: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75, topK: Int = 15): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25Rank needs at least one query term")
+    val toks = tokens(col("text"))
+    val tfCols = queryTerms.zipWithIndex.map { case (t, i) =>
+      size(filter(toks, x => x === lit(t))).cast(DoubleType).as(s"__tf$i")
+    }
+    val base = documents.select(
+      col("doc_id") +: size(toks).cast(DoubleType).as("__dl") +: tfCols: _*)
+    val corpus = base.agg(
+      count(lit(1)).cast(DoubleType).as("__n"),
+      avg(col("__dl")).as("__avgdl") +:
+        queryTerms.indices.map(i =>
+          sum(when(col(s"__tf$i") > 0, 1.0).otherwise(0.0)).as(s"__df$i")): _*)
+    val score = queryTerms.indices.map { i =>
+      val tf = col(s"__tf$i")
+      val df = col(s"__df$i")
+      val idf = log(lit(1.0) + (col("__n") - df + lit(0.5)) / (df + lit(0.5)))
+      idf * tf * lit(k1 + 1) /
+        (tf + lit(k1) * (lit(1 - b) + lit(b) * col("__dl") / col("__avgdl")))
+    }.reduce(_ + _)
+    base.crossJoin(broadcast(corpus))
+      .select(col("doc_id"), round(score, 6).as("score"))
+      .filter(col("score") > 0)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(topK)
+  }
+
+  /** Shannon entropy (bits) of a string's CHARACTER distribution — the
+    * cheap gibberish/encoding-noise detector (near 0 ⇒ one repeated
+    * character; natural text sits ~4 bits). Pure map-side HOF work over
+    * the sorted distinct-character set, so the fold order — and therefore
+    * the floating-point sum — is identical in the SQL oracle. */
+  def charEntropy(text: Column): Column = {
+    val cs = transform(sequence(lit(1), length(text)), i => text.substr(i, lit(1)))
+    val n = size(cs).cast(DoubleType)
+    val ent = -aggregate(
+      array_sort(array_distinct(cs)), lit(0.0),
+      (acc, ch) => {
+        val p = size(filter(cs, x => x === ch)).cast(DoubleType) / n
+        acc + p * log2(p)
+      })
+    when(length(text) === 0, lit(0.0)).otherwise(round(ent, 6))
+  }
+
   /** Sliding-window chunking with overlap — the RAG / long-context
     * training splitter: windows of `window` tokens every `stride` tokens,
     * last window truncated, single window when the doc fits. Pure per-row

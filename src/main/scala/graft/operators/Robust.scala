@@ -119,4 +119,38 @@ object Robust {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"))
       .orderBy(stratumCol)
   }
+
+  /** Two-sample Kolmogorov–Smirnov statistic between the `value`
+    * distributions of two groups — the standard data-drift gate a pipeline
+    * runs between yesterday's and today's batch (or two corpus sources)
+    * before trusting a refresh: D = max over x of |F_a(x) − F_b(x)|.
+    *
+    * Scale shape: the per-value counts aggregate DISTRIBUTED first (one
+    * keyed shuffle on the value), so the ordered cumulative window then
+    * runs over the DISTINCT-value table — bounded by the value domain, not
+    * the row count. The ECDFs are exact-integer cumulative counts divided
+    * once at the end, so the statistic is bit-portable across engines.
+    * Output is one row: group sizes and D.
+    */
+  def ksStatistic(
+      df: DataFrame, value: Column, groupCol: Column,
+      groupA: String, groupB: String): DataFrame = {
+    val tagged = df
+      .filter(groupCol.isin(groupA, groupB))
+      .select(value.as("v"), (groupCol === groupA).as("is_a"))
+    val perValue = tagged.groupBy(col("v")).agg(
+      sum(when(col("is_a"), 1L).otherwise(0L)).as("ca"),
+      sum(when(!col("is_a"), 1L).otherwise(0L)).as("cb"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = perValue.select(
+      sum(col("ca")).over(w).as("sa"), sum(col("cb")).over(w).as("sb"))
+    val tot = perValue.agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"))
+    cum.crossJoin(broadcast(tot))
+      .agg(
+        first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"),
+        round(max(abs(
+          col("sa").cast(DoubleType) / col("n_a") -
+            col("sb").cast(DoubleType) / col("n_b"))), 6).as("ks_stat"))
+  }
 }

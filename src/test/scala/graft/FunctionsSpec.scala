@@ -203,4 +203,36 @@ class FunctionsSpec extends AnyFunSuite with SparkSpec {
     }
     assert(e.getMessage.contains("64") || e.getCause != null)
   }
+
+  test("charEntropy: 0 for a single repeated char, 1 bit for a 50/50 mix") {
+    val got = Seq("aaaa", "ab", "aabb", "abcd")
+      .toDF("text")
+      .select(TextAnalysis.charEntropy($"text").as("e"))
+      .collect().map(_.getDouble(0))
+    assert(got(0) == 0.0)
+    assert(got(1) == 1.0)
+    assert(got(2) == 1.0)
+    assert(got(3) == 2.0)
+  }
+
+  test("bm25Rank prefers more query-term hits and drops no-hit docs") {
+    val docs = Seq(
+      (0L, "spark spark join fast table"),
+      (1L, "spark row scan value table"),
+      (2L, "key hash sort window line")) // no query term at all
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bm25Rank(docs, Seq("spark", "join"), topK = 10).collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(0L, 1L)) // doc 2 excluded
+    assert(got(0).getDouble(1) > got(1).getDouble(1))
+  }
+
+  test("bm25 length normalization: same tf scores lower in a longer doc") {
+    val docs = Seq(
+      (0L, "spark fast"),
+      (1L, "spark " + Seq.fill(30)("pad").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bm25Rank(docs, Seq("spark"), topK = 10)
+      .orderBy($"doc_id").collect()
+    assert(got(0).getDouble(1) > got(1).getDouble(1))
+  }
 }

@@ -218,4 +218,52 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(out.map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq ==
       Seq((1L, 20L, "new"), (2L, 30L, "only"), (3L, 40L, "tie-lo2")))
   }
+
+  test("pageRank: symmetric cycle is uniform, extra in-links raise rank") {
+    import graft.operators.Graph
+    val cycle = Seq(("a", "b", 1.0), ("b", "c", 1.0), ("c", "a", 1.0))
+      .toDF("src", "dst", "w")
+    val uniform = Graph.pageRank(cycle, "src", "dst", "w", iterations = 5)
+      .collect().map(_.getDouble(1))
+    assert(uniform.forall(r => math.abs(r - 1.0 / 3) < 1e-6)) // output is 6-dp rounded
+
+    // a and b both point at c; only c points back at a; b has no in-links.
+    // The a↔c 2-cycle oscillates (damped by 0.85² per two rounds), so run
+    // enough rounds for the fixpoint ordering (c ≈ .487, a ≈ .464) to hold.
+    val skewed = Seq(("a", "c", 1.0), ("b", "c", 1.0), ("c", "a", 1.0))
+      .toDF("src", "dst", "w")
+    val ranks = Graph.pageRank(skewed, "src", "dst", "w", iterations = 30)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(ranks("c") > ranks("a") && ranks("a") > ranks("b"))
+    // b receives only the teleport mass
+    assert(math.abs(ranks("b") - 0.05) < 1e-6)
+  }
+
+  test("countMin estimates upper-bound exact counts within the CM guarantee") {
+    import graft.operators.CountMin
+    val keys = (Seq.fill(40)(1L) ++ Seq.fill(10)(2L) ++ (3L to 30L)).toDF("k")
+    val sk = CountMin.sketch(keys, col("k"), depth = 3, width = 64)
+    val probes = (1L to 30L).toDF("k")
+    val exact = keys.groupBy(col("k").as("key")).agg(count(lit(1)).as("n_true"))
+    val n = keys.count()
+    val got = CountMin.estimate(probes, col("k"), sk, depth = 3, width = 64)
+      .join(exact, Seq("key")).collect()
+    assert(got.length == 30)
+    assert(got.forall(r => r.getLong(1) >= r.getLong(2))) // never undercounts
+    val bound = 4.0 * math.E * n / 64.0
+    assert(got.forall(r => (r.getLong(1) - r.getLong(2)).toDouble <= bound))
+  }
+
+  test("ksStatistic: 0 for identical samples, 1 for disjoint supports") {
+    import graft.operators.Robust
+    val same = (Seq.tabulate(50)(i => (i.toLong, "a")) ++
+      Seq.tabulate(50)(i => (i.toLong, "b"))).toDF("v", "g")
+    val r0 = Robust.ksStatistic(same, col("v"), col("g"), "a", "b").head()
+    assert((r0.getLong(0), r0.getLong(1), r0.getDouble(2)) == (50L, 50L, 0.0))
+
+    val disjoint = (Seq.tabulate(20)(i => (i.toLong, "a")) ++
+      Seq.tabulate(20)(i => (100L + i, "b"))).toDF("v", "g")
+    val r1 = Robust.ksStatistic(disjoint, col("v"), col("g"), "a", "b").head()
+    assert(r1.getDouble(2) == 1.0)
+  }
 }
