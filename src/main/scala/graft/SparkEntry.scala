@@ -1872,6 +1872,28 @@ object SparkEntry {
         "src", "dst", "weight", iterations = 10, damping = 0.85)
         .orderBy(col("node"))),
 
+    // Last-touch revenue attribution: one union+running-window shuffle
+    // (the AsOfJoin formulation) — no time-range join; 8 h lookback.
+    "q_attribution" -> ((s, d) =>
+      graft.operators.TimeSeries.lastTouchAttribution(
+        Tables.events(s, d), Seq("click", "view"), "purchase", windowMinutes = 480)),
+
+    // Laplace-smoothed next-event transition matrix over the full
+    // state × state grid (unobserved transitions get the smoothing floor).
+    "q_markov_next" -> ((s, d) =>
+      graft.operators.Graph.markovTransitions(
+        graft.operators.Graph.eventTransitions(Tables.events(s, d)))),
+
+    // Quantity-weighted (lower, discrete) median price per return flag.
+    "q_weighted_median" -> ((s, d) =>
+      graft.operators.Robust.weightedMedian(
+        Tables.lineitem(s, d), "l_returnflag", col("l_extendedprice"), col("l_quantity"))),
+
+    // Mutual information lang ↔ source — the feature-leakage probe;
+    // distributed contingency cells, sorted single-row MI fold.
+    "q_mutual_info" -> ((s, d) =>
+      graft.operators.Robust.mutualInformation(Tables.documents(s, d), "lang", "source")),
+
     // Count-min sketch, SELF-ASSERTING: deterministic fixed-seed sketch of
     // order custkeys, probed for keys 1..25; asserts the CM guarantees
     // (estimate ≥ exact, overshoot ≤ 4·e·N/width) instead of the
@@ -3308,6 +3330,63 @@ object SparkEntry {
          FROM c, g GROUP BY n_a, n_b""",
 
     "q_pagerank" -> pageRankSql,
+
+    // Same union+window formulation; touches sort before a same-instant
+    // conversion, event_id totalizes same-instant touch order.
+    "q_attribution" ->
+      """WITH t AS (SELECT event_id, user_id, ts, value,
+                           event_type = 'purchase' AS is_conv,
+                           CASE WHEN event_type <> 'purchase'
+                                THEN {'t': ts, 'ch': event_type} END AS touch
+                    FROM events WHERE event_type IN ('click', 'view', 'purchase')),
+              w AS (SELECT *, last_value(touch IGNORE NULLS) OVER (
+                      PARTITION BY user_id ORDER BY ts, is_conv, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lt FROM t),
+              p AS (SELECT CASE WHEN lt IS NOT NULL
+                                 AND epoch_us(ts) - epoch_us(lt.t) <= 28800000000
+                                THEN lt.ch ELSE 'direct' END AS channel, value
+                    FROM w WHERE is_conv)
+         SELECT channel, count(*) AS n_conversions,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         FROM p GROUP BY 1 ORDER BY 1""",
+
+    "q_markov_next" ->
+      """WITH seq AS (SELECT user_id, event_type,
+                             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+                      FROM events),
+              e AS (SELECT prev AS src, event_type AS dst, CAST(count(*) AS DOUBLE) AS w
+                    FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2),
+              ow AS (SELECT src, sum(w) AS ow FROM e GROUP BY 1),
+              d AS (SELECT DISTINCT dst FROM e),
+              v AS (SELECT CAST(count(*) AS BIGINT) AS nv FROM d)
+         SELECT ow.src, d.dst, CAST(COALESCE(e.w, 0) AS BIGINT) AS n_obs,
+                round((COALESCE(e.w, 0.0) + 1.0) / (ow.ow + 1.0 * nv), 6) AS p
+         FROM ow CROSS JOIN d LEFT JOIN e ON e.src = ow.src AND e.dst = d.dst CROSS JOIN v
+         ORDER BY ow.src, d.dst""",
+
+    "q_weighted_median" ->
+      """WITH b AS (SELECT l_returnflag AS g, l_extendedprice AS v,
+                           CAST(l_quantity AS BIGINT) AS w FROM lineitem),
+              c AS (SELECT g, v,
+                           sum(w) OVER (PARTITION BY g ORDER BY v
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                           sum(w) OVER (PARTITION BY g) AS tot FROM b)
+         SELECT g AS l_returnflag, min(v) AS w_median
+         FROM c WHERE cum * 2 >= tot GROUP BY g ORDER BY g""",
+
+    // Same sorted-cell fold (struct sort on (x, y, cnt)) as the Spark HOF;
+    // marginals are exact-integer re-sums of the same list.
+    "q_mutual_info" ->
+      """WITH cells AS (SELECT lang AS x, source AS y, count(*) AS cnt FROM documents GROUP BY 1, 2),
+              one AS (SELECT list_sort(list({'x': x, 'y': y, 'cnt': cnt})) AS cs,
+                             CAST(sum(cnt) AS BIGINT) AS n FROM cells)
+         SELECT n AS n_rows,
+                round(list_sum(list_transform(cs, c ->
+                  (CAST(c.cnt AS DOUBLE) / CAST(n AS DOUBLE))
+                  * ln(CAST(c.cnt AS DOUBLE) * CAST(n AS DOUBLE)
+                       / (CAST(list_sum(list_transform(list_filter(cs, x -> x.x = c.x), t -> t.cnt)) AS DOUBLE)
+                          * CAST(list_sum(list_transform(list_filter(cs, x -> x.y = c.y), t -> t.cnt)) AS DOUBLE))))), 6) AS mi_nats
+         FROM one""",
 
     // CM-guarantee assertion twin of the deterministic fixed-seed sketch.
     "q_countmin" ->

@@ -60,22 +60,62 @@ object Graph {
       .unionByName(e.select(col("dst").as("node")))
       .distinct().cache()
     val n = nodes.count()
-    var ranks = nodes
-      .select(col("node"), lit(1.0 / n).as("r"))
-      .localCheckpoint(true)
-    for (_ <- 1 to iterations) {
-      val inflow = norm.join(ranks, norm("src") === ranks("node"))
-        .select(col("dst").as("node"), (col("r") * col("p")).as("c"))
-        .groupBy(col("node")).agg(sum(col("c")).as("inflow"))
-      ranks = nodes.join(inflow, Seq("node"), "left")
-        .select(
-          col("node"),
-          (lit((1 - damping) / n) +
-            lit(damping) * coalesce(col("inflow"), lit(0.0))).as("r"))
+    // Materialize the normalized edge cache BEFORE narrowing the loop's
+    // shuffle width: its upstream (data-sized) aggregation should run at
+    // full session parallelism; only the per-round rank exchanges narrow.
+    norm.count()
+    // Size the loop's shuffle width to the RANK VECTOR (one row per node),
+    // not the session default — same discipline as the connected-components
+    // loop: a state-machine graph has a handful of nodes and a web graph
+    // derives one partition per ~250k vertices, so each of the
+    // 2·iterations exchanges moves only what the round actually needs.
+    val spark = edges.sparkSession
+    val width = math.max(4, math.min(spark.sparkContext.defaultParallelism,
+      (n / 250000L + 1).toInt))
+    val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", width.toString)
+    try {
+      var ranks = nodes
+        .select(col("node"), lit(1.0 / n).as("r"))
         .localCheckpoint(true)
+      for (_ <- 1 to iterations) {
+        val inflow = norm.join(ranks, norm("src") === ranks("node"))
+          .select(col("dst").as("node"), (col("r") * col("p")).as("c"))
+          .groupBy(col("node")).agg(sum(col("c")).as("inflow"))
+        ranks = nodes.join(inflow, Seq("node"), "left")
+          .select(
+            col("node"),
+            (lit((1 - damping) / n) +
+              lit(damping) * coalesce(col("inflow"), lit(0.0))).as("r"))
+          .localCheckpoint(true)
+      }
+      ranks.select(col("node"), round(col("r"), 6).as("rank"))
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", saved)
+      norm.unpersist()
+      nodes.unpersist()
     }
-    norm.unpersist()
-    nodes.unpersist()
-    ranks.select(col("node"), round(col("r"), 6).as("rank"))
+  }
+
+  /** Laplace-smoothed Markov transition matrix from weighted edges:
+    * P(dst|src) = (w + α) / (out(src) + α·V) over the FULL src × dst
+    * grid (unobserved transitions get the smoothing floor) — the
+    * next-event model a sessionization pipeline ships. V is the distinct
+    * destination-state count. The grid is states², which for a state
+    * machine is broadcast-sized by construction; the probabilities are
+    * exact-integer ratios in double, so they replay bit-identically in
+    * SQL. */
+  def markovTransitions(edges: DataFrame, alpha: Double = 1.0): DataFrame = {
+    val e = edges.select(col("src"), col("dst"), col("weight").cast(DoubleType).as("w"))
+    val dsts = e.select(col("dst")).distinct()
+    val v = dsts.count()
+    val outw = e.groupBy(col("src")).agg(sum(col("w")).as("ow"))
+    outw.crossJoin(dsts)
+      .join(e, Seq("src", "dst"), "left")
+      .select(col("src"), col("dst"),
+        coalesce(col("w"), lit(0.0)).cast("long").as("n_obs"),
+        round((coalesce(col("w"), lit(0.0)) + lit(alpha))
+          / (col("ow") + lit(alpha * v)), 6).as("p"))
+      .orderBy(col("src"), col("dst"))
   }
 }

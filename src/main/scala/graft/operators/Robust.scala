@@ -120,6 +120,55 @@ object Robust {
       .orderBy(stratumCol)
   }
 
+  /** Weighted (lower) median per group: the smallest value whose
+    * cumulative weight reaches half the group's total — e.g. the
+    * quantity-weighted median price. Discrete (an actual data value), so
+    * the result is bit-portable. One keyed window + one keyed agg; ties
+    * on the value are safe because every intra-tie crossing row shares
+    * the same value and the final `min` collapses them. */
+  def weightedMedian(
+      df: DataFrame, groupCol: String, value: Column, weight: Column): DataFrame = {
+    val base = df.select(col(groupCol), value.as("__v"), weight.cast(LongType).as("__w"))
+    val cumW = Window.partitionBy(col(groupCol)).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totW = Window.partitionBy(col(groupCol))
+    base
+      .withColumn("__cum", sum(col("__w")).over(cumW))
+      .withColumn("__tot", sum(col("__w")).over(totW))
+      .filter(col("__cum") * 2 >= col("__tot"))
+      .groupBy(col(groupCol))
+      .agg(min(col("__v")).as("w_median"))
+      .orderBy(col(groupCol))
+  }
+
+  /** Mutual information (nats) between two categorical columns — the
+    * feature-association / leakage probe (does `source` predict `lang`?).
+    * The contingency cells aggregate DISTRIBUTED (one keyed shuffle);
+    * only the cell table — bounded by |X|·|Y|, not the row count —
+    * collapses into one sorted array, and the MI sum folds over it in
+    * sorted order so the floating-point result replays bit-identically
+    * in the SQL oracle's list fold. Marginals are exact-integer
+    * re-aggregations of the same array (O(cells²) work on ONE row). */
+  def mutualInformation(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val cells = df.groupBy(col(xCol).as("x"), col(yCol).as("y"))
+      .agg(count(lit(1)).as("cnt"))
+    val one = cells.agg(
+      array_sort(collect_list(struct(col("x"), col("y"), col("cnt")))).as("cs"),
+      sum(col("cnt")).as("n"))
+    val nD = col("n").cast(DoubleType)
+    val mi = aggregate(col("cs"), lit(0.0), (acc, c) => {
+      val cnt = c.getField("cnt").cast(DoubleType)
+      val px = aggregate(
+        filter(col("cs"), x => x.getField("x") === c.getField("x")),
+        lit(0L), (a, x) => a + x.getField("cnt")).cast(DoubleType)
+      val py = aggregate(
+        filter(col("cs"), x => x.getField("y") === c.getField("y")),
+        lit(0L), (a, x) => a + x.getField("cnt")).cast(DoubleType)
+      acc + (cnt / nD) * log(cnt * nD / (px * py))
+    })
+    one.select(col("n").as("n_rows"), round(mi, 6).as("mi_nats"))
+  }
+
   /** Two-sample Kolmogorov–Smirnov statistic between the `value`
     * distributions of two groups — the standard data-drift gate a pipeline
     * runs between yesterday's and today's batch (or two corpus sources)

@@ -51,4 +51,47 @@ object TimeSeries {
       .orderBy(col("activity_corr").desc_nulls_last, col("user_a"), col("user_b"))
       .limit(25)
   }
+
+  /** Last-touch revenue attribution: each `convType` event credits its
+    * value to the LATEST `touchTypes` event by the same user at or before
+    * it and within `windowMinutes`; conversions with no qualifying touch
+    * fall into the `"direct"` channel.
+    *
+    * Same single-shuffle union+running-window formulation as
+    * [[AsOfJoin]] — touches and conversions interleave on one
+    * (user, time)-ordered window carrying the last touch as a running
+    * `(ts, type)` struct, so there is no time-range join and per-key state
+    * is one value; at any scale the cost is one keyed shuffle + sort.
+    * Touch rows sort before a conversion at the same instant (`<=`
+    * semantics); `event_id` makes same-instant touch order total.
+    * Conversion values aggregate through exact DECIMAL(18,2).
+    */
+  def lastTouchAttribution(
+      events: DataFrame, touchTypes: Seq[String], convType: String,
+      windowMinutes: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.moneySum
+    val tagged = events
+      .filter(col("event_type").isin(touchTypes :+ convType: _*))
+      .select(
+        col("event_id"), col("user_id"), col("ts"), col("value"),
+        (col("event_type") === lit(convType)).as("is_conv"),
+        when(col("event_type") =!= lit(convType),
+          struct(col("ts").as("t"), col("event_type").as("ch"))).as("touch"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("is_conv").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("lt", last(col("touch"), ignoreNulls = true).over(w))
+      .filter(col("is_conv"))
+      .select(
+        when(col("lt").isNotNull &&
+            unix_micros(col("ts")) - unix_micros(col("lt.t"))
+              <= lit(windowMinutes * 60L * 1000000L),
+          col("lt.ch")).otherwise(lit("direct")).as("channel"),
+        col("value"))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_conversions"), moneySum(col("value")).as("total_value"))
+      .orderBy(col("channel"))
+  }
 }

@@ -254,6 +254,61 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(got.forall(r => (r.getLong(1) - r.getLong(2)).toDouble <= bound))
   }
 
+  test("lastTouchAttribution credits the window-qualified touch else direct") {
+    import graft.operators.TimeSeries
+    val ev = Seq(
+      // user 1: click 100s before purchase → click credited
+      (1L, 1L, 100L, "click", 0.0), (2L, 1L, 200L, "purchase", 10.0),
+      // user 2: view 10h before purchase → outside 8h window → direct
+      (3L, 2L, 0L, "view", 0.0), (4L, 2L, 36000L, "purchase", 20.0),
+      // user 3: no touch at all → direct
+      (5L, 3L, 50L, "purchase", 30.0),
+      // user 4: view then click (later wins) then purchase
+      (6L, 4L, 10L, "view", 0.0), (7L, 4L, 20L, "click", 0.0),
+      (8L, 4L, 30L, "purchase", 40.0))
+      .toDF("event_id", "user_id", "sec", "event_type", "value")
+      .select(col("event_id"), col("user_id"),
+        timestamp_seconds(col("sec")).as("ts"), col("event_type"), col("value"))
+    val got = TimeSeries.lastTouchAttribution(ev, Seq("click", "view"), "purchase", 480)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq(("click", 2L, 50.0), ("direct", 2L, 50.0)))
+  }
+
+  test("markovTransitions smooths the full grid to valid probabilities") {
+    import graft.operators.Graph
+    val e = Seq(("a", "b", 2.0), ("a", "c", 1.0), ("b", "a", 1.0))
+      .toDF("src", "dst", "weight")
+    val got = Graph.markovTransitions(e)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getDouble(3))).toMap
+    assert(got.size == 6) // 2 srcs × 3 distinct dsts, zeros included
+    assert(got(("a", "b")) == 0.5)      // (2+1)/(3+3)
+    assert(got(("a", "a")) == 0.166667) // unobserved → smoothing floor
+    assert(got(("b", "a")) == 0.5)      // (1+1)/(1+3)
+    // each row of the matrix sums to 1
+    assert(math.abs(got(("a", "a")) + got(("a", "b")) + got(("a", "c")) - 1.0) < 1e-5)
+  }
+
+  test("weightedMedian picks the cumulative-half value (lower median)") {
+    import graft.operators.Robust
+    val df = Seq(
+      ("g1", 1.0, 1L), ("g1", 2.0, 1L), ("g1", 3.0, 10L), // heavy tail wins
+      ("g2", 1.0, 1L), ("g2", 2.0, 1L))                   // even split → lower
+      .toDF("g", "v", "w")
+    val got = Robust.weightedMedian(df, "g", col("v"), col("w"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got == Map("g1" -> 3.0, "g2" -> 1.0))
+  }
+
+  test("mutualInformation: 0 for independence, ln 2 for a 2x2 bijection") {
+    import graft.operators.Robust
+    val indep = (for { x <- Seq("a", "b"); y <- Seq("u", "v"); _ <- 1 to 5 }
+      yield (x, y)).toDF("x", "y")
+    assert(Robust.mutualInformation(indep, "x", "y").head().getDouble(1) == 0.0)
+    val dep = (Seq.fill(5)(("a", "u")) ++ Seq.fill(5)(("b", "v"))).toDF("x", "y")
+    val mi = Robust.mutualInformation(dep, "x", "y").head().getDouble(1)
+    assert(math.abs(mi - math.log(2)) < 1e-6)
+  }
+
   test("ksStatistic: 0 for identical samples, 1 for disjoint supports") {
     import graft.operators.Robust
     val same = (Seq.tabulate(50)(i => (i.toLong, "a")) ++
