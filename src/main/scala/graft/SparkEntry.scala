@@ -1894,6 +1894,31 @@ object SparkEntry {
     "q_mutual_info" -> ((s, d) =>
       graft.operators.Robust.mutualInformation(Tables.documents(s, d), "lang", "source")),
 
+    // Chi-square independence statistic lang ↔ source (the significance
+    // companion to q_mutual_info; same sorted-cell fold determinism).
+    "q_chi_square" -> ((s, d) =>
+      graft.operators.Robust.chiSquare(Tables.documents(s, d), "lang", "source")),
+
+    // Autocorrelation of daily order revenue, lags 1..7 — exact-decimal
+    // moment sums → one double cast, so Pearson r is bit-portable.
+    "q_acf" -> ((s, d) =>
+      graft.operators.TimeSeries.autocorrelation(
+        Tables.orders(s, d), "o_orderdate", col("o_totalprice"), maxLag = 7)),
+
+    // Two-proportion z-test: arms by user-id parity, success = a purchase
+    // within 24 h of the user's first event (exact µs integer cutoffs).
+    "q_ab_test" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val first = ev.groupBy(col("user_id")).agg(min(col("ts")).as("t0"))
+      val units = ev.join(first, "user_id")
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase" &&
+          unix_micros(col("ts")) <= unix_micros(col("t0")) + lit(86400000000L),
+          1L).otherwise(0L)).as("conv"))
+      graft.operators.Robust.twoProportionZ(
+        units, pmod(col("user_id"), lit(2L)), col("conv") === 1L)
+    }),
+
     // Count-min sketch, SELF-ASSERTING: deterministic fixed-seed sketch of
     // order custkeys, probed for keys 1..25; asserts the CM guarantees
     // (estimate ≥ exact, overshoot ≤ 4·e·N/width) instead of the
@@ -3390,8 +3415,80 @@ object SparkEntry {
 
     // CM-guarantee assertion twin of the deterministic fixed-seed sketch.
     "q_countmin" ->
-      "SELECT CAST(25 AS BIGINT) AS n_probes, true AS all_lower_bounded, true AS all_within_eps"
+      "SELECT CAST(25 AS BIGINT) AS n_probes, true AS all_lower_bounded, true AS all_within_eps",
+
+    // zero-cell mass in closed form: χ² = Σ_obs (o−e)²/e + (N − Σ_obs e)
+    "q_chi_square" ->
+      """WITH cells AS (SELECT lang AS x, source AS y, count(*) AS cnt FROM documents GROUP BY 1, 2),
+              one AS (SELECT list_sort(list({'x': x, 'y': y, 'cnt': cnt})) AS cs,
+                             CAST(sum(cnt) AS BIGINT) AS n FROM cells)
+         SELECT n AS n_rows,
+                CAST((len(list_distinct(list_transform(cs, c -> c.x))) - 1)
+                     * (len(list_distinct(list_transform(cs, c -> c.y))) - 1) AS BIGINT) AS dof,
+                round(list_sum(list_transform(cs, c ->
+                  (CAST(c.cnt AS DOUBLE)
+                   - CAST(list_sum(list_transform(list_filter(cs, x -> x.x = c.x), t -> t.cnt)) AS DOUBLE)
+                     * CAST(list_sum(list_transform(list_filter(cs, x -> x.y = c.y), t -> t.cnt)) AS DOUBLE)
+                     / CAST(n AS DOUBLE))
+                  * (CAST(c.cnt AS DOUBLE)
+                     - CAST(list_sum(list_transform(list_filter(cs, x -> x.x = c.x), t -> t.cnt)) AS DOUBLE)
+                       * CAST(list_sum(list_transform(list_filter(cs, x -> x.y = c.y), t -> t.cnt)) AS DOUBLE)
+                       / CAST(n AS DOUBLE))
+                  / (CAST(list_sum(list_transform(list_filter(cs, x -> x.x = c.x), t -> t.cnt)) AS DOUBLE)
+                     * CAST(list_sum(list_transform(list_filter(cs, x -> x.y = c.y), t -> t.cnt)) AS DOUBLE)
+                     / CAST(n AS DOUBLE))))
+                  + (CAST(n AS DOUBLE) - list_sum(list_transform(cs, c ->
+                      CAST(list_sum(list_transform(list_filter(cs, x -> x.x = c.x), t -> t.cnt)) AS DOUBLE)
+                      * CAST(list_sum(list_transform(list_filter(cs, x -> x.y = c.y), t -> t.cnt)) AS DOUBLE)
+                      / CAST(n AS DOUBLE)))), 6) AS chi2
+         FROM one""",
+
+    "q_acf" -> acfSql,
+
+    // Same exact-integer counts and the same double expression tree for z.
+    "q_ab_test" ->
+      """WITH f AS (SELECT user_id, min(ts) AS t0 FROM events GROUP BY 1),
+              c AS (SELECT e.user_id,
+                           max(CASE WHEN e.event_type = 'purchase'
+                                     AND epoch_us(e.ts) <= epoch_us(f.t0) + 86400000000
+                                    THEN 1 ELSE 0 END) AS conv
+                    FROM events e JOIN f ON e.user_id = f.user_id GROUP BY e.user_id),
+              a AS (SELECT CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                           CAST(sum(CASE WHEN user_id % 2 = 0 THEN conv ELSE 0 END) AS BIGINT) AS conv_a,
+                           CAST(sum(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+                           CAST(sum(CASE WHEN user_id % 2 <> 0 THEN conv ELSE 0 END) AS BIGINT) AS conv_b
+                    FROM c),
+              z AS (SELECT *, (CAST(conv_a AS DOUBLE) + CAST(conv_b AS DOUBLE))
+                              / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) AS p FROM a)
+         SELECT n_a, conv_a, n_b, conv_b,
+                round((CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                       - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+                      / sqrt(p * (1.0 - p)
+                             * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))), 6) AS z_stat
+         FROM z"""
   )
+
+  /** Generated per-lag UNION ALL oracle for [[q_acf]]: the same exact
+    * DECIMAL moment sums and the same double expression tree per lag. */
+  private def acfSql: String = {
+    val head =
+      """WITH s AS (SELECT o_orderdate AS d,
+                           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS rev
+                    FROM orders GROUP BY 1),
+              w AS (SELECT rev, """ +
+        (1 to 7).map(k => s"lead(rev, $k) OVER (ORDER BY d) AS y$k").mkString(",\n                           ") +
+        "\n                    FROM s)"
+    val lags = (1 to 7).map { k =>
+      s"""         SELECT $k AS lag, n_pairs, round((nd * sxy - sx * sy)
+                / sqrt((nd * sxx - sx * sx) * (nd * syy - sy * sy)), 6) AS acf
+         FROM (SELECT CAST(count(*) AS BIGINT) AS n_pairs, CAST(count(*) AS DOUBLE) AS nd,
+                      CAST(sum(rev) AS DOUBLE) AS sx, CAST(sum(y$k) AS DOUBLE) AS sy,
+                      CAST(sum(rev * y$k) AS DOUBLE) AS sxy,
+                      CAST(sum(rev * rev) AS DOUBLE) AS sxx, CAST(sum(y$k * y$k) AS DOUBLE) AS syy
+               FROM w WHERE y$k IS NOT NULL)"""
+    }.mkString("\n         UNION ALL\n")
+    head + "\n" + lags + "\n         ORDER BY lag"
+  }
 
   /** Unrolled 10-round power-iteration oracle for [[q_pagerank]] — the
     * recursive-CTE route is closed (DuckDB disallows aggregates in the

@@ -47,7 +47,8 @@ object Graph {
     */
   def pageRank(
       edges: DataFrame, srcCol: String, dstCol: String, weightCol: String,
-      iterations: Int = 10, damping: Double = 0.85): DataFrame = {
+      iterations: Int = 10, damping: Double = 0.85,
+      driverMaxEdges: Long = 1L << 20): DataFrame = {
     require(iterations >= 1, s"need at least one iteration, got $iterations")
     val e = edges.select(
       col(srcCol).as("src"), col(dstCol).as("dst"),
@@ -56,20 +57,54 @@ object Graph {
     val norm = e.join(outw, Seq("src"))
       .select(col("src"), col("dst"), (col("w") / col("ow")).as("p"))
       .cache()
-    val nodes = e.select(col("src").as("node"))
-      .unionByName(e.select(col("dst").as("node")))
+    // Bounded-driver fast path — the same pattern as the
+    // connected-components union-find and the IVF quantizer trainer: a
+    // state-machine transition graph has a handful of nodes, and paying
+    // 2·iterations of distributed join+agg fixed costs for it is pure
+    // overhead. When the normalized edge list fits comfortably on the
+    // driver (≤1M edges ≈ tens of MB), iterate there; the distributed
+    // loop below is the identical recurrence and takes over beyond the
+    // cutoff.
+    val nEdges = norm.count()
+    if (nEdges <= driverMaxEdges) {
+      try driverPageRank(edges.sparkSession, norm, iterations, damping)
+      finally norm.unpersist()
+    } else distributedPageRank(norm, iterations, damping)
+  }
+
+  /** Driver power iteration over a collected normalized edge list; inflow
+    * sums fold in sorted (src, dst) order so the result is deterministic. */
+  private def driverPageRank(
+      spark: org.apache.spark.sql.SparkSession, norm: DataFrame,
+      iterations: Int, damping: Double): DataFrame = {
+    import spark.implicits._
+    val es = norm.as[(String, String, Double)].collect().sortBy(t => (t._1, t._2))
+    val nodeIds = (es.map(_._1) ++ es.map(_._2)).distinct.sorted
+    val n = nodeIds.length
+    val idx = nodeIds.zipWithIndex.toMap
+    var r = Array.fill(n)(1.0 / n)
+    for (_ <- 1 to iterations) {
+      val inflow = Array.fill(n)(0.0)
+      es.foreach { case (s, d, p) => inflow(idx(d)) += r(idx(s)) * p }
+      r = Array.tabulate(n)(i => (1 - damping) / n + damping * inflow(i))
+    }
+    nodeIds.zip(r).toSeq.toDF("node", "r")
+      .select(col("node"), round(col("r"), 6).as("rank"))
+  }
+
+  private def distributedPageRank(
+      norm: DataFrame, iterations: Int, damping: Double): DataFrame = {
+    val nodes = norm.select(col("src").as("node"))
+      .unionByName(norm.select(col("dst").as("node")))
       .distinct().cache()
     val n = nodes.count()
-    // Materialize the normalized edge cache BEFORE narrowing the loop's
-    // shuffle width: its upstream (data-sized) aggregation should run at
-    // full session parallelism; only the per-round rank exchanges narrow.
-    norm.count()
     // Size the loop's shuffle width to the RANK VECTOR (one row per node),
     // not the session default — same discipline as the connected-components
-    // loop: a state-machine graph has a handful of nodes and a web graph
-    // derives one partition per ~250k vertices, so each of the
-    // 2·iterations exchanges moves only what the round actually needs.
-    val spark = edges.sparkSession
+    // loop: a web graph derives one partition per ~250k vertices, so each
+    // of the 2·iterations exchanges moves only what the round actually
+    // needs. (The norm cache is already materialized — at full session
+    // parallelism — by the caller's edge count.)
+    val spark = norm.sparkSession
     val width = math.max(4, math.min(spark.sparkContext.defaultParallelism,
       (n / 250000L + 1).toInt))
     val saved = spark.conf.get("spark.sql.shuffle.partitions")

@@ -169,6 +169,62 @@ object Robust {
     one.select(col("n").as("n_rows"), round(mi, 6).as("mi_nats"))
   }
 
+  /** Pearson chi-square statistic of independence between two categorical
+    * columns (the significance companion to [[mutualInformation]]): χ² =
+    * Σ (obs − exp)²/exp with exp = row·col/N, plus the degrees of freedom
+    * (|X|−1)(|Y|−1). Same scale shape as MI: distributed cell aggregation,
+    * then one sorted bounded-size fold so the fp sum replays
+    * bit-identically in SQL. */
+  def chiSquare(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val cells = df.groupBy(col(xCol).as("x"), col(yCol).as("y"))
+      .agg(count(lit(1)).as("cnt"))
+    val one = cells.agg(
+      array_sort(collect_list(struct(col("x"), col("y"), col("cnt")))).as("cs"),
+      sum(col("cnt")).as("n"))
+    val nD = col("n").cast(DoubleType)
+    val marg = (field: String, c: Column) => aggregate(
+      filter(col("cs"), x => x.getField(field) === c.getField(field)),
+      lit(0L), (a, x) => a + x.getField("cnt")).cast(DoubleType)
+    // Only OBSERVED cells are in the list; a zero cell contributes
+    // (0−e)²/e = e, and Σ_grid e = N, so the zero-cell mass is
+    // N − Σ_observed e — added in closed form rather than expanding the
+    // grid. Both folds run in the same sorted order.
+    val chiObs = aggregate(col("cs"), lit(0.0), (acc, c) => {
+      val obs = c.getField("cnt").cast(DoubleType)
+      val exp = marg("x", c) * marg("y", c) / nD
+      acc + (obs - exp) * (obs - exp) / exp
+    })
+    val expObs = aggregate(col("cs"), lit(0.0), (acc, c) =>
+      acc + marg("x", c) * marg("y", c) / nD)
+    val nx = size(array_distinct(transform(col("cs"), c => c.getField("x"))))
+    val ny = size(array_distinct(transform(col("cs"), c => c.getField("y"))))
+    one.select(
+      col("n").as("n_rows"),
+      ((nx - 1) * (ny - 1)).cast(LongType).as("dof"),
+      round(chiObs + (nD - expObs), 6).as("chi2"))
+  }
+
+  /** Two-proportion z-test between arms A and B: per-arm trial/success
+    * counts (exact integers) → pooled-proportion z statistic, every
+    * floating-point step spelled once and replayed identically in the
+    * oracle. The input is one row per unit with a boolean success flag;
+    * everything aggregates to ONE row before any division. */
+  def twoProportionZ(units: DataFrame, arm: Column, success: Column): DataFrame = {
+    val agg = units.select(arm.as("__arm"), success.cast(LongType).as("__s"))
+      .agg(
+        sum(when(col("__arm") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("__arm") === 0, col("__s")).otherwise(0L)).as("conv_a"),
+        sum(when(col("__arm") =!= 0, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("__arm") =!= 0, col("__s")).otherwise(0L)).as("conv_b"))
+    val (na, ca, nb, cb) = (
+      col("n_a").cast(DoubleType), col("conv_a").cast(DoubleType),
+      col("n_b").cast(DoubleType), col("conv_b").cast(DoubleType))
+    val p = (ca + cb) / (na + nb)
+    val z = (ca / na - cb / nb) / sqrt(p * (lit(1.0) - p) * (lit(1.0) / na + lit(1.0) / nb))
+    agg.select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+      round(z, 6).as("z_stat"))
+  }
+
   /** Two-sample Kolmogorov–Smirnov statistic between the `value`
     * distributions of two groups — the standard data-drift gate a pipeline
     * runs between yesterday's and today's batch (or two corpus sources)

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
@@ -50,6 +50,47 @@ object TimeSeries {
           col("cv") / (col("sa") * col("sb"))), 4).as("activity_corr"))
       .orderBy(col("activity_corr").desc_nulls_last, col("user_a"), col("user_b"))
       .limit(25)
+  }
+
+  /** Autocorrelation function of a daily aggregate series at lags
+    * 1..`maxLag` — the seasonality probe (weekly cycles show as a lag-7
+    * peak). Pearson r per lag from EXACT decimal sums (Σx, Σy, Σxy, Σx²,
+    * Σy² all DECIMAL before ONE cast to double), so the result is
+    * bit-portable despite double arithmetic at the end.
+    *
+    * Scale shape: the raw table aggregates DISTRIBUTED to one row per
+    * day; only that bounded series (the date domain, not the row count)
+    * flows through the ordered lead() window and the per-lag one-row
+    * aggregates. The series is cached once and reused by all lags. */
+  def autocorrelation(
+      df: DataFrame, dateCol: String, moneyValue: Column, maxLag: Int = 7): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.dec2
+    require(maxLag >= 1, s"need maxLag >= 1, got $maxLag")
+    val series = df.groupBy(col(dateCol).as("d"))
+      .agg(sum(dec2(moneyValue)).cast("decimal(18,2)").as("rev"))
+    val w = Window.orderBy(col("d"))
+    val leads = series.select(
+      col("rev") +: (1 to maxLag).map(k => lead(col("rev"), k).over(w).as(s"y$k")): _*)
+      .cache()
+    val rows = (1 to maxLag).map { k =>
+      val y = col(s"y$k")
+      val pairs = leads.filter(y.isNotNull)
+        .agg(
+          count(lit(1)).as("n_pairs"),
+          sum(col("rev")).as("sx"), sum(y).as("sy"),
+          sum(col("rev") * y).as("sxy"),
+          sum(col("rev") * col("rev")).as("sxx"), sum(y * y).as("syy"))
+      val nD = col("n_pairs").cast(DoubleType)
+      val (sx, sy) = (col("sx").cast(DoubleType), col("sy").cast(DoubleType))
+      val (sxy, sxx, syy) =
+        (col("sxy").cast(DoubleType), col("sxx").cast(DoubleType), col("syy").cast(DoubleType))
+      val r = (nD * sxy - sx * sy) /
+        sqrt((nD * sxx - sx * sx) * (nD * syy - sy * sy))
+      pairs.select(lit(k).as("lag"), col("n_pairs"), round(r, 6).as("acf"))
+    }
+    val out = rows.reduce(_ unionByName _).orderBy(col("lag"))
+    out
   }
 
   /** Last-touch revenue attribution: each `convType` event credits its

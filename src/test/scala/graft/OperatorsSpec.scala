@@ -237,6 +237,14 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(ranks("c") > ranks("a") && ranks("a") > ranks("b"))
     // b receives only the teleport mass
     assert(math.abs(ranks("b") - 0.05) < 1e-6)
+
+    // the distributed loop (driverMaxEdges = 0 forces it) agrees with the
+    // driver fast path to the 6-dp output precision
+    val dist = Graph.pageRank(skewed, "src", "dst", "w", iterations = 30,
+      driverMaxEdges = 0L)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(dist.keySet == ranks.keySet &&
+      dist.forall { case (k, v) => math.abs(v - ranks(k)) <= 1e-6 })
   }
 
   test("countMin estimates upper-bound exact counts within the CM guarantee") {
@@ -307,6 +315,38 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     val dep = (Seq.fill(5)(("a", "u")) ++ Seq.fill(5)(("b", "v"))).toDF("x", "y")
     val mi = Robust.mutualInformation(dep, "x", "y").head().getDouble(1)
     assert(math.abs(mi - math.log(2)) < 1e-6)
+  }
+
+  test("chiSquare: 0 under independence, n for a 2x2 bijection") {
+    import graft.operators.Robust
+    val indep = (for { x <- Seq("a", "b"); y <- Seq("u", "v"); _ <- 1 to 5 }
+      yield (x, y)).toDF("x", "y")
+    val r0 = Robust.chiSquare(indep, "x", "y").head()
+    assert((r0.getLong(1), r0.getDouble(2)) == (1L, 0.0))
+    val dep = (Seq.fill(5)(("a", "u")) ++ Seq.fill(5)(("b", "v"))).toDF("x", "y")
+    val r1 = Robust.chiSquare(dep, "x", "y").head()
+    assert(r1.getDouble(2) == 10.0) // chi2 = n for a perfect 2x2 association
+  }
+
+  test("autocorrelation: alternating series gives acf(1) = -1, acf(2) = 1") {
+    import graft.operators.TimeSeries
+    val days = Seq.tabulate(8)(i =>
+      (java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1 + i)),
+        if (i % 2 == 0) 1.0 else 2.0))
+      .toDF("d", "v")
+    val got = TimeSeries.autocorrelation(days, "d", col("v"), maxLag = 2)
+      .collect().map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    assert(got(1) == -1.0 && got(2) == 1.0)
+  }
+
+  test("twoProportionZ: zero for equal rates, 2 for a 2v2 total split") {
+    import graft.operators.Robust
+    val equal = Seq((0L, true), (0L, false), (1L, true), (1L, false)).toDF("arm", "s")
+    assert(Robust.twoProportionZ(equal, col("arm"), col("s")).head().getDouble(4) == 0.0)
+    val split = Seq((0L, true), (0L, true), (1L, false), (1L, false)).toDF("arm", "s")
+    val r = Robust.twoProportionZ(split, col("arm"), col("s")).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) == (2L, 2L, 2L, 0L))
+    assert(r.getDouble(4) == 2.0) // (1-0)/sqrt(.5*.5*(1/2+1/2)) = 2
   }
 
   test("ksStatistic: 0 for identical samples, 1 for disjoint supports") {
