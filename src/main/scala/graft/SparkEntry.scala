@@ -1939,6 +1939,152 @@ object SparkEntry {
           count(lit(1)).as("n_probes"),
           min(col("est") >= col("n_true")).as("all_lower_bounded"),
           max(col("est") - col("n_true")).cast("double").leq(lit(bound)).as("all_within_eps"))
+    }),
+
+    // Substring-overlap dedup via winnowing fingerprints (MOSS recipe),
+    // SELF-ASSERTING: the exact ground truth — every pair of docs sharing
+    // an 8-token exact window — is computed in-plan by the brute-force
+    // every-window join; the winnowing theorem (k=3, w=6 ⇒ guarantee
+    // length 8) makes candidate recall PROVABLY complete, and the query
+    // asserts exactly that. The oracle recomputes the exact pair count
+    // from the raw text (same 8-token windows as strings) and pins the
+    // boolean. The 100 TB path is the fingerprint index (density 2/(w+1));
+    // the every-window twin exists only at verification SF.
+    "q_substring_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val L = 8 // = k + w − 1 with the operator's (k=3, w=6)
+      val toks = tokens(col("text"))
+      val wins = docs.filter(size(toks) >= L)
+        .select(col("doc_id"), explode(array_distinct(
+          transform(wordShingles(toks, L), x => xxhash64(x)))).as("wh"))
+      val exact = wins.alias("a")
+        .join(wins.alias("b"),
+          col("a.wh") === col("b.wh") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .dropDuplicates("doc_a", "doc_b")
+        .withColumn("in_exact", lit(1L))
+      val cand = Dedup.substringCandidatePairs(docs, k = 3, w = 6)
+        .withColumn("in_cand", lit(1L))
+      exact.join(cand, Seq("doc_a", "doc_b"), "full")
+        .agg(
+          coalesce(sum(col("in_exact")), lit(0L)).as("n_exact"),
+          (coalesce(sum(col("in_exact") * col("in_cand")), lit(0L)) ===
+            coalesce(sum(col("in_exact")), lit(0L))).as("recall_complete"))
+    }),
+
+    // SemDeDup (k-means-cell semantic dedup), SELF-ASSERTING: intra-cell
+    // cosine ≥ 0.4 pairs vs the in-plan exact brute-force twin — the cell
+    // pairs are a SUBSET by construction (same exact cosine verifies both
+    // sides) and recall ≥ floor measures how much the cell partition
+    // loses. Uniform-random embeddings are the boundary-loss WORST case
+    // (no cluster structure), so the operator runs with 3-way cell
+    // multi-assignment: measured recall 0.983 (sf0.01) / 0.958 (sf0.1)
+    // vs 0.37-0.44 single-assigned; floor 0.75. The oracle recomputes the
+    // exact pair count and pins the booleans.
+    "q_semdedup" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val base = emb
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("vec_id"), col("embedding"), l2Norm(col("embedding")).as("nrm"))
+        .localCheckpoint(false)
+      val exact = base.alias("a")
+        .join(base.alias("b"), col("a.vec_id") < col("b.vec_id"))
+        .select(
+          col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+          round(dotProduct(col("a.embedding"), col("b.embedding"))
+            / (col("a.nrm") * col("b.nrm")), 6).as("cosine"))
+        .filter(col("cosine") >= 0.4)
+        .select(col("vec_a"), col("vec_b"), lit(1L).as("in_exact"))
+      val cellPairs = graft.operators.IvfIndex
+        .semDedupPairs(s, emb, nLists = 8, tau = 0.4, assignTo = 3)
+        .select(col("vec_a"), col("vec_b"), lit(1L).as("in_cell"))
+      exact.join(cellPairs, Seq("vec_a", "vec_b"), "full")
+        .agg(
+          coalesce(sum(col("in_exact")), lit(0L)).as("n_exact"),
+          (coalesce(sum(col("in_exact") * col("in_cell")), lit(0L)) >=
+            coalesce(sum(col("in_exact")), lit(0L)) * 0.75).as("recall_ok"),
+          (coalesce(sum(when(col("in_exact").isNull, 1L)), lit(0L)) === 0L).as("subset_ok"))
+    }),
+
+    // Welch's t-test: mean order value, arms by customer-key parity —
+    // exact decimal moments per arm, one fixed double chain for t and the
+    // Welch–Satterthwaite df, bit-replayed by the oracle.
+    "q_welch_t" -> ((s, d) =>
+      graft.operators.Robust.welchT(
+        Tables.orders(s, d), pmod(col("o_custkey"), lit(2L)), col("o_totalprice"))),
+
+    // Triangle count of the near-dup candidate graph (same 0.9-Jaccard
+    // pair set the clustering query uses) — clique-density diagnostic.
+    // Oracle replays the pair graph brute-force and the same oriented
+    // 3-way join.
+    "q_triangles" -> ((s, d) =>
+      graft.operators.Graph.triangleCount(
+        Dedup.blockedJaccardPairsUnsorted(Tables.documents(s, d), threshold = 0.9),
+        "doc_a", "doc_b")),
+
+    // PMI bigram collocations: exact counts, one ln over a fixed
+    // double chain, vocabulary joins SHUFFLE-keyed (never broadcast).
+    "q_pmi_bigrams" -> ((s, d) =>
+      graft.functions.TextAnalysis.pmiBigrams(Tables.documents(s, d), minCount = 10, topK = 20)),
+
+    // TPC-H Q3 shape (shipping priority): segment filter on the broadcast
+    // customer dim, date-window filters pushed to both fact scans, top-10
+    // by exact-decimal revenue via TakeOrderedAndProject.
+    "q_sql_tpch_q3" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("customer")
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+      s.sql(
+        """SELECT l_orderkey,
+          |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+          |       o_orderdate
+          |FROM customer JOIN orders ON c_custkey = o_custkey
+          |              JOIN lineitem ON l_orderkey = o_orderkey
+          |WHERE c_mktsegment = 'BUILDING'
+          |  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+          |  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+          |GROUP BY l_orderkey, o_orderdate
+          |ORDER BY revenue DESC, l_orderkey
+          |LIMIT 10""".stripMargin)
+    }),
+
+    // TPC-H Q5 shape (local-supplier volume): 6-table star join — two
+    // fact⋈fact shuffles, every dim broadcast, c_nationkey = s_nationkey
+    // closing the cycle; exact-decimal revenue per nation.
+    "q_sql_tpch_q5" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("customer")
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+      Tables.supplier(s, d).createOrReplaceTempView("supplier")
+      Tables.nation(s, d).createOrReplaceTempView("nation")
+      Tables.region(s, d).createOrReplaceTempView("region")
+      s.sql(
+        """SELECT n_name,
+          |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+          |FROM customer JOIN orders ON c_custkey = o_custkey
+          |              JOIN lineitem ON l_orderkey = o_orderkey
+          |              JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+          |              JOIN nation ON s_nationkey = n_nationkey
+          |              JOIN region ON n_regionkey = r_regionkey
+          |WHERE r_name = 'ASIA'
+          |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+          |GROUP BY n_name
+          |ORDER BY revenue DESC, n_name""".stripMargin)
+    }),
+
+    // TPC-H Q6 shape (forecast revenue change): single-scan aggregate with
+    // every predicate in PushedFilters — the pure pushdown benchmark.
+    "q_sql_tpch_q6" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+      s.sql(
+        """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+          |       count(*) AS n_lines
+          |FROM lineitem
+          |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+          |  AND l_discount BETWEEN 0.05 AND 0.07
+          |  AND l_quantity < 24""".stripMargin)
     })
   )
 
@@ -3465,7 +3611,132 @@ object SparkEntry {
                        - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
                       / sqrt(p * (1.0 - p)
                              * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))), 6) AS z_stat
-         FROM z"""
+         FROM z""",
+
+    // Winnowing substring dedup: the oracle recomputes the exact shared-
+    // 8-token-window pair count from the raw text; completeness of the
+    // fingerprint candidates is the winnowing theorem, pinned as `true`.
+    "q_substring_dedup" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+              wins AS (SELECT doc_id,
+                              list_distinct([array_to_string(t[i:i+7], ' ')
+                                             for i in range(1, len(t) - 6)]) AS ws
+                       FROM tk WHERE len(t) >= 8)
+         SELECT count(*) AS n_exact, true AS recall_complete
+         FROM wins a JOIN wins b
+           ON a.doc_id < b.doc_id AND len(list_intersect(a.ws, b.ws)) > 0""",
+
+    // SemDeDup: the oracle recomputes the exact cosine ≥ 0.4 pair count
+    // (same rounded-6dp cosine) and pins the recall/subset booleans.
+    "q_semdedup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+         SELECT count(*) AS n_exact, true AS recall_ok, true AS subset_ok
+         FROM e a JOIN e b ON a.vec_id < b.vec_id
+         WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4""",
+
+    // Welch t: same exact decimal moments, same double expression tree.
+    "q_welch_t" ->
+      """WITH a AS (SELECT CAST(sum(CASE WHEN o_custkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                           sum(CASE WHEN o_custkey % 2 = 0 THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS ds_a,
+                           sum(CASE WHEN o_custkey % 2 = 0 THEN CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2)) END) AS dss_a,
+                           CAST(sum(CASE WHEN o_custkey % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+                           sum(CASE WHEN o_custkey % 2 <> 0 THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS ds_b,
+                           sum(CASE WHEN o_custkey % 2 <> 0 THEN CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2)) END) AS dss_b
+                    FROM orders),
+              d AS (SELECT n_a, n_b,
+                           CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
+                           CAST(ds_a AS DOUBLE) AS sa, CAST(ds_b AS DOUBLE) AS sb,
+                           CAST(dss_a AS DOUBLE) AS ssa, CAST(dss_b AS DOUBLE) AS ssb
+                    FROM a),
+              v AS (SELECT *, (ssa - sa * sa / na) / (na - 1.0) / na AS sea,
+                              (ssb - sb * sb / nb) / (nb - 1.0) / nb AS seb
+                    FROM d)
+         SELECT n_a, n_b,
+                round(sa / na, 6) AS mean_a, round(sb / nb, 6) AS mean_b,
+                round((sa / na - sb / nb) / sqrt(sea + seb), 6) AS t_stat,
+                round((sea + seb) * (sea + seb)
+                      / (sea * sea / (na - 1.0) + seb * seb / (nb - 1.0)), 6) AS welch_df
+         FROM v""",
+
+    // Triangles: the same brute-force pair graph the clustering oracle
+    // replays, then the identical oriented 3-way join.
+    "q_triangles" ->
+      """WITH pairs AS (
+           SELECT doc_a, doc_b FROM (
+             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                    round(len(list_intersect(a.toks, b.toks)) * 1.0
+                          / len(list_distinct(list_concat(a.toks, b.toks))), 6) AS jaccard
+             FROM (SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS toks FROM documents) a
+             JOIN (SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS toks FROM documents) b
+               ON a.source = b.source AND a.doc_id < b.doc_id)
+           WHERE jaccard >= 0.9),
+         e AS (SELECT doc_a AS a, doc_b AS b FROM pairs),
+         verts AS (SELECT CAST(count(DISTINCT v) AS BIGINT) AS n_vertices,
+                          CAST(count(*) / 2 AS BIGINT) AS n_edges
+                   FROM (SELECT a AS v FROM e UNION ALL SELECT b FROM e)),
+         tri AS (SELECT count(*) AS n_triangles
+                 FROM e e1 JOIN e e2 ON e1.b = e2.a
+                           JOIN e e3 ON e1.a = e3.a AND e2.b = e3.b)
+         SELECT verts.n_vertices, verts.n_edges, tri.n_triangles FROM verts, tri""",
+
+    // PMI: exact counts, the identical double chain inside one ln.
+    "q_pmi_bigrams" ->
+      """WITH tk AS (SELECT string_split(text, ' ') AS t FROM documents),
+              tk2 AS (SELECT t FROM tk WHERE len(t) >= 2),
+              uni AS (SELECT w, CAST(count(*) AS BIGINT) AS cu
+                      FROM (SELECT unnest(t) AS w FROM tk2) GROUP BY 1),
+              big AS (SELECT bg, CAST(count(*) AS BIGINT) AS cb
+                      FROM (SELECT unnest([array_to_string(t[i:i+1], ' ')
+                                           for i in range(1, len(t))]) AS bg FROM tk2)
+                      GROUP BY 1),
+              tot AS (SELECT CAST(sum(len(t)) AS BIGINT) AS tu,
+                             CAST(sum(len(t) - 1) AS BIGINT) AS tb FROM tk2),
+              sel AS (SELECT bg, cb, string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2
+                      FROM big WHERE cb >= 10),
+              j AS (SELECT sel.bg, sel.cb, u1.cu AS cu1, u2.cu AS cu2, tot.tu, tot.tb
+                    FROM sel JOIN uni u1 ON sel.w1 = u1.w
+                             JOIN uni u2 ON sel.w2 = u2.w
+                             CROSS JOIN tot)
+         SELECT bg AS bigram, cb AS n_pair,
+                round(ln(CAST(cb AS DOUBLE) * CAST(tu AS DOUBLE) * CAST(tu AS DOUBLE)
+                         / (CAST(tb AS DOUBLE) * CAST(cu1 AS DOUBLE) * CAST(cu2 AS DOUBLE))), 6) AS pmi
+         FROM j ORDER BY pmi DESC, bigram LIMIT 20""",
+
+    "q_sql_tpch_q3" ->
+      """SELECT l_orderkey,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+                o_orderdate
+         FROM customer JOIN orders ON c_custkey = o_custkey
+                       JOIN lineitem ON l_orderkey = o_orderkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+           AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+         GROUP BY l_orderkey, o_orderdate
+         ORDER BY revenue DESC, l_orderkey
+         LIMIT 10""",
+
+    "q_sql_tpch_q5" ->
+      """SELECT n_name,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+         FROM customer JOIN orders ON c_custkey = o_custkey
+                       JOIN lineitem ON l_orderkey = o_orderkey
+                       JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+                       JOIN nation ON s_nationkey = n_nationkey
+                       JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+         GROUP BY n_name
+         ORDER BY revenue DESC, n_name""",
+
+    "q_sql_tpch_q6" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+                count(*) AS n_lines
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+           AND l_discount BETWEEN 0.05 AND 0.07
+           AND l_quantity < 24"""
   )
 
   /** Generated per-lag UNION ALL oracle for [[q_acf]]: the same exact

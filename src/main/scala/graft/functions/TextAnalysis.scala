@@ -150,6 +150,50 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** Adjacent-token bigram collocations ranked by pointwise mutual
+    * information, PMI = ln(p(ab) / (p(a)·p(b))) — the standard
+    * collocation-mining signal (Church & Hanks 1990) a corpus pipeline
+    * uses to find multi-word expressions worth treating as units.
+    *
+    * Determinism: counts are exact integers; PMI is computed as ONE ln of
+    * a product/quotient chain of exact counts cast to double in a fixed
+    * order, then rounded to 6 dp — the SQL oracle replays it
+    * bit-identically. `minCount` suppresses the unstable low-frequency
+    * tail (classic PMI failure mode: a hapax pair maxes the score).
+    *
+    * Scale shape: unigram and bigram tables aggregate distributed, keyed
+    * by the term — the bigram→marginal joins are term-keyed SHUFFLE joins
+    * (the vocabulary is unbounded on a web corpus; never broadcast it —
+    * same posture as [[topTermsPerDoc]]); the two corpus totals join as a
+    * broadcast single-row scalar. Final top-k is a TakeOrdered, not a
+    * global sort. */
+  def pmiBigrams(documents: DataFrame, minCount: Long = 10, topK: Int = 20): DataFrame = {
+    val toks = documents
+      .repartition(documents.sparkSession.sparkContext.defaultParallelism)
+      .select(tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+    val uni = toks.select(explode(col("t")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cu"))
+    val big = toks.select(explode(wordShingles(col("t"), 2)).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("cb"))
+    // corpus totals from per-doc sizes (no second explode): Σ|t|, Σ(|t|−1)
+    val totals = toks.agg(
+      sum(size(col("t")).cast("long")).as("tu"),
+      sum((size(col("t")) - 1).cast("long")).as("tb"))
+    val d = (c: Column) => c.cast(DoubleType)
+    big.filter(col("cb") >= minCount)
+      .withColumn("w1", element_at(split(col("bigram"), " "), 1))
+      .withColumn("w2", element_at(split(col("bigram"), " "), 2))
+      .join(uni.select(col("w").as("w1"), col("cu").as("cu1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("cu").as("cu2")), Seq("w2"))
+      .crossJoin(broadcast(totals))
+      .select(col("bigram"), col("cb").as("n_pair"),
+        round(log(d(col("cb")) * d(col("tu")) * d(col("tu")) /
+          (d(col("tb")) * d(col("cu1")) * d(col("cu2")))), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("bigram"))
+      .limit(topK)
+  }
+
   /** Per-document keyword extraction: top `perDoc` terms by tf·ln(N/df).
     * Same two aggregations as [[tfIdfTerms]] plus a per-doc rank window.
     * The df table joins by SHUFFLE, not broadcast: "vocabulary-sized" is

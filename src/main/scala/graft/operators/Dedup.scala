@@ -340,6 +340,56 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Winnowing fingerprints (Schleimer–Wilkerson–Aiken, SIGMOD 2003 — the
+    * MOSS local-fingerprinting algorithm): positional k-token-gram hashes,
+    * then the minimum hash of every window of `w` consecutive gram hashes,
+    * deduplicated per document.
+    *
+    * GUARANTEE (the winnowing theorem): any exact shared token substring of
+    * length ≥ k + w − 1 produces a shared gram-hash run of length ≥ w on
+    * both documents, some hash window lies entirely inside that run on both
+    * sides, and both pick the same minimum — so substring-duplicate pairs
+    * ALWAYS share a fingerprint. Expected fingerprint density is 2/(w+1) of
+    * positions, so the index is a fraction of the brute-force
+    * every-window table.
+    *
+    * This is the distributed substring-dedup recipe: the published exact
+    * alternative (suffix arrays over the concatenated corpus — Lee et al.
+    * 2022, "Deduplicating Training Data Makes Language Models Better") is a
+    * single-node global structure, while winnowing shards embarrassingly —
+    * per-document fingerprinting is map-side, and candidate generation is a
+    * bucketed join on the fingerprint, never all-pairs. Unlike the SORTED
+    * set hashes the Jaccard operators use, gram hashes here keep POSITIONAL
+    * order — substring structure is what's being fingerprinted. */
+  def winnowFingerprints(documents: DataFrame, k: Int = 3, w: Int = 6): DataFrame = {
+    require(k >= 1 && w >= 1, s"winnowFingerprints: k and w must be ≥ 1, got k=$k w=$w")
+    val toks = tokens(col("text"))
+    val grams = transform(wordShingles(toks, k), s => xxhash64(s))
+    val fps = array_distinct(transform(
+      sequence(lit(1), size(grams) - lit(w - 1)),
+      i => array_min(slice(grams, i, lit(w)))))
+    // Docs shorter than the guarantee length carry no qualifying substring;
+    // exact whole-doc dup of short docs is exactGroups' job.
+    documents
+      .filter(size(toks) >= k + w - 1)
+      .select(col("doc_id"), explode(fps).as("fp"))
+      .dropDuplicates("doc_id", "fp")
+  }
+
+  /** Substring-duplication candidate pairs: documents sharing any winnowing
+    * fingerprint — COMPLETE for pairs sharing ≥ k+w−1 exact consecutive
+    * tokens (winnowing theorem above). Only slim `(doc_id, fp)` rows ride
+    * the candidate exchange; callers verify/score survivors as needed
+    * (e.g. join back to texts for exact extent extraction). */
+  def substringCandidatePairs(documents: DataFrame, k: Int = 3, w: Int = 6): DataFrame = {
+    val fp = winnowFingerprints(documents, k, w)
+    fp.alias("a")
+      .join(fp.alias("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+  }
+
   /** Embedding near-duplicates: cosine ≥ `threshold` pairs, candidates from
     * banded random-hyperplane LSH (OR-amplification across `bands`
     * signatures of `rowsPerBand` planes — see

@@ -19,6 +19,35 @@ import org.apache.spark.sql.types.DoubleType
   */
 object Graph {
 
+  /** Exact triangle count of an undirected pair graph (e.g. the near-dup
+    * candidate graph — triangle density distinguishes tight dup CLIQUES
+    * from chains before clustering commits to a canonical-per-cluster
+    * policy). Returns one row `(n_vertices, n_edges, n_triangles)`.
+    *
+    * Edges are canonically oriented low→high id first, so each triangle
+    * a<b<c is enumerated exactly once as (a,b)+(b,c)+(a,c) — the standard
+    * distributed oriented-edge enumeration: two keyed equi-joins shipping
+    * only slim id pairs, never neighborhoods. (The degree-ordered
+    * refinement — orient by degree, not id, bounding join fan-out by
+    * arboricity — drops in by swapping the orientation key; id order keeps
+    * the result reproducible for the oracle replay.) */
+  def triangleCount(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val e = pairs
+      .select(least(col(aCol), col(bCol)).cast("long").as("a"),
+        greatest(col(aCol), col(bCol)).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(false) // three join branches read it; compute once
+    val tri = e.alias("e1")
+      .join(e.alias("e2"), col("e1.b") === col("e2.a"))
+      .join(e.alias("e3"),
+        col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val verts = e.select(col("a").as("v")).unionByName(e.select(col("b").as("v")))
+      .agg(countDistinct(col("v")).as("n_vertices"), (count(lit(1)) / 2).cast("long").as("n_edges"))
+    verts.crossJoin(tri)
+  }
+
   /** First-order transition edges of an event log: `(prev_type → type)`
     * per user in `(ts, event_id)` order (the id tie-break keeps the
     * sequence deterministic under equal timestamps), weighted by

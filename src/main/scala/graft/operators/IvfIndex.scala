@@ -65,15 +65,9 @@ object IvfIndex {
     val cents = lloyd(sample, nLists, seed, maxIter, tol)
 
     // one codegen pass: nearest centroid per vector, ties to the lowest cell
-    val scored: Seq[Column] = cents.toSeq.zipWithIndex.map { case (c, i) =>
-      val cNormSq = c.map(v => v * v).sum
-      struct(
-        (lit(cNormSq) - lit(2.0) * dotProduct(col("embedding"), typedlit(c.map(_.toFloat)))).as("d"),
-        lit(i).as("cell"))
-    }
     val assigned = base.select(
       col("vec_id"), col("embedding"),
-      array_min(array(scored: _*)).getField("cell").as("cell_id"))
+      array_min(cellDistances(col("embedding"), cents)).getField("cell").as("cell_id"))
 
     Index(assigned, cents.zipWithIndex.map { case (c, i) => (i, c) })
   }
@@ -115,6 +109,68 @@ object IvfIndex {
           round(dotProduct(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")), 6)
             .as("cosine")),
       k)
+  }
+
+  /** `(distance-proxy, cell)` structs per centroid: |x−c|² up to the
+    * constant |x|² term — one native dot product per cell, all inside
+    * whole-stage codegen, centroids inlined as broadcast literals. */
+  private def cellDistances(embedding: Column, cents: Array[Array[Double]]): Column =
+    array(cents.toSeq.zipWithIndex.map { case (c, i) =>
+      val cNormSq = c.map(v => v * v).sum
+      struct(
+        (lit(cNormSq) - lit(2.0) * dotProduct(embedding, typedlit(c.map(_.toFloat)))).as("d"),
+        lit(i).as("cell"))
+    }: _*)
+
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): semantic near-duplicate
+    * pairs found INSIDE k-means cells only — cluster the corpus with the
+    * same coarse quantizer IVF uses, then score pairwise cosine only
+    * within each cell and keep pairs ≥ `tau`.
+    *
+    * This is the published web-scale recipe precisely because the
+    * quadratic term is bounded per cell (|cell|² ≪ |corpus|²): with
+    * `nLists` proportional to corpus size the expected cell is constant-
+    * sized and total work is linear. The cost is recall — a pair split
+    * across two cells is never scored — which the `q_semdedup` contract
+    * query measures against an in-plan exact twin.
+    *
+    * `assignTo` > 1 is the index-side analog of query multi-probe: each
+    * vector joins its `assignTo` nearest cells, so a pair straddling a
+    * cell boundary is still co-located whenever the two neighbor-cell
+    * sets overlap. Work scales by ≤ assignTo² while cells stay small —
+    * the right knob when the corpus has weak cluster structure (the
+    * boundary-loss worst case). Candidate scoring is one cell-keyed
+    * self-join; norms are computed once per vector; pair dedup moves
+    * only (id, id, score) rows. */
+  def semDedupPairs(
+      spark: SparkSession,
+      embeddings: DataFrame,
+      nLists: Int = 16,
+      tau: Double = 0.4,
+      assignTo: Int = 2,
+      seed: Long = 42L): DataFrame = {
+    require(assignTo >= 1 && assignTo <= nLists,
+      s"semDedupPairs: assignTo must be in [1, nLists], got $assignTo")
+    val idx = build(spark, embeddings, nLists, seed)
+    val cents = idx.centroids.map(_._2)
+    val cells = embeddings
+      .select(col("vec_id"), col("embedding"),
+        graft.functions.l2Norm(col("embedding")).as("nrm"),
+        explode(transform(
+          slice(array_sort(cellDistances(col("embedding"), cents)), 1, assignTo),
+          s => s.getField("cell"))).as("cell_id"))
+      .localCheckpoint(false)
+    cells.alias("a")
+      .join(cells.alias("b"),
+        col("a.cell_id") === col("b.cell_id") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(
+        col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(graft.functions.dotProduct(col("a.embedding"), col("b.embedding"))
+          / (col("a.nrm") * col("b.nrm")), 6).as("cosine"))
+      .filter(col("cosine") >= tau)
+      .dropDuplicates("vec_a", "vec_b")
   }
 
   // ------------------------------------------------------------------ //

@@ -225,6 +225,44 @@ object Robust {
       round(z, 6).as("z_stat"))
   }
 
+  /** Welch's two-sample t statistic (unequal variances) with
+    * Welch–Satterthwaite degrees of freedom — the means-comparison
+    * companion to [[twoProportionZ]] for continuous metrics (mean order
+    * value per arm, mean doc quality per source).
+    *
+    * Bit-portability discipline: per-arm n/Σv/Σv² aggregate in EXACT
+    * decimal (sums are order-free, so partition order can't change the
+    * result), collapse to one row, and only then run one fixed chain of
+    * double arithmetic — mean, s² = (Σv² − (Σv)²/n)/(n−1), t, df — that
+    * the SQL oracle spells identically. */
+  def welchT(units: DataFrame, arm: Column, value: Column): DataFrame = {
+    val v = dec2(value)
+    val agg = units.select(arm.as("__arm"), v.as("__v"), (v * v).as("__vv"))
+      .agg(
+        sum(when(col("__arm") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("__arm") === 0, col("__v"))).as("__s_a"),
+        sum(when(col("__arm") === 0, col("__vv"))).as("__ss_a"),
+        sum(when(col("__arm") =!= 0, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("__arm") =!= 0, col("__v"))).as("__s_b"),
+        sum(when(col("__arm") =!= 0, col("__vv"))).as("__ss_b"))
+    val (na, nb) = (col("n_a").cast(DoubleType), col("n_b").cast(DoubleType))
+    val (sa, sb) = (col("__s_a").cast(DoubleType), col("__s_b").cast(DoubleType))
+    val (ssa, ssb) = (col("__ss_a").cast(DoubleType), col("__ss_b").cast(DoubleType))
+    val ma = sa / na
+    val mb = sb / nb
+    val va = (ssa - sa * sa / na) / (na - lit(1.0))
+    val vb = (ssb - sb * sb / nb) / (nb - lit(1.0))
+    val sea = va / na
+    val seb = vb / nb
+    val t = (ma - mb) / sqrt(sea + seb)
+    val df = (sea + seb) * (sea + seb) /
+      (sea * sea / (na - lit(1.0)) + seb * seb / (nb - lit(1.0)))
+    agg.select(
+      col("n_a"), col("n_b"),
+      round(ma, 6).as("mean_a"), round(mb, 6).as("mean_b"),
+      round(t, 6).as("t_stat"), round(df, 6).as("welch_df"))
+  }
+
   /** Two-sample Kolmogorov–Smirnov statistic between the `value`
     * distributions of two groups — the standard data-drift gate a pipeline
     * runs between yesterday's and today's batch (or two corpus sources)

@@ -235,4 +235,16 @@ class FunctionsSpec extends AnyFunSuite with SparkSpec {
       .orderBy($"doc_id").collect()
     assert(got(0).getDouble(1) > got(1).getDouble(1))
   }
+
+  test("pmiBigrams: hand-computed PMI, minCount suppresses hapax pairs") {
+    // tokens: p=3 q=3 z=2 (TU=8); bigrams: "p q"x2 "z p" "q z" (TB=4)
+    // PMI(p q) = ln(2*8*8 / (4*3*3)) = ln(32/9)
+    val docs = Seq((0L, "p q"), (1L, "p q"), (2L, "z p"), (3L, "q z"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.pmiBigrams(docs, minCount = 2, topK = 5).collect()
+    assert(got.length == 1) // hapax bigrams cut
+    assert(got(0).getAs[String]("bigram") == "p q")
+    assert(got(0).getAs[Long]("n_pair") == 2L)
+    assert(math.abs(got(0).getAs[Double]("pmi") - math.log(32.0 / 9.0)) < 1e-6)
+  }
 }

@@ -361,4 +361,81 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     val r1 = Robust.ksStatistic(disjoint, col("v"), col("g"), "a", "b").head()
     assert(r1.getDouble(2) == 1.0)
   }
+
+  test("winnowing: guaranteed recall of >= k+w-1 substring pairs; no false candidates without shared grams") {
+    // doc 1 embeds a 12-token run of doc 0 (>= 8 = 3+6-1): MUST be a
+    // candidate (winnowing theorem). doc 2 shares zero 3-grams with
+    // either: MUST NOT be a candidate (fingerprints are gram hashes).
+    val shared = (1 to 12).map(i => s"s$i").mkString(" ")
+    val sub = Seq(
+      (0L, s"p1 p2 p3 $shared q1 q2 q3", "s"),
+      (1L, s"r1 r2 $shared r3 r4 r5 r6", "s"),
+      (2L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10 u11 u12", "s"))
+      .toDF("doc_id", "text", "source")
+    val cand = Dedup.substringCandidatePairs(sub, k = 3, w = 6).collect()
+    assert(cand.length == 1)
+    assert(cand(0).getAs[Long]("doc_a") == 0L && cand(0).getAs[Long]("doc_b") == 1L)
+    // candidates OVER-generate on shorter shared runs (precision is the
+    // verifier's job): a doc sharing only a 4-token run may still pair
+    val short = Seq(
+      (0L, s"p1 p2 p3 $shared q1 q2 q3", "s"),
+      (3L, "z1 z2 s1 s2 s3 s4 z3 z4 z5 z6 z7 z8", "s"))
+      .toDF("doc_id", "text", "source")
+    // (no assertion on presence — just verify it doesn't throw and stays a<b)
+    Dedup.substringCandidatePairs(short, k = 3, w = 6).collect()
+      .foreach(r => assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b")))
+    // density sanity: far fewer fingerprints than gram positions
+    val fps = Dedup.winnowFingerprints(sub, k = 3, w = 6).count()
+    val grams = sub.select(explode(split($"text", " "))).count() - 3 * 2
+    assert(fps < grams)
+  }
+
+  test("semDedupPairs: intra-cell pairs subset exact, multi-assign recalls planted dup") {
+    // 40 spread-out unit vectors + one planted near-dup pair (ids 100, 101)
+    val dim = 8
+    val rnd = new scala.util.Random(7)
+    val spread = Seq.tabulate(40) { i =>
+      val v = Array.fill(dim)(rnd.nextGaussian().toFloat)
+      (i.toLong, v.toSeq)
+    }
+    val base = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    val nearA = base.toSeq
+    val nearB = base.zipWithIndex.map { case (x, i) => if (i == 0) x + 0.01f else x }.toSeq
+    val emb = (spread ++ Seq((100L, nearA), (101L, nearB))).toDF("vec_id", "embedding")
+    val pairs = graft.operators.IvfIndex
+      .semDedupPairs(spark, emb, nLists = 4, tau = 0.95, assignTo = 2)
+      .collect()
+    assert(pairs.exists(r => r.getAs[Long]("vec_a") == 100L && r.getAs[Long]("vec_b") == 101L))
+    pairs.foreach(r => assert(r.getAs[Double]("cosine") >= 0.95))
+  }
+
+  test("triangleCount: one triangle plus a dangling edge") {
+    import graft.operators.Graph
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("a", "b")
+    val r = Graph.triangleCount(pairs, "a", "b").head()
+    assert(r.getAs[Long]("n_vertices") == 4L)
+    assert(r.getAs[Long]("n_edges") == 4L)
+    assert(r.getAs[Long]("n_triangles") == 1L)
+    // orientation-insensitive: reversed/duplicated input edges change nothing
+    val messy = Seq((2L, 1L), (2L, 3L), (1L, 3L), (3L, 1L), (4L, 3L)).toDF("a", "b")
+    val r2 = Graph.triangleCount(messy, "a", "b").head()
+    assert(r2.getAs[Long]("n_triangles") == 1L && r2.getAs[Long]("n_edges") == 4L)
+  }
+
+  test("welchT: symmetric arms give t = 0; known two-sample value") {
+    import graft.operators.Robust
+    val sym = Seq((0, 10.0), (0, 20.0), (1, 10.0), (1, 20.0)).toDF("arm", "v")
+    val r0 = Robust.welchT(sym, col("arm"), col("v")).head()
+    assert(r0.getAs[Double]("t_stat") == 0.0)
+    // arms {1,2,3} vs {2,4,6}: means 2 and 4, s² = 1 and 4
+    // t = -2 / sqrt(1/3 + 4/3) = -2/sqrt(5/3); df = (5/3)²/((1/9)/2+(16/9)/2)
+    val known = Seq((0, 1.0), (0, 2.0), (0, 3.0), (1, 2.0), (1, 4.0), (1, 6.0))
+      .toDF("arm", "v")
+    val r1 = Robust.welchT(known, col("arm"), col("v")).head()
+    val t = -2.0 / math.sqrt(5.0 / 3.0)
+    assert(math.abs(r1.getAs[Double]("t_stat") - t) < 1e-6)
+    assert(r1.getAs[Long]("n_a") == 3L && r1.getAs[Long]("n_b") == 3L)
+    val df = math.pow(5.0 / 3.0, 2) / ((1.0 / 9.0) / 2.0 + (16.0 / 9.0) / 2.0)
+    assert(math.abs(r1.getAs[Double]("welch_df") - df) < 1e-5)
+  }
 }
