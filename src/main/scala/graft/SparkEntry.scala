@@ -1944,26 +1944,36 @@ object SparkEntry {
     // Substring-overlap dedup via winnowing fingerprints (MOSS recipe),
     // SELF-ASSERTING: the exact ground truth — every pair of docs sharing
     // an 8-token exact window — is computed in-plan by the brute-force
-    // every-window join; the winnowing theorem (k=3, w=6 ⇒ guarantee
+    // every-window join; the winnowing theorem (k=5, w=4 ⇒ guarantee
     // length 8) makes candidate recall PROVABLY complete, and the query
     // asserts exactly that. The oracle recomputes the exact pair count
     // from the raw text (same 8-token windows as strings) and pins the
     // boolean. The 100 TB path is the fingerprint index (density 2/(w+1));
-    // the every-window twin exists only at verification SF.
+    // the every-window twin exists only at verification SF. Both the
+    // window table and the fingerprint table are materialized once —
+    // each feeds both sides of a self-join.
     "q_substring_dedup" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val L = 8 // = k + w − 1 with the operator's (k=3, w=6)
-      val toks = tokens(col("text"))
-      val wins = docs.filter(size(toks) >= L)
-        .select(col("doc_id"), explode(array_distinct(
-          transform(wordShingles(toks, L), x => xxhash64(x)))).as("wh"))
+      val L = 8 // = k + w − 1 with the operator's (k=5, w=4)
+      // Every-window twin via the native ShingleHashes kernel (n=8 window
+      // hashes, already sorted+distinct per doc — the array-HOF string-
+      // window form re-splits the text per position, see
+      // winnowFingerprints' formulation note). Pair counts are hash-
+      // insensitive, so the DuckDB oracle replays STRING windows.
+      val wins = docs
+        .select(col("doc_id"), tokens(col("text")).as("t"))
+        .filter(size(col("t")) >= L)
+        .select(col("doc_id"),
+          explode(graft.functions.VectorExpressions.shingleHashes(col("t"), L)).as("wh"))
+        .repartition(s.sparkContext.defaultParallelism)
+        .localCheckpoint(false)
       val exact = wins.alias("a")
         .join(wins.alias("b"),
           col("a.wh") === col("b.wh") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .dropDuplicates("doc_a", "doc_b")
         .withColumn("in_exact", lit(1L))
-      val cand = Dedup.substringCandidatePairs(docs, k = 3, w = 6)
+      val cand = Dedup.substringCandidatePairs(docs, k = 5, w = 4)
         .withColumn("in_cand", lit(1L))
       exact.join(cand, Seq("doc_a", "doc_b"), "full")
         .agg(
@@ -2071,6 +2081,40 @@ object SparkEntry {
           |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
           |GROUP BY n_name
           |ORDER BY revenue DESC, n_name""".stripMargin)
+    }),
+
+    // DSIR importance weights (target = lang 'en' slice vs whole corpus):
+    // exact n-gram counts, one fixed log-ratio chain per feature, per-doc
+    // SORTED fold — the oracle replays every step bit-identically.
+    "q_dsir_weights" -> ((s, d) =>
+      graft.operators.Curation.dsirWeights(Tables.documents(s, d), col("lang") === "en")),
+
+    // Quality-classifier inference (fixed-weight logistic over length/
+    // lexical/stopword signals) — the fastText-style pretraining gate.
+    "q_quality_lr" -> ((s, d) =>
+      graft.operators.Curation.qualityScore(Tables.documents(s, d))),
+
+    // CDC change-log replay with DELETE tombstones onto the customer
+    // snapshot: log = orders as balance updates (every 10th order key a
+    // tombstone), plus a shifted-key slice exercising the insert path;
+    // winner per key by (o_orderdate, o_orderkey) — an LSN-style total
+    // order.
+    "q_cdc_apply" -> ((s, d) => {
+      val cust = Tables.customer(s, d).select(col("c_custkey"), col("c_acctbal"))
+      val o = Tables.orders(s, d)
+      val ch = o.select(
+        col("o_custkey").as("c_custkey"),
+        when(col("o_orderkey") % 10 === 0, "D").otherwise("U").as("op"),
+        col("o_totalprice").as("c_acctbal"),
+        col("o_orderdate").as("ts"), col("o_orderkey").as("seq"))
+      val chIns = o.filter(col("o_custkey") < 5)
+        .select((col("o_custkey") + 10000).as("c_custkey"), lit("U").as("op"),
+          col("o_totalprice").as("c_acctbal"),
+          col("o_orderdate").as("ts"), col("o_orderkey").as("seq"))
+      graft.transform.Transforms
+        .applyChangeLog(cust, ch.unionByName(chIns),
+          "c_custkey", "ts", "seq", "op", Seq("c_acctbal"))
+        .orderBy(col("c_custkey"))
     }),
 
     // TPC-H Q6 shape (forecast revenue change): single-scan aggregate with
@@ -3736,7 +3780,71 @@ object SparkEntry {
          WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
            AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
            AND l_discount BETWEEN 0.05 AND 0.07
-           AND l_quantity < 24"""
+           AND l_quantity < 24""",
+
+    // DSIR: same counts, same smoothing, same sorted per-doc fold.
+    "q_dsir_weights" ->
+      """WITH tk AS (SELECT doc_id, lang = 'en' AS tgt, string_split(text, ' ') AS t FROM documents),
+              feats AS (
+                SELECT doc_id, tgt, unnest(t) AS f FROM tk
+                UNION ALL
+                SELECT doc_id, tgt, unnest([array_to_string(t[i:i+1], ' ')
+                                            for i in range(1, len(t))]) AS f
+                FROM tk WHERE len(t) >= 2),
+              model AS (SELECT f, CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+                               CAST(count(*) AS BIGINT) AS cr
+                        FROM feats GROUP BY 1),
+              tot AS (SELECT CAST(sum(ct) AS BIGINT) AS nt, CAST(sum(cr) AS BIGINT) AS nr,
+                             CAST(count(*) AS BIGINT) AS v FROM model),
+              ratio AS (SELECT f, ln(CAST(ct + 1 AS DOUBLE) * CAST(nr + v AS DOUBLE)
+                                     / (CAST(cr + 1 AS DOUBLE) * CAST(nt + v AS DOUBLE))) AS lr
+                        FROM model CROSS JOIN tot),
+              dm AS (SELECT doc_id, f, CAST(count(*) AS BIGINT) AS m FROM feats GROUP BY 1, 2),
+              agg AS (SELECT doc_id,
+                             list_sort(list({'f': dm.f, 'm': m, 'lr': lr})) AS fs,
+                             CAST(sum(m) AS BIGINT) AS n_feats
+                      FROM dm JOIN ratio ON dm.f = ratio.f GROUP BY doc_id)
+         SELECT doc_id, n_feats,
+                round(list_sum(list_transform(fs, c -> CAST(c.m AS DOUBLE) * c.lr)), 6) AS weight
+         FROM agg ORDER BY doc_id""",
+
+    // Quality LR: identical feature chains and sigmoid.
+    "q_quality_lr" ->
+      """WITH f AS (SELECT doc_id, string_split(text, ' ') AS t, text FROM documents),
+              z AS (SELECT doc_id,
+                           -3.0 + 0.6 * ln(1.0 + CAST(len(t) AS DOUBLE))
+                           + 0.25 * ((CAST(length(text) AS DOUBLE) - CAST(len(t) - 1 AS DOUBLE)) / CAST(len(t) AS DOUBLE))
+                           + 1.2 * (CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE))
+                           + 2.0 * (CAST(len(list_filter(t, x -> list_contains(['the','a','of','and','to','in','is'], x))) AS DOUBLE) / CAST(len(t) AS DOUBLE)) AS z
+                    FROM f)
+         SELECT doc_id,
+                round(1.0 / (1.0 + exp(-z)), 6) AS quality,
+                1.0 / (1.0 + exp(-z)) >= 0.5 AS keep
+         FROM z ORDER BY doc_id""",
+
+    // CDC replay: same latest-winner window, same tombstone filter.
+    "q_cdc_apply" ->
+      """WITH ch AS (SELECT o_custkey AS k,
+                            CASE WHEN o_orderkey % 10 = 0 THEN 'D' ELSE 'U' END AS op,
+                            o_totalprice AS bal, o_orderdate AS ts, o_orderkey AS seq
+                     FROM orders
+                     UNION ALL
+                     SELECT o_custkey + 10000, 'U', o_totalprice, o_orderdate, o_orderkey
+                     FROM orders WHERE o_custkey < 5),
+              latest AS (SELECT k, op, bal FROM (
+                           SELECT *, row_number() OVER (PARTITION BY k ORDER BY ts DESC, seq DESC) AS rn
+                           FROM ch)
+                         WHERE rn = 1),
+              s AS (SELECT c_custkey AS k, c_acctbal AS bal FROM customer),
+              j AS (SELECT coalesce(s.k, l.k) AS c_custkey,
+                           coalesce(l.bal, s.bal) AS c_acctbal,
+                           CASE WHEN l.op IS NULL THEN 'unchanged'
+                                WHEN s.k IS NOT NULL THEN 'updated'
+                                ELSE 'inserted' END AS cdc_action,
+                           l.op AS op
+                    FROM s FULL OUTER JOIN latest l ON s.k = l.k)
+         SELECT c_custkey, c_acctbal, cdc_action
+         FROM j WHERE op IS NULL OR op <> 'D' ORDER BY c_custkey"""
   )
 
   /** Generated per-lag UNION ALL oracle for [[q_acf]]: the same exact

@@ -29,6 +29,8 @@ object GraftFunctions {
     "minhash_band_buckets" -> (args =>
       MinHashBandBuckets(args(0), intLit(args(1), "bands"), intLit(args(2), "rowsPerBand"))),
     "shingle_hashes" -> (args => ShingleHashes(args(0), intLit(args(1), "n"))),
+    "winnow_hashes" -> (args =>
+      WinnowHashes(args(0), intLit(args(1), "k"), intLit(args(2), "w"))),
     "topk_by" -> (args =>
       TopKBy(args(0), args(1), intLit(args(2), "k")).toAggregateExpression()))
 

@@ -425,6 +425,136 @@ object ShingleHashes {
   val Seed: Long = 42L
 }
 
+/** Winnowing fingerprints (Schleimer–Wilkerson–Aiken) of a token array,
+  * fused into ONE native pass: positional `k`-gram chained hashes (same
+  * chain as [[ShingleHashes]], but POSITIONAL — no sort/dedup before
+  * windowing, substring structure is what's fingerprinted), then the
+  * minimum of every window of `w` consecutive gram hashes, deduplicated
+  * and sorted.
+  *
+  * Exists as a kernel because the array-HOF formulation
+  * (`transform(sequence(…), i -> array_min(slice(grams, i, w)))`) is
+  * catastrophically slow: Spark evaluates higher-order functions
+  * interpreted with NO loop-invariant hoisting, so the whole gram chain
+  * (which itself re-splits the text per position) re-derives per window —
+  * measured 84+ s for sf0.1's 250k gram positions vs ~1 s for this pass.
+  *
+  * Windows shorter than `w` (docs with fewer than k+w−1 tokens) degrade
+  * to one window over all grams, mirroring the whole-document convention
+  * of [[ShingleHashes]]; callers wanting the strict winnowing guarantee
+  * filter those out. */
+case class WinnowHashes(child: Expression, k: Int, w: Int) extends UnaryExpression {
+  require(k >= 1 && w >= 1, s"winnow_hashes: k and w must be >= 1, got k=$k w=$w")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_hashes"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckSuccess
+    case other =>
+      TypeCheckFailure(s"$prettyName: input must be array<string>, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val m = toks.numElements()
+    val th = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      val s = toks.getUTF8String(i)
+      th(i) = if (s == null) ShingleHashes.Seed
+      else org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String(s, ShingleHashes.Seed)
+      i += 1
+    }
+    val gwin = if (m < k) m else k
+    val gcnt = if (m < k) 1 else m - k + 1
+    val gh = new Array[Long](gcnt)
+    var g = 0
+    while (g < gcnt) {
+      var h = ShingleHashes.Seed
+      var j = 0
+      while (j < gwin) { h = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(th(g + j), h); j += 1 }
+      gh(g) = h
+      g += 1
+    }
+    val wwin = if (gcnt < w) gcnt else w
+    val wcnt = if (gcnt < w) 1 else gcnt - w + 1
+    val fp = new Array[Long](wcnt)
+    var p = 0
+    while (p < wcnt) {
+      var mn = gh(p)
+      var j = 1
+      while (j < wwin) { if (gh(p + j) < mn) mn = gh(p + j); j += 1 }
+      fp(p) = mn
+      p += 1
+    }
+    java.util.Arrays.sort(fp)
+    var u = 0
+    var q = 0
+    while (q < wcnt) {
+      if (q == 0 || fp(q) != fp(q - 1)) { fp(u) = fp(q); u += 1 }
+      q += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(java.util.Arrays.copyOf(fp, u))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val xxh = "org.apache.spark.sql.catalyst.expressions.XXH64"
+      val m = ctx.freshName("m")
+      val th = ctx.freshName("th")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val gwin = ctx.freshName("gwin")
+      val gcnt = ctx.freshName("gcnt")
+      val gh = ctx.freshName("gh")
+      val g = ctx.freshName("g")
+      val h = ctx.freshName("h")
+      val j = ctx.freshName("j")
+      val wwin = ctx.freshName("wwin")
+      val wcnt = ctx.freshName("wcnt")
+      val fp = ctx.freshName("fp")
+      val p = ctx.freshName("p")
+      val mn = ctx.freshName("mn")
+      val u = ctx.freshName("u")
+      val q = ctx.freshName("q")
+      val seed = s"${ShingleHashes.Seed}L"
+      s"""
+         |int $m = $c.numElements();
+         |long[] $th = new long[$m];
+         |for (int $i = 0; $i < $m; $i++) {
+         |  org.apache.spark.unsafe.types.UTF8String $s = $c.getUTF8String($i);
+         |  $th[$i] = ($s == null) ? $seed : $xxh.hashUTF8String($s, $seed);
+         |}
+         |int $gwin = ($m < $k) ? $m : $k;
+         |int $gcnt = ($m < $k) ? 1 : $m - $k + 1;
+         |long[] $gh = new long[$gcnt];
+         |for (int $g = 0; $g < $gcnt; $g++) {
+         |  long $h = $seed;
+         |  for (int $j = 0; $j < $gwin; $j++) { $h = $xxh.hashLong($th[$g + $j], $h); }
+         |  $gh[$g] = $h;
+         |}
+         |int $wwin = ($gcnt < $w) ? $gcnt : $w;
+         |int $wcnt = ($gcnt < $w) ? 1 : $gcnt - $w + 1;
+         |long[] $fp = new long[$wcnt];
+         |for (int $p = 0; $p < $wcnt; $p++) {
+         |  long $mn = $gh[$p];
+         |  for (int $j = 1; $j < $wwin; $j++) { if ($gh[$p + $j] < $mn) $mn = $gh[$p + $j]; }
+         |  $fp[$p] = $mn;
+         |}
+         |java.util.Arrays.sort($fp);
+         |int $u = 0;
+         |for (int $q = 0; $q < $wcnt; $q++) {
+         |  if ($q == 0 || $fp[$q] != $fp[$q - 1]) { $fp[$u] = $fp[$q]; $u++; }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  java.util.Arrays.copyOf($fp, $u));
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): WinnowHashes = copy(child = c)
+}
+
 /** 64-bit SimHash from pre-hashed tokens: per hash, vote ±1 on each bit;
   * fingerprint bit j is set iff the vote sum is positive. Bit-identical to
   * the 64-aggregate HOF formulation it replaces (same per-token hashes, same
@@ -503,4 +633,7 @@ object VectorExpressions {
 
   def shingleHashes(tokens: Column, n: Int): Column =
     ColumnBridge.column(ShingleHashes(ColumnBridge.expression(tokens), n))
+
+  def winnowHashes(tokens: Column, k: Int, w: Int): Column =
+    ColumnBridge.column(WinnowHashes(ColumnBridge.expression(tokens), k, w))
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
@@ -179,5 +179,91 @@ object Curation {
           .when(col("__rep") > maxDupBigram, "repetitive")
           .otherwise("kept").as("reason"))
       .orderBy("doc_id")
+  }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): per-document
+    * log p_target(x) − log p_raw(x) under bag-of-n-gram (unigram+bigram)
+    * generative models with add-one smoothing, fit on a target slice vs
+    * the whole corpus. Selection then keeps the top-weight documents (or
+    * Gumbel-resamples with these as logits — the paper's variant).
+    *
+    * DSIR hashes features into a fixed bucket count to bound model size;
+    * here features stay RAW n-grams so the DuckDB oracle can replay them
+    * (no portable cross-engine string hash exists), and V = |feature
+    * vocabulary| plays the bucket-count role in the smoothing — same
+    * estimator, different feature-space bound. At 100 TB the hashed
+    * variant drops in by replacing `f` with `xxhash64(f) % B`: every
+    * downstream shape is unchanged (the model table just becomes
+    * B-bounded).
+    *
+    * Determinism: all counts are exact integers; each feature's log-ratio
+    * is ONE fixed double chain; the per-document sum folds over a SORTED
+    * feature array (float addition is order-dependent — never sum an
+    * unordered shuffle's floats and expect replays to match).
+    *
+    * Scale shape: the model is vocabulary-sized and keyed by feature —
+    * the doc-multiplicity⋈model join is a co-partitioned SHUFFLE join
+    * (never broadcast — web-corpus vocabularies exceed driver memory);
+    * corpus totals broadcast as one row. */
+  def dsirWeights(documents: DataFrame, isTarget: Column): DataFrame = {
+    val toks = tokens(col("text"))
+    val base = documents.select(col("doc_id"), isTarget.as("tgt"), toks.as("t"))
+    val uni = base.select(col("doc_id"), col("tgt"), explode(col("t")).as("f"))
+    val big = base.filter(size(col("t")) >= 2)
+      .select(col("doc_id"), col("tgt"),
+        explode(graft.functions.wordShingles(col("t"), 2)).as("f"))
+    val feats = uni.unionByName(big)
+    val model = feats.groupBy(col("f")).agg(
+      sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"),
+      count(lit(1)).as("cr"))
+    val tot = model.agg(
+      sum(col("ct")).as("nt"), sum(col("cr")).as("nr"), count(lit(1)).as("v"))
+    val d = (c: org.apache.spark.sql.Column) => c.cast(DoubleType)
+    val ratio = model.crossJoin(broadcast(tot)).select(col("f"),
+      log(d(col("ct") + 1) * d(col("nr") + col("v")) /
+        (d(col("cr") + 1) * d(col("nt") + col("v")))).as("lr"))
+    val dm = feats.groupBy(col("doc_id"), col("f")).agg(count(lit(1)).as("m"))
+    dm.join(ratio, Seq("f"))
+      .groupBy(col("doc_id"))
+      .agg(
+        array_sort(collect_list(struct(col("f"), col("m"), col("lr")))).as("fs"),
+        sum(col("m")).as("n_feats"))
+      .select(col("doc_id"), col("n_feats"),
+        round(aggregate(col("fs"), lit(0.0),
+          (acc, c) => acc + c.getField("m").cast(DoubleType) * c.getField("lr")), 6).as("weight"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Quality-classifier inference: a fixed-weight logistic model over
+    * cheap per-document signals (the fastText/CCNet-style quality-filter
+    * shape — GPT-3, LLaMA and Dolma all gate pretraining data on a linear
+    * classifier's score; here INFERENCE is the operator and the published
+    * pipeline trains the weights offline). Score = σ(w·x); keep at ≥ 0.5.
+    *
+    * Features (all one-scan expression work, exact-count numerators):
+    * ln(1+tokens), mean token length, type-token ratio, stopword hit
+    * rate. Deterministic: each feature is one fixed double chain from
+    * exact integers; σ is one exp. */
+  def qualityScore(
+      documents: DataFrame,
+      w0: Double = -3.0, wLen: Double = 0.6, wAvgTok: Double = 0.25,
+      wTtr: Double = 1.2, wStop: Double = 2.0): DataFrame = {
+    val toks = tokens(col("text"))
+    val d = (c: org.apache.spark.sql.Column) => c.cast(DoubleType)
+    val n = size(toks)
+    val fLen = log(lit(1.0) + d(n))
+    // mean token length from exact ints: (chars − spaces) / tokens
+    val fAvg = (d(length(col("text"))) - d(n - 1)) / d(n)
+    val fTtr = d(size(array_distinct(toks))) / d(n)
+    val enStop = TextAnalysis.stopwords.toMap.apply("en")
+    val fStop = d(graft.functions.vocabHits(toks, enStop)) / d(n)
+    val z = lit(w0) + lit(wLen) * fLen + lit(wAvgTok) * fAvg +
+      lit(wTtr) * fTtr + lit(wStop) * fStop
+    documents.select(
+      col("doc_id"),
+      round(lit(1.0) / (lit(1.0) + exp(-z)), 6).as("quality"),
+      (lit(1.0) / (lit(1.0) + exp(-z)) >= 0.5).as("keep"))
+      .orderBy(col("doc_id"))
   }
 }

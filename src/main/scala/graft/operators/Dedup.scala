@@ -360,29 +360,49 @@ object Dedup {
     * per-document fingerprinting is map-side, and candidate generation is a
     * bucketed join on the fingerprint, never all-pairs. Unlike the SORTED
     * set hashes the Jaccard operators use, gram hashes here keep POSITIONAL
-    * order — substring structure is what's being fingerprinted. */
-  def winnowFingerprints(documents: DataFrame, k: Int = 3, w: Int = 6): DataFrame = {
+    * order — substring structure is what's being fingerprinted.
+    *
+    * CHOOSING k: the gram length is the selectivity knob, and it matters
+    * quadratically. Every fingerprint bucket pays |bucket|² in the
+    * candidate join, and a bucket collects every document whose winnow
+    * pass picked that gram — so k must make k-grams RARE in the corpus's
+    * vocabulary. Measured here: k=3 word-grams over a ~30-word vocabulary
+    * put thousands of unrelated docs in shared buckets (~224k candidates
+    * for 256 true pairs at sf0.1); k=5 with the same k+w−1 guarantee
+    * length is collision-free on the same corpus. MOSS's published
+    * defaults (k≈25-50 chars) encode the same rule.
+    *
+    * FORMULATION: the whole pass — positional gram hashes, sliding
+    * min-per-window, dedup — is ONE native codegen kernel
+    * ([[graft.functions.WinnowHashes]]), pure map-side scan work. The
+    * "obvious" array-HOF formulation (`transform(sequence(…), i ->
+    * array_min(slice(grams, i, w)))`) is catastrophically slower (84+ s
+    * vs ~1 s at sf0.1): Spark evaluates higher-order functions
+    * interpreted with NO loop-invariant hoisting, so the gram chain
+    * re-derives per window position. */
+  def winnowFingerprints(documents: DataFrame, k: Int = 5, w: Int = 4): DataFrame = {
     require(k >= 1 && w >= 1, s"winnowFingerprints: k and w must be ≥ 1, got k=$k w=$w")
     val toks = tokens(col("text"))
-    val grams = transform(wordShingles(toks, k), s => xxhash64(s))
-    val fps = array_distinct(transform(
-      sequence(lit(1), size(grams) - lit(w - 1)),
-      i => array_min(slice(grams, i, lit(w)))))
     // Docs shorter than the guarantee length carry no qualifying substring;
     // exact whole-doc dup of short docs is exactGroups' job.
     documents
       .filter(size(toks) >= k + w - 1)
-      .select(col("doc_id"), explode(fps).as("fp"))
-      .dropDuplicates("doc_id", "fp")
+      .select(col("doc_id"),
+        explode(VectorExpressions.winnowHashes(toks, k, w)).as("fp"))
   }
 
   /** Substring-duplication candidate pairs: documents sharing any winnowing
     * fingerprint — COMPLETE for pairs sharing ≥ k+w−1 exact consecutive
     * tokens (winnowing theorem above). Only slim `(doc_id, fp)` rows ride
     * the candidate exchange; callers verify/score survivors as needed
-    * (e.g. join back to texts for exact extent extraction). */
-  def substringCandidatePairs(documents: DataFrame, k: Int = 3, w: Int = 6): DataFrame = {
+    * (e.g. join back to texts for exact extent extraction). The
+    * fingerprint table is MATERIALIZED before the self-join — both join
+    * branches read it, and the per-document HOF fingerprint chain is the
+    * expensive part (same multi-consumer rule as [[shingleSets]]). */
+  def substringCandidatePairs(documents: DataFrame, k: Int = 5, w: Int = 4): DataFrame = {
     val fp = winnowFingerprints(documents, k, w)
+      .repartition(documents.sparkSession.sparkContext.defaultParallelism)
+      .localCheckpoint(false)
     fp.alias("a")
       .join(fp.alias("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))

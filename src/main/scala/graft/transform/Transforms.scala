@@ -142,4 +142,44 @@ object Transforms {
       .select(col(keyCol), col(attrCol), col("valid_from"), col("valid_to"),
         col("valid_to").isNull.as("is_current"))
   }
+
+  /** CDC change-log application with DELETE tombstones — the Debezium/
+    * Delta-merge shape [[scdType2]]'s versioning and `q_merge_upsert`'s
+    * two-way merge don't cover: a log of (key, op ∈ {U, D}, payload, ts)
+    * replayed onto a snapshot. Winner per key = latest by (`tsCol`,
+    * `seqCol`) (the sequence column makes the order total under equal
+    * timestamps — CDC logs NEED an LSN-style tie-break or replays
+    * diverge); a winning D deletes the key, a winning U upserts the
+    * payload, untouched snapshot rows pass through.
+    *
+    * Scale: ONE shuffle of the (compacted) log on the key for the
+    * latest-winner window, one key-keyed full-outer join against the
+    * snapshot. The window compacts the log BEFORE the join, so the join
+    * sees one row per changed key, not the whole log. */
+  def applyChangeLog(
+      snapshot: DataFrame,
+      changes: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      seqCol: String,
+      opCol: String,
+      payloadCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol).desc, col(seqCol).desc)
+    val latest = changes
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(keyCol) +: (col(opCol).as("__op") +:
+        payloadCols.map(p => col(p).as(s"__c_$p"))): _*)
+    val snap = snapshot
+      .select(col(keyCol) +: (lit(1).as("__s") +:
+        payloadCols.map(p => col(p).as(s"__s_$p"))): _*)
+    snap.join(latest, Seq(keyCol), "full_outer")
+      .filter(col("__op").isNull || col("__op") =!= "D")
+      .select(
+        col(keyCol) +: (payloadCols.map(p =>
+          coalesce(col(s"__c_$p"), col(s"__s_$p")).as(p)) :+
+          when(col("__op").isNull, "unchanged")
+            .when(col("__s").isNotNull, "updated")
+            .otherwise("inserted").as("cdc_action")): _*)
+  }
 }

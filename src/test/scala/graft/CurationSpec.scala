@@ -249,4 +249,31 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     // winsorized: 1 and 20 clamp to [1,19] → only 20→19; mean = (210-1)/20
     assert(math.abs(r.getAs[Double]("wins_mean") - 209.0 / 20.0) < 1e-9)
   }
+
+  test("dsirWeights: target-distinctive docs score above source-typical docs") {
+    import graft.operators.Curation
+    // target slice speaks "alpha beta"; raw background speaks "delta gamma"
+    val docs = (
+      Seq.tabulate(10)(i => (i.toLong, "alpha beta alpha beta alpha", "en")) ++
+      Seq.tabulate(10)(i => (10L + i, "delta gamma delta gamma delta", "xx")) ++
+      Seq((20L, "alpha beta alpha", "xx"), (21L, "delta gamma delta", "xx")))
+      .toDF("doc_id", "text", "lang")
+    val w = Curation.dsirWeights(docs, $"lang" === "en")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("weight")).toMap
+    // the held-out target-like doc (20) outscores the source-like doc (21)
+    assert(w(20L) > w(21L))
+    assert(w(0L) > 0 && w(10L) < w(0L))
+  }
+
+  test("qualityScore: stopword-rich prose outscores token-soup; keep flag matches 0.5 cut") {
+    import graft.operators.Curation
+    val docs = Seq(
+      (0L, "the cat is in the hat and the dog is in the yard of the house"),
+      (1L, "zz zz zz zz zz zz zz zz zz zz zz zz zz zz zz"))
+      .toDF("doc_id", "text")
+    val rows = Curation.qualityScore(docs).orderBy($"doc_id").collect()
+    assert(rows(0).getAs[Double]("quality") > rows(1).getAs[Double]("quality"))
+    rows.foreach(r =>
+      assert(r.getAs[Boolean]("keep") == (r.getAs[Double]("quality") >= 0.5)))
+  }
 }

@@ -96,6 +96,37 @@ class FunctionsSpec extends AnyFunSuite with SparkSpec {
     assert(interp.toSeq == viaDf)
   }
 
+  test("WinnowHashes: min-of-window over ShingleHashes grams, sorted distinct; codegen = interpreted") {
+    // Spec twin: positional gram hashes via the same chained-XXH64 the
+    // kernel uses (reconstructed with ShingleHashes semantics per
+    // sub-array), sliding min of w consecutive grams, dedup+sort.
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XXH64}
+    import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    import org.apache.spark.unsafe.types.UTF8String
+    val words = "a b c a b c d e f a b".split(" ")
+    val (k, w) = (3, 2)
+    def gramHash(ts: Seq[String]): Long =
+      ts.foldLeft(42L)((h, t) => XXH64.hashLong(XXH64.hashUTF8String(UTF8String.fromString(t), 42L), h))
+    val grams = words.sliding(k).map(g => gramHash(g.toSeq)).toArray
+    val expected = grams.sliding(w).map(_.min).toArray.distinct.sorted.toSeq
+    val toks = new GenericArrayData(words.map(t => UTF8String.fromString(t): Any))
+    val interp = graft.functions.WinnowHashes(
+      Literal.create(toks, ArrayType(StringType)), k, w)
+      .eval(null).asInstanceOf[ArrayData].toLongArray().toSeq
+    assert(interp == expected)
+    // codegen path (through a DataFrame projection) agrees bit-for-bit
+    val viaDf = Seq(words.mkString(" ")).toDF("text")
+      .select(graft.functions.VectorExpressions.winnowHashes(
+        split($"text", " "), k, w)).head.getSeq[Long](0)
+    assert(viaDf == expected)
+    // short input degrades to one window over all grams
+    val short = Seq("a b").toDF("text")
+      .select(graft.functions.VectorExpressions.winnowHashes(split($"text", " "), 3, 2))
+      .head.getSeq[Long](0)
+    assert(short.length == 1)
+  }
+
   test("VectorDot matches manual dot product for float and double arrays") {
     val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f))).toDF("a", "b")
     assert(df.select(vectorDot($"a", $"b")).head.getDouble(0) == 32.0)

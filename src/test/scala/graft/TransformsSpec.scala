@@ -94,4 +94,20 @@ class TransformsSpec extends AnyFunSuite with SparkSpec {
     assert(row.getAs[Double]("revenue") == 10.0)
     assert(row.getAs[Double]("avg_unit_price") == 5.0)
   }
+
+  test("applyChangeLog: tombstone deletes, latest-wins update, insert, pass-through") {
+    val snap = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "bal")
+    val ch = Seq(
+      (1L, "U", 11.0, 100L, 1L), // stale update...
+      (1L, "U", 12.0, 200L, 2L), // ...newer wins
+      (2L, "D", 0.0, 100L, 3L),  // tombstone deletes key 2
+      (4L, "U", 40.0, 100L, 4L), // insert (not in snapshot)
+      (5L, "U", 50.0, 100L, 5L), // insert then delete → absent
+      (5L, "D", 0.0, 100L, 6L))  // equal ts: higher seq wins
+      .toDF("k", "op", "bal", "ts", "seq")
+    val out = Transforms.applyChangeLog(snap, ch, "k", "ts", "seq", "op", Seq("bal"))
+      .orderBy($"k").collect()
+    assert(out.map(r => (r.getAs[Long]("k"), r.getAs[Double]("bal"), r.getAs[String]("cdc_action"))).toSeq ==
+      Seq((1L, 12.0, "updated"), (3L, 30.0, "unchanged"), (4L, 40.0, "inserted")))
+  }
 }
