@@ -2083,6 +2083,33 @@ object SparkEntry {
           |ORDER BY revenue DESC, n_name""".stripMargin)
     }),
 
+    // Watermark late-data drop audit — the real three-micro-batch stream
+    // (file source, maxFilesPerTrigger=1) vs a DuckDB replay of the
+    // watermark CONTRACT: late rows survive iff their window was still
+    // open when they arrived. See EventStreams.runStreamLateAudit.
+    "q_events_late_drop" -> ((s, d) =>
+      graft.streaming.EventStreams.runStreamLateAudit(s, d, "graft_late_audit")
+        .orderBy(col("w_start"))),
+
+    // Tokenizer-fertility stats per source: chars per BPE-ish token —
+    // the compression-ratio diagnostic a tokenizer/corpus pairing is
+    // judged by (fertility spikes flag out-of-domain or non-linguistic
+    // content). Exact integer sums, one division at the end.
+    "q_token_fertility" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("source"),
+          length(col("text")).cast("long").as("chars"),
+          size(tokens(col("text"))).cast("long").as("ws"),
+          graft.functions.TextAnalysis.bpeTokenCount(col("text")).cast("long").as("bpe"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("chars")).as("total_chars"),
+          sum(col("ws")).as("total_ws_tokens"),
+          sum(col("bpe")).as("total_bpe_tokens"),
+          round(sum(col("chars")).cast("double") / sum(col("bpe")).cast("double"), 6)
+            .as("chars_per_bpe_token"))
+        .orderBy(col("source"))),
+
     // DSIR importance weights (target = lang 'en' slice vs whole corpus):
     // exact n-gram counts, one fixed log-ratio chain per feature, per-doc
     // SORTED fold — the oracle replays every step bit-identically.
@@ -3781,6 +3808,37 @@ object SparkEntry {
            AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
            AND l_discount BETWEEN 0.05 AND 0.07
            AND l_quantity < 24""",
+
+    // Watermark contract replay, pinned to the EVICTION semantics the
+    // engine actually implements (verified empirically): a late row is
+    // dropped iff its window was already evicted — i.e. window end ≤ the
+    // watermark IN FORCE during the eviction batch, which is
+    // max(on-time ts strictly below the on-time max) − delay (the split
+    // row rides batch 2 of the 4-batch schedule). Merely being older
+    // than the current watermark does NOT drop a row whose state still
+    // exists — the 3-batch variant of this schedule proved that. The
+    // synthetic close row's own window never flushes, so the oracle
+    // doesn't model it.
+    "q_events_late_drop" ->
+      """WITH ot AS (SELECT ts FROM events WHERE user_id % 17 <> 3),
+              m1 AS (SELECT max(ts) AS mx FROM ot),
+              wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM ot, m1 WHERE ts < m1.mx),
+              keep AS (SELECT ts FROM ot
+                       UNION ALL
+                       SELECT e.ts FROM events e, wm
+                       WHERE e.user_id % 17 = 3
+                         AND date_trunc('hour', e.ts) + INTERVAL 1 HOUR > wm.w)
+         SELECT date_trunc('hour', ts) AS w_start, count(*) AS n_events
+         FROM keep GROUP BY 1 ORDER BY 1""",
+
+    "q_token_fertility" ->
+      s"""SELECT source, count(*) AS n_docs,
+                 CAST(sum(length(text)) AS BIGINT) AS total_chars,
+                 CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_ws_tokens,
+                 CAST(sum(len(regexp_extract_all(text, '${TextAnalysis.BpePattern.replace("'", "''")}'))) AS BIGINT) AS total_bpe_tokens,
+                 round(CAST(sum(length(text)) AS DOUBLE)
+                       / CAST(sum(len(regexp_extract_all(text, '${TextAnalysis.BpePattern.replace("'", "''")}'))) AS DOUBLE), 6) AS chars_per_bpe_token
+          FROM documents GROUP BY source ORDER BY source""",
 
     // DSIR: same counts, same smoothing, same sorted per-doc fold.
     "q_dsir_weights" ->

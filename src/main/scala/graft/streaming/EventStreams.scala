@@ -546,6 +546,78 @@ object EventStreams {
   private def toSession(userId: Long, acc: SessionAcc, gapUs: Long): Session =
     Session(userId, usToTs(acc.startUs), usToTs(acc.lastUs + gapUs), acc.n, acc.sum)
 
+  /** Watermark LATE-DATA audit — makes Structured Streaming's drop
+    * semantics itself the thing under oracle test. The event table
+    * replays as FOUR ordered micro-batches (`maxFilesPerTrigger=1`,
+    * modification-time order):
+    *   1. the on-time slice MINUS its single max-ts row — all windows
+    *      build state (watermark still at epoch during this batch, so
+    *      nothing is evicted yet);
+    *   2. that max-ts row alone — the batch runs with
+    *      wm = max(batch-1 ts) − delay, and at its END every window with
+    *      end ≤ wm is EVICTED and emitted (append semantics);
+    *   3. the late slice (`user_id % 17 = 3`) — rows whose window was
+    *      evicted in step 2 are DROPPED by the engine (their window end ≤
+    *      the watermark); rows in still-open windows MERGE into state;
+    *   4. one synthetic "close" row 2 h past the global max — advances
+    *      the watermark so every remaining window flushes (its own
+    *      window never does, so it is absent from the output).
+    * Returns the append-mode emissions: per-hour counts where the late
+    * slice contributes ONLY to windows still open when it arrived. The
+    * SQL oracle replays exactly that rule from the raw table — if
+    * Spark's watermark contract changed, the hash compare would catch
+    * it. (A subtlety this schedule encodes: eviction happens at the END
+    * of a batch using THAT batch's watermark, so a drop needs the
+    * eviction batch BETWEEN the on-time and late data — late rows merge
+    * harmlessly into any state that still exists, watermark
+    * notwithstanding.) */
+  def runStreamLateAudit(spark: SparkSession, dir: String, name: String): DataFrame = {
+    import java.nio.file.Files
+    val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", StreamShuffleWidth)
+    try {
+      val events = graft.sources.Tables.events(spark, dir)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      val streamDir = Files.createTempDirectory("graft-late-audit").toFile
+      val late = pmod(col("user_id"), lit(17L)) === 3
+      // the split row and the close offset both anchor on the ON-TIME max
+      // (the late slice may hold the global max; schedule math must not)
+      val maxTs = events.filter(!late).agg(max(col("ts"))).head.getTimestamp(0)
+      val closeTs = new java.sql.Timestamp(maxTs.getTime + 2 * 3600 * 1000L)
+      val closeRow = events.limit(1).select(
+        lit(-1L).as("event_id"), lit(closeTs).as("ts"), lit(0L).as("user_id"),
+        lit("close").as("event_type"), lit(0.0).as("value"))
+      def writePart(df: DataFrame, idx: Int): Unit = {
+        val stage = new java.io.File(streamDir, s"__stage$idx")
+        df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+        val part = stage.listFiles().find(_.getName.endsWith(".parquet")).get
+        val dest = new java.io.File(streamDir, f"batch-$idx%02d.parquet")
+        Files.move(part.toPath, dest.toPath)
+        // modification times pin the replay order (file source processes
+        // oldest-first); names agree so path order matches too
+        dest.setLastModified(1700000000000L + idx * 600000L)
+        def rm(f: java.io.File): Unit = { Option(f.listFiles()).foreach(_.foreach(rm)); f.delete() }
+        rm(stage)
+      }
+      val onTime = events.filter(!late)
+      writePart(onTime.filter(col("ts") < lit(maxTs)), 0)
+      writePart(onTime.filter(col("ts") === lit(maxTs)), 1)
+      writePart(events.filter(late), 2)
+      writePart(closeRow, 3)
+      val src = spark.readStream
+        .schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(streamDir.toString)
+      val agg = src.withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("window.start").as("w_start"), col("n_events"))
+      val q = agg.writeStream.format("memory").queryName(name).outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+    spark.table(name)
+  }
+
   /** Incremental maintenance sink (the streaming analog of the reference's
     * per-date recompute, `database-schema.sql:202-231`): each micro-batch
     * recomputes only the dates it touches via dynamic partition overwrite. */
