@@ -35,7 +35,14 @@ object Bench {
     def pass(): Map[String, Double] = suite.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // Drop the query's localCheckpoint blocks before timing the next
+      // one: the similarity operators materialize per-query index tables
+      // that serve no purpose across queries, and letting them pile up
+      // (~45 RDDs over 3 passes) taxes every later measurement with
+      // block-manager memory pressure — measured ~15% suite-wide drift.
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      name -> dt
     }
     // Three interleaved passes, min per query: pass 1 absorbs JIT/codegen,
     // and the per-pass GC drain keeps one query's garbage from inflating

@@ -2110,6 +2110,51 @@ object SparkEntry {
             .as("chars_per_bpe_token"))
         .orderBy(col("source"))),
 
+    // Mann–Whitney U (rank-sum) on l_quantity A-vs-N return flags —
+    // integer-heavy values exercise the average-rank tie path; u2_a is
+    // the exact-integer 2·U_A, z uses the tie-corrected sigma.
+    "q_mann_whitney" -> ((s, d) =>
+      graft.operators.Robust.mannWhitneyU(
+        Tables.lineitem(s, d), col("l_quantity"), col("l_returnflag"), "A", "N")),
+
+    // Bigram-LM quality scoring (sequence-aware upgrade of q_unigram_lm).
+    "q_bigram_lm" -> ((s, d) =>
+      graft.functions.TextAnalysis.bigramLogProb(Tables.documents(s, d))),
+
+    // Inverted-index build: per-term df + capped ascending posting list.
+    "q_inverted_index" -> ((s, d) =>
+      graft.functions.TextAnalysis.invertedIndex(Tables.documents(s, d), minDf = 50, cap = 5)),
+
+    // Luhn checksum over synthetic 16-digit account numbers derived from
+    // order keys (overflow-proof Knuth scramble) — the verification half
+    // of payment-card PII detection.
+    "q_luhn_check" -> ((s, d) =>
+      Tables.orders(s, d)
+        .select(lpad(((col("o_orderkey") % 3037000499L) * 2654435761L % 10000000000000000L)
+          .cast("string"), 16, "0").as("acct"))
+        .select(graft.clean.Cleaning.luhnValid(col("acct")).as("valid"))
+        .groupBy(col("valid"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("valid"))),
+
+    // Schema-evolution read: two parquet generations (v2 adds a column),
+    // one mergeSchema scan, missing values null → bucketed rollup. The
+    // oracle replays the generation split from the base table.
+    "q_schema_evolution" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-schema-evo").toString
+      val o = Tables.orders(s, d)
+      o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .write.mode("overwrite").parquet(s"$dir/gen=1")
+      o.filter(col("o_orderkey") % 2 =!= 0)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+        .write.mode("overwrite").parquet(s"$dir/gen=2")
+      s.read.option("mergeSchema", "true").parquet(s"$dir/gen=1", s"$dir/gen=2")
+        .groupBy(coalesce(col("o_orderstatus"), lit("missing")).as("status"))
+        .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("total"))
+        .orderBy(col("status"))
+    }),
+
     // DSIR importance weights (target = lang 'en' slice vs whole corpus):
     // exact n-gram counts, one fixed log-ratio chain per feature, per-doc
     // SORTED fold — the oracle replays every step bit-identically.
@@ -3839,6 +3884,79 @@ object SparkEntry {
                  round(CAST(sum(length(text)) AS DOUBLE)
                        / CAST(sum(len(regexp_extract_all(text, '${TextAnalysis.BpePattern.replace("'", "''")}'))) AS DOUBLE), 6) AS chars_per_bpe_token
           FROM documents GROUP BY source ORDER BY source""",
+
+    // Mann–Whitney: same exact-integer rank algebra (2·R_A with average
+    // ranks ×2), same tie-corrected double chain for z.
+    "q_mann_whitney" ->
+      """WITH t AS (SELECT l_quantity AS v, l_returnflag = 'A' AS is_a
+                    FROM lineitem WHERE l_returnflag IN ('A', 'N')),
+              pv AS (SELECT v,
+                            CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+                            CAST(sum(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS BIGINT) AS cb
+                     FROM t GROUP BY v),
+              r AS (SELECT *, coalesce(sum(ca + cb) OVER (ORDER BY v
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+                    FROM pv),
+              a AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a, CAST(sum(cb) AS BIGINT) AS n_b,
+                           CAST(sum(ca * (below * 2 + ca + cb + 1)) AS BIGINT) AS r2a,
+                           CAST(sum((ca + cb) * (ca + cb) * (ca + cb) - (ca + cb)) AS BIGINT) AS tie3
+                    FROM r),
+              z AS (SELECT n_a, n_b, r2a - n_a * (n_a + 1) AS u2a, tie3,
+                           CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb
+                    FROM a)
+         SELECT n_a, n_b, u2a AS u2_a,
+                round((CAST(u2a AS DOUBLE) / 2.0 - na * nb / 2.0)
+                      / sqrt(na * nb / 12.0 * ((na + nb + 1.0)
+                             - CAST(tie3 AS DOUBLE) / ((na + nb) * (na + nb - 1.0)))), 6) AS z_stat
+         FROM z""",
+
+    // Bigram LM: same counts/smoothing, same sorted per-doc fold.
+    "q_bigram_lm" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+              tk2 AS (SELECT doc_id, t FROM tk WHERE len(t) >= 2),
+              uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c1
+                      FROM (SELECT unnest(t) AS w FROM tk2) GROUP BY 1),
+              vocab AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni),
+              big AS (SELECT doc_id, unnest([array_to_string(t[i:i+1], ' ')
+                                             for i in range(1, len(t))]) AS bg FROM tk2),
+              bc AS (SELECT bg, CAST(count(*) AS BIGINT) AS c2 FROM big GROUP BY 1),
+              model AS (SELECT bc.bg, ln(CAST(c2 + 1 AS DOUBLE) / CAST(c1 + v AS DOUBLE)) AS lp
+                        FROM bc JOIN uni ON string_split(bc.bg, ' ')[1] = uni.w
+                                CROSS JOIN vocab),
+              dm AS (SELECT doc_id, bg, CAST(count(*) AS BIGINT) AS m FROM big GROUP BY 1, 2),
+              agg AS (SELECT doc_id,
+                             list_sort(list({'bg': dm.bg, 'm': m, 'lp': lp})) AS bs,
+                             CAST(sum(m) AS BIGINT) AS n_bigrams
+                      FROM dm JOIN model ON dm.bg = model.bg GROUP BY doc_id)
+         SELECT doc_id, n_bigrams,
+                round(list_sum(list_transform(bs, c -> CAST(c.m AS DOUBLE) * c.lp))
+                      / CAST(n_bigrams AS DOUBLE), 6) AS avg_logp
+         FROM agg ORDER BY doc_id""",
+
+    "q_inverted_index" ->
+      """SELECT term, CAST(count(*) AS BIGINT) AS df,
+                array_to_string((list(doc_id ORDER BY doc_id))[1:5], ',') AS postings
+         FROM (SELECT DISTINCT doc_id, unnest(list_distinct(string_split(text, ' '))) AS term
+               FROM documents)
+         GROUP BY term HAVING count(*) >= 50 ORDER BY term""",
+
+    // Luhn: identical integer fold over digit positions from the right.
+    "q_luhn_check" ->
+      """WITH acct AS (SELECT lpad(CAST(o_orderkey % 3037000499 * 2654435761 % 10000000000000000 AS VARCHAR), 16, '0') AS a
+                       FROM orders),
+              v AS (SELECT list_sum([CASE WHEN x > 9 THEN x - 9 ELSE x END
+                                     FOR x IN [CASE WHEN i % 2 = 0
+                                                    THEN (ascii(a[len(a) - i + 1]) - 48) * 2
+                                                    ELSE ascii(a[len(a) - i + 1]) - 48 END
+                                               FOR i IN range(1, len(a) + 1)]]) % 10 = 0 AS valid
+                    FROM acct)
+         SELECT valid, count(*) AS n FROM v GROUP BY valid ORDER BY valid""",
+
+    "q_schema_evolution" ->
+      """SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'missing' ELSE o_orderstatus END AS status,
+                count(*) AS n,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM orders GROUP BY 1 ORDER BY 1""",
 
     // DSIR: same counts, same smoothing, same sorted per-doc fold.
     "q_dsir_weights" ->

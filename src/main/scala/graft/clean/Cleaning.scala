@@ -75,4 +75,27 @@ object Cleaning {
     regexp_replace(
       regexp_replace(text, lit(PhonePattern), lit("[PHONE]")),
       lit(EmailPattern), lit("[EMAIL]"))
+
+  /** Luhn checksum validity of an all-digit string — the payment-card
+    * detector's verification half (a 16-digit regex hit that fails Luhn
+    * is a false positive; scrubbing pipelines gate on the checksum to cut
+    * over-redaction). Standard rule: from the RIGHTMOST digit, double
+    * every second digit, subtract 9 from doubles > 9, valid iff the sum
+    * is ≡ 0 (mod 10). Pure integer expression work over a bounded-length
+    * string (HOF over ≤ 19 positions — bounded, so the no-HOF-hot-path
+    * rule doesn't bite); engine-portable because every step is integer
+    * arithmetic on ASCII codes. */
+  def luhnValid(digits: Column): Column = {
+    val n = length(digits)
+    val total = aggregate(
+      sequence(lit(1), n),
+      lit(0),
+      (acc, i) => {
+        // i-th digit from the RIGHT
+        val d = ascii(digits.substr((n - i + 1).cast("int"), lit(1))) - lit(48)
+        val dd = when(i % 2 === 0, d * 2).otherwise(d)
+        acc + when(dd > 9, dd - 9).otherwise(dd)
+      })
+    total % 10 === 0
+  }
 }

@@ -150,6 +150,64 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** Per-document average bigram conditional log-probability
+    * ln p(w₂|w₁) = ln((c(w₁w₂)+1)/(c(w₁)+V)) under an add-one-smoothed
+    * corpus bigram model — the sequence-aware upgrade of
+    * [[unigramLogProb]]'s CCNet-style quality signal (gibberish with
+    * plausible unigrams still scores low: its TRANSITIONS are rare).
+    *
+    * Same discipline as the unigram scorer and `dsirWeights`: exact
+    * integer counts, one fixed log chain per bigram, per-document SORTED
+    * float fold; bigram/unigram model tables are term-keyed shuffle
+    * joins, never broadcast. */
+  def bigramLogProb(documents: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val base = documents
+      .repartition(documents.sparkSession.sparkContext.defaultParallelism)
+      .select(col("doc_id"), toks.as("t"))
+      .filter(size(col("t")) >= 2)
+    val uni = base.select(explode(col("t")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    val big = base.select(col("doc_id"), explode(wordShingles(col("t"), 2)).as("bg"))
+    val bgCounts = big.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+    val d = (c: Column) => c.cast(DoubleType)
+    val model = bgCounts
+      .withColumn("w1", element_at(split(col("bg"), " "), 1))
+      .join(uni.select(col("w").as("w1"), col("c1")), Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .select(col("bg"),
+        log(d(col("c2") + 1) / d(col("c1") + col("v"))).as("lp"))
+    big.groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("m"))
+      .join(model, Seq("bg"))
+      .groupBy(col("doc_id"))
+      .agg(
+        array_sort(collect_list(struct(col("bg"), col("m"), col("lp")))).as("bs"),
+        sum(col("m")).as("n_bigrams"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(aggregate(col("bs"), lit(0.0),
+          (acc, c) => acc + c.getField("m").cast(DoubleType) * c.getField("lp"))
+          / col("n_bigrams").cast(DoubleType), 6).as("avg_logp"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Inverted-index build as a dataflow: per term, document frequency and
+    * a capped posting list (first `cap` doc ids, ascending) — the search-
+    * index construction shape (posting lists are the at-rest layout; the
+    * cap models posting-list pagination/impact-ordering truncation).
+    * Postings surface as a comma-joined string for engine-portable
+    * comparison. One explode + one term-keyed aggregation; the capped
+    * collect is bounded per term. */
+  def invertedIndex(documents: DataFrame, minDf: Long = 50, cap: Int = 5): DataFrame =
+    documents
+      .repartition(documents.sparkSession.sparkContext.defaultParallelism)
+      .select(col("doc_id"), explode(distinctTokens(col("text"))).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"),
+        array_join(slice(sort_array(collect_list(col("doc_id"))), 1, cap), ",").as("postings"))
+      .filter(col("df") >= minDf)
+      .orderBy(col("term"))
+
   /** Adjacent-token bigram collocations ranked by pointwise mutual
     * information, PMI = ln(p(ab) / (p(a)·p(b))) — the standard
     * collocation-mining signal (Church & Hanks 1990) a corpus pipeline

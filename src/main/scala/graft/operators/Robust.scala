@@ -263,6 +263,53 @@ object Robust {
       round(t, 6).as("t_stat"), round(df, 6).as("welch_df"))
   }
 
+  /** Mann–Whitney U (Wilcoxon rank-sum) between two groups — the
+    * NONPARAMETRIC companion to [[welchT]] (no normality assumption;
+    * the right gate when metric distributions are skewed, which engagement
+    * and revenue metrics always are). Average-rank tie handling with the
+    * tie-corrected normal approximation for z.
+    *
+    * Exactness discipline: ranks are never materialized per row — per
+    * distinct VALUE, the group counts and the cumulative count below give
+    * 2·R_A = Σ_v ca·(2·below + ca + cb + 1), an exact INTEGER (the ×2
+    * absorbs the .5 average ranks), and the tie term Σ(t³−t) is exact the
+    * same way. One double chain at the end computes z; `u2_a` = 2·U_A is
+    * emitted as the exact integer so the oracle compare is float-free for
+    * the statistic itself.
+    *
+    * Scale shape: per-value counts aggregate distributed (keyed shuffle on
+    * the value, same as [[ksStatistic]]); the ordered cumulative window
+    * then runs over DISTINCT values only — bounded by the value domain,
+    * not the row count. */
+  def mannWhitneyU(
+      df: DataFrame, value: Column, groupCol: Column,
+      groupA: String, groupB: String): DataFrame = {
+    val tagged = df
+      .filter(groupCol.isin(groupA, groupB))
+      .select(value.as("v"), (groupCol === groupA).as("is_a"))
+    val perValue = tagged.groupBy(col("v")).agg(
+      sum(when(col("is_a"), 1L).otherwise(0L)).as("ca"),
+      sum(when(!col("is_a"), 1L).otherwise(0L)).as("cb"))
+    val w = Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, -1)
+    val t = col("ca") + col("cb")
+    val ranked = perValue.withColumn("below", coalesce(sum(col("ca") + col("cb")).over(w), lit(0L)))
+    val agg = ranked.agg(
+      sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"),
+      sum(col("ca") * (col("below") * 2 + col("ca") + col("cb") + 1)).as("__r2a"),
+      sum(t * t * t - t).as("__tie3"))
+    val (na, nb) = (col("n_a").cast(DoubleType), col("n_b").cast(DoubleType))
+    val u2a = col("__r2a") - col("n_a") * (col("n_a") + 1) // exact 2·U_A
+    val nn = na + nb
+    val u = u2a.cast(DoubleType) / lit(2.0)
+    val mu = na * nb / lit(2.0)
+    val sigma = sqrt(na * nb / lit(12.0) *
+      ((nn + lit(1.0)) - col("__tie3").cast(DoubleType) / (nn * (nn - lit(1.0)))))
+    agg.select(
+      col("n_a"), col("n_b"),
+      u2a.as("u2_a"),
+      round((u - mu) / sigma, 6).as("z_stat"))
+  }
+
   /** Two-sample Kolmogorov–Smirnov statistic between the `value`
     * distributions of two groups — the standard data-drift gate a pipeline
     * runs between yesterday's and today's batch (or two corpus sources)

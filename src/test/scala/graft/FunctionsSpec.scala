@@ -267,6 +267,24 @@ class FunctionsSpec extends AnyFunSuite with SparkSpec {
     assert(got(0).getDouble(1) > got(1).getDouble(1))
   }
 
+  test("bigramLogProb: common-transition docs outscore rare-transition docs") {
+    val docs = (Seq.tabulate(10)(i => (i.toLong, "a b a b a b")) ++
+      Seq((10L, "a b a b"), (11L, "b b b a a"))) // doc 11: rare transitions
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bigramLogProb(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("avg_logp")).toMap
+    assert(got(10L) > got(11L))
+  }
+
+  test("invertedIndex: df counts distinct docs, postings capped ascending") {
+    val docs = Seq(
+      (3L, "x y x"), (1L, "x z"), (2L, "x"), (4L, "x"), (5L, "x"), (6L, "x"), (7L, "x"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.invertedIndex(docs, minDf = 2, cap = 3).collect()
+      .map(r => (r.getAs[String]("term"), r.getAs[Long]("df"), r.getAs[String]("postings")))
+    assert(got.toSeq == Seq(("x", 7L, "1,2,3"))) // y,z below minDf; postings capped+sorted
+  }
+
   test("pmiBigrams: hand-computed PMI, minCount suppresses hapax pairs") {
     // tokens: p=3 q=3 z=2 (TU=8); bigrams: "p q"x2 "z p" "q z" (TB=4)
     // PMI(p q) = ln(2*8*8 / (4*3*3)) = ln(32/9)

@@ -422,6 +422,31 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(r2.getAs[Long]("n_triangles") == 1L && r2.getAs[Long]("n_edges") == 4L)
   }
 
+  test("mannWhitneyU: identical groups give z = 0 and U = n^2/2; separation gives extreme U") {
+    import graft.operators.Robust
+    val same = (Seq.tabulate(30)(i => (i % 10, "a")) ++ Seq.tabulate(30)(i => (i % 10, "b")))
+      .toDF("v", "g")
+    val r0 = Robust.mannWhitneyU(same, col("v"), col("g"), "a", "b").head()
+    assert(r0.getAs[Long]("u2_a") == 2L * 30 * 30 / 2) // U_A = n_a n_b / 2
+    assert(r0.getAs[Double]("z_stat") == 0.0)
+    // complete separation: every a < every b → U_A = 0
+    val sep = (Seq.tabulate(20)(i => (i, "a")) ++ Seq.tabulate(20)(i => (100 + i, "b")))
+      .toDF("v", "g")
+    val r1 = Robust.mannWhitneyU(sep, col("v"), col("g"), "a", "b").head()
+    assert(r1.getAs[Long]("u2_a") == 0L)
+    assert(r1.getAs[Double]("z_stat") < -5.0)
+  }
+
+  test("luhnValid: known card fixtures and checksum flip") {
+    import graft.clean.Cleaning
+    val df = Seq("4111111111111111", "4111111111111112", "79927398713", "79927398710")
+      .toDF("acct")
+    val got = df.select($"acct", Cleaning.luhnValid($"acct").as("ok")).collect()
+      .map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(got("4111111111111111") && !got("4111111111111112"))
+    assert(got("79927398713") && !got("79927398710"))
+  }
+
   test("welchT: symmetric arms give t = 0; known two-sample value") {
     import graft.operators.Robust
     val sym = Seq((0, 10.0), (0, 20.0), (1, 10.0), (1, 20.0)).toDF("arm", "v")
