@@ -2110,6 +2110,72 @@ object SparkEntry {
             .as("chars_per_bpe_token"))
         .orderBy(col("source"))),
 
+    // Benford first-digit audit of order totals: per-digit observed vs
+    // the Benford expectation log10(1 + 1/d), with the chi-square
+    // contribution per digit — a standard forensic/data-quality gate
+    // (the statistic measures deviation; the data need not conform).
+    "q_benford" -> ((s, d) => {
+      val dd = (c: org.apache.spark.sql.Column) => c.cast("double")
+      val counts = Tables.orders(s, d)
+        .filter(col("o_totalprice") >= 1.0)
+        .select(substring(floor(col("o_totalprice")).cast("long").cast("string"), 1, 1)
+          .cast("int").as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+      val total = counts.agg(sum(col("n_obs")).as("n_total"))
+      counts.crossJoin(broadcast(total))
+        .withColumn("__p", log(lit(1.0) + lit(1.0) / dd(col("digit"))) / log(lit(10.0)))
+        .select(col("digit"), col("n_obs"), col("n_total"),
+          round(col("__p"), 6).as("benford_p"),
+          round(pow(dd(col("n_obs")) - dd(col("n_total")) * col("__p"), 2)
+            / (dd(col("n_total")) * col("__p")), 6).as("chi2_term"))
+        .orderBy(col("digit"))
+    }),
+
+    // Content-addressable group checksums via the native RollingHash
+    // kernel over a canonical integer-field string — the cross-engine
+    // reconciliation primitive (sum of per-row hashes is order-free, so
+    // any engine that replays the canonical form agrees bit-for-bit;
+    // DuckDB replays the polynomial fold in a list_reduce).
+    "q_group_checksum" -> ((s, d) => {
+      val canon = concat_ws("|",
+        col("l_orderkey").cast("string"), col("l_linenumber").cast("string"),
+        col("l_quantity").cast("long").cast("string"), col("l_suppkey").cast("string"))
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"), graft.functions.RollingHash.rollingHash(canon).as("h"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("h")).as("checksum"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // HLL set-intersection estimate by inclusion–exclusion (mergeable
+    // sketches can union but not intersect — |A∩B| ≈ |A|+|B|−|A∪B| is
+    // the standard derived estimate, with error amplified by the union
+    // terms). Self-asserting vs the exact intersection; the oracle
+    // recomputes the exact count and pins the boolean.
+    "q_hll_intersect" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val a = o.filter(inYear(col("o_orderdate"), 1996)).select(col("o_custkey"))
+      val b = o.filter(inYear(col("o_orderdate"), 1997)).select(col("o_custkey"))
+      val est = a.agg(expr("hll_sketch_estimate(hll_sketch_agg(o_custkey))").as("ea"))
+        .crossJoin(b.agg(expr("hll_sketch_estimate(hll_sketch_agg(o_custkey))").as("eb")))
+        .crossJoin(a.unionByName(b)
+          .agg(expr("hll_sketch_estimate(hll_sketch_agg(o_custkey))").as("eu")))
+      val exact = a.intersect(b).agg(count(lit(1)).as("n_exact_intersect"))
+      exact.crossJoin(broadcast(est))
+        .select(col("n_exact_intersect"),
+          (abs((col("ea") + col("eb") - col("eu")).cast("double")
+            - col("n_exact_intersect").cast("double"))
+            / col("n_exact_intersect").cast("double") <= 0.2).as("est_ok"))
+    }),
+
+    // ViT-style 2-D patch grid over decoded image geometry — the vision
+    // counterpart of frame sampling; the oracle replays the stub
+    // decoder's deterministic geometry and the full grid arithmetic.
+    "q_multimodal_patches" -> ((s, d) =>
+      Multimodal.patchGrid(s,
+        Multimodal.extractMetadata(s, Multimodal.asBinaryPayloads(Tables.documents(s, d))))
+        .toDF().orderBy(col("doc_id"), col("py"), col("px"))),
+
     // Mann–Whitney U (rank-sum) on l_quantity A-vs-N return flags —
     // integer-heavy values exercise the average-rank tie path; u2_a is
     // the exact-integer 2·U_A, z uses the tie-corrected sigma.
@@ -2132,7 +2198,7 @@ object SparkEntry {
       Tables.orders(s, d)
         .select(lpad(((col("o_orderkey") % 3037000499L) * 2654435761L % 10000000000000000L)
           .cast("string"), 16, "0").as("acct"))
-        .select(graft.clean.Cleaning.luhnValid(col("acct")).as("valid"))
+        .select(graft.clean.Cleaning.luhnValidFixed(col("acct"), 16).as("valid"))
         .groupBy(col("valid"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("valid"))),
@@ -3884,6 +3950,59 @@ object SparkEntry {
                  round(CAST(sum(length(text)) AS DOUBLE)
                        / CAST(sum(len(regexp_extract_all(text, '${TextAnalysis.BpePattern.replace("'", "''")}'))) AS DOUBLE), 6) AS chars_per_bpe_token
           FROM documents GROUP BY source ORDER BY source""",
+
+    "q_benford" ->
+      """WITH counts AS (SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit,
+                                count(*) AS n_obs
+                         FROM orders WHERE o_totalprice >= 1.0 GROUP BY 1),
+              tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n_total FROM counts),
+              sel AS (SELECT digit, n_obs, n_total,
+                             ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0) AS p
+                      FROM counts CROSS JOIN tot)
+         SELECT digit, n_obs, n_total,
+                round(p, 6) AS benford_p,
+                round(pow(CAST(n_obs AS DOUBLE) - CAST(n_total AS DOUBLE) * p, 2)
+                      / (CAST(n_total AS DOUBLE) * p), 6) AS chi2_term
+         FROM sel ORDER BY digit""",
+
+    // Identical polynomial fold over the canonical string's ASCII codes.
+    "q_group_checksum" ->
+      """WITH c AS (SELECT l_returnflag,
+                           CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)
+                           || '|' || CAST(CAST(l_quantity AS BIGINT) AS VARCHAR)
+                           || '|' || CAST(l_suppkey AS VARCHAR) AS s
+                    FROM lineitem),
+              h AS (SELECT l_returnflag,
+                           list_reduce([CAST(ascii(s[i]) AS BIGINT) for i in range(1, len(s) + 1)],
+                                       (acc, ch) -> (acc * 31 + ch) % 1000000007) AS hv
+                    FROM c)
+         SELECT l_returnflag, count(*) AS n_rows, CAST(sum(hv) AS BIGINT) AS checksum
+         FROM h GROUP BY 1 ORDER BY 1""",
+
+    "q_hll_intersect" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_exact_intersect, true AS est_ok
+         FROM (SELECT DISTINCT o_custkey FROM orders
+               WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+                 AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+               INTERSECT
+               SELECT DISTINCT o_custkey FROM orders
+               WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+                 AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00')""",
+
+    // Stub-decoder geometry replayed exactly: w = 64 + n mod 512,
+    // h = 64 + (n div 7) mod 512 over the UTF-8 byte length.
+    "q_multimodal_patches" ->
+      """WITH m AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+              g AS (SELECT doc_id, CAST(64 + n % 512 AS INT) AS w,
+                           CAST(64 + (n // 7) % 512 AS INT) AS h FROM m),
+              gx AS (SELECT doc_id, w, h, unnest(range(0, w, 160)) AS x0 FROM g),
+              p AS (SELECT doc_id, w, h, x0, unnest(range(0, h, 160)) AS y0 FROM gx)
+         SELECT doc_id,
+                CAST(x0 / 160 AS INT) AS px, CAST(y0 / 160 AS INT) AS py,
+                CAST(x0 AS INT) AS x0, CAST(y0 AS INT) AS y0,
+                CAST(LEAST(224, w - x0) AS INT) AS pw,
+                CAST(LEAST(224, h - y0) AS INT) AS ph
+         FROM p ORDER BY doc_id, py, px""",
 
     // Mann–Whitney: same exact-integer rank algebra (2·R_A with average
     // ranks ×2), same tie-corrected double chain for z.

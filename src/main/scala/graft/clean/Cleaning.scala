@@ -98,4 +98,21 @@ object Cleaning {
       })
     total % 10 === 0
   }
+
+  /** [[luhnValid]] for a KNOWN digit count — the checksum unrolled into a
+    * static expression chain (one `substring`/`ascii` pair per position,
+    * all literal offsets), which stays inside whole-stage codegen where
+    * the generic HOF form is interpreted per element (measured 2.2 s vs
+    * ~0.3 s over 150k accounts at sf0.1). Integer addition is
+    * order-free, so this is bit-identical to the generic fold. Rejects
+    * strings of any other length. */
+  def luhnValidFixed(digits: Column, len: Int): Column = {
+    require(len >= 2, s"luhnValidFixed: len must be >= 2, got $len")
+    val total = (1 to len).map { i =>
+      val d = ascii(substring(digits, len - i + 1, 1)) - lit(48)
+      val dd = if (i % 2 == 0) d * 2 else d
+      when(dd > 9, dd - 9).otherwise(dd)
+    }.reduce(_ + _)
+    length(digits) === len && total % 10 === 0
+  }
 }

@@ -87,6 +87,40 @@ object Multimodal {
     }
   }
 
+  final case class PatchRecord(
+      doc_id: Long, px: Int, py: Int, x0: Int, y0: Int, pw: Int, ph: Int)
+
+  /** ViT-style patch grid over decoded image geometry: patches of
+    * `patch`×`patch` pixels anchored every `stride` pixels, edge patches
+    * clipped to the image (partial patches kept — the padding-vs-drop
+    * choice belongs to the model's preprocessor, and clipping keeps the
+    * grid's coverage exact). Geometry-only here (the decoder is the
+    * honest stub): the real kernel crops payload bytes per patch, and
+    * this 2-D fan-out — a lazy iterator inside `mapPartitions`, memory
+    * bounded by one patch row regardless of image size — is the
+    * production plumbing a vision-pretraining pipeline needs. */
+  def patchGrid(
+      spark: SparkSession,
+      meta: Dataset[MediaMeta],
+      patch: Int = 224,
+      stride: Int = 160): Dataset[PatchRecord] = {
+    import spark.implicits._
+    meta.mapPartitions { it =>
+      it.flatMap { m =>
+        val nx = (m.width + stride - 1) / stride
+        val ny = (m.height + stride - 1) / stride
+        Iterator.tabulate(ny * nx) { i =>
+          val py = i / nx
+          val px = i % nx
+          val x0 = px * stride
+          val y0 = py * stride
+          PatchRecord(m.doc_id, px, py, x0, y0,
+            math.min(patch, m.width - x0), math.min(patch, m.height - y0))
+        }
+      }
+    }
+  }
+
   /** STUB resize: clamp/pad the payload to exactly `w*h` bytes (a real
     * implementation rescales pixels). Shape contract of a resize kernel:
     * fixed-size output per row, independent of input size. */

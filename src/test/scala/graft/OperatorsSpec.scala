@@ -445,6 +445,15 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
       .map(r => r.getString(0) -> r.getBoolean(1)).toMap
     assert(got("4111111111111111") && !got("4111111111111112"))
     assert(got("79927398713") && !got("79927398710"))
+    // static-unroll fixed-length path agrees with the generic fold and
+    // rejects other lengths
+    val fixed = df.select($"acct",
+      Cleaning.luhnValidFixed($"acct", 16).as("ok16"),
+      Cleaning.luhnValid($"acct").as("okGen")).collect()
+      .map(r => (r.getString(0), r.getBoolean(1), r.getBoolean(2)))
+    fixed.foreach { case (acct, ok16, okGen) =>
+      if (acct.length == 16) assert(ok16 == okGen, acct) else assert(!ok16, acct)
+    }
   }
 
   test("welchT: symmetric arms give t = 0; known two-sample value") {
