@@ -1118,6 +1118,29 @@ object SparkEntry {
         .orderBy(col("click_id"), coalesce(col("purchase_id"), lit(-1L)))
     }),
 
+    // FULL OUTER stream-stream interval join: both sides' unmatched rows
+    // null-extend; both sides cut off at min(side max) − (window+delay)
+    // so every admitted row resolves before the source drains. Null ids
+    // sort via -1 sentinels.
+    "q_events_interval_join_full_stream" -> ((s, d) => {
+      val b = Tables.events(s, d).agg(
+        max(when(col("event_type") === "click", col("ts"))).as("mc"),
+        max(when(col("event_type") === "purchase", col("ts"))).as("mp")).head()
+      val bound =
+        if (b.getTimestamp(0).before(b.getTimestamp(1))) b.getTimestamp(0) else b.getTimestamp(1)
+      val cutoff = java.sql.Timestamp.from(bound.toInstant.minusSeconds(20 * 60 + 1))
+      EventStreams.runStreamFullJoin(s, d, "q_events_interval_join_full_stream_sink", cutoff)
+        .orderBy(coalesce(col("click_id"), lit(-1L)), coalesce(col("purchase_id"), lit(-1L)))
+    }),
+
+    // Native session_window on the REAL stream path, flushed completely
+    // via a close row — bit-equal to the batch sessionization, so the
+    // SAME lag/cumsum SQL oracle checks the streaming engine's session
+    // merging (q_events_session checks the batch path).
+    "q_events_session_stream" -> ((s, d) =>
+      EventStreams.runStreamSessionWindow(s, d, "q_events_session_stream_sink")
+        .orderBy(col("user_id"), col("session_start"))),
+
     // Spark 4 arbitrary-state API (transformWithState + ValueState on
     // RocksDB): per-user running purchase ledger, state = one (count, sum)
     // pair per user. Oracle = the batch window cumsum in event-time order.
@@ -2110,6 +2133,48 @@ object SparkEntry {
             .as("chars_per_bpe_token"))
         .orderBy(col("source"))),
 
+    // Entity resolution over the DISTINCT name domain (the classic ER
+    // optimization: dedupe values, not rows): block on the head noun,
+    // score Jaro–Winkler ≥ 0.85 with the native kernel (bit-parity with
+    // DuckDB's scorer proven by q_fuzzy_match), cluster via connected
+    // components, map row counts back. Name ids are a dense row_number
+    // over the sorted 64-value domain (order-preserving, so min id ⇔ min
+    // name and the canonical member is exact); the single-partition id
+    // window is value-domain-bounded, never row-bounded.
+    "q_entity_resolution" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val parts = Tables.part(s, d)
+      val names = parts.select(col("p_name")).distinct()
+        .withColumn("nid", row_number().over(Window.orderBy(col("p_name"))).cast("long"))
+        .withColumn("blk", element_at(split(col("p_name"), " "), 2))
+        .localCheckpoint(false)
+      val pairs = names.alias("a").join(names.alias("b"),
+          col("a.blk") === col("b.blk") && col("a.p_name") < col("b.p_name"))
+        .filter(graft.functions.JaroWinklerImpl.jaroWinkler(col("a.p_name"), col("b.p_name")) >= 0.85)
+        .select(col("a.nid").as("ida"), col("b.nid").as("idb"))
+      val clusters = Dedup.connectedComponents(pairs, "ida", "idb")
+        .select(col("v").as("nid"), col("cluster_id"))
+      val allc = names.join(clusters, Seq("nid"), "left")
+        .select(col("p_name"), coalesce(col("cluster_id"), col("nid")).as("cid"))
+      val agg = allc.groupBy(col("cid"))
+        .agg(min(col("p_name")).as("canonical_name"), count(lit(1)).as("n_names"))
+      val cnt = parts.select(col("p_name"))
+        .join(allc, Seq("p_name"))
+        .groupBy(col("cid")).agg(count(lit(1)).as("n_parts"))
+      agg.join(cnt, Seq("cid"))
+        .select(col("canonical_name"), col("n_names"), col("n_parts"))
+        .orderBy(col("canonical_name"))
+    }),
+
+    // GROUP BY ALL / ORDER BY ALL — the same modern-SQL text runs in both
+    // engines verbatim.
+    "q_sql_group_by_all" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS qty
+          |FROM lineitem GROUP BY ALL ORDER BY ALL""".stripMargin)
+    }),
+
     // Benford first-digit audit of order totals: per-digit observed vs
     // the Benford expectation log10(1 + 1/d), with the chi-square
     // contribution per digit — a standard forensic/data-quality gate
@@ -3087,6 +3152,37 @@ object SparkEntry {
          ORDER BY click_id, coalesce(purchase_id, -1)""",
     "q_events_interval_join_stream" -> intervalJoinSql,
 
+    "q_events_interval_join_full_stream" ->
+      """WITH mx AS (SELECT least(max(ts) FILTER (WHERE event_type = 'click'),
+                                 max(ts) FILTER (WHERE event_type = 'purchase')) AS m
+                     FROM events),
+              c AS (SELECT event_id AS click_id, user_id, ts AS c_ts
+                    FROM events, mx WHERE event_type = 'click' AND ts < m - INTERVAL 20 MINUTE - INTERVAL 1 SECOND),
+              p AS (SELECT event_id AS purchase_id, user_id AS p_user, ts AS p_ts
+                    FROM events, mx WHERE event_type = 'purchase' AND ts < m - INTERVAL 20 MINUTE - INTERVAL 1 SECOND)
+         SELECT c.click_id, p.purchase_id, coalesce(c.user_id, p.p_user) AS user_id
+         FROM c FULL OUTER JOIN p
+           ON c.user_id = p.p_user AND p.p_ts >= c.c_ts AND p.p_ts <= c.c_ts + INTERVAL 10 MINUTE
+         ORDER BY coalesce(click_id, -1), coalesce(purchase_id, -1)""",
+
+    // The real streaming session_window path flushes to bit-equality with
+    // batch sessionization — same oracle SQL as q_events_session.
+    "q_events_session_stream" ->
+      """WITH flagged AS (
+           SELECT user_id, ts, value,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_s
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         sess AS (
+           SELECT user_id, ts, value,
+                  sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+           FROM flagged)
+         SELECT CAST(min(ts) AS TIMESTAMP) AS session_start,
+                CAST(max(ts) + INTERVAL '30 minutes' AS TIMESTAMP) AS session_end,
+                user_id, count(*) AS n_events,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+         FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start""",
+
     // dedup of the doubled stream restores exactly the original events
     "q_events_dedup_stream" ->
       """SELECT event_type, count(*) AS n,
@@ -3950,6 +4046,34 @@ object SparkEntry {
                  round(CAST(sum(length(text)) AS DOUBLE)
                        / CAST(sum(len(regexp_extract_all(text, '${TextAnalysis.BpePattern.replace("'", "''")}'))) AS DOUBLE), 6) AS chars_per_bpe_token
           FROM documents GROUP BY source ORDER BY source""",
+
+    // ER: DuckDB's native jaro_winkler (bit-parity proven) + the same
+    // recursive-CTE clustering the dedup oracle uses, singletons included.
+    "q_entity_resolution" ->
+      """WITH RECURSIVE n AS (SELECT DISTINCT p_name FROM part),
+              pairs AS (SELECT a.p_name AS na, b.p_name AS nb
+                        FROM n a JOIN n b
+                          ON string_split(a.p_name, ' ')[2] = string_split(b.p_name, ' ')[2]
+                         AND a.p_name < b.p_name
+                        WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.85),
+              edges AS (SELECT na AS a, nb AS b FROM pairs UNION SELECT nb, na FROM pairs),
+              reach(v, r) AS (
+                SELECT a, a FROM edges
+                UNION
+                SELECT reach.v, e.b FROM reach JOIN edges e ON reach.r = e.a),
+              clus AS (SELECT v, min(r) AS cid FROM reach GROUP BY 1),
+              allc AS (SELECT n.p_name AS v, coalesce(c.cid, n.p_name) AS cid
+                       FROM n LEFT JOIN clus c ON n.p_name = c.v),
+              agg AS (SELECT cid, min(v) AS canonical_name, count(*) AS n_names
+                      FROM allc GROUP BY 1),
+              cnt AS (SELECT a.cid, count(*) AS n_parts
+                      FROM part p JOIN allc a ON p.p_name = a.v GROUP BY 1)
+         SELECT canonical_name, n_names, n_parts
+         FROM agg JOIN cnt USING (cid) ORDER BY canonical_name""",
+
+    "q_sql_group_by_all" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS qty
+         FROM lineitem GROUP BY ALL ORDER BY ALL""",
 
     "q_benford" ->
       """WITH counts AS (SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit,

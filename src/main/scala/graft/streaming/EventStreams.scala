@@ -23,8 +23,9 @@ object EventStreams {
   /** Stateful-stream shuffle width: every shuffle partition is a state
     * store with its own per-batch snapshot/commit I/O, so this is sized to
     * KEY cardinality (tiny here), not scan parallelism. Baked into a
-    * checkpoint at first start — a design-time choice per deployment. */
-  private val StreamShuffleWidth = "4"
+    * checkpoint at first start — a design-time choice per deployment,
+    * exposed as an env knob for fixed-cost measurement. */
+  private val StreamShuffleWidth = sys.env.getOrElse("GRAFT_STREAM_SHUFFLE", "4")
 
   /** Streaming source over an events directory; schema must be explicit for
     * `readStream`. */
@@ -174,6 +175,100 @@ object EventStreams {
       try q.processAllAvailable() finally q.stop()
     } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
     spark.table(name)
+  }
+
+  /** FULL OUTER stream-stream interval join — both sides' unmatched rows
+    * null-extend once the watermark proves no counterpart can arrive.
+    * Same determinism contract as [[runStreamLeftJoin]], applied to BOTH
+    * sides: each admitted row (either side) must have its match window
+    * fully behind the final watermark, so the caller-supplied `cutoff`
+    * filters clicks AND purchases inside the streaming query; the result
+    * then equals the batch full-outer twin under the same predicate. */
+  def intervalJoinFull(clicks: DataFrame, purchases: DataFrame, windowMinutes: Int = 10): DataFrame = {
+    val c = clicks.select(col("event_id").as("click_id"), col("user_id"), col("ts").as("c_ts"))
+    val p = purchases.select(
+      col("event_id").as("purchase_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+    c.join(p,
+        col("user_id") === col("p_user") &&
+          col("p_ts") >= col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr(s"INTERVAL $windowMinutes MINUTES"),
+        "full_outer")
+      .select(col("click_id"), col("purchase_id"),
+        coalesce(col("user_id"), col("p_user")).as("user_id"))
+  }
+
+  /** Run [[intervalJoinFull]] as a real watermarked stream-stream join. */
+  def runStreamFullJoin(
+      spark: SparkSession,
+      dir: String,
+      name: String,
+      cutoff: java.sql.Timestamp): DataFrame = {
+    val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", StreamShuffleWidth)
+    try {
+      val wm = withWatermark(readTestdataEventStream(spark, dir))
+      val clicks = wm.filter(col("event_type") === "click" && col("ts") < lit(cutoff))
+      val purchases = wm.filter(col("event_type") === "purchase" && col("ts") < lit(cutoff))
+      val q = intervalJoinFull(clicks, purchases)
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+    spark.table(name)
+  }
+
+  /** Native `session_window` aggregation on the REAL stream path, run to
+    * a complete flush: the source replays as two ordered files — the full
+    * event table, then one synthetic row (user −1) two hours past the max
+    * — so the final watermark passes every real session's end (last event
+    * + gap ≤ max + 30 min < max + 110 min) and append mode emits ALL of
+    * them. The synthetic user's own session stays open by construction
+    * and is filtered. Result: bit-equality with the BATCH sessionization
+    * — the same oracle SQL verifies both paths. */
+  def runStreamSessionWindow(spark: SparkSession, dir: String, name: String): DataFrame = {
+    import java.nio.file.Files
+    val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", StreamShuffleWidth)
+    try {
+      val events = graft.sources.Tables.events(spark, dir)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      val streamDir = Files.createTempDirectory("graft-session-stream").toFile
+      val maxTs = events.agg(max(col("ts"))).head.getTimestamp(0)
+      val closeTs = new java.sql.Timestamp(maxTs.getTime + 2 * 3600 * 1000L)
+      val closeRow = events.limit(1).select(
+        lit(-1L).as("event_id"), lit(closeTs).as("ts"), lit(-1L).as("user_id"),
+        lit("close").as("event_type"), lit(0.0).as("value"))
+      def writePart(df: DataFrame, idx: Int): Unit = {
+        val stage = new java.io.File(streamDir, s"__stage$idx")
+        df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+        val part = stage.listFiles().find(_.getName.endsWith(".parquet")).get
+        val dest = new java.io.File(streamDir, f"batch-$idx%02d.parquet")
+        Files.move(part.toPath, dest.toPath)
+        dest.setLastModified(1700000000000L + idx * 600000L)
+        def rm(f: java.io.File): Unit = { Option(f.listFiles()).foreach(_.foreach(rm)); f.delete() }
+        rm(stage)
+      }
+      writePart(events, 0)
+      writePart(closeRow, 1)
+      if (sys.env.contains("GRAFT_STREAM_DEBUG"))
+        streamDir.listFiles().sortBy(_.getName).foreach(f =>
+          println(s"[sessdbg] ${f.getName} len=${f.length} mod=${f.lastModified}"))
+      val src = spark.readStream
+        .schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(streamDir.toString)
+      // NOTE: the synthetic user's filter must NOT sit inside the
+      // streaming query — user_id is a grouping column, so Catalyst
+      // pushes the predicate below the aggregation INTO THE SCAN, and the
+      // close row would be dropped before ever advancing the watermark
+      // (observed: the final flush silently never happens). Filter the
+      // sink output instead; the synthetic session also never closes
+      // (its end is past the final watermark), so this is belt and
+      // braces.
+      val agg = sessionCounts(withWatermark(src), "30 minutes")
+      val q = agg.writeStream.format("memory").queryName(name).outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+    spark.table(name).filter(col("user_id") =!= -1L)
   }
 
   /** Stream-static enrichment: a streaming source broadcast-joined to a
