@@ -2133,6 +2133,56 @@ object SparkEntry {
             .as("chars_per_bpe_token"))
         .orderBy(col("source"))),
 
+    // Cumulative unique users by first-appearance date — the exact
+    // running-distinct trick: a user contributes to the cumulative curve
+    // only on min(date), so the "running distinct" collapses to one
+    // groupBy + a tiny date-domain window (never a per-row distinct
+    // scan). DATE output surfaced as midnight TIMESTAMP per repo
+    // convention.
+    "q_cumulative_uniques" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val first = Tables.events(s, d)
+        .groupBy(col("user_id")).agg(min(to_date(col("ts"))).as("fd"))
+      val daily = first.groupBy(col("fd")).agg(count(lit(1)).as("new_users"))
+      val w = Window.orderBy(col("fd"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily.select(col("fd").cast("timestamp").as("event_date"),
+          col("new_users"), sum(col("new_users")).over(w).as("cum_users"))
+        .orderBy(col("event_date"))
+    }),
+
+    // DAU/WAU via mergeable HLL sketches: ONE sketch per day, trailing
+    // 7-day actives = union of the daily sketches over a CALENDAR range
+    // join (the mergeability story — weekly/monthly rollups reuse the
+    // same daily sketches instead of rescanning users). Self-asserting
+    // ≤5% error vs exact twins; the oracle recomputes the exacts and
+    // pins the booleans.
+    "q_dau_mau" -> ((s, d) => {
+      val du = Tables.events(s, d)
+        .select(to_date(col("ts")).as("dt"), col("user_id")).distinct()
+      val daily = du.groupBy(col("dt")).agg(
+        expr("hll_sketch_agg(user_id)").as("sk"),
+        count(lit(1)).as("exact_dau"))
+      val days = daily.select(col("dt").as("d"))
+      val wau = days.join(daily,
+          col("dt").between(date_sub(col("d"), 6), col("d")))
+        .groupBy(col("d"))
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_wau"))
+      val exactWau = days.alias("dd").join(du.alias("u"),
+          col("u.dt").between(date_sub(col("dd.d"), 6), col("dd.d")))
+        .groupBy(col("dd.d")).agg(countDistinct(col("u.user_id")).as("exact_wau"))
+      daily.select(col("dt").as("d"),
+          expr("hll_sketch_estimate(sk)").as("est_dau"), col("exact_dau"))
+        .join(wau, Seq("d")).join(exactWau, Seq("d"))
+        .select(col("d").cast("timestamp").as("event_date"),
+          col("exact_dau"), col("exact_wau"),
+          (abs(col("est_dau").cast("double") - col("exact_dau").cast("double"))
+            / col("exact_dau").cast("double") <= 0.05).as("dau_ok"),
+          (abs(col("est_wau").cast("double") - col("exact_wau").cast("double"))
+            / col("exact_wau").cast("double") <= 0.05).as("wau_ok"))
+        .orderBy(col("event_date"))
+    }),
+
     // Entity resolution over the DISTINCT name domain (the classic ER
     // optimization: dedupe values, not rows): block on the head noun,
     // score Jaro–Winkler ≥ 0.85 with the native kernel (bit-parity with
@@ -4046,6 +4096,26 @@ object SparkEntry {
                  round(CAST(sum(length(text)) AS DOUBLE)
                        / CAST(sum(len(regexp_extract_all(text, '${TextAnalysis.BpePattern.replace("'", "''")}'))) AS DOUBLE), 6) AS chars_per_bpe_token
           FROM documents GROUP BY source ORDER BY source""",
+
+    "q_cumulative_uniques" ->
+      """WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS fd FROM events GROUP BY 1),
+              d AS (SELECT fd, count(*) AS new_users FROM f GROUP BY 1)
+         SELECT CAST(fd AS TIMESTAMP) AS event_date, new_users,
+                CAST(sum(new_users) OVER (ORDER BY fd ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+         FROM d ORDER BY event_date""",
+
+    "q_dau_mau" ->
+      """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS dt, user_id FROM events),
+              days AS (SELECT DISTINCT dt AS d FROM du),
+              dau AS (SELECT dt AS d, count(*) AS exact_dau FROM du GROUP BY 1),
+              wau AS (SELECT days.d, count(DISTINCT u.user_id) AS exact_wau
+                      FROM days JOIN du u ON u.dt BETWEEN days.d - INTERVAL 6 DAY AND days.d
+                      GROUP BY 1)
+         SELECT CAST(days.d AS TIMESTAMP) AS event_date,
+                dau.exact_dau, wau.exact_wau,
+                true AS dau_ok, true AS wau_ok
+         FROM days JOIN dau ON days.d = dau.d JOIN wau ON days.d = wau.d
+         ORDER BY event_date""",
 
     // ER: DuckDB's native jaro_winkler (bit-parity proven) + the same
     // recursive-CTE clustering the dedup oracle uses, singletons included.

@@ -182,6 +182,34 @@ class ScaleSpec extends AnyFunSuite with SparkSpec {
     assert(read.count() == expected)
   }
 
+  test("join-driven dynamic partition pruning reaches the partitioned fact scan") {
+    // The 100 TB shape: a fact partitioned on the join key, joined to a
+    // small FILTERED dim — Spark must inject the dim's build-side values
+    // as a runtime partition filter (DPP), so the fact scan reads only
+    // the matching partitions instead of all of them.
+    val dir = Files.createTempDirectory("graft-dpp").toString
+    Tables.orders(spark, sf)
+      .withColumn("o_year", year($"o_orderdate"))
+      .write.mode("overwrite").partitionBy("o_year").parquet(dir)
+    val fact = spark.read.parquet(dir)
+    // the dim must be a real source — a LocalRelation's filter gets
+    // constant-folded away before the DPP rule checks for a selective
+    // predicate on the build side
+    val dimDir = Files.createTempDirectory("graft-dpp-dim").toString
+    Seq((1996, "keep"), (1997, "drop")).toDF("d_year", "tag")
+      .write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir)
+    val q = fact.join(dim, $"o_year" === $"d_year").filter($"tag" === "keep")
+    // under AQE the AdaptiveSparkPlan node is a leaf, so walk the plan's
+    // printed tree (which includes the scan's PartitionFilters) instead
+    // of collectLeaves
+    val p = plan(q)
+    assert(p.contains("dynamicpruning"), p)
+    val expected = Tables.orders(spark, sf)
+      .filter(year($"o_orderdate") === 1996).count()
+    assert(q.count() == expected)
+  }
+
   test("kNN ranks with the bounded-heap aggregate, not a window sort") {
     val emb = Tables.embeddings(spark, sf)
     val p = plan(graft.operators.Similarity.bruteForceKnn(emb.filter($"vec_id" < 4), emb, k = 3))
