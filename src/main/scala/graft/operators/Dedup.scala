@@ -460,16 +460,19 @@ object Dedup {
       .select(col("vec_id"), col("embedding"), col("nrm"),
         explode(Similarity.hyperplaneBands(col("embedding"), bands, rowsPerBand, dims = 64)).as("bb"))
       .select(col("vec_id"), col("embedding"), col("nrm"), col("bb.band"), col("bb.bucket"))
-    val a = sig.alias("a")
-    val b = sig.alias("b")
-    a.join(b,
-        col("a.band") === col("b.band") &&
-          col("a.bucket") === col("b.bucket") &&
-          col("a.vec_id") < col("b.vec_id"))
-      .select(
-        col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        round(dotProduct(col("a.embedding"), col("b.embedding"))
-          / (col("a.nrm") * col("b.nrm")), 6).as("cosine"))
+    // Within-bucket scoring via the native pair generator, not a self-join:
+    // the (band, bucket) key domain is small (bands × 2^rowsPerBand), so a
+    // sort-merge join replays each bucket per probe row. One hash shuffle
+    // groups each bucket (bounded: OR-amplification keeps buckets at
+    // |corpus| / 2^rowsPerBand per band), the generator scores i<j pairs in
+    // a primitive loop and emits only survivors; the exact rounded
+    // threshold re-applies below for bit-parity with the brute-force twin.
+    sig
+      .groupBy(col("band"), col("bucket"))
+      .agg(collect_list(struct(col("vec_id"), col("embedding"), col("nrm"))).as("members"))
+      .select(graft.functions.PairGenerators
+        .cosinePairs(col("members"), threshold - 1e-6).as(Seq("vec_a", "vec_b", "cosine")))
+      .select(col("vec_a"), col("vec_b"), round(col("cosine"), 6).as("cosine"))
       .filter(col("cosine") >= threshold)
       .dropDuplicates("vec_a", "vec_b")
   }

@@ -1,0 +1,46 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.functions._
+import graft.sources.Tables
+
+/** Stage-level wall-clock breakdown of q_semdedup at sf0.1 — which of
+  * (checkpoint, exact twin, quantizer build, cell pairs, final audit join)
+  * owns the time. */
+object ProbeSemDedupTime {
+  def main(args: Array[String]): Unit = {
+    val d = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def t[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[t] $label: ${(System.nanoTime() - t0) / 1e9}%.3f s"); r
+    }
+    for (pass <- 1 to 3) {
+      println(s"--- pass $pass ---")
+      val emb = Tables.embeddings(spark, d)
+      val base = t("checkpoint") {
+        emb.repartition(spark.sparkContext.defaultParallelism)
+          .select(col("vec_id"), col("embedding"), l2Norm(col("embedding")).as("nrm"))
+          .localCheckpoint(false)
+      }
+      val exact = base.alias("a")
+        .join(base.alias("b"), col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+          round(dotProduct(col("a.embedding"), col("b.embedding"))
+            / (col("a.nrm") * col("b.nrm")), 6).as("cosine"))
+        .filter(col("cosine") >= 0.4)
+      t("exact count")(exact.count())
+      val idx = t("ivf build")(graft.operators.IvfIndex.build(spark, emb, 8, 42L))
+      val cellPairs = t("cell pairs plan")(
+        graft.operators.IvfIndex.semDedupPairs(spark, emb, nLists = 8, tau = 0.4, assignTo = 3))
+      t("cell pairs count")(cellPairs.count())
+      t("full query")(graft.SparkEntry.queries("q_semdedup")(spark, d).count())
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    }
+    spark.stop()
+  }
+}

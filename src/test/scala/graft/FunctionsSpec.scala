@@ -285,6 +285,54 @@ class FunctionsSpec extends AnyFunSuite with SparkSpec {
     assert(got.toSeq == Seq(("x", 7L, "1,2,3"))) // y,z below minDf; postings capped+sorted
   }
 
+  test("cosinePairs generator: bit-parity with the self-join twin, a<b order, degenerate groups") {
+    val rnd = new scala.util.Random(11)
+    val emb = Seq.tabulate(60) { i =>
+      (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat).toSeq, i % 3)
+    }.toDF("vec_id", "embedding", "g")
+    val base = emb.select($"g", $"vec_id", $"embedding",
+      graft.functions.l2Norm($"embedding").as("nrm"))
+    // generator path: group per g, enumerate in-group pairs (cutoff -1 = all)
+    val gen = base.groupBy($"g")
+      .agg(collect_list(struct($"vec_id", $"embedding", $"nrm")).as("m"))
+      .select(graft.functions.PairGenerators.cosinePairs($"m", -1.0)
+        .as(Seq("vec_a", "vec_b", "cosine")))
+    // join twin: same pairs through the native VectorDot column kernel
+    val twin = base.alias("a").join(base.alias("b"),
+        $"a.g" === $"b.g" && $"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"),
+        (graft.functions.dotProduct($"a.embedding", $"b.embedding")
+          / ($"a.nrm" * $"b.nrm")).as("cosine"))
+    val g = gen.orderBy($"vec_a", $"vec_b").collect()
+    val t = twin.orderBy($"vec_a", $"vec_b").collect()
+    assert(g.length == t.length && g.length == 3 * 20 * 19 / 2)
+    g.zip(t).foreach { case (x, y) =>
+      assert(x.getLong(0) == y.getLong(0) && x.getLong(1) == y.getLong(1))
+      assert(x.getLong(0) < x.getLong(1))
+      // bit-identical doubles: same left-to-right accumulation order
+      assert(x.getDouble(2) == y.getDouble(2), s"$x vs $y")
+    }
+    // cutoff filters inside the generator
+    val cut = base.groupBy($"g")
+      .agg(collect_list(struct($"vec_id", $"embedding", $"nrm")).as("m"))
+      .select(graft.functions.PairGenerators.cosinePairs($"m", 0.4)
+        .as(Seq("vec_a", "vec_b", "cosine")))
+    cut.collect().foreach(r => assert(r.getDouble(2) >= 0.4))
+    // degenerate groups: empty and singleton arrays emit nothing
+    val deg = Seq(Tuple1(Seq.empty[(Long, Seq[Float], Double)]))
+      .toDF("m")
+      .select(graft.functions.PairGenerators.cosinePairs(
+        $"m".cast("array<struct<id:bigint,vec:array<float>,nrm:double>>"), -1.0)
+        .as(Seq("vec_a", "vec_b", "cosine")))
+    assert(deg.count() == 0)
+    // wrong input type fails at analysis, not execution
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq("x").toDF("t")
+        .select(graft.functions.PairGenerators.cosinePairs($"t", 0.0)).collect()
+    }
+    assert(e.getMessage.contains("cosine_pairs"))
+  }
+
   test("pmiBigrams: hand-computed PMI, minCount suppresses hapax pairs") {
     // tokens: p=3 q=3 z=2 (TU=8); bigrams: "p q"x2 "z p" "q z" (TB=4)
     // PMI(p q) = ln(2*8*8 / (4*3*3)) = ln(32/9)
