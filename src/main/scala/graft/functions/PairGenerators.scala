@@ -127,10 +127,139 @@ case class CosinePairs(child: Expression, cutoff: Double)
     copy(child = newChild)
 }
 
+/** Within-group exact-Jaccard pair generator for the PPJoin-banded
+  * blocking scheme ([[graft.operators.Dedup.blockedJaccardPairsUnsorted]]).
+  *
+  * Each document (with size band `b` = floor(ln|toks| / ln(1/margin)))
+  * is exploded into groups `{b, b+1}` keyed by (blocking key, group
+  * band); within a group the generator scores i<j pairs whose sizes pass
+  * the two-sided `margin` ratio prefilter, via the exact two-pointer
+  * intersection over sorted hash arrays.
+  *
+  * Exactly-once emission WITHOUT a dedup shuffle: a pair is emitted only
+  * when `min(band_a, band_b) == grp − 1` — i.e. in the one group where
+  * the lower-banded member is the visitor. (Pairs with equal bands `x`
+  * co-occur in groups `x` and `x+1` and emit only in `x+1`; pairs with
+  * bands `(x, x+1)` co-occur only in `x+1` and emit there.) Pairs with a
+  * band gap ≥ 2 cannot pass the ratio prefilter by construction of the
+  * log-banding, so confining scoring to adjacent bands loses nothing.
+  *
+  * `cutoff` is the loose RAW-jaccard pre-filter (callers re-apply their
+  * exact rounded threshold downstream for bit-parity with join twins).
+  */
+case class JaccardBandPairs(
+    members: Expression,
+    grpBand: Expression,
+    margin: Double,
+    cutoff: Double)
+    extends Expression with Generator with CodegenFallback {
+
+  override def children: Seq[Expression] = Seq(members, grpBand)
+  override def prettyName: String = "jaccard_band_pairs"
+
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("doc_a", LongType, nullable = false),
+    StructField("doc_b", LongType, nullable = false),
+    StructField("jaccard", DoubleType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult = (members.dataType, grpBand.dataType) match {
+    case (ArrayType(StructType(Array(
+          StructField(_, LongType, _, _),
+          StructField(_, ArrayType(LongType, _), _, _),
+          StructField(_, LongType, _, _))), _), LongType) =>
+      TypeCheckSuccess
+    case (m, g) =>
+      TypeCheckFailure(s"$prettyName: inputs must be (array<struct<id:bigint, " +
+        s"toks:array<bigint>, band:bigint>>, bigint), got (${m.catalogString}, ${g.catalogString})")
+  }
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val arr = members.eval(input)
+    val grp = grpBand.eval(input)
+    if (arr == null || grp == null) return Iterator.empty
+    val g = grp.asInstanceOf[Long]
+    val ms = arr.asInstanceOf[ArrayData]
+    val n = ms.numElements()
+    if (n < 2) return Iterator.empty
+
+    val ids = new Array[Long](n)
+    val toks = new Array[Array[Long]](n)
+    val bands = new Array[Long](n)
+    var m = 0
+    var i = 0
+    while (i < n) {
+      if (!ms.isNullAt(i)) {
+        val row = ms.getStruct(i, 3)
+        if (!row.isNullAt(0) && !row.isNullAt(1) && !row.isNullAt(2)) {
+          ids(m) = row.getLong(0)
+          toks(m) = row.getArray(1).toLongArray()
+          bands(m) = row.getLong(2)
+          m += 1
+        }
+      }
+      i += 1
+    }
+    val nm = m
+
+    new Iterator[InternalRow] {
+      private var a = 0
+      private var b = 1
+      private var nextRow: InternalRow = _
+      private def advance(): Unit = {
+        nextRow = null
+        while (nextRow == null && a < nm - 1) {
+          // exactly-once rule + two-sided size-ratio prefilter (double
+          // comparisons mirror the join twin's sz columns bit-for-bit)
+          if (math.min(bands(a), bands(b)) == g - 1) {
+            val ta = toks(a)
+            val tb = toks(b)
+            val szA = ta.length.toDouble
+            val szB = tb.length.toDouble
+            if (szA >= szB * margin && szB >= szA * margin) {
+              var x = 0; var y = 0; var inter = 0
+              while (x < ta.length && y < tb.length) {
+                val va = ta(x); val vb = tb(y)
+                if (va == vb) { inter += 1; x += 1; y += 1 }
+                else if (va < vb) x += 1
+                else y += 1
+              }
+              val jac = inter.toDouble / (szA + szB - inter)
+              if (jac >= cutoff) {
+                val lo = math.min(ids(a), ids(b))
+                val hi = math.max(ids(a), ids(b))
+                nextRow = new GenericInternalRow(Array[Any](lo, hi, jac))
+              }
+            }
+          }
+          b += 1
+          if (b >= nm) { a += 1; b = a + 1 }
+        }
+      }
+      advance()
+      override def hasNext: Boolean = nextRow != null
+      override def next(): InternalRow = {
+        val r = nextRow; advance(); r
+      }
+    }
+  }
+
+  override def nullable: Boolean = false
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): JaccardBandPairs =
+    copy(members = newChildren(0), grpBand = newChildren(1))
+}
+
 object PairGenerators {
   /** Generator column: all i<j pairs within `members` (array of
     * (id, vec, norm) structs) with raw cosine ≥ `cutoff`, emitted as
     * (vec_a, vec_b, cosine) with vec_a < vec_b. */
   def cosinePairs(members: Column, cutoff: Double): Column =
     ColumnBridge.column(CosinePairs(ColumnBridge.expression(members), cutoff))
+
+  /** Generator column: exactly-once banded Jaccard pairs (see
+    * [[JaccardBandPairs]]), emitted as (doc_a, doc_b, jaccard) with
+    * doc_a < doc_b. */
+  def jaccardBandPairs(members: Column, grpBand: Column, margin: Double, cutoff: Double): Column =
+    ColumnBridge.column(JaccardBandPairs(
+      ColumnBridge.expression(members), ColumnBridge.expression(grpBand), margin, cutoff))
 }

@@ -205,33 +205,38 @@ object Dedup {
   def blockedJaccardPairsUnsorted(documents: DataFrame, threshold: Double): DataFrame = {
     // Length prefilter (PPJoin-style): J(A,B) ≤ min|·|/max|·|, so a matching
     // pair's set sizes differ by at most ratio = 1/(threshold−0.01). That
-    // bound is folded INTO the blocking key as a log_ratio size band: sides
-    // join on (source, band), with side `a` probing bands {b−1, b, b+1}.
-    // Sizes within ratio differ by ≤ 1 band, so every qualifying pair is
-    // generated EXACTLY ONCE (its band gap is covered by one probe), while
-    // size-incompatible pairs never leave the hash join — and a source
-    // block fans out over many (source, band) keys instead of one skewed
-    // shuffle partition per source.
+    // bound is folded INTO the blocking key as a log_ratio size band:
+    // sizes within ratio differ by ≤ 1 band, so scoring only same-or-
+    // adjacent-band pairs loses nothing, while size-incompatible pairs
+    // never reach the intersection loop — and a source block fans out
+    // over many (source, band) keys instead of one skewed shuffle
+    // partition per source.
     require(threshold > 0.02 && threshold <= 1.0,
       s"blockedJaccardPairs: threshold must be in (0.02, 1], got $threshold")
-    val margin = lit(threshold - 0.01)
     val bandBase = math.log(1.0 / (threshold - 0.01))
     val tok = documents.select(
       col("doc_id"), col("source"),
       array_sort(transform(distinctTokens(col("text")), t => xxhash64(t))).as("toks"))
       .withColumn("sz", size(col("toks")).cast(DoubleType))
       .withColumn("band", floor(log(greatest(col("sz"), lit(1.0))) / lit(bandBase)))
-    val a = tok.withColumn("probe", explode(array(col("band") - 1, col("band"), col("band") + 1)))
-      .alias("a")
-    val b = tok.alias("b")
-    a.join(b,
-        col("a.source") === col("b.source") && col("a.probe") === col("b.band") &&
-          col("a.doc_id") < col("b.doc_id") &&
-          col("a.sz") >= col("b.sz") * margin && col("b.sz") >= col("a.sz") * margin)
-      .select(
-        col("a.doc_id").as("doc_a"),
-        col("b.doc_id").as("doc_b"),
-        round(sortedJaccard(col("a.toks"), col("b.toks")), 6).as("jaccard"))
+    // Within-block scoring via the native exactly-once pair generator, not
+    // a probe self-join: the (source, band) key domain is small, which
+    // degenerates in SMJ (per-group replay), and the probe join moves each
+    // token array 4× through the shuffle (3 probe copies + the build
+    // side). Here each doc explodes into groups {band, band+1} (arrays
+    // move 2×), one hash shuffle groups each (source, grp), and the
+    // generator emits each qualifying pair exactly ONCE (min member band
+    // == grp−1 rule — no dedup pass). The raw cutoff is loose by 1e-6;
+    // the exact rounded threshold below keeps join-twin bit-parity.
+    tok
+      .select(col("doc_id"), col("source"), col("toks"), col("band"),
+        explode(array(col("band"), col("band") + 1)).as("grp"))
+      .groupBy(col("source"), col("grp"))
+      .agg(collect_list(struct(col("doc_id"), col("toks"), col("band"))).as("members"))
+      .select(graft.functions.PairGenerators
+        .jaccardBandPairs(col("members"), col("grp"), threshold - 0.01, threshold - 1e-6)
+        .as(Seq("doc_a", "doc_b", "jaccard")))
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 

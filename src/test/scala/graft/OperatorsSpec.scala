@@ -48,6 +48,31 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(pairs(0).getAs[Double]("jaccard") - 9.0 / 11.0) < 1e-6)
   }
 
+  test("blockedJaccardPairs equals brute force at every threshold (completeness)") {
+    // sizes spread across several log-bands and two sources: the banded
+    // generator must reproduce the per-source cross-join exactly — no
+    // missed cross-band pair, no double emission, bit-identical scores.
+    val vocab = (0 until 60).map(i => s"w$i")
+    val fixture = (0 until 16).map { i =>
+      val len = 6 + 3 * i // straddles multiple size bands
+      (i.toLong, if (i % 2 == 0) "s1" else "s2", vocab.slice(i % 5, i % 5 + len).mkString(" "))
+    }.toDF("doc_id", "source", "text")
+    val sets = fixture.select($"doc_id", $"source",
+      array_sort(transform(array_distinct(split($"text", " ")), t => xxhash64(t))).as("toks"))
+    val bruteForce = sets.as("a").join(sets.as("b"),
+        $"a.source" === $"b.source" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+        round(Dedup.sortedJaccard($"a.toks", $"b.toks"), 6).as("jaccard"))
+    for (t <- Seq(0.3, 0.5, 0.7, 0.9)) {
+      val expected = bruteForce.filter($"jaccard" >= t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val got = Dedup.blockedJaccardPairsUnsorted(fixture, t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(got.length == got.toSet.size, s"threshold $t: duplicate emission")
+      assert(got.toSet == expected, s"threshold $t: blocked != brute force")
+    }
+  }
+
   test("prefixFilterPairs equals brute force at every threshold (completeness)") {
     // 12 docs with overlapping token windows over a 40-word vocabulary —
     // pair similarities spread across (0, 1), so each threshold slices a
