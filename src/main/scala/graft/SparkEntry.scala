@@ -816,6 +816,27 @@ object SparkEntry {
           (coalesce(sum(col("hit")), lit(0L)) >= count(lit(1)) * 0.65).as("recall_ok"))
     }),
 
+    // Product-quantization ADC search (FAISS PQ, Jégou 2011), SELF-
+    // ASSERTING like the LSH/IVF rows: recall@5 vs the in-plan exact
+    // brute-force twin. m=16 × ksub=64 → 16-byte codes (16× compression);
+    // the corpus side of the ADC scan reads ONLY (code, recon_nrm) — no
+    // float math touches corpus rows. Measured recall on this uniform-
+    // random corpus (PQ's worst case — no cluster structure): 0.594
+    // (sf0.01) / 0.500 (sf0.1); floor 0.4.
+    "q_embed_knn_pq" -> ((s, d) => {
+      import graft.operators.Pq
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") < 32)
+      val exact = Similarity.bruteForceKnn(q, emb, k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val cb = Pq.train(s, emb, dims = 64, m = 16, ksub = 64)
+      val approx = Pq.adcSearch(Pq.encode(emb, cb), cb, q, k = 5)
+        .select(col("query_id"), col("neighbor_id")).withColumn("hit", lit(1L))
+      exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+        .agg(countDistinct(col("query_id")).as("n_queries"),
+          (coalesce(sum(col("hit")), lit(0L)) >= count(lit(1)) * 0.4).as("recall_ok"))
+    }),
+
     // int8 scalar quantization (FAISS SQ8): 4× smaller embeddings at rest.
     // Self-asserting: per-component reconstruction error must stay within
     // the round-to-nearest bound scale/2 (+ float slack), and cosine
@@ -2904,6 +2925,12 @@ object SparkEntry {
       "SELECT count(*) AS n_vectors, true AS all_ok FROM embeddings",
 
     "q_embed_knn_ivf" ->
+      """SELECT count(DISTINCT vec_id) AS n_queries, true AS recall_ok
+         FROM embeddings WHERE vec_id < 32""",
+
+    // PQ/ADC: the recall floor is asserted in-plan vs the exact twin; the
+    // oracle pins the query-set size and the assertion outcome.
+    "q_embed_knn_pq" ->
       """SELECT count(DISTINCT vec_id) AS n_queries, true AS recall_ok
          FROM embeddings WHERE vec_id < 32""",
 

@@ -219,7 +219,7 @@ object IvfIndex {
 
   /** Lloyd iterations until centroids move < `tol` (squared L2) or
     * `maxIter`. Empty cells keep their previous centroid. */
-  private def lloyd(
+  private[operators] def lloyd(
       xs: Array[Array[Double]], k: Int, seed: Long, maxIter: Int, tol: Double): Array[Array[Double]] = {
     require(xs.nonEmpty, "empty training sample")
     val kk = math.min(k, xs.length)

@@ -1,0 +1,33 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators.{Pq, Similarity}
+import graft.sources.Tables
+
+/** PQ recall calibration: recall@5 of ADC search vs exact brute-force at
+  * several (m, ksub) settings, plus wall-clock. */
+object ProbePq {
+  def main(args: Array[String]): Unit = {
+    val d = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = SparkSession.builder().master("local[16]")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val emb = Tables.embeddings(spark, d)
+    val q = emb.filter(col("vec_id") < 32)
+    val exact = Similarity.bruteForceKnn(q, emb, k = 5)
+      .select(col("query_id"), col("neighbor_id")).cache()
+    val nExact = exact.count()
+    for (m <- Seq(8, 16); ksub <- Seq(16, 32, 64)) {
+      val t0 = System.nanoTime()
+      val cb = Pq.train(spark, emb, dims = 64, m = m, ksub = ksub)
+      val approx = Pq.adcSearch(Pq.encode(emb, cb), cb, q, k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val hit = exact.join(approx, Seq("query_id", "neighbor_id")).count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"[pq] m=$m%2d ksub=$ksub%3d recall=${hit.toDouble / nExact}%.3f  (${dt}%.2f s)")
+    }
+    spark.stop()
+  }
+}

@@ -434,6 +434,48 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     pairs.foreach(r => assert(r.getAs[Double]("cosine") >= 0.95))
   }
 
+  test("Pq: planted duplicate shares its code and is retrieved; ADC equals reconstruction cosine") {
+    import graft.operators.Pq
+    val dim = 16
+    val rnd = new scala.util.Random(5)
+    val spread = Seq.tabulate(50) { i =>
+      (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat).toSeq)
+    }
+    // ids 100/101: bit-identical vectors → identical PQ codes, rank-1 hit
+    val dup = Array.fill(dim)(rnd.nextGaussian().toFloat).toSeq
+    val emb = (spread ++ Seq((100L, dup), (101L, dup))).toDF("vec_id", "embedding")
+    val cb = Pq.train(spark, emb, dims = dim, m = 4, ksub = 8)
+    assert(cb.centroids.length == 4 && cb.dsub == 4)
+    val enc = Pq.encode(emb, cb)
+    val codes = enc.collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[scala.collection.Seq[Int]]("code"), r.getAs[Double]("recon_nrm"))).toMap
+    assert(codes(100L)._1 == codes(101L)._1)
+    // recon_nrm matches a driver-side reconstruction of the code
+    codes.foreach { case (_, (code, nrm)) =>
+      val recon = code.toArray.zipWithIndex.flatMap { case (c, j) => cb.centroids(j)(c) }
+      assert(math.abs(nrm - math.sqrt(recon.map(v => v * v).sum)) < 1e-9)
+      code.foreach(c => assert(c >= 0 && c < 8))
+    }
+    // ADC score = cosine(query, reconstruction), up to double re-association
+    val q = emb.filter($"vec_id" === 100L)
+    val got = Pq.adcSearch(enc, cb, q, k = 5).collect()
+    assert(got.exists(r => r.getAs[Long]("neighbor_id") == 101L &&
+      r.getAs[Int]("rank") == 1), got.mkString(","))
+    val qVec = dup.map(_.toDouble).toArray
+    val qNrm = math.sqrt(qVec.map(v => v * v).sum)
+    got.foreach { r =>
+      val (code, rNrm) = codes(r.getAs[Long]("neighbor_id"))
+      val recon = code.toArray.zipWithIndex.flatMap { case (c, j) => cb.centroids(j)(c) }
+      val expect = qVec.zip(recon).map { case (a, b) => a * b }.sum / (qNrm * rNrm)
+      assert(math.abs(r.getAs[Double]("cosine") - expect) < 1e-6, r.toString)
+    }
+    // dims mismatch fails loudly at train time
+    val bad = intercept[IllegalArgumentException](
+      Pq.train(spark, emb, dims = dim, m = 5, ksub = 8))
+    assert(bad.getMessage.contains("must divide"))
+  }
+
   test("triangleCount: one triangle plus a dangling edge") {
     import graft.operators.Graph
     val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("a", "b")
