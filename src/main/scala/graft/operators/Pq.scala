@@ -131,4 +131,151 @@ object Pq {
         .filter(col("query_id") =!= col("neighbor_id")),
       k)
   }
+
+  /** IVF-PQ index: coarse cells + residual codes (the production web-scale
+    * layout — at rest this table is WRITTEN partitioned by cell_id, so a
+    * probe reads nProbe/nLists of the data AND only (code, recon_nrm)
+    * bytes of it). */
+  final case class IvfPqIndex(
+      encoded: DataFrame,
+      ivfCents: Array[Array[Double]],
+      cb: Codebook)
+
+  /** Build FAISS-style IVFPQ: coarse k-means cells from [[IvfIndex.build]],
+    * then PQ codebooks trained on RESIDUALS x − centroid(cell) (residual
+    * energy is much smaller than vector energy, so the same ksub budget
+    * quantizes finer — the reason IVFPQ beats flat PQ at equal code size).
+    * Training joins the bounded driver sample only; the corpus-scale work
+    * is one assignment pass + one encode pass. */
+  def buildIvfPq(
+      spark: SparkSession,
+      embeddings: DataFrame,
+      dims: Int,
+      nLists: Int = 16,
+      m: Int = 8,
+      ksub: Int = 16,
+      seed: Long = 42L,
+      trainCap: Int = 16384,
+      maxIter: Int = 10,
+      tol: Double = 1e-4): IvfPqIndex = {
+    require(m >= 1 && dims % m == 0, s"buildIvfPq: m=$m must divide dims=$dims")
+    val dsub = dims / m
+    val ivf = IvfIndex.build(spark, embeddings, nLists, seed, trainCap, maxIter, tol)
+    val ivfCents = ivf.centroids.map(_._2)
+
+    // residual training sample: same bounded hash-sample discipline; the
+    // nearest-cell assignment for sampled vectors runs on the driver
+    // (trainCap × nLists × dims flops — independent of corpus size)
+    val base = embeddings.select(col("vec_id"), col("embedding"))
+    val total = base.count()
+    val picked =
+      if (total <= trainCap) base
+      else {
+        val mod = 1000003L
+        val base_ = (trainCap.toLong * mod) / total
+        val thresh = math.max(1L, base_ + math.max(1L, base_ / 20))
+        base.filter(pmod(xxhash64(col("vec_id")), lit(mod)) < lit(thresh))
+      }
+    val sample = picked.select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).iterator.map(_.toDouble).toArray)
+    val residuals = sample.map { v =>
+      require(v.length == dims, s"buildIvfPq: expected $dims-dim embeddings, got ${v.length}")
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < ivfCents.length) {
+        val cent = ivfCents(c)
+        var d = 0.0
+        var t = 0
+        while (t < dims) { val e = v(t) - cent(t); d += e * e; t += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      val cent = ivfCents(best)
+      Array.tabulate(dims)(t => v(t) - cent(t))
+    }
+    val pqCents = Array.tabulate(m) { j =>
+      val sub = residuals.map(v => java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub))
+      IvfIndex.lloyd(sub, ksub, seed + j, maxIter, tol)
+    }
+
+    val encoded = ivf.assigned
+      .select(col("vec_id"), col("cell_id"),
+        graft.functions.PqExpressions
+          .ivfPqEncode(col("embedding"), col("cell_id"), ivfCents, pqCents).as("pq"))
+      .select(col("vec_id"), col("cell_id"),
+        col("pq.code").as("code"), col("pq.recon_nrm").as("recon_nrm"))
+
+    IvfPqIndex(encoded, ivfCents, Codebook(m, dsub, pqCents,
+      pqCents.map(_.map(c => c.map(v => v * v).sum))))
+  }
+
+  /** IVF-PQ ADC search: each (bounded, collected) query ranks the coarse
+    * centroids on the driver and probes its `nProbe` best cells; one scan
+    * of the encoded corpus — pre-filtered to the union of probed cells,
+    * the predicate partition pruning eliminates at rest — scores each row
+    * for the queries probing its cell via q·centroid(cell) + residual
+    * LUT lookups. No join, no corpus floats. */
+  def ivfPqSearch(
+      index: IvfPqIndex,
+      queries: DataFrame,
+      k: Int,
+      nProbe: Int = 4): DataFrame = {
+    val cb = index.cb
+    val dims = cb.m * cb.dsub
+    val nLists = index.ivfCents.length
+    require(nProbe >= 1 && nProbe <= nLists,
+      s"ivfPqSearch: nProbe must be in [1, $nLists], got $nProbe")
+    val qRows = queries.select(col("vec_id"), col("embedding")).collect().map { r =>
+      (r.getLong(0), r.getSeq[Float](1).iterator.map(_.toDouble).toArray)
+    }
+    require(qRows.nonEmpty, "ivfPqSearch: empty query set")
+
+    val perQuery = qRows.map { case (qid, q) =>
+      require(q.length == dims, s"ivfPqSearch: expected $dims-dim queries, got ${q.length}")
+      val qNrm = math.sqrt(q.map(v => v * v).sum)
+      val centDot = index.ivfCents.map { cent =>
+        var s = 0.0
+        var t = 0
+        while (t < dims) { s += q(t) * cent(t); t += 1 }
+        s
+      }
+      // probe the nProbe cells with the highest query–centroid cosine
+      // (centroid norms are per-cell constants; ties to the lower cell id)
+      val centNrm = index.ivfCents.map(c => math.sqrt(c.map(v => v * v).sum))
+      val probedCells = centDot.zipWithIndex
+        .map { case (s, i) => (if (centNrm(i) == 0.0) 0.0 else s / centNrm(i), i) }
+        .sortBy { case (sim, i) => (-sim, i) }
+        .take(nProbe).map(_._2)
+      val probed = new Array[Boolean](nLists)
+      probedCells.foreach(probed(_) = true)
+      val lut: Array[Array[Double]] = Array.tabulate(cb.m) { j =>
+        Array.tabulate(cb.centroids(j).length) { c =>
+          val cent = cb.centroids(j)(c)
+          var s = 0.0
+          var t = 0
+          while (t < cb.dsub) { s += q(j * cb.dsub + t) * cent(t); t += 1 }
+          s
+        }
+      }
+      (qid, qNrm, probed, centDot, lut)
+    }
+
+    val allProbed = perQuery.flatMap { case (_, _, probed, _, _) =>
+      probed.zipWithIndex.collect { case (true, i) => i }
+    }.distinct.sorted
+
+    Similarity.rankTopK(
+      index.encoded
+        // prunable predicate: at rest (partitioned by cell_id) this is
+        // the partition-pruning filter; in-plan it still cuts the scan
+        .filter(col("cell_id").isin(allProbed.map(Integer.valueOf).toIndexedSeq: _*))
+        .select(col("vec_id").as("neighbor_id"),
+          graft.functions.PqExpressions
+            .ivfPqAdcScores(col("cell_id"), col("code"), col("recon_nrm"), perQuery)
+            .as(Seq("query_id", "cosine")))
+        .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
+        .filter(col("query_id") =!= col("neighbor_id")),
+      k)
+  }
 }

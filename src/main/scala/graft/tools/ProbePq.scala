@@ -28,6 +28,15 @@ object ProbePq {
       val dt = (System.nanoTime() - t0) / 1e9
       println(f"[pq] m=$m%2d ksub=$ksub%3d recall=${hit.toDouble / nExact}%.3f  (${dt}%.2f s)")
     }
+    for (m <- Seq(16); ksub <- Seq(32, 64); nProbe <- Seq(8, 12, 16)) {
+      val t0 = System.nanoTime()
+      val idx = Pq.buildIvfPq(spark, emb, dims = 64, nLists = 16, m = m, ksub = ksub)
+      val approx = Pq.ivfPqSearch(idx, q, k = 5, nProbe = nProbe)
+        .select(col("query_id"), col("neighbor_id"))
+      val hit = exact.join(approx, Seq("query_id", "neighbor_id")).count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"[ivfpq] m=$m%2d ksub=$ksub%3d nProbe=$nProbe%2d recall=${hit.toDouble / nExact}%.3f  (${dt}%.2f s)")
+    }
     spark.stop()
   }
 }

@@ -476,6 +476,45 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(bad.getMessage.contains("must divide"))
   }
 
+  test("IvfPq: planted duplicate retrieved at rank 1; unprobed cells never emit") {
+    import graft.operators.Pq
+    val dim = 16
+    val rnd = new scala.util.Random(9)
+    val spread = Seq.tabulate(60) { i =>
+      (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat).toSeq)
+    }
+    val dup = Array.fill(dim)(rnd.nextGaussian().toFloat).toSeq
+    val emb = (spread ++ Seq((100L, dup), (101L, dup))).toDF("vec_id", "embedding")
+    val idx = Pq.buildIvfPq(spark, emb, dims = dim, nLists = 4, m = 4, ksub = 8)
+    // identical vectors land in the same cell with identical codes
+    val enc = idx.encoded.collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Int]("cell_id"), r.getAs[scala.collection.Seq[Int]]("code"))).toMap
+    assert(enc(100L) == enc(101L))
+    // query = the dup itself probes its own cell first → rank-1 retrieval
+    val q = emb.filter($"vec_id" === 100L)
+    val got = Pq.ivfPqSearch(idx, q, k = 5, nProbe = 2).collect()
+    assert(got.exists(r => r.getAs[Long]("neighbor_id") == 101L &&
+      r.getAs[Int]("rank") == 1), got.mkString(","))
+    // pruning property: with nProbe=1 every returned neighbor sits in the
+    // query's single probed cell (the dup's own cell)
+    val one = Pq.ivfPqSearch(idx, q, k = 10, nProbe = 1).collect()
+    val qCell = enc(100L)._1
+    one.foreach(r => assert(enc(r.getAs[Long]("neighbor_id"))._1 == qCell, r.toString))
+    // recon_nrm is the FULL reconstruction norm (centroid + residual code)
+    idx.encoded.collect().foreach { r =>
+      val cell = r.getAs[Int]("cell_id")
+      val code = r.getAs[scala.collection.Seq[Int]]("code")
+      val recon = code.toArray.zipWithIndex.map { case (c, j) =>
+        idx.cb.centroids(j)(c).zipWithIndex.map { case (v, t) =>
+          v + idx.ivfCents(cell)(j * idx.cb.dsub + t)
+        }
+      }.flatten
+      assert(math.abs(r.getAs[Double]("recon_nrm") -
+        math.sqrt(recon.map(v => v * v).sum)) < 1e-9)
+    }
+  }
+
   test("triangleCount: one triangle plus a dangling edge") {
     import graft.operators.Graph
     val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("a", "b")
