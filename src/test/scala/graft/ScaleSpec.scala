@@ -170,6 +170,29 @@ class ScaleSpec extends AnyFunSuite with SparkSpec {
     assert(read.count() == expected)
   }
 
+  test("IVF-PQ at rest: probe scan prunes to probed cells and reads only code columns") {
+    import graft.operators.Pq
+    val emb = Tables.embeddings(spark, sf)
+    val idx = Pq.buildIvfPq(spark, emb, dims = 64, nLists = 4, m = 8, ksub = 16)
+    val dir = Files.createTempDirectory("graft-ivfpq").toString
+    idx.encoded.write.mode("overwrite").partitionBy("cell_id").parquet(dir)
+    val atRest = Pq.IvfPqIndex(spark.read.parquet(dir), idx.ivfCents, idx.cb)
+    val q = emb.filter($"vec_id" < 2)
+    val search = Pq.ivfPqSearch(atRest, q, k = 3, nProbe = 2)
+    val leaf = search.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).find(_.contains("cell_id")).getOrElse("")
+    // the probe-set isin predicate must land as a PARTITION filter, and
+    // the scan must read codes, never a float embedding column
+    assert(leaf.contains("PartitionFilters") && leaf.contains("cell_id"), leaf)
+    assert(leaf.contains("ReadSchema") && !leaf.contains("embedding"), leaf)
+    // at-rest results = in-memory results (same index, same probes)
+    val mem = Pq.ivfPqSearch(idx, q, k = 3, nProbe = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val rest = search.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(mem == rest)
+  }
+
   test("year-partitioned writes prune partitions on read") {
     val dir = Files.createTempDirectory("graft-part").toString
     Tables.orders(spark, sf)
