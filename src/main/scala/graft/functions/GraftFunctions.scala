@@ -21,6 +21,14 @@ object GraftFunctions {
     case other => throw new IllegalArgumentException(s"$what must be an integer literal, got $other")
   }
 
+  private def doubleLit(e: Expression, what: String): Double = e match {
+    case Literal(v: Double, _) => v
+    case Literal(v: Int, _) => v.toDouble
+    // SQL fractional literals parse as exact decimals (ANSI)
+    case Literal(v: org.apache.spark.sql.types.Decimal, _) => v.toDouble
+    case other => throw new IllegalArgumentException(s"$what must be a numeric literal, got $other")
+  }
+
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "rolling_hash" -> (args => RollingHash(args.head)),
     "vector_dot" -> (args => VectorDot(args(0), args(1))),
@@ -32,7 +40,12 @@ object GraftFunctions {
     "winnow_hashes" -> (args =>
       WinnowHashes(args(0), intLit(args(1), "k"), intLit(args(2), "w"))),
     "topk_by" -> (args =>
-      TopKBy(args(0), args(1), intLit(args(2), "k")).toAggregateExpression()))
+      TopKBy(args(0), args(1), intLit(args(2), "k")).toAggregateExpression()),
+    "cosine_pairs" -> (args =>
+      CosinePairs(args(0), doubleLit(args(1), "cutoff"))),
+    "jaccard_band_pairs" -> (args =>
+      JaccardBandPairs(args(0), args(1),
+        doubleLit(args(2), "margin"), doubleLit(args(3), "cutoff"))))
 
   /** Register on a live session (classic path, via the sql-package shim). */
   def registerAll(spark: SparkSession): Unit =

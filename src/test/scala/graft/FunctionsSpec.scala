@@ -333,6 +333,17 @@ class FunctionsSpec extends AnyFunSuite with SparkSpec {
     assert(e.getMessage.contains("cosine_pairs"))
   }
 
+  test("generator kernels work from spark.sql (registered table functions)") {
+    GraftFunctions.registerAll(spark)
+    Seq((0L, Seq(1.0f, 0.0f), 1.0), (1L, Seq(1.0f, 0.0f), 1.0), (2L, Seq(0.0f, 1.0f), 1.0))
+      .toDF("id", "vec", "nrm").createOrReplaceTempView("cp_t")
+    val got = spark.sql(
+      """SELECT p.* FROM (SELECT collect_list(struct(id, vec, nrm)) AS m FROM cp_t)
+        |LATERAL VIEW cosine_pairs(m, 0.9) p AS vec_a, vec_b, cosine""".stripMargin).collect()
+    assert(got.length == 1 && got(0).getLong(0) == 0L && got(0).getLong(1) == 1L)
+    assert(math.abs(got(0).getDouble(2) - 1.0) < 1e-9)
+  }
+
   test("pmiBigrams: hand-computed PMI, minCount suppresses hapax pairs") {
     // tokens: p=3 q=3 z=2 (TU=8); bigrams: "p q"x2 "z p" "q z" (TB=4)
     // PMI(p q) = ln(2*8*8 / (4*3*3)) = ln(32/9)
