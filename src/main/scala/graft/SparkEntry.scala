@@ -2332,6 +2332,46 @@ object SparkEntry {
         Multimodal.extractMetadata(s, Multimodal.asBinaryPayloads(Tables.documents(s, d))))
         .toDF().orderBy(col("doc_id"), col("py"), col("px"))),
 
+    // Perceptual-hash near-dup over media payloads: real DCT pHash math
+    // (block-mean grid → 2-D DCT-II → median-threshold 64-bit print) over
+    // the honest stub decode, paired with the SAME Hamming-banded join
+    // SimHash uses. SELF-ASSERTING via planted payloads (the corpus has no
+    // exact media dups at sf0.01): an identical pair MUST surface at
+    // Hamming 0 (banding guarantees identical prints collide), a 4-byte
+    // perturbation stays within the near threshold, an unrelated pattern
+    // must NOT pair with the base — all deterministic. The oracle pins the
+    // corpus+planted row count and the booleans.
+    "q_multimodal_phash" -> ((s, d) => {
+      import s.implicits._
+      val planted = {
+        // dense-spectrum pseudo-random "pixels" (a periodic pattern would
+        // leave most DCT coefficients at the median, where signs are
+        // noise); measured prints: near at Hamming 6 sharing 1 band, far
+        // at Hamming 32 — all deterministic
+        val base = Array.tabulate(2048) { i =>
+          val h = i * 2654435761L + 123456789L; ((h >> 16) & 0xFF).toByte
+        }
+        val near = base.clone(); (100 until 108).foreach(i => near(i) = (near(i) + 24).toByte)
+        val far = Array.tabulate(2048)(i => ((i * i * 17 + 3) % 251).toByte)
+        Seq((9000001L, base), (9000002L, base.clone()), (9000003L, near), (9000004L, far))
+          .toDF("doc_id", "payload")
+      }
+      val payloads = Multimodal.asBinaryPayloads(Tables.documents(s, d))
+        .unionByName(planted)
+      val ph = Multimodal.perceptualHash(s, payloads).toDF()
+      val pairs = graft.operators.Dedup
+        .hamming64BandedPairs(ph, "doc_id", "phash", maxHamming = 10)
+      val stats = pairs.agg(
+        (coalesce(sum(when(col("doc_a") === 9000001L && col("doc_b") === 9000002L
+          && col("hamming") === 0L, 1L)), lit(0L)) === 1L).as("dup_ok"),
+        (coalesce(sum(when(col("doc_a") === 9000001L && col("doc_b") === 9000003L, 1L)),
+          lit(0L)) === 1L).as("near_ok"),
+        (coalesce(sum(when(col("doc_a") === 9000001L && col("doc_b") === 9000004L, 1L)),
+          lit(0L)) === 0L).as("far_ok"),
+        (coalesce(max(col("hamming")), lit(0L)) <= 10L).as("bounds_ok"))
+      ph.agg(count(lit(1)).as("n_media")).crossJoin(broadcast(stats))
+    }),
+
     // Mann–Whitney U (rank-sum) on l_quantity A-vs-N return flags —
     // integer-heavy values exercise the average-rank tie path; u2_a is
     // the exact-integer 2·U_A, z uses the tie-corrected sigma.
@@ -2957,6 +2997,13 @@ object SparkEntry {
     "q_embed_knn_ivfpq" ->
       """SELECT count(DISTINCT vec_id) AS n_queries, true AS recall_ok
          FROM embeddings WHERE vec_id < 32""",
+
+    // pHash: planted-payload assertions are verified in-plan; the oracle
+    // pins the media count (corpus + 4 planted) and the boolean outcomes.
+    "q_multimodal_phash" ->
+      """SELECT CAST(count(*) + 4 AS BIGINT) AS n_media,
+                true AS dup_ok, true AS near_ok, true AS far_ok, true AS bounds_ok
+         FROM documents""",
 
     // The native rolling-hash kernel self-asserts against an interpreted
     // HOF twin (ASCII docs only; the corpus is all-ASCII, which the oracle

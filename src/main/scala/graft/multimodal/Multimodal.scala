@@ -135,4 +135,58 @@ object Multimodal {
       it.map(r => MediaRecord(r.doc_id, resizeStub(r.payload, w, h)))
     }
   }
+
+  final case class PHashRecord(doc_id: Long, phash: Long)
+
+  /** Perceptual hash (the classic DCT pHash): block-mean the "pixels" down
+    * to a 32×32 grid, 2-D DCT-II, keep the top-left 8×8 low-frequency
+    * block, threshold each coefficient against the median (DC excluded) →
+    * 64-bit fingerprint. Everything from pixels onward is the REAL
+    * published algorithm — deterministic integer/double math — while the
+    * pixels themselves come from the honest stub (payload bytes), exactly
+    * like the rest of this module. Key property (what near-dup needs):
+    * identical payloads hash identically, and small pixel perturbations
+    * flip few low-frequency bits.
+    *
+    * Cost shape: one `mapPartitions` pass, fixed 32×32 grid per row
+    * (constant work regardless of media size after the resize step). */
+  def perceptualHash(spark: SparkSession, payloads: DataFrame): Dataset[PHashRecord] = {
+    import spark.implicits._
+    val n = 32
+    // DCT-II basis: cos(π/N·(x+½)·u), precomputed once per partition
+    payloads.as[MediaRecord].mapPartitions { it =>
+      val basis = Array.tabulate(n, n)((u, x) =>
+        math.cos(math.Pi / n * (x + 0.5) * u))
+      it.map { r =>
+        // stub "decode": payload bytes block-meaned onto the n×n grid
+        val px = resizeStub(r.payload, n, n)
+        val grid = Array.tabulate(n, n)((y, x) => (px(y * n + x) & 0xFF).toDouble)
+        // separable 2-D DCT-II: rows then columns, only the 8×8 block needed
+        val rows = Array.tabulate(n, 8) { (y, u) =>
+          var s = 0.0
+          var x = 0
+          while (x < n) { s += grid(y)(x) * basis(u)(x); x += 1 }
+          s
+        }
+        val coef = Array.tabulate(8, 8) { (v, u) =>
+          var s = 0.0
+          var y = 0
+          while (y < n) { s += rows(y)(u) * basis(v)(y); y += 1 }
+          s
+        }
+        // median of the 64 coefficients EXCLUDING the DC term (standard
+        // pHash: DC carries overall brightness, not structure)
+        val flat = (0 until 64).map(i => coef(i / 8)(i % 8)).toArray
+        val sorted = flat.drop(1).sorted
+        val median = (sorted(30) + sorted(31)) / 2.0
+        var h = 0L
+        var i = 0
+        while (i < 64) {
+          if (flat(i) > median) h |= (1L << i)
+          i += 1
+        }
+        PHashRecord(r.doc_id, h)
+      }
+    }
+  }
 }

@@ -168,26 +168,41 @@ object Dedup {
     * band buckets (any identical quarter ⇒ candidate, guaranteeing recall of
     * every pair with Hamming distance ≤ 3), verified by exact Hamming ≤
     * `maxHamming`. */
-  def simHashNearDuplicates(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val fp = documents
-      .repartition(documents.sparkSession.sparkContext.defaultParallelism)
-      .select(col("doc_id"), simHash64(tokens(col("text"))).as("simhash"))
+  def simHashNearDuplicates(documents: DataFrame, maxHamming: Int = 3): DataFrame =
+    hamming64BandedPairs(
+      documents
+        .repartition(documents.sparkSession.sparkContext.defaultParallelism)
+        .select(col("doc_id"), simHash64(tokens(col("text"))).as("simhash")),
+      "doc_id", "simhash", maxHamming)
+
+  /** Banded near-dup pairing over ANY 64-bit fingerprint column (SimHash,
+    * perceptual hash, …): 4×16-bit band buckets generate candidates (every
+    * pair at Hamming ≤ 3 shares at least one identical quarter by
+    * pigeonhole — and identical fingerprints share all four), exact
+    * `hamming64` verifies ≤ `maxHamming`. Same plan shape as the MinHash
+    * banding: only (id, fp, band, bucket) rows ride the shuffle. */
+  def hamming64BandedPairs(
+      fingerprints: DataFrame,
+      idCol: String,
+      fpCol: String,
+      maxHamming: Int): DataFrame = {
+    val fp = fingerprints.select(col(idCol).as("__id"), col(fpCol).as("__fp"))
     val banded = fp.withColumn(
       "band",
       explode(array((0 until 4).map { b =>
         struct(lit(b).as("band"),
-          shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL)).as("bucket"))
+          shiftright(col("__fp"), b * 16).bitwiseAND(lit(0xFFFFL)).as("bucket"))
       }: _*)))
-      .select(col("doc_id"), col("simhash"), col("band.band"), col("band.bucket"))
+      .select(col("__id"), col("__fp"), col("band.band"), col("band.bucket"))
     val a = banded.alias("a")
     val b = banded.alias("b")
     a.join(b,
         col("a.band") === col("b.band") &&
           col("a.bucket") === col("b.bucket") &&
-          col("a.doc_id") < col("b.doc_id"))
+          col("a.__id") < col("b.__id"))
       .select(
-        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        hamming64(col("a.simhash"), col("b.simhash")).as("hamming"))
+        col("a.__id").as("doc_a"), col("b.__id").as("doc_b"),
+        hamming64(col("a.__fp"), col("b.__fp")).as("hamming"))
       .dropDuplicates("doc_a", "doc_b")
       .filter(col("hamming") <= maxHamming)
       .orderBy(col("doc_a"), col("doc_b"))

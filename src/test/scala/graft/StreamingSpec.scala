@@ -167,6 +167,30 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       .collect().forall(_.payload.length == 64))
   }
 
+  test("perceptual hash: identical payloads collide, perturbation stays near, noise lands far") {
+    import graft.multimodal.Multimodal
+    val base = Array.tabulate(2048) { i =>
+      val h = i * 2654435761L + 123456789L; ((h >> 16) & 0xFF).toByte
+    }
+    val near = base.clone(); (100 until 108).foreach(i => near(i) = (near(i) + 24).toByte)
+    val far = Array.tabulate(2048)(i => ((i * i * 17 + 3) % 251).toByte)
+    val df = Seq((1L, base), (2L, base.clone()), (3L, near), (4L, far))
+      .toDF("doc_id", "payload")
+    val ph = Multimodal.perceptualHash(spark, df).collect()
+      .map(r => r.doc_id -> r.phash).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(ph(a) ^ ph(b))
+    assert(ham(1L, 2L) == 0)
+    assert(ham(1L, 3L) > 0 && ham(1L, 3L) <= 10, s"near hamming ${ham(1L, 3L)}")
+    assert(ham(1L, 4L) > 10, s"far hamming ${ham(1L, 4L)}")
+    // banded pairing surfaces the identical and near pairs, never the far one
+    val pairs = graft.operators.Dedup
+      .hamming64BandedPairs(Multimodal.perceptualHash(spark, df).toDF(),
+        "doc_id", "phash", maxHamming = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)))
+    assert(!pairs.contains((1L, 4L)))
+  }
+
   test("intervalJoin window bounds are closed on both ends") {
     def e(id: Long, t: String, typ: String) =
       Event(id, Timestamp.valueOf(t), 1, typ, 0.0, "{}")
