@@ -114,7 +114,7 @@ object IvfIndex {
   /** `(distance-proxy, cell)` structs per centroid: |x−c|² up to the
     * constant |x|² term — one native dot product per cell, all inside
     * whole-stage codegen, centroids inlined as broadcast literals. */
-  private def cellDistances(embedding: Column, cents: Array[Array[Double]]): Column =
+  private[operators] def cellDistances(embedding: Column, cents: Array[Array[Double]]): Column =
     array(cents.toSeq.zipWithIndex.map { case (c, i) =>
       val cNormSq = c.map(v => v * v).sum
       struct(

@@ -160,12 +160,11 @@ object Pq {
       tol: Double = 1e-4): IvfPqIndex = {
     require(m >= 1 && dims % m == 0, s"buildIvfPq: m=$m must divide dims=$dims")
     val dsub = dims / m
-    val ivf = IvfIndex.build(spark, embeddings, nLists, seed, trainCap, maxIter, tol)
-    val ivfCents = ivf.centroids.map(_._2)
 
-    // residual training sample: same bounded hash-sample discipline; the
-    // nearest-cell assignment for sampled vectors runs on the driver
-    // (trainCap × nLists × dims flops — independent of corpus size)
+    // ONE bounded hash-sample pass feeds both trainings: coarse k-means,
+    // then per-subspace residual codebooks (driver-side nearest-cell
+    // assignment of the sample is trainCap × nLists × dims flops —
+    // independent of corpus size)
     val base = embeddings.select(col("vec_id"), col("embedding"))
     val total = base.count()
     val picked =
@@ -178,8 +177,10 @@ object Pq {
       }
     val sample = picked.select(col("embedding")).collect()
       .map(_.getSeq[Float](0).iterator.map(_.toDouble).toArray)
+    sample.foreach(v => require(v.length == dims,
+      s"buildIvfPq: expected $dims-dim embeddings, got ${v.length}"))
+    val ivfCents = IvfIndex.lloyd(sample, nLists, seed, maxIter, tol)
     val residuals = sample.map { v =>
-      require(v.length == dims, s"buildIvfPq: expected $dims-dim embeddings, got ${v.length}")
       var best = 0
       var bestD = Double.MaxValue
       var c = 0
@@ -199,7 +200,12 @@ object Pq {
       IvfIndex.lloyd(sub, ksub, seed + j, maxIter, tol)
     }
 
-    val encoded = ivf.assigned
+    // one distributed pass: nearest coarse cell + residual encode
+    val encoded = base
+      .select(col("vec_id"),
+        array_min(IvfIndex.cellDistances(col("embedding"), ivfCents))
+          .getField("cell").as("cell_id"),
+        col("embedding"))
       .select(col("vec_id"), col("cell_id"),
         graft.functions.PqExpressions
           .ivfPqEncode(col("embedding"), col("cell_id"), ivfCents, pqCents).as("pq"))
