@@ -100,11 +100,9 @@ object Pq {
       encoded: DataFrame,
       cb: Codebook,
       queries: DataFrame,
-      k: Int): DataFrame = {
-    val qRows = queries.select(col("vec_id"), col("embedding")).collect().map { r =>
-      (r.getLong(0), r.getSeq[Float](1).iterator.map(_.toDouble).toArray)
-    }
-    require(qRows.nonEmpty, "Pq.adcSearch: empty query set")
+      k: Int,
+      maxQueries: Int = 65536): DataFrame = {
+    val qRows = collectBoundedQueries(queries, maxQueries, "Pq.adcSearch")
     qRows.foreach { case (_, q) => require(q.length == cb.m * cb.dsub,
       s"Pq.adcSearch: expected ${cb.m * cb.dsub}-dim queries, got ${q.length}") }
 
@@ -130,6 +128,23 @@ object Pq {
         .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
         .filter(col("query_id") =!= col("neighbor_id")),
       k)
+  }
+
+  /** The query side of ADC search is driver-resident (per-query LUTs ship
+    * as expression state), so it must be BOUNDED — the same contract as
+    * [[Similarity.bruteForceKnn]]'s broadcast side, enforced loudly here
+    * instead of surfacing as a driver OOM: `limit(max+1)` caps the collect
+    * itself, so even a mistakenly-unbounded query set moves at most
+    * max+1 rows. */
+  private def collectBoundedQueries(
+      queries: DataFrame, maxQueries: Int, who: String): Array[(Long, Array[Double])] = {
+    val rows = queries.select(col("vec_id"), col("embedding"))
+      .limit(maxQueries + 1).collect()
+    require(rows.nonEmpty, s"$who: empty query set")
+    require(rows.length <= maxQueries,
+      s"$who: query set exceeds maxQueries=$maxQueries — ADC queries are " +
+        "driver-resident (per-query LUTs); batch the query set or raise the cap")
+    rows.map(r => (r.getLong(0), r.getSeq[Float](1).iterator.map(_.toDouble).toArray))
   }
 
   /** IVF-PQ index: coarse cells + residual codes (the production web-scale
@@ -226,16 +241,14 @@ object Pq {
       index: IvfPqIndex,
       queries: DataFrame,
       k: Int,
-      nProbe: Int = 4): DataFrame = {
+      nProbe: Int = 4,
+      maxQueries: Int = 65536): DataFrame = {
     val cb = index.cb
     val dims = cb.m * cb.dsub
     val nLists = index.ivfCents.length
     require(nProbe >= 1 && nProbe <= nLists,
       s"ivfPqSearch: nProbe must be in [1, $nLists], got $nProbe")
-    val qRows = queries.select(col("vec_id"), col("embedding")).collect().map { r =>
-      (r.getLong(0), r.getSeq[Float](1).iterator.map(_.toDouble).toArray)
-    }
-    require(qRows.nonEmpty, "ivfPqSearch: empty query set")
+    val qRows = collectBoundedQueries(queries, maxQueries, "ivfPqSearch")
 
     val perQuery = qRows.map { case (qid, q) =>
       require(q.length == dims, s"ivfPqSearch: expected $dims-dim queries, got ${q.length}")
