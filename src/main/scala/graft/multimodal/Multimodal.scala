@@ -174,8 +174,10 @@ object Multimodal {
           while (y < n) { s += rows(y)(u) * basis(v)(y); y += 1 }
           s
         }
-        // median of the 64 coefficients EXCLUDING the DC term (standard
-        // pHash: DC carries overall brightness, not structure)
+        // threshold = midpoint of the two central coefficients, DC term
+        // excluded (standard pHash drops DC — it carries overall
+        // brightness, not structure; any fixed split convention works,
+        // this one is pinned by the planted-payload contract values)
         val flat = (0 until 64).map(i => coef(i / 8)(i % 8)).toArray
         val sorted = flat.drop(1).sorted
         val median = (sorted(30) + sorted(31)) / 2.0
