@@ -108,6 +108,54 @@ class PropertiesSpec extends AnyFunSuite with SparkSpec {
     assert(got == expected)
   }
 
+  test("blockedJaccardPairs == per-source brute force on random corpora (generator kernel)") {
+    // random docs with random sizes over a shared vocabulary, two sources;
+    // the banded generator path must equal the cross-join exactly at every
+    // threshold — completeness (no missed cross-band pair), exactly-once
+    // emission, bit-identical scores.
+    val word = Gen.choose(0, 49).map(i => s"w$i")
+    val doc = Gen.choose(1, 40).flatMap(n => Gen.listOfN(n, word).map(_.distinct.mkString(" ")))
+    val docsList = sample(Gen.listOfN(60, doc))
+    val fixture = docsList.zipWithIndex
+      .map { case (t, i) => (i.toLong, if (i % 3 == 0) "s1" else "s2", t) }
+      .toDF("doc_id", "source", "text")
+    val sets = fixture.select($"doc_id", $"source",
+      array_sort(transform(array_distinct(split($"text", " ")), t => xxhash64(t))).as("toks"))
+    val brute = sets.as("a").join(sets.as("b"),
+        $"a.source" === $"b.source" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id", $"b.doc_id",
+        round(Dedup.sortedJaccard($"a.toks", $"b.toks"), 6).as("j")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    for (t <- Seq(0.25, 0.5, 0.75)) {
+      val expected = brute.filter(_._3 >= t).toSet
+      val got = Dedup.blockedJaccardPairsUnsorted(fixture, t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(got.length == got.toSet.size, s"t=$t: duplicate emission")
+      assert(got.toSet == expected, s"t=$t: blocked != brute force")
+    }
+  }
+
+  test("cosinePairs == join twin on random embedding groups (generator kernel)") {
+    val vec = Gen.listOfN(12, Gen.choose(-100, 100).map(_ / 25.0f))
+    val vecs = sample(Gen.listOfN(50, vec))
+    val emb = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v, i % 4) }
+      .toDF("vec_id", "embedding", "g")
+    val base = emb.select($"g", $"vec_id", $"embedding",
+      graft.functions.l2Norm($"embedding").as("nrm"))
+    val twin = base.as("a").join(base.as("b"),
+        $"a.g" === $"b.g" && $"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id", $"b.vec_id",
+        (graft.functions.dotProduct($"a.embedding", $"b.embedding")
+          / ($"a.nrm" * $"b.nrm")).as("c")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val gen = base.groupBy($"g")
+      .agg(collect_list(struct($"vec_id", $"embedding", $"nrm")).as("m"))
+      .select(graft.functions.PairGenerators.cosinePairs($"m", Double.NegativeInfinity)
+        .as(Seq("a", "b", "c")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(gen == twin)
+  }
+
   test("jaroWinkler is symmetric, bounded, and exact on identity/disjoint pairs") {
     import graft.functions.JaroWinklerImpl.jw
     val word = Gen.choose(0, 12).flatMap(n => Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
