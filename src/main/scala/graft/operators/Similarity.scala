@@ -59,6 +59,39 @@ object Similarity {
         col("col.score").as("cosine"), (col("pos") + 1).cast("int").as("rank"))
       .orderBy(col("query_id"), col("rank"))
 
+  /** Exact re-rank of an ANN shortlist — stage two of the production
+    * retrieve-then-rerank pattern: a compressed-domain search (ADC, LSH,
+    * IVF) proposes `k'` candidates per query, then ONLY those |Q|·k' pairs
+    * are scored at full precision and the final top-k is exact over the
+    * shortlist. Final ranking quality is bounded by shortlist recall@k'
+    * (much higher than the compressed search's recall@k), while full-
+    * precision float work stays |Q|·k' — independent of corpus size.
+    *
+    * Plan shape: the candidate list is |Q|·k' rows (bounded) → broadcast
+    * to the corpus scan, so only shortlisted corpus rows survive the join
+    * and nothing corpus-scale shuffles. */
+  def rerankExact(
+      candidates: DataFrame,
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int): DataFrame = {
+    val cand = candidates.select(col("query_id"), col("neighbor_id"))
+    val q = queries.select(
+      col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+      l2Norm(col("embedding")).as("q_nrm"))
+    val c = corpus.select(
+      col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
+      l2Norm(col("embedding")).as("c_nrm"))
+    rankTopK(
+      c.join(broadcast(cand), Seq("neighbor_id"))
+        .join(broadcast(q), Seq("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          round(dotProduct(col("q_emb"), col("c_emb"))
+            / (col("q_nrm") * col("c_nrm")), 6).as("cosine"))
+        .filter(col("query_id") =!= col("neighbor_id")),
+      k)
+  }
+
   /** Symmetric per-vector int8 quantization: scale = max|x|/127, stored as
     * (tinyint codes, float scale) — 4× smaller at rest than float32, the
     * standard memory-bound trade for a 100 TB embedding store (the same

@@ -28,6 +28,16 @@ object ProbePq {
       val dt = (System.nanoTime() - t0) / 1e9
       println(f"[pq] m=$m%2d ksub=$ksub%3d recall=${hit.toDouble / nExact}%.3f  (${dt}%.2f s)")
     }
+    for (kShort <- Seq(32, 64, 128)) {
+      val t0 = System.nanoTime()
+      val cb = Pq.train(spark, emb, dims = 64, m = 16, ksub = 64)
+      val short = Pq.adcSearch(Pq.encode(emb, cb), cb, q, k = kShort)
+      val rr = Similarity.rerankExact(short, q, emb, k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val hit = exact.join(rr, Seq("query_id", "neighbor_id")).count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"[rerank] kShort=$kShort%4d recall=${hit.toDouble / nExact}%.3f  (${dt}%.2f s)")
+    }
     for (m <- Seq(16); ksub <- Seq(32, 64); nProbe <- Seq(8, 12, 16)) {
       val t0 = System.nanoTime()
       val idx = Pq.buildIvfPq(spark, emb, dims = 64, nLists = 16, m = m, ksub = ksub)

@@ -515,6 +515,27 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("rerankExact: full-coverage shortlist reproduces brute force; partial shortlist stays within it") {
+    val rnd = new scala.util.Random(13)
+    val emb = Seq.tabulate(40) { i =>
+      (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val q = emb.filter($"vec_id" < 3)
+    val brute = Similarity.bruteForceKnn(q, emb, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    // shortlist = everything → rerank must equal brute force bit-for-bit
+    // (same cosine arithmetic, same tie-break)
+    val all = q.select($"vec_id".as("query_id"))
+      .crossJoin(emb.select($"vec_id".as("neighbor_id")))
+    val rr = Similarity.rerankExact(all, q, emb, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(rr == brute)
+    // partial shortlist: results only ever come FROM the shortlist
+    val short = all.filter($"neighbor_id" % 2 === 0)
+    Similarity.rerankExact(short, q, emb, k = 5).collect()
+      .foreach(r => assert(r.getAs[Long]("neighbor_id") % 2 == 0, r.toString))
+  }
+
   test("triangleCount: one triangle plus a dangling edge") {
     import graft.operators.Graph
     val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("a", "b")
