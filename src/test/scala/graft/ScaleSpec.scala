@@ -193,6 +193,24 @@ class ScaleSpec extends AnyFunSuite with SparkSpec {
     assert(mem == rest)
   }
 
+  test("bucket grouping for the pair generators does a map-side partial collect") {
+    // the generators' one-shuffle claim rests on ObjectHashAggregate
+    // running partial_collect_list BEFORE the exchange — a regression to
+    // a full-row shuffle would double the bucket-build bandwidth
+    val emb = Tables.embeddings(spark, sf)
+    val base = emb.select($"vec_id", $"embedding",
+      graft.functions.l2Norm($"embedding").as("nrm"), ($"vec_id" % 4).as("cell_id"))
+    val p = plan(base.groupBy($"cell_id")
+      .agg(collect_list(struct($"vec_id", $"embedding", $"nrm")).as("members"))
+      .select(graft.functions.PairGenerators.cosinePairs($"members", 0.4)
+        .as(Seq("vec_a", "vec_b", "cosine"))))
+    val partialIdx = p.indexOf("partial_collect_list")
+    val exchangeIdx = p.indexOf("Exchange hashpartitioning(cell_id")
+    assert(partialIdx >= 0 && exchangeIdx >= 0, p)
+    // plan prints top-down: the exchange must appear ABOVE the partial agg
+    assert(exchangeIdx < partialIdx, p)
+  }
+
   test("year-partitioned writes prune partitions on read") {
     val dir = Files.createTempDirectory("graft-part").toString
     Tables.orders(spark, sf)
