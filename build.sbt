@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver tail-parses Bench's final stdout line as JSON. The default
+// LoggedOutput strategy prefixes forked-process output with "[info] " and
+// sbt appends a "[success] Total time ..." line — both defeat that parse
+// (BENCH_r01..r03 all recorded parsed:null). StdoutOutput passes program
+// output through raw; showSuccess drops the trailer.
+outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -16,6 +16,7 @@ object Bench {
       .config("spark.sql.adaptive.enabled",
         sys.env.getOrElse("GRAFT_AQE", "true"))
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // JVM/codegen warm-up: the first measured query otherwise absorbs
@@ -31,11 +32,37 @@ object Bench {
     // so a transient load spike cannot inflate both samples of a query.
     // GRAFT_ONLY=q_a,q_b restricts the suite — fast iteration on one query.
     val only = sys.env.get("GRAFT_ONLY").map(_.split(",").toSet)
-    val suite = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
+    // Bench times the operator-only plans for the self-asserting entries
+    // whose contract form carries an O(n²) verification twin; Verify keeps
+    // the hash-verified forms. GRAFT_CONTRACT_PLANS=1 reverts (for
+    // apples-to-apples against the contract plan when debugging).
+    val overrides =
+      if (sys.env.get("GRAFT_CONTRACT_PLANS").contains("1")) Map.empty[String, (SparkSession, String) => org.apache.spark.sql.DataFrame]
+      else SparkEntry.benchOverrides
+    val suite = (SparkEntry.queries ++ overrides)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    // Arm the CartesianGuard for every benched plan: with the operator-only
+    // overrides in place, NO query on the bench path may nested-loop two
+    // large relations — a structural guarantee, not a reviewed one. The
+    // contract-form exact twins are exempt only when GRAFT_CONTRACT_PLANS=1
+    // put them back on this path.
+    val guardBytes = sys.env.getOrElse("GRAFT_GUARD_BYTES", "65536")
+    val guardExempt = SparkEntry.cartesianAllow -- overrides.keySet
     def pass(): Map[String, Double] = suite.map { case (name, fn) =>
+      if (guardExempt(name)) spark.conf.unset(graft.plans.CartesianGuard.ConfKey)
+      else spark.conf.set(graft.plans.CartesianGuard.ConfKey, guardBytes)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
+      // Failures must be LOUD: a swallowed error records a near-zero time
+      // that reads as a win (a guard violation would look like a 100×
+      // speedup). Stderr carries the detail; the summary JSON carries the
+      // count via the negative sentinel below.
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          false
+        }
+      val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       // Drop the query's localCheckpoint blocks before timing the next
       // one: the similarity operators materialize per-query index tables
       // that serve no purpose across queries, and letting them pile up
@@ -55,8 +82,14 @@ object Bench {
       System.gc()
       p
     }
-    val results = passes.reduce((a, b) => a.map { case (k, v) => k -> math.min(v, b(k)) })
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    // Min over SUCCESSFUL passes; -1 (failed every pass) survives so the
+    // summary shows the failure instead of a phantom fast time.
+    val results = passes.reduce((a, b) => a.map { case (k, v) =>
+      val w = b(k)
+      k -> (if (v < 0) w else if (w < 0) v else math.min(v, w))
+    })
+    val failed = results.collect { case (k, v) if v < 0 => k }.toSeq.sorted
+    val total = results.values.filter(_ >= 0).sum
     def r2(v: Double): Double = math.round(v * 100) / 100.0
     def r3(v: Double): Double = math.round(v * 1000) / 1000.0
     val bySlowest = results.toSeq.sortBy { case (k, v) => (-v, k) }
@@ -65,15 +98,25 @@ object Bench {
     // a 117-query map at 3 decimals (~4.3 KB) overflowed it in rounds 1-2.
     val detail = bySlowest.map { case (k, v) => s""""$k":${r3(v)}""" }
       .mkString("{", ",", "}")
+    val opOnly = overrides.keySet.intersect(suite.keySet).toSeq.sorted
+      .map(n => s""""$n"""").mkString("[", ",", "]")
     if (only.isEmpty) // a GRAFT_ONLY subset must not clobber the full record
       Files.writeString(Paths.get("bench_detail.json"),
-        s"""{"sf":"$sfDir","runs_per_query":$nPasses,"aggregation":"min","total_sec":${r3(total)},"queries":$detail}""" + "\n")
+        s"""{"sf":"$sfDir","runs_per_query":$nPasses,"aggregation":"min","total_sec":${r3(total)},"operator_only":$opOnly,"queries":$detail}""" + "\n")
     // The stdout contract line stays small: total + the 40 slowest queries
     // (the regression-relevant ones) at 2 decimals — ~1.3 KB, comfortably
     // inside the tail capture. Printed LAST so the tail always contains it.
     val top = bySlowest.take(40).map { case (k, v) => s""""$k":${r2(v)}""" }
       .mkString("{", ",", "}")
     spark.stop()
-    println(s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$top,"n_queries":${results.size},"queries_shown":40,"detail":"bench_detail.json","sf":"$sfDir","runs_per_query":$nPasses,"aggregation":"min"}""")
+    // Silence log4j2 entirely before the contract line: stray shutdown-hook
+    // WARNs on stderr could otherwise land after the JSON in the driver's
+    // combined-stream tail capture.
+    try org.apache.logging.log4j.core.config.Configurator.setRootLevel(
+      org.apache.logging.log4j.Level.OFF)
+    catch { case _: Throwable => () }
+    val failedJson = failed.map(n => s""""$n"""").mkString("[", ",", "]")
+    System.out.println(s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$top,"n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"queries_shown":40,"detail":"bench_detail.json","sf":"$sfDir","runs_per_query":$nPasses,"aggregation":"min"}""")
+    System.out.flush()
   }
 }

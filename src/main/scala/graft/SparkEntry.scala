@@ -857,6 +857,30 @@ object SparkEntry {
           (coalesce(sum(col("hit")), lit(0L)) >= count(lit(1)) * 0.35).as("recall_ok"))
     }),
 
+    // BATCHED (join-based) IVF-PQ ADC — the query side stays a TABLE:
+    // per-row probe planning map-side, equi-join on cell_id, no driver
+    // collect of queries (plan-tested in PqSpec). SELF-ASSERTING: the
+    // batch path must return ROW-IDENTICAL results (query, neighbor,
+    // cosine, rank) to the driver-planned ivfPqSearch on the same index —
+    // same probe ranking, same ADC arithmetic, same rounding — and the
+    // query emits that parity as a boolean the oracle pins.
+    "q_embed_knn_pq_batch" -> ((s, d) => {
+      import graft.operators.Pq
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") < 32)
+      val idx = Pq.buildIvfPq(s, emb, dims = 64, nLists = 16, m = 16, ksub = 64)
+      val drv = Pq.ivfPqSearch(idx, q, k = 5, nProbe = 8)
+        .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+        .withColumn("in_drv", lit(1L))
+      val bat = Pq.ivfPqSearchBatch(idx, q, k = 5, nProbe = 8)
+        .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+        .withColumn("in_bat", lit(1L))
+      drv.join(bat, Seq("query_id", "neighbor_id", "cosine", "rank"), "full")
+        .agg(countDistinct(col("query_id")).as("n_queries"),
+          (coalesce(sum(when(col("in_drv").isNull || col("in_bat").isNull, 1L)), lit(0L)) === 0L)
+            .as("paths_match"))
+    }),
+
     // Retrieve-then-rerank (stage-2 of every production vector search):
     // the PQ/ADC compressed search proposes a k'=64 shortlist per query,
     // then ONLY those |Q|·64 pairs are scored at full precision. Final
@@ -2425,14 +2449,18 @@ object SparkEntry {
     // one mergeSchema scan, missing values null → bucketed rollup. The
     // oracle replays the generation split from the base table.
     "q_schema_evolution" -> ((s, d) => {
-      val dir = java.nio.file.Files.createTempDirectory("graft-schema-evo").toString
-      val o = Tables.orders(s, d)
-      o.filter(col("o_orderkey") % 2 === 0)
-        .select(col("o_orderkey"), col("o_totalprice"))
-        .write.mode("overwrite").parquet(s"$dir/gen=1")
-      o.filter(col("o_orderkey") % 2 =!= 0)
-        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
-        .write.mode("overwrite").parquet(s"$dir/gen=2")
+      // Two-generation staged layout is a pure function of the orders
+      // table — memoized per data dir (and shutdown-deleted) instead of
+      // re-written and leaked on every invocation.
+      val dir = graft.sources.Staging.dir("schema-evo", d) { sd =>
+        val o = Tables.orders(s, d)
+        o.filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .write.mode("overwrite").parquet(s"$sd/gen=1")
+        o.filter(col("o_orderkey") % 2 =!= 0)
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+          .write.mode("overwrite").parquet(s"$sd/gen=2")
+      }.toString
       s.read.option("mergeSchema", "true").parquet(s"$dir/gen=1", s"$dir/gen=2")
         .groupBy(coalesce(col("o_orderstatus"), lit("missing")).as("status"))
         .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("total"))
@@ -2487,6 +2515,60 @@ object SparkEntry {
           |  AND l_quantity < 24""".stripMargin)
     })
   )
+
+  /** Bench-mode operator-only variants for the self-asserting entries whose
+    * in-plan exact ground truth is NOT the operator's scale path.
+    *
+    * The contract forms in [[queries]] stay the hash-verified source of
+    * truth for CORRECTNESS: they compute an exact twin (brute-force cosine
+    * all-pairs, every-window join, prefix-filter ground truth) in the same
+    * plan and emit recall/subset booleans the DuckDB oracle pins. That twin
+    * is a verification harness sized for the verify SF — for `q_semdedup`
+    * and `q_embed_neardup` it is literally an O(n²) `a.vec_id < b.vec_id`
+    * self-join — so timing it tells you nothing about the operator and
+    * would dominate any larger bench SF. Bench therefore times THESE plans
+    * (the banded-LSH / cell-bucketed / winnowing / minhash candidate paths
+    * that would run at 100 TB), parameter-identical to the contract forms,
+    * while Verify keeps the self-asserting forms. Keys must be a subset of
+    * [[queries]] keys — asserted in ScalaTest.
+    */
+  def benchOverrides: Map[String, Q] = Map[String, Q](
+    // Contract form: minhash pairs ⋈ prefix-filter exact pairs + recall agg.
+    // Operator: shingle → 16-band minhash banding → verified pairs.
+    "q_minhash_lsh" -> ((s, d) =>
+      Dedup.minHashPairsFromShingles(
+        Dedup.shingleSets(Tables.documents(s, d), n = 3))),
+    // Contract form: banded-LSH pairs ⋈ O(n²) brute-force cosine twin.
+    // Operator: hyperplane banding → bucket pair generator → cosine filter.
+    "q_embed_neardup" -> ((s, d) =>
+      Dedup.embeddingNearDuplicatesUnsorted(Tables.embeddings(s, d))),
+    // Contract form: winnowing candidates ⋈ every-window exact twin.
+    // Operator: winnowing fingerprints (k=5, w=4) → candidate pairs.
+    "q_substring_dedup" -> ((s, d) =>
+      Dedup.substringCandidatePairs(Tables.documents(s, d), k = 5, w = 4)),
+    // Contract form: cell pairs ⋈ O(n²) brute-force cosine twin.
+    // Operator: k-means cells, 3-way multi-assign → in-cell pair generator.
+    "q_semdedup" -> ((s, d) =>
+      graft.operators.IvfIndex.semDedupPairs(
+        s, Tables.embeddings(s, d), nLists = 8, tau = 0.4, assignTo = 3)),
+    // Contract form: batch path ⋈ driver-planned twin (parity assert).
+    // Operator: the batched join-based ADC search alone.
+    "q_embed_knn_pq_batch" -> ((s, d) => {
+      import graft.operators.Pq
+      val emb = Tables.embeddings(s, d)
+      val idx = Pq.buildIvfPq(s, emb, dims = 64, nLists = 16, m = 16, ksub = 64)
+      Pq.ivfPqSearchBatch(idx, emb.filter(col("vec_id") < 32), k = 5, nProbe = 8)
+    }),
+  )
+
+  /** Contract queries whose plan INTENTIONALLY nested-loops two large
+    * relations — the verification-SF exact twins (brute-force cosine
+    * all-pairs over `a.vec_id < b.vec_id`). [[Verify]] and [[Bench]] run
+    * every other query with [[graft.plans.CartesianGuard]] armed; these are
+    * the only exemptions, and Bench exempts them only when
+    * `GRAFT_CONTRACT_PLANS=1` forces the contract plans (its default
+    * [[benchOverrides]] operator-only plans must pass the guard). */
+  def cartesianAllow: Set[String] = Set("q_embed_neardup", "q_semdedup")
 
   /** Query-term set for the BM25 row — shared with the generated oracle. */
   private val Bm25QueryTerms: Seq[String] = Seq("spark", "join", "merge")
@@ -3018,6 +3100,12 @@ object SparkEntry {
 
     "q_embed_knn_ivfpq" ->
       """SELECT count(DISTINCT vec_id) AS n_queries, true AS recall_ok
+         FROM embeddings WHERE vec_id < 32""",
+
+    // batch/driver ADC parity is asserted in-plan; the oracle pins the
+    // query count and the parity boolean
+    "q_embed_knn_pq_batch" ->
+      """SELECT count(DISTINCT vec_id) AS n_queries, true AS paths_match
          FROM embeddings WHERE vec_id < 32""",
 
     "q_embed_knn_rerank" ->

@@ -17,12 +17,20 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Arm the analysis-phase CartesianGuard for the whole dump: any query
+    // whose plan would nested-loop two >64 KB relations fails loudly here
+    // instead of becoming a 100 TB incident. Only the declared
+    // verification-SF exact twins are exempt (SparkEntry.cartesianAllow).
+    val guardBytes = sys.env.getOrElse("GRAFT_GUARD_BYTES", "65536")
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
+      if (SparkEntry.cartesianAllow(name)) spark.conf.unset(graft.plans.CartesianGuard.ConfKey)
+      else spark.conf.set(graft.plans.CartesianGuard.ConfKey, guardBytes)
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

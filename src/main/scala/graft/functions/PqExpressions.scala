@@ -280,6 +280,151 @@ case class IvfPqAdcScores(
     copy(cellId = newChildren(0), code = newChildren(1), reconNrm = newChildren(2))
 }
 
+/** Query-side planning for BATCHED (join-based) IVF-PQ ADC search: per
+  * query row, emits its `nProbe` best cells as
+  * (cell_id, cent_dot, q_nrm, lut) rows — everything the scoring side
+  * needs, computed MAP-SIDE on the query table. This is what makes the
+  * query side a first-class TABLE instead of driver state: the 100 TB
+  * query set never collects, it shuffles by probed cell into an equi-join
+  * with the cell-partitioned codes.
+  *
+  * Probe ranking replays [[graft.operators.Pq.ivfPqSearch]]'s driver rule
+  * bit-for-bit (cosine against each coarse centroid, zero-norm → 0.0,
+  * ties to the lower cell id), so batch and driver paths return identical
+  * rows for identical inputs. The m × ksub residual LUT (shared across a
+  * query's probes — residual codebooks are cell-independent) is built once
+  * per eval and shared by reference across the emitted rows. */
+case class IvfPqQueryProbes(
+    embedding: Expression,
+    ivfCents: Array[Array[Double]],
+    pqCents: Array[Array[Array[Double]]],
+    nProbe: Int)
+    extends UnaryExpression with Generator with CodegenFallback {
+
+  private val m = pqCents.length
+  private val dsub = pqCents(0)(0).length
+  private val dims = m * dsub
+
+  // per-cell centroid norms are model constants — computed once per
+  // executor deserialization, not per row
+  @transient private lazy val centNrm: Array[Double] =
+    ivfCents.map(c => math.sqrt(c.map(v => v * v).sum))
+
+  override def child: Expression = embedding
+  override def prettyName: String = "ivfpq_query_probes"
+
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("cell_id", IntegerType, nullable = false),
+    StructField("cent_dot", DoubleType, nullable = false),
+    StructField("q_nrm", DoubleType, nullable = false),
+    StructField("lut", ArrayType(ArrayType(DoubleType, containsNull = false), containsNull = false), nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    ArrayTypeChecks.numericArray(embedding.dataType, prettyName, "embedding")
+
+  private lazy val isFloat: Boolean =
+    embedding.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val arrV = embedding.eval(input)
+    if (arrV == null) return Iterator.empty
+    val arr = arrV.asInstanceOf[ArrayData]
+    require(arr.numElements() == dims,
+      s"$prettyName: expected $dims-dim query, got ${arr.numElements()}")
+    val q = new Array[Double](dims)
+    var i = 0
+    if (isFloat) while (i < dims) { q(i) = arr.getFloat(i); i += 1 }
+    else while (i < dims) { q(i) = arr.getDouble(i); i += 1 }
+
+    var qNrmSq = 0.0
+    i = 0
+    while (i < dims) { qNrmSq += q(i) * q(i); i += 1 }
+    val qNrm = math.sqrt(qNrmSq)
+
+    val centDot = new Array[Double](ivfCents.length)
+    var c = 0
+    while (c < ivfCents.length) {
+      val cent = ivfCents(c)
+      var s = 0.0
+      var t = 0
+      while (t < dims) { s += q(t) * cent(t); t += 1 }
+      centDot(c) = s
+      c += 1
+    }
+    // same probe rule as the driver path: (-cosine, cell id)
+    val probedCells = centDot.zipWithIndex
+      .map { case (s, idx) => (if (centNrm(idx) == 0.0) 0.0 else s / centNrm(idx), idx) }
+      .sortBy { case (sim, idx) => (-sim, idx) }
+      .take(nProbe).map(_._2)
+
+    val lut = new GenericArrayData(Array.tabulate[Any](m) { j =>
+      new GenericArrayData(Array.tabulate[Any](pqCents(j).length) { cc =>
+        val cent = pqCents(j)(cc)
+        var s = 0.0
+        var t = 0
+        while (t < dsub) { s += q(j * dsub + t) * cent(t); t += 1 }
+        Double.box(s)
+      })
+    })
+
+    probedCells.iterator.map { cell =>
+      new GenericInternalRow(Array[Any](cell, centDot(cell), qNrm, lut))
+    }
+  }
+
+  override def nullable: Boolean = false
+  override protected def withNewChildInternal(newChild: Expression): IvfPqQueryProbes =
+    copy(embedding = newChild)
+}
+
+/** Scoring side of BATCHED ADC: cosine estimate from a corpus row's
+  * (code, recon_nrm) and a query row's (lut, cent_dot, q_nrm) — the same
+  * arithmetic as [[IvfPqAdcScores]], with the LUT arriving as a COLUMN
+  * (from the cell equi-join) instead of serialized driver state. */
+case class PqLutScore(
+    code: Expression,
+    lut: Expression,
+    centDot: Expression,
+    reconNrm: Expression,
+    qNrm: Expression)
+    extends Expression with CodegenFallback {
+
+  override def children: Seq[Expression] = Seq(code, lut, centDot, reconNrm, qNrm)
+  override def prettyName: String = "pq_lut_score"
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = children.exists(_.nullable)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (code.dataType, lut.dataType, centDot.dataType, reconNrm.dataType, qNrm.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(ArrayType(DoubleType, _), _),
+            DoubleType, DoubleType, DoubleType) => TypeCheckSuccess
+      case (a, b, c, d, e) => TypeCheckFailure(
+        s"$prettyName: inputs must be (array<int>, array<array<double>>, double, double, double), " +
+          s"got (${a.catalogString}, ${b.catalogString}, ${c.catalogString}, ${d.catalogString}, ${e.catalogString})")
+    }
+
+  override def eval(input: InternalRow): Any = {
+    val codeV = code.eval(input)
+    val lutV = lut.eval(input)
+    val cdV = centDot.eval(input)
+    val rnV = reconNrm.eval(input)
+    val qnV = qNrm.eval(input)
+    if (codeV == null || lutV == null || cdV == null || rnV == null || qnV == null) return null
+    val codes = codeV.asInstanceOf[ArrayData].toIntArray()
+    val luts = lutV.asInstanceOf[ArrayData]
+    var s = cdV.asInstanceOf[Double]
+    var j = 0
+    while (j < codes.length) { s += luts.getArray(j).getDouble(codes(j)); j += 1 }
+    val denom = qnV.asInstanceOf[Double] * rnV.asInstanceOf[Double]
+    if (denom == 0.0) 0.0 else s / denom
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): PqLutScore =
+    copy(code = newChildren(0), lut = newChildren(1), centDot = newChildren(2),
+      reconNrm = newChildren(3), qNrm = newChildren(4))
+}
+
 object PqExpressions {
   def pqEncode(embedding: Column, centroids: Array[Array[Array[Double]]]): Column =
     ColumnBridge.column(PqEncode(ColumnBridge.expression(embedding), centroids))
@@ -302,4 +447,19 @@ object PqExpressions {
     ColumnBridge.column(IvfPqAdcScores(
       ColumnBridge.expression(cellId), ColumnBridge.expression(code),
       ColumnBridge.expression(reconNrm), perQuery))
+
+  def ivfPqQueryProbes(
+      embedding: Column,
+      ivfCents: Array[Array[Double]], pqCents: Array[Array[Array[Double]]],
+      nProbe: Int): Column =
+    ColumnBridge.column(IvfPqQueryProbes(
+      ColumnBridge.expression(embedding), ivfCents, pqCents, nProbe))
+
+  def pqLutScore(
+      code: Column, lut: Column, centDot: Column,
+      reconNrm: Column, qNrm: Column): Column =
+    ColumnBridge.column(PqLutScore(
+      ColumnBridge.expression(code), ColumnBridge.expression(lut),
+      ColumnBridge.expression(centDot), ColumnBridge.expression(reconNrm),
+      ColumnBridge.expression(qNrm)))
 }

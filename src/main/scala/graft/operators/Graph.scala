@@ -174,7 +174,10 @@ object Graph {
     val dsts = e.select(col("dst")).distinct()
     val v = dsts.count()
     val outw = e.groupBy(col("src")).agg(sum(col("w")).as("ow"))
-    outw.crossJoin(dsts)
+    // broadcast = the declared "bounded by construction" contract (distinct
+    // states, not data volume) — and what lets the CartesianGuard harness
+    // tell this intentional grid from an accidental cartesian.
+    outw.crossJoin(broadcast(dsts))
       .join(e, Seq("src", "dst"), "left")
       .select(col("src"), col("dst"),
         coalesce(col("w"), lit(0.0)).cast("long").as("n_obs"),

@@ -28,13 +28,13 @@ import graft.functions._
   */
 object Pq {
 
-  /** `centroids(j)(c)` = subspace j's centroid c (d/m doubles);
-    * `normSq(j)(c)` = its squared L2 norm (reconstruction-norm lookups). */
+  /** `centroids(j)(c)` = subspace j's centroid c (d/m doubles).
+    * Reconstruction norms are precomputed at ENCODE time (`recon_nrm`
+    * rides the encoded table), so the codebook carries no derived state. */
   final case class Codebook(
       m: Int,
       dsub: Int,
-      centroids: Array[Array[Array[Double]]],
-      normSq: Array[Array[Double]])
+      centroids: Array[Array[Array[Double]]])
 
   /** Train per-subspace k-means codebooks on a deterministic bounded
     * hash-sample (≤ `trainCap` vectors collected to the driver — the
@@ -73,7 +73,7 @@ object Pq {
       // per-subspace seed keeps subquantizers independent but deterministic
       IvfIndex.lloyd(sub, ksub, seed + j, maxIter, tol)
     }
-    Codebook(m, dsub, cents, cents.map(_.map(c => c.map(v => v * v).sum)))
+    Codebook(m, dsub, cents)
   }
 
   /** Encode: one distributed pass through the native [[graft.functions.PqEncode]]
@@ -102,7 +102,8 @@ object Pq {
       queries: DataFrame,
       k: Int,
       maxQueries: Int = 65536): DataFrame = {
-    val qRows = collectBoundedQueries(queries, maxQueries, "Pq.adcSearch")
+    val qRows = collectBoundedQueries(queries, maxQueries,
+      cb.m.toLong * cb.centroids(0).length * 8, "Pq.adcSearch")
     qRows.foreach { case (_, q) => require(q.length == cb.m * cb.dsub,
       s"Pq.adcSearch: expected ${cb.m * cb.dsub}-dim queries, got ${q.length}") }
 
@@ -130,20 +131,35 @@ object Pq {
       k)
   }
 
+  /** Serialized-LUT byte budget for the driver-resident ADC paths. The
+    * real failure mode of a large query set is not the collect itself but
+    * the m × ksub LUT each query ships inside the serialized scoring
+    * expression — |Q|·m·ksub·8 bytes per TASK — so the admission cap is
+    * priced in LUT bytes, not row count. 64 MB ⇒ 65536 queries at the
+    * default m=8 × ksub=16, shrinking automatically for fatter codebooks.
+    * Beyond it, use [[ivfPqSearchBatch]] — the query side stays a table. */
+  val LutByteBudget: Long = 64L << 20
+
   /** The query side of ADC search is driver-resident (per-query LUTs ship
     * as expression state), so it must be BOUNDED — the same contract as
     * [[Similarity.bruteForceKnn]]'s broadcast side, enforced loudly here
-    * instead of surfacing as a driver OOM: `limit(max+1)` caps the collect
-    * itself, so even a mistakenly-unbounded query set moves at most
-    * max+1 rows. */
+    * instead of surfacing as a driver (or task-deserialization) OOM:
+    * `limit(cap+1)` caps the collect itself, so even a mistakenly-
+    * unbounded query set moves at most cap+1 rows, and the cap is
+    * min(maxQueries, [[LutByteBudget]] / lutBytesPerQuery). */
   private def collectBoundedQueries(
-      queries: DataFrame, maxQueries: Int, who: String): Array[(Long, Array[Double])] = {
+      queries: DataFrame, maxQueries: Int, lutBytesPerQuery: Long,
+      who: String): Array[(Long, Array[Double])] = {
+    val cap = math.min(maxQueries.toLong, LutByteBudget / math.max(1L, lutBytesPerQuery)).toInt
     val rows = queries.select(col("vec_id"), col("embedding"))
-      .limit(maxQueries + 1).collect()
+      .limit(cap + 1).collect()
     require(rows.nonEmpty, s"$who: empty query set")
-    require(rows.length <= maxQueries,
-      s"$who: query set exceeds maxQueries=$maxQueries — ADC queries are " +
-        "driver-resident (per-query LUTs); batch the query set or raise the cap")
+    require(rows.length <= cap,
+      s"$who: query set exceeds cap=$cap (maxQueries=$maxQueries, LUT byte " +
+        s"budget ${LutByteBudget >> 20} MB at $lutBytesPerQuery B/query) — ADC " +
+        "queries are driver-resident (per-query LUTs ride the serialized " +
+        "expression); use the batched join-based search for query TABLES, " +
+        "or batch the query set")
     rows.map(r => (r.getLong(0), r.getSeq[Float](1).iterator.map(_.toDouble).toArray))
   }
 
@@ -227,8 +243,7 @@ object Pq {
       .select(col("vec_id"), col("cell_id"),
         col("pq.code").as("code"), col("pq.recon_nrm").as("recon_nrm"))
 
-    IvfPqIndex(encoded, ivfCents, Codebook(m, dsub, pqCents,
-      pqCents.map(_.map(c => c.map(v => v * v).sum))))
+    IvfPqIndex(encoded, ivfCents, Codebook(m, dsub, pqCents))
   }
 
   /** IVF-PQ ADC search: each (bounded, collected) query ranks the coarse
@@ -248,7 +263,10 @@ object Pq {
     val nLists = index.ivfCents.length
     require(nProbe >= 1 && nProbe <= nLists,
       s"ivfPqSearch: nProbe must be in [1, $nLists], got $nProbe")
-    val qRows = collectBoundedQueries(queries, maxQueries, "ivfPqSearch")
+    // per-query serialized state: the residual LUT plus the per-cell dot
+    // table and probe bitmask
+    val qRows = collectBoundedQueries(queries, maxQueries,
+      cb.m.toLong * cb.centroids(0).length * 8 + nLists.toLong * 9, "ivfPqSearch")
 
     val perQuery = qRows.map { case (qid, q) =>
       require(q.length == dims, s"ivfPqSearch: expected $dims-dim queries, got ${q.length}")
@@ -294,6 +312,55 @@ object Pq {
             .ivfPqAdcScores(col("cell_id"), col("code"), col("recon_nrm"), perQuery)
             .as(Seq("query_id", "cosine")))
         .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
+        .filter(col("query_id") =!= col("neighbor_id")),
+      k)
+  }
+
+  /** BATCHED IVF-PQ ADC search — the query side is a TABLE, never driver
+    * state. This is the 100 TB shape when the "queries" are themselves a
+    * corpus (joining two embedding stores, nightly re-ranking, dedup of a
+    * new crawl against an index): [[ivfPqSearch]]'s per-query driver
+    * planning caps out at [[LutByteBudget]], while here
+    *
+    *   1. each query row plans ITSELF map-side — probe cells, q·centroid
+    *      dots, and the m × ksub residual LUT come out of the
+    *      [[graft.functions.IvfPqQueryProbes]] generator (the codebook
+    *      ships once inside the expression, not once per query);
+    *   2. queries shuffle by probed `cell_id` into a plain EQUI-join with
+    *      the cell-partitioned codes — hash join, partition-prunable at
+    *      rest, no nested loop, no collect;
+    *   3. scoring reads only (code, recon_nrm) per corpus row via
+    *      [[graft.functions.PqLutScore]]; per-query top-k via the bounded
+    *      heap.
+    *
+    * Each corpus vector lives in exactly one cell and a query's probes are
+    * distinct cells, so (query, neighbor) pairs are unique by construction
+    * — no dedup stage. Results are row-identical to [[ivfPqSearch]] for
+    * the same index and nProbe (same probe ranking, same arithmetic, same
+    * rounding); SparkEntry's `q_embed_knn_pq_batch` asserts exactly that
+    * in-plan. The LUT (~m·ksub·8 B) rides the shuffle nProbe times per
+    * query — at m=8 × ksub=16 that is 1 KB × nProbe, small against the
+    * embedding it replaces. */
+  def ivfPqSearchBatch(
+      index: IvfPqIndex,
+      queries: DataFrame,
+      k: Int,
+      nProbe: Int = 4): DataFrame = {
+    val cb = index.cb
+    val nLists = index.ivfCents.length
+    require(nProbe >= 1 && nProbe <= nLists,
+      s"ivfPqSearchBatch: nProbe must be in [1, $nLists], got $nProbe")
+    val qplan = queries
+      .select(col("vec_id").as("query_id"),
+        graft.functions.PqExpressions
+          .ivfPqQueryProbes(col("embedding"), index.ivfCents, cb.centroids, nProbe)
+          .as(Seq("cell_id", "cent_dot", "q_nrm", "lut")))
+    Similarity.rankTopK(
+      qplan.join(index.encoded, Seq("cell_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          round(graft.functions.PqExpressions.pqLutScore(
+            col("code"), col("lut"), col("cent_dot"), col("recon_nrm"), col("q_nrm")), 6)
+            .as("cosine"))
         .filter(col("query_id") =!= col("neighbor_id")),
       k)
   }

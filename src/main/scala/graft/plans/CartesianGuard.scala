@@ -1,41 +1,100 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{And, EqualNullSafe, EqualTo, Expression}
 import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
-import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan, ResolvedHint}
 
-/** 100 TB guardrail: reject unhinted cartesian products between two LARGE
-  * relations at analysis time, before any job is launched.
+/** 100 TB guardrail: reject joins that would nested-loop two LARGE
+  * relations, at analysis time, before any job is launched.
   *
-  * At cluster scale an accidental `join` without keys (or a typo'd
-  * condition that degenerates to `true`) is the single most expensive class
-  * of user error — |L|×|R| rows materialize before anything downstream can
-  * filter. Legitimate cartesians (dim × domain scaffolds, bounded
-  * query-set × corpus ANN) are small on at least one side, which is exactly
-  * the check: both sides' estimated sizes must exceed `maxBytes` for the
-  * query to be rejected.
+  * At cluster scale an accidental cartesian (a `join` without keys, a
+  * typo'd condition that degenerates to `true`, or a pure range condition
+  * like `a.id < b.id` that the planner can only execute as
+  * BroadcastNestedLoopJoin / CartesianProduct) is the single most
+  * expensive class of user error — |L|×|R| pairs are enumerated before
+  * anything downstream can filter. So the check is on the PLANNER's terms,
+  * not the syntax: an Inner/Cross join whose condition contains no usable
+  * equi-key conjunct (the same shape `ExtractEquiJoinKeys` looks for —
+  * a top-level `=`/`<=>` comparing one side to the other) is a nested-loop
+  * join no matter how selective its filter is.
+  *
+  * Legitimate nested-loop joins declare their bounded side with a
+  * [[org.apache.spark.sql.functions.broadcast]] hint (dim × domain
+  * scaffolds, bounded query-set × corpus ANN) — a hinted side is exempt,
+  * which doubles as the library's convention: if you mean |Q|·|C| with a
+  * small |Q|, SAY so, and the plan you get is the plan you meant. For the
+  * rest, both sides' estimated sizes must exceed `maxBytes` for the query
+  * to be rejected (without CBO, `Filter` keeps its child's size estimate,
+  * so genuinely-small filtered sides either carry a hint or stay under the
+  * threshold via their source relation).
   *
   * Opt-in via `spark.graft.cartesianGuard.maxBytes` (bytes; absent/empty =
   * guard off) so the library never changes engine semantics by default.
   * Registered through [[graft.functions.GraftExtensions]] as a check rule —
-  * the extension-point ladder's analysis-phase hook.
+  * the extension-point ladder's analysis-phase hook. [[graft.Verify]] and
+  * [[graft.Bench]] enable it suite-wide (allowlisting only the
+  * verification-SF self-assert twins), making "no quadratic reachable from
+  * the harness" a structural property instead of a reviewed one.
   */
 object CartesianGuard {
 
   val ConfKey = "spark.graft.cartesianGuard.maxBytes"
 
+  /** Top-level conjuncts of a join condition — an equality under an OR is
+    * NOT a usable join key (`ExtractEquiJoinKeys` splits conjunctions the
+    * same way). */
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case other     => Seq(other)
+  }
+
+  /** Does some conjunct equate an expression over one side's columns with
+    * an expression over the other side's? That is exactly what lets the
+    * planner pick a hash/sort-merge join instead of a nested loop. */
+  private def hasEquiKey(j: Join): Boolean = j.condition.exists { cond =>
+    conjuncts(cond).exists {
+      case cmp @ (_: EqualTo | _: EqualNullSafe) =>
+        val (l, r) = cmp.children match { case Seq(a, b) => (a, b) }
+        l.references.nonEmpty && r.references.nonEmpty &&
+          ((l.references.subsetOf(j.left.outputSet) &&
+            r.references.subsetOf(j.right.outputSet)) ||
+           (l.references.subsetOf(j.right.outputSet) &&
+            r.references.subsetOf(j.left.outputSet)))
+      case _ => false
+    }
+  }
+
+  /** A broadcast hint anywhere below declares the side bounded. */
+  private def broadcastHinted(side: LogicalPlan): Boolean =
+    side.exists {
+      case h: ResolvedHint =>
+        h.hints.strategy.contains(org.apache.spark.sql.catalyst.plans.logical.BROADCAST)
+      case _               => false
+    }
+
   def check(session: SparkSession)(plan: LogicalPlan): Unit = {
     val limit = session.conf.getOption(ConfKey).filter(_.nonEmpty).map(_.toLong)
     limit.foreach { maxBytes =>
       plan.foreach {
-        case j @ Join(left, right, Cross | Inner, None, _) =>
+        // `Dataset.join(right, usingColumns)` first analyzes a PHANTOM
+        // condition-less INNER Join of the two sides (only to resolve
+        // column ambiguity — it never executes), which reaches check rules
+        // as a bare root Join. Exempt exactly that shape (an explicit
+        // crossJoin is Cross-typed and stays caught): any executed query
+        // has at least one operator above its joins (even `.count()` wraps
+        // an Aggregate), so real cartesians are still caught there.
+        case j @ Join(_, _, Inner, None, _) if j eq plan => ()
+        case j @ Join(left, right, Cross | Inner, _, _) if !hasEquiKey(j) &&
+            !broadcastHinted(left) && !broadcastHinted(right) =>
           val l = left.stats.sizeInBytes
           val r = right.stats.sizeInBytes
           if (l > maxBytes && r > maxBytes) {
             throw new IllegalStateException(
-              s"cartesian product of two large relations (est. $l x $r bytes, " +
-                s"guard $maxBytes): add a join condition, reduce a side below the " +
-                s"threshold, or unset $ConfKey. Plan:\n$j")
+              s"nested-loop join of two large relations (no equi-key conjunct, " +
+                s"est. $l x $r bytes, guard $maxBytes): add an equality join " +
+                s"condition, broadcast()-hint the bounded side, or unset " +
+                s"$ConfKey. Plan:\n$j")
           }
         case _ => ()
       }

@@ -1,0 +1,34 @@
+package graft.sources
+
+/** JVM-lifetime memoized staging directories for derived test inputs
+  * (multi-batch stream replays, schema-generation fixtures).
+  *
+  * The staged layout is a pure function of (kind, source dir), so repeated
+  * invocations — Bench's three passes, Verify re-running queries — reuse
+  * ONE staging instead of re-deriving it, and a single shutdown hook
+  * deletes everything: the previous per-call temp dirs leaked table-sized
+  * parquet into /tmp on every run. Staging is INPUT-only; consumers that
+  * need mutable scratch (checkpoints, sinks) must not use this. */
+object Staging {
+
+  private val dirs =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), java.io.File]()
+
+  def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
+  }
+
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      dirs.values.forEach(d => rmTree(d))))
+  }
+
+  /** Get-or-build the staged dir for (kind, sourceDir); `build` runs at
+    * most once per JVM per key (computeIfAbsent's mutual exclusion). */
+  def dir(kind: String, sourceDir: String)(build: java.io.File => Unit): java.io.File =
+    dirs.computeIfAbsent((kind, sourceDir), { _ =>
+      val d = java.nio.file.Files.createTempDirectory(s"graft-$kind").toFile
+      build(d)
+      d
+    })
+}

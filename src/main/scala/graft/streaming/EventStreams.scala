@@ -32,6 +32,31 @@ object EventStreams {
   def readEventStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(Schemas.events).parquet(dir)
 
+  /** Staged multi-batch replay inputs (session-window close row, late-audit
+    * schedule), memoized per (kind, data dir) via [[graft.sources.Staging]]:
+    * the replay layout is a pure function of the input table, so Bench's
+    * three passes reuse ONE staging instead of re-deriving it (an agg(max)
+    * job plus 2-4 parquet writes per call), and Staging's shutdown hook
+    * deletes it — the per-call temp dirs previously leaked events-sized
+    * parquet into /tmp on every run. Staging is INPUT-only; each streaming
+    * query still gets its own fresh checkpoint. */
+  private def stagedDir(kind: String, dir: String)(build: java.io.File => Unit): java.io.File =
+    graft.sources.Staging.dir(kind, dir)(build)
+
+  /** Write one replay batch as a single parquet file named and
+    * modification-stamped so the file source processes it at position
+    * `idx` (oldest-first by mod time; names agree so path order matches). */
+  private def writeReplayPart(streamDir: java.io.File, df: DataFrame, idx: Int): Unit = {
+    import java.nio.file.Files
+    val stage = new java.io.File(streamDir, s"__stage$idx")
+    df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+    val part = stage.listFiles().find(_.getName.endsWith(".parquet")).get
+    val dest = new java.io.File(streamDir, f"batch-$idx%02d.parquet")
+    Files.move(part.toPath, dest.toPath)
+    dest.setLastModified(1700000000000L + idx * 600000L)
+    graft.sources.Staging.rmTree(stage)
+  }
+
   /** Streaming source over the driver testdata layout: the events parquet
     * sits next to nine other tables, so glob-filter it; with
     * `nanosAsLong` the raw ts is INT64 nanos — normalize to µs like
@@ -225,30 +250,20 @@ object EventStreams {
     * and is filtered. Result: bit-equality with the BATCH sessionization
     * — the same oracle SQL verifies both paths. */
   def runStreamSessionWindow(spark: SparkSession, dir: String, name: String): DataFrame = {
-    import java.nio.file.Files
     val saved = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", StreamShuffleWidth)
     try {
       val events = graft.sources.Tables.events(spark, dir)
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
-      val streamDir = Files.createTempDirectory("graft-session-stream").toFile
-      val maxTs = events.agg(max(col("ts"))).head.getTimestamp(0)
-      val closeTs = new java.sql.Timestamp(maxTs.getTime + 2 * 3600 * 1000L)
-      val closeRow = events.limit(1).select(
-        lit(-1L).as("event_id"), lit(closeTs).as("ts"), lit(-1L).as("user_id"),
-        lit("close").as("event_type"), lit(0.0).as("value"))
-      def writePart(df: DataFrame, idx: Int): Unit = {
-        val stage = new java.io.File(streamDir, s"__stage$idx")
-        df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
-        val part = stage.listFiles().find(_.getName.endsWith(".parquet")).get
-        val dest = new java.io.File(streamDir, f"batch-$idx%02d.parquet")
-        Files.move(part.toPath, dest.toPath)
-        dest.setLastModified(1700000000000L + idx * 600000L)
-        def rm(f: java.io.File): Unit = { Option(f.listFiles()).foreach(_.foreach(rm)); f.delete() }
-        rm(stage)
+      val streamDir = stagedDir("session-stream", dir) { sd =>
+        val maxTs = events.agg(max(col("ts"))).head.getTimestamp(0)
+        val closeTs = new java.sql.Timestamp(maxTs.getTime + 2 * 3600 * 1000L)
+        val closeRow = events.limit(1).select(
+          lit(-1L).as("event_id"), lit(closeTs).as("ts"), lit(-1L).as("user_id"),
+          lit("close").as("event_type"), lit(0.0).as("value"))
+        writeReplayPart(sd, events, 0)
+        writeReplayPart(sd, closeRow, 1)
       }
-      writePart(events, 0)
-      writePart(closeRow, 1)
       if (sys.env.contains("GRAFT_STREAM_DEBUG"))
         streamDir.listFiles().sortBy(_.getName).foreach(f =>
           println(s"[sessdbg] ${f.getName} len=${f.length} mod=${f.lastModified}"))
@@ -667,38 +682,26 @@ object EventStreams {
     * harmlessly into any state that still exists, watermark
     * notwithstanding.) */
   def runStreamLateAudit(spark: SparkSession, dir: String, name: String): DataFrame = {
-    import java.nio.file.Files
     val saved = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", StreamShuffleWidth)
     try {
       val events = graft.sources.Tables.events(spark, dir)
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
-      val streamDir = Files.createTempDirectory("graft-late-audit").toFile
-      val late = pmod(col("user_id"), lit(17L)) === 3
-      // the split row and the close offset both anchor on the ON-TIME max
-      // (the late slice may hold the global max; schedule math must not)
-      val maxTs = events.filter(!late).agg(max(col("ts"))).head.getTimestamp(0)
-      val closeTs = new java.sql.Timestamp(maxTs.getTime + 2 * 3600 * 1000L)
-      val closeRow = events.limit(1).select(
-        lit(-1L).as("event_id"), lit(closeTs).as("ts"), lit(0L).as("user_id"),
-        lit("close").as("event_type"), lit(0.0).as("value"))
-      def writePart(df: DataFrame, idx: Int): Unit = {
-        val stage = new java.io.File(streamDir, s"__stage$idx")
-        df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
-        val part = stage.listFiles().find(_.getName.endsWith(".parquet")).get
-        val dest = new java.io.File(streamDir, f"batch-$idx%02d.parquet")
-        Files.move(part.toPath, dest.toPath)
-        // modification times pin the replay order (file source processes
-        // oldest-first); names agree so path order matches too
-        dest.setLastModified(1700000000000L + idx * 600000L)
-        def rm(f: java.io.File): Unit = { Option(f.listFiles()).foreach(_.foreach(rm)); f.delete() }
-        rm(stage)
+      val streamDir = stagedDir("late-audit", dir) { sd =>
+        val late = pmod(col("user_id"), lit(17L)) === 3
+        // the split row and the close offset both anchor on the ON-TIME max
+        // (the late slice may hold the global max; schedule math must not)
+        val maxTs = events.filter(!late).agg(max(col("ts"))).head.getTimestamp(0)
+        val closeTs = new java.sql.Timestamp(maxTs.getTime + 2 * 3600 * 1000L)
+        val closeRow = events.limit(1).select(
+          lit(-1L).as("event_id"), lit(closeTs).as("ts"), lit(0L).as("user_id"),
+          lit("close").as("event_type"), lit(0.0).as("value"))
+        val onTime = events.filter(!late)
+        writeReplayPart(sd, onTime.filter(col("ts") < lit(maxTs)), 0)
+        writeReplayPart(sd, onTime.filter(col("ts") === lit(maxTs)), 1)
+        writeReplayPart(sd, events.filter(late), 2)
+        writeReplayPart(sd, closeRow, 3)
       }
-      val onTime = events.filter(!late)
-      writePart(onTime.filter(col("ts") < lit(maxTs)), 0)
-      writePart(onTime.filter(col("ts") === lit(maxTs)), 1)
-      writePart(events.filter(late), 2)
-      writePart(closeRow, 3)
       val src = spark.readStream
         .schema(events.schema)
         .option("maxFilesPerTrigger", "1")
@@ -759,19 +762,30 @@ object EventStreams {
             .agg(sum(col("n_events")).as("n_events"),
               moneySum(col("value_sum")).as("value_sum"))
         } else daily
-      // materialize BEFORE the delete: the merged slice reads the rows the
-      // delete is about to remove
-      val rows = merged.collect()
+      // Materialize BEFORE the delete (the merged slice reads the rows the
+      // delete is about to remove) — but NOT on the driver: the merged
+      // slice is bounded by date×type cardinality today, yet at cluster
+      // scale a wide batch date-span would make a collect() the one
+      // unbounded driver allocation on this path. A parquet spill keeps
+      // materialization on the executors; the re-insert then streams
+      // executor→DB through Spark's JDBC writer, driver never holding rows.
+      val stage = java.nio.file.Files.createTempDirectory("graft-jdbc-merge").toFile
       try {
-        if (exists) {
-          val st = conn.prepareStatement(s"""DELETE FROM $table WHERE "event_date" = ?""")
-          dates.foreach { d => st.setDate(1, d); st.addBatch() }
-          st.executeBatch()
-          st.close()
-        }
-      } finally conn.close()
-      spark.createDataFrame(java.util.Arrays.asList(rows: _*), merged.schema)
-        .write.mode(org.apache.spark.sql.SaveMode.Append)
-        .option("batchsize", 1000).jdbc(url, table, JdbcDemo.props)
+        merged.write.mode("overwrite").parquet(stage.toString)
+        try {
+          if (exists) {
+            val st = conn.prepareStatement(s"""DELETE FROM $table WHERE "event_date" = ?""")
+            dates.foreach { d => st.setDate(1, d); st.addBatch() }
+            st.executeBatch()
+            st.close()
+          }
+        } finally conn.close()
+        spark.read.schema(merged.schema).parquet(stage.toString)
+          .write.mode(org.apache.spark.sql.SaveMode.Append)
+          .option("batchsize", 1000).jdbc(url, table, JdbcDemo.props)
+      } finally {
+        def rm(f: java.io.File): Unit = { Option(f.listFiles()).foreach(_.foreach(rm)); f.delete() }
+        rm(stage)
+      }
     }
 }

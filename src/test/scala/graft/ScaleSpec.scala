@@ -142,9 +142,28 @@ class ScaleSpec extends AnyFunSuite with SparkSpec {
       intercept[IllegalStateException] {
         CartesianGuard.check(spark)(big1.crossJoin(big2).queryExecution.analyzed)
       }
-      // inner join with NO condition is the typo case — also caught
+      // inner join with NO condition is the typo case — caught as soon as
+      // anything consumes it (even count() wraps an Aggregate above)
       intercept[IllegalStateException] {
-        CartesianGuard.check(spark)(big1.join(big2).queryExecution.analyzed)
+        CartesianGuard.check(spark)(big1.join(big2).select("a").queryExecution.analyzed)
+      }
+      // ...but the BARE root join is exempt: Dataset.join(usingColumns)
+      // analyzes exactly this phantom shape internally and never runs it
+      CartesianGuard.check(spark)(big1.join(big2).queryExecution.analyzed)
+      // a condition with no equi-key conjunct is still a nested loop —
+      // the O(n²) `a.id < b.id` twin shape is caught
+      intercept[IllegalStateException] {
+        CartesianGuard.check(spark)(
+          big1.join(big2, $"a" < $"b").select("a").queryExecution.analyzed)
+      }
+      // a broadcast hint declares the bounded side → allowed
+      CartesianGuard.check(spark)(
+        broadcast(big1).join(big2, $"a" < $"b").select("a").queryExecution.analyzed)
+      // an equality hidden under OR is NOT a usable key → still caught
+      intercept[IllegalStateException] {
+        CartesianGuard.check(spark)(
+          big1.join(big2, $"a" === $"b" || $"a" < $"b").select("a")
+            .queryExecution.analyzed)
       }
       // bounded side → legitimate scaffold/ANN shape, allowed
       val small = spark.range(10).toDF("b")
@@ -168,6 +187,39 @@ class ScaleSpec extends AnyFunSuite with SparkSpec {
     assert(leaf.contains("PartitionFilters") && leaf.contains("cell_id"), leaf)
     val expected = index.assigned.filter($"cell_id" === 1).count()
     assert(read.count() == expected)
+  }
+
+  test("batched ADC: query side is a joined table (map-side probes, equi-join, no driver collect), parity with driver path") {
+    import graft.operators.Pq
+    import graft.plans.CartesianGuard
+    val emb = Tables.embeddings(spark, sf)
+    val idx = Pq.buildIvfPq(spark, emb, dims = 64, nLists = 4, m = 8, ksub = 16)
+    val q = emb.filter($"vec_id" < 8)
+    val search = Pq.ivfPqSearchBatch(idx, q, k = 3, nProbe = 2)
+    // plan shape: the query side plans itself map-side (generator in-plan,
+    // nothing collected to a LocalRelation) and meets the codes in an
+    // EQUI-join on cell_id — guard-armed analysis proves no nested loop
+    spark.conf.set(CartesianGuard.ConfKey, "1000")
+    try CartesianGuard.check(spark)(search.queryExecution.analyzed)
+    finally spark.conf.unset(CartesianGuard.ConfKey)
+    val p = plan(search)
+    assert(p.contains("ivfpq_query_probes"), p)
+    assert(p.contains("Join") && p.contains("cell_id"), p)
+    assert(!search.queryExecution.analyzed.toString.contains("LocalRelation"), "query side was collected")
+    // row-identical to the driver-planned path (same probes, same math)
+    val drv = Pq.ivfPqSearch(idx, q, k = 3, nProbe = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val bat = search.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(drv == bat)
+  }
+
+  test("bench overrides are a subset of the contract and return rows") {
+    val missing = SparkEntry.benchOverrides.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"benchOverrides not in queries: $missing")
+    SparkEntry.benchOverrides.foreach { case (name, fn) =>
+      assert(fn(spark, sf).count() > 0, s"$name operator-only plan returned 0 rows")
+    }
   }
 
   test("IVF-PQ at rest: probe scan prunes to probed cells and reads only code columns") {
