@@ -478,7 +478,8 @@ object Dedup {
       threshold: Double = 0.4): DataFrame = {
     val sig = base
       .select(col("vec_id"), col("embedding"), col("nrm"),
-        explode(Similarity.hyperplaneBands(col("embedding"), bands, rowsPerBand, dims = 64)).as("bb"))
+        explode(Similarity.hyperplaneBands(col("embedding"), bands, rowsPerBand,
+          dims = Similarity.deriveDims(base))).as("bb"))
       .select(col("vec_id"), col("embedding"), col("nrm"), col("bb.band"), col("bb.bucket"))
     // Within-bucket scoring via the native pair generator, not a self-join:
     // the (band, bucket) key domain is small (bands × 2^rowsPerBand), so a

@@ -131,6 +131,16 @@ object Similarity {
       mix64((firstPlane + plane).toLong * dims + j).toDouble / Long.MaxValue.toDouble
     }
 
+  /** Embedding dimensionality from the data: a single-row, column-pruned
+    * probe (the moral equivalent of reading a catalog statistic) — used
+    * when the caller doesn't pass explicit dims, so the default plane
+    * family always matches the corpus instead of assuming 64. */
+  private[operators] def deriveDims(df: DataFrame): Int = {
+    val rows = df.select(size(col("embedding")).as("d")).limit(1).collect()
+    require(rows.nonEmpty, "deriveDims: empty corpus — pass dims explicitly")
+    rows(0).getInt(0)
+  }
+
   /** Sign pattern of the vector against `planes` deterministic random
     * hyperplanes, packed into one long — an LSH bucket key.
     * `firstPlane` offsets the plane family so banded (OR-amplified) schemes
@@ -177,12 +187,20 @@ object Similarity {
     * vectors. */
   def lshKnn(
       queries: DataFrame, candidates: DataFrame, k: Int,
-      planes: Int = 8, dims: Int = 64, bands: Int = 1): DataFrame = {
+      planes: Int = 8, dims: Int = -1, bands: Int = 1): DataFrame = {
+    // dims ≤ 0 (the default) derives the plane dimensionality from the
+    // corpus itself — one single-row probe, the same class of driver work
+    // as reading a catalog statistic. An explicit dims skips the probe
+    // (for planning against an empty frame); either way
+    // [[hyperplaneSignature]] still fails loudly on any row that
+    // disagrees, so a derived value can't silently mis-bucket a mixed
+    // corpus.
+    val d = if (dims > 0) dims else deriveDims(candidates)
     def sig(df: DataFrame, idAs: String, embAs: String, nrmAs: String): DataFrame =
       df.select(
         col("vec_id").as(idAs), col("embedding").as(embAs),
         l2Norm(col("embedding")).as(nrmAs),
-        explode(hyperplaneBands(col("embedding"), bands, planes, dims)).as("bb"))
+        explode(hyperplaneBands(col("embedding"), bands, planes, d)).as("bb"))
         .select(col(idAs), col(embAs), col(nrmAs),
           col("bb.band").as("band"), col("bb.bucket").as("bucket"))
     val q = sig(queries, "query_id", "q_emb", "q_nrm")

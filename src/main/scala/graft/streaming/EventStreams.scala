@@ -70,6 +70,42 @@ object EventStreams {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** Restore an optional conf captured with `conf.getOption`. */
+  private def restoreOpt(spark: SparkSession, key: String, v: Option[String]): Unit =
+    v match {
+      case Some(x) => spark.conf.set(key, x)
+      case None => spark.conf.unset(key)
+    }
+
+  /** File-split size while a stream runner is active: the replay inputs
+    * are single parquet files (events at sf0.1 is ~2 MB), which is ONE
+    * scan task at the 128 MB default — the whole decode runs
+    * single-threaded inside every micro-batch. A small split parallelizes
+    * the scan (isolated probe: ~0.2-0.4 s on a cold first batch;
+    * suite-neutral at steady state where state-store commits dominate —
+    * kept because at larger replay sizes the single-task scan becomes the
+    * bottleneck). Batch queries keep the default. */
+  private val StreamSplitBytes = sys.env.getOrElse("GRAFT_STREAM_SPLIT", "262144")
+
+  /** Run `body` with the trailing no-data micro-batch disabled. Correct
+    * ONLY for queries whose output is fully emitted inside data batches:
+    * complete-mode aggregations (full state re-emits every batch), INNER
+    * stream-stream joins (matches emit on arrival), dedup filters (first
+    * occurrence emits immediately), and `TimeMode.None` stateful
+    * processors (no timers). The no-data batch exists to flush
+    * watermark-GATED emissions — append-mode windowed aggs, outer joins'
+    * null-extended rows, event-time timeouts — and those runners must
+    * keep it; here it is a full planning + state-commit cycle (~0.5 s at
+    * harness scale) that cannot emit anything. */
+  private def withoutNoDataBatch[A](spark: SparkSession)(body: => A): A = {
+    val saved = spark.conf.getOption("spark.sql.streaming.noDataMicroBatches.enabled")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    try body finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", v)
+      case None => spark.conf.unset("spark.sql.streaming.noDataMicroBatches.enabled")
+    }
+  }
+
   /** Runs a streaming transform of the events table to completion
     * (AvailableNow semantics via `processAllAvailable`) and returns the
     * final result — lets the batch-oriented driver gate exercise the real
@@ -87,23 +123,16 @@ object EventStreams {
     // partition count is baked into the checkpoint at first start, so this
     // is a design-time choice, not a tunable.)
     val saved = spark.conf.get("spark.sql.shuffle.partitions")
-    val savedNoData = spark.conf.getOption("spark.sql.streaming.noDataMicroBatches.enabled")
+    val savedSplit = spark.conf.getOption("spark.sql.files.maxPartitionBytes")
     spark.conf.set("spark.sql.shuffle.partitions", StreamShuffleWidth)
-    // Complete-mode output re-emits full state every batch, so the trailing
-    // no-data micro-batch (whose job is to flush append-mode results after
-    // a watermark advance) adds nothing here — skip its fixed cost. Append-
-    // mode runners (join/dedup/sessionize) MUST keep it.
-    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
-    try {
+    spark.conf.set("spark.sql.files.maxPartitionBytes", StreamSplitBytes)
+    try withoutNoDataBatch(spark) {
       val q = transform(withWatermark(readTestdataEventStream(spark, dir)))
         .writeStream.format("memory").queryName(name).outputMode("complete").start()
       try q.processAllAvailable() finally q.stop()
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", saved)
-      savedNoData match {
-        case Some(v) => spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", v)
-        case None => spark.conf.unset("spark.sql.streaming.noDataMicroBatches.enabled")
-      }
+      restoreOpt(spark, "spark.sql.files.maxPartitionBytes", savedSplit)
     }
     spark.table(name)
   }
@@ -134,8 +163,12 @@ object EventStreams {
     * attribute). */
   def runStreamJoin(spark: SparkSession, dir: String, name: String): DataFrame = {
     val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    val savedSplit = spark.conf.getOption("spark.sql.files.maxPartitionBytes")
     spark.conf.set("spark.sql.shuffle.partitions", StreamShuffleWidth)
-    try {
+    spark.conf.set("spark.sql.files.maxPartitionBytes", StreamSplitBytes)
+    // INNER join: matches emit in the batch both sides arrive; the no-data
+    // batch could only evict state, never emit — skip its fixed cost.
+    try withoutNoDataBatch(spark) {
       // ONE source, filtered twice — a stream-stream SELF-join. Two separate
       // readStreams would scan the input once per side per micro-batch.
       val src = readTestdataEventStream(spark, dir)
@@ -144,7 +177,10 @@ object EventStreams {
       val q = intervalJoin(clicks, purchases)
         .writeStream.format("memory").queryName(name).outputMode("append").start()
       try q.processAllAvailable() finally q.stop()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", saved)
+      restoreOpt(spark, "spark.sql.files.maxPartitionBytes", savedSplit)
+    }
     spark.table(name)
   }
 
@@ -185,7 +221,9 @@ object EventStreams {
       name: String,
       cutoff: java.sql.Timestamp): DataFrame = {
     val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    val savedSplit = spark.conf.getOption("spark.sql.files.maxPartitionBytes")
     spark.conf.set("spark.sql.shuffle.partitions", StreamShuffleWidth)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", StreamSplitBytes)
     try {
       // Watermark BEFORE the type/cutoff filters: the watermark must track
       // the full event stream's time, not the filtered click side's — the
@@ -198,7 +236,10 @@ object EventStreams {
       val q = intervalJoinLeft(clicks, purchases)
         .writeStream.format("memory").queryName(name).outputMode("append").start()
       try q.processAllAvailable() finally q.stop()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", saved)
+      restoreOpt(spark, "spark.sql.files.maxPartitionBytes", savedSplit)
+    }
     spark.table(name)
   }
 
@@ -229,7 +270,9 @@ object EventStreams {
       name: String,
       cutoff: java.sql.Timestamp): DataFrame = {
     val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    val savedSplit = spark.conf.getOption("spark.sql.files.maxPartitionBytes")
     spark.conf.set("spark.sql.shuffle.partitions", StreamShuffleWidth)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", StreamSplitBytes)
     try {
       val wm = withWatermark(readTestdataEventStream(spark, dir))
       val clicks = wm.filter(col("event_type") === "click" && col("ts") < lit(cutoff))
@@ -237,7 +280,10 @@ object EventStreams {
       val q = intervalJoinFull(clicks, purchases)
         .writeStream.format("memory").queryName(name).outputMode("append").start()
       try q.processAllAvailable() finally q.stop()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", saved)
+      restoreOpt(spark, "spark.sql.files.maxPartitionBytes", savedSplit)
+    }
     spark.table(name)
   }
 
@@ -251,7 +297,9 @@ object EventStreams {
     * — the same oracle SQL verifies both paths. */
   def runStreamSessionWindow(spark: SparkSession, dir: String, name: String): DataFrame = {
     val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    val savedSplit = spark.conf.getOption("spark.sql.files.maxPartitionBytes")
     spark.conf.set("spark.sql.shuffle.partitions", StreamShuffleWidth)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", StreamSplitBytes)
     try {
       val events = graft.sources.Tables.events(spark, dir)
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
@@ -282,7 +330,10 @@ object EventStreams {
       val agg = sessionCounts(withWatermark(src), "30 minutes")
       val q = agg.writeStream.format("memory").queryName(name).outputMode("append").start()
       try q.processAllAvailable() finally q.stop()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", saved)
+      restoreOpt(spark, "spark.sql.files.maxPartitionBytes", savedSplit)
+    }
     spark.table(name).filter(col("user_id") =!= -1L)
   }
 
@@ -293,11 +344,11 @@ object EventStreams {
   def runStreamStaticEnrich(spark: SparkSession, dir: String, name: String): DataFrame = {
     import spark.implicits._
     val saved = spark.conf.get("spark.sql.shuffle.partitions")
-    val savedNoData = spark.conf.getOption("spark.sql.streaming.noDataMicroBatches.enabled")
+    val savedSplit = spark.conf.getOption("spark.sql.files.maxPartitionBytes")
     spark.conf.set("spark.sql.shuffle.partitions", StreamShuffleWidth)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", StreamSplitBytes)
     // complete-mode output: the trailing no-data flush batch adds nothing
-    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
-    try {
+    try withoutNoDataBatch(spark) {
       val dim = Seq(
         ("view", "engagement"), ("click", "engagement"),
         ("purchase", "conversion"), ("signup", "conversion"),
@@ -312,10 +363,7 @@ object EventStreams {
       try q.processAllAvailable() finally q.stop()
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", saved)
-      savedNoData match {
-        case Some(v) => spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", v)
-        case None => spark.conf.unset("spark.sql.streaming.noDataMicroBatches.enabled")
-      }
+      restoreOpt(spark, "spark.sql.files.maxPartitionBytes", savedSplit)
     }
     spark.table(name)
   }
@@ -328,13 +376,18 @@ object EventStreams {
     * (`q_events_session`) and watermark-advance-tested in ScalaTest. */
   def runStreamSessionize(spark: SparkSession, dir: String, name: String): DataFrame = {
     val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    val savedSplit = spark.conf.getOption("spark.sql.files.maxPartitionBytes")
     spark.conf.set("spark.sql.shuffle.partitions", StreamShuffleWidth)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", StreamSplitBytes)
     try {
       val q = sessionizeStateful(spark, withWatermark(readTestdataEventStream(spark, dir)))
         .toDF()
         .writeStream.format("memory").queryName(name).outputMode("append").start()
       try q.processAllAvailable() finally q.stop()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", saved)
+      restoreOpt(spark, "spark.sql.files.maxPartitionBytes", savedSplit)
+    }
     spark.table(name)
   }
 
@@ -345,8 +398,12 @@ object EventStreams {
     * deliberately doubled stream (the same source unioned with itself). */
   def runStreamDedup(spark: SparkSession, dir: String, name: String): DataFrame = {
     val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    val savedSplit = spark.conf.getOption("spark.sql.files.maxPartitionBytes")
     spark.conf.set("spark.sql.shuffle.partitions", StreamShuffleWidth)
-    try {
+    spark.conf.set("spark.sql.files.maxPartitionBytes", StreamSplitBytes)
+    // dedup is a stateful FILTER: first occurrences emit on arrival; the
+    // no-data batch could only evict key state — skip it.
+    try withoutNoDataBatch(spark) {
       // ONE source unioned with itself: a second readStream over the same
       // path would pay separate file-listing/offset admin per micro-batch.
       val src = readTestdataEventStream(spark, dir)
@@ -356,7 +413,10 @@ object EventStreams {
         .select(col("event_id"), col("event_type"), col("value"))
         .writeStream.format("memory").queryName(name).outputMode("append").start()
       try q.processAllAvailable() finally q.stop()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", saved)
+      restoreOpt(spark, "spark.sql.files.maxPartitionBytes", savedSplit)
+    }
     spark.table(name)
   }
 
@@ -517,11 +577,14 @@ object EventStreams {
   def runStreamRecentPurchases(spark: SparkSession, dir: String, name: String): DataFrame = {
     import spark.implicits._
     val savedWidth = spark.conf.get("spark.sql.shuffle.partitions")
+    val savedSplit = spark.conf.getOption("spark.sql.files.maxPartitionBytes")
     val savedProv = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.shuffle.partitions", StreamShuffleWidth)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", StreamSplitBytes)
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    // TimeMode.None: no timers, so the no-data batch can never emit — skip
+    try withoutNoDataBatch(spark) {
       val src = readTestdataEventStream(spark, dir)
         .filter(col("event_type") === "purchase").as[Event]
       val q = src.groupByKey(_.user_id)
@@ -533,10 +596,8 @@ object EventStreams {
       try q.processAllAvailable() finally q.stop()
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", savedWidth)
-      savedProv match {
-        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
-        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-      }
+      restoreOpt(spark, "spark.sql.files.maxPartitionBytes", savedSplit)
+      restoreOpt(spark, "spark.sql.streaming.stateStore.providerClass", savedProv)
     }
     spark.table(name)
   }
@@ -545,11 +606,14 @@ object EventStreams {
   def runStreamTypeProfile(spark: SparkSession, dir: String, name: String): DataFrame = {
     import spark.implicits._
     val savedWidth = spark.conf.get("spark.sql.shuffle.partitions")
+    val savedSplit = spark.conf.getOption("spark.sql.files.maxPartitionBytes")
     val savedProv = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.shuffle.partitions", StreamShuffleWidth)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", StreamSplitBytes)
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    // TimeMode.None: no timers, so the no-data batch can never emit — skip
+    try withoutNoDataBatch(spark) {
       val src = readTestdataEventStream(spark, dir).as[Event]
       val q = src.groupByKey(_.user_id)
         .transformWithState(
@@ -560,10 +624,8 @@ object EventStreams {
       try q.processAllAvailable() finally q.stop()
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", savedWidth)
-      savedProv match {
-        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
-        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-      }
+      restoreOpt(spark, "spark.sql.files.maxPartitionBytes", savedSplit)
+      restoreOpt(spark, "spark.sql.streaming.stateStore.providerClass", savedProv)
     }
     spark.table(name)
   }
@@ -574,11 +636,14 @@ object EventStreams {
   def runStreamRunningTotals(spark: SparkSession, dir: String, name: String): DataFrame = {
     import spark.implicits._
     val savedWidth = spark.conf.get("spark.sql.shuffle.partitions")
+    val savedSplit = spark.conf.getOption("spark.sql.files.maxPartitionBytes")
     val savedProv = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.shuffle.partitions", StreamShuffleWidth)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", StreamSplitBytes)
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    // TimeMode.None: no timers, so the no-data batch can never emit — skip
+    try withoutNoDataBatch(spark) {
       val src = readTestdataEventStream(spark, dir)
         .filter(col("event_type") === "purchase").as[Event]
       val q = src.groupByKey(_.user_id)
@@ -590,10 +655,8 @@ object EventStreams {
       try q.processAllAvailable() finally q.stop()
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", savedWidth)
-      savedProv match {
-        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
-        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-      }
+      restoreOpt(spark, "spark.sql.files.maxPartitionBytes", savedSplit)
+      restoreOpt(spark, "spark.sql.streaming.stateStore.providerClass", savedProv)
     }
     spark.table(name)
   }
@@ -683,7 +746,9 @@ object EventStreams {
     * notwithstanding.) */
   def runStreamLateAudit(spark: SparkSession, dir: String, name: String): DataFrame = {
     val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    val savedSplit = spark.conf.getOption("spark.sql.files.maxPartitionBytes")
     spark.conf.set("spark.sql.shuffle.partitions", StreamShuffleWidth)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", StreamSplitBytes)
     try {
       val events = graft.sources.Tables.events(spark, dir)
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
@@ -692,6 +757,24 @@ object EventStreams {
         // the split row and the close offset both anchor on the ON-TIME max
         // (the late slice may hold the global max; schedule math must not)
         val maxTs = events.filter(!late).agg(max(col("ts"))).head.getTimestamp(0)
+        // STRUCTURAL PIN for the oracle's drop boundary: the engine evicts
+        // window state at the end of batch 2 using wm₂ = secondMax − delay,
+        // while batch 3's late-record admission sees wm₃ = max − delay. The
+        // oracle pins wm₂; the two rules agree iff NO hour-window end falls
+        // in (wm₂, wm₃] — true whenever both watermarks land in the same
+        // hour, which dense data guarantees but nothing enforced. Enforce
+        // it: a violating data distribution now fails LOUDLY here instead
+        // of hash-mismatching the oracle.
+        val secondMax = events.filter(!late).filter(col("ts") < lit(maxTs))
+          .agg(max(col("ts"))).head.getTimestamp(0)
+        val delayMs = 10 * 60 * 1000L
+        val hourMs = 3600 * 1000L
+        require(
+          Math.floorDiv(secondMax.getTime - delayMs, hourMs) ==
+            Math.floorDiv(maxTs.getTime - delayMs, hourMs),
+          s"late-audit schedule: eviction watermark ($secondMax − 10m) and " +
+            s"late-batch watermark ($maxTs − 10m) straddle an hour boundary — " +
+            "the drop rule would be ambiguous; re-derive the split row for this data")
         val closeTs = new java.sql.Timestamp(maxTs.getTime + 2 * 3600 * 1000L)
         val closeRow = events.limit(1).select(
           lit(-1L).as("event_id"), lit(closeTs).as("ts"), lit(0L).as("user_id"),
@@ -712,7 +795,10 @@ object EventStreams {
         .select(col("window.start").as("w_start"), col("n_events"))
       val q = agg.writeStream.format("memory").queryName(name).outputMode("append").start()
       try q.processAllAvailable() finally q.stop()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", saved)
+      restoreOpt(spark, "spark.sql.files.maxPartitionBytes", savedSplit)
+    }
     spark.table(name)
   }
 

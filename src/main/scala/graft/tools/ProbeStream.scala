@@ -19,7 +19,14 @@ object ProbeStream {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    for (width <- Seq("1","2","4","8","16"); round <- 1 to 2) {
+    // GRAFT_PROBE_MPB sweeps file-split sizes instead of state widths
+    val sweep = sys.env.get("GRAFT_PROBE_MPB")
+      .map(_.split(",").toSeq).getOrElse(Seq(""))
+    for (mpb <- sweep; width <- Seq("1", "2", "4", "8", "16"); round <- 1 to 2) {
+      if (mpb.nonEmpty) {
+        spark.conf.set("spark.sql.files.maxPartitionBytes", mpb)
+        println(s"[stream] maxPartitionBytes=$mpb")
+      }
       val saved = spark.conf.get("spark.sql.shuffle.partitions")
       spark.conf.set("spark.sql.shuffle.partitions", width)
       val t0 = System.nanoTime()
