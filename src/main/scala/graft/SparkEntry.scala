@@ -2239,11 +2239,16 @@ object SparkEntry {
     }),
 
     // DAU/WAU via mergeable HLL sketches: ONE sketch per day, trailing
-    // 7-day actives = union of the daily sketches over a CALENDAR range
-    // join (the mergeability story — weekly/monthly rollups reuse the
-    // same daily sketches instead of rescanning users). Self-asserting
-    // ≤5% error vs exact twins; the oracle recomputes the exacts and
-    // pins the booleans.
+    // 7-day actives = union of the daily sketches (the mergeability
+    // story — weekly/monthly rollups reuse the same daily sketches
+    // instead of rescanning users). The rolling window is an EQUI-join:
+    // each daily row explodes to the ≤7 target days it contributes to
+    // (d = dt+0..dt+6), then one hash-shuffle on d merges the sketches —
+    // linear ×7 map-side expansion, never a days×daily nested loop (a
+    // date-BETWEEN join is O(|days|·|rows|) and trips the CartesianGuard
+    // at sf0.1 already). Self-asserting ≤5% error vs exact twins built
+    // the same exploded way; the oracle recomputes the exacts and pins
+    // the booleans.
     "q_dau_mau" -> ((s, d) => {
       val du = Tables.events(s, d)
         .select(to_date(col("ts")).as("dt"), col("user_id")).distinct()
@@ -2251,13 +2256,15 @@ object SparkEntry {
         expr("hll_sketch_agg(user_id)").as("sk"),
         count(lit(1)).as("exact_dau"))
       val days = daily.select(col("dt").as("d"))
-      val wau = days.join(daily,
-          col("dt").between(date_sub(col("d"), 6), col("d")))
+      val off = explode(sequence(lit(0), lit(6))).as("off")
+      val wau = daily.select(col("sk"), expr("date_add(dt, off)").as("d"), off)
+        .join(days, Seq("d")) // only days that exist in the data
         .groupBy(col("d"))
         .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_wau"))
-      val exactWau = days.alias("dd").join(du.alias("u"),
-          col("u.dt").between(date_sub(col("dd.d"), 6), col("dd.d")))
-        .groupBy(col("dd.d")).agg(countDistinct(col("u.user_id")).as("exact_wau"))
+      val exactWau = du
+        .select(col("user_id"), expr("date_add(dt, off)").as("d"), off)
+        .join(days, Seq("d"))
+        .groupBy(col("d")).agg(countDistinct(col("user_id")).as("exact_wau"))
       daily.select(col("dt").as("d"),
           expr("hll_sketch_estimate(sk)").as("est_dau"), col("exact_dau"))
         .join(wau, Seq("d")).join(exactWau, Seq("d"))
