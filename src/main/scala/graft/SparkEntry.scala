@@ -699,6 +699,35 @@ object SparkEntry {
           (coalesce(sum(when(col("in_exact").isNull, 1L)), lit(0L)) === 0L).as("subset_ok"))
     }),
 
+    // INCREMENTAL MinHash near-dup — the per-ingest-batch shape a 100 TB
+    // pipeline actually runs: docs with doc_id % 5 == 0 arrive as the new
+    // batch, the rest are the already-accepted corpus whose banding index
+    // ([[Dedup.bandRows]]) and shingle store exist at rest. Candidates are
+    // two equi-joins — batch bands probing the index on (band, bucket) and
+    // the in-batch self-join — so per-batch cost is |batch|×bands rows;
+    // the historical corpus text is never rescanned. Self-asserting like
+    // q_minhash_lsh: exact ground truth = the complete prefix-filter pair
+    // set restricted to pairs touching the batch (incremental ≡ full
+    // restricted to the batch, property-tested in DedupSpec); the oracle
+    // recomputes that count brute-force and pins the booleans.
+    "q_minhash_incremental" -> ((s, d) => {
+      val shingled = Dedup.shingleSets(Tables.documents(s, d), n = 3)
+      val isNew = col("doc_id") % 5 === 0
+      val oldSh = shingled.filter(!isNew)
+      val inc = Dedup
+        .minHashIncrementalPairs(shingled.filter(isNew), Dedup.bandRows(oldSh), oldSh)
+        .select(col("doc_a"), col("doc_b"), lit(1L).as("in_mh"))
+      val exact = Dedup.prefixFilterPairs(shingled, "doc_id", "sh", threshold = 0.7)
+        .filter(col("doc_a") % 5 === 0 || col("doc_b") % 5 === 0)
+        .select(col("doc_a"), col("doc_b"), lit(1L).as("in_exact"))
+      exact.join(inc, Seq("doc_a", "doc_b"), "full")
+        .agg(
+          coalesce(sum(col("in_exact")), lit(0L)).as("n_exact"),
+          (coalesce(sum(col("in_exact") * col("in_mh")), lit(0L)) >=
+            coalesce(sum(col("in_exact")), lit(0L)) * 0.8).as("recall_ok"),
+          (coalesce(sum(when(col("in_exact").isNull, 1L)), lit(0L)) === 0L).as("subset_ok"))
+    }),
+
     // Near-dup pairs → dedup CLUSTERS (connected components by min-label
     // propagation): the step that turns pairwise similarity into "keep one
     // canonical doc per cluster". Oracle = recursive CTE over the same
@@ -2545,6 +2574,15 @@ object SparkEntry {
     "q_minhash_lsh" -> ((s, d) =>
       Dedup.minHashPairsFromShingles(
         Dedup.shingleSets(Tables.documents(s, d), n = 3))),
+    // Contract form: incremental pairs ⋈ prefix-filter exact + recall agg.
+    // Operator: batch bands probing the at-rest index + in-batch self-join.
+    "q_minhash_incremental" -> ((s, d) => {
+      val shingled = Dedup.shingleSets(Tables.documents(s, d), n = 3)
+      val isNew = col("doc_id") % 5 === 0
+      val oldSh = shingled.filter(!isNew)
+      Dedup.minHashIncrementalPairs(
+        shingled.filter(isNew), Dedup.bandRows(oldSh), oldSh)
+    }),
     // Contract form: banded-LSH pairs ⋈ O(n²) brute-force cosine twin.
     // Operator: hyperplane banding → bucket pair generator → cosine filter.
     "q_embed_neardup" -> ((s, d) =>
@@ -3057,6 +3095,25 @@ object SparkEntry {
            ON a.doc_id < b.doc_id
           AND len(a.s) * 0.7 <= len(b.s) AND len(b.s) * 0.7 <= len(a.s)
          WHERE round(len(list_intersect(a.s, b.s)) * 1.0
+                     / len(list_distinct(list_concat(a.s, b.s))), 6) >= 0.7""",
+
+    // Self-asserting incremental MinHash recall: same brute-force exact
+    // recompute as q_minhash_lsh, restricted to pairs touching the batch
+    // (doc_id % 5 = 0 on either side).
+    "q_minhash_incremental" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+              sh AS (SELECT doc_id,
+                       CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                            ELSE list_distinct([array_to_string(t[i:i+2], ' ')
+                                                for i in range(1, len(t) - 1)])
+                       END AS s
+                     FROM tk)
+         SELECT count(*) AS n_exact, true AS recall_ok, true AS subset_ok
+         FROM sh a JOIN sh b
+           ON a.doc_id < b.doc_id
+          AND len(a.s) * 0.7 <= len(b.s) AND len(b.s) * 0.7 <= len(a.s)
+         WHERE (a.doc_id % 5 = 0 OR b.doc_id % 5 = 0)
+           AND round(len(list_intersect(a.s, b.s)) * 1.0
                      / len(list_distinct(list_concat(a.s, b.s))), 6) >= 0.7""",
 
     // Native SimHash kernel vs interpreted HOF twin — bit identity over the

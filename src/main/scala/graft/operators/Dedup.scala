@@ -143,10 +143,7 @@ object Dedup {
     // (corpus bandwidth × bands at 100 TB). Candidates are deduplicated as
     // bare id pairs, then ONE join back to the compact (doc_id, shingles)
     // table per side feeds exact verification — arrays move 2×, not 2×bands.
-    val banded = shingled
-      .select(col("doc_id"),
-        posexplode(minHashBandBuckets(col("shingles"), bands, rowsPerBand)))
-      .select(col("doc_id"), col("pos").as("band"), col("col").as("bucket"))
+    val banded = bandRows(shingleTable, bands, rowsPerBand)
 
     val candidates = banded.alias("a")
       .join(banded.alias("b"),
@@ -156,6 +153,75 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
 
+    candidates
+      .join(shingled.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), Seq("doc_a"))
+      .join(shingled.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(sortedJaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** `(doc_id, band, bucket)` MinHash banding rows for a `(doc_id, sh)`
+    * shingle table — the at-rest LSH INDEX. Banding a document reads only
+    * that document's shingle set, so in production this compact integer
+    * table is persisted (bucketed by `(band, bucket)`) and APPENDED to per
+    * ingest batch; nothing about the rest of the corpus is touched when a
+    * batch arrives. [[minHashPairsFromShingles]] derives it in-plan for
+    * whole-corpus dedup; [[minHashIncrementalPairs]] joins a new batch
+    * against a prebuilt one. */
+  def bandRows(
+      shingleTable: DataFrame, bands: Int = 16, rowsPerBand: Int = 4): DataFrame =
+    shingleTable
+      .select(col("doc_id"),
+        posexplode(minHashBandBuckets(col("sh"), bands, rowsPerBand)))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("bucket"))
+
+  /** Incremental MinHash near-dup: dedup an incoming batch against an
+    * already-accepted corpus WITHOUT rescanning it — the shape a 100 TB
+    * ingest pipeline actually runs (the whole-corpus self-join of
+    * [[minHashNearDuplicates]] is the bootstrap, this is every batch after).
+    *
+    * Inputs are the batch's `(doc_id, sh)` shingles plus the corpus's
+    * persisted index: [[bandRows]] banding rows and the compact shingle
+    * table (both integer-only, both written once at accept time). Candidate
+    * generation is two equi-joins — batch bands × index bands on
+    * `(band, bucket)`, and the in-batch self-join — so per-batch cost is
+    * `|batch| × bands` rows probing the index, independent of corpus text
+    * size. Exact-Jaccard verification joins candidate ids back to the two
+    * shingle tables (id-selective; at rest the index side is additionally
+    * cut down by bucketing/bloom on `doc_id`). Doc-id spaces of batch and
+    * index must be disjoint (they are successive ingest batches).
+    *
+    * Emits the same `(doc_a, doc_b, jaccard)` rows the full-corpus operator
+    * would for every pair involving a batch document — banding is
+    * per-document, so incremental ≡ full restricted to the batch
+    * (property-tested in DedupSpec). */
+  def minHashIncrementalPairs(
+      newShingles: DataFrame,
+      indexBanded: DataFrame,
+      indexShingles: DataFrame,
+      bands: Int = 16,
+      rowsPerBand: Int = 4,
+      threshold: Double = 0.7): DataFrame = {
+    val newBanded = bandRows(newShingles, bands, rowsPerBand)
+    val vsIndex = newBanded.alias("n")
+      .join(indexBanded.alias("i"),
+        col("n.band") === col("i.band") && col("n.bucket") === col("i.bucket"))
+      .select(least(col("n.doc_id"), col("i.doc_id")).as("doc_a"),
+        greatest(col("n.doc_id"), col("i.doc_id")).as("doc_b"))
+    val inBatch = newBanded.alias("a")
+      .join(newBanded.alias("b"),
+        col("a.band") === col("b.band") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val candidates =
+      vsIndex.unionByName(inBatch).dropDuplicates("doc_a", "doc_b")
+    // Verification join-back reads each side from whichever store holds it;
+    // the union is by-name on the same (doc_id, sh) schema, and the id-equi
+    // joins stay hash joins keyed on candidate ids.
+    val shingled = newShingles.unionByName(indexShingles)
+      .select(col("doc_id"), col("sh").as("shingles"))
     candidates
       .join(shingled.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), Seq("doc_a"))
       .join(shingled.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), Seq("doc_b"))

@@ -35,6 +35,45 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(j > 0.5 && j < 1.0)
   }
 
+  test("minHashIncrementalPairs equals full-corpus MinHash restricted to the batch") {
+    // Banding is per-document, so probing a prebuilt index with a new batch
+    // must reproduce EXACTLY the full-corpus self-join's pairs that touch
+    // the batch — same candidates, same verified jaccard. Batch = ids % 5
+    // == 0. Planted: 100L (new) exact-copies doc 0 (new) → in-batch pair;
+    // 101L (old) exact-copies doc 5 (new) → batch×index pair; 102L (old)
+    // copies doc 7 (old) → old-old pair NEITHER side may emit.
+    // start stride 11, length stride 5 → a base-doc collision needs
+    // i ≡ j (mod 55): none in 0..23, so the planted copies are the only
+    // exact dups (partial-overlap neighbors land near the 0.5 threshold
+    // and may pair too — deterministic, and irrelevant to the equality).
+    val vocab = (0 until 40).map(i => s"t$i")
+    val base = (0 until 24).map { i =>
+      (i.toLong, vocab.slice(i % 11, i % 11 + 10 + (i % 5)).mkString(" "))
+    }
+    val fixture = (base ++ Seq(
+      (100L, base(0)._2), (101L, base(5)._2), (102L, base(7)._2)))
+      .toDF("doc_id", "text")
+    val shingled = Dedup.shingleSets(fixture, n = 3)
+    val isNew = col("doc_id") % 5 === 0
+    val oldSh = shingled.filter(!isNew)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Double]("jaccard"))).toSet
+    val full = pairSet(
+      Dedup.minHashPairsFromShingles(shingled, threshold = 0.5)
+        .filter(col("doc_a") % 5 === 0 || col("doc_b") % 5 === 0))
+    val inc = pairSet(
+      Dedup.minHashIncrementalPairs(
+        shingled.filter(isNew), Dedup.bandRows(oldSh), oldSh, threshold = 0.5))
+    assert(inc == full)
+    assert(inc.exists(p => p._1 == 0L && p._2 == 100L && p._3 == 1.0)) // in-batch
+    assert(inc.exists(p => p._1 == 5L && p._2 == 101L && p._3 == 1.0)) // batch×index
+    // every emitted pair touches the batch — the planted old-old exact dup
+    // (7, 102) in particular must NOT appear
+    assert(inc.forall(p => p._1 % 5 == 0 || p._2 % 5 == 0))
+    assert(inc.nonEmpty && full.nonEmpty)
+  }
+
   test("simHashNearDuplicates flags near-identical token streams") {
     val pairs = Dedup.simHashNearDuplicates(docs, maxHamming = 16).collect()
     assert(pairs.exists(r => r.getAs[Long]("doc_a") == 0L && r.getAs[Long]("doc_b") == 1L))
