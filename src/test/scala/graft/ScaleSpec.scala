@@ -122,6 +122,15 @@ class ScaleSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("Window"), p)
   }
 
+  test("rolling DAU/WAU window is equi-join shaped: no nested-loop join") {
+    // The trailing-7-day sketch merge must explode daily rows to their ≤7
+    // target days and hash-join — a date-BETWEEN days×daily join plans as
+    // BroadcastNestedLoopJoin (O(|days|·|rows|) and guard-rejected).
+    val p = plan(SparkEntry.queries("q_dau_mau")(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("Generate explode"), p)
+  }
+
   test("gap detection is anti-join shaped: no Window operator in the plan") {
     val p = plan(SparkEntry.queries("q_gap_detect")(spark, sf))
     assert(!p.contains("Window"), p)
