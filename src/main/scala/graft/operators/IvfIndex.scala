@@ -65,12 +65,41 @@ object IvfIndex {
     val cents = lloyd(sample, nLists, seed, maxIter, tol)
 
     // one codegen pass: nearest centroid per vector, ties to the lowest cell
-    val assigned = base.select(
+    Index(assignCells(base, cents), cents.zipWithIndex.map { case (c, i) => (i, c) })
+  }
+
+  /** One distributed assignment pass: nearest centroid per vector (ties to
+    * the lowest cell), centroids inlined as broadcast literals. Shared by
+    * the bootstrap [[build]] and the incremental [[addToIndex]]. */
+  private[operators] def assignCells(
+      vectors: DataFrame, cents: Array[Array[Double]]): DataFrame =
+    vectors.select(
       col("vec_id"), col("embedding"),
       array_min(cellDistances(col("embedding"), cents)).getField("cell").as("cell_id"))
 
-    Index(assigned, cents.zipWithIndex.map { case (c, i) => (i, c) })
-  }
+  /** Incremental add — the FAISS `add` path: assign a new batch to an
+    * EXISTING index's cells without retraining or touching the corpus at
+    * rest. The centroids are the persisted model (tiny; inlined as
+    * broadcast literals); per-batch cost is one codegen argmin pass over
+    * the batch, and at rest the new rows APPEND into their cell
+    * partitions (the same partition-pruned layout the probe scan reads).
+    * Assignment is per-vector, so add-then-search ≡ assign-the-full-
+    * corpus-under-the-same-centroids-then-search — property-tested in
+    * ScaleSpec and asserted in-plan by `q_ivf_incremental`. */
+  /** The rebuild twin for parity checks: one-pass assignment of a whole
+    * corpus under an EXISTING index's centroids (what a from-scratch
+    * rebuild with the same model would store). `q_ivf_incremental`
+    * asserts [[addToIndex]]'s rows equal it exactly. */
+  def rebuildAssigned(vectors: DataFrame, index: Index): DataFrame =
+    assignCells(vectors.select(col("vec_id"), col("embedding")),
+      index.centroids.map(_._2))
+
+  def addToIndex(index: Index, newVectors: DataFrame): Index =
+    Index(
+      index.assigned.unionByName(
+        assignCells(newVectors.select(col("vec_id"), col("embedding")),
+          index.centroids.map(_._2))),
+      index.centroids)
 
   /** Search: route each query to its `nProbe` nearest centroids, score only
     * vectors in those cells, take cosine top-k. */

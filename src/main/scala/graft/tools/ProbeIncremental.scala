@@ -36,6 +36,22 @@ object ProbeIncremental {
         if (exact.isEmpty) 1.0 else (exact & inc).size.toDouble / exact.size
       println(f"[probe] $sf n_exact=${exact.size} n_inc=${inc.size} " +
         f"recall=$recall%.3f subset=${inc.subsetOf(exact)}")
+
+      // IVF incremental add: search recall@5 with 80%-trained centroids
+      // (q_ivf_incremental floor is 0.65)
+      import graft.operators.{IvfIndex, Similarity}
+      val emb = Tables.embeddings(spark, sf)
+      val isNewV = col("vec_id") % 5 === 0
+      val idx = IvfIndex.addToIndex(
+        IvfIndex.build(spark, emb.filter(!isNewV), nLists = 16), emb.filter(isNewV))
+      val q = emb.filter(col("vec_id") < 32)
+      def knnSet(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("query_id"), col("neighbor_id")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val exactKnn = knnSet(Similarity.bruteForceKnn(q, emb, k = 5))
+      val ivfKnn = knnSet(IvfIndex.search(spark, idx, q, k = 5, nProbe = 8))
+      println(f"[probe] $sf ivf_incremental recall@5=" +
+        f"${(exactKnn & ivfKnn).size.toDouble / exactKnn.size}%.3f")
     }
     spark.stop()
   }

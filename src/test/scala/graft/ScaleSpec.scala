@@ -223,6 +223,22 @@ class ScaleSpec extends AnyFunSuite with SparkSpec {
     assert(drv == bat)
   }
 
+  test("IVF incremental add equals a rebuild under the same centroids") {
+    import graft.operators.IvfIndex
+    val emb = Tables.embeddings(spark, sf)
+    val isNew = $"vec_id" % 5 === 0
+    val idx0 = IvfIndex.build(spark, emb.filter(!isNew), nLists = 4)
+    val idx = IvfIndex.addToIndex(idx0, emb.filter(isNew))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"vec_id", $"cell_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSet
+    val inc = rows(idx.assigned)
+    val reb = rows(IvfIndex.rebuildAssigned(emb, idx0))
+    assert(inc == reb)
+    assert(inc.size == emb.count()) // every vector assigned exactly once
+    assert(idx.centroids.sameElements(idx0.centroids)) // model untouched
+  }
+
   test("bench overrides are a subset of the contract and return rows") {
     val missing = SparkEntry.benchOverrides.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"benchOverrides not in queries: $missing")
