@@ -882,6 +882,41 @@ object SparkEntry {
       recall.crossJoin(parity)
     }),
 
+    // INCREMENTAL IVF-PQ maintenance — the FAISS add path for the
+    // compressed tier: coarse centroids AND residual codebooks train on
+    // the 80% corpus, the vec_id % 5 == 0 batch is assigned + residual-
+    // encoded under that frozen model in one codegen pass and appends
+    // into its cell partitions. Self-asserting: ADC search recall@5 vs
+    // the in-plan exact twin (floor 0.35, as q_embed_knn_ivfpq; measured
+    // 0.656 / 0.488 at sf0.01/sf0.1) and ENCODE PARITY — the incremental
+    // index's
+    // (vec_id, cell_id, code, recon_nrm) rows equal a rebuild under the
+    // same model exactly.
+    "q_ivfpq_incremental" -> ((s, d) => {
+      import graft.operators.Pq
+      val emb = Tables.embeddings(s, d)
+      val isNew = col("vec_id") % 5 === 0
+      val idx0 = Pq.buildIvfPq(s, emb.filter(!isNew), dims = 64, nLists = 16, m = 16, ksub = 64)
+      val idx = Pq.addToIvfPq(idx0, emb.filter(isNew))
+      val q = emb.filter(col("vec_id") < 32)
+      val exact = Similarity.bruteForceKnn(q, emb, k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val approx = Pq.ivfPqSearch(idx, q, k = 5, nProbe = 8)
+        .select(col("query_id"), col("neighbor_id")).withColumn("hit", lit(1L))
+      val recall = exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+        .agg(countDistinct(col("query_id")).as("n_queries"),
+          (coalesce(sum(col("hit")), lit(0L)) >= count(lit(1)) * 0.35).as("recall_ok"))
+      val parity = idx.encoded
+        .select(col("vec_id"), col("cell_id"), col("code"), col("recon_nrm"))
+        .join(Pq.rebuildEncoded(emb, idx0).select(col("vec_id"),
+          col("cell_id").as("c2"), col("code").as("k2"),
+          col("recon_nrm").as("n2")), Seq("vec_id"), "full")
+        .agg((sum(when(col("cell_id") =!= col("c2") || col("code") =!= col("k2")
+          || col("recon_nrm") =!= col("n2") || col("cell_id").isNull
+          || col("c2").isNull, 1L).otherwise(0L)) === 0L).as("parity_ok"))
+      recall.crossJoin(parity)
+    }),
+
     // Product-quantization ADC search (FAISS PQ, Jégou 2011), SELF-
     // ASSERTING like the LSH/IVF rows: recall@5 vs the in-plan exact
     // brute-force twin. m=16 × ksub=64 → 16-byte codes (16× compression);
@@ -3197,6 +3232,13 @@ object SparkEntry {
     // are asserted in-plan; the oracle pins the query-set size and both
     // assertion outcomes.
     "q_ivf_incremental" ->
+      """SELECT count(DISTINCT vec_id) AS n_queries, true AS recall_ok,
+                true AS parity_ok
+         FROM embeddings WHERE vec_id < 32""",
+
+    // Incremental IVF-PQ add: recall floor + add≡rebuild encode parity
+    // asserted in-plan, oracle pins the outcomes.
+    "q_ivfpq_incremental" ->
       """SELECT count(DISTINCT vec_id) AS n_queries, true AS recall_ok,
                 true AS parity_ok
          FROM embeddings WHERE vec_id < 32""",

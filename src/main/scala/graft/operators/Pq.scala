@@ -232,7 +232,17 @@ object Pq {
     }
 
     // one distributed pass: nearest coarse cell + residual encode
-    val encoded = base
+    IvfPqIndex(encodeIvfPqRows(base, ivfCents, pqCents),
+      ivfCents, Codebook(m, dsub, pqCents))
+  }
+
+  /** The one-pass cell-assign + residual-encode projection — shared by the
+    * bootstrap [[buildIvfPq]] and the incremental [[addToIvfPq]]. */
+  private def encodeIvfPqRows(
+      vectors: DataFrame,
+      ivfCents: Array[Array[Double]],
+      pqCents: Array[Array[Array[Double]]]): DataFrame =
+    vectors
       .select(col("vec_id"),
         array_min(IvfIndex.cellDistances(col("embedding"), ivfCents))
           .getField("cell").as("cell_id"),
@@ -243,8 +253,28 @@ object Pq {
       .select(col("vec_id"), col("cell_id"),
         col("pq.code").as("code"), col("pq.recon_nrm").as("recon_nrm"))
 
-    IvfPqIndex(encoded, ivfCents, Codebook(m, dsub, pqCents))
-  }
+  /** Incremental IVF-PQ add — the FAISS `add` path for the compressed
+    * tier: assign + residual-encode a new batch under the EXISTING coarse
+    * centroids and codebooks (both persisted model state, inlined as
+    * literals), appending 16-byte-code rows into their cell partitions.
+    * No retrain, no touch of the encoded corpus at rest; per-batch cost is
+    * one codegen pass over the batch. Encoding is per-vector, so
+    * add-then-search ≡ rebuild-under-the-same-model-then-search —
+    * asserted by ScaleSpec (row equality) like [[IvfIndex.addToIndex]]. */
+  /** The rebuild twin for parity checks: encode a whole corpus under an
+    * EXISTING index's model (what a from-scratch rebuild with the same
+    * centroids + codebooks would store). `q_ivfpq_incremental` asserts
+    * [[addToIvfPq]]'s rows equal it exactly. */
+  def rebuildEncoded(vectors: DataFrame, index: IvfPqIndex): DataFrame =
+    encodeIvfPqRows(vectors.select(col("vec_id"), col("embedding")),
+      index.ivfCents, index.cb.centroids)
+
+  def addToIvfPq(index: IvfPqIndex, newVectors: DataFrame): IvfPqIndex =
+    IvfPqIndex(
+      index.encoded.unionByName(encodeIvfPqRows(
+        newVectors.select(col("vec_id"), col("embedding")),
+        index.ivfCents, index.cb.centroids)),
+      index.ivfCents, index.cb)
 
   /** IVF-PQ ADC search: each (bounded, collected) query ranks the coarse
     * centroids on the driver and probes its `nProbe` best cells; one scan

@@ -52,6 +52,16 @@ object ProbeIncremental {
       val ivfKnn = knnSet(IvfIndex.search(spark, idx, q, k = 5, nProbe = 8))
       println(f"[probe] $sf ivf_incremental recall@5=" +
         f"${(exactKnn & ivfKnn).size.toDouble / exactKnn.size}%.3f")
+
+      // IVF-PQ incremental add: ADC search recall@5 with the 80%-trained
+      // model (q_ivfpq_incremental floor is 0.35)
+      import graft.operators.Pq
+      val pidx = Pq.addToIvfPq(
+        Pq.buildIvfPq(spark, emb.filter(!isNewV), dims = 64, nLists = 16, m = 16, ksub = 64),
+        emb.filter(isNewV))
+      val pqKnn = knnSet(Pq.ivfPqSearch(pidx, q, k = 5, nProbe = 8))
+      println(f"[probe] $sf ivfpq_incremental recall@5=" +
+        f"${(exactKnn & pqKnn).size.toDouble / exactKnn.size}%.3f")
     }
     spark.stop()
   }

@@ -239,6 +239,22 @@ class ScaleSpec extends AnyFunSuite with SparkSpec {
     assert(idx.centroids.sameElements(idx0.centroids)) // model untouched
   }
 
+  test("IVF-PQ incremental add equals a rebuild under the same model") {
+    import graft.operators.Pq
+    val emb = Tables.embeddings(spark, sf)
+    val isNew = $"vec_id" % 5 === 0
+    val idx0 = Pq.buildIvfPq(spark, emb.filter(!isNew), dims = 64, nLists = 4, m = 8, ksub = 16)
+    val idx = Pq.addToIvfPq(idx0, emb.filter(isNew))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"vec_id", $"cell_id", $"code", $"recon_nrm").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2), r.getDouble(3))).toSet
+    val inc = rows(idx.encoded)
+    val reb = rows(Pq.rebuildEncoded(emb, idx0))
+    assert(inc == reb)
+    assert(inc.size == emb.count())
+    assert(idx.ivfCents.sameElements(idx0.ivfCents) && (idx.cb eq idx0.cb))
+  }
+
   test("bench overrides are a subset of the contract and return rows") {
     val missing = SparkEntry.benchOverrides.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"benchOverrides not in queries: $missing")
