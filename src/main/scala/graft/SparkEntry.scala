@@ -1359,6 +1359,17 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), moneySum(col("value")).as("value_sum"))
         .orderBy(col("event_type"))),
 
+    // CONTINUOUS near-dup ingestion — the streaming face of the
+    // incremental MinHash path: documents replay as a 3-batch file stream
+    // and each micro-batch probes the persisted band index, emits its
+    // verified pairs, and appends its banding rows + shingles (foreachBatch;
+    // the accepted corpus is never rescanned). Every pair is examined when
+    // its LATER doc arrives, so streamed pairs ≡ the whole-corpus operator
+    // exactly — asserted in-plan (ids and jaccard values, both
+    // directions); the oracle pins the doc count and both booleans.
+    "q_dedup_ingest_stream" -> ((s, d) =>
+      graft.streaming.DedupIngest.runStreamDedupIngest(s, d)),
+
     // Semi-structured: extract a field from the JSON props column and
     // aggregate on it (get_json_object stays codegen'd; no UDF).
     "q_json_extract" -> ((s, d) =>
@@ -2668,6 +2679,10 @@ object SparkEntry {
     "q_semdedup" -> ((s, d) =>
       graft.operators.IvfIndex.semDedupPairs(
         s, Tables.embeddings(s, d), nLists = 8, tau = 0.4, assignTo = 3)),
+    // Contract form: streamed pairs ⋈ whole-corpus recompute (equality).
+    // Operator: the 3-batch ingest stream probing the persisted band index.
+    "q_dedup_ingest_stream" -> ((s, d) =>
+      graft.streaming.DedupIngest.runStreamDedupIngest(s, d, assertFull = false)),
     // Contract form: batch path ⋈ driver-planned twin (parity assert).
     // Operator: the batched join-based ADC search alone.
     "q_embed_knn_pq_batch" -> ((s, d) => {
@@ -3607,6 +3622,12 @@ object SparkEntry {
     // expected booleans
     "q_events_session_stateful" ->
       "SELECT true AS has_closed_sessions, true AS all_match",
+
+    // streamed-ingest pairs ≡ whole-corpus MinHash operator asserted
+    // in-plan; the oracle pins the corpus size and both booleans
+    "q_dedup_ingest_stream" ->
+      """SELECT count(*) AS n_docs, true AS pairs_nonempty, true AS match_full
+         FROM documents""",
 
     // ------------------------------------------------- round-2 additions ----
 
