@@ -917,6 +917,17 @@ object SparkEntry {
       recall.crossJoin(parity)
     }),
 
+    // CONTINUOUS ANN ingestion — the streaming face of the IVF-PQ add
+    // path: the model trains once on the accepted corpus (encoded rows at
+    // rest, cell-partitioned), then the vec_id % 5 == 0 vectors replay as
+    // a 3-batch file stream and each micro-batch is residual-encoded
+    // under the frozen model and appended into its cell partitions
+    // (foreachBatch; no retrain, no rescan). Encoding is per-vector, so
+    // stream-ingest ≡ rebuild-under-the-same-model exactly — asserted
+    // row-for-row in-plan; the oracle pins the corpus size and booleans.
+    "q_ann_ingest_stream" -> ((s, d) =>
+      graft.streaming.AnnIngest.runStreamAnnIngest(s, d)),
+
     // Product-quantization ADC search (FAISS PQ, Jégou 2011), SELF-
     // ASSERTING like the LSH/IVF rows: recall@5 vs the in-plan exact
     // brute-force twin. m=16 × ksub=64 → 16-byte codes (16× compression);
@@ -2683,6 +2694,10 @@ object SparkEntry {
     // Operator: the 3-batch ingest stream probing the persisted band index.
     "q_dedup_ingest_stream" -> ((s, d) =>
       graft.streaming.DedupIngest.runStreamDedupIngest(s, d, assertFull = false)),
+    // Contract form: at-rest index ⋈ whole-corpus re-encode (parity).
+    // Operator: train + initial encode + the 3-batch cell-append stream.
+    "q_ann_ingest_stream" -> ((s, d) =>
+      graft.streaming.AnnIngest.runStreamAnnIngest(s, d, assertFull = false)),
     // Contract form: batch path ⋈ driver-planned twin (parity assert).
     // Operator: the batched join-based ADC search alone.
     "q_embed_knn_pq_batch" -> ((s, d) => {
@@ -3257,6 +3272,12 @@ object SparkEntry {
       """SELECT count(DISTINCT vec_id) AS n_queries, true AS recall_ok,
                 true AS parity_ok
          FROM embeddings WHERE vec_id < 32""",
+
+    // streamed-ingest index ≡ rebuild-under-the-same-model asserted
+    // row-for-row in-plan; the oracle pins the corpus size and booleans
+    "q_ann_ingest_stream" ->
+      """SELECT count(*) AS n_vecs, true AS appended_nonempty, true AS parity_ok
+         FROM embeddings""",
 
     // PQ/ADC: the recall floor is asserted in-plan vs the exact twin; the
     // oracle pins the query-set size and the assertion outcome.

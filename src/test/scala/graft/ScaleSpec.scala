@@ -255,6 +255,16 @@ class ScaleSpec extends AnyFunSuite with SparkSpec {
     assert(idx.ivfCents.sameElements(idx0.ivfCents) && (idx.cb eq idx0.cb))
   }
 
+  test("streaming ANN ingest: cell-appended batches equal a rebuild under the frozen model") {
+    // the stream is the FAISS add path (assign + residual-encode, append
+    // into cell partitions); parity with a whole-corpus re-encode is
+    // asserted row-for-row (cell_id, code, recon_nrm) inside the run
+    val row = graft.streaming.AnnIngest.runStreamAnnIngest(spark, sf).head()
+    assert(row.getAs[Boolean]("appended_nonempty"))
+    assert(row.getAs[Boolean]("parity_ok"))
+    assert(row.getAs[Long]("n_vecs") == Tables.embeddings(spark, sf).count())
+  }
+
   test("bench overrides are a subset of the contract and return rows") {
     val missing = SparkEntry.benchOverrides.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"benchOverrides not in queries: $missing")
