@@ -48,34 +48,6 @@ object AnnIngest {
       }
     }
 
-  /** The frozen model is the operator's INPUT, not its work — a continuous
-    * ingest pipeline trains once (offline) and then encodes forever under
-    * that model. Memoize it per (data dir) exactly as the replay inputs
-    * are memoized: Bench's three passes and Verify's re-runs reuse one
-    * training, and the per-run cost is what the pipeline actually pays
-    * per batch. Deterministic (fixed seed, fixed corpus), so every pass
-    * sees the identical model. */
-  private val models =
-    new java.util.concurrent.ConcurrentHashMap[String, Pq.IvfPqIndex]()
-
-  private def frozenModel(spark: SparkSession, dir: String): Pq.IvfPqIndex =
-    models.computeIfAbsent(dir, { _ =>
-      val emb = Tables.embeddings(spark, dir)
-      Pq.buildIvfPq(spark, emb.filter(!(col("vec_id") % 5 === 0)),
-        dims = 64, nLists = 16, m = 16, ksub = 64)
-    })
-
-  /** The accepted corpus encoded at rest (cell-partitioned parquet), staged
-    * once per JVM; each run COPIES it into the run's scratch dir because
-    * the index is per-run MUTABLE state (the stream appends into it) and
-    * Staging is input-only. The copy is code-sized — 16-byte codes, not
-    * embeddings. */
-  private def stagedIndex(spark: SparkSession, dir: String): java.io.File =
-    Staging.dir("ann-index", dir) { d =>
-      frozenModel(spark, dir).encoded
-        .write.partitionBy("cell_id").parquet(new java.io.File(d, "index").toString)
-    }
-
   private def copyTree(src: java.io.File, dst: java.io.File): Unit = {
     if (src.isDirectory) {
       dst.mkdirs()
@@ -102,10 +74,14 @@ object AnnIngest {
       spark: SparkSession, dir: String,
       nBatches: Int = 3, assertFull: Boolean = true): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    // The frozen model: trained on the accepted corpus only — exactly
-    // q_ivfpq_incremental's model, so recall floors carry over.
-    val idx0 = frozenModel(spark, dir)
-    val idxAtRest = stagedIndex(spark, dir)
+    // The frozen model: trained once per JVM on the accepted corpus only
+    // (exactly q_ivfpq_incremental's model, so recall floors carry over),
+    // staged cell-partitioned at rest — the operator's INPUT state, see
+    // [[graft.operators.IndexRegistry]]. Each run COPIES the staged files
+    // into its scratch dir: the index is per-run MUTABLE (the stream
+    // appends into it) and the staged copy is input-only.
+    val idx0 = graft.operators.IndexRegistry.ivfPq80(spark, dir)
+    val idxAtRest = graft.operators.IndexRegistry.ivfPq80StagedDir(spark, dir)
 
     val staged = stagedNewVecs(spark, dir, nBatches)
     val out = java.nio.file.Files.createTempDirectory("graft-ann-ingest").toFile
@@ -117,7 +93,7 @@ object AnnIngest {
       // The accepted corpus at rest: cell-partitioned, the layout
       // ivfPqSearch prunes against (asserted in ScaleSpec for the batch
       // path; the ingest appends land in the same partition dirs).
-      copyTree(new java.io.File(idxAtRest, "index"), encDir)
+      copyTree(idxAtRest, encDir)
 
       val q = spark.readStream.schema(Schemas.embeddings)
         .option("maxFilesPerTrigger", "1")
