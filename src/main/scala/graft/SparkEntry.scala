@@ -2710,11 +2710,12 @@ object SparkEntry {
     // nProbe, m, ksub — and the same deterministic model, so results are
     // identical too).
     // q_embed_knn_lsh is deliberately NOT overridden: its exact twin is a
-    // bounded broadcast-|Q| brute-force scan (linear, not O(n²)), and the
-    // measured contract form benches FASTER than the bare operator at
-    // sf0.1 (0.45 s vs 1.67 s — standalone execution pays the corpus-band
-    // broadcast + 4 sequential stage waves with nothing else in flight;
-    // tools/ProbeLsh.scala records the investigation). The split exists to
+    // bounded broadcast-|Q| brute-force scan (linear, not O(n²)), so the
+    // contract form is already operator-shaped. (An override attempt
+    // exposed a real bug instead: left to size estimates, the bucket join
+    // hash-built the CORPUS-bands side — fatal at scale, and measurably
+    // slow standalone. lshKnn now broadcasts the query side explicitly;
+    // tools/ProbeLsh.scala records the investigation.) The split exists to
     // keep quadratic twins out of the bench, not to strip bounded ones.
     // Contract form: IVF search ⋈ brute-force twin + recall agg.
     // Operator: probe-set planning + cell-pruned in-cell exact scoring.

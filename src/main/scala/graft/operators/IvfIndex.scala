@@ -128,9 +128,12 @@ object IvfIndex {
       l2Norm(col("embedding")).as("c_nrm"))
 
     // final top-k via the bounded-heap aggregate (ships ≤ k rows per
-    // (query, task) instead of window-sorting every scored candidate)
+    // (query, task) instead of window-sorting every scored candidate).
+    // The probe side is |Q|·nProbe rows (bounded); broadcast it explicitly
+    // so the corpus side streams — at rest the cell_id equi-join then
+    // reduces to a partition-pruned scan, never a corpus-side hash build.
     Similarity.rankTopK(
-      probes
+      broadcast(probes)
         .join(corpus, Seq("cell_id"))
         .filter(col("query_id") =!= col("neighbor_id"))
         .select(

@@ -207,7 +207,12 @@ object Similarity {
     val c = sig(
       candidates.repartition(candidates.sparkSession.sparkContext.defaultParallelism),
       "neighbor_id", "c_emb", "c_nrm")
-    val scored = q
+    // The QUERY side is the bounded one (|Q|·bands rows) — broadcast it
+    // explicitly. Left to size estimates, Spark has been seen building the
+    // corpus-bands side instead (fine at test SF, fatal at 100 TB where
+    // the candidate side cannot hash-build); the hint is also the declared
+    // this-side-is-bounded contract the CartesianGuard recognizes.
+    val scored = broadcast(q)
       .join(c, Seq("band", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(
