@@ -1381,6 +1381,17 @@ object SparkEntry {
     "q_dedup_ingest_stream" -> ((s, d) =>
       graft.streaming.DedupIngest.runStreamDedupIngest(s, d)),
 
+    // CONTINUOUS SCD Type 2 maintenance — the streaming face of q_scd2:
+    // status snapshots replay as a date-striped 3-batch file stream and
+    // each micro-batch merges into the at-rest versioned dimension
+    // incrementally (only the batch's keys are touched; only their OPEN
+    // version can close; closed history is immutable and never rewritten).
+    // Stream-merge ≡ one-shot scdType2 over the whole input exactly,
+    // whatever the batch split — asserted row-for-row in-plan; the oracle
+    // pins key cardinality and both booleans.
+    "q_scd2_ingest_stream" -> ((s, d) =>
+      graft.streaming.ScdIngest.runStreamScdIngest(s, d)),
+
     // Semi-structured: extract a field from the JSON props column and
     // aggregate on it (get_json_object stays codegen'd; no UDF).
     "q_json_extract" -> ((s, d) =>
@@ -2701,6 +2712,10 @@ object SparkEntry {
     // Operator: train + initial encode + the 3-batch cell-append stream.
     "q_ann_ingest_stream" -> ((s, d) =>
       graft.streaming.AnnIngest.runStreamAnnIngest(s, d, assertFull = false)),
+    // Contract form: streamed dimension ⋈ whole-input scdType2 (parity).
+    // Operator: the 3-batch incremental merge stream alone.
+    "q_scd2_ingest_stream" -> ((s, d) =>
+      graft.streaming.ScdIngest.runStreamScdIngest(s, d, assertFull = false)),
     // The ANN search family: the contract forms rebuild model + index
     // in-plan so the verify gate can pin recall against an in-plan exact
     // twin, but a deployment trains offline and serves queries against the
@@ -3720,6 +3735,13 @@ object SparkEntry {
     "q_dedup_ingest_stream" ->
       """SELECT count(*) AS n_docs, true AS pairs_nonempty, true AS match_full
          FROM documents""",
+
+    // streamed SCD2 dimension ≡ whole-input scdType2 asserted row-for-row
+    // in-plan; the oracle pins key cardinality and both booleans
+    "q_scd2_ingest_stream" ->
+      """SELECT count(DISTINCT o_custkey) AS n_keys,
+                true AS versions_nonempty, true AS parity_ok
+         FROM orders""",
 
     // ------------------------------------------------- round-2 additions ----
 

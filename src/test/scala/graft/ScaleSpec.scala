@@ -265,6 +265,15 @@ class ScaleSpec extends AnyFunSuite with SparkSpec {
     assert(row.getAs[Long]("n_vecs") == Tables.embeddings(spark, sf).count())
   }
 
+  test("streaming SCD2 ingest: incremental merge equals one-shot scdType2 over the whole input") {
+    // date-striped batches close open intervals / append versions; closed
+    // history immutable; parity asserted row-for-row inside the run
+    val row = graft.streaming.ScdIngest.runStreamScdIngest(spark, sf).head()
+    assert(row.getAs[Boolean]("versions_nonempty"))
+    assert(row.getAs[Boolean]("parity_ok"))
+    assert(row.getAs[Long]("n_keys") > 0)
+  }
+
   test("bench overrides are a subset of the contract and return rows") {
     val missing = SparkEntry.benchOverrides.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"benchOverrides not in queries: $missing")
