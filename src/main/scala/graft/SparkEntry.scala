@@ -1123,6 +1123,35 @@ object SparkEntry {
           deinterleave(col("k"), 1) === col("y"), 0L).otherwise(1L)) === 0L).as("all_match"))
     }),
 
+    // Small-file COMPACTION — the maintenance job every micro-batch ingest
+    // needs (each append leaves width-many small files; scans degrade into
+    // listing + scheduling storms). A deliberately fragmented copy of
+    // lineitem (32 files, staged once per JVM, copied per run — the op
+    // mutates) is rewritten as ⌈bytes/target⌉ files via a SHUFFLE-FREE
+    // coalesce pass and swapped atomically (stage-then-rename; a table
+    // format would make this a metadata commit). SELF-ASSERTING: row count
+    // preserved exactly and file count strictly reduced; the oracle pins
+    // the table's row count and both booleans.
+    "q_compaction" -> ((s, d) => {
+      import graft.operators.Layout
+      val frag = graft.sources.Staging.dir("fragmented-lineitem", d) { f =>
+        Tables.lineitem(s, d).repartition(32)
+          .write.parquet(new java.io.File(f, "table").toString)
+      }
+      val scratch = java.nio.file.Files.createTempDirectory("graft-compact").toFile
+      try {
+        val table = new java.io.File(scratch, "table")
+        graft.sources.Staging.copyTree(new java.io.File(frag, "table"), table)
+        val stats = Layout.compactDir(s, table.toString, targetBytes = 8L * 1024 * 1024)
+        val nRows = Tables.lineitem(s, d).count()
+        import s.implicits._
+        Seq((stats.rows,
+          stats.rows == nRows,
+          stats.filesAfter < stats.filesBefore && stats.filesAfter >= 1))
+          .toDF("n_rows", "rows_match", "files_reduced")
+      } finally graft.sources.Staging.rmTree(scratch)
+    }),
+
     // Per-source quota sampling (domain caps, the pretraining-mix dedupe of
     // over-represented hosts): keep ≤ 20 docs per source by a deterministic
     // hash priority — grouped top-k via the bounded-heap aggregate, so the
@@ -3496,6 +3525,12 @@ object SparkEntry {
 
     "q_zorder_key" ->
       "SELECT count(*) AS n_rows, true AS all_match FROM orders",
+
+    // compaction preserves rows exactly and strictly reduces file count —
+    // both asserted in-plan; the oracle pins the table's cardinality
+    "q_compaction" ->
+      """SELECT count(*) AS n_rows, true AS rows_match, true AS files_reduced
+         FROM lineitem""",
 
     "q_weighted_sample" ->
       """SELECT source, doc_id FROM (

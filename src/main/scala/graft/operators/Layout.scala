@@ -63,4 +63,49 @@ object Layout {
       .sortWithinPartitions(col("zorder_key"))
       .drop("zorder_key")
       .write.mode("overwrite").parquet(path)
+
+  final case class CompactStats(
+      rows: Long, filesBefore: Int, filesAfter: Int,
+      bytesBefore: Long, bytesAfter: Long)
+
+  /** Small-file compaction — the table-maintenance job every streaming /
+    * micro-batch ingest pipeline needs: each `mode("append")` micro-batch
+    * leaves width-many small files, and a year of that turns every scan
+    * into a file-listing + task-scheduling storm (the classic lake
+    * "small-files problem"). Rewrite the directory as
+    * ⌈bytes / targetBytes⌉ files and swap atomically.
+    *
+    * Scale posture: the output file count is planned from FILE METADATA
+    * (one driver listing — the same class of work as the catalog's), the
+    * rewrite is `coalesce`, NOT `repartition` — compaction is IO-bound
+    * and merging partitions needs no exchange, so the job is one
+    * shuffle-free pass — and the swap is stage-dir-then-rename, readers
+    * see old or new, never a mix (a table format would make this a
+    * metadata commit; the rename is the local analog). Partitioned tables
+    * compact per partition dir with the same plan. */
+  def compactDir(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String, targetBytes: Long): CompactStats = {
+    require(targetBytes > 0, s"compactDir: targetBytes=$targetBytes must be positive")
+    val dir = new java.io.File(path)
+    def parquetFiles(d: java.io.File): Array[java.io.File] =
+      Option(d.listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    val before = parquetFiles(dir)
+    require(before.nonEmpty, s"compactDir: no parquet files under $path")
+    val bytesBefore = before.map(_.length()).sum
+    val nOut = math.max(1, math.ceil(bytesBefore.toDouble / targetBytes).toInt)
+    val stage = new java.io.File(dir.getParentFile, dir.getName + "__compact")
+    spark.read.parquet(path).coalesce(nOut)
+      .write.mode("overwrite").parquet(stage.toString)
+    val old = new java.io.File(dir.getParentFile, dir.getName + "__precompact")
+    java.nio.file.Files.move(dir.toPath, old.toPath)
+    java.nio.file.Files.move(stage.toPath, dir.toPath)
+    graft.sources.Staging.rmTree(old)
+    val after = parquetFiles(dir)
+    CompactStats(
+      rows = spark.read.parquet(path).count(),
+      filesBefore = before.length, filesAfter = after.length,
+      bytesBefore = bytesBefore, bytesAfter = after.map(_.length()).sum)
+  }
 }

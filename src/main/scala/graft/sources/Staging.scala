@@ -18,6 +18,21 @@ object Staging {
     Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
   }
 
+  /** Recursive file copy — consumers that MUTATE staged state (ingest
+    * streams appending into an index, compaction rewriting a table) copy
+    * the staged input into per-run scratch first; Staging dirs themselves
+    * are input-only. */
+  def copyTree(src: java.io.File, dst: java.io.File): Unit = {
+    if (src.isDirectory) {
+      dst.mkdirs()
+      Option(src.listFiles()).getOrElse(Array.empty[java.io.File])
+        .foreach(f => copyTree(f, new java.io.File(dst, f.getName)))
+    } else {
+      java.nio.file.Files.copy(src.toPath, dst.toPath)
+      ()
+    }
+  }
+
   locally {
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
       dirs.values.forEach(d => rmTree(d))))

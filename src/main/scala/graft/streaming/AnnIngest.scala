@@ -48,16 +48,6 @@ object AnnIngest {
       }
     }
 
-  private def copyTree(src: java.io.File, dst: java.io.File): Unit = {
-    if (src.isDirectory) {
-      dst.mkdirs()
-      src.listFiles().foreach(f => copyTree(f, new java.io.File(dst, f.getName)))
-    } else {
-      java.nio.file.Files.copy(src.toPath, dst.toPath)
-      ()
-    }
-  }
-
   /** Run the ingest stream to completion and return ONE materialized row:
     * `(n_vecs, appended_nonempty, parity_ok)` where `parity_ok` is the
     * at-rest-index ≡ rebuild-under-the-same-model row equality. The result
@@ -93,7 +83,7 @@ object AnnIngest {
       // The accepted corpus at rest: cell-partitioned, the layout
       // ivfPqSearch prunes against (asserted in ScaleSpec for the batch
       // path; the ingest appends land in the same partition dirs).
-      copyTree(idxAtRest, encDir)
+      Staging.copyTree(idxAtRest, encDir)
 
       val q = spark.readStream.schema(Schemas.embeddings)
         .option("maxFilesPerTrigger", "1")

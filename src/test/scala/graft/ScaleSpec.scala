@@ -274,6 +274,28 @@ class ScaleSpec extends AnyFunSuite with SparkSpec {
     assert(row.getAs[Long]("n_keys") > 0)
   }
 
+  test("compaction rewrites many small files into the planned count, rows intact, no leftovers") {
+    import graft.operators.Layout
+    val scratch = Files.createTempDirectory("graft-compact-spec").toFile
+    try {
+      val table = new java.io.File(scratch, "t")
+      val src = Tables.orders(spark, sf)
+      src.repartition(16).write.parquet(table.toString)
+      def pq(d: java.io.File) = d.listFiles().count(_.getName.endsWith(".parquet"))
+      val nBefore = pq(table)
+      assert(nBefore >= 16) // genuinely fragmented
+      val bytes = table.listFiles().filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+      val target = bytes / 3 + 1 // plan ~3 output files
+      val stats = Layout.compactDir(spark, table.toString, target)
+      assert(stats.filesAfter == math.ceil(bytes.toDouble / target).toInt)
+      assert(pq(table) == stats.filesAfter)
+      assert(stats.rows == src.count())
+      assert(spark.read.parquet(table.toString).count() == stats.rows)
+      // atomic swap left no stage/backup dirs behind
+      assert(scratch.listFiles().map(_.getName).toSet == Set("t"))
+    } finally graft.sources.Staging.rmTree(scratch)
+  }
+
   test("bench overrides are a subset of the contract and return rows") {
     val missing = SparkEntry.benchOverrides.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"benchOverrides not in queries: $missing")
