@@ -928,6 +928,16 @@ object SparkEntry {
     "q_ann_ingest_stream" -> ((s, d) =>
       graft.streaming.AnnIngest.runStreamAnnIngest(s, d)),
 
+    // CONTINUOUS ANN serving — the query-side face of the same at-rest
+    // index: query vectors replay as a 3-batch file stream and each
+    // micro-batch runs the batched join-based ADC search (probe planning
+    // map-side, cell_id equi-join, no driver collect of queries) and
+    // appends its top-k. Search is per-query pure under a frozen index, so
+    // streamed results ≡ one whole-set batched search exactly — asserted
+    // row-for-row in-plan; the oracle pins the query count and booleans.
+    "q_ann_search_stream" -> ((s, d) =>
+      graft.streaming.AnnServe.runStreamAnnServe(s, d)),
+
     // Product-quantization ADC search (FAISS PQ, Jégou 2011), SELF-
     // ASSERTING like the LSH/IVF rows: recall@5 vs the in-plan exact
     // brute-force twin. m=16 × ksub=64 → 16-byte codes (16× compression);
@@ -2745,6 +2755,10 @@ object SparkEntry {
     // Operator: the 3-batch incremental merge stream alone.
     "q_scd2_ingest_stream" -> ((s, d) =>
       graft.streaming.ScdIngest.runStreamScdIngest(s, d, assertFull = false)),
+    // Contract form: streamed results ⋈ whole-set batched search (parity).
+    // Operator: the 3-batch serving stream against the at-rest index.
+    "q_ann_search_stream" -> ((s, d) =>
+      graft.streaming.AnnServe.runStreamAnnServe(s, d, assertFull = false)),
     // The ANN search family: the contract forms rebuild model + index
     // in-plan so the verify gate can pin recall against an in-plan exact
     // twin, but a deployment trains offline and serves queries against the
@@ -3393,6 +3407,12 @@ object SparkEntry {
     "q_ann_ingest_stream" ->
       """SELECT count(*) AS n_vecs, true AS appended_nonempty, true AS parity_ok
          FROM embeddings""",
+
+    // streamed search results ≡ whole-set batched ADC search asserted
+    // row-for-row in-plan; the oracle pins the query-set size and booleans
+    "q_ann_search_stream" ->
+      """SELECT count(*) AS n_queries, true AS results_nonempty, true AS parity_ok
+         FROM embeddings WHERE vec_id % 5 = 1""",
 
     // PQ/ADC: the recall floor is asserted in-plan vs the exact twin; the
     // oracle pins the query-set size and the assertion outcome.

@@ -1,0 +1,108 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{IndexRegistry, Pq}
+import graft.schema.Schemas
+import graft.sources.{Staging, Tables}
+
+/** Continuous ANN serving — the query-side face of the at-rest IVF-PQ
+  * index (the ingest side is [[AnnIngest]]): query vectors arrive as a
+  * replayed file stream and every micro-batch runs the BATCHED join-based
+  * ADC search ([[Pq.ivfPqSearchBatch]] — probe planning map-side, cell_id
+  * equi-join against the cell-partitioned codes, no driver collect of the
+  * query side) and appends its top-k to the results sink. This is the
+  * production batch-scoring shape — nightly-recommendation / streaming-
+  * retrieval pipelines score arriving query tables against an index that
+  * was built offline; per-batch cost is |batch| probe rows against
+  * nProbe/nLists of the codes.
+  *
+  * Search is per-query-row pure (frozen index, frozen probe ranking), so
+  * streamed results ≡ one batched search over the whole query set
+  * EXACTLY, whatever the batch split — `q_ann_search_stream` asserts that
+  * row-for-row (query, neighbor, cosine, rank) in-plan; the oracle pins
+  * the query-set size and the booleans.
+  */
+object AnnServe {
+
+  private val StreamShuffleWidth = sys.env.getOrElse("GRAFT_STREAM_SHUFFLE", "4")
+
+  /** The streamed query set: vec_id ≡ 1 (mod 5), striped into `nBatches`
+    * parquet files by vec_id/5 mod nBatches (memoized per data dir;
+    * Staging's shutdown hook deletes them). */
+  private def stagedQueries(spark: SparkSession, dir: String, nBatches: Int): java.io.File =
+    Staging.dir("ann-serve", dir) { d =>
+      val vecs = Tables.embeddings(spark, dir).filter(col("vec_id") % 5 === 1)
+      (0 until nBatches).foreach { i =>
+        val stage = new java.io.File(d, s"__stage$i")
+        vecs.filter(pmod((col("vec_id") / 5).cast("long"), lit(nBatches)) === i)
+          .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+        val part = stage.listFiles().find(_.getName.endsWith(".parquet")).get
+        val dest = new java.io.File(d, f"batch-$i%02d.parquet")
+        java.nio.file.Files.move(part.toPath, dest.toPath)
+        dest.setLastModified(1700000000000L + i * 600000L)
+        Staging.rmTree(stage)
+      }
+    }
+
+  /** Run the serving stream to completion and return ONE materialized row
+    * `(n_queries, results_nonempty, parity_ok)`; `parity_ok` is the
+    * streamed-results ≡ whole-set batched search row equality.
+    *
+    * `assertFull = false` (the bench-mode form, `SparkEntry
+    * .benchOverrides`) times the serving stream alone — the whole-set
+    * recompute is the verification harness, not the operator. */
+  def runStreamAnnServe(
+      spark: SparkSession, dir: String,
+      nBatches: Int = 3, assertFull: Boolean = true): DataFrame = {
+    val idx = IndexRegistry.ivfPqFull(spark, dir)
+    val staged = stagedQueries(spark, dir, nBatches)
+    val out = java.nio.file.Files.createTempDirectory("graft-ann-serve").toFile
+    val resDir = new java.io.File(out, "results")
+
+    val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", StreamShuffleWidth)
+    try {
+      val q = spark.readStream.schema(Schemas.embeddings)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged.toString)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          Pq.ivfPqSearchBatch(idx, batch, k = 5, nProbe = 8)
+            .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+            .write.mode("append").parquet(resDir.toString)
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+
+      val queries = Tables.embeddings(spark, dir).filter(col("vec_id") % 5 === 1)
+      val streamed = spark.read.parquet(resDir.toString).withColumn("in_s", lit(1L))
+      val row =
+        if (assertFull) {
+          val full = Pq.ivfPqSearchBatch(idx, queries, k = 5, nProbe = 8)
+            .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+            .withColumn("in_f", lit(1L))
+          streamed.join(full,
+            Seq("query_id", "neighbor_id", "cosine", "rank"), "full")
+            .agg(
+              coalesce(sum(col("in_s")), lit(0L)).as("n_results"),
+              (coalesce(sum(when(col("in_s").isNull || col("in_f").isNull, 1L)), lit(0L)) === 0L)
+                .as("parity_ok"))
+            .head()
+        } else {
+          streamed.agg(
+            coalesce(sum(col("in_s")), lit(0L)).as("n_results"),
+            lit(true).as("parity_ok")).head()
+        }
+      val nQueries = queries.count()
+      import spark.implicits._
+      Seq((nQueries, row.getLong(0) > 0L, row.getBoolean(1)))
+        .toDF("n_queries", "results_nonempty", "parity_ok")
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", saved)
+      Staging.rmTree(out)
+    }
+  }
+}

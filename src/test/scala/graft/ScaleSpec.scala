@@ -296,6 +296,12 @@ class ScaleSpec extends AnyFunSuite with SparkSpec {
     } finally graft.sources.Staging.rmTree(scratch)
   }
 
+  test("streaming ANN serving: per-batch batched-ADC results equal the whole-set search") {
+    val row = graft.streaming.AnnServe.runStreamAnnServe(spark, sf).head()
+    assert(row.getAs[Boolean]("results_nonempty"))
+    assert(row.getAs[Boolean]("parity_ok"))
+  }
+
   test("bench overrides are a subset of the contract and return rows") {
     val missing = SparkEntry.benchOverrides.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"benchOverrides not in queries: $missing")
