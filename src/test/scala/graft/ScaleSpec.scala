@@ -274,6 +274,21 @@ class ScaleSpec extends AnyFunSuite with SparkSpec {
     assert(row.getAs[Long]("n_keys") > 0)
   }
 
+  test("ANN search joins hash-build the bounded query/probe side, never the corpus") {
+    import graft.operators.{IndexRegistry, IvfIndex, Similarity}
+    val emb = Tables.embeddings(spark, sf)
+    val q = emb.filter($"vec_id" < 4)
+    // lshKnn: the (band,bucket) bucket join must broadcast the query-bands
+    // side — left to estimates Spark has hash-built the corpus side
+    val lshPlan = plan(Similarity.lshKnn(q, emb, k = 3, planes = 4, bands = 8))
+    val lshJoin = lshPlan.linesIterator.find(_.contains("BroadcastHashJoin")).getOrElse("")
+    assert(lshJoin.contains("BuildLeft"), lshJoin)
+    // IVF search: the cell_id join must broadcast the |Q|·nProbe probe side
+    val ivfPlan = plan(IvfIndex.search(spark, IndexRegistry.ivfFull(spark, sf), q, k = 3, nProbe = 2))
+    val ivfJoin = ivfPlan.linesIterator.find(_.contains("BroadcastHashJoin")).getOrElse("")
+    assert(ivfJoin.contains("BuildLeft"), ivfJoin)
+  }
+
   test("compaction rewrites many small files into the planned count, rows intact, no leftovers") {
     import graft.operators.Layout
     val scratch = Files.createTempDirectory("graft-compact-spec").toFile
