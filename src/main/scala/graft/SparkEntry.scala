@@ -2759,6 +2759,23 @@ object SparkEntry {
     // Operator: the 3-batch serving stream against the at-rest index.
     "q_ann_search_stream" -> ((s, d) =>
       graft.streaming.AnnServe.runStreamAnnServe(s, d, assertFull = false)),
+    // Contract form: sketch estimates ⋈ exact twins (×7 exploded
+    // countDistinct) + ≤5% bound agg. Operator: daily HLL sketches +
+    // trailing-7-day sketch unions — the mergeable-rollup production path.
+    "q_dau_mau" -> ((s, d) => {
+      val du = Tables.events(s, d)
+        .select(to_date(col("ts")).as("dt"), col("user_id")).distinct()
+      val daily = du.groupBy(col("dt")).agg(expr("hll_sketch_agg(user_id)").as("sk"))
+      val days = daily.select(col("dt").as("d"))
+      val off = explode(sequence(lit(0), lit(6))).as("off")
+      val wau = daily.select(col("sk"), expr("date_add(dt, off)").as("d"), off)
+        .join(days, Seq("d"))
+        .groupBy(col("d"))
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_wau"))
+      daily.select(col("dt").as("d"), expr("hll_sketch_estimate(sk)").as("est_dau"))
+        .join(wau, Seq("d"))
+        .orderBy(col("d"))
+    }),
     // The ANN search family: the contract forms rebuild model + index
     // in-plan so the verify gate can pin recall against an in-plan exact
     // twin, but a deployment trains offline and serves queries against the
