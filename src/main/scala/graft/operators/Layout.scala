@@ -108,4 +108,34 @@ object Layout {
       filesBefore = before.length, filesAfter = after.length,
       bytesBefore = bytesBefore, bytesAfter = after.map(_.length()).sum)
   }
+
+  /** Compact a PARTITIONED table in place: every leaf partition dir with
+    * more than one file is compacted independently (the partition value
+    * lives in the dir name, not the files, so a leaf-scoped rewrite
+    * preserves the layout), fragmentation-free leaves are untouched.
+    * This is the shape the micro-batch sinks produce —
+    * `overwritePartitions` / cell-partitioned index appends leave
+    * width-many files per touched partition per trigger. Partitions
+    * compact independently, so at scale this parallelizes trivially and
+    * an interrupted run leaves every partition either old or new —
+    * never mixed. Returns (relative partition path → stats) for the
+    * rewritten leaves. */
+  def compactPartitionedDir(
+      spark: org.apache.spark.sql.SparkSession,
+      root: String, targetBytes: Long): Seq[(String, CompactStats)] = {
+    val rootDir = new java.io.File(root)
+    def parquetCount(d: java.io.File): Int =
+      Option(d.listFiles()).getOrElse(Array.empty[java.io.File])
+        .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    def leaves(d: java.io.File): Seq[java.io.File] =
+      if (parquetCount(d) > 0) Seq(d)
+      else Option(d.listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(_.isDirectory).toSeq.flatMap(leaves)
+    leaves(rootDir)
+      .filter(parquetCount(_) > 1)
+      .map { leaf =>
+        val rel = rootDir.toPath.relativize(leaf.toPath).toString
+        rel -> compactDir(spark, leaf.toString, targetBytes)
+      }
+  }
 }

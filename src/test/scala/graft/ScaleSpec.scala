@@ -317,6 +317,30 @@ class ScaleSpec extends AnyFunSuite with SparkSpec {
     assert(row.getAs[Boolean]("parity_ok"))
   }
 
+  test("partitioned compaction rewrites only fragmented leaves and preserves the table") {
+    import graft.operators.Layout
+    val scratch = Files.createTempDirectory("graft-compact-part").toFile
+    try {
+      val table = new java.io.File(scratch, "t")
+      val src = Tables.orders(spark, sf)
+        .withColumn("yr", year($"o_orderdate"))
+      // fragment every partition: width-many files per partition dir
+      src.repartition(8).write.partitionBy("yr").parquet(table.toString)
+      val totalBefore = spark.read.parquet(table.toString).count()
+      val stats = Layout.compactPartitionedDir(spark, table.toString, targetBytes = 1L << 30)
+      assert(stats.nonEmpty)
+      stats.foreach { case (rel, st) =>
+        assert(rel.startsWith("yr="), rel)
+        assert(st.filesAfter == 1 && st.filesBefore > 1, s"$rel: $st")
+      }
+      val after = spark.read.parquet(table.toString)
+      assert(after.count() == totalBefore)
+      assert(after.columns.contains("yr")) // partition layout preserved
+      // a second pass finds nothing fragmented
+      assert(Layout.compactPartitionedDir(spark, table.toString, 1L << 30).isEmpty)
+    } finally graft.sources.Staging.rmTree(scratch)
+  }
+
   test("bench overrides are a subset of the contract and return rows") {
     val missing = SparkEntry.benchOverrides.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"benchOverrides not in queries: $missing")
