@@ -2609,6 +2609,28 @@ object SparkEntry {
     "q_bigram_lm" -> ((s, d) =>
       graft.functions.TextAnalysis.bigramLogProb(Tables.documents(s, d))),
 
+    // CCNet-style perplexity bucketing: per-source head/middle/tail
+    // terciles over the unigram-LM log-prob (head = most fluent = highest
+    // log-prob; CCNet trains on head+middle and drops tail). One shuffle
+    // on source for the ntile window (partition-parallel, each source
+    // sorts only its own docs), ranking totally ordered by the ROUNDED
+    // score + doc_id so both engines tile identically; per-bucket bounds
+    // via order-insensitive min/max (never a cross-row float sum).
+    "q_ppl_buckets" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val lp = TextAnalysis.unigramLogProb(Tables.documents(s, d))
+      val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("avg_logprob").desc, col("doc_id"))
+      lp.join(src, Seq("doc_id"))
+        .withColumn("bucket", ntile(3).over(w).cast("long"))
+        .groupBy(col("source"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          max(col("avg_logprob")).as("lp_best"),
+          min(col("avg_logprob")).as("lp_worst"))
+        .orderBy(col("source"), col("bucket"))
+    }),
+
     // Inverted-index build: per-term df + capped ascending posting list.
     "q_inverted_index" -> ((s, d) =>
       graft.functions.TextAnalysis.invertedIndex(Tables.documents(s, d), minDf = 50, cap = 5)),
@@ -3547,6 +3569,22 @@ object SparkEntry {
                 round(avg(ln(tf / n_total)), 6) AS avg_logprob
          FROM tok JOIN tf USING (term), tot
          GROUP BY doc_id ORDER BY doc_id""",
+
+    // same tokenization + tf CTEs as q_unigram_lm; tiling ordered by the
+    // rounded score + doc_id (total order) so both engines tile alike
+    "q_ppl_buckets" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+              tf AS (SELECT term, count(*) AS tf FROM tok GROUP BY term),
+              tot AS (SELECT CAST(sum(tf) AS DOUBLE) AS n_total FROM tf),
+              lp AS (SELECT doc_id, round(avg(ln(tf / n_total)), 6) AS avg_logprob
+                     FROM tok JOIN tf USING (term), tot GROUP BY doc_id),
+              b AS (SELECT d.source, lp.doc_id, lp.avg_logprob,
+                           ntile(3) OVER (PARTITION BY d.source
+                                          ORDER BY lp.avg_logprob DESC, lp.doc_id) AS bucket
+                    FROM lp JOIN documents d USING (doc_id))
+         SELECT source, bucket, count(*) AS n_docs,
+                max(avg_logprob) AS lp_best, min(avg_logprob) AS lp_worst
+         FROM b GROUP BY source, bucket ORDER BY source, bucket""",
 
     "q_pii_redact" ->
       """WITH c AS (SELECT c_custkey,
