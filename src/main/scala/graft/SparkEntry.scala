@@ -292,29 +292,31 @@ object SparkEntry {
         .orderBy(col("o_custkey"), col("o_orderkey"))
     }),
 
-    // ntile bucketing (global quartiles by account balance). A global
-    // window is a single-reducer sort — fine for a dim-sized table like
-    // customer; for facts, bucket with width_bucket/percent_rank instead.
-    "q_ntile" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
-      Tables.customer(s, d)
-        .select(col("c_custkey"), col("c_acctbal"), ntile(4).over(w).cast("int").as("quartile"))
-        .orderBy(col("c_custkey"))
-    }),
+    // ntile bucketing (global quartiles by account balance), computed by
+    // the DISTRIBUTED rank (range-repartition + partition-offset rank +
+    // the ntile size formula, Ranking.ntileAssign) — bit-identical to the
+    // window function but with no single-task global sort, so the same
+    // plan survives a fact-sized input.
+    "q_ntile" -> ((s, d) =>
+      graft.operators.Ranking.ntileAssign(
+          Tables.customer(s, d).select(col("c_custkey"), col("c_acctbal")),
+          Nil, Seq(col("c_acctbal"), col("c_custkey")), 4, "quartile")
+        .select(col("c_custkey"), col("c_acctbal"), col("quartile").cast("int").as("quartile"))
+        .orderBy(col("c_custkey"))),
 
-    // Relative-rank windows (no ties possible: the order is total). Global
-    // window ⇒ single-reducer sort — fine on a dim-sized table; on a fact,
-    // approximate with quantile buckets instead (see q_percentiles_approx).
-    "q_percent_rank" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
-      Tables.customer(s, d)
+    // Relative-rank metrics (no ties possible: the order is total, so
+    // percent_rank/cume_dist reduce to closed forms of the row number).
+    // Distributed rank instead of a global window — same rows, no
+    // single-reducer sort.
+    "q_percent_rank" -> ((s, d) =>
+      graft.operators.Ranking.rowNumber(
+          Tables.customer(s, d).select(col("c_custkey"), col("c_acctbal")),
+          Nil, Seq(col("c_acctbal"), col("c_custkey")), "__rn", totalCol = Some("__n"))
         .select(col("c_custkey"), col("c_acctbal"),
-          round(percent_rank().over(w), 6).as("pr"),
-          round(cume_dist().over(w), 6).as("cd"))
-        .orderBy(col("c_custkey"))
-    }),
+          round(when(col("__n") === 1, lit(0.0))
+            .otherwise((col("__rn") - 1).cast("double") / (col("__n") - 1).cast("double")), 6).as("pr"),
+          round(col("__rn").cast("double") / col("__n").cast("double"), 6).as("cd"))
+        .orderBy(col("c_custkey"))),
 
     // Latest-row-per-key compaction (CDC/upsert-log shape).
     "q_latest_per_key" -> ((s, d) =>
@@ -2454,15 +2456,15 @@ object SparkEntry {
     // optimization: dedupe values, not rows): block on the head noun,
     // score Jaro–Winkler ≥ 0.85 with the native kernel (bit-parity with
     // DuckDB's scorer proven by q_fuzzy_match), cluster via connected
-    // components, map row counts back. Name ids are a dense row_number
-    // over the sorted 64-value domain (order-preserving, so min id ⇔ min
-    // name and the canonical member is exact); the single-partition id
-    // window is value-domain-bounded, never row-bounded.
+    // components, map row counts back. Name ids are a dense rank over the
+    // sorted distinct-name domain, minted with the DISTRIBUTED ranking
+    // helper (order-preserving, so min id ⇔ min name and the canonical
+    // member is exact) — no single-partition id window even if the value
+    // domain grows fact-sized.
     "q_entity_resolution" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val parts = Tables.part(s, d)
-      val names = parts.select(col("p_name")).distinct()
-        .withColumn("nid", row_number().over(Window.orderBy(col("p_name"))).cast("long"))
+      val names = graft.operators.Ranking.rowNumber(
+          parts.select(col("p_name")).distinct(), Nil, Seq(col("p_name")), "nid")
         .withColumn("blk", element_at(split(col("p_name"), " "), 2))
         .localCheckpoint(false)
       val pairs = names.alias("a").join(names.alias("b"),
@@ -2611,19 +2613,22 @@ object SparkEntry {
 
     // CCNet-style perplexity bucketing: per-source head/middle/tail
     // terciles over the unigram-LM log-prob (head = most fluent = highest
-    // log-prob; CCNet trains on head+middle and drops tail). One shuffle
-    // on source for the ntile window (partition-parallel, each source
-    // sorts only its own docs), ranking totally ordered by the ROUNDED
-    // score + doc_id so both engines tile identically; per-bucket bounds
-    // via order-insensitive min/max (never a cross-row float sum).
+    // log-prob; CCNet trains on head+middle and drops tail). A per-source
+    // ntile WINDOW would sort every document of a source on one task — and
+    // a pretraining corpus has few, enormous sources (one web crawl is most
+    // of the data) — so buckets come from the distributed rank + the exact
+    // ntile size formula instead (Ranking.ntileAssign: range-repartition,
+    // partition-local rank, broadcast per-(partition,source) offsets —
+    // rank-space thresholds, the same map-side cutoff assignment CCNet
+    // itself uses). Ordering is total via the ROUNDED score + doc_id so
+    // both engines tile identically; per-bucket bounds via
+    // order-insensitive min/max (never a cross-row float sum).
     "q_ppl_buckets" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val lp = TextAnalysis.unigramLogProb(Tables.documents(s, d))
       val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
-      val w = Window.partitionBy(col("source"))
-        .orderBy(col("avg_logprob").desc, col("doc_id"))
-      lp.join(src, Seq("doc_id"))
-        .withColumn("bucket", ntile(3).over(w).cast("long"))
+      graft.operators.Ranking.ntileAssign(
+          lp.join(src, Seq("doc_id")),
+          Seq("source"), Seq(col("avg_logprob").desc, col("doc_id")), 3, "bucket")
         .groupBy(col("source"), col("bucket"))
         .agg(count(lit(1)).as("n_docs"),
           max(col("avg_logprob")).as("lp_best"),

@@ -349,6 +349,61 @@ class ScaleSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  // --- single-task window ban ---------------------------------------------
+  // A WindowExec with an empty partition spec moves ALL its input through
+  // one task. That is only acceptable when the input is a bounded summary
+  // (an aggregate sits between the window and every raw scan — value-domain
+  // or partition-count sized, never row-count sized). These two tests make
+  // that a structural invariant of the bench path.
+
+  private def flattenPlan(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      flattenPlan(a.inputPlan)
+    case other => other +: other.children.flatMap(flattenPlan)
+  }
+
+  /** True iff every path from `p` down to a leaf crosses an aggregate —
+    * i.e. the subtree's cardinality is aggregation-bounded, not row-sized. */
+  private def aggBounded(p: org.apache.spark.sql.execution.SparkPlan): Boolean = p match {
+    case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => true
+    case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => aggBounded(r.child)
+    case leaf if leaf.children.isEmpty => false
+    case other => other.children.forall(aggBounded)
+  }
+
+  test("no single-task global window over row-sized input anywhere on the bench path") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    // Streaming-flavored entries execute their streams at construction time;
+    // their batch twins are covered via the operators they share.
+    val skip = (n: String) => n.contains("stream") || n.startsWith("q_events_")
+    val bad = SparkEntry.queries.keys.toSeq.sorted.filterNot(skip).flatMap { name =>
+      val fn = SparkEntry.benchOverrides.getOrElse(name, SparkEntry.queries(name))
+      flattenPlan(fn(spark, sf).queryExecution.executedPlan).collect {
+        case w: WindowExec if w.partitionSpec.isEmpty && !aggBounded(w.child) =>
+          s"$name: ${w.windowExpression.mkString(",").take(80)}"
+      }
+    }
+    assert(bad.isEmpty,
+      s"single-task global windows over row-sized input:\n${bad.mkString("\n")}")
+  }
+
+  test("ppl bucketing never sorts a whole source on one task (windows are pid-keyed or summary-sized)") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    // The failure mode here is a per-source window (few, enormous groups),
+    // which the empty-spec sweep cannot see: require every window in the
+    // plan to be keyed by the range-partition id (parallel by construction)
+    // or to run over an aggregated summary.
+    val plan = SparkEntry.queries("q_ppl_buckets")(spark, sf).queryExecution.executedPlan
+    val bad = flattenPlan(plan).collect {
+      case w: WindowExec
+          if !w.partitionSpec.exists(_.references.exists(_.name == "__pid")) &&
+            !aggBounded(w.child) =>
+        w.partitionSpec.mkString(",")
+    }
+    assert(bad.isEmpty, s"row-sized windows not keyed by partition id: $bad")
+  }
+
   test("IVF-PQ at rest: probe scan prunes to probed cells and reads only code columns") {
     import graft.operators.Pq
     val emb = Tables.embeddings(spark, sf)
