@@ -922,7 +922,7 @@ object SparkEntry {
     // CONTINUOUS ANN ingestion — the streaming face of the IVF-PQ add
     // path: the model trains once on the accepted corpus (encoded rows at
     // rest, cell-partitioned), then the vec_id % 5 == 0 vectors replay as
-    // a 3-batch file stream and each micro-batch is residual-encoded
+    // a batched file stream and each micro-batch is residual-encoded
     // under the frozen model and appended into its cell partitions
     // (foreachBatch; no retrain, no rescan). Encoding is per-vector, so
     // stream-ingest ≡ rebuild-under-the-same-model exactly — asserted
@@ -931,7 +931,7 @@ object SparkEntry {
       graft.streaming.AnnIngest.runStreamAnnIngest(s, d)),
 
     // CONTINUOUS ANN serving — the query-side face of the same at-rest
-    // index: query vectors replay as a 3-batch file stream and each
+    // index: query vectors replay as a batched file stream and each
     // micro-batch runs the batched join-based ADC search (probe planning
     // map-side, cell_id equi-join, no driver collect of queries) and
     // appends its top-k. Search is per-query pure under a frozen index, so
@@ -1412,7 +1412,7 @@ object SparkEntry {
         .orderBy(col("event_type"))),
 
     // CONTINUOUS near-dup ingestion — the streaming face of the
-    // incremental MinHash path: documents replay as a 3-batch file stream
+    // incremental MinHash path: documents replay as a batched file stream
     // and each micro-batch probes the persisted band index, emits its
     // verified pairs, and appends its banding rows + shingles (foreachBatch;
     // the accepted corpus is never rescanned). Every pair is examined when
@@ -1423,7 +1423,7 @@ object SparkEntry {
       graft.streaming.DedupIngest.runStreamDedupIngest(s, d)),
 
     // CONTINUOUS SCD Type 2 maintenance — the streaming face of q_scd2:
-    // status snapshots replay as a date-striped 3-batch file stream and
+    // status snapshots replay as a date-striped batched file stream and
     // each micro-batch merges into the at-rest versioned dimension
     // incrementally (only the batch's keys are touched; only their OPEN
     // version can close; closed history is immutable and never rewritten).
@@ -2771,19 +2771,19 @@ object SparkEntry {
       graft.operators.IvfIndex.semDedupPairs(
         s, Tables.embeddings(s, d), nLists = 8, tau = 0.4, assignTo = 3)),
     // Contract form: streamed pairs ⋈ whole-corpus recompute (equality).
-    // Operator: the 3-batch ingest stream probing the persisted band index.
+    // Operator: the batched ingest stream probing the persisted band index.
     "q_dedup_ingest_stream" -> ((s, d) =>
       graft.streaming.DedupIngest.runStreamDedupIngest(s, d, assertFull = false)),
     // Contract form: at-rest index ⋈ whole-corpus re-encode (parity).
-    // Operator: train + initial encode + the 3-batch cell-append stream.
+    // Operator: train + initial encode + the batched cell-append stream.
     "q_ann_ingest_stream" -> ((s, d) =>
       graft.streaming.AnnIngest.runStreamAnnIngest(s, d, assertFull = false)),
     // Contract form: streamed dimension ⋈ whole-input scdType2 (parity).
-    // Operator: the 3-batch incremental merge stream alone.
+    // Operator: the batched incremental merge stream alone.
     "q_scd2_ingest_stream" -> ((s, d) =>
       graft.streaming.ScdIngest.runStreamScdIngest(s, d, assertFull = false)),
     // Contract form: streamed results ⋈ whole-set batched search (parity).
-    // Operator: the 3-batch serving stream against the at-rest index.
+    // Operator: the batched serving stream against the at-rest index.
     "q_ann_search_stream" -> ((s, d) =>
       graft.streaming.AnnServe.runStreamAnnServe(s, d, assertFull = false)),
     // Contract form: sketch estimates ⋈ exact twins (×7 exploded

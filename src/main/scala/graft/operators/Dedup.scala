@@ -176,6 +176,18 @@ object Dedup {
         posexplode(minHashBandBuckets(col("sh"), bands, rowsPerBand)))
       .select(col("doc_id"), col("pos").as("band"), col("col").as("bucket"))
 
+  /** Partition count for the at-rest band index layout ([[bandPartition]]).
+    * Config-bounded: probe-side pruning collects at most this many values. */
+  val BandIndexBuckets = 16
+
+  /** The at-rest band index's partition key: `pmod(hash(band, bucket), n)`.
+    * Writers partition the persisted [[bandRows]] table by this column so a
+    * batch probe (equi-join on `(band, bucket)` ⇒ equal `pbkt`) prunes at
+    * rest to the buckets the batch can actually hit — the same posture the
+    * IVF cell layout proves for ANN ([[IndexRegistry]]). */
+  def bandPartition(n: Int = BandIndexBuckets): Column =
+    pmod(hash(col("band"), col("bucket")), lit(n))
+
   /** Incremental MinHash near-dup: dedup an incoming batch against an
     * already-accepted corpus WITHOUT rescanning it — the shape a 100 TB
     * ingest pipeline actually runs (the whole-corpus self-join of
@@ -202,10 +214,64 @@ object Dedup {
       indexShingles: DataFrame,
       bands: Int = 16,
       rowsPerBand: Int = 4,
-      threshold: Double = 0.7): DataFrame = {
-    val newBanded = bandRows(newShingles, bands, rowsPerBand)
+      threshold: Double = 0.7,
+      probeBuckets: Option[Seq[Int]] = None): DataFrame = {
+    // When the index is the partitioned at-rest layout (has a pbkt
+    // partition column, see [[bandPartition]]), plan the probe like the
+    // IVF cell probe: push the batch's DISTINCT bucket hashes (bounded by
+    // BandIndexBuckets — a config constant, never data-sized) as a static
+    // isin partition filter, so the per-batch index scan prunes at rest to
+    // the buckets the batch can actually hit. (DPP can't do this here:
+    // shingleSets checkpoints the batch, which hides its selective filter
+    // from the optimizer.) A caller that already knows the batch's bucket
+    // set passes it via `probeBuckets` (the ingest stream reads it off the
+    // partition dirs its own index append just created — zero extra jobs);
+    // otherwise it costs one bounded collect, with the banded batch
+    // checkpointed lazily so the MinHash permutations still run ONCE
+    // across the bucket probe, the index join, and the in-batch self-join.
+    // A caller that already materialized the batch's banding (the ingest
+    // stream checkpoints it for its own index append) passes it as
+    // `preBanded` so the permutations aren't recomputed here at all.
+    minHashIncrementalPairsImpl(
+      newShingles, bandRows(newShingles, bands, rowsPerBand),
+      indexBanded, indexShingles, threshold, probeBuckets)
+  }
+
+  /** [[minHashIncrementalPairs]] with the batch's banding rows supplied by
+    * the caller (`(doc_id, band, bucket)`, typically checkpointed) instead
+    * of derived — one MinHash pass shared with the caller's index append. */
+  def minHashIncrementalPairsPreBanded(
+      newShingles: DataFrame,
+      preBanded: DataFrame,
+      indexBanded: DataFrame,
+      indexShingles: DataFrame,
+      threshold: Double = 0.7,
+      probeBuckets: Option[Seq[Int]] = None): DataFrame =
+    minHashIncrementalPairsImpl(
+      newShingles, preBanded.select(col("doc_id"), col("band"), col("bucket")),
+      indexBanded, indexShingles, threshold, probeBuckets)
+
+  private def minHashIncrementalPairsImpl(
+      newShingles: DataFrame,
+      newBanded0: DataFrame,
+      indexBanded: DataFrame,
+      indexShingles: DataFrame,
+      threshold: Double,
+      probeBuckets: Option[Seq[Int]]): DataFrame = {
+    val (newBanded, prunedIndex) =
+      if (indexBanded.columns.contains("pbkt")) {
+        probeBuckets match {
+          case Some(bkts) =>
+            (newBanded0, indexBanded.filter(col("pbkt").isin(bkts: _*)))
+          case None =>
+            val nb = newBanded0.localCheckpoint(false)
+            val bkts = nb.select(bandPartition().as("pbkt")).distinct()
+              .collect().map(_.getInt(0)).toSeq
+            (nb, indexBanded.filter(col("pbkt").isin(bkts: _*)))
+        }
+      } else (newBanded0, indexBanded)
     val vsIndex = newBanded.alias("n")
-      .join(indexBanded.alias("i"),
+      .join(prunedIndex.alias("i"),
         col("n.band") === col("i.band") && col("n.bucket") === col("i.bucket"))
       .select(least(col("n.doc_id"), col("i.doc_id")).as("doc_a"),
         greatest(col("n.doc_id"), col("i.doc_id")).as("doc_b"))

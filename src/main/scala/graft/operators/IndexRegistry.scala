@@ -143,7 +143,12 @@ object IndexRegistry {
       val oldSh = Dedup
         .shingleSets(Tables.documents(spark, dir).filter(!isNew("doc_id")), n = 3)
       oldSh.write.parquet(new java.io.File(f, "shingles").toString)
-      Dedup.bandRows(oldSh).write.parquet(new java.io.File(f, "bands").toString)
+      // partitioned by the band-hash bucket so a batch probe prunes at
+      // rest; repartition on the key first so each bucket dir gets ONE
+      // file instead of a per-task dynamic-partition fan-out
+      Dedup.bandRows(oldSh).withColumn("pbkt", Dedup.bandPartition())
+        .repartition(col("pbkt"))
+        .write.partitionBy("pbkt").parquet(new java.io.File(f, "bands").toString)
     }
     (spark.read.parquet(new java.io.File(d, "bands").toString),
       spark.read.parquet(new java.io.File(d, "shingles").toString))

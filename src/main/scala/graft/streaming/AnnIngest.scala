@@ -12,7 +12,7 @@ import graft.sources.{Staging, Tables}
   * centroids and residual codebooks train ONCE on the already-accepted
   * corpus (vec_id % 5 != 0), whose encoded rows exist at rest as
   * cell-partitioned parquet; the remaining vectors then arrive as a
-  * replayed 3-batch file stream and every micro-batch is assigned +
+  * replayed batched file stream and every micro-batch is assigned +
   * residual-encoded under that frozen model in one codegen pass and
   * APPENDED into its cell partitions. No retrain, no rescan of the
   * encoded corpus — per-batch cost is one pass over the batch, the shape
@@ -34,7 +34,7 @@ object AnnIngest {
     * them). New ids are multiples of 5, so vec_id/5 indexes them densely
     * and mod-3 stripes evenly. */
   private def stagedNewVecs(spark: SparkSession, dir: String, nBatches: Int): java.io.File =
-    Staging.dir("ann-ingest", dir) { d =>
+    Staging.dir(s"ann-ingest-$nBatches", dir) { d =>
       val vecs = Tables.embeddings(spark, dir).filter(col("vec_id") % 5 === 0)
       (0 until nBatches).foreach { i =>
         val stage = new java.io.File(d, s"__stage$i")
@@ -62,7 +62,7 @@ object AnnIngest {
     * its accepted corpus. */
   def runStreamAnnIngest(
       spark: SparkSession, dir: String,
-      nBatches: Int = 3, assertFull: Boolean = true): DataFrame = {
+      nBatches: Int = 2, assertFull: Boolean = true): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     // The frozen model: trained once per JVM on the accepted corpus only
     // (exactly q_ivfpq_incremental's model, so recall floors carry over),
@@ -99,10 +99,15 @@ object AnnIngest {
         .start()
       try q.processAllAvailable() finally q.stop()
 
-      val atRest = spark.read.parquet(encDir.toString)
-        .select(col("vec_id"), col("cell_id"), col("code"), col("recon_nrm"))
+      val atRestRaw = spark.read.parquet(encDir.toString)
       val row =
         if (assertFull) {
+          // grouped with multiplicity (verify path only) so a replayed /
+          // double-appended micro-batch — same vec_id landing twice —
+          // fails parity instead of value-matching
+          val atRest = atRestRaw
+            .groupBy(col("vec_id"), col("cell_id"), col("code"), col("recon_nrm"))
+            .agg(count(lit(1)).as("mult_s"))
           val rebuilt = Pq.rebuildEncoded(emb, idx0)
             .select(col("vec_id"), col("cell_id").as("c2"),
               col("code").as("k2"), col("recon_nrm").as("n2"))
@@ -112,11 +117,12 @@ object AnnIngest {
                 .as("n_appended"),
               (coalesce(sum(when(col("cell_id") =!= col("c2") || col("code") =!= col("k2")
                 || col("recon_nrm") =!= col("n2") || col("cell_id").isNull
-                || col("c2").isNull, 1L).otherwise(0L)), lit(0L)) === 0L).as("parity_ok"))
+                || col("c2").isNull || col("mult_s") =!= 1L, 1L).otherwise(0L)), lit(0L)) === 0L)
+                .as("parity_ok"))
             .head()
         } else {
           // bench form: the streamed appends alone (bounded 1-row agg)
-          atRest.agg(
+          atRestRaw.agg(
             coalesce(sum(when(col("vec_id") % 5 === 0, 1L).otherwise(0L)), lit(0L))
               .as("n_appended"),
             lit(true).as("parity_ok")).head()

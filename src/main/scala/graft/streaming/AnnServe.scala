@@ -32,7 +32,7 @@ object AnnServe {
     * parquet files by vec_id/5 mod nBatches (memoized per data dir;
     * Staging's shutdown hook deletes them). */
   private def stagedQueries(spark: SparkSession, dir: String, nBatches: Int): java.io.File =
-    Staging.dir("ann-serve", dir) { d =>
+    Staging.dir(s"ann-serve-$nBatches", dir) { d =>
       val vecs = Tables.embeddings(spark, dir).filter(col("vec_id") % 5 === 1)
       (0 until nBatches).foreach { i =>
         val stage = new java.io.File(d, s"__stage$i")
@@ -55,7 +55,7 @@ object AnnServe {
     * recompute is the verification harness, not the operator. */
   def runStreamAnnServe(
       spark: SparkSession, dir: String,
-      nBatches: Int = 3, assertFull: Boolean = true): DataFrame = {
+      nBatches: Int = 2, assertFull: Boolean = true): DataFrame = {
     val idx = IndexRegistry.ivfPqFull(spark, dir)
     val staged = stagedQueries(spark, dir, nBatches)
     val out = java.nio.file.Files.createTempDirectory("graft-ann-serve").toFile
@@ -78,22 +78,30 @@ object AnnServe {
       try q.processAllAvailable() finally q.stop()
 
       val queries = Tables.embeddings(spark, dir).filter(col("vec_id") % 5 === 1)
-      val streamed = spark.read.parquet(resDir.toString).withColumn("in_s", lit(1L))
+      val streamedRaw = spark.read.parquet(resDir.toString)
       val row =
         if (assertFull) {
+          // grouped with multiplicity (verify path only) so a replayed /
+          // double-appended micro-batch — identical rows twice — fails
+          // parity instead of value-matching its full-side partner
+          val streamed = streamedRaw
+            .groupBy(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+            .agg(count(lit(1)).as("mult_s"))
+            .withColumn("in_s", lit(1L))
           val full = Pq.ivfPqSearchBatch(idx, queries, k = 5, nProbe = 8)
             .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
             .withColumn("in_f", lit(1L))
           streamed.join(full,
             Seq("query_id", "neighbor_id", "cosine", "rank"), "full")
             .agg(
-              coalesce(sum(col("in_s")), lit(0L)).as("n_results"),
-              (coalesce(sum(when(col("in_s").isNull || col("in_f").isNull, 1L)), lit(0L)) === 0L)
+              coalesce(sum(col("mult_s")), lit(0L)).as("n_results"),
+              (coalesce(sum(when(col("in_s").isNull || col("in_f").isNull
+                || col("mult_s") =!= 1L, 1L)), lit(0L)) === 0L)
                 .as("parity_ok"))
             .head()
         } else {
-          streamed.agg(
-            coalesce(sum(col("in_s")), lit(0L)).as("n_results"),
+          streamedRaw.agg(
+            count(lit(1)).as("n_results"),
             lit(true).as("parity_ok")).head()
         }
       val nQueries = queries.count()

@@ -17,21 +17,30 @@ import graft.sources.{Staging, Tables}
   * per-batch cost is |batch| × bands probe rows — the shape a 100 TB
   * ingest pipeline runs continuously.
   *
+  * The band index rests PARTITIONED by `pbkt = pmod(hash(band, bucket), N)`
+  * ([[Dedup.bandPartition]], the same at-rest posture as the IVF cell
+  * layout): the probe derives the same hash map-side and joins on it, so
+  * the per-batch index scan prunes to the buckets the batch can actually
+  * hit instead of re-reading the whole index every trigger.
+  *
   * Every unordered pair is examined exactly once (when its LATER document
   * arrives: earlier-batch partners via the index probe, same-batch
   * partners via the in-batch self-join), and banding is per-document — so
   * the UNION of all batches' pairs equals the whole-corpus operator's
   * pair set exactly, whatever the batch split. `q_dedup_ingest_stream`
-  * asserts that equality (ids AND verified jaccard values) in-plan.
+  * asserts that equality (ids, verified jaccard values, AND multiplicity —
+  * a replayed/double-appended micro-batch fails the parity boolean)
+  * in-plan.
   */
 object DedupIngest {
 
   private val StreamShuffleWidth = sys.env.getOrElse("GRAFT_STREAM_SHUFFLE", "4")
 
   /** Replay the documents table as `nBatches` doc_id-striped parquet files
-    * (memoized per data dir; Staging's shutdown hook deletes them). */
+    * (memoized per (data dir, nBatches); Staging's shutdown hook deletes
+    * them). */
   private def stagedDocs(spark: SparkSession, dir: String, nBatches: Int): java.io.File =
-    Staging.dir("docs-ingest", dir) { d =>
+    Staging.dir(s"docs-ingest-$nBatches", dir) { d =>
       val docs = Tables.documents(spark, dir)
       (0 until nBatches).foreach { i =>
         val stage = new java.io.File(d, s"__stage$i")
@@ -45,19 +54,36 @@ object DedupIngest {
       }
     }
 
-  private def readOrEmpty(
+  private def listParquet(dir: java.io.File): Seq[java.io.File] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+      else if (f.getName.endsWith(".parquet")) Seq(f)
+      else Nil
+    if (dir.exists()) walk(dir) else Nil
+  }
+
+  /** Read the index state as a PINNED snapshot: exactly the leaf files
+    * listed (recursive, partition dirs kept via basePath). Pinning makes
+    * the probe independent of this trigger's own appends, so the pair
+    * sink and the two index appends can run CONCURRENTLY — the batch
+    * structurally cannot see itself in the index. */
+  private def snapshotRead(
       spark: SparkSession, dir: java.io.File,
-      schema: org.apache.spark.sql.types.StructType): DataFrame =
-    if (dir.exists()) spark.read.schema(schema).parquet(dir.toString)
-    else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      schema: org.apache.spark.sql.types.StructType,
+      files: Seq[java.io.File]): DataFrame =
+    if (files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    else
+      spark.read.option("basePath", dir.toString).schema(schema)
+        .parquet(files.map(_.toString): _*)
 
   /** Run the ingest stream to completion and return ONE materialized row:
     * `(n_docs, pairs_nonempty, match_full)` where `match_full` is the
     * streamed-pairs ≡ whole-corpus-operator equality (both directions,
-    * jaccard values included). The result is collected (1 row, bounded)
-    * before the run's scratch dirs are deleted — the stream's index and
-    * pair sinks are per-run MUTABLE state and must not outlive it
-    * (Staging is input-only).
+    * jaccard values AND row multiplicity included). The result is
+    * collected (1 row, bounded) before the run's scratch dirs are deleted
+    * — the stream's index and pair sinks are per-run MUTABLE state and
+    * must not outlive it (Staging is input-only).
     *
     * `assertFull = false` (the bench-mode form, see
     * `SparkEntry.benchOverrides`) times the ingest stream alone: the
@@ -65,12 +91,17 @@ object DedupIngest {
     * a continuous pipeline never rescans its accepted corpus. */
   def runStreamDedupIngest(
       spark: SparkSession, dir: String,
-      nBatches: Int = 3, assertFull: Boolean = true): DataFrame = {
+      nBatches: Int = 2, assertFull: Boolean = true): DataFrame = {
     val staged = stagedDocs(spark, dir, nBatches)
     val out = java.nio.file.Files.createTempDirectory("graft-ingest").toFile
     val bandDir = new java.io.File(out, "bands")
     val shDir = new java.io.File(out, "shingles")
     val pairDir = new java.io.File(out, "pairs")
+    // sink schemas, derived lazily from the table schema (no jobs)
+    val shSchema = Dedup.shingleSets(Tables.documents(spark, dir).limit(0), n = 3).schema
+    val bandSchema = Dedup.bandRows(Tables.documents(spark, dir).limit(0)
+      .transform(Dedup.shingleSets(_, n = 3)))
+      .withColumn("pbkt", Dedup.bandPartition()).schema
 
     val saved = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", StreamShuffleWidth)
@@ -81,16 +112,36 @@ object DedupIngest {
         .writeStream
         .foreachBatch { (batch: DataFrame, _: Long) =>
           val s = batch.sparkSession
+          // pin the pre-batch index snapshot, then run the sinks
+          // concurrently — the probe reads only the pinned files, so the
+          // appends cannot race it into seeing this batch's own rows
+          val pinnedBands = listParquet(bandDir).toSet
+          val bandsSnap = snapshotRead(s, bandDir, bandSchema, pinnedBands.toSeq)
+          val shSnap = snapshotRead(s, shDir, shSchema, listParquet(shDir))
           val newSh = Dedup.shingleSets(batch, n = 3)
-          val newBands = Dedup.bandRows(newSh)
-          val pairs = Dedup.minHashIncrementalPairs(
-            newSh,
-            readOrEmpty(s, bandDir, newBands.schema),
-            readOrEmpty(s, shDir, newSh.schema))
-          pairs.write.mode("append").parquet(pairDir.toString)
-          // append AFTER probing: the batch must not see itself in the index
-          newBands.write.mode("append").parquet(bandDir.toString)
-          newSh.write.mode("append").parquet(shDir.toString)
+          // ONE MinHash pass per trigger: the banding is checkpointed and
+          // shared between the index append and the pair probe
+          val newBands = Dedup.bandRows(newSh).localCheckpoint(false)
+          import scala.concurrent.{Await, Future}
+          import scala.concurrent.duration.Duration
+          import scala.concurrent.ExecutionContext.Implicits.global
+          // one file per bucket dir per trigger: the append is tiny and
+          // per-task dynamic-partition fan-out would 16× the file count
+          val bandsF = Future(
+            newBands.withColumn("pbkt", Dedup.bandPartition())
+              .coalesce(1).write.partitionBy("pbkt").mode("append").parquet(bandDir.toString))
+          val shF = Future(newSh.write.mode("append").parquet(shDir.toString))
+          // the batch's bucket set falls out of its own append for free:
+          // the partition dirs that just gained a file ARE the buckets the
+          // batch hits — no extra banding job to plan the pruned probe
+          Await.result(bandsF, Duration.Inf)
+          val bkts = (listParquet(bandDir).toSet -- pinnedBands).toSeq
+            .map(_.getParentFile.getName).filter(_.startsWith("pbkt="))
+            .map(_.stripPrefix("pbkt=").toInt).distinct
+          Dedup.minHashIncrementalPairsPreBanded(
+              newSh, newBands, bandsSnap, shSnap, probeBuckets = Some(bkts))
+            .write.mode("append").parquet(pairDir.toString)
+          Await.result(shF, Duration.Inf)
           ()
         }
         .start()
@@ -100,28 +151,36 @@ object DedupIngest {
         org.apache.spark.sql.types.StructField("doc_a", org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("doc_b", org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("jaccard", org.apache.spark.sql.types.DoubleType)))
-      val streamed = readOrEmpty(spark, pairDir, streamedSchema)
-        .select(col("doc_a"), col("doc_b"), col("jaccard").as("j_s"))
-        .withColumn("in_s", lit(1L))
+      val streamedRaw = snapshotRead(spark, pairDir, streamedSchema, listParquet(pairDir))
       val row =
         if (assertFull) {
+          // grouped with multiplicity (verify path only — bench times the
+          // operator, not the parity harness)
+          val streamed = streamedRaw
+            .groupBy(col("doc_a"), col("doc_b"), col("jaccard").as("j_s"))
+            .agg(count(lit(1)).as("mult_s"))
           val full = Dedup.minHashPairsFromShingles(
             Dedup.shingleSets(Tables.documents(spark, dir), n = 3))
             .select(col("doc_a"), col("doc_b"), col("jaccard").as("j_f"))
             .withColumn("in_f", lit(1L))
-          streamed.join(full, Seq("doc_a", "doc_b"), "full")
+          // exactly-once included: a replayed/double-appended batch shows
+          // up as mult_s > 1 and fails match_ok even though the dup row
+          // value-matches its full-side partner
+          streamed.withColumn("in_s", lit(1L))
+            .join(full, Seq("doc_a", "doc_b"), "full")
             .agg(
-              coalesce(sum(col("in_s")), lit(0L)).as("n_pairs"),
+              coalesce(sum(col("mult_s")), lit(0L)).as("n_pairs"),
               (coalesce(sum(
                 when(col("in_s").isNull || col("in_f").isNull
-                  || col("j_s") =!= col("j_f"), 1L).otherwise(0L)), lit(0L)) === 0L)
+                  || col("j_s") =!= col("j_f") || col("mult_s") =!= 1L, 1L)
+                  .otherwise(0L)), lit(0L)) === 0L)
                 .as("match_ok"))
             .head()
         } else {
           // bench form: the streamed pair set alone (already materialized
           // by the foreachBatch sinks above — this is a bounded 1-row agg)
-          streamed.agg(
-            coalesce(sum(col("in_s")), lit(0L)).as("n_pairs"),
+          streamedRaw.agg(
+            count(lit(1)).as("n_pairs"),
             lit(true).as("match_ok")).head()
         }
       val nDocs = Tables.documents(spark, dir).count()

@@ -427,6 +427,30 @@ class ScaleSpec extends AnyFunSuite with SparkSpec {
     assert(mem == rest)
   }
 
+  test("band index at rest: probe scan partition-prunes to the buckets the batch can hit") {
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, sf)
+    val accepted = Dedup.shingleSets(docs.filter($"doc_id" % 5 =!= 0), n = 3)
+    val dir = Files.createTempDirectory("graft-bands").toString
+    Dedup.bandRows(accepted).withColumn("pbkt", Dedup.bandPartition())
+      .write.mode("overwrite").partitionBy("pbkt").parquet(dir)
+    val atRest = spark.read.parquet(dir)
+    val batch = Dedup.shingleSets(docs.filter($"doc_id" % 5 === 0), n = 3)
+    val pairs = Dedup.minHashIncrementalPairs(batch, atRest, accepted)
+    // the batch's bucket-hash set lands as a PARTITION filter on the
+    // at-rest scan — per-batch probes read only the buckets the batch hits
+    val leaf = pairs.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).find(s => s.contains("pbkt") && s.contains("PartitionFilters"))
+      .getOrElse("")
+    assert(leaf.contains("PartitionFilters") &&
+      (leaf.contains("INSET") || leaf.contains(" IN (")), leaf)
+    // pruning must not change the answer: same pairs as the flat index
+    val flat = Dedup.minHashIncrementalPairs(batch, atRest.drop("pbkt"), accepted)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val pruned = pairs.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pruned == flat && pruned.nonEmpty)
+  }
+
   test("bucket grouping for the pair generators does a map-side partial collect") {
     // the generators' one-shuffle claim rests on ObjectHashAggregate
     // running partial_collect_list BEFORE the exchange — a regression to
