@@ -79,26 +79,69 @@ object Layout {
     * (one driver listing — the same class of work as the catalog's), the
     * rewrite is `coalesce`, NOT `repartition` — compaction is IO-bound
     * and merging partitions needs no exchange, so the job is one
-    * shuffle-free pass — and the swap is stage-dir-then-rename, readers
-    * see old or new, never a mix (a table format would make this a
-    * metadata commit; the rename is the local analog). Partitioned tables
-    * compact per partition dir with the same plan. */
+    * shuffle-free pass — and the swap is stage-dir-then-rename. The swap
+    * is two renames, so in THIS local-FS harness a reader sees old or new
+    * but a crash between the moves can leave the live path briefly absent
+    * (data intact under the staging name); a table format makes the same
+    * swap a single atomic metadata commit, which is what a production
+    * deployment would use. Stale staging dirs from a previously crashed
+    * run are deleted before staging. Partitioned tables compact per
+    * partition dir with the same plan.
+    *
+    * NOTE: `coalesce` merges arbitrary input files, so compacting a
+    * CLUSTERED table (sorted / Z-ordered, [[writeClustered]]) with this
+    * widens every output file's min/max bounds and destroys data skipping
+    * — use [[compactDirClustered]] there. */
   def compactDir(
       spark: org.apache.spark.sql.SparkSession,
-      path: String, targetBytes: Long): CompactStats = {
-    require(targetBytes > 0, s"compactDir: targetBytes=$targetBytes must be positive")
+      path: String, targetBytes: Long): CompactStats =
+    compactImpl(spark, path, targetBytes, None)
+
+  /** Cluster-preserving compaction: like [[compactDir]] but the rewrite
+    * range-partitions and sorts on `orderCols` (re-derived by `deriveKey`
+    * when the cluster key is computed, e.g. a Z-order key the clustered
+    * write dropped), so the compacted files' min/max bounds stay DISJOINT
+    * and footer-stats skipping survives the compaction. Costs one range
+    * exchange where [[compactDir]] is shuffle-free — the price of keeping
+    * the layout; a compaction schedule pays it only on clustered tables. */
+  def compactDirClustered(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String, targetBytes: Long,
+      orderCols: Seq[String],
+      deriveKey: DataFrame => DataFrame = identity): CompactStats = {
+    require(orderCols.nonEmpty, "compactDirClustered: need at least one order column")
+    compactImpl(spark, path, targetBytes, Some((orderCols, deriveKey)))
+  }
+
+  private def compactImpl(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String, targetBytes: Long,
+      clustered: Option[(Seq[String], DataFrame => DataFrame)]): CompactStats = {
+    require(targetBytes > 0, s"compact: targetBytes=$targetBytes must be positive")
     val dir = new java.io.File(path)
     def parquetFiles(d: java.io.File): Array[java.io.File] =
       Option(d.listFiles()).getOrElse(Array.empty[java.io.File])
         .filter(f => f.isFile && f.getName.endsWith(".parquet"))
     val before = parquetFiles(dir)
-    require(before.nonEmpty, s"compactDir: no parquet files under $path")
+    require(before.nonEmpty, s"compact: no parquet files under $path")
     val bytesBefore = before.map(_.length()).sum
     val nOut = math.max(1, math.ceil(bytesBefore.toDouble / targetBytes).toInt)
     val stage = new java.io.File(dir.getParentFile, dir.getName + "__compact")
-    spark.read.parquet(path).coalesce(nOut)
-      .write.mode("overwrite").parquet(stage.toString)
     val old = new java.io.File(dir.getParentFile, dir.getName + "__precompact")
+    // a crashed prior run may have left either staging dir behind — the
+    // renames below would otherwise throw FileAlreadyExistsException
+    graft.sources.Staging.rmTree(stage)
+    graft.sources.Staging.rmTree(old)
+    val input = spark.read.parquet(path)
+    val planned = clustered match {
+      case None => input.coalesce(nOut)
+      case Some((orderCols, deriveKey)) =>
+        deriveKey(input)
+          .repartitionByRange(nOut, orderCols.map(col): _*)
+          .sortWithinPartitions(orderCols.map(col): _*)
+          .select(input.columns.map(col).toSeq: _*) // drop derived key cols
+    }
+    planned.write.mode("overwrite").parquet(stage.toString)
     java.nio.file.Files.move(dir.toPath, old.toPath)
     java.nio.file.Files.move(stage.toPath, dir.toPath)
     graft.sources.Staging.rmTree(old)
@@ -116,13 +159,16 @@ object Layout {
     * This is the shape the micro-batch sinks produce —
     * `overwritePartitions` / cell-partitioned index appends leave
     * width-many files per touched partition per trigger. Partitions
-    * compact independently, so at scale this parallelizes trivially and
-    * an interrupted run leaves every partition either old or new —
-    * never mixed. Returns (relative partition path → stats) for the
-    * rewritten leaves. */
+    * compact independently and CONCURRENTLY — leaf rewrites are submitted
+    * as parallel Spark jobs (thousands of sequential tiny jobs would
+    * serialize on scheduling latency at scale; the fair scheduler
+    * interleaves them) — and an interrupted run leaves every partition
+    * either old or new, never mixed. Returns (relative partition path →
+    * stats) for the rewritten leaves, in stable path order. */
   def compactPartitionedDir(
       spark: org.apache.spark.sql.SparkSession,
-      root: String, targetBytes: Long): Seq[(String, CompactStats)] = {
+      root: String, targetBytes: Long,
+      maxConcurrent: Int = 8): Seq[(String, CompactStats)] = {
     val rootDir = new java.io.File(root)
     def parquetCount(d: java.io.File): Int =
       Option(d.listFiles()).getOrElse(Array.empty[java.io.File])
@@ -131,11 +177,21 @@ object Layout {
       if (parquetCount(d) > 0) Seq(d)
       else Option(d.listFiles()).getOrElse(Array.empty[java.io.File])
         .filter(_.isDirectory).toSeq.flatMap(leaves)
-    leaves(rootDir)
-      .filter(parquetCount(_) > 1)
-      .map { leaf =>
-        val rel = rootDir.toPath.relativize(leaf.toPath).toString
-        rel -> compactDir(spark, leaf.toString, targetBytes)
+    val todo = leaves(rootDir).filter(parquetCount(_) > 1)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(maxConcurrent, todo.size max 1)))
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    try {
+      val futures = todo.map { leaf =>
+        scala.concurrent.Future {
+          val rel = rootDir.toPath.relativize(leaf.toPath).toString
+          rel -> compactDir(spark, leaf.toString, targetBytes)
+        }
       }
+      futures.map(f =>
+        scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf))
+        .sortBy(_._1)
+    } finally pool.shutdown()
   }
 }

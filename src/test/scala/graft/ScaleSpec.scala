@@ -451,6 +451,58 @@ class ScaleSpec extends AnyFunSuite with SparkSpec {
     assert(pruned == flat && pruned.nonEmpty)
   }
 
+  test("clustered compaction preserves data skipping; plain compaction would destroy it") {
+    import graft.operators.Layout
+    val n = 20000
+    val domain = 10000L
+    val df = spark.range(n)
+      .select(($"id" % domain).as("x"), (($"id" * 2654435761L) % domain).as("y"))
+    def meanYExtent(path: String) = {
+      val b = spark.read.parquet(path)
+        .groupBy(input_file_name())
+        .agg(min($"y").as("y0"), max($"y").as("y1"))
+        .collect()
+      b.map(r => (r.getLong(2) - r.getLong(1) + 1).toDouble / domain).sum / b.length
+    }
+    val dir = Files.createTempDirectory("graft-zcompact").toString
+    Layout.writeClustered(df, s"$dir/z1", numFiles = 16, "x", "y")
+    Layout.writeClustered(df, s"$dir/z2", numFiles = 16, "x", "y")
+    val bytes = new java.io.File(s"$dir/z1").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    val target = bytes / 4 + 1 // plan ~4 output files from 16
+    // cluster-preserving: re-derive the z key, range-partition on it
+    val stats = Layout.compactDirClustered(spark, s"$dir/z1", target,
+      orderCols = Seq("zorder_key"), deriveKey = Layout.zorderKey(_, "x", "y"))
+    assert(stats.rows == n && stats.filesAfter < stats.filesBefore, stats)
+    val clusteredExtent = meanYExtent(s"$dir/z1")
+    // plain coalesce-compaction on the twin table: merges arbitrary
+    // rectangles, every surviving file's bounds balloon toward full-domain
+    Layout.compactDir(spark, s"$dir/z2", target)
+    val plainExtent = meanYExtent(s"$dir/z2")
+    assert(clusteredExtent < 0.7, f"clustered compaction must keep per-file y bounds fractional: $clusteredExtent%.3f")
+    assert(plainExtent > clusteredExtent,
+      f"plain compaction should widen bounds (got plain=$plainExtent%.3f vs clustered=$clusteredExtent%.3f)")
+  }
+
+  test("partitioned compaction rewrites fragmented leaves concurrently") {
+    import graft.operators.Layout
+    val root = Files.createTempDirectory("graft-leafpar").toString
+    // 6 leaves × 5 small files each
+    spark.range(6000)
+      .select(($"id" % 6).as("p"), $"id".as("v"))
+      .repartition(5)
+      .write.partitionBy("p").mode("overwrite").parquet(root)
+    def leafFiles(p: Int) = new java.io.File(s"$root/p=$p").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert((0 until 6).forall(leafFiles(_) > 1))
+    val results = Layout.compactPartitionedDir(spark, root, 1L << 30, maxConcurrent = 4)
+    assert(results.size == 6, results.map(_._1))
+    assert(results.forall { case (_, s) => s.filesAfter == 1 && s.filesBefore > 1 }, results)
+    assert((0 until 6).forall(leafFiles(_) == 1))
+    assert(spark.read.parquet(root).count() == 6000)
+    assert(spark.read.parquet(root).agg(sum($"v")).head.getLong(0) == 5999L * 6000 / 2)
+  }
+
   test("bucket grouping for the pair generators does a map-side partial collect") {
     // the generators' one-shuffle claim rests on ObjectHashAggregate
     // running partial_collect_list BEFORE the exchange — a regression to
