@@ -95,7 +95,11 @@ object Pq {
     * recon_nrm). Estimated cosine = Σⱼ LUT[j][codeⱼ] / (‖q‖·‖recon‖);
     * top-k per query via the bounded-heap aggregate. The driver-side
     * query collect is the same bounded-|Q| contract as
-    * [[Similarity.bruteForceKnn]]'s broadcast side. */
+    * [[Similarity.bruteForceKnn]]'s broadcast side. `maxQueries` is an
+    * UPPER bound, not a guarantee: the effective admission cap is
+    * min(maxQueries, [[LutByteBudget]] / LUT bytes-per-query), so a fat
+    * codebook (large m × ksub) admits fewer queries than the default
+    * 65536 and fails loudly past the cap. */
   def adcSearch(
       encoded: DataFrame,
       cb: Codebook,
@@ -281,7 +285,11 @@ object Pq {
     * of the encoded corpus — pre-filtered to the union of probed cells,
     * the predicate partition pruning eliminates at rest — scores each row
     * for the queries probing its cell via q·centroid(cell) + residual
-    * LUT lookups. No join, no corpus floats. */
+    * LUT lookups. No join, no corpus floats. `maxQueries` is an UPPER
+    * bound, not a guarantee — the effective cap is min(maxQueries,
+    * [[LutByteBudget]] / LUT bytes-per-query); fatter codebooks admit
+    * fewer queries and fail loudly past the cap (use [[ivfPqSearchBatch]]
+    * for query TABLES). */
   def ivfPqSearch(
       index: IvfPqIndex,
       queries: DataFrame,

@@ -80,11 +80,18 @@ object CartesianGuard {
         // `Dataset.join(right, usingColumns)` first analyzes a PHANTOM
         // condition-less INNER Join of the two sides (only to resolve
         // column ambiguity — it never executes), which reaches check rules
-        // as a bare root Join. Exempt exactly that shape (an explicit
-        // crossJoin is Cross-typed and stays caught): any executed query
-        // has at least one operator above its joins (even `.count()` wraps
-        // an Aggregate), so real cartesians are still caught there.
-        case j @ Join(_, _, Inner, None, _) if j eq plan => ()
+        // as a bare root Join. Exempt that shape narrowly: a using-columns
+        // join by definition has its key name on BOTH sides, so the
+        // exemption also requires a shared output name. Residual gap: a
+        // condition-less inner join of two name-overlapping relations
+        // executed DIRECTLY by an action that adds no operator (collect/
+        // show) is indistinguishable from the phantom at analysis time and
+        // bypasses the guard; any aggregate, projection, or filter above
+        // it (every query in this library) is caught normally.
+        case j @ Join(left, right, Inner, None, _)
+            if (j eq plan) &&
+              left.output.map(_.name).toSet
+                .intersect(right.output.map(_.name).toSet).nonEmpty => ()
         case j @ Join(left, right, Cross | Inner, _, _) if !hasEquiKey(j) &&
             !broadcastHinted(left) && !broadcastHinted(right) =>
           val l = left.stats.sizeInBytes

@@ -39,11 +39,14 @@ object Staging {
   }
 
   /** Get-or-build the staged dir for (kind, sourceDir); `build` runs at
-    * most once per JVM per key (computeIfAbsent's mutual exclusion). */
+    * most once per JVM per key (computeIfAbsent's mutual exclusion). If
+    * `build` throws, the half-written dir is deleted before rethrowing —
+    * no map entry exists for it, so the shutdown hook would never see it. */
   def dir(kind: String, sourceDir: String)(build: java.io.File => Unit): java.io.File =
     dirs.computeIfAbsent((kind, sourceDir), { _ =>
       val d = java.nio.file.Files.createTempDirectory(s"graft-$kind").toFile
-      build(d)
+      try build(d)
+      catch { case e: Throwable => rmTree(d); throw e }
       d
     })
 }

@@ -156,9 +156,17 @@ class ScaleSpec extends AnyFunSuite with SparkSpec {
       intercept[IllegalStateException] {
         CartesianGuard.check(spark)(big1.join(big2).select("a").queryExecution.analyzed)
       }
-      // ...but the BARE root join is exempt: Dataset.join(usingColumns)
-      // analyzes exactly this phantom shape internally and never runs it
-      CartesianGuard.check(spark)(big1.join(big2).queryExecution.analyzed)
+      // ...but the BARE root join of two sides SHARING a column name is
+      // exempt: Dataset.join(usingColumns) analyzes exactly this phantom
+      // shape internally (the using column exists on both sides) and
+      // never runs it
+      val big2a = spark.range(100000).toDF("a")
+      CartesianGuard.check(spark)(big1.join(big2a).queryExecution.analyzed)
+      // a bare root join with DISJOINT schemas cannot be the using-columns
+      // phantom — caught even with no operator above it
+      intercept[IllegalStateException] {
+        CartesianGuard.check(spark)(big1.join(big2).queryExecution.analyzed)
+      }
       // a condition with no equi-key conjunct is still a nested loop —
       // the O(n²) `a.id < b.id` twin shape is caught
       intercept[IllegalStateException] {
