@@ -2600,6 +2600,47 @@ object SparkEntry {
       ph.agg(count(lit(1)).as("n_media")).crossJoin(broadcast(stats))
     }),
 
+    // REAL image decode end-to-end (no stub on this path): every 20th doc
+    // gets a deterministic synthetic PNG — true codec bytes from the JRE's
+    // PNG writer — decoded back by javax.imageio (Multimodal.decodeImage).
+    // SELF-ASSERTING: geometry must round-trip EXACTLY (the sizes, 24-39 ×
+    // 16-27, are disjoint from the non-image fallback's 64+ range, so a
+    // silent fallback fails the check); an 8-pixel real edit must stay
+    // within Hamming 16 of the original's DCT pHash (bound calibrated
+    // green at both verify SFs); and the print population must be diverse
+    // (>half distinct). Oracle pins the sampled count and the booleans.
+    "q_image_decode" -> ((s, d) => {
+      import s.implicits._
+      val imgs = Tables.documents(s, d).filter(col("doc_id") % 20 === 0)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val w = 24 + (id % 16).toInt
+            val h = 16 + (id % 12).toInt
+            (id, w, h,
+              Multimodal.syntheticPng(id, w, h),
+              Multimodal.syntheticPng(id, w, h, perturb = true))
+          }
+        }.toDF("doc_id", "exp_w", "exp_h", "payload", "edited")
+        .localCheckpoint(false)
+      val meta = Multimodal.extractMetadata(s, imgs.select(col("doc_id"), col("payload"))).toDF()
+      val geom = meta.join(imgs.select(col("doc_id"), col("exp_w"), col("exp_h")), Seq("doc_id"))
+        .agg(
+          count(lit(1)).as("n_imgs"),
+          (coalesce(sum(when(col("width") =!= col("exp_w")
+            || col("height") =!= col("exp_h"), 1L)), lit(0L)) === 0L).as("geom_ok"))
+      val ph = Multimodal.perceptualHash(s, imgs.select(col("doc_id"), col("payload"))).toDF()
+      val phEdited = Multimodal
+        .perceptualHash(s, imgs.select(col("doc_id"), col("edited").as("payload"))).toDF()
+        .select(col("doc_id"), col("phash").as("phash_e"))
+      val near = ph.join(phEdited, Seq("doc_id"))
+        .agg(
+          (coalesce(max(bit_count(col("phash").bitwiseXOR(col("phash_e")))), lit(0))
+            <= 16).as("edit_near_ok"),
+          (countDistinct(col("phash")) * 2 > count(lit(1))).as("diverse_ok"))
+      geom.crossJoin(broadcast(near))
+    }),
+
     // Mann–Whitney U (rank-sum) on l_quantity A-vs-N return flags —
     // integer-heavy values exercise the average-rank tie path; u2_a is
     // the exact-integer 2·U_A, z uses the tie-corrected sigma.
@@ -3484,6 +3525,13 @@ object SparkEntry {
       """SELECT CAST(count(*) + 4 AS BIGINT) AS n_media,
                 true AS dup_ok, true AS near_ok, true AS far_ok, true AS bounds_ok
          FROM documents""",
+
+    // Real-PNG decode round-trip: geometry/pHash assertions are verified
+    // in-plan; the oracle pins the sampled-image count and the booleans.
+    "q_image_decode" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_imgs, true AS geom_ok,
+                true AS edit_near_ok, true AS diverse_ok
+         FROM documents WHERE doc_id % 20 = 0""",
 
     // The native rolling-hash kernel self-asserts against an interpreted
     // HOF twin (ASCII docs only; the corpus is all-ASCII, which the oracle

@@ -10,11 +10,13 @@ import org.apache.spark.sql.functions._
   * The pattern for image/audio/video at scale: keep the raw bytes in a
   * binary column, run decode/feature-extraction per partition in batches,
   * and land a typed metadata struct next to the payload. The Spark-side
-  * plumbing here — schema, `Dataset` encoders, `mapPartitions` batch shape,
-  * partition sizing — is real and tested; the *decoder itself* is a
-  * clearly-marked deterministic STUB (`decodeStub`), because no media codecs
-  * ship in this container. A production build swaps `decodeStub` for a JNI /
-  * native decoder with the same signature.
+  * plumbing — schema, `Dataset` encoders, `mapPartitions` batch shape,
+  * partition sizing — is real and tested, and IMAGE decode is real too:
+  * pure-JRE `javax.imageio` ([[decodeImage]] — PNG/JPEG/BMP/GIF) feeds true
+  * pixels to metadata, resize, and pHash. Payloads no JRE codec accepts
+  * (text stand-ins, audio/video containers) take a clearly-marked
+  * deterministic fallback (`decodeStub`); a production build adds JNI /
+  * native codecs for those behind the same signature.
   *
   * `mapPartitions` (not a per-row UDF) so a real decoder can amortize model/
   * codec init once per partition — the standard batch-inference shape.
@@ -35,9 +37,74 @@ object Multimodal {
   def asBinaryPayloads(documents: DataFrame): DataFrame =
     documents.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
 
-  /** STUB decoder — deterministic fake of an image header parse. A real
-    * implementation decodes `r.payload` with a codec; everything else
-    * (batching, encoders, schema) is production-shaped. */
+  /** REAL image decode — pure-JRE `javax.imageio` (PNG/JPEG/BMP/GIF, no
+    * native codecs needed): returns the true geometry plus 8-bit luma
+    * pixels (BT.601 integer weights — deterministic), or None when the
+    * payload isn't a decodable image, in which case callers fall back to
+    * the deterministic non-image stub so non-media payloads still flow. */
+  def decodeImage(payload: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val px = new Array[Byte](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val lum = (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
+              (rgb & 0xFF) * 114) / 1000
+            px(y * w + x) = lum.toByte
+            x += 1
+          }
+          y += 1
+        }
+        Some((w, h, px))
+      }
+    } catch { case _: Exception => None }
+
+  /** Deterministic synthetic PNG — REAL codec bytes (the JRE's PNG writer)
+    * over a seed-keyed dense-spectrum pattern, so the decode path runs on
+    * true compressed images at the verify SF without media fixtures in the
+    * repo. */
+  def syntheticPng(seed: Long, w: Int, h: Int, perturb: Boolean = false): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val s = seed * 2654435761L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = (x * 7 + y * 13 + (s >>> ((x + y) % 24)).toInt) & 0xFF
+        val g = (x * 31 + y * 3 + (s >>> ((x * 2 + y) % 16)).toInt) & 0xFF
+        val b = (x * 17 + y * 29 + s.toInt) & 0xFF
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    if (perturb) {
+      // nudge a short pixel run — a small REAL image edit (PNG is
+      // lossless, so it survives the codec round-trip) for near-dup tests
+      val py = math.min(5, h - 1)
+      var x = 4
+      while (x < math.min(w, 12)) {
+        val rgb = img.getRGB(x, py)
+        val r2 = math.min(255, ((rgb >> 16) & 0xFF) + 24)
+        img.setRGB(x, py, (r2 << 16) | (rgb & 0xFFFF))
+        x += 1
+      }
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Deterministic non-image fallback (a fake header parse) for payloads
+    * no JRE codec accepts — text stand-ins, unsupported containers. */
   private def decodeStub(r: MediaRecord): MediaMeta = {
     val md = MessageDigest.getInstance("SHA-256")
     val sha = md.digest(r.payload).map("%02x".format(_)).mkString
@@ -51,12 +118,22 @@ object Multimodal {
   }
 
   /** Decode/feature-extract pass: binary payloads → typed metadata, executed
-    * per partition so decoder setup cost is paid once per task, not per row. */
+    * per partition so decoder setup cost is paid once per task, not per row.
+    * Decodable images report their REAL geometry ([[decodeImage]]); other
+    * payloads take the deterministic fallback. */
   def extractMetadata(spark: SparkSession, payloads: DataFrame): Dataset[MediaMeta] = {
     import spark.implicits._
     payloads.as[MediaRecord].mapPartitions { it =>
       // per-partition init goes here (codec handles, model weights, …)
-      it.map(decodeStub)
+      val md = MessageDigest.getInstance("SHA-256")
+      it.map { r =>
+        decodeImage(r.payload) match {
+          case Some((w, h, _)) =>
+            MediaMeta(r.doc_id, r.payload.length,
+              md.digest(r.payload).map("%02x".format(_)).mkString, w, h)
+          case None => decodeStub(r)
+        }
+      }
     }
   }
 
@@ -121,18 +198,53 @@ object Multimodal {
     }
   }
 
-  /** STUB resize: clamp/pad the payload to exactly `w*h` bytes (a real
-    * implementation rescales pixels). Shape contract of a resize kernel:
-    * fixed-size output per row, independent of input size. */
+  /** Non-image resize fallback: clamp/pad the payload to exactly `w*h`
+    * bytes. Shape contract of a resize kernel: fixed-size output per row,
+    * independent of input size. */
   def resizeStub(payload: Array[Byte], w: Int, h: Int): Array[Byte] =
     java.util.Arrays.copyOf(payload, w * h)
 
+  /** Area-mean resample of an 8-bit luma grid to `dw`×`dh` — the real
+    * pixel path of [[resizeAll]]/[[perceptualHash]] (box filter:
+    * deterministic integer-bounded cells, the standard pre-DCT downscale). */
+  def areaMean(sw: Int, sh: Int, px: Array[Byte], dw: Int, dh: Int): Array[Byte] = {
+    val out = new Array[Byte](dw * dh)
+    var gy = 0
+    while (gy < dh) {
+      val y0 = math.min(sh - 1, gy * sh / dh)
+      val y1 = math.max(y0 + 1, (gy + 1) * sh / dh)
+      var gx = 0
+      while (gx < dw) {
+        val x0 = math.min(sw - 1, gx * sw / dw)
+        val x1 = math.max(x0 + 1, (gx + 1) * sw / dw)
+        var s = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) { s += (px(y * sw + x) & 0xFF); x += 1 }
+          y += 1
+        }
+        out(gy * dw + gx) = (s / ((y1 - y0).toLong * (x1 - x0))).toByte
+        gx += 1
+      }
+      gy += 1
+    }
+    out
+  }
+
   /** Resize pass over a payload column — same per-partition batch shape as
-    * [[extractMetadata]]. */
+    * [[extractMetadata]]. Decodable images get a REAL area-mean luma
+    * resample; other payloads the byte-clamp fallback. */
   def resizeAll(spark: SparkSession, payloads: DataFrame, w: Int, h: Int): Dataset[MediaRecord] = {
     import spark.implicits._
     payloads.as[MediaRecord].mapPartitions { it =>
-      it.map(r => MediaRecord(r.doc_id, resizeStub(r.payload, w, h)))
+      it.map { r =>
+        val out = decodeImage(r.payload) match {
+          case Some((sw, sh, gray)) => areaMean(sw, sh, gray, w, h)
+          case None => resizeStub(r.payload, w, h)
+        }
+        MediaRecord(r.doc_id, out)
+      }
     }
   }
 
@@ -142,11 +254,12 @@ object Multimodal {
     * to a 32×32 grid, 2-D DCT-II, keep the top-left 8×8 low-frequency
     * block, threshold each coefficient against the median (DC excluded) →
     * 64-bit fingerprint. Everything from pixels onward is the REAL
-    * published algorithm — deterministic integer/double math — while the
-    * pixels themselves come from the honest stub (payload bytes), exactly
-    * like the rest of this module. Key property (what near-dup needs):
-    * identical payloads hash identically, and small pixel perturbations
-    * flip few low-frequency bits.
+    * published algorithm — deterministic integer/double math — and for
+    * decodable images the pixels are REAL too (javax.imageio luma,
+    * area-meaned onto the grid); non-image payloads fall back to raw
+    * bytes so the text stand-ins still hash. Key property (what near-dup
+    * needs): identical payloads hash identically, and small pixel
+    * perturbations flip few low-frequency bits.
     *
     * Cost shape: one `mapPartitions` pass, fixed 32×32 grid per row
     * (constant work regardless of media size after the resize step). */
@@ -158,8 +271,11 @@ object Multimodal {
       val basis = Array.tabulate(n, n)((u, x) =>
         math.cos(math.Pi / n * (x + 0.5) * u))
       it.map { r =>
-        // stub "decode": payload bytes block-meaned onto the n×n grid
-        val px = resizeStub(r.payload, n, n)
+        // real decode when the payload is an image; raw bytes otherwise
+        val px = decodeImage(r.payload) match {
+          case Some((sw, sh, gray)) => areaMean(sw, sh, gray, n, n)
+          case None => resizeStub(r.payload, n, n)
+        }
         val grid = Array.tabulate(n, n)((y, x) => (px(y * n + x) & 0xFF).toDouble)
         // separable 2-D DCT-II: rows then columns, only the 8×8 block needed
         val rows = Array.tabulate(n, 8) { (y, u) =>

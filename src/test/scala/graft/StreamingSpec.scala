@@ -152,6 +152,31 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(meta.width == 64 + 2 % 512 && meta.height == 64 + (2 / 7) % 512)
   }
 
+  test("real image decode: PNG geometry round-trips and feeds true pixels") {
+    import graft.multimodal.Multimodal
+    val png = Multimodal.syntheticPng(42L, 40, 30)
+    val decoded = Multimodal.decodeImage(png)
+    assert(decoded.isDefined)
+    val (w, h, px) = decoded.get
+    assert(w == 40 && h == 30 && px.length == 1200)
+    // deterministic generator: same seed → identical codec bytes
+    assert(java.util.Arrays.equals(png, Multimodal.syntheticPng(42L, 40, 30)))
+    // a real edit changes few pixels, and only those
+    val edited = Multimodal.decodeImage(Multimodal.syntheticPng(42L, 40, 30, perturb = true)).get._3
+    val changed = px.zip(edited).count { case (a, b) => a != b }
+    assert(changed > 0 && changed <= 8, s"changed=$changed")
+    // non-image payloads decline instead of faking geometry
+    assert(Multimodal.decodeImage("not an image".getBytes("UTF-8")).isEmpty)
+    // extractMetadata reports the REAL geometry for images (the non-image
+    // fallback's fake geometry starts at 64 — disjoint from 40×30)
+    val df = Seq((1L, png)).toDF("doc_id", "payload")
+    val m = Multimodal.extractMetadata(spark, df).head()
+    assert(m.width == 40 && m.height == 30 && m.n_bytes == png.length)
+    // area-mean resample: exact on a constant region, right output size
+    assert(Multimodal.areaMean(4, 4, Array.fill(16)(100.toByte), 2, 2).toSeq ==
+      Seq.fill(4)(100.toByte))
+  }
+
   test("multimodal frame sampling slices the payload at the stride, capped") {
     import graft.multimodal.Multimodal
     // 600 bytes → frames of 256+256+88; 5000 bytes → capped at MaxFrames
