@@ -42,8 +42,20 @@ object Multimodal {
     * pixels (BT.601 integer weights — deterministic), or None when the
     * payload isn't a decodable image, in which case callers fall back to
     * the deterministic non-image stub so non-media payloads still flow. */
+  /** Magic-byte sniff (PNG/JPEG/GIF/BMP) so non-image payloads skip the
+    * ImageIO reader machinery entirely — the common case in a mixed corpus
+    * is "not an image", and that answer must cost a few byte compares, not
+    * a codec-registry scan per row. */
+  private def looksLikeImage(p: Array[Byte]): Boolean =
+    p.length >= 8 && (
+      (p(0) == 0x89.toByte && p(1) == 'P' && p(2) == 'N' && p(3) == 'G') ||
+      (p(0) == 0xFF.toByte && p(1) == 0xD8.toByte && p(2) == 0xFF.toByte) ||
+      (p(0) == 'G' && p(1) == 'I' && p(2) == 'F' && p(3) == '8') ||
+      (p(0) == 'B' && p(1) == 'M'))
+
   def decodeImage(payload: Array[Byte]): Option[(Int, Int, Array[Byte])] =
-    try {
+    if (!looksLikeImage(payload)) None
+    else try {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
       if (img == null) None
       else {

@@ -20,22 +20,28 @@ import org.apache.spark.sql.functions._
   *   1. range-repartition on (groupCols ++ orderCols), so each group's rows
   *      are globally ordered ACROSS partitions and every partition holds a
   *      contiguous slice — fully parallel;
-  *   2. local `row_number` per (partition, group) — a window keyed by the
-  *      partition id, never a global one;
-  *   3. per-(partition, group) counts aggregate to a tiny offset table
-  *      (≤ numPartitions × |groups| rows — bounded by CONFIG and the group
-  *      domain, not the row count), cumulative-summed and broadcast back.
+  *   2. sort WITHIN partitions and read each row's partition-local ordinal
+  *      off `monotonically_increasing_id` (its layout is exactly
+  *      `partition_id << 33 | row-index-in-partition`) — no WindowExec
+  *      over the data at all, and no second full-table exchange;
+  *   3. per-(partition, group) counts + first-ordinal aggregate to a tiny
+  *      offset table (≤ numPartitions × |groups| rows — bounded by CONFIG
+  *      and the group domain, not the row count), cumulative-summed and
+  *      broadcast back; rank = group offset + (ordinal − group's first
+  *      ordinal in the partition) + 1.
   *
   * The rank depends only on the total order given by `orderCols` (callers
   * must make it total — include a unique tiebreaker), so the result is
-  * deterministic regardless of where the range sampler places boundaries.
+  * deterministic regardless of where the range sampler places boundaries:
+  * the in-partition sort is deterministic, hence so are the ordinals both
+  * consumers (the row side and the counts side) recompute.
   */
 object Ranking {
 
   private val Pid = "__pid"
-  private val Lrn = "__lrn"
   private val Off = "__off"
   private val Cnt = "__cnt"
+  private val Reserved = Seq(Pid, Off, Cnt, "__mono", "__mono0")
 
   /** Add an exact 1-based `out` row number per `groupCols` group in the
     * total order of `orderCols` (which MUST be total — include a unique
@@ -50,51 +56,72 @@ object Ranking {
       totalCol: Option[String] = None,
       numPartitions: Int = 0): DataFrame = {
     require(orderCols.nonEmpty, "rowNumber needs at least one order column")
-    Seq(Pid, Lrn, Off, Cnt).foreach(c =>
+    Reserved.foreach(c =>
       require(!df.columns.contains(c), s"input already has reserved column $c"))
     val parts =
       if (numPartitions > 0) numPartitions
       else df.sparkSession.sessionState.conf.numShufflePartitions
     // Explicit numPartitions keeps AQE from re-coalescing the exchange, so
     // the partition id is stable across the two consumers below.
-    val ranged = df
-      .repartitionByRange(parts, (groupCols.map(col) ++ orderCols): _*)
-      .withColumn(Pid, spark_partition_id())
+    val ranged = df.repartitionByRange(parts, (groupCols.map(col) ++ orderCols): _*)
 
-    // Local rank: keyed by the range-partition id (+ group) — parallel by
-    // construction, each task sorts only its own contiguous slice.
-    val wLocal = Window
-      .partitionBy((Pid +: groupCols).map(col): _*)
-      .orderBy(orderCols: _*)
-    val local = ranged.withColumn(Lrn, row_number().over(wLocal).cast("long"))
+    // Partition-local ordinal, ONE full-table pass past the exchange: sort
+    // within the partition and read monotonically_increasing_id, whose
+    // layout is (partition_id << 33) | row-index. No WindowExec over the
+    // data, no second exchange. (The nondeterministic-flagged id keeps the
+    // projection pinned above the sort; the sort itself is deterministic,
+    // so re-materializations agree.)
+    // group-leading sort: each group's rows sit CONTIGUOUS in the
+    // partition (matching the range keys), so ordinal arithmetic within a
+    // group never crosses another group's rows
+    val local = ranged
+      .sortWithinPartitions((groupCols.map(col) ++ orderCols): _*)
+      .withColumn("__mono", monotonically_increasing_id())
+      .withColumn(Pid, shiftrightunsigned(col("__mono"), 33).cast("int"))
 
-    // Offsets: partition-count-bounded summary, never row-bounded. The
-    // empty-spec window here runs over ≤ parts rows per group.
+    // Offsets: partition-count-bounded summary, never row-bounded — per
+    // (partition, group) row counts, aggregated straight off the exchange
+    // (order-free: no sort on this consumer). Within the tiny table,
+    // a group's START inside its partition is the counts of the groups
+    // sorting before it there (the data sort is group-leading, same
+    // ascending order), and its cross-partition offset is its counts in
+    // earlier partitions. All windows here run over ≤ parts × |groups|
+    // summary rows.
     val counts = ranged
+      .withColumn(Pid, spark_partition_id())
       .groupBy((Pid +: groupCols).map(col): _*)
       .agg(count(lit(1)).as(Cnt))
-    val wOff = (if (groupCols.isEmpty) Window.orderBy(col(Pid))
-                else Window.partitionBy(groupCols.map(col): _*).orderBy(col(Pid)))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = counts.withColumn(Off, coalesce(sum(col(Cnt)).over(wOff), lit(0L)))
+    val wOffBase = if (groupCols.isEmpty) Window.orderBy(col(Pid))
+                   else Window.partitionBy(groupCols.map(col): _*).orderBy(col(Pid))
+    val wOff = wOffBase.rowsBetween(Window.unboundedPreceding, -1)
+    val offsets0 = counts.withColumn(Off, coalesce(sum(col(Cnt)).over(wOff), lit(0L)))
+    val offsets =
+      if (groupCols.isEmpty) offsets0.withColumn("__gstart", lit(0L))
+      else {
+        val wStart = Window.partitionBy(col(Pid)).orderBy(groupCols.map(col): _*)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        offsets0.withColumn("__gstart", coalesce(sum(col(Cnt)).over(wStart), lit(0L)))
+      }
 
     val withTotal = totalCol match {
       case None => offsets
       case Some(t) =>
         require(!df.columns.contains(t), s"input already has column $t")
-        val totals =
-          if (groupCols.isEmpty) counts.agg(sum(col(Cnt)).as(t))
-          else counts.groupBy(groupCols.map(col): _*).agg(sum(col(Cnt)).as(t))
-        if (groupCols.isEmpty) offsets.crossJoin(broadcast(totals))
-        else offsets.join(broadcast(totals), groupCols)
+        // same tiny window, unbounded frame — one WindowExec computes the
+        // offsets AND the group totals; no separate aggregate branch
+        val wAll = wOffBase
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        offsets.withColumn(t, sum(col(Cnt)).over(wAll))
     }
 
     val joinKeys = Pid +: groupCols
-    val slim = withTotal.select((joinKeys :+ Off).map(col) ++ totalCol.map(col): _*)
+    val slim = withTotal
+      .select((joinKeys :+ Off :+ "__gstart").map(col) ++ totalCol.map(col): _*)
     local
       .join(broadcast(slim), joinKeys)
-      .withColumn(out, col(Off) + col(Lrn))
-      .drop(Pid, Lrn, Off)
+      .withColumn(out,
+        col(Off) + (col("__mono").bitwiseAND(lit((1L << 33) - 1)) - col("__gstart")) + lit(1L))
+      .drop(Pid, Off, "__mono", "__gstart")
   }
 
   /** Exact SQL `ntile(buckets)` per group in the total order of
