@@ -2035,6 +2035,23 @@ object SparkEntry {
         "doc_id", col("n_toks"), capacity = 512)
         .orderBy(col("doc_id"))),
 
+    // Curriculum ordering with source-balanced round-robin interleave
+    // (easy-first by doc length): every training window sees the source
+    // mixture. Distributed rank per source + a value-domain source index —
+    // no single-task window (see operators/TrainingOrder.scala).
+    "q_curriculum" -> ((s, d) =>
+      graft.operators.TrainingOrder.curriculumInterleave(
+          Tables.documents(s, d), "source", length(col("text")), "doc_id")
+        .orderBy(col("position"))),
+
+    // Deterministic sharded shuffle: reproducible global training order +
+    // shard placement from the doc id alone (overflow-proof Knuth
+    // scramble), each shard ordered by the scrambled key. Rank rides the
+    // same distributed core.
+    "q_shard_shuffle" -> ((s, d) =>
+      graft.operators.TrainingOrder.shardShuffle(Tables.documents(s, d), "doc_id")
+        .orderBy(col("shard"), col("pos"))),
+
     // C4-style line-level dedup (10-token blocks as "lines").
     "q_line_dedup" -> ((s, d) =>
       TextAnalysis.lineDedup(Tables.documents(s, d))),
@@ -4221,6 +4238,25 @@ object SparkEntry {
                 CAST((s + n_tokens - 1) // 512 - s // 512 + 1 AS INT) AS n_seqs,
                 (s + n_tokens - 1) // 512 <> s // 512 AS straddles
          FROM c ORDER BY doc_id""",
+
+    // Curriculum interleave: within-source length rank, round-robin
+    // position over dense source indexes — plain window functions replay
+    // the distributed ranking exactly.
+    "q_curriculum" ->
+      """SELECT doc_id, source,
+                (row_number() OVER (PARTITION BY source ORDER BY length(text), doc_id) - 1)
+                  * (SELECT count(DISTINCT source) FROM documents)
+                  + dense_rank() OVER (ORDER BY source) - 1 AS position
+         FROM documents ORDER BY position""",
+
+    // Sharded shuffle: the same overflow-proof Knuth scramble in plain
+    // BIGINT arithmetic; per-shard ordering replayed with a window.
+    "q_shard_shuffle" ->
+      """WITH k AS (SELECT doc_id, (doc_id % 3037000493) * 2654435761 % 3037000493 AS key
+                    FROM documents)
+         SELECT doc_id, CAST(key % 16 AS BIGINT) AS shard,
+                row_number() OVER (PARTITION BY key % 16 ORDER BY key, doc_id) AS pos
+         FROM k ORDER BY shard, pos""",
 
     // 10-token blocks, corpus-wide first-occurrence keep, survivors
     // re-assembled in position order and sha-fingerprinted. Zipped unnests

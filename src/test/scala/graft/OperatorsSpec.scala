@@ -638,4 +638,41 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     val df = math.pow(5.0 / 3.0, 2) / ((1.0 / 9.0) / 2.0 + (16.0 / 9.0) / 2.0)
     assert(math.abs(r1.getAs[Double]("welch_df") - df) < 1e-5)
   }
+
+  test("curriculum interleave: total order, easy-first per source, mixture in every window") {
+    import graft.operators.TrainingOrder
+    val docs = (0 until 90).map(i =>
+      (i.toLong, s"s${i % 3}", "x" * (10 + (i * 37) % 200))).toDF("doc_id", "source", "text")
+    val out = TrainingOrder.curriculumInterleave(docs, "source", length(col("text")), "doc_id")
+      .orderBy(col("position")).collect()
+    assert(out.length == 90)
+    // positions are unique (a total order) and, with equal-size sources, dense
+    assert(out.map(_.getLong(2)).toSet.size == 90)
+    assert(out.map(_.getLong(2)).min == 0L && out.map(_.getLong(2)).max == 89L)
+    // every consecutive window of 3 sees all 3 sources (round-robin)
+    out.grouped(3).foreach(w => assert(w.map(_.getString(1)).toSet.size == 3))
+    // easy-first within each source: lengths non-decreasing along positions
+    out.groupBy(_.getString(1)).values.foreach { rows =>
+      val lens = rows.sortBy(_.getLong(2)).map(r => docs.filter(col("doc_id") === r.getLong(0))
+        .head.getString(2).length)
+      assert(lens.zip(lens.tail).forall { case (a, b) => a <= b })
+    }
+  }
+
+  test("shard shuffle: deterministic placement, dense per-shard positions, all shards used") {
+    import graft.operators.TrainingOrder
+    val docs = spark.range(2000).select(col("id").as("doc_id"))
+    val out = TrainingOrder.shardShuffle(docs, "doc_id", nShards = 16).collect()
+    assert(out.length == 2000)
+    val byShard = out.groupBy(_.getLong(1))
+    assert(byShard.keySet == (0L until 16L).toSet)
+    // per-shard positions are dense 1..n (a reproducible offset within the shard file)
+    byShard.values.foreach { rows =>
+      assert(rows.map(_.getLong(2)).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+    // placement is a pure function of the id: a second run agrees row-for-row
+    val again = TrainingOrder.shardShuffle(docs, "doc_id", nShards = 16).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet ==
+      again.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet)
+  }
 }
