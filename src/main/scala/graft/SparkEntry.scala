@@ -1060,6 +1060,12 @@ object SparkEntry {
 
     "q_token_count" -> ((s, d) => TextAnalysis.corpusStats(Tables.documents(s, d))),
 
+    // BPE tokenizer training (Sennrich et al.): 8 merge rounds learned on
+    // the word-frequency dict — dict-sized iterations, one corpus pass.
+    // The oracle replays training round-for-round with unrolled CTEs.
+    "q_bpe_train" -> ((s, d) =>
+      graft.operators.BpeTrain.trainMerges(Tables.documents(s, d), rounds = 8)),
+
     "q_tfidf_terms" -> ((s, d) => TextAnalysis.tfIdfTerms(Tables.documents(s, d))),
 
     "q_tfidf_top_per_doc" -> ((s, d) =>
@@ -3599,6 +3605,9 @@ object SparkEntry {
                  len(list_distinct(string_split(text, ' '))) * 1.0
                    / len(string_split(text, ' ')) AS type_token_ratio
           FROM documents ORDER BY doc_id""",
+
+    // BPE: the 8-round unrolled replay (generated; see BpeTrain.oracleSql).
+    "q_bpe_train" -> graft.operators.BpeTrain.oracleSql(8),
 
     "q_token_count" ->
       """SELECT lang, count(*) AS n_docs,

@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** BPE tokenizer training (Sennrich et al. 2016, "Neural Machine
+  * Translation of Rare Words with Subword Units") — learn the merge table
+  * a subword tokenizer is: start from characters, repeatedly merge the
+  * most frequent adjacent symbol pair.
+  *
+  * Scale posture: BPE trains on the word-FREQUENCY DICTIONARY, not the
+  * corpus — one corpus pass builds `(word, freq)` (a keyed aggregate), and
+  * every merge round after that is vocabulary-sized work (distinct words,
+  * not tokens; at 100 TB the dict is millions of rows where the corpus is
+  * trillions). Each round is one pair-count aggregate plus a bounded
+  * 1-row argmax collect (the chosen merge — the same driver contract as a
+  * scalar subquery), and the dict is locally checkpointed per round so
+  * lineage stays flat across rounds (the [[Graph.pageRank]] pattern).
+  *
+  * Determinism/portability: symbols are stored sentinel-wrapped
+  * (` sym ` concatenated), so applying a merge is a plain
+  * string `replace` of `⟨l⟩⟨r⟩` with `⟨lr⟩` — left-to-right,
+  * non-overlapping, with no cross-symbol false matches and no shared
+  * delimiter between adjacent match sites. Both engines implement
+  * `replace` with exactly those semantics, so the DuckDB oracle replays
+  * training round-for-round (ties broken by count DESC, then lhs, rhs).
+  */
+object BpeTrain {
+
+  private val S = "\u0001" // symbol start sentinel (chr(1) in the oracle)
+  private val E = "\u0002" // symbol end sentinel (chr(2) in the oracle)
+
+  /** The learned merge table: one row per round —
+    * `(round, lhs, rhs, merged, weighted_count)`, `weighted_count` the
+    * dict-frequency-weighted number of adjacent (lhs, rhs) occurrences the
+    * round merged. Stops early if no pair remains. */
+  def trainMerges(docs: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 64, s"trainMerges: rounds in [1, 64], got $rounds")
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    var words = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(
+        expr(s"array_join(transform(split(w, ''), c -> concat('$S', c, '$E')), '')")
+          .as("sym"),
+        col("freq"))
+      .localCheckpoint(false)
+
+    def pairCounts(ws: DataFrame): DataFrame = ws
+      .select(col("freq"),
+        expr(s"split(trim(BOTH '$S$E' FROM sym), '$E$S')").as("a"))
+      .filter(size(col("a")) >= 2)
+      .select(col("freq"),
+        explode(expr("transform(sequence(0, size(a)-2), i -> struct(a[i] AS l, a[i+1] AS r))"))
+          .as("p"))
+      .groupBy(col("p.l").as("lhs"), col("p.r").as("rhs"))
+      .agg(sum(col("freq")).as("weighted_count"))
+
+    val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      // bounded 1-row argmax — the round's merge decision
+      val top = pairCounts(words)
+        .orderBy(col("weighted_count").desc, col("lhs"), col("rhs"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val t = top(0)
+        val (l, rr, cnt) = (t.getString(0), t.getString(1), t.getLong(2))
+        merges += ((r, l, rr, l + rr, cnt))
+        // apply the merge on the dict: literal-string replace, no regex
+        words = words
+          .select(
+            call_function("replace",
+              col("sym"), lit(S + l + E + S + rr + E), lit(S + l + rr + E)).as("sym"),
+            col("freq"))
+          .localCheckpoint(false)
+        r += 1
+      }
+    }
+    merges.result().toDF("round", "lhs", "rhs", "merged", "weighted_count")
+      .orderBy(col("round"))
+  }
+
+  /** The DuckDB replay of [[trainMerges]] — `rounds` unrolled CTE stages
+    * (the generated-oracle pattern of q_pagerank/q_acf): each stage
+    * re-derives pair counts, picks the same argmax, and applies the same
+    * sentinel-wrapped replace. */
+  def oracleSql(rounds: Int): String = {
+    // MATERIALIZED is load-bearing: inlined CTEs would expand each stage's
+    // three b_i scalar subqueries recursively — ~4^rounds copies of the
+    // base scan by round 8.
+    val dict =
+      """w0 AS MATERIALIZED (
+        |  SELECT array_to_string([chr(1)||c||chr(2) for c in string_split(w, '')], '') AS sym,
+        |         freq
+        |  FROM (SELECT w, count(*) AS freq
+        |        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |        WHERE len(w) > 0 GROUP BY w))""".stripMargin
+    val stages = (1 to rounds).map { i =>
+      s"""p$i AS MATERIALIZED (
+         |  SELECT a[i] AS lhs, a[i+1] AS rhs, sum(freq) AS weighted_count
+         |  FROM (SELECT a, freq, unnest(generate_series(1, len(a)-1)) AS i
+         |        FROM (SELECT string_split(trim(sym, chr(1)||chr(2)), chr(2)||chr(1)) AS a, freq
+         |              FROM w${i - 1}) s0)
+         |  GROUP BY lhs, rhs),
+         |b$i AS MATERIALIZED (SELECT lhs, rhs, lhs||rhs AS merged, weighted_count
+         |        FROM p$i ORDER BY weighted_count DESC, lhs, rhs LIMIT 1),
+         |w$i AS MATERIALIZED (SELECT replace(sym,
+         |                 chr(1)||(SELECT lhs FROM b$i)||chr(2)||chr(1)||(SELECT rhs FROM b$i)||chr(2),
+         |                 chr(1)||(SELECT merged FROM b$i)||chr(2)) AS sym, freq
+         |        FROM w${i - 1})""".stripMargin
+    }
+    val unions = (1 to rounds).map { i =>
+      s"SELECT CAST($i AS INT) AS round, lhs, rhs, merged, CAST(weighted_count AS BIGINT) AS weighted_count FROM b$i"
+    }
+    s"WITH $dict,\n${stages.mkString(",\n")}\n${unions.mkString("\nUNION ALL ")}\nORDER BY round"
+  }
+}

@@ -639,6 +639,25 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(r1.getAs[Double]("welch_df") - df) < 1e-5)
   }
 
+  test("BPE training: hand-checked merges, early exhaustion, no cross-symbol matches") {
+    import graft.operators.BpeTrain
+    // freqs: abc:2, ab:1, c:1 → round 1 pairs (a,b):3 (b,c):2 → merge (a,b)
+    // round 2: abc is now [ab, c] → (ab,c):2 is the ONLY pair — a naive
+    // unwrapped string replace would still see "b c" inside "ab c" and
+    // corrupt the counts; the sentinel wrapping forbids it
+    val docs = Seq((1L, "abc abc ab c")).toDF("doc_id", "text")
+    val m = BpeTrain.trainMerges(docs, rounds = 8).collect()
+    assert(m.length == 2, m.mkString("; ")) // exhausted after 2 merges
+    assert((m(0).getInt(0), m(0).getString(1), m(0).getString(2),
+      m(0).getString(3), m(0).getLong(4)) == ((1, "a", "b", "ab", 3L)))
+    assert((m(1).getInt(0), m(1).getString(1), m(1).getString(2),
+      m(1).getString(3), m(1).getLong(4)) == ((2, "ab", "c", "abc", 2L)))
+    // ties break by (lhs, rhs) ascending: "ba ab" has (b,a):1 and (a,b):1
+    val tie = Seq((1L, "ba ab")).toDF("doc_id", "text")
+    val t = BpeTrain.trainMerges(tie, rounds = 1).head()
+    assert(t.getString(1) == "a" && t.getString(2) == "b")
+  }
+
   test("curriculum interleave: total order, easy-first per source, mixture in every window") {
     import graft.operators.TrainingOrder
     val docs = (0 until 90).map(i =>
