@@ -1066,6 +1066,15 @@ object SparkEntry {
     "q_bpe_train" -> ((s, d) =>
       graft.operators.BpeTrain.trainMerges(Tables.documents(s, d), rounds = 8)),
 
+    // BPE inference: the learned merges (trained once per JVM — the
+    // tokenizer's at-rest posture) applied as one chained map-side replace
+    // pass; per-doc subword counts + fertility, the tokenizer-quality
+    // metric a pipeline tracks per source.
+    "q_bpe_apply" -> ((s, d) =>
+      graft.operators.BpeTrain.applyMerges(
+        Tables.documents(s, d),
+        graft.operators.BpeTrain.trainedMerges(s, d, rounds = 8))),
+
     "q_tfidf_terms" -> ((s, d) => TextAnalysis.tfIdfTerms(Tables.documents(s, d))),
 
     "q_tfidf_top_per_doc" -> ((s, d) =>
@@ -3608,6 +3617,10 @@ object SparkEntry {
 
     // BPE: the 8-round unrolled replay (generated; see BpeTrain.oracleSql).
     "q_bpe_train" -> graft.operators.BpeTrain.oracleSql(8),
+
+    // BPE apply: rebuild the merge stages, replay the same nested replace
+    // chain per word, roll up per doc.
+    "q_bpe_apply" -> graft.operators.BpeTrain.applyOracleSql(8),
 
     "q_token_count" ->
       """SELECT lang, count(*) AS n_docs,

@@ -86,11 +86,81 @@ object BpeTrain {
       .orderBy(col("round"))
   }
 
+  /** Per-JVM memoized merge list for a data dir — the APPLY side's input
+    * state: a tokenizer is trained once and applied per batch (the same
+    * at-rest posture as [[IndexRegistry]]), so the apply query must not
+    * re-pay training. Bounded driver state: `rounds` rows of strings. */
+  private val trained =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), Seq[(String, String, String)]]()
+
+  def trainedMerges(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String, rounds: Int): Seq[(String, String, String)] =
+    trained.computeIfAbsent((dir, rounds), { _ =>
+      trainMerges(graft.sources.Tables.documents(spark, dir), rounds)
+        .collect().toSeq
+        .map(r => (r.getString(1), r.getString(2), r.getString(3)))
+    })
+
+  /** Tokenize with a learned merge list: per word, wrap characters and
+    * apply the merges IN TRAINING ORDER as literal replaces — one chained
+    * map-side projection over the corpus (whole-stage codegen, no shuffle
+    * before the per-doc rollup), exactly how BPE inference composes.
+    * Output per doc: whitespace word count, subword count (symbols = end
+    * sentinels remaining), and fertility = subwords per word — THE
+    * tokenizer-quality metric a data pipeline tracks per source. */
+  def applyMerges(docs: DataFrame, merges: Seq[(String, String, String)]): DataFrame = {
+    val wrapped =
+      expr(s"array_join(transform(split(w, ''), c -> concat('$S', c, '$E')), '')")
+    val enc = merges.foldLeft(wrapped) { case (c, (l, r, m)) =>
+      call_function("replace", c, lit(S + l + E + S + r + E), lit(S + m + E))
+    }
+    docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .select(col("doc_id"),
+        (length(enc) - length(call_function("replace", enc, lit(E), lit("")))).as("n_sub"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_subwords"))
+      .select(col("doc_id"), col("n_words"), col("n_subwords"),
+        round(col("n_subwords").cast("double") / col("n_words").cast("double"), 6)
+          .as("fertility"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The DuckDB replay of [[trainMerges]] — `rounds` unrolled CTE stages
     * (the generated-oracle pattern of q_pagerank/q_acf): each stage
     * re-derives pair counts, picks the same argmax, and applies the same
     * sentinel-wrapped replace. */
   def oracleSql(rounds: Int): String = {
+    val unions = (1 to rounds).map { i =>
+      s"SELECT CAST($i AS INT) AS round, lhs, rhs, merged, CAST(weighted_count AS BIGINT) AS weighted_count FROM b$i"
+    }
+    s"WITH ${stagesSql(rounds)}\n${unions.mkString("\nUNION ALL ")}\nORDER BY round"
+  }
+
+  /** The DuckDB replay of [[applyMerges]] under [[trainedMerges]]: rebuild
+    * the b_i merge stages, then apply them as the same nested replace
+    * chain per word and roll up per doc. */
+  def applyOracleSql(rounds: Int): String = {
+    val encExpr = (1 to rounds).foldLeft(
+      "array_to_string([chr(1)||c||chr(2) for c in string_split(w, '')], '')") { (acc, i) =>
+      s"""replace($acc,
+         |  chr(1)||(SELECT lhs FROM b$i)||chr(2)||chr(1)||(SELECT rhs FROM b$i)||chr(2),
+         |  chr(1)||(SELECT merged FROM b$i)||chr(2))""".stripMargin
+    }
+    s"""WITH ${stagesSql(rounds)},
+       |enc AS (
+       |  SELECT doc_id, $encExpr AS enc
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE len(w) > 0)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |       CAST(sum(len(enc) - len(replace(enc, chr(2), ''))) AS BIGINT) AS n_subwords,
+       |       round(sum(len(enc) - len(replace(enc, chr(2), '')))::DOUBLE / count(*), 6) AS fertility
+       |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  private def stagesSql(rounds: Int): String = {
     // MATERIALIZED is load-bearing: inlined CTEs would expand each stage's
     // three b_i scalar subqueries recursively — ~4^rounds copies of the
     // base scan by round 8.
@@ -115,9 +185,6 @@ object BpeTrain {
          |                 chr(1)||(SELECT merged FROM b$i)||chr(2)) AS sym, freq
          |        FROM w${i - 1})""".stripMargin
     }
-    val unions = (1 to rounds).map { i =>
-      s"SELECT CAST($i AS INT) AS round, lhs, rhs, merged, CAST(weighted_count AS BIGINT) AS weighted_count FROM b$i"
-    }
-    s"WITH $dict,\n${stages.mkString(",\n")}\n${unions.mkString("\nUNION ALL ")}\nORDER BY round"
+    s"$dict,\n${stages.mkString(",\n")}"
   }
 }

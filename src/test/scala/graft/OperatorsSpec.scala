@@ -656,6 +656,12 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     val tie = Seq((1L, "ba ab")).toDF("doc_id", "text")
     val t = BpeTrain.trainMerges(tie, rounds = 1).head()
     assert(t.getString(1) == "a" && t.getString(2) == "b")
+    // apply: both learned merges compress every word of the fixture to one
+    // subword → fertility exactly 1.0
+    val applied = BpeTrain.applyMerges(docs,
+      Seq(("a", "b", "ab"), ("ab", "c", "abc"))).head()
+    assert(applied.getLong(1) == 4L && applied.getLong(2) == 4L &&
+      applied.getDouble(3) == 1.0, applied.toString)
   }
 
   test("curriculum interleave: total order, easy-first per source, mixture in every window") {
