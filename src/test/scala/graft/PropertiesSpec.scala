@@ -172,4 +172,44 @@ class PropertiesSpec extends AnyFunSuite with SparkSpec {
     // score relative to the same jaro with no shared prefix
     assert(jw("martha", "marhta") > jw("artham", "arhtam") - 1e-12)
   }
+
+  test("Ranking.rowNumber/ntileAssign equal the window functions on random inputs") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.Ranking
+    // values collide heavily (range 0..20 over 500 rows) so the unique-id
+    // tiebreaker carries the total order; groups are few and skewed —
+    // exactly the shape the single-task window would choke on at scale
+    val rows = sample(for {
+      grps <- Gen.listOfN(500, Gen.frequency((8, Gen.const("web")), (3, Gen.const("code")), (1, Gen.const("books"))))
+      vs <- Gen.listOfN(500, Gen.choose(0L, 20L))
+    } yield grps.zip(vs)).zipWithIndex.map { case ((g, v), i) => (i.toLong, g, v) }
+    val df = rows.toDF("id", "grp", "v")
+    for (parts <- Seq(1, 3, 17)) {
+      // grouped rank vs window row_number
+      val got = Ranking.rowNumber(df, Seq("grp"), Seq($"v".desc, $"id"), "rk",
+          totalCol = Some("n"), numPartitions = parts)
+        .select($"id", $"rk", $"n").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val w = Window.partitionBy($"grp").orderBy($"v".desc, $"id")
+      val wn = Window.partitionBy($"grp")
+      val want = df.select($"id", row_number().over(w).cast("long").as("rk"),
+          count(lit(1)).over(wn).as("n")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == want, s"grouped rank mismatch at parts=$parts")
+      // global ntile vs window ntile, several bucket counts incl. k > n_rows/k edge
+      for (k <- Seq(2, 3, 7, 499)) {
+        val gotN = Ranking.ntileAssign(df, Nil, Seq($"v", $"id"), k, "b")
+          .select($"id", $"b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val wantN = df.select($"id",
+            ntile(k).over(Window.orderBy($"v", $"id")).cast("long").as("b"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(gotN == wantN, s"ntile($k) mismatch at parts=$parts")
+      }
+    }
+    // degenerate inputs: single row and empty
+    assert(Ranking.rowNumber(rows.take(1).toDF("id", "grp", "v"), Nil, Seq($"id"), "rk")
+      .select($"rk").head.getLong(0) == 1L)
+    assert(Ranking.rowNumber(rows.take(0).toDF("id", "grp", "v"), Nil, Seq($"id"), "rk")
+      .count() == 0L)
+  }
 }
