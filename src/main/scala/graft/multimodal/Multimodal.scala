@@ -47,11 +47,15 @@ object Multimodal {
     * is "not an image", and that answer must cost a few byte compares, not
     * a codec-registry scan per row. */
   private def looksLikeImage(p: Array[Byte]): Boolean =
-    p.length >= 8 && (
+    p.length >= 14 && (
       (p(0) == 0x89.toByte && p(1) == 'P' && p(2) == 'N' && p(3) == 'G') ||
       (p(0) == 0xFF.toByte && p(1) == 0xD8.toByte && p(2) == 0xFF.toByte) ||
       (p(0) == 'G' && p(1) == 'I' && p(2) == 'F' && p(3) == '8') ||
-      (p(0) == 'B' && p(1) == 'M'))
+      // BMP's 2-byte magic is plain ASCII ("BM…" text would pass); also
+      // require the 4 reserved header bytes at offsets 6-9 to be zero —
+      // impossible in UTF-8 text, mandatory in a real BMP
+      (p(0) == 'B' && p(1) == 'M' &&
+        p(6) == 0 && p(7) == 0 && p(8) == 0 && p(9) == 0))
 
   def decodeImage(payload: Array[Byte]): Option[(Int, Int, Array[Byte])] =
     if (!looksLikeImage(payload)) None

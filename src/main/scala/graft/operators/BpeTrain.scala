@@ -143,11 +143,15 @@ object BpeTrain {
     * the b_i merge stages, then apply them as the same nested replace
     * chain per word and roll up per doc. */
   def applyOracleSql(rounds: Int): String = {
+    // coalesce to a never-occurring sentinel: when training exhausts
+    // before `rounds`, b_i is empty and its scalar subqueries are NULL —
+    // an un-coalesced replace would NULL the whole encoding, where the
+    // engine under test simply has no merge to apply (a no-op)
     val encExpr = (1 to rounds).foldLeft(
       "array_to_string([chr(1)||c||chr(2) for c in string_split(w, '')], '')") { (acc, i) =>
       s"""replace($acc,
-         |  chr(1)||(SELECT lhs FROM b$i)||chr(2)||chr(1)||(SELECT rhs FROM b$i)||chr(2),
-         |  chr(1)||(SELECT merged FROM b$i)||chr(2))""".stripMargin
+         |  coalesce(chr(1)||(SELECT lhs FROM b$i)||chr(2)||chr(1)||(SELECT rhs FROM b$i)||chr(2), chr(3)),
+         |  coalesce(chr(1)||(SELECT merged FROM b$i)||chr(2), chr(3)))""".stripMargin
     }
     s"""WITH ${stagesSql(rounds)},
        |enc AS (

@@ -173,6 +173,18 @@ object Layout {
     def parquetCount(d: java.io.File): Int =
       Option(d.listFiles()).getOrElse(Array.empty[java.io.File])
         .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    def isStaging(d: java.io.File): Boolean =
+      d.getName.endsWith("__compact") || d.getName.endsWith("__precompact")
+    // a crashed prior run may have left per-leaf staging dirs behind: they
+    // must never be listed as leaves (a concurrent future would compact
+    // one while its sibling's compactImpl deletes it) nor left for readers
+    // to parse as bogus partition values — purge them up front
+    def purgeStaging(d: java.io.File): Unit =
+      Option(d.listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(_.isDirectory).foreach { c =>
+          if (isStaging(c)) graft.sources.Staging.rmTree(c) else purgeStaging(c)
+        }
+    purgeStaging(rootDir)
     def leaves(d: java.io.File): Seq[java.io.File] =
       if (parquetCount(d) > 0) Seq(d)
       else Option(d.listFiles()).getOrElse(Array.empty[java.io.File])

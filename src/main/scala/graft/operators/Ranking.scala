@@ -41,7 +41,7 @@ object Ranking {
   private val Pid = "__pid"
   private val Off = "__off"
   private val Cnt = "__cnt"
-  private val Reserved = Seq(Pid, Off, Cnt, "__mono", "__mono0")
+  private val Reserved = Seq(Pid, Off, Cnt, "__mono", "__gstart")
 
   /** Add an exact 1-based `out` row number per `groupCols` group in the
     * total order of `orderCols` (which MUST be total — include a unique
@@ -56,8 +56,8 @@ object Ranking {
       totalCol: Option[String] = None,
       numPartitions: Int = 0): DataFrame = {
     require(orderCols.nonEmpty, "rowNumber needs at least one order column")
-    Reserved.foreach(c =>
-      require(!df.columns.contains(c), s"input already has reserved column $c"))
+    (Reserved :+ out).foreach(c =>
+      require(!df.columns.contains(c), s"input already has reserved/output column $c"))
     val parts =
       if (numPartitions > 0) numPartitions
       else df.sparkSession.sessionState.conf.numShufflePartitions
@@ -138,6 +138,8 @@ object Ranking {
       buckets: Int,
       out: String): DataFrame = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
+    Seq("__rn", "__n", out).foreach(c =>
+      require(!df.columns.contains(c), s"input already has reserved/output column $c"))
     val r = rowNumber(df, groupCols, orderCols, "__rn", totalCol = Some("__n"))
     val k = buckets.toLong
     r.withColumn(out, expr(

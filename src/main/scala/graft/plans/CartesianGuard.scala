@@ -88,10 +88,13 @@ object CartesianGuard {
         // show) is indistinguishable from the phantom at analysis time and
         // bypasses the guard; any aggregate, projection, or filter above
         // it (every query in this library) is caught normally.
+        // name match is case-INSENSITIVE, like Spark's default using-column
+        // resolution — a case-sensitive compare would reject a legitimate
+        // df1.join(df2, "key") whose sides spell the key differently
         case j @ Join(left, right, Inner, None, _)
             if (j eq plan) &&
-              left.output.map(_.name).toSet
-                .intersect(right.output.map(_.name).toSet).nonEmpty => ()
+              left.output.map(_.name.toLowerCase).toSet
+                .intersect(right.output.map(_.name.toLowerCase).toSet).nonEmpty => ()
         case j @ Join(left, right, Cross | Inner, _, _) if !hasEquiKey(j) &&
             !broadcastHinted(left) && !broadcastHinted(right) =>
           val l = left.stats.sizeInBytes
