@@ -741,6 +741,27 @@ object SparkEntry {
         .select(col("v").as("doc_id"), col("cluster_id"), col("cluster_size"))
         .orderBy(col("doc_id"))),
 
+    // Dedup APPLY — the keep/drop policy a pipeline actually executes with
+    // the clusters: keep the best-quality member (longest doc, doc_id
+    // tiebreak) per near-dup cluster, drop the rest. The per-cluster pick
+    // is a window keyed by cluster_id — many small groups, never a global
+    // sort. Oracle extends the cluster CTE with the same ranked pick.
+    "q_dedup_apply" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val cc = Dedup.connectedComponents(
+        Dedup.blockedJaccardPairsUnsorted(docs, threshold = 0.9), "doc_a", "doc_b")
+      val w = Window.partitionBy(col("cluster_id")).orderBy(col("len").desc, col("doc_id"))
+      cc.join(docs.select(col("doc_id"), length(col("text")).as("len")),
+          cc("v") === col("doc_id"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("cluster_id"), col("cluster_size"),
+          col("doc_id").as("kept_doc_id"), col("len").as("kept_len"),
+          (col("cluster_size") - 1).as("n_dropped"))
+        .orderBy(col("cluster_id"))
+    }),
+
     // SimHash fingerprints, SELF-ASSERTING: the native codegen voting kernel
     // ([[graft.functions.SimHash64]]) is recomputed per document by an
     // interpreted higher-order-function twin (same per-token xxhash64, same
@@ -4192,6 +4213,35 @@ object SparkEntry {
          SELECT v AS doc_id, min(r) AS cluster_id,
                 CAST(count(DISTINCT r) AS BIGINT) AS cluster_size
          FROM reach GROUP BY 1 ORDER BY 1""",
+
+    "q_dedup_apply" ->
+      """WITH RECURSIVE pairs AS (
+           SELECT doc_a, doc_b FROM (
+             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                    round(len(list_intersect(a.toks, b.toks)) * 1.0
+                          / len(list_distinct(list_concat(a.toks, b.toks))), 6) AS jaccard
+             FROM (SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS toks FROM documents) a
+             JOIN (SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS toks FROM documents) b
+               ON a.source = b.source AND a.doc_id < b.doc_id)
+           WHERE jaccard >= 0.9),
+         edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+         reach(v, r) AS (
+           SELECT a, a FROM edges
+           UNION
+           SELECT r.v, e.b FROM reach r JOIN edges e ON r.r = e.a),
+         clusters AS (
+           SELECT v AS doc_id, min(r) AS cluster_id,
+                  CAST(count(DISTINCT r) AS BIGINT) AS cluster_size
+           FROM reach GROUP BY 1),
+         ranked AS (
+           SELECT c.cluster_id, c.cluster_size, c.doc_id, len(d.text) AS l,
+                  row_number() OVER (PARTITION BY c.cluster_id
+                                     ORDER BY len(d.text) DESC, c.doc_id) AS rn
+           FROM clusters c JOIN documents d ON d.doc_id = c.doc_id)
+         SELECT cluster_id, cluster_size, doc_id AS kept_doc_id,
+                CAST(l AS INT) AS kept_len,
+                CAST(cluster_size - 1 AS BIGINT) AS n_dropped
+         FROM ranked WHERE rn = 1 ORDER BY cluster_id""",
 
     "q_json_flatten" ->
       """SELECT event_type,
