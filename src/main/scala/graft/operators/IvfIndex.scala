@@ -101,6 +101,94 @@ object IvfIndex {
           index.centroids.map(_._2))),
       index.centroids)
 
+  /** Cell REBALANCING — the maintenance job a continuously-growing IVF
+    * index needs: incremental adds respect the frozen centroids, so data
+    * drift piles new vectors into a few cells and probe cost creeps toward
+    * a scan of those cells. Oversized cells (> `factor` × the mean) are
+    * SPLIT in place: a 2-means model trains on a bounded deterministic
+    * sample of the cell's OWN members (seeded per cell), the cell's rows —
+    * and only those — reassign between the two children in one codegen
+    * pass (partition-pruned at rest), and the centroid table swaps one
+    * entry for two. O(oversized rows) work where the periodic-full-retrain
+    * answer is O(corpus); child ids extend the id space, which [[search]]
+    * joins by VALUE, so probing is unaffected. Deterministic given
+    * (data, seed); every vector stays present exactly once, in the nearer
+    * of its cell's two children — both asserted in-plan by
+    * `q_ivf_rebalance`. */
+  final case class Split(parent: Int, child: Int, centA: Array[Double], centB: Array[Double])
+
+  def rebalanceCells(
+      spark: SparkSession,
+      index: Index,
+      factor: Double = 1.5,
+      seed: Long = 42L,
+      trainCap: Int = 4096,
+      maxIter: Int = 10,
+      tol: Double = 1e-4): Index =
+    rebalanceCellsWithPlan(spark, index, factor, seed, trainCap, maxIter, tol)._1
+
+  /** [[rebalanceCells]] plus the split plan (parent cell, new child id, the
+    * two child centroids) — model-sized driver data the verification
+    * harness replays the assignment against. */
+  def rebalanceCellsWithPlan(
+      spark: SparkSession,
+      index: Index,
+      factor: Double = 1.5,
+      seed: Long = 42L,
+      trainCap: Int = 4096,
+      maxIter: Int = 10,
+      tol: Double = 1e-4): (Index, Seq[Split]) = {
+    require(factor > 1.0, s"rebalanceCells: factor must exceed 1, got $factor")
+    // cell sizes: an nLists-bounded driver list, same class as the model
+    val sizes = index.assigned.groupBy(col("cell_id")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    val mean = sizes.values.sum.toDouble / math.max(1, sizes.size)
+    val big = sizes.filter { case (_, n) => n > factor * mean }.keys.toSeq.sorted
+    if (big.isEmpty) (index, Nil)
+    else {
+      var nextId = index.centroids.map(_._1).max + 1
+      val newCents = scala.collection.mutable.ArrayBuffer(
+        index.centroids.filterNot { case (id, _) => big.contains(id) }: _*)
+      val plans = big.map { cid =>
+        val members = index.assigned.filter(col("cell_id") === cid)
+        // bounded deterministic sample of the cell's members (build's
+        // hash-threshold contract, scoped to one cell)
+        val total = sizes(cid)
+        val picked =
+          if (total <= trainCap) members
+          else {
+            val m = 1000003L
+            val base_ = (trainCap.toLong * m) / total
+            val thresh = math.max(1L, base_ + math.max(1L, base_ / 20))
+            members.filter(pmod(xxhash64(col("vec_id")), lit(m)) < lit(thresh))
+          }
+        val sample = picked.select(col("embedding")).collect()
+          .map(_.getSeq[Float](0).iterator.map(_.toDouble).toArray)
+        val kids = lloyd(sample, 2, seed + cid, maxIter, tol)
+        val idB = nextId
+        nextId += 1
+        newCents += ((cid, kids(0)))
+        newCents += ((idB, kids(1)))
+        (cid, idB, kids)
+      }
+      val untouched = index.assigned.filter(!col("cell_id").isin(big: _*))
+      val reassigned = plans.map { case (cid, idB, kids) =>
+        index.assigned.filter(col("cell_id") === cid)
+          .select(col("vec_id"), col("embedding"),
+            when(nearerChild(col("embedding"), kids(0), kids(1)) === 0, lit(cid))
+              .otherwise(lit(idB)).as("cell_id"))
+      }.reduce(_ unionByName _)
+      (Index(untouched.unionByName(reassigned), newCents.sortBy(_._1).toArray),
+        plans.map { case (cid, idB, kids) => Split(cid, idB, kids(0), kids(1)) })
+    }
+  }
+
+  /** 0 if `embedding` is nearer `centA` than `centB` (ties to A), else 1 —
+    * the split-assignment rule, public so the contract query can replay it
+    * against the rebalanced index. */
+  def nearerChild(embedding: Column, centA: Array[Double], centB: Array[Double]): Column =
+    array_min(cellDistances(embedding, Array(centA, centB))).getField("cell")
+
   /** Search: route each query to its `nProbe` nearest centroids, score only
     * vectors in those cells, take cosine top-k. */
   def search(spark: SparkSession, index: Index, queries: DataFrame, k: Int, nProbe: Int): DataFrame = {
