@@ -2088,6 +2088,60 @@ object SparkEntry {
       graft.operators.TrainingOrder.shardShuffle(Tables.documents(s, d), "doc_id")
         .orderBy(col("shard"), col("pos"))),
 
+    // URL canonicalization (the C4/RefinedWeb document-identity step):
+    // deterministic messy URLs derived per document — case-chaotic scheme
+    // and host, userinfo, www., default and non-default ports, trailing
+    // slashes, utm_*/click-id tracking params in shuffled order, fragments
+    // — normalized by the pure-Column UrlOps chain (whole-stage codegen,
+    // map-side at scan speed). The oracle constructs the EXPECTED canonical
+    // directly from the components, so the two sides agree only if every
+    // normalization lands exactly.
+    "q_url_canonicalize" -> ((s, d) => {
+      val id = col("doc_id")
+      val messy = concat(
+        when(id % 3 === 0, lit("HtTpS")).otherwise(lit("hTtp")), lit("://"),
+        when(id % 4 === 0, lit("user:pw@")).otherwise(lit("")),
+        when(id % 5 === 0, lit("WWW.")).otherwise(lit("")),
+        col("source"), lit("."),
+        when(id % 7 === 0, lit("co.uk")).otherwise(lit("com")),
+        when(id % 4 === 1, lit(":80"))
+          .when(id % 4 === 3, lit(":8080")).otherwise(lit("")),
+        lit("/Docs/"), col("lang"), lit("/"), (id % 100).cast("string"),
+        when(id % 2 === 0, lit("/")).otherwise(lit("")),
+        when(id % 3 === 0, lit("?b=2&utm_source=feed&a=1"))
+          .when(id % 3 === 1, lit("?a=1&fbclid=XyZ&b=2")).otherwise(lit("")),
+        when(id % 5 === 1, lit("#section-2")).otherwise(lit("")))
+      Tables.documents(s, d)
+        .select(id, messy.as("url"))
+        .select(id,
+          UrlOps.canonicalizeUrl(col("url")).as("canonical_url"),
+          UrlOps.registeredDomain(UrlOps.urlHost(col("url"))).as("domain"))
+        .orderBy("doc_id")
+    }),
+
+    // Canonical-URL dedup: raw URLs that differ syntactically (case, www.,
+    // tracking params, fragments) collapse to one canonical group;
+    // first-occurrence keep + member count per group. The group key is
+    // computed map-side; the only shuffle is the groupBy on the canonical —
+    // at 100 TB this is a single hash-agg over the crawl, the cheapest
+    // possible dedup pass and the reason pipelines run it before any
+    // content-based dedup.
+    "q_url_dedup" -> ((s, d) => {
+      val messy = concat(
+        when(col("n_chars") % 2 === 0, lit("HTTP")).otherwise(lit("http")),
+        lit("://"),
+        when(col("doc_id") % 2 === 0, lit("www.")).otherwise(lit("")),
+        col("source"), lit(".com/"), col("lang"), lit("/item/"),
+        (col("n_chars") % 40).cast("string"),
+        when(col("doc_id") % 3 === 0, lit("?utm_campaign=x")).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, lit("#top")).otherwise(lit("")))
+      Tables.documents(s, d)
+        .select(col("doc_id"), UrlOps.canonicalizeUrl(messy).as("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_members"))
+        .orderBy("canonical_url")
+    }),
+
     // C4-style line-level dedup (10-token blocks as "lines").
     "q_line_dedup" -> ((s, d) =>
       TextAnalysis.lineDedup(Tables.documents(s, d))),
@@ -4329,6 +4383,32 @@ object SparkEntry {
          SELECT doc_id, CAST(key % 16 AS BIGINT) AS shard,
                 row_number() OVER (PARTITION BY key % 16 ORDER BY key, doc_id) AS pos
          FROM k ORDER BY shard, pos""",
+
+    // The oracle does NOT replay the normalization regexes — it assembles
+    // the expected canonical straight from the derivation components
+    // (lowercased scheme, www-less host, default ports dropped, tracking
+    // params gone and survivors sorted, no trailing slash, no fragment).
+    // Any normalization miss on the Spark side breaks the hash.
+    "q_url_canonicalize" ->
+      """SELECT doc_id,
+                CASE WHEN doc_id % 3 = 0 THEN 'https' ELSE 'http' END || '://' ||
+                source || '.' ||
+                CASE WHEN doc_id % 7 = 0 THEN 'co.uk' ELSE 'com' END ||
+                CASE WHEN doc_id % 4 = 1 AND doc_id % 3 = 0 THEN ':80'
+                     WHEN doc_id % 4 = 3 THEN ':8080' ELSE '' END ||
+                '/Docs/' || lang || '/' || CAST(doc_id % 100 AS VARCHAR) ||
+                CASE WHEN doc_id % 3 = 2 THEN '' ELSE '?a=1&b=2' END AS canonical_url,
+                source || '.' ||
+                CASE WHEN doc_id % 7 = 0 THEN 'co.uk' ELSE 'com' END AS domain
+         FROM documents ORDER BY doc_id""",
+
+    // Same principle: the oracle groups on the canonical it constructs
+    // directly, so the Spark side's messy-URL collapse must land exactly.
+    "q_url_dedup" ->
+      """SELECT 'http://' || source || '.com/' || lang || '/item/' ||
+                  CAST(n_chars % 40 AS VARCHAR) AS canonical_url,
+                min(doc_id) AS keep_id, count(*) AS n_members
+         FROM documents GROUP BY 1 ORDER BY 1""",
 
     // 10-token blocks, corpus-wide first-occurrence keep, survivors
     // re-assembled in position order and sha-fingerprinted. Zipped unnests

@@ -13,9 +13,26 @@ import org.apache.spark.sql.types.StructType
   */
 object Tables {
 
-  /** One driver testdata table: `<dir>/<name>.parquet`. */
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** One driver testdata table: `<dir>/<name>.parquet`.
+    *
+    * The driver testdata ships `isAdjustedToUTC=false` µs timestamps
+    * (`ts`, `o_orderdate`, `l_shipdate`). Our sessions read those as plain
+    * `TimestampType` directly (`spark.sql.parquet.inferTimestampNTZ
+    * .enabled=false` in [[graft.Bench]]/[[graft.Verify]]/the test spec) —
+    * the scan itself produces the right type, so timestamp predicates stay
+    * PUSHABLE into the parquet reader. In a foreign session without that
+    * conf they surface as `TIMESTAMP_NTZ`; the cast below normalizes
+    * (session timezone is UTC everywhere, so the instants are identical) at
+    * the price of pushdown — correctness never depends on the conf. */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val raw = spark.read.parquet(s"$dir/$name.parquet")
+    val ntz = raw.schema.fields
+      .filter(_.dataType == org.apache.spark.sql.types.TimestampNTZType)
+    if (ntz.isEmpty) raw
+    else ntz.foldLeft(raw)((df, f) =>
+      df.withColumn(f.name,
+        col(f.name).cast(org.apache.spark.sql.types.TimestampType)))
+  }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "orders")
@@ -24,11 +41,13 @@ object Tables {
   def supplier(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "supplier")
   def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
-  /** The events table ships INT64 TIMESTAMP(NANOS) parquet, which Spark 4
-    * only reads as long (`spark.sql.legacy.parquet.nanosAsLong=true`, set by
-    * [[graft.Verify]]/[[graft.Bench]]); normalize to µs TimestampType here
-    * (`div 1000` stays in long arithmetic — double division would lose
-    * precision on epoch-nanos magnitudes). */
+  /** Earlier driver testdata generations shipped the events table as INT64
+    * TIMESTAMP(NANOS) parquet, which Spark 4 only reads as long
+    * (`spark.sql.legacy.parquet.nanosAsLong=true`, set by
+    * [[graft.Verify]]/[[graft.Bench]]); that generation normalizes to µs
+    * TimestampType here (`div 1000` stays in long arithmetic — double
+    * division would lose precision on epoch-nanos magnitudes). Current
+    * testdata ships µs timestamps and takes the `table` path unchanged. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val raw = table(spark, dir, "events")
     raw.schema("ts").dataType match {

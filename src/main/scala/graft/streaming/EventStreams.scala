@@ -58,16 +58,27 @@ object EventStreams {
   }
 
   /** Streaming source over the driver testdata layout: the events parquet
-    * sits next to nine other tables, so glob-filter it; with
-    * `nanosAsLong` the raw ts is INT64 nanos — normalize to µs like
-    * [[graft.sources.Tables.events]]. */
+    * sits next to nine other tables, so glob-filter it. The driver has
+    * shipped two physical layouts across regenerations — INT64
+    * TIMESTAMP(NANOS) (reads as long under `nanosAsLong`; normalize to µs
+    * like [[graft.sources.Tables.events]]) and µs timestamps (read
+    * directly). `readStream` needs the schema up front, so sniff the
+    * physical type with a one-file batch read of the footer first. */
   def readTestdataEventStream(spark: SparkSession, dir: String): DataFrame = {
-    val raw = org.apache.spark.sql.types.StructType(
-      Schemas.events.map(f => if (f.name == "ts") f.copy(dataType = org.apache.spark.sql.types.LongType) else f))
-    spark.readStream.schema(raw)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val physical =
+      spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+    if (physical == org.apache.spark.sql.types.LongType) {
+      val raw = org.apache.spark.sql.types.StructType(
+        Schemas.events.map(f => if (f.name == "ts") f.copy(dataType = org.apache.spark.sql.types.LongType) else f))
+      spark.readStream.schema(raw)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } else {
+      spark.readStream.schema(Schemas.events)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+    }
   }
 
   /** Restore an optional conf captured with `conf.getOption`. */

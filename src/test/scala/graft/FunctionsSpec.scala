@@ -344,6 +344,40 @@ class FunctionsSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(got(0).getDouble(2) - 1.0) < 1e-9)
   }
 
+  test("canonicalizeUrl: RFC 3986 + crawl-pipeline normalizations") {
+    import graft.functions.UrlOps._
+    val cases = Seq(
+      // case-fold scheme/host, drop userinfo+www+default port+fragment,
+      // strip trailing slash, drop utm_*, sort surviving params
+      ("HtTpS://User:Pw@WWW.Example.COM:443/a/b/?utm_source=x&z=9&a=1#frag",
+        "https://example.com/a/b?a=1&z=9"),
+      // non-default port kept; root path collapses to empty
+      ("http://example.com:8080/", "http://example.com:8080"),
+      // http:80 is the default and is stripped; path case preserved
+      ("http://EXAMPLE.com:80/Path//", "http://example.com/Path"),
+      // https:80 is NOT the default → kept
+      ("https://example.com:80/x", "https://example.com:80/x"),
+      // click-id tracking params dropped even when the query empties out
+      ("https://sub.domain.co.uk/x?fbclid=abc", "https://sub.domain.co.uk/x"))
+    val got = cases.map(_._1).toDF("url")
+      .select(canonicalizeUrl($"url").as("c")).as[String].collect()
+    got.zip(cases.map(_._2)).foreach { case (g, want) => assert(g == want) }
+  }
+
+  test("registeredDomain: two labels, three over multi-label suffixes") {
+    import graft.functions.UrlOps._
+    val got = Seq("a.b.example.co.uk", "news.example.com", "localhost", "x.com")
+      .toDF("h").select(registeredDomain($"h")).as[String].collect()
+    assert(got.sameElements(Array("example.co.uk", "example.com", "localhost", "x.com")))
+  }
+
+  test("cleanQuery sorts duplicates stably and keeps '?' in values") {
+    import graft.functions.UrlOps._
+    val got = Seq("http://h/p?b=2&a=1&a=0&utm_campaign=z&ref=t")
+      .toDF("u").select(cleanQuery($"u")).as[String].collect()
+    assert(got(0) == "a=0&a=1&b=2")
+  }
+
   test("pmiBigrams: hand-computed PMI, minCount suppresses hapax pairs") {
     // tokens: p=3 q=3 z=2 (TU=8); bigrams: "p q"x2 "z p" "q z" (TB=4)
     // PMI(p q) = ln(2*8*8 / (4*3*3)) = ln(32/9)
