@@ -599,6 +599,24 @@ class ScaleSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("URL dedup: canonicalization map-side in codegen, one partial-agg shuffle") {
+    // the crawl-scale contract: canonical keys are computed at scan speed
+    // (no UDF, inside a WholeStageCodegen span) and the ONLY data shuffle
+    // is the groupBy on the canonical, fed by a map-side partial aggregate
+    // (one row per key per task crosses the wire, never the corpus)
+    val saved = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = plan(SparkEntry.queries("q_url_dedup")(spark, sf))
+      assert(!p.contains("UDF"), p)
+      val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+      assert(hashEx == 1, s"expected exactly 1 hash exchange, got $hashEx:\n$p")
+      assert("HashAggregate.*partial".r.findFirstIn(p).isDefined, p)
+      // canonicalization projection sits in a codegen span ("*(n) ...")
+      assert("\\*\\(1\\)".r.findFirstIn(p).isDefined, p)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", saved)
+  }
+
   test("blocked Jaccard generates each qualifying pair exactly once (size bands)") {
     // doc sizes straddling band boundaries: near-equal sizes must pair ONCE,
     // far-apart sizes must not pair at all
