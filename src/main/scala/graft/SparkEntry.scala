@@ -2181,6 +2181,53 @@ object SparkEntry {
           col("per_source_within"))
     }),
 
+    // Mergeable KLL quantile sketches (DataSketches) — the quantile third
+    // of the sketch family (HLL distinct above, count-min frequency): ONE
+    // aggregation pass builds a per-source sketch; the corpus sketch is
+    // the MERGE of the per-source sketches, never a raw-data rescan — the
+    // distributed-percentile pattern at 100 TB, where an exact quantile
+    // costs a global rank. KLL compaction is randomized, so the contract
+    // surfaces deterministic columns only: the exact discrete quantiles
+    // (distributed-rank twin, no single-task window), the exact stream
+    // length through the merge (kll_n — lossless-merge proof), and bound
+    // booleans with a ±5-rank-percent margin (≳3× the k=200 sketch's
+    // 99%-confidence error — deterministically true).
+    "q_kll_quantiles" -> ((s, d) => {
+      import graft.functions.Kll._
+      val docs = Tables.documents(s, d)
+        .select(col("source"), col("n_chars").cast("double").as("__v"), col("doc_id"))
+      val perSk = docs.groupBy("source").agg(kllSketchAgg(col("__v")).as("sk"))
+      val allSk = perSk.agg(kllMergeAgg(col("sk")).as("sk"))
+        .withColumn("source", lit("<ALL>"))
+      val sk = perSk.unionByName(allSk)
+      // exact twin: discrete quantiles at integer-math ranks, ranked by the
+      // distributed two-level helper (Ranking) — works per-source AND for
+      // the global ordering without a single-partition WindowExec
+      def cuts(in: DataFrame): DataFrame = {
+        val ranked = graft.operators.Ranking.rowNumber(
+          in, Seq("source"), Seq(col("__v"), col("doc_id")), "__rn", Some("__n"))
+        def at(rank: Column) = max(when(col("__rn") === rank, col("__v")))
+        def r(p: Int) = expr(s"($p * __n + 99) div 100")
+        def rlo(p: Int) = greatest(r(p), lit(1L))
+        def rhi(p: Int) = least(r(p), col("__n"))
+        ranked.groupBy("source").agg(
+          max(col("__n")).as("n"),
+          at(r(50)).as("p50_exact"), at(rlo(45)).as("__p50_lo"), at(rhi(55)).as("__p50_hi"),
+          at(r(90)).as("p90_exact"), at(rlo(85)).as("__p90_lo"), at(rhi(95)).as("__p90_hi"))
+      }
+      val exact = cuts(docs)
+        .unionByName(cuts(docs.withColumn("source", lit("<ALL>"))))
+      sk.join(exact, "source")
+        .select(col("source"), col("n"),
+          col("p50_exact"), col("p90_exact"),
+          (kllN(col("sk")) === col("n")).as("n_ok"),
+          kllQuantile(col("sk"), lit(0.5))
+            .between(col("__p50_lo"), col("__p50_hi")).as("p50_ok"),
+          kllQuantile(col("sk"), lit(0.9))
+            .between(col("__p90_lo"), col("__p90_hi")).as("p90_ok"))
+        .orderBy("source")
+    }),
+
     // Join-key skew diagnostics: the concentration profile that justifies
     // (or rules out) salting before a big join.
     "q_skew_profile" -> ((s, d) =>
@@ -2904,6 +2951,22 @@ object SparkEntry {
       val newSh = Dedup.shingleSets(
         Tables.documents(s, d).filter(col("doc_id") % 5 === 0), n = 3)
       Dedup.minHashIncrementalPairs(newSh, atRestBands, atRestSh)
+    }),
+    // Contract form: sketches ⋈ distributed-rank exact twin + bound
+    // booleans. Operator: per-source KLL build, corpus merge, quantile
+    // extraction — what a pipeline prices (the exact ranking is the
+    // verification harness; at 100 TB it's exactly the global sort the
+    // sketch exists to avoid).
+    "q_kll_quantiles" -> ((s, d) => {
+      import graft.functions.Kll._
+      val perSk = Tables.documents(s, d)
+        .select(col("source"), col("n_chars").cast("double").as("__v"))
+        .groupBy("source").agg(kllSketchAgg(col("__v")).as("sk"))
+      perSk.unionByName(
+          perSk.agg(kllMergeAgg(col("sk")).as("sk")).withColumn("source", lit("<ALL>")))
+        .select(col("source"), kllN(col("sk")).as("n"),
+          kllQuantile(col("sk"), lit(0.5)).as("p50"),
+          kllQuantile(col("sk"), lit(0.9)).as("p90"))
     }),
     // Contract form: banded-LSH pairs ⋈ O(n²) brute-force cosine twin.
     // Operator: hyperplane banding → bucket pair generator → cosine filter.
@@ -4481,6 +4544,25 @@ object SparkEntry {
                 count(DISTINCT term) AS exact_union,
                 true AS union_within, true AS per_source_within
          FROM tok""",
+
+    // exact discrete-quantile twins (same integer rank math: value at rank
+    // ceil(p·n/100) in the (v, doc_id) total order) + pinned booleans —
+    // the KLL estimates themselves are randomized and never surfaced
+    "q_kll_quantiles" ->
+      """WITH r AS (SELECT source, CAST(n_chars AS DOUBLE) AS v,
+                           row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+                           count(*) OVER (PARTITION BY source) AS n
+                    FROM documents
+                    UNION ALL
+                    SELECT '<ALL>' AS source, CAST(n_chars AS DOUBLE) AS v,
+                           row_number() OVER (ORDER BY n_chars, doc_id) AS rn,
+                           count(*) OVER () AS n
+                    FROM documents)
+         SELECT source, max(n) AS n,
+                max(CASE WHEN rn = (50*n + 99) // 100 THEN v END) AS p50_exact,
+                max(CASE WHEN rn = (90*n + 99) // 100 THEN v END) AS p90_exact,
+                true AS n_ok, true AS p50_ok, true AS p90_ok
+         FROM r GROUP BY source ORDER BY source""",
 
     "q_table_diff" ->
       """WITH base AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),

@@ -45,7 +45,15 @@ object GraftFunctions {
       CosinePairs(args(0), doubleLit(args(1), "cutoff"))),
     "jaccard_band_pairs" -> (args =>
       JaccardBandPairs(args(0), args(1),
-        doubleLit(args(2), "margin"), doubleLit(args(3), "cutoff"))))
+        doubleLit(args(2), "margin"), doubleLit(args(3), "cutoff"))),
+    "kll_sketch_agg" -> (args =>
+      KllSketchAgg(args(0), if (args.length > 1) intLit(args(1), "k") else 200)
+        .toAggregateExpression()),
+    "kll_merge_agg" -> (args =>
+      KllMergeAgg(args(0), if (args.length > 1) intLit(args(1), "k") else 200)
+        .toAggregateExpression()),
+    "kll_quantile" -> (args => KllQuantile(args(0), args(1))),
+    "kll_n" -> (args => KllN(args(0))))
 
   /** Register on a live session (classic path, via the sql-package shim). */
   def registerAll(spark: SparkSession): Unit =

@@ -378,6 +378,42 @@ class FunctionsSpec extends AnyFunSuite with SparkSpec {
     assert(got(0) == "a=0&a=1&b=2")
   }
 
+  test("KLL sketch: exact below k, merge lossless, bounds hold when compacted") {
+    import graft.functions.Kll._
+    // n=100 < k=200: the sketch retains everything — quantiles are EXACT
+    val small = spark.range(1, 101).select($"id".cast("double").as("v"))
+    val smallRow = small.agg(kllSketchAgg($"v").as("sk"))
+      .select(kllN($"sk"), kllQuantile($"sk", lit(0.5)), kllQuantile($"sk", lit(0.9)))
+      .head()
+    assert(smallRow.getLong(0) == 100L)
+    assert(smallRow.getDouble(1) == 50.0)
+    assert(smallRow.getDouble(2) == 90.0)
+
+    // n=20000 in 8 striped parts, merged: getN exact (lossless merge) and
+    // quantile estimates within 3× the k=200 normalized rank error of the
+    // known uniform distribution
+    val big = spark.range(0, 20000)
+      .select(($"id" % 8).as("part"), $"id".cast("double").as("v"))
+    val merged = big.groupBy($"part").agg(kllSketchAgg($"v").as("sk"))
+      .agg(kllMergeAgg($"sk").as("sk"))
+      .select(kllN($"sk"), kllQuantile($"sk", lit(0.5)), kllQuantile($"sk", lit(0.9)))
+      .head()
+    assert(merged.getLong(0) == 20000L)
+    assert(math.abs(merged.getDouble(1) / 20000.0 - 0.5) < 0.05)
+    assert(math.abs(merged.getDouble(2) / 20000.0 - 0.9) < 0.05)
+  }
+
+  test("KLL SQL registration: kll_quantile over kll_sketch_agg") {
+    GraftFunctions.registerAll(spark)
+    spark.range(1, 1001).select($"id".cast("double").as("v"))
+      .createOrReplaceTempView("kll_t")
+    val r = spark.sql(
+      "SELECT kll_n(sk) AS n, kll_quantile(sk, cast(0.5 as double)) AS p50 " +
+        "FROM (SELECT kll_sketch_agg(v) AS sk FROM kll_t)").head()
+    assert(r.getLong(0) == 1000L)
+    assert(math.abs(r.getDouble(1) - 500.0) <= 50.0)
+  }
+
   test("pmiBigrams: hand-computed PMI, minCount suppresses hapax pairs") {
     // tokens: p=3 q=3 z=2 (TU=8); bigrams: "p q"x2 "z p" "q z" (TB=4)
     // PMI(p q) = ln(2*8*8 / (4*3*3)) = ln(32/9)
