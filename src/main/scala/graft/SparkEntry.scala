@@ -2228,6 +2228,53 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // Theta-sketch set algebra — the cross-corpus overlap estimator
+    // (train/benchmark contamination screening, crawl-vs-crawl novelty):
+    // per-source 3-shingle theta sketches built in ONE pass; intersection
+    // and difference estimates for adjacent source pairs run on the
+    // KB-sized sketches alone. At 100 TB the exact twin below (shingle-
+    // keyed equi-join of the distinct sets) is precisely the giant join
+    // the sketches exist to avoid. Theta retention depends on merge order,
+    // so the contract surfaces exacts + the sketch's OWN 3σ bound
+    // booleans (exact mode below k=65536 nominal entries makes them
+    // collapse to equalities at verify SF — deterministically true).
+    "q_theta_overlap" -> ((s, d) => {
+      import graft.functions.Theta._
+      val sidx = expr("cast(substring(source, 4) as int)")
+      val sh = Tables.documents(s, d)
+        .select(col("source"), explode(wordShingles(tokens(col("text")), 3)).as("sh"))
+      val sk = sh.groupBy("source")
+        .agg(thetaSketchAgg(col("sh"), 65536).as("sk"))
+        .select(sidx.as("ia"), col("source"), col("sk"))
+      // exact twin: distinct (source, shingle) sets, shingle-keyed join
+      val dist = sh.distinct()
+      val nBy = dist.groupBy("source").agg(count(lit(1)).as("n"))
+        .select(sidx.as("ia"), col("source"), col("n"))
+      val ovl = dist.select(sidx.as("ia"), col("sh"))
+        .join(dist.select((sidx - lit(1)).as("ia"), col("sh")), Seq("ia", "sh"))
+        .groupBy("ia").agg(count(lit(1)).as("exact_overlap"))
+      val pairs = nBy.select(col("ia"), col("source").as("source_a"), col("n").as("n_a"))
+        .join(nBy.select((col("ia") - lit(1)).as("ia"),
+          col("source").as("source_b"), col("n").as("n_b")), "ia")
+        .join(ovl, Seq("ia"), "left")
+        .withColumn("exact_overlap", coalesce(col("exact_overlap"), lit(0L)))
+      val withSk = pairs
+        .join(sk.select(col("ia"), col("sk").as("sk_a")), "ia")
+        .join(sk.select((col("ia") - lit(1)).as("ia"), col("sk").as("sk_b")), "ia")
+      val inter = thetaIntersect(col("sk_a"), col("sk_b"))
+      val diff = thetaANotB(col("sk_a"), col("sk_b"))
+      withSk.select(
+        col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        col("exact_overlap"),
+        round(col("exact_overlap").cast("double")
+          / (col("n_a") + col("n_b") - col("exact_overlap")), 6).as("jaccard"),
+        (col("exact_overlap").cast("double").between(
+          thetaLb(inter, 3), thetaUb(inter, 3))).as("overlap_ok"),
+        ((col("n_a") - col("exact_overlap")).cast("double").between(
+          thetaLb(diff, 3), thetaUb(diff, 3))).as("diff_ok"))
+        .orderBy("source_a")
+    }),
+
     // Join-key skew diagnostics: the concentration profile that justifies
     // (or rules out) salting before a big join.
     "q_skew_profile" -> ((s, d) =>
@@ -2967,6 +3014,24 @@ object SparkEntry {
         .select(col("source"), kllN(col("sk")).as("n"),
           kllQuantile(col("sk"), lit(0.5)).as("p50"),
           kllQuantile(col("sk"), lit(0.9)).as("p90"))
+    }),
+    // Contract form: sketch set-algebra ⋈ distinct-set join exact twin.
+    // Operator: per-source theta sketches + pairwise intersect/diff
+    // estimates on the sketches alone — the twin's shingle-keyed join IS
+    // the corpus-sized work the sketches avoid at 100 TB.
+    "q_theta_overlap" -> ((s, d) => {
+      import graft.functions.Theta._
+      val sidx = expr("cast(substring(source, 4) as int)")
+      val sk = Tables.documents(s, d)
+        .select(col("source"), explode(wordShingles(tokens(col("text")), 3)).as("sh"))
+        .groupBy("source").agg(thetaSketchAgg(col("sh"), 65536).as("sk"))
+        .select(sidx.as("ia"), col("source"), col("sk"))
+      sk.select(col("ia"), col("source").as("source_a"), col("sk").as("sk_a"))
+        .join(sk.select((col("ia") - lit(1)).as("ia"),
+          col("source").as("source_b"), col("sk").as("sk_b")), "ia")
+        .select(col("source_a"), col("source_b"),
+          round(thetaEstimate(thetaIntersect(col("sk_a"), col("sk_b"))), 1).as("est_overlap"),
+          round(thetaEstimate(thetaANotB(col("sk_a"), col("sk_b"))), 1).as("est_only_a"))
     }),
     // Contract form: banded-LSH pairs ⋈ O(n²) brute-force cosine twin.
     // Operator: hyperplane banding → bucket pair generator → cosine filter.
@@ -4563,6 +4628,31 @@ object SparkEntry {
                 max(CASE WHEN rn = (90*n + 99) // 100 THEN v END) AS p90_exact,
                 true AS n_ok, true AS p50_ok, true AS p90_ok
          FROM r GROUP BY source ORDER BY source""",
+
+    // exact overlap twins via the distinct-set join; bound booleans pinned
+    // (exact-mode sketches at verify SF make them equalities)
+    "q_theta_overlap" ->
+      """WITH t AS (SELECT source, string_split(text, ' ') AS toks FROM documents),
+              s0 AS (SELECT source,
+                            unnest(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                                   ELSE [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)] END) AS sh
+                     FROM t),
+              s AS (SELECT DISTINCT source, sh FROM s0),
+              n AS (SELECT source, CAST(substring(source, 4) AS INT) AS ia, count(*) AS n
+                    FROM s GROUP BY 1, 2),
+              ov AS (SELECT CAST(substring(a.source, 4) AS INT) AS ia, count(*) AS exact_overlap
+                     FROM s a JOIN s b ON a.sh = b.sh
+                      AND CAST(substring(b.source, 4) AS INT) = CAST(substring(a.source, 4) AS INT) + 1
+                     GROUP BY 1)
+         SELECT na.source AS source_a, nb.source AS source_b,
+                na.n AS n_a, nb.n AS n_b,
+                coalesce(ov.exact_overlap, 0) AS exact_overlap,
+                round(CAST(coalesce(ov.exact_overlap, 0) AS DOUBLE)
+                      / (na.n + nb.n - coalesce(ov.exact_overlap, 0)), 6) AS jaccard,
+                true AS overlap_ok, true AS diff_ok
+         FROM n na JOIN n nb ON nb.ia = na.ia + 1
+         LEFT JOIN ov ON ov.ia = na.ia
+         ORDER BY source_a""",
 
     "q_table_diff" ->
       """WITH base AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),

@@ -53,7 +53,18 @@ object GraftFunctions {
       KllMergeAgg(args(0), if (args.length > 1) intLit(args(1), "k") else 200)
         .toAggregateExpression()),
     "kll_quantile" -> (args => KllQuantile(args(0), args(1))),
-    "kll_n" -> (args => KllN(args(0))))
+    "kll_n" -> (args => KllN(args(0))),
+    "theta_sketch_agg" -> (args =>
+      ThetaSketchAgg(args(0), if (args.length > 1) intLit(args(1), "k") else 4096)
+        .toAggregateExpression()),
+    "theta_union_agg" -> (args =>
+      ThetaUnionAgg(args(0), if (args.length > 1) intLit(args(1), "k") else 4096)
+        .toAggregateExpression()),
+    "theta_intersect" -> (args => ThetaIntersect(args(0), args(1))),
+    "theta_a_not_b" -> (args => ThetaANotB(args(0), args(1))),
+    "theta_estimate" -> (args => ThetaEstimate(args(0))),
+    "theta_lb" -> (args => ThetaBound(args(0), intLit(args(1), "nStd"), upper = false)),
+    "theta_ub" -> (args => ThetaBound(args(0), intLit(args(1), "nStd"), upper = true)))
 
   /** Register on a live session (classic path, via the sql-package shim). */
   def registerAll(spark: SparkSession): Unit =

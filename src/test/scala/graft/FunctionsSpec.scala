@@ -414,6 +414,38 @@ class FunctionsSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(r.getDouble(1) - 500.0) <= 50.0)
   }
 
+  test("theta sketch: exact-mode set algebra equals true set operations") {
+    import graft.functions.Theta._
+    // A = {0..999}, B = {500..1499}: |A∩B| = 500, |A\B| = 500, |A∪B| = 1500
+    val a = spark.range(0, 1000).select(concat(lit("v"), $"id").as("v"))
+      .agg(thetaSketchAgg($"v", 4096).as("sk"))
+    val b = spark.range(500, 1500).select(concat(lit("v"), $"id").as("v"))
+      .agg(thetaSketchAgg($"v", 4096).as("sk"))
+    val joined = a.crossJoin(b.withColumnRenamed("sk", "sk_b"))
+    val row = joined
+      .select(
+        thetaEstimate(thetaIntersect($"sk", $"sk_b")),
+        thetaEstimate(thetaANotB($"sk", $"sk_b")))
+      .head()
+    // n < k: exact mode, estimates are exact counts
+    assert(row.getDouble(0) == 500.0)
+    assert(row.getDouble(1) == 500.0)
+    val union = joined
+      .select(explode(array($"sk", $"sk_b")).as("sk"))
+      .agg(thetaEstimate(thetaUnionAgg($"sk")))
+      .head().getDouble(0)
+    assert(union == 1500.0)
+  }
+
+  test("theta union agg merges partial sketches losslessly in exact mode") {
+    import graft.functions.Theta._
+    val parts = spark.range(0, 2000)
+      .select(($"id" % 8).as("p"), concat(lit("v"), $"id").as("v"))
+      .groupBy($"p").agg(thetaSketchAgg($"v", 4096).as("sk"))
+    val est = parts.agg(thetaEstimate(thetaUnionAgg($"sk")).as("e")).head().getDouble(0)
+    assert(est == 2000.0)
+  }
+
   test("pmiBigrams: hand-computed PMI, minCount suppresses hapax pairs") {
     // tokens: p=3 q=3 z=2 (TU=8); bigrams: "p q"x2 "z p" "q z" (TB=4)
     // PMI(p q) = ln(2*8*8 / (4*3*3)) = ln(32/9)
