@@ -64,7 +64,16 @@ object GraftFunctions {
     "theta_a_not_b" -> (args => ThetaANotB(args(0), args(1))),
     "theta_estimate" -> (args => ThetaEstimate(args(0))),
     "theta_lb" -> (args => ThetaBound(args(0), intLit(args(1), "nStd"), upper = false)),
-    "theta_ub" -> (args => ThetaBound(args(0), intLit(args(1), "nStd"), upper = true)))
+    "theta_ub" -> (args => ThetaBound(args(0), intLit(args(1), "nStd"), upper = true)),
+    "freq_sketch_agg" -> (args =>
+      FreqSketchAgg(args(0), if (args.length > 1) intLit(args(1), "maxMapSize") else 1024)
+        .toAggregateExpression()),
+    "freq_merge_agg" -> (args =>
+      FreqMergeAgg(args(0), if (args.length > 1) intLit(args(1), "maxMapSize") else 1024)
+        .toAggregateExpression()),
+    "freq_items" -> (args => FreqItems(args(0))),
+    "freq_max_error" -> (args => FreqMaxError(args(0))),
+    "freq_n" -> (args => FreqN(args(0))))
 
   /** Register on a live session (classic path, via the sql-package shim). */
   def registerAll(spark: SparkSession): Unit =
