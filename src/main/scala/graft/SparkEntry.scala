@@ -2275,6 +2275,71 @@ object SparkEntry {
         .orderBy("source_a")
     }),
 
+    // Frequent-items (Misra–Gries) sketches — the frequency member of the
+    // mergeable-sketch family (HLL/theta distinct, KLL quantiles): "which
+    // terms dominate this stream" in one aggregation pass over a few-KB
+    // state, re-aggregatable per-source → corpus with the same guarantee.
+    // The retained sub-threshold map is merge-order dependent, so the
+    // contract surfaces only deterministic columns: exact twin values
+    // (stream/vocab/max counts) and guarantee booleans that the library
+    // PROVES always-true — lossless stream length through merges (freq_n),
+    // exact-mode fidelity for a map sized over the vocabulary, and for a
+    // deliberately undersized (estimation-mode) sketch the
+    // NO_FALSE_NEGATIVES promise (every item with true count > maxError is
+    // returned), bound containment (lb ≤ exact ≤ ub for every returned
+    // item), and the a-priori error cap (maxError ≤ 3.5·n/maxMapSize).
+    "q_freq_sketch" -> ((s, d) => {
+      import graft.functions.Freq._
+      val tok = Tables.documents(s, d)
+        .select(col("source"), explode(tokens(col("text"))).as("term"))
+      // per-source sketches + the <ALL> corpus merge: sk128 stays in exact
+      // mode (vocab ≪ 0.75·128 capacity), sk8 purges (estimation mode)
+      val perSk = tok.groupBy("source").agg(
+        freqSketchAgg(col("term"), 128).as("sk128"),
+        freqSketchAgg(col("term"), 8).as("sk8"))
+      val allSk = perSk.agg(
+          freqMergeAgg(col("sk128"), 128).as("sk128"),
+          freqMergeAgg(col("sk8"), 8).as("sk8"))
+        .withColumn("source", lit("<ALL>"))
+      val sk = perSk.unionByName(allSk)
+        .withColumn("n128", freqN(col("sk128")))
+        .withColumn("n8", freqN(col("sk8")))
+        .withColumn("err8", freqMaxError(col("sk8")))
+      // exact twin: per-(source, term) counts incl. the <ALL> slice
+      val cnt0 = tok.groupBy("source", "term").agg(count(lit(1)).as("c"))
+      val cnt = cnt0.unionByName(
+        cnt0.groupBy("term").agg(sum("c").as("c")).withColumn("source", lit("<ALL>")))
+      def items(skCol: String, suffix: String) = sk
+        .select(col("source"), explode(freqItems(col(skCol))).as("it"))
+        .select(col("source"), col("it.item").as("term"),
+          col("it.est").as(s"est$suffix"), col("it.lb").as(s"lb$suffix"),
+          col("it.ub").as(s"ub$suffix"))
+      val joined = cnt
+        .join(items("sk128", "128"), Seq("source", "term"), "left")
+        .join(items("sk8", "8"), Seq("source", "term"), "left")
+        .join(sk.select(col("source"), col("n128"), col("n8"), col("err8")), "source")
+      joined.groupBy("source").agg(
+        sum("c").as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max("c").as("max_count"),
+        // lossless merge: both sketches saw exactly the stream length
+        (max(col("n128")) === sum("c") && max(col("n8")) === sum("c")).as("n_ok"),
+        // exact mode: every term retained with exact est and collapsed bounds
+        (count(when(col("est128") === col("c") && col("lb128") === col("c")
+          && col("ub128") === col("c"), 1)) === count(lit(1))).as("exact_items_ok"),
+        // NO_FALSE_NEGATIVES: nothing above the sketch's own maxError missing
+        (count(when(col("c") > col("err8") && col("est8").isNull, 1)) === 0)
+          .as("nfn_ok"),
+        // every returned estimation-mode item brackets the exact count
+        (count(when(col("est8").isNotNull &&
+          !(col("lb8") <= col("c") && col("c") <= col("ub8")
+            && col("est8").between(col("lb8"), col("ub8"))), 1)) === 0)
+          .as("bounds_ok"),
+        // a-priori error cap: maxError ≤ ε·n with ε = 3.5/maxMapSize
+        (max(col("err8")).cast("double") <= sum("c") * 3.5 / 8.0).as("err_ok"))
+        .orderBy("source")
+    }),
+
     // Join-key skew diagnostics: the concentration profile that justifies
     // (or rules out) salting before a big join.
     "q_skew_profile" -> ((s, d) =>
@@ -4653,6 +4718,21 @@ object SparkEntry {
          FROM n na JOIN n nb ON nb.ia = na.ia + 1
          LEFT JOIN ov ON ov.ia = na.ia
          ORDER BY source_a""",
+
+    // exact stream/vocab/max-count twins; the sketch-side guarantee
+    // booleans (lossless merge, exact-mode fidelity, NO_FALSE_NEGATIVES,
+    // bound containment, a-priori error cap) are library-proven
+    // always-true regardless of merge order, so the oracle pins them
+    "q_freq_sketch" ->
+      """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS term FROM documents),
+              u AS (SELECT source, term FROM tok
+                    UNION ALL SELECT '<ALL>' AS source, term FROM tok),
+              c AS (SELECT source, term, count(*) AS c FROM u GROUP BY 1, 2)
+         SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+                count(*) AS n_distinct, max(c) AS max_count,
+                true AS n_ok, true AS exact_items_ok, true AS nfn_ok,
+                true AS bounds_ok, true AS err_ok
+         FROM c GROUP BY source ORDER BY source""",
 
     "q_table_diff" ->
       """WITH base AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),

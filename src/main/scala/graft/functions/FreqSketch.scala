@@ -1,5 +1,7 @@
 package graft.functions
 
+import java.nio.ByteBuffer
+
 import org.apache.datasketches.common.ArrayOfStringsSerDe
 import org.apache.datasketches.frequencies.{ErrorType, ItemsSketch}
 import org.apache.datasketches.memory.Memory
@@ -20,26 +22,74 @@ import org.apache.spark.unsafe.types.UTF8String
   * Frequencies, the Misra–Gries / space-saving family) — the frequency
   * member of the sketch set next to HLL/theta (distinct), count-min
   * (point frequency), and KLL (quantiles). A fixed-size map tracks the
-  * heaviest items with a guaranteed error bound ≤ n/(k/2 ... load factor);
+  * heaviest items with a guaranteed error bound (≤ 3.5·n/maxMapSize);
   * `NO_FALSE_NEGATIVES` returns EVERY item whose true count exceeds the
   * sketch's maximum error — "which terms/domains/users dominate this
   * 100 TB stream" in one aggregation pass over a few-KB state, mergeable
   * across slices and days with the same guarantee.
   *
+  * On-wire format: `[8-byte extraWeight][8-byte extraOffset][DataSketches
+  * ItemsSketch bytes]` (big-endian longs). The envelope exists because the
+  * library's own serialization treats "no retained items" as "empty",
+  * silently DROPPING the stream length and the accumulated error offset —
+  * and a purge legitimately empties the map when counts are near-uniform
+  * (observed on 2 of 20 real verify-SF sources at maxMapSize=8: the last
+  * update triggers a purge whose median subtraction removes every entry).
+  * A partial aggregate serialized in that state would under-report `n` and,
+  * worse, report error 0 while the true undercount bound is large. The
+  * envelope folds the lost `(streamLength, maxError)` into two longs that
+  * merges accumulate and the extractors re-apply: `freq_n` stays exact,
+  * `freq_max_error` stays a true bound, and the NO_FALSE_NEGATIVES
+  * guarantee survives (an item absent from the map has true count ≤
+  * sketch offset + extra offset = the reported max error).
+  *
   * The purge arithmetic is deterministic but merge-ORDER-dependent in
   * which sub-threshold items it retains, so contract queries surface the
-  * guarantee (every exact heavy hitter present, estimates within
-  * `getMaximumError`), not the raw retained map.
+  * guarantee (every exact heavy hitter present, estimates within the
+  * reported bounds), not the raw retained map.
   */
 object Freq {
 
   private val serde = new ArrayOfStringsSerDe
 
-  private[functions] def heapify(bytes: Array[Byte]): ItemsSketch[String] =
-    ItemsSketch.getInstance(Memory.wrap(bytes), serde)
+  /** Deserialized envelope: the live sketch plus the stream weight and
+    * error offset salvaged from any empty-map partials merged in. */
+  private[functions] final class State(
+      val sk: ItemsSketch[String],
+      var extraWeight: Long,
+      var extraOffset: Long)
 
-  private[functions] def toBytes(sk: ItemsSketch[String]): Array[Byte] =
-    sk.toByteArray(serde)
+  private[functions] def emptyState(maxMapSize: Int): State =
+    new State(new ItemsSketch[String](maxMapSize), 0L, 0L)
+
+  private[functions] def fromBytes(bytes: Array[Byte]): State = {
+    val bb = ByteBuffer.wrap(bytes)
+    val w = bb.getLong
+    val o = bb.getLong
+    val sk = ItemsSketch.getInstance(
+      Memory.wrap(bytes, 16, bytes.length - 16, java.nio.ByteOrder.nativeOrder()), serde)
+    new State(sk, w, o)
+  }
+
+  private[functions] def toBytes(st: State): Array[Byte] = {
+    // Fold an empty-map-with-weight sketch into the envelope BEFORE the
+    // library drops it: its bytes would come back as a zero-weight empty.
+    var (w, o) = (st.extraWeight, st.extraOffset)
+    if (st.sk.getNumActiveItems == 0 && st.sk.getStreamLength > 0) {
+      w += st.sk.getStreamLength
+      o += st.sk.getMaximumError
+      st.sk.reset()
+    }
+    val skb = st.sk.toByteArray(serde)
+    ByteBuffer.allocate(16 + skb.length).putLong(w).putLong(o).put(skb).array()
+  }
+
+  private[functions] def mergeInto(buf: State, other: State): State = {
+    buf.sk.merge(other.sk)
+    buf.extraWeight += other.extraWeight
+    buf.extraOffset += other.extraOffset
+    buf
+  }
 
   /** One-pass frequent-items sketch over a string column; `maxMapSize`
     * (power of two) bounds the state and the error (≤ 3.5·n/maxMapSize). */
@@ -73,7 +123,7 @@ case class FreqSketchAgg(
     maxMapSize: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[ItemsSketch[String]] {
+  extends TypedImperativeAggregate[Freq.State] {
 
   require(maxMapSize >= 8 && Integer.bitCount(maxMapSize) == 1,
     s"freq_sketch_agg: maxMapSize must be a power of two >= 8, got $maxMapSize")
@@ -88,24 +138,21 @@ case class FreqSketchAgg(
     case t => TypeCheckFailure(s"$prettyName: expects a string column, got ${t.catalogString}")
   }
 
-  override def createAggregationBuffer(): ItemsSketch[String] =
-    new ItemsSketch[String](maxMapSize)
+  override def createAggregationBuffer(): Freq.State = Freq.emptyState(maxMapSize)
 
-  override def update(buf: ItemsSketch[String], input: InternalRow): ItemsSketch[String] = {
+  override def update(buf: Freq.State, input: InternalRow): Freq.State = {
     val v = child.eval(input)
-    if (v != null) buf.update(v.asInstanceOf[UTF8String].toString)
+    if (v != null) buf.sk.update(v.asInstanceOf[UTF8String].toString)
     buf
   }
 
-  override def merge(buf: ItemsSketch[String], other: ItemsSketch[String]): ItemsSketch[String] = {
-    buf.merge(other)
-    buf
-  }
+  override def merge(buf: Freq.State, other: Freq.State): Freq.State =
+    Freq.mergeInto(buf, other)
 
-  override def eval(buf: ItemsSketch[String]): Any = Freq.toBytes(buf)
+  override def eval(buf: Freq.State): Any = Freq.toBytes(buf)
 
-  override def serialize(buf: ItemsSketch[String]): Array[Byte] = Freq.toBytes(buf)
-  override def deserialize(bytes: Array[Byte]): ItemsSketch[String] = Freq.heapify(bytes)
+  override def serialize(buf: Freq.State): Array[Byte] = Freq.toBytes(buf)
+  override def deserialize(bytes: Array[Byte]): Freq.State = Freq.fromBytes(bytes)
 
   override def withNewMutableAggBufferOffset(o: Int): FreqSketchAgg = copy(mutableAggBufferOffset = o)
   override def withNewInputAggBufferOffset(o: Int): FreqSketchAgg = copy(inputAggBufferOffset = o)
@@ -119,7 +166,7 @@ case class FreqMergeAgg(
     maxMapSize: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[ItemsSketch[String]] {
+  extends TypedImperativeAggregate[Freq.State] {
 
   require(maxMapSize >= 8 && Integer.bitCount(maxMapSize) == 1,
     s"freq_merge_agg: maxMapSize must be a power of two >= 8, got $maxMapSize")
@@ -134,24 +181,21 @@ case class FreqMergeAgg(
     case t => TypeCheckFailure(s"$prettyName: expects serialized sketch bytes, got ${t.catalogString}")
   }
 
-  override def createAggregationBuffer(): ItemsSketch[String] =
-    new ItemsSketch[String](maxMapSize)
+  override def createAggregationBuffer(): Freq.State = Freq.emptyState(maxMapSize)
 
-  override def update(buf: ItemsSketch[String], input: InternalRow): ItemsSketch[String] = {
+  override def update(buf: Freq.State, input: InternalRow): Freq.State = {
     val v = child.eval(input)
-    if (v != null) buf.merge(Freq.heapify(v.asInstanceOf[Array[Byte]]))
+    if (v != null) Freq.mergeInto(buf, Freq.fromBytes(v.asInstanceOf[Array[Byte]]))
     buf
   }
 
-  override def merge(buf: ItemsSketch[String], other: ItemsSketch[String]): ItemsSketch[String] = {
-    buf.merge(other)
-    buf
-  }
+  override def merge(buf: Freq.State, other: Freq.State): Freq.State =
+    Freq.mergeInto(buf, other)
 
-  override def eval(buf: ItemsSketch[String]): Any = Freq.toBytes(buf)
+  override def eval(buf: Freq.State): Any = Freq.toBytes(buf)
 
-  override def serialize(buf: ItemsSketch[String]): Array[Byte] = Freq.toBytes(buf)
-  override def deserialize(bytes: Array[Byte]): ItemsSketch[String] = Freq.heapify(bytes)
+  override def serialize(buf: Freq.State): Array[Byte] = Freq.toBytes(buf)
+  override def deserialize(bytes: Array[Byte]): Freq.State = Freq.fromBytes(bytes)
 
   override def withNewMutableAggBufferOffset(o: Int): FreqMergeAgg = copy(mutableAggBufferOffset = o)
   override def withNewInputAggBufferOffset(o: Int): FreqMergeAgg = copy(inputAggBufferOffset = o)
@@ -159,7 +203,12 @@ case class FreqMergeAgg(
     copy(child = c(0))
 }
 
-/** `freq_items(sketch)`: NO_FALSE_NEGATIVES heavy hitters, heaviest first. */
+/** `freq_items(sketch)`: NO_FALSE_NEGATIVES heavy hitters, heaviest first.
+  * Upper bounds are widened by the envelope's salvaged error offset so
+  * containment (`lb ≤ true count ≤ ub`) survives empty-map partials.
+  * Nullability is inherited from the child (UnaryExpression default): a
+  * null sketch — e.g. from an outer join — yields null, and declaring
+  * otherwise would let the optimizer elide the null check. */
 case class FreqItems(child: Expression) extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = ArrayType(
     StructType(Seq(
@@ -168,18 +217,17 @@ case class FreqItems(child: Expression) extends UnaryExpression with CodegenFall
       StructField("lb", LongType, nullable = false),
       StructField("ub", LongType, nullable = false))),
     containsNull = false)
-  override def nullable: Boolean = false
   override def prettyName: String = "freq_items"
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case BinaryType => TypeCheckSuccess
     case t => TypeCheckFailure(s"$prettyName: expects serialized sketch bytes, got ${t.catalogString}")
   }
   override def nullSafeEval(sketch: Any): Any = {
-    val rows = Freq.heapify(sketch.asInstanceOf[Array[Byte]])
-      .getFrequentItems(ErrorType.NO_FALSE_NEGATIVES)
+    val st = Freq.fromBytes(sketch.asInstanceOf[Array[Byte]])
+    val rows = st.sk.getFrequentItems(ErrorType.NO_FALSE_NEGATIVES)
     new GenericArrayData(rows.map(r =>
       InternalRow(UTF8String.fromString(r.getItem), r.getEstimate, r.getLowerBound,
-        r.getUpperBound)).toArray[Any])
+        r.getUpperBound + st.extraOffset)).toArray[Any])
   }
   override protected def withNewChildInternal(c: Expression): FreqItems = copy(child = c)
 }
@@ -187,27 +235,29 @@ case class FreqItems(child: Expression) extends UnaryExpression with CodegenFall
 /** `freq_max_error(sketch)`: maximum estimation error (0 = exact). */
 case class FreqMaxError(child: Expression) extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = LongType
-  override def nullable: Boolean = false
   override def prettyName: String = "freq_max_error"
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case BinaryType => TypeCheckSuccess
     case t => TypeCheckFailure(s"$prettyName: expects serialized sketch bytes, got ${t.catalogString}")
   }
-  override def nullSafeEval(sketch: Any): Any =
-    Freq.heapify(sketch.asInstanceOf[Array[Byte]]).getMaximumError
+  override def nullSafeEval(sketch: Any): Any = {
+    val st = Freq.fromBytes(sketch.asInstanceOf[Array[Byte]])
+    st.sk.getMaximumError + st.extraOffset
+  }
   override protected def withNewChildInternal(c: Expression): FreqMaxError = copy(child = c)
 }
 
 /** `freq_n(sketch)`: exact stream length through merges. */
 case class FreqN(child: Expression) extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = LongType
-  override def nullable: Boolean = false
   override def prettyName: String = "freq_n"
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case BinaryType => TypeCheckSuccess
     case t => TypeCheckFailure(s"$prettyName: expects serialized sketch bytes, got ${t.catalogString}")
   }
-  override def nullSafeEval(sketch: Any): Any =
-    Freq.heapify(sketch.asInstanceOf[Array[Byte]]).getStreamLength
+  override def nullSafeEval(sketch: Any): Any = {
+    val st = Freq.fromBytes(sketch.asInstanceOf[Array[Byte]])
+    st.sk.getStreamLength + st.extraWeight
+  }
   override protected def withNewChildInternal(c: Expression): FreqN = copy(child = c)
 }

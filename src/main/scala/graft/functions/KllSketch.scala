@@ -65,7 +65,8 @@ case class KllSketchAgg(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[KllDoublesSketch] {
+  extends TypedImperativeAggregate[KllDoublesSketch]
+  with org.apache.spark.sql.graftshim.CastsInputsToDouble {
 
   require(k >= 8 && k <= 65535, s"kll_sketch_agg: k must be in [8, 65535], got $k")
 
@@ -73,11 +74,6 @@ case class KllSketchAgg(
   override def nullable: Boolean = false
   override def dataType: DataType = BinaryType
   override def prettyName: String = "kll_sketch_agg"
-
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case DoubleType => TypeCheckSuccess
-    case t => TypeCheckFailure(s"$prettyName: expects a double column, got ${t.catalogString}")
-  }
 
   override def createAggregationBuffer(): KllDoublesSketch =
     KllDoublesSketch.newHeapInstance(k)
@@ -152,18 +148,15 @@ case class KllMergeAgg(
 /** `kll_quantile(sketch, q)`: quantile estimate at normalized rank `q`.
   * Eval-only ([[CodegenFallback]]) — runs on post-aggregate rows (one per
   * group), never on the per-row hot path. */
+// `kll_quantile(sk, 0.5)` in SQL parses the rank as DECIMAL(1,1); the
+// implicit-cast mixin coerces it (and integer ranks) to double.
 case class KllQuantile(left: Expression, right: Expression)
-  extends BinaryExpression with CodegenFallback {
+  extends BinaryExpression with CodegenFallback
+  with org.apache.spark.sql.graftshim.CastsInputsToBinaryDouble {
 
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def prettyName: String = "kll_quantile"
-
-  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
-    case (BinaryType, DoubleType) => TypeCheckSuccess
-    case (l, r) =>
-      TypeCheckFailure(s"$prettyName: expects (sketch binary, double rank), got ${l.catalogString}, ${r.catalogString}")
-  }
 
   override def nullSafeEval(sketch: Any, q: Any): Any = {
     val sk = Kll.heapify(sketch.asInstanceOf[Array[Byte]])
@@ -174,11 +167,11 @@ case class KllQuantile(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
-/** `kll_n(sketch)`: exact count of values seen (deterministic). */
+/** `kll_n(sketch)`: exact count of values seen (deterministic). Nullability
+  * inherits from the child (null sketch → null, e.g. after an outer join). */
 case class KllN(child: Expression) extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = LongType
-  override def nullable: Boolean = false
   override def prettyName: String = "kll_n"
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {

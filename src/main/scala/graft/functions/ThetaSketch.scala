@@ -208,10 +208,10 @@ case class ThetaANotB(left: Expression, right: Expression) extends ThetaBinaryOp
     copy(left = l, right = r)
 }
 
-/** `theta_estimate(sketch)`: distinct-count estimate. */
+/** `theta_estimate(sketch)`: distinct-count estimate. Nullability inherits
+  * from the child (null sketch → null estimate, e.g. after an outer join). */
 case class ThetaEstimate(child: Expression) extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = DoubleType
-  override def nullable: Boolean = false
   override def prettyName: String = "theta_estimate"
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case BinaryType => TypeCheckSuccess
@@ -227,7 +227,6 @@ case class ThetaBound(child: Expression, nStd: Int, upper: Boolean)
   extends UnaryExpression with CodegenFallback {
   require(nStd >= 1 && nStd <= 3, s"theta bound: nStd must be 1..3, got $nStd")
   override def dataType: DataType = DoubleType
-  override def nullable: Boolean = false
   override def prettyName: String = if (upper) "theta_ub" else "theta_lb"
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case BinaryType => TypeCheckSuccess

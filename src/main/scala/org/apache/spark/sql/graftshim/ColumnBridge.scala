@@ -26,3 +26,21 @@ object ColumnBridge {
       .sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "scala_udf")
 }
+
+/** Implicit-cast input contracts, declared here because
+  * `AbstractDataType` (the `inputTypes` element type) is `private[sql]` —
+  * a library expression outside this namespace cannot spell the override.
+  * Mixing one of these in gives the analyzer's standard numeric/decimal
+  * coercions (e.g. `kll_quantile(sk, 0.5)` with a DECIMAL literal, or an
+  * integer column where a double is expected). */
+trait CastsInputsToDouble
+  extends org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.types.AbstractDataType] =
+    Seq(org.apache.spark.sql.types.DoubleType)
+}
+
+trait CastsInputsToBinaryDouble
+  extends org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.types.AbstractDataType] =
+    Seq(org.apache.spark.sql.types.BinaryType, org.apache.spark.sql.types.DoubleType)
+}

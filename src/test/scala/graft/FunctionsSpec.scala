@@ -403,12 +403,13 @@ class FunctionsSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(merged.getDouble(2) / 20000.0 - 0.9) < 0.05)
   }
 
-  test("KLL SQL registration: kll_quantile over kll_sketch_agg") {
+  test("KLL SQL registration: implicit casts for int input and decimal rank") {
     GraftFunctions.registerAll(spark)
-    spark.range(1, 1001).select($"id".cast("double").as("v"))
-      .createOrReplaceTempView("kll_t")
+    // v stays BIGINT and the rank literal parses as DECIMAL(1,1): both
+    // coerce to double via ImplicitCastInputTypes instead of failing
+    spark.range(1, 1001).select($"id".as("v")).createOrReplaceTempView("kll_t")
     val r = spark.sql(
-      "SELECT kll_n(sk) AS n, kll_quantile(sk, cast(0.5 as double)) AS p50 " +
+      "SELECT kll_n(sk) AS n, kll_quantile(sk, 0.5) AS p50 " +
         "FROM (SELECT kll_sketch_agg(v) AS sk FROM kll_t)").head()
     assert(r.getLong(0) == 1000L)
     assert(math.abs(r.getDouble(1) - 500.0) <= 50.0)
@@ -444,6 +445,63 @@ class FunctionsSpec extends AnyFunSuite with SparkSpec {
       .groupBy($"p").agg(thetaSketchAgg($"v", 4096).as("sk"))
     val est = parts.agg(thetaEstimate(thetaUnionAgg($"sk")).as("e")).head().getDouble(0)
     assert(est == 2000.0)
+  }
+
+  test("freq sketch: exact mode is lossless through merges") {
+    import graft.functions.Freq._
+    // vocab 51 ("hot" + t0..t49) < 0.75·128 map capacity: no purge ever
+    // happens, so every count is exact and the bounds collapse
+    val terms = spark.range(0, 1000).select(($"id" % 4).as("p"),
+      when($"id" < 500, "hot").otherwise(concat(lit("t"), $"id" % 50)).as("t"))
+    val row = terms.groupBy($"p").agg(freqSketchAgg($"t", 128).as("sk"))
+      .agg(freqMergeAgg($"sk", 128).as("sk"))
+      .select(freqN($"sk"), freqMaxError($"sk"), freqItems($"sk"))
+      .head()
+    assert(row.getLong(0) == 1000L) // exact stream length through merges
+    assert(row.getLong(1) == 0L)    // exact mode: zero error
+    val items = row.getSeq[org.apache.spark.sql.Row](2)
+    assert(items.size == 51)
+    assert(items.head.getString(0) == "hot" && items.head.getLong(1) == 500L)
+    // exact mode: est == lb == ub for every retained item
+    assert(items.forall(r => r.getLong(2) == r.getLong(1) && r.getLong(3) == r.getLong(1)))
+  }
+
+  test("freq sketch: estimation mode keeps the NO_FALSE_NEGATIVES guarantee") {
+    import graft.functions.Freq._
+    // maxMapSize=8 over a 101-term vocab: purges must happen (maxError>0),
+    // but the a-priori cap maxError ≤ 3.5·n/8 = 437 and heavy-hitter
+    // recall (800 > 437 → "hot" MUST be returned, bounds bracketing the
+    // true count) are library guarantees that survive the 4-way merge.
+    val terms = spark.range(0, 1000).select(($"id" % 4).as("p"),
+      when($"id" < 800, "hot").otherwise(concat(lit("t"), $"id" % 100)).as("t"))
+    val row = terms.groupBy($"p").agg(freqSketchAgg($"t", 8).as("sk"))
+      .agg(freqMergeAgg($"sk", 8).as("sk"))
+      .select(freqN($"sk"), freqMaxError($"sk"), freqItems($"sk"))
+      .head()
+    assert(row.getLong(0) == 1000L)
+    assert(row.getLong(1) > 0L && row.getLong(1) <= 437L)
+    val items = row.getSeq[org.apache.spark.sql.Row](2)
+    val hot = items.find(_.getString(0) == "hot")
+    assert(hot.isDefined)
+    assert(hot.get.getLong(2) <= 800L && 800L <= hot.get.getLong(3))
+  }
+
+  test("freq SQL registration and null-sketch propagation") {
+    GraftFunctions.registerAll(spark)
+    spark.range(0, 100).select(($"id" % 5).cast("string").as("t"))
+      .createOrReplaceTempView("freq_t")
+    val r = spark.sql(
+      "SELECT freq_n(sk) AS n, freq_max_error(sk) AS err, size(freq_items(sk)) AS k " +
+        "FROM (SELECT freq_sketch_agg(t, 64) AS sk FROM freq_t)").head()
+    assert(r.getLong(0) == 100L && r.getLong(1) == 0L && r.getInt(2) == 5)
+    // a null sketch (the outer-join shape) propagates null instead of NPE-ing
+    val nulls = spark.sql(
+      "SELECT freq_n(CAST(NULL AS BINARY)) AS n, " +
+        "freq_max_error(CAST(NULL AS BINARY)) AS e, " +
+        "freq_items(CAST(NULL AS BINARY)) AS i, " +
+        "theta_estimate(CAST(NULL AS BINARY)) AS t, " +
+        "kll_n(CAST(NULL AS BINARY)) AS kn").head()
+    (0 until 5).foreach(i => assert(nulls.isNullAt(i)))
   }
 
   test("pmiBigrams: hand-computed PMI, minCount suppresses hapax pairs") {
