@@ -2236,15 +2236,20 @@ object SparkEntry {
     // keyed equi-join of the distinct sets) is precisely the giant join
     // the sketches exist to avoid. Theta retention depends on merge order,
     // so the contract surfaces exacts + the sketch's OWN 3σ bound
-    // booleans (exact mode below k=65536 nominal entries makes them
-    // collapse to equalities at verify SF — deterministically true).
+    // booleans, which collapse to equalities in exact mode (distinct
+    // shingles per source stay under k=16384 at both verify SFs — the
+    // pinned-false `est_mode` guard makes a scale change fail LOUDLY
+    // instead of flaking on probabilistic bounds). k is sized with ~1.5×
+    // headroom over sf0.1 yet 4× smaller than the original 65536: partial
+    // aggregation allocates a k-entry union per (partition × source), so
+    // oversizing k is pure executor-memory burn.
     "q_theta_overlap" -> ((s, d) => {
       import graft.functions.Theta._
       val sidx = expr("cast(substring(source, 4) as int)")
       val sh = Tables.documents(s, d)
         .select(col("source"), explode(wordShingles(tokens(col("text")), 3)).as("sh"))
       val sk = sh.groupBy("source")
-        .agg(thetaSketchAgg(col("sh"), 65536).as("sk"))
+        .agg(thetaSketchAgg(col("sh"), 16384).as("sk"))
         .select(sidx.as("ia"), col("source"), col("sk"))
       // exact twin: distinct (source, shingle) sets, shingle-keyed join
       val dist = sh.distinct()
@@ -2258,9 +2263,17 @@ object SparkEntry {
           col("source").as("source_b"), col("n").as("n_b")), "ia")
         .join(ovl, Seq("ia"), "left")
         .withColumn("exact_overlap", coalesce(col("exact_overlap"), lit(0L)))
-      val withSk = pairs
-        .join(sk.select(col("ia"), col("sk").as("sk_a")), "ia")
-        .join(sk.select((col("ia") - lit(1)).as("ia"), col("sk").as("sk_b")), "ia")
+      // adjacent-pair sketches via lead() over the |sources|-row aggregate
+      // (source-domain-bounded) — a self-join would recompute the whole
+      // shingle+sketch pass per side: the join-key null filters push below
+      // the aggregation and defeat exchange reuse
+      import org.apache.spark.sql.expressions.Window
+      val wNext = Window.orderBy(col("ia"))
+      val skPairs = sk
+        .withColumn("sk_b", lead(col("sk"), 1).over(wNext))
+        .filter(col("sk_b").isNotNull)
+        .select(col("ia"), col("sk").as("sk_a"), col("sk_b"))
+      val withSk = pairs.join(skPairs, "ia")
       val inter = thetaIntersect(col("sk_a"), col("sk_b"))
       val diff = thetaANotB(col("sk_a"), col("sk_b"))
       withSk.select(
@@ -2271,7 +2284,9 @@ object SparkEntry {
         (col("exact_overlap").cast("double").between(
           thetaLb(inter, 3), thetaUb(inter, 3))).as("overlap_ok"),
         ((col("n_a") - col("exact_overlap")).cast("double").between(
-          thetaLb(diff, 3), thetaUb(diff, 3))).as("diff_ok"))
+          thetaLb(diff, 3), thetaUb(diff, 3))).as("diff_ok"),
+        (thetaIsEstimation(col("sk_a")) || thetaIsEstimation(col("sk_b")))
+          .as("est_mode"))
         .orderBy("source_a")
     }),
 
@@ -3089,14 +3104,19 @@ object SparkEntry {
       val sidx = expr("cast(substring(source, 4) as int)")
       val sk = Tables.documents(s, d)
         .select(col("source"), explode(wordShingles(tokens(col("text")), 3)).as("sh"))
-        .groupBy("source").agg(thetaSketchAgg(col("sh"), 65536).as("sk"))
+        .groupBy("source").agg(thetaSketchAgg(col("sh"), 16384).as("sk"))
         .select(sidx.as("ia"), col("source"), col("sk"))
-      sk.select(col("ia"), col("source").as("source_a"), col("sk").as("sk_a"))
-        .join(sk.select((col("ia") - lit(1)).as("ia"),
-          col("source").as("source_b"), col("sk").as("sk_b")), "ia")
-        .select(col("source_a"), col("source_b"),
-          round(thetaEstimate(thetaIntersect(col("sk_a"), col("sk_b"))), 1).as("est_overlap"),
-          round(thetaEstimate(thetaANotB(col("sk_a"), col("sk_b"))), 1).as("est_only_a"))
+      // ONE sketch pass: adjacent pairs via lead() over the |sources|-row
+      // aggregate instead of a self-join, whose pushed-down key filters
+      // defeat exchange reuse and re-run the shingle+sketch pass per side
+      import org.apache.spark.sql.expressions.Window
+      val wNext = Window.orderBy(col("ia"))
+      sk.withColumn("source_b", lead(col("source"), 1).over(wNext))
+        .withColumn("sk_b", lead(col("sk"), 1).over(wNext))
+        .filter(col("sk_b").isNotNull)
+        .select(col("source").as("source_a"), col("source_b"),
+          round(thetaEstimate(thetaIntersect(col("sk"), col("sk_b"))), 1).as("est_overlap"),
+          round(thetaEstimate(thetaANotB(col("sk"), col("sk_b"))), 1).as("est_only_a"))
     }),
     // Contract form: banded-LSH pairs ⋈ O(n²) brute-force cosine twin.
     // Operator: hyperplane banding → bucket pair generator → cosine filter.
@@ -4714,7 +4734,7 @@ object SparkEntry {
                 coalesce(ov.exact_overlap, 0) AS exact_overlap,
                 round(CAST(coalesce(ov.exact_overlap, 0) AS DOUBLE)
                       / (na.n + nb.n - coalesce(ov.exact_overlap, 0)), 6) AS jaccard,
-                true AS overlap_ok, true AS diff_ok
+                true AS overlap_ok, true AS diff_ok, false AS est_mode
          FROM n na JOIN n nb ON nb.ia = na.ia + 1
          LEFT JOIN ov ON ov.ia = na.ia
          ORDER BY source_a""",

@@ -63,6 +63,7 @@ object GraftFunctions {
     "theta_intersect" -> (args => ThetaIntersect(args(0), args(1))),
     "theta_a_not_b" -> (args => ThetaANotB(args(0), args(1))),
     "theta_estimate" -> (args => ThetaEstimate(args(0))),
+    "theta_is_estimation" -> (args => ThetaIsEstimation(args(0))),
     "theta_lb" -> (args => ThetaBound(args(0), intLit(args(1), "nStd"), upper = false)),
     "theta_ub" -> (args => ThetaBound(args(0), intLit(args(1), "nStd"), upper = true)),
     "freq_sketch_agg" -> (args =>

@@ -68,6 +68,11 @@ object Theta {
     ColumnBridge.column(ThetaBound(ColumnBridge.expression(sk), nStd, upper = false))
   def thetaUb(sk: Column, nStd: Int): Column =
     ColumnBridge.column(ThetaBound(ColumnBridge.expression(sk), nStd, upper = true))
+
+  /** True once the sketch has started sampling (estimation mode) — the
+    * loud-failure guard for contracts that rely on exact-mode collapse. */
+  def thetaIsEstimation(sk: Column): Column =
+    ColumnBridge.column(ThetaIsEstimation(ColumnBridge.expression(sk)))
 }
 
 /** `theta_sketch_agg(value[, k])`: theta sketch of a string/bigint column. */
@@ -97,7 +102,11 @@ case class ThetaSketchAgg(
   override def update(buf: Union, input: InternalRow): Union = {
     val v = child.eval(input)
     if (v != null) v match {
-      case s: UTF8String => buf.update(s.toString)
+      // update(byte[]) hashes exactly what update(String) would (the
+      // library UTF-8-encodes the string first), and UTF8String is
+      // already UTF-8 — skipping the UTF-16 String round-trip on the
+      // per-shingle hot path.
+      case s: UTF8String => buf.update(s.getBytes)
       case l: java.lang.Long => buf.update(l.longValue())
       case other => buf.update(other.toString)
     }
@@ -220,6 +229,22 @@ case class ThetaEstimate(child: Expression) extends UnaryExpression with Codegen
   override def nullSafeEval(sketch: Any): Any =
     Theta.heapify(sketch.asInstanceOf[Array[Byte]]).getEstimate
   override protected def withNewChildInternal(c: Expression): ThetaEstimate = copy(child = c)
+}
+
+/** `theta_is_estimation(sketch)`: whether the sketch is past its nominal
+  * entry count and estimating. Contracts that depend on exact-mode
+  * determinism surface this pinned-false, so a data-scale change breaks
+  * verification loudly instead of flaking on probabilistic bounds. */
+case class ThetaIsEstimation(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "theta_is_estimation"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckSuccess
+    case t => TypeCheckFailure(s"$prettyName: expects serialized sketch bytes, got ${t.catalogString}")
+  }
+  override def nullSafeEval(sketch: Any): Any =
+    Theta.heapify(sketch.asInstanceOf[Array[Byte]]).isEstimationMode
+  override protected def withNewChildInternal(c: Expression): ThetaIsEstimation = copy(child = c)
 }
 
 /** `theta_lb/theta_ub(sketch, nStd)`: confidence bound at nStd std errors. */
