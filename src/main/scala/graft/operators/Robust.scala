@@ -31,6 +31,39 @@ object Robust {
   private def ceilRank(pct: Int): Column =
     expr(s"($pct * __n + 99) div 100")
 
+  /** Distributed inclusive running totals of `sums` over the `v`-ascending
+    * total order of a per-distinct-value table (each `v` unique). The naive
+    * `sum().over(Window.orderBy(v))` funnels the whole table through ONE
+    * WindowExec task — for continuous values distinct ≈ rows, so that is
+    * row-cardinality, the exact scale-killer the Ranking rewrite removed.
+    * This is the two-level scan instead (same shape as [[Ranking]] /
+    * [[SequencePack]]): range-repartition on `v`, running sums WITHIN each
+    * partition (parallel; the pid-keyed window's partitions are range
+    * slices of ~rows/parts), per-partition totals cumulated over a
+    * partition-count-bounded summary and broadcast back. Deterministic:
+    * `repartitionByRange` samples with a fixed seed and `v` is unique, so
+    * both consumers of the exchange see identical pids. */
+  private def runningTotals(perValue: DataFrame, sums: Seq[String]): DataFrame = {
+    val parts = perValue.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = perValue.repartitionByRange(parts, col("v"))
+      .withColumn("__pid", spark_partition_id())
+    // per-partition totals -> exclusive offsets: ≤ `parts` summary rows
+    val wOff = Window.orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)
+    val totals = sums.map(c => sum(col(c)).as(s"__t_$c"))
+    val offs = ranged.groupBy(col("__pid"))
+      .agg(totals.head, totals.tail: _*)
+      .select(col("__pid") +: sums.map(c =>
+        coalesce(sum(col(s"__t_$c")).over(wOff), lit(0L)).as(s"__off_$c")): _*)
+    // within-slice running sums, fully parallel across pids
+    val wLoc = Window.partitionBy(col("__pid")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = sums.foldLeft(ranged)((d, c) =>
+      d.withColumn(s"__run_$c", sum(col(c)).over(wLoc)))
+    local.join(broadcast(offs), "__pid")
+      .select(perValue.columns.map(col) ++
+        sums.map(c => (col(s"__off_$c") + col(s"__run_$c")).as(s"cum_$c")): _*)
+  }
+
   /** Per-group `(n, p05, median, p95, mad, wins_mean)` over `value`.
     * `wins_mean` is the mean with values clamped to `[p05, p95]` —
     * computed in exact decimal, surfaced as a 6-dp double. */
@@ -278,9 +311,10 @@ object Robust {
     * the statistic itself.
     *
     * Scale shape: per-value counts aggregate distributed (keyed shuffle on
-    * the value, same as [[ksStatistic]]); the ordered cumulative window
-    * then runs over DISTINCT values only — bounded by the value domain,
-    * not the row count. */
+    * the value, same as [[ksStatistic]]); the cumulative count then runs
+    * through the distributed [[runningTotals]] scan. (For continuous
+    * values distinct ≈ rows, so a plain ordered window here would be a
+    * single-task sort over nearly the full input — the scale-killer.) */
   def mannWhitneyU(
       df: DataFrame, value: Column, groupCol: Column,
       groupA: String, groupB: String): DataFrame = {
@@ -290,9 +324,9 @@ object Robust {
     val perValue = tagged.groupBy(col("v")).agg(
       sum(when(col("is_a"), 1L).otherwise(0L)).as("ca"),
       sum(when(!col("is_a"), 1L).otherwise(0L)).as("cb"))
-    val w = Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, -1)
     val t = col("ca") + col("cb")
-    val ranked = perValue.withColumn("below", coalesce(sum(col("ca") + col("cb")).over(w), lit(0L)))
+    val ranked = runningTotals(perValue, Seq("ca", "cb"))
+      .withColumn("below", col("cum_ca") + col("cum_cb") - col("ca") - col("cb"))
     val agg = ranked.agg(
       sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"),
       sum(col("ca") * (col("below") * 2 + col("ca") + col("cb") + 1)).as("__r2a"),
@@ -316,11 +350,12 @@ object Robust {
     * before trusting a refresh: D = max over x of |F_a(x) − F_b(x)|.
     *
     * Scale shape: the per-value counts aggregate DISTRIBUTED first (one
-    * keyed shuffle on the value), so the ordered cumulative window then
-    * runs over the DISTINCT-value table — bounded by the value domain, not
-    * the row count. The ECDFs are exact-integer cumulative counts divided
-    * once at the end, so the statistic is bit-portable across engines.
-    * Output is one row: group sizes and D.
+    * keyed shuffle on the value); the exact ECDF cumulative counts then
+    * run through the distributed [[runningTotals]] scan rather than a
+    * single-task ordered window (for continuous values distinct ≈ rows).
+    * The ECDFs are exact-integer cumulative counts divided once at the
+    * end, so the statistic is bit-portable across engines. Output is one
+    * row: group sizes and D.
     */
   def ksStatistic(
       df: DataFrame, value: Column, groupCol: Column,
@@ -331,10 +366,8 @@ object Robust {
     val perValue = tagged.groupBy(col("v")).agg(
       sum(when(col("is_a"), 1L).otherwise(0L)).as("ca"),
       sum(when(!col("is_a"), 1L).otherwise(0L)).as("cb"))
-    val w = Window.orderBy(col("v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = perValue.select(
-      sum(col("ca")).over(w).as("sa"), sum(col("cb")).over(w).as("sb"))
+    val cum = runningTotals(perValue, Seq("ca", "cb"))
+      .select(col("cum_ca").as("sa"), col("cum_cb").as("sb"))
     val tot = perValue.agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"))
     cum.crossJoin(broadcast(tot))
       .agg(

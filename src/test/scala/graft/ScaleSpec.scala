@@ -371,10 +371,21 @@ class ScaleSpec extends AnyFunSuite with SparkSpec {
     case other => other +: other.children.flatMap(flattenPlan)
   }
 
-  /** True iff every path from `p` down to a leaf crosses an aggregate —
-    * i.e. the subtree's cardinality is aggregation-bounded, not row-sized. */
+  /** True iff every path from `p` down to a leaf crosses an aggregate
+    * whose grouping keys plausibly have a BOUNDED domain — i.e. the
+    * subtree's cardinality is aggregation-bounded, not row-sized. An
+    * aggregate keyed on a continuous-typed column (double/float/decimal/
+    * timestamp) does NOT count: for such data distinct ≈ rows, so a
+    * window over it is still row-cardinality (the Robust.scala class of
+    * regression this guard exists to catch). */
   private def aggBounded(p: org.apache.spark.sql.execution.SparkPlan): Boolean = p match {
-    case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => true
+    case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
+      import org.apache.spark.sql.types._
+      a.groupingExpressions.forall(_.dataType match {
+        case DoubleType | FloatType | TimestampType | TimestampNTZType => false
+        case _: DecimalType => false
+        case _ => true
+      })
     case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => aggBounded(r.child)
     case leaf if leaf.children.isEmpty => false
     case other => other.children.forall(aggBounded)
