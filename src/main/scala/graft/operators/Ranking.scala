@@ -63,7 +63,16 @@ object Ranking {
       else df.sparkSession.sessionState.conf.numShufflePartitions
     // Explicit numPartitions keeps AQE from re-coalescing the exchange, so
     // the partition id is stable across the two consumers below.
+    // MATERIALIZED (lazy localCheckpoint, the Dedup/BpeTrain convention):
+    // the ordinal pass and the counts pass are two consumers of this one
+    // exchange, and exchange reuse does not reliably deduplicate it —
+    // measured on the perplexity-bucketing plan, the ENTIRE upstream
+    // (scans, shuffles, joins) ran once per consumer. Materializing the
+    // post-exchange slice guarantees single execution structurally and
+    // pins the partition layout, making the two consumers' pids identical
+    // by construction rather than by re-materialization agreement.
     val ranged = df.repartitionByRange(parts, (groupCols.map(col) ++ orderCols): _*)
+      .localCheckpoint(false)
 
     // Partition-local ordinal, ONE full-table pass past the exchange: sort
     // within the partition and read monotonically_increasing_id, whose
