@@ -27,7 +27,7 @@ import graft.sources.{Staging, Tables}
   */
 object AnnIngest {
 
-  private val StreamShuffleWidth = sys.env.getOrElse("GRAFT_STREAM_SHUFFLE", "4")
+  private val StreamShuffleWidth = sys.env.getOrElse("GRAFT_STREAM_SHUFFLE", "8")
 
   /** Replay the NEW vectors (vec_id % 5 == 0) as `nBatches` striped
     * parquet files (memoized per data dir; Staging's shutdown hook deletes

@@ -26,7 +26,7 @@ import graft.sources.{Staging, Tables}
   */
 object AnnServe {
 
-  private val StreamShuffleWidth = sys.env.getOrElse("GRAFT_STREAM_SHUFFLE", "4")
+  private val StreamShuffleWidth = sys.env.getOrElse("GRAFT_STREAM_SHUFFLE", "8")
 
   /** The streamed query set: vec_id ≡ 1 (mod 5), striped into `nBatches`
     * parquet files by vec_id/5 mod nBatches (memoized per data dir;

@@ -34,7 +34,7 @@ import graft.sources.{Staging, Tables}
   */
 object DedupIngest {
 
-  private val StreamShuffleWidth = sys.env.getOrElse("GRAFT_STREAM_SHUFFLE", "4")
+  private val StreamShuffleWidth = sys.env.getOrElse("GRAFT_STREAM_SHUFFLE", "8")
 
   /** Replay the documents table as `nBatches` doc_id-striped parquet files
     * (memoized per (data dir, nBatches); Staging's shutdown hook deletes
@@ -125,23 +125,28 @@ object DedupIngest {
           import scala.concurrent.{Await, Future}
           import scala.concurrent.duration.Duration
           import scala.concurrent.ExecutionContext.Implicits.global
+          // the batch's bucket set: a bounded distinct over the
+          // checkpointed banding (≤ BandIndexBuckets values, collected
+          // driver-side) — planning the pruned probe from the banding
+          // itself lets the probe run CONCURRENTLY with both appends,
+          // instead of serializing behind the band append's directory
+          // diff. Per-trigger wall-clock is then the checkpoint pass plus
+          // ONE write latency, not three in sequence.
+          val bkts = newBands.select(Dedup.bandPartition().as("pbkt"))
+            .distinct().collect().map(_.getInt(0)).toSeq
           // one file per bucket dir per trigger: the append is tiny and
           // per-task dynamic-partition fan-out would 16× the file count
           val bandsF = Future(
             newBands.withColumn("pbkt", Dedup.bandPartition())
               .coalesce(1).write.partitionBy("pbkt").mode("append").parquet(bandDir.toString))
           val shF = Future(newSh.write.mode("append").parquet(shDir.toString))
-          // the batch's bucket set falls out of its own append for free:
-          // the partition dirs that just gained a file ARE the buckets the
-          // batch hits — no extra banding job to plan the pruned probe
+          val pairsF = Future(
+            Dedup.minHashIncrementalPairsPreBanded(
+                newSh, newBands, bandsSnap, shSnap, probeBuckets = Some(bkts))
+              .write.mode("append").parquet(pairDir.toString))
           Await.result(bandsF, Duration.Inf)
-          val bkts = (listParquet(bandDir).toSet -- pinnedBands).toSeq
-            .map(_.getParentFile.getName).filter(_.startsWith("pbkt="))
-            .map(_.stripPrefix("pbkt=").toInt).distinct
-          Dedup.minHashIncrementalPairsPreBanded(
-              newSh, newBands, bandsSnap, shSnap, probeBuckets = Some(bkts))
-            .write.mode("append").parquet(pairDir.toString)
           Await.result(shF, Duration.Inf)
+          Await.result(pairsF, Duration.Inf)
           ()
         }
         .start()

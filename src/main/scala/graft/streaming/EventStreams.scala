@@ -25,7 +25,7 @@ object EventStreams {
     * KEY cardinality (tiny here), not scan parallelism. Baked into a
     * checkpoint at first start — a design-time choice per deployment,
     * exposed as an env knob for fixed-cost measurement. */
-  private val StreamShuffleWidth = sys.env.getOrElse("GRAFT_STREAM_SHUFFLE", "4")
+  private val StreamShuffleWidth = sys.env.getOrElse("GRAFT_STREAM_SHUFFLE", "8")
 
   /** Streaming source over an events directory; schema must be explicit for
     * `readStream`. */
@@ -74,6 +74,17 @@ object EventStreams {
         .option("pathGlobFilter", "events.parquet")
         .parquet(dir)
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } else if (physical == org.apache.spark.sql.types.TimestampNTZType) {
+      // The sniff ran in a session WITHOUT inferTimestampNTZ disabled
+      // (our own sessions set it, arbitrary host sessions may not):
+      // read with the NTZ schema and normalize like Tables.table, instead
+      // of handing the file source a TIMESTAMP user schema for NTZ files.
+      val raw = org.apache.spark.sql.types.StructType(
+        Schemas.events.map(f => if (f.name == "ts") f.copy(dataType = org.apache.spark.sql.types.TimestampNTZType) else f))
+      spark.readStream.schema(raw)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
     } else {
       spark.readStream.schema(Schemas.events)
         .option("pathGlobFilter", "events.parquet")

@@ -37,7 +37,7 @@ import graft.transform.Transforms
   */
 object ScdIngest {
 
-  private val StreamShuffleWidth = sys.env.getOrElse("GRAFT_STREAM_SHUFFLE", "4")
+  private val StreamShuffleWidth = sys.env.getOrElse("GRAFT_STREAM_SHUFFLE", "8")
 
   /** The q_scd2 snapshot prep: per-customer per-date order status, same-day
     * conflicts collapsed to the max-orderkey row. Collapse is per
