@@ -628,6 +628,22 @@ class ScaleSpec extends AnyFunSuite with SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", saved)
   }
 
+  test("theta overlap runs exactly one sketch-build pass (no self-join recompute)") {
+    // the adjacent-pair pairing must come from lead() over the
+    // |sources|-row aggregate, never a self-join: the self-join's pushed
+    // key filters defeat exchange reuse and re-run the whole
+    // shingle+sketch pass per side
+    val saved = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = plan(SparkEntry.benchOverrides("q_theta_overlap")(spark, sf))
+      val partials = "partial_theta_sketch_agg".r.findAllIn(p).length
+      assert(partials == 1, s"expected 1 partial sketch pass, got $partials:\n$p")
+      val scans = "FileScan parquet".r.findAllIn(p).length
+      assert(scans == 1, s"expected 1 documents scan, got $scans")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", saved)
+  }
+
   test("blocked Jaccard generates each qualifying pair exactly once (size bands)") {
     // doc sizes straddling band boundaries: near-equal sizes must pair ONCE,
     // far-apart sizes must not pair at all
