@@ -25,7 +25,7 @@ object EventStreams {
     * KEY cardinality (tiny here), not scan parallelism. Baked into a
     * checkpoint at first start — a design-time choice per deployment,
     * exposed as an env knob for fixed-cost measurement. */
-  private val StreamShuffleWidth = sys.env.getOrElse("GRAFT_STREAM_SHUFFLE", "8")
+  private val StreamShuffleWidth = sys.env.getOrElse("GRAFT_STREAM_SHUFFLE", "4")
 
   /** Streaming source over an events directory; schema must be explicit for
     * `readStream`. */
