@@ -486,6 +486,25 @@ class FunctionsSpec extends AnyFunSuite with SparkSpec {
     assert(hot.get.getLong(2) <= 800L && 800L <= hot.get.getLong(3))
   }
 
+  test("freq sketch: empty and all-null inputs yield a zero sketch that merges losslessly") {
+    import graft.functions.Freq._
+    val nulls = Seq[Option[String]](None, None).toDF("t")
+    val z = nulls.agg(freqSketchAgg($"t", 64).as("sk"))
+      .select(freqN($"sk"), freqMaxError($"sk"), size(freqItems($"sk")))
+      .head()
+    assert(z.getLong(0) == 0L && z.getLong(1) == 0L && z.getInt(2) == 0)
+    // zero sketches merge as identity
+    val mixed = Seq((0, Option.empty[String]), (1, Some("x")), (1, Some("x")), (1, Some("y")))
+      .toDF("p", "t")
+    val m = mixed.groupBy($"p").agg(freqSketchAgg($"t", 64).as("sk"))
+      .agg(freqMergeAgg($"sk", 64).as("sk"))
+      .select(freqN($"sk"), freqItems($"sk"))
+      .head()
+    assert(m.getLong(0) == 3L)
+    val items = m.getSeq[org.apache.spark.sql.Row](1)
+    assert(items.map(r => r.getString(0) -> r.getLong(1)).toMap == Map("x" -> 2L, "y" -> 1L))
+  }
+
   test("freq SQL registration and null-sketch propagation") {
     GraftFunctions.registerAll(spark)
     spark.range(0, 100).select(($"id" % 5).cast("string").as("t"))

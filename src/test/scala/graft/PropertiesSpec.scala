@@ -212,4 +212,42 @@ class PropertiesSpec extends AnyFunSuite with SparkSpec {
     assert(Ranking.rowNumber(rows.take(0).toDF("id", "grp", "v"), Nil, Seq($"id"), "rk")
       .count() == 0L)
   }
+
+  test("Robust.mannWhitneyU/ksStatistic match a pure-Scala oracle on random data") {
+    import graft.operators.Robust
+    // heavy ties (domain ≪ rows) AND near-continuous values both appear:
+    // the distributed runningTotals scan must agree with first-principles
+    // rank arithmetic computed entirely driver-side
+    val raw = sample(for {
+      vs <- Gen.listOfN(400, Gen.choose(0, 800))
+      gs <- Gen.listOfN(400, Gen.oneOf("A", "B", "C"))
+    } yield vs.zip(gs))
+    val ab = raw.collect { case (v, g) if g == "A" || g == "B" => (v / 7.0, g) }
+    val df = raw.map { case (v, g) => (v / 7.0, g) }.toDF("x", "g")
+
+    // --- Mann-Whitney oracle: average ranks over the pooled sample
+    val pooled = ab.map(_._1).sorted
+    val avgRank: Map[Double, Double] = pooled.zipWithIndex
+      .groupBy(_._1).map { case (v, idx) => v -> idx.map(_._2 + 1.0).sum / idx.size }
+    val a = ab.filter(_._2 == "A").map(_._1)
+    val b = ab.filter(_._2 == "B").map(_._1)
+    val rA = a.map(avgRank).sum
+    val u2aWant = math.round(2.0 * (rA - a.size.toLong * (a.size + 1) / 2.0))
+    val mw = Robust.mannWhitneyU(df, $"x", $"g", "A", "B").head()
+    assert(mw.getAs[Long]("n_a") == a.size && mw.getAs[Long]("n_b") == b.size)
+    assert(mw.getAs[Long]("u2_a") == u2aWant, s"u2_a ${mw.getAs[Long]("u2_a")} != $u2aWant")
+    val nn = (a.size + b.size).toDouble
+    val tie3 = ab.groupBy(_._1).values.map(g => math.pow(g.size, 3) - g.size).sum
+    val sigma = math.sqrt(a.size.toDouble * b.size / 12.0 * ((nn + 1) - tie3 / (nn * (nn - 1))))
+    val zWant = (u2aWant / 2.0 - a.size.toDouble * b.size / 2.0) / sigma
+    assert(math.abs(mw.getAs[Double]("z_stat") - zWant) < 1e-5)
+
+    // --- KS oracle: exact max ECDF gap over the distinct values
+    val dWant = ab.map(_._1).distinct.map { v =>
+      math.abs(a.count(_ <= v).toDouble / a.size - b.count(_ <= v).toDouble / b.size)
+    }.max
+    val ks = Robust.ksStatistic(df, $"x", $"g", "A", "B").head()
+    assert(ks.getAs[Long]("n_a") == a.size && ks.getAs[Long]("n_b") == b.size)
+    assert(math.abs(ks.getAs[Double]("ks_stat") - dWant) < 1e-5)
+  }
 }
