@@ -32,20 +32,28 @@ object Robust {
     expr(s"($pct * __n + 99) div 100")
 
   /** Distributed inclusive running totals of `sums` over the `v`-ascending
-    * total order of a per-distinct-value table (each `v` unique). The naive
-    * `sum().over(Window.orderBy(v))` funnels the whole table through ONE
-    * WindowExec task — for continuous values distinct ≈ rows, so that is
-    * row-cardinality, the exact scale-killer the Ranking rewrite removed.
-    * This is the two-level scan instead (same shape as [[Ranking]] /
-    * [[SequencePack]]): range-repartition on `v`, running sums WITHIN each
-    * partition (parallel; the pid-keyed window's partitions are range
-    * slices of ~rows/parts), per-partition totals cumulated over a
-    * partition-count-bounded summary and broadcast back. Deterministic:
-    * `repartitionByRange` samples with a fixed seed and `v` is unique, so
-    * both consumers of the exchange see identical pids. */
-  private def runningTotals(perValue: DataFrame, sums: Seq[String]): DataFrame = {
+    * order of a per-distinct-value table (each `(groupCols, v)` unique),
+    * per `groupCols` group (empty = one global order). The naive
+    * `sum().over(Window.partitionBy(groups).orderBy(v))` funnels each
+    * group through ONE WindowExec task — for continuous values distinct ≈
+    * rows, and for small group domains (3 return flags, 20 sources)
+    * parallelism is capped at |groups| no matter the cluster size: the
+    * exact scale-killer the Ranking rewrite removed. This is the
+    * two-level scan instead (same shape as [[Ranking]] /
+    * [[SequencePack]]): range-repartition on (groups, v) — group-leading,
+    * so each group's rows are contiguous ACROSS partitions — running sums
+    * WITHIN each (partition, group) slice (parallel), per-(group,
+    * partition) totals cumulated over a ≤ parts × |groups| summary and
+    * broadcast back. Deterministic: `repartitionByRange` samples with a
+    * fixed seed and `(groups, v)` is unique, so both consumers of the
+    * exchange see identical pids. */
+  private[operators] def runningTotals(perValue: DataFrame, sums: Seq[String]): DataFrame = {
     val parts = perValue.sparkSession.sessionState.conf.numShufflePartitions
+    // Materialized (lazy localCheckpoint, the Ranking convention): the
+    // row side and the offsets summary are two consumers of this one
+    // exchange, and exchange reuse does not reliably deduplicate it.
     val ranged = perValue.repartitionByRange(parts, col("v"))
+      .localCheckpoint(false)
       .withColumn("__pid", spark_partition_id())
     // per-partition totals -> exclusive offsets: ≤ `parts` summary rows
     val wOff = Window.orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)
@@ -64,39 +72,112 @@ object Robust {
         sums.map(c => (col(s"__off_$c") + col(s"__run_$c")).as(s"cum_$c")): _*)
   }
 
+  /** Per-group values at rank targets `⌈pct·n/100⌉` over weighted rows
+    * `(__g, v, w)` (`w` = multiplicity; `lit(1)` for plain rank) — the
+    * distributed HISTOGRAM-SELECTION algorithm, not a prefix scan or a
+    * per-group sort: a rank query needs the value at a handful of ranks,
+    * so cumulating (or fully ranking) the whole table is wasted motion,
+    * and even a range-repartition pays a sampling pass plus a full
+    * shuffle. Here the heavy data is NEVER globally shuffled:
+    *
+    *   1. per-group (min, max) — one map-side aggregate pass;
+    *   2. fixed-width bucket id `⌊(v−lo)/width⌋` (any monotone bucketing
+    *      works — the SequencePack trick) → per-(group, bucket) weight
+    *      totals, a ≤ |groups|·nBuckets summary whose tiny windows give
+    *      each bucket's exclusive offset and the group total;
+    *   3. each target rank falls in ONE bucket (offset bracket); only
+    *      rows of those buckets — ~|ranks|·n/nBuckets per group — are
+    *      shuffled and cumulated to pick the exact value.
+    *
+    * A group-partitioned rank window would cap parallelism at |groups|
+    * (3 return flags = 3 tasks however large the cluster), the
+    * small-group-domain twin of the single-task global window; this
+    * shape's parallelism follows the scan, and shuffle bytes are the
+    * slices, not the table. Point-mass distributions (many rows of one
+    * value) make a slice group-sized in the worst case — rank selection
+    * degenerates there by nature; the exact value still comes out, just
+    * on fewer tasks. Bucket ids only STEER rows; the selected value is
+    * an actual data value, so float bucket math cannot affect the result.
+    *
+    * Output: `(__g, n, q_<pct>...)` with `n` the group's total weight. */
+  private[operators] def valuesAtRanks(
+      rows: DataFrame, pcts: Seq[Int], nBuckets: Int = 1024): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100))
+    val bounds = rows.groupBy(col("__g"))
+      .agg(min(col("v")).as("__lo"), max(col("v")).as("__hi"))
+    val bkt = when(col("__hi") === col("__lo"), lit(0)).otherwise(
+      least(floor((col("v") - col("__lo")) / ((col("__hi") - col("__lo")) / nBuckets)),
+        lit((nBuckets - 1).toDouble)).cast("int"))
+    val withB = rows.join(broadcast(bounds), "__g").withColumn("__bkt", bkt)
+    // per-(group, bucket) weight totals: ≤ |groups| × nBuckets rows;
+    // materialized (lazy localCheckpoint — free at this size) so the
+    // target and total consumers don't re-run the aggregate pass
+    val wOff = Window.partitionBy(col("__g")).orderBy(col("__bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy(col("__g"))
+    val summary = withB.groupBy(col("__g"), col("__bkt"))
+      .agg(sum(col("w")).as("__pt"))
+      .withColumn("__off", coalesce(sum(col("__pt")).over(wOff), lit(0L)))
+      .withColumn("__tot", sum(col("__pt")).over(wAll))
+      .localCheckpoint(false)
+    // each target rank lands in the bucket whose (off, off+pt] bracket
+    // holds it; resid is the rank within that bucket
+    val targets = summary
+      .select(col("__g"), col("__bkt"), col("__off"), col("__pt"), col("__tot"),
+        explode(array(pcts.map(lit): _*)).as("__p"))
+      .withColumn("__r", expr("(__p * __tot + 99) div 100"))
+      .filter(col("__off") < col("__r") && col("__r") <= col("__off") + col("__pt"))
+      .select(col("__g"), col("__bkt"), col("__p"), (col("__r") - col("__off")).as("__resid"))
+    // slice pass: only rows of target buckets cross the shuffle
+    val wSlice = Window.partitionBy(col("__g"), col("__bkt")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sliceCum = withB
+      .join(broadcast(targets.select(col("__g"), col("__bkt")).distinct()), Seq("__g", "__bkt"))
+      .withColumn("__cum", sum(col("w")).over(wSlice))
+    val picked = sliceCum.join(broadcast(targets), Seq("__g", "__bkt"))
+      .groupBy(col("__g"), col("__p"))
+      .agg(min(when(col("__cum") >= col("__resid"), col("v"))).as("__v"))
+    val totPerG = summary.groupBy(col("__g")).agg(max(col("__tot")).as("n"))
+    pcts.foldLeft(totPerG) { (acc, p) =>
+      acc.join(
+        picked.filter(col("__p") === p).select(col("__g"), col("__v").as(s"q_$p")),
+        Seq("__g"))
+    }
+  }
+
   /** Per-group `(n, p05, median, p95, mad, wins_mean)` over `value`.
     * `wins_mean` is the mean with values clamped to `[p05, p95]` —
     * computed in exact decimal, surfaced as a 6-dp double. */
   def robustStats(df: DataFrame, groupCol: String, value: Column): DataFrame = {
-    val base = df.select(col(groupCol).as("__g"), value.cast(DoubleType).as("__v"))
-
-    val wRank = Window.partitionBy("__g").orderBy("__v")
-    val wAll = Window.partitionBy("__g")
-    val ranked = base
-      .withColumn("__rn", row_number().over(wRank))
-      .withColumn("__n", count(lit(1)).over(wAll))
-
-    // Ties make the rank→row mapping non-deterministic but the VALUE at a
-    // rank is tie-invariant (same sorted multiset), so max(CASE rank) is
-    // deterministic.
-    val cuts = ranked.groupBy("__g").agg(
-      max(col("__n")).as("__n"),
-      max(when(col("__rn") === ceilRank(5), col("__v"))).as("__p05"),
-      max(when(col("__rn") === ceilRank(50), col("__v"))).as("__med"),
-      max(when(col("__rn") === ceilRank(95), col("__v"))).as("__p95"))
+    // Per-(group, value) weights first — one keyed shuffle — then rank
+    // arithmetic runs on cumulative WEIGHTS via the distributed
+    // [[runningTotals]] scan. The former group-partitioned rank windows
+    // capped parallelism at |groups| (3 return flags = 3 tasks whatever
+    // the cluster size), the small-group-domain twin of the single-task
+    // global window. The value at rank r is the smallest value whose
+    // cumulative weight reaches r — tie-invariant by construction (ties
+    // are one per-value row).
+    val base = df
+      .select(col(groupCol).as("__g"), value.cast(DoubleType).as("v"))
+      .withColumn("w", lit(1L))
+    // |groups|-row cut table, materialized: the MAD and winsorized
+    // consumers below would otherwise each re-run the whole selection
+    val cuts = valuesAtRanks(base, Seq(5, 50, 95))
+      .select(col("__g"), col("n").as("__n"),
+        col("q_5").as("__p05"), col("q_50").as("__med"), col("q_95").as("__p95"))
+      .localCheckpoint(false)
 
     val joined = base.join(broadcast(cuts), "__g")
 
-    // MAD: rank the absolute deviations per group, pick rank ceil(n/2).
-    val wDev = Window.partitionBy("__g").orderBy("__dev")
-    val mad = joined
-      .withColumn("__dev", abs(col("__v") - col("__med")))
-      .withColumn("__rn", row_number().over(wDev))
-      .groupBy("__g")
-      .agg(max(when(col("__rn") === ceilRank(50), col("__dev"))).as("__mad_raw"))
+    // MAD: the same selection over the absolute deviations picks the
+    // deviation value at rank ⌈n/2⌉.
+    val mad = valuesAtRanks(
+        joined.select(col("__g"), abs(col("v") - col("__med")).as("v"), col("w")),
+        Seq(50))
+      .select(col("__g"), col("q_50").as("__mad_raw"))
 
     val wins = joined.groupBy("__g").agg(
-      sum(dec2(least(greatest(col("__v"), col("__p05")), col("__p95")))).as("__wsum"),
+      sum(dec2(least(greatest(col("v"), col("__p05")), col("__p95")))).as("__wsum"),
       count(lit(1)).cast(LongType).as("__cnt"))
 
     cuts.join(mad, "__g").join(wins, "__g")
@@ -155,23 +236,21 @@ object Robust {
 
   /** Weighted (lower) median per group: the smallest value whose
     * cumulative weight reaches half the group's total — e.g. the
-    * quantity-weighted median price. Discrete (an actual data value), so
-    * the result is bit-portable. One keyed window + one keyed agg; ties
-    * on the value are safe because every intra-tie crossing row shares
-    * the same value and the final `min` collapses them. */
+    * quantity-weighted median price (`⌈tot/2⌉ = ⌈50·tot/100⌉`, so this is
+    * [[valuesAtRanks]] at pct 50 with the weight as multiplicity).
+    * Discrete (an actual data value), so the result is bit-portable.
+    * Weights pre-aggregate per (group, value) — one keyed shuffle — then
+    * the distributed rank selection picks the crossing value; a
+    * group-partitioned cumulative window here would cap parallelism at
+    * |groups| (3 return flags = 3 tasks however large the cluster), the
+    * small-group-domain twin of the single-task global window. */
   def weightedMedian(
       df: DataFrame, groupCol: String, value: Column, weight: Column): DataFrame = {
-    val base = df.select(col(groupCol), value.as("__v"), weight.cast(LongType).as("__w"))
-    val cumW = Window.partitionBy(col(groupCol)).orderBy(col("__v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val totW = Window.partitionBy(col(groupCol))
-    base
-      .withColumn("__cum", sum(col("__w")).over(cumW))
-      .withColumn("__tot", sum(col("__w")).over(totW))
-      .filter(col("__cum") * 2 >= col("__tot"))
-      .groupBy(col(groupCol))
-      .agg(min(col("__v")).as("w_median"))
-      .orderBy(col(groupCol))
+    val rows = df
+      .select(col(groupCol).as("__g"), value.as("v"), weight.cast(LongType).as("w"))
+    valuesAtRanks(rows, Seq(50))
+      .select(col("__g").as(groupCol), col("q_50").as("w_median"))
+      .orderBy(groupCol)
   }
 
   /** Mutual information (nats) between two categorical columns — the
