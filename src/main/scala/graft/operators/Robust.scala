@@ -101,10 +101,15 @@ object Robust {
     *
     * Output: `(__g, n, q_<pct>...)` with `n` the group's total weight. */
   private[operators] def valuesAtRanks(
-      rows: DataFrame, pcts: Seq[Int], nBuckets: Int = 1024): DataFrame = {
+      rows: DataFrame, pcts: Seq[Int], nBuckets: Int = 1024,
+      boundsHint: Option[DataFrame] = None): DataFrame = {
     require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100))
-    val bounds = rows.groupBy(col("__g"))
-      .agg(min(col("v")).as("__lo"), max(col("v")).as("__hi"))
+    // `boundsHint` (__g, __lo, __hi): any CONSERVATIVE per-group value
+    // bracket skips the min/max pass — bucket ids only steer rows, so a
+    // wider bracket costs bucket resolution, never correctness
+    val bounds = boundsHint.getOrElse(
+      rows.groupBy(col("__g"))
+        .agg(min(col("v")).as("__lo"), max(col("v")).as("__hi")))
     val bkt = when(col("__hi") === col("__lo"), lit(0)).otherwise(
       least(floor((col("v") - col("__lo")) / ((col("__hi") - col("__lo")) / nBuckets)),
         lit((nBuckets - 1).toDouble)).cast("int"))
@@ -160,9 +165,15 @@ object Robust {
     val base = df
       .select(col(groupCol).as("__g"), value.cast(DoubleType).as("v"))
       .withColumn("w", lit(1L))
+    // per-group value bracket, materialized (tiny): feeds the cut
+    // selection and, combined with the median, brackets the deviations —
+    // the MAD selection then needs no second min/max pass over the data
+    val bounds = base.groupBy(col("__g"))
+      .agg(min(col("v")).as("__lo"), max(col("v")).as("__hi"))
+      .localCheckpoint(false)
     // |groups|-row cut table, materialized: the MAD and winsorized
     // consumers below would otherwise each re-run the whole selection
-    val cuts = valuesAtRanks(base, Seq(5, 50, 95))
+    val cuts = valuesAtRanks(base, Seq(5, 50, 95), boundsHint = Some(bounds))
       .select(col("__g"), col("n").as("__n"),
         col("q_5").as("__p05"), col("q_50").as("__med"), col("q_95").as("__p95"))
       .localCheckpoint(false)
@@ -170,10 +181,14 @@ object Robust {
     val joined = base.join(broadcast(cuts), "__g")
 
     // MAD: the same selection over the absolute deviations picks the
-    // deviation value at rank ⌈n/2⌉.
+    // deviation value at rank ⌈n/2⌉; the deviations are bracketed by
+    // [0, max(hi − med, med − lo)] analytically — no data pass
+    val devBounds = bounds.join(cuts.select(col("__g"), col("__med")), "__g")
+      .select(col("__g"), lit(0.0).as("__lo"),
+        greatest(col("__hi") - col("__med"), col("__med") - col("__lo")).as("__hi"))
     val mad = valuesAtRanks(
         joined.select(col("__g"), abs(col("v") - col("__med")).as("v"), col("w")),
-        Seq(50))
+        Seq(50), boundsHint = Some(devBounds))
       .select(col("__g"), col("q_50").as("__mad_raw"))
 
     val wins = joined.groupBy("__g").agg(
