@@ -1327,6 +1327,49 @@ object SparkEntry {
           EventStreams.tumblingCounts(_))
         .orderBy(col("bucket"), col("event_type"))),
 
+    // STREAMING percentiles: a KLL sketch as streaming-aggregation state —
+    // per-hour value quantiles maintained incrementally in the state store
+    // (few KB per window however many events), where the batch alternative
+    // re-ranks every window per refresh. KLL compaction is randomized, so
+    // the contract surfaces the q_kll_quantiles discipline: exact discrete
+    // quantile twins (rank math over (value, event_id)), the exact stream
+    // length through the state-store round-trips (n_ok — lossless
+    // serialize/merge proof), and ±5-rank-pct bound booleans
+    // (deterministically true: per-hour n ≪ k=200 keeps the sketch exact
+    // at both verify SFs, and the margin is ~3× the sketch's error
+    // beyond).
+    "q_events_kll_stream" -> ((s, d) => {
+      import graft.functions.Kll._
+      import org.apache.spark.sql.expressions.Window
+      val streamed = EventStreams.runStreamToBatch(s, d, "q_events_kll_stream_sink",
+        EventStreams.windowQuantileSketches(_))
+      // exact twin: discrete quantiles at integer-math ranks per bucket
+      // (bucket count is calendar-bounded — ~720 one-hour windows per
+      // month — so the per-bucket windows are many and small)
+      val w = Window.partitionBy(col("bucket")).orderBy(col("value"), col("event_id"))
+      val wn = Window.partitionBy(col("bucket"))
+      def r(p: Int) = expr(s"($p * __n + 99) div 100")
+      def rlo(p: Int) = greatest(r(p), lit(1L))
+      def rhi(p: Int) = least(r(p), col("__n"))
+      def at(rank: Column) = max(when(col("__rn") === rank, col("value")))
+      val exact = Tables.events(s, d)
+        .select(date_trunc("hour", col("ts")).as("bucket"), col("value"), col("event_id"))
+        .withColumn("__rn", row_number().over(w).cast("long"))
+        .withColumn("__n", count(lit(1)).over(wn))
+        .groupBy(col("bucket")).agg(
+          at(r(50)).as("p50_exact"), at(rlo(45)).as("__p50_lo"), at(rhi(55)).as("__p50_hi"),
+          at(r(90)).as("p90_exact"), at(rlo(85)).as("__p90_lo"), at(rhi(95)).as("__p90_hi"))
+      streamed.join(exact, "bucket")
+        .select(col("bucket"), col("n_events"),
+          col("p50_exact"), col("p90_exact"),
+          (kllN(col("sk")) === col("n_events")).as("n_ok"),
+          kllQuantile(col("sk"), lit(0.5))
+            .between(col("__p50_lo"), col("__p50_hi")).as("p50_ok"),
+          kllQuantile(col("sk"), lit(0.9))
+            .between(col("__p90_lo"), col("__p90_hi")).as("p90_ok"))
+        .orderBy(col("bucket"))
+    }),
+
     // Stream-static enrichment: streaming events broadcast-joined to a
     // static category dim, then daily windowed aggregation — the in-flight
     // reference-data join (dim re-resolved per micro-batch, no join state).
@@ -4039,6 +4082,20 @@ object SparkEntry {
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket, event_type, count(*) AS n_events,
                 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // exact discrete-quantile twins per hour bucket (same integer rank
+    // math as q_kll_quantiles) + pinned sketch-guarantee booleans
+    "q_events_kll_stream" ->
+      """WITH r AS (SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket, value,
+                           row_number() OVER (PARTITION BY date_trunc('hour', ts)
+                                              ORDER BY value, event_id) AS rn,
+                           count(*) OVER (PARTITION BY date_trunc('hour', ts)) AS n
+                    FROM events)
+         SELECT bucket, max(n) AS n_events,
+                max(CASE WHEN rn = (50*n + 99) // 100 THEN value END) AS p50_exact,
+                max(CASE WHEN rn = (90*n + 99) // 100 THEN value END) AS p90_exact,
+                true AS n_ok, true AS p50_ok, true AS p90_ok
+         FROM r GROUP BY bucket ORDER BY bucket""",
 
     "q_json_extract" -> jsonExtractSql,
     "q_like_search" -> likeSearchSql,

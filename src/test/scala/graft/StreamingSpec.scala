@@ -329,6 +329,31 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("KLL sketch state survives micro-batch splits losslessly") {
+    // the sketch IS the streaming aggregation state: two batches update
+    // the same hour window, and the final sketch must have seen every
+    // value exactly once (kll_n is exact through state-store round-trips)
+    // with exact-mode quantiles (n << k=200)
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.Kll._
+    val ms = MemoryStream[Event]
+    val q = EventStreams.windowQuantileSketches(ms.toDF().withWatermark("ts", "10 minutes"))
+      .writeStream.format("memory").queryName("kll_stream_out").outputMode("complete").start()
+    try {
+      ms.addData((1 to 60).map(i => ev(i, "2024-01-01 00:30:00", 1, i.toDouble)): _*)
+      q.processAllAvailable()
+      ms.addData((61 to 100).map(i => ev(i, "2024-01-01 00:45:00", 1, i.toDouble)): _*)
+      q.processAllAvailable()
+      val r = spark.table("kll_stream_out")
+        .select($"bucket", $"n_events", kllN($"sk").as("kn"),
+          kllQuantile($"sk", lit(0.5)).as("p50"))
+        .head()
+      assert(r.getAs[Timestamp]("bucket") == Timestamp.valueOf("2024-01-01 00:00:00"))
+      assert(r.getAs[Long]("n_events") == 100L && r.getAs[Long]("kn") == 100L)
+      assert(r.getAs[Double]("p50") == 50.0) // exact mode: value at rank ceil(0.5*100)
+    } finally q.stop()
+  }
+
   test("forward as-of join picks the earliest right row at or after each left row") {
     val events = Seq(
       ev(1, "2024-01-01 00:00:00", 1, 0).copy(event_type = "click"),
