@@ -74,14 +74,16 @@ object Freq {
   private[functions] def toBytes(st: State): Array[Byte] = {
     // Fold an empty-map-with-weight sketch into the envelope BEFORE the
     // library drops it: its bytes would come back as a zero-weight empty.
-    var (w, o) = (st.extraWeight, st.extraOffset)
+    // The fold mutates the state (not locals), so serializing the same
+    // buffer twice is idempotent.
     if (st.sk.getNumActiveItems == 0 && st.sk.getStreamLength > 0) {
-      w += st.sk.getStreamLength
-      o += st.sk.getMaximumError
+      st.extraWeight += st.sk.getStreamLength
+      st.extraOffset += st.sk.getMaximumError
       st.sk.reset()
     }
     val skb = st.sk.toByteArray(serde)
-    ByteBuffer.allocate(16 + skb.length).putLong(w).putLong(o).put(skb).array()
+    ByteBuffer.allocate(16 + skb.length)
+      .putLong(st.extraWeight).putLong(st.extraOffset).put(skb).array()
   }
 
   private[functions] def mergeInto(buf: State, other: State): State = {
