@@ -1327,6 +1327,52 @@ object SparkEntry {
           EventStreams.tumblingCounts(_))
         .orderBy(col("bucket"), col("event_type"))),
 
+    // STREAMING retention via theta set algebra: per-day distinct-user
+    // sketches maintained as streaming-aggregation state, then
+    // day-over-day RETURNING-user estimates from sketch INTERSECTIONS —
+    // the set operation HLL (and the DAU/WAU rollups) fundamentally can't
+    // do, and the one that otherwise costs a (day, user) distinct
+    // self-join over history. Adjacent days pair via lead() over the
+    // calendar-bounded sketch table (the one-pass q_theta_overlap shape).
+    // Determinism: exact twins + the sketch's own 3σ bound booleans,
+    // which collapse in exact mode (daily actives ≪ k=16384 at both
+    // verify SFs; `est_mode` pinned false fails loudly on scale growth).
+    "q_events_theta_retention" -> ((s, d) => {
+      import graft.functions.Theta._
+      import org.apache.spark.sql.expressions.Window
+      val sk = EventStreams.runStreamToBatch(s, d, "q_events_theta_retention_sink",
+        EventStreams.dailyUserSketches(_))
+      val wNext = Window.orderBy(col("day"))
+      val skPairs = sk
+        .withColumn("day_b", lead(col("day"), 1).over(wNext))
+        .withColumn("sk_b", lead(col("sk"), 1).over(wNext))
+        .filter(col("sk_b").isNotNull)
+      // exact twin: distinct (day, user) sets, day-adjacent equi-join
+      val du = Tables.events(s, d)
+        .select(date_trunc("day", col("ts")).as("day"), col("user_id")).distinct()
+      val nBy = du.groupBy("day").agg(count(lit(1)).as("n_users"))
+      val ovl = du.join(
+          du.select((col("day") - expr("INTERVAL 1 DAY")).as("day"), col("user_id")),
+          Seq("day", "user_id"))
+        .groupBy("day").agg(count(lit(1)).as("returning_exact"))
+      val inter = thetaIntersect(col("sk"), col("sk_b"))
+      skPairs
+        .join(nBy, "day")
+        .join(nBy.select((col("day") - expr("INTERVAL 1 DAY")).as("day"),
+          col("n_users").as("n_users_next")), "day")
+        .join(ovl, Seq("day"), "left")
+        .withColumn("returning_exact", coalesce(col("returning_exact"), lit(0L)))
+        .select(col("day"), col("n_users"), col("n_users_next"),
+          col("returning_exact"),
+          round(col("returning_exact").cast("double") / col("n_users"), 6)
+            .as("retention"),
+          col("returning_exact").cast("double")
+            .between(thetaLb(inter, 3), thetaUb(inter, 3)).as("overlap_ok"),
+          (thetaIsEstimation(col("sk")) || thetaIsEstimation(col("sk_b")))
+            .as("est_mode"))
+        .orderBy(col("day"))
+    }),
+
     // STREAMING percentiles: a KLL sketch as streaming-aggregation state —
     // per-hour value quantiles maintained incrementally in the state store
     // (few KB per window however many events), where the batch alternative
@@ -4082,6 +4128,24 @@ object SparkEntry {
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket, event_type, count(*) AS n_events,
                 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // exact returning-user twins via the distinct (day, user) adjacent-day
+    // join; bound/exact-mode booleans pinned (sketches exact at verify SF)
+    "q_events_theta_retention" ->
+      """WITH du AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, user_id
+                     FROM events),
+              n AS (SELECT day, count(*) AS n_users FROM du GROUP BY 1),
+              ov AS (SELECT a.day, count(*) AS returning_exact
+                     FROM du a JOIN du b ON b.user_id = a.user_id
+                      AND b.day = a.day + INTERVAL 1 DAY
+                     GROUP BY 1)
+         SELECT na.day, na.n_users, nb.n_users AS n_users_next,
+                coalesce(ov.returning_exact, 0) AS returning_exact,
+                round(CAST(coalesce(ov.returning_exact, 0) AS DOUBLE) / na.n_users, 6) AS retention,
+                true AS overlap_ok, false AS est_mode
+         FROM n na JOIN n nb ON nb.day = na.day + INTERVAL 1 DAY
+         LEFT JOIN ov ON ov.day = na.day
+         ORDER BY na.day""",
 
     // exact discrete-quantile twins per hour bucket (same integer rank
     // math as q_kll_quantiles) + pinned sketch-guarantee booleans

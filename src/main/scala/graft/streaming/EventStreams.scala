@@ -466,6 +466,18 @@ object EventStreams {
         count(lit(1)).as("n_events"))
       .select(col("window.start").as("bucket"), col("n_events"), col("sk"))
 
+  /** Per-day theta sketches of the active user set — streaming distinct
+    * users WITH set algebra: unlike the HLL DAU/WAU rollups (union-only),
+    * theta sketches intersect, so day-over-day RETURNING-user estimates
+    * (retention) come from the at-rest sketches alone — no (day, user)
+    * distinct join over history. Like [[windowQuantileSketches]], the
+    * mergeable sketch is the streaming-aggregation state. */
+  def dailyUserSketches(events: DataFrame, k: Int = 16384): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(graft.functions.Theta.thetaSketchAgg(col("user_id"), k).as("sk"))
+      .select(col("window.start").as("day"), col("sk"))
+
   /** Sliding-window aggregation — each event lands in width/slide buckets. */
   def slidingCounts(events: DataFrame, width: String = "1 hour", slide: String = "15 minutes"): DataFrame =
     events
