@@ -31,22 +31,20 @@ object Robust {
   private def ceilRank(pct: Int): Column =
     expr(s"($pct * __n + 99) div 100")
 
+
   /** Distributed inclusive running totals of `sums` over the `v`-ascending
-    * order of a per-distinct-value table (each `(groupCols, v)` unique),
-    * per `groupCols` group (empty = one global order). The naive
-    * `sum().over(Window.partitionBy(groups).orderBy(v))` funnels each
-    * group through ONE WindowExec task — for continuous values distinct ≈
-    * rows, and for small group domains (3 return flags, 20 sources)
-    * parallelism is capped at |groups| no matter the cluster size: the
-    * exact scale-killer the Ranking rewrite removed. This is the
-    * two-level scan instead (same shape as [[Ranking]] /
-    * [[SequencePack]]): range-repartition on (groups, v) — group-leading,
-    * so each group's rows are contiguous ACROSS partitions — running sums
-    * WITHIN each (partition, group) slice (parallel), per-(group,
-    * partition) totals cumulated over a ≤ parts × |groups| summary and
+    * GLOBAL order of a per-distinct-value table (each `v` unique; there is
+    * no group dimension — a grouped variant would need (group, v) range
+    * keys and per-(group, partition) offsets). The naive
+    * `sum().over(Window.orderBy(v))` funnels everything through ONE
+    * WindowExec task — for continuous values distinct ≈ rows: the exact
+    * scale-killer the Ranking rewrite removed. This is the two-level scan
+    * instead (same shape as [[Ranking]] / [[SequencePack]]):
+    * range-repartition on v, running sums WITHIN each partition
+    * (parallel), per-partition totals cumulated over a ≤ parts summary and
     * broadcast back. Deterministic: `repartitionByRange` samples with a
-    * fixed seed and `(groups, v)` is unique, so both consumers of the
-    * exchange see identical pids. */
+    * fixed seed and `v` is unique, so both consumers of the exchange see
+    * identical pids. */
   private[operators] def runningTotals(perValue: DataFrame, sums: Seq[String]): DataFrame = {
     val parts = perValue.sparkSession.sessionState.conf.numShufflePartitions
     // Materialized (lazy localCheckpoint, the Ranking convention): the
@@ -99,11 +97,35 @@ object Robust {
     * on fewer tasks. Bucket ids only STEER rows; the selected value is
     * an actual data value, so float bucket math cannot affect the result.
     *
-    * Output: `(__g, n, q_<pct>...)` with `n` the group's total weight. */
+    * Null semantics: rows with null `v` are dropped up front — quantiles
+    * are over the non-null domain and `n` counts only non-null weight (the
+    * (__g,__bkt) equi-joins below drop null bucket keys anyway; filtering
+    * first keeps `n` and the rank targets consistent with that). A group
+    * whose every `v` is null therefore vanishes from the output.
+    *
+    * Job shape: TWO jobs over the data — the broadcast build of `targets`
+    * (summary aggregate + tiny windows + bracket filter, all one subtree)
+    * and the slice scan whose single aggregation also pivots the
+    * ≤ |groups|·|pcts| picks into columns. Per-query fixed cost is jobs ×
+    * scheduling latency, so the seven-job spelling of the same algebra
+    * (checkpointed summary, per-target joins, a fold of |pcts| joins)
+    * measured ~10× slower at toy scale for identical shuffle bytes.
+    *
+    * `extraSums` names additional input columns whose per-group grand
+    * totals should ride along for free: they aggregate inside the same
+    * summary pass (per bucket, then the per-group window), so a caller
+    * needing e.g. a clamped-value sum over the SAME rows pays zero extra
+    * scans or exchanges for it.
+    *
+    * Output: `(__g, n, q_<pct>..., <extraSums>...)` with `n` the group's
+    * total weight. */
   private[operators] def valuesAtRanks(
-      rows: DataFrame, pcts: Seq[Int], nBuckets: Int = 1024,
-      boundsHint: Option[DataFrame] = None): DataFrame = {
+      rowsRaw: DataFrame, pcts: Seq[Int], nBuckets: Int = 1024,
+      boundsHint: Option[DataFrame] = None,
+      extraSums: Seq[String] = Nil,
+      emitBounds: Boolean = false): DataFrame = {
     require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100))
+    val rows = rowsRaw.filter(col("v").isNotNull)
     // `boundsHint` (__g, __lo, __hi): any CONSERVATIVE per-group value
     // bracket skips the min/max pass — bucket ids only steer rows, so a
     // wider bracket costs bucket resolution, never correctness
@@ -114,88 +136,111 @@ object Robust {
       least(floor((col("v") - col("__lo")) / ((col("__hi") - col("__lo")) / nBuckets)),
         lit((nBuckets - 1).toDouble)).cast("int"))
     val withB = rows.join(broadcast(bounds), "__g").withColumn("__bkt", bkt)
-    // per-(group, bucket) weight totals: ≤ |groups| × nBuckets rows;
-    // materialized (lazy localCheckpoint — free at this size) so the
-    // target and total consumers don't re-run the aggregate pass
+    // per-(group, bucket) weight totals: ≤ |groups| × nBuckets rows; the
+    // offset/total windows and the rank-bracket filter run over that tiny
+    // summary INSIDE the broadcast build — each target rank lands in the
+    // bucket whose (off, off+pt] bracket holds it; resid is the rank
+    // within that bucket, and __tot rides along so no separate
+    // total-per-group pass is needed
     val wOff = Window.partitionBy(col("__g")).orderBy(col("__bkt"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val wAll = Window.partitionBy(col("__g"))
-    val summary = withB.groupBy(col("__g"), col("__bkt"))
-      .agg(sum(col("w")).as("__pt"))
+    // `emitBounds` re-emits the per-group (lo, hi) already riding on
+    // every bucketed row — zero extra scans for a caller that needs the
+    // bracket downstream (e.g. to bracket deviations analytically).
+    val boundCols = if (emitBounds) Seq("__lo", "__hi") else Nil
+    val sumAggs = (sum(col("w")).as("__pt") +:
+      extraSums.map(c => sum(col(c)).as(s"__pb_$c"))) ++
+      boundCols.map(c => min(col(c)).as(s"__pb_$c"))
+    val extraTots = extraSums.map(c => sum(col(s"__pb_$c")).over(wAll).as(s"__xt_$c")) ++
+      boundCols.map(c => min(col(s"__pb_$c")).over(wAll).as(s"__xt_$c"))
+    val targets = withB.groupBy(col("__g"), col("__bkt"))
+      .agg(sumAggs.head, sumAggs.tail: _*)
       .withColumn("__off", coalesce(sum(col("__pt")).over(wOff), lit(0L)))
       .withColumn("__tot", sum(col("__pt")).over(wAll))
-      .localCheckpoint(false)
-    // each target rank lands in the bucket whose (off, off+pt] bracket
-    // holds it; resid is the rank within that bucket
-    val targets = summary
-      .select(col("__g"), col("__bkt"), col("__off"), col("__pt"), col("__tot"),
-        explode(array(pcts.map(lit): _*)).as("__p"))
+      .select(Seq(col("__g"), col("__bkt"), col("__off"), col("__pt"), col("__tot"),
+        explode(array(pcts.map(lit): _*)).as("__p")) ++ extraTots: _*)
       .withColumn("__r", expr("(__p * __tot + 99) div 100"))
       .filter(col("__off") < col("__r") && col("__r") <= col("__off") + col("__pt"))
-      .select(col("__g"), col("__bkt"), col("__p"), (col("__r") - col("__off")).as("__resid"))
-    // slice pass: only rows of target buckets cross the shuffle
-    val wSlice = Window.partitionBy(col("__g"), col("__bkt")).orderBy(col("v"))
+      .select(Seq(col("__g"), col("__bkt"), col("__p"),
+        (col("__r") - col("__off")).as("__resid"), col("__tot")) ++
+        (extraSums ++ boundCols).map(c => col(s"__xt_$c")): _*)
+    // slice pass: only rows of target buckets survive the broadcast join
+    // (duplicated per target the bucket hosts, ≤ |pcts|); rank within the
+    // (group, target) slice, pick the crossing value, and pivot all picks
+    // in the SAME aggregation — min at the crossing is tie-invariant
+    val wSlice = Window.partitionBy(col("__g"), col("__p")).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val sliceCum = withB
-      .join(broadcast(targets.select(col("__g"), col("__bkt")).distinct()), Seq("__g", "__bkt"))
+    val aggs = (max(col("__tot")).as("n") +: pcts.map(p =>
+      min(when(col("__p") === p && col("__cum") >= col("__resid"), col("v"))).as(s"q_$p"))) ++
+      (extraSums ++ boundCols).map(c => max(col(s"__xt_$c")).as(c))
+    withB.drop(extraSums ++ boundCols: _*).join(broadcast(targets), Seq("__g", "__bkt"))
       .withColumn("__cum", sum(col("w")).over(wSlice))
-    val picked = sliceCum.join(broadcast(targets), Seq("__g", "__bkt"))
-      .groupBy(col("__g"), col("__p"))
-      .agg(min(when(col("__cum") >= col("__resid"), col("v"))).as("__v"))
-    val totPerG = summary.groupBy(col("__g")).agg(max(col("__tot")).as("n"))
-    pcts.foldLeft(totPerG) { (acc, p) =>
-      acc.join(
-        picked.filter(col("__p") === p).select(col("__g"), col("__v").as(s"q_$p")),
-        Seq("__g"))
-    }
+      .groupBy(col("__g"))
+      .agg(aggs.head, aggs.tail: _*)
   }
 
   /** Per-group `(n, p05, median, p95, mad, wins_mean)` over `value`.
     * `wins_mean` is the mean with values clamped to `[p05, p95]` —
-    * computed in exact decimal, surfaced as a 6-dp double. */
+    * computed in exact decimal, surfaced as a 6-dp double. Null values
+    * are ignored throughout (quantiles, MAD and wins_mean all run over
+    * the non-null domain; `n` counts non-null rows). */
   def robustStats(df: DataFrame, groupCol: String, value: Column): DataFrame = {
-    // Per-(group, value) weights first — one keyed shuffle — then rank
-    // arithmetic runs on cumulative WEIGHTS via the distributed
-    // [[runningTotals]] scan. The former group-partitioned rank windows
-    // capped parallelism at |groups| (3 return flags = 3 tasks whatever
-    // the cluster size), the small-group-domain twin of the single-task
-    // global window. The value at rank r is the smallest value whose
-    // cumulative weight reaches r — tie-invariant by construction (ties
-    // are one per-value row).
+    // Raw rows with unit weight (w=1) feed the distributed
+    // histogram-selection in [[valuesAtRanks]] — rank selection is
+    // tie-invariant (min at the crossing), so per-value pre-aggregation
+    // is optional and skipped: at 100 TB a mostly-continuous value column
+    // gains nothing from a distinct pass, and the slice passes below only
+    // shuffle target-bucket slices anyway. The former group-partitioned
+    // rank windows capped parallelism at |groups| (3 return flags = 3
+    // tasks whatever the cluster size), the small-group-domain twin of
+    // the single-task global window.
+    //
+    // `base` is the root of FOUR consumer passes (cut summary + slice;
+    // MAD summary + slice via `joined`, the winsorized sum riding the MAD
+    // summary) — materialized once (lazy localCheckpoint, the repo
+    // convention for multi-consumer subtrees, cf. Ranking.rowNumber) so
+    // the source scan and the project/cast run once, not four times.
     val base = df
       .select(col(groupCol).as("__g"), value.cast(DoubleType).as("v"))
+      .filter(col("v").isNotNull)
       .withColumn("w", lit(1L))
-    // per-group value bracket, materialized (tiny): feeds the cut
-    // selection and, combined with the median, brackets the deviations —
-    // the MAD selection then needs no second min/max pass over the data
-    val bounds = base.groupBy(col("__g"))
-      .agg(min(col("v")).as("__lo"), max(col("v")).as("__hi"))
       .localCheckpoint(false)
-    // |groups|-row cut table, materialized: the MAD and winsorized
-    // consumers below would otherwise each re-run the whole selection
-    val cuts = valuesAtRanks(base, Seq(5, 50, 95), boundsHint = Some(bounds))
+    // |groups|-row cut table, materialized: the MAD consumers below would
+    // otherwise each re-run the whole selection. `emitBounds` re-emits the
+    // per-group (lo, hi) the selection computed anyway — no separate
+    // bounds pass, and combined with the median it brackets the
+    // deviations so the MAD selection needs no min/max pass either.
+    val cuts = valuesAtRanks(base, Seq(5, 50, 95), emitBounds = true)
       .select(col("__g"), col("n").as("__n"),
-        col("q_5").as("__p05"), col("q_50").as("__med"), col("q_95").as("__p95"))
+        col("q_5").as("__p05"), col("q_50").as("__med"), col("q_95").as("__p95"),
+        col("__lo"), col("__hi"))
       .localCheckpoint(false)
 
+    // Two consumers (MAD selection's summary + slice passes) each
+    // re-derive this broadcast join from the checkpointed `base` — a
+    // map-side recompute, measurably cheaper than materializing the
+    // joined rows a second time.
     val joined = base.join(broadcast(cuts), "__g")
 
     // MAD: the same selection over the absolute deviations picks the
     // deviation value at rank ⌈n/2⌉; the deviations are bracketed by
-    // [0, max(hi − med, med − lo)] analytically — no data pass
-    val devBounds = bounds.join(cuts.select(col("__g"), col("__med")), "__g")
+    // [0, max(hi − med, med − lo)] analytically — no data pass. The
+    // winsorized sum rides the SAME selection as an extraSums column
+    // (clamped to [p05, p95] in exact decimal): its per-group total
+    // aggregates inside the MAD summary pass, so the former standalone
+    // wins scan + exchange are gone.
+    val devBounds = cuts
       .select(col("__g"), lit(0.0).as("__lo"),
         greatest(col("__hi") - col("__med"), col("__med") - col("__lo")).as("__hi"))
     val mad = valuesAtRanks(
-        joined.select(col("__g"), abs(col("v") - col("__med")).as("v"), col("w")),
-        Seq(50), boundsHint = Some(devBounds))
-      .select(col("__g"), col("q_50").as("__mad_raw"))
+        joined.select(col("__g"), abs(col("v") - col("__med")).as("v"), col("w"),
+          dec2(least(greatest(col("v"), col("__p05")), col("__p95"))).as("__wsum")),
+        Seq(50), boundsHint = Some(devBounds), extraSums = Seq("__wsum"))
+      .select(col("__g"), col("q_50").as("__mad_raw"),
+        col("__wsum"), col("n").as("__cnt"))
 
-    val wins = joined.groupBy("__g").agg(
-      sum(dec2(least(greatest(col("v"), col("__p05")), col("__p95")))).as("__wsum"),
-      count(lit(1)).cast(LongType).as("__cnt"))
-
-    cuts.join(mad, "__g").join(wins, "__g")
+    cuts.join(mad, "__g")
       .select(
         col("__g").as(groupCol),
         col("__n").as("n"),
@@ -258,11 +303,20 @@ object Robust {
     * the distributed rank selection picks the crossing value; a
     * group-partitioned cumulative window here would cap parallelism at
     * |groups| (3 return flags = 3 tasks however large the cluster), the
-    * small-group-domain twin of the single-task global window. */
+    * small-group-domain twin of the single-task global window.
+    *
+    * Degenerate weights: a group whose total weight is 0 (all weights
+    * zero or null) has rank target 0, matches no bucket bracket, and is
+    * DROPPED from the output — there is no weighted median of nothing.
+    * Null `value` rows are likewise ignored (see [[valuesAtRanks]]). */
   def weightedMedian(
       df: DataFrame, groupCol: String, value: Column, weight: Column): DataFrame = {
+    // Not materialized: the selection's two passes re-scan the source,
+    // and a pruned two-column parquet scan is cheaper than a checkpoint
+    // write + read round-trip (measured both ways at sf0.1).
     val rows = df
       .select(col(groupCol).as("__g"), value.as("v"), weight.cast(LongType).as("w"))
+      .filter(col("v").isNotNull)
     valuesAtRanks(rows, Seq(50))
       .select(col("__g").as(groupCol), col("q_50").as("w_median"))
       .orderBy(groupCol)
