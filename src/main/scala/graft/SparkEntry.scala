@@ -1416,6 +1416,71 @@ object SparkEntry {
         .orderBy(col("bucket"))
     }),
 
+    // STREAMING heavy hitters: frequent-items (Misra–Gries) sketches as
+    // streaming-aggregation state — completes the sketch-as-state triad
+    // (KLL quantiles, theta distinct/set-algebra, frequency). The retained
+    // sub-threshold map is merge-order dependent, so the contract surfaces
+    // only deterministic columns (q_freq_sketch's discipline): exact twin
+    // values and guarantee booleans the library PROVES always-true —
+    // lossless stream length through state-store round-trips (n_ok),
+    // exact-mode fidelity for the k=32 type sketch (type cardinality ≪
+    // capacity), and for the deliberately undersized k=8 user sketch the
+    // NO_FALSE_NEGATIVES promise, bound containment, and the a-priori
+    // ε·n error cap.
+    "q_events_freq_stream" -> ((s, d) => {
+      import graft.functions.Freq._
+      val streamed = EventStreams.runStreamToBatch(s, d, "q_events_freq_stream_sink",
+        EventStreams.windowFreqSketches(_))
+      val ev = Tables.events(s, d).select(
+        date_trunc("hour", col("ts")).as("bucket"),
+        col("event_type"), col("user_id").cast("string").as("user"))
+      val cntT = ev.groupBy("bucket", "event_type").agg(count(lit(1)).as("c"))
+      val cntU = ev.groupBy("bucket", "user").agg(count(lit(1)).as("cu"))
+      val itT = streamed
+        .select(col("bucket"), explode(freqItems(col("sk_type"))).as("it"))
+        .select(col("bucket"), col("it.item").as("event_type"),
+          col("it.est").as("est"), col("it.lb").as("lb"), col("it.ub").as("ub"))
+      val itU = streamed
+        .select(col("bucket"), explode(freqItems(col("sk_user"))).as("it"))
+        .select(col("bucket"), col("it.item").as("user"),
+          col("it.est").as("estu"), col("it.lb").as("lbu"), col("it.ub").as("ubu"))
+      val tSide = cntT.join(itT, Seq("bucket", "event_type"), "left")
+        .groupBy("bucket").agg(
+          count(lit(1)).as("n_types"),
+          max("c").as("top_type_count"),
+          // exact mode: every type retained, exact est, collapsed bounds
+          (count(when(col("est").isNull || col("est") =!= col("c")
+            || col("lb") =!= col("c") || col("ub") =!= col("c"), 1)) === 0)
+            .as("exact_types_ok"))
+      val uSide = cntU.join(itU, Seq("bucket", "user"), "left")
+        .join(streamed.select(col("bucket"),
+          freqMaxError(col("sk_user")).as("err")), "bucket")
+        .groupBy("bucket").agg(
+          count(lit(1)).as("n_users"),
+          // NO_FALSE_NEGATIVES: nothing above the sketch's own maxError missing
+          (count(when(col("cu") > col("err") && col("estu").isNull, 1)) === 0)
+            .as("nfn_ok"),
+          // every returned estimation-mode item brackets the exact count
+          (count(when(col("estu").isNotNull &&
+            !(col("lbu") <= col("cu") && col("cu") <= col("ubu")
+              && col("estu").between(col("lbu"), col("ubu"))), 1)) === 0)
+            .as("bounds_ok"),
+          // a-priori error cap: maxError ≤ ε·n with ε = 3.5/maxMapSize
+          (max(col("err")).cast("double") <= sum("cu") * 3.5 / 8.0).as("err_ok"))
+      streamed
+        .select(col("bucket"), col("n_events"),
+          // lossless merge through the state store: both sketches saw
+          // exactly the window's event count
+          (freqN(col("sk_type")) === col("n_events") &&
+            freqN(col("sk_user")) === col("n_events")).as("n_ok"))
+        .join(tSide, "bucket")
+        .join(uSide, "bucket")
+        .select(col("bucket"), col("n_events"), col("n_types"),
+          col("top_type_count"), col("n_users"), col("n_ok"),
+          col("exact_types_ok"), col("nfn_ok"), col("bounds_ok"), col("err_ok"))
+        .orderBy(col("bucket"))
+    }),
+
     // Stream-static enrichment: streaming events broadcast-joined to a
     // static category dim, then daily windowed aggregation — the in-flight
     // reference-data join (dim re-resolved per micro-batch, no join state).
@@ -4160,6 +4225,21 @@ object SparkEntry {
                 max(CASE WHEN rn = (90*n + 99) // 100 THEN value END) AS p90_exact,
                 true AS n_ok, true AS p50_ok, true AS p90_ok
          FROM r GROUP BY bucket ORDER BY bucket""",
+
+    "q_events_freq_stream" ->
+      """WITH ev AS (SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
+                            event_type, CAST(user_id AS VARCHAR) AS u
+                     FROM events),
+              t AS (SELECT bucket, event_type, count(*) AS c FROM ev GROUP BY 1, 2),
+              uu AS (SELECT bucket, u, count(*) AS c FROM ev GROUP BY 1, 2)
+         SELECT b.bucket, b.n_events, t2.n_types, t2.top_type_count, u2.n_users,
+                true AS n_ok, true AS exact_types_ok, true AS nfn_ok,
+                true AS bounds_ok, true AS err_ok
+         FROM (SELECT bucket, count(*) AS n_events FROM ev GROUP BY 1) b
+         JOIN (SELECT bucket, count(*) AS n_types, max(c) AS top_type_count
+               FROM t GROUP BY 1) t2 USING (bucket)
+         JOIN (SELECT bucket, count(*) AS n_users FROM uu GROUP BY 1) u2 USING (bucket)
+         ORDER BY bucket""",
 
     "q_json_extract" -> jsonExtractSql,
     "q_like_search" -> likeSearchSql,

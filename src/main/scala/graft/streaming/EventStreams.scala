@@ -478,6 +478,27 @@ object EventStreams {
       .agg(graft.functions.Theta.thetaSketchAgg(col("user_id"), k).as("sk"))
       .select(col("window.start").as("day"), col("sk"))
 
+  /** Per-window frequent-items (Misra–Gries) sketches — streaming heavy
+    * hitters, completing the sketch-as-state triad with
+    * [[windowQuantileSketches]] (quantiles) and [[dailyUserSketches]]
+    * (distinct + set algebra): "which items dominate this hour" maintained
+    * incrementally in the state store at a few KB per window however many
+    * events flow. Two sketches per window exercise both regimes — the
+    * event-type sketch (k=32 ≫ type cardinality) stays in exact mode, the
+    * user sketch (k=8 ≪ hourly user cardinality) purges and serves under
+    * the NO_FALSE_NEGATIVES guarantee ([[graft.functions.FreqSketchAgg]]'s
+    * envelope keeps streamLength/maxError lossless through state-store
+    * serialization round-trips). */
+  def windowFreqSketches(events: DataFrame, width: String = "1 hour"): DataFrame =
+    events
+      .groupBy(window(col("ts"), width))
+      .agg(
+        graft.functions.Freq.freqSketchAgg(col("event_type"), 32).as("sk_type"),
+        graft.functions.Freq.freqSketchAgg(col("user_id").cast("string"), 8).as("sk_user"),
+        count(lit(1)).as("n_events"))
+      .select(col("window.start").as("bucket"), col("n_events"),
+        col("sk_type"), col("sk_user"))
+
   /** Sliding-window aggregation — each event lands in width/slide buckets. */
   def slidingCounts(events: DataFrame, width: String = "1 hour", slide: String = "15 minutes"): DataFrame =
     events

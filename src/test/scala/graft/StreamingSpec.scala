@@ -354,6 +354,57 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("frequent-items sketch state survives micro-batch splits losslessly") {
+    // the Misra–Gries sketch IS the streaming aggregation state: two
+    // batches update the same hour window; the merged sketch must have
+    // seen every event exactly once (freq_n lossless through state-store
+    // round-trips), keep the k=32 type sketch exact, and honor
+    // NO_FALSE_NEGATIVES on the purging k=8 user sketch
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.Freq._
+    val ms = MemoryStream[Event]
+    val q = EventStreams.windowFreqSketches(ms.toDF().withWatermark("ts", "10 minutes"))
+      .writeStream.format("memory").queryName("freq_stream_out").outputMode("complete").start()
+    try {
+      // batch 1: 30 clicks from users 1..15; batch 2: 20 views from users
+      // 10..29 plus 10 purchases from user 1 (the heavy hitter)
+      ms.addData((1 to 30).map(i =>
+        ev(i, "2024-01-01 00:10:00", 1 + (i - 1) % 15, 1.0).copy(event_type = "click")): _*)
+      q.processAllAvailable()
+      ms.addData(((31 to 50).map(i =>
+        ev(i, "2024-01-01 00:40:00", i - 21, 1.0).copy(event_type = "view")) ++
+        (51 to 60).map(i =>
+          ev(i, "2024-01-01 00:50:00", 1, 1.0).copy(event_type = "purchase"))): _*)
+      q.processAllAvailable()
+      val r = spark.table("freq_stream_out")
+        .select($"bucket", $"n_events",
+          freqN($"sk_type").as("nt"), freqN($"sk_user").as("nu"),
+          freqItems($"sk_type").as("types"),
+          freqItems($"sk_user").as("users"),
+          freqMaxError($"sk_user").as("err"))
+        .head()
+      assert(r.getAs[Timestamp]("bucket") == Timestamp.valueOf("2024-01-01 00:00:00"))
+      assert(r.getAs[Long]("n_events") == 60L)
+      assert(r.getAs[Long]("nt") == 60L && r.getAs[Long]("nu") == 60L)
+      // k=32 type sketch stays exact: 3 types with exact collapsed bounds
+      val types = r.getSeq[org.apache.spark.sql.Row](4).map(t =>
+        t.getAs[String]("item") -> (t.getAs[Long]("est"), t.getAs[Long]("lb"), t.getAs[Long]("ub"))).toMap
+      assert(types == Map(
+        "click" -> ((30L, 30L, 30L)), "view" -> ((20L, 20L, 20L)),
+        "purchase" -> ((10L, 10L, 10L))))
+      // k=8 user sketch purged (29 users > capacity): user 1 has true
+      // count 12 = 2 clicks + 10 purchases; NO_FALSE_NEGATIVES says any
+      // user with count > maxError must be returned with bracketing bounds
+      val err = r.getAs[Long]("err")
+      val users = r.getSeq[org.apache.spark.sql.Row](5).map(u =>
+        u.getAs[String]("item") -> (u.getAs[Long]("est"), u.getAs[Long]("lb"), u.getAs[Long]("ub"))).toMap
+      assert(12L > err, s"fixture must exceed maxError=$err to exercise NFN")
+      assert(users.contains("1"))
+      val (e1, l1, u1) = users("1")
+      assert(l1 <= 12L && 12L <= u1 && l1 <= e1 && e1 <= u1)
+    } finally q.stop()
+  }
+
   test("forward as-of join picks the earliest right row at or after each left row") {
     val events = Seq(
       ev(1, "2024-01-01 00:00:00", 1, 0).copy(event_type = "click"),
