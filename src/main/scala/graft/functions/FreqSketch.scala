@@ -125,7 +125,8 @@ case class FreqSketchAgg(
     maxMapSize: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[Freq.State] {
+  extends TypedImperativeAggregate[Freq.State]
+  with org.apache.spark.sql.graftshim.CastsInputsToString {
 
   require(maxMapSize >= 8 && Integer.bitCount(maxMapSize) == 1,
     s"freq_sketch_agg: maxMapSize must be a power of two >= 8, got $maxMapSize")
@@ -134,11 +135,6 @@ case class FreqSketchAgg(
   override def nullable: Boolean = false
   override def dataType: DataType = BinaryType
   override def prettyName: String = "freq_sketch_agg"
-
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case StringType => TypeCheckSuccess
-    case t => TypeCheckFailure(s"$prettyName: expects a string column, got ${t.catalogString}")
-  }
 
   override def createAggregationBuffer(): Freq.State = Freq.emptyState(maxMapSize)
 

@@ -91,9 +91,15 @@ case class ThetaSketchAgg(
   override def dataType: DataType = BinaryType
   override def prettyName: String = "theta_sketch_agg"
 
+  // Strings hash as UTF-8 bytes, every INTEGRAL type as its long value
+  // (an int key column Just Works with the same hash identity as bigint —
+  // an ImplicitCastInputTypes TypeCollection can't express this: listing
+  // string first coerces ints to text, listing long first coerces text to
+  // long). Doubles still fail loudly; a silent double→long or
+  // double→string coercion would quietly change hash identity.
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case StringType | LongType => TypeCheckSuccess
-    case t => TypeCheckFailure(s"$prettyName: expects string or bigint, got ${t.catalogString}")
+    case StringType | LongType | IntegerType | ShortType | ByteType => TypeCheckSuccess
+    case t => TypeCheckFailure(s"$prettyName: expects string or integral, got ${t.catalogString}")
   }
 
   override def createAggregationBuffer(): Union =
@@ -107,7 +113,7 @@ case class ThetaSketchAgg(
       // already UTF-8 — skipping the UTF-16 String round-trip on the
       // per-shingle hot path.
       case s: UTF8String => buf.update(s.getBytes)
-      case l: java.lang.Long => buf.update(l.longValue())
+      case n: java.lang.Number => buf.update(n.longValue())
       case other => buf.update(other.toString)
     }
     buf

@@ -415,6 +415,27 @@ class FunctionsSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(r.getDouble(1) - 500.0) <= 50.0)
   }
 
+  test("theta/freq SQL registration: int key columns coerce implicitly") {
+    GraftFunctions.registerAll(spark)
+    // an INT key column: theta widens it to long, freq casts it to string —
+    // both via ImplicitCastInputTypes, no explicit cast in the SQL
+    spark.range(0, 1000).select(($"id" % 10).cast("int").as("v"))
+      .createOrReplaceTempView("sk_int_t")
+    val r = spark.sql(
+      "SELECT theta_estimate(theta_sketch_agg(v)) AS est, " +
+        "freq_n(freq_sketch_agg(v)) AS fn " +
+        "FROM sk_int_t").head()
+    assert(r.getDouble(0) == 10.0) // exact mode: 10 distinct keys
+    assert(r.getLong(1) == 1000L)
+    // ints widen to LONG (not string): the sketch must hash-match a
+    // sketch built from the same values as bigint, not as text
+    val asLong = spark.sql(
+      "SELECT theta_estimate(theta_intersect(theta_sketch_agg(v), " +
+        "(SELECT theta_sketch_agg(CAST(v AS BIGINT)) FROM sk_int_t))) AS est " +
+        "FROM sk_int_t").head()
+    assert(asLong.getDouble(0) == 10.0) // full overlap ⇒ same hash identity
+  }
+
   test("theta sketch: exact-mode set algebra equals true set operations") {
     import graft.functions.Theta._
     // A = {0..999}, B = {500..1499}: |A∩B| = 500, |A\B| = 500, |A∪B| = 1500
