@@ -2582,6 +2582,21 @@ object SparkEntry {
       graft.operators.Robust.ksStatistic(
         Tables.documents(s, d), col("n_chars"), col("source"), "src0", "src1")),
 
+    // Population Stability Index — the production drift gate (reference-
+    // quantile bins, smoothed proportions); complements KS (max ECDF gap)
+    // and Mann-Whitney (rank shift) with the binned-divergence view.
+    "q_psi_drift" -> ((s, d) =>
+      graft.operators.Robust.psiDrift(
+        Tables.documents(s, d), col("n_chars"), col("source"), "src0", "src1")),
+
+    // Hybrid retrieval: reciprocal-rank fusion of the BM25 lexical top-N
+    // and the embedding-cosine semantic top-N (RRF, Cormack et al. 2009) —
+    // rank-only combination, no score normalization, bounded fusion join.
+    "q_hybrid_rrf" -> ((s, d) =>
+      graft.operators.Similarity.hybridRrf(
+        Tables.documents(s, d), Tables.embeddings(s, d),
+        Bm25QueryTerms, queryVecId = 7)),
+
     // Fixed-round weighted PageRank over the event-type transition graph;
     // the DuckDB oracle unrolls the same 10 power-iteration rounds
     // (operators/Graph.scala — per round one keyed join + one keyed agg,
@@ -5133,6 +5148,85 @@ object SparkEntry {
                          * log2(len(list_filter(cs, x -> x = c)) * 1.0 / len(cs)))), 6)
                 END AS char_entropy
          FROM t ORDER BY doc_id""",
+
+    // Same discrete rank rule for the reference deciles, same smoothed
+    // proportions, same sorted-bin fold order as the Spark aggregate.
+    "q_psi_drift" ->
+      """WITH t AS (SELECT CAST(n_chars AS DOUBLE) AS v, source = 'src0' AS is_ref
+                    FROM documents WHERE source IN ('src0', 'src1') AND n_chars IS NOT NULL),
+              r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn, count(*) OVER () AS n
+                    FROM t WHERE is_ref),
+              e AS (SELECT max(CASE WHEN rn = (10*n+99)//100 THEN v END) AS e1,
+                           max(CASE WHEN rn = (20*n+99)//100 THEN v END) AS e2,
+                           max(CASE WHEN rn = (30*n+99)//100 THEN v END) AS e3,
+                           max(CASE WHEN rn = (40*n+99)//100 THEN v END) AS e4,
+                           max(CASE WHEN rn = (50*n+99)//100 THEN v END) AS e5,
+                           max(CASE WHEN rn = (60*n+99)//100 THEN v END) AS e6,
+                           max(CASE WHEN rn = (70*n+99)//100 THEN v END) AS e7,
+                           max(CASE WHEN rn = (80*n+99)//100 THEN v END) AS e8,
+                           max(CASE WHEN rn = (90*n+99)//100 THEN v END) AS e9
+                    FROM r),
+              b AS (SELECT (CASE WHEN v > e1 THEN 1 ELSE 0 END) + (CASE WHEN v > e2 THEN 1 ELSE 0 END)
+                         + (CASE WHEN v > e3 THEN 1 ELSE 0 END) + (CASE WHEN v > e4 THEN 1 ELSE 0 END)
+                         + (CASE WHEN v > e5 THEN 1 ELSE 0 END) + (CASE WHEN v > e6 THEN 1 ELSE 0 END)
+                         + (CASE WHEN v > e7 THEN 1 ELSE 0 END) + (CASE WHEN v > e8 THEN 1 ELSE 0 END)
+                         + (CASE WHEN v > e9 THEN 1 ELSE 0 END) AS bin, is_ref
+                    FROM t, e),
+              c AS (SELECT bin, sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS cr,
+                           sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS cc
+                    FROM b GROUP BY 1),
+              g AS (SELECT gs.g AS bin, coalesce(cr, 0) AS cr, coalesce(cc, 0) AS cc
+                    FROM generate_series(0, 9) gs(g) LEFT JOIN c ON c.bin = gs.g),
+              one AS (SELECT list_sort(list({'bin': bin, 'cr': cr, 'cc': cc})) AS bs,
+                             CAST(sum(cr) AS BIGINT) AS n_ref,
+                             CAST(sum(cc) AS BIGINT) AS n_cur
+                      FROM g)
+         SELECT n_ref, n_cur,
+                round(list_sum(list_transform(bs, b ->
+                  ((CAST(b.cr AS DOUBLE) + 0.5) / (CAST(n_ref AS DOUBLE) + 5.0)
+                   - (CAST(b.cc AS DOUBLE) + 0.5) / (CAST(n_cur AS DOUBLE) + 5.0))
+                  * ln(((CAST(b.cr AS DOUBLE) + 0.5) / (CAST(n_ref AS DOUBLE) + 5.0))
+                       / ((CAST(b.cc AS DOUBLE) + 0.5) / (CAST(n_cur AS DOUBLE) + 5.0))))), 6) AS psi
+         FROM one""",
+
+    // Lexical side = the q_bm25 scoring verbatim; semantic side = the
+    // q_embed_knn cosine (rounded before ranking, same tie-break); fusion
+    // adds the two 1/(60+rank) terms in the same order.
+    "q_hybrid_rrf" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+              f AS (SELECT doc_id, CAST(len(tk) AS DOUBLE) AS dl,
+                           CAST(len(list_filter(tk, x -> x = 'spark')) AS DOUBLE) AS tf0,
+                           CAST(len(list_filter(tk, x -> x = 'join')) AS DOUBLE) AS tf1,
+                           CAST(len(list_filter(tk, x -> x = 'merge')) AS DOUBLE) AS tf2
+                    FROM t),
+              c AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
+                           sum(CASE WHEN tf0 > 0 THEN 1.0 ELSE 0.0 END) AS df0,
+                           sum(CASE WHEN tf1 > 0 THEN 1.0 ELSE 0.0 END) AS df1,
+                           sum(CASE WHEN tf2 > 0 THEN 1.0 ELSE 0.0 END) AS df2
+                    FROM f),
+              lex AS (SELECT doc_id,
+                             CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS lex_rank
+                      FROM (
+                        SELECT doc_id,
+                               round(ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5)) * tf0 * 2.2 / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                                   + ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5)) * tf1 * 2.2 / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                                   + ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5)) * tf2 * 2.2 / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6) AS score
+                        FROM f, c)
+                      WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 15),
+              sem AS (SELECT neighbor_id AS doc_id,
+                             CAST(row_number() OVER (ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS sem_rank
+                      FROM (
+                        SELECT c2.vec_id AS neighbor_id,
+                               round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                            CAST(c2.embedding AS DOUBLE[])), 6) AS cosine
+                        FROM embeddings q, embeddings c2
+                        WHERE q.vec_id = 7 AND c2.vec_id <> 7)
+                      ORDER BY cosine DESC, neighbor_id LIMIT 15)
+         SELECT doc_id, lex_rank, sem_rank,
+                round(coalesce(1.0 / (60 + CAST(lex_rank AS DOUBLE)), 0.0)
+                      + coalesce(1.0 / (60 + CAST(sem_rank AS DOUBLE)), 0.0), 6) AS rrf
+         FROM lex FULL JOIN sem USING (doc_id)
+         ORDER BY rrf DESC, doc_id LIMIT 10""",
 
     // ECDFs as exact-integer cumulative counts divided once at the end —
     // bit-portable; max() is order-independent.

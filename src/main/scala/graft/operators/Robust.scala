@@ -492,6 +492,62 @@ object Robust {
       round((u - mu) / sigma, 6).as("z_stat"))
   }
 
+  /** Population Stability Index between the `value` distributions of a
+    * REFERENCE group and a CURRENT group — the production drift gate run
+    * between yesterday's corpus and today's refresh (PSI < 0.1 stable,
+    * 0.1–0.25 moderate shift, > 0.25 investigate): bins are the reference
+    * distribution's `nBins` quantile edges, PSI = Σ (p_i − q_i)·ln(p_i/q_i)
+    * over the binned proportions.
+    *
+    * Scale shape: edges come from the distributed histogram selection
+    * ([[valuesAtRanks]], one global group — discrete data values, so the
+    * binning is bit-portable), broadcast as ONE row; binning is then pure
+    * map-side arithmetic and the bin counts are a ≤ nBins×2 aggregate.
+    * Proportions are Laplace-smoothed (+0.5 per bin) so structurally empty
+    * bins (repeated edges on low-cardinality data) stay finite, and the
+    * final fp fold runs in sorted bin order over a bounded array — the
+    * oracle replays it bit-identically (cf. [[mutualInformation]]). */
+  def psiDrift(
+      df: DataFrame, value: Column, groupCol: Column,
+      refGroup: String, curGroup: String, nBins: Int = 10): DataFrame = {
+    require(nBins >= 2 && 100 % nBins == 0, s"psiDrift: nBins must divide 100, got $nBins")
+    val tagged = df
+      .filter(groupCol.isin(refGroup, curGroup))
+      .select(value.cast(DoubleType).as("v"), (groupCol === refGroup).as("is_ref"))
+      .filter(col("v").isNotNull)
+    val pcts = (1 until nBins).map(i => i * 100 / nBins)
+    val edges = valuesAtRanks(
+      tagged.filter(col("is_ref")).select(lit(1).as("__g"), col("v"), lit(1L).as("w")),
+      pcts)
+    // bin id = # edges strictly below v (v == edge → the lower bin)
+    val bin = pcts.map(p => when(col("v") > col(s"q_$p"), 1).otherwise(0))
+      .reduce(_ + _)
+    val counts = tagged.crossJoin(broadcast(edges.drop("__g", "n")))
+      .select(bin.as("bin"), col("is_ref"))
+      .groupBy(col("bin"))
+      .agg(
+        sum(when(col("is_ref"), 1L).otherwise(0L)).as("cr"),
+        sum(when(!col("is_ref"), 1L).otherwise(0L)).as("cc"))
+    // full bin domain (smoothed empty bins contribute when n_ref ≠ n_cur)
+    val allBins = edges.select(explode(sequence(lit(0), lit(nBins - 1))).as("bin"))
+      .join(counts, Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("cr"), lit(0L)).as("cr"),
+        coalesce(col("cc"), lit(0L)).as("cc"))
+    val one = allBins.agg(
+      array_sort(collect_list(struct(col("bin"), col("cr"), col("cc")))).as("bs"),
+      sum(col("cr")).as("n_ref"), sum(col("cc")).as("n_cur"))
+    val nR = col("n_ref").cast(DoubleType)
+    val nC = col("n_cur").cast(DoubleType)
+    val half = lit(0.5)
+    val psi = aggregate(col("bs"), lit(0.0), (acc, b) => {
+      val p = (b.getField("cr").cast(DoubleType) + half) / (nR + half * nBins)
+      val q = (b.getField("cc").cast(DoubleType) + half) / (nC + half * nBins)
+      acc + (p - q) * log(p / q)
+    })
+    one.select(col("n_ref"), col("n_cur"), round(psi, 6).as("psi"))
+  }
+
   /** Two-sample Kolmogorov–Smirnov statistic between the `value`
     * distributions of two groups — the standard data-drift gate a pipeline
     * runs between yesterday's and today's batch (or two corpus sources)

@@ -45,6 +45,46 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Reciprocal-rank fusion (RRF; Cormack, Clarke & Buettcher, SIGIR 2009)
+    * of a lexical BM25 ranking and a semantic embedding-cosine ranking —
+    * the standard hybrid-retrieval combiner: each list contributes
+    * `1/(kRrf + rank)` to a document's fused score, so agreement between
+    * retrievers dominates either one's raw score scale (no score
+    * normalization needed — exactly why RRF is the production default).
+    *
+    * Scale shape: both inputs are already top-N truncated (BM25's
+    * TakeOrdered limit; the kNN bounded heap), so the rank windows and the
+    * full-outer fusion join run over ≤ 2·topN rows — bounded by
+    * construction however large the corpus. Score arithmetic is a fixed
+    * chain over exact integer ranks → bit-portable.
+    *
+    * Assumes `embeddings.vec_id` identifies the same documents as
+    * `documents.doc_id` (the embedding of doc i). The query document
+    * itself is excluded on the semantic side ([[bruteForceKnn]] skips
+    * self-matches) but may appear via the lexical side. */
+  def hybridRrf(
+      documents: DataFrame, embeddings: DataFrame,
+      queryTerms: Seq[String], queryVecId: Long,
+      kRrf: Int = 60, topN: Int = 15, topK: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lex = TextAnalysis.bm25Rank(documents, queryTerms, topK = topN)
+      // ≤ topN rows by construction — the global rank window is bounded
+      .withColumn("lex_rank",
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("lex_rank"))
+    val sem = bruteForceKnn(
+        embeddings.filter(col("vec_id") === queryVecId), embeddings, k = topN)
+      .select(col("neighbor_id").as("doc_id"), col("rank").cast("long").as("sem_rank"))
+    lex.join(sem, Seq("doc_id"), "full")
+      .select(col("doc_id"), col("lex_rank"), col("sem_rank"),
+        round(
+          coalesce(lit(1.0) / (lit(kRrf) + col("lex_rank").cast("double")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(kRrf) + col("sem_rank").cast("double")), lit(0.0)),
+          6).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(topK)
+  }
+
   /** Per-query top-k via the bounded-heap [[graft.functions.TopKBy]]
     * aggregate: map-side partial heaps ship ≤ k entries per (query, task)
     * through the shuffle, where the `row_number` window form would shuffle

@@ -426,6 +426,57 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(r1.getDouble(2) == 1.0)
   }
 
+  test("psiDrift: 0 for identical samples, large for a shifted distribution") {
+    import graft.operators.Robust
+    // identical distributions, equal sizes: every bin has cr == cc, the
+    // smoothed proportions cancel exactly → psi == 0 with no tolerance
+    val same = (Seq.tabulate(100)(i => (i.toLong, "a")) ++
+      Seq.tabulate(100)(i => (i.toLong, "b"))).toDF("v", "g")
+    val r0 = Robust.psiDrift(same, col("v"), col("g"), "a", "b").head()
+    assert((r0.getLong(0), r0.getLong(1), r0.getDouble(2)) == (100L, 100L, 0.0))
+    // current shifted wholly above the reference's max: all current mass
+    // lands in the top bin → far past the 0.25 "investigate" threshold
+    val shifted = (Seq.tabulate(100)(i => (i.toLong, "a")) ++
+      Seq.tabulate(100)(i => (1000L + i, "b"))).toDF("v", "g")
+    val r1 = Robust.psiDrift(shifted, col("v"), col("g"), "a", "b").head()
+    assert(r1.getDouble(2) > 1.0)
+  }
+
+  test("hybridRrf fuses lexical and semantic ranks; agreement beats single-list wins") {
+    import graft.operators.Similarity
+    // doc 1 is mid-rank on BOTH lists; doc 2 tops lexical only, doc 3 tops
+    // semantic only. RRF must put the agreeing doc first.
+    val docs = Seq(
+      (1L, "spark join alpha"), // lex rank 2 (2 terms, longer)
+      (2L, "spark join"), // lex rank 1 (2 terms, shortest)
+      (3L, "alpha beta gamma"), // no query terms → lexical miss
+      (4L, "spark alpha beta gamma delta")) // lex rank 3
+      .toDF("doc_id", "text")
+    val q = Array(1.0f, 0.0f)
+    val emb = Seq(
+      (7L, q), // the query vector
+      (1L, Array(0.9f, 0.1f)), // sem rank 2
+      (2L, Array(0.0f, 1.0f)), // sem rank 4 (orthogonal-ish)
+      (3L, Array(1.0f, 0.0f)), // sem rank 1 (exact match)
+      (4L, Array(0.5f, 0.5f))) // sem rank 3
+      .toDF("vec_id", "embedding")
+    val rows = Similarity.hybridRrf(docs, emb, Seq("spark", "join", "merge"), 7L)
+      .collect()
+    val byId = rows.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // every fused score is 1/(60+lex) + 1/(60+sem) with absent lists = 0
+    rows.foreach { r =>
+      val lex = Option(r.getAs[java.lang.Long]("lex_rank")).map(_.toDouble)
+      val sem = Option(r.getAs[java.lang.Long]("sem_rank")).map(_.toDouble)
+      val expect = lex.map(x => 1.0 / (60 + x)).getOrElse(0.0) +
+        sem.map(x => 1.0 / (60 + x)).getOrElse(0.0)
+      assert(math.abs(r.getAs[Double]("rrf") - expect) < 1e-6)
+    }
+    // doc 1 (rank 2 + rank 2) outscores doc 3 (semantic-only rank 1)
+    assert(byId(1L).getAs[Double]("rrf") > byId(3L).getAs[Double]("rrf"))
+    // lexical-only doc 3 still present with a null lex_rank
+    assert(byId(3L).isNullAt(byId(3L).fieldIndex("lex_rank")))
+  }
+
   test("winnowing: guaranteed recall of >= k+w-1 substring pairs; no false candidates without shared grams") {
     // doc 1 embeds a 12-token run of doc 0 (>= 8 = 3+6-1): MUST be a
     // candidate (winnowing theorem). doc 2 shares zero 3-grams with
