@@ -1481,6 +1481,49 @@ object SparkEntry {
         .orderBy(col("bucket"))
     }),
 
+    // STREAMING drift monitor: every hourly window's value distribution
+    // scored (PSI) against a FROZEN reference profile — the reference's
+    // decile edges are computed offline (distributed histogram selection,
+    // 9 values collected) and baked into the stream as a map-side binning
+    // expression, so the state store holds ≤ 10 bin counts per window and
+    // the stream never recomputes quantiles. The PSI fold runs batch-side
+    // over the windowed counts, in sorted bin order — fully deterministic,
+    // so the oracle replays the whole thing exactly (no booleans needed).
+    "q_events_psi_stream" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val edges = graft.operators.Robust.quantileEdges(ev, col("value"), 10)
+      val counts = EventStreams.runStreamToBatch(s, d, "q_events_psi_stream_sink",
+        EventStreams.windowPsiCounts(_, edges))
+      val bin = edges.map(e => when(col("value") > lit(e), 1).otherwise(0)).reduce(_ + _)
+      val ref = ev.filter(col("value").isNotNull)
+        .select(bin.as("bin")).groupBy("bin").agg(count(lit(1)).as("cr"))
+      // toDF re-aliases with fresh expression ids — the bucket domain and
+      // the counts join are two references to the same memory-sink view
+      val dom = counts.toDF("bucket", "bin", "cnt").select(col("bucket")).distinct()
+        .select(col("bucket"), explode(sequence(lit(0), lit(9))).as("bin"))
+      val full = dom
+        .join(broadcast(ref), Seq("bin"), "left")
+        .join(counts, Seq("bucket", "bin"), "left")
+        .select(col("bucket"), col("bin"),
+          coalesce(col("cr"), lit(0L)).as("cr"),
+          coalesce(col("cnt"), lit(0L)).as("cc"))
+      val tot = ref.agg(sum(col("cr")).as("n_ref"))
+      val one = full.groupBy("bucket").agg(
+        array_sort(collect_list(struct(col("bin"), col("cr"), col("cc")))).as("bs"),
+        sum(col("cc")).as("n_events"))
+      val nR = col("n_ref").cast("double")
+      val nC = col("n_events").cast("double")
+      val half = lit(0.5)
+      val psi = aggregate(col("bs"), lit(0.0), (acc, b) => {
+        val p = (b.getField("cr").cast("double") + half) / (nR + half * 10)
+        val q = (b.getField("cc").cast("double") + half) / (nC + half * 10)
+        acc + (p - q) * log(p / q)
+      })
+      one.crossJoin(broadcast(tot))
+        .select(col("bucket"), col("n_events"), round(psi, 6).as("psi"))
+        .orderBy(col("bucket"))
+    }),
+
     // Stream-static enrichment: streaming events broadcast-joined to a
     // static category dim, then daily windowed aggregation — the in-flight
     // reference-data join (dim re-resolved per micro-batch, no join state).
@@ -4255,6 +4298,49 @@ object SparkEntry {
                FROM t GROUP BY 1) t2 USING (bucket)
          JOIN (SELECT bucket, count(*) AS n_users FROM uu GROUP BY 1) u2 USING (bucket)
          ORDER BY bucket""",
+
+    // Same rank rule for the reference deciles, same smoothed proportions
+    // and sorted-bin fold as q_psi_drift, per hourly bucket.
+    "q_events_psi_stream" ->
+      """WITH v AS (SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
+                           CAST(value AS DOUBLE) AS v
+                    FROM events WHERE value IS NOT NULL),
+              r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn, count(*) OVER () AS n FROM v),
+              e AS (SELECT max(CASE WHEN rn = (10*n+99)//100 THEN v END) AS e1,
+                           max(CASE WHEN rn = (20*n+99)//100 THEN v END) AS e2,
+                           max(CASE WHEN rn = (30*n+99)//100 THEN v END) AS e3,
+                           max(CASE WHEN rn = (40*n+99)//100 THEN v END) AS e4,
+                           max(CASE WHEN rn = (50*n+99)//100 THEN v END) AS e5,
+                           max(CASE WHEN rn = (60*n+99)//100 THEN v END) AS e6,
+                           max(CASE WHEN rn = (70*n+99)//100 THEN v END) AS e7,
+                           max(CASE WHEN rn = (80*n+99)//100 THEN v END) AS e8,
+                           max(CASE WHEN rn = (90*n+99)//100 THEN v END) AS e9
+                    FROM r),
+              bb AS (SELECT bucket,
+                            (CASE WHEN v > e1 THEN 1 ELSE 0 END) + (CASE WHEN v > e2 THEN 1 ELSE 0 END)
+                          + (CASE WHEN v > e3 THEN 1 ELSE 0 END) + (CASE WHEN v > e4 THEN 1 ELSE 0 END)
+                          + (CASE WHEN v > e5 THEN 1 ELSE 0 END) + (CASE WHEN v > e6 THEN 1 ELSE 0 END)
+                          + (CASE WHEN v > e7 THEN 1 ELSE 0 END) + (CASE WHEN v > e8 THEN 1 ELSE 0 END)
+                          + (CASE WHEN v > e9 THEN 1 ELSE 0 END) AS bin
+                     FROM v, e),
+              rb AS (SELECT bin, count(*) AS cr FROM bb GROUP BY 1),
+              cur AS (SELECT bucket, bin, count(*) AS cc FROM bb GROUP BY 1, 2),
+              dom AS (SELECT d.bucket, gs.g AS bin
+                      FROM (SELECT DISTINCT bucket FROM bb) d, generate_series(0, 9) gs(g)),
+              f AS (SELECT dom.bucket, dom.bin, coalesce(rb.cr, 0) AS cr, coalesce(cur.cc, 0) AS cc
+                    FROM dom LEFT JOIN rb ON rb.bin = dom.bin
+                             LEFT JOIN cur ON cur.bucket = dom.bucket AND cur.bin = dom.bin),
+              one AS (SELECT bucket, list_sort(list({'bin': bin, 'cr': cr, 'cc': cc})) AS bs,
+                             CAST(sum(cc) AS BIGINT) AS n_events
+                      FROM f GROUP BY bucket),
+              tot AS (SELECT CAST(count(*) AS DOUBLE) AS n_ref FROM v)
+         SELECT bucket, n_events,
+                round(list_sum(list_transform(bs, b ->
+                  ((CAST(b.cr AS DOUBLE) + 0.5) / (n_ref + 5.0)
+                   - (CAST(b.cc AS DOUBLE) + 0.5) / (CAST(n_events AS DOUBLE) + 5.0))
+                  * ln(((CAST(b.cr AS DOUBLE) + 0.5) / (n_ref + 5.0))
+                       / ((CAST(b.cc AS DOUBLE) + 0.5) / (CAST(n_events AS DOUBLE) + 5.0))))), 6) AS psi
+         FROM one, tot ORDER BY bucket""",
 
     "q_json_extract" -> jsonExtractSql,
     "q_like_search" -> likeSearchSql,

@@ -548,6 +548,23 @@ object Robust {
     one.select(col("n_ref"), col("n_cur"), round(psi, 6).as("psi"))
   }
 
+  /** Reference quantile edges for PSI-style binning: the `nBins`-quantile
+    * DISCRETE cut values of `value` (actual data values at the integer
+    * rank targets, same rule as [[psiDrift]]), via the distributed
+    * histogram selection, collected driver-side — exactly `nBins − 1`
+    * doubles, bounded by construction. The consumer bakes them into a
+    * map-side binning expression (e.g. a streaming drift monitor binning
+    * every micro-batch against a frozen reference profile). */
+  def quantileEdges(df: DataFrame, value: Column, nBins: Int = 10): Seq[Double] = {
+    require(nBins >= 2 && 100 % nBins == 0, s"quantileEdges: nBins must divide 100, got $nBins")
+    val pcts = (1 until nBins).map(i => i * 100 / nBins)
+    val row = valuesAtRanks(
+      df.select(lit(1).as("__g"), value.cast(DoubleType).as("v"))
+        .withColumn("w", lit(1L)),
+      pcts).head()
+    pcts.map(p => row.getAs[Double](s"q_$p"))
+  }
+
   /** Two-sample Kolmogorov–Smirnov statistic between the `value`
     * distributions of two groups — the standard data-drift gate a pipeline
     * runs between yesterday's and today's batch (or two corpus sources)

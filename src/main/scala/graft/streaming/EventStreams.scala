@@ -499,6 +499,25 @@ object EventStreams {
       .select(col("window.start").as("bucket"), col("n_events"),
         col("sk_type"), col("sk_user"))
 
+  /** Per-window reference-binned value counts — the streaming half of a
+    * PSI drift monitor: `edges` are a FROZEN reference profile's quantile
+    * cut values ([[graft.operators.Robust.quantileEdges]], computed
+    * offline), baked into a map-side binning expression, so each
+    * micro-batch contributes plain windowed bin counts to the state store
+    * — ≤ |edges|+1 rows of state per window however many events flow.
+    * The PSI fold itself runs batch-side over the windowed counts
+    * (`q_events_psi_stream`); the stream never recomputes quantiles.
+    * Null values are ignored (they belong to no bin — same convention as
+    * [[graft.operators.Robust.psiDrift]]). */
+  def windowPsiCounts(events: DataFrame, edges: Seq[Double], width: String = "1 hour"): DataFrame = {
+    val bin = edges.map(e => when(col("value") > lit(e), 1).otherwise(0)).reduce(_ + _)
+    events
+      .filter(col("value").isNotNull)
+      .groupBy(window(col("ts"), width), bin.as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("bucket"), col("bin"), col("cnt"))
+  }
+
   /** Sliding-window aggregation — each event lands in width/slide buckets. */
   def slidingCounts(events: DataFrame, width: String = "1 hour", slide: String = "15 minutes"): DataFrame =
     events

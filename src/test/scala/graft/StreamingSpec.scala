@@ -405,6 +405,29 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming PSI bin counts equal the batch binning across micro-batch splits") {
+    // frozen reference edges baked into the stream: two micro-batches
+    // update the same hour window and the final per-bin counts must be
+    // exactly the batch binning of the union (split-invariant state)
+    implicit val sqlCtx = spark.sqlContext
+    val edges = Seq(2.0, 4.0, 6.0)
+    val ms = MemoryStream[Event]
+    val q = EventStreams.windowPsiCounts(ms.toDF().withWatermark("ts", "10 minutes"), edges)
+      .writeStream.format("memory").queryName("psi_stream_out").outputMode("complete").start()
+    try {
+      ms.addData((1 to 6).map(i => ev(i, "2024-01-01 00:10:00", 1, i.toDouble)): _*)
+      q.processAllAvailable()
+      ms.addData((7 to 8).map(i => ev(i, "2024-01-01 00:40:00", 1, i.toDouble)): _*)
+      q.processAllAvailable()
+      val got = spark.table("psi_stream_out").orderBy($"bucket", $"bin").collect()
+        .map(r => (r.getAs[Timestamp]("bucket"), r.getAs[Int]("bin"), r.getAs[Long]("cnt")))
+      // values 1..8 vs edges (2,4,6): bin = (v>2)+(v>4)+(v>6) →
+      // {1,2}→0, {3,4}→1, {5,6}→2, {7,8}→3: two per bin, one window
+      val b0 = Timestamp.valueOf("2024-01-01 00:00:00")
+      assert(got.toSeq == Seq((b0, 0, 2L), (b0, 1, 2L), (b0, 2, 2L), (b0, 3, 2L)))
+    } finally q.stop()
+  }
+
   test("forward as-of join picks the earliest right row at or after each left row") {
     val events = Seq(
       ev(1, "2024-01-01 00:00:00", 1, 0).copy(event_type = "click"),
