@@ -213,6 +213,69 @@ class PropertiesSpec extends AnyFunSuite with SparkSpec {
       .count() == 0L)
   }
 
+  test("Robust.robustStats/weightedMedian/quantileEdges match pure-Scala selection on random data") {
+    import graft.operators.Robust
+    // heavy ties (domain ≪ rows) + nulls + zero weights: the fused
+    // histogram-selection (summary/slice pivot, ridden winsorized sum,
+    // emitted bounds) must agree with first-principles order statistics
+    val triples = sample(Gen.listOfN(500, for {
+      v <- Gen.choose(0, 120)
+      g <- Gen.oneOf("A", "B", "C")
+      w <- Gen.choose(0L, 5L)
+    } yield (v / 3.0, g, w)))
+    val withNulls = triples.zipWithIndex.map { case ((v, g, w), i) =>
+      (if (i % 17 == 0) null.asInstanceOf[java.lang.Double] else java.lang.Double.valueOf(v), g, w)
+    } ++ Seq.tabulate(5)(i => (java.lang.Double.valueOf(i.toDouble), "Z", 0L)) ++ // all-zero weights
+      Seq.tabulate(3)(_ => (null.asInstanceOf[java.lang.Double], "N", 3L)) // all-null values
+    val df = withNulls.toDF("v", "g", "w")
+
+    def rank(n: Long, p: Int): Long = (p * n + 99) / 100 // ceil(p·n/100)
+    def at(sorted: Vector[Double], r: Long): Double = sorted((r - 1).toInt)
+
+    val byG = withNulls.filter(_._1 != null).groupBy(_._2)
+    val rs = Robust.robustStats(df, "g", $"v").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rs.keySet == Set("A", "B", "C", "Z")) // N vanishes (all-null)
+    for ((g, rows) <- byG if g != "N") {
+      val got = rs(g)
+      val sorted = rows.map(_._1.doubleValue).sorted.toVector
+      val n = sorted.size.toLong
+      val (p05, med, p95) =
+        (at(sorted, rank(n, 5)), at(sorted, rank(n, 50)), at(sorted, rank(n, 95)))
+      assert(got.getAs[Long]("n") == n, s"n mismatch in $g")
+      assert(got.getAs[Double]("p05") == p05 && got.getAs[Double]("median") == med
+        && got.getAs[Double]("p95") == p95, s"cuts mismatch in $g")
+      val mad = at(sorted.map(v => math.abs(v - med)).sorted, rank(n, 50))
+      // the operator surfaces mad rounded to 6 dp
+      assert(math.abs(got.getAs[Double]("mad") - mad) < 5.01e-7, s"mad mismatch in $g")
+      // winsorized mean: clamp, round each to 2 dp (exact decimal), mean
+      val wsum = sorted.map(v => BigDecimal(math.max(p05, math.min(v, p95)))
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum
+      val winsWant = (wsum / n).toDouble
+      assert(math.abs(got.getAs[Double]("wins_mean") - winsWant) < 2e-6, s"wins mismatch in $g")
+    }
+
+    // weighted (lower) median: smallest v whose cumulative weight reaches
+    // ceil(tot/2); the all-zero-weight group Z is dropped by contract
+    val wm = Robust.weightedMedian(df, "g", $"v", $"w").collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("w_median")).toMap
+    assert(!wm.contains("Z") && !wm.contains("N"))
+    for ((g, rows) <- byG if g != "N" && g != "Z") {
+      val sortedRows = rows.map(t => (t._1.doubleValue, t._3)).sortBy(_._1)
+      val tot = sortedRows.map(_._2).sum
+      val r = rank(tot, 50)
+      val want = sortedRows.scanLeft(0.0 -> 0L) { case ((_, c), (v, w)) => v -> (c + w) }
+        .drop(1).find(_._2 >= r).get._1
+      assert(wm(g) == want, s"weightedMedian mismatch in $g")
+    }
+
+    // decile edges over the pooled non-null values
+    val pooled = withNulls.collect { case (v, _, _) if v != null => v.doubleValue }.sorted.toVector
+    val edges = Robust.quantileEdges(df, $"v", 10)
+    val want = (1 until 10).map(i => at(pooled, rank(pooled.size.toLong, i * 10)))
+    assert(edges == want)
+  }
+
   test("Robust.mannWhitneyU/ksStatistic match a pure-Scala oracle on random data") {
     import graft.operators.Robust
     // heavy ties (domain ≪ rows) AND near-continuous values both appear:
