@@ -41,11 +41,20 @@ object ProbeRobust {
 
     val li = Tables.lineitem(spark, dir)
     t("warmup")(li.count())
+    def rows0 = li
+      .select(col("l_returnflag").as("__g"), col("l_extendedprice").cast("double").as("v"))
+      .filter(col("v").isNotNull).withColumn("w", lit(1L))
     for (pass <- 1 to 3) {
       t(s"p$pass robustStats")(
         Robust.robustStats(li, "l_returnflag", col("l_extendedprice")).count())
       t(s"p$pass weightedMedian")(
         Robust.weightedMedian(li, "l_returnflag", col("l_extendedprice"), col("l_quantity")).count())
+      t(s"p$pass var_ckpt_3")(Robust.valuesAtRanks(
+        rows0.localCheckpoint(false), Seq(5, 50, 95)).count())
+      t(s"p$pass var_hash32")(Robust.valuesAtRanks(
+        rows0.repartition(32, col("v")).localCheckpoint(false), Seq(5, 50, 95)).count())
+      t(s"p$pass var_hash8")(Robust.valuesAtRanks(
+        rows0.repartition(8, col("v")).localCheckpoint(false), Seq(5, 50, 95)).count())
     }
     spark.stop()
   }
