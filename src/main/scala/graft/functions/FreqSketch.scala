@@ -125,8 +125,7 @@ case class FreqSketchAgg(
     maxMapSize: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[Freq.State]
-  with org.apache.spark.sql.graftshim.CastsInputsToString {
+  extends TypedImperativeAggregate[Freq.State] {
 
   require(maxMapSize >= 8 && Integer.bitCount(maxMapSize) == 1,
     s"freq_sketch_agg: maxMapSize must be a power of two >= 8, got $maxMapSize")
@@ -136,11 +135,27 @@ case class FreqSketchAgg(
   override def dataType: DataType = BinaryType
   override def prettyName: String = "freq_sketch_agg"
 
+  // Strings plus the types whose INTERNAL value prints exactly as the
+  // semantic value (integrals, boolean): items sketch via that canonical
+  // string, so an int key column Just Works. Everything else fails loudly
+  // — serialized-sketch bytes especially (an implicit binary→string cast
+  // would silently build a garbage sketch when freq_merge_agg was meant),
+  // and date/timestamp/decimal print their internal representation, so
+  // the caller must cast to string explicitly to pick the item identity.
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType =>
+      TypeCheckFailure(s"$prettyName: got serialized bytes — use freq_merge_agg to merge sketches")
+    case StringType | LongType | IntegerType | ShortType | ByteType | BooleanType =>
+      TypeCheckSuccess
+    case t => TypeCheckFailure(
+      s"$prettyName: expects string / integral / boolean, got ${t.catalogString} — cast to string")
+  }
+
   override def createAggregationBuffer(): Freq.State = Freq.emptyState(maxMapSize)
 
   override def update(buf: Freq.State, input: InternalRow): Freq.State = {
     val v = child.eval(input)
-    if (v != null) buf.sk.update(v.asInstanceOf[UTF8String].toString)
+    if (v != null) buf.sk.update(v.toString)
     buf
   }
 

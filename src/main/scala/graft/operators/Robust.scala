@@ -299,8 +299,10 @@ object Robust {
     * quantity-weighted median price (`⌈tot/2⌉ = ⌈50·tot/100⌉`, so this is
     * [[valuesAtRanks]] at pct 50 with the weight as multiplicity).
     * Discrete (an actual data value), so the result is bit-portable.
-    * Weights pre-aggregate per (group, value) — one keyed shuffle — then
-    * the distributed rank selection picks the crossing value; a
+    * Raw weighted rows feed the distributed rank selection directly (no
+    * per-(group, value) pre-aggregation — rank selection is tie-invariant,
+    * and for a continuous value column a distinct pass buys nothing, so
+    * slice sizes are bounded by target-bucket ROW counts); a
     * group-partitioned cumulative window here would cap parallelism at
     * |groups| (3 return flags = 3 tasks however large the cluster), the
     * small-group-domain twin of the single-task global window.
@@ -506,7 +508,10 @@ object Robust {
     * Proportions are Laplace-smoothed (+0.5 per bin) so structurally empty
     * bins (repeated edges on low-cardinality data) stay finite, and the
     * final fp fold runs in sorted bin order over a bounded array — the
-    * oracle replays it bit-identically (cf. [[mutualInformation]]). */
+    * oracle replays it bit-identically (cf. [[mutualInformation]]).
+    *
+    * An empty (or all-null) reference group yields an EMPTY result, not a
+    * psi-of-zero row: a gate must fail loudly on a missing profile. */
   def psiDrift(
       df: DataFrame, value: Column, groupCol: Column,
       refGroup: String, curGroup: String, nBins: Int = 10): DataFrame = {
@@ -534,7 +539,10 @@ object Robust {
       .select(col("bin"),
         coalesce(col("cr"), lit(0L)).as("cr"),
         coalesce(col("cc"), lit(0L)).as("cc"))
-    val one = allBins.agg(
+    // grouped (constant-key) aggregation, NOT a global one: an empty or
+    // all-null reference group then yields an EMPTY result — a drift gate
+    // must never read "psi = 0, perfectly stable" off a missing profile
+    val one = allBins.groupBy(lit(1).as("__one")).agg(
       array_sort(collect_list(struct(col("bin"), col("cr"), col("cc")))).as("bs"),
       sum(col("cr")).as("n_ref"), sum(col("cc")).as("n_cur"))
     val nR = col("n_ref").cast(DoubleType)
@@ -558,11 +566,12 @@ object Robust {
   def quantileEdges(df: DataFrame, value: Column, nBins: Int = 10): Seq[Double] = {
     require(nBins >= 2 && 100 % nBins == 0, s"quantileEdges: nBins must divide 100, got $nBins")
     val pcts = (1 until nBins).map(i => i * 100 / nBins)
-    val row = valuesAtRanks(
+    val rows = valuesAtRanks(
       df.select(lit(1).as("__g"), value.cast(DoubleType).as("v"))
         .withColumn("w", lit(1L)),
-      pcts).head()
-    pcts.map(p => row.getAs[Double](s"q_$p"))
+      pcts).take(1)
+    require(rows.nonEmpty, "quantileEdges: no non-null values to derive edges from")
+    pcts.map(p => rows(0).getAs[Double](s"q_$p"))
   }
 
   /** Two-sample Kolmogorov–Smirnov statistic between the `value`

@@ -45,11 +45,3 @@ trait CastsInputsToBinaryDouble
     Seq(org.apache.spark.sql.types.BinaryType, org.apache.spark.sql.types.DoubleType)
 }
 
-/** Any atomic input coerces to string (`freq_sketch_agg(user_id)` over an
-  * int column Just Works — the analyzer inserts the cast). */
-trait CastsInputsToString
-  extends org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
-  override def inputTypes: Seq[org.apache.spark.sql.types.AbstractDataType] =
-    Seq(org.apache.spark.sql.types.StringType)
-}
-

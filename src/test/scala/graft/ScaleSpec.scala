@@ -379,11 +379,12 @@ class ScaleSpec extends AnyFunSuite with SparkSpec {
     * window over it is still row-cardinality (the Robust.scala class of
     * regression this guard exists to catch). */
   private def aggBounded(p: org.apache.spark.sql.execution.SparkPlan): Boolean = p match {
-    // a global limit (orderBy+limit plans as TakeOrderedAndProject) bounds
-    // the subtree's cardinality by the literal — e.g. hybridRrf's rank
-    // window over a top-N truncated retrieval list
-    case _: org.apache.spark.sql.execution.GlobalLimitExec => true
-    case _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => true
+    // a SMALL global limit (orderBy+limit plans as TakeOrderedAndProject)
+    // bounds the subtree's cardinality by the literal — e.g. hybridRrf's
+    // rank window over a top-N retrieval list. The literal is checked:
+    // limit(Int.MaxValue)-style "no-op" limits must not blind the guard.
+    case l: org.apache.spark.sql.execution.GlobalLimitExec if l.limit <= 10000 => true
+    case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec if t.limit <= 10000 => true
     case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
       import org.apache.spark.sql.types._
       a.groupingExpressions.forall(_.dataType match {
