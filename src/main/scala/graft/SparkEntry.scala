@@ -2861,6 +2861,45 @@ object SparkEntry {
           |ORDER BY revenue DESC, n_name""".stripMargin)
     }),
 
+    // TPC-H Q10 (returned-item revenue top-20, adapted to the testdata's
+    // columns): the classic 3-fact-dim join + group + top-k report shape —
+    // dims broadcast, one keyed agg, TakeOrdered for the limit.
+    "q_sql_tpch_q10" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("customer")
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+      Tables.nation(s, d).createOrReplaceTempView("nation")
+      s.sql(
+        """SELECT c_custkey, c_name,
+          |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+          |       n_name
+          |FROM customer JOIN orders ON c_custkey = o_custkey
+          |              JOIN lineitem ON l_orderkey = o_orderkey
+          |              JOIN nation ON c_nationkey = n_nationkey
+          |WHERE l_returnflag = 'R'
+          |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          |  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+          |GROUP BY c_custkey, c_name, n_name
+          |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin)
+    }),
+
+    // TPC-H Q4 (order-priority checking, adapted): correlated EXISTS plans
+    // as a LEFT SEMI join on the order key — no lineitem row ever
+    // duplicates an order, no distinct needed.
+    "q_sql_tpch_q4" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+      s.sql(
+        """SELECT o_orderpriority, count(*) AS order_count
+          |FROM orders
+          |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+          |  AND EXISTS (SELECT 1 FROM lineitem
+          |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+          |GROUP BY o_orderpriority
+          |ORDER BY o_orderpriority""".stripMargin)
+    }),
+
     // Watermark late-data drop audit — the real three-micro-batch stream
     // (file source, maxFilesPerTrigger=1) vs a DuckDB replay of the
     // watermark CONTRACT: late rows survive iff their window was still
@@ -5567,6 +5606,29 @@ object SparkEntry {
            AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
            AND l_discount BETWEEN 0.05 AND 0.07
            AND l_quantity < 24""",
+
+    "q_sql_tpch_q10" ->
+      """SELECT c_custkey, c_name,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+                n_name
+         FROM customer JOIN orders ON c_custkey = o_custkey
+                       JOIN lineitem ON l_orderkey = o_orderkey
+                       JOIN nation ON c_nationkey = n_nationkey
+         WHERE l_returnflag = 'R'
+           AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+         GROUP BY c_custkey, c_name, n_name
+         ORDER BY revenue DESC, c_custkey LIMIT 20""",
+
+    "q_sql_tpch_q4" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+         FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+           AND EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+         GROUP BY o_orderpriority
+         ORDER BY o_orderpriority""",
 
     // Watermark contract replay, pinned to the EVICTION semantics the
     // engine actually implements (verified empirically): a late row is
