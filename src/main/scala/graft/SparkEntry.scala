@@ -1311,6 +1311,20 @@ object SparkEntry {
         .select(col("doc_id"), col("frame_idx"), length(col("frame")).as("frame_len"))
         .orderBy(col("doc_id"), col("frame_idx"))),
 
+    // Audio feature extraction: synthetic 16-bit PCM clips (closed-form
+    // integer triangle wave — SQL-replayable, no RNG/trig) flow as REAL
+    // little-endian bytes through encode → shuffle → per-partition decode,
+    // framing, and silence/energy/zero-crossing extraction. Every output
+    // is an exact integer, so the whole feature table hash-matches the
+    // oracle's closed-form replay — no tolerances, no parity booleans.
+    "q_audio_features" -> ((s, d) => {
+      val clips = Multimodal.asPcmClips(s, Tables.documents(s, d))
+      Multimodal.audioFeatures(s, clips).toDF()
+        .select(col("doc_id"), col("n_samples"), col("n_frames"),
+          col("n_silent_frames"), col("energy"), col("zero_crossings"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ------------------------------------------------------- streaming ----
     "q_events_tumbling" -> ((s, d) =>
       EventStreams.tumblingCounts(Tables.events(s, d))
@@ -4278,6 +4292,35 @@ object SparkEntry {
     "q_salted_agg" ->
       """SELECT l_returnflag, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS gross
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    // Closed-form replay of the PCM synthesis (integer triangle wave) and
+    // the frame-windowed features — exact integers end to end.
+    "q_audio_features" ->
+      """WITH d AS (SELECT doc_id, 64 + doc_id % 64 AS p, 2 + doc_id % 8 AS a,
+                           256 * (4 + doc_id % 5) AS n
+                    FROM documents),
+              s AS (SELECT doc_id, p, a, n,
+                           unnest(generate_series(0, CAST(n - 1 AS INT))) AS i
+                    FROM d),
+              smp AS (SELECT doc_id, i, i // 256 AS f,
+                             (CASE WHEN (i // 256) % 5 = 4 THEN 0 ELSE a END)
+                             * (abs((i % (2*p)) - p) * 2 - p) AS v
+                      FROM s),
+              zcs AS (SELECT doc_id, f, v,
+                             lead(v) OVER (PARTITION BY doc_id, f ORDER BY i) AS nv
+                      FROM smp),
+              perf AS (SELECT doc_id, f, max(abs(v)) AS mx,
+                              sum(CASE WHEN v * nv < 0 THEN 1 ELSE 0 END) AS zc
+                       FROM zcs GROUP BY 1, 2),
+              en AS (SELECT doc_id, CAST(sum(v * v) AS BIGINT) AS energy FROM smp GROUP BY 1),
+              fr AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames,
+                            CAST(sum(CASE WHEN mx = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_silent_frames,
+                            CAST(sum(zc) AS BIGINT) AS zero_crossings
+                     FROM perf GROUP BY 1)
+         SELECT d.doc_id, CAST(d.n AS BIGINT) AS n_samples, fr.n_frames,
+                fr.n_silent_frames, en.energy, fr.zero_crossings
+         FROM d JOIN fr USING (doc_id) JOIN en USING (doc_id)
+         ORDER BY doc_id""",
 
     "q_multimodal_meta" ->
       """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes,

@@ -323,4 +323,89 @@ object Multimodal {
       }
     }
   }
+
+  // ------------------------------------------------------------- audio ----
+
+  /** Samples per analysis frame (stands in for a codec's hop size). */
+  val AudioFrame = 256
+
+  /** Deterministic 16-bit PCM synthesis, CLOSED-FORM per sample index so a
+    * SQL oracle can replay it exactly (no RNG, no floating trig — integer
+    * triangle wave): sample(i) = amp(i) · (|((i mod 2P) − P)|·2 − P) with
+    * period parameter P = 64 + doc_id % 64, amplitude a = 2 + doc_id % 8,
+    * and every fifth frame muted (amp 0) so silence detection has real
+    * work. |sample| ≤ 9·127 < 2¹⁵. Clip length = AudioFrame ·
+    * (4 + doc_id % 5) samples — whole frames. */
+  def pcmSample(docId: Long, i: Int): Int = {
+    val p = (64 + docId % 64).toInt
+    val amp = if ((i / AudioFrame) % 5 == 4) 0 else (2 + docId % 8).toInt
+    amp * (math.abs((i % (2 * p)) - p) * 2 - p)
+  }
+
+  /** Synthesize each document's audio clip as REAL 16-bit little-endian
+    * PCM bytes — in a production pipeline this column arrives as decoded
+    * audio from the source; here the synthetic samples make the byte-level
+    * plumbing (encode, shuffle, decode) fully testable. */
+  def asPcmClips(spark: SparkSession, documents: DataFrame): Dataset[MediaRecord] = {
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { docId =>
+        val n = AudioFrame * (4 + docId % 5).toInt
+        val bytes = new Array[Byte](n * 2)
+        var i = 0
+        while (i < n) {
+          val s = pcmSample(docId, i)
+          bytes(2 * i) = (s & 0xFF).toByte
+          bytes(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+          i += 1
+        }
+        MediaRecord(docId, bytes)
+      }
+    }
+  }
+
+  final case class AudioFeatures(
+      doc_id: Long, n_samples: Long, n_frames: Long, n_silent_frames: Long,
+      energy: Long, zero_crossings: Long)
+
+  /** Windowed audio feature extraction from the PCM BYTES (real 16-bit LE
+    * decode per sample, framing, per-frame silence + cross-frame-free
+    * zero-crossing counts) — the speech-pipeline preprocessing pass
+    * (silence trimming / quality gating) run per partition. Every output
+    * is an exact integer (energy = Σ s², zero crossings = sign flips of
+    * adjacent samples WITHIN a frame, silent = all-zero frame), so the
+    * whole feature table hash-matches a closed-form SQL replay — no
+    * tolerance, no parity booleans. */
+  def audioFeatures(spark: SparkSession, clips: Dataset[MediaRecord]): Dataset[AudioFeatures] = {
+    import spark.implicits._
+    clips.mapPartitions { it =>
+      it.map { r =>
+        val n = r.payload.length / 2
+        var energy = 0L
+        var zc = 0L
+        var silent = 0L
+        var f = 0
+        while (f * AudioFrame < n) {
+          var allZero = true
+          var prev = 0
+          var j = 0
+          while (j < AudioFrame && f * AudioFrame + j < n) {
+            val i = f * AudioFrame + j
+            val lo = r.payload(2 * i) & 0xFF
+            val hi = r.payload(2 * i + 1).toInt // sign-extends the high byte
+            val s = (hi << 8) | lo
+            energy += s.toLong * s
+            if (s != 0) allZero = false
+            if (j > 0 && prev * s < 0) zc += 1
+            prev = s
+            j += 1
+          }
+          if (allZero) silent += 1
+          f += 1
+        }
+        AudioFeatures(r.doc_id, n.toLong, ((n + AudioFrame - 1) / AudioFrame).toLong,
+          silent, energy, zc)
+      }
+    }
+  }
 }

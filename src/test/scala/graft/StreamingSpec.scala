@@ -152,6 +152,28 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(meta.width == 64 + 2 % 512 && meta.height == 64 + (2 / 7) % 512)
   }
 
+  test("audio PCM round-trip: features from decoded bytes match the closed form") {
+    import graft.multimodal.Multimodal
+    val docId = 3L // p = 67, a = 5, 7 frames of 256
+    val clips = Multimodal.asPcmClips(spark, Seq((docId, "x")).toDF("doc_id", "text"))
+    val feat = Multimodal.audioFeatures(spark, clips).head()
+    val n = 256 * (4 + docId % 5).toInt
+    assert(feat.n_samples == n && feat.n_frames == n / 256)
+    // every fifth frame is muted by construction: frame 4 of 0..6
+    assert(feat.n_silent_frames == 1)
+    // closed-form twin computed directly (no byte round-trip)
+    val samples = Array.tabulate(n)(i => Multimodal.pcmSample(docId, i))
+    val energyWant = samples.map(s => s.toLong * s).sum
+    val zcWant = (0 until n - 1).count(i =>
+      (i + 1) % 256 != 0 && samples(i) * samples(i + 1) < 0)
+    assert(feat.energy == energyWant, s"energy ${feat.energy} != $energyWant")
+    assert(feat.zero_crossings == zcWant)
+    // the bytes really are 16-bit little-endian PCM: decode sample 7 by hand
+    val payload = clips.head().payload
+    val s7 = ((payload(15).toInt << 8) | (payload(14) & 0xFF))
+    assert(s7 == Multimodal.pcmSample(docId, 7))
+  }
+
   test("real image decode: PNG geometry round-trips and feeds true pixels") {
     import graft.multimodal.Multimodal
     val png = Multimodal.syntheticPng(42L, 40, 30)
