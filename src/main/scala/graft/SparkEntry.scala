@@ -1114,6 +1114,11 @@ object SparkEntry {
         .orderBy(col("n").desc, col("bigram"))
         .limit(20)),
 
+    // Per-source distinct-n diversity (type-token + distinct-2/3 ratios) —
+    // the boilerplate/template-collapse diagnostic run before mixing.
+    "q_ngram_diversity" -> ((s, d) =>
+      TextAnalysis.ngramDiversity(Tables.documents(s, d))),
+
     // The composed curation pipeline (lang gate → quality gate → content
     // dedup → stats) as one query — operator composition, not a new op.
     "q_corpus_curate" -> ((s, d) => TextAnalysis.curateCorpus(Tables.documents(s, d))),
@@ -4155,6 +4160,24 @@ object SparkEntry {
                     FROM t)
          SELECT bigram, count(*) AS n FROM b GROUP BY 1
          ORDER BY n DESC, bigram LIMIT 20""",
+
+    "q_ngram_diversity" ->
+      """WITH t AS (SELECT source, string_split(text, ' ') AS l FROM documents),
+              g1 AS (SELECT source, CAST(count(*) AS BIGINT) AS tot, CAST(count(DISTINCT g) AS BIGINT) AS dis
+                     FROM (SELECT source, unnest(l) AS g FROM t) GROUP BY source),
+              g2 AS (SELECT source, count(*) AS tot, count(DISTINCT g) AS dis
+                     FROM (SELECT source, unnest(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])) AS g
+                           FROM t WHERE len(l) >= 2) GROUP BY source),
+              g3 AS (SELECT source, count(*) AS tot, count(DISTINCT g) AS dis
+                     FROM (SELECT source, unnest(list_transform(range(1, len(l) - 1), i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS g
+                           FROM t WHERE len(l) >= 3) GROUP BY source)
+         SELECT g1.source, g1.tot AS n_tokens, g1.dis AS n_types,
+                round(CAST(g1.dis AS DOUBLE) / g1.tot, 6) AS ttr,
+                round(CAST(g2.dis AS DOUBLE) / g2.tot, 6) AS distinct_2_ratio,
+                round(CAST(g3.dis AS DOUBLE) / g3.tot, 6) AS distinct_3_ratio
+         FROM g1 LEFT JOIN g2 ON g1.source = g2.source
+                 LEFT JOIN g3 ON g1.source = g3.source
+         ORDER BY g1.source""",
 
     "q_doc_quality" ->
       s"""SELECT doc_id, CAST(length(text) AS INT) AS n_chars_calc,

@@ -160,6 +160,35 @@ object TextAnalysis {
     * integer counts, one fixed log chain per bigram, per-document SORTED
     * float fold; bigram/unigram model tables are term-keyed shuffle
     * joins, never broadcast. */
+  /** Per-source n-gram diversity — type-token ratio and distinct-2/3
+    * ratios (the distinct-n diagnostic): the standard corpus-diversity
+    * check a data pipeline runs per source before mixing (template-spam
+    * and boilerplate collapse distinct-n long before they trip length or
+    * stopword filters; rich prose keeps distinct-2/3 near 1).
+    *
+    * Scale shape: one (source, gram)-keyed aggregate per n — the same
+    * term-keyed shuffle family as TF-IDF/PMI; nothing is collected, and
+    * each n's pass prunes to documents long enough to carry an n-gram.
+    * Ratios are one double division rounded to 6 dp — bit-portable. */
+  def ngramDiversity(documents: DataFrame): DataFrame = {
+    def grams(n: Int) = documents
+      .filter(size(tokens(col("text"))) >= n)
+      .select(col("source"), explode(wordShingles(tokens(col("text")), n)).as("g"))
+      .groupBy(col("source")).agg(
+        count(lit(1)).as(s"__tot_$n"),
+        countDistinct(col("g")).as(s"__dis_$n"))
+    grams(1)
+      .join(grams(2), Seq("source"), "left")
+      .join(grams(3), Seq("source"), "left")
+      .select(col("source"),
+        col("__tot_1").as("n_tokens"),
+        col("__dis_1").as("n_types"),
+        round(col("__dis_1").cast(DoubleType) / col("__tot_1"), 6).as("ttr"),
+        round(col("__dis_2").cast(DoubleType) / col("__tot_2"), 6).as("distinct_2_ratio"),
+        round(col("__dis_3").cast(DoubleType) / col("__tot_3"), 6).as("distinct_3_ratio"))
+      .orderBy(col("source"))
+  }
+
   def bigramLogProb(documents: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
     val base = documents

@@ -276,6 +276,27 @@ class FunctionsSpec extends AnyFunSuite with SparkSpec {
     assert(got(10L) > got(11L))
   }
 
+  test("ngramDiversity: template spam collapses distinct-n, varied prose keeps it high") {
+    val docs = Seq(
+      (1L, "spam", "buy now buy now buy now"), // 6 tokens, 2 types
+      (2L, "spam", "buy now buy now"),
+      (3L, "rich", "the quick brown fox jumps over"), // all distinct
+      (4L, "rich", "a lazy dog sleeps all day"))
+      .toDF("doc_id", "source", "text")
+    val got = TextAnalysis.ngramDiversity(docs).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    // spam: 10 tokens, 2 types; bigrams 5+3=8 total, 2 distinct
+    // ("buy now", "now buy" — pooled per source across docs)
+    assert(got("spam").getAs[Long]("n_tokens") == 10L)
+    assert(got("spam").getAs[Long]("n_types") == 2L)
+    assert(got("spam").getAs[Double]("ttr") == 0.2)
+    assert(got("spam").getAs[Double]("distinct_2_ratio") == 0.25) // 2 distinct / 8
+    // rich: every token and every n-gram unique → all ratios exactly 1
+    assert(got("rich").getAs[Double]("ttr") == 1.0)
+    assert(got("rich").getAs[Double]("distinct_2_ratio") == 1.0)
+    assert(got("rich").getAs[Double]("distinct_3_ratio") == 1.0)
+  }
+
   test("invertedIndex: df counts distinct docs, postings capped ascending") {
     val docs = Seq(
       (3L, "x y x"), (1L, "x z"), (2L, "x"), (4L, "x"), (5L, "x"), (6L, "x"), (7L, "x"))
