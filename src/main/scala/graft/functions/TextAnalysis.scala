@@ -150,16 +150,6 @@ object TextAnalysis {
       .limit(topK)
   }
 
-  /** Per-document average bigram conditional log-probability
-    * ln p(w₂|w₁) = ln((c(w₁w₂)+1)/(c(w₁)+V)) under an add-one-smoothed
-    * corpus bigram model — the sequence-aware upgrade of
-    * [[unigramLogProb]]'s CCNet-style quality signal (gibberish with
-    * plausible unigrams still scores low: its TRANSITIONS are rare).
-    *
-    * Same discipline as the unigram scorer and `dsirWeights`: exact
-    * integer counts, one fixed log chain per bigram, per-document SORTED
-    * float fold; bigram/unigram model tables are term-keyed shuffle
-    * joins, never broadcast. */
   /** Per-source n-gram diversity — type-token ratio and distinct-2/3
     * ratios (the distinct-n diagnostic): the standard corpus-diversity
     * check a data pipeline runs per source before mixing (template-spam
@@ -189,6 +179,16 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  /** Per-document average bigram conditional log-probability
+    * ln p(w₂|w₁) = ln((c(w₁w₂)+1)/(c(w₁)+V)) under an add-one-smoothed
+    * corpus bigram model — the sequence-aware upgrade of
+    * [[unigramLogProb]]'s CCNet-style quality signal (gibberish with
+    * plausible unigrams still scores low: its TRANSITIONS are rare).
+    *
+    * Same discipline as the unigram scorer and `dsirWeights`: exact
+    * integer counts, one fixed log chain per bigram, per-document SORTED
+    * float fold; bigram/unigram model tables are term-keyed shuffle
+    * joins, never broadcast. */
   def bigramLogProb(documents: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
     val base = documents
