@@ -274,6 +274,26 @@ class PropertiesSpec extends AnyFunSuite with SparkSpec {
     val edges = Robust.quantileEdges(df, $"v", 10)
     val want = (1 until 10).map(i => at(pooled, rank(pooled.size.toLong, i * 10)))
     assert(edges == want)
+
+    // PSI between groups A (reference) and B: replay edges → bins →
+    // smoothed fold driver-side in the same ascending-bin double order
+    val refV = byG("A").map(_._1.doubleValue).sorted.toVector
+    val curV = byG("B").map(_._1.doubleValue)
+    val es = (1 until 10).map(i => at(refV, rank(refV.size.toLong, i * 10)))
+    def binOf(v: Double) = es.count(v > _)
+    val cr = refV.groupBy(binOf).map { case (b, xs) => b -> xs.size.toLong }
+    val cc = curV.groupBy(binOf).map { case (b, xs) => b -> xs.size.toLong }
+    val (nR, nC) = (refV.size.toDouble, curV.size.toDouble)
+    val psiWant = (0 until 10).foldLeft(0.0) { (acc, b) =>
+      val p = (cr.getOrElse(b, 0L) + 0.5) / (nR + 0.5 * 10)
+      val q = (cc.getOrElse(b, 0L) + 0.5) / (nC + 0.5 * 10)
+      acc + (p - q) * math.log(p / q)
+    }
+    val psiGot = Robust.psiDrift(df, $"v", $"g", "A", "B").head()
+    assert(psiGot.getAs[Long]("n_ref") == refV.size && psiGot.getAs[Long]("n_cur") == curV.size)
+    assert(math.abs(psiGot.getAs[Double]("psi") - psiWant) < 5.01e-7) // round(·, 6)
+    // a missing reference profile yields an EMPTY result, never psi = 0
+    assert(Robust.psiDrift(df, $"v", $"g", "NOPE", "B").count() == 0L)
   }
 
   test("Robust.mannWhitneyU/ksStatistic match a pure-Scala oracle on random data") {
