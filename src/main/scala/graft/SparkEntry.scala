@@ -2919,6 +2919,196 @@ object SparkEntry {
           |ORDER BY o_orderpriority""".stripMargin)
     }),
 
+    // TPC-H Q7 (volume shipping between two nations, adapted): the
+    // self-joined nation dim appears TWICE (supplier side and customer
+    // side) — both broadcast — with the bidirectional pair filter pushed
+    // below the aggregation; per-(direction, ship-year) exact-decimal
+    // revenue.
+    "q_sql_tpch_q7" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("customer")
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+      Tables.supplier(s, d).createOrReplaceTempView("supplier")
+      Tables.nation(s, d).createOrReplaceTempView("nation")
+      s.sql(
+        """SELECT supp_nation, cust_nation, l_year,
+          |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+          |FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+          |             CAST(year(l_shipdate) AS BIGINT) AS l_year,
+          |             l_extendedprice, l_discount
+          |      FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+          |                    JOIN orders ON o_orderkey = l_orderkey
+          |                    JOIN customer ON c_custkey = o_custkey
+          |                    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+          |                    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+          |      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          |          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+          |        AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          |        AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00') shipping
+          |GROUP BY supp_nation, cust_nation, l_year
+          |ORDER BY supp_nation, cust_nation, l_year""".stripMargin)
+    }),
+
+    // TPC-H Q8 (national market share, adapted): the deepest join tree in
+    // the suite — 8 relations, nation twice — planned as one lineitem
+    // scan with every dim broadcast; the share is conditional-sum /
+    // total-sum, both exact decimal, divided once in double.
+    "q_sql_tpch_q8" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("customer")
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+      Tables.supplier(s, d).createOrReplaceTempView("supplier")
+      Tables.nation(s, d).createOrReplaceTempView("nation")
+      Tables.region(s, d).createOrReplaceTempView("region")
+      Tables.part(s, d).createOrReplaceTempView("part")
+      s.sql(
+        """SELECT o_year,
+          |       CAST(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+          |         / CAST(sum(volume) AS DOUBLE) AS mkt_share
+          |FROM (SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+          |             CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2)) AS volume,
+          |             n2.n_name AS nation
+          |      FROM part JOIN lineitem ON p_partkey = l_partkey
+          |                JOIN supplier ON s_suppkey = l_suppkey
+          |                JOIN orders ON l_orderkey = o_orderkey
+          |                JOIN customer ON o_custkey = c_custkey
+          |                JOIN nation n1 ON c_nationkey = n1.n_nationkey
+          |                JOIN region ON n1.n_regionkey = r_regionkey
+          |                JOIN nation n2 ON s_nationkey = n2.n_nationkey
+          |      WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+          |        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          |        AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00') all_nations
+          |GROUP BY o_year ORDER BY o_year""".stripMargin)
+    }),
+
+    // TPC-H Q13 (customer order-count distribution, adapted: the comment
+    // LIKE filter becomes a priority exclusion): LEFT OUTER with the
+    // filter INSIDE the join condition — unmatched customers keep
+    // c_count = 0 — then a second aggregation over the first's output.
+    "q_sql_tpch_q13" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("customer")
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      s.sql(
+        """SELECT c_count, count(*) AS custdist
+          |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+          |      FROM customer LEFT OUTER JOIN orders
+          |        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+          |      GROUP BY c_custkey) c_orders
+          |GROUP BY c_count
+          |ORDER BY custdist DESC, c_count DESC""".stripMargin)
+    }),
+
+    // TPC-H Q14 (promotion effect): conditional aggregation over the
+    // lineitem ⋈ part (broadcast) join — both sums exact decimal, the
+    // percentage computed once in double so DuckDB replays it bit-exactly.
+    "q_sql_tpch_q14" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+      Tables.part(s, d).createOrReplaceTempView("part")
+      s.sql(
+        """SELECT 100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+          |                THEN CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2))
+          |                ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+          |         / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS promo_revenue
+          |FROM lineitem JOIN part ON l_partkey = p_partkey
+          |WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+          |  AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'""".stripMargin)
+    }),
+
+    // TPC-H Q15 (top supplier): the revenue CTE is computed once and the
+    // max-revenue scalar subquery reuses it (ReuseExchange / subquery
+    // broadcast); equality on the exact-decimal-then-double revenue is
+    // bit-portable.
+    "q_sql_tpch_q15" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+      Tables.supplier(s, d).createOrReplaceTempView("supplier")
+      s.sql(
+        """WITH revenue AS (
+          |  SELECT l_suppkey AS supplier_no,
+          |         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue
+          |  FROM lineitem
+          |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+          |  GROUP BY l_suppkey)
+          |SELECT s_suppkey, s_name, total_revenue
+          |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+          |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+          |ORDER BY s_suppkey""".stripMargin)
+    }),
+
+    // TPC-H Q17 (small-quantity-order revenue, container filter adapted
+    // to p_size): the correlated scalar average decorrelates into a
+    // per-partkey aggregate joined back to the filtered fact — l_quantity
+    // is integral-valued so the per-part average is exact in double and
+    // the 0.2× threshold compare is bit-portable.
+    "q_sql_tpch_q17" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+      Tables.part(s, d).createOrReplaceTempView("part")
+      s.sql(
+        """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
+          |FROM lineitem JOIN part ON p_partkey = l_partkey
+          |WHERE p_brand = 'Brand#23' AND p_size < 15
+          |  AND l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+          |                    WHERE l2.l_partkey = lineitem.l_partkey)""".stripMargin)
+    }),
+
+    // TPC-H Q18 (large-volume orders): the HAVING subquery plans as an
+    // aggregate + LEFT SEMI join on the order key before the 3-way join
+    // re-derives per-order quantity for the report; top-20 via
+    // TakeOrderedAndProject.
+    "q_sql_tpch_q18" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("customer")
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+      s.sql(
+        """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+          |       sum(l_quantity) AS total_qty
+          |FROM customer JOIN orders ON c_custkey = o_custkey
+          |              JOIN lineitem ON o_orderkey = l_orderkey
+          |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+          |                     GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
+          |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+          |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin)
+    }),
+
+    // TPC-H Q19 (discounted revenue, container terms adapted to p_size):
+    // three disjunctive brand×size×quantity envelopes — the OR of
+    // conjunctions survives as ONE join filter (no union rewrite), with
+    // the common p_partkey = l_partkey equi-key still hash-joinable.
+    "q_sql_tpch_q19" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+      Tables.part(s, d).createOrReplaceTempView("part")
+      s.sql(
+        """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+          |       count(*) AS n_lines
+          |FROM lineitem JOIN part ON p_partkey = l_partkey
+          |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
+          |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+          |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin)
+    }),
+
+    // TPC-H Q22 (global sales opportunity, adapted: phone country code →
+    // nationkey mod 5; "never ordered" → no orders since 2000 because
+    // every synthetic customer has SOME order): anti join against the
+    // date-pruned orders scan + a non-correlated scalar threshold. The
+    // positive-balance average is computed over exact integer CENTS
+    // (round → bigint sum → one double division) so the threshold — and
+    // therefore the marginal-customer cut — is bit-identical in DuckDB;
+    // a raw avg(double) would be summation-order-dependent at the ulp.
+    "q_sql_tpch_q22" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("customer")
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      s.sql(
+        """SELECT cntrycode, count(*) AS numcust,
+          |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+          |FROM (SELECT CAST(c_nationkey % 5 AS BIGINT) AS cntrycode, c_acctbal, c_custkey
+          |      FROM customer
+          |      WHERE c_acctbal > (SELECT sum(CAST(round(c_acctbal*100) AS BIGINT))*1.0/(100*count(*))
+          |                         FROM customer WHERE c_acctbal > 0.00)) c
+          |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+          |                  AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+          |GROUP BY cntrycode ORDER BY cntrycode""".stripMargin)
+    }),
+
     // Watermark late-data drop audit — the real three-micro-batch stream
     // (file source, maxFilesPerTrigger=1) vs a DuckDB replay of the
     // watermark CONTRACT: late rows survive iff their window was still
@@ -5695,6 +5885,110 @@ object SparkEntry {
                        WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
          GROUP BY o_orderpriority
          ORDER BY o_orderpriority""",
+
+    "q_sql_tpch_q7" ->
+      """SELECT supp_nation, cust_nation, l_year,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+         FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                      CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                      l_extendedprice, l_discount
+               FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+                             JOIN orders ON o_orderkey = l_orderkey
+                             JOIN customer ON c_custkey = o_custkey
+                             JOIN nation n1 ON s_nationkey = n1.n_nationkey
+                             JOIN nation n2 ON c_nationkey = n2.n_nationkey
+               WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+                 AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                 AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00') shipping
+         GROUP BY supp_nation, cust_nation, l_year
+         ORDER BY supp_nation, cust_nation, l_year""",
+
+    "q_sql_tpch_q8" ->
+      """SELECT o_year,
+                CAST(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                  / CAST(sum(volume) AS DOUBLE) AS mkt_share
+         FROM (SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                      CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2)) AS volume,
+                      n2.n_name AS nation
+               FROM part JOIN lineitem ON p_partkey = l_partkey
+                         JOIN supplier ON s_suppkey = l_suppkey
+                         JOIN orders ON l_orderkey = o_orderkey
+                         JOIN customer ON o_custkey = c_custkey
+                         JOIN nation n1 ON c_nationkey = n1.n_nationkey
+                         JOIN region ON n1.n_regionkey = r_regionkey
+                         JOIN nation n2 ON s_nationkey = n2.n_nationkey
+               WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+                 AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+                 AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00') all_nations
+         GROUP BY o_year ORDER BY o_year""",
+
+    "q_sql_tpch_q13" ->
+      """SELECT c_count, count(*) AS custdist
+         FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+               FROM customer LEFT OUTER JOIN orders
+                 ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+               GROUP BY c_custkey) c_orders
+         GROUP BY c_count
+         ORDER BY custdist DESC, c_count DESC""",
+
+    "q_sql_tpch_q14" ->
+      """SELECT 100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                         THEN CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2))
+                         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                  / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS promo_revenue
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+           AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'""",
+
+    "q_sql_tpch_q15" ->
+      """WITH revenue AS (
+           SELECT l_suppkey AS supplier_no,
+                  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+             AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+           GROUP BY l_suppkey)
+         SELECT s_suppkey, s_name, total_revenue
+         FROM supplier JOIN revenue ON s_suppkey = supplier_no
+         WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+         ORDER BY s_suppkey""",
+
+    "q_sql_tpch_q17" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
+         FROM lineitem JOIN part ON p_partkey = l_partkey
+         WHERE p_brand = 'Brand#23' AND p_size < 15
+           AND l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+                             WHERE l2.l_partkey = lineitem.l_partkey)""",
+
+    "q_sql_tpch_q18" ->
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+                sum(l_quantity) AS total_qty
+         FROM customer JOIN orders ON c_custkey = o_custkey
+                       JOIN lineitem ON o_orderkey = l_orderkey
+         WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                              GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
+         GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""",
+
+    "q_sql_tpch_q19" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+                count(*) AS n_lines
+         FROM lineitem JOIN part ON p_partkey = l_partkey
+         WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
+            OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+            OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""",
+
+    "q_sql_tpch_q22" ->
+      """SELECT cntrycode, count(*) AS numcust,
+                CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+         FROM (SELECT CAST(c_nationkey % 5 AS BIGINT) AS cntrycode, c_acctbal, c_custkey
+               FROM customer
+               WHERE c_acctbal > (SELECT sum(CAST(round(c_acctbal*100) AS BIGINT))*1.0/(100*count(*))
+                                  FROM customer WHERE c_acctbal > 0.00)) c
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                           AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+         GROUP BY cntrycode ORDER BY cntrycode""",
 
     // Watermark contract replay, pinned to the EVICTION semantics the
     // engine actually implements (verified empirically): a late row is

@@ -705,4 +705,23 @@ class ScaleSpec extends AnyFunSuite with SparkSpec {
     assert(meanYExtent(lb) > 0.95, f"x-sorted layout should span y fully: ${meanYExtent(lb)}%.3f")
     assert(meanYExtent(zb) < 0.55, f"z-order y extent should be fractional: ${meanYExtent(zb)}%.3f")
   }
+
+  test("TPC-H Q18: HAVING-IN subquery plans as a semi join; top-20 as TakeOrdered") {
+    val p = plan(SparkEntry.queries("q_sql_tpch_q18")(spark, sf))
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("TPC-H Q8: the 8-relation star broadcasts its dims, no nested loop") {
+    val p = plan(SparkEntry.queries("q_sql_tpch_q8")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("TPC-H Q17: the correlated scalar avg decorrelates to an aggregate + equi-join") {
+    val p = plan(SparkEntry.queries("q_sql_tpch_q17")(spark, sf))
+    // the per-partkey average must join back on l_partkey, never loop
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("avg("), p)
+  }
 }
