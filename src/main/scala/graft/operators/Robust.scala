@@ -184,63 +184,177 @@ object Robust {
     * `wins_mean` is the mean with values clamped to `[p05, p95]` —
     * computed in exact decimal, surfaced as a 6-dp double. Null values
     * are ignored throughout (quantiles, MAD and wins_mean all run over
-    * the non-null domain; `n` counts non-null rows). */
+    * the non-null domain; `n` counts only non-null rows).
+    *
+    * Job shape — ONE full scan + two slice scans. Rows bucket on the
+    * fixed order-preserving bit grid ([[graft.functions.BitGrid]]), so
+    * the per-(group, bucket) summary — counts, exact-decimal value sums,
+    * and ACTUAL per-bucket `[vmin, vmax]` — is the first and only pass
+    * over the data (a `(v − lo)/width` histogram would need a bounds
+    * pass first). Everything else derives from that tiny summary by
+    * broadcast arithmetic:
+    *   - cut targets (p05/med/p95 rank brackets) — summary windows;
+    *   - the MAD bracket — the value histogram FOLDED around the median
+    *     analytically: per bucket, the deviation extremes are exactly
+    *     `dmin/dmax = dist(med, [vmin, vmax])` (|·−m| attains its
+    *     extremes at interval endpoints, and these are true data
+    *     extremes, so no conservative float margins are needed), and
+    *     rank bounds over those brackets pick the deviation-median's
+    *     bucket annulus without EVER scanning deviations — the round-6
+    *     MAD summary pass over the whole table is gone;
+    *   - the winsorized sum — decimal addition is associative-exact, so
+    *     `Σ dec2(clamp(v))` decomposes into bucket-level decimal sums
+    *     (from the summary) plus per-boundary-bucket corrections that
+    *     ride the cut slice: `n_below·dec2(p05) + n_above·dec2(p95) +
+    *     S_mid` is bit-identical to the row-by-row DuckDB replay.
+    * Slice scans then fetch only the target buckets' rows (cut slice)
+    * and the MAD annulus (deviation slice). At 100 TB that is one full
+    * pass + two bounded probes, vs the previous three full passes. */
   def robustStats(df: DataFrame, groupCol: String, value: Column): DataFrame = {
-    // Raw rows with unit weight (w=1) feed the distributed
-    // histogram-selection in [[valuesAtRanks]] — rank selection is
-    // tie-invariant (min at the crossing), so per-value pre-aggregation
-    // is optional and skipped: at 100 TB a mostly-continuous value column
-    // gains nothing from a distinct pass, and the slice passes below only
-    // shuffle target-bucket slices anyway. The former group-partitioned
-    // rank windows capped parallelism at |groups| (3 return flags = 3
-    // tasks whatever the cluster size), the small-group-domain twin of
-    // the single-task global window.
-    //
-    // `base` is the root of FOUR consumer passes (cut summary + slice;
-    // MAD summary + slice via `joined`, the winsorized sum riding the MAD
-    // summary) — materialized once (lazy localCheckpoint, the repo
-    // convention for multi-consumer subtrees, cf. Ranking.rowNumber) so
-    // the source scan and the project/cast run once, not four times.
+    import graft.functions.BitGrid.bitBucket
+    // `base` is the root of all three passes (summary, cut slice, MAD
+    // slice) — materialized once (lazy localCheckpoint, the repo
+    // convention for multi-consumer subtrees, cf. Ranking.rowNumber; the
+    // no-checkpoint rescan variant measured ~15% slower here, unlike
+    // weightedMedian's two-consumer case). The bucket id rides every
+    // row: a pure function of the value bits, identical on every
+    // recomputation, so the slice joins key on it safely.
     val base = df
       .select(col(groupCol).as("__g"), value.cast(DoubleType).as("v"))
       .filter(col("v").isNotNull)
-      .withColumn("w", lit(1L))
-      .localCheckpoint(false)
-    // |groups|-row cut table, materialized: the MAD consumers below would
-    // otherwise each re-run the whole selection. `emitBounds` re-emits the
-    // per-group (lo, hi) the selection computed anyway — no separate
-    // bounds pass, and combined with the median it brackets the
-    // deviations so the MAD selection needs no min/max pass either.
-    val cuts = valuesAtRanks(base, Seq(5, 50, 95), emitBounds = true)
-      .select(col("__g"), col("n").as("__n"),
-        col("q_5").as("__p05"), col("q_50").as("__med"), col("q_95").as("__p95"),
-        col("__lo"), col("__hi"))
+      .withColumn("__bkt", bitBucket(col("v")))
       .localCheckpoint(false)
 
-    // Two consumers (MAD selection's summary + slice passes) each
-    // re-derive this broadcast join from the checkpointed `base` — a
-    // map-side recompute, measurably cheaper than materializing the
-    // joined rows a second time.
-    val joined = base.join(broadcast(cuts), "__g")
+    // ---- the ONE full scan: per-(group, bit-bucket) summary ------------
+    // Only OCCUPIED buckets materialize (groupBy), so the summary is
+    // ≤ min(distinct values, grid cells)·|groups| rows — a value-domain
+    // table, never row-sized. Checkpointed: cut targets and the MAD
+    // bracket are both derived from it.
+    val summary = base.groupBy(col("__g"), col("__bkt"))
+      .agg(count(lit(1)).as("__c"), sum(dec2(col("v"))).as("__s"),
+        min(col("v")).as("__vmin"), max(col("v")).as("__vmax"))
+      .localCheckpoint(false)
 
-    // MAD: the same selection over the absolute deviations picks the
-    // deviation value at rank ⌈n/2⌉; the deviations are bracketed by
-    // [0, max(hi − med, med − lo)] analytically — no data pass. The
-    // winsorized sum rides the SAME selection as an extraSums column
-    // (clamped to [p05, p95] in exact decimal): its per-group total
-    // aggregates inside the MAD summary pass, so the former standalone
-    // wins scan + exchange are gone.
-    val devBounds = cuts
-      .select(col("__g"), lit(0.0).as("__lo"),
-        greatest(col("__hi") - col("__med"), col("__med") - col("__lo")).as("__hi"))
-    val mad = valuesAtRanks(
-        joined.select(col("__g"), abs(col("v") - col("__med")).as("v"), col("w"),
-          dec2(least(greatest(col("v"), col("__p05")), col("__p95"))).as("__wsum")),
-        Seq(50), boundsHint = Some(devBounds), extraSums = Seq("__wsum"))
-      .select(col("__g"), col("q_50").as("__mad_raw"),
-        col("__wsum"), col("n").as("__cnt"))
+    // ---- cut targets: rank brackets over the summary (no data pass) ----
+    // Bucket-id order IS value order (bit grid), so running counts over
+    // __bkt are value-CDF prefix sums; running DECIMAL sums ride for the
+    // winsorized decomposition below. Each target rank lands in the one
+    // bucket whose (off, off+c] bracket holds it.
+    val wOff = Window.partitionBy(col("__g")).orderBy(col("__bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy(col("__g"))
+    val pcts = Seq(5, 50, 95)
+    val dec0 = dec2(lit(0.0))
+    val cutTargets = summary
+      .withColumn("__off", coalesce(sum(col("__c")).over(wOff), lit(0L)))
+      .withColumn("__offs", coalesce(sum(col("__s")).over(wOff), dec0))
+      .withColumn("__tot", sum(col("__c")).over(wAll))
+      .withColumn("__tots", sum(col("__s")).over(wAll))
+      .select(col("__g"), col("__bkt"), col("__off"), col("__offs"),
+        col("__c").as("__pt"), col("__s").as("__pts"),
+        col("__tot"), col("__tots"),
+        explode(array(pcts.map(lit): _*)).as("__p"))
+      .withColumn("__r", expr("(__p * __tot + 99) div 100"))
+      .filter(col("__off") < col("__r") && col("__r") <= col("__off") + col("__pt"))
+      .select(col("__g"), col("__bkt"), col("__p"),
+        (col("__r") - col("__off")).as("__resid"),
+        col("__off"), col("__offs"), col("__pt"), col("__pts"),
+        col("__tot"), col("__tots"))
 
-    cuts.join(mad, "__g")
+    // ---- slice scan 1: pick the cuts + boundary-bucket corrections -----
+    // Only target-bucket rows survive the broadcast join (≤ |pcts| copies
+    // each). A second window over the SAME (g, p) sort attaches the pick
+    // to every slice row, so the partial-bucket corrections — rows of the
+    // p05 bucket strictly below the pick, rows of the p95 bucket strictly
+    // above it — aggregate in the same job with no circularity. Rows at
+    // exactly the cut contribute dec2(cut) on either side of the clamp,
+    // so their classification cannot matter.
+    val wSlice = Window.partitionBy(col("__g"), col("__p")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPick = Window.partitionBy(col("__g"), col("__p"))
+    val sl = base.join(broadcast(cutTargets), Seq("__g", "__bkt"))
+      .withColumn("__cum", sum(lit(1L)).over(wSlice))
+      .withColumn("__pick", min(when(col("__cum") >= col("__resid"), col("v"))).over(wPick))
+    val cuts = sl.groupBy(col("__g")).agg(
+      max(col("__tot")).as("__n"),
+      max(when(col("__p") === 5, col("__pick"))).as("__p05"),
+      max(when(col("__p") === 50, col("__pick"))).as("__med"),
+      max(when(col("__p") === 95, col("__pick"))).as("__p95"),
+      sum(when(col("__p") === 5 && col("v") < col("__pick"), 1L).otherwise(0L)).as("__b5c"),
+      sum(when(col("__p") === 5 && col("v") < col("__pick"), dec2(col("v"))).otherwise(dec0)).as("__b5s"),
+      sum(when(col("__p") === 95 && col("v") > col("__pick"), 1L).otherwise(0L)).as("__a95c"),
+      sum(when(col("__p") === 95 && col("v") > col("__pick"), dec2(col("v"))).otherwise(dec0)).as("__a95s"),
+      max(when(col("__p") === 5, col("__off"))).as("__off5"),
+      max(when(col("__p") === 5, col("__offs"))).as("__offs5"),
+      max(when(col("__p") === 95, col("__off"))).as("__off95"),
+      max(when(col("__p") === 95, col("__offs"))).as("__offs95"),
+      max(when(col("__p") === 95, col("__pt"))).as("__pt95"),
+      max(when(col("__p") === 95, col("__pts"))).as("__pts95"),
+      max(col("__tots")).as("__tots"))
+      .localCheckpoint(false)
+
+    // ---- MAD bracket: fold the histogram around the median -------------
+    // Per bucket the deviation of every row lies in [dmin, dmax] EXACTLY
+    // (true data extremes). Two rank bounds over those brackets:
+    //   cub(k) = Σ{c_j : dmin_j ≤ dmax_k} ≥ count(dev ≤ dmax_k)  (upper)
+    //   clb(k) = Σ{c_j : dmax_j ≤ dmax_k} ≤ count(dev ≤ dmax_k)  (lower)
+    // E = {k : cub(k) < T} — every E row's deviation is strictly below
+    // the deviation-median d* (count(dev ≤ max dmax over E) < T), so the
+    // T-th smallest deviation overall is the (T − |E|)-th smallest among
+    // the rest; __dhi = min dmax with clb ≥ T bounds d* from above. The
+    // slice is the non-E buckets reaching below __dhi — an annulus of a
+    // few boundary buckets. Computed with the union trick (tag dmin rows
+    // 0, dmax probes 1; one (g)-keyed sort over ≤ 2·|summary| rows):
+    // at a probe, the preceding type-0 running sum is exactly cub (all
+    // equal-distance dmin rows sort before it), and min-extraction makes
+    // the equal-dmax tie order irrelevant for clb.
+    val med = cuts.select(col("__g"), col("__med"),
+      expr("(50 * __n + 99) div 100").as("__tgt"))
+    val sm = summary.join(broadcast(med), "__g")
+      .withColumn("__dmax",
+        greatest(abs(col("__vmin") - col("__med")), abs(col("__vmax") - col("__med"))))
+      .withColumn("__dmin",
+        when(col("__med") >= col("__vmin") && col("__med") <= col("__vmax"), lit(0.0))
+          .otherwise(least(abs(col("__vmin") - col("__med")), abs(col("__vmax") - col("__med")))))
+    val probes = sm.select(col("__g"), col("__tgt"), col("__med"), col("__bkt"),
+      col("__c"), col("__dmin"), col("__dmax").as("__d"), lit(1).as("__t"))
+    val lows = sm.select(col("__g"), col("__tgt"), col("__med"), lit(-1L).as("__bkt"),
+      col("__c"), lit(0.0).as("__dmin"), col("__dmin").as("__d"), lit(0).as("__t"))
+    val wCum = Window.partitionBy(col("__g")).orderBy(col("__d"), col("__t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val madTargets = probes.unionByName(lows)
+      .withColumn("__cub", sum(when(col("__t") === 0, col("__c")).otherwise(0L)).over(wCum))
+      .withColumn("__clb", sum(when(col("__t") === 1, col("__c")).otherwise(0L)).over(wCum))
+      .filter(col("__t") === 1)
+      .withColumn("__isE", col("__cub") < col("__tgt"))
+      .withColumn("__dhi", min(when(col("__clb") >= col("__tgt"), col("__d"))).over(wAll))
+      .withColumn("__ecnt", coalesce(
+        sum(when(col("__isE"), col("__c"))).over(wAll), lit(0L)))
+      .filter(!col("__isE") && col("__dmin") <= col("__dhi"))
+      .select(col("__g"), col("__bkt"), col("__med"), col("__dhi"),
+        (col("__tgt") - col("__ecnt")).as("__resid"))
+
+    // ---- slice scan 2: exact deviation median over the annulus ---------
+    val wDev = Window.partitionBy(col("__g")).orderBy(col("__dev"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val mad = base.join(broadcast(madTargets), Seq("__g", "__bkt"))
+      .withColumn("__dev", abs(col("v") - col("__med")))
+      .filter(col("__dev") <= col("__dhi"))
+      .withColumn("__cum", sum(lit(1L)).over(wDev))
+      .groupBy(col("__g"))
+      .agg(min(when(col("__cum") >= col("__resid"), col("__dev"))).as("__mad_raw"))
+
+    // ---- assemble: winsorized decomposition is pure per-group algebra --
+    // Bit-grid ordering makes the full-bucket parts exact: every row in a
+    // bucket below the p05 bucket is strictly < p05 (so clamps to it) and
+    // every row above the p95 bucket strictly > p95.
+    val nBelow = col("__off5") + col("__b5c")
+    val sBelow = col("__offs5") + col("__b5s")
+    val nAbove = col("__n") - col("__off95") - col("__pt95") + col("__a95c")
+    val sAbove = col("__tots") - col("__offs95") - col("__pts95") + col("__a95s")
+    val wsum = dec2(col("__p05")) * nBelow + dec2(col("__p95")) * nAbove +
+      (col("__tots") - sBelow - sAbove)
+    cuts.join(mad, Seq("__g"))
       .select(
         col("__g").as(groupCol),
         col("__n").as("n"),
@@ -248,7 +362,7 @@ object Robust {
         col("__med").as("median"),
         col("__p95").as("p95"),
         round(col("__mad_raw"), 6).as("mad"),
-        round(col("__wsum").cast(DoubleType) / col("__cnt"), 6).as("wins_mean"))
+        round(wsum.cast(DoubleType) / col("__n"), 6).as("wins_mean"))
       .orderBy(groupCol)
   }
 
@@ -311,15 +425,55 @@ object Robust {
     * zero or null) has rank target 0, matches no bucket bracket, and is
     * DROPPED from the output — there is no weighted median of nothing.
     * Null `value` rows are likewise ignored (see [[valuesAtRanks]]). */
+  /** Per-group weighted values at rank targets `⌈pct·W/100⌉` (W = total
+    * weight) over `(__g, v, w)` rows — the [[valuesAtRanks]] algebra on
+    * the fixed order-preserving bit grid ([[graft.functions.BitGrid]]):
+    * bucketing is a pure function of the value bits, so there is NO
+    * bounds pass — the per-(group, bucket) weight summary is the first
+    * scan and the target-bucket slice the second. The bucket id is
+    * computed on `v.cast(double)` for steering only (a monotone cast:
+    * distinct values that collapse share a bucket, which only widens a
+    * slice); the selected value is the original `v`. Groups whose total
+    * weight is zero (or all-null `v`) produce no rank bracket and are
+    * dropped, matching the [[weightedMedian]] contract. */
+  private[operators] def bitValuesAtRanks(rowsRaw: DataFrame, pcts: Seq[Int]): DataFrame = {
+    import graft.functions.BitGrid.bitBucket
+    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100))
+    val rows = rowsRaw.filter(col("v").isNotNull)
+      .withColumn("__bkt", bitBucket(col("v").cast(DoubleType)))
+    val wOff = Window.partitionBy(col("__g")).orderBy(col("__bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy(col("__g"))
+    val targets = rows.groupBy(col("__g"), col("__bkt")).agg(sum(col("w")).as("__c"))
+      .withColumn("__off", coalesce(sum(col("__c")).over(wOff), lit(0L)))
+      .withColumn("__tot", sum(col("__c")).over(wAll))
+      .select(col("__g"), col("__bkt"), col("__off"), col("__c"), col("__tot"),
+        explode(array(pcts.map(lit): _*)).as("__p"))
+      .withColumn("__r", expr("(__p * __tot + 99) div 100"))
+      .filter(col("__off") < col("__r") && col("__r") <= col("__off") + col("__c"))
+      .select(col("__g"), col("__bkt"), col("__p"),
+        (col("__r") - col("__off")).as("__resid"), col("__tot"))
+    val wSlice = Window.partitionBy(col("__g"), col("__p")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val aggs = max(col("__tot")).as("n") +: pcts.map(p =>
+      min(when(col("__p") === p && col("__cum") >= col("__resid"), col("v"))).as(s"q_$p"))
+    rows.join(broadcast(targets), Seq("__g", "__bkt"))
+      .withColumn("__cum", sum(col("w")).over(wSlice))
+      .groupBy(col("__g"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
   def weightedMedian(
       df: DataFrame, groupCol: String, value: Column, weight: Column): DataFrame = {
     // Not materialized: the selection's two passes re-scan the source,
     // and a pruned two-column parquet scan is cheaper than a checkpoint
-    // write + read round-trip (measured both ways at sf0.1).
+    // write + read round-trip (measured both ways at sf0.1). On the bit
+    // grid those two passes are ALL there is — the former bounds pass is
+    // gone.
     val rows = df
       .select(col(groupCol).as("__g"), value.as("v"), weight.cast(LongType).as("w"))
       .filter(col("v").isNotNull)
-    valuesAtRanks(rows, Seq(50))
+    bitValuesAtRanks(rows, Seq(50))
       .select(col("__g").as(groupCol), col("q_50").as("w_median"))
       .orderBy(groupCol)
   }

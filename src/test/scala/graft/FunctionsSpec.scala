@@ -51,6 +51,42 @@ class FunctionsSpec extends AnyFunSuite with SparkSpec {
     assert(interp == 3105L)
   }
 
+  test("DoubleBitsBucket: order-preserving, codegen = interpreted, adjacent zeros") {
+    import graft.functions.{BitGrid, DoubleBitsBucket}
+    // a sign-spanning, magnitude-spanning, denormal-including value ladder
+    val vs = Seq(Double.MinValue, -1.7e308, -2.5e4, -2.0, -1.0, -1e-300,
+      -java.lang.Double.MIN_VALUE, -0.0, 0.0, java.lang.Double.MIN_VALUE,
+      1e-300, 0.5, 1.0, 1.0000001, 2.0, 3.14, 2.5e4, 1.7e308, Double.MaxValue)
+    // bucket ids must be monotone non-decreasing in value order, at EVERY shift
+    for (shift <- Seq(0, 30, 46, 52)) {
+      val ids = vs.toDF("v").select(BitGrid.bitBucket($"v", shift).as("b"))
+        .collect().map(_.getLong(0))
+      assert(ids.zip(ids.tail).forall { case (a, b) => a <= b },
+        s"non-monotone at shift=$shift: ${ids.mkString(",")}")
+      // interpreted eval agrees with the codegen (DataFrame) path
+      val interp = vs.map(v => DoubleBitsBucket(
+        org.apache.spark.sql.catalyst.expressions.Literal(v), shift).eval(null))
+      assert(interp == ids.toSeq, s"codegen/interpreted split at shift=$shift")
+    }
+    // shift 0 is a total order: strictly increasing on distinct values
+    val full = vs.toDF("v").select(BitGrid.bitBucket($"v", 0).as("b"))
+      .collect().map(_.getLong(0))
+    assert(full.zip(full.tail).forall { case (a, b) => a < b })
+    // rows of a lower bucket sort strictly below every row of a higher one
+    // (the property Robust's rank brackets and winsorized split rely on)
+    val r = new scala.util.Random(7)
+    val rnd = Seq.fill(2000)(math.exp(r.nextGaussian() * 8) *
+      (if (r.nextBoolean()) 1 else -1))
+    val byBucket = rnd.groupBy(v => {
+      val b = java.lang.Double.doubleToLongBits(v)
+      (b ^ ((b >> 63) & 0x7fffffffffffffffL)) >> BitGrid.DefaultShift
+    })
+    val ordered = byBucket.toSeq.sortBy(_._1)
+    ordered.zip(ordered.tail).foreach { case ((_, lo), (_, hi)) =>
+      assert(lo.max < hi.min, "bucket value ranges overlap")
+    }
+  }
+
   test("ShingleHashes: same set structure as the HOF string-shingle twin") {
     // Equivalence classes must match the interpreted string-based twin:
     // same set SIZES per doc and same pairwise INTERSECTION sizes (hash
