@@ -20,16 +20,14 @@ import graft.functions.dec2
   * aggregate). Rank targets use pure integer math — `(p·100·n + 99) div
   * 100` — never a `0.05 * n` double.
   *
-  * Shape: two keyed shuffles (rank window + final agg) plus one tiny
-  * broadcast of the per-group cut points. Rows never leave their group's
-  * partitions; nothing is quadratic; group count bounds the broadcast.
+  * Shape: every selection here is distributed histogram selection on the
+  * fixed order-preserving bit grid ([[graft.functions.BitGrid]]) — a
+  * per-(group, bucket) summary pass, broadcast rank-bracket arithmetic
+  * over that value-domain table, and slice scans that shuffle only
+  * target-bucket rows. No bounds pass, no per-group sort, nothing
+  * quadratic; broadcasts are bracket rows, bounded by |groups|·|targets|.
   */
 object Robust {
-
-  /** Rank target `ceil(pct/100 · n)` in pure integer math, referencing the
-    * per-row `__n` group-count column. */
-  private def ceilRank(pct: Int): Column =
-    expr(s"($pct * __n + 99) div 100")
 
 
   /** Distributed inclusive running totals of `sums` over the `v`-ascending
@@ -70,115 +68,6 @@ object Robust {
         sums.map(c => (col(s"__off_$c") + col(s"__run_$c")).as(s"cum_$c")): _*)
   }
 
-  /** Per-group values at rank targets `⌈pct·n/100⌉` over weighted rows
-    * `(__g, v, w)` (`w` = multiplicity; `lit(1)` for plain rank) — the
-    * distributed HISTOGRAM-SELECTION algorithm, not a prefix scan or a
-    * per-group sort: a rank query needs the value at a handful of ranks,
-    * so cumulating (or fully ranking) the whole table is wasted motion,
-    * and even a range-repartition pays a sampling pass plus a full
-    * shuffle. Here the heavy data is NEVER globally shuffled:
-    *
-    *   1. per-group (min, max) — one map-side aggregate pass;
-    *   2. fixed-width bucket id `⌊(v−lo)/width⌋` (any monotone bucketing
-    *      works — the SequencePack trick) → per-(group, bucket) weight
-    *      totals, a ≤ |groups|·nBuckets summary whose tiny windows give
-    *      each bucket's exclusive offset and the group total;
-    *   3. each target rank falls in ONE bucket (offset bracket); only
-    *      rows of those buckets — ~|ranks|·n/nBuckets per group — are
-    *      shuffled and cumulated to pick the exact value.
-    *
-    * A group-partitioned rank window would cap parallelism at |groups|
-    * (3 return flags = 3 tasks however large the cluster), the
-    * small-group-domain twin of the single-task global window; this
-    * shape's parallelism follows the scan, and shuffle bytes are the
-    * slices, not the table. Point-mass distributions (many rows of one
-    * value) make a slice group-sized in the worst case — rank selection
-    * degenerates there by nature; the exact value still comes out, just
-    * on fewer tasks. Bucket ids only STEER rows; the selected value is
-    * an actual data value, so float bucket math cannot affect the result.
-    *
-    * Null semantics: rows with null `v` are dropped up front — quantiles
-    * are over the non-null domain and `n` counts only non-null weight (the
-    * (__g,__bkt) equi-joins below drop null bucket keys anyway; filtering
-    * first keeps `n` and the rank targets consistent with that). A group
-    * whose every `v` is null therefore vanishes from the output.
-    *
-    * Job shape: TWO jobs over the data — the broadcast build of `targets`
-    * (summary aggregate + tiny windows + bracket filter, all one subtree)
-    * and the slice scan whose single aggregation also pivots the
-    * ≤ |groups|·|pcts| picks into columns. Per-query fixed cost is jobs ×
-    * scheduling latency, so the seven-job spelling of the same algebra
-    * (checkpointed summary, per-target joins, a fold of |pcts| joins)
-    * measured ~10× slower at toy scale for identical shuffle bytes.
-    *
-    * `extraSums` names additional input columns whose per-group grand
-    * totals should ride along for free: they aggregate inside the same
-    * summary pass (per bucket, then the per-group window), so a caller
-    * needing e.g. a clamped-value sum over the SAME rows pays zero extra
-    * scans or exchanges for it.
-    *
-    * Output: `(__g, n, q_<pct>..., <extraSums>...)` with `n` the group's
-    * total weight. */
-  private[operators] def valuesAtRanks(
-      rowsRaw: DataFrame, pcts: Seq[Int], nBuckets: Int = 1024,
-      boundsHint: Option[DataFrame] = None,
-      extraSums: Seq[String] = Nil,
-      emitBounds: Boolean = false): DataFrame = {
-    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100))
-    val rows = rowsRaw.filter(col("v").isNotNull)
-    // `boundsHint` (__g, __lo, __hi): any CONSERVATIVE per-group value
-    // bracket skips the min/max pass — bucket ids only steer rows, so a
-    // wider bracket costs bucket resolution, never correctness
-    val bounds = boundsHint.getOrElse(
-      rows.groupBy(col("__g"))
-        .agg(min(col("v")).as("__lo"), max(col("v")).as("__hi")))
-    val bkt = when(col("__hi") === col("__lo"), lit(0)).otherwise(
-      least(floor((col("v") - col("__lo")) / ((col("__hi") - col("__lo")) / nBuckets)),
-        lit((nBuckets - 1).toDouble)).cast("int"))
-    val withB = rows.join(broadcast(bounds), "__g").withColumn("__bkt", bkt)
-    // per-(group, bucket) weight totals: ≤ |groups| × nBuckets rows; the
-    // offset/total windows and the rank-bracket filter run over that tiny
-    // summary INSIDE the broadcast build — each target rank lands in the
-    // bucket whose (off, off+pt] bracket holds it; resid is the rank
-    // within that bucket, and __tot rides along so no separate
-    // total-per-group pass is needed
-    val wOff = Window.partitionBy(col("__g")).orderBy(col("__bkt"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val wAll = Window.partitionBy(col("__g"))
-    // `emitBounds` re-emits the per-group (lo, hi) already riding on
-    // every bucketed row — zero extra scans for a caller that needs the
-    // bracket downstream (e.g. to bracket deviations analytically).
-    val boundCols = if (emitBounds) Seq("__lo", "__hi") else Nil
-    val sumAggs = (sum(col("w")).as("__pt") +:
-      extraSums.map(c => sum(col(c)).as(s"__pb_$c"))) ++
-      boundCols.map(c => min(col(c)).as(s"__pb_$c"))
-    val extraTots = extraSums.map(c => sum(col(s"__pb_$c")).over(wAll).as(s"__xt_$c")) ++
-      boundCols.map(c => min(col(s"__pb_$c")).over(wAll).as(s"__xt_$c"))
-    val targets = withB.groupBy(col("__g"), col("__bkt"))
-      .agg(sumAggs.head, sumAggs.tail: _*)
-      .withColumn("__off", coalesce(sum(col("__pt")).over(wOff), lit(0L)))
-      .withColumn("__tot", sum(col("__pt")).over(wAll))
-      .select(Seq(col("__g"), col("__bkt"), col("__off"), col("__pt"), col("__tot"),
-        explode(array(pcts.map(lit): _*)).as("__p")) ++ extraTots: _*)
-      .withColumn("__r", expr("(__p * __tot + 99) div 100"))
-      .filter(col("__off") < col("__r") && col("__r") <= col("__off") + col("__pt"))
-      .select(Seq(col("__g"), col("__bkt"), col("__p"),
-        (col("__r") - col("__off")).as("__resid"), col("__tot")) ++
-        (extraSums ++ boundCols).map(c => col(s"__xt_$c")): _*)
-    // slice pass: only rows of target buckets survive the broadcast join
-    // (duplicated per target the bucket hosts, ≤ |pcts|); rank within the
-    // (group, target) slice, pick the crossing value, and pivot all picks
-    // in the SAME aggregation — min at the crossing is tie-invariant
-    val wSlice = Window.partitionBy(col("__g"), col("__p")).orderBy(col("v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val aggs = (max(col("__tot")).as("n") +: pcts.map(p =>
-      min(when(col("__p") === p && col("__cum") >= col("__resid"), col("v"))).as(s"q_$p"))) ++
-      (extraSums ++ boundCols).map(c => max(col(s"__xt_$c")).as(c))
-    withB.drop(extraSums ++ boundCols: _*).join(broadcast(targets), Seq("__g", "__bkt"))
-      .withColumn("__cum", sum(col("w")).over(wSlice))
-      .groupBy(col("__g"))
-      .agg(aggs.head, aggs.tail: _*)
-  }
 
   /** Per-group `(n, p05, median, p95, mad, wins_mean)` over `value`.
     * `wins_mean` is the mean with values clamped to `[p05, p95]` —
@@ -408,25 +297,8 @@ object Robust {
       .orderBy(stratumCol)
   }
 
-  /** Weighted (lower) median per group: the smallest value whose
-    * cumulative weight reaches half the group's total — e.g. the
-    * quantity-weighted median price (`⌈tot/2⌉ = ⌈50·tot/100⌉`, so this is
-    * [[valuesAtRanks]] at pct 50 with the weight as multiplicity).
-    * Discrete (an actual data value), so the result is bit-portable.
-    * Raw weighted rows feed the distributed rank selection directly (no
-    * per-(group, value) pre-aggregation — rank selection is tie-invariant,
-    * and for a continuous value column a distinct pass buys nothing, so
-    * slice sizes are bounded by target-bucket ROW counts); a
-    * group-partitioned cumulative window here would cap parallelism at
-    * |groups| (3 return flags = 3 tasks however large the cluster), the
-    * small-group-domain twin of the single-task global window.
-    *
-    * Degenerate weights: a group whose total weight is 0 (all weights
-    * zero or null) has rank target 0, matches no bucket bracket, and is
-    * DROPPED from the output — there is no weighted median of nothing.
-    * Null `value` rows are likewise ignored (see [[valuesAtRanks]]). */
   /** Per-group weighted values at rank targets `⌈pct·W/100⌉` (W = total
-    * weight) over `(__g, v, w)` rows — the [[valuesAtRanks]] algebra on
+    * weight) over `(__g, v, w)` rows — distributed histogram selection on
     * the fixed order-preserving bit grid ([[graft.functions.BitGrid]]):
     * bucketing is a pure function of the value bits, so there is NO
     * bounds pass — the per-(group, bucket) weight summary is the first
@@ -463,6 +335,23 @@ object Robust {
       .agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Weighted (lower) median per group: the smallest value whose
+    * cumulative weight reaches half the group's total — e.g. the
+    * quantity-weighted median price (`⌈tot/2⌉ = ⌈50·tot/100⌉`, so this is
+    * [[bitValuesAtRanks]] at pct 50 with the weight as multiplicity).
+    * Discrete (an actual data value), so the result is bit-portable.
+    * Raw weighted rows feed the distributed rank selection directly (no
+    * per-(group, value) pre-aggregation — rank selection is tie-invariant,
+    * and for a continuous value column a distinct pass buys nothing, so
+    * slice sizes are bounded by target-bucket ROW counts); a
+    * group-partitioned cumulative window here would cap parallelism at
+    * |groups| (3 return flags = 3 tasks however large the cluster), the
+    * small-group-domain twin of the single-task global window.
+    *
+    * Degenerate weights: a group whose total weight is 0 (all weights
+    * zero or null) has rank target 0, matches no bucket bracket, and is
+    * DROPPED from the output — there is no weighted median of nothing.
+    * Null `value` rows are likewise ignored (see [[bitValuesAtRanks]]). */
   def weightedMedian(
       df: DataFrame, groupCol: String, value: Column, weight: Column): DataFrame = {
     // Not materialized: the selection's two passes re-scan the source,
@@ -655,8 +544,8 @@ object Robust {
     * distribution's `nBins` quantile edges, PSI = Σ (p_i − q_i)·ln(p_i/q_i)
     * over the binned proportions.
     *
-    * Scale shape: edges come from the distributed histogram selection
-    * ([[valuesAtRanks]], one global group — discrete data values, so the
+    * Scale shape: edges come from the distributed bit-grid selection
+    * ([[bitValuesAtRanks]], one global group — discrete data values, so the
     * binning is bit-portable), broadcast as ONE row; binning is then pure
     * map-side arithmetic and the bin counts are a ≤ nBins×2 aggregate.
     * Proportions are Laplace-smoothed (+0.5 per bin) so structurally empty
@@ -675,7 +564,7 @@ object Robust {
       .select(value.cast(DoubleType).as("v"), (groupCol === refGroup).as("is_ref"))
       .filter(col("v").isNotNull)
     val pcts = (1 until nBins).map(i => i * 100 / nBins)
-    val edges = valuesAtRanks(
+    val edges = bitValuesAtRanks(
       tagged.filter(col("is_ref")).select(lit(1).as("__g"), col("v"), lit(1L).as("w")),
       pcts)
     // bin id = # edges strictly below v (v == edge → the lower bin)
@@ -720,7 +609,7 @@ object Robust {
   def quantileEdges(df: DataFrame, value: Column, nBins: Int = 10): Seq[Double] = {
     require(nBins >= 2 && 100 % nBins == 0, s"quantileEdges: nBins must divide 100, got $nBins")
     val pcts = (1 until nBins).map(i => i * 100 / nBins)
-    val rows = valuesAtRanks(
+    val rows = bitValuesAtRanks(
       df.select(lit(1).as("__g"), value.cast(DoubleType).as("v"))
         .withColumn("w", lit(1L)),
       pcts).take(1)

@@ -49,11 +49,11 @@ object ProbeRobust {
         Robust.robustStats(li, "l_returnflag", col("l_extendedprice")).count())
       t(s"p$pass weightedMedian")(
         Robust.weightedMedian(li, "l_returnflag", col("l_extendedprice"), col("l_quantity")).count())
-      t(s"p$pass var_ckpt_3")(Robust.valuesAtRanks(
+      t(s"p$pass bitsel_plain")(Robust.bitValuesAtRanks(
+        rows0, Seq(5, 50, 95)).count())
+      t(s"p$pass bitsel_ckpt")(Robust.bitValuesAtRanks(
         rows0.localCheckpoint(false), Seq(5, 50, 95)).count())
-      t(s"p$pass var_hash32")(Robust.valuesAtRanks(
-        rows0.repartition(32, col("v")).localCheckpoint(false), Seq(5, 50, 95)).count())
-      t(s"p$pass var_hash8")(Robust.valuesAtRanks(
+      t(s"p$pass bitsel_hash8")(Robust.bitValuesAtRanks(
         rows0.repartition(8, col("v")).localCheckpoint(false), Seq(5, 50, 95)).count())
     }
     spark.stop()
