@@ -161,15 +161,27 @@ object TextAnalysis {
     * each n's pass prunes to documents long enough to carry an n-gram.
     * Ratios are one double division rounded to 6 dp — bit-portable. */
   def ngramDiversity(documents: DataFrame): DataFrame = {
-    def grams(n: Int) = documents
-      .filter(size(tokens(col("text"))) >= n)
-      .select(col("source"), explode(wordShingles(tokens(col("text")), n)).as("g"))
-      .groupBy(col("source")).agg(
-        count(lit(1)).as(s"__tot_$n"),
-        countDistinct(col("g")).as(s"__dis_$n"))
-    grams(1)
-      .join(grams(2), Seq("source"), "left")
-      .join(grams(3), Seq("source"), "left")
+    // ONE tokenize+explode pass emits every n's shingles tagged with n
+    // (the three-scans-plus-two-joins spelling re-read and re-tokenized
+    // the corpus per n): docs shorter than n contribute an EMPTY array
+    // for that n — wordShingles would emit one whole-doc shingle — so the
+    // per-n row sets match the old `size(tokens) >= n` filters exactly.
+    def tagged(n: Int) = when(size(col("__t")) >= n,
+      transform(wordShingles(col("__t"), n), g => struct(lit(n).as("n"), g.as("g"))))
+      .otherwise(array().cast("array<struct<n:int,g:string>>"))
+    val per = documents
+      .select(col("source"), tokens(col("text")).as("__t"))
+      .select(col("source"), explode(concat(tagged(1), tagged(2), tagged(3))).as("x"))
+      .groupBy(col("source"), col("x.n").as("__n"))
+      .agg(count(lit(1)).as("__tot"), countDistinct(col("x.g")).as("__dis"))
+    // ≤ 3·|sources| rows: pivot the three n's into columns. A source with
+    // no ≥n-token docs has no n row → null ratio (the old left joins).
+    def pick(n: Int, c: String) = max(when(col("__n") === n, col(c)))
+    per.groupBy(col("source")).agg(
+      pick(1, "__tot").as("__tot_1"), pick(1, "__dis").as("__dis_1"),
+      pick(2, "__tot").as("__tot_2"), pick(2, "__dis").as("__dis_2"),
+      pick(3, "__tot").as("__tot_3"), pick(3, "__dis").as("__dis_3"))
+      .filter(col("__tot_1").isNotNull)
       .select(col("source"),
         col("__tot_1").as("n_tokens"),
         col("__dis_1").as("n_types"),
