@@ -203,10 +203,15 @@ object TextAnalysis {
     * joins, never broadcast. */
   def bigramLogProb(documents: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
+    // Materialized (lazy localCheckpoint, the repo convention): the
+    // unigram model, the bigram model and the per-doc fold are THREE
+    // consumers of this tokenize — the regex pass is the expensive part
+    // and must not run per consumer.
     val base = documents
       .repartition(documents.sparkSession.sparkContext.defaultParallelism)
       .select(col("doc_id"), toks.as("t"))
       .filter(size(col("t")) >= 2)
+      .localCheckpoint(false)
     val uni = base.select(explode(col("t")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c1"))
     val vocab = uni.agg(count(lit(1)).as("v"))

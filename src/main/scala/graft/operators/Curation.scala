@@ -208,6 +208,10 @@ object Curation {
     * corpus totals broadcast as one row. */
   def dsirWeights(documents: DataFrame, isTarget: Column): DataFrame = {
     val toks = tokens(col("text"))
+    // Two consumers (model counts, per-doc fold) re-tokenize: checkpointing
+    // the token arrays measured SLOWER here (1.18 -> 1.39 s — the write of
+    // every doc's array outweighs the saved regex pass; bigramLogProb's
+    // three-consumer case went the other way).
     val base = documents.select(col("doc_id"), isTarget.as("tgt"), toks.as("t"))
     val uni = base.select(col("doc_id"), col("tgt"), explode(col("t")).as("f"))
     val big = base.filter(size(col("t")) >= 2)
