@@ -3109,6 +3109,62 @@ object SparkEntry {
           |GROUP BY cntrycode ORDER BY cntrycode""".stripMargin)
     }),
 
+    // TPC-H Q12 (shipping modes and priority, adapted: mode → linestatus,
+    // commit/receipt lag → shipped-after-order): fact ⋈ fact with the date
+    // window pushed to the lineitem scan and both priority classes counted
+    // in ONE conditional aggregation pass.
+    "q_sql_tpch_q12" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+      s.sql(
+        """SELECT l_linestatus,
+          |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+          |       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+          |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+          |WHERE l_shipdate >= o_orderdate
+          |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+          |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin)
+    }),
+
+    // TPC-H Q16 (supplier relationship count, partsupp adapted to the
+    // lineitem supplier facts): distinct-count aggregation under negated
+    // and IN-list part filters, reported top-down.
+    "q_sql_tpch_q16" -> ((s, d) => {
+      Tables.part(s, d).createOrReplaceTempView("part")
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+      s.sql(
+        """SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+          |FROM part JOIN lineitem ON p_partkey = l_partkey
+          |WHERE p_brand <> 'Brand#45' AND p_type <> 'PROMO'
+          |  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+          |GROUP BY p_brand, p_type, p_size
+          |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size LIMIT 20""".stripMargin)
+    }),
+
+    // TPC-H Q21 (suppliers who kept orders waiting, adapted: receipt-vs-
+    // commit lateness → shipped after the order date): the DOUBLE
+    // correlation — EXISTS (another supplier in the order) plans as a
+    // left-semi join and NOT EXISTS (another LATE supplier, correlating on
+    // both the order key and the outer o_orderdate) as a left-anti join —
+    // the only query in the suite carrying both in one tree.
+    "q_sql_tpch_q21" -> ((s, d) => {
+      Tables.supplier(s, d).createOrReplaceTempView("supplier")
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+      s.sql(
+        """SELECT s_name, count(*) AS numwait
+          |FROM supplier JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+          |              JOIN orders ON o_orderkey = l1.l_orderkey
+          |WHERE o_orderstatus = 'F' AND l1.l_shipdate > o_orderdate
+          |  AND EXISTS (SELECT 1 FROM lineitem l2
+          |              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+          |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+          |                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+          |                    AND l3.l_shipdate > o_orderdate)
+          |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 10""".stripMargin)
+    }),
+
     // Watermark late-data drop audit — the real three-micro-batch stream
     // (file source, maxFilesPerTrigger=1) vs a DuckDB replay of the
     // watermark CONTRACT: late rows survive iff their window was still
@@ -5989,6 +6045,36 @@ object SparkEntry {
          WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
                            AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
          GROUP BY cntrycode ORDER BY cntrycode""",
+
+    "q_sql_tpch_q12" ->
+      """SELECT l_linestatus,
+                CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         WHERE l_shipdate >= o_orderdate
+           AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+         GROUP BY l_linestatus ORDER BY l_linestatus""",
+
+    "q_sql_tpch_q16" ->
+      """SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+         FROM part JOIN lineitem ON p_partkey = l_partkey
+         WHERE p_brand <> 'Brand#45' AND p_type <> 'PROMO'
+           AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+         GROUP BY p_brand, p_type, p_size
+         ORDER BY supplier_cnt DESC, p_brand, p_type, p_size LIMIT 20""",
+
+    "q_sql_tpch_q21" ->
+      """SELECT s_name, count(*) AS numwait
+         FROM supplier JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+                       JOIN orders ON o_orderkey = l1.l_orderkey
+         WHERE o_orderstatus = 'F' AND l1.l_shipdate > o_orderdate
+           AND EXISTS (SELECT 1 FROM lineitem l2
+                       WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+           AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                           WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                             AND l3.l_shipdate > o_orderdate)
+         GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 10""",
 
     // Watermark contract replay, pinned to the EVICTION semantics the
     // engine actually implements (verified empirically): a late row is

@@ -718,6 +718,13 @@ class ScaleSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("TPC-H Q21: the EXISTS/NOT-EXISTS double correlation plans as semi + anti joins") {
+    val p = plan(SparkEntry.queries("q_sql_tpch_q21")(spark, sf))
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("TPC-H Q17: the correlated scalar avg decorrelates to an aggregate + equi-join") {
     val p = plan(SparkEntry.queries("q_sql_tpch_q17")(spark, sf))
     // the per-partkey average must join back on l_partkey, never loop
