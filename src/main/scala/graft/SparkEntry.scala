@@ -3109,6 +3109,33 @@ object SparkEntry {
           |GROUP BY cntrycode ORDER BY cntrycode""".stripMargin)
     }),
 
+    // TPC-H Q2 (best supplier per part, adapted: min ps_supplycost →
+    // max s_acctbal over the lineitem supplier facts): the correlated
+    // scalar ranges over a MULTI-TABLE join subquery — Catalyst
+    // decorrelates it to a per-part aggregate over the same
+    // supplier⋈lineitem⋈nation⋈region tree joined back on p_partkey;
+    // DISTINCT collapses the per-lineitem duplication.
+    "q_sql_tpch_q2" -> ((s, d) => {
+      Tables.part(s, d).createOrReplaceTempView("part")
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+      Tables.supplier(s, d).createOrReplaceTempView("supplier")
+      Tables.nation(s, d).createOrReplaceTempView("nation")
+      Tables.region(s, d).createOrReplaceTempView("region")
+      s.sql(
+        """SELECT DISTINCT s_acctbal, s_name, n_name, p_partkey, p_type
+          |FROM part JOIN lineitem ON p_partkey = l_partkey
+          |          JOIN supplier ON s_suppkey = l_suppkey
+          |          JOIN nation ON s_nationkey = n_nationkey
+          |          JOIN region ON n_regionkey = r_regionkey
+          |WHERE p_size < 10 AND p_type = 'LARGE' AND r_name = 'EUROPE'
+          |  AND s_acctbal = (SELECT max(s2.s_acctbal)
+          |                   FROM supplier s2 JOIN lineitem l2 ON s2.s_suppkey = l2.l_suppkey
+          |                        JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+          |                        JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+          |                   WHERE l2.l_partkey = p_partkey AND r2.r_name = 'EUROPE')
+          |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 20""".stripMargin)
+    }),
+
     // TPC-H Q12 (shipping modes and priority, adapted: mode → linestatus,
     // commit/receipt lag → shipped-after-order): fact ⋈ fact with the date
     // window pushed to the lineitem scan and both priority classes counted
@@ -6045,6 +6072,20 @@ object SparkEntry {
          WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
                            AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
          GROUP BY cntrycode ORDER BY cntrycode""",
+
+    "q_sql_tpch_q2" ->
+      """SELECT DISTINCT s_acctbal, s_name, n_name, p_partkey, p_type
+         FROM part JOIN lineitem ON p_partkey = l_partkey
+                   JOIN supplier ON s_suppkey = l_suppkey
+                   JOIN nation ON s_nationkey = n_nationkey
+                   JOIN region ON n_regionkey = r_regionkey
+         WHERE p_size < 10 AND p_type = 'LARGE' AND r_name = 'EUROPE'
+           AND s_acctbal = (SELECT max(s2.s_acctbal)
+                            FROM supplier s2 JOIN lineitem l2 ON s2.s_suppkey = l2.l_suppkey
+                                 JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+                                 JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+                            WHERE l2.l_partkey = p_partkey AND r2.r_name = 'EUROPE')
+         ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 20""",
 
     "q_sql_tpch_q12" ->
       """SELECT l_linestatus,
