@@ -296,6 +296,60 @@ class PropertiesSpec extends AnyFunSuite with SparkSpec {
     assert(Robust.psiDrift(df, $"v", $"g", "NOPE", "B").count() == 0L)
   }
 
+  test("Robust selection on sign- and octave-spanning domains (bit-grid edge regions)") {
+    import graft.operators.Robust
+    // Negatives, a point mass at zero, subnormal-range magnitudes and a
+    // 60-octave spread: the regions where the bit grid's sign crossing and
+    // relative resolution could plausibly go wrong. Values are exact
+    // binary fractions (m·2^e), so the pure-Scala order statistics and
+    // decimal folds replay bit-identically.
+    val triples = sample(Gen.listOfN(400, for {
+      e <- Gen.choose(-20, 40)
+      m <- Gen.oneOf(1.0, 1.25, 1.5, 1.75)
+      s <- Gen.oneOf(-1.0, 1.0)
+      g <- Gen.oneOf("A", "B")
+      w <- Gen.choose(1L, 4L)
+    } yield (s * m * math.pow(2.0, e), g, w))) ++
+      List.tabulate(50)(_ => (0.0, "A", 1L)) ++      // point mass at zero (sign boundary)
+      List.tabulate(30)(_ => (-1024.0, "B", 2L)) ++  // negative point mass
+      List.tabulate(3)(i => ((i - 1) * 1e-310, "S", 1L)) // subnormal range, sign-crossing
+    val df = triples.toDF("v", "g", "w")
+    def rank(n: Long, p: Int): Long = (p * n + 99) / 100
+    def at(sorted: Vector[Double], r: Long): Double = sorted((r - 1).toInt)
+    def r6(x: Double): Double = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+    val rs = Robust.robustStats(df, "g", $"v").collect().map(r => r.getString(0) -> r).toMap
+    for ((g, rows) <- triples.groupBy(_._2)) {
+      val sorted = rows.map(_._1).sorted.toVector
+      val n = sorted.size.toLong
+      val got = rs(g)
+      val (p05, med, p95) =
+        (at(sorted, rank(n, 5)), at(sorted, rank(n, 50)), at(sorted, rank(n, 95)))
+      assert(got.getAs[Long]("n") == n, s"n mismatch in $g")
+      assert(got.getAs[Double]("p05") == p05 && got.getAs[Double]("median") == med
+        && got.getAs[Double]("p95") == p95, s"cuts mismatch in $g")
+      val mad = r6(at(sorted.map(v => math.abs(v - med)).sorted, rank(n, 50)))
+      assert(got.getAs[Double]("mad") == mad, s"mad mismatch in $g")
+      val wsum = sorted.map(v => BigDecimal(math.max(p05, math.min(v, p95)))
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum
+      val winsWant = (wsum / n).toDouble
+      val winsGot = got.getAs[Double]("wins_mean")
+      assert(math.abs(winsGot - winsWant) <= math.max(2e-6, math.abs(winsWant) * 1e-9),
+        s"wins mismatch in $g: $winsGot vs $winsWant")
+    }
+
+    val wm = Robust.weightedMedian(df, "g", $"v", $"w").collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("w_median")).toMap
+    for ((g, rows) <- triples.groupBy(_._2)) {
+      val sortedRows = rows.map(t => (t._1, t._3)).sortBy(_._1)
+      val tot = sortedRows.map(_._2).sum
+      val r = rank(tot, 50)
+      val want = sortedRows.scanLeft(0.0 -> 0L) { case ((_, c), (v, w)) => v -> (c + w) }
+        .drop(1).find(_._2 >= r).get._1
+      assert(wm(g) == want, s"weightedMedian mismatch in $g")
+    }
+  }
+
   test("Robust.mannWhitneyU/ksStatistic match a pure-Scala oracle on random data") {
     import graft.operators.Robust
     // heavy ties (domain ≪ rows) AND near-continuous values both appear:
