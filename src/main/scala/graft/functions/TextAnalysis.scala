@@ -333,6 +333,11 @@ object TextAnalysis {
     * [[topTermsPerDoc]]); the corpus total joins as a broadcast SCALAR
     * (one row), never a driver collect. */
   def unigramLogProb(documents: DataFrame): DataFrame = {
+    // Two consumers (model counts, scoring join) re-tokenize; checkpointing
+    // the token arrays measured SLOWER (0.50 -> 0.56 s, ppl 1.17 -> 1.41 s
+    // riding it) — the dsirWeights finding again. Only bigramLogProb's
+    // THREE-consumer shape (with the heavier shingle recompute) wins from
+    // the materialization.
     val tok = documents
       .repartition(documents.sparkSession.sparkContext.defaultParallelism)
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
