@@ -3192,6 +3192,86 @@ object SparkEntry {
           |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 10""".stripMargin)
     }),
 
+    // TPC-H Q9 (product-type profit, adapted: ps_supplycost →
+    // 0.6·p_retailprice as the unit-cost proxy, since the testdata has no
+    // partsupp): 5-way star join with the two dims broadcast, profit
+    // grouped by supplier nation × order year. Numeric discipline: both
+    // profit terms are two-factor DECIMAL(18,2) products (the q14 shape) —
+    // the 0.6·l_quantity factor is computed in double FIRST and cast once
+    // (0.6·int has one mathematical decimal digit, so the 2-digit rounding
+    // never sits on a half-ulp boundary) — sum exact, one double cast.
+    "q_sql_tpch_q9" -> ((s, d) => {
+      Tables.part(s, d).createOrReplaceTempView("part")
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+      Tables.supplier(s, d).createOrReplaceTempView("supplier")
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      Tables.nation(s, d).createOrReplaceTempView("nation")
+      s.sql(
+        """SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+          |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2))
+          |              - CAST(p_retailprice AS DECIMAL(18,2)) * CAST(0.6 * l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_profit
+          |FROM lineitem JOIN part ON p_partkey = l_partkey
+          |     JOIN supplier ON s_suppkey = l_suppkey
+          |     JOIN orders ON o_orderkey = l_orderkey
+          |     JOIN nation ON s_nationkey = n_nationkey
+          |WHERE p_name LIKE '%red%'
+          |GROUP BY n_name, year(o_orderdate)
+          |ORDER BY nation, o_year DESC""".stripMargin)
+    }),
+
+    // TPC-H Q11 (important stock, adapted: ps_supplycost·ps_availqty →
+    // shipped value l_extendedprice·l_quantity from one nation's
+    // suppliers): group-agg with a non-correlated scalar threshold — the
+    // inner total reuses the same filtered join subtree, and Catalyst
+    // plans the scalar as a one-row broadcast into the HAVING filter.
+    // Both compare sides are single double casts of exact decimal sums.
+    "q_sql_tpch_q11" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+      Tables.supplier(s, d).createOrReplaceTempView("supplier")
+      Tables.nation(s, d).createOrReplaceTempView("nation")
+      s.sql(
+        """SELECT l_partkey AS ps_partkey,
+          |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS value
+          |FROM lineitem JOIN supplier ON s_suppkey = l_suppkey JOIN nation ON s_nationkey = n_nationkey
+          |WHERE n_name = 'NATION_7'
+          |GROUP BY l_partkey
+          |HAVING CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+          |     > (SELECT 0.002 * CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+          |        FROM lineitem JOIN supplier ON s_suppkey = l_suppkey JOIN nation ON s_nationkey = n_nationkey
+          |        WHERE n_name = 'NATION_7')
+          |ORDER BY value DESC, ps_partkey""".stripMargin)
+    }),
+
+    // TPC-H Q20 (potential part promotion, adapted: ps_availqty → the
+    // supplier's own shipped quantity, "more than half the part's 1996
+    // supply" → dominant-supplier cut at 25%): two stacked aggregations
+    // over ONE shipped CTE (per supplier×part, then per part) joined on
+    // the part key, feeding a left-semi IN into the region-filtered
+    // supplier dim. Quantity sums are integral-valued doubles — exact
+    // below 2^53, so the 0.25× threshold is bit-portable with no decimal
+    // staging.
+    "q_sql_tpch_q20" -> ((s, d) => {
+      Tables.part(s, d).createOrReplaceTempView("part")
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+      Tables.supplier(s, d).createOrReplaceTempView("supplier")
+      Tables.nation(s, d).createOrReplaceTempView("nation")
+      Tables.region(s, d).createOrReplaceTempView("region")
+      s.sql(
+        """WITH shipped AS (
+          |  SELECT l_suppkey, l_partkey, sum(l_quantity) AS qty
+          |  FROM lineitem JOIN part ON p_partkey = l_partkey
+          |  WHERE p_name LIKE 'red%'
+          |    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+          |  GROUP BY l_suppkey, l_partkey),
+          |tot AS (SELECT l_partkey, sum(qty) AS total_qty FROM shipped GROUP BY l_partkey)
+          |SELECT s_suppkey, s_name
+          |FROM supplier JOIN nation ON s_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey
+          |WHERE r_name = 'EUROPE' AND s_suppkey IN (
+          |  SELECT shipped.l_suppkey FROM shipped JOIN tot ON shipped.l_partkey = tot.l_partkey
+          |  WHERE shipped.qty > 0.25 * tot.total_qty)
+          |ORDER BY s_suppkey""".stripMargin)
+    }),
+
     // Watermark late-data drop audit — the real three-micro-batch stream
     // (file source, maxFilesPerTrigger=1) vs a DuckDB replay of the
     // watermark CONTRACT: late rows survive iff their window was still
@@ -6116,6 +6196,45 @@ object SparkEntry {
                            WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
                              AND l3.l_shipdate > o_orderdate)
          GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 10""",
+
+    "q_sql_tpch_q9" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2))
+                       - CAST(p_retailprice AS DECIMAL(18,2)) * CAST(0.6 * l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_profit
+         FROM lineitem JOIN part ON p_partkey = l_partkey
+              JOIN supplier ON s_suppkey = l_suppkey
+              JOIN orders ON o_orderkey = l_orderkey
+              JOIN nation ON s_nationkey = n_nationkey
+         WHERE p_name LIKE '%red%'
+         GROUP BY n_name, year(o_orderdate)
+         ORDER BY nation, o_year DESC""",
+
+    "q_sql_tpch_q11" ->
+      """SELECT l_partkey AS ps_partkey,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS value
+         FROM lineitem JOIN supplier ON s_suppkey = l_suppkey JOIN nation ON s_nationkey = n_nationkey
+         WHERE n_name = 'NATION_7'
+         GROUP BY l_partkey
+         HAVING CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+              > (SELECT 0.002 * CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                 FROM lineitem JOIN supplier ON s_suppkey = l_suppkey JOIN nation ON s_nationkey = n_nationkey
+                 WHERE n_name = 'NATION_7')
+         ORDER BY value DESC, ps_partkey""",
+
+    "q_sql_tpch_q20" ->
+      """WITH shipped AS (
+           SELECT l_suppkey, l_partkey, sum(l_quantity) AS qty
+           FROM lineitem JOIN part ON p_partkey = l_partkey
+           WHERE p_name LIKE 'red%'
+             AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+           GROUP BY l_suppkey, l_partkey),
+         tot AS (SELECT l_partkey, sum(qty) AS total_qty FROM shipped GROUP BY l_partkey)
+         SELECT s_suppkey, s_name
+         FROM supplier JOIN nation ON s_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'EUROPE' AND s_suppkey IN (
+           SELECT shipped.l_suppkey FROM shipped JOIN tot ON shipped.l_partkey = tot.l_partkey
+           WHERE shipped.qty > 0.25 * tot.total_qty)
+         ORDER BY s_suppkey""",
 
     // Watermark contract replay, pinned to the EVICTION semantics the
     // engine actually implements (verified empirically): a late row is
