@@ -3552,6 +3552,16 @@ object SparkEntry {
       graft.operators.Robust.mannWhitneyU(
         Tables.lineitem(s, d), col("l_quantity"), col("l_returnflag"), "A", "N")),
 
+    // Spearman rank correlation of quantity vs extended price — monotone
+    // association on ranks (average-rank ties via the exact-integer
+    // doubled-rank algebra, distributed runningTotals ECDF scan, moments
+    // combined in DECIMAL(38,0)). Positive by construction here
+    // (extendedprice ≈ qty × unit price), so the sign also sanity-checks
+    // the rank plumbing.
+    "q_spearman" -> ((s, d) =>
+      graft.operators.Robust.spearmanRho(
+        Tables.lineitem(s, d), col("l_quantity"), col("l_extendedprice"))),
+
     // Bigram-LM quality scoring (sequence-aware upgrade of q_unigram_lm).
     "q_bigram_lm" -> ((s, d) =>
       graft.functions.TextAnalysis.bigramLogProb(Tables.documents(s, d))),
@@ -6392,6 +6402,34 @@ object SparkEntry {
                       / sqrt(na * nb / 12.0 * ((na + nb + 1.0)
                              - CAST(tie3 AS DOUBLE) / ((na + nb) * (na + nb - 1.0)))), 6) AS z_stat
          FROM z""",
+
+    // Spearman: same doubled-rank tie algebra (2·avgrank = 2·below+cnt+1),
+    // HUGEINT moment combination (n·Sxy needs >63 bits), sqrt of each
+    // variance separately — the variance PRODUCT would need ~2× the digits.
+    "q_spearman" ->
+      """WITH t AS (SELECT l_quantity AS x, l_extendedprice AS y FROM lineitem
+                    WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+              rx AS (SELECT x AS v, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY 1),
+              rxc AS (SELECT v, 2 * coalesce(sum(c) OVER (ORDER BY v
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c + 1 AS r2
+                      FROM rx),
+              ry AS (SELECT y AS v, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY 1),
+              ryc AS (SELECT v, 2 * coalesce(sum(c) OVER (ORDER BY v
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c + 1 AS r2
+                      FROM ry),
+              j AS (SELECT rxc.r2 AS r2x, ryc.r2 AS r2y
+                    FROM t JOIN rxc ON t.x = rxc.v JOIN ryc ON t.y = ryc.v),
+              m AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+                           CAST(sum(r2x) AS HUGEINT) AS sx, CAST(sum(r2y) AS HUGEINT) AS sy,
+                           CAST(sum(r2x * r2y) AS HUGEINT) AS sxy,
+                           CAST(sum(r2x * r2x) AS HUGEINT) AS sxx,
+                           CAST(sum(r2y * r2y) AS HUGEINT) AS syy
+                    FROM j)
+         SELECT CAST(n AS BIGINT) AS n,
+                round(CAST(n * sxy - sx * sy AS DOUBLE)
+                      / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                         * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS rho
+         FROM m""",
 
     // Bigram LM: same counts/smoothing, same sorted per-doc fold.
     "q_bigram_lm" ->

@@ -649,4 +649,50 @@ object Robust {
           col("sa").cast(DoubleType) / col("n_a") -
             col("sb").cast(DoubleType) / col("n_b"))), 6).as("ks_stat"))
   }
+
+  /** Spearman rank correlation between two numeric columns — the
+    * monotone-association gate (feature-vs-quality screening, signal
+    * sanity checks) that is robust where Pearson is not: it sees ranks,
+    * not values, so heavy tails and nonlinearity don't distort it. Ties
+    * get AVERAGE ranks (the standard tie rule), carried as exact-integer
+    * DOUBLED ranks: for a value with `cnt_lt` rows strictly below and
+    * `cnt` tied rows, 2·avgrank = 2·cnt_lt + cnt + 1 — the ×2 absorbs
+    * the .5, the same algebra as [[mannWhitneyU]]. ρ is then Pearson on
+    * the doubled ranks (the ×2 cancels): all five moments are exact
+    * integers, combined in DECIMAL(38,0) (n·Sxy overflows BIGINT at
+    * ~7·10^5 rows: Sxy ≤ 4n³), with the one double conversion at the
+    * covariance/variance level — sqrt of each variance separately, since
+    * the variance PRODUCT would overflow even 38 digits.
+    *
+    * Scale shape: per-column per-distinct-value counts aggregate
+    * distributed (keyed shuffle on the value), cumulative counts run
+    * through the distributed [[runningTotals]] scan (continuous values →
+    * distinct ≈ rows; an ordered window would be the single-task
+    * scale-killer), and the doubled ranks join BACK to the rows on the
+    * value key — two keyed shuffles of slim (value, rank) relations.
+    * Null rows (either side) are excluded up front, as scipy does. */
+  def spearmanRho(df: DataFrame, xCol: Column, yCol: Column): DataFrame = {
+    val rows = df.select(xCol.as("x"), yCol.as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
+    def ranks2(c: String): DataFrame = {
+      val perValue = rows.groupBy(col(c).as("v")).agg(count(lit(1)).as("cnt"))
+      runningTotals(perValue, Seq("cnt"))
+        .select(col("v").as(c),
+          (lit(2L) * (col("cum_cnt") - col("cnt")) + col("cnt") + lit(1L)).as(s"r2_$c"))
+    }
+    val ranked = rows.join(ranks2("x"), "x").join(ranks2("y"), "y")
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val m = ranked.agg(
+      count(lit(1)).as("n"),
+      sum(col("r2_x")).cast(dec38).as("sx"),
+      sum(col("r2_y")).cast(dec38).as("sy"),
+      sum(col("r2_x") * col("r2_y")).cast(dec38).as("sxy"),
+      sum(col("r2_x") * col("r2_x")).cast(dec38).as("sxx"),
+      sum(col("r2_y") * col("r2_y")).cast(dec38).as("syy"))
+    val nD = col("n").cast(dec38)
+    val cov = (nD * col("sxy") - col("sx") * col("sy")).cast(DoubleType)
+    val vx = (nD * col("sxx") - col("sx") * col("sx")).cast(DoubleType)
+    val vy = (nD * col("syy") - col("sy") * col("sy")).cast(DoubleType)
+    m.select(col("n"), round(cov / (sqrt(vx) * sqrt(vy)), 6).as("rho"))
+  }
 }

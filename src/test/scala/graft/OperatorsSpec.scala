@@ -654,6 +654,27 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(r1.getAs[Double]("z_stat") < -5.0)
   }
 
+  test("spearmanRho: monotone ±1, tie handling matches the closed form, independence near 0") {
+    import graft.operators.Robust
+    // strictly increasing relation (nonlinear) → ρ = 1; reversed → −1
+    val mono = Seq.tabulate(50)(i => (i.toDouble, (i * i).toDouble)).toDF("x", "y")
+    assert(Robust.spearmanRho(mono, $"x", $"y").head().getAs[Double]("rho") == 1.0)
+    val anti = Seq.tabulate(50)(i => (i.toDouble, -(i * i).toDouble)).toDF("x", "y")
+    assert(Robust.spearmanRho(anti, $"x", $"y").head().getAs[Double]("rho") == -1.0)
+    // hand-checked tie case (average ranks: x → [1, 2.5, 2.5, 4],
+    // y → [1,2,3,4]; Pearson on ranks = 0.9486832980…)
+    val ties = Seq((1.0, 10.0), (2.0, 20.0), (2.0, 30.0), (3.0, 40.0)).toDF("x", "y")
+    assert(Robust.spearmanRho(ties, $"x", $"y").head().getAs[Double]("rho") == 0.948683)
+    // null rows on either side are excluded, not ranked
+    val withNulls = Seq((Some(1.0), Some(1.0)), (Some(2.0), Some(2.0)),
+      (None, Some(9.0)), (Some(9.0), None), (Some(3.0), Some(3.0))).toDF("x", "y")
+    val r = Robust.spearmanRho(withNulls, $"x", $"y").head()
+    assert(r.getAs[Long]("n") == 3L && r.getAs[Double]("rho") == 1.0)
+    // x independent of a constant-then-alternating y: |rho| well below 1
+    val weak = Seq.tabulate(40)(i => (i.toDouble, (i % 2).toDouble)).toDF("x", "y")
+    assert(math.abs(Robust.spearmanRho(weak, $"x", $"y").head().getAs[Double]("rho")) < 0.2)
+  }
+
   test("luhnValid: known card fixtures and checksum flip") {
     import graft.clean.Cleaning
     val df = Seq("4111111111111111", "4111111111111112", "79927398713", "79927398710")
