@@ -3552,6 +3552,16 @@ object SparkEntry {
       graft.operators.Robust.mannWhitneyU(
         Tables.lineitem(s, d), col("l_quantity"), col("l_returnflag"), "A", "N")),
 
+    // Top principal component of the embedding table — ONE distributed
+    // covariance-moment pass (upper-triangle centered products into a
+    // map-side decimal partial agg; shuffle ≤ d(d+1)/2 rows per task),
+    // then a constant-size (d² doubles) driver-side power iteration with
+    // every fold in pinned ascending order. The oracle replays the whole
+    // chain — means, moments, all ten rounds — bit-identically.
+    "q_pca_top" -> ((s, d) =>
+      graft.operators.Pca.topComponent(
+        Tables.embeddings(s, d), col("embedding"), 64, 10)),
+
     // Spearman rank correlation of quantity vs extended price — monotone
     // association on ranks (average-rank ties via the exact-integer
     // doubled-rank algebra, distributed runningTotals ECDF scan, moments
@@ -6403,6 +6413,8 @@ object SparkEntry {
                              - CAST(tie3 AS DOUBLE) / ((na + nb) * (na + nb - 1.0)))), 6) AS z_stat
          FROM z""",
 
+    "q_pca_top" -> pcaTopSql,
+
     // Spearman: same doubled-rank tie algebra (2·avgrank = 2·below+cnt+1),
     // HUGEINT moment combination (n·Sxy needs >63 bits), sqrt of each
     // variance separately — the variance PRODUCT would need ~2× the digits.
@@ -6592,6 +6604,71 @@ object SparkEntry {
                       ON nodes.node = s.node)"""
     }.mkString
     head + rounds + "\n         SELECT node, round(r, 6) AS rank FROM r10 ORDER BY node"
+  }
+
+  /** Unrolled 10-round power-iteration oracle for [[q_pca_top]] — replays
+    * [[graft.operators.Pca.topComponent]]'s exact IEEE chain: 6dp decimal
+    * means, DECIMAL(38,12)-exact centered covariance moments (one double
+    * cast out), then ten matvec+normalize rounds where EVERY fold —
+    * matvec over j, norm over i, Rayleigh, trace, the sign-fixing
+    * component sum — is an ordered left-to-right list_reduce matching the
+    * engine's ascending while-loops (a no-init left fold equals the
+    * 0.0-seeded loop: adding 0.0 is exact). v₀ = 1/√64 = 0.125 exactly.
+    * The shared relations are MATERIALIZED (DuckDB-only syntax — oracles
+    * never run in Spark): DuckDB inlines CTEs by default, and the ten
+    * rounds each re-reference cov, so inlining re-evaluates the 2M-row
+    * moment pass per round (~10 min); materialized it is ~6 s. */
+  private def pcaTopSql: String = {
+    val head =
+      """WITH e AS MATERIALIZED (SELECT embedding AS v FROM embeddings
+                    WHERE embedding IS NOT NULL AND len(embedding) = 64
+                      AND len(list_filter(embedding, x -> x IS NULL)) = 0),
+              d AS MATERIALIZED (SELECT CAST(i AS INT) AS i FROM range(0, 64) t(i)),
+              mn AS MATERIALIZED (SELECT d.i AS i,
+                            round(CAST(sum(CAST(e.v[d.i + 1] AS DECIMAL(38,12))) AS DOUBLE)
+                                  / count(*), 6) AS m
+                     FROM e, d GROUP BY d.i),
+              cp AS MATERIALIZED (SELECT d1.i AS i, d2.i AS j,
+                            CAST(sum(CAST((CAST(e.v[d1.i + 1] AS DOUBLE) - m1.m)
+                                        * (CAST(e.v[d2.i + 1] AS DOUBLE) - m2.m)
+                                        AS DECIMAL(38,12))) AS DOUBLE) AS c
+                     FROM e, d d1, d d2, mn m1, mn m2
+                     WHERE m1.i = d1.i AND m2.i = d2.i AND d2.i >= d1.i
+                     GROUP BY d1.i, d2.i),
+              cov AS MATERIALIZED (SELECT i, j, c FROM cp
+                      UNION ALL SELECT j AS i, i AS j, c FROM cp WHERE j > i),
+              r0 AS (SELECT list_transform(generate_series(1, 64),
+                                           x -> CAST(0.125 AS DOUBLE)) AS v)"""
+    val rounds = (1 to 10).map { k =>
+      s""",
+              s$k AS (SELECT cov.i AS i,
+                             list_reduce(list(cov.c * rp.v[cov.j + 1] ORDER BY cov.j),
+                                         (a, b) -> a + b) AS w
+                      FROM cov, r${k - 1} rp GROUP BY cov.i),
+              r$k AS (SELECT list_transform(wl, x -> x / nrm) AS v FROM (
+                        SELECT list(w ORDER BY i) AS wl,
+                               sqrt(list_reduce(list_transform(list(w ORDER BY i), x -> x * x),
+                                                (a, b) -> a + b)) AS nrm
+                        FROM s$k))"""
+    }.mkString
+    val tail =
+      """,
+              fin AS (SELECT v FROM r10),
+              tv AS (SELECT cov.i AS i,
+                            list_reduce(list(cov.c * f.v[cov.j + 1] ORDER BY cov.j),
+                                        (a, b) -> a + b) AS t
+                     FROM cov, fin f GROUP BY cov.i),
+              sc AS (SELECT list_reduce(list(f.v[tv.i + 1] * tv.t ORDER BY tv.i),
+                                        (a, b) -> a + b) AS lam,
+                            (SELECT list_reduce(list(c ORDER BY i), (a, b) -> a + b)
+                             FROM cov WHERE i = j) AS tr,
+                            (SELECT list_reduce(f2.v, (a, b) -> a + b) FROM fin f2) AS csum
+                     FROM tv, fin f GROUP BY f.v)
+         SELECT d.i AS i,
+                round(CASE WHEN sc.csum < 0 THEN -1.0 ELSE 1.0 END * fin.v[d.i + 1], 6) AS loading,
+                round(sc.lam / sc.tr, 6) AS var_ratio
+         FROM d, fin, sc ORDER BY d.i"""
+    head + rounds + tail
   }
 
   /** Gap-free month spine via WITH RECURSIVE — valid in BOTH Spark 4 and

@@ -654,6 +654,34 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(r1.getAs[Double]("z_stat") < -5.0)
   }
 
+  test("Pca.topComponent: recovers a planted dominant axis, unit norm, positive-sum sign") {
+    import graft.operators.Pca
+    // 40 vectors in R^4: huge variance along axis 1, tiny elsewhere —
+    // the top component must concentrate on dimension 1 with the
+    // sign-fixed (component-sum ≥ 0) orientation.
+    val data = (0 until 40).map { k =>
+      val main = if (k % 2 == 0) 10f + k else -10f - k
+      Tuple1(Seq(0.01f * k, main, 0.02f * (k % 3), 0.01f))
+    }
+    val df = data.toDF("embedding")
+    val rows = Pca.topComponent(df, $"embedding", 4, rounds = 30).collect()
+    assert(rows.length == 4)
+    val load = rows.sortBy(_.getAs[Int]("i")).map(_.getAs[Double]("loading"))
+    assert(math.abs(load(1)) > 0.999, s"dominant axis not recovered: ${load.toSeq}")
+    // unit norm (6dp rounding slack)
+    val norm = math.sqrt(load.map(x => x * x).sum)
+    assert(math.abs(norm - 1.0) < 1e-4)
+    // sign rule: component sum non-negative
+    assert(load.sum >= 0.0)
+    // dominant axis explains essentially all variance
+    val ratio = rows.head.getAs[Double]("var_ratio")
+    assert(ratio > 0.999 && ratio <= 1.0 + 1e-9)
+    // rows with wrong length or null elements are excluded, not poisoned
+    val dirty = df.union(Seq(Tuple1(Seq(1f, 2f))).toDF("embedding"))
+    val clean = Pca.topComponent(dirty, $"embedding", 4, rounds = 30).collect()
+    assert(clean.sortBy(_.getAs[Int]("i")).map(_.getAs[Double]("loading")).toSeq == load.toSeq)
+  }
+
   test("spearmanRho: monotone ±1, tie handling matches the closed form, independence near 0") {
     import graft.operators.Robust
     // strictly increasing relation (nonlinear) → ρ = 1; reversed → −1
