@@ -3552,6 +3552,14 @@ object SparkEntry {
       graft.operators.Robust.mannWhitneyU(
         Tables.lineitem(s, d), col("l_quantity"), col("l_returnflag"), "A", "N")),
 
+    // Pareto frontier (2-D skyline) of price vs discount — the rows no
+    // other row beats on both criteria, via the distributed descending-x
+    // prefix-strict-max sweep (two keyed aggregates + the two-level scan;
+    // never a single-task global window). Duplicates keep multiplicity.
+    "q_skyline" -> ((s, d) =>
+      graft.operators.Pareto.skyline2D(
+        Tables.lineitem(s, d), col("l_extendedprice"), col("l_discount"))),
+
     // Top principal component of the embedding table — ONE distributed
     // covariance-moment pass (upper-triangle centered products into a
     // map-side decimal partial agg; shuffle ≤ d(d+1)/2 rows per task),
@@ -6414,6 +6422,21 @@ object SparkEntry {
          FROM z""",
 
     "q_pca_top" -> pcaTopSql,
+
+    // Skyline: the same sweep as a window twin — survive iff the per-x
+    // max y strictly exceeds every y at strictly greater x.
+    "q_skyline" ->
+      """WITH pts AS (SELECT l_extendedprice AS x, l_discount AS y FROM lineitem
+                      WHERE l_extendedprice IS NOT NULL AND l_discount IS NOT NULL),
+              gxy AS (SELECT x, y, CAST(count(*) AS BIGINT) AS n FROM pts GROUP BY x, y),
+              gx AS (SELECT x, max(y) AS ym FROM gxy GROUP BY x),
+              pm AS (SELECT x, ym, max(ym) OVER (ORDER BY x DESC
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m
+                     FROM gx)
+         SELECT pm.x AS x, pm.ym AS y, gxy.n AS n
+         FROM pm JOIN gxy ON gxy.x = pm.x AND gxy.y = pm.ym
+         WHERE pm.m IS NULL OR pm.ym > pm.m
+         ORDER BY x""",
 
     // Spearman: same doubled-rank tie algebra (2·avgrank = 2·below+cnt+1),
     // HUGEINT moment combination (n·Sxy needs >63 bits), sqrt of each

@@ -654,6 +654,26 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(r1.getAs[Double]("z_stat") < -5.0)
   }
 
+  test("Pareto.skyline2D: dominance, equal-x/equal-point ties, null exclusion, staircase") {
+    import graft.operators.Pareto
+    // (5,1) and (1,5) are frontier corners; (3,3) survives between them;
+    // (2,2) is dominated by (3,3); (3,1) dominated at equal x by (3,3);
+    // duplicate (5,1) rows keep multiplicity; nulls are dropped.
+    val df = Seq(
+      (Some(5.0), Some(1.0)), (Some(5.0), Some(1.0)), (Some(1.0), Some(5.0)),
+      (Some(3.0), Some(3.0)), (Some(2.0), Some(2.0)), (Some(3.0), Some(1.0)),
+      (None, Some(9.0)), (Some(9.0), None)).toDF("x", "y")
+    val got = Pareto.skyline2D(df, $"x", $"y").collect()
+      .map(r => (r.getAs[Double]("x"), r.getAs[Double]("y"), r.getAs[Long]("n")))
+    assert(got.toSeq == Seq((1.0, 5.0, 1L), (3.0, 3.0, 1L), (5.0, 1.0, 2L)))
+    // staircase invariant: y strictly decreasing as x increases
+    assert(got.map(_._2).sliding(2).forall { case Array(a, b) => a > b; case _ => true })
+    // a globally dominant point collapses the frontier to itself
+    val dom = df.union(Seq((Some(10.0), Some(10.0))).toDF("x", "y"))
+    val top = Pareto.skyline2D(dom, $"x", $"y").collect()
+    assert(top.length == 1 && top.head.getAs[Double]("x") == 10.0)
+  }
+
   test("Pca.topComponent: recovers a planted dominant axis, unit norm, positive-sum sign") {
     import graft.operators.Pca
     // 40 vectors in R^4: huge variance along axis 1, tiny elsewhere —
