@@ -831,6 +831,15 @@ object SparkEntry {
       Similarity.bruteForceKnn(emb.filter(col("vec_id") < 32), emb, k = 5)
     }),
 
+    // Hard-negative mining: per query vector, the top-3 most-similar
+    // candidates of a DIFFERENT label (the contrastive-training negatives
+    // nearest the boundary). Mismatch predicate folded into the join,
+    // bounded-heap top-k, labels rejoined on the bounded result.
+    "q_hard_negatives" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.hardNegatives(emb.filter(col("vec_id") < 32), emb, k = 3)
+    }),
+
     // Banded hyperplane-LSH ANN, SELF-ASSERTING: the query emits recall@5
     // against the exact brute-force top-k (computed in the same plan — the
     // |Q|·|C| twin is the verification harness, bounded by |Q|=32). Measured
@@ -4428,6 +4437,18 @@ object SparkEntry {
            FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
            WHERE q.vec_id < 32)
          WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    "q_hard_negatives" ->
+      """SELECT * FROM (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label AS neighbor_label,
+                  round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) AS cosine,
+                  CAST(row_number() OVER (
+                    PARTITION BY q.vec_id
+                    ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) DESC,
+                             c.vec_id) AS INT) AS rank
+           FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id AND q.label != c.label
+           WHERE q.vec_id < 32)
+         WHERE rank <= 3 ORDER BY query_id, rank""",
 
     // ANN entries are self-asserting (recall@5 vs the in-plan brute-force
     // twin ≥ a floor far below the measured value): the oracle pins the

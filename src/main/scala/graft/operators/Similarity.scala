@@ -45,6 +45,40 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Hard-negative mining for contrastive training (Schroff et al. 2015
+    * FaceNet; the standard retrieval-training data op): for each query
+    * vector, the top-k most-similar candidates with a DIFFERENT label —
+    * the negatives nearest the decision boundary, which carry the most
+    * gradient signal. Same bounded-broadcast shape as [[bruteForceKnn]]
+    * with the label-mismatch predicate folded into the join condition
+    * (evaluated before any scoring work), then the bounded-heap top-k;
+    * neighbor labels rejoin on the BOUNDED |Q|·k result, never as a
+    * corpus-wide broadcast. At scale the same mismatch fold drops into
+    * [[lshKnn]]/IVF probing — score only mismatched pairs inside probed
+    * buckets. */
+  def hardNegatives(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(
+      col("vec_id").as("query_id"), col("label").as("q_label"),
+      col("embedding").as("q_emb"), l2Norm(col("embedding")).as("q_nrm"))
+    val c = candidates
+      .repartition(candidates.sparkSession.sparkContext.defaultParallelism)
+      .select(
+        col("vec_id").as("neighbor_id"), col("label").as("c_label"),
+        col("embedding").as("c_emb"), l2Norm(col("embedding")).as("c_nrm"))
+    val scored = broadcast(q)
+      .join(c, col("query_id") =!= col("neighbor_id") && col("q_label") =!= col("c_label"))
+      .select(
+        col("query_id"), col("neighbor_id"),
+        round(dotProduct(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")), 6)
+          .as("cosine"))
+    rankTopK(scored, k)
+      .join(candidates.select(col("vec_id").as("neighbor_id"), col("label").as("neighbor_label")),
+        Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("neighbor_label"),
+        col("cosine"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Reciprocal-rank fusion (RRF; Cormack, Clarke & Buettcher, SIGIR 2009)
     * of a lexical BM25 ranking and a semantic embedding-cosine ranking —
     * the standard hybrid-retrieval combiner: each list contributes

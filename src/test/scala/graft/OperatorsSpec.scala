@@ -182,6 +182,25 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(knn(0).getAs[Int]("rank") == 1)
   }
 
+  test("hardNegatives excludes same-label neighbors and ranks the rest like brute force") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), 0),
+      (1L, Array(0.99f, 0.01f), 0),  // nearest overall but SAME label → excluded
+      (2L, Array(0.9f, 0.1f), 1),    // nearest mismatched → rank 1
+      (3L, Array(0.0f, 1.0f), 2),    // orthogonal mismatch → rank 2
+      (4L, Array(-1.0f, 0.0f), 1))   // opposite mismatch → rank 3
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.hardNegatives(emb.filter($"vec_id" === 0), emb, k = 3).collect()
+    assert(got.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(2L, 3L, 4L))
+    assert(got.map(_.getAs[Int]("neighbor_label")).toSeq == Seq(1, 2, 1))
+    assert(got.map(_.getAs[Int]("rank")).toSeq == Seq(1, 2, 3))
+    // scores agree with the unfiltered brute force on the shared pairs
+    val brute = Similarity.bruteForceKnn(emb.filter($"vec_id" === 0), emb, k = 4)
+      .collect().map(r => r.getAs[Long]("neighbor_id") -> r.getAs[Double]("cosine")).toMap
+    got.foreach(r => assert(
+      brute(r.getAs[Long]("neighbor_id")) == r.getAs[Double]("cosine")))
+  }
+
   test("lshKnn returns a subset of brute-force neighbors with exact scores") {
     val emb = (0L until 40L).map { i =>
       (i, Array.tabulate(8)(j => math.sin(i * 8 + j).toFloat))
