@@ -3561,6 +3561,17 @@ object SparkEntry {
       graft.operators.Robust.mannWhitneyU(
         Tables.lineitem(s, d), col("l_quantity"), col("l_returnflag"), "A", "N")),
 
+    // Kendall τ-b of quantity vs the 10k-bucketed extended price — the
+    // tie-robust ordinal association on a bounded contingency-cell
+    // domain (≤ 50 × ~7 cells): pair counts are an O(cells²) fold over
+    // one collected array, marginal tie pairs aggregate distributed.
+    // Positive by construction (price grows with quantity); P and Q are
+    // emitted as exact integers.
+    "q_kendall_tau" -> ((s, d) =>
+      graft.operators.Robust.kendallTauB(
+        Tables.lineitem(s, d), col("l_quantity"),
+        floor(col("l_extendedprice") / lit(10000.0)).cast("int"))),
+
     // Pareto frontier (2-D skyline) of price vs discount — the rows no
     // other row beats on both criteria, via the distributed descending-x
     // prefix-strict-max sweep (two keyed aggregates + the two-level scan;
@@ -6443,6 +6454,34 @@ object SparkEntry {
          FROM z""",
 
     "q_pca_top" -> pcaTopSql,
+
+    // Kendall τ-b: exact integer pair counts over the cell domain (empty
+    // strict-filter sublists sum to NULL, which the outer sum skips —
+    // identical to adding the zero the engine's 0-seeded fold produces).
+    "q_kendall_tau" ->
+      """WITH t AS (SELECT l_quantity AS x, CAST(floor(l_extendedprice / 10000.0) AS INT) AS y
+                    FROM lineitem
+                    WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+              cells AS (SELECT x, y, CAST(count(*) AS BIGINT) AS cnt FROM t GROUP BY 1, 2),
+              one AS (SELECT list({'x': x, 'y': y, 'cnt': cnt}) AS cs,
+                             CAST(sum(cnt) AS BIGINT) AS n FROM cells),
+              mx AS (SELECT CAST(sum(tx * (tx - 1) // 2) AS BIGINT) AS n1
+                     FROM (SELECT sum(cnt) AS tx FROM cells GROUP BY x)),
+              my AS (SELECT CAST(sum(ty * (ty - 1) // 2) AS BIGINT) AS n2
+                     FROM (SELECT sum(cnt) AS ty FROM cells GROUP BY y)),
+              pq AS (SELECT n,
+                            CAST(coalesce(list_sum(list_transform(cs, c -> c.cnt *
+                              list_sum(list_transform(list_filter(cs,
+                                o -> o.x > c.x AND o.y > c.y), o -> o.cnt)))), 0) AS BIGINT) AS concordant,
+                            CAST(coalesce(list_sum(list_transform(cs, c -> c.cnt *
+                              list_sum(list_transform(list_filter(cs,
+                                o -> o.x > c.x AND o.y < c.y), o -> o.cnt)))), 0) AS BIGINT) AS discordant
+                     FROM one)
+         SELECT n, concordant, discordant,
+                round(CAST(concordant - discordant AS DOUBLE)
+                      / (sqrt(CAST(n * (n - 1) // 2 - n1 AS DOUBLE))
+                         * sqrt(CAST(n * (n - 1) // 2 - n2 AS DOUBLE))), 6) AS tau_b
+         FROM pq, mx, my""",
 
     // Skyline: the same sweep as a window twin — survive iff the per-x
     // max y strictly exceeds every y at strictly greater x.

@@ -695,4 +695,45 @@ object Robust {
     val vy = (nD * col("syy") - col("sy") * col("sy")).cast(DoubleType)
     m.select(col("n"), round(cov / (sqrt(vx) * sqrt(vy)), 6).as("rho"))
   }
+
+  /** Kendall τ-b between two DISCRETE/ordinal columns — the tie-robust
+    * companion to [[spearmanRho]] (Spearman rides the full rank scan for
+    * continuous values; Kendall's pairwise definition is O(n²) over ROWS
+    * but exact and bounded over the CONTINGENCY-CELL domain, the
+    * [[mutualInformation]] shape): concordant/discordant pair counts are
+    * Σ over cell pairs of n_c·n_c' with the strict-inequality pattern,
+    * an O(cells²) fold over ONE collected array bounded by |X|·|Y| — the
+    * caller's precondition, same as MI/χ². Marginal tie-pair counts n1 =
+    * Σ t_x(t_x−1)/2 and n2 aggregate DISTRIBUTED before the collapse.
+    * All counts are exact integers (P, Q ≤ n²/2 fit 63 bits to ~10⁹
+    * rows), so only the final τ_b division is floating — each variance
+    * factor converts to double separately (their product would need
+    * ~2×63 bits). Emits P and Q exactly: the oracle compare is
+    * float-free for the pair counts themselves. */
+  def kendallTauB(df: DataFrame, xCol: Column, yCol: Column): DataFrame = {
+    val cells = df.select(xCol.as("x"), yCol.as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("cnt"))
+    val tiesX = cells.groupBy(col("x")).agg(sum(col("cnt")).as("tx"))
+      .agg(sum(expr("tx * (tx - 1) div 2")).as("n1"))
+    val tiesY = cells.groupBy(col("y")).agg(sum(col("cnt")).as("ty"))
+      .agg(sum(expr("ty * (ty - 1) div 2")).as("n2"))
+    val one = cells.agg(
+      array_sort(collect_list(struct(col("x"), col("y"), col("cnt")))).as("cs"),
+      sum(col("cnt")).as("n"))
+    def pairSum(cmp: (Column, Column) => Column): Column =
+      aggregate(col("cs"), lit(0L), (acc, c) =>
+        acc + c.getField("cnt") * aggregate(
+          filter(col("cs"), o =>
+            o.getField("x") > c.getField("x") && cmp(o.getField("y"), c.getField("y"))),
+          lit(0L), (a, o) => a + o.getField("cnt")))
+    val n0 = expr("n * (n - 1) div 2")
+    val withPq = one
+      .select(col("n"), pairSum(_ > _).as("concordant"), pairSum(_ < _).as("discordant"))
+      .crossJoin(broadcast(tiesX)).crossJoin(broadcast(tiesY))
+    withPq.select(col("n"), col("concordant"), col("discordant"),
+      round((col("concordant") - col("discordant")).cast(DoubleType) /
+        (sqrt((n0 - col("n1")).cast(DoubleType)) * sqrt((n0 - col("n2")).cast(DoubleType))),
+        6).as("tau_b"))
+  }
 }

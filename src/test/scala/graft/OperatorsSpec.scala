@@ -673,6 +673,27 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(r1.getAs[Double]("z_stat") < -5.0)
   }
 
+  test("kendallTauB: perfect agreement/reversal, hand-checked ties, exact pair counts") {
+    import graft.operators.Robust
+    // strictly monotone, no ties: tau = 1 / −1, P = n(n−1)/2
+    val mono = Seq.tabulate(10)(i => (i, i * 3)).toDF("x", "y")
+    val r1 = Robust.kendallTauB(mono, $"x", $"y").head()
+    assert(r1.getAs[Long]("concordant") == 45L && r1.getAs[Long]("discordant") == 0L)
+    assert(r1.getAs[Double]("tau_b") == 1.0)
+    val anti = Seq.tabulate(10)(i => (i, -i)).toDF("x", "y")
+    assert(Robust.kendallTauB(anti, $"x", $"y").head().getAs[Double]("tau_b") == -1.0)
+    // hand-checked tie case: x=[1,1,2,2], y=[1,2,1,2] →
+    // P = 1 (the (1,1)-(2,2) pair), Q = 1 ((1,2)-(2,1)), n1 = n2 = 2,
+    // n0 = 6 → tau_b = 0 / (sqrt(4)*sqrt(4)) = 0
+    val ties = Seq((1, 1), (1, 2), (2, 1), (2, 2)).toDF("x", "y")
+    val r2 = Robust.kendallTauB(ties, $"x", $"y").head()
+    assert(r2.getAs[Long]("concordant") == 1L && r2.getAs[Long]("discordant") == 1L)
+    assert(r2.getAs[Double]("tau_b") == 0.0)
+    // scipy-checked: x=[1,2,3,4,5], y=[1,1,2,2,3] → tau_b = 0.8944271909…
+    val sk = Seq((1, 1), (2, 1), (3, 2), (4, 2), (5, 3)).toDF("x", "y")
+    assert(Robust.kendallTauB(sk, $"x", $"y").head().getAs[Double]("tau_b") == 0.894427)
+  }
+
   test("Pareto.skyline2D: dominance, equal-x/equal-point ties, null exclusion, staircase") {
     import graft.operators.Pareto
     // (5,1) and (1,5) are frontier corners; (3,3) survives between them;
