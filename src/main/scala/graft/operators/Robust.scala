@@ -75,39 +75,44 @@ object Robust {
     * are ignored throughout (quantiles, MAD and wins_mean all run over
     * the non-null domain; `n` counts only non-null rows).
     *
-    * Job shape — ONE full scan + two slice scans. Rows bucket on the
-    * fixed order-preserving bit grid ([[graft.functions.BitGrid]]), so
-    * the per-(group, bucket) summary — counts, exact-decimal value sums,
-    * and ACTUAL per-bucket `[vmin, vmax]` — is the first and only pass
-    * over the data (a `(v − lo)/width` histogram would need a bounds
-    * pass first). Everything else derives from that tiny summary by
-    * broadcast arithmetic:
+    * Job shape — ONE full scan + ONE fused slice scan. Rows bucket on
+    * the fixed order-preserving bit grid ([[graft.functions.BitGrid]]),
+    * so the per-(group, bucket) summary — counts, exact-decimal value
+    * sums, and ACTUAL per-bucket `[vmin, vmax]` — is the first and only
+    * pass over the data (a `(v − lo)/width` histogram would need a
+    * bounds pass first). Everything else derives from that tiny summary
+    * by broadcast arithmetic:
     *   - cut targets (p05/med/p95 rank brackets) — summary windows;
-    *   - the MAD bracket — the value histogram FOLDED around the median
-    *     analytically: per bucket, the deviation extremes are exactly
-    *     `dmin/dmax = dist(med, [vmin, vmax])` (|·−m| attains its
-    *     extremes at interval endpoints, and these are true data
-    *     extremes, so no conservative float margins are needed), and
-    *     rank bounds over those brackets pick the deviation-median's
-    *     bucket annulus without EVER scanning deviations — the round-6
-    *     MAD summary pass over the whole table is gone;
+    *   - the MAD bracket — the value histogram FOLDED around the p50
+    *     bracket's bucket INTERVAL (not the exact median, which no
+    *     slice has computed yet): per bucket, the deviation range is
+    *     conservatively `[Dmin, Dmax] = dist([vmin, vmax], [mlo, mhi])`
+    *     interval distances, and rank bounds over those brackets pick
+    *     the deviation-median's bucket annulus without EVER scanning
+    *     deviations. Interval folding costs at most the boundary
+    *     buckets of annulus width but makes the MAD targets independent
+    *     of the cut slice — which is what lets both slices FUSE;
     *   - the winsorized sum — decimal addition is associative-exact, so
     *     `Σ dec2(clamp(v))` decomposes into bucket-level decimal sums
     *     (from the summary) plus per-boundary-bucket corrections that
     *     ride the cut slice: `n_below·dec2(p05) + n_above·dec2(p95) +
     *     S_mid` is bit-identical to the row-by-row DuckDB replay.
-    * Slice scans then fetch only the target buckets' rows (cut slice)
-    * and the MAD annulus (deviation slice). At 100 TB that is one full
-    * pass + two bounded probes, vs the previous three full passes. */
+    * The single slice pass then fetches cut-bucket AND annulus rows in
+    * one broadcast join, picks the cuts, spreads the now-exact median
+    * to the annulus rows by a per-group window, and selects the MAD —
+    * windows only, no second data pass, one final per-group aggregate.
+    * At 100 TB that is one full pass + one bounded probe, vs round 6's
+    * full pass + two probes and round 5's three full passes. */
   def robustStats(df: DataFrame, groupCol: String, value: Column): DataFrame = {
     import graft.functions.BitGrid.bitBucket
-    // `base` is the root of all three passes (summary, cut slice, MAD
-    // slice) — materialized once (lazy localCheckpoint, the repo
-    // convention for multi-consumer subtrees, cf. Ranking.rowNumber; the
-    // no-checkpoint rescan variant measured ~15% slower here, unlike
-    // weightedMedian's two-consumer case). The bucket id rides every
-    // row: a pure function of the value bits, identical on every
-    // recomputation, so the slice joins key on it safely.
+    // `base` feeds the summary pass and the fused slice pass —
+    // materialized once (lazy localCheckpoint, the repo convention for
+    // multi-consumer subtrees, cf. Ranking.rowNumber; the no-checkpoint
+    // rescan variant re-measured ~equal after the slice fusion, and the
+    // checkpoint also shields callers whose `df` is non-deterministic
+    // upstream). The bucket id rides every row: a pure function of the
+    // value bits, identical on every recomputation, so the slice joins
+    // key on it safely.
     val base = df
       .select(col(groupCol).as("__g"), value.cast(DoubleType).as("v"))
       .filter(col("v").isNotNull)
@@ -128,7 +133,9 @@ object Robust {
     // Bucket-id order IS value order (bit grid), so running counts over
     // __bkt are value-CDF prefix sums; running DECIMAL sums ride for the
     // winsorized decomposition below. Each target rank lands in the one
-    // bucket whose (off, off+c] bracket holds it.
+    // bucket whose (off, off+c] bracket holds it. The target bucket's
+    // ACTUAL [vmin, vmax] rides along: the p50 row's interval brackets
+    // the median, which is all the MAD derivation below needs.
     val wOff = Window.partitionBy(col("__g")).orderBy(col("__bkt"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val wAll = Window.partitionBy(col("__g"))
@@ -141,73 +148,49 @@ object Robust {
       .withColumn("__tots", sum(col("__s")).over(wAll))
       .select(col("__g"), col("__bkt"), col("__off"), col("__offs"),
         col("__c").as("__pt"), col("__s").as("__pts"),
-        col("__tot"), col("__tots"),
+        col("__tot"), col("__tots"), col("__vmin"), col("__vmax"),
         explode(array(pcts.map(lit): _*)).as("__p"))
       .withColumn("__r", expr("(__p * __tot + 99) div 100"))
       .filter(col("__off") < col("__r") && col("__r") <= col("__off") + col("__pt"))
       .select(col("__g"), col("__bkt"), col("__p"),
         (col("__r") - col("__off")).as("__resid"),
         col("__off"), col("__offs"), col("__pt"), col("__pts"),
-        col("__tot"), col("__tots"))
+        col("__tot"), col("__tots"), col("__vmin"), col("__vmax"))
 
-    // ---- slice scan 1: pick the cuts + boundary-bucket corrections -----
-    // Only target-bucket rows survive the broadcast join (≤ |pcts| copies
-    // each). A second window over the SAME (g, p) sort attaches the pick
-    // to every slice row, so the partial-bucket corrections — rows of the
-    // p05 bucket strictly below the pick, rows of the p95 bucket strictly
-    // above it — aggregate in the same job with no circularity. Rows at
-    // exactly the cut contribute dec2(cut) on either side of the clamp,
-    // so their classification cannot matter.
-    val wSlice = Window.partitionBy(col("__g"), col("__p")).orderBy(col("v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wPick = Window.partitionBy(col("__g"), col("__p"))
-    val sl = base.join(broadcast(cutTargets), Seq("__g", "__bkt"))
-      .withColumn("__cum", sum(lit(1L)).over(wSlice))
-      .withColumn("__pick", min(when(col("__cum") >= col("__resid"), col("v"))).over(wPick))
-    val cuts = sl.groupBy(col("__g")).agg(
-      max(col("__tot")).as("__n"),
-      max(when(col("__p") === 5, col("__pick"))).as("__p05"),
-      max(when(col("__p") === 50, col("__pick"))).as("__med"),
-      max(when(col("__p") === 95, col("__pick"))).as("__p95"),
-      sum(when(col("__p") === 5 && col("v") < col("__pick"), 1L).otherwise(0L)).as("__b5c"),
-      sum(when(col("__p") === 5 && col("v") < col("__pick"), dec2(col("v"))).otherwise(dec0)).as("__b5s"),
-      sum(when(col("__p") === 95 && col("v") > col("__pick"), 1L).otherwise(0L)).as("__a95c"),
-      sum(when(col("__p") === 95 && col("v") > col("__pick"), dec2(col("v"))).otherwise(dec0)).as("__a95s"),
-      max(when(col("__p") === 5, col("__off"))).as("__off5"),
-      max(when(col("__p") === 5, col("__offs"))).as("__offs5"),
-      max(when(col("__p") === 95, col("__off"))).as("__off95"),
-      max(when(col("__p") === 95, col("__offs"))).as("__offs95"),
-      max(when(col("__p") === 95, col("__pt"))).as("__pt95"),
-      max(when(col("__p") === 95, col("__pts"))).as("__pts95"),
-      max(col("__tots")).as("__tots"))
-      .localCheckpoint(false)
-
-    // ---- MAD bracket: fold the histogram around the median -------------
-    // Per bucket the deviation of every row lies in [dmin, dmax] EXACTLY
-    // (true data extremes). Two rank bounds over those brackets:
-    //   cub(k) = Σ{c_j : dmin_j ≤ dmax_k} ≥ count(dev ≤ dmax_k)  (upper)
-    //   clb(k) = Σ{c_j : dmax_j ≤ dmax_k} ≤ count(dev ≤ dmax_k)  (lower)
+    // ---- MAD bracket: fold the histogram around the median's BUCKET ----
+    // The exact median is unknown before any slice runs, but the p50
+    // bracket already pins it inside ONE bucket's [mlo, mhi] — true data
+    // extremes from the summary. Folding the histogram around that
+    // INTERVAL instead of the point median keeps every bound conservative
+    // (per bucket, dev ∈ [Dmin, Dmax] where Dmin/Dmax are the min/max
+    // distance between the bucket interval and the median interval — a
+    // superset of the true [dmin, dmax]) while breaking the cut-slice →
+    // MAD-slice dependency: the annulus widens by at most the boundary
+    // buckets, and BOTH slices fuse into the single data pass below.
+    // Rank bounds over the conservative brackets, as before:
+    //   cub(k) = Σ{c_j : Dmin_j ≤ Dmax_k} ≥ count(dev ≤ Dmax_k)  (upper)
+    //   clb(k) = Σ{c_j : Dmax_j ≤ Dmax_k} ≤ count(dev ≤ Dmax_k)  (lower)
     // E = {k : cub(k) < T} — every E row's deviation is strictly below
-    // the deviation-median d* (count(dev ≤ max dmax over E) < T), so the
-    // T-th smallest deviation overall is the (T − |E|)-th smallest among
-    // the rest; __dhi = min dmax with clb ≥ T bounds d* from above. The
-    // slice is the non-E buckets reaching below __dhi — an annulus of a
-    // few boundary buckets. Computed with the union trick (tag dmin rows
-    // 0, dmax probes 1; one (g)-keyed sort over ≤ 2·|summary| rows):
-    // at a probe, the preceding type-0 running sum is exactly cub (all
-    // equal-distance dmin rows sort before it), and min-extraction makes
-    // the equal-dmax tie order irrelevant for clb.
-    val med = cuts.select(col("__g"), col("__med"),
-      expr("(50 * __n + 99) div 100").as("__tgt"))
-    val sm = summary.join(broadcast(med), "__g")
-      .withColumn("__dmax",
-        greatest(abs(col("__vmin") - col("__med")), abs(col("__vmax") - col("__med"))))
+    // the deviation-median d* (Dmax_k ≥ dmax_k, so the count bound still
+    // certifies it), so the T-th smallest deviation overall is the
+    // (T − |E|)-th smallest among the rest; __dhi = min Dmax with
+    // clb ≥ T still bounds d* from above (clb under-counts count(dev ≤
+    // Dmax_k), so clb ≥ T ⟹ d* ≤ Dmax_k). Union trick unchanged: tag
+    // Dmin rows 0, Dmax probes 1, one (g)-keyed sort over ≤ 2·|summary|.
+    val medIv = cutTargets.filter(col("__p") === 50)
+      .select(col("__g"), col("__vmin").as("__mlo"), col("__vmax").as("__mhi"),
+        expr("(50 * __tot + 99) div 100").as("__tgt"))
+    val sm = summary.join(broadcast(medIv), "__g")
+      .withColumn("__dmax", greatest(
+        abs(col("__vmin") - col("__mlo")), abs(col("__vmin") - col("__mhi")),
+        abs(col("__vmax") - col("__mlo")), abs(col("__vmax") - col("__mhi"))))
       .withColumn("__dmin",
-        when(col("__med") >= col("__vmin") && col("__med") <= col("__vmax"), lit(0.0))
-          .otherwise(least(abs(col("__vmin") - col("__med")), abs(col("__vmax") - col("__med")))))
-    val probes = sm.select(col("__g"), col("__tgt"), col("__med"), col("__bkt"),
+        when(col("__vmin") <= col("__mhi") && col("__vmax") >= col("__mlo"), lit(0.0))
+          .otherwise(when(col("__vmin") > col("__mhi"), col("__vmin") - col("__mhi"))
+            .otherwise(col("__mlo") - col("__vmax"))))
+    val probes = sm.select(col("__g"), col("__tgt"), col("__bkt"),
       col("__c"), col("__dmin"), col("__dmax").as("__d"), lit(1).as("__t"))
-    val lows = sm.select(col("__g"), col("__tgt"), col("__med"), lit(-1L).as("__bkt"),
+    val lows = sm.select(col("__g"), col("__tgt"), lit(-1L).as("__bkt"),
       col("__c"), lit(0.0).as("__dmin"), col("__dmin").as("__d"), lit(0).as("__t"))
     val wCum = Window.partitionBy(col("__g")).orderBy(col("__d"), col("__t"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -220,30 +203,72 @@ object Robust {
       .withColumn("__ecnt", coalesce(
         sum(when(col("__isE"), col("__c"))).over(wAll), lit(0L)))
       .filter(!col("__isE") && col("__dmin") <= col("__dhi"))
-      .select(col("__g"), col("__bkt"), col("__med"), col("__dhi"),
+      .select(col("__g"), col("__bkt"), lit(-1).as("__p"), col("__dhi"),
         (col("__tgt") - col("__ecnt")).as("__resid"))
 
-    // ---- slice scan 2: exact deviation median over the annulus ---------
-    val wDev = Window.partitionBy(col("__g")).orderBy(col("__dev"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val mad = base.join(broadcast(madTargets), Seq("__g", "__bkt"))
-      .withColumn("__dev", abs(col("v") - col("__med")))
-      .filter(col("__dev") <= col("__dhi"))
-      .withColumn("__cum", sum(lit(1L)).over(wDev))
-      .groupBy(col("__g"))
-      .agg(min(when(col("__cum") >= col("__resid"), col("__dev"))).as("__mad_raw"))
+    // Cut targets and MAD-annulus targets fuse into one broadcast; mad
+    // rows (__p = -1) carry null cut bookkeeping and vice versa.
+    val allTargets = cutTargets
+      .select(col("__g"), col("__bkt"), col("__p"), col("__resid"),
+        col("__off"), col("__offs"), col("__pt"), col("__pts"),
+        col("__tot"), col("__tots"))
+      .unionByName(madTargets, allowMissingColumns = true)
 
-    // ---- assemble: winsorized decomposition is pure per-group algebra --
-    // Bit-grid ordering makes the full-bucket parts exact: every row in a
-    // bucket below the p05 bucket is strictly < p05 (so clamps to it) and
-    // every row above the p95 bucket strictly > p95.
+    // ---- THE slice scan: cuts, corrections and MAD in one data pass ----
+    // Only target-bucket rows survive the broadcast join (≤ |pcts| cut
+    // copies + one annulus copy each). Window choreography, all within
+    // this one job over the tiny slice:
+    //   1. per-(g, p) value order → running count → cut picks;
+    //   2. a (g) window spreads the p50 pick (the exact median) to the
+    //      annulus rows, which only then can compute |v − med|;
+    //   3. per-(g, -1) deviation order → running count → the MAD pick.
+    // Rows at exactly a cut contribute dec2(cut) on either side of the
+    // clamp, so their below/above classification cannot matter.
+    val wPick = Window.partitionBy(col("__g"), col("__p"))
+    val wSlice = wPick.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wDev = wPick.orderBy(col("__dev"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wG = Window.partitionBy(col("__g"))
+    val sl = base.join(broadcast(allTargets), Seq("__g", "__bkt"))
+      .withColumn("__cum", sum(lit(1L)).over(wSlice))
+      .withColumn("__pick", min(when(col("__p") =!= -1 && col("__cum") >= col("__resid"),
+        col("v"))).over(wPick))
+      .withColumn("__medv", max(when(col("__p") === 50, col("__pick"))).over(wG))
+      .withColumn("__dev", when(col("__p") === -1, abs(col("v") - col("__medv"))))
+      .filter(col("__p") =!= -1 || col("__dev") <= col("__dhi"))
+      .withColumn("__cumd", sum(when(col("__p") === -1, lit(1L))).over(wDev))
+      .withColumn("__madpick", min(when(col("__p") === -1 && col("__cumd") >= col("__resid"),
+        col("__dev"))).over(wPick))
+
+    // ---- assemble: ONE per-group aggregation, pure algebra after ------
+    // Bit-grid ordering makes the full-bucket parts of the winsorized sum
+    // exact: every row in a bucket below the p05 bucket is strictly < p05
+    // (so clamps to it) and every row above the p95 bucket strictly > p95.
+    val cuts = sl.groupBy(col("__g")).agg(
+      max(col("__tot")).as("__n"),
+      max(when(col("__p") === 5, col("__pick"))).as("__p05"),
+      max(when(col("__p") === 50, col("__pick"))).as("__med"),
+      max(when(col("__p") === 95, col("__pick"))).as("__p95"),
+      max(col("__madpick")).as("__mad_raw"),
+      sum(when(col("__p") === 5 && col("v") < col("__pick"), 1L).otherwise(0L)).as("__b5c"),
+      sum(when(col("__p") === 5 && col("v") < col("__pick"), dec2(col("v"))).otherwise(dec0)).as("__b5s"),
+      sum(when(col("__p") === 95 && col("v") > col("__pick"), 1L).otherwise(0L)).as("__a95c"),
+      sum(when(col("__p") === 95 && col("v") > col("__pick"), dec2(col("v"))).otherwise(dec0)).as("__a95s"),
+      max(when(col("__p") === 5, col("__off"))).as("__off5"),
+      max(when(col("__p") === 5, col("__offs"))).as("__offs5"),
+      max(when(col("__p") === 95, col("__off"))).as("__off95"),
+      max(when(col("__p") === 95, col("__offs"))).as("__offs95"),
+      max(when(col("__p") === 95, col("__pt"))).as("__pt95"),
+      max(when(col("__p") === 95, col("__pts"))).as("__pts95"),
+      max(col("__tots")).as("__tots"))
     val nBelow = col("__off5") + col("__b5c")
     val sBelow = col("__offs5") + col("__b5s")
     val nAbove = col("__n") - col("__off95") - col("__pt95") + col("__a95c")
     val sAbove = col("__tots") - col("__offs95") - col("__pts95") + col("__a95s")
     val wsum = dec2(col("__p05")) * nBelow + dec2(col("__p95")) * nAbove +
       (col("__tots") - sBelow - sAbove)
-    cuts.join(mad, Seq("__g"))
+    cuts
       .select(
         col("__g").as(groupCol),
         col("__n").as("n"),
