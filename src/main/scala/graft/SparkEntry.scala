@@ -2705,6 +2705,12 @@ object SparkEntry {
     "q_chi_square" -> ((s, d) =>
       graft.operators.Robust.chiSquare(Tables.documents(s, d), "lang", "source")),
 
+    // Per-source Jensen–Shannon divergence from the corpus unigram
+    // distribution over the global top-256 vocabulary + residual bucket —
+    // the source-drift curation diagnostic; sorted-vocab fold determinism.
+    "q_js_divergence" -> ((s, d) =>
+      graft.operators.Curation.jsDivergence(Tables.documents(s, d))),
+
     // Autocorrelation of daily order revenue, lags 1..7 — exact-decimal
     // moment sums → one double cast, so Pearson r is bit-portable.
     "q_acf" -> ((s, d) =>
@@ -5906,6 +5912,50 @@ object SparkEntry {
                        / (CAST(list_sum(list_transform(list_filter(cs, x -> x.x = c.x), t -> t.cnt)) AS DOUBLE)
                           * CAST(list_sum(list_transform(list_filter(cs, x -> x.y = c.y), t -> t.cnt)) AS DOUBLE))))), 6) AS mi_nats
          FROM one""",
+
+    // Same sorted-vocab fold as the Spark HOF; the residual bucket is one
+    // closed-form term added AFTER the list_sum, on both engines.
+    "q_js_divergence" ->
+      """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS term FROM documents),
+              tc AS (SELECT term, count(*) AS cnt FROM tok GROUP BY 1),
+              top AS (SELECT term, cnt FROM tc ORDER BY cnt DESC, term LIMIT 256),
+              corpus AS (SELECT (SELECT list_sort(list({'term': term, 'cnt': cnt})) FROM top) AS qs,
+                                CAST(sum(cnt) AS BIGINT) AS qtot,
+                                CAST((SELECT sum(cnt) FROM top) AS BIGINT) AS qtop
+                         FROM tc),
+              st AS (SELECT source, term, count(*) AS c FROM tok
+                     WHERE term IN (SELECT term FROM top) GROUP BY 1, 2),
+              ps AS (SELECT source, list({'term': term, 'c': c}) AS ps,
+                            CAST(sum(c) AS BIGINT) AS ptop FROM st GROUP BY 1),
+              tot AS (SELECT source, count(*) AS n_tokens FROM tok GROUP BY 1)
+         SELECT source, n_tokens,
+                round(list_sum(list_transform(qs, e ->
+                    0.5 * ((CASE WHEN CAST(coalesce(list_sum(list_transform(list_filter(ps, x -> x.term = e.term), x -> x.c)), 0) AS DOUBLE) / CAST(n_tokens AS DOUBLE) > 0
+                            THEN (CAST(coalesce(list_sum(list_transform(list_filter(ps, x -> x.term = e.term), x -> x.c)), 0) AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+                                 * ln((CAST(coalesce(list_sum(list_transform(list_filter(ps, x -> x.term = e.term), x -> x.c)), 0) AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+                                      / ((CAST(coalesce(list_sum(list_transform(list_filter(ps, x -> x.term = e.term), x -> x.c)), 0) AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                                          + CAST(e.cnt AS DOUBLE) / CAST(qtot AS DOUBLE)) / 2.0))
+                            ELSE 0.0 END)
+                         + (CASE WHEN CAST(e.cnt AS DOUBLE) / CAST(qtot AS DOUBLE) > 0
+                            THEN (CAST(e.cnt AS DOUBLE) / CAST(qtot AS DOUBLE))
+                                 * ln((CAST(e.cnt AS DOUBLE) / CAST(qtot AS DOUBLE))
+                                      / ((CAST(coalesce(list_sum(list_transform(list_filter(ps, x -> x.term = e.term), x -> x.c)), 0) AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                                          + CAST(e.cnt AS DOUBLE) / CAST(qtot AS DOUBLE)) / 2.0))
+                            ELSE 0.0 END))))
+                  + 0.5 * ((CASE WHEN CAST(n_tokens - coalesce(ptop, 0) AS DOUBLE) / CAST(n_tokens AS DOUBLE) > 0
+                            THEN (CAST(n_tokens - coalesce(ptop, 0) AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+                                 * ln((CAST(n_tokens - coalesce(ptop, 0) AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+                                      / ((CAST(n_tokens - coalesce(ptop, 0) AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                                          + CAST(qtot - qtop AS DOUBLE) / CAST(qtot AS DOUBLE)) / 2.0))
+                            ELSE 0.0 END)
+                         + (CASE WHEN CAST(qtot - qtop AS DOUBLE) / CAST(qtot AS DOUBLE) > 0
+                            THEN (CAST(qtot - qtop AS DOUBLE) / CAST(qtot AS DOUBLE))
+                                 * ln((CAST(qtot - qtop AS DOUBLE) / CAST(qtot AS DOUBLE))
+                                      / ((CAST(n_tokens - coalesce(ptop, 0) AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                                          + CAST(qtot - qtop AS DOUBLE) / CAST(qtot AS DOUBLE)) / 2.0))
+                            ELSE 0.0 END)), 6) AS js_nats
+         FROM tot LEFT JOIN ps USING (source), corpus
+         ORDER BY source""",
 
     // CM-guarantee assertion twin of the deterministic fixed-seed sketch.
     "q_countmin" ->

@@ -239,6 +239,71 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-source Jensen–Shannon divergence from the corpus unigram
+    * distribution — the standard "how far does this source drift from the
+    * mixture" curation diagnostic (symmetric, bounded by ln 2, defined
+    * even where one side has zero mass, unlike raw KL). Distributions are
+    * taken over the global top-`v` vocabulary by frequency (ties broken
+    * by term) plus ONE explicit residual bucket holding all remaining
+    * mass, so the comparison domain is fixed and bounded by construction.
+    *
+    * Scale shape: ONE tokenize pass aggregates straight to per-(source,
+    * term) counts — the only row-sized shuffle; the corpus term counts,
+    * the top-`v` TakeOrdered, per-source totals and the sorted-vocab
+    * folds all derive from that (|sources|·vocab)-bounded table, never
+    * re-reading the data. Never a per-token wide row, never a full-vocab
+    * collect. Determinism: the fold runs in sorted-term order on both
+    * engines (cf. [[graft.operators.Robust.mutualInformation]]) and the
+    * residual term is added after the fold as one closed-form step, so
+    * the floating sum replays bit-identically in the SQL oracle. */
+  def jsDivergence(documents: DataFrame, v: Int = 256): DataFrame = {
+    val d = (c: Column) => c.cast(DoubleType)
+    // the one full pass; everything below re-aggregates this value-domain
+    // table (lazy localCheckpoint: four consumers, tiny at rest)
+    val st = documents
+      .select(col("source"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("source"), col("term")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(false)
+    val termCounts = st.groupBy(col("term")).agg(sum(col("c")).as("cnt"))
+    val top = termCounts.orderBy(col("cnt").desc, col("term")).limit(v)
+    // one-row corpus side: sorted (term, cnt) vocab + totals over ALL terms
+    val corpusRow = termCounts
+      .join(broadcast(top.select(col("term"), lit(true).as("__top"))), Seq("term"), "left")
+      .withColumn("__top", coalesce(col("__top"), lit(false)))
+      .agg(
+        array_sort(collect_list(when(col("__top"), struct(col("term"), col("cnt"))))).as("qs"),
+        sum(col("cnt")).as("qtot"),
+        sum(when(col("__top"), col("cnt")).otherwise(0L)).as("qtop"))
+    val srcTop = st
+      .join(broadcast(top.select(col("term"))), Seq("term"))
+      .groupBy(col("source"))
+      .agg(collect_list(struct(col("term"), col("c"))).as("ps"),
+        sum(col("c")).as("ptop"))
+    val perSource = st.groupBy(col("source")).agg(sum(col("c")).as("n_tokens"))
+      .join(srcTop, Seq("source"), "left")
+      .crossJoin(broadcast(corpusRow))
+    // one JS term, spelled identically in the oracle: m = (p + q) / 2;
+    // zero-mass sides contribute exactly 0 (0·ln is undefined, not 0)
+    val jsTerm = (p: Column, q: Column) => {
+      val m = (p + q) / lit(2.0)
+      lit(0.5) * (when(p > 0, p * log(p / m)).otherwise(lit(0.0)) +
+        when(q > 0, q * log(q / m)).otherwise(lit(0.0)))
+    }
+    val n = d(col("n_tokens"))
+    val qt = d(col("qtot"))
+    val topSum = aggregate(col("qs"), lit(0.0), (acc, e) => {
+      val pc = coalesce(aggregate(
+        filter(col("ps"), x => x.getField("term") === e.getField("term")),
+        lit(0L), (a, x) => a + x.getField("c")), lit(0L))
+      acc + jsTerm(d(pc) / n, d(e.getField("cnt")) / qt)
+    })
+    val resid = jsTerm(d(col("n_tokens") - coalesce(col("ptop"), lit(0L))) / n,
+      d(col("qtot") - col("qtop")) / qt)
+    perSource.select(col("source"), col("n_tokens"),
+      round(topSum + resid, 6).as("js_nats"))
+      .orderBy(col("source"))
+  }
+
   /** Quality-classifier inference: a fixed-weight logistic model over
     * cheap per-document signals (the fastText/CCNet-style quality-filter
     * shape — GPT-3, LLaMA and Dolma all gate pretraining data on a linear

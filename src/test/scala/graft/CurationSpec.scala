@@ -250,6 +250,45 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(r.getAs[Double]("wins_mean") - 209.0 / 20.0) < 1e-9)
   }
 
+  test("jsDivergence: matches a first-principles replay; bounded by ln 2; residual bucket exact") {
+    import graft.operators.Curation
+    // A mirrors the corpus mixture loosely, B is concentrated, C disjoint;
+    // v=2 forces real residual mass through the closed-form bucket
+    val docs = Seq(
+      (0L, "x x y z", "A"), (1L, "x y", "A"),
+      (2L, "x x x x", "B"),
+      (3L, "w w q", "C"))
+      .toDF("doc_id", "text", "source")
+    val got = Curation.jsDivergence(docs, v = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toList
+    // first-principles replay over top-2 vocab + residual
+    val tokens = Seq("A" -> "x x y z x y", "B" -> "x x x x", "C" -> "w w q")
+      .flatMap { case (s, t) => t.split(" ").map(s -> _) }
+    val corpusCnt = tokens.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val top = corpusCnt.toSeq.sortBy { case (t, c) => (-c, t) }.take(2).map(_._1).sorted
+    val qtot = tokens.size.toDouble
+    def dist(cnt: Map[String, Long], n: Double): Seq[Double] = {
+      val tops = top.map(t => cnt.getOrElse(t, 0L).toDouble / n)
+      tops :+ (cnt.values.sum - top.map(t => cnt.getOrElse(t, 0L)).sum) / n
+    }
+    val q = dist(corpusCnt, qtot)
+    def js(p: Seq[Double]): Double = p.zip(q).map { case (pi, qi) =>
+      val m = (pi + qi) / 2.0
+      0.5 * ((if (pi > 0) pi * math.log(pi / m) else 0.0) +
+        (if (qi > 0) qi * math.log(qi / m) else 0.0))
+    }.sum
+    for ((src, n, jsGot) <- got) {
+      val cnt = tokens.filter(_._1 == src).groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      assert(n == cnt.values.sum, s"token count mismatch for $src")
+      val want = js(dist(cnt, n.toDouble))
+      assert(math.abs(jsGot - want) < 1e-6, s"js mismatch for $src: $jsGot vs $want")
+      assert(jsGot >= 0.0 && jsGot <= math.log(2.0) + 1e-9, s"js out of [0, ln 2] for $src")
+    }
+    // the concentrated single-token source diverges more than the mixed one
+    val bySrc = got.map(r => r._1 -> r._3).toMap
+    assert(bySrc("C") > bySrc("A"))
+  }
+
   test("dsirWeights: target-distinctive docs score above source-typical docs") {
     import graft.operators.Curation
     // target slice speaks "alpha beta"; raw background speaks "delta gamma"
