@@ -840,6 +840,25 @@ object SparkEntry {
       Similarity.hardNegatives(emb.filter(col("vec_id") < 32), emb, k = 3)
     }),
 
+    // IVF-probed hard negatives at the UNBOUNDED-|Q| scale shape: true
+    // self-mining (every corpus vector is a query), probes ⋈ cells on a
+    // plain cell_id equi-join — no corpus or query-set broadcast. SELF-
+    // ASSERTING recall vs the in-plan brute-force twin (approximate by
+    // design, same harness pattern as q_embed_knn_ivf); measured recall
+    // with 8/16 probed cells is ~0.8 on uniform-random data, floor 0.6.
+    "q_hard_negatives_ivf" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val idx = graft.operators.IvfIndex.build(s, emb, nLists = 16)
+      val approx = graft.operators.IvfIndex.hardNegativesIvf(
+          idx, emb.select(col("vec_id"), col("label")), emb, k = 3, nProbe = 8)
+        .select(col("query_id"), col("neighbor_id")).withColumn("hit", lit(1L))
+      val exact = Similarity.hardNegatives(emb, emb, k = 3)
+        .select(col("query_id"), col("neighbor_id"))
+      exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+        .agg(countDistinct(col("query_id")).as("n_queries"),
+          (coalesce(sum(col("hit")), lit(0L)) >= count(lit(1)) * 0.6).as("recall_ok"))
+    }),
+
     // Banded hyperplane-LSH ANN, SELF-ASSERTING: the query emits recall@5
     // against the exact brute-force top-k (computed in the same plan — the
     // |Q|·|C| twin is the verification harness, bounded by |Q|=32). Measured
@@ -2653,6 +2672,15 @@ object SparkEntry {
       graft.operators.Robust.ksStatistic(
         Tables.documents(s, d), col("n_chars"), col("source"), "src0", "src1")),
 
+    // Per-language KS drift between the two sources — "WHICH segment
+    // drifted?", the first question after the global gate trips. ECDF
+    // cumulatives ride the GROUPED two-level scan (runningTotalsBy):
+    // range keys on (lang, value), per-(lang, partition) offsets — never
+    // a per-group single-task window.
+    "q_ks_drift_by_lang" -> ((s, d) =>
+      graft.operators.Robust.ksStatisticBy(
+        Tables.documents(s, d), col("n_chars"), col("source"), "src0", "src1", "lang")),
+
     // Population Stability Index — the production drift gate (reference-
     // quantile bins, smoothed proportions); complements KS (max ECDF gap)
     // and Mann-Whitney (rank shift) with the binned-divergence view.
@@ -3606,6 +3634,14 @@ object SparkEntry {
       graft.operators.Robust.spearmanRho(
         Tables.lineitem(s, d), col("l_quantity"), col("l_extendedprice"))),
 
+    // Per-return-flag Spearman ρ — the Simpson's-paradox screen: does the
+    // global monotone association hold in every segment? Within-group
+    // ranks via the GROUPED two-level scan; same doubled-rank tie algebra
+    // and DECIMAL(38,0) moment combination per group.
+    "q_spearman_by_flag" -> ((s, d) =>
+      graft.operators.Robust.spearmanRhoBy(
+        Tables.lineitem(s, d), col("l_quantity"), col("l_extendedprice"), "l_returnflag")),
+
     // Bigram-LM quality scoring (sequence-aware upgrade of q_unigram_lm).
     "q_bigram_lm" -> ((s, d) =>
       graft.functions.TextAnalysis.bigramLogProb(Tables.documents(s, d))),
@@ -3857,6 +3893,16 @@ object SparkEntry {
     // slow standalone. lshKnn now broadcasts the query side explicitly;
     // tools/ProbeLsh.scala records the investigation.) The split exists to
     // keep quadratic twins out of the bench, not to strip bounded ones.
+    // Contract form: IVF mining ⋈ O(|Q|·|C|) brute-force twin + recall
+    // agg. Operator: the cell-keyed self-mining join against the at-rest
+    // index — the unbounded-|Q| path alone.
+    "q_hard_negatives_ivf" -> ((s, d) => {
+      val reg = graft.operators.IndexRegistry
+      val emb = Tables.embeddings(s, d)
+      graft.operators.IvfIndex.hardNegativesIvf(
+        reg.ivfFull(s, d), emb.select(col("vec_id"), col("label")),
+        emb, k = 3, nProbe = 8)
+    }),
     // Contract form: IVF search ⋈ brute-force twin + recall agg.
     // Operator: probe-set planning + cell-pruned in-cell exact scoring.
     "q_embed_knn_ivf" -> ((s, d) => {
@@ -4473,6 +4519,12 @@ object SparkEntry {
     "q_embed_knn_lsh" ->
       """SELECT count(DISTINCT vec_id) AS n_queries, true AS recall_ok
          FROM embeddings WHERE vec_id < 32""",
+
+    // Self-asserting (recall vs the in-plan brute-force twin ≥ 0.6; the
+    // oracle pins the self-mining query-set size and the literal `true`).
+    "q_hard_negatives_ivf" ->
+      """SELECT count(DISTINCT vec_id) AS n_queries, true AS recall_ok
+         FROM embeddings""",
 
     "q_embed_quantize" ->
       "SELECT count(*) AS n_vectors, true AS all_ok FROM embeddings",
@@ -5854,6 +5906,24 @@ object SparkEntry {
                 round(max(abs(CAST(sa AS DOUBLE) / n_a - CAST(sb AS DOUBLE) / n_b)), 6) AS ks_stat
          FROM c, g GROUP BY n_a, n_b""",
 
+    // Grouped twin: the same exact-integer ECDF algebra with every window
+    // and total partitioned by lang; groups missing either side drop.
+    "q_ks_drift_by_lang" ->
+      """WITH t AS (SELECT lang, n_chars AS v, source = 'src0' AS is_a FROM documents
+                    WHERE source IN ('src0', 'src1')),
+              p AS (SELECT lang, v, sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS ca,
+                           sum(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS cb
+                    FROM t GROUP BY 1, 2),
+              c AS (SELECT lang,
+                           sum(ca) OVER (PARTITION BY lang ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sa,
+                           sum(cb) OVER (PARTITION BY lang ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sb
+                    FROM p),
+              g AS (SELECT lang, CAST(sum(ca) AS BIGINT) AS n_a, CAST(sum(cb) AS BIGINT) AS n_b
+                    FROM p GROUP BY 1 HAVING sum(ca) > 0 AND sum(cb) > 0)
+         SELECT c.lang AS lang, n_a, n_b,
+                round(max(abs(CAST(sa AS DOUBLE) / n_a - CAST(sb AS DOUBLE) / n_b)), 6) AS ks_stat
+         FROM c JOIN g ON c.lang = g.lang GROUP BY 1, 2, 3 ORDER BY 1""",
+
     "q_pagerank" -> pageRankSql,
 
     // Same union+window formulation; touches sort before a same-instant
@@ -5916,9 +5986,9 @@ object SparkEntry {
     // Same sorted-vocab fold as the Spark HOF; the residual bucket is one
     // closed-form term added AFTER the list_sum, on both engines.
     "q_js_divergence" ->
-      """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS term FROM documents),
+      s"""WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS term FROM documents),
               tc AS (SELECT term, count(*) AS cnt FROM tok GROUP BY 1),
-              top AS (SELECT term, cnt FROM tc ORDER BY cnt DESC, term LIMIT 256),
+              top AS (SELECT term, cnt FROM tc ORDER BY cnt DESC, term LIMIT ${graft.operators.Curation.JsVocabSize}),
               corpus AS (SELECT (SELECT list_sort(list({'term': term, 'cnt': cnt})) FROM top) AS qs,
                                 CAST(sum(cnt) AS BIGINT) AS qtot,
                                 CAST((SELECT sum(cnt) FROM top) AS BIGINT) AS qtop
@@ -6575,6 +6645,34 @@ object SparkEntry {
                       / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
                          * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS rho
          FROM m""",
+
+    // Grouped twin: identical doubled-rank algebra with every window,
+    // join and moment partitioned by the return flag.
+    "q_spearman_by_flag" ->
+      """WITH t AS (SELECT l_returnflag AS g, l_quantity AS x, l_extendedprice AS y FROM lineitem
+                    WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+              rx AS (SELECT g, x AS v, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY 1, 2),
+              rxc AS (SELECT g, v, 2 * coalesce(sum(c) OVER (PARTITION BY g ORDER BY v
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c + 1 AS r2
+                      FROM rx),
+              ry AS (SELECT g, y AS v, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY 1, 2),
+              ryc AS (SELECT g, v, 2 * coalesce(sum(c) OVER (PARTITION BY g ORDER BY v
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c + 1 AS r2
+                      FROM ry),
+              j AS (SELECT t.g, rxc.r2 AS r2x, ryc.r2 AS r2y
+                    FROM t JOIN rxc ON t.g = rxc.g AND t.x = rxc.v
+                           JOIN ryc ON t.g = ryc.g AND t.y = ryc.v),
+              m AS (SELECT g, CAST(count(*) AS HUGEINT) AS n,
+                           CAST(sum(r2x) AS HUGEINT) AS sx, CAST(sum(r2y) AS HUGEINT) AS sy,
+                           CAST(sum(r2x * r2y) AS HUGEINT) AS sxy,
+                           CAST(sum(r2x * r2x) AS HUGEINT) AS sxx,
+                           CAST(sum(r2y * r2y) AS HUGEINT) AS syy
+                    FROM j GROUP BY 1)
+         SELECT g AS l_returnflag, CAST(n AS BIGINT) AS n,
+                round(CAST(n * sxy - sx * sy AS DOUBLE)
+                      / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                         * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS rho
+         FROM m ORDER BY 1""",
 
     // Bigram LM: same counts/smoothing, same sorted per-doc fold.
     "q_bigram_lm" ->

@@ -19,6 +19,11 @@ import graft.functions.{tokens, TextAnalysis}
   */
 object Curation {
 
+  /** Default top-`v` vocabulary size for [[jsDivergence]] — shared with
+    * the SparkEntry oracle (interpolated into its `LIMIT`) so the
+    * operator and the SQL replay cannot silently drift. */
+  val JsVocabSize = 256
+
   private val HashPrime = 1000000007L
 
   private def docHash(c: org.apache.spark.sql.Column) =
@@ -256,7 +261,7 @@ object Curation {
     * engines (cf. [[graft.operators.Robust.mutualInformation]]) and the
     * residual term is added after the fold as one closed-form step, so
     * the floating sum replays bit-identically in the SQL oracle. */
-  def jsDivergence(documents: DataFrame, v: Int = 256): DataFrame = {
+  def jsDivergence(documents: DataFrame, v: Int = Curation.JsVocabSize): DataFrame = {
     val d = (c: Column) => c.cast(DoubleType)
     // the one full pass; everything below re-aggregates this value-domain
     // table (lazy localCheckpoint: four consumers, tiny at rest)

@@ -231,6 +231,68 @@ object IvfIndex {
       k)
   }
 
+  /** IVF-probed hard-negative mining for UNBOUNDED query sets — the scale
+    * path of [[Similarity.hardNegatives]], whose broadcast-brute-force
+    * shape is right only for a bounded |Q| (its own doc says so): for
+    * EVERY query vector, the top-k most-similar corpus vectors with a
+    * DIFFERENT label, searched only inside the query's `nProbe` nearest
+    * IVF cells. Probes and cell members co-locate on a plain `cell_id`
+    * equi-join — both sides shuffle on the cell key, NEITHER side is
+    * broadcast (with |Q| ≈ |corpus|, as in self-mining for contrastive
+    * training, there is nothing small to broadcast) — the label-mismatch
+    * predicate prunes pairs before any scoring, and the bounded-heap
+    * top-k ships ≤ k rows per (query, task). Cost is
+    * Σ_cell |probes(cell)|·|members(cell)| ≈ (nProbe/nLists)·|Q|·|C| —
+    * the IVF pruning ratio applied to mining — and skew follows cell
+    * balance, which [[rebalanceCells]] already manages. Approximate
+    * exactly as IVF search is (negatives outside probed cells are
+    * missed); the contract query pins recall against the brute-force
+    * twin. Labels arrive as a slim `(vec_id, label)` relation joined to
+    * the at-rest assignment on the id key. */
+  def hardNegativesIvf(
+      index: Index, labels: DataFrame, queries: DataFrame,
+      k: Int, nProbe: Int): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val cents = index.centroids.toSeq
+      .map { case (id, arr) => (id, arr.map(_.toFloat)) }
+      .toDF("cell_id", "centroid")
+    val q = queries.select(
+      col("vec_id").as("query_id"), col("label").as("q_label"),
+      col("embedding").as("q_emb"), l2Norm(col("embedding")).as("q_nrm"))
+    // nProbe nearest cells per query: a per-query window over ≤ |cells|
+    // rows — bounded by the centroid count however large |Q| grows
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("cent_sim").desc, col("cell_id").asc)
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("cent_sim", dotProduct(col("q_emb"), col("centroid")))
+      .withColumn("probe_rank", row_number().over(wProbe))
+      .filter(col("probe_rank") <= nProbe)
+      .select(col("query_id"), col("q_label"), col("q_emb"), col("q_nrm"),
+        col("cell_id"))
+    val corpus = index.assigned
+      .join(labels.select(col("vec_id"), col("label").as("c_label")), Seq("vec_id"))
+      .select(col("cell_id"), col("vec_id").as("neighbor_id"), col("c_label"),
+        col("embedding").as("c_emb"), l2Norm(col("embedding")).as("c_nrm"))
+    val mined = Similarity.rankTopK(
+      probes.join(corpus, Seq("cell_id"))
+        .filter(col("query_id") =!= col("neighbor_id") &&
+          col("q_label") =!= col("c_label"))
+        .select(
+          col("query_id"), col("neighbor_id"),
+          round(dotProduct(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")), 6)
+            .as("cosine")),
+      k)
+    // neighbor labels rejoin on the BOUNDED |Q|·k result, as in the
+    // brute-force variant
+    mined
+      .join(labels.select(col("vec_id").as("neighbor_id"),
+        col("label").as("neighbor_label")), Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("neighbor_label"),
+        col("cosine"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** `(distance-proxy, cell)` structs per centroid: |x−c|² up to the
     * constant |x|² term — one native dot product per cell, all inside
     * whole-stage codegen, centroids inlined as broadcast literals. */

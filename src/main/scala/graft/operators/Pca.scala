@@ -140,8 +140,11 @@ object Pca {
   * rounded to 12 dp with the exact semantics of Spark's double→decimal
   * cast (`BigDecimal.valueOf`, i.e. the double's shortest decimal
   * representation, then HALF_UP — NOT the raw binary expansion), so the
-  * result is bit-identical to `sum(cast(p as decimal(38,12)))` and the
-  * DuckDB oracle replay is unchanged. Accumulation is a scaled-integer
+  * result is bit-identical to `sum(cast(p as decimal(38,12)))` whenever
+  * that expression is well-defined — i.e. |product| < 1e26 and a
+  * non-overflowing sum (outside that, the cast/sum NULL out where this
+  * aggregate keeps summing exactly; unreachable for centered embedding
+  * products) — and the DuckDB oracle replay is unchanged. Accumulation is a scaled-integer
   * long per cell with a BigInteger spill on overflow: exact at any n,
   * allocation-free on the hot path. Evaluates to `array<double>` via the
   * same decimal→double cast Spark's `.cast(DoubleType)` performs. */

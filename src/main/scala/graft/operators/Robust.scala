@@ -31,39 +31,53 @@ object Robust {
 
 
   /** Distributed inclusive running totals of `sums` over the `v`-ascending
-    * GLOBAL order of a per-distinct-value table (each `v` unique; there is
-    * no group dimension — a grouped variant would need (group, v) range
-    * keys and per-(group, partition) offsets). The naive
-    * `sum().over(Window.orderBy(v))` funnels everything through ONE
+    * GLOBAL order of a per-distinct-value table (each `v` unique). The
+    * naive `sum().over(Window.orderBy(v))` funnels everything through ONE
     * WindowExec task — for continuous values distinct ≈ rows: the exact
-    * scale-killer the Ranking rewrite removed. This is the two-level scan
-    * instead (same shape as [[Ranking]] / [[SequencePack]]):
-    * range-repartition on v, running sums WITHIN each partition
-    * (parallel), per-partition totals cumulated over a ≤ parts summary and
-    * broadcast back. Deterministic: `repartitionByRange` samples with a
-    * fixed seed and `v` is unique, so both consumers of the exchange see
-    * identical pids. */
-  private[operators] def runningTotals(perValue: DataFrame, sums: Seq[String]): DataFrame = {
+    * scale-killer the Ranking rewrite removed. Delegates to the grouped
+    * two-level scan with no group dimension. */
+  private[operators] def runningTotals(perValue: DataFrame, sums: Seq[String]): DataFrame =
+    runningTotalsBy(perValue, Nil, sums)
+
+  /** Grouped two-level prefix scan: inclusive running totals of `sums`
+    * over the `v`-ascending order WITHIN each `by`-group of a
+    * per-(group, distinct-value) table (each (by…, v) unique; empty `by`
+    * = the global scan). Same shape as [[Ranking]] / [[SequencePack]]:
+    * range-repartition on (by…, v) — lexicographic ranges keep every
+    * group's values ordered across partitions — running sums WITHIN each
+    * (partition, group) slice (parallel), per-(group, partition) totals
+    * cumulated per group over a ≤ parts + |groups| summary and broadcast
+    * back. Never a per-group single-task window: a group larger than one
+    * partition spans several pids and each slice scans in parallel.
+    * Deterministic: `repartitionByRange` samples with a fixed seed and
+    * (by…, v) is unique, so both consumers of the exchange see identical
+    * pids. */
+  private[operators] def runningTotalsBy(
+      perValue: DataFrame, by: Seq[String], sums: Seq[String]): DataFrame = {
     val parts = perValue.sparkSession.sessionState.conf.numShufflePartitions
+    val byCols = by.map(col)
     // Materialized (lazy localCheckpoint, the Ranking convention): the
     // row side and the offsets summary are two consumers of this one
     // exchange, and exchange reuse does not reliably deduplicate it.
-    val ranged = perValue.repartitionByRange(parts, col("v"))
+    val ranged = perValue.repartitionByRange(parts, byCols :+ col("v"): _*)
       .localCheckpoint(false)
       .withColumn("__pid", spark_partition_id())
-    // per-partition totals -> exclusive offsets: ≤ `parts` summary rows
-    val wOff = Window.orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)
+    // per-(group, partition) totals -> per-group exclusive offsets:
+    // ≤ parts + |groups| summary rows (each partition holds a handful of
+    // group boundaries), cumulated over the pid order within each group
+    val wOff = Window.partitionBy(byCols: _*).orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
     val totals = sums.map(c => sum(col(c)).as(s"__t_$c"))
-    val offs = ranged.groupBy(col("__pid"))
+    val offs = ranged.groupBy(col("__pid") +: byCols: _*)
       .agg(totals.head, totals.tail: _*)
-      .select(col("__pid") +: sums.map(c =>
+      .select((col("__pid") +: byCols) ++ sums.map(c =>
         coalesce(sum(col(s"__t_$c")).over(wOff), lit(0L)).as(s"__off_$c")): _*)
-    // within-slice running sums, fully parallel across pids
-    val wLoc = Window.partitionBy(col("__pid")).orderBy(col("v"))
+    // within-(partition, group) running sums, fully parallel across pids
+    val wLoc = Window.partitionBy(col("__pid") +: byCols: _*).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = sums.foldLeft(ranged)((d, c) =>
       d.withColumn(s"__run_$c", sum(col(c)).over(wLoc)))
-    local.join(broadcast(offs), "__pid")
+    local.join(broadcast(offs), "__pid" +: by)
       .select(perValue.columns.map(col) ++
         sums.map(c => (col(s"__off_$c") + col(s"__run_$c")).as(s"cum_$c")): _*)
   }
@@ -189,9 +203,11 @@ object Robust {
           .otherwise(when(col("__vmin") > col("__mhi"), col("__vmin") - col("__mhi"))
             .otherwise(col("__mlo") - col("__vmax"))))
     val probes = sm.select(col("__g"), col("__tgt"), col("__bkt"),
-      col("__c"), col("__dmin"), col("__dmax").as("__d"), lit(1).as("__t"))
+      col("__c"), col("__vmin"), col("__vmax"),
+      col("__dmin"), col("__dmax").as("__d"), lit(1).as("__t"))
     val lows = sm.select(col("__g"), col("__tgt"), lit(-1L).as("__bkt"),
-      col("__c"), lit(0.0).as("__dmin"), col("__dmin").as("__d"), lit(0).as("__t"))
+      col("__c"), col("__vmin"), col("__vmax"),
+      lit(0.0).as("__dmin"), col("__dmin").as("__d"), lit(0).as("__t"))
     val wCum = Window.partitionBy(col("__g")).orderBy(col("__d"), col("__t"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val madTargets = probes.unionByName(lows)
@@ -204,24 +220,62 @@ object Robust {
         sum(when(col("__isE"), col("__c"))).over(wAll), lit(0L)))
       .filter(!col("__isE") && col("__dmin") <= col("__dhi"))
       .select(col("__g"), col("__bkt"), lit(-1).as("__p"), col("__dhi"),
-        (col("__tgt") - col("__ecnt")).as("__resid"))
+        (col("__tgt") - col("__ecnt")).as("__resid"),
+        col("__vmin").as("__bvmin"), col("__vmax").as("__bvmax"),
+        col("__c").as("__bc"))
 
     // Cut targets and MAD-annulus targets fuse into one broadcast; mad
-    // rows (__p = -1) carry null cut bookkeeping and vice versa.
+    // rows (__p = -1) carry null cut bookkeeping and vice versa. Every
+    // target carries its bucket's [vmin, vmax] and count for the
+    // point-mass split below.
     val allTargets = cutTargets
       .select(col("__g"), col("__bkt"), col("__p"), col("__resid"),
         col("__off"), col("__offs"), col("__pt"), col("__pts"),
-        col("__tot"), col("__tots"))
+        col("__tot"), col("__tots"),
+        col("__vmin").as("__bvmin"), col("__vmax").as("__bvmax"),
+        col("__pt").as("__bc"))
       .unionByName(madTargets, allowMissingColumns = true)
 
+    // ---- point-mass split: degenerate buckets never hit the slice -----
+    // A DEGENERATE target bucket (vmin = vmax — a point mass; half-zeros
+    // columns are normal data) contributes a run of identical values, so
+    // its effect on every rank selection is known from the summary alone:
+    // it enters the slice as ONE injected row holding the common value
+    // with the bucket count as its weight. Without this, a 50%-one-value
+    // column routes half the group's rows into ONE (g, p) window task at
+    // any scale. Correctness is uniform, not special-cased:
+    //   - cut picks: the (g, p) slice is exactly the one target bucket;
+    //     if degenerate, the injected row's weighted cum ≥ resid and the
+    //     pick is its value — identical to scanning the run;
+    //   - winsor corrections (v < p05 / v > p95 within the boundary
+    //     bucket) are identically ZERO for an injected row: its bucket is
+    //     the target, so pick = its value and the strict inequality can
+    //     never hold — the unweighted correction sums stay exact;
+    //   - the MAD annulus orders by deviation: an injected annulus row's
+    //     dev = |value − median| is the exact common deviation of its
+    //     whole run, and the weighted cumulative crosses resid inside the
+    //     run iff the true rank falls there (ties at equal dev pick the
+    //     same dev whatever their order).
+    val isDeg = col("__bvmin") === col("__bvmax")
+    val sliceCols = Seq("__g", "__bkt", "v", "__p", "__resid",
+      "__off", "__offs", "__pt", "__pts", "__tot", "__tots", "__dhi", "__w").map(col)
+    val sliceLive = base.join(broadcast(allTargets.filter(!isDeg)), Seq("__g", "__bkt"))
+      .withColumn("__w", lit(1L))
+    val sliceInj = allTargets.filter(isDeg)
+      .withColumn("v", col("__bvmin"))
+      .withColumn("__w", col("__bc"))
+    val sliceIn = sliceLive.select(sliceCols: _*)
+      .unionByName(sliceInj.select(sliceCols: _*))
+
     // ---- THE slice scan: cuts, corrections and MAD in one data pass ----
-    // Only target-bucket rows survive the broadcast join (≤ |pcts| cut
-    // copies + one annulus copy each). Window choreography, all within
-    // this one job over the tiny slice:
-    //   1. per-(g, p) value order → running count → cut picks;
+    // Only non-degenerate target-bucket rows survive the broadcast join
+    // (≤ |pcts| cut copies + one annulus copy each), plus the injected
+    // point-mass summary rows. Window choreography, all within this one
+    // job over the tiny slice:
+    //   1. per-(g, p) value order → running weight → cut picks;
     //   2. a (g) window spreads the p50 pick (the exact median) to the
     //      annulus rows, which only then can compute |v − med|;
-    //   3. per-(g, -1) deviation order → running count → the MAD pick.
+    //   3. per-(g, -1) deviation order → running weight → the MAD pick.
     // Rows at exactly a cut contribute dec2(cut) on either side of the
     // clamp, so their below/above classification cannot matter.
     val wPick = Window.partitionBy(col("__g"), col("__p"))
@@ -230,14 +284,14 @@ object Robust {
     val wDev = wPick.orderBy(col("__dev"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wG = Window.partitionBy(col("__g"))
-    val sl = base.join(broadcast(allTargets), Seq("__g", "__bkt"))
-      .withColumn("__cum", sum(lit(1L)).over(wSlice))
+    val sl = sliceIn
+      .withColumn("__cum", sum(col("__w")).over(wSlice))
       .withColumn("__pick", min(when(col("__p") =!= -1 && col("__cum") >= col("__resid"),
         col("v"))).over(wPick))
       .withColumn("__medv", max(when(col("__p") === 50, col("__pick"))).over(wG))
       .withColumn("__dev", when(col("__p") === -1, abs(col("v") - col("__medv"))))
       .filter(col("__p") =!= -1 || col("__dev") <= col("__dhi"))
-      .withColumn("__cumd", sum(when(col("__p") === -1, lit(1L))).over(wDev))
+      .withColumn("__cumd", sum(when(col("__p") === -1, col("__w"))).over(wDev))
       .withColumn("__madpick", min(when(col("__p") === -1 && col("__cumd") >= col("__resid"),
         col("__dev"))).over(wPick))
 
@@ -341,21 +395,43 @@ object Robust {
     val wOff = Window.partitionBy(col("__g")).orderBy(col("__bkt"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val wAll = Window.partitionBy(col("__g"))
-    val targets = rows.groupBy(col("__g"), col("__bkt")).agg(sum(col("w")).as("__c"))
+    // The summary carries each bucket's ACTUAL [vmin, vmax] on the
+    // ORIGINAL value domain: a single-valued target bucket resolves from
+    // the summary alone (below), no slice scan.
+    val targets = rows.groupBy(col("__g"), col("__bkt"))
+      .agg(sum(col("w")).as("__c"),
+        min(col("v")).as("__vmin"), max(col("v")).as("__vmax"))
       .withColumn("__off", coalesce(sum(col("__c")).over(wOff), lit(0L)))
       .withColumn("__tot", sum(col("__c")).over(wAll))
       .select(col("__g"), col("__bkt"), col("__off"), col("__c"), col("__tot"),
+        col("__vmin"), col("__vmax"),
         explode(array(pcts.map(lit): _*)).as("__p"))
       .withColumn("__r", expr("(__p * __tot + 99) div 100"))
       .filter(col("__off") < col("__r") && col("__r") <= col("__off") + col("__c"))
       .select(col("__g"), col("__bkt"), col("__p"),
-        (col("__r") - col("__off")).as("__resid"), col("__tot"))
+        (col("__r") - col("__off")).as("__resid"), col("__tot"),
+        col("__vmin"), col("__vmax"))
+    // Point-mass split: a DEGENERATE target bucket (vmin = vmax — a point
+    // mass; half-zeros columns are normal data) holds one value, so the
+    // rank inside it can only select that value — the pick comes straight
+    // off the summary row and NO row of the bucket enters the slice join.
+    // Without this, a heavy point mass routes ~all of a group's rows
+    // through one (g, p) window task at any scale; with it, only
+    // genuinely multi-valued buckets ever pay a slice.
+    val live = targets.filter(col("__vmin") =!= col("__vmax"))
+      .drop("__vmin", "__vmax")
     val wSlice = Window.partitionBy(col("__g"), col("__p")).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val aggs = max(col("__tot")).as("n") +: pcts.map(p =>
-      min(when(col("__p") === p && col("__cum") >= col("__resid"), col("v"))).as(s"q_$p"))
-    rows.join(broadcast(targets), Seq("__g", "__bkt"))
+    val slicePicks = rows.join(broadcast(live), Seq("__g", "__bkt"))
       .withColumn("__cum", sum(col("w")).over(wSlice))
+      .groupBy(col("__g"), col("__p"))
+      .agg(min(when(col("__cum") >= col("__resid"), col("v"))).as("__pick"),
+        max(col("__tot")).as("__tot"))
+    val degPicks = targets.filter(col("__vmin") === col("__vmax"))
+      .select(col("__g"), col("__p"), col("__vmin").as("__pick"), col("__tot"))
+    val aggs = max(col("__tot")).as("n") +: pcts.map(p =>
+      max(when(col("__p") === p, col("__pick"))).as(s"q_$p"))
+    slicePicks.unionByName(degPicks)
       .groupBy(col("__g"))
       .agg(aggs.head, aggs.tail: _*)
   }
@@ -392,6 +468,38 @@ object Robust {
       .orderBy(groupCol)
   }
 
+  /** Ceiling for the single-row contingency collapses
+    * ([[mutualInformation]], [[chiSquare]], [[kendallTauB]]): each folds
+    * O(cells²) over ONE collected array, so the bounded |X|·|Y| domain is
+    * a hard precondition — 8192 cells ⇒ ≤ ~67M fold steps, the practical
+    * limit for the one-row fold. A violation (someone passing a
+    * continuous column) must fail LOUDLY, not materialize an unbounded
+    * single row and melt the driver — the `theta_is_estimation`
+    * fail-loud discipline applied to the O(cells²) family. */
+  val MaxContingencyCells = 8192
+
+  /** Distributed guard enforcing [[MaxContingencyCells]]: checkpoints the
+    * cell table once (it also has 2–3 downstream consumers in every
+    * caller), counts it distributed, and routes every downstream `cnt`
+    * through a raise_error gate keyed on that count — the error fires at
+    * execution time, BEFORE the collect_list collapse builds the row.
+    * The gate lives inside the `cnt` value path (not a droppable side
+    * column), so no pruning rule can optimize it away. */
+  private def guardedCells(cells0: DataFrame, op: String): DataFrame = {
+    val cells = cells0.localCheckpoint(false)
+    val nc = cells.agg(count(lit(1)).as("__nc"))
+    cells.crossJoin(broadcast(nc))
+      .select(col("x"), col("y"),
+        when(col("__nc") > lit(MaxContingencyCells),
+          raise_error(concat(
+            lit(s"$op: contingency domain has "), col("__nc"),
+            lit(s" cells, over the $MaxContingencyCells ceiling — the" +
+              " O(cells²) single-row fold requires a bounded" +
+              " discrete/ordinal domain; bucket or discretize the columns" +
+              " first"))).cast(LongType))
+          .otherwise(col("cnt")).as("cnt"))
+  }
+
   /** Mutual information (nats) between two categorical columns — the
     * feature-association / leakage probe (does `source` predict `lang`?).
     * The contingency cells aggregate DISTRIBUTED (one keyed shuffle);
@@ -399,10 +507,13 @@ object Robust {
     * collapses into one sorted array, and the MI sum folds over it in
     * sorted order so the floating-point result replays bit-identically
     * in the SQL oracle's list fold. Marginals are exact-integer
-    * re-aggregations of the same array (O(cells²) work on ONE row). */
+    * re-aggregations of the same array (O(cells²) work on ONE row,
+    * guarded by [[MaxContingencyCells]]). */
   def mutualInformation(df: DataFrame, xCol: String, yCol: String): DataFrame = {
-    val cells = df.groupBy(col(xCol).as("x"), col(yCol).as("y"))
-      .agg(count(lit(1)).as("cnt"))
+    val cells = guardedCells(
+      df.groupBy(col(xCol).as("x"), col(yCol).as("y"))
+        .agg(count(lit(1)).as("cnt")),
+      "mutualInformation")
     val one = cells.agg(
       array_sort(collect_list(struct(col("x"), col("y"), col("cnt")))).as("cs"),
       sum(col("cnt")).as("n"))
@@ -427,8 +538,10 @@ object Robust {
     * then one sorted bounded-size fold so the fp sum replays
     * bit-identically in SQL. */
   def chiSquare(df: DataFrame, xCol: String, yCol: String): DataFrame = {
-    val cells = df.groupBy(col(xCol).as("x"), col(yCol).as("y"))
-      .agg(count(lit(1)).as("cnt"))
+    val cells = guardedCells(
+      df.groupBy(col(xCol).as("x"), col(yCol).as("y"))
+        .agg(count(lit(1)).as("cnt")),
+      "chiSquare")
     val one = cells.agg(
       array_sort(collect_list(struct(col("x"), col("y"), col("cnt")))).as("cs"),
       sum(col("cnt")).as("n"))
@@ -675,6 +788,44 @@ object Robust {
             col("sb").cast(DoubleType) / col("n_b"))), 6).as("ks_stat"))
   }
 
+  /** Per-`byCol`-group two-sample KS drift — the "WHICH source/segment
+    * drifted?" companion to [[ksStatistic]] (the first question a
+    * curation pipeline asks after the global gate trips): one row per
+    * group with D = max |F_a(x) − F_b(x)| within that group. Same scale
+    * shape as the global statistic with the group riding every key:
+    * per-(group, value) counts aggregate distributed (one keyed
+    * shuffle), the exact ECDF cumulatives run through the GROUPED
+    * two-level scan ([[runningTotalsBy]] — never a per-group single-task
+    * window; a group bigger than one partition scans in parallel), and
+    * the per-group totals broadcast back. Groups missing either side
+    * have no two-sample statistic and are DROPPED (a gate must not read
+    * "D over an empty distribution" as signal); both ECDFs are
+    * exact-integer counts divided once at the end, so D is bit-portable
+    * across engines. */
+  def ksStatisticBy(
+      df: DataFrame, value: Column, splitCol: Column,
+      groupA: String, groupB: String, byCol: String): DataFrame = {
+    val tagged = df
+      .filter(splitCol.isin(groupA, groupB))
+      .select(col(byCol).as("__g"), value.as("v"), (splitCol === groupA).as("is_a"))
+    val perValue = tagged.groupBy(col("__g"), col("v")).agg(
+      sum(when(col("is_a"), 1L).otherwise(0L)).as("ca"),
+      sum(when(!col("is_a"), 1L).otherwise(0L)).as("cb"))
+    val cum = runningTotalsBy(perValue, Seq("__g"), Seq("ca", "cb"))
+    val tot = perValue.groupBy(col("__g"))
+      .agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"))
+      .filter(col("n_a") > 0 && col("n_b") > 0)
+    cum.join(broadcast(tot), "__g")
+      .groupBy(col("__g"))
+      .agg(
+        first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"),
+        round(max(abs(
+          col("cum_ca").cast(DoubleType) / col("n_a") -
+            col("cum_cb").cast(DoubleType) / col("n_b"))), 6).as("ks_stat"))
+      .select(col("__g").as(byCol), col("n_a"), col("n_b"), col("ks_stat"))
+      .orderBy(byCol)
+  }
+
   /** Spearman rank correlation between two numeric columns — the
     * monotone-association gate (feature-vs-quality screening, signal
     * sanity checks) that is robust where Pearson is not: it sees ranks,
@@ -697,8 +848,12 @@ object Robust {
     * value key — two keyed shuffles of slim (value, rank) relations.
     * Null rows (either side) are excluded up front, as scipy does. */
   def spearmanRho(df: DataFrame, xCol: Column, yCol: Column): DataFrame = {
+    // Materialized (lazy localCheckpoint): THREE consumers — the two
+    // per-column rank scans and the rank join-back — would otherwise each
+    // re-derive the source scan.
     val rows = df.select(xCol.as("x"), yCol.as("y"))
       .filter(col("x").isNotNull && col("y").isNotNull)
+      .localCheckpoint(false)
     def ranks2(c: String): DataFrame = {
       val perValue = rows.groupBy(col(c).as("v")).agg(count(lit(1)).as("cnt"))
       runningTotals(perValue, Seq("cnt"))
@@ -721,6 +876,49 @@ object Robust {
     m.select(col("n"), round(cov / (sqrt(vx) * sqrt(vy)), 6).as("rho"))
   }
 
+  /** Per-`byCol`-group Spearman ρ — "does the monotone association hold
+    * in EVERY segment, or is the global ρ a mix?" (Simpson's-paradox
+    * screening for feature/quality signals). Exactly [[spearmanRho]]'s
+    * doubled-rank algebra with the group riding every key: per-(group,
+    * value) counts, the GROUPED two-level scan ([[runningTotalsBy]]) for
+    * cumulative counts — ranks are within-group by construction — and
+    * rank join-backs on (group, value). Moments combine per group in
+    * DECIMAL(38,0) with the same overflow bounds; groups with < 2 rows
+    * or a constant column have zero variance and yield a NULL ρ
+    * (`try_divide` — under ANSI a plain 0/0 would kill the WHOLE query
+    * over one degenerate segment), kept in the output so the caller
+    * sees the segment rather than losing it. */
+  def spearmanRhoBy(
+      df: DataFrame, xCol: Column, yCol: Column, byCol: String): DataFrame = {
+    // Materialized: three consumers (two rank scans + the join-back).
+    val rows = df.select(col(byCol).as("__g"), xCol.as("x"), yCol.as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
+      .localCheckpoint(false)
+    def ranks2(c: String): DataFrame = {
+      val perValue = rows.groupBy(col("__g"), col(c).as("v"))
+        .agg(count(lit(1)).as("cnt"))
+      runningTotalsBy(perValue, Seq("__g"), Seq("cnt"))
+        .select(col("__g"), col("v").as(c),
+          (lit(2L) * (col("cum_cnt") - col("cnt")) + col("cnt") + lit(1L)).as(s"r2_$c"))
+    }
+    val ranked = rows.join(ranks2("x"), Seq("__g", "x")).join(ranks2("y"), Seq("__g", "y"))
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val m = ranked.groupBy(col("__g")).agg(
+      count(lit(1)).as("n"),
+      sum(col("r2_x")).cast(dec38).as("sx"),
+      sum(col("r2_y")).cast(dec38).as("sy"),
+      sum(col("r2_x") * col("r2_y")).cast(dec38).as("sxy"),
+      sum(col("r2_x") * col("r2_x")).cast(dec38).as("sxx"),
+      sum(col("r2_y") * col("r2_y")).cast(dec38).as("syy"))
+    val nD = col("n").cast(dec38)
+    val cov = (nD * col("sxy") - col("sx") * col("sy")).cast(DoubleType)
+    val vx = (nD * col("sxx") - col("sx") * col("sx")).cast(DoubleType)
+    val vy = (nD * col("syy") - col("sy") * col("sy")).cast(DoubleType)
+    m.select(col("__g").as(byCol), col("n"),
+      round(try_divide(cov, sqrt(vx) * sqrt(vy)), 6).as("rho"))
+      .orderBy(byCol)
+  }
+
   /** Kendall τ-b between two DISCRETE/ordinal columns — the tie-robust
     * companion to [[spearmanRho]] (Spearman rides the full rank scan for
     * continuous values; Kendall's pairwise definition is O(n²) over ROWS
@@ -736,9 +934,11 @@ object Robust {
     * ~2×63 bits). Emits P and Q exactly: the oracle compare is
     * float-free for the pair counts themselves. */
   def kendallTauB(df: DataFrame, xCol: Column, yCol: Column): DataFrame = {
-    val cells = df.select(xCol.as("x"), yCol.as("y"))
-      .filter(col("x").isNotNull && col("y").isNotNull)
-      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("cnt"))
+    val cells = guardedCells(
+      df.select(xCol.as("x"), yCol.as("y"))
+        .filter(col("x").isNotNull && col("y").isNotNull)
+        .groupBy(col("x"), col("y")).agg(count(lit(1)).as("cnt")),
+      "kendallTauB")
     val tiesX = cells.groupBy(col("x")).agg(sum(col("cnt")).as("tx"))
       .agg(sum(expr("tx * (tx - 1) div 2")).as("n1"))
     val tiesY = cells.groupBy(col("y")).agg(sum(col("cnt")).as("ty"))

@@ -201,6 +201,40 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
       brute(r.getAs[Long]("neighbor_id")) == r.getAs[Double]("cosine")))
   }
 
+  test("hardNegativesIvf with all cells probed equals brute-force hard negatives") {
+    import graft.operators.IvfIndex
+    // nProbe = nLists ⟹ every candidate cell is probed, so the cell-keyed
+    // self-mining join must reproduce the |Q|·|C| brute force EXACTLY —
+    // the approximation comes only from unprobed cells, nothing else.
+    val emb = (0L until 60L).map { i =>
+      (i, Array.tabulate(8)(j => math.sin(i * 8 + j).toFloat), (i % 4).toInt)
+    }.toDF("vec_id", "embedding", "label")
+    val idx = IvfIndex.build(spark, emb, nLists = 4)
+    val got = IvfIndex.hardNegativesIvf(
+        idx, emb.select($"vec_id", $"label"), emb, k = 3, nProbe = 4)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) ->
+        (r.getAs[Long]("neighbor_id"), r.getAs[Int]("neighbor_label"),
+          r.getAs[Double]("cosine"))).toMap
+    val want = Similarity.hardNegatives(emb, emb, k = 3)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) ->
+        (r.getAs[Long]("neighbor_id"), r.getAs[Int]("neighbor_label"),
+          r.getAs[Double]("cosine"))).toMap
+    assert(got == want)
+    // fewer probes: still a SUBSET property — every mined pair carries the
+    // exact brute-force score, ranks are consistent per query
+    val sub = IvfIndex.hardNegativesIvf(
+        idx, emb.select($"vec_id", $"label"), emb, k = 3, nProbe = 1)
+      .collect()
+    val bruteScores = Similarity.hardNegatives(emb, emb, k = 60)
+      .collect().map(r =>
+        (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) ->
+          r.getAs[Double]("cosine")).toMap
+    sub.foreach { r =>
+      val key = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      assert(bruteScores(key) == r.getAs[Double]("cosine"))
+    }
+  }
+
   test("lshKnn returns a subset of brute-force neighbors with exact scores") {
     val emb = (0L until 40L).map { i =>
       (i, Array.tabulate(8)(j => math.sin(i * 8 + j).toFloat))

@@ -387,4 +387,127 @@ class PropertiesSpec extends AnyFunSuite with SparkSpec {
     assert(ks.getAs[Long]("n_a") == a.size && ks.getAs[Long]("n_b") == b.size)
     assert(math.abs(ks.getAs[Double]("ks_stat") - dWant) < 1e-5)
   }
+
+  test("point-mass columns: degenerate buckets resolve from the summary, never the slice") {
+    import graft.operators.Robust
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+
+    // Post-execution plan walk (through AQE stages) summing the ACTUAL
+    // row counts every broadcast-hash join emitted — the structural
+    // evidence that the point-mass bucket was excluded from the slice.
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => allNodes(a.executedPlan)
+      case q: QueryStageExec => q +: allNodes(q.plan)
+      case other => other +: other.children.flatMap(allNodes)
+    }
+    def joinOutputRows(df: org.apache.spark.sql.DataFrame): Long =
+      allNodes(df.queryExecution.executedPlan)
+        .collect { case b: BroadcastHashJoinExec =>
+          b.metrics.get("numOutputRows").map(_.value).getOrElse(0L) }
+        .sum
+
+    // 90% of the group is a point mass at 0.0 — the shape the bit grid's
+    // relative resolution concentrates into ONE bucket (half-zeros
+    // columns are normal data). p05, the median AND the entire MAD
+    // annulus land in the degenerate bucket; only the p95 cut needs rows.
+    val n = 10000
+    val vals = Seq.tabulate(n)(i =>
+      if (i % 10 != 9) 0.0 else 1.0 + ((i / 10) % 997) / 997.0)
+    val df = vals.map(("A", _)).toDF("g", "v")
+
+    def rank(total: Long, p: Int): Long = (p * total + 99) / 100
+    val sorted = vals.sorted.toVector
+    val (p05, med, p95) = (sorted(rank(n, 5).toInt - 1), sorted(rank(n, 50).toInt - 1),
+      sorted(rank(n, 95).toInt - 1))
+    val madWant = sorted.map(v => math.abs(v - med)).sorted.apply(rank(n, 50).toInt - 1)
+    val winsWant = (sorted.map(v => BigDecimal(math.max(p05, math.min(v, p95)))
+      .setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum / n).toDouble
+
+    val rsDf = Robust.robustStats(df, "g", $"v")
+    val rs = rsDf.collect()(0)
+    assert(rs.getAs[Long]("n") == n)
+    assert(rs.getAs[Double]("p05") == p05 && rs.getAs[Double]("median") == med
+      && rs.getAs[Double]("p95") == p95)
+    assert(math.abs(rs.getAs[Double]("mad") - madWant) < 5.01e-7)
+    assert(math.abs(rs.getAs[Double]("wins_mean") - winsWant) < 2e-6)
+    // The 9000-row point mass must NOT flow through the slice join: only
+    // the p95 bucket's ~16 rows + the summary-sized medIv join do. The
+    // pre-fix plan pushed ≥ 2×9000 rows here (p05+p50 copies, plus the
+    // MAD annulus).
+    val sliceRows = joinOutputRows(rsDf)
+    assert(sliceRows < 1000, s"point-mass rows leaked into the slice: $sliceRows")
+
+    // weightedMedian: the median target IS the degenerate bucket, so the
+    // slice join emits NOTHING — the answer comes off the summary row.
+    val wmDf = Robust.weightedMedian(df.withColumn("w", lit(1L)), "g", $"v", $"w")
+    assert(wmDf.collect()(0).getAs[Double]("w_median") == 0.0)
+    assert(joinOutputRows(wmDf) == 0L,
+      "weightedMedian scanned rows for a degenerate median bucket")
+  }
+
+  test("contingency-fold guard: a high-cardinality domain fails loudly before collapsing") {
+    import graft.operators.Robust
+    // 200 × 100 = 20 000 cells > the 8192 ceiling: every O(cells²)
+    // single-row fold must refuse at execution time, not melt the driver.
+    val big = spark.range(20000)
+      .select((col("id") % 200).cast("int").as("x"), (col("id") / 200).cast("int").as("y"))
+    def messages(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(_.getMessage).mkString("|")
+    for ((name, mk) <- Seq[(String, () => org.apache.spark.sql.DataFrame)](
+        "mutualInformation" -> (() => Robust.mutualInformation(big, "x", "y")),
+        "chiSquare" -> (() => Robust.chiSquare(big, "x", "y")),
+        "kendallTauB" -> (() => Robust.kendallTauB(big, col("x"), col("y"))))) {
+      val e = intercept[Exception] { mk().collect() }
+      assert(messages(e).contains("ceiling"), s"$name did not fail loudly: ${messages(e)}")
+    }
+    // and a bounded domain still computes
+    val small = spark.range(1000)
+      .select((col("id") % 4).cast("int").as("x"), (col("id") % 3).cast("int").as("y"))
+    assert(Robust.mutualInformation(small, "x", "y").collect()(0).getAs[Long]("n_rows") == 1000L)
+  }
+
+  test("grouped KS and Spearman match their global twins per group") {
+    import graft.operators.Robust
+    val rows = sample(Gen.listOfN(600, for {
+      g <- Gen.oneOf("de", "en", "fr")
+      s <- Gen.oneOf("s0", "s1")
+      v <- Gen.choose(0, 50)
+    } yield (g, s, v))) ++
+      List.tabulate(10)(i => ("zz", "s0", i)) // one-sided group: dropped
+    val df = rows.toDF("lang", "src", "v")
+    val grouped = Robust.ksStatisticBy(df, $"v", $"src", "s0", "s1", "lang").collect()
+    assert(grouped.map(_.getString(0)).toSet == Set("de", "en", "fr")) // zz dropped
+    for (r <- grouped) {
+      val g = r.getString(0)
+      val single = Robust.ksStatistic(
+        df.filter($"lang" === g), $"v", $"src", "s0", "s1").collect()(0)
+      assert(r.getAs[Long]("n_a") == single.getAs[Long]("n_a"), s"n_a mismatch in $g")
+      assert(r.getAs[Long]("n_b") == single.getAs[Long]("n_b"), s"n_b mismatch in $g")
+      assert(r.getAs[Double]("ks_stat") == single.getAs[Double]("ks_stat"),
+        s"ks mismatch in $g")
+    }
+
+    val xy = sample(Gen.listOfN(500, for {
+      g <- Gen.oneOf("A", "B", "C")
+      x <- Gen.choose(0, 40)
+      y <- Gen.choose(0, 40)
+    } yield (g, x, x + y))) ++
+      List.tabulate(5)(i => ("K", i, 7)) // constant-y group: NULL rho, kept
+    val df2 = xy.toDF("g", "x", "y")
+    val gsp = Robust.spearmanRhoBy(df2, $"x", $"y", "g").collect()
+    assert(gsp.map(_.getString(0)).toSet == Set("A", "B", "C", "K"))
+    for (r <- gsp) {
+      val g = r.getString(0)
+      if (g == "K") // zero variance: try_divide → NULL, segment still visible
+        assert(r.getAs[Long]("n") == 5L && r.isNullAt(2))
+      else {
+        val single = Robust.spearmanRho(df2.filter($"g" === g), $"x", $"y").collect()(0)
+        assert(r.getAs[Long]("n") == single.getAs[Long]("n"), s"n mismatch in $g")
+        assert(r.getAs[Double]("rho") == single.getAs[Double]("rho"),
+          s"rho mismatch in $g")
+      }
+    }
+  }
 }
