@@ -94,9 +94,11 @@ object Robust {
     * so the per-(group, bucket) summary — counts, exact-decimal value
     * sums, and ACTUAL per-bucket `[vmin, vmax]` — is the first and only
     * pass over the data (a `(v − lo)/width` histogram would need a
-    * bounds pass first). Everything else derives from that tiny summary
-    * by broadcast arithmetic:
-    *   - cut targets (p05/med/p95 rank brackets) — summary windows;
+    * bounds pass first). Everything else is arithmetic over that tiny
+    * value-domain table, computed driver-side on the collected summary
+    * (the slice join broadcasts the resulting targets, so the table's
+    * rows travel through the driver either way — see in-code note):
+    *   - cut targets (p05/med/p95 rank brackets) — CDF prefix sums;
     *   - the MAD bracket — the value histogram FOLDED around the p50
     *     bracket's bucket INTERVAL (not the exact median, which no
     *     slice has computed yet): per bucket, the deviation range is
@@ -115,135 +117,141 @@ object Robust {
     * one broadcast join, picks the cuts, spreads the now-exact median
     * to the annulus rows by a per-group window, and selects the MAD —
     * windows only, no second data pass, one final per-group aggregate.
-    * At 100 TB that is one full pass + one bounded probe, vs round 6's
-    * full pass + two probes and round 5's three full passes. */
+    * At 100 TB that is one full pass + one bounded probe (two barrier
+    * jobs), vs round 6's full pass + two probes and round 5's three
+    * full passes. */
   def robustStats(df: DataFrame, groupCol: String, value: Column): DataFrame = {
     import graft.functions.BitGrid.bitBucket
-    // `base` feeds the summary pass and the fused slice pass —
-    // materialized once (lazy localCheckpoint, the repo convention for
-    // multi-consumer subtrees, cf. Ranking.rowNumber; the no-checkpoint
-    // rescan variant re-measured ~equal after the slice fusion, and the
-    // checkpoint also shields callers whose `df` is non-deterministic
-    // upstream). The bucket id rides every row: a pure function of the
-    // value bits, identical on every recomputation, so the slice joins
-    // key on it safely.
+    // `base` feeds the summary pass and the fused slice pass as two
+    // PRUNED re-scans of the source (same reasoning as the
+    // [[weightedMedian]] path: a two-column pruned parquet scan measures
+    // cheaper than a checkpoint write + read round-trip, re-verified
+    // after the point-mass split shrank the slice). The bucket id is a
+    // pure function of the value bits — identical on every
+    // recomputation — so the slice joins key on it safely.
     val base = df
       .select(col(groupCol).as("__g"), value.cast(DoubleType).as("v"))
       .filter(col("v").isNotNull)
       .withColumn("__bkt", bitBucket(col("v")))
-      .localCheckpoint(false)
 
     // ---- the ONE full scan: per-(group, bit-bucket) summary ------------
     // Only OCCUPIED buckets materialize (groupBy), so the summary is
     // ≤ min(distinct values, grid cells)·|groups| rows — a value-domain
-    // table, never row-sized. Checkpointed: cut targets and the MAD
-    // bracket are both derived from it.
-    val summary = base.groupBy(col("__g"), col("__bkt"))
-      .agg(count(lit(1)).as("__c"), sum(dec2(col("v"))).as("__s"),
-        min(col("v")).as("__vmin"), max(col("v")).as("__vmax"))
-      .localCheckpoint(false)
-
-    // ---- cut targets: rank brackets over the summary (no data pass) ----
-    // Bucket-id order IS value order (bit grid), so running counts over
-    // __bkt are value-CDF prefix sums; running DECIMAL sums ride for the
-    // winsorized decomposition below. Each target rank lands in the one
-    // bucket whose (off, off+c] bracket holds it. The target bucket's
-    // ACTUAL [vmin, vmax] rides along: the p50 row's interval brackets
-    // the median, which is all the MAD derivation below needs.
-    val wOff = Window.partitionBy(col("__g")).orderBy(col("__bkt"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val wAll = Window.partitionBy(col("__g"))
+    // table with a HARD bound from the float format itself (the default
+    // grid has ≤ 2^18 cells over ALL doubles), never row-sized. It is
+    // COLLECTED: every rank bracket below is arithmetic over this table,
+    // and the slice join then BROADCASTS the resulting targets — the
+    // table's rows travel through the driver either way, so doing the
+    // bracket math there collapses the former checkpoint → windows →
+    // target-collect chain (three barrier jobs) into ONE
+    // aggregate-and-collect job. The decimal prefix sums stay exact:
+    // java BigDecimal addition is the same arithmetic the window sums
+    // performed.
     val pcts = Seq(5, 50, 95)
     val dec0 = dec2(lit(0.0))
-    val cutTargets = summary
-      .withColumn("__off", coalesce(sum(col("__c")).over(wOff), lit(0L)))
-      .withColumn("__offs", coalesce(sum(col("__s")).over(wOff), dec0))
-      .withColumn("__tot", sum(col("__c")).over(wAll))
-      .withColumn("__tots", sum(col("__s")).over(wAll))
-      .select(col("__g"), col("__bkt"), col("__off"), col("__offs"),
-        col("__c").as("__pt"), col("__s").as("__pts"),
-        col("__tot"), col("__tots"), col("__vmin"), col("__vmax"),
-        explode(array(pcts.map(lit): _*)).as("__p"))
-      .withColumn("__r", expr("(__p * __tot + 99) div 100"))
-      .filter(col("__off") < col("__r") && col("__r") <= col("__off") + col("__pt"))
-      .select(col("__g"), col("__bkt"), col("__p"),
-        (col("__r") - col("__off")).as("__resid"),
-        col("__off"), col("__offs"), col("__pt"), col("__pts"),
-        col("__tot"), col("__tots"), col("__vmin"), col("__vmax"))
+    val rawSummary = base.groupBy(col("__g"), col("__bkt"))
+      .agg(count(lit(1)).as("__c"), sum(dec2(col("v"))).as("__s"),
+        min(col("v")).as("__vmin"), max(col("v")).as("__vmax"))
+    val sSchema = rawSummary.schema
 
-    // ---- MAD bracket: fold the histogram around the median's BUCKET ----
-    // The exact median is unknown before any slice runs, but the p50
-    // bracket already pins it inside ONE bucket's [mlo, mhi] — true data
-    // extremes from the summary. Folding the histogram around that
-    // INTERVAL instead of the point median keeps every bound conservative
-    // (per bucket, dev ∈ [Dmin, Dmax] where Dmin/Dmax are the min/max
-    // distance between the bucket interval and the median interval — a
-    // superset of the true [dmin, dmax]) while breaking the cut-slice →
-    // MAD-slice dependency: the annulus widens by at most the boundary
-    // buckets, and BOTH slices fuse into the single data pass below.
-    // Rank bounds over the conservative brackets, as before:
+    // ---- driver-side bracket arithmetic over the value-domain table ----
+    // Bucket-id order IS value order (bit grid), so per-group prefix
+    // sums over __bkt are value-CDF offsets; each target rank lands in
+    // the one bucket whose (off, off+c] bracket holds it.
+    //
+    // MAD bracket — fold the histogram around the median's BUCKET: the
+    // exact median is unknown before any slice runs, but the p50 bracket
+    // pins it inside one bucket's [mlo, mhi]. Folding around that
+    // INTERVAL keeps every bound conservative (per bucket, dev ∈
+    // [Dmin, Dmax] = interval distances to [mlo, mhi], a superset of the
+    // true range) while keeping the MAD targets independent of the cut
+    // slice — which is what lets both slices FUSE into the single data
+    // pass below. Rank bounds over the brackets (closed forms of the
+    // former union-sweep):
     //   cub(k) = Σ{c_j : Dmin_j ≤ Dmax_k} ≥ count(dev ≤ Dmax_k)  (upper)
-    //   clb(k) = Σ{c_j : Dmax_j ≤ Dmax_k} ≤ count(dev ≤ Dmax_k)  (lower)
-    // E = {k : cub(k) < T} — every E row's deviation is strictly below
-    // the deviation-median d* (Dmax_k ≥ dmax_k, so the count bound still
-    // certifies it), so the T-th smallest deviation overall is the
-    // (T − |E|)-th smallest among the rest; __dhi = min Dmax with
-    // clb ≥ T still bounds d* from above (clb under-counts count(dev ≤
-    // Dmax_k), so clb ≥ T ⟹ d* ≤ Dmax_k). Union trick unchanged: tag
-    // Dmin rows 0, Dmax probes 1, one (g)-keyed sort over ≤ 2·|summary|.
-    val medIv = cutTargets.filter(col("__p") === 50)
-      .select(col("__g"), col("__vmin").as("__mlo"), col("__vmax").as("__mhi"),
-        expr("(50 * __tot + 99) div 100").as("__tgt"))
-    val sm = summary.join(broadcast(medIv), "__g")
-      .withColumn("__dmax", greatest(
-        abs(col("__vmin") - col("__mlo")), abs(col("__vmin") - col("__mhi")),
-        abs(col("__vmax") - col("__mlo")), abs(col("__vmax") - col("__mhi"))))
-      .withColumn("__dmin",
-        when(col("__vmin") <= col("__mhi") && col("__vmax") >= col("__mlo"), lit(0.0))
-          .otherwise(when(col("__vmin") > col("__mhi"), col("__vmin") - col("__mhi"))
-            .otherwise(col("__mlo") - col("__vmax"))))
-    val probes = sm.select(col("__g"), col("__tgt"), col("__bkt"),
-      col("__c"), col("__vmin"), col("__vmax"),
-      col("__dmin"), col("__dmax").as("__d"), lit(1).as("__t"))
-    val lows = sm.select(col("__g"), col("__tgt"), lit(-1L).as("__bkt"),
-      col("__c"), col("__vmin"), col("__vmax"),
-      lit(0.0).as("__dmin"), col("__dmin").as("__d"), lit(0).as("__t"))
-    val wCum = Window.partitionBy(col("__g")).orderBy(col("__d"), col("__t"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val madTargets = probes.unionByName(lows)
-      .withColumn("__cub", sum(when(col("__t") === 0, col("__c")).otherwise(0L)).over(wCum))
-      .withColumn("__clb", sum(when(col("__t") === 1, col("__c")).otherwise(0L)).over(wCum))
-      .filter(col("__t") === 1)
-      .withColumn("__isE", col("__cub") < col("__tgt"))
-      .withColumn("__dhi", min(when(col("__clb") >= col("__tgt"), col("__d"))).over(wAll))
-      .withColumn("__ecnt", coalesce(
-        sum(when(col("__isE"), col("__c"))).over(wAll), lit(0L)))
-      .filter(!col("__isE") && col("__dmin") <= col("__dhi"))
-      .select(col("__g"), col("__bkt"), lit(-1).as("__p"), col("__dhi"),
-        (col("__tgt") - col("__ecnt")).as("__resid"),
-        col("__vmin").as("__bvmin"), col("__vmax").as("__bvmax"),
-        col("__c").as("__bc"))
-
-    // Cut targets and MAD-annulus targets fuse into one broadcast; mad
-    // rows (__p = -1) carry null cut bookkeeping and vice versa. Every
-    // target carries its bucket's [vmin, vmax] and count for the
-    // point-mass split below.
-    val allTargets = cutTargets
-      .select(col("__g"), col("__bkt"), col("__p"), col("__resid"),
-        col("__off"), col("__offs"), col("__pt"), col("__pts"),
-        col("__tot"), col("__tots"),
-        col("__vmin").as("__bvmin"), col("__vmax").as("__bvmax"),
-        col("__pt").as("__bc"))
-      .unionByName(madTargets, allowMissingColumns = true)
+    //   dhi    = min{Dmax_k : Σ{c_j : Dmax_j ≤ Dmax_k} ≥ T}      (lower)
+    // E = {k : cub(k) < T} rows sit strictly below the deviation median
+    // d*, so the T-th smallest deviation overall is the (T − |E|)-th
+    // among the annulus {k ∉ E : Dmin_k ≤ dhi}; d* ≤ dhi certifies the
+    // annulus from above.
+    final case class Bkt(bkt: Long, c: Long, s: java.math.BigDecimal,
+      vmin: Double, vmax: Double)
+    // target row: cut (p ∈ pcts) or MAD annulus (p = -1, dhi set)
+    final case class Tgt(g: Any, b: Bkt, p: Int, resid: Long,
+      off: Long, offs: java.math.BigDecimal, tot: Long,
+      tots: java.math.BigDecimal, dhi: java.lang.Double)
+    val targets = rawSummary.collect().groupBy(_.get(0)).iterator.flatMap {
+      case (g, rows) =>
+        val bs = rows.map(r => Bkt(r.getLong(1), r.getLong(2),
+          r.getAs[java.math.BigDecimal](3), r.getDouble(4), r.getDouble(5)))
+          .sortBy(_.bkt)
+        val n = bs.length
+        val off = new Array[Long](n)
+        val offs = new Array[java.math.BigDecimal](n)
+        var accC = 0L
+        var accS = java.math.BigDecimal.ZERO.setScale(2)
+        var i = 0
+        while (i < n) {
+          off(i) = accC; offs(i) = accS
+          accC += bs(i).c; accS = accS.add(bs(i).s); i += 1
+        }
+        val (tot, tots) = (accC, accS)
+        def bracket(r: Long): Int = { // first i with off(i) < r ≤ off(i)+c(i)
+          var lo = 0; var hi = n - 1
+          while (lo < hi) {
+            val m = (lo + hi) / 2
+            if (off(m) + bs(m).c < r) lo = m + 1 else hi = m
+          }
+          lo
+        }
+        val tgt = (50L * tot + 99) / 100
+        val i50 = bracket(tgt)
+        val (mlo, mhi) = (bs(i50).vmin, bs(i50).vmax)
+        val cuts = pcts.map { p =>
+          val r = (p.toLong * tot + 99) / 100
+          val i = bracket(r)
+          Tgt(g, bs(i), p, r - off(i), off(i), offs(i), tot, tots, null)
+        }
+        val dmax = bs.map(b => Seq(math.abs(b.vmin - mlo), math.abs(b.vmin - mhi),
+          math.abs(b.vmax - mlo), math.abs(b.vmax - mhi)).max)
+        val dmin = bs.map(b =>
+          if (b.vmin <= mhi && b.vmax >= mlo) 0.0
+          else if (b.vmin > mhi) b.vmin - mhi else mlo - b.vmax)
+        // dhi: sweep dmax ascending until the weighted count reaches T
+        val byDmax = bs.indices.sortBy(dmax(_))
+        var dhi = 0.0; var acc = 0L
+        val it = byDmax.iterator
+        while (acc < tgt && it.hasNext) { val k = it.next(); acc += bs(k).c; dhi = dmax(k) }
+        // cub via sorted dmin + weighted prefix (binary search per probe)
+        val dminPairs = bs.indices.map(k => (dmin(k), bs(k).c)).sortBy(_._1)
+        val dminSorted = dminPairs.map(_._1)
+        val dminCum = dminPairs.scanLeft(0L)(_ + _._2).tail
+        def cub(d: Double): Long = { // Σ c_j where dmin_j ≤ d
+          var lo = 0; var hi = n // first index with dminSorted > d
+          while (lo < hi) {
+            val m = (lo + hi) / 2
+            if (dminSorted(m) <= d) lo = m + 1 else hi = m
+          }
+          if (lo == 0) 0L else dminCum(lo - 1)
+        }
+        val isE = bs.indices.map(k => cub(dmax(k)) < tgt)
+        val ecnt = bs.indices.collect { case k if isE(k) => bs(k).c }.sum
+        val annulus = bs.indices
+          .filter(k => !isE(k) && dmin(k) <= dhi)
+          .map(k => Tgt(g, bs(k), -1, tgt - ecnt, off(k), offs(k), tot, tots, dhi))
+        cuts ++ annulus
+    }.toArray
 
     // ---- point-mass split: degenerate buckets never hit the slice -----
     // A DEGENERATE target bucket (vmin = vmax — a point mass; half-zeros
     // columns are normal data) contributes a run of identical values, so
     // its effect on every rank selection is known from the summary alone:
     // it enters the slice as ONE injected row holding the common value
-    // with the bucket count as its weight. Without this, a 50%-one-value
-    // column routes half the group's rows into ONE (g, p) window task at
-    // any scale. Correctness is uniform, not special-cased:
+    // with the bucket count as its weight (a LOCAL relation — no job, no
+    // scan); only multi-valued target buckets go back out as the
+    // broadcast build side of the slice join. Without this, a
+    // 50%-one-value column routes half the group's rows into ONE (g, p)
+    // window task at any scale. Correctness is uniform, not special-cased:
     //   - cut picks: the (g, p) slice is exactly the one target bucket;
     //     if degenerate, the injected row's weighted cum ≥ resid and the
     //     pick is its value — identical to scanning the run;
@@ -256,16 +264,35 @@ object Robust {
     //     whole run, and the weighted cumulative crosses resid inside the
     //     run iff the true rank falls there (ties at equal dev pick the
     //     same dev whatever their order).
-    val isDeg = col("__bvmin") === col("__bvmax")
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+    val spark = df.sparkSession
+    val decType = sSchema("__s").dataType
+    val tgtFields = Seq(
+      StructField("__g", sSchema("__g").dataType), StructField("__bkt", LongType),
+      StructField("__p", IntegerType), StructField("__resid", LongType),
+      StructField("__off", LongType), StructField("__offs", decType),
+      StructField("__pt", LongType), StructField("__pts", decType),
+      StructField("__tot", LongType), StructField("__tots", decType),
+      StructField("__dhi", DoubleType))
+    val (degT, liveT) = targets.partition(t => t.b.vmin == t.b.vmax)
+    val liveDf = spark.createDataFrame(
+      java.util.Arrays.asList(liveT.map(t => Row(t.g, t.b.bkt, t.p, t.resid,
+        t.off, t.offs, t.b.c, t.b.s, t.tot, t.tots, t.dhi)): _*),
+      StructType(tgtFields))
+    val injDf = spark.createDataFrame(
+      java.util.Arrays.asList(degT.map(t => Row(t.g, t.b.bkt, t.b.vmin, t.p,
+        t.resid, t.off, t.offs, t.b.c, t.b.s, t.tot, t.tots, t.dhi,
+        t.b.c)): _*),
+      StructType(tgtFields.take(2) ++
+        Seq(StructField("v", DoubleType)) ++ tgtFields.drop(2) :+
+        StructField("__w", LongType)))
     val sliceCols = Seq("__g", "__bkt", "v", "__p", "__resid",
       "__off", "__offs", "__pt", "__pts", "__tot", "__tots", "__dhi", "__w").map(col)
-    val sliceLive = base.join(broadcast(allTargets.filter(!isDeg)), Seq("__g", "__bkt"))
+    val sliceIn = base.join(broadcast(liveDf), Seq("__g", "__bkt"))
       .withColumn("__w", lit(1L))
-    val sliceInj = allTargets.filter(isDeg)
-      .withColumn("v", col("__bvmin"))
-      .withColumn("__w", col("__bc"))
-    val sliceIn = sliceLive.select(sliceCols: _*)
-      .unionByName(sliceInj.select(sliceCols: _*))
+      .select(sliceCols: _*)
+      .unionByName(injDf)
 
     // ---- THE slice scan: cuts, corrections and MAD in one data pass ----
     // Only non-degenerate target-bucket rows survive the broadcast join
@@ -284,7 +311,14 @@ object Robust {
     val wDev = wPick.orderBy(col("__dev"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wG = Window.partitionBy(col("__g"))
-    val sl = sliceIn
+    // ONE exchange for the whole slice phase: hash(g) satisfies every
+    // window here — the (g, p) windows cluster by a superset, the median
+    // spread (wG) needs (g) anyway, and the final per-group aggregate
+    // reuses it too. Without this the planner exchanges (g, p) → (g) →
+    // sort, one extra shuffle of the slice. Per-group slice work being
+    // single-task is inherent to the median spread (wG) and bounded by
+    // the slice, not the data.
+    val sl = sliceIn.repartition(col("__g"))
       .withColumn("__cum", sum(col("__w")).over(wSlice))
       .withColumn("__pick", min(when(col("__p") =!= -1 && col("__cum") >= col("__resid"),
         col("v"))).over(wPick))
@@ -409,29 +443,36 @@ object Robust {
       .withColumn("__r", expr("(__p * __tot + 99) div 100"))
       .filter(col("__off") < col("__r") && col("__r") <= col("__off") + col("__c"))
       .select(col("__g"), col("__bkt"), col("__p"),
-        (col("__r") - col("__off")).as("__resid"), col("__tot"),
+        (col("__r") - col("__off")).as("__resid"), col("__tot"), col("__c"),
         col("__vmin"), col("__vmax"))
+      // Materialized (|groups|·|pcts| rows): the live/degenerate split
+      // below makes this table TWO-consumer, and without the checkpoint
+      // each side would re-run the full per-bucket aggregation scan.
+      .localCheckpoint(false)
     // Point-mass split: a DEGENERATE target bucket (vmin = vmax — a point
     // mass; half-zeros columns are normal data) holds one value, so the
-    // rank inside it can only select that value — the pick comes straight
-    // off the summary row and NO row of the bucket enters the slice join.
-    // Without this, a heavy point mass routes ~all of a group's rows
-    // through one (g, p) window task at any scale; with it, only
-    // genuinely multi-valued buckets ever pay a slice.
+    // rank inside it can only select that value — it enters the slice as
+    // ONE injected summary row (the common value, the bucket weight) and
+    // NO row of the bucket crosses the join. Without this, a heavy point
+    // mass routes ~all of a group's rows through one (g, p) window task
+    // at any scale; with it, only genuinely multi-valued buckets ever pay
+    // a slice. Correctness is uniform: each (g, p) slice is exactly one
+    // bucket, and for an injected row the weighted cumulative crosses the
+    // rank residual inside its run iff the true rank falls there.
     val live = targets.filter(col("__vmin") =!= col("__vmax"))
-      .drop("__vmin", "__vmax")
+      .drop("__vmin", "__vmax", "__c")
+    val inj = targets.filter(col("__vmin") === col("__vmax"))
+      .select(col("__g"), col("__bkt"), col("__vmin").as("v"),
+        col("__c").as("w"), col("__p"), col("__resid"), col("__tot"))
+    val sliceCols = Seq("__g", "__bkt", "v", "w", "__p", "__resid", "__tot").map(col)
     val wSlice = Window.partitionBy(col("__g"), col("__p")).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val slicePicks = rows.join(broadcast(live), Seq("__g", "__bkt"))
-      .withColumn("__cum", sum(col("w")).over(wSlice))
-      .groupBy(col("__g"), col("__p"))
-      .agg(min(when(col("__cum") >= col("__resid"), col("v"))).as("__pick"),
-        max(col("__tot")).as("__tot"))
-    val degPicks = targets.filter(col("__vmin") === col("__vmax"))
-      .select(col("__g"), col("__p"), col("__vmin").as("__pick"), col("__tot"))
     val aggs = max(col("__tot")).as("n") +: pcts.map(p =>
-      max(when(col("__p") === p, col("__pick"))).as(s"q_$p"))
-    slicePicks.unionByName(degPicks)
+      min(when(col("__p") === p && col("__cum") >= col("__resid"), col("v"))).as(s"q_$p"))
+    rows.join(broadcast(live), Seq("__g", "__bkt"))
+      .select(sliceCols: _*)
+      .unionByName(inj.select(sliceCols: _*))
+      .withColumn("__cum", sum(col("w")).over(wSlice))
       .groupBy(col("__g"))
       .agg(aggs.head, aggs.tail: _*)
   }
