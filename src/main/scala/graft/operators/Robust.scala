@@ -889,12 +889,8 @@ object Robust {
     * value key — two keyed shuffles of slim (value, rank) relations.
     * Null rows (either side) are excluded up front, as scipy does. */
   def spearmanRho(df: DataFrame, xCol: Column, yCol: Column): DataFrame = {
-    // Materialized (lazy localCheckpoint): THREE consumers — the two
-    // per-column rank scans and the rank join-back — would otherwise each
-    // re-derive the source scan.
     val rows = df.select(xCol.as("x"), yCol.as("y"))
       .filter(col("x").isNotNull && col("y").isNotNull)
-      .localCheckpoint(false)
     def ranks2(c: String): DataFrame = {
       val perValue = rows.groupBy(col(c).as("v")).agg(count(lit(1)).as("cnt"))
       runningTotals(perValue, Seq("cnt"))
@@ -931,10 +927,11 @@ object Robust {
     * sees the segment rather than losing it. */
   def spearmanRhoBy(
       df: DataFrame, xCol: Column, yCol: Column, byCol: String): DataFrame = {
-    // Materialized: three consumers (two rank scans + the join-back).
+    // Not materialized: three consumers (two rank scans + the join-back),
+    // but a pruned source re-scan measures cheaper than the checkpoint
+    // round-trip — the same counter-measurement as [[spearmanRho]].
     val rows = df.select(col(byCol).as("__g"), xCol.as("x"), yCol.as("y"))
       .filter(col("x").isNotNull && col("y").isNotNull)
-      .localCheckpoint(false)
     def ranks2(c: String): DataFrame = {
       val perValue = rows.groupBy(col("__g"), col(c).as("v"))
         .agg(count(lit(1)).as("cnt"))
