@@ -2688,6 +2688,15 @@ object SparkEntry {
       graft.operators.Robust.psiDrift(
         Tables.documents(s, d), col("n_chars"), col("source"), "src0", "src1")),
 
+    // Per-language PSI, each language binned against ITS OWN reference
+    // quantile edges (a shared global binning would hide a segment whose
+    // mass moved inside one global bin) — completes the grouped drift
+    // family with q_ks_drift_by_lang. Edges via the GROUPED bit-grid
+    // selection; languages with an empty reference profile drop loudly.
+    "q_psi_drift_by_lang" -> ((s, d) =>
+      graft.operators.Robust.psiDriftBy(
+        Tables.documents(s, d), col("n_chars"), col("source"), "src0", "src1", "lang")),
+
     // Hybrid retrieval: reciprocal-rank fusion of the BM25 lexical top-N
     // and the embedding-cosine semantic top-N (RRF, Cormack et al. 2009) —
     // rank-only combination, no score normalization, bounded fusion join.
@@ -5850,6 +5859,49 @@ object SparkEntry {
                   * ln(((CAST(b.cr AS DOUBLE) + 0.5) / (CAST(n_ref AS DOUBLE) + 5.0))
                        / ((CAST(b.cc AS DOUBLE) + 0.5) / (CAST(n_cur AS DOUBLE) + 5.0))))), 6) AS psi
          FROM one""",
+
+    // Grouped twin: identical discrete-rank edges, binning and smoothed
+    // fold, with every window, edge set and bin grid partitioned by lang.
+    "q_psi_drift_by_lang" ->
+      """WITH t AS (SELECT lang, CAST(n_chars AS DOUBLE) AS v, source = 'src0' AS is_ref
+                    FROM documents WHERE source IN ('src0', 'src1') AND n_chars IS NOT NULL),
+              r AS (SELECT lang, v, row_number() OVER (PARTITION BY lang ORDER BY v) AS rn,
+                           count(*) OVER (PARTITION BY lang) AS n
+                    FROM t WHERE is_ref),
+              e AS (SELECT lang,
+                           max(CASE WHEN rn = (10*n+99)//100 THEN v END) AS e1,
+                           max(CASE WHEN rn = (20*n+99)//100 THEN v END) AS e2,
+                           max(CASE WHEN rn = (30*n+99)//100 THEN v END) AS e3,
+                           max(CASE WHEN rn = (40*n+99)//100 THEN v END) AS e4,
+                           max(CASE WHEN rn = (50*n+99)//100 THEN v END) AS e5,
+                           max(CASE WHEN rn = (60*n+99)//100 THEN v END) AS e6,
+                           max(CASE WHEN rn = (70*n+99)//100 THEN v END) AS e7,
+                           max(CASE WHEN rn = (80*n+99)//100 THEN v END) AS e8,
+                           max(CASE WHEN rn = (90*n+99)//100 THEN v END) AS e9
+                    FROM r GROUP BY lang),
+              b AS (SELECT t.lang, (CASE WHEN v > e1 THEN 1 ELSE 0 END) + (CASE WHEN v > e2 THEN 1 ELSE 0 END)
+                         + (CASE WHEN v > e3 THEN 1 ELSE 0 END) + (CASE WHEN v > e4 THEN 1 ELSE 0 END)
+                         + (CASE WHEN v > e5 THEN 1 ELSE 0 END) + (CASE WHEN v > e6 THEN 1 ELSE 0 END)
+                         + (CASE WHEN v > e7 THEN 1 ELSE 0 END) + (CASE WHEN v > e8 THEN 1 ELSE 0 END)
+                         + (CASE WHEN v > e9 THEN 1 ELSE 0 END) AS bin, is_ref
+                    FROM t JOIN e ON t.lang = e.lang),
+              c AS (SELECT lang, bin, sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS cr,
+                           sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS cc
+                    FROM b GROUP BY 1, 2),
+              g AS (SELECT e.lang, gs.g AS bin, coalesce(cr, 0) AS cr, coalesce(cc, 0) AS cc
+                    FROM e CROSS JOIN generate_series(0, 9) gs(g)
+                    LEFT JOIN c ON c.lang = e.lang AND c.bin = gs.g),
+              one AS (SELECT lang, list_sort(list({'bin': bin, 'cr': cr, 'cc': cc})) AS bs,
+                             CAST(sum(cr) AS BIGINT) AS n_ref,
+                             CAST(sum(cc) AS BIGINT) AS n_cur
+                      FROM g GROUP BY lang)
+         SELECT lang, n_ref, n_cur,
+                round(list_sum(list_transform(bs, b ->
+                  ((CAST(b.cr AS DOUBLE) + 0.5) / (CAST(n_ref AS DOUBLE) + 5.0)
+                   - (CAST(b.cc AS DOUBLE) + 0.5) / (CAST(n_cur AS DOUBLE) + 5.0))
+                  * ln(((CAST(b.cr AS DOUBLE) + 0.5) / (CAST(n_ref AS DOUBLE) + 5.0))
+                       / ((CAST(b.cc AS DOUBLE) + 0.5) / (CAST(n_cur AS DOUBLE) + 5.0))))), 6) AS psi
+         FROM one ORDER BY lang""",
 
     // Lexical side = the q_bm25 scoring verbatim; semantic side = the
     // q_embed_knn cosine (rounded before ranking, same tie-break); fusion

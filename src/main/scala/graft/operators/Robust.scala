@@ -778,6 +778,63 @@ object Robust {
     one.select(col("n_ref"), col("n_cur"), round(psi, 6).as("psi"))
   }
 
+  /** Per-`byCol`-segment PSI — the grouped companion to [[psiDrift]]
+    * (with [[ksStatisticBy]]: "WHICH segment drifted, and how is its
+    * mass redistributed?"). Each segment bins against ITS OWN reference
+    * quantile edges — a shared global binning would hide a segment whose
+    * distribution moved inside one global bin. Scale shape: per-segment
+    * edges come from the GROUPED bit-grid selection ([[bitValuesAtRanks]]
+    * with the segment as the group — no bounds pass, point-mass-safe),
+    * attach to rows by a slim broadcast keyed on the segment, binning is
+    * map-side, and the per-(segment, bin) counts are a ≤ |segments|·nBins
+    * aggregate. Segments with an EMPTY reference side produce no edges
+    * and are DROPPED (the gate fails loudly on a missing profile, as in
+    * the global contract); segments with an empty CURRENT side keep the
+    * smoothed all-zero fold — maximal drift is signal, not absence. */
+  def psiDriftBy(
+      df: DataFrame, value: Column, splitCol: Column,
+      refGroup: String, curGroup: String, byCol: String,
+      nBins: Int = 10): DataFrame = {
+    require(nBins >= 2 && 100 % nBins == 0, s"psiDriftBy: nBins must divide 100, got $nBins")
+    val tagged = df
+      .filter(splitCol.isin(refGroup, curGroup))
+      .select(col(byCol).as("__g"), value.cast(DoubleType).as("v"),
+        (splitCol === refGroup).as("is_ref"))
+      .filter(col("v").isNotNull)
+    val pcts = (1 until nBins).map(i => i * 100 / nBins)
+    val edges = bitValuesAtRanks(
+      tagged.filter(col("is_ref")).select(col("__g"), col("v"), lit(1L).as("w")),
+      pcts)
+    val bin = pcts.map(p => when(col("v") > col(s"q_$p"), 1).otherwise(0))
+      .reduce(_ + _)
+    val counts = tagged.join(broadcast(edges.drop("n")), Seq("__g"))
+      .select(col("__g"), bin.as("bin"), col("is_ref"))
+      .groupBy(col("__g"), col("bin"))
+      .agg(
+        sum(when(col("is_ref"), 1L).otherwise(0L)).as("cr"),
+        sum(when(!col("is_ref"), 1L).otherwise(0L)).as("cc"))
+    val allBins = edges
+      .select(col("__g"), explode(sequence(lit(0), lit(nBins - 1))).as("bin"))
+      .join(counts, Seq("__g", "bin"), "left")
+      .select(col("__g"), col("bin"),
+        coalesce(col("cr"), lit(0L)).as("cr"),
+        coalesce(col("cc"), lit(0L)).as("cc"))
+    val one = allBins.groupBy(col("__g")).agg(
+      array_sort(collect_list(struct(col("bin"), col("cr"), col("cc")))).as("bs"),
+      sum(col("cr")).as("n_ref"), sum(col("cc")).as("n_cur"))
+    val nR = col("n_ref").cast(DoubleType)
+    val nC = col("n_cur").cast(DoubleType)
+    val half = lit(0.5)
+    val psi = aggregate(col("bs"), lit(0.0), (acc, b) => {
+      val p = (b.getField("cr").cast(DoubleType) + half) / (nR + half * nBins)
+      val q = (b.getField("cc").cast(DoubleType) + half) / (nC + half * nBins)
+      acc + (p - q) * log(p / q)
+    })
+    one.select(col("__g").as(byCol), col("n_ref"), col("n_cur"),
+      round(psi, 6).as("psi"))
+      .orderBy(byCol)
+  }
+
   /** Reference quantile edges for PSI-style binning: the `nBins`-quantile
     * DISCRETE cut values of `value` (actual data values at the integer
     * rank targets, same rule as [[psiDrift]]), via the distributed

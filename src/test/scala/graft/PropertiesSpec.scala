@@ -468,7 +468,7 @@ class PropertiesSpec extends AnyFunSuite with SparkSpec {
     assert(Robust.mutualInformation(small, "x", "y").collect()(0).getAs[Long]("n_rows") == 1000L)
   }
 
-  test("grouped KS and Spearman match their global twins per group") {
+  test("grouped KS, PSI and Spearman match their global twins per group") {
     import graft.operators.Robust
     val rows = sample(Gen.listOfN(600, for {
       g <- Gen.oneOf("de", "en", "fr")
@@ -488,6 +488,23 @@ class PropertiesSpec extends AnyFunSuite with SparkSpec {
       assert(r.getAs[Double]("ks_stat") == single.getAs[Double]("ks_stat"),
         s"ks mismatch in $g")
     }
+
+    // grouped PSI: per-segment result equals the global operator run on
+    // that segment alone (each segment bins on its OWN reference edges);
+    // the reference-less segment drops — a gate must not invent a profile
+    val gpsi = Robust.psiDriftBy(df, $"v", $"src", "s0", "s1", "lang").collect()
+    assert(gpsi.map(_.getString(0)).toSet == Set("de", "en", "fr", "zz"))
+    for (r <- gpsi) {
+      val g = r.getString(0)
+      val single = Robust.psiDrift(df.filter($"lang" === g), $"v", $"src", "s0", "s1").head()
+      assert(r.getAs[Long]("n_ref") == single.getAs[Long]("n_ref"), s"n_ref mismatch in $g")
+      assert(r.getAs[Long]("n_cur") == single.getAs[Long]("n_cur"), s"n_cur mismatch in $g")
+      assert(r.getAs[Double]("psi") == single.getAs[Double]("psi"), s"psi mismatch in $g")
+    }
+    assert(Robust.psiDriftBy(
+      df.filter($"lang" =!= "zz" || $"src" =!= "s0"), // zz now cur-only
+      $"v", $"src", "s0", "s1", "lang").collect().map(_.getString(0)).toSet ==
+      Set("de", "en", "fr"))
 
     val xy = sample(Gen.listOfN(500, for {
       g <- Gen.oneOf("A", "B", "C")
