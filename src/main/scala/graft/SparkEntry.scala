@@ -2754,6 +2754,13 @@ object SparkEntry {
       graft.operators.TimeSeries.autocorrelation(
         Tables.orders(s, d), "o_orderdate", col("o_totalprice"), maxLag = 7)),
 
+    // Trailing-28-day anomaly gate on daily order revenue (current day
+    // excluded from its own baseline; exact-decimal window sums; only
+    // full-window days emitted) — the daily-metric pipeline monitor.
+    "q_rolling_anomaly" -> ((s, d) =>
+      graft.operators.TimeSeries.rollingAnomaly(
+        Tables.orders(s, d), col("o_orderdate"), col("o_totalprice"))),
+
     // Two-proportion z-test: arms by user-id parity, success = a purchase
     // within 24 h of the user's first event (exact µs integer cutoffs).
     "q_ab_test" -> ((s, d) => {
@@ -6110,6 +6117,26 @@ object SparkEntry {
          FROM one""",
 
     "q_acf" -> acfSql,
+
+    // Same exact-integer-cents window algebra (order-free; the variance
+    // numerator 28·Σx² − (Σx)² stays exact HUGEINT — the naive double
+    // chain cancels catastrophically) and the identical one-cast chain.
+    "q_rolling_anomaly" ->
+      """WITH d AS (SELECT CAST(o_orderdate AS DATE) AS d,
+                           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS rev
+                    FROM orders GROUP BY 1),
+              e AS (SELECT d, rev, CAST(rev * 100 AS HUGEINT) AS rc FROM d),
+              w AS (SELECT d, rev, rc,
+                           count(*) OVER win AS c,
+                           CAST(sum(rc) OVER win AS HUGEINT) AS s,
+                           CAST(sum(rc * rc) OVER win AS HUGEINT) AS ss
+                    FROM e WINDOW win AS (ORDER BY d ROWS BETWEEN 28 PRECEDING AND 1 PRECEDING))
+         SELECT CAST(d AS TIMESTAMP) AS day, CAST(rev AS DOUBLE) AS revenue,
+                round(CAST(s AS DOUBLE) / 2800.0, 6) AS roll_mean,
+                round(sqrt(CAST(28 * ss - s * s AS DOUBLE) / 756.0) / 100.0, 6) AS roll_std,
+                abs(CAST(rc AS DOUBLE) / 100.0 - CAST(s AS DOUBLE) / 2800.0)
+                  > 3.0 * (sqrt(CAST(28 * ss - s * s AS DOUBLE) / 756.0) / 100.0) AS is_anomaly
+         FROM w WHERE c = 28 ORDER BY day""",
 
     // Same exact-integer counts and the same double expression tree for z.
     "q_ab_test" ->

@@ -93,6 +93,61 @@ object TimeSeries {
     out
   }
 
+  /** Trailing-window anomaly gate over a daily money metric — the
+    * standard pipeline monitor ("did today's volume jump off its recent
+    * band?"): per-day exact-decimal totals, a trailing `window`-OBSERVED-
+    * DAY mean/std with the current day EXCLUDED (an outlier must not
+    * mask itself), and an `|x − mean| > z·std` flag. Only days with a
+    * FULL trailing window are emitted — a half-filled baseline flags
+    * noise. The window counts observed days, not calendar days (gap days
+    * carry no baseline mass; the orders calendar is dense).
+    *
+    * Scale shape: the raw scan collapses to the bounded DAY domain first
+    * (one keyed shuffle); the sliding frames run over that value-domain
+    * table only — the global ordered window sits on an
+    * aggregation-bounded input, the repo's window discipline.
+    *
+    * Exactness — the [[graft.operators.Robust.spearmanRho]] discipline:
+    * everything accumulates as exact integer CENTS in DECIMAL(38,0)
+    * (window sums are order-free; a double sliding sum would
+    * hash-diverge across engines, whose frame evaluation orders differ),
+    * the variance numerator `window·Σx² − (Σx)²` stays exact integer —
+    * the naive `ss − s²/c` double chain loses the race to catastrophic
+    * cancellation, which amplifies engine-level decimal→double last-bit
+    * differences into visible std error (measured: one mismatched row
+    * per ~1200 against DuckDB) — and ONE double conversion feeds a fixed
+    * constant-denominator chain the oracle replays. */
+  def rollingAnomaly(
+      df: DataFrame, dateCol: Column, moneyValue: Column,
+      window: Int = 28, z: Double = 3.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.dec2
+    require(window >= 2, s"need window >= 2, got $window")
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val series = df.groupBy(to_date(dateCol).as("d"))
+      .agg(sum(dec2(moneyValue)).cast("decimal(18,2)").as("rev"))
+      .withColumn("__rc", (col("rev") * 100).cast(dec38))
+    val w = Window.orderBy(col("d")).rowsBetween(-window, -1)
+    val stats = series
+      .withColumn("__c", count(lit(1)).over(w))
+      .withColumn("__s", sum(col("__rc")).over(w))
+      .withColumn("__ss", sum(col("__rc") * col("__rc")).over(w))
+      .filter(col("__c") === window)
+    val s = col("__s").cast(DoubleType)
+    val num = (lit(window).cast(dec38) * col("__ss") - col("__s") * col("__s"))
+      .cast(DoubleType)
+    val mean = s / lit(100.0 * window)
+    val sd = sqrt(num / lit(window.toDouble * (window - 1))) / lit(100.0)
+    stats.select(
+      col("d").cast("timestamp").as("day"),
+      col("rev").cast(DoubleType).as("revenue"),
+      round(mean, 6).as("roll_mean"),
+      round(sd, 6).as("roll_std"),
+      (abs(col("__rc").cast(DoubleType) / lit(100.0) - mean) > lit(z) * sd)
+        .as("is_anomaly"))
+      .orderBy(col("day"))
+  }
+
   /** Last-touch revenue attribution: each `convType` event credits its
     * value to the LATEST `touchTypes` event by the same user at or before
     * it and within `windowMinutes`; conversions with no qualifying touch

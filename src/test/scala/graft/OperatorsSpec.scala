@@ -728,6 +728,28 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(Robust.kendallTauB(sk, $"x", $"y").head().getAs[Double]("tau_b") == 0.894427)
   }
 
+  test("rollingAnomaly flags a planted spike against its trailing band only") {
+    import graft.operators.TimeSeries
+    // 40 consecutive days alternating 100/102 (nonzero band), one 1000
+    // spike at day 35; window 10, z 3. Full-window days are 11..40; only
+    // the spike day flags (later days' bands absorb the spike into std).
+    val rows = (0 until 40).map { i =>
+      val ts = java.sql.Timestamp.valueOf(
+        java.time.LocalDate.of(2024, 1, 1).plusDays(i.toLong).atStartOfDay)
+      val v = if (i == 34) 1000.0 else if (i % 2 == 0) 100.0 else 102.0
+      (ts, v)
+    }
+    val got = TimeSeries.rollingAnomaly(
+        rows.toDF("ts", "v"), col("ts"), col("v"), window = 10, z = 3.0)
+      .collect()
+    assert(got.length == 30) // only full-window days emitted
+    val flagged = got.filter(_.getAs[Boolean]("is_anomaly"))
+      .map(_.getAs[java.sql.Timestamp]("day").toLocalDateTime.getDayOfMonth)
+    assert(flagged.toSeq == Seq(4), s"flagged days: ${flagged.mkString(",")}") // Feb 4 = day 35
+    val spike = got.find(_.getAs[Double]("revenue") == 1000.0).get
+    assert(spike.getAs[Double]("roll_mean") == 101.0) // 5×100 + 5×102 over 10
+  }
+
   test("Pareto.skyline2D: dominance, equal-x/equal-point ties, null exclusion, staircase") {
     import graft.operators.Pareto
     // (5,1) and (1,5) are frontier corners; (3,3) survives between them;
