@@ -445,6 +445,21 @@ class PropertiesSpec extends AnyFunSuite with SparkSpec {
     assert(wmDf.collect()(0).getAs[Double]("w_median") == 0.0)
     assert(joinOutputRows(wmDf) == 0L,
       "weightedMedian scanned rows for a degenerate median bucket")
+
+    // ALL-point-mass data (three spaced powers of two — every occupied
+    // bucket single-valued): every target injects, the live broadcast
+    // side is EMPTY, and the whole answer derives from the summary.
+    val df3 = (Seq.fill(300)(1.0) ++ Seq.fill(500)(2.0) ++ Seq.fill(200)(8.0))
+      .map(("A", _)).toDF("g", "v")
+    val rs3Df = Robust.robustStats(df3, "g", $"v")
+    val rs3 = rs3Df.collect()(0)
+    assert(rs3.getAs[Long]("n") == 1000L)
+    assert(rs3.getAs[Double]("p05") == 1.0 && rs3.getAs[Double]("median") == 2.0
+      && rs3.getAs[Double]("p95") == 8.0)
+    assert(rs3.getAs[Double]("mad") == 0.0) // 500 zeros dominate the deviations
+    assert(rs3.getAs[Double]("wins_mean") == 2.9) // (300·1 + 500·2 + 200·8)/1000
+    assert(joinOutputRows(rs3Df) == 0L,
+      "all-point-mass robustStats still scanned slice rows")
   }
 
   test("contingency-fold guard: a high-cardinality domain fails loudly before collapsing") {
