@@ -94,6 +94,80 @@ object Pca {
         .as("ms"))
       .head().getSeq[Double](0)
 
+    val (loadings, ratio) = solveTop(moments, dim, rounds)
+    val out = (0 until dim).map(k => (k, loadings(k), ratio))
+    spark.createDataFrame(out).toDF("i", "loading", "var_ratio")
+      .orderBy(col("i"))
+  }
+
+  /** Per-`byCol`-group top principal component — the class-/source-
+    * conditional embedding-structure probe ("does segment X's embedding
+    * cloud point the way the corpus does?"), completing the grouped
+    * family (KS/PSI/Spearman + PCA). [[topComponent]]'s exact split with
+    * the group riding every step: per-(group, dim) decimal mean sums
+    * collect (d·|groups| rows, bounded); the rounded means go BACK as a
+    * slim broadcast keyed on the group (the global variant inlines them
+    * as literals — per-group literals don't exist); the O(n·d²) moment
+    * pass runs ONE [[CovMomentsAgg]] buffer per group (map-side partial,
+    * ≤ d(d+1)/2 cells per buffer); the constant-size eigensolves run
+    * driver-side per group, bit-identically to the global chain. Output
+    * one row per (group, dimension). */
+  def topComponentBy(
+      df: DataFrame, vecCol: Column, byCol: String, dim: Int,
+      rounds: Int = 10): DataFrame = {
+    require(dim > 0 && rounds > 0, s"Pca.topComponentBy: dim=$dim rounds=$rounds")
+    val spark = df.sparkSession
+    val rows = df.select(col(byCol).as("__g"), vecCol.as("v"))
+      .filter(col("v").isNotNull && size(col("v")) === dim &&
+        !exists(col("v"), x => x.isNull))
+    val gField = rows.schema("__g")
+    val meanRows = rows
+      .select(col("__g"), posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy(col("__g"), col("i"))
+      .agg(sum(col("x").cast(DecimalType(38, 12))).as("s"), count(lit(1)).as("n"))
+      .select(col("__g"), col("i"),
+        round(col("s").cast(DoubleType) / col("n"), 6).as("m"))
+      .collect()
+    require(meanRows.nonEmpty, "Pca.topComponentBy: no valid vectors")
+    val meansByG: Map[Any, Array[Double]] = meanRows.groupBy(_.get(0)).map {
+      case (g, rs) =>
+        val a = Array.ofDim[Double](dim)
+        rs.foreach(r => a(r.getAs[Int]("i")) = r.getAs[Double]("m"))
+        g -> a
+    }
+    val meansDf = spark.createDataFrame(
+      java.util.Arrays.asList(meansByG.toSeq.map { case (g, a) =>
+        Row(g, a.toSeq) }: _*),
+      StructType(Seq(gField.copy(name = "__g"),
+        StructField("__m", ArrayType(DoubleType, containsNull = false)))))
+    val centered = rows.join(broadcast(meansDf), Seq("__g"))
+      .select(col("__g"),
+        zip_with(col("v"), col("__m"), (x, m) => x.cast(DoubleType) - m).as("c"))
+    val momentRows = centered.groupBy(col("__g"))
+      .agg(ColumnBridge.column(
+        CovMomentsAgg(ColumnBridge.expression(col("c")), dim).toAggregateExpression())
+        .as("ms"))
+      .collect()
+    val out = momentRows.flatMap { r =>
+      val (loadings, ratio) = solveTop(r.getSeq[Double](1), dim, rounds)
+      (0 until dim).map(k => Row(r.get(0), k, loadings(k), ratio))
+    }
+    spark.createDataFrame(
+      java.util.Arrays.asList(out: _*),
+      StructType(Seq(gField.copy(name = byCol),
+        StructField("i", IntegerType, nullable = false),
+        StructField("loading", DoubleType, nullable = false),
+        StructField("var_ratio", DoubleType, nullable = false))))
+      .orderBy(byCol, "i")
+  }
+
+  /** Constant-size driver eigensolve shared by the global and grouped
+    * variants: `rounds` power-iteration steps from v₀ = 1/√d, every fold
+    * ascending left-to-right, sign fixed by the ascending component sum —
+    * the exact IEEE chain the SQL oracles replay. Returns the 6-dp
+    * rounded (signed loadings, explained-variance ratio). */
+  private def solveTop(
+      moments: Seq[Double], dim: Int, rounds: Int): (IndexedSeq[Double], Double) = {
     val mat = Array.ofDim[Double](dim, dim)
     var ki = 0; var kk = 0
     while (ki < dim) {
@@ -104,8 +178,6 @@ object Pca {
       }
       ki += 1
     }
-
-    // Constant-size power iteration, every fold ascending left-to-right.
     def matvec(v: Array[Double]): Array[Double] =
       Array.tabulate(dim) { i =>
         var s = 0.0; var j = 0
@@ -125,12 +197,9 @@ object Pca {
     while (i < dim) { lam += v(i) * t(i); tr += mat(i)(i); csum += v(i); i += 1 }
     val sg = if (csum < 0.0) -1.0 else 1.0
     val ratio = lam / tr
-
-    val out = (0 until dim).map(k =>
-      (k, BigDecimal(sg * v(k)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
-        BigDecimal(ratio).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
-    spark.createDataFrame(out).toDF("i", "loading", "var_ratio")
-      .orderBy(col("i"))
+    ((0 until dim).map(k =>
+      BigDecimal(sg * v(k)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble),
+      BigDecimal(ratio).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 }
 

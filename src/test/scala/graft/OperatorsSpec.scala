@@ -798,6 +798,31 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(clean.sortBy(_.getAs[Int]("i")).map(_.getAs[Double]("loading")).toSeq == load.toSeq)
   }
 
+  test("Pca.topComponentBy: per-group planted axes recovered; each group equals its global twin") {
+    import graft.operators.Pca
+    // group A dominates along axis 1, group B along axis 3 — the grouped
+    // solve must find each group's OWN direction, and each group's rows
+    // must be bit-identical to topComponent run on that group alone.
+    val data = (0 until 40).flatMap { k =>
+      val m = if (k % 2 == 0) 10f + k else -10f - k
+      Seq(("A", Seq(0.01f * k, m, 0.02f * (k % 3), 0.01f)),
+        ("B", Seq(0.02f * (k % 5), 0.01f, 0.01f * k, m)))
+    }
+    val df = data.toDF("g", "embedding")
+    val got = Pca.topComponentBy(df, $"embedding", "g", 4, rounds = 30).collect()
+    assert(got.length == 8)
+    for (g <- Seq("A", "B")) {
+      val mine = got.filter(_.getString(0) == g).sortBy(_.getAs[Int]("i"))
+        .map(r => (r.getAs[Double]("loading"), r.getAs[Double]("var_ratio"))).toSeq
+      val twin = Pca.topComponent(df.filter($"g" === g), $"embedding", 4, rounds = 30)
+        .collect().sortBy(_.getAs[Int]("i"))
+        .map(r => (r.getAs[Double]("loading"), r.getAs[Double]("var_ratio"))).toSeq
+      assert(mine == twin, s"group $g diverges from its global twin")
+      val axis = if (g == "A") 1 else 3
+      assert(math.abs(mine(axis)._1) > 0.999, s"group $g axis not recovered: $mine")
+    }
+  }
+
   test("spearmanRho: monotone ±1, tie handling matches the closed form, independence near 0") {
     import graft.operators.Robust
     // strictly increasing relation (nonlinear) → ρ = 1; reversed → −1
