@@ -462,6 +462,42 @@ class PropertiesSpec extends AnyFunSuite with SparkSpec {
       "all-point-mass robustStats still scanned slice rows")
   }
 
+  test("robustStats MAD stress: adversarial shapes across seeds match first-principles selection") {
+    import graft.operators.Robust
+    // The MAD annulus derivation (driver-side interval-fold rank bounds)
+    // is the subtlest piece of the selection path: stress it with the
+    // shapes most likely to break conservative bracket math — bimodal
+    // masses (annulus spans disconnected bucket runs), near-constant
+    // groups (deviation ≈ 0 everywhere), geometric spreads (octave
+    // boundaries), and tiny groups — across several seeds.
+    def rank(n: Long, p: Int): Long = (p * n + 99) / 100
+    for (seed <- Seq(1L, 7L, 23L, 99L)) {
+      val rnd = new scala.util.Random(seed)
+      val data =
+        List.fill(300)(("bimodal", if (rnd.nextBoolean()) 10.0 + rnd.nextInt(5)
+          else 1000.0 + rnd.nextInt(5))) ++
+        List.fill(200)(("nearconst", if (rnd.nextInt(100) == 0) 50.0 + rnd.nextInt(3)
+          else 42.0)) ++
+        List.fill(150)(("geo", math.pow(2.0, rnd.nextInt(30)) * (1 + rnd.nextInt(3)))) ++
+        List(("one", 7.0)) ++ List(("two", 3.0), ("two", 9.0))
+      val rs = Robust.robustStats(data.toDF("g", "v"), "g", $"v")
+        .collect().map(r => r.getString(0) -> r).toMap
+      for ((g, rows) <- data.groupBy(_._1)) {
+        val sorted = rows.map(_._2).sorted.toVector
+        val n = sorted.size.toLong
+        val got = rs(g)
+        val med = sorted(rank(n, 50).toInt - 1)
+        assert(got.getAs[Double]("median") == med, s"median mismatch in $g seed=$seed")
+        val mad = sorted.map(v => math.abs(v - med)).sorted.apply(rank(n, 50).toInt - 1)
+        assert(math.abs(got.getAs[Double]("mad") - mad) < 5.01e-7,
+          s"mad mismatch in $g seed=$seed: got ${got.getAs[Double]("mad")} want $mad")
+        assert(got.getAs[Double]("p05") == sorted(rank(n, 5).toInt - 1)
+          && got.getAs[Double]("p95") == sorted(rank(n, 95).toInt - 1),
+          s"cut mismatch in $g seed=$seed")
+      }
+    }
+  }
+
   test("contingency-fold guard: a high-cardinality domain fails loudly before collapsing") {
     import graft.operators.Robust
     // 200 × 100 = 20 000 cells > the 8192 ceiling: every O(cells²)
