@@ -423,55 +423,70 @@ object Robust {
     * dropped, matching the [[weightedMedian]] contract. */
   private[operators] def bitValuesAtRanks(rowsRaw: DataFrame, pcts: Seq[Int]): DataFrame = {
     import graft.functions.BitGrid.bitBucket
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
     require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100))
     val rows = rowsRaw.filter(col("v").isNotNull)
       .withColumn("__bkt", bitBucket(col("v").cast(DoubleType)))
-    val wOff = Window.partitionBy(col("__g")).orderBy(col("__bkt"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val wAll = Window.partitionBy(col("__g"))
-    // The summary carries each bucket's ACTUAL [vmin, vmax] on the
-    // ORIGINAL value domain: a single-valued target bucket resolves from
-    // the summary alone (below), no slice scan.
-    val targets = rows.groupBy(col("__g"), col("__bkt"))
+    // The ONE full scan: the per-(group, bucket) weight summary with each
+    // bucket's ACTUAL [vmin, vmax] on the ORIGINAL value domain,
+    // COLLECTED — grid-bounded (the bit grid has <= 2^18 cells over ALL
+    // doubles), and the slice join broadcasts the derived targets anyway,
+    // so the rank-bracket arithmetic runs driver-side on the same table
+    // (the robustStats argument; the former checkpoint + windows +
+    // explode chain paid three extra barrier jobs for the same rows).
+    val summary = rows.groupBy(col("__g"), col("__bkt"))
       .agg(sum(col("w")).as("__c"),
         min(col("v")).as("__vmin"), max(col("v")).as("__vmax"))
-      .withColumn("__off", coalesce(sum(col("__c")).over(wOff), lit(0L)))
-      .withColumn("__tot", sum(col("__c")).over(wAll))
-      .select(col("__g"), col("__bkt"), col("__off"), col("__c"), col("__tot"),
-        col("__vmin"), col("__vmax"),
-        explode(array(pcts.map(lit): _*)).as("__p"))
-      .withColumn("__r", expr("(__p * __tot + 99) div 100"))
-      .filter(col("__off") < col("__r") && col("__r") <= col("__off") + col("__c"))
-      .select(col("__g"), col("__bkt"), col("__p"),
-        (col("__r") - col("__off")).as("__resid"), col("__tot"), col("__c"),
-        col("__vmin"), col("__vmax"))
-      // Materialized (|groups|·|pcts| rows): the live/degenerate split
-      // below makes this table TWO-consumer, and without the checkpoint
-      // each side would re-run the full per-bucket aggregation scan.
-      .localCheckpoint(false)
+    val sSchema = summary.schema
+    final case class T(g: Any, bkt: Long, p: Int, resid: Long, tot: Long,
+      vmin: Any, vmax: Any, c: Long)
+    val targets = summary.collect().groupBy(_.get(0)).iterator.flatMap {
+      case (g, rs) =>
+        val bs = rs.sortBy(_.getLong(1)) // bucket order IS value order
+        val off = bs.scanLeft(0L)(_ + _.getLong(2))
+        val tot = off.last
+        pcts.flatMap { p =>
+          val r = (p.toLong * tot + 99) / 100
+          // zero-weight groups have no bracket and are DROPPED (contract)
+          bs.indices.find(i => off(i) < r && r <= off(i) + bs(i).getLong(2))
+            .map(i => T(g, bs(i).getLong(1), p, r - off(i), tot,
+              bs(i).get(3), bs(i).get(4), bs(i).getLong(2)))
+        }
+    }.toArray
     // Point-mass split: a DEGENERATE target bucket (vmin = vmax — a point
     // mass; half-zeros columns are normal data) holds one value, so the
     // rank inside it can only select that value — it enters the slice as
-    // ONE injected summary row (the common value, the bucket weight) and
+    // ONE injected LOCAL row (the common value, the bucket weight) and
     // NO row of the bucket crosses the join. Without this, a heavy point
     // mass routes ~all of a group's rows through one (g, p) window task
     // at any scale; with it, only genuinely multi-valued buckets ever pay
     // a slice. Correctness is uniform: each (g, p) slice is exactly one
     // bucket, and for an injected row the weighted cumulative crosses the
     // rank residual inside its run iff the true rank falls there.
-    val live = targets.filter(col("__vmin") =!= col("__vmax"))
-      .drop("__vmin", "__vmax", "__c")
-    val inj = targets.filter(col("__vmin") === col("__vmax"))
-      .select(col("__g"), col("__bkt"), col("__vmin").as("v"),
-        col("__c").as("w"), col("__p"), col("__resid"), col("__tot"))
+    val (degT, liveT) = targets.partition(t => t.vmin == t.vmax)
+    val liveSchema = StructType(Seq(
+      sSchema("__g").copy(name = "__g"), StructField("__bkt", LongType),
+      StructField("__p", IntegerType), StructField("__resid", LongType),
+      StructField("__tot", LongType)))
+    val liveDf = rowsRaw.sparkSession.createDataFrame(
+      java.util.Arrays.asList(liveT.map(t =>
+        Row(t.g, t.bkt, t.p, t.resid, t.tot)): _*), liveSchema)
+    val injDf = rowsRaw.sparkSession.createDataFrame(
+      java.util.Arrays.asList(degT.map(t =>
+        Row(t.g, t.bkt, t.vmin, t.c, t.p, t.resid, t.tot)): _*),
+      StructType(liveSchema.fields.take(2) ++
+        Seq(StructField("v", sSchema("__vmin").dataType),
+          StructField("w", sSchema("__c").dataType)) ++
+        liveSchema.fields.drop(2)))
     val sliceCols = Seq("__g", "__bkt", "v", "w", "__p", "__resid", "__tot").map(col)
     val wSlice = Window.partitionBy(col("__g"), col("__p")).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val aggs = max(col("__tot")).as("n") +: pcts.map(p =>
       min(when(col("__p") === p && col("__cum") >= col("__resid"), col("v"))).as(s"q_$p"))
-    rows.join(broadcast(live), Seq("__g", "__bkt"))
+    rows.join(broadcast(liveDf), Seq("__g", "__bkt"))
       .select(sliceCols: _*)
-      .unionByName(inj.select(sliceCols: _*))
+      .unionByName(injDf)
       .withColumn("__cum", sum(col("w")).over(wSlice))
       .groupBy(col("__g"))
       .agg(aggs.head, aggs.tail: _*)
