@@ -89,6 +89,14 @@ object Robust {
     * are ignored throughout (quantiles, MAD and wins_mean all run over
     * the non-null domain; `n` counts only non-null rows).
     *
+    * PRECONDITION — `df` must be DETERMINISTIC across re-evaluation
+    * (same rows on every scan): the summary pass and the slice pass are
+    * two scans of the source, and the rank brackets derived from the
+    * first would silently mis-select against a second scan that saw
+    * different rows (a `sample()`/`rand()` subtree, a mutating file
+    * listing). Callers with such inputs must checkpoint first. The
+    * [[weightedMedian]] family carries the same contract.
+    *
     * Job shape — ONE full scan + ONE fused slice scan. Rows bucket on
     * the fixed order-preserving bit grid ([[graft.functions.BitGrid]]),
     * so the per-(group, bucket) summary — counts, exact-decimal value
@@ -420,7 +428,9 @@ object Robust {
     * distinct values that collapse share a bucket, which only widens a
     * slice); the selected value is the original `v`. Groups whose total
     * weight is zero (or all-null `v`) produce no rank bracket and are
-    * dropped, matching the [[weightedMedian]] contract. */
+    * dropped, matching the [[weightedMedian]] contract. PRECONDITION:
+    * `rowsRaw` must be deterministic across re-evaluation — the summary
+    * and the slice are two scans of it (see [[robustStats]]). */
   private[operators] def bitValuesAtRanks(rowsRaw: DataFrame, pcts: Seq[Int]): DataFrame = {
     import graft.functions.BitGrid.bitBucket
     import org.apache.spark.sql.Row

@@ -1,8 +1,9 @@
-package graft.operators
+package graft.tools
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
+import graft.operators.Pca
 import graft.sources.Tables
 
 /** Ad-hoc stage timing for the PCA moments path (dev tool). */
