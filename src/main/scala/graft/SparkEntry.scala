@@ -2748,6 +2748,12 @@ object SparkEntry {
     "q_js_divergence" -> ((s, d) =>
       graft.operators.Curation.jsDivergence(Tables.documents(s, d))),
 
+    // Gini coefficient of source token concentration — the one-number
+    // corpus-dominance health metric (sorted-shares closed form, exact
+    // integer counts, bounded ascending fold).
+    "q_source_gini" -> ((s, d) =>
+      graft.operators.Curation.sourceGini(Tables.documents(s, d))),
+
     // Autocorrelation of daily order revenue, lags 1..7 — exact-decimal
     // moment sums → one double cast, so Pearson r is bit-portable.
     "q_acf" -> ((s, d) =>
@@ -6093,6 +6099,20 @@ object SparkEntry {
                             ELSE 0.0 END)), 6) AS js_nats
          FROM tot LEFT JOIN ps USING (source), corpus
          ORDER BY source""",
+
+    // Same ascending-(toks, source) sorted fold; identical index algebra.
+    "q_source_gini" ->
+      """WITH per AS (SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS toks
+                      FROM documents GROUP BY 1),
+              one AS (SELECT list_sort(list({'toks': toks, 'source': source})) AS xs,
+                             CAST(sum(toks) AS BIGINT) AS n_tokens,
+                             CAST(count(*) AS BIGINT) AS n_sources
+                      FROM per)
+         SELECT n_sources, n_tokens,
+                round(list_sum(list_transform(range(1, CAST(n_sources AS INT) + 1), i ->
+                        (2.0 * i - CAST(n_sources AS DOUBLE) - 1.0) * CAST(xs[i].toks AS DOUBLE)))
+                      / (CAST(n_sources AS DOUBLE) * CAST(n_tokens AS DOUBLE)), 6) AS gini
+         FROM one""",
 
     // CM-guarantee assertion twin of the deterministic fixed-seed sketch.
     "q_countmin" ->

@@ -309,6 +309,34 @@ object Curation {
       .orderBy(col("source"))
   }
 
+  /** Gini coefficient of corpus concentration across sources — the
+    * one-number "is this corpus dominated by a few sources?" health
+    * metric curation dashboards track next to the mixture weights
+    * (0 = perfectly even shares, → 1 = one source holds everything).
+    * Uses the sorted-shares closed form
+    * `G = Σᵢ (2i − n − 1)·x₍ᵢ₎ / (n·Σx)` over ASCENDING per-source token
+    * totals.
+    *
+    * Scale shape: one tokenize-count scan collapses to the |sources|
+    * domain (keyed shuffle); the sorted fold runs over that bounded
+    * array in ONE row, ascending (toks, source) order on both engines —
+    * exact integer counts, one double chain, bit-portable. */
+  def sourceGini(documents: DataFrame): DataFrame = {
+    val per = documents
+      .select(col("source"), size(split(col("text"), " ")).cast(LongType).as("__t"))
+      .groupBy(col("source")).agg(sum(col("__t")).as("toks"))
+    val one = per.agg(
+      array_sort(collect_list(struct(col("toks"), col("source")))).as("xs"),
+      sum(col("toks")).as("n_tokens"), count(lit(1)).as("n_sources"))
+    val nD = col("n_sources").cast(DoubleType)
+    val gini = aggregate(
+      sequence(lit(1), col("n_sources").cast(IntegerType)), lit(0.0),
+      (acc, i) => acc + (lit(2.0) * i.cast(DoubleType) - nD - lit(1.0)) *
+        element_at(col("xs"), i).getField("toks").cast(DoubleType)) /
+      (nD * col("n_tokens").cast(DoubleType))
+    one.select(col("n_sources"), col("n_tokens"), round(gini, 6).as("gini"))
+  }
+
   /** Quality-classifier inference: a fixed-weight logistic model over
     * cheap per-document signals (the fastText/CCNet-style quality-filter
     * shape — GPT-3, LLaMA and Dolma all gate pretraining data on a linear

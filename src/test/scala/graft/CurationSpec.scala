@@ -236,6 +236,21 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", saved)
   }
 
+  test("sourceGini: hand-computed shares, evenness zero, dominance limit") {
+    import graft.operators.Curation
+    def df(rows: Seq[(String, String)]) = rows.toDF("source", "text")
+    // shares [1, 3] over 2 sources: G = ((2·1−3)·1 + (2·2−3)·3)/(2·4) = 0.25
+    val g = Curation.sourceGini(df(Seq(("a", "x"), ("b", "x x x")))).head()
+    assert(g.getAs[Long]("n_sources") == 2L && g.getAs[Long]("n_tokens") == 4L)
+    assert(g.getAs[Double]("gini") == 0.25)
+    // perfectly even shares → 0
+    val even = Curation.sourceGini(df(Seq(("a", "x x"), ("b", "y y"), ("c", "z z")))).head()
+    assert(even.getAs[Double]("gini") == 0.0)
+    // one dominant source approaches (n−1)/n
+    val dom = Curation.sourceGini(df(Seq(("a", "x"), ("b", Seq.fill(999)("y").mkString(" "))))).head()
+    assert(dom.getAs[Double]("gini") > 0.49 && dom.getAs[Double]("gini") < 0.5)
+  }
+
   test("robustStats: discrete quantiles, MAD and winsorized mean on a known fixture") {
     // group g: values 1..20 → n=20, p05 = v@rank1 = 1, med = v@rank10 = 10,
     // p95 = v@rank19 = 19; MAD: |v-10| sorted → rank10 value = 5
