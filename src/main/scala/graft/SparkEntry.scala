@@ -859,6 +859,28 @@ object SparkEntry {
           (coalesce(sum(col("hit")), lit(0L)) >= count(lit(1)) * 0.6).as("recall_ok"))
     }),
 
+    // IVF-PQ hard negatives — the compressed-tier twin of
+    // q_hard_negatives_ivf: same unbounded-|Q| cell-keyed self-mining
+    // join, but in-cell scoring is residual ADC over the 16-byte codes
+    // (the corpus side of the join moves codes, never embeddings).
+    // SELF-ASSERTING recall vs the in-plan exact brute-force twin;
+    // doubly approximate (IVF probe misses AND PQ score quantization),
+    // so the floor follows the ivfpq search family (0.35); measured
+    // ~0.5-0.6 on uniform-random data with 8/16 cells, m=16 × ksub=64.
+    "q_hard_negatives_ivfpq" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val idx = graft.operators.Pq.buildIvfPq(
+        s, emb, dims = 64, nLists = 16, m = 16, ksub = 64)
+      val approx = graft.operators.Pq.hardNegativesIvfPq(
+          idx, emb.select(col("vec_id"), col("label")), emb, k = 3, nProbe = 8)
+        .select(col("query_id"), col("neighbor_id")).withColumn("hit", lit(1L))
+      val exact = Similarity.hardNegatives(emb, emb, k = 3)
+        .select(col("query_id"), col("neighbor_id"))
+      exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+        .agg(countDistinct(col("query_id")).as("n_queries"),
+          (coalesce(sum(col("hit")), lit(0L)) >= count(lit(1)) * 0.35).as("recall_ok"))
+    }),
+
     // Banded hyperplane-LSH ANN, SELF-ASSERTING: the query emits recall@5
     // against the exact brute-force top-k (computed in the same plan — the
     // |Q|·|C| twin is the verification harness, bounded by |Q|=32). Measured
@@ -2681,6 +2703,16 @@ object SparkEntry {
       graft.operators.Robust.ksStatisticBy(
         Tables.documents(s, d), col("n_chars"), col("source"), "src0", "src1", "lang")),
 
+    // Per-language Mann–Whitney U — "is the rank shift SIGNIFICANT in the
+    // segment that drifted?", the question after q_ks_drift_by_lang
+    // answers WHICH. Same exact-integer doubled-rank algebra as the
+    // global statistic with the language riding every key (grouped
+    // two-level scan, never a per-group single-task window); u2_a per
+    // group is the exact integer, so the compare is float-free.
+    "q_mann_whitney_by_lang" -> ((s, d) =>
+      graft.operators.Robust.mannWhitneyUBy(
+        Tables.documents(s, d), col("n_chars"), col("source"), "src0", "src1", "lang")),
+
     // Population Stability Index — the production drift gate (reference-
     // quantile bins, smoothed proportions); complements KS (max ECDF gap)
     // and Mann-Whitney (rank shift) with the binned-divergence view.
@@ -2748,6 +2780,16 @@ object SparkEntry {
     "q_js_divergence" -> ((s, d) =>
       graft.operators.Curation.jsDivergence(Tables.documents(s, d))),
 
+    // Drift of drift: per-(source, ingest-batch) JS divergence from the
+    // corpus mixture — the trend line behind q_js_divergence's one-number
+    // row (a source whose js_nats climbs batch over batch is drifting).
+    // Batches are fixed-width doc_id blocks (the arrival-order analog of
+    // weekly partitions; count grows with the corpus, width doesn't).
+    "q_js_drift_by_batch" -> ((s, d) =>
+      graft.operators.Curation.jsDivergenceBy(
+        Tables.documents(s, d).withColumn("batch", expr("doc_id div 128")),
+        Seq("source", "batch"))),
+
     // Gini coefficient of source token concentration — the one-number
     // corpus-dominance health metric (sorted-shares closed form, exact
     // integer counts, bounded ascending fold).
@@ -2766,6 +2808,16 @@ object SparkEntry {
     "q_rolling_anomaly" -> ((s, d) =>
       graft.operators.TimeSeries.rollingAnomaly(
         Tables.orders(s, d), col("o_orderdate"), col("o_totalprice"))),
+
+    // Per-priority trailing-28-day anomaly gate — the monitor a
+    // marketplace actually runs (a segment's 3σ jump vanishes inside the
+    // global total): per-(priority, day) pre-agg first, then the same
+    // integer-cents window algebra partitioned by segment over the
+    // calendar-bounded domain.
+    "q_rolling_anomaly_by_segment" -> ((s, d) =>
+      graft.operators.TimeSeries.rollingAnomalyBy(
+        Tables.orders(s, d), col("o_orderpriority"), col("o_orderdate"),
+        col("o_totalprice"))),
 
     // Two-proportion z-test: arms by user-id parity, success = a purchase
     // within 24 h of the user's first event (exact µs integer cutoffs).
@@ -3933,6 +3985,16 @@ object SparkEntry {
         reg.ivfFull(s, d), emb.select(col("vec_id"), col("label")),
         emb, k = 3, nProbe = 8)
     }),
+    // Contract form: IVF-PQ mining ⋈ O(|Q|·|C|) brute-force twin + recall
+    // agg. Operator: the cell-keyed ADC self-mining join against the
+    // at-rest encoded index — codes move, embeddings don't.
+    "q_hard_negatives_ivfpq" -> ((s, d) => {
+      val reg = graft.operators.IndexRegistry
+      val emb = Tables.embeddings(s, d)
+      graft.operators.Pq.hardNegativesIvfPq(
+        reg.ivfPqFull(s, d), emb.select(col("vec_id"), col("label")),
+        emb, k = 3, nProbe = 8)
+    }),
     // Contract form: IVF search ⋈ brute-force twin + recall agg.
     // Operator: probe-set planning + cell-pruned in-cell exact scoring.
     "q_embed_knn_ivf" -> ((s, d) => {
@@ -4553,6 +4615,12 @@ object SparkEntry {
     // Self-asserting (recall vs the in-plan brute-force twin ≥ 0.6; the
     // oracle pins the self-mining query-set size and the literal `true`).
     "q_hard_negatives_ivf" ->
+      """SELECT count(DISTINCT vec_id) AS n_queries, true AS recall_ok
+         FROM embeddings""",
+
+    // Self-asserting (ADC-scored recall vs the in-plan exact twin ≥ 0.35;
+    // the oracle pins the self-mining query-set size and the literal).
+    "q_hard_negatives_ivfpq" ->
       """SELECT count(DISTINCT vec_id) AS n_queries, true AS recall_ok
          FROM embeddings""",
 
@@ -6100,6 +6168,52 @@ object SparkEntry {
          FROM tot LEFT JOIN ps USING (source), corpus
          ORDER BY source""",
 
+    // Grouped twin: the identical sorted-vocab fold with (source, batch)
+    // riding the tokenize, per-key lists and totals; the corpus reference
+    // distribution stays GLOBAL (the gate compares cells to the mixture).
+    "q_js_drift_by_batch" ->
+      s"""WITH tok AS (SELECT source, doc_id // 128 AS batch,
+                              unnest(string_split(text, ' ')) AS term FROM documents),
+              tc AS (SELECT term, count(*) AS cnt FROM tok GROUP BY 1),
+              top AS (SELECT term, cnt FROM tc ORDER BY cnt DESC, term LIMIT ${graft.operators.Curation.JsVocabSize}),
+              corpus AS (SELECT (SELECT list_sort(list({'term': term, 'cnt': cnt})) FROM top) AS qs,
+                                CAST(sum(cnt) AS BIGINT) AS qtot,
+                                CAST((SELECT sum(cnt) FROM top) AS BIGINT) AS qtop
+                         FROM tc),
+              st AS (SELECT source, batch, term, count(*) AS c FROM tok
+                     WHERE term IN (SELECT term FROM top) GROUP BY 1, 2, 3),
+              ps AS (SELECT source, batch, list({'term': term, 'c': c}) AS ps,
+                            CAST(sum(c) AS BIGINT) AS ptop FROM st GROUP BY 1, 2),
+              tot AS (SELECT source, batch, count(*) AS n_tokens FROM tok GROUP BY 1, 2)
+         SELECT source, batch, n_tokens,
+                round(list_sum(list_transform(qs, e ->
+                    0.5 * ((CASE WHEN CAST(coalesce(list_sum(list_transform(list_filter(ps, x -> x.term = e.term), x -> x.c)), 0) AS DOUBLE) / CAST(n_tokens AS DOUBLE) > 0
+                            THEN (CAST(coalesce(list_sum(list_transform(list_filter(ps, x -> x.term = e.term), x -> x.c)), 0) AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+                                 * ln((CAST(coalesce(list_sum(list_transform(list_filter(ps, x -> x.term = e.term), x -> x.c)), 0) AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+                                      / ((CAST(coalesce(list_sum(list_transform(list_filter(ps, x -> x.term = e.term), x -> x.c)), 0) AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                                          + CAST(e.cnt AS DOUBLE) / CAST(qtot AS DOUBLE)) / 2.0))
+                            ELSE 0.0 END)
+                         + (CASE WHEN CAST(e.cnt AS DOUBLE) / CAST(qtot AS DOUBLE) > 0
+                            THEN (CAST(e.cnt AS DOUBLE) / CAST(qtot AS DOUBLE))
+                                 * ln((CAST(e.cnt AS DOUBLE) / CAST(qtot AS DOUBLE))
+                                      / ((CAST(coalesce(list_sum(list_transform(list_filter(ps, x -> x.term = e.term), x -> x.c)), 0) AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                                          + CAST(e.cnt AS DOUBLE) / CAST(qtot AS DOUBLE)) / 2.0))
+                            ELSE 0.0 END))))
+                  + 0.5 * ((CASE WHEN CAST(n_tokens - coalesce(ptop, 0) AS DOUBLE) / CAST(n_tokens AS DOUBLE) > 0
+                            THEN (CAST(n_tokens - coalesce(ptop, 0) AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+                                 * ln((CAST(n_tokens - coalesce(ptop, 0) AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+                                      / ((CAST(n_tokens - coalesce(ptop, 0) AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                                          + CAST(qtot - qtop AS DOUBLE) / CAST(qtot AS DOUBLE)) / 2.0))
+                            ELSE 0.0 END)
+                         + (CASE WHEN CAST(qtot - qtop AS DOUBLE) / CAST(qtot AS DOUBLE) > 0
+                            THEN (CAST(qtot - qtop AS DOUBLE) / CAST(qtot AS DOUBLE))
+                                 * ln((CAST(qtot - qtop AS DOUBLE) / CAST(qtot AS DOUBLE))
+                                      / ((CAST(n_tokens - coalesce(ptop, 0) AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                                          + CAST(qtot - qtop AS DOUBLE) / CAST(qtot AS DOUBLE)) / 2.0))
+                            ELSE 0.0 END)), 6) AS js_nats
+         FROM tot LEFT JOIN ps USING (source, batch), corpus
+         ORDER BY source, batch""",
+
     // Same ascending-(toks, source) sorted fold; identical index algebra.
     "q_source_gini" ->
       """WITH per AS (SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS toks
@@ -6165,6 +6279,27 @@ object SparkEntry {
                 abs(CAST(rc AS DOUBLE) / 100.0 - CAST(s AS DOUBLE) / 2800.0)
                   > 3.0 * (sqrt(CAST(28 * ss - s * s AS DOUBLE) / 756.0) / 100.0) AS is_anomaly
          FROM w WHERE c = 28 ORDER BY day""",
+
+    // Grouped twin: the same integer-cents window algebra with the
+    // pre-agg, the trailing frame and the full-window filter all
+    // partitioned by the order priority.
+    "q_rolling_anomaly_by_segment" ->
+      """WITH d AS (SELECT o_orderpriority AS seg, CAST(o_orderdate AS DATE) AS d,
+                           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS rev
+                    FROM orders GROUP BY 1, 2),
+              e AS (SELECT seg, d, rev, CAST(rev * 100 AS HUGEINT) AS rc FROM d),
+              w AS (SELECT seg, d, rev, rc,
+                           count(*) OVER win AS c,
+                           CAST(sum(rc) OVER win AS HUGEINT) AS s,
+                           CAST(sum(rc * rc) OVER win AS HUGEINT) AS ss
+                    FROM e WINDOW win AS (PARTITION BY seg ORDER BY d
+                      ROWS BETWEEN 28 PRECEDING AND 1 PRECEDING))
+         SELECT seg AS segment, CAST(d AS TIMESTAMP) AS day, CAST(rev AS DOUBLE) AS revenue,
+                round(CAST(s AS DOUBLE) / 2800.0, 6) AS roll_mean,
+                round(sqrt(CAST(28 * ss - s * s AS DOUBLE) / 756.0) / 100.0, 6) AS roll_std,
+                abs(CAST(rc AS DOUBLE) / 100.0 - CAST(s AS DOUBLE) / 2800.0)
+                  > 3.0 * (sqrt(CAST(28 * ss - s * s AS DOUBLE) / 756.0) / 100.0) AS is_anomaly
+         FROM w WHERE c = 28 ORDER BY segment, day""",
 
     // Same exact-integer counts and the same double expression tree for z.
     "q_ab_test" ->
@@ -6679,6 +6814,33 @@ object SparkEntry {
                       / sqrt(na * nb / 12.0 * ((na + nb + 1.0)
                              - CAST(tie3 AS DOUBLE) / ((na + nb) * (na + nb - 1.0)))), 6) AS z_stat
          FROM z""",
+
+    // Grouped twin: identical exact-integer rank algebra with every
+    // window, aggregate and moment partitioned by lang; one-sided
+    // languages drop (HAVING both sides present).
+    "q_mann_whitney_by_lang" ->
+      """WITH t AS (SELECT lang AS g, n_chars AS v, source = 'src0' AS is_a
+                    FROM documents WHERE source IN ('src0', 'src1')),
+              pv AS (SELECT g, v,
+                            CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+                            CAST(sum(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS BIGINT) AS cb
+                     FROM t GROUP BY 1, 2),
+              r AS (SELECT *, coalesce(sum(ca + cb) OVER (PARTITION BY g ORDER BY v
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+                    FROM pv),
+              a AS (SELECT g, CAST(sum(ca) AS BIGINT) AS n_a, CAST(sum(cb) AS BIGINT) AS n_b,
+                           CAST(sum(ca * (below * 2 + ca + cb + 1)) AS BIGINT) AS r2a,
+                           CAST(sum((ca + cb) * (ca + cb) * (ca + cb) - (ca + cb)) AS BIGINT) AS tie3
+                    FROM r GROUP BY 1
+                    HAVING sum(ca) > 0 AND sum(cb) > 0),
+              z AS (SELECT g, n_a, n_b, r2a - n_a * (n_a + 1) AS u2a, tie3,
+                           CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb
+                    FROM a)
+         SELECT g AS lang, n_a, n_b, u2a AS u2_a,
+                round((CAST(u2a AS DOUBLE) / 2.0 - na * nb / 2.0)
+                      / sqrt(na * nb / 12.0 * ((na + nb + 1.0)
+                             - CAST(tie3 AS DOUBLE) / ((na + nb) * (na + nb - 1.0)))), 6) AS z_stat
+         FROM z ORDER BY 1""",
 
     "q_pca_top" -> pcaTopSql,
     "q_pca_by_label" -> pcaTopByLabelSql,

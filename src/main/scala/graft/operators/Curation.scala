@@ -261,13 +261,35 @@ object Curation {
     * engines (cf. [[graft.operators.Robust.mutualInformation]]) and the
     * residual term is added after the fold as one closed-form step, so
     * the floating sum replays bit-identically in the SQL oracle. */
-  def jsDivergence(documents: DataFrame, v: Int = Curation.JsVocabSize): DataFrame = {
+  def jsDivergence(documents: DataFrame, v: Int = Curation.JsVocabSize): DataFrame =
+    jsDivergenceBy(documents, Seq("source"), v)
+
+  /** [[jsDivergence]] keyed by arbitrary grouping columns — the
+    * drift-over-time upgrade ("drift of drift"): keyed by
+    * (source, ingest-batch) it charts each source's distance from the
+    * corpus mixture PER BATCH, turning the one-number dashboard row into
+    * the trend line a curation run actually watches (a source whose
+    * js_nats climbs batch over batch is drifting; the global number only
+    * says it has drifted). The reference distribution stays the GLOBAL
+    * corpus top-`v` vocabulary — comparing a cell against the mixture is
+    * the gate; differencing consecutive batches is the consumer's
+    * derivative. Same scale shape as the global operator with the keys
+    * riding the one row-sized shuffle: ONE tokenize pass → per-(keys,
+    * term) counts; corpus vocab, per-key totals and the sorted-vocab
+    * folds all re-aggregate that (|keys-domain|·vocab)-bounded table.
+    * Key cells with zero top-vocab mass fold the smooth zero-branch
+    * (ps NULL → coalesce 0), keeping max-drift cells visible. */
+  def jsDivergenceBy(
+      documents: DataFrame, keys: Seq[String],
+      v: Int = Curation.JsVocabSize): DataFrame = {
+    require(keys.nonEmpty, "jsDivergenceBy: need at least one key column")
+    val keyCols = keys.map(col)
     val d = (c: Column) => c.cast(DoubleType)
     // the one full pass; everything below re-aggregates this value-domain
     // table (lazy localCheckpoint: four consumers, tiny at rest)
     val st = documents
-      .select(col("source"), explode(tokens(col("text"))).as("term"))
-      .groupBy(col("source"), col("term")).agg(count(lit(1)).as("c"))
+      .select(keyCols :+ explode(tokens(col("text"))).as("term"): _*)
+      .groupBy(keyCols :+ col("term"): _*).agg(count(lit(1)).as("c"))
       .localCheckpoint(false)
     val termCounts = st.groupBy(col("term")).agg(sum(col("c")).as("cnt"))
     val top = termCounts.orderBy(col("cnt").desc, col("term")).limit(v)
@@ -281,11 +303,11 @@ object Curation {
         sum(when(col("__top"), col("cnt")).otherwise(0L)).as("qtop"))
     val srcTop = st
       .join(broadcast(top.select(col("term"))), Seq("term"))
-      .groupBy(col("source"))
+      .groupBy(keyCols: _*)
       .agg(collect_list(struct(col("term"), col("c"))).as("ps"),
         sum(col("c")).as("ptop"))
-    val perSource = st.groupBy(col("source")).agg(sum(col("c")).as("n_tokens"))
-      .join(srcTop, Seq("source"), "left")
+    val perSource = st.groupBy(keyCols: _*).agg(sum(col("c")).as("n_tokens"))
+      .join(srcTop, keys, "left")
       .crossJoin(broadcast(corpusRow))
     // one JS term, spelled identically in the oracle: m = (p + q) / 2;
     // zero-mass sides contribute exactly 0 (0·ln is undefined, not 0)
@@ -304,9 +326,9 @@ object Curation {
     })
     val resid = jsTerm(d(col("n_tokens") - coalesce(col("ptop"), lit(0L))) / n,
       d(col("qtot") - col("qtop")) / qt)
-    perSource.select(col("source"), col("n_tokens"),
-      round(topSum + resid, 6).as("js_nats"))
-      .orderBy(col("source"))
+    perSource.select(keyCols ++ Seq(col("n_tokens"),
+      round(topSum + resid, 6).as("js_nats")): _*)
+      .orderBy(keyCols: _*)
   }
 
   /** Gini coefficient of corpus concentration across sources — the

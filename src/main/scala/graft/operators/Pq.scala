@@ -402,4 +402,51 @@ object Pq {
         .filter(col("query_id") =!= col("neighbor_id")),
       k)
   }
+
+  /** IVF-PQ hard-negative mining — the compressed-tier scale path of
+    * [[IvfIndex.hardNegativesIvf]]: same unbounded-|Q| shape (each query
+    * plans ITSELF map-side via the [[graft.functions.IvfPqQueryProbes]]
+    * generator, probes ⋈ cell members on a plain `cell_id` equi-join —
+    * NEITHER big side broadcast; with |Q| ≈ |corpus| in self-mining
+    * there is nothing small), but in-cell scoring is ADC: m LUT lookups
+    * per candidate against the 16-byte code instead of a d-dim float dot
+    * product — the corpus side of the join moves `(vec_id, code,
+    * recon_nrm)`, never embeddings, which at 100 TB is the difference
+    * between shuffling codes and shuffling the corpus. The label-mismatch
+    * predicate prunes pairs before any scoring; bounded-heap top-k ships
+    * ≤ k rows per (query, task); neighbor labels rejoin on the bounded
+    * |Q|·k result. Doubly approximate — IVF probe recall AND PQ score
+    * quantization reorder the boundary — which is the accepted trade for
+    * mining (negatives need to be HARD, not exactly ranked); the
+    * contract query pins recall against the exact brute-force twin. */
+  def hardNegativesIvfPq(
+      index: IvfPqIndex, labels: DataFrame, queries: DataFrame,
+      k: Int, nProbe: Int = 4): DataFrame = {
+    val cb = index.cb
+    val nLists = index.ivfCents.length
+    require(nProbe >= 1 && nProbe <= nLists,
+      s"hardNegativesIvfPq: nProbe must be in [1, $nLists], got $nProbe")
+    val qplan = queries
+      .select(col("vec_id").as("query_id"), col("label").as("q_label"),
+        graft.functions.PqExpressions
+          .ivfPqQueryProbes(col("embedding"), index.ivfCents, cb.centroids, nProbe)
+          .as(Seq("cell_id", "cent_dot", "q_nrm", "lut")))
+    val corpus = index.encoded
+      .join(labels.select(col("vec_id"), col("label").as("c_label")), Seq("vec_id"))
+    val mined = Similarity.rankTopK(
+      qplan.join(corpus, Seq("cell_id"))
+        .filter(col("query_id") =!= col("vec_id") &&
+          col("q_label") =!= col("c_label"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          round(graft.functions.PqExpressions.pqLutScore(
+            col("code"), col("lut"), col("cent_dot"), col("recon_nrm"), col("q_nrm")), 6)
+            .as("cosine")),
+      k)
+    mined
+      .join(labels.select(col("vec_id").as("neighbor_id"),
+        col("label").as("neighbor_label")), Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("neighbor_label"),
+        col("cosine"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
 }

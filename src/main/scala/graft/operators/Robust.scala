@@ -29,6 +29,63 @@ import graft.functions.dec2
   */
 object Robust {
 
+  /** Ceiling (rows) for the driver-collected grid summaries that feed the
+    * rank-bracket arithmetic in [[robustStats]] / [[bitValuesAtRanks]].
+    * The summary is grid-bounded PER GROUP (≤ 2^18 occupied cells, from
+    * the bit-grid format itself) but linear in |groups| — a
+    * high-cardinality group column (1M groups × even 1k occupied buckets)
+    * would melt the driver with no warning, the
+    * [[MaxContingencyCells]] misuse class one layer up. The default
+    * (2^21 rows ≈ a few hundred MB of driver heap) admits thousands of
+    * fully-dense continuous groups; callers with genuinely wider group
+    * domains should pre-bucket the group column, or raise the ceiling via
+    * the `graft.robust.maxSummaryRows` session conf if their driver is
+    * sized for it. Enforced by [[collectSummary]] with a `limit`-bounded
+    * collect, so even the violating job moves at most ceiling+1 rows. */
+  val MaxSummaryRows: Int = 1 << 21
+
+  private def collectSummary(
+      df: DataFrame, op: String): Array[org.apache.spark.sql.Row] = {
+    val ceiling = df.sparkSession.conf
+      .get("graft.robust.maxSummaryRows", MaxSummaryRows.toString).toInt
+    // limit bounds the TRANSFER itself (the fail-loud discipline priced in
+    // driver bytes, as in Pq.collectBoundedQueries): a violating summary
+    // ships ceiling+1 rows, never |groups| × buckets.
+    val rows = df.limit(ceiling + 1).collect()
+    require(rows.length <= ceiling,
+      s"$op: grid summary exceeds $ceiling rows (|groups| x occupied " +
+        "buckets) - the driver-side rank brackets require a bounded group " +
+        "domain; reduce group cardinality (pre-bucket the group column) or " +
+        "raise the graft.robust.maxSummaryRows session conf on a driver " +
+        "sized for it")
+    rows
+  }
+
+  /** Fail loudly when a selection input would not replay identically
+    * across the summary and slice scans: both passes re-scan `df`, and
+    * rank brackets derived from the first scan silently mis-select
+    * against a second scan that saw different rows. A nondeterministic
+    * expression anywhere in the plan (`rand()`, `uuid()`,
+    * `monotonically_increasing_id()`, …) or a `Sample` node (`df.sample`
+    * re-draws per scan) breaks that precondition — the caller must
+    * `localCheckpoint()` first, which pins the rows. Detection over the
+    * ANALYZED plan is a driver-side tree walk, free at execution scale. */
+  private[operators] def requireDeterministicInput(df: DataFrame, op: String): Unit = {
+    import org.apache.spark.sql.catalyst.plans.logical.Sample
+    val plan = df.queryExecution.analyzed
+    val nondet = plan.collectFirst {
+      case s: Sample => s.nodeName
+      case p if p.expressions.exists(e => !e.deterministic) =>
+        p.expressions.filter(e => !e.deterministic)
+          .flatMap(_.collectFirst { case e if !e.deterministic => e.prettyName })
+          .headOption.getOrElse(p.nodeName)
+    }
+    require(nondet.isEmpty,
+      s"$op: input plan contains a non-deterministic subtree " +
+        s"('${nondet.get}') - the summary and slice passes re-scan the " +
+        "source and would see different rows, silently mis-selecting; " +
+        "localCheckpoint() the input first to pin it")
+  }
 
   /** Distributed inclusive running totals of `sums` over the `v`-ascending
     * GLOBAL order of a per-distinct-value table (each `v` unique). The
@@ -94,7 +151,10 @@ object Robust {
     * two scans of the source, and the rank brackets derived from the
     * first would silently mis-select against a second scan that saw
     * different rows (a `sample()`/`rand()` subtree, a mutating file
-    * listing). Callers with such inputs must checkpoint first. The
+    * listing). Callers with such inputs must checkpoint first. ENFORCED
+    * for the detectable class ([[requireDeterministicInput]]): a
+    * nondeterministic expression or Sample node in the plan fails loudly
+    * at build time instead of yielding silently wrong quantiles. The
     * [[weightedMedian]] family carries the same contract.
     *
     * Job shape — ONE full scan + ONE fused slice scan. Rows bucket on
@@ -130,6 +190,7 @@ object Robust {
     * full passes. */
   def robustStats(df: DataFrame, groupCol: String, value: Column): DataFrame = {
     import graft.functions.BitGrid.bitBucket
+    requireDeterministicInput(df, "robustStats")
     // `base` feeds the summary pass and the fused slice pass as two
     // PRUNED re-scans of the source (same reasoning as the
     // [[weightedMedian]] path: a two-column pruned parquet scan measures
@@ -188,7 +249,8 @@ object Robust {
     final case class Tgt(g: Any, b: Bkt, p: Int, resid: Long,
       off: Long, offs: java.math.BigDecimal, tot: Long,
       tots: java.math.BigDecimal, dhi: java.lang.Double)
-    val targets = rawSummary.collect().groupBy(_.get(0)).iterator.flatMap {
+    val targets = collectSummary(rawSummary, "robustStats")
+      .groupBy(_.get(0)).iterator.flatMap {
       case (g, rows) =>
         val bs = rows.map(r => Bkt(r.getLong(1), r.getLong(2),
           r.getAs[java.math.BigDecimal](3), r.getDouble(4), r.getDouble(5)))
@@ -436,6 +498,7 @@ object Robust {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
     require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100))
+    requireDeterministicInput(rowsRaw, "bitValuesAtRanks")
     val rows = rowsRaw.filter(col("v").isNotNull)
       .withColumn("__bkt", bitBucket(col("v").cast(DoubleType)))
     // The ONE full scan: the per-(group, bucket) weight summary with each
@@ -451,7 +514,8 @@ object Robust {
     val sSchema = summary.schema
     final case class T(g: Any, bkt: Long, p: Int, resid: Long, tot: Long,
       vmin: Any, vmax: Any, c: Long)
-    val targets = summary.collect().groupBy(_.get(0)).iterator.flatMap {
+    val targets = collectSummary(summary, "bitValuesAtRanks")
+      .groupBy(_.get(0)).iterator.flatMap {
       case (g, rs) =>
         val bs = rs.sortBy(_.getLong(1)) // bucket order IS value order
         val off = bs.scanLeft(0L)(_ + _.getLong(2))
@@ -513,7 +577,9 @@ object Robust {
     * slice sizes are bounded by target-bucket ROW counts); a
     * group-partitioned cumulative window here would cap parallelism at
     * |groups| (3 return flags = 3 tasks however large the cluster), the
-    * small-group-domain twin of the single-task global window.
+    * small-group-domain twin of the single-task global window. The
+    * summary collect is ceiling-guarded ([[MaxSummaryRows]]) and the
+    * determinism precondition enforced ([[requireDeterministicInput]]).
     *
     * Degenerate weights: a group whose total weight is 0 (all weights
     * zero or null) has rank target 0, matches no bucket bracket, and is
@@ -739,6 +805,53 @@ object Robust {
       col("n_a"), col("n_b"),
       u2a.as("u2_a"),
       round((u - mu) / sigma, 6).as("z_stat"))
+  }
+
+  /** Per-`byCol`-group Mann–Whitney U — the grouped companion to
+    * [[mannWhitneyU]], completing the per-segment drift family with
+    * [[ksStatisticBy]] (max ECDF gap) and [[psiDriftBy]] (binned
+    * divergence): after "WHICH segment drifted?", the next gate is "is
+    * the rank shift SIGNIFICANT within that segment?". Exactly the
+    * global exact-integer doubled-rank algebra with the group riding
+    * every key: per-(group, value) counts aggregate distributed, the
+    * cumulative below-counts run through the GROUPED two-level scan
+    * ([[runningTotalsBy]] — never a per-group single-task window), and
+    * `u2_a` = 2·U_A is emitted per group as the exact integer so the
+    * oracle compare stays float-free for the statistic itself. Groups
+    * missing either side have no two-sample statistic and are DROPPED
+    * (the [[ksStatisticBy]] contract); a within-group all-tied value
+    * column zeroes the tie-corrected sigma and z follows the same IEEE
+    * double division as the global operator. */
+  def mannWhitneyUBy(
+      df: DataFrame, value: Column, splitCol: Column,
+      groupA: String, groupB: String, byCol: String): DataFrame = {
+    val tagged = df
+      .filter(splitCol.isin(groupA, groupB))
+      .select(col(byCol).as("__g"), value.as("v"), (splitCol === groupA).as("is_a"))
+    val perValue = tagged.groupBy(col("__g"), col("v")).agg(
+      sum(when(col("is_a"), 1L).otherwise(0L)).as("ca"),
+      sum(when(!col("is_a"), 1L).otherwise(0L)).as("cb"))
+    val t = col("ca") + col("cb")
+    val ranked = runningTotalsBy(perValue, Seq("__g"), Seq("ca", "cb"))
+      .withColumn("below", col("cum_ca") + col("cum_cb") - col("ca") - col("cb"))
+    val agg = ranked.groupBy(col("__g")).agg(
+      sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"),
+      sum(col("ca") * (col("below") * 2 + col("ca") + col("cb") + 1)).as("__r2a"),
+      sum(t * t * t - t).as("__tie3"))
+      .filter(col("n_a") > 0 && col("n_b") > 0)
+    val (na, nb) = (col("n_a").cast(DoubleType), col("n_b").cast(DoubleType))
+    val u2a = col("__r2a") - col("n_a") * (col("n_a") + 1) // exact 2·U_A
+    val nn = na + nb
+    val u = u2a.cast(DoubleType) / lit(2.0)
+    val mu = na * nb / lit(2.0)
+    val sigma = sqrt(na * nb / lit(12.0) *
+      ((nn + lit(1.0)) - col("__tie3").cast(DoubleType) / (nn * (nn - lit(1.0)))))
+    agg.select(
+      col("__g").as(byCol),
+      col("n_a"), col("n_b"),
+      u2a.as("u2_a"),
+      round((u - mu) / sigma, 6).as("z_stat"))
+      .orderBy(byCol)
   }
 
   /** Population Stability Index between the `value` distributions of a
@@ -985,9 +1098,13 @@ object Robust {
       count(lit(1)).as("n"),
       sum(col("r2_x")).cast(dec38).as("sx"),
       sum(col("r2_y")).cast(dec38).as("sy"),
-      sum(col("r2_x") * col("r2_y")).cast(dec38).as("sxy"),
-      sum(col("r2_x") * col("r2_x")).cast(dec38).as("sxx"),
-      sum(col("r2_y") * col("r2_y")).cast(dec38).as("syy"))
+      // cast BEFORE multiplying: the rank-product sums are ~4n³, past
+      // BIGINT at n ≈ 1.3M rows (per group) — the aggregation itself must
+      // run in decimal for the documented exact-combination contract to
+      // hold (the HUGEINT oracle's semantics), not just the final cast
+      sum(col("r2_x").cast(dec38) * col("r2_y").cast(dec38)).as("sxy"),
+      sum(col("r2_x").cast(dec38) * col("r2_x").cast(dec38)).as("sxx"),
+      sum(col("r2_y").cast(dec38) * col("r2_y").cast(dec38)).as("syy"))
     val nD = col("n").cast(dec38)
     val cov = (nD * col("sxy") - col("sx") * col("sy")).cast(DoubleType)
     val vx = (nD * col("sxx") - col("sx") * col("sx")).cast(DoubleType)
@@ -1027,9 +1144,13 @@ object Robust {
       count(lit(1)).as("n"),
       sum(col("r2_x")).cast(dec38).as("sx"),
       sum(col("r2_y")).cast(dec38).as("sy"),
-      sum(col("r2_x") * col("r2_y")).cast(dec38).as("sxy"),
-      sum(col("r2_x") * col("r2_x")).cast(dec38).as("sxx"),
-      sum(col("r2_y") * col("r2_y")).cast(dec38).as("syy"))
+      // cast BEFORE multiplying: the rank-product sums are ~4n³, past
+      // BIGINT at n ≈ 1.3M rows (per group) — the aggregation itself must
+      // run in decimal for the documented exact-combination contract to
+      // hold (the HUGEINT oracle's semantics), not just the final cast
+      sum(col("r2_x").cast(dec38) * col("r2_y").cast(dec38)).as("sxy"),
+      sum(col("r2_x").cast(dec38) * col("r2_x").cast(dec38)).as("sxx"),
+      sum(col("r2_y").cast(dec38) * col("r2_y").cast(dec38)).as("syy"))
     val nD = col("n").cast(dec38)
     val cov = (nD * col("sxy") - col("sx") * col("sy")).cast(DoubleType)
     val vx = (nD * col("sxx") - col("sx") * col("sx")).cast(DoubleType)

@@ -148,6 +148,52 @@ object TimeSeries {
       .orderBy(col("day"))
   }
 
+  /** Per-`segmentCol` trailing-window anomaly gate — the monitor a
+    * marketplace actually runs: per-category / per-priority /
+    * per-product daily bands, not one global series (a segment's 3σ jump
+    * vanishes inside the corpus-wide total). Exactly
+    * [[rollingAnomaly]]'s integer-cents DECIMAL(38,0) algebra with the
+    * segment riding every key: the raw scan collapses to the
+    * per-(segment, day) domain first (one keyed shuffle), and the
+    * trailing frames run per segment over that calendar-bounded table —
+    * `Window.partitionBy(segment).orderBy(day)` is safe HERE because its
+    * input is the aggregated day domain (≤ |segments| × days rows), the
+    * repo's window discipline; per-segment window work is bounded by the
+    * calendar, not the data. Each segment's first `window` observed days
+    * carry no full baseline and are dropped, per segment (the global
+    * contract applied segment-wise). */
+  def rollingAnomalyBy(
+      df: DataFrame, segmentCol: Column, dateCol: Column, moneyValue: Column,
+      window: Int = 28, z: Double = 3.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.dec2
+    require(window >= 2, s"need window >= 2, got $window")
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val series = df.groupBy(segmentCol.as("seg"), to_date(dateCol).as("d"))
+      .agg(sum(dec2(moneyValue)).cast("decimal(18,2)").as("rev"))
+      .withColumn("__rc", (col("rev") * 100).cast(dec38))
+    val w = Window.partitionBy(col("seg")).orderBy(col("d")).rowsBetween(-window, -1)
+    val stats = series
+      .withColumn("__c", count(lit(1)).over(w))
+      .withColumn("__s", sum(col("__rc")).over(w))
+      .withColumn("__ss", sum(col("__rc") * col("__rc")).over(w))
+      .filter(col("__c") === window)
+    val s = col("__s").cast(DoubleType)
+    val num = (lit(window).cast(dec38) * col("__ss") - col("__s") * col("__s"))
+      .cast(DoubleType)
+    val mean = s / lit(100.0 * window)
+    val sd = sqrt(num / lit(window.toDouble * (window - 1))) / lit(100.0)
+    stats.select(
+      col("seg").as("segment"),
+      col("d").cast("timestamp").as("day"),
+      col("rev").cast(DoubleType).as("revenue"),
+      round(mean, 6).as("roll_mean"),
+      round(sd, 6).as("roll_std"),
+      (abs(col("__rc").cast(DoubleType) / lit(100.0) - mean) > lit(z) * sd)
+        .as("is_anomaly"))
+      .orderBy(col("segment"), col("day"))
+  }
+
   /** Last-touch revenue attribution: each `convType` event credits its
     * value to the LATEST `touchTypes` event by the same user at or before
     * it and within `windowMinutes`; conversions with no qualifying touch

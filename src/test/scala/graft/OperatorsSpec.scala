@@ -235,6 +235,42 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("hardNegativesIvfPq mines mismatched labels only, ADC-scored, batch-parity shape") {
+    import graft.operators.Pq
+    // ADC scores are quantized (no exact parity even at full probe — the
+    // PQ trade), so the invariants are STRUCTURAL: never self, never the
+    // query's own label, contiguous ranks from 1, ≤ k per query, scores
+    // descending per query, and the whole mining is deterministic
+    // (fixed seeds) — two runs return identical rows.
+    val emb = (0L until 60L).map { i =>
+      (i, Array.tabulate(8)(j => math.sin(i * 8 + j).toFloat), (i % 4).toInt)
+    }.toDF("vec_id", "embedding", "label")
+    val idx = Pq.buildIvfPq(spark, emb, dims = 8, nLists = 4, m = 4, ksub = 16)
+    val labels = emb.select($"vec_id", $"label")
+    def run() = Pq.hardNegativesIvfPq(idx, labels, emb, k = 3, nProbe = 4)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Int]("neighbor_label"), r.getAs[Double]("cosine"),
+        r.getAs[Int]("rank")))
+    val got = run()
+    val lbl = (0L until 60L).map(i => i -> (i % 4).toInt).toMap
+    got.foreach { case (q, n, nl, _, _) =>
+      assert(q != n, s"self-pair mined for query $q")
+      assert(nl == lbl(n), s"neighbor label wrong for $n")
+      assert(nl != lbl(q), s"same-label negative $n mined for query $q")
+    }
+    val byQ = got.groupBy(_._1)
+    assert(byQ.keySet == (0L until 60L).toSet) // full-probe: every query mines
+    byQ.foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_._5)
+      assert(sorted.map(_._5).toSeq == (1 to rs.length).toSeq, s"ranks not contiguous for $q")
+      assert(rs.length <= 3)
+      val scores = sorted.map(_._4).toSeq
+      assert(scores == scores.sorted.reverse, s"scores not descending for $q")
+    }
+    assert(run().toSeq == got.toSeq) // deterministic end to end
+  }
+
   test("lshKnn returns a subset of brute-force neighbors with exact scores") {
     val emb = (0L until 40L).map { i =>
       (i, Array.tabulate(8)(j => math.sin(i * 8 + j).toFloat))
@@ -748,6 +784,43 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(flagged.toSeq == Seq(4), s"flagged days: ${flagged.mkString(",")}") // Feb 4 = day 35
     val spike = got.find(_.getAs[Double]("revenue") == 1000.0).get
     assert(spike.getAs[Double]("roll_mean") == 101.0) // 5×100 + 5×102 over 10
+  }
+
+  test("rollingAnomalyBy equals the global gate per segment; bands are independent") {
+    import graft.operators.TimeSeries
+    // Segment A carries the planted spike; segment B is flat. A shared
+    // band would smear A's spike into B — per-segment partitioning must
+    // reproduce the GLOBAL operator run on each segment alone, exactly
+    // (same integer-cents algebra ⇒ equality, not ≈).
+    val rows = (0 until 40).flatMap { i =>
+      val ts = java.sql.Timestamp.valueOf(
+        java.time.LocalDate.of(2024, 1, 1).plusDays(i.toLong).atStartOfDay)
+      val va = if (i == 34) 1000.0 else if (i % 2 == 0) 100.0 else 102.0
+      Seq(("A", ts, va), ("B", ts, 55.5))
+    }
+    val df = rows.toDF("seg", "ts", "v")
+    val got = TimeSeries.rollingAnomalyBy(
+        df, col("seg"), col("ts"), col("v"), window = 10, z = 3.0)
+      .collect()
+    assert(got.length == 60) // 30 full-window days per segment
+    for (seg <- Seq("A", "B")) {
+      val mine = got.filter(_.getAs[String]("segment") == seg)
+        .map(r => (r.getAs[java.sql.Timestamp]("day"), r.getAs[Double]("revenue"),
+          r.getAs[Double]("roll_mean"), r.getAs[Double]("roll_std"),
+          r.getAs[Boolean]("is_anomaly"))).toSeq
+      val global = TimeSeries.rollingAnomaly(
+          df.filter($"seg" === seg), col("ts"), col("v"), window = 10, z = 3.0)
+        .collect()
+        .map(r => (r.getAs[java.sql.Timestamp]("day"), r.getAs[Double]("revenue"),
+          r.getAs[Double]("roll_mean"), r.getAs[Double]("roll_std"),
+          r.getAs[Boolean]("is_anomaly"))).toSeq
+      assert(mine == global, s"segment $seg diverges from its global twin")
+    }
+    // only A's spike day flags; B (zero variance, zero deviation) never does
+    val flagged = got.filter(_.getAs[Boolean]("is_anomaly"))
+      .map(r => (r.getAs[String]("segment"),
+        r.getAs[java.sql.Timestamp]("day").toLocalDateTime.getDayOfMonth))
+    assert(flagged.toSeq == Seq(("A", 4)))
   }
 
   test("Pareto.skyline2D: dominance, equal-x/equal-point ties, null exclusion, staircase") {

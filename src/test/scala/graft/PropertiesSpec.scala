@@ -519,6 +519,54 @@ class PropertiesSpec extends AnyFunSuite with SparkSpec {
     assert(Robust.mutualInformation(small, "x", "y").collect()(0).getAs[Long]("n_rows") == 1000L)
   }
 
+  test("grid-summary ceiling: a too-wide (group × bucket) domain fails loudly before collecting") {
+    import graft.operators.Robust
+    // 50 groups × 100 distinct values = 5000 summary rows > a 100-row
+    // ceiling: the driver-bracket collect must refuse with a bounded
+    // transfer (limit ceiling+1), not ship |groups| × buckets rows — the
+    // MaxContingencyCells discipline applied to the selection family.
+    val wide = spark.range(5000)
+      .select((col("id") % 50).cast("int").as("g"),
+        col("id").cast("double").as("v"), // all-distinct → 5000 summary rows
+        lit(1L).as("w"))
+    spark.conf.set("graft.robust.maxSummaryRows", "100")
+    try {
+      val e1 = intercept[IllegalArgumentException] {
+        Robust.robustStats(wide, "g", col("v"))
+      }
+      assert(e1.getMessage.contains("grid summary exceeds"), e1.getMessage)
+      val e2 = intercept[IllegalArgumentException] {
+        Robust.weightedMedian(wide, "g", col("v"), col("w"))
+      }
+      assert(e2.getMessage.contains("grid summary exceeds"), e2.getMessage)
+    } finally spark.conf.unset("graft.robust.maxSummaryRows")
+    // back under the default ceiling the same input computes fine
+    assert(Robust.weightedMedian(wide, "g", col("v"), col("w")).count() == 50L)
+  }
+
+  test("nondeterministic selection inputs fail loudly instead of mis-selecting") {
+    import graft.operators.Robust
+    // The summary and slice passes re-scan the source; a rand()/sample()
+    // subtree yields different rows per scan → silently wrong quantiles.
+    // The plan walk must refuse BOTH the expression and the Sample-node
+    // class; a localCheckpoint of the same input pins the rows and passes.
+    val base = spark.range(500)
+      .select(lit("a").as("g"), (col("id") % 97).cast("double").as("v"))
+    val e1 = intercept[IllegalArgumentException] {
+      Robust.robustStats(base.withColumn("v", rand()), "g", col("v"))
+    }
+    assert(e1.getMessage.contains("non-deterministic"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Robust.weightedMedian(base.sample(0.5), "g", col("v"), lit(1L))
+    }
+    assert(e2.getMessage.contains("non-deterministic"), e2.getMessage)
+    // checkpointing the nondeterministic input pins it → accepted
+    val pinned = base.withColumn("v", rand(7)).localCheckpoint(true)
+    assert(Robust.robustStats(pinned, "g", col("v")).count() == 1L)
+    // and plain deterministic inputs are untouched by the walk
+    assert(Robust.robustStats(base, "g", col("v")).count() == 1L)
+  }
+
   test("grouped KS, PSI and Spearman match their global twins per group") {
     import graft.operators.Robust
     val rows = sample(Gen.listOfN(600, for {
@@ -538,6 +586,21 @@ class PropertiesSpec extends AnyFunSuite with SparkSpec {
       assert(r.getAs[Long]("n_b") == single.getAs[Long]("n_b"), s"n_b mismatch in $g")
       assert(r.getAs[Double]("ks_stat") == single.getAs[Double]("ks_stat"),
         s"ks mismatch in $g")
+    }
+
+    // grouped Mann–Whitney: same algebra, same drop-one-sided contract —
+    // u2_a is an exact integer, so the twin compare is equality, not ≈
+    val gmw = Robust.mannWhitneyUBy(df, $"v", $"src", "s0", "s1", "lang").collect()
+    assert(gmw.map(_.getString(0)).toSet == Set("de", "en", "fr")) // zz dropped
+    for (r <- gmw) {
+      val g = r.getString(0)
+      val single = Robust.mannWhitneyU(
+        df.filter($"lang" === g), $"v", $"src", "s0", "s1").collect()(0)
+      assert(r.getAs[Long]("n_a") == single.getAs[Long]("n_a"), s"n_a mismatch in $g")
+      assert(r.getAs[Long]("n_b") == single.getAs[Long]("n_b"), s"n_b mismatch in $g")
+      assert(r.getAs[Long]("u2_a") == single.getAs[Long]("u2_a"), s"u2_a mismatch in $g")
+      assert(r.getAs[Double]("z_stat") == single.getAs[Double]("z_stat"),
+        s"z mismatch in $g")
     }
 
     // grouped PSI: per-segment result equals the global operator run on
