@@ -2937,6 +2937,15 @@ object SparkEntry {
       graft.operators.Robust.welchT(
         Tables.orders(s, d), pmod(col("o_custkey"), lit(2L)), col("o_totalprice"))),
 
+    // Per-priority Welch t — the heterogeneous-treatment-effect screen:
+    // is the A/B effect uniform across order priorities, or driven by
+    // one? Same exact-decimal moments with the segment riding the one
+    // keyed aggregation; under-2-rows-per-arm segments drop.
+    "q_welch_t_by_priority" -> ((s, d) =>
+      graft.operators.Robust.welchTBy(
+        Tables.orders(s, d), pmod(col("o_custkey"), lit(2L)), col("o_totalprice"),
+        "o_orderpriority")),
+
     // Triangle count of the near-dup candidate graph (same 0.9-Jaccard
     // pair set the clustering query uses) — clique-density diagnostic.
     // Oracle replays the pair graph brute-force and the same oriented
@@ -6368,6 +6377,34 @@ object SparkEntry {
                       / (sea * sea / (na - 1.0) + seb * seb / (nb - 1.0)), 6) AS welch_df
          FROM v""",
 
+    // Grouped twin: identical exact-decimal moments and double chain with
+    // the priority riding the aggregation; <2-rows-per-arm segments drop.
+    "q_welch_t_by_priority" ->
+      """WITH a AS (SELECT o_orderpriority,
+                           CAST(sum(CASE WHEN o_custkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                           sum(CASE WHEN o_custkey % 2 = 0 THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS ds_a,
+                           sum(CASE WHEN o_custkey % 2 = 0 THEN CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2)) END) AS dss_a,
+                           CAST(sum(CASE WHEN o_custkey % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+                           sum(CASE WHEN o_custkey % 2 <> 0 THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS ds_b,
+                           sum(CASE WHEN o_custkey % 2 <> 0 THEN CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2)) END) AS dss_b
+                    FROM orders GROUP BY 1
+                    HAVING sum(CASE WHEN o_custkey % 2 = 0 THEN 1 ELSE 0 END) > 1
+                       AND sum(CASE WHEN o_custkey % 2 <> 0 THEN 1 ELSE 0 END) > 1),
+              d AS (SELECT o_orderpriority, n_a, n_b,
+                           CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
+                           CAST(ds_a AS DOUBLE) AS sa, CAST(ds_b AS DOUBLE) AS sb,
+                           CAST(dss_a AS DOUBLE) AS ssa, CAST(dss_b AS DOUBLE) AS ssb
+                    FROM a),
+              v AS (SELECT *, (ssa - sa * sa / na) / (na - 1.0) / na AS sea,
+                              (ssb - sb * sb / nb) / (nb - 1.0) / nb AS seb
+                    FROM d)
+         SELECT o_orderpriority, n_a, n_b,
+                round(sa / na, 6) AS mean_a, round(sb / nb, 6) AS mean_b,
+                round((sa / na - sb / nb) / sqrt(sea + seb), 6) AS t_stat,
+                round((sea + seb) * (sea + seb)
+                      / (sea * sea / (na - 1.0) + seb * seb / (nb - 1.0)), 6) AS welch_df
+         FROM v ORDER BY 1""",
+
     // Triangles: the same brute-force pair graph the clustering oracle
     // replays, then the identical oriented 3-way join.
     "q_triangles" ->
@@ -6803,13 +6840,13 @@ object SparkEntry {
                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
                     FROM pv),
               a AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a, CAST(sum(cb) AS BIGINT) AS n_b,
-                           CAST(sum(ca * (below * 2 + ca + cb + 1)) AS BIGINT) AS r2a,
-                           CAST(sum((ca + cb) * (ca + cb) * (ca + cb) - (ca + cb)) AS BIGINT) AS tie3
+                           CAST(sum(ca * (below * 2 + ca + cb + 1)) AS HUGEINT) AS r2a,
+                           CAST(sum((ca + cb) * (ca + cb) * (ca + cb) - (ca + cb)) AS HUGEINT) AS tie3
                     FROM r),
               z AS (SELECT n_a, n_b, r2a - n_a * (n_a + 1) AS u2a, tie3,
                            CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb
                     FROM a)
-         SELECT n_a, n_b, u2a AS u2_a,
+         SELECT n_a, n_b, CAST(u2a AS BIGINT) AS u2_a,
                 round((CAST(u2a AS DOUBLE) / 2.0 - na * nb / 2.0)
                       / sqrt(na * nb / 12.0 * ((na + nb + 1.0)
                              - CAST(tie3 AS DOUBLE) / ((na + nb) * (na + nb - 1.0)))), 6) AS z_stat
@@ -6829,14 +6866,14 @@ object SparkEntry {
                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
                     FROM pv),
               a AS (SELECT g, CAST(sum(ca) AS BIGINT) AS n_a, CAST(sum(cb) AS BIGINT) AS n_b,
-                           CAST(sum(ca * (below * 2 + ca + cb + 1)) AS BIGINT) AS r2a,
-                           CAST(sum((ca + cb) * (ca + cb) * (ca + cb) - (ca + cb)) AS BIGINT) AS tie3
+                           CAST(sum(ca * (below * 2 + ca + cb + 1)) AS HUGEINT) AS r2a,
+                           CAST(sum((ca + cb) * (ca + cb) * (ca + cb) - (ca + cb)) AS HUGEINT) AS tie3
                     FROM r GROUP BY 1
                     HAVING sum(ca) > 0 AND sum(cb) > 0),
               z AS (SELECT g, n_a, n_b, r2a - n_a * (n_a + 1) AS u2a, tie3,
                            CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb
                     FROM a)
-         SELECT g AS lang, n_a, n_b, u2a AS u2_a,
+         SELECT g AS lang, n_a, n_b, CAST(u2a AS BIGINT) AS u2_a,
                 round((CAST(u2a AS DOUBLE) / 2.0 - na * nb / 2.0)
                       / sqrt(na * nb / 12.0 * ((na + nb + 1.0)
                              - CAST(tie3 AS DOUBLE) / ((na + nb) * (na + nb - 1.0)))), 6) AS z_stat

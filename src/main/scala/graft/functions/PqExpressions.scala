@@ -5,7 +5,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult.{TypeCheckFailure, TypeCheckSuccess}
 import org.apache.spark.sql.catalyst.expressions.{Expression, Generator, GenericInternalRow, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftshim.ColumnBridge
 import org.apache.spark.sql.types._
@@ -20,6 +21,15 @@ import org.apache.spark.sql.types._
   * compile a quadratic-size class per (m, ksub) setting, while here the
   * per-row work is already one tight primitive loop and the fallback's
   * per-row dispatch is amortized over m·ksub·dsub arithmetic ops.
+  *
+  * The EXCEPTION is [[PqLutScore]]: its LUT arrives as a COLUMN (from the
+  * cell equi-join), not constructor state, so the literal-blowup concern
+  * doesn't apply — and it sits on the batched-join hot path where a
+  * self-mining run evaluates it per candidate PAIR (10⁷+ rows at the
+  * contract SF, unbounded at 100 TB). A fallback there breaks
+  * whole-stage codegen for the join's output projection and forces a row
+  * materialization per pair carrying the m×ksub LUT array; the native
+  * doGenCode keeps the pair stream pipelined, reading the LUT in place.
   */
 
 /** Encode one embedding to its PQ form: per subspace j, argmin over the
@@ -291,9 +301,14 @@ case class IvfPqAdcScores(
   * Probe ranking replays [[graft.operators.Pq.ivfPqSearch]]'s driver rule
   * bit-for-bit (cosine against each coarse centroid, zero-norm → 0.0,
   * ties to the lower cell id), so batch and driver paths return identical
-  * rows for identical inputs. The m × ksub residual LUT (shared across a
-  * query's probes — residual codebooks are cell-independent) is built once
-  * per eval and shared by reference across the emitted rows. */
+  * rows for identical inputs. Deliberately emits NO LUT: the m × ksub LUT
+  * is ~8 KB at the contract codebook (vs the 256 B embedding it derives
+  * from), so materializing it before the cell exchange would ship nProbe
+  * LUT copies per query through the shuffle — ~30× the bytes of the raw
+  * query vector, exactly backwards for the compressed tier. Consumers
+  * shuffle slim probes + the embedding and build the LUT POST-exchange
+  * with [[PqQueryLut]], once per probe row (m·ksub·dsub flops, amortized
+  * over the cell's candidates). */
 case class IvfPqQueryProbes(
     embedding: Expression,
     ivfCents: Array[Array[Double]],
@@ -316,8 +331,7 @@ case class IvfPqQueryProbes(
   override def elementSchema: StructType = StructType(Seq(
     StructField("cell_id", IntegerType, nullable = false),
     StructField("cent_dot", DoubleType, nullable = false),
-    StructField("q_nrm", DoubleType, nullable = false),
-    StructField("lut", ArrayType(ArrayType(DoubleType, containsNull = false), containsNull = false), nullable = false)))
+    StructField("q_nrm", DoubleType, nullable = false)))
 
   override def checkInputDataTypes(): TypeCheckResult =
     ArrayTypeChecks.numericArray(embedding.dataType, prettyName, "embedding")
@@ -357,23 +371,74 @@ case class IvfPqQueryProbes(
       .sortBy { case (sim, idx) => (-sim, idx) }
       .take(nProbe).map(_._2)
 
-    val lut = new GenericArrayData(Array.tabulate[Any](m) { j =>
-      new GenericArrayData(Array.tabulate[Any](pqCents(j).length) { cc =>
-        val cent = pqCents(j)(cc)
-        var s = 0.0
-        var t = 0
-        while (t < dsub) { s += q(j * dsub + t) * cent(t); t += 1 }
-        Double.box(s)
-      })
-    })
-
     probedCells.iterator.map { cell =>
-      new GenericInternalRow(Array[Any](cell, centDot(cell), qNrm, lut))
+      new GenericInternalRow(Array[Any](cell, centDot(cell), qNrm))
     }
   }
 
   override def nullable: Boolean = false
   override protected def withNewChildInternal(newChild: Expression): IvfPqQueryProbes =
+    copy(embedding = newChild)
+}
+
+/** The query's flat m·ksub residual LUT (subspace-major: entry j·ksub + c
+  * = q_subspace_j · codebook[j][c]) from its raw embedding — evaluated
+  * AFTER the cell exchange, so only the 256 B embedding crosses the wire
+  * and each probe row pays one m·ksub·dsub build amortized over its
+  * cell's candidates (see [[IvfPqQueryProbes]]). Flat layout because the
+  * scorer reads it per candidate PAIR: a nested array<array> costs an
+  * ArrayData wrapper allocation per subspace per pair on that 10⁷+-row
+  * path (measured ~2× on the self-mining join); flat is one
+  * bounds-checked primitive read. CodegenFallback by intent — per-row
+  * work is m·ksub·dsub flops, amortizing the dispatch (file doc). */
+case class PqQueryLut(
+    embedding: Expression,
+    pqCents: Array[Array[Array[Double]]])
+    extends UnaryExpression with CodegenFallback {
+
+  private val m = pqCents.length
+  private val dsub = pqCents(0)(0).length
+  private val dims = m * dsub
+  private val ksub = pqCents(0).length
+  require(pqCents.forall(_.length == ksub),
+    "pq_query_lut: the flat LUT layout requires a uniform ksub across subspaces")
+
+  override def child: Expression = embedding
+  override def prettyName: String = "pq_query_lut"
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    ArrayTypeChecks.numericArray(embedding.dataType, prettyName, "embedding")
+
+  private lazy val isFloat: Boolean =
+    embedding.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(arrV: Any): Any = {
+    val arr = arrV.asInstanceOf[ArrayData]
+    require(arr.numElements() == dims,
+      s"$prettyName: expected $dims-dim query, got ${arr.numElements()}")
+    val q = new Array[Double](dims)
+    var i = 0
+    if (isFloat) while (i < dims) { q(i) = arr.getFloat(i); i += 1 }
+    else while (i < dims) { q(i) = arr.getDouble(i); i += 1 }
+    val flat = new Array[Double](m * ksub)
+    var j = 0
+    while (j < m) {
+      var cc = 0
+      while (cc < ksub) {
+        val cent = pqCents(j)(cc)
+        var s = 0.0
+        var t = 0
+        while (t < dsub) { s += q(j * dsub + t) * cent(t); t += 1 }
+        flat(j * ksub + cc) = s
+        cc += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(flat)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqQueryLut =
     copy(embedding = newChild)
 }
 
@@ -387,7 +452,7 @@ case class PqLutScore(
     centDot: Expression,
     reconNrm: Expression,
     qNrm: Expression)
-    extends Expression with CodegenFallback {
+    extends Expression {
 
   override def children: Seq[Expression] = Seq(code, lut, centDot, reconNrm, qNrm)
   override def prettyName: String = "pq_lut_score"
@@ -396,10 +461,10 @@ case class PqLutScore(
 
   override def checkInputDataTypes(): TypeCheckResult =
     (code.dataType, lut.dataType, centDot.dataType, reconNrm.dataType, qNrm.dataType) match {
-      case (ArrayType(IntegerType, _), ArrayType(ArrayType(DoubleType, _), _),
+      case (ArrayType(IntegerType, _), ArrayType(DoubleType, _),
             DoubleType, DoubleType, DoubleType) => TypeCheckSuccess
       case (a, b, c, d, e) => TypeCheckFailure(
-        s"$prettyName: inputs must be (array<int>, array<array<double>>, double, double, double), " +
+        s"$prettyName: inputs must be (array<int>, array<double> flat m*ksub LUT, double, double, double), " +
           s"got (${a.catalogString}, ${b.catalogString}, ${c.catalogString}, ${d.catalogString}, ${e.catalogString})")
     }
 
@@ -412,11 +477,47 @@ case class PqLutScore(
     if (codeV == null || lutV == null || cdV == null || rnV == null || qnV == null) return null
     val codes = codeV.asInstanceOf[ArrayData].toIntArray()
     val luts = lutV.asInstanceOf[ArrayData]
+    val stride = luts.numElements() / codes.length // uniform ksub (generator contract)
     var s = cdV.asInstanceOf[Double]
     var j = 0
-    while (j < codes.length) { s += luts.getArray(j).getDouble(codes(j)); j += 1 }
+    while (j < codes.length) { s += luts.getDouble(j * stride + codes(j)); j += 1 }
     val denom = qnV.asInstanceOf[Double] * rnV.asInstanceOf[Double]
     if (denom == 0.0) 0.0 else s / denom
+  }
+
+  // Same arithmetic, same order as eval (parity with the driver-planned
+  // IvfPqAdcScores path is asserted in-plan by q_embed_knn_pq_batch).
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val Seq(c, l, cd, rn, qn) = children.map(_.genCode(ctx))
+    val codesV = ctx.freshName("codes")
+    val lutsV = ctx.freshName("luts")
+    val strideV = ctx.freshName("stride")
+    val sV = ctx.freshName("s")
+    val jV = ctx.freshName("j")
+    val denomV = ctx.freshName("denom")
+    val ad = classOf[ArrayData].getName
+    ev.copy(code =
+      code"""
+        ${c.code}
+        ${l.code}
+        ${cd.code}
+        ${rn.code}
+        ${qn.code}
+        boolean ${ev.isNull} = ${c.isNull} || ${l.isNull} || ${cd.isNull} ||
+          ${rn.isNull} || ${qn.isNull};
+        double ${ev.value} = 0.0;
+        if (!${ev.isNull}) {
+          $ad $codesV = ${c.value};
+          $ad $lutsV = ${l.value};
+          int $strideV = $lutsV.numElements() / $codesV.numElements();
+          double $sV = ${cd.value};
+          for (int $jV = 0; $jV < $codesV.numElements(); $jV++) {
+            $sV += $lutsV.getDouble($jV * $strideV + $codesV.getInt($jV));
+          }
+          double $denomV = ${qn.value} * ${rn.value};
+          ${ev.value} = ($denomV == 0.0) ? 0.0 : $sV / $denomV;
+        }
+      """)
   }
 
   override protected def withNewChildrenInternal(
@@ -454,6 +555,9 @@ object PqExpressions {
       nProbe: Int): Column =
     ColumnBridge.column(IvfPqQueryProbes(
       ColumnBridge.expression(embedding), ivfCents, pqCents, nProbe))
+
+  def pqQueryLut(embedding: Column, pqCents: Array[Array[Array[Double]]]): Column =
+    ColumnBridge.column(PqQueryLut(ColumnBridge.expression(embedding), pqCents))
 
   def pqLutScore(
       code: Column, lut: Column, centDot: Column,

@@ -388,11 +388,20 @@ object Pq {
     val nLists = index.ivfCents.length
     require(nProbe >= 1 && nProbe <= nLists,
       s"ivfPqSearchBatch: nProbe must be in [1, $nLists], got $nProbe")
+    // Slim probes + the 256 B embedding cross the cell exchange; the ~8 KB
+    // flat LUT is built POST-exchange, once per probe row (the repartition
+    // pins the exchange BELOW the projection and already satisfies the
+    // join's required distribution, so the LUT never rides a shuffle —
+    // materializing it pre-exchange measured ~30× the probe-side bytes).
     val qplan = queries
-      .select(col("vec_id").as("query_id"),
+      .select(col("vec_id").as("query_id"), col("embedding"),
         graft.functions.PqExpressions
           .ivfPqQueryProbes(col("embedding"), index.ivfCents, cb.centroids, nProbe)
-          .as(Seq("cell_id", "cent_dot", "q_nrm", "lut")))
+          .as(Seq("cell_id", "cent_dot", "q_nrm")))
+      .repartition(col("cell_id"))
+      .withColumn("lut",
+        graft.functions.PqExpressions.pqQueryLut(col("embedding"), cb.centroids))
+      .drop("embedding")
     Similarity.rankTopK(
       qplan.join(index.encoded, Seq("cell_id"))
         .select(col("query_id"), col("vec_id").as("neighbor_id"),
@@ -426,11 +435,18 @@ object Pq {
     val nLists = index.ivfCents.length
     require(nProbe >= 1 && nProbe <= nLists,
       s"hardNegativesIvfPq: nProbe must be in [1, $nLists], got $nProbe")
+    // same post-exchange LUT discipline as [[ivfPqSearchBatch]]: slim
+    // probes + embedding shuffle; the fat LUT exists only after the wire
     val qplan = queries
       .select(col("vec_id").as("query_id"), col("label").as("q_label"),
+        col("embedding"),
         graft.functions.PqExpressions
           .ivfPqQueryProbes(col("embedding"), index.ivfCents, cb.centroids, nProbe)
-          .as(Seq("cell_id", "cent_dot", "q_nrm", "lut")))
+          .as(Seq("cell_id", "cent_dot", "q_nrm")))
+      .repartition(col("cell_id"))
+      .withColumn("lut",
+        graft.functions.PqExpressions.pqQueryLut(col("embedding"), cb.centroids))
+      .drop("embedding")
     val corpus = index.encoded
       .join(labels.select(col("vec_id"), col("label").as("c_label")), Seq("vec_id"))
     val mined = Similarity.rankTopK(

@@ -759,6 +759,49 @@ object Robust {
       round(t, 6).as("t_stat"), round(df, 6).as("welch_df"))
   }
 
+  /** Per-`byCol`-segment Welch t — "is the A/B effect uniform across
+    * segments, or driven by one?" (the heterogeneous-treatment-effect
+    * screen every experiment review runs after the global read). The
+    * global exact-decimal moment algebra with the segment riding the one
+    * keyed aggregation — six decimal moments per segment, one double
+    * chain per row, nothing data-sized after the shuffle. Segments
+    * without ≥ 2 rows in EACH arm have no defined variance and are
+    * DROPPED (the [[ksStatisticBy]] missing-side contract: a gate must
+    * not read a one-row arm as evidence). */
+  def welchTBy(
+      units: DataFrame, arm: Column, value: Column, byCol: String): DataFrame = {
+    val v = dec2(value)
+    val agg = units
+      .select(col(byCol).as("__g"), arm.as("__arm"), v.as("__v"), (v * v).as("__vv"))
+      .groupBy(col("__g"))
+      .agg(
+        sum(when(col("__arm") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("__arm") === 0, col("__v"))).as("__s_a"),
+        sum(when(col("__arm") === 0, col("__vv"))).as("__ss_a"),
+        sum(when(col("__arm") =!= 0, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("__arm") =!= 0, col("__v"))).as("__s_b"),
+        sum(when(col("__arm") =!= 0, col("__vv"))).as("__ss_b"))
+      .filter(col("n_a") > 1 && col("n_b") > 1)
+    val (na, nb) = (col("n_a").cast(DoubleType), col("n_b").cast(DoubleType))
+    val (sa, sb) = (col("__s_a").cast(DoubleType), col("__s_b").cast(DoubleType))
+    val (ssa, ssb) = (col("__ss_a").cast(DoubleType), col("__ss_b").cast(DoubleType))
+    val ma = sa / na
+    val mb = sb / nb
+    val va = (ssa - sa * sa / na) / (na - lit(1.0))
+    val vb = (ssb - sb * sb / nb) / (nb - lit(1.0))
+    val sea = va / na
+    val seb = vb / nb
+    val t = (ma - mb) / sqrt(sea + seb)
+    val df = (sea + seb) * (sea + seb) /
+      (sea * sea / (na - lit(1.0)) + seb * seb / (nb - lit(1.0)))
+    agg.select(
+      col("__g").as(byCol),
+      col("n_a"), col("n_b"),
+      round(ma, 6).as("mean_a"), round(mb, 6).as("mean_b"),
+      round(t, 6).as("t_stat"), round(df, 6).as("welch_df"))
+      .orderBy(byCol)
+  }
+
   /** Mann–Whitney U (Wilcoxon rank-sum) between two groups — the
     * NONPARAMETRIC companion to [[welchT]] (no normality assumption;
     * the right gate when metric distributions are skewed, which engagement
@@ -769,9 +812,11 @@ object Robust {
     * distinct VALUE, the group counts and the cumulative count below give
     * 2·R_A = Σ_v ca·(2·below + ca + cb + 1), an exact INTEGER (the ×2
     * absorbs the .5 average ranks), and the tie term Σ(t³−t) is exact the
-    * same way. One double chain at the end computes z; `u2_a` = 2·U_A is
-    * emitted as the exact integer so the oracle compare is float-free for
-    * the statistic itself.
+    * same way. Both sums aggregate IN DECIMAL(38,0) — Σ t³ passes BIGINT
+    * at ~2M ties on one value and Σ ca·(2·below+…) at ~2·10⁹ rows — with
+    * `u2_a` = 2·U_A cast back to the exact BIGINT output (≤ 2·n_a·n_b) so
+    * the oracle compare is float-free for the statistic itself. One
+    * double chain at the end computes z.
     *
     * Scale shape: per-value counts aggregate distributed (keyed shuffle on
     * the value, same as [[ksStatistic]]); the cumulative count then runs
@@ -787,15 +832,22 @@ object Robust {
     val perValue = tagged.groupBy(col("v")).agg(
       sum(when(col("is_a"), 1L).otherwise(0L)).as("ca"),
       sum(when(!col("is_a"), 1L).otherwise(0L)).as("cb"))
-    val t = col("ca") + col("cb")
+    // decimal BEFORE multiplying (the spearmanRho discipline): Σ t³ passes
+    // BIGINT at ~2M same-value ties and Σ ca·(2·below+…) at ~2·10⁹ rows —
+    // exactly the scales this rank algebra exists for. u2_a still emits
+    // as BIGINT (the output contract; 2·U_A ≤ 2·n_a·n_b).
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val t = col("ca").cast(dec38) + col("cb")
     val ranked = runningTotals(perValue, Seq("ca", "cb"))
       .withColumn("below", col("cum_ca") + col("cum_cb") - col("ca") - col("cb"))
     val agg = ranked.agg(
       sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"),
-      sum(col("ca") * (col("below") * 2 + col("ca") + col("cb") + 1)).as("__r2a"),
+      sum(col("ca").cast(dec38) *
+        (col("below").cast(dec38) * 2 + col("ca") + col("cb") + 1)).as("__r2a"),
       sum(t * t * t - t).as("__tie3"))
     val (na, nb) = (col("n_a").cast(DoubleType), col("n_b").cast(DoubleType))
-    val u2a = col("__r2a") - col("n_a") * (col("n_a") + 1) // exact 2·U_A
+    val u2a = (col("__r2a") - col("n_a").cast(dec38) * (col("n_a") + 1))
+      .cast(LongType) // exact 2·U_A
     val nn = na + nb
     val u = u2a.cast(DoubleType) / lit(2.0)
     val mu = na * nb / lit(2.0)
@@ -831,16 +883,20 @@ object Robust {
     val perValue = tagged.groupBy(col("__g"), col("v")).agg(
       sum(when(col("is_a"), 1L).otherwise(0L)).as("ca"),
       sum(when(!col("is_a"), 1L).otherwise(0L)).as("cb"))
-    val t = col("ca") + col("cb")
+    // decimal-before-multiply, per group — see [[mannWhitneyU]]
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val t = col("ca").cast(dec38) + col("cb")
     val ranked = runningTotalsBy(perValue, Seq("__g"), Seq("ca", "cb"))
       .withColumn("below", col("cum_ca") + col("cum_cb") - col("ca") - col("cb"))
     val agg = ranked.groupBy(col("__g")).agg(
       sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"),
-      sum(col("ca") * (col("below") * 2 + col("ca") + col("cb") + 1)).as("__r2a"),
+      sum(col("ca").cast(dec38) *
+        (col("below").cast(dec38) * 2 + col("ca") + col("cb") + 1)).as("__r2a"),
       sum(t * t * t - t).as("__tie3"))
       .filter(col("n_a") > 0 && col("n_b") > 0)
     val (na, nb) = (col("n_a").cast(DoubleType), col("n_b").cast(DoubleType))
-    val u2a = col("__r2a") - col("n_a") * (col("n_a") + 1) // exact 2·U_A
+    val u2a = (col("__r2a") - col("n_a").cast(dec38) * (col("n_a") + 1))
+      .cast(LongType) // exact 2·U_A
     val nn = na + nb
     val u = u2a.cast(DoubleType) / lit(2.0)
     val mu = na * nb / lit(2.0)

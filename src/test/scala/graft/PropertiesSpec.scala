@@ -603,6 +603,20 @@ class PropertiesSpec extends AnyFunSuite with SparkSpec {
         s"z mismatch in $g")
     }
 
+    // grouped Welch t: same decimal moments per segment; the one-sided
+    // zz group (no s1 arm) drops — a one-row/absent arm is not evidence
+    val arm = when($"src" === "s0", 0L).otherwise(1L)
+    val gwt = Robust.welchTBy(df, arm, $"v", "lang").collect()
+    assert(gwt.map(_.getString(0)).toSet == Set("de", "en", "fr"))
+    for (r <- gwt) {
+      val g = r.getString(0)
+      val single = Robust.welchT(df.filter($"lang" === g), arm, $"v").collect()(0)
+      for (c <- Seq("n_a", "n_b"))
+        assert(r.getAs[Long](c) == single.getAs[Long](c), s"$c mismatch in $g")
+      for (c <- Seq("mean_a", "mean_b", "t_stat", "welch_df"))
+        assert(r.getAs[Double](c) == single.getAs[Double](c), s"$c mismatch in $g")
+    }
+
     // grouped PSI: per-segment result equals the global operator run on
     // that segment alone (each segment bins on its OWN reference edges);
     // the reference-less segment drops — a gate must not invent a profile
