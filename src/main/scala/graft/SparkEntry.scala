@@ -3715,6 +3715,17 @@ object SparkEntry {
       graft.operators.Pca.topComponentBy(
         Tables.embeddings(s, d), col("embedding"), "label", 64, 10)),
 
+    // Embedding-SPACE drift gate: squared Fréchet distance (diagonal
+    // covariance — the FID recipe) between the even- and odd-vec_id
+    // halves of the embedding table, the "did today's crawl embed
+    // differently?" monitor. Exact decimal per-dim moment sums (the PCA
+    // discipline), rounded per-dim means/vars, ascending-i fold.
+    "q_embed_drift" -> ((s, d) =>
+      graft.operators.EmbeddingDrift.frechetDrift(
+        Tables.embeddings(s, d), col("embedding"),
+        when(pmod(col("vec_id"), lit(2L)) === 0, "ref").otherwise("cur"),
+        "ref", "cur", dim = 64)),
+
     // Spearman rank correlation of quantity vs extended price — monotone
     // association on ranks (average-rank ties via the exact-integer
     // doubled-rank algebra, distributed runningTotals ECDF scan, moments
@@ -6881,6 +6892,39 @@ object SparkEntry {
 
     "q_pca_top" -> pcaTopSql,
     "q_pca_by_label" -> pcaTopByLabelSql,
+
+    // Fréchet embedding drift: the same decimal moment discipline as the
+    // PCA oracles — DECIMAL(38,12) float sums → rounded means, decimal
+    // centered-square sums against the ROUNDED means → rounded vars, and
+    // one ascending-i fold over the d term chain.
+    "q_embed_drift" ->
+      """WITH e AS MATERIALIZED (SELECT vec_id % 2 = 0 AS is_ref, embedding AS v FROM embeddings
+                    WHERE embedding IS NOT NULL AND len(embedding) = 64
+                      AND len(list_filter(embedding, x -> x IS NULL)) = 0),
+              d AS MATERIALIZED (SELECT CAST(i AS INT) AS i FROM range(0, 64) t(i)),
+              mn AS MATERIALIZED (SELECT e.is_ref AS is_ref, d.i AS i,
+                            round(CAST(sum(CAST(e.v[d.i + 1] AS DECIMAL(38,12))) AS DOUBLE)
+                                  / count(*), 6) AS m,
+                            CAST(count(*) AS BIGINT) AS n
+                     FROM e, d GROUP BY 1, 2),
+              vr AS (SELECT e.is_ref AS is_ref, d.i AS i,
+                            round(CAST(sum(CAST((CAST(e.v[d.i + 1] AS DOUBLE) - mn.m)
+                                              * (CAST(e.v[d.i + 1] AS DOUBLE) - mn.m)
+                                              AS DECIMAL(38,12))) AS DOUBLE)
+                                  / count(*), 6) AS s2
+                     FROM e, d, mn WHERE mn.is_ref = e.is_ref AND mn.i = d.i
+                     GROUP BY 1, 2),
+              t AS (SELECT mr.i AS i,
+                           (mr.m - mc.m) * (mr.m - mc.m) + vr_r.s2 + vr_c.s2
+                           - 2.0 * sqrt(vr_r.s2 * vr_c.s2) AS term
+                    FROM mn mr JOIN mn mc ON mr.i = mc.i AND mr.is_ref AND NOT mc.is_ref
+                         JOIN vr vr_r ON vr_r.is_ref AND vr_r.i = mr.i
+                         JOIN vr vr_c ON NOT vr_c.is_ref AND vr_c.i = mr.i),
+              f AS (SELECT list_reduce(list(term ORDER BY i), (a, b) -> a + b) AS fr FROM t),
+              ns AS (SELECT CAST(max(CASE WHEN is_ref THEN n END) AS BIGINT) AS n_ref,
+                            CAST(max(CASE WHEN NOT is_ref THEN n END) AS BIGINT) AS n_cur
+                     FROM mn)
+         SELECT n_ref, n_cur, round(fr, 6) AS frechet2 FROM ns, f""",
 
     // Kendall τ-b: exact integer pair counts over the cell domain (empty
     // strict-filter sublists sum to NULL, which the outer sum skips —

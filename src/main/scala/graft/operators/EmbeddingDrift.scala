@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DecimalType, DoubleType, LongType, StructField, StructType}
+
+/** Embedding-SPACE drift gate — the vector companion to the scalar drift
+  * family ([[Robust.ksStatistic]] / [[Robust.psiDrift]]): a scalar gate
+  * on one feature cannot see a distribution shift in a 64-dim embedding
+  * cloud (each marginal can stay put while the joint moves), and the
+  * production question — "did today's crawl embed differently than the
+  * reference corpus?" — is asked of the vectors themselves. The statistic
+  * is the squared Fréchet distance under DIAGONAL covariance (the FID
+  * recipe of Heusel et al. 2017 restricted to per-dimension variances —
+  * the full-covariance matrix-sqrt term needs an SVD the oracle could not
+  * replay bit-exactly, and the diagonal form is the standard large-d
+  * approximation):
+  *
+  *   d² = Σ_i (μ_ref,i − μ_cur,i)² + σ²_ref,i + σ²_cur,i
+  *        − 2·√(σ²_ref,i · σ²_cur,i)
+  *
+  * Exactness (the [[Pca]] discipline, proven by its oracle): per-dim
+  * means come from exact DECIMAL(38,12) sums of the raw floats → ONE
+  * double cast → 6-dp round; per-dim population variances from exact
+  * decimal sums of the double-centered squares against those ROUNDED
+  * means → one cast → 6-dp round; the final fold runs ascending-i over
+  * the d rounded pairs, a fixed double chain both engines replay
+  * bit-identically.
+  *
+  * Scale shape: two passes over the pruned (split, vector) projection —
+  * each a posexplode into a per-(side, dim) keyed aggregate with map-side
+  * partials, so the shuffle carries ≤ 2·d rows per task regardless of
+  * corpus size; the 2·d summary collects driver-side (bounded by the
+  * model dimension, the [[Pca]] means contract) and the d-term fold is
+  * driver arithmetic. An empty (or all-invalid) side yields an EMPTY
+  * result — a drift gate must fail loudly on a missing profile, never
+  * read "distance 0" off absence (the [[Robust.psiDrift]] contract).
+  * Invalid vectors (null, wrong length, null elements) are excluded up
+  * front, as in [[Pca.topComponent]].
+  */
+object EmbeddingDrift {
+
+  def frechetDrift(
+      df: DataFrame, vecCol: Column, splitCol: Column,
+      refGroup: String, curGroup: String, dim: Int): DataFrame = {
+    require(dim > 0, s"frechetDrift: dim=$dim")
+    val spark = df.sparkSession
+    val dec = DecimalType(38, 12)
+    val outSchema = StructType(Seq(
+      StructField("n_ref", LongType, nullable = false),
+      StructField("n_cur", LongType, nullable = false),
+      StructField("frechet2", DoubleType, nullable = false)))
+
+    val rows = df
+      .filter(splitCol.isin(refGroup, curGroup))
+      .select((splitCol === refGroup).as("is_ref"), vecCol.as("v"))
+      .filter(col("v").isNotNull && size(col("v")) === dim &&
+        !exists(col("v"), x => x.isNull))
+
+    // pass 1 — per-(side, dim) exact decimal sums → rounded means;
+    // collect is ≤ 2·d rows, bounded by the model dimension
+    val meanRows = rows
+      .select(col("is_ref"), posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy(col("is_ref"), col("i"))
+      .agg(sum(col("x").cast(dec)).as("s"), count(lit(1)).as("n"))
+      .select(col("is_ref"), col("i"),
+        round(col("s").cast(DoubleType) / col("n"), 6).as("m"), col("n"))
+      .collect()
+    val sides = meanRows.map(_.getBoolean(0)).toSet
+    if (sides != Set(true, false)) // a missing profile is absence, not zero drift
+      return spark.createDataFrame(
+        java.util.Collections.emptyList[Row](), outSchema)
+    val means: Map[Boolean, Array[Double]] = meanRows.groupBy(_.getBoolean(0)).map {
+      case (side, rs) =>
+        val a = Array.ofDim[Double](dim)
+        rs.foreach(r => a(r.getAs[Int]("i")) = r.getAs[Double]("m"))
+        side -> a
+    }
+    val nBySide = meanRows.groupBy(_.getBoolean(0))
+      .map { case (side, rs) => side -> rs.head.getAs[Long]("n") }
+
+    // pass 2 — per-(side, dim) exact decimal sums of the double-centered
+    // squares against the ROUNDED means (slim 2-row broadcast)
+    val meansDf = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(true, means(true).toSeq), Row(false, means(false).toSeq)),
+      StructType(Seq(
+        StructField("is_ref", org.apache.spark.sql.types.BooleanType, nullable = false),
+        StructField("__m", ArrayType(DoubleType, containsNull = false), nullable = false))))
+    val varRows = rows.join(broadcast(meansDf), Seq("is_ref"))
+      .select(col("is_ref"),
+        posexplode(zip_with(col("v"), col("__m"),
+          (x, m) => (x.cast(DoubleType) - m) * (x.cast(DoubleType) - m)))
+          .as(Seq("i", "sq")))
+      .groupBy(col("is_ref"), col("i"))
+      .agg(sum(col("sq").cast(dec)).as("ss"), count(lit(1)).as("n"))
+      .select(col("is_ref"), col("i"),
+        round(col("ss").cast(DoubleType) / col("n"), 6).as("s2"))
+      .collect()
+    val vars: Map[Boolean, Array[Double]] = varRows.groupBy(_.getBoolean(0)).map {
+      case (side, rs) =>
+        val a = Array.ofDim[Double](dim)
+        rs.foreach(r => a(r.getAs[Int]("i")) = r.getAs[Double]("s2"))
+        side -> a
+    }
+
+    // ascending-i fold over d rounded (mean, var) pairs — the fixed
+    // double chain the oracle replays term-for-term
+    var fr = 0.0
+    var i = 0
+    while (i < dim) {
+      val dm = means(true)(i) - means(false)(i)
+      val sr = vars(true)(i)
+      val sc = vars(false)(i)
+      fr += dm * dm + sr + sc - 2.0 * math.sqrt(sr * sc)
+      i += 1
+    }
+    // Spark's round(_, 6) semantics exactly (shortest-repr + HALF_UP) —
+    // the proven pairing against DuckDB's round in every other oracle
+    val rounded = java.math.BigDecimal.valueOf(fr)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(nBySide(true), nBySide(false), rounded)),
+      outSchema)
+  }
+}

@@ -786,6 +786,37 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(spike.getAs[Double]("roll_mean") == 101.0) // 5×100 + 5×102 over 10
   }
 
+  test("frechetDrift: zero on identical sides, exact on planted shift, empty on missing profile") {
+    import graft.operators.EmbeddingDrift
+    // identical clouds on both sides → every term cancels to 0
+    val same = (0L until 20L).map { i =>
+      (i, if (i % 2 == 0) "ref" else "cur",
+        Array(((i / 2) % 5).toFloat, 1.0f)) // same value multiset per side
+    }.toDF("vec_id", "split", "embedding")
+    val r0 = EmbeddingDrift.frechetDrift(
+      same, col("embedding"), col("split"), "ref", "cur", dim = 2).head()
+    assert(r0.getAs[Long]("n_ref") == 10L && r0.getAs[Long]("n_cur") == 10L)
+    assert(r0.getAs[Double]("frechet2") == 0.0)
+    // constant orthogonal clouds: vars 0, mean gap 1 per dim → d² = 2
+    val shifted = (0L until 20L).map { i =>
+      (i, if (i % 2 == 0) "ref" else "cur",
+        if (i % 2 == 0) Array(1.0f, 0.0f) else Array(0.0f, 1.0f))
+    }.toDF("vec_id", "split", "embedding")
+    val r1 = EmbeddingDrift.frechetDrift(
+      shifted, col("embedding"), col("split"), "ref", "cur", dim = 2).head()
+    assert(r1.getAs[Double]("frechet2") == 2.0)
+    // a missing reference profile is absence, not zero drift → EMPTY
+    assert(EmbeddingDrift.frechetDrift(
+      shifted.filter($"split" =!= "ref"), col("embedding"), col("split"),
+      "ref", "cur", dim = 2).count() == 0L)
+    // invalid vectors (wrong length) are excluded like Pca.topComponent
+    val withBad = shifted.union(Seq((99L, "ref", Array(1.0f)))
+      .toDF("vec_id", "split", "embedding"))
+    assert(EmbeddingDrift.frechetDrift(
+      withBad, col("embedding"), col("split"), "ref", "cur", dim = 2)
+      .head().getAs[Long]("n_ref") == 10L)
+  }
+
   test("rollingAnomalyBy equals the global gate per segment; bands are independent") {
     import graft.operators.TimeSeries
     // Segment A carries the planted spike; segment B is flat. A shared
