@@ -2937,6 +2937,15 @@ object SparkEntry {
       graft.operators.Robust.welchT(
         Tables.orders(s, d), pmod(col("o_custkey"), lit(2L)), col("o_totalprice"))),
 
+    // Poisson-bootstrap 95% CI of the mean order value — error bars in
+    // ONE pass (the Chamandy web-scale recipe): per-(row, replicate)
+    // Poisson(1) weights from integer-exact hash CDF inversion, 64
+    // replicate means as map-side-combined decimal sums, discrete order
+    // statistics at the integer rank targets.
+    "q_bootstrap_ci" -> ((s, d) =>
+      graft.operators.Bootstrap.bootstrapMeanCi(
+        Tables.orders(s, d), col("o_orderkey"), col("o_totalprice"))),
+
     // Per-priority Welch t — the heterogeneous-treatment-effect screen:
     // is the A/B effect uniform across order priorities, or driven by
     // one? Same exact-decimal moments with the segment riding the one
@@ -6388,6 +6397,11 @@ object SparkEntry {
                       / (sea * sea / (na - 1.0) + seb * seb / (nb - 1.0)), 6) AS welch_df
          FROM v""",
 
+    // Same integer hash, the same shared Poisson cutoffs (interpolated
+    // from Bootstrap.PoissonCutoffs so the engines cannot drift), the
+    // same decimal replicate sums and discrete rank picks.
+    "q_bootstrap_ci" -> bootstrapCiSql,
+
     // Grouped twin: identical exact-decimal moments and double chain with
     // the priority riding the aggregation; <2-rows-per-arm segments drop.
     "q_welch_t_by_priority" ->
@@ -7200,6 +7214,34 @@ object SparkEntry {
     * never run in Spark): DuckDB inlines CTEs by default, and the ten
     * rounds each re-reference cov, so inlining re-evaluates the 2M-row
     * moment pass per round (~10 min); materialized it is ~6 s. */
+  /** Poisson-bootstrap oracle: the integer cutoffs interpolate from
+    * [[graft.operators.Bootstrap.PoissonCutoffs]] — the shared-constant
+    * pattern ([[graft.operators.Curation.JsVocabSize]]), so the two
+    * engines' inverse-CDF draws cannot silently diverge. */
+  private lazy val bootstrapCiSql: String = {
+    val w = graft.operators.Bootstrap.PoissonCutoffs
+      .map(c => s"(CASE WHEN u >= $c THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH b AS (SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(18,2)) AS v
+                   FROM orders WHERE o_totalprice IS NOT NULL),
+            r AS (SELECT v, (k * 2654435761) % 1000000007 AS h,
+                         unnest(range(0, 64)) AS j FROM b),
+            x AS (SELECT v, j, (h + j * 1000003) % 1000000007 AS x FROM r),
+            u AS (SELECT v, j,
+                         (((x * x) % 1000000007) * 2654435761 + x) % 1000000007 AS u
+                  FROM x),
+            w AS (SELECT v, j, $w AS w FROM u),
+            pr AS (SELECT j, CASE WHEN sum(w) > 0
+                                  THEN round(CAST(sum(v * w) AS DOUBLE) / sum(w), 6) END AS m
+                   FROM w GROUP BY 1),
+            ms AS (SELECT list(m ORDER BY m) FILTER (WHERE m IS NOT NULL) AS ms FROM pr),
+            t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                         round(CAST(sum(v) AS DOUBLE) / count(*), 6) AS mean FROM b)
+       SELECT n, mean,
+              ms[CAST((len(ms) * 25 + 999) // 1000 AS INT)] AS ci_lo,
+              ms[CAST((len(ms) * 975 + 999) // 1000 AS INT)] AS ci_hi
+       FROM t, ms"""
+  }
+
   private def pcaTopSql: String = {
     val head =
       """WITH e AS MATERIALIZED (SELECT embedding AS v FROM embeddings

@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
+
+import graft.functions.dec2
+
+/** Poisson-bootstrap confidence intervals — error bars for a corpus
+  * metric in ONE pass, the only bootstrap that works at 100 TB: classic
+  * resampling draws n rows with replacement per replicate (R extra
+  * passes, a global sample dependency), while the Poisson bootstrap
+  * (Chamandy et al. 2012, "Estimating uncertainty for massive data
+  * streams" — the Google recipe) gives every row an INDEPENDENT
+  * Poisson(1) weight per replicate, so all R replicates ride the one
+  * scan as map-side weights and the per-replicate sums are ordinary
+  * partial aggregates. n varies ~Poisson(n) per replicate, which is the
+  * point — it converges to the same bootstrap distribution without
+  * coordination.
+  *
+  * Determinism is a correctness property here (an error bar a re-run
+  * cannot reproduce is noise): the weight is CDF inversion of a
+  * portable integer hash against INTEGER cutoffs
+  * floor(CDF_Poisson(1)(w)·P), so the draw is integer-exact and
+  * engine-portable (no float at the sampling boundary, the
+  * [[Curation.dataMixture]] rule). The hash needs MORE than the repo's
+  * one-round linear congruential convention: a purely linear
+  * u = (h + j)·A mod P is a low-discrepancy LATTICE across rows, which
+  * STRATIFIES the weights within each replicate and collapses the
+  * replicate-to-replicate variance the bootstrap measures (observed:
+  * CI ~4× too narrow — an under-covering error bar is worse than none).
+  * One QUADRATIC round — u = ((x² mod P)·A + x) mod P with
+  * x = (h + j·1000003) mod P — breaks the lattice while staying inside
+  * BIGINT on both engines (x < P ⇒ x² < 10¹⁸). The tail truncates at
+  * w = 9 (P[w > 8] ≈ 1.1e-6 — the truncation IS the defined algorithm,
+  * replayed identically by the oracle). Replicate means use exact
+  * DECIMAL sums with ONE rounded double cast each; the CI picks
+  * DISCRETE order statistics of the R sorted replicate means at the
+  * integer rank targets ⌈R·α/2⌉ / ⌈R·(1−α/2)⌉ (the [[Robust]] rank
+  * rule), so the whole result is bit-portable.
+  *
+  * Scale shape: one pruned scan, an R-way explode into a ≤ R-group
+  * aggregate (map-side combine makes the shuffle ≤ R rows per task),
+  * one R-bounded sorted fold. The caller's `key` must be UNIQUE per row
+  * (it seeds the row's weight stream; duplicate keys would correlate
+  * draws). A replicate whose total weight lands 0 (astronomically rare
+  * at any real n) yields a NULL mean and is EXCLUDED from the order
+  * statistics on both engines. */
+object Bootstrap {
+
+  private val HashPrime = 1000000007L
+
+  /** floor(CDF_Poisson(1)(w) · P) for w = 0..8 — the integer cutoffs of
+    * the inverse-CDF draw, shared verbatim with the SQL oracle (the
+    * [[Curation.JsVocabSize]] shared-constant pattern). */
+  val PoissonCutoffs: Seq[Long] = {
+    val e = math.exp(-1.0)
+    val cdf = Iterator.iterate((e, e, 0)) { case (term, acc, k) =>
+      val t2 = term / (k + 1); (t2, acc + t2, k + 1)
+    }.take(9).map(_._2).toSeq
+    cdf.map(c => math.floor(c * HashPrime).toLong)
+  }
+
+  /** Poisson(1) weight of the integer hash `u` ∈ [0, P): the count of
+    * cutoffs ≤ u — nine integer comparisons, no float. */
+  def poissonWeight(u: Column): Column =
+    PoissonCutoffs.map(c => when(u >= c, 1).otherwise(0)).reduce(_ + _)
+
+  /** One-row result: `n`, the exact-decimal `mean` of `value`, and the
+    * [`ci_lo`, `ci_hi`] percentile bootstrap interval at level `alpha`
+    * over `replicates` Poisson replicates. `value` flows through the
+    * DECIMAL(18,2) money convention. */
+  def bootstrapMeanCi(
+      df: DataFrame, key: Column, value: Column,
+      replicates: Int = 64, alphaPct: Int = 5): DataFrame = {
+    require(replicates >= 4, s"bootstrapMeanCi: need replicates >= 4, got $replicates")
+    require(alphaPct >= 1 && alphaPct <= 50,
+      s"bootstrapMeanCi: alphaPct must be in [1, 50], got $alphaPct")
+    val base = df.select(key.as("__k"), dec2(value).as("__v"))
+      .filter(col("__v").isNotNull)
+    val tot = base.agg(
+      count(lit(1)).as("n"),
+      round(sum(col("__v")).cast(DoubleType) / count(lit(1)), 6).as("mean"))
+    val p = lit(HashPrime)
+    val reps = base
+      .select(col("__v"),
+        pmod(col("__k") * lit(2654435761L), p).as("__h"),
+        explode(sequence(lit(0), lit(replicates - 1))).as("j"))
+      .select(col("__v"), col("j"),
+        pmod(col("__h") + col("j") * lit(1000003L), p).as("__x"))
+      .select(col("__v"), col("j"),
+        pmod(pmod(col("__x") * col("__x"), p) * lit(2654435761L) + col("__x"), p)
+          .as("__u"))
+      .select(col("__v"), col("j"), poissonWeight(col("__u")).as("__w"))
+    val perRep = reps.groupBy(col("j")).agg(
+      sum(col("__v") * col("__w")).as("__vw"),
+      sum(col("__w").cast(LongType)).as("__wt"))
+      .select(when(col("__wt") > 0,
+        round(col("__vw").cast(DoubleType) / col("__wt"), 6)).as("m"))
+    // collect_list drops the NULL of a zero-weight replicate (the oracle
+    // filters explicitly); ranks follow the repo's discrete integer rule
+    val half = alphaPct * 5 // α/2 in permille: 5% → 25‰
+    val ms = perRep.agg(array_sort(collect_list(col("m"))).as("ms"))
+    val r = size(col("ms"))
+    // ⌈r·half/1000⌉ via (x + 999) div 1000 — exact for these magnitudes
+    val lo = ((r * half + lit(999)) / lit(1000)).cast(IntegerType)
+    val hi = ((r * (1000 - half) + lit(999)) / lit(1000)).cast(IntegerType)
+    tot.crossJoin(broadcast(ms))
+      .select(col("n"), col("mean"),
+        element_at(col("ms"), lo).as("ci_lo"),
+        element_at(col("ms"), hi).as("ci_hi"))
+  }
+}

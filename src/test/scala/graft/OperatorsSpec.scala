@@ -786,6 +786,28 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(spike.getAs[Double]("roll_mean") == 101.0) // 5×100 + 5×102 over 10
   }
 
+  test("bootstrapMeanCi: degenerate data collapses the CI; spread data brackets the mean") {
+    import graft.operators.Bootstrap
+    // cutoff sanity: monotone inverse-CDF thresholds, head at e^-1
+    val cs = Bootstrap.PoissonCutoffs
+    assert(cs.length == 9 && cs.sliding(2).forall { case Seq(a, b) => a < b })
+    assert(math.abs(cs.head / 1.0e9 - math.exp(-1.0)) < 1e-3)
+    // constant values: every replicate mean is the constant → CI collapses
+    val const = (1L to 500L).map(i => (i, 42.0)).toDF("k", "v")
+    val r0 = Bootstrap.bootstrapMeanCi(const, col("k"), col("v")).head()
+    assert(r0.getAs[Long]("n") == 500L && r0.getAs[Double]("mean") == 42.0)
+    assert(r0.getAs[Double]("ci_lo") == 42.0 && r0.getAs[Double]("ci_hi") == 42.0)
+    // spread values: CI brackets the mean at a plausible width (se ≈ 9.1)
+    val spread = (1L to 1000L).map(i => (i, i.toDouble)).toDF("k", "v")
+    val r1 = Bootstrap.bootstrapMeanCi(spread, col("k"), col("v")).head()
+    assert(r1.getAs[Double]("ci_lo") < r1.getAs[Double]("mean"))
+    assert(r1.getAs[Double]("ci_hi") > r1.getAs[Double]("mean"))
+    val width = r1.getAs[Double]("ci_hi") - r1.getAs[Double]("ci_lo")
+    assert(width > 10 && width < 80, s"CI width $width implausible for se≈9.1")
+    // deterministic end to end: a re-run reproduces the error bar exactly
+    assert(Bootstrap.bootstrapMeanCi(spread, col("k"), col("v")).head() == r1)
+  }
+
   test("frechetDrift: zero on identical sides, exact on planted shift, empty on missing profile") {
     import graft.operators.EmbeddingDrift
     // identical clouds on both sides → every term cancels to 0
