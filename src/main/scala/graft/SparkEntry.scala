@@ -2946,6 +2946,16 @@ object SparkEntry {
       graft.operators.Bootstrap.bootstrapMeanCi(
         Tables.orders(s, d), col("o_orderkey"), col("o_totalprice"))),
 
+    // Per-priority bootstrap CI — error bars for every segment's mean in
+    // the same one pass ("is segment X really higher, or is its n too
+    // small to tell?"); weights identical to the global draw (the key
+    // seeds them), per-(segment, replicate) decimal sums, in-plan rank
+    // picks per segment.
+    "q_bootstrap_ci_by_priority" -> ((s, d) =>
+      graft.operators.Bootstrap.bootstrapMeanCiBy(
+        Tables.orders(s, d), col("o_orderkey"), col("o_totalprice"),
+        "o_orderpriority")),
+
     // Per-priority Welch t — the heterogeneous-treatment-effect screen:
     // is the A/B effect uniform across order priorities, or driven by
     // one? Same exact-decimal moments with the segment riding the one
@@ -6402,6 +6412,10 @@ object SparkEntry {
     // same decimal replicate sums and discrete rank picks.
     "q_bootstrap_ci" -> bootstrapCiSql,
 
+    // Grouped twin: identical draws (the key seeds the weights, not the
+    // segment), every sum/fold/rank pick partitioned by the priority.
+    "q_bootstrap_ci_by_priority" -> bootstrapCiBySql,
+
     // Grouped twin: identical exact-decimal moments and double chain with
     // the priority riding the aggregation; <2-rows-per-arm segments drop.
     "q_welch_t_by_priority" ->
@@ -7240,6 +7254,36 @@ object SparkEntry {
               ms[CAST((len(ms) * 25 + 999) // 1000 AS INT)] AS ci_lo,
               ms[CAST((len(ms) * 975 + 999) // 1000 AS INT)] AS ci_hi
        FROM t, ms"""
+  }
+
+  /** Grouped twin of [[bootstrapCiSql]] — the same interpolated cutoffs,
+    * every aggregate and fold keyed by the priority. */
+  private lazy val bootstrapCiBySql: String = {
+    val w = graft.operators.Bootstrap.PoissonCutoffs
+      .map(c => s"(CASE WHEN u >= $c THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH b AS (SELECT o_orderpriority AS g, o_orderkey AS k,
+                          CAST(o_totalprice AS DECIMAL(18,2)) AS v
+                   FROM orders WHERE o_totalprice IS NOT NULL),
+            r AS (SELECT g, v, (k * 2654435761) % 1000000007 AS h,
+                         unnest(range(0, 64)) AS j FROM b),
+            x AS (SELECT g, v, j, (h + j * 1000003) % 1000000007 AS x FROM r),
+            u AS (SELECT g, v, j,
+                         (((x * x) % 1000000007) * 2654435761 + x) % 1000000007 AS u
+                  FROM x),
+            w AS (SELECT g, v, j, $w AS w FROM u),
+            pr AS (SELECT g, j, CASE WHEN sum(w) > 0
+                                     THEN round(CAST(sum(v * w) AS DOUBLE) / sum(w), 6) END AS m
+                   FROM w GROUP BY 1, 2),
+            ms AS (SELECT g, list(m ORDER BY m) FILTER (WHERE m IS NOT NULL) AS ms
+                   FROM pr GROUP BY 1),
+            t AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+                         round(CAST(sum(v) AS DOUBLE) / count(*), 6) AS mean
+                  FROM b GROUP BY 1)
+       SELECT t.g AS o_orderpriority, n, mean,
+              ms.ms[CAST((len(ms.ms) * 25 + 999) // 1000 AS INT)] AS ci_lo,
+              ms.ms[CAST((len(ms.ms) * 975 + 999) // 1000 AS INT)] AS ci_hi
+       FROM t JOIN ms ON t.g = ms.g
+       ORDER BY 1"""
   }
 
   private def pcaTopSql: String = {

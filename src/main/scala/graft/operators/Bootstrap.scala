@@ -110,4 +110,53 @@ object Bootstrap {
         element_at(col("ms"), lo).as("ci_lo"),
         element_at(col("ms"), hi).as("ci_hi"))
   }
+
+  /** Per-`byCol`-segment bootstrap CI — error bars for every segment's
+    * mean in one pass ("is segment X's metric really higher, or is its
+    * n too small to tell?" — the question the per-segment dashboards
+    * the grouped drift/test family feeds always raise next). Exactly
+    * [[bootstrapMeanCi]] with the segment riding every key: weights are
+    * the SAME per-(row, replicate) draws (the key seeds them, not the
+    * segment), per-(segment, replicate) decimal sums aggregate with
+    * map-side combine (≤ |segments|·R rows per task), and each
+    * segment's R-bounded sorted fold and rank picks run in-plan. */
+  def bootstrapMeanCiBy(
+      df: DataFrame, key: Column, value: Column, byCol: String,
+      replicates: Int = 64, alphaPct: Int = 5): DataFrame = {
+    require(replicates >= 4, s"bootstrapMeanCiBy: need replicates >= 4, got $replicates")
+    require(alphaPct >= 1 && alphaPct <= 50,
+      s"bootstrapMeanCiBy: alphaPct must be in [1, 50], got $alphaPct")
+    val base = df.select(col(byCol).as("__g"), key.as("__k"), dec2(value).as("__v"))
+      .filter(col("__v").isNotNull)
+    val tot = base.groupBy(col("__g")).agg(
+      count(lit(1)).as("n"),
+      round(sum(col("__v")).cast(DoubleType) / count(lit(1)), 6).as("mean"))
+    val p = lit(HashPrime)
+    val reps = base
+      .select(col("__g"), col("__v"),
+        pmod(col("__k") * lit(2654435761L), p).as("__h"),
+        explode(sequence(lit(0), lit(replicates - 1))).as("j"))
+      .select(col("__g"), col("__v"), col("j"),
+        pmod(col("__h") + col("j") * lit(1000003L), p).as("__x"))
+      .select(col("__g"), col("__v"), col("j"),
+        pmod(pmod(col("__x") * col("__x"), p) * lit(2654435761L) + col("__x"), p)
+          .as("__u"))
+      .select(col("__g"), col("__v"), col("j"), poissonWeight(col("__u")).as("__w"))
+    val perRep = reps.groupBy(col("__g"), col("j")).agg(
+      sum(col("__v") * col("__w")).as("__vw"),
+      sum(col("__w").cast(LongType)).as("__wt"))
+      .select(col("__g"), when(col("__wt") > 0,
+        round(col("__vw").cast(DoubleType) / col("__wt"), 6)).as("m"))
+    val half = alphaPct * 5
+    val ms = perRep.groupBy(col("__g"))
+      .agg(array_sort(collect_list(col("m"))).as("ms"))
+    val r = size(col("ms"))
+    val lo = ((r * half + lit(999)) / lit(1000)).cast(IntegerType)
+    val hi = ((r * (1000 - half) + lit(999)) / lit(1000)).cast(IntegerType)
+    tot.join(ms, "__g")
+      .select(col("__g").as(byCol), col("n"), col("mean"),
+        element_at(col("ms"), lo).as("ci_lo"),
+        element_at(col("ms"), hi).as("ci_hi"))
+      .orderBy(byCol)
+  }
 }

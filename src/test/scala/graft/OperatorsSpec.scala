@@ -806,6 +806,20 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(width > 10 && width < 80, s"CI width $width implausible for se≈9.1")
     // deterministic end to end: a re-run reproduces the error bar exactly
     assert(Bootstrap.bootstrapMeanCi(spread, col("k"), col("v")).head() == r1)
+    // grouped twin: weights are seeded by the KEY, so each segment's row
+    // equals the global operator run on that segment alone — exactly
+    val seg = (1L to 1000L).map(i => (i, if (i % 3 == 0) "a" else "b", i.toDouble))
+      .toDF("k", "g", "v")
+    val grouped = Bootstrap.bootstrapMeanCiBy(seg, col("k"), col("v"), "g").collect()
+    assert(grouped.map(_.getString(0)).toSeq == Seq("a", "b"))
+    for (row <- grouped) {
+      val g = row.getString(0)
+      val single = Bootstrap.bootstrapMeanCi(
+        seg.filter($"g" === g), col("k"), col("v")).head()
+      for (c <- Seq("mean", "ci_lo", "ci_hi"))
+        assert(row.getAs[Double](c) == single.getAs[Double](c), s"$c mismatch in $g")
+      assert(row.getAs[Long]("n") == single.getAs[Long]("n"), s"n mismatch in $g")
+    }
   }
 
   test("frechetDrift: zero on identical sides, exact on planted shift, empty on missing profile") {
