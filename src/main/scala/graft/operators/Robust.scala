@@ -438,6 +438,43 @@ object Robust {
       .orderBy(groupCol)
   }
 
+  /** Row-level robust outlier flags — the APPLY face of [[robustStats]]:
+    * flag every row whose value sits more than `k` MADs from its group's
+    * median (the modified-z-score gate; median/MAD instead of mean/std so
+    * a 1%-garbage column can't hide its own outliers by inflating the
+    * std — the reason curation pipelines never gate on plain z). Returns
+    * only the FLAGGED rows (id, group, value, robust_z = dev/MAD), the
+    * drop-list shape a pipeline writes next to the kept corpus.
+    *
+    * Decision algebra is exact: the median is an actual data value and
+    * MAD an actual deviation (discrete selection, integer-valued for
+    * integer inputs), so `dev > k·mad` compares exactly-representable
+    * doubles — no interpolation noise at the cut. A degenerate group
+    * (MAD = 0: >half the group sits on one value) flags ANY deviation
+    * (`dev > 0`) and surfaces `robust_z` as NULL rather than ∞ — visible,
+    * not poisoned.
+    *
+    * Scale shape: [[robustStats]]'s two barrier jobs produce the
+    * |groups|-bounded (median, mad) table, which BROADCASTS back onto one
+    * more pruned scan — flagging is map-side expression work, no shuffle
+    * after the stats. Inherits the determinism precondition (the stats
+    * passes and the flag pass re-scan the source). */
+  def robustOutliers(
+      df: DataFrame, groupCol: String, value: Column, idCol: String,
+      k: Double = 3.0): DataFrame = {
+    require(k > 0, s"robustOutliers: need k > 0, got $k")
+    val stats = robustStats(df, groupCol, value)
+      .select(col(groupCol), col("median"), col("mad"))
+    val dev = abs(col("v") - col("median"))
+    df.select(col(idCol), col(groupCol), value.cast(DoubleType).as("v"))
+      .filter(col("v").isNotNull)
+      .join(broadcast(stats), groupCol)
+      .filter(dev > lit(k) * col("mad"))
+      .select(col(idCol), col(groupCol), col("v"),
+        when(col("mad") > 0, round(dev / col("mad"), 6)).as("robust_z"))
+      .orderBy(idCol)
+  }
+
   /** Neyman-allocation stratified sampling: a total budget of
     * `totalSamples` rows split across strata ∝ N_h·σ_h (bigger, more
     * variable strata get more samples — the minimum-variance allocation
