@@ -864,9 +864,11 @@ object SparkEntry {
     // join, but in-cell scoring is residual ADC over the 16-byte codes
     // (the corpus side of the join moves codes, never embeddings).
     // SELF-ASSERTING recall vs the in-plan exact brute-force twin;
-    // doubly approximate (IVF probe misses AND PQ score quantization),
-    // so the floor follows the ivfpq search family (0.35); measured
-    // ~0.5-0.6 on uniform-random data with 8/16 cells, m=16 × ksub=64.
+    // doubly approximate (IVF probe misses AND PQ score quantization).
+    // Floor 0.45, tightened from the search family's 0.35 toward the
+    // measured band (~0.5-0.6 on uniform-random data with 8/16 cells,
+    // m=16 × ksub=64) so a halved mining quality can no longer pass;
+    // the rerank form below carries the honest high floor.
     "q_hard_negatives_ivfpq" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val idx = graft.operators.Pq.buildIvfPq(
@@ -878,7 +880,32 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"))
       exact.join(approx, Seq("query_id", "neighbor_id"), "left")
         .agg(countDistinct(col("query_id")).as("n_queries"),
-          (coalesce(sum(col("hit")), lit(0L)) >= count(lit(1)) * 0.35).as("recall_ok"))
+          (coalesce(sum(col("hit")), lit(0L)) >= count(lit(1)) * 0.45).as("recall_ok"))
+    }),
+
+    // Two-tier IVF-PQ mining: the ADC cell join proposes a kShort=16
+    // shortlist per query (codes move, embeddings don't — the expensive
+    // stage is unchanged), then ONLY the bounded |Q|·16 shortlist is
+    // rescored with exact float dots via plain id equi-joins (|Q| ≈
+    // |corpus| in self-mining, so nothing is broadcast) and final top-3
+    // is exact over the shortlist. Recall is bounded by shortlist
+    // recall@16 instead of ADC ordering recall@3, so the SELF-ASSERTED
+    // floor rises to the honest 0.6 (measured 0.811 at sf0.01 vs 0.532
+    // for direct ADC ordering — tools/ProbeRerank records the kShort
+    // sweep; 16 is the knee, 32 only reaches the IVF probe ceiling 0.823).
+    "q_hard_negatives_ivfpq_rerank" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val idx = graft.operators.Pq.buildIvfPq(
+        s, emb, dims = 64, nLists = 16, m = 16, ksub = 64)
+      val approx = graft.operators.Pq.hardNegativesIvfPqRerank(
+          idx, emb.select(col("vec_id"), col("label")), emb, emb,
+          k = 3, kShort = 16, nProbe = 8)
+        .select(col("query_id"), col("neighbor_id")).withColumn("hit", lit(1L))
+      val exact = Similarity.hardNegatives(emb, emb, k = 3)
+        .select(col("query_id"), col("neighbor_id"))
+      exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+        .agg(countDistinct(col("query_id")).as("n_queries"),
+          (coalesce(sum(col("hit")), lit(0L)) >= count(lit(1)) * 0.6).as("recall_ok"))
     }),
 
     // Banded hyperplane-LSH ANN, SELF-ASSERTING: the query emits recall@5
@@ -2965,6 +2992,17 @@ object SparkEntry {
         Tables.orders(s, d), pmod(col("o_custkey"), lit(2L)), col("o_totalprice"),
         "o_orderpriority")),
 
+    // Bootstrap CI of the A/B effect size — "the uplift is X ± Y", the
+    // distribution-free companion to the Welch/MW significance gates on
+    // the SAME arm split: per replicate, the one shared weight stream
+    // (seeded by row key alone) feeds two arm-tagged decimal sums, the
+    // replicate statistic is the difference of arm means, CI from the R
+    // sorted differences' discrete order statistics.
+    "q_bootstrap_uplift" -> ((s, d) =>
+      graft.operators.Bootstrap.bootstrapUpliftCi(
+        Tables.orders(s, d), col("o_orderkey"),
+        pmod(col("o_custkey"), lit(2L)), col("o_totalprice"))),
+
     // Triangle count of the near-dup candidate graph (same 0.9-Jaccard
     // pair set the clustering query uses) — clique-density diagnostic.
     // Oracle replays the pair graph brute-force and the same oriented
@@ -3745,6 +3783,29 @@ object SparkEntry {
         when(pmod(col("vec_id"), lit(2L)) === 0, "ref").otherwise("cur"),
         "ref", "cur", dim = 64)),
 
+    // Per-label Fréchet drift — "WHICH class embedded differently?", the
+    // grouped form of the embedding gate (completing the grouped-gate
+    // convention: KS/PSI/MW/Welch/Spearman/PCA/anomaly/JS/bootstrap all
+    // have one). Same two decimal moment passes with the label riding the
+    // (side, dim) keys; ceiling-guarded |labels|·2·64-row summaries;
+    // one-sided labels drop.
+    "q_embed_drift_by_label" -> ((s, d) =>
+      graft.operators.EmbeddingDrift.frechetDriftBy(
+        Tables.embeddings(s, d), col("embedding"),
+        when(pmod(col("vec_id"), lit(2L)) === 0, "ref").otherwise("cur"),
+        "ref", "cur", dim = 64, byCol = "label")),
+
+    // STREAMING drift monitor for the embedding space: the current-side
+    // corpus arrives as micro-batched vector files; complete-mode
+    // streaming state is the per-dim mergeable (Σx, Σx², n) decimal
+    // moment triple (64 rows of state however many vectors flow), the
+    // Fréchet fold runs against a frozen offline reference profile with
+    // the one-pass variance, and parity_ok asserts streamed state ≡
+    // batch recompute bit-for-bit (decimal sums are order-independent,
+    // so micro-batch slicing cannot change them).
+    "q_embed_drift_stream" -> ((s, d) =>
+      graft.streaming.EmbedDriftStream.runStreamEmbedDrift(s, d)),
+
     // Spearman rank correlation of quantity vs extended price — monotone
     // association on ranks (average-rank ties via the exact-integer
     // doubled-rank algebra, distributed runningTotals ECDF scan, moments
@@ -3981,6 +4042,10 @@ object SparkEntry {
     // Operator: the batched serving stream against the at-rest index.
     "q_ann_search_stream" -> ((s, d) =>
       graft.streaming.AnnServe.runStreamAnnServe(s, d, assertFull = false)),
+    // Contract form: streamed moment state ⋈ batch recompute (parity).
+    // Operator: the monitor stream + frozen-profile gate alone.
+    "q_embed_drift_stream" -> ((s, d) =>
+      graft.streaming.EmbedDriftStream.runStreamEmbedDrift(s, d, assertParity = false)),
     // Contract form: sketch estimates ⋈ exact twins (×7 exploded
     // countDistinct) + ≤5% bound agg. Operator: daily HLL sketches +
     // trailing-7-day sketch unions — the mergeable-rollup production path.
@@ -4033,6 +4098,16 @@ object SparkEntry {
       graft.operators.Pq.hardNegativesIvfPq(
         reg.ivfPqFull(s, d), emb.select(col("vec_id"), col("label")),
         emb, k = 3, nProbe = 8)
+    }),
+    // Contract form: two-tier mining ⋈ O(|Q|·|C|) brute-force twin +
+    // recall agg. Operator: ADC shortlist + bounded exact rescore against
+    // the at-rest encoded index.
+    "q_hard_negatives_ivfpq_rerank" -> ((s, d) => {
+      val reg = graft.operators.IndexRegistry
+      val emb = Tables.embeddings(s, d)
+      graft.operators.Pq.hardNegativesIvfPqRerank(
+        reg.ivfPqFull(s, d), emb.select(col("vec_id"), col("label")),
+        emb, emb, k = 3, kShort = 16, nProbe = 8)
     }),
     // Contract form: IVF search ⋈ brute-force twin + recall agg.
     // Operator: probe-set planning + cell-pruned in-cell exact scoring.
@@ -4657,9 +4732,15 @@ object SparkEntry {
       """SELECT count(DISTINCT vec_id) AS n_queries, true AS recall_ok
          FROM embeddings""",
 
-    // Self-asserting (ADC-scored recall vs the in-plan exact twin ≥ 0.35;
+    // Self-asserting (ADC-scored recall vs the in-plan exact twin ≥ 0.45;
     // the oracle pins the self-mining query-set size and the literal).
     "q_hard_negatives_ivfpq" ->
+      """SELECT count(DISTINCT vec_id) AS n_queries, true AS recall_ok
+         FROM embeddings""",
+
+    // Self-asserting (shortlist + exact-rerank recall vs the in-plan
+    // exact twin ≥ 0.6; the oracle pins the query-set size and literal).
+    "q_hard_negatives_ivfpq_rerank" ->
       """SELECT count(DISTINCT vec_id) AS n_queries, true AS recall_ok
          FROM embeddings""",
 
@@ -6411,6 +6492,7 @@ object SparkEntry {
     // from Bootstrap.PoissonCutoffs so the engines cannot drift), the
     // same decimal replicate sums and discrete rank picks.
     "q_bootstrap_ci" -> bootstrapCiSql,
+    "q_bootstrap_uplift" -> bootstrapUpliftSql,
 
     // Grouped twin: identical draws (the key seeds the weights, not the
     // segment), every sum/fold/rank pick partitioned by the priority.
@@ -6952,7 +7034,86 @@ object SparkEntry {
               ns AS (SELECT CAST(max(CASE WHEN is_ref THEN n END) AS BIGINT) AS n_ref,
                             CAST(max(CASE WHEN NOT is_ref THEN n END) AS BIGINT) AS n_cur
                      FROM mn)
-         SELECT n_ref, n_cur, round(fr, 6) AS frechet2 FROM ns, f""",
+         SELECT n_ref, n_cur, round(fr, 6) AS frechet2 FROM ns, f
+         WHERE n_ref IS NOT NULL AND n_cur IS NOT NULL""",
+
+    // Grouped Fréchet drift: the same decimal moment chains with the
+    // label riding every relation; the ref⋈cur join inside `t` drops
+    // one-sided labels (mirroring the operator's missing-side DROP).
+    "q_embed_drift_by_label" ->
+      """WITH e AS MATERIALIZED (SELECT label AS g, vec_id % 2 = 0 AS is_ref, embedding AS v
+                    FROM embeddings
+                    WHERE embedding IS NOT NULL AND len(embedding) = 64
+                      AND len(list_filter(embedding, x -> x IS NULL)) = 0
+                      AND label IS NOT NULL),
+              d AS MATERIALIZED (SELECT CAST(i AS INT) AS i FROM range(0, 64) t(i)),
+              mn AS MATERIALIZED (SELECT e.g AS g, e.is_ref AS is_ref, d.i AS i,
+                            round(CAST(sum(CAST(e.v[d.i + 1] AS DECIMAL(38,12))) AS DOUBLE)
+                                  / count(*), 6) AS m,
+                            CAST(count(*) AS BIGINT) AS n
+                     FROM e, d GROUP BY 1, 2, 3),
+              vr AS (SELECT e.g AS g, e.is_ref AS is_ref, d.i AS i,
+                            round(CAST(sum(CAST((CAST(e.v[d.i + 1] AS DOUBLE) - mn.m)
+                                              * (CAST(e.v[d.i + 1] AS DOUBLE) - mn.m)
+                                              AS DECIMAL(38,12))) AS DOUBLE)
+                                  / count(*), 6) AS s2
+                     FROM e, d, mn
+                     WHERE mn.g = e.g AND mn.is_ref = e.is_ref AND mn.i = d.i
+                     GROUP BY 1, 2, 3),
+              t AS (SELECT mr.g AS g, mr.i AS i,
+                           (mr.m - mc.m) * (mr.m - mc.m) + vr_r.s2 + vr_c.s2
+                           - 2.0 * sqrt(vr_r.s2 * vr_c.s2) AS term
+                    FROM mn mr
+                         JOIN mn mc ON mr.g = mc.g AND mr.i = mc.i
+                              AND mr.is_ref AND NOT mc.is_ref
+                         JOIN vr vr_r ON vr_r.g = mr.g AND vr_r.is_ref AND vr_r.i = mr.i
+                         JOIN vr vr_c ON vr_c.g = mr.g AND NOT vr_c.is_ref AND vr_c.i = mr.i),
+              f AS (SELECT g, list_reduce(list(term ORDER BY i), (a, b) -> a + b) AS fr
+                    FROM t GROUP BY g),
+              ns AS (SELECT g, CAST(max(CASE WHEN is_ref THEN n END) AS BIGINT) AS n_ref,
+                            CAST(max(CASE WHEN NOT is_ref THEN n END) AS BIGINT) AS n_cur
+                     FROM mn GROUP BY g)
+         SELECT ns.g AS label, n_ref, n_cur, round(fr, 6) AS frechet2
+         FROM ns JOIN f ON ns.g = f.g
+         WHERE n_ref IS NOT NULL AND n_cur IS NOT NULL
+         ORDER BY 1""",
+
+    // Streamed Fréchet gate: full bit-exact replay of the one-pass
+    // moment algebra (decimal Σx / Σx² sums, rounded means, clamped
+    // one-pass variances, ascending-i fold); parity_ok is asserted
+    // in-plan (streamed state ≡ batch recompute) and pinned here.
+    "q_embed_drift_stream" ->
+      """WITH e AS MATERIALIZED (SELECT vec_id % 2 = 0 AS is_ref, embedding AS v
+                    FROM embeddings
+                    WHERE embedding IS NOT NULL AND len(embedding) = 64
+                      AND len(list_filter(embedding, x -> x IS NULL)) = 0),
+              d AS MATERIALIZED (SELECT CAST(i AS INT) AS i FROM range(0, 64) t(i)),
+              mo AS (SELECT e.is_ref AS is_ref, d.i AS i,
+                            sum(CAST(e.v[d.i + 1] AS DECIMAL(38,12))) AS sx,
+                            sum(CAST(CAST(e.v[d.i + 1] AS DOUBLE)
+                                     * CAST(e.v[d.i + 1] AS DOUBLE)
+                                     AS DECIMAL(38,12))) AS sxx,
+                            CAST(count(*) AS BIGINT) AS n
+                     FROM e, d GROUP BY 1, 2),
+              mv AS (SELECT is_ref, i, n,
+                            round(CAST(sx AS DOUBLE) / n, 6) AS m,
+                            greatest(round(CAST(sxx AS DOUBLE) / n
+                                           - round(CAST(sx AS DOUBLE) / n, 6)
+                                             * round(CAST(sx AS DOUBLE) / n, 6), 6),
+                                     0.0) AS s2
+                     FROM mo),
+              t AS (SELECT r.i AS i,
+                           (r.m - c.m) * (r.m - c.m) + r.s2 + c.s2
+                           - 2.0 * sqrt(r.s2 * c.s2) AS term
+                    FROM mv r JOIN mv c ON r.i = c.i AND r.is_ref AND NOT c.is_ref),
+              f AS (SELECT list_reduce(list(term ORDER BY i), (a, b) -> a + b) AS fr
+                    FROM t),
+              ns AS (SELECT CAST(max(CASE WHEN is_ref THEN n END) AS BIGINT) AS n_ref,
+                            CAST(max(CASE WHEN NOT is_ref THEN n END) AS BIGINT) AS n_cur
+                     FROM mo)
+         SELECT n_ref, n_cur, round(fr, 6) AS frechet2, true AS parity_ok
+         FROM ns, f
+         WHERE n_ref IS NOT NULL AND n_cur IS NOT NULL""",
 
     // Kendall τ-b: exact integer pair counts over the cell domain (empty
     // strict-filter sublists sum to NULL, which the outer sum skips —
@@ -7237,7 +7398,9 @@ object SparkEntry {
       .map(c => s"(CASE WHEN u >= $c THEN 1 ELSE 0 END)").mkString(" + ")
     s"""WITH b AS (SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(18,2)) AS v
                    FROM orders WHERE o_totalprice IS NOT NULL),
-            r AS (SELECT v, (k * 2654435761) % 1000000007 AS h,
+            r AS (SELECT v,
+                         ((k % 1000000007 + 1000000007) % 1000000007)
+                           * 2654435761 % 1000000007 AS h,
                          unnest(range(0, 64)) AS j FROM b),
             x AS (SELECT v, j, (h + j * 1000003) % 1000000007 AS x FROM r),
             u AS (SELECT v, j,
@@ -7256,6 +7419,52 @@ object SparkEntry {
        FROM t, ms"""
   }
 
+  /** Uplift twin of [[bootstrapCiSql]] — the same draws (weights seed by
+    * row key alone), two arm-tagged sums per replicate, the replicate
+    * statistic a DIFFERENCE of arm means; the double chain (cast-divide,
+    * cast-divide, subtract, round) mirrors the operator term-for-term. */
+  private lazy val bootstrapUpliftSql: String = {
+    val w = graft.operators.Bootstrap.PoissonCutoffs
+      .map(c => s"(CASE WHEN u >= $c THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH b AS (SELECT o_orderkey AS k, o_custkey % 2 AS arm,
+                          CAST(o_totalprice AS DECIMAL(18,2)) AS v
+                   FROM orders
+                   WHERE o_totalprice IS NOT NULL AND o_custkey IS NOT NULL),
+            r AS (SELECT arm, v,
+                         ((k % 1000000007 + 1000000007) % 1000000007)
+                           * 2654435761 % 1000000007 AS h,
+                         unnest(range(0, 64)) AS j FROM b),
+            x AS (SELECT arm, v, j, (h + j * 1000003) % 1000000007 AS x FROM r),
+            u AS (SELECT arm, v, j,
+                         (((x * x) % 1000000007) * 2654435761 + x) % 1000000007 AS u
+                  FROM x),
+            w AS (SELECT arm, v, j, $w AS w FROM u),
+            pr AS (SELECT j,
+                          CASE WHEN sum(CASE WHEN arm = 1 THEN w ELSE 0 END) > 0
+                                AND sum(CASE WHEN arm = 0 THEN w ELSE 0 END) > 0
+                               THEN round(CAST(sum(CASE WHEN arm = 1 THEN v * w END) AS DOUBLE)
+                                            / sum(CASE WHEN arm = 1 THEN w ELSE 0 END)
+                                          - CAST(sum(CASE WHEN arm = 0 THEN v * w END) AS DOUBLE)
+                                            / sum(CASE WHEN arm = 0 THEN w ELSE 0 END), 6)
+                          END AS m
+                   FROM w GROUP BY 1),
+            ms AS (SELECT list(m ORDER BY m) FILTER (WHERE m IS NOT NULL) AS ms FROM pr),
+            t AS (SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+                         CASE WHEN sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) > 0
+                               AND sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) > 0
+                              THEN round(CAST(sum(CASE WHEN arm = 1 THEN v END) AS DOUBLE)
+                                           / sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)
+                                         - CAST(sum(CASE WHEN arm = 0 THEN v END) AS DOUBLE)
+                                           / sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END), 6)
+                         END AS uplift
+                  FROM b)
+       SELECT n_a, n_b, uplift,
+              ms[CAST((len(ms) * 25 + 999) // 1000 AS INT)] AS ci_lo,
+              ms[CAST((len(ms) * 975 + 999) // 1000 AS INT)] AS ci_hi
+       FROM t, ms"""
+  }
+
   /** Grouped twin of [[bootstrapCiSql]] — the same interpolated cutoffs,
     * every aggregate and fold keyed by the priority. */
   private lazy val bootstrapCiBySql: String = {
@@ -7264,7 +7473,9 @@ object SparkEntry {
     s"""WITH b AS (SELECT o_orderpriority AS g, o_orderkey AS k,
                           CAST(o_totalprice AS DECIMAL(18,2)) AS v
                    FROM orders WHERE o_totalprice IS NOT NULL),
-            r AS (SELECT g, v, (k * 2654435761) % 1000000007 AS h,
+            r AS (SELECT g, v,
+                         ((k % 1000000007 + 1000000007) % 1000000007)
+                           * 2654435761 % 1000000007 AS h,
                          unnest(range(0, 64)) AS j FROM b),
             x AS (SELECT g, v, j, (h + j * 1000003) % 1000000007 AS x FROM r),
             u AS (SELECT g, v, j,

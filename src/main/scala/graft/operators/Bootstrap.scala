@@ -31,7 +31,12 @@ import graft.functions.dec2
   * CI ~4× too narrow — an under-covering error bar is worse than none).
   * One QUADRATIC round — u = ((x² mod P)·A + x) mod P with
   * x = (h + j·1000003) mod P — breaks the lattice while staying inside
-  * BIGINT on both engines (x < P ⇒ x² < 10¹⁸). The tail truncates at
+  * BIGINT on both engines (x < P ⇒ x² < 10¹⁸) — and the FIRST step
+  * reduces the raw key mod P before the multiply (pmod(k,P)·A <
+  * 10⁹·2.66·10⁹ ≈ 2.66·10¹⁸ < 2⁶³), so arbitrary BIGINT keys (TPC-H
+  * orderkeys beyond SF≈145, hashed user ids, negative keys) stay exact
+  * instead of wrapping in Spark while DuckDB throws. The tail truncates
+  * at
   * w = 9 (P[w > 8] ≈ 1.1e-6 — the truncation IS the defined algorithm,
   * replayed identically by the oracle). Replicate means use exact
   * DECIMAL sums with ONE rounded double cast each; the CI picks
@@ -66,6 +71,30 @@ object Bootstrap {
   def poissonWeight(u: Column): Column =
     PoissonCutoffs.map(c => when(u >= c, 1).otherwise(0)).reduce(_ + _)
 
+  /** Engine-portable key hash h = ((k mod P)·A) mod P ∈ [0, P). The key
+    * is reduced mod P BEFORE the multiply so every intermediate stays
+    * < P·A ≈ 2.66·10¹⁸ < 2⁶³ for ARBITRARY BIGINT keys — without the
+    * reduction, keys ≥ ⌊2⁶³/A⌋ ≈ 3.47·10⁹ (TPC-H orderkeys beyond
+    * SF≈145, hashed user ids) silently wrap in Spark while DuckDB's
+    * BIGINT throws, and negative keys diverge on `%` sign convention
+    * (Spark pmod is non-negative; the oracle spells the same thing as
+    * `(k % P + P) % P`). Property-tested against a BigInt reference at
+    * keys bracketing the old overflow boundary. */
+  def keyHash(key: Column): Column =
+    pmod(pmod(key, lit(HashPrime)) * lit(2654435761L), lit(HashPrime))
+
+  /** Per-replicate uniform draw u ∈ [0, P) from the key hash `h` and
+    * replicate index `j`: one quadratic mixing round
+    * u = ((x² mod P)·A + x) mod P over x = (h + j·1000003) mod P —
+    * breaks the linear-congruential lattice that quasi-stratified
+    * weights within a replicate (see file header), every intermediate
+    * < P² < 10¹⁸ on both engines. */
+  def replicateUniform(h: Column, j: Column): Column = {
+    val p = lit(HashPrime)
+    val x = pmod(h + j * lit(1000003L), p)
+    pmod(pmod(x * x, p) * lit(2654435761L) + x, p)
+  }
+
   /** One-row result: `n`, the exact-decimal `mean` of `value`, and the
     * [`ci_lo`, `ci_hi`] percentile bootstrap interval at level `alpha`
     * over `replicates` Poisson replicates. `value` flows through the
@@ -81,17 +110,11 @@ object Bootstrap {
     val tot = base.agg(
       count(lit(1)).as("n"),
       round(sum(col("__v")).cast(DoubleType) / count(lit(1)), 6).as("mean"))
-    val p = lit(HashPrime)
     val reps = base
-      .select(col("__v"),
-        pmod(col("__k") * lit(2654435761L), p).as("__h"),
+      .select(col("__v"), keyHash(col("__k")).as("__h"),
         explode(sequence(lit(0), lit(replicates - 1))).as("j"))
       .select(col("__v"), col("j"),
-        pmod(col("__h") + col("j") * lit(1000003L), p).as("__x"))
-      .select(col("__v"), col("j"),
-        pmod(pmod(col("__x") * col("__x"), p) * lit(2654435761L) + col("__x"), p)
-          .as("__u"))
-      .select(col("__v"), col("j"), poissonWeight(col("__u")).as("__w"))
+        poissonWeight(replicateUniform(col("__h"), col("j"))).as("__w"))
     val perRep = reps.groupBy(col("j")).agg(
       sum(col("__v") * col("__w")).as("__vw"),
       sum(col("__w").cast(LongType)).as("__wt"))
@@ -105,10 +128,72 @@ object Bootstrap {
     // ⌈r·half/1000⌉ via (x + 999) div 1000 — exact for these magnitudes
     val lo = ((r * half + lit(999)) / lit(1000)).cast(IntegerType)
     val hi = ((r * (1000 - half) + lit(999)) / lit(1000)).cast(IntegerType)
+    // Degenerate input (empty df / all-null value column) leaves `ms`
+    // empty and lo = hi = 0; element_at(_, 0) is a runtime error in
+    // Spark while the oracle's ms[0] is NULL — guard to the NULL-CI row
+    // the oracle already produces (fail-soft: n = 0 rows tell the story).
     tot.crossJoin(broadcast(ms))
       .select(col("n"), col("mean"),
-        element_at(col("ms"), lo).as("ci_lo"),
-        element_at(col("ms"), hi).as("ci_hi"))
+        when(r > 0, element_at(col("ms"), lo)).as("ci_lo"),
+        when(r > 0, element_at(col("ms"), hi)).as("ci_hi"))
+  }
+
+  /** Bootstrap CI of the A/B EFFECT SIZE — the distribution-free
+    * companion the [[Robust.welchT]] / [[Robust.mannWhitneyU]] family
+    * lacks: those answer "is the uplift significant?"; this answers "the
+    * uplift is X ± Y", which is what a launch review actually decides
+    * on. Per replicate, the same per-(row, replicate) Poisson(1) draws
+    * (seeded by the row key ALONE — both arms share one weight stream,
+    * so a unit's draw does not depend on its assignment) feed TWO
+    * weighted sums keyed by the arm tag, and the replicate statistic is
+    * the DIFFERENCE of arm means; the CI picks the discrete order
+    * statistics of the R sorted differences. `arm` must evaluate to
+    * 0 (control) / 1 (treatment), the [[Robust.welchT]] convention;
+    * uplift = mean(treatment) − mean(control). A replicate where either
+    * arm's total weight lands 0 is NULL and excluded on both engines; a
+    * degenerate input (either arm empty) yields NULL uplift/CI rather
+    * than a crash. Same one-pass scale shape as [[bootstrapMeanCi]]:
+    * the arm tag rides the ≤ R-group aggregation, two decimal sums per
+    * replicate instead of one. */
+  def bootstrapUpliftCi(
+      df: DataFrame, key: Column, arm: Column, value: Column,
+      replicates: Int = 64, alphaPct: Int = 5): DataFrame = {
+    require(replicates >= 4, s"bootstrapUpliftCi: need replicates >= 4, got $replicates")
+    require(alphaPct >= 1 && alphaPct <= 50,
+      s"bootstrapUpliftCi: alphaPct must be in [1, 50], got $alphaPct")
+    val base = df.select(key.as("__k"), arm.as("__arm"), dec2(value).as("__v"))
+      .filter(col("__v").isNotNull && col("__arm").isNotNull)
+    val tot = base.agg(
+      sum(when(col("__arm") === 0, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("__arm") === 1, 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("__arm") === 0, col("__v"))).as("__sa"),
+      sum(when(col("__arm") === 1, col("__v"))).as("__sb"))
+      .select(col("n_a"), col("n_b"),
+        when(col("n_a") > 0 && col("n_b") > 0,
+          round(col("__sb").cast(DoubleType) / col("n_b")
+            - col("__sa").cast(DoubleType) / col("n_a"), 6)).as("uplift"))
+    val reps = base
+      .select(col("__arm"), col("__v"), keyHash(col("__k")).as("__h"),
+        explode(sequence(lit(0), lit(replicates - 1))).as("j"))
+      .select(col("__arm"), col("__v"), col("j"),
+        poissonWeight(replicateUniform(col("__h"), col("j"))).as("__w"))
+    val perRep = reps.groupBy(col("j")).agg(
+      sum(when(col("__arm") === 1, col("__v") * col("__w"))).as("__vw1"),
+      sum(when(col("__arm") === 1, col("__w").cast(LongType)).otherwise(0L)).as("__w1"),
+      sum(when(col("__arm") === 0, col("__v") * col("__w"))).as("__vw0"),
+      sum(when(col("__arm") === 0, col("__w").cast(LongType)).otherwise(0L)).as("__w0"))
+      .select(when(col("__w1") > 0 && col("__w0") > 0,
+        round(col("__vw1").cast(DoubleType) / col("__w1")
+          - col("__vw0").cast(DoubleType) / col("__w0"), 6)).as("m"))
+    val half = alphaPct * 5
+    val ms = perRep.agg(array_sort(collect_list(col("m"))).as("ms"))
+    val r = size(col("ms"))
+    val lo = ((r * half + lit(999)) / lit(1000)).cast(IntegerType)
+    val hi = ((r * (1000 - half) + lit(999)) / lit(1000)).cast(IntegerType)
+    tot.crossJoin(broadcast(ms))
+      .select(col("n_a"), col("n_b"), col("uplift"),
+        when(r > 0, element_at(col("ms"), lo)).as("ci_lo"),
+        when(r > 0, element_at(col("ms"), hi)).as("ci_hi"))
   }
 
   /** Per-`byCol`-segment bootstrap CI — error bars for every segment's
@@ -131,17 +216,11 @@ object Bootstrap {
     val tot = base.groupBy(col("__g")).agg(
       count(lit(1)).as("n"),
       round(sum(col("__v")).cast(DoubleType) / count(lit(1)), 6).as("mean"))
-    val p = lit(HashPrime)
     val reps = base
-      .select(col("__g"), col("__v"),
-        pmod(col("__k") * lit(2654435761L), p).as("__h"),
+      .select(col("__g"), col("__v"), keyHash(col("__k")).as("__h"),
         explode(sequence(lit(0), lit(replicates - 1))).as("j"))
       .select(col("__g"), col("__v"), col("j"),
-        pmod(col("__h") + col("j") * lit(1000003L), p).as("__x"))
-      .select(col("__g"), col("__v"), col("j"),
-        pmod(pmod(col("__x") * col("__x"), p) * lit(2654435761L) + col("__x"), p)
-          .as("__u"))
-      .select(col("__g"), col("__v"), col("j"), poissonWeight(col("__u")).as("__w"))
+        poissonWeight(replicateUniform(col("__h"), col("j"))).as("__w"))
     val perRep = reps.groupBy(col("__g"), col("j")).agg(
       sum(col("__v") * col("__w")).as("__vw"),
       sum(col("__w").cast(LongType)).as("__wt"))
@@ -153,10 +232,13 @@ object Bootstrap {
     val r = size(col("ms"))
     val lo = ((r * half + lit(999)) / lit(1000)).cast(IntegerType)
     val hi = ((r * (1000 - half) + lit(999)) / lit(1000)).cast(IntegerType)
+    // Same degenerate-edge guard as the global form (a segment whose
+    // every replicate lands zero total weight is astronomically rare
+    // but must not crash the whole job).
     tot.join(ms, "__g")
       .select(col("__g").as(byCol), col("n"), col("mean"),
-        element_at(col("ms"), lo).as("ci_lo"),
-        element_at(col("ms"), hi).as("ci_hi"))
+        when(r > 0, element_at(col("ms"), lo)).as("ci_lo"),
+        when(r > 0, element_at(col("ms"), hi)).as("ci_hi"))
       .orderBy(byCol)
   }
 }

@@ -124,4 +124,108 @@ object EmbeddingDrift {
         Row(nBySide(true), nBySide(false), rounded)),
       outSchema)
   }
+
+  /** Per-`byCol`-segment Fréchet drift — "WHICH slice of the corpus
+    * embedded differently?" (the question the global gate's alarm always
+    * raises next; completes the grouped-gate convention every scalar gate
+    * in [[Robust]] follows). Exactly [[frechetDrift]] with the group
+    * riding the (side, dim) aggregation keys: the same two posexplode
+    * passes with map-side partials (shuffle ≤ |groups|·2·d rows per
+    * task), driver summaries grow to |groups|·2·d rows and so run under
+    * the [[Robust.MaxSummaryRows]] ceiling with the bounded-transfer
+    * `limit(ceiling+1)` discipline. A group present on only ONE side is
+    * DROPPED (the [[Robust.ksStatisticBy]] missing-side contract: a gate
+    * must not read absence as zero drift — per-group absence drops the
+    * group where global absence empties the result). NULL group keys are
+    * excluded up front. Output: (byCol, n_ref, n_cur, frechet2) ordered
+    * by group. */
+  def frechetDriftBy(
+      df: DataFrame, vecCol: Column, splitCol: Column,
+      refGroup: String, curGroup: String, dim: Int, byCol: String): DataFrame = {
+    require(dim > 0, s"frechetDriftBy: dim=$dim")
+    val spark = df.sparkSession
+    val dec = DecimalType(38, 12)
+    val gType = df.select(col(byCol)).schema.head.dataType
+    val outSchema = StructType(Seq(
+      StructField(byCol, gType, nullable = true),
+      StructField("n_ref", LongType, nullable = false),
+      StructField("n_cur", LongType, nullable = false),
+      StructField("frechet2", DoubleType, nullable = false)))
+
+    val rows = df
+      .filter(splitCol.isin(refGroup, curGroup) && col(byCol).isNotNull)
+      .select(col(byCol).as("__g"), (splitCol === refGroup).as("is_ref"), vecCol.as("v"))
+      .filter(col("v").isNotNull && size(col("v")) === dim &&
+        !exists(col("v"), x => x.isNull))
+
+    // pass 1 — per-(group, side, dim) exact decimal sums → rounded means;
+    // the collect is |groups|·2·d rows: ceiling-guarded, transfer-bounded
+    val meanRows = Robust.collectSummary(
+      rows
+        .select(col("__g"), col("is_ref"), posexplode(col("v")).as(Seq("i", "x")))
+        .groupBy(col("__g"), col("is_ref"), col("i"))
+        .agg(sum(col("x").cast(dec)).as("s"), count(lit(1)).as("n"))
+        .select(col("__g"), col("is_ref"), col("i"),
+          round(col("s").cast(DoubleType) / col("n"), 6).as("m"), col("n")),
+      "frechetDriftBy")
+    // keep only two-sided groups (the missing-side DROP contract)
+    val bySide = meanRows.groupBy(r => (r.get(0), r.getBoolean(1)))
+    val groups = meanRows.map(_.get(0)).distinct
+      .filter(g => bySide.contains((g, true)) && bySide.contains((g, false)))
+    if (groups.isEmpty)
+      return spark.createDataFrame(java.util.Collections.emptyList[Row](), outSchema)
+    def toArr(rs: Array[Row], field: String): Array[Double] = {
+      val a = Array.ofDim[Double](dim)
+      rs.foreach(r => a(r.getAs[Int]("i")) = r.getAs[Double](field))
+      a
+    }
+    val means: Map[(Any, Boolean), Array[Double]] =
+      bySide.map { case (k, rs) => k -> toArr(rs, "m") }
+    val nByGs: Map[(Any, Boolean), Long] =
+      bySide.map { case (k, rs) => k -> rs.head.getAs[Long]("n") }
+
+    // pass 2 — centered squares against the ROUNDED means; the per-
+    // (group, side) mean vectors broadcast as a slim |groups|·2-row table
+    val meansDf = spark.createDataFrame(
+      java.util.Arrays.asList(groups.flatMap(g => Seq(
+        Row(g, true, means((g, true)).toSeq),
+        Row(g, false, means((g, false)).toSeq))): _*),
+      StructType(Seq(
+        StructField("__g", gType, nullable = true),
+        StructField("is_ref", org.apache.spark.sql.types.BooleanType, nullable = false),
+        StructField("__m", ArrayType(DoubleType, containsNull = false), nullable = false))))
+    val varRows = Robust.collectSummary(
+      rows.join(broadcast(meansDf), Seq("__g", "is_ref"))
+        .select(col("__g"), col("is_ref"),
+          posexplode(zip_with(col("v"), col("__m"),
+            (x, m) => (x.cast(DoubleType) - m) * (x.cast(DoubleType) - m)))
+            .as(Seq("i", "sq")))
+        .groupBy(col("__g"), col("is_ref"), col("i"))
+        .agg(sum(col("sq").cast(dec)).as("ss"), count(lit(1)).as("n"))
+        .select(col("__g"), col("is_ref"), col("i"),
+          round(col("ss").cast(DoubleType) / col("n"), 6).as("s2")),
+      "frechetDriftBy")
+    val vars: Map[(Any, Boolean), Array[Double]] =
+      varRows.groupBy(r => (r.get(0), r.getBoolean(1)))
+        .map { case (k, rs) => k -> toArr(rs, "s2") }
+
+    // per-group ascending-i fold — the same fixed double chain as the
+    // global gate, replayed term-for-term by the grouped oracle
+    val out = groups.map { g =>
+      var fr = 0.0
+      var i = 0
+      while (i < dim) {
+        val dm = means((g, true))(i) - means((g, false))(i)
+        val sr = vars((g, true))(i)
+        val sc = vars((g, false))(i)
+        fr += dm * dm + sr + sc - 2.0 * math.sqrt(sr * sc)
+        i += 1
+      }
+      Row(g, nByGs((g, true)), nByGs((g, false)),
+        java.math.BigDecimal.valueOf(fr)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue())
+    }
+    spark.createDataFrame(java.util.Arrays.asList(out: _*), outSchema)
+      .orderBy(col(byCol))
+  }
 }

@@ -430,7 +430,15 @@ object Pq {
     * contract query pins recall against the exact brute-force twin. */
   def hardNegativesIvfPq(
       index: IvfPqIndex, labels: DataFrame, queries: DataFrame,
-      k: Int, nProbe: Int = 4): DataFrame = {
+      k: Int, nProbe: Int = 4): DataFrame =
+    withNeighborLabels(adcMinedTopK(index, labels, queries, k, nProbe), labels)
+
+  /** The ADC mining core shared by [[hardNegativesIvfPq]] and
+    * [[hardNegativesIvfPqRerank]]: bounded-heap top-k over the cell-keyed
+    * code-sided scoring join → (query_id, neighbor_id, cosine, rank). */
+  private def adcMinedTopK(
+      index: IvfPqIndex, labels: DataFrame, queries: DataFrame,
+      k: Int, nProbe: Int): DataFrame = {
     val cb = index.cb
     val nLists = index.ivfCents.length
     require(nProbe >= 1 && nProbe <= nLists,
@@ -449,7 +457,7 @@ object Pq {
       .drop("embedding")
     val corpus = index.encoded
       .join(labels.select(col("vec_id"), col("label").as("c_label")), Seq("vec_id"))
-    val mined = Similarity.rankTopK(
+    Similarity.rankTopK(
       qplan.join(corpus, Seq("cell_id"))
         .filter(col("query_id") =!= col("vec_id") &&
           col("q_label") =!= col("c_label"))
@@ -458,11 +466,53 @@ object Pq {
             col("code"), col("lut"), col("cent_dot"), col("recon_nrm"), col("q_nrm")), 6)
             .as("cosine")),
       k)
+  }
+
+  private def withNeighborLabels(mined: DataFrame, labels: DataFrame): DataFrame =
     mined
       .join(labels.select(col("vec_id").as("neighbor_id"),
         col("label").as("neighbor_label")), Seq("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), col("neighbor_label"),
         col("cosine"), col("rank"))
       .orderBy(col("query_id"), col("rank"))
+
+  /** [[hardNegativesIvfPq]] + exact rerank — the production two-tier
+    * mining shape (the [[Similarity.rerankExact]] pattern at unbounded
+    * |Q|): ADC proposes `kShort` candidates per query through the
+    * code-sided cell join (the expensive stage — embeddings never ride
+    * it), then ONLY the bounded |Q|·kShort shortlist is rescored at full
+    * float precision and the final top-k is exact over the shortlist.
+    * Final quality is bounded by shortlist recall@kShort (≫ the ADC
+    * ordering's recall@k — PQ's score quantization mostly reorders
+    * LOCALLY, so the true top-k almost always sits inside a modest
+    * shortlist) while full-precision work stays |Q|·kShort, independent
+    * of corpus size.
+    *
+    * Scale shape: unlike [[Similarity.rerankExact]] (which broadcasts a
+    * bounded query set), self-mining has |Q| ≈ |corpus|, so BOTH
+    * embedding rejoins are plain hash equi-joins on vector id — the
+    * shortlist (k ≤ kShort rows per query) exchanges against the corpus
+    * scan, nothing unbounded is broadcast, nothing quadratic exists
+    * anywhere. `corpus` supplies (vec_id, embedding) for the neighbor
+    * side — the encoded index intentionally does not retain raw
+    * embeddings (that is the point of PQ at rest). */
+  def hardNegativesIvfPqRerank(
+      index: IvfPqIndex, labels: DataFrame, queries: DataFrame,
+      corpus: DataFrame, k: Int, kShort: Int = 32, nProbe: Int = 4): DataFrame = {
+    require(kShort >= k,
+      s"hardNegativesIvfPqRerank: kShort ($kShort) must be >= k ($k)")
+    val short = adcMinedTopK(index, labels, queries, kShort, nProbe)
+      .select(col("query_id"), col("neighbor_id"))
+    val qe = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"), l2Norm(col("embedding")).as("q_nrm"))
+    val ce = corpus.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("c_emb"), l2Norm(col("embedding")).as("c_nrm"))
+    val rescored = short
+      .join(ce, Seq("neighbor_id"))
+      .join(qe, Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(dotProduct(col("q_emb"), col("c_emb"))
+          / (col("q_nrm") * col("c_nrm")), 6).as("cosine"))
+    withNeighborLabels(Similarity.rankTopK(rescored, k), labels)
   }
 }

@@ -44,7 +44,7 @@ object Robust {
     * collect, so even the violating job moves at most ceiling+1 rows. */
   val MaxSummaryRows: Int = 1 << 21
 
-  private def collectSummary(
+  private[operators] def collectSummary(
       df: DataFrame, op: String): Array[org.apache.spark.sql.Row] = {
     val ceiling = df.sparkSession.conf
       .get("graft.robust.maxSummaryRows", MaxSummaryRows.toString).toInt

@@ -822,6 +822,71 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("bootstrap key hash: BIGINT-safe at keys past the overflow boundary, agrees with BigInt") {
+    import graft.operators.Bootstrap
+    val P = BigInt(1000000007L); val A = BigInt(2654435761L)
+    def refU(k: Long, j: Long): Long = {
+      val h = ((BigInt(k) mod P) * A) mod P // BigInt.mod is non-negative
+      val x = (h + BigInt(j) * 1000003L) mod P
+      ((((x * x) mod P) * A + x) mod P).toLong
+    }
+    // keys bracketing ⌊2⁶³/A⌋ ≈ 3.474e9 (where the unreduced multiply
+    // wraps), the Long extremes, and negatives (the `%` sign trap)
+    val boundary = Long.MaxValue / 2654435761L
+    val keys = Seq(0L, 123L, boundary - 1, boundary, boundary + 1,
+      Long.MaxValue - 1, Long.MaxValue, -7L, Long.MinValue + 1)
+    val got = keys.toDF("k")
+      .select(col("k"), explode(sequence(lit(0L), lit(3L))).as("j"))
+      .select(col("k"), col("j"),
+        Bootstrap.replicateUniform(Bootstrap.keyHash(col("k")), col("j")).as("u"))
+      .collect()
+    assert(got.length == keys.length * 4)
+    for (row <- got) {
+      val (k, j, u) = (row.getLong(0), row.getLong(1), row.getLong(2))
+      assert(u == refU(k, j), s"hash diverges from BigInt at k=$k j=$j: $u != ${refU(k, j)}")
+      assert(u >= 0 && u < 1000000007L, s"u=$u out of [0,P) at k=$k")
+    }
+    // end to end: the CI machinery survives huge keys (old spelling threw
+    // off-range weights or wrapped silently here)
+    val huge = keys.zipWithIndex.map { case (k, i) => (k, 10.0 + i) }.toDF("k", "v")
+    val r = Bootstrap.bootstrapMeanCi(huge, col("k"), col("v"), replicates = 16).head()
+    assert(r.getAs[Long]("n") == keys.length.toLong)
+    assert(r.getAs[Double]("ci_lo") <= r.getAs[Double]("ci_hi"))
+  }
+
+  test("bootstrapUpliftCi: constant shift collapses the CI to the shift; spread brackets it") {
+    import graft.operators.Bootstrap
+    // arm 1 = arm 0 + 5 exactly, constant within arm → every replicate
+    // difference is exactly 5 → the CI collapses onto the uplift
+    val const = (1L to 400L).map(i => (i, i % 2, if (i % 2 == 1) 15.0 else 10.0))
+      .toDF("k", "arm", "v")
+    val r0 = Bootstrap.bootstrapUpliftCi(const, col("k"), col("arm"), col("v")).head()
+    assert(r0.getAs[Long]("n_a") == 200L && r0.getAs[Long]("n_b") == 200L)
+    assert(r0.getAs[Double]("uplift") == 5.0)
+    assert(r0.getAs[Double]("ci_lo") == 5.0 && r0.getAs[Double]("ci_hi") == 5.0)
+    // spread values: the CI brackets the uplift, deterministic on re-run
+    val spread = (1L to 1000L).map(i => (i, i % 2, i.toDouble + (i % 2) * 100.0))
+      .toDF("k", "arm", "v")
+    val r1 = Bootstrap.bootstrapUpliftCi(spread, col("k"), col("arm"), col("v")).head()
+    assert(r1.getAs[Double]("ci_lo") < r1.getAs[Double]("uplift"))
+    assert(r1.getAs[Double]("ci_hi") > r1.getAs[Double]("uplift"))
+    assert(Bootstrap.bootstrapUpliftCi(spread, col("k"), col("arm"), col("v")).head() == r1)
+    // one arm empty → NULL uplift/CI row, not a crash (degenerate contract)
+    val oneArm = (1L to 50L).map(i => (i, 0L, 10.0)).toDF("k", "arm", "v")
+    val r2 = Bootstrap.bootstrapUpliftCi(oneArm, col("k"), col("arm"), col("v")).head()
+    assert(r2.getAs[Long]("n_b") == 0L && r2.isNullAt(r2.fieldIndex("uplift")))
+    assert(r2.isNullAt(r2.fieldIndex("ci_lo")))
+  }
+
+  test("bootstrapMeanCi: degenerate all-null input yields a NULL CI row, not a crash") {
+    import graft.operators.Bootstrap
+    val empty = Seq((1L, Option.empty[java.lang.Double]), (2L, None))
+      .toDF("k", "v")
+    val r = Bootstrap.bootstrapMeanCi(empty, col("k"), col("v")).head()
+    assert(r.getAs[Long]("n") == 0L)
+    assert(r.isNullAt(r.fieldIndex("ci_lo")) && r.isNullAt(r.fieldIndex("ci_hi")))
+  }
+
   test("frechetDrift: zero on identical sides, exact on planted shift, empty on missing profile") {
     import graft.operators.EmbeddingDrift
     // identical clouds on both sides → every term cancels to 0
@@ -851,6 +916,41 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(EmbeddingDrift.frechetDrift(
       withBad, col("embedding"), col("split"), "ref", "cur", dim = 2)
       .head().getAs[Long]("n_ref") == 10L)
+  }
+
+  test("frechetDriftBy: per-group rows equal the global gate per group; one-sided groups drop") {
+    import graft.operators.EmbeddingDrift
+    // group a: planted orthogonal shift (d²=2); group b: identical clouds
+    // (d²=0); group c: ref-side only → must DROP, not read as zero drift
+    val df = ((0L until 20L).map { i =>
+      (i, if (i % 2 == 0) "ref" else "cur", "a",
+        if (i % 2 == 0) Array(1.0f, 0.0f) else Array(0.0f, 1.0f))
+    } ++ (20L until 40L).map { i =>
+      (i, if (i % 2 == 0) "ref" else "cur", "b",
+        Array(((i / 2) % 5).toFloat, 1.0f))
+    } ++ (40L until 44L).map { i =>
+      (i, "ref", "c", Array(3.0f, 4.0f))
+    }).toDF("vec_id", "split", "g", "embedding")
+    val got = EmbeddingDrift.frechetDriftBy(
+      df, col("embedding"), col("split"), "ref", "cur", dim = 2, byCol = "g").collect()
+    assert(got.map(_.getString(0)).toSeq == Seq("a", "b")) // c dropped
+    // each group's row is bit-identical to the global gate on that slice
+    for (row <- got) {
+      val g = row.getString(0)
+      val single = EmbeddingDrift.frechetDrift(
+        df.filter($"g" === g), col("embedding"), col("split"),
+        "ref", "cur", dim = 2).head()
+      assert(row.getAs[Long]("n_ref") == single.getAs[Long]("n_ref"), s"n_ref in $g")
+      assert(row.getAs[Long]("n_cur") == single.getAs[Long]("n_cur"), s"n_cur in $g")
+      assert(row.getAs[Double]("frechet2") == single.getAs[Double]("frechet2"),
+        s"frechet2 in $g")
+    }
+    assert(got.find(_.getString(0) == "a").get.getAs[Double]("frechet2") == 2.0)
+    assert(got.find(_.getString(0) == "b").get.getAs[Double]("frechet2") == 0.0)
+    // all groups one-sided → empty result (matches the global absence rule)
+    assert(EmbeddingDrift.frechetDriftBy(
+      df.filter($"split" === "ref"), col("embedding"), col("split"),
+      "ref", "cur", dim = 2, byCol = "g").count() == 0L)
   }
 
   test("rollingAnomalyBy equals the global gate per segment; bands are independent") {
