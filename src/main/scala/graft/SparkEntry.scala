@@ -6949,7 +6949,11 @@ object SparkEntry {
          FROM p ORDER BY doc_id, py, px""",
 
     // Mann–Whitney: same exact-integer rank algebra (2·R_A with average
-    // ranks ×2), same tie-corrected double chain for z.
+    // ranks ×2), same tie-corrected double chain for z. The per-row
+    // products evaluate in HUGEINT (operand cast BEFORE the multiply),
+    // mirroring the operator's DECIMAL(38,0) path — BIGINT products
+    // overflow at ~2M same-value ties / ~2e9 rows, exactly the scales
+    // the decimal Spark path was added for.
     "q_mann_whitney" ->
       """WITH t AS (SELECT l_quantity AS v, l_returnflag = 'A' AS is_a
                     FROM lineitem WHERE l_returnflag IN ('A', 'N')),
@@ -6961,8 +6965,8 @@ object SparkEntry {
                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
                     FROM pv),
               a AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a, CAST(sum(cb) AS BIGINT) AS n_b,
-                           CAST(sum(ca * (below * 2 + ca + cb + 1)) AS HUGEINT) AS r2a,
-                           CAST(sum((ca + cb) * (ca + cb) * (ca + cb) - (ca + cb)) AS HUGEINT) AS tie3
+                           CAST(sum(CAST(ca AS HUGEINT) * (CAST(below AS HUGEINT) * 2 + ca + cb + 1)) AS HUGEINT) AS r2a,
+                           CAST(sum(CAST(ca + cb AS HUGEINT) * (ca + cb) * (ca + cb) - (ca + cb)) AS HUGEINT) AS tie3
                     FROM r),
               z AS (SELECT n_a, n_b, r2a - n_a * (n_a + 1) AS u2a, tie3,
                            CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb
@@ -6987,8 +6991,8 @@ object SparkEntry {
                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
                     FROM pv),
               a AS (SELECT g, CAST(sum(ca) AS BIGINT) AS n_a, CAST(sum(cb) AS BIGINT) AS n_b,
-                           CAST(sum(ca * (below * 2 + ca + cb + 1)) AS HUGEINT) AS r2a,
-                           CAST(sum((ca + cb) * (ca + cb) * (ca + cb) - (ca + cb)) AS HUGEINT) AS tie3
+                           CAST(sum(CAST(ca AS HUGEINT) * (CAST(below AS HUGEINT) * 2 + ca + cb + 1)) AS HUGEINT) AS r2a,
+                           CAST(sum(CAST(ca + cb AS HUGEINT) * (ca + cb) * (ca + cb) - (ca + cb)) AS HUGEINT) AS tie3
                     FROM r GROUP BY 1
                     HAVING sum(ca) > 0 AND sum(cb) > 0),
               z AS (SELECT g, n_a, n_b, r2a - n_a * (n_a + 1) AS u2a, tie3,

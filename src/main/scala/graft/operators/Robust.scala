@@ -187,7 +187,20 @@ object Robust {
     * windows only, no second data pass, one final per-group aggregate.
     * At 100 TB that is one full pass + one bounded probe (two barrier
     * jobs), vs round 6's full pass + two probes and round 5's three
-    * full passes. */
+    * full passes.
+    *
+    * PRECONDITION (enforced, not advisory): the input plan must be
+    * deterministic across re-scans — both passes re-scan `df`, and
+    * brackets from the first scan silently mis-select against a second
+    * scan that saw different rows. Plans containing `rand()`/`uuid()`/
+    * `monotonically_increasing_id()`/`df.sample` are REJECTED at build
+    * time ([[requireDeterministicInput]]); `localCheckpoint()` the input
+    * first to pin such rows. This also rejects order-dependent-but-
+    * often-benign expressions (`first`, seeded `rand`) — deliberately:
+    * Catalyst's determinism flag is the only engine-level guarantee of
+    * identical re-scans, and a silent wrong quantile is strictly worse
+    * than a loud rejection plus a one-line checkpoint. Same contract on
+    * [[weightedMedian]] and every [[bitValuesAtRanks]] caller. */
   def robustStats(df: DataFrame, groupCol: String, value: Column): DataFrame = {
     import graft.functions.BitGrid.bitBucket
     requireDeterministicInput(df, "robustStats")
