@@ -2992,6 +2992,16 @@ object SparkEntry {
         Tables.orders(s, d), pmod(col("o_custkey"), lit(2L)), col("o_totalprice"),
         "o_orderpriority")),
 
+    // Bootstrap CI of the MEDIAN — error bars on the robust-stats
+    // family's own statistic: the Poisson replicate weights flow into
+    // the bit-grid selection machinery as R+1 weight columns (one grid
+    // summary, R+1 driver rank brackets, one fused slice with weights
+    // recomputed in-plan from the key), CI from the discrete order
+    // statistics of the R replicate medians.
+    "q_bootstrap_median" -> ((s, d) =>
+      graft.operators.Bootstrap.bootstrapMedianCi(
+        Tables.orders(s, d), col("o_orderkey"), col("o_totalprice"))),
+
     // Bootstrap CI of the A/B effect size — "the uplift is X ± Y", the
     // distribution-free companion to the Welch/MW significance gates on
     // the SAME arm split: per replicate, the one shared weight stream
@@ -6492,6 +6502,7 @@ object SparkEntry {
     // from Bootstrap.PoissonCutoffs so the engines cannot drift), the
     // same decimal replicate sums and discrete rank picks.
     "q_bootstrap_ci" -> bootstrapCiSql,
+    "q_bootstrap_median" -> bootstrapMedianSql,
     "q_bootstrap_uplift" -> bootstrapUpliftSql,
 
     // Grouped twin: identical draws (the key seeds the weights, not the
@@ -7421,6 +7432,48 @@ object SparkEntry {
               ms[CAST((len(ms) * 25 + 999) // 1000 AS INT)] AS ci_lo,
               ms[CAST((len(ms) * 975 + 999) // 1000 AS INT)] AS ci_hi
        FROM t, ms"""
+  }
+
+  /** Median twin of [[bootstrapCiSql]]: the same per-(row, replicate)
+    * draws feed per-replicate WEIGHTED MEDIAN selections (first value
+    * whose weighted cumulative crosses ⌈W_j/2⌉ in value order — the
+    * discrete [[graft.operators.Robust]] rank rule, tie-invariant), the
+    * point estimate the unweighted rank-⌈n/2⌉ value, CI from the sorted
+    * replicate medians' discrete order statistics. */
+  private lazy val bootstrapMedianSql: String = {
+    val w = graft.operators.Bootstrap.PoissonCutoffs
+      .map(c => s"(CASE WHEN u >= $c THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH b AS (SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(18,2)) AS v
+                   FROM orders WHERE o_totalprice IS NOT NULL),
+            r AS (SELECT v,
+                         ((k % 1000000007 + 1000000007) % 1000000007)
+                           * 2654435761 % 1000000007 AS h,
+                         unnest(range(0, 64)) AS j FROM b),
+            x AS (SELECT v, j, (h + j * 1000003) % 1000000007 AS x FROM r),
+            u AS (SELECT v, j,
+                         (((x * x) % 1000000007) * 2654435761 + x) % 1000000007 AS u
+                  FROM x),
+            w AS (SELECT v, j, $w AS w FROM u),
+            cw AS (SELECT j, v,
+                          sum(w) OVER (PARTITION BY j ORDER BY v
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                          sum(w) OVER (PARTITION BY j) AS tot
+                   FROM w),
+            sel AS (SELECT j, min(v) AS m FROM cw
+                    WHERE tot > 0 AND cum >= (tot + 1) // 2 GROUP BY j),
+            med AS (SELECT min(v) AS med FROM
+                     (SELECT v,
+                             sum(1) OVER (ORDER BY v
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rn,
+                             count(*) OVER () AS nn
+                      FROM b)
+                    WHERE rn >= (nn + 1) // 2),
+            ms AS (SELECT list(m ORDER BY m) AS ms FROM sel),
+            t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM b)
+       SELECT n, CAST(med AS DOUBLE) AS median,
+              CAST(ms[CAST((len(ms) * 25 + 999) // 1000 AS INT)] AS DOUBLE) AS ci_lo,
+              CAST(ms[CAST((len(ms) * 975 + 999) // 1000 AS INT)] AS DOUBLE) AS ci_hi
+       FROM t, med, ms"""
   }
 
   /** Uplift twin of [[bootstrapCiSql]] — the same draws (weights seed by

@@ -196,6 +196,141 @@ object Bootstrap {
         when(r > 0, element_at(col("ms"), hi)).as("ci_hi"))
   }
 
+  /** Bootstrap CI of the MEDIAN — error bars on the robust-stats
+    * family's own statistic (a corpus median without an error bar faces
+    * the same "is the shift real?" question the mean CI answers; the
+    * median's sampling distribution has no clean closed form, so the
+    * bootstrap IS the standard recipe). The same per-(row, replicate)
+    * Poisson(1) key-seeded draws flow into the [[Robust]] bit-grid
+    * selection machinery as REPLICATE WEIGHT COLUMNS:
+    *
+    *   - ONE grid-summary scan: rows bucket on the order-preserving bit
+    *     grid, and the per-bucket summary carries R+1 weighted counts —
+    *     the plain count (j = −1, the point estimate's rank path) plus
+    *     one Poisson-weighted count per replicate — via an R+1-way
+    *     map-side explode into a ≤ occupied·(R+1)-row keyed aggregate
+    *     (collected under the [[Robust.MaxSummaryRows]] ceiling with the
+    *     bounded-transfer `limit` discipline);
+    *   - R+1 driver-side rank brackets: per replicate, cumulate that
+    *     replicate's weights in bucket order and bracket the rank target
+    *     ⌈W_j/2⌉ — a point-mass bucket (vmin = vmax) resolves to its
+    *     value with NO slice row (the [[Robust.robustStats]] degenerate
+    *     split);
+    *   - ONE fused slice scan for all live targets: slice rows join the
+    *     broadcast (replicate, bucket, residual) targets, each
+    *     replicate's weights are RECOMPUTED in-plan from the key (pure
+    *     hash — nothing row-sized ever leaves the executors), and a
+    *     per-replicate cumulative window picks the first value whose
+    *     weighted cumulative crosses the residual.
+    *
+    * The R replicate medians are DISCRETE data values (the [[Robust]]
+    * rank rule), so the CI endpoints are bit-portable; the interval is
+    * the same ⌈R·α/2⌉ / ⌈R·(1−α/2)⌉ discrete order-statistic pick as
+    * [[bootstrapMeanCi]]. Replicates with zero total weight drop.
+    * PRECONDITION: deterministic input (two scans — the
+    * [[Robust.robustStats]] contract, enforced). */
+  def bootstrapMedianCi(
+      df: DataFrame, key: Column, value: Column,
+      replicates: Int = 64, alphaPct: Int = 5): DataFrame = {
+    import graft.functions.BitGrid.bitBucket
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType => LT, StructField, StructType}
+    require(replicates >= 4, s"bootstrapMedianCi: need replicates >= 4, got $replicates")
+    require(alphaPct >= 1 && alphaPct <= 50,
+      s"bootstrapMedianCi: alphaPct must be in [1, 50], got $alphaPct")
+    val base = df.select(key.as("__k"), dec2(value).as("v"))
+      .filter(col("v").isNotNull)
+    Robust.requireDeterministicInput(base, "bootstrapMedianCi")
+    val spark = df.sparkSession
+    // selection runs on the exact DECIMAL domain; output casts to DOUBLE
+    // (the q_ltv money-output convention — the picked values are discrete
+    // data values, so the cast is one deterministic IEEE conversion)
+    val outSchema = StructType(Seq(
+      StructField("n", LT, nullable = false),
+      StructField("median", DoubleType, nullable = true),
+      StructField("ci_lo", DoubleType, nullable = true),
+      StructField("ci_hi", DoubleType, nullable = true)))
+    val rows = base.withColumn("__bkt", bitBucket(col("v").cast(DoubleType)))
+
+    // summary scan: per (bucket, replicate) weighted counts + the bucket
+    // value envelope (j = -1 rides the same explode with weight 1)
+    val summary = Robust.collectSummary(
+      rows
+        .select(col("__bkt"), col("v"), keyHash(col("__k")).as("__h"),
+          explode(sequence(lit(-1), lit(replicates - 1))).as("j"))
+        .select(col("__bkt"), col("v"), col("j"),
+          when(col("j") === -1, 1)
+            .otherwise(poissonWeight(replicateUniform(col("__h"), col("j"))))
+            .as("__w"))
+        .groupBy(col("__bkt"), col("j"))
+        .agg(sum(col("__w").cast(LongType)).as("c"),
+          min(col("v")).as("vmin"), max(col("v")).as("vmax")),
+      "bootstrapMedianCi")
+
+    // driver-side rank brackets, one per replicate (j = -1 = the median)
+    final case class T(j: Int, bkt: Long, resid: Long, vmin: Any, vmax: Any)
+    val targets: Array[T] = summary.groupBy(_.getAs[Int]("j")).iterator.flatMap {
+      case (j, rs) =>
+        val bs = rs.sortBy(_.getAs[Long]("__bkt")) // bucket order IS value order
+        val off = bs.scanLeft(0L)(_ + _.getAs[Long]("c"))
+        val tot = off.last
+        if (tot <= 0) None // zero-weight replicate drops
+        else {
+          val r = (tot + 1) / 2 // rank target ceil(W/2)
+          bs.indices.find(i => off(i) < r && r <= off(i) + bs(i).getAs[Long]("c"))
+            .map(i => T(j, bs(i).getAs[Long]("__bkt"), r - off(i),
+              bs(i).get(bs(i).fieldIndex("vmin")), bs(i).get(bs(i).fieldIndex("vmax"))))
+        }
+    }.toArray
+    if (targets.isEmpty) // empty / all-null input: the n = 0 NULL row
+      return spark.createDataFrame(
+        java.util.Arrays.asList(Row(0L, null, null, null)), outSchema)
+
+    val (degT, liveT) = targets.partition(t => t.vmin == t.vmax)
+    val degPicks: Map[Int, Any] = degT.map(t => t.j -> t.vmin).toMap
+    val livePicks: Map[Int, Any] =
+      if (liveT.isEmpty) Map.empty
+      else {
+        val tDf = spark.createDataFrame(
+          java.util.Arrays.asList(liveT.map(t => Row(t.bkt, t.j, t.resid)): _*),
+          StructType(Seq(StructField("__bkt", LT), StructField("j",
+            org.apache.spark.sql.types.IntegerType), StructField("__resid", LT))))
+        // fused slice: one pass fetches every live target's bucket rows;
+        // weights recompute in-plan from the key — the slice moves
+        // (v, j, w), never anything row-sized to the driver beyond the
+        // <= R+1 selected values
+        val wWin = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("j")).orderBy(col("v"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        rows.join(broadcast(tDf), Seq("__bkt"))
+          .select(col("j"), col("v"), col("__resid"),
+            when(col("j") === -1, 1)
+              .otherwise(poissonWeight(replicateUniform(keyHash(col("__k")), col("j"))))
+              .as("__w"))
+          .withColumn("__cum", sum(col("__w")).over(wWin))
+          .filter(col("__cum") >= col("__resid"))
+          .groupBy(col("j")).agg(min(col("v")).as("m"))
+          .collect().map(r => r.getAs[Int]("j") -> r.get(r.fieldIndex("m"))).toMap
+      }
+    val toD = (a: Any) => a match {
+      case d: java.math.BigDecimal => d.doubleValue() // = Spark CAST(dec AS DOUBLE)
+      case x: java.lang.Number => x.doubleValue()
+    }
+    val picks: Map[Int, Double] = (degPicks ++ livePicks).map { case (j, m) => j -> toD(m) }
+    val n = summary.filter(_.getAs[Int]("j") == -1).map(_.getAs[Long]("c")).sum
+    val ms = picks.collect { case (j, m) if j >= 0 => m }.toArray.sorted
+    val half = alphaPct * 5
+    def pick(rank: Long): Any =
+      if (ms.isEmpty || rank < 1) null else java.lang.Double.valueOf(ms((rank - 1).toInt))
+    val lo = pick((ms.length.toLong * half + 999) / 1000)
+    val hi = pick((ms.length.toLong * (1000 - half) + 999) / 1000)
+    spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(n, picks.get(-1).map(java.lang.Double.valueOf).orNull, lo, hi)),
+      outSchema)
+  }
+
   /** Per-`byCol`-segment bootstrap CI — error bars for every segment's
     * mean in one pass ("is segment X's metric really higher, or is its
     * n too small to tell?" — the question the per-segment dashboards

@@ -878,6 +878,38 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(r2.isNullAt(r2.fieldIndex("ci_lo")))
   }
 
+  test("bootstrapMedianCi: collapses on constant data, brackets the median, survives point masses") {
+    import graft.operators.Bootstrap
+    // constant values: every replicate median is the constant
+    val const = (1L to 500L).map(i => (i, 42.0)).toDF("k", "v")
+    val r0 = Bootstrap.bootstrapMedianCi(const, col("k"), col("v")).head()
+    assert(r0.getAs[Long]("n") == 500L)
+    assert(r0.getAs[Double]("median") == 42.0)
+    assert(r0.getAs[Double]("ci_lo") == 42.0)
+    assert(r0.getAs[Double]("ci_hi") == 42.0)
+    // spread 1..1000: median = 500 (rank ceil(1000/2)), CI brackets it
+    val spread = (1L to 1000L).map(i => (i, i.toDouble)).toDF("k", "v")
+    val r1 = Bootstrap.bootstrapMedianCi(spread, col("k"), col("v")).head()
+    assert(r1.getAs[Double]("median") == 500.0)
+    val lo1 = r1.getAs[Double]("ci_lo")
+    val hi1 = r1.getAs[Double]("ci_hi")
+    assert(lo1 <= 500.0 && hi1 >= 500.0 && lo1 < hi1)
+    assert(hi1 - lo1 < 200, s"median CI [$lo1,$hi1] implausibly wide") // se ≈ 1.25/f(m) ≈ 40
+    // deterministic end to end
+    assert(Bootstrap.bootstrapMedianCi(spread, col("k"), col("v")).head() == r1)
+    // heavy point mass (60% zeros): the degenerate-bucket path resolves
+    // the median to the mass value with no slice
+    val mass = (1L to 1000L).map(i => (i, if (i % 5 < 3) 0.0 else i.toDouble))
+      .toDF("k", "v")
+    val r2 = Bootstrap.bootstrapMedianCi(mass, col("k"), col("v")).head()
+    assert(r2.getAs[Double]("median") == 0.0)
+    assert(r2.getAs[Double]("ci_hi") == 0.0)
+    // empty input: the n = 0 NULL row, not a crash
+    val r3 = Bootstrap.bootstrapMedianCi(
+      spread.filter($"v" < 0), col("k"), col("v")).head()
+    assert(r3.getAs[Long]("n") == 0L && r3.isNullAt(r3.fieldIndex("median")))
+  }
+
   test("bootstrapMeanCi: degenerate all-null input yields a NULL CI row, not a crash") {
     import graft.operators.Bootstrap
     val empty = Seq((1L, Option.empty[java.lang.Double]), (2L, None))
