@@ -3013,6 +3013,17 @@ object SparkEntry {
         Tables.orders(s, d), col("o_orderkey"),
         pmod(col("o_custkey"), lit(2L)), col("o_totalprice"))),
 
+    // Per-priority uplift CI — the quantified heterogeneous-treatment
+    // screen ("+X ± Y overall, but −A ± B in segment Z"): the same
+    // key-seeded draws with the segment riding every aggregation key,
+    // per-(segment, replicate) two-arm decimal sums, in-plan per-segment
+    // rank picks.
+    "q_bootstrap_uplift_by_priority" -> ((s, d) =>
+      graft.operators.Bootstrap.bootstrapUpliftCiBy(
+        Tables.orders(s, d), col("o_orderkey"),
+        pmod(col("o_custkey"), lit(2L)), col("o_totalprice"),
+        "o_orderpriority")),
+
     // Triangle count of the near-dup candidate graph (same 0.9-Jaccard
     // pair set the clustering query uses) — clique-density diagnostic.
     // Oracle replays the pair graph brute-force and the same oriented
@@ -6504,6 +6515,7 @@ object SparkEntry {
     "q_bootstrap_ci" -> bootstrapCiSql,
     "q_bootstrap_median" -> bootstrapMedianSql,
     "q_bootstrap_uplift" -> bootstrapUpliftSql,
+    "q_bootstrap_uplift_by_priority" -> bootstrapUpliftBySql,
 
     // Grouped twin: identical draws (the key seeds the weights, not the
     // segment), every sum/fold/rank pick partitioned by the priority.
@@ -7520,6 +7532,53 @@ object SparkEntry {
               ms[CAST((len(ms) * 25 + 999) // 1000 AS INT)] AS ci_lo,
               ms[CAST((len(ms) * 975 + 999) // 1000 AS INT)] AS ci_hi
        FROM t, ms"""
+  }
+
+  /** Grouped twin of [[bootstrapUpliftSql]] — the same two-arm replicate
+    * sums and fold with every relation keyed by the priority. */
+  private lazy val bootstrapUpliftBySql: String = {
+    val w = graft.operators.Bootstrap.PoissonCutoffs
+      .map(c => s"(CASE WHEN u >= $c THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH b AS (SELECT o_orderpriority AS g, o_orderkey AS k, o_custkey % 2 AS arm,
+                          CAST(o_totalprice AS DECIMAL(18,2)) AS v
+                   FROM orders
+                   WHERE o_totalprice IS NOT NULL AND o_custkey IS NOT NULL),
+            r AS (SELECT g, arm, v,
+                         ((k % 1000000007 + 1000000007) % 1000000007)
+                           * 2654435761 % 1000000007 AS h,
+                         unnest(range(0, 64)) AS j FROM b),
+            x AS (SELECT g, arm, v, j, (h + j * 1000003) % 1000000007 AS x FROM r),
+            u AS (SELECT g, arm, v, j,
+                         (((x * x) % 1000000007) * 2654435761 + x) % 1000000007 AS u
+                  FROM x),
+            w AS (SELECT g, arm, v, j, $w AS w FROM u),
+            pr AS (SELECT g, j,
+                          CASE WHEN sum(CASE WHEN arm = 1 THEN w ELSE 0 END) > 0
+                                AND sum(CASE WHEN arm = 0 THEN w ELSE 0 END) > 0
+                               THEN round(CAST(sum(CASE WHEN arm = 1 THEN v * w END) AS DOUBLE)
+                                            / sum(CASE WHEN arm = 1 THEN w ELSE 0 END)
+                                          - CAST(sum(CASE WHEN arm = 0 THEN v * w END) AS DOUBLE)
+                                            / sum(CASE WHEN arm = 0 THEN w ELSE 0 END), 6)
+                          END AS m
+                   FROM w GROUP BY 1, 2),
+            ms AS (SELECT g, list(m ORDER BY m) FILTER (WHERE m IS NOT NULL) AS ms
+                   FROM pr GROUP BY 1),
+            t AS (SELECT g,
+                         CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+                         CASE WHEN sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) > 0
+                               AND sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) > 0
+                              THEN round(CAST(sum(CASE WHEN arm = 1 THEN v END) AS DOUBLE)
+                                           / sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)
+                                         - CAST(sum(CASE WHEN arm = 0 THEN v END) AS DOUBLE)
+                                           / sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END), 6)
+                         END AS uplift
+                  FROM b GROUP BY 1)
+       SELECT t.g AS o_orderpriority, n_a, n_b, uplift,
+              ms.ms[CAST((len(ms.ms) * 25 + 999) // 1000 AS INT)] AS ci_lo,
+              ms.ms[CAST((len(ms.ms) * 975 + 999) // 1000 AS INT)] AS ci_hi
+       FROM t JOIN ms ON t.g = ms.g
+       ORDER BY 1"""
   }
 
   /** Grouped twin of [[bootstrapCiSql]] — the same interpolated cutoffs,

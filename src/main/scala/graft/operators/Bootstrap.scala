@@ -196,6 +196,62 @@ object Bootstrap {
         when(r > 0, element_at(col("ms"), hi)).as("ci_hi"))
   }
 
+  /** Per-`byCol`-segment uplift CI — error bars on the effect size in
+    * EVERY segment ("the uplift is +2.1 ± 0.8 overall, but −0.3 ± 1.2
+    * in segment X" — the quantified form of the heterogeneous-treatment
+    * question [[Robust.welchTBy]] only answers with a yes/no). Exactly
+    * [[bootstrapUpliftCi]] with the segment riding every aggregation
+    * key: the same key-seeded weight stream (a segment's draws are
+    * bit-identical to the global operator run on that segment alone —
+    * property-tested that way), per-(segment, replicate) two-arm
+    * decimal sums with map-side combine, per-segment sorted folds and
+    * in-plan rank picks. Segments where either arm is empty drop their
+    * uplift to NULL; segments with no valid replicate (either arm's
+    * weight zero in every draw) get a NULL CI. */
+  def bootstrapUpliftCiBy(
+      df: DataFrame, key: Column, arm: Column, value: Column, byCol: String,
+      replicates: Int = 64, alphaPct: Int = 5): DataFrame = {
+    require(replicates >= 4, s"bootstrapUpliftCiBy: need replicates >= 4, got $replicates")
+    require(alphaPct >= 1 && alphaPct <= 50,
+      s"bootstrapUpliftCiBy: alphaPct must be in [1, 50], got $alphaPct")
+    val base = df.select(col(byCol).as("__g"), key.as("__k"),
+        arm.as("__arm"), dec2(value).as("__v"))
+      .filter(col("__v").isNotNull && col("__arm").isNotNull)
+    val tot = base.groupBy(col("__g")).agg(
+      sum(when(col("__arm") === 0, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("__arm") === 1, 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("__arm") === 0, col("__v"))).as("__sa"),
+      sum(when(col("__arm") === 1, col("__v"))).as("__sb"))
+      .select(col("__g"), col("n_a"), col("n_b"),
+        when(col("n_a") > 0 && col("n_b") > 0,
+          round(col("__sb").cast(DoubleType) / col("n_b")
+            - col("__sa").cast(DoubleType) / col("n_a"), 6)).as("uplift"))
+    val reps = base
+      .select(col("__g"), col("__arm"), col("__v"), keyHash(col("__k")).as("__h"),
+        explode(sequence(lit(0), lit(replicates - 1))).as("j"))
+      .select(col("__g"), col("__arm"), col("__v"), col("j"),
+        poissonWeight(replicateUniform(col("__h"), col("j"))).as("__w"))
+    val perRep = reps.groupBy(col("__g"), col("j")).agg(
+      sum(when(col("__arm") === 1, col("__v") * col("__w"))).as("__vw1"),
+      sum(when(col("__arm") === 1, col("__w").cast(LongType)).otherwise(0L)).as("__w1"),
+      sum(when(col("__arm") === 0, col("__v") * col("__w"))).as("__vw0"),
+      sum(when(col("__arm") === 0, col("__w").cast(LongType)).otherwise(0L)).as("__w0"))
+      .select(col("__g"), when(col("__w1") > 0 && col("__w0") > 0,
+        round(col("__vw1").cast(DoubleType) / col("__w1")
+          - col("__vw0").cast(DoubleType) / col("__w0"), 6)).as("m"))
+    val half = alphaPct * 5
+    val ms = perRep.groupBy(col("__g"))
+      .agg(array_sort(collect_list(col("m"))).as("ms"))
+    val r = size(col("ms"))
+    val lo = ((r * half + lit(999)) / lit(1000)).cast(IntegerType)
+    val hi = ((r * (1000 - half) + lit(999)) / lit(1000)).cast(IntegerType)
+    tot.join(ms, "__g")
+      .select(col("__g").as(byCol), col("n_a"), col("n_b"), col("uplift"),
+        when(r > 0, element_at(col("ms"), lo)).as("ci_lo"),
+        when(r > 0, element_at(col("ms"), hi)).as("ci_hi"))
+      .orderBy(byCol)
+  }
+
   /** Bootstrap CI of the MEDIAN — error bars on the robust-stats
     * family's own statistic (a corpus median without an error bar faces
     * the same "is the shift real?" question the mean CI answers; the

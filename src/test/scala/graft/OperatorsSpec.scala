@@ -876,6 +876,26 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     val r2 = Bootstrap.bootstrapUpliftCi(oneArm, col("k"), col("arm"), col("v")).head()
     assert(r2.getAs[Long]("n_b") == 0L && r2.isNullAt(r2.fieldIndex("uplift")))
     assert(r2.isNullAt(r2.fieldIndex("ci_lo")))
+    // grouped twin: draws seed by the KEY, so each segment's row equals
+    // the global operator on that slice exactly; a segment with an empty
+    // arm keeps its row with NULL uplift/CI
+    val seg = (1L to 900L).map(i =>
+        (i, i % 2, if (i % 3 == 0) "a" else "b", i.toDouble + (i % 2) * 50.0)) ++
+      (901L to 920L).map(i => (i, 0L, "c", 5.0))
+    val segDf = seg.toDF("k", "arm", "g", "v")
+    val grouped = Bootstrap.bootstrapUpliftCiBy(
+      segDf, col("k"), col("arm"), col("v"), "g").collect()
+    assert(grouped.map(_.getString(0)).toSeq == Seq("a", "b", "c"))
+    for (row <- grouped if row.getString(0) != "c") {
+      val g = row.getString(0)
+      val single = Bootstrap.bootstrapUpliftCi(
+        segDf.filter($"g" === g), col("k"), col("arm"), col("v")).head()
+      for (c <- Seq("uplift", "ci_lo", "ci_hi"))
+        assert(row.getAs[Double](c) == single.getAs[Double](c), s"$c mismatch in $g")
+      assert(row.getAs[Long]("n_a") == single.getAs[Long]("n_a"), s"n_a in $g")
+    }
+    val cRow = grouped.find(_.getString(0) == "c").get
+    assert(cRow.isNullAt(cRow.fieldIndex("uplift")) && cRow.isNullAt(cRow.fieldIndex("ci_lo")))
   }
 
   test("bootstrapMedianCi: collapses on constant data, brackets the median, survives point masses") {
