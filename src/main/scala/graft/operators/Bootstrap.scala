@@ -308,36 +308,51 @@ object Bootstrap {
       StructField("ci_hi", DoubleType, nullable = true)))
     val rows = base.withColumn("__bkt", bitBucket(col("v").cast(DoubleType)))
 
-    // summary scan: per (bucket, replicate) weighted counts + the bucket
-    // value envelope (j = -1 rides the same explode with weight 1)
-    val summary = Robust.collectSummary(
-      rows
-        .select(col("__bkt"), col("v"), keyHash(col("__k")).as("__h"),
-          explode(sequence(lit(-1), lit(replicates - 1))).as("j"))
-        .select(col("__bkt"), col("v"), col("j"),
-          when(col("j") === -1, 1)
-            .otherwise(poissonWeight(replicateUniform(col("__h"), col("j"))))
-            .as("__w"))
-        .groupBy(col("__bkt"), col("j"))
-        .agg(sum(col("__w").cast(LongType)).as("c"),
-          min(col("v")).as("vmin"), max(col("v")).as("vmax")),
+    // summary scans, SPLIT so the value envelope never rides the
+    // replicate explode (min/max on a DECIMAL column 65× per bucket
+    // measured 3-5 s at sf0.1 vs ~0.3 s for the weight counts alone —
+    // tools/ProbeMedianCi): (a) the per-bucket envelope + plain count
+    // over the UNEXPLODED rows; (b) the per-(bucket, replicate) weighted
+    // counts over an explode that carries only LONGS.
+    val envelope = Robust.collectSummary(
+      rows.groupBy(col("__bkt"))
+        .agg(count(lit(1)).as("c"), min(col("v")).as("vmin"), max(col("v")).as("vmax")),
       "bootstrapMedianCi")
+    val wsums = Robust.collectSummary(
+      rows
+        .select(col("__bkt"), keyHash(col("__k")).as("__h"),
+          explode(sequence(lit(0), lit(replicates - 1))).as("j"))
+        .select(col("__bkt"), col("j"),
+          poissonWeight(replicateUniform(col("__h"), col("j"))).as("__w"))
+        .groupBy(col("__bkt"), col("j"))
+        .agg(sum(col("__w").cast(LongType)).as("c")),
+      "bootstrapMedianCi")
+    val env: Map[Long, (Long, Any, Any)] = envelope.map(r =>
+      r.getAs[Long]("__bkt") -> ((r.getAs[Long]("c"),
+        r.get(r.fieldIndex("vmin")), r.get(r.fieldIndex("vmax"))))).toMap
 
-    // driver-side rank brackets, one per replicate (j = -1 = the median)
+    // driver-side rank brackets, one per replicate (j = -1 = the median,
+    // from the plain envelope counts)
     final case class T(j: Int, bkt: Long, resid: Long, vmin: Any, vmax: Any)
-    val targets: Array[T] = summary.groupBy(_.getAs[Int]("j")).iterator.flatMap {
-      case (j, rs) =>
-        val bs = rs.sortBy(_.getAs[Long]("__bkt")) // bucket order IS value order
-        val off = bs.scanLeft(0L)(_ + _.getAs[Long]("c"))
-        val tot = off.last
-        if (tot <= 0) None // zero-weight replicate drops
-        else {
-          val r = (tot + 1) / 2 // rank target ceil(W/2)
-          bs.indices.find(i => off(i) < r && r <= off(i) + bs(i).getAs[Long]("c"))
-            .map(i => T(j, bs(i).getAs[Long]("__bkt"), r - off(i),
-              bs(i).get(bs(i).fieldIndex("vmin")), bs(i).get(bs(i).fieldIndex("vmax"))))
-        }
-    }.toArray
+    def bracket(j: Int, perBucket: Seq[(Long, Long)]): Option[T] = {
+      val bs = perBucket.sortBy(_._1) // bucket order IS value order
+      val off = bs.scanLeft(0L)(_ + _._2)
+      val tot = off.last
+      if (tot <= 0) None // zero-weight replicate drops
+      else {
+        val r = (tot + 1) / 2 // rank target ceil(W/2)
+        bs.indices.find(i => off(i) < r && r <= off(i) + bs(i)._2)
+          .map { i =>
+            val (_, vmin, vmax) = env(bs(i)._1)
+            T(j, bs(i)._1, r - off(i), vmin, vmax)
+          }
+      }
+    }
+    val targets: Array[T] =
+      (bracket(-1, envelope.map(r => r.getAs[Long]("__bkt") -> r.getAs[Long]("c")).toSeq) ++
+        wsums.groupBy(_.getAs[Int]("j")).flatMap { case (j, rs) =>
+          bracket(j, rs.map(r => r.getAs[Long]("__bkt") -> r.getAs[Long]("c")).toSeq)
+        }).toArray
     if (targets.isEmpty) // empty / all-null input: the n = 0 NULL row
       return spark.createDataFrame(
         java.util.Arrays.asList(Row(0L, null, null, null)), outSchema)
@@ -374,7 +389,7 @@ object Bootstrap {
       case x: java.lang.Number => x.doubleValue()
     }
     val picks: Map[Int, Double] = (degPicks ++ livePicks).map { case (j, m) => j -> toD(m) }
-    val n = summary.filter(_.getAs[Int]("j") == -1).map(_.getAs[Long]("c")).sum
+    val n = envelope.map(_.getAs[Long]("c")).sum
     val ms = picks.collect { case (j, m) if j >= 0 => m }.toArray.sorted
     val half = alphaPct * 5
     def pick(rank: Long): Any =

@@ -297,6 +297,22 @@ class ScaleSpec extends AnyFunSuite with SparkSpec {
     assert(ivfJoin.contains("BuildLeft"), ivfJoin)
   }
 
+  test("two-tier mining rerank: no nested loop anywhere; rescore stays equi-join shaped") {
+    import graft.operators.{IndexRegistry, Pq}
+    val emb = Tables.embeddings(spark, sf)
+    val labels = emb.select($"vec_id", $"label")
+    val p = plan(Pq.hardNegativesIvfPqRerank(
+      IndexRegistry.ivfPqFull(spark, sf), labels, emb, emb,
+      k = 3, kShort = 8, nProbe = 2))
+    // the rescore rejoins are plain id equi-joins: at unbounded |Q| there
+    // is nothing to broadcast, and nothing may degenerate to a nested loop
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.linesIterator.filter(l => l.contains("Join")).mkString("\n"))
+    // the expensive mining join stays code-sided: the shortlist stage
+    // scores codes through the ADC LUT kernel, never corpus embeddings
+    assert(p.contains("pq_lut_score"), "expected ADC LUT scoring in the shortlist stage")
+  }
+
   test("compaction rewrites many small files into the planned count, rows intact, no leftovers") {
     import graft.operators.Layout
     val scratch = Files.createTempDirectory("graft-compact-spec").toFile
