@@ -308,51 +308,44 @@ object Bootstrap {
       StructField("ci_hi", DoubleType, nullable = true)))
     val rows = base.withColumn("__bkt", bitBucket(col("v").cast(DoubleType)))
 
-    // summary scans, SPLIT so the value envelope never rides the
-    // replicate explode (min/max on a DECIMAL column 65× per bucket
-    // measured 3-5 s at sf0.1 vs ~0.3 s for the weight counts alone —
-    // tools/ProbeMedianCi): (a) the per-bucket envelope + plain count
-    // over the UNEXPLODED rows; (b) the per-(bucket, replicate) weighted
-    // counts over an explode that carries only LONGS.
-    val envelope = Robust.collectSummary(
+    // ONE summary scan: per bucket, the value envelope + plain count +
+    // ALL R replicate weight sums via the raw-loop aggregate (the
+    // explode(sequence) → per-(bucket, j) hash-agg predecessor fanned
+    // every row through 64 virtual copies and group probes and measured
+    // several times the arithmetic — tools/ProbeMedianCi; the DECIMAL
+    // min/max riding that explode was worse still, 3-5 s at sf0.1).
+    val summary = Robust.collectSummary(
       rows.groupBy(col("__bkt"))
-        .agg(count(lit(1)).as("c"), min(col("v")).as("vmin"), max(col("v")).as("vmax")),
+        .agg(count(lit(1)).as("c"), min(col("v")).as("vmin"), max(col("v")).as("vmax"),
+          graft.functions.PoissonWeightSums.poissonWeightSums(
+            keyHash(col("__k")), replicates, PoissonCutoffs).as("ws")),
       "bootstrapMedianCi")
-    val wsums = Robust.collectSummary(
-      rows
-        .select(col("__bkt"), keyHash(col("__k")).as("__h"),
-          explode(sequence(lit(0), lit(replicates - 1))).as("j"))
-        .select(col("__bkt"), col("j"),
-          poissonWeight(replicateUniform(col("__h"), col("j"))).as("__w"))
-        .groupBy(col("__bkt"), col("j"))
-        .agg(sum(col("__w").cast(LongType)).as("c")),
-      "bootstrapMedianCi")
-    val env: Map[Long, (Long, Any, Any)] = envelope.map(r =>
+    val env: Map[Long, (Long, Any, Any)] = summary.map(r =>
       r.getAs[Long]("__bkt") -> ((r.getAs[Long]("c"),
         r.get(r.fieldIndex("vmin")), r.get(r.fieldIndex("vmax"))))).toMap
+    val byBkt: Array[(Long, Long, Seq[Long])] = summary
+      .map(r => (r.getAs[Long]("__bkt"), r.getAs[Long]("c"), r.getSeq[Long](r.fieldIndex("ws"))))
+      .sortBy(_._1) // bucket order IS value order
 
     // driver-side rank brackets, one per replicate (j = -1 = the median,
-    // from the plain envelope counts)
+    // from the plain counts)
     final case class T(j: Int, bkt: Long, resid: Long, vmin: Any, vmax: Any)
-    def bracket(j: Int, perBucket: Seq[(Long, Long)]): Option[T] = {
-      val bs = perBucket.sortBy(_._1) // bucket order IS value order
-      val off = bs.scanLeft(0L)(_ + _._2)
+    def bracket(j: Int, counts: Array[Long]): Option[T] = {
+      val off = counts.scanLeft(0L)(_ + _)
       val tot = off.last
       if (tot <= 0) None // zero-weight replicate drops
       else {
         val r = (tot + 1) / 2 // rank target ceil(W/2)
-        bs.indices.find(i => off(i) < r && r <= off(i) + bs(i)._2)
+        counts.indices.find(i => off(i) < r && r <= off(i) + counts(i))
           .map { i =>
-            val (_, vmin, vmax) = env(bs(i)._1)
-            T(j, bs(i)._1, r - off(i), vmin, vmax)
+            val (_, vmin, vmax) = env(byBkt(i)._1)
+            T(j, byBkt(i)._1, r - off(i), vmin, vmax)
           }
       }
     }
     val targets: Array[T] =
-      (bracket(-1, envelope.map(r => r.getAs[Long]("__bkt") -> r.getAs[Long]("c")).toSeq) ++
-        wsums.groupBy(_.getAs[Int]("j")).flatMap { case (j, rs) =>
-          bracket(j, rs.map(r => r.getAs[Long]("__bkt") -> r.getAs[Long]("c")).toSeq)
-        }).toArray
+      (bracket(-1, byBkt.map(_._2)) ++ (0 until replicates).flatMap(j =>
+        bracket(j, byBkt.map(_._3(j))))).toArray
     if (targets.isEmpty) // empty / all-null input: the n = 0 NULL row
       return spark.createDataFrame(
         java.util.Arrays.asList(Row(0L, null, null, null)), outSchema)
@@ -389,7 +382,7 @@ object Bootstrap {
       case x: java.lang.Number => x.doubleValue()
     }
     val picks: Map[Int, Double] = (degPicks ++ livePicks).map { case (j, m) => j -> toD(m) }
-    val n = envelope.map(_.getAs[Long]("c")).sum
+    val n = byBkt.map(_._2).sum
     val ms = picks.collect { case (j, m) if j >= 0 => m }.toArray.sorted
     val half = alphaPct * 5
     def pick(rank: Long): Any =

@@ -612,4 +612,32 @@ class FunctionsSpec extends AnyFunSuite with SparkSpec {
     assert(got(0).getAs[Long]("n_pair") == 2L)
     assert(math.abs(got(0).getAs[Double]("pmi") - math.log(32.0 / 9.0)) < 1e-6)
   }
+
+  test("poissonWeightSums: bit-parity with the exploded Column hash chain, map-side mergeable") {
+    import graft.operators.Bootstrap
+    import graft.functions.PoissonWeightSums.poissonWeightSums
+    val R = 16
+    // keys across the overflow-interesting range; several buckets
+    val df = (Seq(1L, 7L, 1000003L, Long.MaxValue, Long.MaxValue / 2654435761L) ++
+        (100L to 160L)).zipWithIndex
+      .map { case (k, i) => (k, (i % 4).toLong) }.toDF("k", "g")
+    val agg = df.groupBy($"g")
+      .agg(poissonWeightSums(Bootstrap.keyHash($"k"), R, Bootstrap.PoissonCutoffs).as("ws"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val exploded = df
+      .select($"g", Bootstrap.keyHash($"k").as("h"),
+        explode(sequence(lit(0), lit(R - 1))).as("j"))
+      .select($"g", $"j",
+        Bootstrap.poissonWeight(Bootstrap.replicateUniform($"h", $"j")).as("w"))
+      .groupBy($"g", $"j").agg(sum($"w").as("c"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    for (g <- 0L to 3L; j <- 0 until R)
+      assert(agg(g)(j) == exploded((g, j)), s"weight sum mismatch at g=$g j=$j")
+    // weights are Poisson(1)-ish: mean total weight per group ~ group size
+    val sizes = df.groupBy($"g").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (g <- 0L to 3L) {
+      val mean = agg(g).map(_.toDouble).sum / R
+      assert(math.abs(mean - sizes(g)) < sizes(g) * 0.6, s"mean weight $mean vs n=${sizes(g)}")
+    }
+  }
 }
