@@ -655,4 +655,50 @@ class PropertiesSpec extends AnyFunSuite with SparkSpec {
       }
     }
   }
+
+  test("bootstrapMedianCi matches a pure-Scala Poisson-bootstrap reference on random data") {
+    import graft.operators.Bootstrap
+    val P = 1000000007L; val A = 2654435761L
+    def weight(k: Long, j: Int): Long = {
+      val h = (((k % P) + P) % P) * A % P
+      val x = (h + j * 1000003L) % P
+      val u = ((x * x % P) * A + x) % P
+      Bootstrap.PoissonCutoffs.count(c => u >= c).toLong
+    }
+    def cents(v: Double): java.math.BigDecimal =
+      java.math.BigDecimal.valueOf(v).setScale(2, java.math.RoundingMode.HALF_UP)
+    // ties (narrow domain), negatives (bit-grid sign region), and keys
+    // spanning the old overflow boundary
+    val data: List[(Long, Double)] = sample(Gen.listOfN(400, for {
+      v <- Gen.choose(-60, 240)
+    } yield v / 7.0)).zipWithIndex.map { case (v, i) =>
+      val k = if (i % 37 == 0) Long.MaxValue - i else i.toLong + 1
+      (k, v)
+    }
+    val R = 16
+    val got = Bootstrap.bootstrapMedianCi(
+      data.toDF("k", "v"), col("k"), col("v"), replicates = R).head()
+
+    // first-principles reference: per replicate, sort by the cents value,
+    // accumulate that replicate's weights, pick the first value whose
+    // cumulative crosses ceil(W/2); CI = discrete order statistics
+    val rows = data.map { case (k, v) => (k, cents(v)) }.sortBy(_._2)
+    def wMedian(wOf: Long => Long): Option[Double] = {
+      val tot = rows.map(r => wOf(r._1)).sum
+      if (tot <= 0) None
+      else {
+        val target = (tot + 1) / 2
+        var cum = 0L
+        rows.find { r => cum += wOf(r._1); cum >= target }.map(_._2.doubleValue())
+      }
+    }
+    val expMedian = wMedian(_ => 1L).get
+    val ms = (0 until R).flatMap(j => wMedian(k => weight(k, j))).sorted
+    val lo = ms((ms.length * 25 + 999) / 1000 - 1)
+    val hi = ms((ms.length * 975 + 999) / 1000 - 1)
+    assert(got.getAs[Long]("n") == data.length.toLong)
+    assert(got.getAs[Double]("median") == expMedian)
+    assert(got.getAs[Double]("ci_lo") == lo, s"ci_lo ${got.getAs[Double]("ci_lo")} != $lo")
+    assert(got.getAs[Double]("ci_hi") == hi, s"ci_hi ${got.getAs[Double]("ci_hi")} != $hi")
+  }
 }
