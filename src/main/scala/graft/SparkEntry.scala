@@ -3002,6 +3002,16 @@ object SparkEntry {
       graft.operators.Bootstrap.bootstrapMedianCi(
         Tables.orders(s, d), col("o_orderkey"), col("o_totalprice"))),
 
+    // Per-priority median CI — the grouped form of the median error bar
+    // (draws seed by the key, so each segment's CI is bit-identical to
+    // the global operator on that slice); per-(segment, bucket) grid
+    // summaries under the grouped-selection ceiling, (segment,
+    // replicate)-partitioned slice windows.
+    "q_bootstrap_median_by_priority" -> ((s, d) =>
+      graft.operators.Bootstrap.bootstrapMedianCiBy(
+        Tables.orders(s, d), col("o_orderkey"), col("o_totalprice"),
+        "o_orderpriority")),
+
     // Bootstrap CI of the A/B effect size — "the uplift is X ± Y", the
     // distribution-free companion to the Welch/MW significance gates on
     // the SAME arm split: per replicate, the one shared weight stream
@@ -6514,6 +6524,7 @@ object SparkEntry {
     // same decimal replicate sums and discrete rank picks.
     "q_bootstrap_ci" -> bootstrapCiSql,
     "q_bootstrap_median" -> bootstrapMedianSql,
+    "q_bootstrap_median_by_priority" -> bootstrapMedianBySql,
     "q_bootstrap_uplift" -> bootstrapUpliftSql,
     "q_bootstrap_uplift_by_priority" -> bootstrapUpliftBySql,
 
@@ -7486,6 +7497,46 @@ object SparkEntry {
               CAST(ms[CAST((len(ms) * 25 + 999) // 1000 AS INT)] AS DOUBLE) AS ci_lo,
               CAST(ms[CAST((len(ms) * 975 + 999) // 1000 AS INT)] AS DOUBLE) AS ci_hi
        FROM t, med, ms"""
+  }
+
+  /** Grouped twin of [[bootstrapMedianSql]] — every window, selection and
+    * fold partitioned by the priority. */
+  private lazy val bootstrapMedianBySql: String = {
+    val w = graft.operators.Bootstrap.PoissonCutoffs
+      .map(c => s"(CASE WHEN u >= $c THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH b AS (SELECT o_orderpriority AS g, o_orderkey AS k,
+                          CAST(o_totalprice AS DECIMAL(18,2)) AS v
+                   FROM orders WHERE o_totalprice IS NOT NULL),
+            r AS (SELECT g, v,
+                         ((k % 1000000007 + 1000000007) % 1000000007)
+                           * 2654435761 % 1000000007 AS h,
+                         unnest(range(0, 64)) AS j FROM b),
+            x AS (SELECT g, v, j, (h + j * 1000003) % 1000000007 AS x FROM r),
+            u AS (SELECT g, v, j,
+                         (((x * x) % 1000000007) * 2654435761 + x) % 1000000007 AS u
+                  FROM x),
+            w AS (SELECT g, v, j, $w AS w FROM u),
+            cw AS (SELECT g, j, v,
+                          sum(w) OVER (PARTITION BY g, j ORDER BY v
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                          sum(w) OVER (PARTITION BY g, j) AS tot
+                   FROM w),
+            sel AS (SELECT g, j, min(v) AS m FROM cw
+                    WHERE tot > 0 AND cum >= (tot + 1) // 2 GROUP BY g, j),
+            med AS (SELECT g, min(v) AS med FROM
+                     (SELECT g, v,
+                             sum(1) OVER (PARTITION BY g ORDER BY v
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rn,
+                             count(*) OVER (PARTITION BY g) AS nn
+                      FROM b)
+                    WHERE rn >= (nn + 1) // 2 GROUP BY g),
+            ms AS (SELECT g, list(m ORDER BY m) AS ms FROM sel GROUP BY g),
+            t AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY g)
+       SELECT t.g AS o_orderpriority, n, CAST(med AS DOUBLE) AS median,
+              CAST(ms.ms[CAST((len(ms.ms) * 25 + 999) // 1000 AS INT)] AS DOUBLE) AS ci_lo,
+              CAST(ms.ms[CAST((len(ms.ms) * 975 + 999) // 1000 AS INT)] AS DOUBLE) AS ci_hi
+       FROM t JOIN med ON t.g = med.g JOIN ms ON t.g = ms.g
+       ORDER BY 1"""
   }
 
   /** Uplift twin of [[bootstrapCiSql]] — the same draws (weights seed by

@@ -395,6 +395,118 @@ object Bootstrap {
       outSchema)
   }
 
+  /** Per-`byCol`-segment median CI — [[bootstrapMedianCi]] with the
+    * segment riding every key (the grouped-gate convention: draws seed
+    * by the row key alone, so each segment's CI is bit-identical to the
+    * global operator run on that segment in isolation — property-tested
+    * that way). The summary is per-(segment, bucket) — grid-bounded per
+    * segment, linear in |segments|, so the collect runs under the
+    * [[Robust.MaxSummaryRows]] ceiling like every grouped selection —
+    * and the fused slice windows partition by (segment, replicate).
+    * Segments with no valid rows DROP (there is no median of nothing —
+    * the [[Robust.weightedMedian]] contract), unlike the global form's
+    * n = 0 NULL row, which exists because a one-row result cannot
+    * drop. */
+  def bootstrapMedianCiBy(
+      df: DataFrame, key: Column, value: Column, byCol: String,
+      replicates: Int = 64, alphaPct: Int = 5): DataFrame = {
+    import graft.functions.BitGrid.bitBucket
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType => LT, StructField, StructType}
+    require(replicates >= 4, s"bootstrapMedianCiBy: need replicates >= 4, got $replicates")
+    require(alphaPct >= 1 && alphaPct <= 50,
+      s"bootstrapMedianCiBy: alphaPct must be in [1, 50], got $alphaPct")
+    val base = df.select(col(byCol).as("__g"), key.as("__k"), dec2(value).as("v"))
+      .filter(col("v").isNotNull)
+    Robust.requireDeterministicInput(base, "bootstrapMedianCiBy")
+    val spark = df.sparkSession
+    val gType = df.select(col(byCol)).schema.head.dataType
+    val outSchema = StructType(Seq(
+      StructField(byCol, gType, nullable = true),
+      StructField("n", LT, nullable = false),
+      StructField("median", DoubleType, nullable = true),
+      StructField("ci_lo", DoubleType, nullable = true),
+      StructField("ci_hi", DoubleType, nullable = true)))
+    val rows = base.withColumn("__bkt", bitBucket(col("v").cast(DoubleType)))
+
+    // ONE summary scan, segment riding the bucket key (grid-bounded per
+    // segment × |segments| rows — the grouped-selection ceiling contract)
+    val summary = Robust.collectSummary(
+      rows.groupBy(col("__g"), col("__bkt"))
+        .agg(count(lit(1)).as("c"), min(col("v")).as("vmin"), max(col("v")).as("vmax"),
+          graft.functions.PoissonWeightSums.poissonWeightSums(
+            keyHash(col("__k")), replicates, PoissonCutoffs).as("ws")),
+      "bootstrapMedianCiBy")
+    val byG = summary.groupBy(_.get(0))
+
+    final case class T(g: Any, j: Int, bkt: Long, resid: Long, vmin: Any, vmax: Any)
+    val targets = scala.collection.mutable.ArrayBuffer.empty[T]
+    val nByG = scala.collection.mutable.LinkedHashMap.empty[Any, Long]
+    for ((g, rs) <- byG) {
+      val bs = rs.sortBy(_.getAs[Long]("__bkt")) // bucket order IS value order
+      nByG(g) = bs.map(_.getAs[Long]("c")).sum
+      def bracket(j: Int, counts: Array[Long]): Unit = {
+        val off = counts.scanLeft(0L)(_ + _)
+        val tot = off.last
+        if (tot > 0) { // zero-weight replicate drops
+          val r = (tot + 1) / 2
+          counts.indices.find(i => off(i) < r && r <= off(i) + counts(i)).foreach { i =>
+            targets += T(g, j, bs(i).getAs[Long]("__bkt"), r - off(i),
+              bs(i).get(bs(i).fieldIndex("vmin")), bs(i).get(bs(i).fieldIndex("vmax")))
+          }
+        }
+      }
+      bracket(-1, bs.map(_.getAs[Long]("c")).toArray)
+      val wss = bs.map(_.getSeq[Long](bs.head.fieldIndex("ws")))
+      (0 until replicates).foreach(j => bracket(j, wss.map(_(j)).toArray))
+    }
+    if (targets.isEmpty) // no segment with valid rows: empty result (DROP)
+      return spark.createDataFrame(java.util.Collections.emptyList[Row](), outSchema)
+
+    val (degT, liveT) = targets.toArray.partition(t => t.vmin == t.vmax)
+    val degPicks: Map[(Any, Int), Any] = degT.map(t => (t.g, t.j) -> t.vmin).toMap
+    val livePicks: Map[(Any, Int), Any] =
+      if (liveT.isEmpty) Map.empty
+      else {
+        val tDf = spark.createDataFrame(
+          java.util.Arrays.asList(liveT.map(t => Row(t.g, t.bkt, t.j, t.resid)): _*),
+          StructType(Seq(StructField("__g", gType), StructField("__bkt", LT),
+            StructField("j", org.apache.spark.sql.types.IntegerType),
+            StructField("__resid", LT))))
+        val wWin = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__g"), col("j")).orderBy(col("v"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        rows.join(broadcast(tDf), Seq("__g", "__bkt"))
+          .select(col("__g"), col("j"), col("v"), col("__resid"),
+            when(col("j") === -1, 1)
+              .otherwise(poissonWeight(replicateUniform(keyHash(col("__k")), col("j"))))
+              .as("__w"))
+          .withColumn("__cum", sum(col("__w")).over(wWin))
+          .filter(col("__cum") >= col("__resid"))
+          .groupBy(col("__g"), col("j")).agg(min(col("v")).as("m"))
+          .collect()
+          .map(r => (r.get(0), r.getAs[Int]("j")) -> r.get(r.fieldIndex("m"))).toMap
+      }
+    val toD = (a: Any) => a match {
+      case d: java.math.BigDecimal => d.doubleValue()
+      case x: java.lang.Number => x.doubleValue()
+    }
+    val picks: Map[(Any, Int), Double] =
+      (degPicks ++ livePicks).map { case (k, m) => k -> toD(m) }
+    val half = alphaPct * 5
+    val out = nByG.toSeq.map { case (g, n) =>
+      val ms = (0 until replicates).flatMap(j => picks.get((g, j))).sorted
+      def pick(rank: Long): Any =
+        if (ms.isEmpty || rank < 1) null else java.lang.Double.valueOf(ms((rank - 1).toInt))
+      Row(g, n, picks.get((g, -1)).map(java.lang.Double.valueOf).orNull,
+        pick((ms.length.toLong * half + 999) / 1000),
+        pick((ms.length.toLong * (1000 - half) + 999) / 1000))
+    }
+    spark.createDataFrame(java.util.Arrays.asList(out: _*), outSchema)
+      .orderBy(byCol)
+  }
+
   /** Per-`byCol`-segment bootstrap CI — error bars for every segment's
     * mean in one pass ("is segment X's metric really higher, or is its
     * n too small to tell?" — the question the per-segment dashboards

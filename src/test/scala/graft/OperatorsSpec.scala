@@ -928,6 +928,22 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     val r3 = Bootstrap.bootstrapMedianCi(
       spread.filter($"v" < 0), col("k"), col("v")).head()
     assert(r3.getAs[Long]("n") == 0L && r3.isNullAt(r3.fieldIndex("median")))
+    // grouped twin: draws seed by the KEY, so each segment's row equals
+    // the global operator on that slice exactly; all-null segments DROP
+    val seg = ((1L to 900L).map(i => (i, if (i % 3 == 0) "a" else "b",
+        java.lang.Double.valueOf(i.toDouble))) ++
+      (901L to 905L).map(i => (i, "z", null.asInstanceOf[java.lang.Double])))
+      .toDF("k", "g", "v")
+    val grouped = Bootstrap.bootstrapMedianCiBy(seg, col("k"), col("v"), "g").collect()
+    assert(grouped.map(_.getString(0)).toSeq == Seq("a", "b")) // z dropped
+    for (row <- grouped) {
+      val g = row.getString(0)
+      val single = Bootstrap.bootstrapMedianCi(
+        seg.filter($"g" === g), col("k"), col("v")).head()
+      assert(row.getAs[Long]("n") == single.getAs[Long]("n"), s"n in $g")
+      for (c <- Seq("median", "ci_lo", "ci_hi"))
+        assert(row.getAs[Double](c) == single.getAs[Double](c), s"$c mismatch in $g")
+    }
   }
 
   test("bootstrapMeanCi: degenerate all-null input yields a NULL CI row, not a crash") {
