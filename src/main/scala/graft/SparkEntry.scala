@@ -3777,6 +3777,15 @@ object SparkEntry {
         Tables.lineitem(s, d), col("l_quantity"),
         floor(col("l_extendedprice") / lit(10000.0)).cast("int"))),
 
+    // Per-return-flag Kendall τ-b — the tie-robust per-segment
+    // association screen next to q_spearman_by_flag: each segment's
+    // O(cells²) pair fold runs over its OWN collected cell array under
+    // the per-group contingency ceiling.
+    "q_kendall_tau_by_flag" -> ((s, d) =>
+      graft.operators.Robust.kendallTauBBy(
+        Tables.lineitem(s, d), col("l_quantity"),
+        floor(col("l_extendedprice") / lit(10000.0)).cast("int"), "l_returnflag")),
+
     // Pareto frontier (2-D skyline) of price vs discount — the rows no
     // other row beats on both criteria, via the distributed descending-x
     // prefix-strict-max sweep (two keyed aggregates + the two-level scan;
@@ -7180,6 +7189,35 @@ object SparkEntry {
                       / (sqrt(CAST(n * (n - 1) // 2 - n1 AS DOUBLE))
                          * sqrt(CAST(n * (n - 1) // 2 - n2 AS DOUBLE))), 6) AS tau_b
          FROM pq, mx, my""",
+
+    // Grouped Kendall τ-b: the same cell-domain pair-count folds with the
+    // return flag partitioning every relation.
+    "q_kendall_tau_by_flag" ->
+      """WITH t AS (SELECT l_returnflag AS g, l_quantity AS x,
+                           CAST(floor(l_extendedprice / 10000.0) AS INT) AS y
+                    FROM lineitem
+                    WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+              cells AS (SELECT g, x, y, CAST(count(*) AS BIGINT) AS cnt FROM t GROUP BY 1, 2, 3),
+              one AS (SELECT g, list({'x': x, 'y': y, 'cnt': cnt}) AS cs,
+                             CAST(sum(cnt) AS BIGINT) AS n FROM cells GROUP BY g),
+              mx AS (SELECT g, CAST(sum(tx * (tx - 1) // 2) AS BIGINT) AS n1
+                     FROM (SELECT g, sum(cnt) AS tx FROM cells GROUP BY g, x) GROUP BY g),
+              my AS (SELECT g, CAST(sum(ty * (ty - 1) // 2) AS BIGINT) AS n2
+                     FROM (SELECT g, sum(cnt) AS ty FROM cells GROUP BY g, y) GROUP BY g),
+              pq AS (SELECT g, n,
+                            CAST(coalesce(list_sum(list_transform(cs, c -> c.cnt *
+                              list_sum(list_transform(list_filter(cs,
+                                o -> o.x > c.x AND o.y > c.y), o -> o.cnt)))), 0) AS BIGINT) AS concordant,
+                            CAST(coalesce(list_sum(list_transform(cs, c -> c.cnt *
+                              list_sum(list_transform(list_filter(cs,
+                                o -> o.x > c.x AND o.y < c.y), o -> o.cnt)))), 0) AS BIGINT) AS discordant
+                     FROM one)
+         SELECT pq.g AS l_returnflag, n, concordant, discordant,
+                round(CAST(concordant - discordant AS DOUBLE)
+                      / (sqrt(CAST(n * (n - 1) // 2 - n1 AS DOUBLE))
+                         * sqrt(CAST(n * (n - 1) // 2 - n2 AS DOUBLE))), 6) AS tau_b
+         FROM pq JOIN mx ON pq.g = mx.g JOIN my ON pq.g = my.g
+         ORDER BY 1""",
 
     // Skyline: the same sweep as a window twin — survive iff the per-x
     // max y strictly exceeds every y at strictly greater x.

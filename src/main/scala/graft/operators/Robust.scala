@@ -1308,4 +1308,64 @@ object Robust {
         (sqrt((n0 - col("n1")).cast(DoubleType)) * sqrt((n0 - col("n2")).cast(DoubleType))),
         6).as("tau_b"))
   }
+
+  /** Grouped [[guardedCells]]: the ceiling applies PER GROUP (each
+    * group's fold is O(cells_g²)), enforced on the `cnt` value path at
+    * execution time exactly like the global gate. */
+  private def guardedCellsBy(cells0: DataFrame, op: String): DataFrame = {
+    val cells = cells0.localCheckpoint(false)
+    val nc = cells.groupBy(col("__g")).agg(count(lit(1)).as("__nc"))
+    cells.join(nc, "__g")
+      .select(col("__g"), col("x"), col("y"),
+        when(col("__nc") > lit(MaxContingencyCells),
+          raise_error(concat(
+            lit(s"$op: a group's contingency domain has "), col("__nc"),
+            lit(s" cells, over the $MaxContingencyCells ceiling — the" +
+              " O(cells²) per-group fold requires a bounded" +
+              " discrete/ordinal domain; bucket or discretize the columns" +
+              " first"))).cast(LongType))
+          .otherwise(col("cnt")).as("cnt"))
+  }
+
+  /** Per-`byCol`-segment Kendall τ-b — the tie-robust association gate in
+    * every segment (completing the grouped association family next to
+    * [[spearmanRhoBy]]: "does the ordinal association hold per segment,
+    * or is the global τ a mixture artifact?"). Exactly [[kendallTauB]]
+    * with the segment riding every key: per-(segment, x, y) cell counts
+    * aggregate distributed, marginal tie pairs re-aggregate per segment,
+    * and each segment's O(cells²) pair fold runs over its OWN collected
+    * array (one row per segment, each bounded by the per-group
+    * [[MaxContingencyCells]] gate). Pair counts stay exact integers per
+    * segment; only the final τ_b division floats. */
+  def kendallTauBBy(
+      df: DataFrame, xCol: Column, yCol: Column, byCol: String): DataFrame = {
+    val cells = guardedCellsBy(
+      df.select(col(byCol).as("__g"), xCol.as("x"), yCol.as("y"))
+        .filter(col("x").isNotNull && col("y").isNotNull)
+        .groupBy(col("__g"), col("x"), col("y")).agg(count(lit(1)).as("cnt")),
+      "kendallTauBBy")
+    val tiesX = cells.groupBy(col("__g"), col("x")).agg(sum(col("cnt")).as("tx"))
+      .groupBy(col("__g")).agg(sum(expr("tx * (tx - 1) div 2")).as("n1"))
+    val tiesY = cells.groupBy(col("__g"), col("y")).agg(sum(col("cnt")).as("ty"))
+      .groupBy(col("__g")).agg(sum(expr("ty * (ty - 1) div 2")).as("n2"))
+    val one = cells.groupBy(col("__g")).agg(
+      array_sort(collect_list(struct(col("x"), col("y"), col("cnt")))).as("cs"),
+      sum(col("cnt")).as("n"))
+    def pairSum(cmp: (Column, Column) => Column): Column =
+      aggregate(col("cs"), lit(0L), (acc, c) =>
+        acc + c.getField("cnt") * aggregate(
+          filter(col("cs"), o =>
+            o.getField("x") > c.getField("x") && cmp(o.getField("y"), c.getField("y"))),
+          lit(0L), (a, o) => a + o.getField("cnt")))
+    val n0 = expr("n * (n - 1) div 2")
+    one
+      .select(col("__g"), col("n"),
+        pairSum(_ > _).as("concordant"), pairSum(_ < _).as("discordant"))
+      .join(tiesX, "__g").join(tiesY, "__g")
+      .select(col("__g").as(byCol), col("n"), col("concordant"), col("discordant"),
+        round((col("concordant") - col("discordant")).cast(DoubleType) /
+          (sqrt((n0 - col("n1")).cast(DoubleType)) * sqrt((n0 - col("n2")).cast(DoubleType))),
+          6).as("tau_b"))
+      .orderBy(byCol)
+  }
 }

@@ -762,6 +762,19 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     // scipy-checked: x=[1,2,3,4,5], y=[1,1,2,2,3] → tau_b = 0.8944271909…
     val sk = Seq((1, 1), (2, 1), (3, 2), (4, 2), (5, 3)).toDF("x", "y")
     assert(Robust.kendallTauB(sk, $"x", $"y").head().getAs[Double]("tau_b") == 0.894427)
+    // grouped form: each segment's row equals the global operator on that
+    // slice (opposite-association segments keep their own signs)
+    val seg = (Seq.tabulate(10)(i => ("up", i, i * 3)) ++
+      Seq.tabulate(10)(i => ("dn", i, -i))).toDF("g", "x", "y")
+    val grouped = Robust.kendallTauBBy(seg, $"x", $"y", "g").collect()
+    assert(grouped.map(_.getString(0)).toSeq == Seq("dn", "up"))
+    for (row <- grouped) {
+      val single = Robust.kendallTauB(
+        seg.filter($"g" === row.getString(0)), $"x", $"y").head()
+      for (c <- Seq("n", "concordant", "discordant"))
+        assert(row.getAs[Long](c) == single.getAs[Long](c), s"$c in ${row.getString(0)}")
+      assert(row.getAs[Double]("tau_b") == single.getAs[Double]("tau_b"))
+    }
   }
 
   test("rollingAnomaly flags a planted spike against its trailing band only") {
