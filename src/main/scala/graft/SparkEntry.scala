@@ -3633,6 +3633,29 @@ object SparkEntry {
         .orderBy(col("digit"))
     }),
 
+    // Per-priority Benford audit — "WHICH segment's totals deviate?":
+    // the same per-digit observed-vs-expected chi-square terms with the
+    // priority riding the digit counts and the per-segment totals (the
+    // forensic question is always per data source / per segment once the
+    // global gate flags).
+    "q_benford_by_priority" -> ((s, d) => {
+      val dd = (c: org.apache.spark.sql.Column) => c.cast("double")
+      val counts = Tables.orders(s, d)
+        .filter(col("o_totalprice") >= 1.0)
+        .select(col("o_orderpriority"),
+          substring(floor(col("o_totalprice")).cast("long").cast("string"), 1, 1)
+            .cast("int").as("digit"))
+        .groupBy(col("o_orderpriority"), col("digit")).agg(count(lit(1)).as("n_obs"))
+      val total = counts.groupBy(col("o_orderpriority")).agg(sum(col("n_obs")).as("n_total"))
+      counts.join(total, "o_orderpriority")
+        .withColumn("__p", log(lit(1.0) + lit(1.0) / dd(col("digit"))) / log(lit(10.0)))
+        .select(col("o_orderpriority"), col("digit"), col("n_obs"), col("n_total"),
+          round(col("__p"), 6).as("benford_p"),
+          round(pow(dd(col("n_obs")) - dd(col("n_total")) * col("__p"), 2)
+            / (dd(col("n_total")) * col("__p")), 6).as("chi2_term"))
+        .orderBy(col("o_orderpriority"), col("digit"))
+    }),
+
     // Content-addressable group checksums via the native RollingHash
     // kernel over a canonical integer-field string — the cross-engine
     // reconciliation primitive (sum of per-row hashes is order-free, so
@@ -6951,6 +6974,24 @@ object SparkEntry {
                 round(pow(CAST(n_obs AS DOUBLE) - CAST(n_total AS DOUBLE) * p, 2)
                       / (CAST(n_total AS DOUBLE) * p), 6) AS chi2_term
          FROM sel ORDER BY digit""",
+
+    // Grouped Benford: the same chain with the priority riding counts
+    // and totals.
+    "q_benford_by_priority" ->
+      """WITH counts AS (SELECT o_orderpriority,
+                                CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit,
+                                count(*) AS n_obs
+                         FROM orders WHERE o_totalprice >= 1.0 GROUP BY 1, 2),
+              tot AS (SELECT o_orderpriority, CAST(sum(n_obs) AS BIGINT) AS n_total
+                      FROM counts GROUP BY 1),
+              sel AS (SELECT counts.o_orderpriority, digit, n_obs, n_total,
+                             ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0) AS p
+                      FROM counts JOIN tot ON counts.o_orderpriority = tot.o_orderpriority)
+         SELECT o_orderpriority, digit, n_obs, n_total,
+                round(p, 6) AS benford_p,
+                round(pow(CAST(n_obs AS DOUBLE) - CAST(n_total AS DOUBLE) * p, 2)
+                      / (CAST(n_total AS DOUBLE) * p), 6) AS chi2_term
+         FROM sel ORDER BY o_orderpriority, digit""",
 
     // Identical polynomial fold over the canonical string's ASCII codes.
     "q_group_checksum" ->
