@@ -2829,6 +2829,15 @@ object SparkEntry {
       graft.operators.TimeSeries.autocorrelation(
         Tables.orders(s, d), "o_orderdate", col("o_totalprice"), maxLag = 7)),
 
+    // Per-priority autocorrelation — does the weekly rhythm hold in every
+    // segment? Same exact-decimal lag moments with every lead window and
+    // aggregate partitioned by the priority over the (segment, day)
+    // domain.
+    "q_acf_by_priority" -> ((s, d) =>
+      graft.operators.TimeSeries.autocorrelationBy(
+        Tables.orders(s, d), "o_orderdate", col("o_totalprice"),
+        "o_orderpriority", maxLag = 7)),
+
     // Trailing-28-day anomaly gate on daily order revenue (current day
     // excluded from its own baseline; exact-decimal window sums; only
     // full-window days emitted) — the daily-metric pipeline monitor.
@@ -6442,6 +6451,7 @@ object SparkEntry {
          FROM one""",
 
     "q_acf" -> acfSql,
+    "q_acf_by_priority" -> acfBySql,
 
     // Same exact-integer-cents window algebra (order-free; the variance
     // numerator 28·Σx² − (Σx)² stays exact HUGEINT — the naive double
@@ -7464,6 +7474,29 @@ object SparkEntry {
                FROM w WHERE y$k IS NOT NULL)"""
     }.mkString("\n         UNION ALL\n")
     head + "\n" + lags + "\n         ORDER BY lag"
+  }
+
+  /** Grouped twin of [[acfSql]] — the priority partitions the lead
+    * windows and every lag's moment aggregate. */
+  private lazy val acfBySql: String = {
+    val head =
+      """WITH s AS (SELECT o_orderpriority AS g, o_orderdate AS d,
+                           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS rev
+                    FROM orders GROUP BY 1, 2),
+              w AS (SELECT g, rev, """ +
+        (1 to 7).map(k => s"lead(rev, $k) OVER (PARTITION BY g ORDER BY d) AS y$k")
+          .mkString(",\n                           ") +
+        "\n                    FROM s)"
+    val lags = (1 to 7).map { k =>
+      s"""         SELECT g AS o_orderpriority, $k AS lag, n_pairs, round((nd * sxy - sx * sy)
+                / sqrt((nd * sxx - sx * sx) * (nd * syy - sy * sy)), 6) AS acf
+         FROM (SELECT g, CAST(count(*) AS BIGINT) AS n_pairs, CAST(count(*) AS DOUBLE) AS nd,
+                      CAST(sum(rev) AS DOUBLE) AS sx, CAST(sum(y$k) AS DOUBLE) AS sy,
+                      CAST(sum(rev * y$k) AS DOUBLE) AS sxy,
+                      CAST(sum(rev * rev) AS DOUBLE) AS sxx, CAST(sum(y$k * y$k) AS DOUBLE) AS syy
+               FROM w WHERE y$k IS NOT NULL GROUP BY g)"""
+    }.mkString("\n         UNION ALL\n")
+    head + "\n" + lags + "\n         ORDER BY o_orderpriority, lag"
   }
 
   /** Unrolled 10-round power-iteration oracle for [[q_pagerank]] — the

@@ -93,6 +93,51 @@ object TimeSeries {
     out
   }
 
+  /** Per-`byCol`-segment autocorrelation — does the weekly rhythm hold
+    * in every segment, or is the global lag-7 peak one segment's
+    * artifact? Exactly [[autocorrelation]] with the segment riding the
+    * day aggregation and every lead window / moment aggregate
+    * partitioned by it. The windows still sit on the aggregation-bounded
+    * (segment, day) domain — ≤ |segments|·days rows, the repo's window
+    * discipline — and each lag's Pearson moments stay exact decimal
+    * sums with one double cast. Segments with fewer than 2 pairs at a
+    * lag yield a NULL acf for that (segment, lag) (zero variance has no
+    * correlation), as in the global form. */
+  def autocorrelationBy(
+      df: DataFrame, dateCol: String, moneyValue: Column, byCol: String,
+      maxLag: Int = 7): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.dec2
+    require(maxLag >= 1, s"need maxLag >= 1, got $maxLag")
+    val series = df.groupBy(col(byCol).as("__g"), col(dateCol).as("d"))
+      .agg(sum(dec2(moneyValue)).cast("decimal(18,2)").as("rev"))
+    val w = Window.partitionBy(col("__g")).orderBy(col("d"))
+    val leads = series.select(
+      col("__g") +: col("rev") +:
+        (1 to maxLag).map(k => lead(col("rev"), k).over(w).as(s"y$k")): _*)
+      .cache()
+    val rows = (1 to maxLag).map { k =>
+      val y = col(s"y$k")
+      val pairs = leads.filter(y.isNotNull)
+        .groupBy(col("__g"))
+        .agg(
+          count(lit(1)).as("n_pairs"),
+          sum(col("rev")).as("sx"), sum(y).as("sy"),
+          sum(col("rev") * y).as("sxy"),
+          sum(col("rev") * col("rev")).as("sxx"), sum(y * y).as("syy"))
+      val nD = col("n_pairs").cast(DoubleType)
+      val (sx, sy) = (col("sx").cast(DoubleType), col("sy").cast(DoubleType))
+      val (sxy, sxx, syy) =
+        (col("sxy").cast(DoubleType), col("sxx").cast(DoubleType), col("syy").cast(DoubleType))
+      val r = (nD * sxy - sx * sy) /
+        sqrt((nD * sxx - sx * sx) * (nD * syy - sy * sy))
+      pairs.select(col("__g"), lit(k).as("lag"), col("n_pairs"), round(r, 6).as("acf"))
+    }
+    rows.reduce(_ unionByName _)
+      .select(col("__g").as(byCol), col("lag"), col("n_pairs"), col("acf"))
+      .orderBy(byCol, "lag")
+  }
+
   /** Trailing-window anomaly gate over a daily money metric — the
     * standard pipeline monitor ("did today's volume jump off its recent
     * band?"): per-day exact-decimal totals, a trailing `window`-OBSERVED-

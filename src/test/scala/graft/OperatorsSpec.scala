@@ -490,6 +490,27 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     val got = TimeSeries.autocorrelation(days, "d", col("v"), maxLag = 2)
       .collect().map(r => r.getInt(0) -> r.getDouble(2)).toMap
     assert(got(1) == -1.0 && got(2) == 1.0)
+    // grouped twin: opposite rhythms per segment — alternating (acf(1)
+    // = −1) vs 4-on-4-off ramp — each row equals the global on its slice
+    val seg = Seq.tabulate(16) { i =>
+      ("alt", java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1 + i)),
+        if (i % 2 == 0) 1.0 else 2.0)
+    } ++ Seq.tabulate(16) { i =>
+      ("ramp", java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1 + i)),
+        (i % 5).toDouble)
+    }
+    val segDf = seg.toDF("g", "d", "v")
+    val grouped = TimeSeries.autocorrelationBy(segDf, "d", col("v"), "g", maxLag = 2)
+      .collect()
+    assert(grouped.map(_.getString(0)).distinct.toSeq == Seq("alt", "ramp"))
+    for (row <- grouped) {
+      val single = TimeSeries.autocorrelation(
+          segDf.filter($"g" === row.getString(0)), "d", col("v"), maxLag = 2)
+        .filter($"lag" === row.getInt(1)).head()
+      assert(row.getAs[Long]("n_pairs") == single.getAs[Long]("n_pairs"))
+      assert(row.getAs[Double]("acf") == single.getAs[Double]("acf"),
+        s"acf mismatch in ${row.getString(0)} lag ${row.getInt(1)}")
+    }
   }
 
   test("twoProportionZ: zero for equal rates, 2 for a 2v2 total split") {
