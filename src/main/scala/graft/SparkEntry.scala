@@ -1585,6 +1585,36 @@ object SparkEntry {
     // the stream never recomputes quantiles. The PSI fold runs batch-side
     // over the windowed counts, in sorted bin order — fully deterministic,
     // so the oracle replays the whole thing exactly (no booleans needed).
+    // STREAMING windowed error bars: "today's average event value is
+    // X ± Y", maintained as the day streams in — per-(window, replicate)
+    // Poisson-weighted decimal sums are the streaming-aggregation state
+    // (≤ 65 rows per window however many events flow; weights are a pure
+    // function of the event id, so the state is mergeable and micro-
+    // batch-slicing-invariant), and the CI fold runs batch-side over the
+    // windowed sums. Fully deterministic — the oracle replays the whole
+    // chain (the day-keyed grouped form of the bootstrapCiSql twin).
+    "q_events_bootstrap_stream" -> ((s, d) => {
+      val sums = EventStreams.runStreamToBatch(s, d, "q_events_bootstrap_stream_sink",
+        EventStreams.windowBootstrapSums(_))
+        .toDF("bucket", "n", "sum_v", "reps")
+      val ms = sums
+        .select(col("bucket"), explode(col("reps")).as("r"))
+        .select(col("bucket"), when(col("r.wt") > 0,
+          round(col("r.vw").cast("double") / col("r.wt"), 6)).as("m"))
+        .groupBy(col("bucket")).agg(array_sort(collect_list(col("m"))).as("ms"))
+      val r = size(col("ms"))
+      val lo = ((r * 25 + lit(999)) / lit(1000)).cast("int")
+      val hi = ((r * 975 + lit(999)) / lit(1000)).cast("int")
+      sums
+        .select(col("bucket"), col("n"),
+          round(col("sum_v").cast("double") / col("n"), 6).as("mean"))
+        .join(ms, "bucket")
+        .select(col("bucket"), col("n"), col("mean"),
+          when(r > 0, element_at(col("ms"), lo)).as("ci_lo"),
+          when(r > 0, element_at(col("ms"), hi)).as("ci_hi"))
+        .orderBy(col("bucket"))
+    }),
+
     "q_events_psi_stream" -> ((s, d) => {
       val ev = Tables.events(s, d)
       val edges = graft.operators.Robust.quantileEdges(ev, col("value"), 10)
@@ -6568,6 +6598,7 @@ object SparkEntry {
     "q_bootstrap_median" -> bootstrapMedianSql,
     "q_bootstrap_median_by_priority" -> bootstrapMedianBySql,
     "q_bootstrap_uplift" -> bootstrapUpliftSql,
+    "q_events_bootstrap_stream" -> eventsBootstrapStreamSql,
     "q_bootstrap_uplift_by_priority" -> bootstrapUpliftBySql,
 
     // Grouped twin: identical draws (the key seeds the weights, not the
@@ -7695,6 +7726,42 @@ object SparkEntry {
               ms[CAST((len(ms) * 25 + 999) // 1000 AS INT)] AS ci_lo,
               ms[CAST((len(ms) * 975 + 999) // 1000 AS INT)] AS ci_hi
        FROM t, ms"""
+  }
+
+  /** Day-windowed streaming twin of [[bootstrapCiSql]] — the grouped
+    * chain keyed by the tumbling-day bucket (Spark's epoch-aligned
+    * 1-day window start == date_trunc('day') for UTC timestamps, the
+    * q_events_tumbling convention); replays the streamed state's fold
+    * exactly because the per-(window, replicate) decimal sums are
+    * order-independent. */
+  private lazy val eventsBootstrapStreamSql: String = {
+    val w = graft.operators.Bootstrap.PoissonCutoffs
+      .map(c => s"(CASE WHEN u >= $c THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH b AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS g, event_id AS k,
+                          CAST(value AS DECIMAL(18,2)) AS v
+                   FROM events WHERE value IS NOT NULL),
+            r AS (SELECT g, v,
+                         ((k % 1000000007 + 1000000007) % 1000000007)
+                           * 2654435761 % 1000000007 AS h,
+                         unnest(range(0, 64)) AS j FROM b),
+            x AS (SELECT g, v, j, (h + j * 1000003) % 1000000007 AS x FROM r),
+            u AS (SELECT g, v, j,
+                         (((x * x) % 1000000007) * 2654435761 + x) % 1000000007 AS u
+                  FROM x),
+            w AS (SELECT g, v, j, $w AS w FROM u),
+            pr AS (SELECT g, j, CASE WHEN sum(w) > 0
+                                     THEN round(CAST(sum(v * w) AS DOUBLE) / sum(w), 6) END AS m
+                   FROM w GROUP BY 1, 2),
+            ms AS (SELECT g, list(m ORDER BY m) FILTER (WHERE m IS NOT NULL) AS ms
+                   FROM pr GROUP BY 1),
+            t AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+                         round(CAST(sum(v) AS DOUBLE) / count(*), 6) AS mean
+                  FROM b GROUP BY 1)
+       SELECT t.g AS bucket, n, mean,
+              ms.ms[CAST((len(ms.ms) * 25 + 999) // 1000 AS INT)] AS ci_lo,
+              ms.ms[CAST((len(ms.ms) * 975 + 999) // 1000 AS INT)] AS ci_hi
+       FROM t JOIN ms ON t.g = ms.g
+       ORDER BY 1"""
   }
 
   /** Grouped twin of [[bootstrapUpliftSql]] — the same two-arm replicate

@@ -114,4 +114,120 @@ object PoissonWeightSums {
     ColumnBridge.column(
       PoissonWeightSums(ColumnBridge.expression(hash), replicates, cutoffs.toArray)
         .toAggregateExpression())
+
+  /** Column entry point for the value-weighted form:
+    * `poissonWeightedSums(keyHash, cents, R, cutoffs)` →
+    * `array<struct<vw decimal(18,2), wt bigint>>` — per replicate, the
+    * exact Σ value·weight (carried as integer cents) and Σ weight. */
+  def poissonWeightedSums(
+      hash: Column, cents: Column, replicates: Int, cutoffs: Seq[Long]): Column =
+    ColumnBridge.column(
+      PoissonWeightedSums(ColumnBridge.expression(hash), ColumnBridge.expression(cents),
+        replicates, cutoffs.toArray)
+        .toAggregateExpression())
+}
+
+/** The value-weighted sibling of [[PoissonWeightSums]]: per group, ALL R
+  * per-replicate (Σ value·weight, Σ weight) pairs in one buffer — the
+  * raw-loop replacement for the explode(sequence) shape in STREAMING
+  * bootstrap state, where the R-way row fan-out costs twice over (the
+  * generate itself, then R× rows through the stateful-aggregation
+  * exchange and state store; measured 12 s vs ~2 s for the sibling
+  * streaming monitors at sf0.1). The value arrives as EXACT integer
+  * cents (the DECIMAL(18,2) money convention × 100 — an exact integer by
+  * construction); products and sums accumulate in checked Long
+  * arithmetic (Math.addExact — Σ|cents|·9 < 2⁶³ means ~10¹⁶ currency
+  * units per group, far beyond any real window; a violation fails
+  * LOUDLY, never wraps), and eval rescales to DECIMAL(18,2), so the
+  * emitted sums are bit-identical to `sum(v·w)` over the explode. */
+case class PoissonWeightedSums(
+    hashExpr: Expression,
+    centsExpr: Expression,
+    replicates: Int,
+    cutoffs: Array[Long],
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] {
+
+  require(replicates >= 1, s"poisson_weighted_sums: replicates must be >= 1, got $replicates")
+
+  private val P = 1000000007L
+  private val A = 2654435761L
+
+  override def children: Seq[Expression] = Seq(hashExpr, centsExpr)
+  override def nullable: Boolean = false
+  override def prettyName: String = "poisson_weighted_sums"
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("vw", DecimalType(18, 2), nullable = false),
+      StructField("wt", LongType, nullable = false))),
+    containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (hashExpr.dataType, centsExpr.dataType) match {
+      case (LongType, LongType) => TypeCheckSuccess
+      case (h, c) => TypeCheckFailure(
+        s"$prettyName: expects (bigint key hash, bigint cents), got " +
+          s"${h.catalogString}, ${c.catalogString}")
+    }
+
+  // layout: [0, R) value·weight cents, [R, 2R) weights
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](2 * replicates)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val hv = hashExpr.eval(input)
+    val cv = centsExpr.eval(input)
+    if (hv != null && cv != null) {
+      val h = hv.asInstanceOf[Long]
+      val cents = cv.asInstanceOf[Long]
+      var j = 0
+      while (j < replicates) {
+        val x = (h + j * 1000003L) % P
+        val u = ((x * x % P) * A + x) % P
+        var w = 0
+        var c = 0
+        while (c < cutoffs.length) { if (u >= cutoffs(c)) w += 1; c += 1 }
+        if (w > 0) {
+          buf(j) = Math.addExact(buf(j), Math.multiplyExact(cents, w.toLong))
+          buf(replicates + j) += w
+        }
+        j += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
+    var j = 0
+    while (j < 2 * replicates) { buf(j) = Math.addExact(buf(j), other(j)); j += 1 }
+    buf
+  }
+
+  override def eval(buf: Array[Long]): Any =
+    new GenericArrayData(Array.tabulate[Any](replicates) { j =>
+      InternalRow(org.apache.spark.sql.types.Decimal(
+        java.math.BigDecimal.valueOf(buf(j), 2), 18, 2), buf(replicates + j))
+    })
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(16 * replicates)
+    var j = 0
+    while (j < 2 * replicates) { bb.putLong(buf(j)); j += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val buf = new Array[Long](2 * replicates)
+    var j = 0
+    while (j < 2 * replicates) { buf(j) = bb.getLong; j += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): PoissonWeightedSums =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): PoissonWeightedSums =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): PoissonWeightedSums =
+    copy(hashExpr = c(0), centsExpr = c(1))
 }
