@@ -44,9 +44,15 @@ import graft.functions.dec2
   * integer rank targets ⌈R·α/2⌉ / ⌈R·(1−α/2)⌉ (the [[Robust]] rank
   * rule), so the whole result is bit-portable.
   *
-  * Scale shape: one pruned scan, an R-way explode into a ≤ R-group
-  * aggregate (map-side combine makes the shuffle ≤ R rows per task),
-  * one R-bounded sorted fold. The caller's `key` must be UNIQUE per row
+  * Scale shape: one pruned scan into ONE aggregation whose buffer holds
+  * all R (Σ value·weight, Σ weight) pairs
+  * ([[graft.functions.PoissonWeightedSums]], a raw loop over integer
+  * cents — the explode(sequence) → per-replicate-group predecessor paid
+  * an R-way row fan-out for sums the kernel computes bit-identically);
+  * the per-replicate means, sort, and rank picks are then array
+  * arithmetic on the result row — zero row amplification, ≤ 16·R bytes
+  * per (group, task) through the shuffle, no second aggregation or join
+  * anywhere in the family. The caller's `key` must be UNIQUE per row
   * (it seeds the row's weight stream; duplicate keys would correlate
   * draws). A replicate whose total weight lands 0 (astronomically rare
   * at any real n) yields a NULL mean and is EXCLUDED from the order
@@ -107,35 +113,38 @@ object Bootstrap {
       s"bootstrapMeanCi: alphaPct must be in [1, 50], got $alphaPct")
     val base = df.select(key.as("__k"), dec2(value).as("__v"))
       .filter(col("__v").isNotNull)
-    val tot = base.agg(
-      count(lit(1)).as("n"),
-      round(sum(col("__v")).cast(DoubleType) / count(lit(1)), 6).as("mean"))
-    val reps = base
-      .select(col("__v"), keyHash(col("__k")).as("__h"),
-        explode(sequence(lit(0), lit(replicates - 1))).as("j"))
-      .select(col("__v"), col("j"),
-        poissonWeight(replicateUniform(col("__h"), col("j"))).as("__w"))
-    val perRep = reps.groupBy(col("j")).agg(
-      sum(col("__v") * col("__w")).as("__vw"),
-      sum(col("__w").cast(LongType)).as("__wt"))
-      .select(when(col("__wt") > 0,
-        round(col("__vw").cast(DoubleType) / col("__wt"), 6)).as("m"))
-    // collect_list drops the NULL of a zero-weight replicate (the oracle
-    // filters explicitly); ranks follow the repo's discrete integer rule
+    // ONE aggregation: n + exact decimal total + ALL R (Σv·w, Σw) pairs
+    // in the raw-loop kernel buffer ([[graft.functions.PoissonWeightedSums]]
+    // — the explode(sequence) → per-j aggregate predecessor paid an R-way
+    // row fan-out for sums the kernel computes bit-identically from
+    // integer cents); the per-replicate means, sort, and rank picks are
+    // then pure ARRAY arithmetic on the one result row — no second
+    // aggregation, no join.
+    val agg = base.agg(
+      count(lit(1)).as("n"), sum(col("__v")).as("sv"),
+      graft.functions.PoissonWeightSums.poissonWeightedSums(
+        keyHash(col("__k")), (col("__v") * 100).cast(LongType),
+        replicates, PoissonCutoffs).as("reps"))
     val half = alphaPct * 5 // α/2 in permille: 5% → 25‰
-    val ms = perRep.agg(array_sort(collect_list(col("m"))).as("ms"))
+    // NULL means of zero-weight replicates filter out before the sort
+    // (the oracle filters explicitly); ranks follow the repo's discrete
+    // integer rule, ⌈r·half/1000⌉ via (x + 999) div 1000
+    val withMs = agg.select(col("n"),
+      when(col("n") > 0, round(col("sv").cast(DoubleType) / col("n"), 6)).as("mean"),
+      array_sort(filter(transform(col("reps"), rp =>
+        when(rp.getField("wt") > 0,
+          round(rp.getField("vw").cast(DoubleType) / rp.getField("wt"), 6))),
+        m => m.isNotNull)).as("ms"))
     val r = size(col("ms"))
-    // ⌈r·half/1000⌉ via (x + 999) div 1000 — exact for these magnitudes
     val lo = ((r * half + lit(999)) / lit(1000)).cast(IntegerType)
     val hi = ((r * (1000 - half) + lit(999)) / lit(1000)).cast(IntegerType)
     // Degenerate input (empty df / all-null value column) leaves `ms`
     // empty and lo = hi = 0; element_at(_, 0) is a runtime error in
     // Spark while the oracle's ms[0] is NULL — guard to the NULL-CI row
     // the oracle already produces (fail-soft: n = 0 rows tell the story).
-    tot.crossJoin(broadcast(ms))
-      .select(col("n"), col("mean"),
-        when(r > 0, element_at(col("ms"), lo)).as("ci_lo"),
-        when(r > 0, element_at(col("ms"), hi)).as("ci_hi"))
+    withMs.select(col("n"), col("mean"),
+      when(r > 0, element_at(col("ms"), lo)).as("ci_lo"),
+      when(r > 0, element_at(col("ms"), hi)).as("ci_hi"))
   }
 
   /** Bootstrap CI of the A/B EFFECT SIZE — the distribution-free
@@ -163,37 +172,39 @@ object Bootstrap {
       s"bootstrapUpliftCi: alphaPct must be in [1, 50], got $alphaPct")
     val base = df.select(key.as("__k"), arm.as("__arm"), dec2(value).as("__v"))
       .filter(col("__v").isNotNull && col("__arm").isNotNull)
-    val tot = base.agg(
+    // ONE aggregation with one arm-masked kernel per arm (a NULL cents
+    // input skips the row in that kernel — each aggregate covers exactly
+    // its arm); the per-replicate differences are a zip_with over the two
+    // R-length arrays on the one result row.
+    val agg = base.agg(
       sum(when(col("__arm") === 0, 1L).otherwise(0L)).as("n_a"),
       sum(when(col("__arm") === 1, 1L).otherwise(0L)).as("n_b"),
       sum(when(col("__arm") === 0, col("__v"))).as("__sa"),
-      sum(when(col("__arm") === 1, col("__v"))).as("__sb"))
-      .select(col("n_a"), col("n_b"),
-        when(col("n_a") > 0 && col("n_b") > 0,
-          round(col("__sb").cast(DoubleType) / col("n_b")
-            - col("__sa").cast(DoubleType) / col("n_a"), 6)).as("uplift"))
-    val reps = base
-      .select(col("__arm"), col("__v"), keyHash(col("__k")).as("__h"),
-        explode(sequence(lit(0), lit(replicates - 1))).as("j"))
-      .select(col("__arm"), col("__v"), col("j"),
-        poissonWeight(replicateUniform(col("__h"), col("j"))).as("__w"))
-    val perRep = reps.groupBy(col("j")).agg(
-      sum(when(col("__arm") === 1, col("__v") * col("__w"))).as("__vw1"),
-      sum(when(col("__arm") === 1, col("__w").cast(LongType)).otherwise(0L)).as("__w1"),
-      sum(when(col("__arm") === 0, col("__v") * col("__w"))).as("__vw0"),
-      sum(when(col("__arm") === 0, col("__w").cast(LongType)).otherwise(0L)).as("__w0"))
-      .select(when(col("__w1") > 0 && col("__w0") > 0,
-        round(col("__vw1").cast(DoubleType) / col("__w1")
-          - col("__vw0").cast(DoubleType) / col("__w0"), 6)).as("m"))
+      sum(when(col("__arm") === 1, col("__v"))).as("__sb"),
+      graft.functions.PoissonWeightSums.poissonWeightedSums(
+        keyHash(col("__k")),
+        when(col("__arm") === 0, (col("__v") * 100).cast(LongType)),
+        replicates, PoissonCutoffs).as("ra"),
+      graft.functions.PoissonWeightSums.poissonWeightedSums(
+        keyHash(col("__k")),
+        when(col("__arm") === 1, (col("__v") * 100).cast(LongType)),
+        replicates, PoissonCutoffs).as("rb"))
     val half = alphaPct * 5
-    val ms = perRep.agg(array_sort(collect_list(col("m"))).as("ms"))
+    val withMs = agg.select(col("n_a"), col("n_b"),
+      when(col("n_a") > 0 && col("n_b") > 0,
+        round(col("__sb").cast(DoubleType) / col("n_b")
+          - col("__sa").cast(DoubleType) / col("n_a"), 6)).as("uplift"),
+      array_sort(filter(zip_with(col("ra"), col("rb"), (a, b) =>
+        when(b.getField("wt") > 0 && a.getField("wt") > 0,
+          round(b.getField("vw").cast(DoubleType) / b.getField("wt")
+            - a.getField("vw").cast(DoubleType) / a.getField("wt"), 6))),
+        m => m.isNotNull)).as("ms"))
     val r = size(col("ms"))
     val lo = ((r * half + lit(999)) / lit(1000)).cast(IntegerType)
     val hi = ((r * (1000 - half) + lit(999)) / lit(1000)).cast(IntegerType)
-    tot.crossJoin(broadcast(ms))
-      .select(col("n_a"), col("n_b"), col("uplift"),
-        when(r > 0, element_at(col("ms"), lo)).as("ci_lo"),
-        when(r > 0, element_at(col("ms"), hi)).as("ci_hi"))
+    withMs.select(col("n_a"), col("n_b"), col("uplift"),
+      when(r > 0, element_at(col("ms"), lo)).as("ci_lo"),
+      when(r > 0, element_at(col("ms"), hi)).as("ci_hi"))
   }
 
   /** Per-`byCol`-segment uplift CI — error bars on the effect size in
@@ -217,35 +228,36 @@ object Bootstrap {
     val base = df.select(col(byCol).as("__g"), key.as("__k"),
         arm.as("__arm"), dec2(value).as("__v"))
       .filter(col("__v").isNotNull && col("__arm").isNotNull)
-    val tot = base.groupBy(col("__g")).agg(
+    // ONE keyed aggregation, two arm-masked kernels per segment; the
+    // per-(segment, replicate) aggregate + collect + totals join of the
+    // explode-era shape collapse into array arithmetic on each row.
+    val agg = base.groupBy(col("__g")).agg(
       sum(when(col("__arm") === 0, 1L).otherwise(0L)).as("n_a"),
       sum(when(col("__arm") === 1, 1L).otherwise(0L)).as("n_b"),
       sum(when(col("__arm") === 0, col("__v"))).as("__sa"),
-      sum(when(col("__arm") === 1, col("__v"))).as("__sb"))
-      .select(col("__g"), col("n_a"), col("n_b"),
-        when(col("n_a") > 0 && col("n_b") > 0,
-          round(col("__sb").cast(DoubleType) / col("n_b")
-            - col("__sa").cast(DoubleType) / col("n_a"), 6)).as("uplift"))
-    val reps = base
-      .select(col("__g"), col("__arm"), col("__v"), keyHash(col("__k")).as("__h"),
-        explode(sequence(lit(0), lit(replicates - 1))).as("j"))
-      .select(col("__g"), col("__arm"), col("__v"), col("j"),
-        poissonWeight(replicateUniform(col("__h"), col("j"))).as("__w"))
-    val perRep = reps.groupBy(col("__g"), col("j")).agg(
-      sum(when(col("__arm") === 1, col("__v") * col("__w"))).as("__vw1"),
-      sum(when(col("__arm") === 1, col("__w").cast(LongType)).otherwise(0L)).as("__w1"),
-      sum(when(col("__arm") === 0, col("__v") * col("__w"))).as("__vw0"),
-      sum(when(col("__arm") === 0, col("__w").cast(LongType)).otherwise(0L)).as("__w0"))
-      .select(col("__g"), when(col("__w1") > 0 && col("__w0") > 0,
-        round(col("__vw1").cast(DoubleType) / col("__w1")
-          - col("__vw0").cast(DoubleType) / col("__w0"), 6)).as("m"))
+      sum(when(col("__arm") === 1, col("__v"))).as("__sb"),
+      graft.functions.PoissonWeightSums.poissonWeightedSums(
+        keyHash(col("__k")),
+        when(col("__arm") === 0, (col("__v") * 100).cast(LongType)),
+        replicates, PoissonCutoffs).as("ra"),
+      graft.functions.PoissonWeightSums.poissonWeightedSums(
+        keyHash(col("__k")),
+        when(col("__arm") === 1, (col("__v") * 100).cast(LongType)),
+        replicates, PoissonCutoffs).as("rb"))
     val half = alphaPct * 5
-    val ms = perRep.groupBy(col("__g"))
-      .agg(array_sort(collect_list(col("m"))).as("ms"))
+    val withMs = agg.select(col("__g"), col("n_a"), col("n_b"),
+      when(col("n_a") > 0 && col("n_b") > 0,
+        round(col("__sb").cast(DoubleType) / col("n_b")
+          - col("__sa").cast(DoubleType) / col("n_a"), 6)).as("uplift"),
+      array_sort(filter(zip_with(col("ra"), col("rb"), (a, b) =>
+        when(b.getField("wt") > 0 && a.getField("wt") > 0,
+          round(b.getField("vw").cast(DoubleType) / b.getField("wt")
+            - a.getField("vw").cast(DoubleType) / a.getField("wt"), 6))),
+        m => m.isNotNull)).as("ms"))
     val r = size(col("ms"))
     val lo = ((r * half + lit(999)) / lit(1000)).cast(IntegerType)
     val hi = ((r * (1000 - half) + lit(999)) / lit(1000)).cast(IntegerType)
-    tot.join(ms, "__g")
+    withMs
       .select(col("__g").as(byCol), col("n_a"), col("n_b"), col("uplift"),
         when(r > 0, element_at(col("ms"), lo)).as("ci_lo"),
         when(r > 0, element_at(col("ms"), hi)).as("ci_hi"))
@@ -524,29 +536,29 @@ object Bootstrap {
       s"bootstrapMeanCiBy: alphaPct must be in [1, 50], got $alphaPct")
     val base = df.select(col(byCol).as("__g"), key.as("__k"), dec2(value).as("__v"))
       .filter(col("__v").isNotNull)
-    val tot = base.groupBy(col("__g")).agg(
-      count(lit(1)).as("n"),
-      round(sum(col("__v")).cast(DoubleType) / count(lit(1)), 6).as("mean"))
-    val reps = base
-      .select(col("__g"), col("__v"), keyHash(col("__k")).as("__h"),
-        explode(sequence(lit(0), lit(replicates - 1))).as("j"))
-      .select(col("__g"), col("__v"), col("j"),
-        poissonWeight(replicateUniform(col("__h"), col("j"))).as("__w"))
-    val perRep = reps.groupBy(col("__g"), col("j")).agg(
-      sum(col("__v") * col("__w")).as("__vw"),
-      sum(col("__w").cast(LongType)).as("__wt"))
-      .select(col("__g"), when(col("__wt") > 0,
-        round(col("__vw").cast(DoubleType) / col("__wt"), 6)).as("m"))
+    // ONE keyed aggregation (the kernel-buffer shape of the global form):
+    // the former per-(segment, replicate) aggregate + per-segment
+    // collect_list + totals join collapse into a single groupBy whose
+    // array columns carry everything — one shuffle instead of three.
+    val agg = base.groupBy(col("__g")).agg(
+      count(lit(1)).as("n"), sum(col("__v")).as("sv"),
+      graft.functions.PoissonWeightSums.poissonWeightedSums(
+        keyHash(col("__k")), (col("__v") * 100).cast(LongType),
+        replicates, PoissonCutoffs).as("reps"))
     val half = alphaPct * 5
-    val ms = perRep.groupBy(col("__g"))
-      .agg(array_sort(collect_list(col("m"))).as("ms"))
+    val withMs = agg.select(col("__g"), col("n"),
+      round(col("sv").cast(DoubleType) / col("n"), 6).as("mean"),
+      array_sort(filter(transform(col("reps"), rp =>
+        when(rp.getField("wt") > 0,
+          round(rp.getField("vw").cast(DoubleType) / rp.getField("wt"), 6))),
+        m => m.isNotNull)).as("ms"))
     val r = size(col("ms"))
     val lo = ((r * half + lit(999)) / lit(1000)).cast(IntegerType)
     val hi = ((r * (1000 - half) + lit(999)) / lit(1000)).cast(IntegerType)
     // Same degenerate-edge guard as the global form (a segment whose
     // every replicate lands zero total weight is astronomically rare
     // but must not crash the whole job).
-    tot.join(ms, "__g")
+    withMs
       .select(col("__g").as(byCol), col("n"), col("mean"),
         when(r > 0, element_at(col("ms"), lo)).as("ci_lo"),
         when(r > 0, element_at(col("ms"), hi)).as("ci_hi"))
