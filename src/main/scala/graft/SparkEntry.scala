@@ -2760,6 +2760,23 @@ object SparkEntry {
       graft.operators.Robust.ksStatisticBy(
         Tables.documents(s, d), col("n_chars"), col("source"), "src0", "src1", "lang")),
 
+    // Wasserstein-1 (earth-mover) drift between the two sources' length
+    // distributions — the MAGNITUDE companion to q_ks_drift: KS reports
+    // the worst ECDF gap, W1 how much mass moved times how far, in
+    // characters. Exact-integer |cumA·nB − cumB·nA|·gap summands in
+    // DECIMAL(38,0); the successor of each value rides the same
+    // two-level scan as the cumulatives (runningTotalsBy withNextV).
+    "q_wasserstein_drift" -> ((s, d) =>
+      graft.operators.Robust.wassersteinDistance(
+        Tables.documents(s, d), col("n_chars"), col("source"), "src0", "src1")),
+
+    // Per-language W1 drift — "HOW FAR did each segment's distribution
+    // move?", completing the grouped drift family's magnitude axis
+    // (ks = sup-gap, psi = binned divergence, w1 = mass × distance).
+    "q_wasserstein_drift_by_lang" -> ((s, d) =>
+      graft.operators.Robust.wassersteinDistanceBy(
+        Tables.documents(s, d), col("n_chars"), col("source"), "src0", "src1", "lang")),
+
     // Per-language Mann–Whitney U — "is the rank shift SIGNIFICANT in the
     // segment that drifted?", the question after q_ks_drift_by_lang
     // answers WHICH. Same exact-integer doubled-rank algebra as the
@@ -6285,6 +6302,46 @@ object SparkEntry {
                     FROM p GROUP BY 1 HAVING sum(ca) > 0 AND sum(cb) > 0)
          SELECT c.lang AS lang, n_a, n_b,
                 round(max(abs(CAST(sa AS DOUBLE) / n_a - CAST(sb AS DOUBLE) / n_b)), 6) AS ks_stat
+         FROM c JOIN g ON c.lang = g.lang GROUP BY 1, 2, 3 ORDER BY 1""",
+
+    // W1 as the exact integer Σ |cumA·nB − cumB·nA| · (next_v − v) in
+    // HUGEINT (mirrors the Spark DECIMAL(38,0) summand), one double
+    // division by nA·nB at the end — order-free, bit-portable.
+    "q_wasserstein_drift" ->
+      """WITH t AS (SELECT n_chars AS v, source = 'src0' AS is_a FROM documents
+                    WHERE source IN ('src0', 'src1')),
+              p AS (SELECT v, sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS ca,
+                           sum(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS cb
+                    FROM t GROUP BY v),
+              c AS (SELECT v, lead(v) OVER (ORDER BY v) AS nv,
+                           sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sa,
+                           sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sb
+                    FROM p),
+              g AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a, CAST(sum(cb) AS BIGINT) AS n_b FROM p)
+         SELECT n_a, n_b,
+                round(CAST(sum(abs(CAST(sa AS HUGEINT) * n_b - CAST(sb AS HUGEINT) * n_a)
+                             * COALESCE(CAST(nv - v AS HUGEINT), 0)) AS DOUBLE)
+                      / CAST(CAST(n_a AS HUGEINT) * n_b AS DOUBLE), 6) AS w1_dist
+         FROM c, g GROUP BY n_a, n_b""",
+
+    // Grouped twin: every window, lead and total partitioned by lang;
+    // groups missing either side drop.
+    "q_wasserstein_drift_by_lang" ->
+      """WITH t AS (SELECT lang, n_chars AS v, source = 'src0' AS is_a FROM documents
+                    WHERE source IN ('src0', 'src1')),
+              p AS (SELECT lang, v, sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS ca,
+                           sum(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS cb
+                    FROM t GROUP BY 1, 2),
+              c AS (SELECT lang, v, lead(v) OVER (PARTITION BY lang ORDER BY v) AS nv,
+                           sum(ca) OVER (PARTITION BY lang ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sa,
+                           sum(cb) OVER (PARTITION BY lang ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sb
+                    FROM p),
+              g AS (SELECT lang, CAST(sum(ca) AS BIGINT) AS n_a, CAST(sum(cb) AS BIGINT) AS n_b
+                    FROM p GROUP BY 1 HAVING sum(ca) > 0 AND sum(cb) > 0)
+         SELECT c.lang AS lang, n_a, n_b,
+                round(CAST(sum(abs(CAST(sa AS HUGEINT) * n_b - CAST(sb AS HUGEINT) * n_a)
+                             * COALESCE(CAST(nv - v AS HUGEINT), 0)) AS DOUBLE)
+                      / CAST(CAST(n_a AS HUGEINT) * n_b AS DOUBLE), 6) AS w1_dist
          FROM c JOIN g ON c.lang = g.lang GROUP BY 1, 2, 3 ORDER BY 1""",
 
     "q_pagerank" -> pageRankSql,

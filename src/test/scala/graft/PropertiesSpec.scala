@@ -567,6 +567,53 @@ class PropertiesSpec extends AnyFunSuite with SparkSpec {
     assert(Robust.robustStats(base, "g", col("v")).count() == 1L)
   }
 
+  test("Wasserstein-1 matches a first-principles reference; grouped twin per group") {
+    import graft.operators.Robust
+    val rows = sample(Gen.listOfN(600, for {
+      g <- Gen.oneOf("de", "en", "fr")
+      s <- Gen.oneOf("s0", "s1")
+      v <- Gen.choose(0, 80)
+    } yield (g, s, v))) ++
+      List.tabulate(10)(i => ("zz", "s0", i)) // one-sided group: dropped
+    val df = rows.toDF("lang", "src", "v")
+    // first-principles: W1 = sum over sorted distinct values of
+    // |Fa - Fb| * gap, in exact rational arithmetic
+    def refW1(xs: Seq[Int], ys: Seq[Int]): Double = {
+      val vs = (xs ++ ys).distinct.sorted
+      val (na, nb) = (xs.size.toLong, ys.size.toLong)
+      val num = vs.zip(vs.tail).map { case (v, nv) =>
+        val ca = xs.count(_ <= v).toLong; val cb = ys.count(_ <= v).toLong
+        (ca * nb - cb * na).abs * (nv - v)
+      }.sum
+      BigDecimal(num.toDouble / (na * nb).toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val global = Robust.wassersteinDistance(df, $"v", $"src", "s0", "s1").collect()(0)
+    val (xs, ys) = (rows.collect { case (_, "s0", v) => v },
+      rows.collect { case (_, "s1", v) => v })
+    assert(global.getAs[Double]("w1_dist") == refW1(xs, ys))
+    assert(global.getAs[Long]("n_a") == xs.size && global.getAs[Long]("n_b") == ys.size)
+    // identical distributions → zero distance
+    val same = rows.map { case (g, _, v) => (g, "s0", v) } ++
+      rows.map { case (g, _, v) => (g, "s1", v) }
+    assert(Robust.wassersteinDistance(same.toDF("lang", "src", "v"),
+      $"v", $"src", "s0", "s1").collect()(0).getAs[Double]("w1_dist") == 0.0)
+    // grouped twin: per-group equality with the global operator run on
+    // that group alone; the one-sided zz group drops
+    val grouped = Robust.wassersteinDistanceBy(
+      df, $"v", $"src", "s0", "s1", "lang").collect()
+    assert(grouped.map(_.getString(0)).toSet == Set("de", "en", "fr"))
+    for (r <- grouped) {
+      val g = r.getString(0)
+      val single = Robust.wassersteinDistance(
+        df.filter($"lang" === g), $"v", $"src", "s0", "s1").collect()(0)
+      for (c <- Seq("n_a", "n_b"))
+        assert(r.getAs[Long](c) == single.getAs[Long](c), s"$c mismatch in $g")
+      assert(r.getAs[Double]("w1_dist") == single.getAs[Double]("w1_dist"),
+        s"w1 mismatch in $g")
+    }
+  }
+
   test("grouped KS, PSI and Spearman match their global twins per group") {
     import graft.operators.Robust
     val rows = sample(Gen.listOfN(600, for {
