@@ -2902,6 +2902,22 @@ object SparkEntry {
         Tables.orders(s, d), col("o_orderpriority"), col("o_orderdate"),
         col("o_totalprice"))),
 
+    // CUSUM changepoint on daily order revenue — "WHEN did the level
+    // shift?" (rolling_anomaly flags off-band days but absorbs a
+    // sustained step into its own baseline). D-scaled exact-integer
+    // statistic D·cum − i·T in DECIMAL(38,0) cents; argmax over the
+    // day-domain, divisions only on the winning row.
+    "q_cusum_changepoint" -> ((s, d) =>
+      graft.operators.TimeSeries.cusumChangepoint(
+        Tables.orders(s, d), col("o_orderdate"), col("o_totalprice"))),
+
+    // Per-priority CUSUM changepoint — each segment's own step date (a
+    // segment's step smears into a ramp inside the global total).
+    "q_cusum_changepoint_by_priority" -> ((s, d) =>
+      graft.operators.TimeSeries.cusumChangepointBy(
+        Tables.orders(s, d), col("o_orderpriority"), col("o_orderdate"),
+        col("o_totalprice"))),
+
     // Two-proportion z-test: arms by user-id parity, success = a purchase
     // within 24 h of the user's first event (exact µs integer cutoffs).
     "q_ab_test" -> ((s, d) => {
@@ -6580,6 +6596,51 @@ object SparkEntry {
                 abs(CAST(rc AS DOUBLE) / 100.0 - CAST(s AS DOUBLE) / 2800.0)
                   > 3.0 * (sqrt(CAST(28 * ss - s * s AS DOUBLE) / 756.0) / 100.0) AS is_anomaly
          FROM w WHERE c = 28 ORDER BY segment, day""",
+
+    // Same D-scaled exact-integer CUSUM statistic in HUGEINT; argmax via
+    // ORDER BY stat DESC, day ASC LIMIT 1; divisions on the winner only.
+    "q_cusum_changepoint" ->
+      """WITH s AS (SELECT CAST(o_orderdate AS DATE) AS d,
+                           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS rev
+                    FROM orders GROUP BY 1),
+              e AS (SELECT d, CAST(rev * 100 AS HUGEINT) AS rc FROM s),
+              c AS (SELECT d, rc,
+                           CAST(row_number() OVER (ORDER BY d) AS HUGEINT) AS i,
+                           CAST(sum(rc) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS HUGEINT) AS cum
+                    FROM e),
+              g AS (SELECT CAST(count(*) AS HUGEINT) AS dd, CAST(sum(rc) AS HUGEINT) AS t FROM e),
+              k AS (SELECT d, i, cum, dd, t, abs(dd * cum - i * t) AS stat FROM c, g)
+         SELECT CAST(dd AS BIGINT) AS n_days, CAST(d AS TIMESTAMP) AS cp_day,
+                round(CAST(stat AS DOUBLE) / (CAST(dd AS DOUBLE) * 100.0), 6) AS cusum_max,
+                round(CAST(cum AS DOUBLE) / (CAST(i AS DOUBLE) * 100.0), 6) AS mean_before,
+                CASE WHEN dd > i THEN
+                  round(CAST(t - cum AS DOUBLE) / (CAST(dd - i AS DOUBLE) * 100.0), 6)
+                END AS mean_after
+         FROM k ORDER BY stat DESC, d ASC LIMIT 1""",
+
+    // Grouped twin: pre-agg, cumulatives, totals and the argmax pick all
+    // partitioned by the order priority.
+    "q_cusum_changepoint_by_priority" ->
+      """WITH s AS (SELECT o_orderpriority AS seg, CAST(o_orderdate AS DATE) AS d,
+                           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS rev
+                    FROM orders GROUP BY 1, 2),
+              e AS (SELECT seg, d, CAST(rev * 100 AS HUGEINT) AS rc FROM s),
+              c AS (SELECT seg, d, rc,
+                           CAST(row_number() OVER (PARTITION BY seg ORDER BY d) AS HUGEINT) AS i,
+                           CAST(sum(rc) OVER (PARTITION BY seg ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS HUGEINT) AS cum
+                    FROM e),
+              g AS (SELECT seg, CAST(count(*) AS HUGEINT) AS dd, CAST(sum(rc) AS HUGEINT) AS t
+                    FROM e GROUP BY 1),
+              k AS (SELECT c.seg, d, i, cum, dd, t, abs(dd * cum - i * t) AS stat,
+                           row_number() OVER (PARTITION BY c.seg ORDER BY abs(dd * cum - i * t) DESC, d ASC) AS rn
+                    FROM c JOIN g ON c.seg = g.seg)
+         SELECT seg AS segment, CAST(dd AS BIGINT) AS n_days, CAST(d AS TIMESTAMP) AS cp_day,
+                round(CAST(stat AS DOUBLE) / (CAST(dd AS DOUBLE) * 100.0), 6) AS cusum_max,
+                round(CAST(cum AS DOUBLE) / (CAST(i AS DOUBLE) * 100.0), 6) AS mean_before,
+                CASE WHEN dd > i THEN
+                  round(CAST(t - cum AS DOUBLE) / (CAST(dd - i AS DOUBLE) * 100.0), 6)
+                END AS mean_after
+         FROM k WHERE rn = 1 ORDER BY segment""",
 
     // Same exact-integer counts and the same double expression tree for z.
     "q_ab_test" ->

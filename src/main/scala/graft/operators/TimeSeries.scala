@@ -239,6 +239,108 @@ object TimeSeries {
       .orderBy(col("segment"), col("day"))
   }
 
+  /** CUSUM changepoint detection over a daily money metric — the "WHEN
+    * did the level shift?" companion to [[rollingAnomaly]] (which flags
+    * WHICH days sit off their trailing band but is blind to a sustained
+    * step: after `window` days the new level IS the baseline). The
+    * classic offline CUSUM estimator: S_d = Σ_{i≤d}(x_i − x̄) peaks at
+    * the day the mean changed; the changepoint estimate is
+    * argmax_d |S_d| (ties → earliest day), `cusum_max` = max |S_d| its
+    * magnitude in money units, and the level before/after the estimated
+    * change quantifies the shift ("revenue stepped from A to B on day
+    * X" — Page 1954, the textbook single-changepoint recipe).
+    *
+    * Scale + exactness shape: the raw scan collapses to the bounded DAY
+    * domain first (one keyed shuffle; the global ordered windows sit on
+    * that aggregation-bounded table — the repo's window discipline), and
+    * the statistic is computed SCALED BY D to stay integer: D·S_d =
+    * D·cum_d − d·T in exact DECIMAL(38,0) cents (≤ 10²³ at 10⁵ days ×
+    * 10¹⁸ cents — argmax is invariant to the positive scaling, so no
+    * division happens before the pick); the winning row divides ONCE
+    * per output column — bit-portable against a HUGEINT oracle. The
+    * final day always has S_D = 0, so a constant series reports its
+    * first day with `cusum_max` 0. */
+  def cusumChangepoint(
+      df: DataFrame, dateCol: Column, moneyValue: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.dec2
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val series = df.groupBy(to_date(dateCol).as("d"))
+      .agg(sum(dec2(moneyValue)).cast("decimal(18,2)").as("rev"))
+      .withColumn("__rc", (col("rev") * 100).cast(dec38))
+      .localCheckpoint(false) // two consumers (cum rows + totals) of one pre-agg
+    val w = Window.orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = series
+      .withColumn("__i", count(lit(1)).over(w).cast(dec38))
+      .withColumn("__cum", sum(col("__rc")).over(w))
+    val tot = series.agg(
+      count(lit(1)).cast(dec38).as("__dd"), sum(col("__rc")).as("__t"))
+    val scored = cum.crossJoin(broadcast(tot))
+      .withColumn("__stat", abs(col("__dd") * col("__cum") - col("__i") * col("__t")))
+    scored
+      .orderBy(col("__stat").desc, col("d").asc)
+      .limit(1)
+      .select(
+        col("__dd").cast("long").as("n_days"),
+        col("d").cast("timestamp").as("cp_day"),
+        round(col("__stat").cast(DoubleType) /
+          (col("__dd").cast(DoubleType) * lit(100.0)), 6).as("cusum_max"),
+        round(col("__cum").cast(DoubleType) /
+          (col("__i").cast(DoubleType) * lit(100.0)), 6).as("mean_before"),
+        when(col("__dd") > col("__i"),
+          round((col("__t") - col("__cum")).cast(DoubleType) /
+            ((col("__dd") - col("__i")).cast(DoubleType) * lit(100.0)), 6))
+          .as("mean_after"))
+  }
+
+  /** Per-`segmentCol` CUSUM changepoint — each segment's own "when did
+    * MY level shift?" (a segment's step change smears into a ramp inside
+    * the global total; the grouped-gate convention). Exactly
+    * [[cusumChangepoint]]'s D-scaled integer algebra with the segment
+    * riding every key: per-(segment, day) pre-agg first, cumulatives and
+    * ranks partitioned by segment over the calendar-bounded domain,
+    * per-segment totals from the same pre-agg, and the per-segment
+    * argmax picked by one ranked window over that bounded table (ties →
+    * earliest day). */
+  def cusumChangepointBy(
+      df: DataFrame, segmentCol: Column, dateCol: Column,
+      moneyValue: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.dec2
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val series = df.groupBy(segmentCol.as("seg"), to_date(dateCol).as("d"))
+      .agg(sum(dec2(moneyValue)).cast("decimal(18,2)").as("rev"))
+      .withColumn("__rc", (col("rev") * 100).cast(dec38))
+      .localCheckpoint(false) // two consumers (cum rows + totals) of one pre-agg
+    val w = Window.partitionBy(col("seg")).orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = series
+      .withColumn("__i", count(lit(1)).over(w).cast(dec38))
+      .withColumn("__cum", sum(col("__rc")).over(w))
+    val tot = series.groupBy(col("seg"))
+      .agg(count(lit(1)).cast(dec38).as("__dd"), sum(col("__rc")).as("__t"))
+    val wPick = Window.partitionBy(col("seg"))
+      .orderBy(col("__stat").desc, col("d").asc)
+    cum.join(broadcast(tot), "seg")
+      .withColumn("__stat", abs(col("__dd") * col("__cum") - col("__i") * col("__t")))
+      .withColumn("__rn", row_number().over(wPick))
+      .filter(col("__rn") === 1)
+      .select(
+        col("seg").as("segment"),
+        col("__dd").cast("long").as("n_days"),
+        col("d").cast("timestamp").as("cp_day"),
+        round(col("__stat").cast(DoubleType) /
+          (col("__dd").cast(DoubleType) * lit(100.0)), 6).as("cusum_max"),
+        round(col("__cum").cast(DoubleType) /
+          (col("__i").cast(DoubleType) * lit(100.0)), 6).as("mean_before"),
+        when(col("__dd") > col("__i"),
+          round((col("__t") - col("__cum")).cast(DoubleType) /
+            ((col("__dd") - col("__i")).cast(DoubleType) * lit(100.0)), 6))
+          .as("mean_after"))
+      .orderBy(col("segment"))
+  }
+
   /** Last-touch revenue attribution: each `convType` event credits its
     * value to the LATEST `touchTypes` event by the same user at or before
     * it and within `windowMinutes`; conversions with no qualifying touch

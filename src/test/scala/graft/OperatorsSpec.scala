@@ -820,6 +820,53 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(spike.getAs[Double]("roll_mean") == 101.0) // 5×100 + 5×102 over 10
   }
 
+  test("cusumChangepoint finds a planted step; grouped twin per segment") {
+    import graft.operators.TimeSeries
+    def day(i: Int) = java.sql.Timestamp.valueOf(
+      java.time.LocalDate.of(2024, 1, 1).plusDays(i.toLong).atStartOfDay)
+    // 60 days at 100, then 60 days at 150: |S_d| peaks exactly at the
+    // last day of the old level (day 60, i.e. Feb 29)
+    val step = (0 until 120).map(i => (day(i), if (i < 60) 100.0 else 150.0))
+    val got = TimeSeries.cusumChangepoint(
+      step.toDF("ts", "v"), col("ts"), col("v")).collect()(0)
+    assert(got.getAs[Long]("n_days") == 120)
+    assert(got.getAs[java.sql.Timestamp]("cp_day") == day(59))
+    assert(got.getAs[Double]("mean_before") == 100.0)
+    assert(got.getAs[Double]("mean_after") == 150.0)
+    // cusum_max = 60·|100 − 125| = 1500 (mean = 125)
+    assert(got.getAs[Double]("cusum_max") == 1500.0)
+    // constant series: every S_d = 0 → earliest day wins, magnitude 0,
+    // and mean_after is NULL only when the pick is the final day (here
+    // the FIRST day wins the tie, so both levels exist)
+    val const = (0 until 10).map(i => (day(i), 7.0))
+    val c = TimeSeries.cusumChangepoint(
+      const.toDF("ts", "v"), col("ts"), col("v")).collect()(0)
+    assert(c.getAs[java.sql.Timestamp]("cp_day") == day(0))
+    assert(c.getAs[Double]("cusum_max") == 0.0)
+    // one-day series: the pick IS the final day → mean_after NULL
+    val one = TimeSeries.cusumChangepoint(
+      Seq((day(0), 5.0)).toDF("ts", "v"), col("ts"), col("v")).collect()(0)
+    assert(one.getAs[Double]("cusum_max") == 0.0 && one.isNullAt(one.fieldIndex("mean_after")))
+    // grouped twin: two segments stepping on DIFFERENT days both recover
+    // their own changepoint, equal to the global operator per segment
+    val seg = step.map { case (t, v) => ("a", t, v) } ++
+      (0 until 120).map(i => ("b", day(i), if (i < 90) 200.0 else 120.0))
+    val df = seg.toDF("seg", "ts", "v")
+    val grouped = TimeSeries.cusumChangepointBy(
+      df, col("seg"), col("ts"), col("v")).collect()
+    assert(grouped.map(_.getString(0)).toSeq == Seq("a", "b"))
+    for (r <- grouped) {
+      val single = TimeSeries.cusumChangepoint(
+        df.filter(col("seg") === r.getString(0)), col("ts"), col("v")).collect()(0)
+      for (c <- Seq("cusum_max", "mean_before", "mean_after"))
+        assert(r.getAs[Double](c) == single.getAs[Double](c), s"$c in ${r.getString(0)}")
+      assert(r.getAs[java.sql.Timestamp]("cp_day") ==
+        single.getAs[java.sql.Timestamp]("cp_day"))
+    }
+    assert(grouped.find(_.getString(0) == "b").get
+      .getAs[java.sql.Timestamp]("cp_day") == day(89))
+  }
+
   test("bootstrapMeanCi: degenerate data collapses the CI; spread data brackets the mean") {
     import graft.operators.Bootstrap
     // cutoff sanity: monotone inverse-CDF thresholds, head at e^-1
