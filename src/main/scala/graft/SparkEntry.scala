@@ -3861,6 +3861,21 @@ object SparkEntry {
       graft.operators.Robust.mannWhitneyU(
         Tables.lineitem(s, d), col("l_quantity"), col("l_returnflag"), "A", "N")),
 
+    // Cliff's delta on the same A-vs-N split — the EFFECT-SIZE companion
+    // to q_mann_whitney (at corpus n everything is significant; δ =
+    // P(a>b) − P(a<b) says how big and which way). Exact-integer
+    // dominance sums in DECIMAL(38,0), one division.
+    "q_cliffs_delta" -> ((s, d) =>
+      graft.operators.Robust.cliffsDelta(
+        Tables.lineitem(s, d), col("l_quantity"), col("l_returnflag"), "A", "N")),
+
+    // Per-language Cliff's delta between the two sources — the
+    // effect-size column of the per-segment drift dashboard (ks = gap,
+    // mw = significance, w1 = distance, δ = dominance + direction).
+    "q_cliffs_delta_by_lang" -> ((s, d) =>
+      graft.operators.Robust.cliffsDeltaBy(
+        Tables.documents(s, d), col("n_chars"), col("source"), "src0", "src1", "lang")),
+
     // Kendall τ-b of quantity vs the 10k-bucketed extended price — the
     // tie-robust ordinal association on a bounded contingency-cell
     // domain (≤ 50 × ~7 cells): pair counts are an O(cells²) fold over
@@ -7246,6 +7261,46 @@ object SparkEntry {
                       / sqrt(na * nb / 12.0 * ((na + nb + 1.0)
                              - CAST(tie3 AS DOUBLE) / ((na + nb) * (na + nb - 1.0)))), 6) AS z_stat
          FROM z ORDER BY 1""",
+
+    // Dominance sums in HUGEINT (operand cast BEFORE the multiply),
+    // mirroring the operator's DECIMAL(38,0) path; one double division.
+    "q_cliffs_delta" ->
+      """WITH t AS (SELECT l_quantity AS v, l_returnflag = 'A' AS is_a
+                    FROM lineitem WHERE l_returnflag IN ('A', 'N')),
+              pv AS (SELECT v,
+                            CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+                            CAST(sum(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS BIGINT) AS cb
+                     FROM t GROUP BY v),
+              r AS (SELECT *, sum(cb) OVER (ORDER BY v
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb
+                    FROM pv),
+              a AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a, CAST(sum(cb) AS BIGINT) AS n_b,
+                           CAST(sum(CAST(ca AS HUGEINT) * (CAST(cumb AS HUGEINT) * 2 - cb)) AS HUGEINT) AS s
+                    FROM r)
+         SELECT n_a, n_b,
+                round(CAST(s - CAST(n_a AS HUGEINT) * n_b AS DOUBLE)
+                      / CAST(CAST(n_a AS HUGEINT) * n_b AS DOUBLE), 6) AS cliffs_delta
+         FROM a""",
+
+    // Grouped twin: every window and aggregate partitioned by lang;
+    // one-sided languages drop.
+    "q_cliffs_delta_by_lang" ->
+      """WITH t AS (SELECT lang AS g, n_chars AS v, source = 'src0' AS is_a
+                    FROM documents WHERE source IN ('src0', 'src1')),
+              pv AS (SELECT g, v,
+                            CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+                            CAST(sum(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS BIGINT) AS cb
+                     FROM t GROUP BY 1, 2),
+              r AS (SELECT *, sum(cb) OVER (PARTITION BY g ORDER BY v
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb
+                    FROM pv),
+              a AS (SELECT g, CAST(sum(ca) AS BIGINT) AS n_a, CAST(sum(cb) AS BIGINT) AS n_b,
+                           CAST(sum(CAST(ca AS HUGEINT) * (CAST(cumb AS HUGEINT) * 2 - cb)) AS HUGEINT) AS s
+                    FROM r GROUP BY 1 HAVING sum(ca) > 0 AND sum(cb) > 0)
+         SELECT g AS lang, n_a, n_b,
+                round(CAST(s - CAST(n_a AS HUGEINT) * n_b AS DOUBLE)
+                      / CAST(CAST(n_a AS HUGEINT) * n_b AS DOUBLE), 6) AS cliffs_delta
+         FROM a ORDER BY 1""",
 
     "q_pca_top" -> pcaTopSql,
     "q_pca_by_label" -> pcaTopByLabelSql,

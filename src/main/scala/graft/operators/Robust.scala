@@ -973,6 +973,67 @@ object Robust {
       .orderBy(byCol)
   }
 
+  /** Cliff's delta — the EFFECT-SIZE companion to [[mannWhitneyU]]: the
+    * U test answers "is the rank shift significant?" (at corpus n,
+    * everything is), δ = P(a > b) − P(a < b) ∈ [−1, 1] answers "how BIG
+    * is it?" — the dominance probability difference, distribution-free
+    * and tie-aware (Cliff 1993; |δ| < .147 negligible, < .33 small,
+    * < .474 medium — the standard bands). Computed EXACTLY from the same
+    * per-distinct-value cumulative algebra: Σ_v ca(v)·(belowB(v) −
+    * aboveB(v)) with belowB = cumB⁻, aboveB = n_b − cumB, an exact
+    * integer in DECIMAL(38,0) (the [[mannWhitneyU]]
+    * decimal-before-multiply discipline; ties contribute zero by
+    * construction), divided ONCE by n_a·n_b — bit-portable. Same scale
+    * shape as the U statistic: per-value counts aggregate distributed,
+    * cumulatives via the two-level scan, one summary row out. */
+  def cliffsDelta(
+      df: DataFrame, value: Column, groupCol: Column,
+      groupA: String, groupB: String): DataFrame =
+    cliffsDeltaCore(df, value, groupCol, groupA, groupB, None)
+
+  /** Per-`byCol`-group Cliff's delta — "how big is the shift in EACH
+    * segment?", the effect-size column of the per-segment drift
+    * dashboard ([[ksStatisticBy]] gap, [[mannWhitneyUBy]] significance,
+    * [[wassersteinDistanceBy]] distance — δ adds the direction-and-
+    * dominance view). Same exact-integer algebra with the group riding
+    * every key; one-sided groups DROP (the grouped-gate contract). */
+  def cliffsDeltaBy(
+      df: DataFrame, value: Column, splitCol: Column,
+      groupA: String, groupB: String, byCol: String): DataFrame =
+    cliffsDeltaCore(df, value, splitCol, groupA, groupB, Some(byCol))
+
+  private def cliffsDeltaCore(
+      df: DataFrame, value: Column, splitCol: Column,
+      groupA: String, groupB: String, byColOpt: Option[String]): DataFrame = {
+    val by = byColOpt.toSeq
+    val tagged = df
+      .filter(splitCol.isin(groupA, groupB))
+      .select(by.map(c => col(c).as("__g")) ++
+        Seq(value.as("v"), (splitCol === groupA).as("is_a")): _*)
+    val gKey = by.map(_ => "__g")
+    val perValue = tagged.groupBy((gKey :+ "v").map(col): _*).agg(
+      sum(when(col("is_a"), 1L).otherwise(0L)).as("ca"),
+      sum(when(!col("is_a"), 1L).otherwise(0L)).as("cb"))
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val ranked = runningTotalsBy(perValue, gKey, Seq("ca", "cb"))
+    // belowB − aboveB = (cumB − cb) − (n_b − cumB) = 2·cumB − cb − n_b;
+    // n_b folds in AFTER aggregation: Σ ca·(2·cumB − cb) − n_a·n_b
+    val agg = ranked.groupBy(gKey.map(col): _*).agg(
+      sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"),
+      sum(col("ca").cast(dec38) *
+        (col("cum_cb").cast(dec38) * 2 - col("cb"))).as("__s"))
+      .filter(col("n_a") > 0 && col("n_b") > 0)
+    val nab = col("n_a").cast(dec38) * col("n_b")
+    val out = agg.select(gKey.map(col) ++ Seq(col("n_a"), col("n_b"),
+      round((col("__s") - nab).cast(DoubleType) / nab.cast(DoubleType), 6)
+        .as("cliffs_delta")): _*)
+    byColOpt match {
+      case Some(b) =>
+        out.select(col("__g").as(b), col("n_a"), col("n_b"), col("cliffs_delta")).orderBy(b)
+      case None => out
+    }
+  }
+
   /** Population Stability Index between the `value` distributions of a
     * REFERENCE group and a CURRENT group — the production drift gate run
     * between yesterday's corpus and today's refresh (PSI < 0.1 stable,

@@ -614,6 +614,45 @@ class PropertiesSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("Cliff's delta matches brute-force pair counting; grouped twin per group") {
+    import graft.operators.Robust
+    val rows = sample(Gen.listOfN(400, for {
+      g <- Gen.oneOf("de", "en", "fr")
+      s <- Gen.oneOf("s0", "s1")
+      v <- Gen.choose(0, 30) // narrow domain → heavy ties
+    } yield (g, s, v))) ++
+      List.tabulate(8)(i => ("zz", "s0", i)) // one-sided group: dropped
+    val df = rows.toDF("lang", "src", "v")
+    // brute force: delta = (#(a>b) - #(a<b)) / (na*nb), ties contribute 0
+    def refDelta(xs: Seq[Int], ys: Seq[Int]): Double = {
+      val num = (for (a <- xs; b <- ys) yield
+        if (a > b) 1L else if (a < b) -1L else 0L).sum
+      BigDecimal(num.toDouble / (xs.size.toLong * ys.size).toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val (xs, ys) = (rows.collect { case (_, "s0", v) => v },
+      rows.collect { case (_, "s1", v) => v })
+    val global = Robust.cliffsDelta(df, $"v", $"src", "s0", "s1").collect()(0)
+    assert(global.getAs[Double]("cliffs_delta") == refDelta(xs, ys))
+    // total dominance: disjoint supports → delta = ±1 exactly
+    val dom = (1 to 50).map(i => ("x", "s0", i + 100)) ++
+      (1 to 70).map(i => ("x", "s1", i))
+    assert(Robust.cliffsDelta(dom.toDF("lang", "src", "v"), $"v", $"src",
+      "s0", "s1").collect()(0).getAs[Double]("cliffs_delta") == 1.0)
+    // grouped twin per group; zz drops
+    val grouped = Robust.cliffsDeltaBy(df, $"v", $"src", "s0", "s1", "lang").collect()
+    assert(grouped.map(_.getString(0)).toSet == Set("de", "en", "fr"))
+    for (r <- grouped) {
+      val g = r.getString(0)
+      val single = Robust.cliffsDelta(
+        df.filter($"lang" === g), $"v", $"src", "s0", "s1").collect()(0)
+      for (c <- Seq("n_a", "n_b"))
+        assert(r.getAs[Long](c) == single.getAs[Long](c), s"$c mismatch in $g")
+      assert(r.getAs[Double]("cliffs_delta") == single.getAs[Double]("cliffs_delta"),
+        s"delta mismatch in $g")
+    }
+  }
+
   test("grouped KS, PSI and Spearman match their global twins per group") {
     import graft.operators.Robust
     val rows = sample(Gen.listOfN(600, for {
