@@ -2844,9 +2844,19 @@ object SparkEntry {
       graft.operators.Robust.mutualInformation(Tables.documents(s, d), "lang", "source")),
 
     // Chi-square independence statistic lang ↔ source (the significance
-    // companion to q_mutual_info; same sorted-cell fold determinism).
+    // companion to q_mutual_info; same sorted-cell fold determinism),
+    // plus Cramér's V — χ² normalized to a [0,1] effect size.
     "q_chi_square" -> ((s, d) =>
       graft.operators.Robust.chiSquare(Tables.documents(s, d), "lang", "source")),
+
+    // Per-year chi-square of status ↔ priority — "does the association
+    // hold in EVERY period, or is the global χ² a mixture artifact?"
+    // (Simpson's-paradox screening); per-(year, x, y) cells distributed,
+    // per-year sorted fold under the guardedCellsBy ceiling.
+    "q_chi_square_by_year" -> ((s, d) =>
+      graft.operators.Robust.chiSquareBy(
+        Tables.orders(s, d).withColumn("order_year", year(col("o_orderdate")).cast("int")),
+        "o_orderstatus", "o_orderpriority", "order_year")),
 
     // Per-source Jensen–Shannon divergence from the corpus unigram
     // distribution over the global top-256 vocabulary + residual bucket —
@@ -6546,10 +6556,10 @@ object SparkEntry {
     "q_chi_square" ->
       """WITH cells AS (SELECT lang AS x, source AS y, count(*) AS cnt FROM documents GROUP BY 1, 2),
               one AS (SELECT list_sort(list({'x': x, 'y': y, 'cnt': cnt})) AS cs,
-                             CAST(sum(cnt) AS BIGINT) AS n FROM cells)
-         SELECT n AS n_rows,
-                CAST((len(list_distinct(list_transform(cs, c -> c.x))) - 1)
-                     * (len(list_distinct(list_transform(cs, c -> c.y))) - 1) AS BIGINT) AS dof,
+                             CAST(sum(cnt) AS BIGINT) AS n FROM cells),
+              s AS (SELECT n,
+                len(list_distinct(list_transform(cs, c -> c.x))) AS nx,
+                len(list_distinct(list_transform(cs, c -> c.y))) AS ny,
                 round(list_sum(list_transform(cs, c ->
                   (CAST(c.cnt AS DOUBLE)
                    - CAST(list_sum(list_transform(list_filter(cs, x -> x.x = c.x), t -> t.cnt)) AS DOUBLE)
@@ -6566,7 +6576,46 @@ object SparkEntry {
                       CAST(list_sum(list_transform(list_filter(cs, x -> x.x = c.x), t -> t.cnt)) AS DOUBLE)
                       * CAST(list_sum(list_transform(list_filter(cs, x -> x.y = c.y), t -> t.cnt)) AS DOUBLE)
                       / CAST(n AS DOUBLE)))), 6) AS chi2
-         FROM one""",
+                FROM one)
+         SELECT n AS n_rows, CAST((nx - 1) * (ny - 1) AS BIGINT) AS dof, chi2,
+                CASE WHEN least(nx - 1, ny - 1) > 0 THEN
+                  round(sqrt(chi2 / (CAST(n AS DOUBLE) * least(nx - 1, ny - 1))), 6)
+                END AS cramers_v
+         FROM s""",
+
+    // Grouped twin: the identical sorted-cell fold per order year; V from
+    // the rounded chi2, the same two-step chain as the operator.
+    "q_chi_square_by_year" ->
+      """WITH cells AS (SELECT CAST(year(o_orderdate) AS INT) AS g, o_orderstatus AS x,
+                               o_orderpriority AS y, count(*) AS cnt
+                        FROM orders GROUP BY 1, 2, 3),
+              one AS (SELECT g, list_sort(list({'x': x, 'y': y, 'cnt': cnt})) AS cs,
+                             CAST(sum(cnt) AS BIGINT) AS n FROM cells GROUP BY 1),
+              s AS (SELECT g, n,
+                len(list_distinct(list_transform(cs, c -> c.x))) AS nx,
+                len(list_distinct(list_transform(cs, c -> c.y))) AS ny,
+                round(list_sum(list_transform(cs, c ->
+                  (CAST(c.cnt AS DOUBLE)
+                   - CAST(list_sum(list_transform(list_filter(cs, x -> x.x = c.x), t -> t.cnt)) AS DOUBLE)
+                     * CAST(list_sum(list_transform(list_filter(cs, x -> x.y = c.y), t -> t.cnt)) AS DOUBLE)
+                     / CAST(n AS DOUBLE))
+                  * (CAST(c.cnt AS DOUBLE)
+                     - CAST(list_sum(list_transform(list_filter(cs, x -> x.x = c.x), t -> t.cnt)) AS DOUBLE)
+                       * CAST(list_sum(list_transform(list_filter(cs, x -> x.y = c.y), t -> t.cnt)) AS DOUBLE)
+                       / CAST(n AS DOUBLE))
+                  / (CAST(list_sum(list_transform(list_filter(cs, x -> x.x = c.x), t -> t.cnt)) AS DOUBLE)
+                     * CAST(list_sum(list_transform(list_filter(cs, x -> x.y = c.y), t -> t.cnt)) AS DOUBLE)
+                     / CAST(n AS DOUBLE))))
+                  + (CAST(n AS DOUBLE) - list_sum(list_transform(cs, c ->
+                      CAST(list_sum(list_transform(list_filter(cs, x -> x.x = c.x), t -> t.cnt)) AS DOUBLE)
+                      * CAST(list_sum(list_transform(list_filter(cs, x -> x.y = c.y), t -> t.cnt)) AS DOUBLE)
+                      / CAST(n AS DOUBLE)))), 6) AS chi2
+                FROM one)
+         SELECT g AS order_year, n AS n_rows, CAST((nx - 1) * (ny - 1) AS BIGINT) AS dof, chi2,
+                CASE WHEN least(nx - 1, ny - 1) > 0 THEN
+                  round(sqrt(chi2 / (CAST(n AS DOUBLE) * least(nx - 1, ny - 1))), 6)
+                END AS cramers_v
+         FROM s ORDER BY 1""",
 
     "q_acf" -> acfSql,
     "q_acf_by_priority" -> acfBySql,

@@ -757,10 +757,62 @@ object Robust {
       acc + marg("x", c) * marg("y", c) / nD)
     val nx = size(array_distinct(transform(col("cs"), c => c.getField("x"))))
     val ny = size(array_distinct(transform(col("cs"), c => c.getField("y"))))
+    // Cramér's V normalizes χ² to [0, 1] effect size; derived from the
+    // 6-dp-ROUNDED χ² so the two-step chain replays identically in SQL.
+    // A single-category axis has no association to normalize → NULL.
+    val chi2r = round(chiObs + (nD - expObs), 6)
+    val minDim = least(nx - 1, ny - 1).cast(DoubleType)
     one.select(
       col("n").as("n_rows"),
       ((nx - 1) * (ny - 1)).cast(LongType).as("dof"),
-      round(chiObs + (nD - expObs), 6).as("chi2"))
+      chi2r.as("chi2"),
+      when(minDim > 0, round(sqrt(chi2r / (nD * minDim)), 6)).as("cramers_v"))
+  }
+
+  /** Per-`byCol`-segment chi-square independence + Cramér's V — "does
+    * the X↔Y association hold in EVERY segment, or is the global χ² a
+    * mixture artifact?" (Simpson's-paradox screening — an association
+    * can reverse inside segments while the pooled table shows none; the
+    * grouped-gate convention applied to the categorical-association
+    * family next to [[kendallTauBBy]]). Exactly [[chiSquare]] per
+    * segment: per-(segment, x, y) cells aggregate distributed (one
+    * keyed shuffle), each segment's bounded cell table collapses to one
+    * sorted array ([[guardedCellsBy]] ceiling — fail-loud, never a
+    * silent mega-fold), and the χ² fold runs in sorted order so the
+    * floating-point sum replays bit-identically in SQL. V derives from
+    * the rounded χ² (the global chain); single-category axes give NULL
+    * V within their segment. */
+  def chiSquareBy(df: DataFrame, xCol: String, yCol: String, byCol: String): DataFrame = {
+    val cells = guardedCellsBy(
+      df.select(col(byCol).as("__g"), col(xCol).as("x"), col(yCol).as("y"))
+        .filter(col("x").isNotNull && col("y").isNotNull)
+        .groupBy(col("__g"), col("x"), col("y")).agg(count(lit(1)).as("cnt")),
+      "chiSquareBy")
+    val one = cells.groupBy(col("__g")).agg(
+      array_sort(collect_list(struct(col("x"), col("y"), col("cnt")))).as("cs"),
+      sum(col("cnt")).as("n"))
+    val nD = col("n").cast(DoubleType)
+    val marg = (field: String, c: Column) => aggregate(
+      filter(col("cs"), x => x.getField(field) === c.getField(field)),
+      lit(0L), (a, x) => a + x.getField("cnt")).cast(DoubleType)
+    val chiObs = aggregate(col("cs"), lit(0.0), (acc, c) => {
+      val obs = c.getField("cnt").cast(DoubleType)
+      val exp = marg("x", c) * marg("y", c) / nD
+      acc + (obs - exp) * (obs - exp) / exp
+    })
+    val expObs = aggregate(col("cs"), lit(0.0), (acc, c) =>
+      acc + marg("x", c) * marg("y", c) / nD)
+    val nx = size(array_distinct(transform(col("cs"), c => c.getField("x"))))
+    val ny = size(array_distinct(transform(col("cs"), c => c.getField("y"))))
+    val chi2r = round(chiObs + (nD - expObs), 6)
+    val minDim = least(nx - 1, ny - 1).cast(DoubleType)
+    one.select(
+      col("__g").as(byCol),
+      col("n").as("n_rows"),
+      ((nx - 1) * (ny - 1)).cast(LongType).as("dof"),
+      chi2r.as("chi2"),
+      when(minDim > 0, round(sqrt(chi2r / (nD * minDim)), 6)).as("cramers_v"))
+      .orderBy(byCol)
   }
 
   /** Two-proportion z-test between arms A and B: per-arm trial/success

@@ -479,6 +479,28 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     val dep = (Seq.fill(5)(("a", "u")) ++ Seq.fill(5)(("b", "v"))).toDF("x", "y")
     val r1 = Robust.chiSquare(dep, "x", "y").head()
     assert(r1.getDouble(2) == 10.0) // chi2 = n for a perfect 2x2 association
+    // Cramér's V: 1 for the bijection, 0 under independence; NULL when
+    // an axis has a single category (nothing to normalize)
+    assert(r1.getAs[Double]("cramers_v") == 1.0)
+    assert(r0.getAs[Double]("cramers_v") == 0.0)
+    val flat = Seq.fill(6)(("a", "u")).toDF("x", "y")
+    assert(Robust.chiSquare(flat, "x", "y").head().isNullAt(3))
+    // grouped twin: one independent segment, one bijective segment —
+    // each row equals the global operator on its slice
+    val seg = (for { x <- Seq("a", "b"); y <- Seq("u", "v"); _ <- 1 to 5 }
+      yield ("s1", x, y)) ++
+      (Seq.fill(5)(("s2", "a", "u")) ++ Seq.fill(5)(("s2", "b", "v")))
+    val df = seg.toDF("seg", "x", "y")
+    val grouped = Robust.chiSquareBy(df, "x", "y", "seg").collect()
+    assert(grouped.map(_.getString(0)).toSeq == Seq("s1", "s2"))
+    for (r <- grouped) {
+      val single = Robust.chiSquare(
+        df.filter(col("seg") === r.getString(0)), "x", "y").head()
+      assert(r.getAs[Long]("n_rows") == single.getAs[Long]("n_rows"))
+      assert(r.getAs[Long]("dof") == single.getAs[Long]("dof"))
+      assert(r.getAs[Double]("chi2") == single.getAs[Double]("chi2"))
+      assert(r.getAs[Double]("cramers_v") == single.getAs[Double]("cramers_v"))
+    }
   }
 
   test("autocorrelation: alternating series gives acf(1) = -1, acf(2) = 1") {
