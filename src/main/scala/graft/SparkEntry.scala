@@ -2843,6 +2843,15 @@ object SparkEntry {
     "q_mutual_info" -> ((s, d) =>
       graft.operators.Robust.mutualInformation(Tables.documents(s, d), "lang", "source")),
 
+    // Per-year MI status ↔ priority — the leakage probe per period,
+    // completing the grouped association trio (chi2By significance,
+    // kendallBy ordinal, miBy information); per-year sorted folds under
+    // the guardedCellsBy ceiling.
+    "q_mutual_info_by_year" -> ((s, d) =>
+      graft.operators.Robust.mutualInformationBy(
+        Tables.orders(s, d).withColumn("order_year", year(col("o_orderdate")).cast("int")),
+        "o_orderstatus", "o_orderpriority", "order_year")),
+
     // Chi-square independence statistic lang ↔ source (the significance
     // companion to q_mutual_info; same sorted-cell fold determinism),
     // plus Cramér's V — χ² normalized to a [0,1] effect size.
@@ -6443,6 +6452,21 @@ object SparkEntry {
                        / (CAST(list_sum(list_transform(list_filter(cs, x -> x.x = c.x), t -> t.cnt)) AS DOUBLE)
                           * CAST(list_sum(list_transform(list_filter(cs, x -> x.y = c.y), t -> t.cnt)) AS DOUBLE))))), 6) AS mi_nats
          FROM one""",
+
+    // Grouped twin: the identical sorted-cell MI fold per order year.
+    "q_mutual_info_by_year" ->
+      """WITH cells AS (SELECT CAST(year(o_orderdate) AS INT) AS g, o_orderstatus AS x,
+                               o_orderpriority AS y, count(*) AS cnt
+                        FROM orders GROUP BY 1, 2, 3),
+              one AS (SELECT g, list_sort(list({'x': x, 'y': y, 'cnt': cnt})) AS cs,
+                             CAST(sum(cnt) AS BIGINT) AS n FROM cells GROUP BY 1)
+         SELECT g AS order_year, n AS n_rows,
+                round(list_sum(list_transform(cs, c ->
+                  (CAST(c.cnt AS DOUBLE) / CAST(n AS DOUBLE))
+                  * ln(CAST(c.cnt AS DOUBLE) * CAST(n AS DOUBLE)
+                       / (CAST(list_sum(list_transform(list_filter(cs, x -> x.x = c.x), t -> t.cnt)) AS DOUBLE)
+                          * CAST(list_sum(list_transform(list_filter(cs, x -> x.y = c.y), t -> t.cnt)) AS DOUBLE))))), 6) AS mi_nats
+         FROM one ORDER BY 1""",
 
     // Same sorted-vocab fold as the Spark HOF; the residual bucket is one
     // closed-form term added AFTER the list_sum, on both engines.

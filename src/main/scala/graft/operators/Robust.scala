@@ -726,6 +726,41 @@ object Robust {
     one.select(col("n").as("n_rows"), round(mi, 6).as("mi_nats"))
   }
 
+  /** Per-`byCol`-segment mutual information — the leakage probe run in
+    * EVERY segment (completing the grouped categorical-association trio
+    * with [[chiSquareBy]] and [[kendallTauBBy]]: a pooled MI of ~0 can
+    * hide segments where X fully determines Y, and vice versa — the
+    * mixture artifact the grouped-gate convention exists to expose).
+    * Exactly [[mutualInformation]] per segment: per-(segment, x, y)
+    * cells aggregate distributed, each segment's bounded cell table
+    * collapses to one sorted array ([[guardedCellsBy]] ceiling), and
+    * the MI fold runs in sorted order — bit-replayable in SQL. */
+  def mutualInformationBy(
+      df: DataFrame, xCol: String, yCol: String, byCol: String): DataFrame = {
+    val cells = guardedCellsBy(
+      df.select(col(byCol).as("__g"), col(xCol).as("x"), col(yCol).as("y"))
+        .filter(col("x").isNotNull && col("y").isNotNull)
+        .groupBy(col("__g"), col("x"), col("y")).agg(count(lit(1)).as("cnt")),
+      "mutualInformationBy")
+    val one = cells.groupBy(col("__g")).agg(
+      array_sort(collect_list(struct(col("x"), col("y"), col("cnt")))).as("cs"),
+      sum(col("cnt")).as("n"))
+    val nD = col("n").cast(DoubleType)
+    val mi = aggregate(col("cs"), lit(0.0), (acc, c) => {
+      val cnt = c.getField("cnt").cast(DoubleType)
+      val px = aggregate(
+        filter(col("cs"), x => x.getField("x") === c.getField("x")),
+        lit(0L), (a, x) => a + x.getField("cnt")).cast(DoubleType)
+      val py = aggregate(
+        filter(col("cs"), x => x.getField("y") === c.getField("y")),
+        lit(0L), (a, x) => a + x.getField("cnt")).cast(DoubleType)
+      acc + (cnt / nD) * log(cnt * nD / (px * py))
+    })
+    one.select(col("__g").as(byCol), col("n").as("n_rows"),
+        round(mi, 6).as("mi_nats"))
+      .orderBy(byCol)
+  }
+
   /** Pearson chi-square statistic of independence between two categorical
     * columns (the significance companion to [[mutualInformation]]): χ² =
     * Σ (obs − exp)²/exp with exp = row·col/N, plus the degrees of freedom

@@ -468,6 +468,21 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     val dep = (Seq.fill(5)(("a", "u")) ++ Seq.fill(5)(("b", "v"))).toDF("x", "y")
     val mi = Robust.mutualInformation(dep, "x", "y").head().getDouble(1)
     assert(math.abs(mi - math.log(2)) < 1e-6)
+    // grouped twin: a pooled-independent mixture whose SEGMENTS are each
+    // fully dependent (the Simpson screening case the By form exists for)
+    val seg = (Seq.fill(5)(("s1", "a", "u")) ++ Seq.fill(5)(("s1", "b", "v")) ++
+      Seq.fill(5)(("s2", "a", "v")) ++ Seq.fill(5)(("s2", "b", "u")))
+    val df = seg.toDF("seg", "x", "y")
+    assert(Robust.mutualInformation(df, "x", "y").head().getDouble(1) == 0.0)
+    val grouped = Robust.mutualInformationBy(df, "x", "y", "seg").collect()
+    assert(grouped.map(_.getString(0)).toSeq == Seq("s1", "s2"))
+    for (r <- grouped) {
+      val single = Robust.mutualInformation(
+        df.filter(col("seg") === r.getString(0)), "x", "y").head()
+      assert(r.getAs[Long]("n_rows") == single.getAs[Long]("n_rows"))
+      assert(r.getAs[Double]("mi_nats") == single.getAs[Double]("mi_nats"))
+      assert(math.abs(r.getAs[Double]("mi_nats") - math.log(2)) < 1e-6)
+    }
   }
 
   test("chiSquare: 0 under independence, n for a 2x2 bijection") {
