@@ -1650,6 +1650,19 @@ object SparkEntry {
         .orderBy(col("bucket"))
     }),
 
+    // Streaming CUSUM changepoint monitor: the stream maintains per-day
+    // (n, exact-decimal Σ) state — ONE row per day however many events
+    // flow — and the D-scaled argmax fold runs batch-side over the
+    // calendar-bounded sink through the SAME TimeSeries.cusumChangepoint
+    // the batch gate uses (parity by construction). Answers "did the
+    // daily value level STEP, and on which day?" as the stream runs.
+    "q_events_cusum_stream" -> ((s, d) => {
+      val sums = EventStreams.runStreamToBatch(s, d, "q_events_cusum_stream_sink",
+        EventStreams.windowDailyMoneySums(_))
+        .toDF("bucket", "n", "rev")
+      graft.operators.TimeSeries.cusumChangepoint(sums, col("bucket"), col("rev"))
+    }),
+
     // Stream-static enrichment: streaming events broadcast-joined to a
     // static category dim, then daily windowed aggregation — the in-flight
     // reference-data join (dim re-resolved per micro-batch, no join state).
@@ -6729,6 +6742,29 @@ object SparkEntry {
                   round(CAST(t - cum AS DOUBLE) / (CAST(dd - i AS DOUBLE) * 100.0), 6)
                 END AS mean_after
          FROM k WHERE rn = 1 ORDER BY segment""",
+
+    // Streaming twin of the CUSUM recipe over events.value: the oracle
+    // replays the whole chain from the raw table — per-day decimal sums,
+    // D-scaled HUGEINT statistic, argmax pick (micro-batch slicing
+    // cannot change a per-day sum, so stream and batch agree exactly).
+    "q_events_cusum_stream" ->
+      """WITH s AS (SELECT CAST(ts AS DATE) AS d,
+                           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS rev
+                    FROM events WHERE value IS NOT NULL GROUP BY 1),
+              e AS (SELECT d, CAST(rev * 100 AS HUGEINT) AS rc FROM s),
+              c AS (SELECT d, rc,
+                           CAST(row_number() OVER (ORDER BY d) AS HUGEINT) AS i,
+                           CAST(sum(rc) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS HUGEINT) AS cum
+                    FROM e),
+              g AS (SELECT CAST(count(*) AS HUGEINT) AS dd, CAST(sum(rc) AS HUGEINT) AS t FROM e),
+              k AS (SELECT d, i, cum, dd, t, abs(dd * cum - i * t) AS stat FROM c, g)
+         SELECT CAST(dd AS BIGINT) AS n_days, CAST(d AS TIMESTAMP) AS cp_day,
+                round(CAST(stat AS DOUBLE) / (CAST(dd AS DOUBLE) * 100.0), 6) AS cusum_max,
+                round(CAST(cum AS DOUBLE) / (CAST(i AS DOUBLE) * 100.0), 6) AS mean_before,
+                CASE WHEN dd > i THEN
+                  round(CAST(t - cum AS DOUBLE) / (CAST(dd - i AS DOUBLE) * 100.0), 6)
+                END AS mean_after
+         FROM k ORDER BY stat DESC, d ASC LIMIT 1""",
 
     // Same exact-integer counts and the same double expression tree for z.
     "q_ab_test" ->

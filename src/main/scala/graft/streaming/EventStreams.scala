@@ -552,6 +552,23 @@ object EventStreams {
       .select(col("window.start").as("bucket"), col("n"), col("sum_v"), col("reps"))
   }
 
+  /** Per-day exact-decimal value sums — the streaming half of the CUSUM
+    * changepoint monitor ("did the metric's LEVEL shift, and when?"
+    * maintained as days stream in): state is ONE (n, Σ decimal) row per
+    * day however many events flow (the [[windowPsiCounts]] bounded-state
+    * discipline), and the argmax fold itself runs batch-side over the
+    * calendar-bounded sink via the SAME
+    * [[graft.operators.TimeSeries.cusumChangepoint]] operator the batch
+    * gate uses — parity with the batch form by construction, not by
+    * re-implementation. */
+  def windowDailyMoneySums(events: DataFrame, width: String = "1 day"): DataFrame =
+    events
+      .filter(col("value").isNotNull)
+      .groupBy(window(col("ts"), width))
+      .agg(count(lit(1)).as("n"),
+        sum(graft.functions.dec2(col("value"))).cast("decimal(18,2)").as("rev"))
+      .select(col("window.start").as("bucket"), col("n"), col("rev"))
+
   /** Sliding-window aggregation — each event lands in width/slide buckets. */
   def slidingCounts(events: DataFrame, width: String = "1 hour", slide: String = "15 minutes"): DataFrame =
     events

@@ -450,6 +450,36 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming daily sums feed the batch CUSUM: split-invariant, step recovered") {
+    // two micro-batches split MID-DAY: the per-day (n, decimal sum) state
+    // must equal the batch daily agg of the union, and the batch-side
+    // CUSUM fold over the sink must locate the planted level step
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val q = EventStreams.windowDailyMoneySums(ms.toDF().withWatermark("ts", "10 minutes"))
+      .writeStream.format("memory").queryName("cusum_stream_out").outputMode("complete").start()
+    try {
+      // days 1-3 at 100/day (two 50s), days 4-6 at 300/day (two 150s);
+      // the first batch ends halfway through day 2
+      val evs = (0 until 6).flatMap(day => Seq(0, 1).map(h =>
+        ev(day * 2 + h + 1, f"2024-01-0${day + 1}%d 0$h%d:00:00", 1,
+          if (day < 3) 50.0 else 150.0)))
+      ms.addData(evs.take(3): _*)
+      q.processAllAvailable()
+      ms.addData(evs.drop(3): _*)
+      q.processAllAvailable()
+      val sums = spark.table("cusum_stream_out").toDF("bucket", "n", "rev")
+      assert(sums.count() == 6)
+      assert(sums.orderBy($"bucket").collect().map(_.getAs[java.math.BigDecimal]("rev").doubleValue()).toSeq
+        == Seq(100.0, 100.0, 100.0, 300.0, 300.0, 300.0))
+      val cp = graft.operators.TimeSeries.cusumChangepoint(
+        sums, col("bucket"), col("rev")).collect()(0)
+      assert(cp.getAs[Timestamp]("cp_day") == Timestamp.valueOf("2024-01-03 00:00:00"))
+      assert(cp.getAs[Double]("mean_before") == 100.0 &&
+        cp.getAs[Double]("mean_after") == 300.0)
+    } finally q.stop()
+  }
+
   test("forward as-of join picks the earliest right row at or after each left row") {
     val events = Seq(
       ev(1, "2024-01-01 00:00:00", 1, 0).copy(event_type = "click"),
