@@ -2800,6 +2800,17 @@ object SparkEntry {
       graft.operators.Robust.mannWhitneyUBy(
         Tables.documents(s, d), col("n_chars"), col("source"), "src0", "src1", "lang")),
 
+    // Benjamini–Hochberg FDR over the per-language MW z's — the
+    // multiple-testing meta-gate the per-segment dashboard needs (50
+    // segments at α=.05 expect 2-3 false alarms from noise). Two-sided
+    // p via the A&S 7.1.26 erfc chain (spelled once, replayed in SQL),
+    // step-up running min over the segment-bounded domain.
+    "q_fdr_mw_by_lang" -> ((s, d) =>
+      graft.operators.Robust.fdrAdjust(
+        graft.operators.Robust.mannWhitneyUBy(
+          Tables.documents(s, d), col("n_chars"), col("source"), "src0", "src1", "lang"),
+        "lang", "z_stat")),
+
     // Population Stability Index — the production drift gate (reference-
     // quantile bins, smoothed proportions); complements KS (max ECDF gap)
     // and Mann-Whitney (rank shift) with the binned-divergence view.
@@ -7347,29 +7358,34 @@ object SparkEntry {
     // Grouped twin: identical exact-integer rank algebra with every
     // window, aggregate and moment partitioned by lang; one-sided
     // languages drop (HAVING both sides present).
-    "q_mann_whitney_by_lang" ->
-      """WITH t AS (SELECT lang AS g, n_chars AS v, source = 'src0' AS is_a
-                    FROM documents WHERE source IN ('src0', 'src1')),
-              pv AS (SELECT g, v,
-                            CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
-                            CAST(sum(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS BIGINT) AS cb
-                     FROM t GROUP BY 1, 2),
-              r AS (SELECT *, coalesce(sum(ca + cb) OVER (PARTITION BY g ORDER BY v
-                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
-                    FROM pv),
-              a AS (SELECT g, CAST(sum(ca) AS BIGINT) AS n_a, CAST(sum(cb) AS BIGINT) AS n_b,
-                           CAST(sum(CAST(ca AS HUGEINT) * (CAST(below AS HUGEINT) * 2 + ca + cb + 1)) AS HUGEINT) AS r2a,
-                           CAST(sum(CAST(ca + cb AS HUGEINT) * (ca + cb) * (ca + cb) - (ca + cb)) AS HUGEINT) AS tie3
-                    FROM r GROUP BY 1
-                    HAVING sum(ca) > 0 AND sum(cb) > 0),
-              z AS (SELECT g, n_a, n_b, r2a - n_a * (n_a + 1) AS u2a, tie3,
-                           CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb
-                    FROM a)
-         SELECT g AS lang, n_a, n_b, CAST(u2a AS BIGINT) AS u2_a,
-                round((CAST(u2a AS DOUBLE) / 2.0 - na * nb / 2.0)
-                      / sqrt(na * nb / 12.0 * ((na + nb + 1.0)
-                             - CAST(tie3 AS DOUBLE) / ((na + nb) * (na + nb - 1.0)))), 6) AS z_stat
-         FROM z ORDER BY 1""",
+    "q_mann_whitney_by_lang" -> mwByLangSql,
+
+    // BH-FDR over the per-language MW z's: the same grouped-gate SQL as
+    // a nested CTE, then the identical A&S 7.1.26 erfc Horner chain and
+    // the p-descending running-min step-up (ties rank by key on both
+    // engines). The z feeding p is the 6-dp ROUNDED gate output.
+    "q_fdr_mw_by_lang" ->
+      s"""WITH base AS ($mwByLangSql),
+              st AS (SELECT lang, z_stat,
+                            abs(z_stat) / sqrt(2.0) AS x,
+                            CAST(count(*) OVER () AS BIGINT) AS m
+                     FROM base WHERE z_stat IS NOT NULL),
+              p AS (SELECT lang, z_stat, m,
+                           (1.0 / (1.0 + 0.3275911 * x))
+                           * (0.254829592 + (1.0 / (1.0 + 0.3275911 * x)) * (-0.284496736
+                              + (1.0 / (1.0 + 0.3275911 * x)) * (1.421413741
+                                + (1.0 / (1.0 + 0.3275911 * x)) * (-1.453152027
+                                  + (1.0 / (1.0 + 0.3275911 * x)) * 1.061405429))))
+                           * exp(-x * x) AS pv
+                    FROM st),
+              r AS (SELECT *, row_number() OVER (ORDER BY pv DESC, lang DESC) AS rn FROM p),
+              a AS (SELECT *, least(1.0, min(pv * m / (m - rn + 1)) OVER (
+                              ORDER BY pv DESC, lang DESC
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS adj
+                    FROM r)
+         SELECT lang, z_stat, round(pv, 6) AS p_value, round(adj, 6) AS p_adj,
+                adj <= 0.05 AS significant
+         FROM a ORDER BY lang""",
 
     // Dominance sums in HUGEINT (operand cast BEFORE the multiply),
     // mirroring the operator's DECIMAL(38,0) path; one double division.
@@ -8124,6 +8140,33 @@ object SparkEntry {
        FROM t JOIN ms ON t.g = ms.g
        ORDER BY 1"""
   }
+
+  /** The q_mann_whitney_by_lang oracle, shared verbatim with the FDR
+    * meta-gate's nested CTE (q_fdr_mw_by_lang) — one spelling, two
+    * consumers, so the gate and its correction can never drift. */
+  private val mwByLangSql: String =
+    """WITH t AS (SELECT lang AS g, n_chars AS v, source = 'src0' AS is_a
+                  FROM documents WHERE source IN ('src0', 'src1')),
+            pv AS (SELECT g, v,
+                          CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+                          CAST(sum(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS BIGINT) AS cb
+                   FROM t GROUP BY 1, 2),
+            r AS (SELECT *, coalesce(sum(ca + cb) OVER (PARTITION BY g ORDER BY v
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+                  FROM pv),
+            a AS (SELECT g, CAST(sum(ca) AS BIGINT) AS n_a, CAST(sum(cb) AS BIGINT) AS n_b,
+                         CAST(sum(CAST(ca AS HUGEINT) * (CAST(below AS HUGEINT) * 2 + ca + cb + 1)) AS HUGEINT) AS r2a,
+                         CAST(sum(CAST(ca + cb AS HUGEINT) * (ca + cb) * (ca + cb) - (ca + cb)) AS HUGEINT) AS tie3
+                  FROM r GROUP BY 1
+                  HAVING sum(ca) > 0 AND sum(cb) > 0),
+            z AS (SELECT g, n_a, n_b, r2a - n_a * (n_a + 1) AS u2a, tie3,
+                         CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb
+                  FROM a)
+       SELECT g AS lang, n_a, n_b, CAST(u2a AS BIGINT) AS u2_a,
+              round((CAST(u2a AS DOUBLE) / 2.0 - na * nb / 2.0)
+                    / sqrt(na * nb / 12.0 * ((na + nb + 1.0)
+                           - CAST(tie3 AS DOUBLE) / ((na + nb) * (na + nb - 1.0)))), 6) AS z_stat
+       FROM z ORDER BY 1"""
 
   private def pcaTopSql: String = {
     val head =

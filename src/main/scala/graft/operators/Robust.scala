@@ -1121,6 +1121,60 @@ object Robust {
     }
   }
 
+  /** Two-sided normal p-value from a z statistic — p = erfc(|z|/√2) via
+    * the Abramowitz–Stegun 7.1.26 rational approximation (|ε| ≤ 1.5e−7,
+    * far below any decision threshold): a fixed Horner chain over five
+    * published constants and one exp, spelled ONCE and replayed
+    * verbatim in the SQL oracle — the repo's spell-the-chain discipline
+    * applied to the one special function the test family needs. */
+  def pValueTwoSided(z: Column): Column = {
+    val x = abs(z) / lit(math.sqrt(2.0))
+    val t = lit(1.0) / (lit(1.0) + lit(0.3275911) * x)
+    val poly = t * (lit(0.254829592) + t * (lit(-0.284496736) +
+      t * (lit(1.421413741) + t * (lit(-1.453152027) + t * lit(1.061405429)))))
+    poly * exp(-x * x)
+  }
+
+  /** Benjamini–Hochberg FDR adjustment over a grouped gate's per-segment
+    * z statistics — the MISSING META-GATE of the per-segment dashboard:
+    * running [[mannWhitneyUBy]] / [[welchTBy]] across 50 segments at
+    * α = .05 expects 2-3 false alarms from pure noise; BH (1995) is the
+    * standard step-up control of the expected false-discovery fraction.
+    * Per segment: the two-sided p ([[pValueTwoSided]]), the adjusted
+    * p_adj(i) = min_{j≥i} p_(j)·m/j clamped to 1 (computed as a running
+    * min over the p-DESCENDING order — the textbook step-up traversal),
+    * and the α-level significance flag.
+    *
+    * INPUT CONTRACT: `stats` is the segment-bounded OUTPUT of a grouped
+    * gate (one row per segment — model-sized by the grouped-gate
+    * construction), so the single ordered window here runs over ≤
+    * |segments| rows, the [[graft.operators.TimeSeries.rollingAnomaly]]
+    * bounded-domain window discipline — never point this at row-sized
+    * data. Segments with a NULL statistic (e.g. an all-tied group's
+    * z) carry no evidence and DROP before ranking; ties in p order by
+    * the segment key so both engines rank identically. */
+  def fdrAdjust(
+      stats: DataFrame, keyCol: String, zCol: String,
+      alphaPct: Int = 5): DataFrame = {
+    require(alphaPct >= 1 && alphaPct <= 50,
+      s"fdrAdjust: alphaPct must be in [1, 50], got $alphaPct")
+    val base = stats.select(col(keyCol).as("__k"), col(zCol).as("__z"))
+      .filter(col("__z").isNotNull)
+      .withColumn("__p", pValueTwoSided(col("__z")))
+    val tot = base.agg(count(lit(1)).as("__m"))
+    val wDesc = Window.orderBy(col("__p").desc, col("__k").desc)
+    val wMin = wDesc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base.crossJoin(broadcast(tot))
+      .withColumn("__rn", row_number().over(wDesc)) // 1 = largest p
+      .withColumn("__adj", least(lit(1.0),
+        min(col("__p") * col("__m") / (col("__m") - col("__rn") + 1)).over(wMin)))
+      .select(col("__k").as(keyCol), col("__z").as(zCol),
+        round(col("__p"), 6).as("p_value"),
+        round(col("__adj"), 6).as("p_adj"),
+        (col("__adj") <= lit(alphaPct / 100.0)).as("significant"))
+      .orderBy(keyCol)
+  }
+
   /** Population Stability Index between the `value` distributions of a
     * REFERENCE group and a CURRENT group — the production drift gate run
     * between yesterday's corpus and today's refresh (PSI < 0.1 stable,

@@ -653,6 +653,56 @@ class PropertiesSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("FDR meta-gate: p-values match the normal tail, BH matches first principles") {
+    import graft.operators.Robust
+    // A&S 7.1.26 accuracy: |erfc error| <= 1.5e-7 against known normal
+    // two-sided tails
+    val zs = Seq(0.0 -> 1.0, 1.959963985 -> 0.05, 2.5758293 -> 0.01,
+      -1.6448536 -> 0.1, 3.2905267 -> 0.001)
+    val pdf = zs.map(_._1).toDF("z")
+      .select(col("z"), Robust.pValueTwoSided(col("z")).as("p")).collect()
+      .map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    for ((z, want) <- zs)
+      assert(math.abs(pdf(z) - want) < 3e-7, s"p($z) = ${pdf(z)}, want ~$want")
+    // BH against first principles: p_adj(i) = min_{j>=i} p_(j)*m/j, clamp 1
+    val stats = Seq[(String, java.lang.Double)](
+      ("s1", 3.2905267), ("s2", 1.959963985), ("s3", 0.5),
+      ("s4", -2.5758293), ("s5", 0.1), ("s6", null))
+      .toDF("seg", "z")
+    val got = Robust.fdrAdjust(stats, "seg", "z").collect()
+    assert(got.map(_.getString(0)).toSeq == Seq("s1", "s2", "s3", "s4", "s5")) // null z drops
+    val ps = got.map(r => r.getString(0) -> r.getAs[Double]("p_value")).toMap
+    // reference BH over the UNROUNDED p's recomputed here from the same chain
+    def p(z: Double): Double = {
+      val x = math.abs(z) / math.sqrt(2.0)
+      val t = 1.0 / (1.0 + 0.3275911 * x)
+      val poly = t * (0.254829592 + t * (-0.284496736 +
+        t * (1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+      poly * math.exp(-x * x)
+    }
+    val raw = Seq("s1" -> p(3.2905267), "s2" -> p(1.959963985), "s3" -> p(0.5),
+      "s4" -> p(-2.5758293), "s5" -> p(0.1))
+    val m = raw.size
+    val asc = raw.sortBy(_._2)
+    val adj = asc.zipWithIndex.map { case ((k, pv), i) =>
+      k -> math.min(1.0,
+        asc.drop(i).zipWithIndex.map { case ((_, pj), d) => pj * m / (i + d + 1) }.min)
+    }.toMap
+    for (r <- got) {
+      val k = r.getString(0)
+      assert(math.abs(r.getAs[Double]("p_adj") -
+        BigDecimal(adj(k)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) <= 1e-6,
+        s"p_adj($k) = ${r.getAs[Double]("p_adj")}, want ${adj(k)}")
+      assert(math.abs(ps(k) -
+        BigDecimal(raw.toMap.apply(k)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) <= 1e-6)
+      assert(r.getAs[Boolean]("significant") == (adj(k) <= 0.05))
+    }
+    // p_adj >= p everywhere, and the step-up never exceeds 1
+    for (r <- got)
+      assert(r.getAs[Double]("p_adj") >= r.getAs[Double]("p_value") - 1e-9 &&
+        r.getAs[Double]("p_adj") <= 1.0)
+  }
+
   test("grouped KS, PSI and Spearman match their global twins per group") {
     import graft.operators.Robust
     val rows = sample(Gen.listOfN(600, for {
