@@ -3098,6 +3098,21 @@ object SparkEntry {
         Tables.orders(s, d), col("o_orderkey"), col("o_totalprice"),
         "o_orderpriority")),
 
+    // One-way ANOVA F across the five order priorities — the k-sample
+    // screen BEFORE pairwise tests + FDR ("does price differ across ANY
+    // priority?"). One keyed aggregation of exact decimal moments,
+    // sorted ≤ k-row fold, F chain spelled once.
+    "q_anova_f" -> ((s, d) =>
+      graft.operators.Robust.anovaF(
+        Tables.orders(s, d), col("o_totalprice"), col("o_orderpriority"))),
+
+    // Kruskal–Wallis H across the three return flags — the nonparametric
+    // k-sample companion (exact doubled-rank algebra generalized from
+    // Mann–Whitney; heavy integer ties exercise the average-rank path).
+    "q_kruskal_wallis" -> ((s, d) =>
+      graft.operators.Robust.kruskalWallis(
+        Tables.lineitem(s, d), col("l_quantity"), col("l_returnflag"))),
+
     // Per-priority Welch t — the heterogeneous-treatment-effect screen:
     // is the A/B effect uniform across order priorities, or driven by
     // one? Same exact-decimal moments with the segment riding the one
@@ -6857,6 +6872,65 @@ object SparkEntry {
     // Grouped twin: identical draws (the key seeds the weights, not the
     // segment), every sum/fold/rank pick partitioned by the priority.
     "q_bootstrap_ci_by_priority" -> bootstrapCiBySql,
+
+    // Same exact-decimal per-group moments, same sorted-group fold for
+    // the Σ S²/n term, identical F chain.
+    "q_anova_f" ->
+      """WITH g AS (SELECT CAST(o_orderpriority AS VARCHAR) AS g,
+                           CAST(count(*) AS BIGINT) AS n,
+                           sum(CAST(o_totalprice AS DECIMAL(18,2))) AS s,
+                           sum(CAST(o_totalprice AS DECIMAL(18,2))
+                               * CAST(o_totalprice AS DECIMAL(18,2))) AS ss
+                    FROM orders WHERE o_totalprice IS NOT NULL AND o_orderpriority IS NOT NULL
+                    GROUP BY 1),
+              one AS (SELECT list_sort(list({'g': g, 'n': n, 's': s, 'ss': ss})) AS gs,
+                             CAST(count(*) AS BIGINT) AS k, CAST(sum(n) AS BIGINT) AS n_rows,
+                             sum(s) AS t, sum(ss) AS tss FROM g),
+              e AS (SELECT k, n_rows, CAST(n_rows AS DOUBLE) AS nd, CAST(k AS DOUBLE) AS kd,
+                           list_sum(list_transform(gs, x ->
+                             CAST(x.s AS DOUBLE) * CAST(x.s AS DOUBLE) / CAST(x.n AS DOUBLE))) AS sb,
+                           CAST(t AS DOUBLE) AS td, CAST(tss AS DOUBLE) AS tssd
+                    FROM one),
+              f AS (SELECT k, n_rows, sb - td * td / nd AS ssb, tssd - sb AS ssw, nd, kd FROM e)
+         SELECT k, n_rows,
+                round(CASE WHEN n_rows > k AND ssw > 0
+                           THEN (ssb / (kd - 1.0)) / (ssw / (nd - kd)) END, 6) AS f_stat,
+                k - 1 AS df1, n_rows - k AS df2
+         FROM f""",
+
+    // Same exact doubled-rank sums in HUGEINT (operand cast before the
+    // multiply), same sorted-group fold and tie-corrected H chain.
+    "q_kruskal_wallis" ->
+      """WITH b AS (SELECT CAST(l_returnflag AS VARCHAR) AS g, l_quantity AS v
+                    FROM lineitem WHERE l_quantity IS NOT NULL AND l_returnflag IS NOT NULL),
+              gv AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1, 2),
+              pv AS (SELECT v, CAST(sum(c) AS BIGINT) AS ct FROM gv GROUP BY 1),
+              r AS (SELECT v, ct,
+                           coalesce(sum(ct) OVER (ORDER BY v
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below,
+                           CAST(ct AS HUGEINT) * ct * ct - ct AS tie3
+                    FROM pv),
+              rg AS (SELECT g, CAST(sum(c) AS BIGINT) AS n,
+                            CAST(sum(CAST(c AS HUGEINT)
+                              * (CAST(below AS HUGEINT) * 2 + ct + 1)) AS HUGEINT) AS r2
+                     FROM gv JOIN r USING (v) GROUP BY 1),
+              one AS (SELECT list_sort(list({'g': g, 'n': n, 'r2': r2})) AS gs,
+                             CAST(count(*) AS BIGINT) AS k, CAST(sum(n) AS BIGINT) AS n_rows
+                      FROM rg),
+              tt AS (SELECT CAST(sum(tie3) AS HUGEINT) AS tie3 FROM r),
+              e AS (SELECT k, n_rows, CAST(n_rows AS DOUBLE) AS nd,
+                           list_sum(list_transform(gs, x ->
+                             CAST(x.r2 AS DOUBLE) * CAST(x.r2 AS DOUBLE)
+                             / (4.0 * CAST(x.n AS DOUBLE)))) AS sr,
+                           CAST(tie3 AS DOUBLE) AS tied
+                    FROM one, tt),
+              h AS (SELECT k, n_rows,
+                           12.0 / (nd * (nd + 1.0)) * sr - 3.0 * (nd + 1.0) AS hraw,
+                           1.0 - tied / (nd * nd * nd - nd) AS corr
+                    FROM e)
+         SELECT k, n_rows, round(CASE WHEN corr > 0 THEN hraw / corr END, 6) AS h_stat,
+                k - 1 AS df
+         FROM h""",
 
     // Grouped twin: identical exact-decimal moments and double chain with
     // the priority riding the aggregation; <2-rows-per-arm segments drop.

@@ -952,6 +952,102 @@ object Robust {
       .orderBy(byCol)
   }
 
+  /** One-way ANOVA F across the k groups of `groupCol` — the K-SAMPLE
+    * extension of [[welchT]] (two arms generalize to "does the metric
+    * differ across ANY of the k segments?" — priorities, sources,
+    * shards; the screening question BEFORE pairwise tests + FDR).
+    * Classic decomposition F = (SSB/(k−1)) / (SSW/(N−k)) with SSB =
+    * Σ S_j²/n_j − T²/N and SSW = Σv² − Σ S_j²/n_j.
+    *
+    * Scale + exactness shape — the [[welchT]] discipline k-wide: ONE
+    * keyed aggregation collects per-group (n, Σv, Σv²) as exact
+    * DECIMAL moments (map-side combined, ≤ k rows through the
+    * shuffle), the ≤ k-row summary folds in SORTED group order so the
+    * floating-point Σ S_j²/n_j replays bit-identically in SQL, and the
+    * F chain is spelled once. Groups with n < 1 cannot occur; the
+    * statistic is NULL when df2 ≤ 0 (k ≥ N) or SSW = 0 (all groups
+    * constant) — fail-soft, the counts tell the story. */
+  def anovaF(df: DataFrame, value: Column, groupCol: Column): DataFrame = {
+    val v = dec2(value)
+    val groups = df.select(groupCol.cast("string").as("__g"), v.as("__v"))
+      .filter(col("__v").isNotNull && col("__g").isNotNull)
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).as("n"), sum(col("__v")).as("s"),
+        sum(col("__v") * col("__v")).as("ss"))
+    // one sorted bounded fold: k is segment-bounded (the guardedCells
+    // argument — a metric crossed with a segment axis, not row-sized)
+    val one = groups.agg(
+      array_sort(collect_list(struct(col("__g"), col("n"), col("s"), col("ss")))).as("gs"),
+      count(lit(1)).as("k"), sum(col("n")).as("n_rows"),
+      sum(col("s")).as("t"), sum(col("ss")).as("tss"))
+    val nD = col("n_rows").cast(DoubleType)
+    val kD = col("k").cast(DoubleType)
+    val sbRaw = aggregate(col("gs"), lit(0.0), (acc, g) =>
+      acc + g.getField("s").cast(DoubleType) * g.getField("s").cast(DoubleType)
+        / g.getField("n").cast(DoubleType))
+    val ssb = sbRaw - col("t").cast(DoubleType) * col("t").cast(DoubleType) / nD
+    val ssw = col("tss").cast(DoubleType) - sbRaw
+    val f = (ssb / (kD - lit(1.0))) / (ssw / (nD - kD))
+    one.select(
+      col("k"), col("n_rows"),
+      round(when(col("n_rows") > col("k") && ssw > 0, f), 6).as("f_stat"),
+      (col("k") - 1).as("df1"), (col("n_rows") - col("k")).as("df2"))
+  }
+
+  /** Kruskal–Wallis H across the k groups of `groupCol` — the
+    * NONPARAMETRIC k-sample companion to [[anovaF]] (rank-based, the
+    * right screen when the metric is skewed, which revenue and
+    * engagement always are), generalizing [[mannWhitneyU]]'s exact
+    * doubled-rank algebra to k groups: with average-rank ties,
+    * 2·R_j = Σ_v c_jv·(2·below(v) + t_v + 1) is an exact integer per
+    * group, H = [12/(N(N+1))·Σ R_j²/n_j − 3(N+1)] / (1 − Σ(t³−t)/(N³−N)).
+    *
+    * Scale shape: per-(group, value) counts and per-value totals are
+    * two aggregations of one pass domain; below-counts ride the
+    * two-level scan ([[runningTotals]]) over the DISTINCT-value table,
+    * the (group, value) counts join back on the value key
+    * (domain-sized), and per-group doubled rank sums aggregate in
+    * DECIMAL(38,0) (the decimal-before-multiply discipline — BIGINT
+    * dies at the tie/row scales this algebra exists for). The ≤ k-row
+    * summary folds in sorted group order; ONE double conversion per
+    * term. H is NULL when every value is tied (the correction
+    * denominator hits 0). */
+  def kruskalWallis(df: DataFrame, value: Column, groupCol: Column): DataFrame = {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val base = df.select(groupCol.cast("string").as("__g"), value.as("v"))
+      .filter(col("v").isNotNull && col("__g").isNotNull)
+    val perGV = base.groupBy(col("__g"), col("v")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(false) // two consumers: per-value totals + the join back
+    val perV = perGV.groupBy(col("v")).agg(sum(col("c")).as("ct"))
+    val t = col("ct").cast(dec38)
+    val ranked = runningTotals(perV.select(col("v"), col("ct").as("ca")), Seq("ca"))
+      .select(col("v"), col("ca").as("ct"), (col("cum_ca") - col("ca")).as("below"),
+        (t * t * t - t).as("tie3"))
+    // doubled rank sum per group: exact integer in DECIMAL(38,0)
+    val r2 = perGV.join(ranked, "v")
+      .groupBy(col("__g"))
+      .agg(sum(col("c")).as("n"),
+        sum(col("c").cast(dec38) *
+          (col("below").cast(dec38) * 2 + col("ct") + 1)).as("r2"))
+    val ties = ranked.agg(sum(col("tie3")).as("tie3"))
+    val one = r2.agg(
+      array_sort(collect_list(struct(col("__g"), col("n"), col("r2")))).as("gs"),
+      count(lit(1)).as("k"), sum(col("n")).as("n_rows"))
+      .crossJoin(broadcast(ties))
+    val nD = col("n_rows").cast(DoubleType)
+    // Σ R_j²/n_j with R_j = r2/2: fold in sorted order, one conversion
+    // per term (r2²/4 stays in the double — spelled identically in SQL)
+    val sr = aggregate(col("gs"), lit(0.0), (acc, g) =>
+      acc + g.getField("r2").cast(DoubleType) * g.getField("r2").cast(DoubleType)
+        / (lit(4.0) * g.getField("n").cast(DoubleType)))
+    val hRaw = lit(12.0) / (nD * (nD + lit(1.0))) * sr - lit(3.0) * (nD + lit(1.0))
+    val corr = lit(1.0) - col("tie3").cast(DoubleType) / (nD * nD * nD - nD)
+    one.select(
+      col("k"), col("n_rows"),
+      round(when(corr > 0, hRaw / corr), 6).as("h_stat"),
+      (col("k") - 1).as("df"))
+  }
+
   /** Mann–Whitney U (Wilcoxon rank-sum) between two groups — the
     * NONPARAMETRIC companion to [[welchT]] (no normality assumption;
     * the right gate when metric distributions are skewed, which engagement

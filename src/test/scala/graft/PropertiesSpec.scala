@@ -653,6 +653,45 @@ class PropertiesSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("k-sample tests: ANOVA F matches first principles; KW(k=2) = MW z-squared") {
+    import graft.operators.Robust
+    // hand-computable fixture: 3 groups of 4 with means 1, 2, 3 and
+    // identical within-group spread {-1,0,0,+1}
+    val rows = for {
+      (g, m) <- Seq(("a", 1.0), ("b", 2.0), ("c", 3.0))
+      d <- Seq(-1.0, 0.0, 0.0, 1.0)
+    } yield (g, m + d)
+    val f = Robust.anovaF(rows.toDF("g", "v"), col("v"), col("g")).collect()(0)
+    assert(f.getAs[Long]("k") == 3 && f.getAs[Long]("n_rows") == 12)
+    assert((f.getAs[Long]("df1"), f.getAs[Long]("df2")) == ((2L, 9L)))
+    // SSB = 4*((1-2)^2 + 0 + (3-2)^2) = 8, SSW = 3 groups * 2 = 6
+    // F = (8/2) / (6/9) = 6
+    assert(f.getAs[Double]("f_stat") == 6.0)
+    // identical groups: F = 0
+    val flat = (for { g <- Seq("a", "b"); v <- 1 to 5 } yield (g, v.toDouble))
+    assert(Robust.anovaF(flat.toDF("g", "v"), col("v"), col("g"))
+      .collect()(0).getAs[Double]("f_stat") == 0.0)
+    // all-constant: SSW = 0 -> NULL (fail-soft)
+    val const = Seq(("a", 5.0), ("a", 5.0), ("b", 5.0), ("b", 5.0)).toDF("g", "v")
+    assert(Robust.anovaF(const, col("v"), col("g")).collect()(0).isNullAt(2))
+
+    // KW with 2 groups equals the tie-corrected MW z SQUARED (both are
+    // the same normal/chi2(1) approximation) - a cross-operator identity
+    val two = sample(Gen.listOfN(300, for {
+      s <- Gen.oneOf("s0", "s1"); v <- Gen.choose(0, 25)
+    } yield (s, v)))
+    val df2 = two.toDF("src", "v")
+    val h = Robust.kruskalWallis(df2, $"v", $"src").collect()(0)
+    val z = Robust.mannWhitneyU(df2, $"v", $"src", "s0", "s1")
+      .collect()(0).getAs[Double]("z_stat")
+    assert(h.getAs[Long]("k") == 2 && h.getAs[Long]("df") == 1)
+    assert(math.abs(h.getAs[Double]("h_stat") - z * z) < 1e-3,
+      s"H = ${h.getAs[Double]("h_stat")}, z^2 = ${z * z}")
+    // all-tied values: the correction denominator hits 0 -> NULL
+    val tied = Seq(("a", 7), ("a", 7), ("b", 7), ("b", 7)).toDF("g", "v")
+    assert(Robust.kruskalWallis(tied, $"v", $"g").collect()(0).isNullAt(2))
+  }
+
   test("FDR meta-gate: p-values match the normal tail, BH matches first principles") {
     import graft.operators.Robust
     // A&S 7.1.26 accuracy: |erfc error| <= 1.5e-7 against known normal
