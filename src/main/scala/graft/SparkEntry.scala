@@ -2954,6 +2954,15 @@ object SparkEntry {
       graft.operators.TimeSeries.cusumChangepoint(
         Tables.orders(s, d), col("o_orderdate"), col("o_totalprice"))),
 
+    // Mann–Kendall trend + Sen's slope on daily order revenue — the
+    // monotone-trend companion to the CUSUM step detector: S and its
+    // tie-corrected variance as exact integers over the SF-invariant
+    // calendar pair domain (day side broadcast), Sen's slope as the
+    // discrete rank-⌈m/2⌉ pick via the bit-grid selection.
+    "q_mann_kendall" -> ((s, d) =>
+      graft.operators.TimeSeries.mannKendallTrend(
+        Tables.orders(s, d), col("o_orderdate"), col("o_totalprice"))),
+
     // Per-priority CUSUM changepoint — each segment's own step date (a
     // segment's step smears into a ramp inside the global total).
     "q_cusum_changepoint_by_priority" -> ((s, d) =>
@@ -6744,6 +6753,32 @@ object SparkEntry {
                   round(CAST(t - cum AS DOUBLE) / (CAST(dd - i AS DOUBLE) * 100.0), 6)
                 END AS mean_after
          FROM k ORDER BY stat DESC, d ASC LIMIT 1""",
+
+    // Same exact-integer S / Var(S) over the same day-pair domain; the
+    // Sen median is the identical rank-(m+1)//2 discrete order statistic
+    // (ORDER BY slope OFFSET pick — equal-slope ties pick equal values).
+    "q_mann_kendall" ->
+      """WITH s AS (SELECT CAST(o_orderdate AS DATE) AS d,
+                           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS rev
+                    FROM orders GROUP BY 1),
+              e AS (SELECT CAST(date_diff('day', DATE '1970-01-01', d) AS BIGINT) AS dn,
+                           CAST(rev * 100 AS HUGEINT) AS rc FROM s),
+              p AS (SELECT a.dn AS i, b.dn AS j, a.rc AS xi, b.rc AS xj
+                    FROM e a JOIN e b ON b.dn > a.dn),
+              sg AS (SELECT CAST(sum(CASE WHEN xj > xi THEN 1 WHEN xj < xi THEN -1 ELSE 0 END) AS BIGINT) AS sv,
+                            CAST(count(*) AS BIGINT) AS m FROM p),
+              nn AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM e),
+              tc AS (SELECT CAST(coalesce(sum(CAST(t AS HUGEINT) * (t - 1) * (t * 2 + 5)), 0) AS HUGEINT) AS ties
+                     FROM (SELECT count(*) AS t FROM e GROUP BY rc) q),
+              vv AS (SELECT n * (n - 1) * (n * 2 + 5) - ties AS vnum FROM nn, tc),
+              med AS (SELECT CAST(xj - xi AS DOUBLE) / (100.0 * (j - i)) AS sl FROM p
+                      ORDER BY sl LIMIT 1 OFFSET (SELECT (m + 1) // 2 - 1 FROM sg))
+         SELECT CAST(n AS BIGINT) AS n_days, sv AS s_stat,
+                round(CASE WHEN vnum > 0 THEN
+                  (CAST(sv AS DOUBLE) - (CASE WHEN sv > 0 THEN 1.0 WHEN sv < 0 THEN -1.0 ELSE 0.0 END))
+                  / sqrt(CAST(vnum AS DOUBLE) / 18.0) END, 6) AS z_stat,
+                (SELECT sl FROM med) AS sen_slope
+         FROM nn, sg, vv""",
 
     // Grouped twin: pre-agg, cumulatives, totals and the argmax pick all
     // partitioned by the order priority.

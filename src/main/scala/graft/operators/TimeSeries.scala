@@ -341,6 +341,77 @@ object TimeSeries {
       .orderBy(col("segment"))
   }
 
+  /** Mann–Kendall trend test + Sen's slope over the daily money metric —
+    * the MONOTONE-TREND companion to [[cusumChangepoint]] (CUSUM locates
+    * a level STEP; Mann–Kendall asks "is the series drifting up or down
+    * at all?", distribution-free, and Sen's slope says how fast in
+    * money-per-day — the robust trend line a capacity review reads).
+    * S = Σ_{i<j} sign(x_j − x_i) with the tie-corrected variance
+    * Var(S) = [n(n−1)(2n+5) − Σ t(t−1)(2t+5)]/18 and the
+    * continuity-corrected z = (S ∓ 1)/√Var; Sen's slope is the MEDIAN of
+    * the pairwise slopes (x_j − x_i)/(d_j − d_i).
+    *
+    * Scale shape: the raw scan collapses to the DAY domain first; the
+    * O(days²) pair set is over the CALENDAR-bounded table only — the
+    * day side rides a `broadcast` nested-loop (a few KB at any data SF;
+    * the pair count is SF-INVARIANT, ~5·10⁷ at 30 years — grows with
+    * time, never with data). S and Var(S) aggregate as exact integers
+    * in DECIMAL(38,0); each pairwise slope is ONE double division
+    * spelled identically in the oracle, and the median is the DISCRETE
+    * rank-⌈m/2⌉ order statistic picked by the [[Robust.weightedMedian]]
+    * bit-grid selection (distributed, never a single-task sort).
+    * Day-gap denominators use real DATE differences, so calendar gaps
+    * weight slopes correctly. Under 2 days there are no pairs to test:
+    * the result is EMPTY (the [[Robust.weightedMedian]] drop contract —
+    * there is no trend of one point). */
+  def mannKendallTrend(
+      df: DataFrame, dateCol: Column, moneyValue: Column): DataFrame = {
+    import graft.functions.dec2
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val series = df.groupBy(to_date(dateCol).as("d"))
+      .agg(sum(dec2(moneyValue)).cast("decimal(18,2)").as("rev"))
+      .select(
+        datediff(col("d"), lit("1970-01-01").cast("date")).cast("long").as("__dn"),
+        (col("rev") * 100).cast(dec38).as("__rc"))
+      .localCheckpoint(false) // consumers: both pair sides, ties, count
+    val l = series.select(col("__dn").as("i"), col("__rc").as("xi"))
+    val r = series.select(col("__dn").as("j"), col("__rc").as("xj"))
+    val pairs = l.join(broadcast(r), col("j") > col("i"))
+    val sAgg = pairs.agg(
+      sum(when(col("xj") > col("xi"), 1L).when(col("xj") < col("xi"), -1L)
+        .otherwise(0L)).as("s"),
+      count(lit(1)).as("m"))
+    val nAgg = series.agg(count(lit(1)).as("n_days"))
+    val tieAgg = series.groupBy(col("__rc")).agg(count(lit(1)).as("t"))
+      .agg(coalesce(sum(col("t").cast(dec38) * (col("t") - 1) * (col("t") * 2 + 5)),
+        lit(0L).cast(dec38)).as("ties"))
+    // Sen's slope: the rank-⌈m/2⌉ discrete pick over the pair slopes via
+    // the distributed bit-grid selection (single constant group)
+    // The when() guard is load-bearing: whole-stage codegen fuses this
+    // projection into the BNLJ consume and can evaluate it on a pair the
+    // join condition is about to reject (j = i → zero gap) — ANSI then
+    // raises on the division. Conditional evaluation keeps it lazy; on
+    // every EMITTED row the branch value is identical.
+    val slopes = pairs.select(lit("all").as("__one"),
+      when(col("j") > col("i"),
+        (col("xj") - col("xi")).cast(DoubleType) /
+          (lit(100.0) * (col("j") - col("i")))).as("sl"))
+    val sen = Robust.weightedMedian(slopes, "__one", col("sl"), lit(1L))
+      .select(col("w_median").as("sen_slope"))
+    val n = col("n_days").cast(dec38)
+    val vnum = n * (n - 1) * (n * 2 + 5) - col("ties")
+    val sD = col("s").cast(DoubleType)
+    val cc = when(col("s") > 0, lit(1.0)).when(col("s") < 0, lit(-1.0))
+      .otherwise(lit(0.0))
+    nAgg.crossJoin(broadcast(sAgg)).crossJoin(broadcast(tieAgg))
+      .crossJoin(broadcast(sen))
+      .select(
+        col("n_days"), col("s").as("s_stat"),
+        round(when(vnum > 0, (sD - cc) /
+          sqrt(vnum.cast(DoubleType) / lit(18.0))), 6).as("z_stat"),
+        col("sen_slope"))
+  }
+
   /** Last-touch revenue attribution: each `convType` event credits its
     * value to the LATEST `touchTypes` event by the same user at or before
     * it and within `windowMinutes`; conversions with no qualifying touch

@@ -857,6 +857,36 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(spike.getAs[Double]("roll_mean") == 101.0) // 5×100 + 5×102 over 10
   }
 
+  test("mannKendallTrend: known trends, ties, calendar gaps, brute-force match") {
+    import graft.operators.TimeSeries
+    def day(i: Int) = java.sql.Timestamp.valueOf(
+      java.time.LocalDate.of(2024, 1, 1).plusDays(i.toLong).atStartOfDay)
+    // strictly increasing +2/day: S = C(20,2), Sen slope exactly 2
+    val up = (0 until 20).map(i => (day(i), 100.0 + 2 * i))
+    val r = TimeSeries.mannKendallTrend(up.toDF("ts", "v"), col("ts"), col("v")).collect()(0)
+    assert(r.getAs[Long]("n_days") == 20 && r.getAs[Long]("s_stat") == 190)
+    assert(r.getAs[Double]("sen_slope") == 2.0 && r.getAs[Double]("z_stat") > 4.0)
+    // constant series: S = 0 and the tie correction zeroes the variance -> NULL z
+    val const = (0 until 10).map(i => (day(i), 5.0))
+    val c = TimeSeries.mannKendallTrend(const.toDF("ts", "v"), col("ts"), col("v")).collect()(0)
+    assert(c.getAs[Long]("s_stat") == 0 && c.isNullAt(c.fieldIndex("z_stat")))
+    assert(c.getAs[Double]("sen_slope") == 0.0)
+    // calendar gap: days 0 and 10, +30 total -> slope 3/day (real date diff)
+    val gap = Seq((day(0), 100.0), (day(10), 130.0))
+    assert(TimeSeries.mannKendallTrend(gap.toDF("ts", "v"), col("ts"), col("v"))
+      .collect()(0).getAs[Double]("sen_slope") == 3.0)
+    // brute force on a mixed series: S and the rank-ceil(m/2) Sen pick
+    val vals = Seq(10.0, 14.0, 11.0, 11.0, 19.0, 3.0, 25.0)
+    val mixed = vals.zipWithIndex.map { case (v, i) => (day(i), v) }
+    val got = TimeSeries.mannKendallTrend(mixed.toDF("ts", "v"), col("ts"), col("v")).collect()(0)
+    val pairsAll = for { i <- vals.indices; j <- vals.indices if j > i } yield (i, j)
+    val sRef = pairsAll.map { case (i, j) => math.signum(vals(j) - vals(i)).toLong }.sum
+    val slopes = pairsAll.map { case (i, j) => (vals(j) - vals(i)) / (j - i) }.sorted
+    val senRef = slopes((slopes.size + 1) / 2 - 1)
+    assert(got.getAs[Long]("s_stat") == sRef)
+    assert(got.getAs[Double]("sen_slope") == senRef)
+  }
+
   test("cusumChangepoint finds a planted step; grouped twin per segment") {
     import graft.operators.TimeSeries
     def day(i: Int) = java.sql.Timestamp.valueOf(
