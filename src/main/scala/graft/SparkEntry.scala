@@ -2984,6 +2984,25 @@ object SparkEntry {
         units, pmod(col("user_id"), lit(2L)), col("conv") === 1L)
     }),
 
+    // Per-signup-weekday two-proportion z — "does the conversion uplift
+    // hold for weekday vs weekend signups?", completing the grouped A/B
+    // family's rate axis (welchTBy means, mwBy ranks, upliftCiBy effect
+    // CI). Weekday = epoch-day mod 7 (0 = Thursday) — a pure-integer
+    // spelling portable across engine dayofweek() conventions.
+    "q_ab_test_by_dow" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val first = ev.groupBy(col("user_id")).agg(min(col("ts")).as("t0"))
+      val units = ev.join(first, "user_id")
+        .groupBy(col("user_id"),
+          pmod(datediff(to_date(col("t0")), lit("1970-01-01").cast("date")), lit(7))
+            .cast("long").as("dow07"))
+        .agg(max(when(col("event_type") === "purchase" &&
+          unix_micros(col("ts")) <= unix_micros(col("t0")) + lit(86400000000L),
+          1L).otherwise(0L)).as("conv"))
+      graft.operators.Robust.twoProportionZBy(
+        units, pmod(col("user_id"), lit(2L)), col("conv") === 1L, "dow07")
+    }),
+
     // Count-min sketch, SELF-ASSERTING: deterministic fixed-seed sketch of
     // order custkeys, probed for keys 1..25; asserts the CM guarantees
     // (estimate ≥ exact, overshoot ≤ 4·e·N/width) instead of the
@@ -6848,6 +6867,35 @@ object SparkEntry {
                       / sqrt(p * (1.0 - p)
                              * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))), 6) AS z_stat
          FROM z""",
+
+    // Grouped twin: the identical integer counts and double chain with
+    // the signup-weekday (epoch-day mod 7, engine-portable integer — no
+    // dayofweek() convention mismatch) riding the aggregation; segments
+    // missing either arm drop.
+    "q_ab_test_by_dow" ->
+      """WITH f AS (SELECT user_id, min(ts) AS t0 FROM events GROUP BY 1),
+              c AS (SELECT e.user_id,
+                           CAST(date_diff('day', DATE '1970-01-01', CAST(f.t0 AS DATE)) % 7 AS BIGINT) AS dow07,
+                           max(CASE WHEN e.event_type = 'purchase'
+                                     AND epoch_us(e.ts) <= epoch_us(f.t0) + 86400000000
+                                    THEN 1 ELSE 0 END) AS conv
+                    FROM events e JOIN f ON e.user_id = f.user_id GROUP BY 1, 2),
+              a AS (SELECT dow07,
+                           CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                           CAST(sum(CASE WHEN user_id % 2 = 0 THEN conv ELSE 0 END) AS BIGINT) AS conv_a,
+                           CAST(sum(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+                           CAST(sum(CASE WHEN user_id % 2 <> 0 THEN conv ELSE 0 END) AS BIGINT) AS conv_b
+                    FROM c GROUP BY 1
+                    HAVING sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) > 0
+                       AND sum(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END) > 0),
+              z AS (SELECT *, (CAST(conv_a AS DOUBLE) + CAST(conv_b AS DOUBLE))
+                              / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) AS p FROM a)
+         SELECT dow07, n_a, conv_a, n_b, conv_b,
+                round((CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                       - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+                      / sqrt(p * (1.0 - p)
+                             * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))), 6) AS z_stat
+         FROM z ORDER BY 1""",
 
     // Winnowing substring dedup: the oracle recomputes the exact shared-
     // 8-token-window pair count from the raw text; completeness of the

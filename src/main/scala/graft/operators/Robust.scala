@@ -871,6 +871,39 @@ object Robust {
       round(z, 6).as("z_stat"))
   }
 
+  /** Per-`byCol`-segment two-proportion z — the CONVERSION-rate member
+    * of the grouped A/B family ([[welchTBy]] means, [[mannWhitneyUBy]]
+    * ranks, [[graft.operators.Bootstrap.bootstrapUpliftCiBy]] effect
+    * CI — the rate test was the one gate still global-only): "does the
+    * conversion uplift hold in EVERY segment?". Exactly
+    * [[twoProportionZ]]'s exact-integer counts and one fixed double
+    * chain with the segment riding the single keyed aggregation;
+    * segments missing either arm have no two-sample statistic and DROP
+    * (the grouped-gate contract). A segment whose pooled rate is 0 or 1
+    * yields the same NaN/±Inf z as the global operator — both engines
+    * spell the identical chain. */
+  def twoProportionZBy(
+      units: DataFrame, arm: Column, success: Column, byCol: String): DataFrame = {
+    val agg = units
+      .select(col(byCol).as("__g"), arm.as("__arm"), success.cast(LongType).as("__s"))
+      .groupBy(col("__g"))
+      .agg(
+        sum(when(col("__arm") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("__arm") === 0, col("__s")).otherwise(0L)).as("conv_a"),
+        sum(when(col("__arm") =!= 0, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("__arm") =!= 0, col("__s")).otherwise(0L)).as("conv_b"))
+      .filter(col("n_a") > 0 && col("n_b") > 0)
+    val (na, ca, nb, cb) = (
+      col("n_a").cast(DoubleType), col("conv_a").cast(DoubleType),
+      col("n_b").cast(DoubleType), col("conv_b").cast(DoubleType))
+    val p = (ca + cb) / (na + nb)
+    val z = (ca / na - cb / nb) / sqrt(p * (lit(1.0) - p) * (lit(1.0) / na + lit(1.0) / nb))
+    agg.select(col("__g").as(byCol),
+        col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+        round(z, 6).as("z_stat"))
+      .orderBy(byCol)
+  }
+
   /** Welch's two-sample t statistic (unequal variances) with
     * Welch–Satterthwaite degrees of freedom — the means-comparison
     * companion to [[twoProportionZ]] for continuous metrics (mean order

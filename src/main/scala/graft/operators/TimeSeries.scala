@@ -265,10 +265,14 @@ object TimeSeries {
     import org.apache.spark.sql.expressions.Window
     import graft.functions.dec2
     val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    // NOT checkpointed: the two consumers (cum rows + totals) re-run the
+    // pruned two-column pre-agg, which is cheaper than a checkpoint
+    // round-trip (the weightedMedian measurement) — and the checkpoint's
+    // leaf would erase the aggregate lineage the ScaleSpec window guard
+    // reads to prove this global window sits on the day domain.
     val series = df.groupBy(to_date(dateCol).as("d"))
       .agg(sum(dec2(moneyValue)).cast("decimal(18,2)").as("rev"))
       .withColumn("__rc", (col("rev") * 100).cast(dec38))
-      .localCheckpoint(false) // two consumers (cum rows + totals) of one pre-agg
     val w = Window.orderBy(col("d"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = series

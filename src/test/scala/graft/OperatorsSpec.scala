@@ -558,6 +558,21 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     val r = Robust.twoProportionZ(split, col("arm"), col("s")).head()
     assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) == (2L, 2L, 2L, 0L))
     assert(r.getDouble(4) == 2.0) // (1-0)/sqrt(.5*.5*(1/2+1/2)) = 2
+    // grouped twin: per-segment equality with the global operator on the
+    // slice; a one-armed segment drops (grouped-gate contract)
+    val seg = Seq(
+      ("wk", 0L, true), ("wk", 0L, false), ("wk", 1L, true), ("wk", 1L, false),
+      ("we", 0L, true), ("we", 0L, true), ("we", 1L, false), ("we", 1L, false),
+      ("zz", 0L, true), ("zz", 0L, false)) // arm-1 missing → dropped
+    val df = seg.toDF("seg", "arm", "s")
+    val grouped = Robust.twoProportionZBy(df, col("arm"), col("s"), "seg").collect()
+    assert(grouped.map(_.getString(0)).toSeq == Seq("we", "wk"))
+    for (g <- grouped) {
+      val single = Robust.twoProportionZ(
+        df.filter(col("seg") === g.getString(0)), col("arm"), col("s")).head()
+      for (i <- 1 to 4) assert(g.getLong(i) == single.getLong(i - 1))
+      assert(g.getDouble(5) == single.getDouble(4), s"z in ${g.getString(0)}")
+    }
   }
 
   test("ksStatistic: 0 for identical samples, 1 for disjoint supports") {
