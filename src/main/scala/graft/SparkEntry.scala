@@ -2954,6 +2954,21 @@ object SparkEntry {
       graft.operators.TimeSeries.cusumChangepoint(
         Tables.orders(s, d), col("o_orderdate"), col("o_totalprice"))),
 
+    // Day-of-week band anomaly — the seasonal-profile gate: each day
+    // judged against ITS weekday's own history (leave-one-out exact
+    // integer-cents moments; a trailing band would flag every quiet
+    // Sunday). Day-domain pre-agg + 7-row broadcast join, zero windows.
+    "q_dow_anomaly" -> ((s, d) =>
+      graft.operators.TimeSeries.dowBandAnomaly(
+        Tables.orders(s, d), col("o_orderdate"), col("o_totalprice"))),
+
+    // Grouped twin: each priority judged against its OWN weekday
+    // profile (7·|segments|-row broadcast; same <3-obs per-cell drop).
+    "q_dow_anomaly_by_priority" -> ((s, d) =>
+      graft.operators.TimeSeries.dowBandAnomalyBy(
+        Tables.orders(s, d), col("o_orderpriority"), col("o_orderdate"),
+        col("o_totalprice"))),
+
     // Mann–Kendall trend + Sen's slope on daily order revenue — the
     // monotone-trend companion to the CUSUM step detector: S and its
     // tie-corrected variance as exact integers over the SF-invariant
@@ -6772,6 +6787,55 @@ object SparkEntry {
                   round(CAST(t - cum AS DOUBLE) / (CAST(dd - i AS DOUBLE) * 100.0), 6)
                 END AS mean_after
          FROM k ORDER BY stat DESC, d ASC LIMIT 1""",
+
+    // Same leave-one-out integer-cents algebra in HUGEINT, identical
+    // one-conversion-per-column double chain.
+    "q_dow_anomaly" ->
+      """WITH s AS (SELECT CAST(o_orderdate AS DATE) AS d,
+                           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS rev
+                    FROM orders GROUP BY 1),
+              e AS (SELECT d, rev,
+                           CAST(date_diff('day', DATE '1970-01-01', d) % 7 AS BIGINT) AS dow07,
+                           CAST(rev * 100 AS HUGEINT) AS rc FROM s),
+              p AS (SELECT dow07, CAST(count(*) AS HUGEINT) AS c,
+                           CAST(sum(rc) AS HUGEINT) AS sm, CAST(sum(rc * rc) AS HUGEINT) AS ssm
+                    FROM e GROUP BY 1 HAVING count(*) >= 3),
+              j AS (SELECT e.d, e.rev, e.dow07, e.rc,
+                           p.c - 1 AS c1, p.sm - e.rc AS s1, p.ssm - e.rc * e.rc AS ss1
+                    FROM e JOIN p ON e.dow07 = p.dow07)
+         SELECT CAST(d AS TIMESTAMP) AS day, dow07, CAST(rev AS DOUBLE) AS revenue,
+                round(CAST(s1 AS DOUBLE) / (CAST(c1 AS DOUBLE) * 100.0), 6) AS dow_mean,
+                round(sqrt(CAST(c1 * ss1 - s1 * s1 AS DOUBLE)
+                           / (CAST(c1 AS DOUBLE) * (CAST(c1 AS DOUBLE) - 1.0))) / 100.0, 6) AS dow_std,
+                abs(CAST(rc AS DOUBLE) / 100.0 - CAST(s1 AS DOUBLE) / (CAST(c1 AS DOUBLE) * 100.0))
+                  > 3.0 * (sqrt(CAST(c1 * ss1 - s1 * s1 AS DOUBLE)
+                                / (CAST(c1 AS DOUBLE) * (CAST(c1 AS DOUBLE) - 1.0))) / 100.0) AS is_anomaly
+         FROM j ORDER BY day""",
+
+    // Segment rides every key of the same leave-one-out HUGEINT algebra;
+    // the per-(segment, weekday) profile applies the <3-obs drop per cell.
+    "q_dow_anomaly_by_priority" ->
+      """WITH s AS (SELECT o_orderpriority AS seg, CAST(o_orderdate AS DATE) AS d,
+                           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS rev
+                    FROM orders GROUP BY 1, 2),
+              e AS (SELECT seg, d, rev,
+                           CAST(date_diff('day', DATE '1970-01-01', d) % 7 AS BIGINT) AS dow07,
+                           CAST(rev * 100 AS HUGEINT) AS rc FROM s),
+              p AS (SELECT seg, dow07, CAST(count(*) AS HUGEINT) AS c,
+                           CAST(sum(rc) AS HUGEINT) AS sm, CAST(sum(rc * rc) AS HUGEINT) AS ssm
+                    FROM e GROUP BY 1, 2 HAVING count(*) >= 3),
+              j AS (SELECT e.seg, e.d, e.rev, e.dow07, e.rc,
+                           p.c - 1 AS c1, p.sm - e.rc AS s1, p.ssm - e.rc * e.rc AS ss1
+                    FROM e JOIN p ON e.seg = p.seg AND e.dow07 = p.dow07)
+         SELECT seg AS segment, CAST(d AS TIMESTAMP) AS day, dow07,
+                CAST(rev AS DOUBLE) AS revenue,
+                round(CAST(s1 AS DOUBLE) / (CAST(c1 AS DOUBLE) * 100.0), 6) AS dow_mean,
+                round(sqrt(CAST(c1 * ss1 - s1 * s1 AS DOUBLE)
+                           / (CAST(c1 AS DOUBLE) * (CAST(c1 AS DOUBLE) - 1.0))) / 100.0, 6) AS dow_std,
+                abs(CAST(rc AS DOUBLE) / 100.0 - CAST(s1 AS DOUBLE) / (CAST(c1 AS DOUBLE) * 100.0))
+                  > 3.0 * (sqrt(CAST(c1 * ss1 - s1 * s1 AS DOUBLE)
+                                / (CAST(c1 AS DOUBLE) * (CAST(c1 AS DOUBLE) - 1.0))) / 100.0) AS is_anomaly
+         FROM j ORDER BY segment, day""",
 
     // Same exact-integer S / Var(S) over the same day-pair domain; the
     // Sen median is the identical rank-(m+1)//2 discrete order statistic

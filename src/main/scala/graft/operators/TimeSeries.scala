@@ -345,6 +345,99 @@ object TimeSeries {
       .orderBy(col("segment"))
   }
 
+  /** Day-of-week band anomaly gate — the SEASONAL-PROFILE monitor
+    * [[rollingAnomaly]] cannot be: a trailing band mixes weekdays and
+    * weekends, so every quiet Sunday reads as a 3σ dip and every Black-
+    * Friday-adjacent Monday as a spike. Here each day is judged against
+    * ITS OWN weekday's history: per-weekday exact-decimal moments over
+    * the whole series, with the current day EXCLUDED from its own
+    * baseline via leave-one-out algebra (the [[rollingAnomaly]]
+    * outlier-must-not-mask-itself rule): c′ = c−1, s′ = Σ−x,
+    * ss′ = Σ²−x², var′ = (c′·ss′ − s′²)/(c′(c′−1)) — all exact integer
+    * cents in DECIMAL(38,0) until one double conversion per output
+    * column. Weekday = epoch-day mod 7 (0 = Thursday), the
+    * engine-portable integer spelling. Days whose weekday has < 3
+    * observations drop (a ≤ 1-day baseline flags noise).
+    *
+    * Scale shape: day-domain pre-agg (one keyed shuffle), a 7-row
+    * broadcast join back, zero windows — the cheapest gate in the
+    * anomaly family, and the one that actually survives seasonality. */
+  def dowBandAnomaly(
+      df: DataFrame, dateCol: Column, moneyValue: Column,
+      z: Double = 3.0): DataFrame = {
+    import graft.functions.dec2
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val series = df.groupBy(to_date(dateCol).as("d"))
+      .agg(sum(dec2(moneyValue)).cast("decimal(18,2)").as("rev"))
+      .select(col("d"), col("rev"),
+        pmod(datediff(col("d"), lit("1970-01-01").cast("date")), lit(7))
+          .cast("long").as("dow07"),
+        (col("rev") * 100).cast(dec38).as("__rc"))
+    val prof = series.groupBy(col("dow07"))
+      .agg(count(lit(1)).as("__c"), sum(col("__rc")).as("__s"),
+        sum(col("__rc") * col("__rc")).as("__ss"))
+      .filter(col("__c") >= 3)
+    val joined = series.join(broadcast(prof), "dow07")
+    val c1 = (col("__c") - 1).cast(dec38)
+    val s1 = col("__s") - col("__rc")
+    val ss1 = col("__ss") - col("__rc") * col("__rc")
+    val num = (c1 * ss1 - s1 * s1).cast(DoubleType)
+    val mean = s1.cast(DoubleType) / (c1.cast(DoubleType) * lit(100.0))
+    val sd = sqrt(num / (c1.cast(DoubleType) * (c1.cast(DoubleType) - lit(1.0)))) / lit(100.0)
+    joined.select(
+      col("d").cast("timestamp").as("day"),
+      col("dow07"),
+      col("rev").cast(DoubleType).as("revenue"),
+      round(mean, 6).as("dow_mean"),
+      round(sd, 6).as("dow_std"),
+      (abs(col("__rc").cast(DoubleType) / lit(100.0) - mean) > lit(z) * sd)
+        .as("is_anomaly"))
+      .orderBy(col("day"))
+  }
+
+  /** Per-`segmentCol` day-of-week band anomaly — each segment judged
+    * against ITS OWN weekday profile (the grouped-gate convention: a
+    * category with weekend-heavy traffic has a different Sunday norm
+    * than the corpus, so the global profile mislabels both). Exactly
+    * [[dowBandAnomaly]]'s leave-one-out integer-cents algebra with the
+    * segment riding every key: per-(segment, day) pre-agg, the profile
+    * keyed by (segment, weekday) — ≤ 7·|segments| rows, broadcast —
+    * and the same < 3-observations drop applied per (segment, weekday).
+    * Still zero windows; one keyed shuffle + one model-sized join. */
+  def dowBandAnomalyBy(
+      df: DataFrame, segmentCol: Column, dateCol: Column,
+      moneyValue: Column, z: Double = 3.0): DataFrame = {
+    import graft.functions.dec2
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val series = df.groupBy(segmentCol.as("seg"), to_date(dateCol).as("d"))
+      .agg(sum(dec2(moneyValue)).cast("decimal(18,2)").as("rev"))
+      .select(col("seg"), col("d"), col("rev"),
+        pmod(datediff(col("d"), lit("1970-01-01").cast("date")), lit(7))
+          .cast("long").as("dow07"),
+        (col("rev") * 100).cast(dec38).as("__rc"))
+    val prof = series.groupBy(col("seg"), col("dow07"))
+      .agg(count(lit(1)).as("__c"), sum(col("__rc")).as("__s"),
+        sum(col("__rc") * col("__rc")).as("__ss"))
+      .filter(col("__c") >= 3)
+    val joined = series.join(broadcast(prof), Seq("seg", "dow07"))
+    val c1 = (col("__c") - 1).cast(dec38)
+    val s1 = col("__s") - col("__rc")
+    val ss1 = col("__ss") - col("__rc") * col("__rc")
+    val num = (c1 * ss1 - s1 * s1).cast(DoubleType)
+    val mean = s1.cast(DoubleType) / (c1.cast(DoubleType) * lit(100.0))
+    val sd = sqrt(num / (c1.cast(DoubleType) * (c1.cast(DoubleType) - lit(1.0)))) / lit(100.0)
+    joined.select(
+      col("seg").as("segment"),
+      col("d").cast("timestamp").as("day"),
+      col("dow07"),
+      col("rev").cast(DoubleType).as("revenue"),
+      round(mean, 6).as("dow_mean"),
+      round(sd, 6).as("dow_std"),
+      (abs(col("__rc").cast(DoubleType) / lit(100.0) - mean) > lit(z) * sd)
+        .as("is_anomaly"))
+      .orderBy(col("segment"), col("day"))
+  }
+
   /** Mann–Kendall trend test + Sen's slope over the daily money metric —
     * the MONOTONE-TREND companion to [[cusumChangepoint]] (CUSUM locates
     * a level STEP; Mann–Kendall asks "is the series drifting up or down

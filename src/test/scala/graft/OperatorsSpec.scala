@@ -1412,4 +1412,86 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet ==
       again.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet)
   }
+
+  test("dowBandAnomaly: seasonal spike vs its own weekday, leave-one-out, <3-obs drop") {
+    import graft.operators.TimeSeries
+    def day(i: Int) = java.sql.Timestamp.valueOf(
+      java.time.LocalDate.of(2024, 1, 1).plusDays(i.toLong).atStartOfDay)
+    // 42 days (6 full weeks): Sundays 50, other days 100, one Sunday
+    // (day 34 = 2024-02-04) spiked to 500. A trailing band would flag
+    // every quiet Sunday; the weekday band must flag ONLY the spike.
+    val rows = (0 until 42).map { i =>
+      val dow = java.time.LocalDate.of(2024, 1, 1).plusDays(i.toLong).getDayOfWeek
+      val v = if (i == 34) 500.0
+              else if (dow == java.time.DayOfWeek.SUNDAY) 50.0 else 100.0
+      (day(i), v)
+    }
+    val got = TimeSeries.dowBandAnomaly(rows.toDF("ts", "v"), col("ts"), col("v"))
+      .collect()
+    assert(got.length == 42) // every weekday has 6 obs, nothing drops
+    val flagged = got.filter(_.getAs[Boolean]("is_anomaly"))
+    assert(flagged.map(_.getAs[Double]("revenue")).toSeq == Seq(500.0),
+      s"flagged: ${flagged.mkString(",")}")
+    // leave-one-out: the spike's own baseline is the OTHER five Sundays —
+    // exactly 50 with zero spread (the spike must not mask itself)
+    val spike = flagged(0)
+    assert(spike.getAs[Double]("dow_mean") == 50.0)
+    assert(spike.getAs[Double]("dow_std") == 0.0)
+    // ...while a normal Sunday's baseline absorbs the spike (mean 140,
+    // wide band) and therefore does NOT flag: |50 − 140| < 3σ
+    val quiet = got.find(r => r.getAs[Double]("revenue") == 50.0).get
+    assert(quiet.getAs[Double]("dow_mean") == 140.0)
+    assert(!quiet.getAs[Boolean]("is_anomaly"))
+    // multiple rows on one day pre-aggregate: splitting day 0 into
+    // 60 + 40 changes nothing
+    val split = rows.flatMap { case (ts, v) =>
+      if (ts == day(0)) Seq((ts, 60.0), (ts, 40.0)) else Seq((ts, v)) }
+    val got2 = TimeSeries.dowBandAnomaly(split.toDF("ts", "v"), col("ts"), col("v"))
+      .collect().map(r => (r.getAs[java.sql.Timestamp]("day"),
+        r.getAs[Double]("revenue"), r.getAs[Boolean]("is_anomaly"))).toSeq
+    assert(got2 == got.map(r => (r.getAs[java.sql.Timestamp]("day"),
+      r.getAs[Double]("revenue"), r.getAs[Boolean]("is_anomaly"))).toSeq)
+    // 15-day series: exactly one weekday reaches 3 observations (day 0's);
+    // the other six weekdays have 2 and all their days drop loudly
+    val short = (0 until 15).map(i => (day(i), 100.0 + i))
+    val kept = TimeSeries.dowBandAnomaly(short.toDF("ts", "v"), col("ts"), col("v"))
+      .collect()
+    assert(kept.length == 3)
+    assert(kept.map(_.getAs[java.sql.Timestamp]("day")).toSeq ==
+      Seq(day(0), day(7), day(14)))
+  }
+
+  test("dowBandAnomalyBy equals the global gate per segment; profiles are independent") {
+    import graft.operators.TimeSeries
+    def day(i: Int) = java.sql.Timestamp.valueOf(
+      java.time.LocalDate.of(2024, 1, 1).plusDays(i.toLong).atStartOfDay)
+    // Segment A: quiet Sundays + one spiked Sunday; segment B: flat.
+    // A shared weekday profile would smear A's Sunday dip into B.
+    val rows = (0 until 42).flatMap { i =>
+      val dow = java.time.LocalDate.of(2024, 1, 1).plusDays(i.toLong).getDayOfWeek
+      val va = if (i == 34) 500.0
+               else if (dow == java.time.DayOfWeek.SUNDAY) 50.0 else 100.0
+      Seq(("A", day(i), va), ("B", day(i), 77.0))
+    }
+    val df = rows.toDF("seg", "ts", "v")
+    val got = TimeSeries.dowBandAnomalyBy(
+      df, col("seg"), col("ts"), col("v")).collect()
+    assert(got.length == 84)
+    for (seg <- Seq("A", "B")) {
+      val mine = got.filter(_.getAs[String]("segment") == seg)
+        .map(r => (r.getAs[java.sql.Timestamp]("day"), r.getAs[Long]("dow07"),
+          r.getAs[Double]("revenue"), r.getAs[Double]("dow_mean"),
+          r.getAs[Double]("dow_std"), r.getAs[Boolean]("is_anomaly"))).toSeq
+      val global = TimeSeries.dowBandAnomaly(
+          df.filter($"seg" === seg), col("ts"), col("v")).collect()
+        .map(r => (r.getAs[java.sql.Timestamp]("day"), r.getAs[Long]("dow07"),
+          r.getAs[Double]("revenue"), r.getAs[Double]("dow_mean"),
+          r.getAs[Double]("dow_std"), r.getAs[Boolean]("is_anomaly"))).toSeq
+      assert(mine == global, s"segment $seg diverges from its global twin")
+    }
+    // only A's planted spike flags anywhere
+    val flagged = got.filter(_.getAs[Boolean]("is_anomaly"))
+      .map(r => (r.getAs[String]("segment"), r.getAs[Double]("revenue"))).toSeq
+    assert(flagged == Seq(("A", 500.0)))
+  }
 }
