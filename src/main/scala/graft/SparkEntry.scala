@@ -2978,6 +2978,14 @@ object SparkEntry {
       graft.operators.TimeSeries.mannKendallTrend(
         Tables.orders(s, d), col("o_orderdate"), col("o_totalprice"))),
 
+    // Grouped twin: per-priority pair domain (equi-join on segment over
+    // the calendar-bounded day table), per-segment Sen via the grouped
+    // bit-grid selection.
+    "q_mann_kendall_by_priority" -> ((s, d) =>
+      graft.operators.TimeSeries.mannKendallTrendBy(
+        Tables.orders(s, d), col("o_orderpriority"), col("o_orderdate"),
+        col("o_totalprice"))),
+
     // Per-priority CUSUM changepoint — each segment's own step date (a
     // segment's step smears into a ramp inside the global total).
     "q_cusum_changepoint_by_priority" -> ((s, d) =>
@@ -6862,6 +6870,35 @@ object SparkEntry {
                   / sqrt(CAST(vnum AS DOUBLE) / 18.0) END, 6) AS z_stat,
                 (SELECT sl FROM med) AS sen_slope
          FROM nn, sg, vv""",
+
+    // Grouped twin: segment rides every chain; the Sen median is the
+    // identical per-segment rank-(m+1)//2 pick (row_number vs m join).
+    "q_mann_kendall_by_priority" ->
+      """WITH s AS (SELECT o_orderpriority AS seg, CAST(o_orderdate AS DATE) AS d,
+                           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS rev
+                    FROM orders GROUP BY 1, 2),
+              e AS (SELECT seg, CAST(date_diff('day', DATE '1970-01-01', d) AS BIGINT) AS dn,
+                           CAST(rev * 100 AS HUGEINT) AS rc FROM s),
+              p AS (SELECT a.seg, a.dn AS i, b.dn AS j, a.rc AS xi, b.rc AS xj
+                    FROM e a JOIN e b ON a.seg = b.seg AND b.dn > a.dn),
+              sg AS (SELECT seg, CAST(sum(CASE WHEN xj > xi THEN 1 WHEN xj < xi THEN -1 ELSE 0 END) AS BIGINT) AS sv,
+                            CAST(count(*) AS BIGINT) AS m FROM p GROUP BY 1),
+              nn AS (SELECT seg, CAST(count(*) AS HUGEINT) AS n FROM e GROUP BY 1),
+              tc AS (SELECT seg, CAST(coalesce(sum(CAST(t AS HUGEINT) * (t - 1) * (t * 2 + 5)), 0) AS HUGEINT) AS ties
+                     FROM (SELECT seg, count(*) AS t FROM e GROUP BY seg, rc) q GROUP BY 1),
+              sl AS (SELECT seg, CAST(xj - xi AS DOUBLE) / (100.0 * (j - i)) AS sl,
+                            row_number() OVER (PARTITION BY seg ORDER BY CAST(xj - xi AS DOUBLE) / (100.0 * (j - i))) AS rn
+                     FROM p),
+              med AS (SELECT sl.seg, sl.sl FROM sl JOIN sg ON sl.seg = sg.seg
+                      WHERE sl.rn = (sg.m + 1) // 2)
+         SELECT nn.seg AS segment, CAST(n AS BIGINT) AS n_days, sv AS s_stat,
+                round(CASE WHEN n * (n - 1) * (n * 2 + 5) - ties > 0 THEN
+                  (CAST(sv AS DOUBLE) - (CASE WHEN sv > 0 THEN 1.0 WHEN sv < 0 THEN -1.0 ELSE 0.0 END))
+                  / sqrt(CAST(n * (n - 1) * (n * 2 + 5) - ties AS DOUBLE) / 18.0) END, 6) AS z_stat,
+                med.sl AS sen_slope
+         FROM nn JOIN sg ON nn.seg = sg.seg JOIN tc ON nn.seg = tc.seg
+                 JOIN med ON nn.seg = med.seg
+         ORDER BY segment""",
 
     // Grouped twin: pre-agg, cumulatives, totals and the argmax pick all
     // partitioned by the order priority.

@@ -509,6 +509,66 @@ object TimeSeries {
         col("sen_slope"))
   }
 
+  /** Per-`segmentCol` Mann–Kendall + Sen's slope — each segment's own
+    * "am I drifting?" (opposite per-segment trends cancel inside the
+    * global series; the grouped-gate convention). Exactly
+    * [[mannKendallTrend]]'s exact-integer S / Var(S) algebra with the
+    * segment riding every key: per-(segment, day) pre-agg, the pair
+    * domain an equi-join on segment (+ j > i) over the calendar-bounded
+    * day table — still SF-invariant, ≤ |segments| × days² — and the
+    * per-segment Sen median picked by the SAME grouped bit-grid
+    * selection ([[Robust.weightedMedian]] keyed by segment). The four
+    * |segments|-row aggregates broadcast back onto one spine. Segments
+    * with < 2 observed days have no pairs and drop (the global EMPTY
+    * contract applied per segment). */
+  def mannKendallTrendBy(
+      df: DataFrame, segmentCol: Column, dateCol: Column,
+      moneyValue: Column): DataFrame = {
+    import graft.functions.dec2
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val series = df.groupBy(segmentCol.as("seg"), to_date(dateCol).as("d"))
+      .agg(sum(dec2(moneyValue)).cast("decimal(18,2)").as("rev"))
+      .select(col("seg"),
+        datediff(col("d"), lit("1970-01-01").cast("date")).cast("long").as("__dn"),
+        (col("rev") * 100).cast(dec38).as("__rc"))
+      .localCheckpoint(false) // consumers: both pair sides, ties, count
+    val l = series.select(col("seg"), col("__dn").as("i"), col("__rc").as("xi"))
+    val r = series.select(col("seg").as("__sr"), col("__dn").as("j"), col("__rc").as("xj"))
+    val pairs = l.join(broadcast(r),
+      col("seg") === col("__sr") && col("j") > col("i")).drop("__sr")
+    val sAgg = pairs.groupBy(col("seg")).agg(
+      sum(when(col("xj") > col("xi"), 1L).when(col("xj") < col("xi"), -1L)
+        .otherwise(0L)).as("s"),
+      count(lit(1)).as("m"))
+    val nAgg = series.groupBy(col("seg")).agg(count(lit(1)).as("n_days"))
+    val tieAgg = series.groupBy(col("seg"), col("__rc")).agg(count(lit(1)).as("t"))
+      .groupBy(col("seg"))
+      .agg(coalesce(sum(col("t").cast(dec38) * (col("t") - 1) * (col("t") * 2 + 5)),
+        lit(0L).cast(dec38)).as("ties"))
+    // Same load-bearing when() guard: the projection can fuse into the
+    // join consume and see a pair the range condition is about to reject.
+    val slopes = pairs.select(col("seg"),
+      when(col("j") > col("i"),
+        (col("xj") - col("xi")).cast(DoubleType) /
+          (lit(100.0) * (col("j") - col("i")))).as("sl"))
+    val sen = Robust.weightedMedian(slopes, "seg", col("sl"), lit(1L))
+      .withColumnRenamed("w_median", "sen_slope")
+    val n = col("n_days").cast(dec38)
+    val vnum = n * (n - 1) * (n * 2 + 5) - col("ties")
+    val sD = col("s").cast(DoubleType)
+    val cc = when(col("s") > 0, lit(1.0)).when(col("s") < 0, lit(-1.0))
+      .otherwise(lit(0.0))
+    nAgg.join(broadcast(sAgg), "seg").join(broadcast(tieAgg), "seg")
+      .join(broadcast(sen), "seg")
+      .select(
+        col("seg").as("segment"),
+        col("n_days"), col("s").as("s_stat"),
+        round(when(vnum > 0, (sD - cc) /
+          sqrt(vnum.cast(DoubleType) / lit(18.0))), 6).as("z_stat"),
+        col("sen_slope"))
+      .orderBy(col("segment"))
+  }
+
   /** Last-touch revenue attribution: each `convType` event credits its
     * value to the LATEST `touchTypes` event by the same user at or before
     * it and within `windowMinutes`; conversions with no qualifying touch

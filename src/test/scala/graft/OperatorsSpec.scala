@@ -1494,4 +1494,38 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
       .map(r => (r.getAs[String]("segment"), r.getAs[Double]("revenue"))).toSeq
     assert(flagged == Seq(("A", 500.0)))
   }
+
+  test("mannKendallTrendBy equals the global test per segment; opposite trends resolved") {
+    import graft.operators.TimeSeries
+    def day(i: Int) = java.sql.Timestamp.valueOf(
+      java.time.LocalDate.of(2024, 1, 1).plusDays(i.toLong).atStartOfDay)
+    // A rises +2/day, B falls -3/day (they cancel in a global series),
+    // C is constant (tie-corrected variance zero -> NULL z), D has a
+    // single day (no pairs -> segment drops entirely).
+    val rows = (0 until 20).flatMap { i =>
+      Seq(("A", day(i), 100.0 + 2 * i), ("B", day(i), 900.0 - 3 * i),
+        ("C", day(i), 5.0))
+    } :+ (("D", day(0), 1.0))
+    val df = rows.toDF("seg", "ts", "v")
+    val got = TimeSeries.mannKendallTrendBy(
+      df, col("seg"), col("ts"), col("v")).collect()
+    assert(got.map(_.getAs[String]("segment")).toSeq == Seq("A", "B", "C"))
+    for (row <- got) {
+      val seg = row.getAs[String]("segment")
+      val single = TimeSeries.mannKendallTrend(
+        df.filter($"seg" === seg), col("ts"), col("v")).collect()(0)
+      assert(row.getAs[Long]("n_days") == single.getAs[Long]("n_days"), seg)
+      assert(row.getAs[Long]("s_stat") == single.getAs[Long]("s_stat"), seg)
+      assert(Option(row.getAs[java.lang.Double]("z_stat")) ==
+        Option(single.getAs[java.lang.Double]("z_stat")), seg)
+      assert(row.getAs[Double]("sen_slope") == single.getAs[Double]("sen_slope"), seg)
+    }
+    val bySeg = got.map(r => r.getAs[String]("segment") -> r).toMap
+    assert(bySeg("A").getAs[Long]("s_stat") == 190 &&
+      bySeg("A").getAs[Double]("sen_slope") == 2.0)
+    assert(bySeg("B").getAs[Long]("s_stat") == -190 &&
+      bySeg("B").getAs[Double]("sen_slope") == -3.0)
+    assert(bySeg("C").getAs[Long]("s_stat") == 0 &&
+      bySeg("C").isNullAt(bySeg("C").fieldIndex("z_stat")))
+  }
 }
