@@ -2986,6 +2986,14 @@ object SparkEntry {
         Tables.orders(s, d), col("o_orderpriority"), col("o_orderdate"),
         col("o_totalprice"))),
 
+    // Weekday-adjusted CUSUM — the step detector net of weekly
+    // seasonality: residuals against the per-weekday MEDIAN (discrete
+    // exact-cents pick, itself robust to the hunted step), then the
+    // same D-scaled integer CUSUM on residual cents.
+    "q_cusum_seasonal" -> ((s, d) =>
+      graft.operators.TimeSeries.cusumSeasonalAdjusted(
+        Tables.orders(s, d), col("o_orderdate"), col("o_totalprice"))),
+
     // Per-priority CUSUM changepoint — each segment's own step date (a
     // segment's step smears into a ramp inside the global total).
     "q_cusum_changepoint_by_priority" -> ((s, d) =>
@@ -6794,6 +6802,34 @@ object SparkEntry {
                 CASE WHEN dd > i THEN
                   round(CAST(t - cum AS DOUBLE) / (CAST(dd - i AS DOUBLE) * 100.0), 6)
                 END AS mean_after
+         FROM k ORDER BY stat DESC, d ASC LIMIT 1""",
+
+    // Same D-scaled CUSUM on residual cents against the per-weekday
+    // rank-(c+1)//2 median pick; identical winner-only double chain.
+    "q_cusum_seasonal" ->
+      """WITH s AS (SELECT CAST(o_orderdate AS DATE) AS d,
+                           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS rev
+                    FROM orders GROUP BY 1),
+              e AS (SELECT d, CAST(date_diff('day', DATE '1970-01-01', d) % 7 AS BIGINT) AS dow07,
+                           CAST(rev * 100 AS HUGEINT) AS rc FROM s),
+              rk AS (SELECT dow07, rc,
+                            row_number() OVER (PARTITION BY dow07 ORDER BY rc) AS rn,
+                            count(*) OVER (PARTITION BY dow07) AS c
+                     FROM e),
+              md AS (SELECT dow07, rc AS med FROM rk WHERE rn = (c + 1) // 2),
+              r AS (SELECT d, e.rc - md.med AS rr FROM e JOIN md ON e.dow07 = md.dow07),
+              c AS (SELECT d, rr,
+                           CAST(row_number() OVER (ORDER BY d) AS HUGEINT) AS i,
+                           CAST(sum(rr) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS HUGEINT) AS cum
+                    FROM r),
+              g AS (SELECT CAST(count(*) AS HUGEINT) AS dd, CAST(sum(rr) AS HUGEINT) AS t FROM r),
+              k AS (SELECT d, i, cum, dd, t, abs(dd * cum - i * t) AS stat FROM c, g)
+         SELECT CAST(dd AS BIGINT) AS n_days, CAST(d AS TIMESTAMP) AS cp_day,
+                round(CAST(stat AS DOUBLE) / (CAST(dd AS DOUBLE) * 100.0), 6) AS cusum_max,
+                round(CAST(cum AS DOUBLE) / (CAST(i AS DOUBLE) * 100.0), 6) AS mean_resid_before,
+                CASE WHEN dd > i THEN
+                  round(CAST(t - cum AS DOUBLE) / (CAST(dd - i AS DOUBLE) * 100.0), 6)
+                END AS mean_resid_after
          FROM k ORDER BY stat DESC, d ASC LIMIT 1""",
 
     // Same leave-one-out integer-cents algebra in HUGEINT, identical

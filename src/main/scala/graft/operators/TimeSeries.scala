@@ -438,6 +438,76 @@ object TimeSeries {
       .orderBy(col("segment"), col("day"))
   }
 
+  /** Weekday-adjusted CUSUM changepoint — [[cusumChangepoint]] run on
+    * the series NET of its weekly seasonality. On a weekend-heavy (or
+    * weekend-quiet) business the raw CUSUM's cumulative sum zig-zags
+    * with the weekly cycle and its argmax can land on a weekday-mix
+    * artifact rather than the true level shift; de-seasonalizing first
+    * isolates the step. The seasonal profile is the per-weekday MEDIAN
+    * (a discrete rank-⌈c/2⌉ pick — an actual data value in exact cents,
+    * and unlike the weekday MEAN it is itself robust to the very step
+    * being hunted), so the residual x_d − med(dow(d)) stays an exact
+    * integer and the whole D-scaled CUSUM algebra of
+    * [[cusumChangepoint]] applies unchanged to residual cents.
+    * `cusum_max` and the before/after levels are in residual money
+    * units: mean deviation from the weekday norm before/after the
+    * estimated change day.
+    *
+    * Scale shape: day-domain pre-agg (one keyed shuffle), the 7-row
+    * median profile via one window over the calendar-bounded day table
+    * + broadcast join back, then the global CUSUM windows on the same
+    * bounded table — identical cost to the raw gate plus one
+    * model-sized join. */
+  def cusumSeasonalAdjusted(
+      df: DataFrame, dateCol: Column, moneyValue: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.dec2
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val series = df.groupBy(to_date(dateCol).as("d"))
+      .agg(sum(dec2(moneyValue)).cast("decimal(18,2)").as("rev"))
+      .select(col("d"),
+        pmod(datediff(col("d"), lit("1970-01-01").cast("date")), lit(7))
+          .cast("long").as("dow07"),
+        (col("rev") * 100).cast(dec38).as("__rc"))
+    // NOT checkpointed (the [[cusumChangepoint]] measurement): the three
+    // consumers re-run a pruned two-column pre-agg, cheaper than a
+    // checkpoint round-trip, and the checkpoint leaf would erase the
+    // aggregate lineage the ScaleSpec window guard reads.
+    // Per-weekday median: rank-⌈c/2⌉ discrete pick (rn = (c+1) div 2).
+    // Equal-cent ties pick equal values, so the rank tiebreak is moot.
+    val wRank = Window.partitionBy(col("dow07")).orderBy(col("__rc"))
+    val med = series
+      .select(col("dow07"), col("__rc"),
+        row_number().over(wRank).as("__rn"),
+        count(lit(1)).over(Window.partitionBy(col("dow07"))).as("__c"))
+      .filter(col("__rn") === expr("(__c + 1) div 2"))
+      .select(col("dow07"), col("__rc").as("__med"))
+    val resid = series.join(broadcast(med), "dow07")
+      .select(col("d"), (col("__rc") - col("__med")).as("__rr"))
+    val w = Window.orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = resid
+      .withColumn("__i", count(lit(1)).over(w).cast(dec38))
+      .withColumn("__cum", sum(col("__rr")).over(w))
+    val tot = resid.agg(
+      count(lit(1)).cast(dec38).as("__dd"), sum(col("__rr")).as("__t"))
+    cum.crossJoin(broadcast(tot))
+      .withColumn("__stat", abs(col("__dd") * col("__cum") - col("__i") * col("__t")))
+      .orderBy(col("__stat").desc, col("d").asc)
+      .limit(1)
+      .select(
+        col("__dd").cast("long").as("n_days"),
+        col("d").cast("timestamp").as("cp_day"),
+        round(col("__stat").cast(DoubleType) /
+          (col("__dd").cast(DoubleType) * lit(100.0)), 6).as("cusum_max"),
+        round(col("__cum").cast(DoubleType) /
+          (col("__i").cast(DoubleType) * lit(100.0)), 6).as("mean_resid_before"),
+        when(col("__dd") > col("__i"),
+          round((col("__t") - col("__cum")).cast(DoubleType) /
+            ((col("__dd") - col("__i")).cast(DoubleType) * lit(100.0)), 6))
+          .as("mean_resid_after"))
+  }
+
   /** Mann–Kendall trend test + Sen's slope over the daily money metric —
     * the MONOTONE-TREND companion to [[cusumChangepoint]] (CUSUM locates
     * a level STEP; Mann–Kendall asks "is the series drifting up or down

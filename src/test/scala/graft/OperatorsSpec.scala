@@ -1528,4 +1528,43 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(bySeg("C").getAs[Long]("s_stat") == 0 &&
       bySeg("C").isNullAt(bySeg("C").fieldIndex("z_stat")))
   }
+
+  test("cusumSeasonalAdjusted: step under weekly seasonality; pure seasonality is silent") {
+    import graft.operators.TimeSeries
+    def day(i: Int) = java.sql.Timestamp.valueOf(
+      java.time.LocalDate.of(2024, 1, 1).plusDays(i.toLong).atStartOfDay)
+    // 8 weeks: Sundays 40, other days 100; +50 level step from day 28.
+    // Each weekday's median over the full series is its PRE-step base
+    // (4 of 8 obs at base, rank-4 pick), so residuals are exactly 0
+    // before / 50 after: |S| peaks at day 27 with D-scaled max
+    // 28*700*... = |28/56 * 1400| = 700.
+    val rows = (0 until 56).map { i =>
+      val dow = java.time.LocalDate.of(2024, 1, 1).plusDays(i.toLong).getDayOfWeek
+      val base = if (dow == java.time.DayOfWeek.SUNDAY) 40.0 else 100.0
+      (day(i), base + (if (i >= 28) 50.0 else 0.0))
+    }
+    val got = TimeSeries.cusumSeasonalAdjusted(
+      rows.toDF("ts", "v"), col("ts"), col("v")).collect()(0)
+    assert(got.getAs[Long]("n_days") == 56)
+    assert(got.getAs[java.sql.Timestamp]("cp_day") == day(27))
+    assert(got.getAs[Double]("cusum_max") == 700.0)
+    assert(got.getAs[Double]("mean_resid_before") == 0.0)
+    assert(got.getAs[Double]("mean_resid_after") == 50.0)
+    // pure seasonality, no step: residuals identically zero -> silent
+    // (cusum_max 0, earliest-day tie pick)
+    val flat = (0 until 56).map { i =>
+      val dow = java.time.LocalDate.of(2024, 1, 1).plusDays(i.toLong).getDayOfWeek
+      (day(i), if (dow == java.time.DayOfWeek.SUNDAY) 40.0 else 100.0)
+    }
+    val quiet = TimeSeries.cusumSeasonalAdjusted(
+      flat.toDF("ts", "v"), col("ts"), col("v")).collect()(0)
+    assert(quiet.getAs[Double]("cusum_max") == 0.0)
+    assert(quiet.getAs[java.sql.Timestamp]("cp_day") == day(0))
+    // ...where the RAW gate on the same flat-but-seasonal series reports
+    // a nonzero cusum_max (the weekly zig-zag IS its signal) — the
+    // artifact this operator exists to remove
+    val raw = TimeSeries.cusumChangepoint(
+      flat.toDF("ts", "v"), col("ts"), col("v")).collect()(0)
+    assert(raw.getAs[Double]("cusum_max") > 0.0)
+  }
 }
