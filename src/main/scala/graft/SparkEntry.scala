@@ -2986,6 +2986,13 @@ object SparkEntry {
         Tables.orders(s, d), col("o_orderpriority"), col("o_orderdate"),
         col("o_totalprice"))),
 
+    // Naive-forecast backtest: lag-1 and seasonal lag-7 baselines
+    // scored with exact-decimal MAE/RMSE/WAPE/bias (ratio-of-sums
+    // forms; days without a lag source drop honestly).
+    "q_forecast_backtest" -> ((s, d) =>
+      graft.operators.TimeSeries.forecastBacktest(
+        Tables.orders(s, d), col("o_orderdate"), col("o_totalprice"))),
+
     // Weekday-adjusted CUSUM — the step detector net of weekly
     // seasonality: residuals against the per-weekday MEDIAN (discrete
     // exact-cents pick, itself robust to the hunted step), then the
@@ -6803,6 +6810,30 @@ object SparkEntry {
                   round(CAST(t - cum AS DOUBLE) / (CAST(dd - i AS DOUBLE) * 100.0), 6)
                 END AS mean_after
          FROM k ORDER BY stat DESC, d ASC LIMIT 1""",
+
+    // Same exact-cents error sums in HUGEINT over the same epoch-day
+    // lag joins; identical one-conversion-per-column double chains.
+    "q_forecast_backtest" ->
+      """WITH s AS (SELECT CAST(o_orderdate AS DATE) AS d,
+                           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS rev
+                    FROM orders GROUP BY 1),
+              e AS (SELECT CAST(date_diff('day', DATE '1970-01-01', d) AS BIGINT) AS dn,
+                           CAST(rev * 100 AS HUGEINT) AS rc FROM s),
+              l AS (SELECT 'lag_1' AS model, a.rc - b.rc AS err, a.rc AS act
+                    FROM e a JOIN e b ON a.dn = b.dn + 1
+                    UNION ALL
+                    SELECT 'lag_7' AS model, a.rc - b.rc AS err, a.rc AS act
+                    FROM e a JOIN e b ON a.dn = b.dn + 7),
+              g AS (SELECT model, CAST(count(*) AS HUGEINT) AS n,
+                           sum(abs(err)) AS sae, sum(err * err) AS sse,
+                           sum(abs(act)) AS sa, sum(err) AS se
+                    FROM l GROUP BY 1)
+         SELECT model, CAST(n AS BIGINT) AS n_days,
+                round(CAST(sae AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0), 6) AS mae,
+                round(sqrt(CAST(sse AS DOUBLE) / CAST(n AS DOUBLE)) / 100.0, 6) AS rmse,
+                round(CAST(sae AS DOUBLE) / CAST(sa AS DOUBLE), 6) AS wape,
+                round(CAST(se AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0), 6) AS bias
+         FROM g ORDER BY model""",
 
     // Same D-scaled CUSUM on residual cents against the per-weekday
     // rank-(c+1)//2 median pick; identical winner-only double chain.

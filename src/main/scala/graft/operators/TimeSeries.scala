@@ -639,6 +639,61 @@ object TimeSeries {
       .orderBy(col("segment"))
   }
 
+  /** Naive-forecast backtest over the daily money metric — the "how
+    * predictable is this series, and does weekly seasonality matter?"
+    * readout: for each lag L in `lags`, forecast day d as the actual of
+    * day d−L (the lag-1 naive and lag-7 seasonal-naive baselines every
+    * forecasting effort must beat — a model that can't outdo lag-7 on a
+    * weekly-cyclic series adds nothing), scored only on days whose lag
+    * source exists (calendar gaps drop honestly, no imputation). One
+    * row per model with the standard backtest panel, every sum exact
+    * integer cents until one double conversion per output column:
+    * MAE, RMSE, WAPE = Σ|err|/Σ|actual| (the ratio-of-sums form —
+    * per-row percentage averages are scale-unstable AND
+    * summation-order-unstable in doubles; ratio-of-sums is neither),
+    * and signed bias (mean error — systematic over/under-forecast).
+    *
+    * Scale shape: day-domain pre-agg (one keyed shuffle), one
+    * broadcast self-join per lag on exact epoch-day arithmetic over
+    * the calendar-bounded table, map-side-combined decimal sums —
+    * |lags| rows out at any data scale. */
+  def forecastBacktest(
+      df: DataFrame, dateCol: Column, moneyValue: Column,
+      lags: Seq[Int] = Seq(1, 7)): DataFrame = {
+    import graft.functions.dec2
+    require(lags.nonEmpty && lags.forall(_ >= 1), s"need lags >= 1, got $lags")
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val series = df.groupBy(to_date(dateCol).as("d"))
+      .agg(sum(dec2(moneyValue)).cast("decimal(18,2)").as("rev"))
+      .select(
+        datediff(col("d"), lit("1970-01-01").cast("date")).cast("long").as("__dn"),
+        (col("rev") * 100).cast(dec38).as("__rc"))
+      .localCheckpoint(false) // 2·|lags| pair-side consumers of one pre-agg
+    val scored = lags.map { lag =>
+      val f = series.select(col("__dn").as("__fdn"), col("__rc").as("__fc"))
+      series.join(broadcast(f), col("__dn") === col("__fdn") + lit(lag.toLong))
+        .select(lit(s"lag_$lag").as("model"),
+          (col("__rc") - col("__fc")).as("err"), col("__rc").as("act"))
+    }.reduce(_ unionByName _)
+    scored.groupBy(col("model")).agg(
+        count(lit(1)).as("n_days"),
+        sum(abs(col("err"))).as("__sae"),
+        sum(col("err") * col("err")).as("__sse"),
+        sum(abs(col("act"))).as("__sa"),
+        sum(col("err")).as("__se"))
+      .select(
+        col("model"), col("n_days"),
+        round(col("__sae").cast(DoubleType) /
+          (col("n_days").cast(DoubleType) * lit(100.0)), 6).as("mae"),
+        round(sqrt(col("__sse").cast(DoubleType) /
+          col("n_days").cast(DoubleType)) / lit(100.0), 6).as("rmse"),
+        round(col("__sae").cast(DoubleType) / col("__sa").cast(DoubleType), 6)
+          .as("wape"),
+        round(col("__se").cast(DoubleType) /
+          (col("n_days").cast(DoubleType) * lit(100.0)), 6).as("bias"))
+      .orderBy(col("model"))
+  }
+
   /** Last-touch revenue attribution: each `convType` event credits its
     * value to the LATEST `touchTypes` event by the same user at or before
     * it and within `windowMinutes`; conversions with no qualifying touch

@@ -1567,4 +1567,35 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
       flat.toDF("ts", "v"), col("ts"), col("v")).collect()(0)
     assert(raw.getAs[Double]("cusum_max") > 0.0)
   }
+
+  test("forecastBacktest: seasonal-naive wins on a weekly-cyclic series, exact panel") {
+    import graft.operators.TimeSeries
+    def day(i: Int) = java.sql.Timestamp.valueOf(
+      java.time.LocalDate.of(2024, 1, 1).plusDays(i.toLong).atStartOfDay)
+    // 3 exact weekly repeats of [10..70]: lag-7 is a perfect forecast on
+    // its 14 scorable days; lag-1 scores 20 days with 18 errors of +10
+    // and 2 week-boundary errors of -60 — hand-computable panel.
+    val pattern = Seq(10.0, 20.0, 30.0, 40.0, 50.0, 60.0, 70.0)
+    val rows = (0 until 21).map(i => (day(i), pattern(i % 7)))
+    val got = TimeSeries.forecastBacktest(
+        rows.toDF("ts", "v"), col("ts"), col("v")).collect()
+      .map(r => r.getAs[String]("model") -> r).toMap
+    val l7 = got("lag_7")
+    assert(l7.getAs[Long]("n_days") == 14)
+    for (c <- Seq("mae", "rmse", "wape", "bias"))
+      assert(l7.getAs[Double](c) == 0.0, c)
+    val l1 = got("lag_1")
+    assert(l1.getAs[Long]("n_days") == 20)
+    assert(l1.getAs[Double]("mae") == 15.0)           // (18·10 + 2·60)/20
+    assert(l1.getAs[Double]("bias") == 3.0)           // (180 − 120)/20
+    assert(l1.getAs[Double]("rmse") == 21.213203)     // √((18·10² + 2·60²)/20)
+    assert(l1.getAs[Double]("wape") == 0.361446)      // 300 / (840 − 10)
+    // calendar gap: drop day 8 — lag-1 loses days 8 AND 9, lag-7 loses
+    // days 8 and 15 (no imputation, both sides of the hole)
+    val gapped = rows.filterNot(_._1 == day(8))
+    val g = TimeSeries.forecastBacktest(
+        gapped.toDF("ts", "v"), col("ts"), col("v")).collect()
+      .map(r => r.getAs[String]("model") -> r.getAs[Long]("n_days")).toMap
+    assert(g("lag_1") == 18 && g("lag_7") == 12)
+  }
 }
