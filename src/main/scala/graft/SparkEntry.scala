@@ -2993,6 +2993,20 @@ object SparkEntry {
       graft.operators.TimeSeries.forecastBacktest(
         Tables.orders(s, d), col("o_orderdate"), col("o_totalprice"))),
 
+    // Grouped twin: per-priority predictability panel (lag joins on
+    // (segment, epoch-day); |segments|·|lags| rows out).
+    "q_forecast_backtest_by_priority" -> ((s, d) =>
+      graft.operators.TimeSeries.forecastBacktestBy(
+        Tables.orders(s, d), col("o_orderpriority"), col("o_orderdate"),
+        col("o_totalprice"))),
+
+    // Grouped twin: per-priority weekday-adjusted step hunt (medians
+    // per (segment, weekday), CUSUM partitioned by segment).
+    "q_cusum_seasonal_by_priority" -> ((s, d) =>
+      graft.operators.TimeSeries.cusumSeasonalAdjustedBy(
+        Tables.orders(s, d), col("o_orderpriority"), col("o_orderdate"),
+        col("o_totalprice"))),
+
     // Weekday-adjusted CUSUM — the step detector net of weekly
     // seasonality: residuals against the per-weekday MEDIAN (discrete
     // exact-cents pick, itself robust to the hunted step), then the
@@ -6834,6 +6848,61 @@ object SparkEntry {
                 round(CAST(sae AS DOUBLE) / CAST(sa AS DOUBLE), 6) AS wape,
                 round(CAST(se AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0), 6) AS bias
          FROM g ORDER BY model""",
+
+    // Segment rides every key of the same exact-cents panel algebra.
+    "q_forecast_backtest_by_priority" ->
+      """WITH s AS (SELECT o_orderpriority AS seg, CAST(o_orderdate AS DATE) AS d,
+                           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS rev
+                    FROM orders GROUP BY 1, 2),
+              e AS (SELECT seg, CAST(date_diff('day', DATE '1970-01-01', d) AS BIGINT) AS dn,
+                           CAST(rev * 100 AS HUGEINT) AS rc FROM s),
+              l AS (SELECT a.seg, 'lag_1' AS model, a.rc - b.rc AS err, a.rc AS act
+                    FROM e a JOIN e b ON a.seg = b.seg AND a.dn = b.dn + 1
+                    UNION ALL
+                    SELECT a.seg, 'lag_7' AS model, a.rc - b.rc AS err, a.rc AS act
+                    FROM e a JOIN e b ON a.seg = b.seg AND a.dn = b.dn + 7),
+              g AS (SELECT seg, model, CAST(count(*) AS HUGEINT) AS n,
+                           sum(abs(err)) AS sae, sum(err * err) AS sse,
+                           sum(abs(act)) AS sa, sum(err) AS se
+                    FROM l GROUP BY 1, 2)
+         SELECT seg AS segment, model, CAST(n AS BIGINT) AS n_days,
+                round(CAST(sae AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0), 6) AS mae,
+                round(sqrt(CAST(sse AS DOUBLE) / CAST(n AS DOUBLE)) / 100.0, 6) AS rmse,
+                round(CAST(sae AS DOUBLE) / CAST(sa AS DOUBLE), 6) AS wape,
+                round(CAST(se AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0), 6) AS bias
+         FROM g ORDER BY segment, model""",
+
+    // Same per-(segment, weekday) median pick + segment-partitioned
+    // D-scaled residual CUSUM; identical winner-only double chain.
+    "q_cusum_seasonal_by_priority" ->
+      """WITH s AS (SELECT o_orderpriority AS seg, CAST(o_orderdate AS DATE) AS d,
+                           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS rev
+                    FROM orders GROUP BY 1, 2),
+              e AS (SELECT seg, d, CAST(date_diff('day', DATE '1970-01-01', d) % 7 AS BIGINT) AS dow07,
+                           CAST(rev * 100 AS HUGEINT) AS rc FROM s),
+              rk AS (SELECT seg, dow07, rc,
+                            row_number() OVER (PARTITION BY seg, dow07 ORDER BY rc) AS rn,
+                            count(*) OVER (PARTITION BY seg, dow07) AS c
+                     FROM e),
+              md AS (SELECT seg, dow07, rc AS med FROM rk WHERE rn = (c + 1) // 2),
+              r AS (SELECT e.seg, d, e.rc - md.med AS rr
+                    FROM e JOIN md ON e.seg = md.seg AND e.dow07 = md.dow07),
+              c AS (SELECT seg, d, rr,
+                           CAST(row_number() OVER (PARTITION BY seg ORDER BY d) AS HUGEINT) AS i,
+                           CAST(sum(rr) OVER (PARTITION BY seg ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS HUGEINT) AS cum
+                    FROM r),
+              g AS (SELECT seg, CAST(count(*) AS HUGEINT) AS dd, CAST(sum(rr) AS HUGEINT) AS t
+                    FROM r GROUP BY 1),
+              k AS (SELECT c.seg, d, i, cum, dd, t, abs(dd * cum - i * t) AS stat,
+                           row_number() OVER (PARTITION BY c.seg ORDER BY abs(dd * cum - i * t) DESC, d ASC) AS rn
+                    FROM c JOIN g ON c.seg = g.seg)
+         SELECT seg AS segment, CAST(dd AS BIGINT) AS n_days, CAST(d AS TIMESTAMP) AS cp_day,
+                round(CAST(stat AS DOUBLE) / (CAST(dd AS DOUBLE) * 100.0), 6) AS cusum_max,
+                round(CAST(cum AS DOUBLE) / (CAST(i AS DOUBLE) * 100.0), 6) AS mean_resid_before,
+                CASE WHEN dd > i THEN
+                  round(CAST(t - cum AS DOUBLE) / (CAST(dd - i AS DOUBLE) * 100.0), 6)
+                END AS mean_resid_after
+         FROM k WHERE rn = 1 ORDER BY segment""",
 
     // Same D-scaled CUSUM on residual cents against the per-weekday
     // rank-(c+1)//2 median pick; identical winner-only double chain.

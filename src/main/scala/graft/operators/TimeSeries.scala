@@ -508,6 +508,62 @@ object TimeSeries {
           .as("mean_resid_after"))
   }
 
+  /** Per-`segmentCol` weekday-adjusted CUSUM — each segment de-
+    * seasonalized against ITS OWN weekday medians, then its own step
+    * hunt (the grouped-gate convention; a weekend-heavy category's
+    * profile differs from the corpus). Exactly [[cusumSeasonalAdjusted]]
+    * with the segment riding every key: medians per (segment, weekday)
+    * — ≤ 7·|segments| rows, broadcast — cumulatives/totals/argmax
+    * partitioned by segment over the calendar-bounded day domain. */
+  def cusumSeasonalAdjustedBy(
+      df: DataFrame, segmentCol: Column, dateCol: Column,
+      moneyValue: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.dec2
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val series = df.groupBy(segmentCol.as("seg"), to_date(dateCol).as("d"))
+      .agg(sum(dec2(moneyValue)).cast("decimal(18,2)").as("rev"))
+      .select(col("seg"), col("d"),
+        pmod(datediff(col("d"), lit("1970-01-01").cast("date")), lit(7))
+          .cast("long").as("dow07"),
+        (col("rev") * 100).cast(dec38).as("__rc"))
+    val wRank = Window.partitionBy(col("seg"), col("dow07")).orderBy(col("__rc"))
+    val med = series
+      .select(col("seg"), col("dow07"), col("__rc"),
+        row_number().over(wRank).as("__rn"),
+        count(lit(1)).over(Window.partitionBy(col("seg"), col("dow07"))).as("__c"))
+      .filter(col("__rn") === expr("(__c + 1) div 2"))
+      .select(col("seg"), col("dow07"), col("__rc").as("__med"))
+    val resid = series.join(broadcast(med), Seq("seg", "dow07"))
+      .select(col("seg"), col("d"), (col("__rc") - col("__med")).as("__rr"))
+    val w = Window.partitionBy(col("seg")).orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = resid
+      .withColumn("__i", count(lit(1)).over(w).cast(dec38))
+      .withColumn("__cum", sum(col("__rr")).over(w))
+    val tot = resid.groupBy(col("seg"))
+      .agg(count(lit(1)).cast(dec38).as("__dd"), sum(col("__rr")).as("__t"))
+    val wPick = Window.partitionBy(col("seg"))
+      .orderBy(col("__stat").desc, col("d").asc)
+    cum.join(broadcast(tot), "seg")
+      .withColumn("__stat", abs(col("__dd") * col("__cum") - col("__i") * col("__t")))
+      .withColumn("__pick", row_number().over(wPick))
+      .filter(col("__pick") === 1)
+      .select(
+        col("seg").as("segment"),
+        col("__dd").cast("long").as("n_days"),
+        col("d").cast("timestamp").as("cp_day"),
+        round(col("__stat").cast(DoubleType) /
+          (col("__dd").cast(DoubleType) * lit(100.0)), 6).as("cusum_max"),
+        round(col("__cum").cast(DoubleType) /
+          (col("__i").cast(DoubleType) * lit(100.0)), 6).as("mean_resid_before"),
+        when(col("__dd") > col("__i"),
+          round((col("__t") - col("__cum")).cast(DoubleType) /
+            ((col("__dd") - col("__i")).cast(DoubleType) * lit(100.0)), 6))
+          .as("mean_resid_after"))
+      .orderBy(col("segment"))
+  }
+
   /** Mann–Kendall trend test + Sen's slope over the daily money metric —
     * the MONOTONE-TREND companion to [[cusumChangepoint]] (CUSUM locates
     * a level STEP; Mann–Kendall asks "is the series drifting up or down
@@ -692,6 +748,51 @@ object TimeSeries {
         round(col("__se").cast(DoubleType) /
           (col("n_days").cast(DoubleType) * lit(100.0)), 6).as("bias"))
       .orderBy(col("model"))
+  }
+
+  /** Per-`segmentCol` naive-forecast backtest — each segment's own
+    * predictability panel (the grouped-gate convention: the corpus
+    * total can be lag-7-predictable while one category is pure noise).
+    * Exactly [[forecastBacktest]] with the segment riding every key:
+    * per-(segment, day) pre-agg, lag joins on (segment, epoch-day),
+    * sums keyed by (segment, model) — |segments|·|lags| rows out. */
+  def forecastBacktestBy(
+      df: DataFrame, segmentCol: Column, dateCol: Column,
+      moneyValue: Column, lags: Seq[Int] = Seq(1, 7)): DataFrame = {
+    import graft.functions.dec2
+    require(lags.nonEmpty && lags.forall(_ >= 1), s"need lags >= 1, got $lags")
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val series = df.groupBy(segmentCol.as("seg"), to_date(dateCol).as("d"))
+      .agg(sum(dec2(moneyValue)).cast("decimal(18,2)").as("rev"))
+      .select(col("seg"),
+        datediff(col("d"), lit("1970-01-01").cast("date")).cast("long").as("__dn"),
+        (col("rev") * 100).cast(dec38).as("__rc"))
+      .localCheckpoint(false) // 2·|lags| pair-side consumers of one pre-agg
+    val scored = lags.map { lag =>
+      val f = series.select(col("seg").as("__fs"), col("__dn").as("__fdn"),
+        col("__rc").as("__fc"))
+      series.join(broadcast(f),
+          col("seg") === col("__fs") && col("__dn") === col("__fdn") + lit(lag.toLong))
+        .select(col("seg"), lit(s"lag_$lag").as("model"),
+          (col("__rc") - col("__fc")).as("err"), col("__rc").as("act"))
+    }.reduce(_ unionByName _)
+    scored.groupBy(col("seg"), col("model")).agg(
+        count(lit(1)).as("n_days"),
+        sum(abs(col("err"))).as("__sae"),
+        sum(col("err") * col("err")).as("__sse"),
+        sum(abs(col("act"))).as("__sa"),
+        sum(col("err")).as("__se"))
+      .select(
+        col("seg").as("segment"), col("model"), col("n_days"),
+        round(col("__sae").cast(DoubleType) /
+          (col("n_days").cast(DoubleType) * lit(100.0)), 6).as("mae"),
+        round(sqrt(col("__sse").cast(DoubleType) /
+          col("n_days").cast(DoubleType)) / lit(100.0), 6).as("rmse"),
+        round(col("__sae").cast(DoubleType) / col("__sa").cast(DoubleType), 6)
+          .as("wape"),
+        round(col("__se").cast(DoubleType) /
+          (col("n_days").cast(DoubleType) * lit(100.0)), 6).as("bias"))
+      .orderBy(col("segment"), col("model"))
   }
 
   /** Last-touch revenue attribution: each `convType` event credits its

@@ -1598,4 +1598,50 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
       .map(r => r.getAs[String]("model") -> r.getAs[Long]("n_days")).toMap
     assert(g("lag_1") == 18 && g("lag_7") == 12)
   }
+
+  test("cusumSeasonalAdjustedBy and forecastBacktestBy equal their global twins per segment") {
+    import graft.operators.TimeSeries
+    def day(i: Int) = java.sql.Timestamp.valueOf(
+      java.time.LocalDate.of(2024, 1, 1).plusDays(i.toLong).atStartOfDay)
+    // A: seasonal series with a +50 step at day 28; B: weekly-cyclic
+    // pattern, no step. Shared profiles/joins would cross-contaminate.
+    val rows = (0 until 56).flatMap { i =>
+      val dow = java.time.LocalDate.of(2024, 1, 1).plusDays(i.toLong).getDayOfWeek
+      val baseA = if (dow == java.time.DayOfWeek.SUNDAY) 40.0 else 100.0
+      Seq(("A", day(i), baseA + (if (i >= 28) 50.0 else 0.0)),
+        ("B", day(i), 10.0 + 10.0 * (i % 7)))
+    }
+    val df = rows.toDF("seg", "ts", "v")
+    val cs = TimeSeries.cusumSeasonalAdjustedBy(
+      df, col("seg"), col("ts"), col("v")).collect()
+    assert(cs.map(_.getAs[String]("segment")).toSeq == Seq("A", "B"))
+    for (row <- cs) {
+      val seg = row.getAs[String]("segment")
+      val single = TimeSeries.cusumSeasonalAdjusted(
+        df.filter($"seg" === seg), col("ts"), col("v")).collect()(0)
+      assert(row.getAs[java.sql.Timestamp]("cp_day") ==
+        single.getAs[java.sql.Timestamp]("cp_day"), seg)
+      for (c <- Seq("cusum_max", "mean_resid_before"))
+        assert(row.getAs[Double](c) == single.getAs[Double](c), s"$c in $seg")
+    }
+    assert(cs(0).getAs[java.sql.Timestamp]("cp_day") == day(27) &&
+      cs(0).getAs[Double]("cusum_max") == 700.0)
+    assert(cs(1).getAs[Double]("cusum_max") == 0.0) // B's cycle nets out
+    val fb = TimeSeries.forecastBacktestBy(
+      df, col("seg"), col("ts"), col("v")).collect()
+    assert(fb.length == 4)
+    for (row <- fb) {
+      val (seg, model) = (row.getAs[String]("segment"), row.getAs[String]("model"))
+      val single = TimeSeries.forecastBacktest(
+          df.filter($"seg" === seg), col("ts"), col("v")).collect()
+        .find(_.getAs[String]("model") == model).get
+      assert(row.getAs[Long]("n_days") == single.getAs[Long]("n_days"), s"$seg/$model")
+      for (c <- Seq("mae", "rmse", "wape", "bias"))
+        assert(row.getAs[Double](c) == single.getAs[Double](c), s"$c in $seg/$model")
+    }
+    // B repeats exactly weekly: its lag-7 panel is all zeros
+    val b7 = fb.find(r => r.getAs[String]("segment") == "B" &&
+      r.getAs[String]("model") == "lag_7").get
+    assert(b7.getAs[Double]("mae") == 0.0 && b7.getAs[Double]("rmse") == 0.0)
+  }
 }
