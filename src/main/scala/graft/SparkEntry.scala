@@ -3193,6 +3193,14 @@ object SparkEntry {
       graft.operators.Robust.kruskalWallis(
         Tables.lineitem(s, d), col("l_quantity"), col("l_returnflag"))),
 
+    // Brown–Forsythe W across the five order priorities — the variance-
+    // homogeneity screen BEFORE trusting q_anova_f's equal-variance
+    // assumption (Levene with median centering; medians via the
+    // distributed value-domain rank pick, never a per-group sort).
+    "q_brown_forsythe" -> ((s, d) =>
+      graft.operators.Robust.brownForsythe(
+        Tables.orders(s, d), col("o_totalprice"), col("o_orderpriority"))),
+
     // Per-priority Welch t — the heterogeneous-treatment-effect screen:
     // is the A/B effect uniform across order priorities, or driven by
     // one? Same exact-decimal moments with the segment riding the one
@@ -7251,6 +7259,36 @@ object SparkEntry {
          SELECT k, n_rows, round(CASE WHEN corr > 0 THEN hraw / corr END, 6) AS h_stat,
                 k - 1 AS df
          FROM h""",
+
+    // Same discrete rank-((n+1)//2) median pick per group, |v − med| in
+    // exact decimal, then the identical ANOVA fold/chain on z.
+    "q_brown_forsythe" ->
+      """WITH b AS (SELECT CAST(o_orderpriority AS VARCHAR) AS g,
+                           CAST(o_totalprice AS DECIMAL(18,2)) AS v
+                    FROM orders WHERE o_totalprice IS NOT NULL AND o_orderpriority IS NOT NULL),
+              med AS (SELECT g, v AS med FROM (
+                        SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+                               count(*) OVER (PARTITION BY g) AS c
+                        FROM b) WHERE rn = (c + 1) // 2),
+              z AS (SELECT b.g, CAST(abs(b.v - med.med) AS DECIMAL(18,2)) AS zv
+                    FROM b JOIN med USING (g)),
+              g AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+                           sum(zv) AS s, sum(zv * zv) AS ss
+                    FROM z GROUP BY 1),
+              one AS (SELECT list_sort(list({'g': g, 'n': n, 's': s, 'ss': ss})) AS gs,
+                             CAST(count(*) AS BIGINT) AS k, CAST(sum(n) AS BIGINT) AS n_rows,
+                             sum(s) AS t, sum(ss) AS tss FROM g),
+              e AS (SELECT k, n_rows, CAST(n_rows AS DOUBLE) AS nd, CAST(k AS DOUBLE) AS kd,
+                           list_sum(list_transform(gs, x ->
+                             CAST(x.s AS DOUBLE) * CAST(x.s AS DOUBLE) / CAST(x.n AS DOUBLE))) AS sb,
+                           CAST(t AS DOUBLE) AS td, CAST(tss AS DOUBLE) AS tssd
+                    FROM one),
+              f AS (SELECT k, n_rows, sb - td * td / nd AS ssb, tssd - sb AS ssw, nd, kd FROM e)
+         SELECT k, n_rows,
+                round(CASE WHEN n_rows > k AND ssw > 0
+                           THEN (ssb / (kd - 1.0)) / (ssw / (nd - kd)) END, 6) AS w_stat,
+                k - 1 AS df1, n_rows - k AS df2
+         FROM f""",
 
     // Grouped twin: identical exact-decimal moments and double chain with
     // the priority riding the aggregation; <2-rows-per-arm segments drop.

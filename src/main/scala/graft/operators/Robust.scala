@@ -1081,6 +1081,43 @@ object Robust {
       (col("k") - 1).as("df"))
   }
 
+  /** Brown–Forsythe test across the k groups of `groupCol` — the
+    * variance-homogeneity screen that belongs BEFORE [[anovaF]] (whose F
+    * assumes equal group variances): Levene's test with MEDIAN centering,
+    * i.e. the one-way ANOVA F recomputed on z = |x − median(group)|.
+    * Median centering (Brown & Forsythe 1974) keeps the test robust on
+    * skewed metrics, which revenue always is — mean centering (classic
+    * Levene) inflates the statistic under skew.
+    *
+    * Exactness: the per-group median is the repo's DISCRETE rank-⌈n/2⌉
+    * pick (an actual cents value, as in [[robustStats]]), so z stays
+    * exact DECIMAL cents and the delegated [[anovaF]] moment algebra is
+    * exact up to its one final double chain.
+    *
+    * Scale shape: medians are NOT a per-group sort window (row-sized
+    * input partitioned k ways = the single-task scale-killer) — per-
+    * (group, value) counts aggregate distributed, the cumulative counts
+    * ride the grouped two-level scan ([[runningTotalsBy]]), the rank
+    * bracket `cum ≥ m > cum − c` picks each median, and the k-row median
+    * table broadcasts back to the rows. One extra keyed shuffle over
+    * [[anovaF]], all on the distinct-value domain. */
+  def brownForsythe(df: DataFrame, value: Column, groupCol: Column): DataFrame = {
+    val base = df.select(groupCol.cast("string").as("__g"), dec2(value).as("v"))
+      .filter(col("v").isNotNull && col("__g").isNotNull)
+    val perGV = base.groupBy(col("__g"), col("v")).agg(count(lit(1)).as("c"))
+    val cum = runningTotalsBy(perGV, Seq("__g"), Seq("c"))
+    val nPer = perGV.groupBy(col("__g")).agg(sum(col("c")).as("__n"))
+    val med = cum.join(broadcast(nPer), "__g")
+      .withColumn("__m", expr("(__n + 1) div 2"))
+      .filter(col("cum_c") >= col("__m") && col("cum_c") - col("c") < col("__m"))
+      .select(col("__g"), col("v").as("__med"))
+    val z = base.join(broadcast(med), "__g")
+      .select(col("__g"), abs(col("v") - col("__med")).as("__z"))
+    anovaF(z, col("__z"), col("__g"))
+      .select(col("k"), col("n_rows"), col("f_stat").as("w_stat"),
+        col("df1"), col("df2"))
+  }
+
   /** Mann–Whitney U (Wilcoxon rank-sum) between two groups — the
     * NONPARAMETRIC companion to [[welchT]] (no normality assumption;
     * the right gate when metric distributions are skewed, which engagement

@@ -692,6 +692,45 @@ class PropertiesSpec extends AnyFunSuite with SparkSpec {
     assert(Robust.kruskalWallis(tied, $"v", $"g").collect()(0).isNullAt(2))
   }
 
+  test("Brown-Forsythe matches first principles and is location-shift invariant") {
+    import graft.operators.Robust
+    val rows = sample(Gen.listOfN(400, for {
+      g <- Gen.oneOf("a", "b", "c")
+      cents <- Gen.choose(-500000, 500000)
+    } yield (g, BigDecimal(cents, 2))))
+    val df = rows.toDF("g", "v").select($"g", $"v".cast("decimal(18,2)").as("v"))
+    val got = Robust.brownForsythe(df, col("v"), col("g")).collect()(0)
+    // first principles: lower-median (rank (n+1) div 2) per group,
+    // z = |x - med|, then the anovaF chain on z folded in sorted group order
+    val byG = rows.groupBy(_._1).toSeq.sortBy(_._1)
+    val meds = byG.map { case (g, vs) =>
+      val s = vs.map(_._2).sorted; g -> s((s.size + 1) / 2 - 1)
+    }.toMap
+    val zs = rows.map { case (g, v) => (g, (v - meds(g)).abs) }
+    val k = byG.size; val n = rows.size
+    val stats = zs.groupBy(_._1).toSeq.sortBy(_._1).map { case (g, gz) =>
+      val z = gz.map(_._2)
+      (z.size, z.sum, z.map(x => x * x).sum)
+    }
+    val t = stats.map(_._2).sum; val tss = stats.map(_._3).sum
+    val sb = stats.foldLeft(0.0)((acc, s) =>
+      acc + s._2.toDouble * s._2.toDouble / s._1.toDouble)
+    val ssb = sb - t.toDouble * t.toDouble / n.toDouble
+    val ssw = tss.toDouble - sb
+    val w = BigDecimal((ssb / (k - 1.0)) / (ssw / (n - k.toDouble)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.getAs[Long]("k") == k && got.getAs[Long]("n_rows") == n)
+    assert(got.getAs[Double]("w_stat") == w,
+      s"W = ${got.getAs[Double]("w_stat")}, first principles = $w")
+    // location-shift invariance: shifting one group by a constant moves its
+    // median with it, so z and therefore W are unchanged (the reason median
+    // centering is the robust choice)
+    val shifted = rows.map { case (g, v) => (g, if (g == "b") v + 1000 else v) }
+    val df2 = shifted.toDF("g", "v").select($"g", $"v".cast("decimal(18,2)").as("v"))
+    assert(Robust.brownForsythe(df2, col("v"), col("g"))
+      .collect()(0).getAs[Double]("w_stat") == got.getAs[Double]("w_stat"))
+  }
+
   test("FDR meta-gate: p-values match the normal tail, BH matches first principles") {
     import graft.operators.Robust
     // A&S 7.1.26 accuracy: |erfc error| <= 1.5e-7 against known normal
