@@ -2928,6 +2928,14 @@ object SparkEntry {
         Tables.orders(s, d), "o_orderdate", col("o_totalprice"),
         "o_orderpriority", maxLag = 7)),
 
+    // Ljung–Box Q over lags 1..7 of daily revenue — the one-number
+    // whiteness gate (fixed-mean Box–Jenkins autocorrelations; exact
+    // integer-cents numerator/denominator, one double ratio per lag,
+    // fixed left-fold Q chain the oracle replays).
+    "q_ljung_box" -> ((s, d) =>
+      graft.operators.TimeSeries.ljungBox(
+        Tables.orders(s, d), "o_orderdate", col("o_totalprice"), maxLag = 7)),
+
     // Trailing-28-day anomaly gate on daily order revenue (current day
     // excluded from its own baseline; exact-decimal window sums; only
     // full-window days emitted) — the daily-metric pipeline monitor.
@@ -6769,6 +6777,10 @@ object SparkEntry {
          FROM s ORDER BY 1""",
 
     "q_acf" -> acfSql,
+
+    // Fixed-mean autocorrelations expanded around exact HUGEINT cents
+    // sums; the Q chain is spelled term by term in the same fold order.
+    "q_ljung_box" -> ljungBoxSql,
     "q_acf_by_priority" -> acfBySql,
 
     // Same exact-integer-cents window algebra (order-free; the variance
@@ -8235,6 +8247,51 @@ object SparkEntry {
                FROM w WHERE y$k IS NOT NULL)"""
     }.mkString("\n         UNION ALL\n")
     head + "\n" + lags + "\n         ORDER BY lag"
+  }
+
+  /** [[acfSql]]'s portmanteau companion: Ljung–Box Q over lags 1..7 with
+    * the fixed-mean autocorrelation expanded around exact HUGEINT cents
+    * sums — numerator×n² = n²·Σxy − n·S·(H+T) + (n−k)·S², denominator×n²
+    * = n·(n·SS − S²) — one double ratio per lag and the identical
+    * left-fold Q chain. */
+  private lazy val ljungBoxSql: String = {
+    val m = 7
+    val head =
+      """WITH s AS (SELECT o_orderdate AS d,
+                           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS rev
+                    FROM orders GROUP BY 1),
+              xs AS (SELECT d, CAST(rev * 100 AS HUGEINT) AS x FROM s),
+              w AS (SELECT x, """ +
+        (1 to m).map(k => s"lead(x, $k) OVER (ORDER BY d) AS y$k")
+          .mkString(",\n                           ") +
+        "\n                    FROM xs),\n" +
+        """              a AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+                           CAST(sum(x) AS HUGEINT) AS sm,
+                           CAST(sum(x * x) AS HUGEINT) AS ss,
+                           """ +
+        (1 to m).map(k =>
+          s"""CAST(count(y$k) AS HUGEINT) AS c$k,
+                           CAST(sum(CASE WHEN y$k IS NOT NULL THEN x * y$k END) AS HUGEINT) AS sxy$k,
+                           CAST(sum(CASE WHEN y$k IS NOT NULL THEN x END) AS HUGEINT) AS sh$k,
+                           CAST(sum(y$k) AS HUGEINT) AS st$k""")
+          .mkString(",\n                           ") +
+        "\n                    FROM w),\n" +
+        """              e AS (SELECT n, CAST(n AS DOUBLE) AS nd,
+                           CAST(n * (n * ss - sm * sm) AS DOUBLE) AS den,
+                           """ +
+        (1 to m).map(k =>
+          s"CAST(n * n * coalesce(sxy$k, 0) - n * sm * (coalesce(sh$k, 0) + coalesce(st$k, 0)) + c$k * sm * sm AS DOUBLE) AS num$k")
+          .mkString(",\n                           ") +
+        "\n                    FROM a)"
+    val qSum = (1 to m)
+      .map(k => s"(num$k / den) * (num$k / den) / (nd - $k.0)")
+      .mkString(" + ")
+    head +
+      s"""
+         SELECT CAST(n AS BIGINT) AS n_days, $m AS lags,
+                round(CASE WHEN n > $m AND den <> 0
+                           THEN nd * (nd + 2.0) * ($qSum) END, 6) AS q_stat
+         FROM e"""
   }
 
   /** Grouped twin of [[acfSql]] — the priority partitions the lead

@@ -550,6 +550,37 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("ljungBox matches first principles; constant and short series are NULL") {
+    import graft.operators.TimeSeries
+    val rnd = new scala.util.Random(7)
+    val n = 60
+    val vals = Seq.tabulate(n)(i =>
+      BigDecimal(100000 + rnd.nextInt(50000) + (if (i % 7 == 0) 40000 else 0), 2))
+    def toDf(v: Seq[BigDecimal]) = v.indices.map(i =>
+        (java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i.toLong)), v(i)))
+      .toDF("d", "v").select($"d", $"v".cast("decimal(18,2)").as("v"))
+    val m = 7
+    val got = TimeSeries.ljungBox(toDf(vals), "d", col("v"), maxLag = m).collect()(0)
+    assert(got.getAs[Long]("n_days") == n && got.getAs[Int]("lags") == m)
+    // first principles: fixed-mean (Box-Jenkins) autocorrelations, plain doubles
+    val xs = vals.map(_.toDouble)
+    val mean = xs.sum / n
+    val c0 = xs.map(x => (x - mean) * (x - mean)).sum
+    val q = n.toDouble * (n + 2.0) * (1 to m).map { k =>
+      val ck = (0 until n - k).map(t => (xs(t) - mean) * (xs(t + k) - mean)).sum
+      val r = ck / c0
+      r * r / (n - k)
+    }.sum
+    assert(math.abs(got.getAs[Double]("q_stat") - q) < 1e-6 * math.max(1.0, q),
+      s"Q = ${got.getAs[Double]("q_stat")}, first principles = $q")
+    // constant series: c0 = 0 -> NULL (fail-soft); short series: n <= m -> NULL
+    val const = Seq.fill(20)(BigDecimal(500, 2))
+    assert(TimeSeries.ljungBox(toDf(const), "d", col("v"), maxLag = m)
+      .collect()(0).isNullAt(2))
+    assert(TimeSeries.ljungBox(toDf(vals.take(m)), "d", col("v"), maxLag = m)
+      .collect()(0).isNullAt(2))
+  }
+
   test("twoProportionZ: zero for equal rates, 2 for a 2v2 total split") {
     import graft.operators.Robust
     val equal = Seq((0L, true), (0L, false), (1L, true), (1L, false)).toDF("arm", "s")
