@@ -2936,6 +2936,13 @@ object SparkEntry {
       graft.operators.TimeSeries.ljungBox(
         Tables.orders(s, d), "o_orderdate", col("o_totalprice"), maxLag = 7)),
 
+    // Wald–Wolfowitz runs test on daily revenue signs around the series
+    // median — the distribution-free randomness companion to q_ljung_box
+    // (sign runs only; exact integer counts, one double z chain).
+    "q_runs_test" -> ((s, d) =>
+      graft.operators.TimeSeries.runsTest(
+        Tables.orders(s, d), col("o_orderdate"), col("o_totalprice"))),
+
     // Trailing-28-day anomaly gate on daily order revenue (current day
     // excluded from its own baseline; exact-decimal window sums; only
     // full-window days emitted) — the daily-metric pipeline monitor.
@@ -6781,6 +6788,35 @@ object SparkEntry {
     // Fixed-mean autocorrelations expanded around exact HUGEINT cents
     // sums; the Q chain is spelled term by term in the same fold order.
     "q_ljung_box" -> ljungBoxSql,
+
+    // Same discrete rank-((n+1)//2) median, sign runs via lag over the
+    // day order, identical one-double z chain; median-tied days drop.
+    "q_runs_test" ->
+      """WITH s AS (SELECT CAST(o_orderdate AS DATE) AS d,
+                           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS rev
+                    FROM orders GROUP BY 1),
+              c AS (SELECT CAST(count(*) AS BIGINT) AS c FROM s),
+              med AS (SELECT rev AS med FROM
+                        (SELECT rev, row_number() OVER (ORDER BY rev, d) AS rn FROM s), c
+                      WHERE rn = (c + 1) // 2),
+              sg AS (SELECT d, rev > med AS up FROM s, med WHERE rev <> med),
+              t AS (SELECT up, lag(up, 1) OVER (ORDER BY d) AS prev FROM sg),
+              a AS (SELECT CAST(count(CASE WHEN up THEN 1 END) AS BIGINT) AS n_plus,
+                           CAST(count(CASE WHEN NOT up THEN 1 END) AS BIGINT) AS n_minus,
+                           CAST(sum(CASE WHEN prev IS NOT NULL AND up <> prev
+                                         THEN 1 ELSE 0 END) AS BIGINT) AS tr
+                    FROM t),
+              e AS (SELECT n_plus, n_minus,
+                           CASE WHEN n_plus + n_minus > 0 THEN tr + 1 END AS runs,
+                           CAST(n_plus AS DOUBLE) AS p, CAST(n_minus AS DOUBLE) AS q
+                    FROM a)
+         SELECT n_plus, n_minus, runs,
+                round(CASE WHEN n_plus > 0 AND n_minus > 0
+                                AND n_plus * n_minus * 2 > n_plus + n_minus
+                           THEN (CAST(runs AS DOUBLE) - (2.0 * p * q / (p + q) + 1.0))
+                                / sqrt(2.0 * p * q * (2.0 * p * q - (p + q))
+                                       / ((p + q) * (p + q) * (p + q - 1.0))) END, 6) AS z_stat
+         FROM e""",
     "q_acf_by_priority" -> acfBySql,
 
     // Same exact-integer-cents window algebra (order-free; the variance

@@ -205,6 +205,61 @@ object TimeSeries {
       round(when(col("n") > maxLag && den =!= lit(0.0), q), 6).as("q_stat"))
   }
 
+  /** Wald–Wolfowitz runs test on the daily money series — the
+    * DISTRIBUTION-FREE randomness gate [[ljungBox]] is not: it sees only
+    * the SIGN pattern around the series median (runs of above/below), so
+    * it catches regime stickiness and slow oscillation even when
+    * magnitudes are wild enough to swamp correlation-based tests. Days
+    * equal to the median drop (the standard tie rule); R = number of
+    * sign runs, z = (R − μ)/σ with μ = 2n₊n₋/N + 1 and
+    * σ² = 2n₊n₋(2n₊n₋ − N)/(N²(N−1)).
+    *
+    * Exactness: n₊, n₋ and R are exact integers (the median is the
+    * discrete rank-⌈n/2⌉ pick, an actual cents value, so sign
+    * comparisons are exact decimal); ONE double chain computes z,
+    * spelled identically in the oracle. z is NULL when either side is
+    * empty or σ² = 0 (2n₊n₋ ≤ N) — fail-soft, the counts remain.
+    *
+    * Scale shape: everything after the one keyed day pre-agg runs on
+    * the calendar-bounded day domain (rank window, 1-row median
+    * broadcast, lag window, final fold) — the [[cusumChangepoint]]
+    * shape. */
+  def runsTest(df: DataFrame, dateCol: Column, moneyValue: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.dec2
+    val series = df.groupBy(to_date(dateCol).as("d"))
+      .agg(sum(dec2(moneyValue)).cast("decimal(18,2)").as("rev"))
+    val cnt = series.agg(count(lit(1)).as("__c"))
+    val med = series
+      .withColumn("__rn", row_number().over(Window.orderBy(col("rev"), col("d"))))
+      .crossJoin(broadcast(cnt))
+      .filter(col("__rn") === expr("(__c + 1) div 2"))
+      .select(col("rev").as("__med"))
+    val signed = series.crossJoin(broadcast(med))
+      .filter(col("rev") =!= col("__med"))
+      .select(col("d"), (col("rev") > col("__med")).as("up"))
+    val wd = Window.orderBy(col("d"))
+    val trans = signed.select(
+      col("up"), lag(col("up"), 1).over(wd).as("prev"))
+    val agg = trans.agg(
+      count(when(col("up"), 1)).as("n_plus"),
+      count(when(!col("up"), 1)).as("n_minus"),
+      sum(when(col("prev").isNotNull && (col("up") =!= col("prev")), 1L)
+        .otherwise(0L)).as("__t"))
+    val p = col("n_plus").cast(DoubleType)
+    val q = col("n_minus").cast(DoubleType)
+    val runs = when(col("n_plus") + col("n_minus") > 0, col("__t") + 1)
+    val mu = lit(2.0) * p * q / (p + q) + lit(1.0)
+    val sig2 = lit(2.0) * p * q * (lit(2.0) * p * q - (p + q)) /
+      ((p + q) * (p + q) * (p + q - lit(1.0)))
+    val z = (runs.cast(DoubleType) - mu) / sqrt(sig2)
+    agg.select(
+      col("n_plus"), col("n_minus"), runs.as("runs"),
+      round(when(col("n_plus") > 0 && col("n_minus") > 0 &&
+        col("n_plus") * col("n_minus") * 2 > col("n_plus") + col("n_minus"), z), 6)
+        .as("z_stat"))
+  }
+
   /** Trailing-window anomaly gate over a daily money metric — the
     * standard pipeline monitor ("did today's volume jump off its recent
     * band?"): per-day exact-decimal totals, a trailing `window`-OBSERVED-

@@ -581,6 +581,30 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
       .collect()(0).isNullAt(2))
   }
 
+  test("runsTest: alternating vs monotone series, hand-computed z") {
+    import graft.operators.TimeSeries
+    def toDf(v: Seq[Int]) = v.indices.map(i =>
+        (java.sql.Timestamp.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i.toLong).atStartOfDay),
+          BigDecimal(v(i))))
+      .toDF("ts", "v").select($"ts", $"v".cast("decimal(18,2)").as("v"))
+    // 9 distinct values, median 5 drops; alternation leaves 8 sign flips:
+    // runs = 8, mu = 5, sigma = sqrt(12/7), z = 3/sqrt(12/7) = 2.291288
+    val alt = TimeSeries.runsTest(toDf(Seq(1, 9, 2, 8, 3, 7, 4, 6, 5)),
+      col("ts"), col("v")).collect()(0)
+    assert(alt.getAs[Long]("n_plus") == 4 && alt.getAs[Long]("n_minus") == 4)
+    assert(alt.getAs[Long]("runs") == 8)
+    assert(alt.getAs[Double]("z_stat") == 2.291288)
+    // monotone: two runs (all-below then all-above), z = -2.291288
+    val mono = TimeSeries.runsTest(toDf(1 to 9), col("ts"), col("v")).collect()(0)
+    assert(mono.getAs[Long]("runs") == 2)
+    assert(mono.getAs[Double]("z_stat") == -2.291288)
+    // constant series: every day ties the median and drops -> NULL z,
+    // zero counts (fail-soft)
+    val const = TimeSeries.runsTest(toDf(Seq.fill(10)(7)), col("ts"), col("v")).collect()(0)
+    assert(const.getAs[Long]("n_plus") == 0 && const.getAs[Long]("n_minus") == 0)
+    assert(const.isNullAt(3))
+  }
+
   test("twoProportionZ: zero for equal rates, 2 for a 2v2 total split") {
     import graft.operators.Robust
     val equal = Seq((0L, true), (0L, false), (1L, true), (1L, false)).toDF("arm", "s")
