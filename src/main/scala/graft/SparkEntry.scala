@@ -2943,6 +2943,20 @@ object SparkEntry {
       graft.operators.TimeSeries.runsTest(
         Tables.orders(s, d), col("o_orderdate"), col("o_totalprice"))),
 
+    // Per-priority Ljung–Box — is the serial structure corpus-wide or
+    // one segment's? Same exact chain, segment riding every key.
+    "q_ljung_box_by_priority" -> ((s, d) =>
+      graft.operators.TimeSeries.ljungBoxBy(
+        Tables.orders(s, d), "o_orderdate", col("o_totalprice"),
+        "o_orderpriority", maxLag = 7)),
+
+    // Per-priority runs test — each segment's sign pattern around ITS
+    // OWN daily-revenue median; all-tied segments drop.
+    "q_runs_test_by_priority" -> ((s, d) =>
+      graft.operators.TimeSeries.runsTestBy(
+        Tables.orders(s, d), col("o_orderdate"), col("o_totalprice"),
+        "o_orderpriority")),
+
     // Trailing-28-day anomaly gate on daily order revenue (current day
     // excluded from its own baseline; exact-decimal window sums; only
     // full-window days emitted) — the daily-metric pipeline monitor.
@@ -6789,6 +6803,43 @@ object SparkEntry {
     // sums; the Q chain is spelled term by term in the same fold order.
     "q_ljung_box" -> ljungBoxSql,
 
+    // Grouped twin: the priority partitions the lead windows and the
+    // moment aggregate; identical per-segment Q chain.
+    "q_ljung_box_by_priority" -> ljungBoxBySql,
+
+    // Grouped twin: per-segment median rank pick, partitioned lag,
+    // identical z chain; all-tied segments drop.
+    "q_runs_test_by_priority" ->
+      """WITH s AS (SELECT o_orderpriority AS g, CAST(o_orderdate AS DATE) AS d,
+                           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS rev
+                    FROM orders GROUP BY 1, 2),
+              c AS (SELECT g, CAST(count(*) AS BIGINT) AS c FROM s GROUP BY 1),
+              med AS (SELECT g, rev AS med FROM
+                        (SELECT g, rev,
+                                row_number() OVER (PARTITION BY g ORDER BY rev, d) AS rn
+                         FROM s) JOIN c USING (g)
+                      WHERE rn = (c + 1) // 2),
+              sg AS (SELECT g, d, rev > med AS up FROM s JOIN med USING (g)
+                     WHERE rev <> med),
+              t AS (SELECT g, up, lag(up, 1) OVER (PARTITION BY g ORDER BY d) AS prev
+                    FROM sg),
+              a AS (SELECT g, CAST(count(CASE WHEN up THEN 1 END) AS BIGINT) AS n_plus,
+                           CAST(count(CASE WHEN NOT up THEN 1 END) AS BIGINT) AS n_minus,
+                           CAST(sum(CASE WHEN prev IS NOT NULL AND up <> prev
+                                         THEN 1 ELSE 0 END) AS BIGINT) AS tr
+                    FROM t GROUP BY 1),
+              e AS (SELECT g, n_plus, n_minus,
+                           CASE WHEN n_plus + n_minus > 0 THEN tr + 1 END AS runs,
+                           CAST(n_plus AS DOUBLE) AS p, CAST(n_minus AS DOUBLE) AS q
+                    FROM a)
+         SELECT g AS o_orderpriority, n_plus, n_minus, runs,
+                round(CASE WHEN n_plus > 0 AND n_minus > 0
+                                AND n_plus * n_minus * 2 > n_plus + n_minus
+                           THEN (CAST(runs AS DOUBLE) - (2.0 * p * q / (p + q) + 1.0))
+                                / sqrt(2.0 * p * q * (2.0 * p * q - (p + q))
+                                       / ((p + q) * (p + q) * (p + q - 1.0))) END, 6) AS z_stat
+         FROM e ORDER BY o_orderpriority""",
+
     // Same discrete rank-((n+1)//2) median, sign runs via lag over the
     // day order, identical one-double z chain; median-tied days drop.
     "q_runs_test" ->
@@ -8328,6 +8379,45 @@ object SparkEntry {
                 round(CASE WHEN n > $m AND den <> 0
                            THEN nd * (nd + 2.0) * ($qSum) END, 6) AS q_stat
          FROM e"""
+  }
+
+  /** Grouped twin of [[ljungBoxSql]] — the priority partitions the lead
+    * windows and the single moment aggregate; identical Q chain. */
+  private lazy val ljungBoxBySql: String = {
+    val m = 7
+    """WITH s AS (SELECT o_orderpriority AS g, o_orderdate AS d,
+                           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS rev
+                    FROM orders GROUP BY 1, 2),
+              xs AS (SELECT g, d, CAST(rev * 100 AS HUGEINT) AS x FROM s),
+              w AS (SELECT g, x, """ +
+      (1 to m).map(k => s"lead(x, $k) OVER (PARTITION BY g ORDER BY d) AS y$k")
+        .mkString(",\n                           ") +
+      "\n                    FROM xs),\n" +
+      """              a AS (SELECT g, CAST(count(*) AS HUGEINT) AS n,
+                           CAST(sum(x) AS HUGEINT) AS sm,
+                           CAST(sum(x * x) AS HUGEINT) AS ss,
+                           """ +
+      (1 to m).map(k =>
+        s"""CAST(count(y$k) AS HUGEINT) AS c$k,
+                           CAST(sum(CASE WHEN y$k IS NOT NULL THEN x * y$k END) AS HUGEINT) AS sxy$k,
+                           CAST(sum(CASE WHEN y$k IS NOT NULL THEN x END) AS HUGEINT) AS sh$k,
+                           CAST(sum(y$k) AS HUGEINT) AS st$k""")
+        .mkString(",\n                           ") +
+      "\n                    FROM w GROUP BY 1),\n" +
+      """              e AS (SELECT g, n, CAST(n AS DOUBLE) AS nd,
+                           CAST(n * (n * ss - sm * sm) AS DOUBLE) AS den,
+                           """ +
+      (1 to m).map(k =>
+        s"CAST(n * n * coalesce(sxy$k, 0) - n * sm * (coalesce(sh$k, 0) + coalesce(st$k, 0)) + c$k * sm * sm AS DOUBLE) AS num$k")
+        .mkString(",\n                           ") +
+      "\n                    FROM a)" +
+      s"""
+         SELECT g AS o_orderpriority, CAST(n AS BIGINT) AS n_days, $m AS lags,
+                round(CASE WHEN n > $m AND den <> 0
+                           THEN nd * (nd + 2.0) * (${(1 to m)
+        .map(k => s"(num$k / den) * (num$k / den) / (nd - $k.0)")
+        .mkString(" + ")}) END, 6) AS q_stat
+         FROM e ORDER BY o_orderpriority"""
   }
 
   /** Grouped twin of [[acfSql]] — the priority partitions the lead

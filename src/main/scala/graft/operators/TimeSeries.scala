@@ -205,6 +205,60 @@ object TimeSeries {
       round(when(col("n") > maxLag && den =!= lit(0.0), q), 6).as("q_stat"))
   }
 
+  /** Per-`byCol`-segment Ljung–Box — is the leftover serial structure a
+    * corpus-wide property or one segment's? Exactly [[ljungBox]] with
+    * the segment riding the day aggregation, the lead windows and the
+    * single moment aggregate (all on the (segment, day) domain,
+    * ≤ |segments|·days rows). Per-segment Q is NULL under the same
+    * fail-soft conditions (n ≤ maxLag or a constant segment). */
+  def ljungBoxBy(
+      df: DataFrame, dateCol: String, moneyValue: Column, byCol: String,
+      maxLag: Int = 7): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.dec2
+    require(maxLag >= 1, s"need maxLag >= 1, got $maxLag")
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val series = df.groupBy(col(byCol).as("__g"), col(dateCol).as("d"))
+      .agg(sum(dec2(moneyValue)).cast("decimal(18,2)").as("rev"))
+      .select(col("__g"), col("d"), (col("rev") * 100).cast(dec38).as("x"))
+    val w = Window.partitionBy(col("__g")).orderBy(col("d"))
+    val leads = series.select(
+      col("__g") +: col("x") +:
+        (1 to maxLag).map(k => lead(col("x"), k).over(w).as(s"y$k")): _*)
+    val aggs = Seq(
+      count(lit(1)).cast(dec38).as("n"),
+      sum(col("x")).as("s"),
+      sum(col("x") * col("x")).as("ss")) ++
+      (1 to maxLag).flatMap { k =>
+        val y = col(s"y$k")
+        Seq(
+          count(y).cast(dec38).as(s"c$k"),
+          sum(when(y.isNotNull, col("x") * y)).as(s"sxy$k"),
+          sum(when(y.isNotNull, col("x"))).as(s"sh$k"),
+          sum(y).as(s"st$k"))
+      }
+    val one = leads.groupBy(col("__g")).agg(aggs.head, aggs.tail: _*)
+    val nD = col("n").cast(DoubleType)
+    val den = (col("n") * (col("n") * col("ss") - col("s") * col("s")))
+      .cast(DoubleType)
+    val terms = (1 to maxLag).map { k =>
+      val num = (col("n") * col("n") * coalesce(col(s"sxy$k"), lit(0).cast(dec38)) -
+        col("n") * col("s") *
+          (coalesce(col(s"sh$k"), lit(0).cast(dec38)) +
+            coalesce(col(s"st$k"), lit(0).cast(dec38))) +
+        col(s"c$k") * col("s") * col("s")).cast(DoubleType)
+      val r = num / den
+      r * r / (nD - lit(k.toDouble))
+    }
+    val q = nD * (nD + lit(2.0)) * terms.reduce(_ + _)
+    one.select(
+      col("__g").as(byCol),
+      col("n").cast("long").as("n_days"),
+      lit(maxLag).as("lags"),
+      round(when(col("n") > maxLag && den =!= lit(0.0), q), 6).as("q_stat"))
+      .orderBy(byCol)
+  }
+
   /** Wald–Wolfowitz runs test on the daily money series — the
     * DISTRIBUTION-FREE randomness gate [[ljungBox]] is not: it sees only
     * the SIGN pattern around the series median (runs of above/below), so
@@ -258,6 +312,54 @@ object TimeSeries {
       round(when(col("n_plus") > 0 && col("n_minus") > 0 &&
         col("n_plus") * col("n_minus") * 2 > col("n_plus") + col("n_minus"), z), 6)
         .as("z_stat"))
+  }
+
+  /** Per-`byCol`-segment runs test — each segment's sign pattern judged
+    * around ITS OWN median (the grouped-gate convention). Exactly
+    * [[runsTest]] with the segment riding every key: per-segment rank
+    * pick (windows on the (segment, day) domain), segment-bounded median
+    * broadcast, partitioned lag, one keyed fold. A segment whose every
+    * day ties its median has no sign rows and DROPS (the
+    * [[graft.operators.Robust.ksStatisticBy]] drop contract); the global
+    * form instead emits its zero-count row. */
+  def runsTestBy(
+      df: DataFrame, dateCol: Column, moneyValue: Column, byCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.dec2
+    val series = df.groupBy(col(byCol).as("__g"), to_date(dateCol).as("d"))
+      .agg(sum(dec2(moneyValue)).cast("decimal(18,2)").as("rev"))
+    val cnt = series.groupBy(col("__g")).agg(count(lit(1)).as("__c"))
+    val med = series
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("__g")).orderBy(col("rev"), col("d"))))
+      .join(broadcast(cnt), "__g")
+      .filter(col("__rn") === expr("(__c + 1) div 2"))
+      .select(col("__g"), col("rev").as("__med"))
+    val signed = series.join(broadcast(med), "__g")
+      .filter(col("rev") =!= col("__med"))
+      .select(col("__g"), col("d"), (col("rev") > col("__med")).as("up"))
+    val wd = Window.partitionBy(col("__g")).orderBy(col("d"))
+    val trans = signed.select(
+      col("__g"), col("up"), lag(col("up"), 1).over(wd).as("prev"))
+    val agg = trans.groupBy(col("__g")).agg(
+      count(when(col("up"), 1)).as("n_plus"),
+      count(when(!col("up"), 1)).as("n_minus"),
+      sum(when(col("prev").isNotNull && (col("up") =!= col("prev")), 1L)
+        .otherwise(0L)).as("__t"))
+    val p = col("n_plus").cast(DoubleType)
+    val q = col("n_minus").cast(DoubleType)
+    val runs = when(col("n_plus") + col("n_minus") > 0, col("__t") + 1)
+    val mu = lit(2.0) * p * q / (p + q) + lit(1.0)
+    val sig2 = lit(2.0) * p * q * (lit(2.0) * p * q - (p + q)) /
+      ((p + q) * (p + q) * (p + q - lit(1.0)))
+    val z = (runs.cast(DoubleType) - mu) / sqrt(sig2)
+    agg.select(
+      col("__g").as(byCol),
+      col("n_plus"), col("n_minus"), runs.as("runs"),
+      round(when(col("n_plus") > 0 && col("n_minus") > 0 &&
+        col("n_plus") * col("n_minus") * 2 > col("n_plus") + col("n_minus"), z), 6)
+        .as("z_stat"))
+      .orderBy(byCol)
   }
 
   /** Trailing-window anomaly gate over a daily money metric — the

@@ -579,6 +579,20 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
       .collect()(0).isNullAt(2))
     assert(TimeSeries.ljungBox(toDf(vals.take(m)), "d", col("v"), maxLag = m)
       .collect()(0).isNullAt(2))
+    // grouped twin: two segments with different rhythms; each row equals
+    // the global gate on its slice
+    val vals2 = Seq.tabulate(n)(i => BigDecimal(80000 + 7000 * (i % 3), 2))
+    val seg = toDf(vals).withColumn("g", lit("a"))
+      .unionByName(toDf(vals2).withColumn("g", lit("b")))
+    val grouped = TimeSeries.ljungBoxBy(seg, "d", col("v"), "g", maxLag = m).collect()
+    assert(grouped.map(_.getString(0)).toSeq == Seq("a", "b"))
+    for (r <- grouped) {
+      val single = TimeSeries.ljungBox(
+        seg.filter($"g" === r.getString(0)), "d", col("v"), maxLag = m).collect()(0)
+      assert(r.getAs[Long]("n_days") == single.getAs[Long]("n_days"))
+      assert(r.getAs[Double]("q_stat") == single.getAs[Double]("q_stat"),
+        s"Q mismatch in ${r.getString(0)}")
+    }
   }
 
   test("runsTest: alternating vs monotone series, hand-computed z") {
@@ -603,6 +617,20 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     val const = TimeSeries.runsTest(toDf(Seq.fill(10)(7)), col("ts"), col("v")).collect()(0)
     assert(const.getAs[Long]("n_plus") == 0 && const.getAs[Long]("n_minus") == 0)
     assert(const.isNullAt(3))
+    // grouped twin: alternating vs monotone segments match the global
+    // gate on each slice; an all-tied (constant) segment DROPS
+    val seg = toDf(Seq(1, 9, 2, 8, 3, 7, 4, 6, 5)).withColumn("g", lit("alt"))
+      .unionByName(toDf(1 to 9).withColumn("g", lit("mono")))
+      .unionByName(toDf(Seq.fill(9)(7)).withColumn("g", lit("flat")))
+    val grouped = TimeSeries.runsTestBy(seg, col("ts"), col("v"), "g").collect()
+    assert(grouped.map(_.getString(0)).toSeq == Seq("alt", "mono"))
+    for (r <- grouped) {
+      val single = TimeSeries.runsTest(
+        seg.filter($"g" === r.getString(0)), col("ts"), col("v")).collect()(0)
+      assert(r.getAs[Long]("runs") == single.getAs[Long]("runs"))
+      assert(r.getAs[Double]("z_stat") == single.getAs[Double]("z_stat"),
+        s"z mismatch in ${r.getString(0)}")
+    }
   }
 
   test("twoProportionZ: zero for equal rates, 2 for a 2v2 total split") {
