@@ -2957,6 +2957,13 @@ object SparkEntry {
         Tables.orders(s, d), col("o_orderdate"), col("o_totalprice"),
         "o_orderpriority")),
 
+    // Classical additive decomposition of daily revenue — trend
+    // (centered 7-day MA, exact-cents window sums), per-weekday seasonal
+    // indices (7·x − Σ₇ detrending, sorted-fold centering), residual.
+    "q_seasonal_decompose" -> ((s, d) =>
+      graft.operators.TimeSeries.seasonalDecompose(
+        Tables.orders(s, d), col("o_orderdate"), col("o_totalprice"))),
+
     // Trailing-28-day anomaly gate on daily order revenue (current day
     // excluded from its own baseline; exact-decimal window sums; only
     // full-window days emitted) — the daily-metric pipeline monitor.
@@ -6806,6 +6813,34 @@ object SparkEntry {
     // Grouped twin: the priority partitions the lead windows and the
     // moment aggregate; identical per-segment Q chain.
     "q_ljung_box_by_priority" -> ljungBoxBySql,
+
+    // Same centered-window cents sums, 7x − Σ₇ detrending, sorted-fold
+    // index centering and per-column double conversions.
+    "q_seasonal_decompose" ->
+      """WITH s AS (SELECT CAST(o_orderdate AS DATE) AS d,
+                           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS rev
+                    FROM orders GROUP BY 1),
+              xs AS (SELECT d, CAST(date_diff('day', DATE '1970-01-01', d) % 7 AS BIGINT) AS dow07,
+                            rev, CAST(rev * 100 AS HUGEINT) AS x FROM s),
+              tw AS (SELECT d, dow07, rev, x,
+                            CAST(sum(x) OVER w AS HUGEINT) AS t7,
+                            CAST(count(*) OVER w AS BIGINT) AS c7
+                     FROM xs WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+              tr AS (SELECT d, dow07, rev, t7, x * 7 - t7 AS detr7 FROM tw WHERE c7 = 7),
+              prof AS (SELECT dow07, CAST(sum(detr7) AS HUGEINT) AS sd,
+                              CAST(count(*) AS HUGEINT) AS cw FROM tr GROUP BY 1),
+              m AS (SELECT list_sum(list_transform(
+                             list_sort(list({'dow07': dow07, 'sd': sd, 'cw': cw})),
+                             g -> CAST(g.sd AS DOUBLE) / (7.0 * CAST(g.cw AS DOUBLE))))
+                           / CAST(count(*) AS DOUBLE) AS ms
+                    FROM prof)
+         SELECT CAST(tr.d AS TIMESTAMP) AS day, CAST(tr.rev AS DOUBLE) AS revenue,
+                round(CAST(t7 AS DOUBLE) / 700.0, 6) AS trend,
+                round((CAST(sd AS DOUBLE) / (7.0 * CAST(cw AS DOUBLE)) - ms) / 100.0, 6) AS seasonal,
+                round(CAST(tr.rev AS DOUBLE) - CAST(t7 AS DOUBLE) / 700.0
+                      - (CAST(sd AS DOUBLE) / (7.0 * CAST(cw AS DOUBLE)) - ms) / 100.0, 6) AS residual
+         FROM tr JOIN prof USING (dow07), m
+         ORDER BY day""",
 
     // Grouped twin: per-segment median rank pick, partitioned lag,
     // identical z chain; all-tied segments drop.

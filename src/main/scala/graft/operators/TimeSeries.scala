@@ -362,6 +362,67 @@ object TimeSeries {
       .orderBy(byCol)
   }
 
+  /** Classical additive seasonal decomposition of the daily money series
+    * — revenue = trend + seasonal + residual, the EXPLANATORY companion
+    * to the gate family ([[dowBandAnomaly]] flags a weird Sunday;
+    * this SHOWS the Sunday effect, the underlying drift, and what's left
+    * over). Textbook moving-average recipe: trend = centered 7-day mean
+    * (full windows only, so edge days drop), per-weekday seasonal index
+    * = mean of the detrended series for that weekday, centered so the
+    * seven indices sum to ~0, residual = the rest.
+    *
+    * Exactness: the trend window sums exact integer cents; detrending
+    * stays exact by carrying 7·x − Σ₇ (the ×7 absorbs the /7, the
+    * doubled-rank trick in money form); the weekday profile sums those
+    * exactly. Only the final per-column conversions are double — each
+    * spelled once, with the ≤7-row index centering folded in sorted
+    * weekday order (the [[graft.operators.Robust.anovaF]] fold; a bare
+    * 7-double aggregate would be summation-order-unstable across
+    * engines). Weekday = epoch-day mod 7, the engine-portable spelling.
+    *
+    * Scale shape: one keyed day pre-agg, then everything rides the
+    * calendar-bounded day domain — the centered window, the 7-row
+    * profile (broadcast back), the 1-row centering constant. */
+  def seasonalDecompose(
+      df: DataFrame, dateCol: Column, moneyValue: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.dec2
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val series = df.groupBy(to_date(dateCol).as("d"))
+      .agg(sum(dec2(moneyValue)).cast("decimal(18,2)").as("rev"))
+      .select(col("d"),
+        pmod(datediff(col("d"), lit("1970-01-01").cast("date")), lit(7))
+          .cast("long").as("dow07"),
+        col("rev"),
+        (col("rev") * 100).cast(dec38).as("x"))
+    val w7 = Window.orderBy(col("d")).rowsBetween(-3, 3)
+    val trended = series
+      .withColumn("__t7", sum(col("x")).over(w7))
+      .withColumn("__c7", count(lit(1)).over(w7))
+      .filter(col("__c7") === 7)
+      .withColumn("__detr7", col("x") * 7 - col("__t7"))
+    val prof = trended.groupBy(col("dow07"))
+      .agg(sum(col("__detr7")).as("__sd"), count(lit(1)).cast(dec38).as("__cw"))
+    val mean = prof.agg(
+      array_sort(collect_list(struct(col("dow07"), col("__sd"), col("__cw")))).as("ws"),
+      count(lit(1)).cast(DoubleType).as("__kw"))
+      .select((aggregate(col("ws"), lit(0.0), (acc, g) =>
+        acc + g.getField("__sd").cast(DoubleType) /
+          (lit(7.0) * g.getField("__cw").cast(DoubleType))) / col("__kw")).as("__ms"))
+    val sWD = col("__sd").cast(DoubleType) / (lit(7.0) * col("__cw").cast(DoubleType))
+    val trendD = col("__t7").cast(DoubleType) / lit(700.0)
+    val seasD = (sWD - col("__ms")) / lit(100.0)
+    trended.join(broadcast(prof), "dow07").crossJoin(broadcast(mean))
+      .select(
+        col("d").cast("timestamp").as("day"),
+        // exact-decimal total, surfaced as double (the RevSum convention)
+        col("rev").cast(DoubleType).as("revenue"),
+        round(trendD, 6).as("trend"),
+        round(seasD, 6).as("seasonal"),
+        round(col("rev").cast(DoubleType) - trendD - seasD, 6).as("residual"))
+      .orderBy(col("day"))
+  }
+
   /** Trailing-window anomaly gate over a daily money metric — the
     * standard pipeline monitor ("did today's volume jump off its recent
     * band?"): per-day exact-decimal totals, a trailing `window`-OBSERVED-

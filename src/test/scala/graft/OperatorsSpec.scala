@@ -633,6 +633,42 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("seasonalDecompose recovers a planted weekly pattern exactly") {
+    import graft.operators.TimeSeries
+    // x_t = 100 + s_(t mod 7) with the s cycle summing to zero: every
+    // centered 7-day window spans one full cycle, so trend = 100 on all
+    // interior days, seasonal = the planted cycle, residual = 0
+    val cycle = Seq(3.0, -1.0, 2.0, -4.0, 0.0, 5.0, -5.0)
+    val n = 21
+    val days = (0 until n).map { i =>
+      val d = java.time.LocalDate.of(2024, 1, 1).plusDays(i.toLong)
+      val dow = (d.toEpochDay % 7).toInt
+      (java.sql.Timestamp.valueOf(d.atStartOfDay), BigDecimal(100.0 + cycle(dow)))
+    }.toDF("ts", "v").select($"ts", $"v".cast("decimal(18,2)").as("v"))
+    val got = TimeSeries.seasonalDecompose(days, col("ts"), col("v")).collect()
+    assert(got.length == n - 6) // edge days without a full window drop
+    for (r <- got) {
+      val dow = (r.getTimestamp(0).toLocalDateTime.toLocalDate.toEpochDay % 7).toInt
+      assert(r.getAs[Double]("trend") == 100.0, s"trend at ${r.getTimestamp(0)}")
+      assert(r.getAs[Double]("seasonal") == cycle(dow),
+        s"seasonal at ${r.getTimestamp(0)}: ${r.getAs[Double]("seasonal")} vs ${cycle(dow)}")
+      assert(r.getAs[Double]("residual") == 0.0, s"residual at ${r.getTimestamp(0)}")
+    }
+    // components reassemble the series on every emitted day (with noise)
+    val rnd = new scala.util.Random(3)
+    val noisy = (0 until 40).map { i =>
+      val d = java.time.LocalDate.of(2024, 3, 1).plusDays(i.toLong)
+      (java.sql.Timestamp.valueOf(d.atStartOfDay),
+        BigDecimal(5000 + rnd.nextInt(2000) + 10 * i, 2))
+    }.toDF("ts", "v").select($"ts", $"v".cast("decimal(18,2)").as("v"))
+    for (r <- TimeSeries.seasonalDecompose(noisy, col("ts"), col("v")).collect()) {
+      val sum = r.getAs[Double]("trend") + r.getAs[Double]("seasonal") +
+        r.getAs[Double]("residual")
+      assert(math.abs(sum - r.getAs[Double]("revenue")) < 1e-5,
+        s"components do not reassemble at ${r.getTimestamp(0)}")
+    }
+  }
+
   test("twoProportionZ: zero for equal rates, 2 for a 2v2 total split") {
     import graft.operators.Robust
     val equal = Seq((0L, true), (0L, false), (1L, true), (1L, false)).toDF("arm", "s")
