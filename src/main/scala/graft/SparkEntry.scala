@@ -3237,6 +3237,15 @@ object SparkEntry {
       graft.operators.Robust.brownForsythe(
         Tables.orders(s, d), col("o_totalprice"), col("o_orderpriority"))),
 
+    // Cochran–Armitage trend z: does the fulfillment rate trend
+    // monotonically across the ordered priority scores 1..5? (exact
+    // integer A/B algebra, one double chain, k-row fold).
+    "q_cochran_armitage" -> ((s, d) =>
+      graft.operators.Robust.cochranArmitage(
+        Tables.orders(s, d),
+        substring(col("o_orderpriority"), 1, 1),
+        col("o_orderstatus") === "F")),
+
     // Per-priority Welch t — the heterogeneous-treatment-effect screen:
     // is the A/B effect uniform across order priorities, or driven by
     // one? Same exact-decimal moments with the segment riding the one
@@ -7393,6 +7402,31 @@ object SparkEntry {
          SELECT k, n_rows, round(CASE WHEN corr > 0 THEN hraw / corr END, 6) AS h_stat,
                 k - 1 AS df
          FROM h""",
+
+    // Same integer A/B trend algebra in HUGEINT and the identical
+    // one-double z chain; degenerate successes or a single score → NULL.
+    "q_cochran_armitage" ->
+      """WITH b AS (SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS w,
+                           o_orderstatus = 'F' AS y
+                    FROM orders
+                    WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL),
+              g AS (SELECT w, CAST(count(*) AS HUGEINT) AS n,
+                           CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS HUGEINT) AS s
+                    FROM b GROUP BY 1),
+              one AS (SELECT CAST(count(*) AS BIGINT) AS k,
+                             CAST(sum(n) AS HUGEINT) AS nn, CAST(sum(s) AS HUGEINT) AS ss,
+                             CAST(sum(w * s) AS HUGEINT) AS ws,
+                             CAST(sum(w * n) AS HUGEINT) AS wn,
+                             CAST(sum(w * w * n) AS HUGEINT) AS wwn
+                      FROM g),
+              e AS (SELECT k, nn, ss, nn * ws - ss * wn AS a,
+                           nn * wwn - wn * wn AS bb FROM one)
+         SELECT k, CAST(nn AS BIGINT) AS n_rows, CAST(ss AS BIGINT) AS n_success,
+                round(CASE WHEN ss > 0 AND ss < nn AND bb > 0
+                           THEN CAST(a AS DOUBLE)
+                                / sqrt(CAST(ss * (nn - ss) * bb AS DOUBLE)
+                                       / CAST(nn AS DOUBLE)) END, 6) AS z_stat
+         FROM e""",
 
     // Same discrete rank-((n+1)//2) median pick per group, |v − med| in
     // exact decimal, then the identical ANOVA fold/chain on z.

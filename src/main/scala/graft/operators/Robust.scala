@@ -1118,6 +1118,50 @@ object Robust {
         col("df1"), col("df2"))
   }
 
+  /** Cochran–Armitage trend test — the ORDERED-category companion to
+    * [[chiSquare]]: chi-square asks "is the success rate independent of
+    * the category?"; this asks the sharper monotone question "does it
+    * TREND with the category's order?" (fulfillment rate by priority
+    * tier, quality-pass rate by source tier), concentrating all its
+    * power on the one df that matters. With integer scores w_i, trials
+    * n_i and successes s_i per category: T = Σw_i(s_i − n_i·S/N),
+    * Var = p(1−p)(Σw_i²n_i − (Σw_i n_i)²/N), z = T/√Var.
+    *
+    * Exactness: everything is scaled through by N to integers —
+    * A = N·Σw s − S·Σw n and B = N·Σw²n − (Σw n)², both exact
+    * DECIMAL(38,0) (S(N−S)·B ≤ k²N⁴/4 holds to N ≈ 10⁹ rows at k ≤ 9
+    * scores) — and z = A/√(S(N−S)·B/N) is ONE double chain the oracle
+    * replays. z is NULL when successes are degenerate (S = 0 or S = N)
+    * or all rows share one score (B = 0) — fail-soft, counts remain.
+    *
+    * Scale shape: one keyed aggregation to the k-row score table
+    * (map-side combined), one ≤ k-row fold. */
+  def cochranArmitage(df: DataFrame, score: Column, success: Column): DataFrame = {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val g = df.select(score.cast("long").as("w"), success.cast("boolean").as("y"))
+      .filter(col("w").isNotNull && col("y").isNotNull)
+      .groupBy(col("w"))
+      .agg(count(lit(1)).cast(dec38).as("n"),
+        sum(when(col("y"), 1L).otherwise(0L)).cast(dec38).as("s"))
+    val one = g.agg(
+      count(lit(1)).as("k"),
+      sum(col("n")).as("nn"), sum(col("s")).as("ss"),
+      sum(col("w").cast(dec38) * col("s")).as("ws"),
+      sum(col("w").cast(dec38) * col("n")).as("wn"),
+      sum(col("w").cast(dec38) * col("w") * col("n")).as("wwn"))
+    val e = one.select(col("k"), col("nn"), col("ss"),
+      (col("nn") * col("ws") - col("ss") * col("wn")).as("__a"),
+      (col("nn") * col("wwn") - col("wn") * col("wn")).as("__b"))
+    e.select(
+      col("k"),
+      col("nn").cast("long").as("n_rows"),
+      col("ss").cast("long").as("n_success"),
+      round(when(col("ss") > 0 && col("ss") < col("nn") && col("__b") > 0,
+        col("__a").cast(DoubleType) /
+          sqrt((col("ss") * (col("nn") - col("ss")) * col("__b")).cast(DoubleType) /
+            col("nn").cast(DoubleType))), 6).as("z_stat"))
+  }
+
   /** Mann–Whitney U (Wilcoxon rank-sum) between two groups — the
     * NONPARAMETRIC companion to [[welchT]] (no normality assumption;
     * the right gate when metric distributions are skewed, which engagement

@@ -731,6 +731,39 @@ class PropertiesSpec extends AnyFunSuite with SparkSpec {
       .collect()(0).getAs[Double]("w_stat") == got.getAs[Double]("w_stat"))
   }
 
+  test("Cochran-Armitage matches first principles; flat rates give z = 0") {
+    import graft.operators.Robust
+    val rows = sample(Gen.listOfN(500, for {
+      w <- Gen.choose(1, 5)
+      y <- Gen.frequency((w, Gen.const(true)), (6 - w, Gen.const(false)))
+    } yield (w, y)))
+    val df = rows.toDF("w", "y")
+    val got = Robust.cochranArmitage(df, col("w"), col("y")).collect()(0)
+    // first principles via the same N-scaled integer algebra
+    val byW = rows.groupBy(_._1).toSeq
+    val n = rows.size.toLong; val s = rows.count(_._2).toLong
+    val ws = byW.map { case (w, g) => (w.toLong, g.size.toLong, g.count(_._2).toLong) }
+    val a = n * ws.map(t => t._1 * t._3).sum - s * ws.map(t => t._1 * t._2).sum
+    val swn = ws.map(t => t._1 * t._2).sum
+    val b = n * ws.map(t => t._1 * t._1 * t._2).sum - swn * swn
+    val z = BigDecimal(a.toDouble /
+        math.sqrt((s * (n - s) * b).toDouble / n.toDouble))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.getAs[Long]("k") == byW.size && got.getAs[Long]("n_rows") == n)
+    assert(got.getAs[Long]("n_success") == s)
+    assert(got.getAs[Double]("z_stat") == z,
+      s"z = ${got.getAs[Double]("z_stat")}, first principles = $z")
+    // identical rates across scores: T = 0 exactly
+    val flat = for { w <- Seq(1, 2, 3); i <- 0 until 4 } yield (w, i < 2)
+    assert(Robust.cochranArmitage(flat.toDF("w", "y"), col("w"), col("y"))
+      .collect()(0).getAs[Double]("z_stat") == 0.0)
+    // degenerate: all-success (S = N) and single-score (B = 0) -> NULL
+    val allS = Seq((1, true), (2, true), (3, true)).toDF("w", "y")
+    assert(Robust.cochranArmitage(allS, col("w"), col("y")).collect()(0).isNullAt(3))
+    val oneW = Seq((2, true), (2, false), (2, true)).toDF("w", "y")
+    assert(Robust.cochranArmitage(oneW, col("w"), col("y")).collect()(0).isNullAt(3))
+  }
+
   test("FDR meta-gate: p-values match the normal tail, BH matches first principles") {
     import graft.operators.Robust
     // A&S 7.1.26 accuracy: |erfc error| <= 1.5e-7 against known normal
