@@ -2964,6 +2964,13 @@ object SparkEntry {
       graft.operators.TimeSeries.seasonalDecompose(
         Tables.orders(s, d), col("o_orderdate"), col("o_totalprice"))),
 
+    // Seasonal Mann–Kendall (Hirsch–Slack): trend test immune to the
+    // weekly cycle — same-weekday pairs only, per-season tie-corrected
+    // variance summed, Sen median over within-season slopes.
+    "q_mann_kendall_seasonal" -> ((s, d) =>
+      graft.operators.TimeSeries.mannKendallSeasonal(
+        Tables.orders(s, d), col("o_orderdate"), col("o_totalprice"))),
+
     // Trailing-28-day anomaly gate on daily order revenue (current day
     // excluded from its own baseline; exact-decimal window sums; only
     // full-window days emitted) — the daily-metric pipeline monitor.
@@ -7152,6 +7159,34 @@ object SparkEntry {
               med AS (SELECT CAST(xj - xi AS DOUBLE) / (100.0 * (j - i)) AS sl FROM p
                       ORDER BY sl LIMIT 1 OFFSET (SELECT (m + 1) // 2 - 1 FROM sg))
          SELECT CAST(n AS BIGINT) AS n_days, sv AS s_stat,
+                round(CASE WHEN vnum > 0 THEN
+                  (CAST(sv AS DOUBLE) - (CASE WHEN sv > 0 THEN 1.0 WHEN sv < 0 THEN -1.0 ELSE 0.0 END))
+                  / sqrt(CAST(vnum AS DOUBLE) / 18.0) END, 6) AS z_stat,
+                (SELECT sl FROM med) AS sen_slope
+         FROM nn, sg, vv""",
+
+    // Same-weekday pair join, per-season base variance and tie terms in
+    // HUGEINT, identical z chain and OFFSET rank pick for Sen's slope.
+    "q_mann_kendall_seasonal" ->
+      """WITH s AS (SELECT CAST(o_orderdate AS DATE) AS d,
+                           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS rev
+                    FROM orders GROUP BY 1),
+              e AS (SELECT CAST(date_diff('day', DATE '1970-01-01', d) % 7 AS BIGINT) AS w,
+                           CAST(date_diff('day', DATE '1970-01-01', d) AS BIGINT) AS dn,
+                           CAST(rev * 100 AS HUGEINT) AS rc FROM s),
+              p AS (SELECT a.dn AS i, b.dn AS j, a.rc AS xi, b.rc AS xj
+                    FROM e a JOIN e b ON a.w = b.w AND b.dn > a.dn),
+              sg AS (SELECT CAST(sum(CASE WHEN xj > xi THEN 1 WHEN xj < xi THEN -1 ELSE 0 END) AS BIGINT) AS sv,
+                            CAST(count(*) AS BIGINT) AS m FROM p),
+              nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
+              vb AS (SELECT CAST(sum(nw * (nw - 1) * (nw * 2 + 5)) AS HUGEINT) AS vbase
+                     FROM (SELECT CAST(count(*) AS HUGEINT) AS nw FROM e GROUP BY w) q),
+              tc AS (SELECT CAST(coalesce(sum(CAST(t AS HUGEINT) * (t - 1) * (t * 2 + 5)), 0) AS HUGEINT) AS ties
+                     FROM (SELECT count(*) AS t FROM e GROUP BY w, rc) q),
+              vv AS (SELECT vbase - ties AS vnum FROM vb, tc),
+              med AS (SELECT CAST(xj - xi AS DOUBLE) / (100.0 * (j - i)) AS sl FROM p
+                      ORDER BY sl LIMIT 1 OFFSET (SELECT (m + 1) // 2 - 1 FROM sg))
+         SELECT n AS n_days, sv AS s_stat,
                 round(CASE WHEN vnum > 0 THEN
                   (CAST(sv AS DOUBLE) - (CASE WHEN sv > 0 THEN 1.0 WHEN sv < 0 THEN -1.0 ELSE 0.0 END))
                   / sqrt(CAST(vnum AS DOUBLE) / 18.0) END, 6) AS z_stat,

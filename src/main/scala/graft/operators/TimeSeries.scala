@@ -980,6 +980,72 @@ object TimeSeries {
       .orderBy(col("segment"))
   }
 
+  /** Seasonal Mann–Kendall (Hirsch–Slack 1984) — the trend test that is
+    * IMMUNE to weekly seasonality, the [[cusumSeasonalAdjusted]]
+    * counterpart in the trend family: comparisons run only WITHIN each
+    * weekday season (Monday vs Monday, never Monday vs Sunday), so a
+    * pure weekly cycle contributes NOTHING to S while a genuine drift
+    * still accumulates in every season. S = Σ_w S_w with
+    * Var(S) = Σ_w [n_w(n_w−1)(2n_w+5) − Σ_t t(t−1)(2t+5)]/18 (ties
+    * corrected within their own season, the Hirsch–Slack recipe) and the
+    * continuity-corrected z; Sen's slope is the median over the
+    * within-season pair slopes (real money/day — the pair gaps are
+    * multiples of 7 days).
+    *
+    * Scale shape: exactly [[mannKendallTrend]] with the weekday riding
+    * the pair join — the day side still broadcasts and the pair domain
+    * SHRINKS ~7× (only same-weekday pairs); S/Var aggregate as exact
+    * integers in DECIMAL(38,0); the Sen median rides the same
+    * distributed bit-grid selection. Under 2 days in every season there
+    * are no pairs: EMPTY result (the [[mannKendallTrend]] contract). */
+  def mannKendallSeasonal(
+      df: DataFrame, dateCol: Column, moneyValue: Column): DataFrame = {
+    import graft.functions.dec2
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val series = df.groupBy(to_date(dateCol).as("d"))
+      .agg(sum(dec2(moneyValue)).cast("decimal(18,2)").as("rev"))
+      .select(
+        pmod(datediff(col("d"), lit("1970-01-01").cast("date")), lit(7))
+          .cast("long").as("w"),
+        datediff(col("d"), lit("1970-01-01").cast("date")).cast("long").as("__dn"),
+        (col("rev") * 100).cast(dec38).as("__rc"))
+      .localCheckpoint(false) // consumers: both pair sides, ties, counts
+    val l = series.select(col("w"), col("__dn").as("i"), col("__rc").as("xi"))
+    val r = series.select(col("w").as("w2"), col("__dn").as("j"), col("__rc").as("xj"))
+    val pairs = l.join(broadcast(r), col("w") === col("w2") && col("j") > col("i"))
+    val sAgg = pairs.agg(
+      sum(when(col("xj") > col("xi"), 1L).when(col("xj") < col("xi"), -1L)
+        .otherwise(0L)).as("s"),
+      count(lit(1)).as("m"))
+    val nAgg = series.agg(count(lit(1)).as("n_days"))
+    // Σ_w n_w(n_w−1)(2n_w+5): the per-season base variance terms
+    val vBase = series.groupBy(col("w")).agg(count(lit(1)).cast(dec38).as("nw"))
+      .agg(sum(col("nw") * (col("nw") - 1) * (col("nw") * 2 + 5)).as("vbase"))
+    // ties WITHIN their season (the Hirsch–Slack correction)
+    val tieAgg = series.groupBy(col("w"), col("__rc")).agg(count(lit(1)).as("t"))
+      .agg(coalesce(sum(col("t").cast(dec38) * (col("t") - 1) * (col("t") * 2 + 5)),
+        lit(0L).cast(dec38)).as("ties"))
+    // Same load-bearing when() guard as mannKendallTrend: the fused
+    // projection can see a pair the join condition is about to reject.
+    val slopes = pairs.select(lit("all").as("__one"),
+      when(col("j") > col("i"),
+        (col("xj") - col("xi")).cast(DoubleType) /
+          (lit(100.0) * (col("j") - col("i")))).as("sl"))
+    val sen = Robust.weightedMedian(slopes, "__one", col("sl"), lit(1L))
+      .select(col("w_median").as("sen_slope"))
+    val vnum = col("vbase") - col("ties")
+    val sD = col("s").cast(DoubleType)
+    val cc = when(col("s") > 0, lit(1.0)).when(col("s") < 0, lit(-1.0))
+      .otherwise(lit(0.0))
+    nAgg.crossJoin(broadcast(sAgg)).crossJoin(broadcast(vBase))
+      .crossJoin(broadcast(tieAgg)).crossJoin(broadcast(sen))
+      .select(
+        col("n_days"), col("s").as("s_stat"),
+        round(when(vnum > 0, (sD - cc) /
+          sqrt(vnum.cast(DoubleType) / lit(18.0))), 6).as("z_stat"),
+        col("sen_slope"))
+  }
+
   /** Naive-forecast backtest over the daily money metric — the "how
     * predictable is this series, and does weekly seasonality matter?"
     * readout: for each lag L in `lags`, forecast day d as the actual of

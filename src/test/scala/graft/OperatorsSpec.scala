@@ -969,6 +969,36 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("mannKendallSeasonal: pure weekly cycle is silent, drift under cycle detected") {
+    import graft.operators.TimeSeries
+    val cycle = Seq(3.0, -1.0, 2.0, -4.0, 0.0, 5.0, -5.0)
+    def toDf(f: Int => Double, n: Int) = (0 until n).map { i =>
+      val d = java.time.LocalDate.of(2024, 1, 1).plusDays(i.toLong)
+      (java.sql.Timestamp.valueOf(d.atStartOfDay), BigDecimal(f(i)))
+    }.toDF("ts", "v").select($"ts", $"v".cast("decimal(18,2)").as("v"))
+    // pure cycle: within every weekday season all values tie -> S = 0,
+    // the tie correction cancels the whole variance -> z NULL, Sen = 0
+    val pure = TimeSeries.mannKendallSeasonal(
+      toDf(i => 100.0 + cycle((java.time.LocalDate.of(2024, 1, 1)
+        .plusDays(i.toLong).toEpochDay % 7).toInt), 28),
+      col("ts"), col("v")).collect()(0)
+    assert(pure.getAs[Long]("s_stat") == 0 && pure.isNullAt(2))
+    assert(pure.getAs[Double]("sen_slope") == 0.0)
+    // drift + cycle: every same-weekday pair rises -> S = m (all
+    // concordant), and every within-season slope is exactly the drift
+    val drift = TimeSeries.mannKendallSeasonal(
+      toDf(i => 10.0 * i + cycle((java.time.LocalDate.of(2024, 1, 1)
+        .plusDays(i.toLong).toEpochDay % 7).toInt), 28),
+      col("ts"), col("v")).collect()(0)
+    // 7 seasons x C(4,2) = 42 concordant pairs
+    assert(drift.getAs[Long]("s_stat") == 42)
+    assert(drift.getAs[Double]("z_stat") > 3.0)
+    assert(drift.getAs[Double]("sen_slope") == 10.0)
+    // under 2 days in every season: no pairs -> EMPTY
+    assert(TimeSeries.mannKendallSeasonal(
+      toDf(i => 10.0 * i, 7), col("ts"), col("v")).collect().isEmpty)
+  }
+
   test("rollingAnomaly flags a planted spike against its trailing band only") {
     import graft.operators.TimeSeries
     // 40 consecutive days alternating 100/102 (nonzero band), one 1000
