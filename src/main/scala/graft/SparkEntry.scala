@@ -7463,20 +7463,23 @@ object SparkEntry {
                                        / CAST(nn AS DOUBLE)) END, 6) AS z_stat
          FROM e""",
 
-    // Same discrete rank-((n+1)//2) median pick per group, |v − med| in
-    // exact decimal, then the identical ANOVA fold/chain on z.
+    // Same discrete rank-((n+1)//2) median pick per group; the z-moments
+    // are count-weighted exact integer cents over the value domain, then
+    // the identical ANOVA fold/chain (F is cents-scale invariant).
     "q_brown_forsythe" ->
       """WITH b AS (SELECT CAST(o_orderpriority AS VARCHAR) AS g,
                            CAST(o_totalprice AS DECIMAL(18,2)) AS v
                     FROM orders WHERE o_totalprice IS NOT NULL AND o_orderpriority IS NOT NULL),
+              gv AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1, 2),
               med AS (SELECT g, v AS med FROM (
                         SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
                                count(*) OVER (PARTITION BY g) AS c
                         FROM b) WHERE rn = (c + 1) // 2),
-              z AS (SELECT b.g, CAST(abs(b.v - med.med) AS DECIMAL(18,2)) AS zv
-                    FROM b JOIN med USING (g)),
-              g AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
-                           sum(zv) AS s, sum(zv * zv) AS ss
+              z AS (SELECT gv.g, gv.c, CAST(abs(gv.v - med.med) * 100 AS HUGEINT) AS zc
+                    FROM gv JOIN med USING (g)),
+              g AS (SELECT g, CAST(sum(c) AS BIGINT) AS n,
+                           CAST(sum(c * zc) AS HUGEINT) AS s,
+                           CAST(sum(c * zc * zc) AS HUGEINT) AS ss
                     FROM z GROUP BY 1),
               one AS (SELECT list_sort(list({'g': g, 'n': n, 's': s, 'ss': ss})) AS gs,
                              CAST(count(*) AS BIGINT) AS k, CAST(sum(n) AS BIGINT) AS n_rows,

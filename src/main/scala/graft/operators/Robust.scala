@@ -1007,8 +1007,14 @@ object Robust {
       .groupBy(col("__g"))
       .agg(count(lit(1)).as("n"), sum(col("__v")).as("s"),
         sum(col("__v") * col("__v")).as("ss"))
-    // one sorted bounded fold: k is segment-bounded (the guardedCells
-    // argument — a metric crossed with a segment axis, not row-sized)
+    anovaFold(groups, "f_stat")
+  }
+
+  /** The shared k-row fold + F chain behind [[anovaF]] and
+    * [[brownForsythe]]: `groups` is (__g, n, s, ss) with exact s/ss.
+    * One sorted bounded fold — k is segment-bounded (the guardedCells
+    * argument: a metric crossed with a segment axis, not row-sized). */
+  private def anovaFold(groups: DataFrame, statName: String): DataFrame = {
     val one = groups.agg(
       array_sort(collect_list(struct(col("__g"), col("n"), col("s"), col("ss")))).as("gs"),
       count(lit(1)).as("k"), sum(col("n")).as("n_rows"),
@@ -1023,7 +1029,7 @@ object Robust {
     val f = (ssb / (kD - lit(1.0))) / (ssw / (nD - kD))
     one.select(
       col("k"), col("n_rows"),
-      round(when(col("n_rows") > col("k") && ssw > 0, f), 6).as("f_stat"),
+      round(when(col("n_rows") > col("k") && ssw > 0, f), 6).as(statName),
       (col("k") - 1).as("df1"), (col("n_rows") - col("k")).as("df2"))
   }
 
@@ -1097,25 +1103,33 @@ object Robust {
     * Scale shape: medians are NOT a per-group sort window (row-sized
     * input partitioned k ways = the single-task scale-killer) — per-
     * (group, value) counts aggregate distributed, the cumulative counts
-    * ride the grouped two-level scan ([[runningTotalsBy]]), the rank
-    * bracket `cum ≥ m > cum − c` picks each median, and the k-row median
-    * table broadcasts back to the rows. One extra keyed shuffle over
-    * [[anovaF]], all on the distinct-value domain. */
+    * ride the grouped two-level scan ([[runningTotalsBy]]), and the rank
+    * bracket `cum ≥ m > cum − c` picks each median. The z-moments then
+    * come from the SAME value-domain table, count-weighted in exact
+    * integer CENTS (Σ c·|v−med|·100, Σ c·(100(v−med))² — F is invariant
+    * to the cents scaling since numerator and denominator both carry
+    * 10⁴) — raw rows are scanned exactly once, for the per-(group,
+    * value) counts; nothing row-sized moves after that. */
   def brownForsythe(df: DataFrame, value: Column, groupCol: Column): DataFrame = {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
     val base = df.select(groupCol.cast("string").as("__g"), dec2(value).as("v"))
       .filter(col("v").isNotNull && col("__g").isNotNull)
     val perGV = base.groupBy(col("__g"), col("v")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(false) // consumers: the scan, per-group n, z-moments
     val cum = runningTotalsBy(perGV, Seq("__g"), Seq("c"))
     val nPer = perGV.groupBy(col("__g")).agg(sum(col("c")).as("__n"))
     val med = cum.join(broadcast(nPer), "__g")
       .withColumn("__m", expr("(__n + 1) div 2"))
       .filter(col("cum_c") >= col("__m") && col("cum_c") - col("c") < col("__m"))
       .select(col("__g"), col("v").as("__med"))
-    val z = base.join(broadcast(med), "__g")
-      .select(col("__g"), abs(col("v") - col("__med")).as("__z"))
-    anovaF(z, col("__z"), col("__g"))
-      .select(col("k"), col("n_rows"), col("f_stat").as("w_stat"),
-        col("df1"), col("df2"))
+    val zmom = perGV.join(broadcast(med), "__g")
+      .select(col("__g"), col("c"),
+        (abs(col("v") - col("__med")) * 100).cast(dec38).as("__zc"))
+      .groupBy(col("__g"))
+      .agg(sum(col("c")).as("n"),
+        sum(col("c").cast(dec38) * col("__zc")).as("s"),
+        sum(col("c").cast(dec38) * col("__zc") * col("__zc")).as("ss"))
+    anovaFold(zmom, "w_stat")
   }
 
   /** Cochran–Armitage trend test — the ORDERED-category companion to

@@ -706,11 +706,12 @@ class PropertiesSpec extends AnyFunSuite with SparkSpec {
     val meds = byG.map { case (g, vs) =>
       val s = vs.map(_._2).sorted; g -> s((s.size + 1) / 2 - 1)
     }.toMap
-    val zs = rows.map { case (g, v) => (g, (v - meds(g)).abs) }
+    // the operator carries z as exact integer CENTS (F is scale-invariant)
+    val zs = rows.map { case (g, v) => (g, ((v - meds(g)).abs * 100).toBigInt) }
     val k = byG.size; val n = rows.size
     val stats = zs.groupBy(_._1).toSeq.sortBy(_._1).map { case (g, gz) =>
       val z = gz.map(_._2)
-      (z.size, z.sum, z.map(x => x * x).sum)
+      (z.size, BigDecimal(z.sum), BigDecimal(z.map(x => x * x).sum))
     }
     val t = stats.map(_._2).sum; val tss = stats.map(_._3).sum
     val sb = stats.foldLeft(0.0)((acc, s) =>
