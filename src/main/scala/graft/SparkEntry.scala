@@ -2971,6 +2971,13 @@ object SparkEntry {
       graft.operators.TimeSeries.mannKendallSeasonal(
         Tables.orders(s, d), col("o_orderdate"), col("o_totalprice"))),
 
+    // Per-priority decomposition — each segment's own trend and weekday
+    // profile; windows partitioned by segment, per-segment centering.
+    "q_seasonal_decompose_by_priority" -> ((s, d) =>
+      graft.operators.TimeSeries.seasonalDecomposeBy(
+        Tables.orders(s, d), col("o_orderdate"), col("o_totalprice"),
+        "o_orderpriority")),
+
     // Trailing-28-day anomaly gate on daily order revenue (current day
     // excluded from its own baseline; exact-decimal window sums; only
     // full-window days emitted) — the daily-metric pipeline monitor.
@@ -7164,6 +7171,37 @@ object SparkEntry {
                   / sqrt(CAST(vnum AS DOUBLE) / 18.0) END, 6) AS z_stat,
                 (SELECT sl FROM med) AS sen_slope
          FROM nn, sg, vv""",
+
+    // Grouped twin: segment partitions the centered windows; the weekday
+    // profile and centering fold carry the segment key.
+    "q_seasonal_decompose_by_priority" ->
+      """WITH s AS (SELECT o_orderpriority AS seg, CAST(o_orderdate AS DATE) AS d,
+                           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS rev
+                    FROM orders GROUP BY 1, 2),
+              xs AS (SELECT seg, d, CAST(date_diff('day', DATE '1970-01-01', d) % 7 AS BIGINT) AS dow07,
+                            rev, CAST(rev * 100 AS HUGEINT) AS x FROM s),
+              tw AS (SELECT seg, d, dow07, rev, x,
+                            CAST(sum(x) OVER w AS HUGEINT) AS t7,
+                            CAST(count(*) OVER w AS BIGINT) AS c7
+                     FROM xs WINDOW w AS (PARTITION BY seg ORDER BY d
+                                          ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+              tr AS (SELECT seg, d, dow07, rev, t7, x * 7 - t7 AS detr7 FROM tw WHERE c7 = 7),
+              prof AS (SELECT seg, dow07, CAST(sum(detr7) AS HUGEINT) AS sd,
+                              CAST(count(*) AS HUGEINT) AS cw FROM tr GROUP BY 1, 2),
+              m AS (SELECT seg, list_sum(list_transform(
+                             list_sort(list({'dow07': dow07, 'sd': sd, 'cw': cw})),
+                             g -> CAST(g.sd AS DOUBLE) / (7.0 * CAST(g.cw AS DOUBLE))))
+                           / CAST(count(*) AS DOUBLE) AS ms
+                    FROM prof GROUP BY 1)
+         SELECT tr.seg AS o_orderpriority, CAST(tr.d AS TIMESTAMP) AS day,
+                CAST(tr.rev AS DOUBLE) AS revenue,
+                round(CAST(t7 AS DOUBLE) / 700.0, 6) AS trend,
+                round((CAST(sd AS DOUBLE) / (7.0 * CAST(cw AS DOUBLE)) - ms) / 100.0, 6) AS seasonal,
+                round(CAST(tr.rev AS DOUBLE) - CAST(t7 AS DOUBLE) / 700.0
+                      - (CAST(sd AS DOUBLE) / (7.0 * CAST(cw AS DOUBLE)) - ms) / 100.0, 6) AS residual
+         FROM tr JOIN prof ON tr.seg = prof.seg AND tr.dow07 = prof.dow07
+                 JOIN m ON tr.seg = m.seg
+         ORDER BY o_orderpriority, day""",
 
     // Same-weekday pair join, per-season base variance and tie terms in
     // HUGEINT, identical z chain and OFFSET rank pick for Sen's slope.

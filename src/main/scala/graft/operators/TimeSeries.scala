@@ -423,6 +423,54 @@ object TimeSeries {
       .orderBy(col("day"))
   }
 
+  /** Per-`byCol`-segment classical decomposition — each segment gets its
+    * own trend line and weekday profile (the grouped-gate convention; a
+    * weekend-heavy category's seasonal indices differ from the corpus).
+    * Exactly [[seasonalDecompose]] with the segment riding every key:
+    * centered windows partitioned by segment over the (segment, day)
+    * domain, a ≤ 7·|segments|-row profile, per-segment centering folds
+    * (≤ |segments| rows, broadcast back). */
+  def seasonalDecomposeBy(
+      df: DataFrame, dateCol: Column, moneyValue: Column, byCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.dec2
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val series = df.groupBy(col(byCol).as("__g"), to_date(dateCol).as("d"))
+      .agg(sum(dec2(moneyValue)).cast("decimal(18,2)").as("rev"))
+      .select(col("__g"), col("d"),
+        pmod(datediff(col("d"), lit("1970-01-01").cast("date")), lit(7))
+          .cast("long").as("dow07"),
+        col("rev"),
+        (col("rev") * 100).cast(dec38).as("x"))
+    val w7 = Window.partitionBy(col("__g")).orderBy(col("d")).rowsBetween(-3, 3)
+    val trended = series
+      .withColumn("__t7", sum(col("x")).over(w7))
+      .withColumn("__c7", count(lit(1)).over(w7))
+      .filter(col("__c7") === 7)
+      .withColumn("__detr7", col("x") * 7 - col("__t7"))
+    val prof = trended.groupBy(col("__g"), col("dow07"))
+      .agg(sum(col("__detr7")).as("__sd"), count(lit(1)).cast(dec38).as("__cw"))
+    val mean = prof.groupBy(col("__g")).agg(
+      array_sort(collect_list(struct(col("dow07"), col("__sd"), col("__cw")))).as("ws"),
+      count(lit(1)).cast(DoubleType).as("__kw"))
+      .select(col("__g"), (aggregate(col("ws"), lit(0.0), (acc, g) =>
+        acc + g.getField("__sd").cast(DoubleType) /
+          (lit(7.0) * g.getField("__cw").cast(DoubleType))) / col("__kw")).as("__ms"))
+    val sWD = col("__sd").cast(DoubleType) / (lit(7.0) * col("__cw").cast(DoubleType))
+    val trendD = col("__t7").cast(DoubleType) / lit(700.0)
+    val seasD = (sWD - col("__ms")) / lit(100.0)
+    trended.join(broadcast(prof), Seq("__g", "dow07"))
+      .join(broadcast(mean), "__g")
+      .select(
+        col("__g").as(byCol),
+        col("d").cast("timestamp").as("day"),
+        col("rev").cast(DoubleType).as("revenue"),
+        round(trendD, 6).as("trend"),
+        round(seasD, 6).as("seasonal"),
+        round(col("rev").cast(DoubleType) - trendD - seasD, 6).as("residual"))
+      .orderBy(byCol, "day")
+  }
+
   /** Trailing-window anomaly gate over a daily money metric — the
     * standard pipeline monitor ("did today's volume jump off its recent
     * band?"): per-day exact-decimal totals, a trailing `window`-OBSERVED-

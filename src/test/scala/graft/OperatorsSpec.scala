@@ -667,6 +667,23 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
       assert(math.abs(sum - r.getAs[Double]("revenue")) < 1e-5,
         s"components do not reassemble at ${r.getTimestamp(0)}")
     }
+    // grouped twin: two segments with different profiles; each segment's
+    // rows equal the global operator on that slice
+    val seg = days.withColumn("g", lit("cyc")).unionByName(noisy.withColumn("g", lit("noisy")))
+    val grouped = TimeSeries.seasonalDecomposeBy(seg, col("ts"), col("v"), "g")
+      .collect()
+    assert(grouped.map(_.getString(0)).distinct.toSeq == Seq("cyc", "noisy"))
+    for (g <- Seq("cyc", "noisy")) {
+      val single = TimeSeries.seasonalDecompose(
+          seg.filter($"g" === g), col("ts"), col("v"))
+        .collect().map(r => r.getTimestamp(0) ->
+          (r.getAs[Double]("trend"), r.getAs[Double]("seasonal"), r.getAs[Double]("residual"))).toMap
+      for (r <- grouped.filter(_.getString(0) == g)) {
+        val (t, sx, res) = single(r.getTimestamp(1))
+        assert(r.getAs[Double]("trend") == t && r.getAs[Double]("seasonal") == sx &&
+          r.getAs[Double]("residual") == res, s"twin mismatch in $g at ${r.getTimestamp(1)}")
+      }
+    }
   }
 
   test("twoProportionZ: zero for equal rates, 2 for a 2v2 total split") {
