@@ -2720,6 +2720,12 @@ object SparkEntry {
     "q_dataset_split" -> ((s, d) =>
       graft.operators.Curation.datasetSplit(Tables.documents(s, d))),
 
+    // Split-leakage gate: near-dup clusters spanning train/val/test — the
+    // eval-contamination bug a doc-id-hashed split cannot see (clusters
+    // from the banded dedup stack, one keyed join, 1-row fold).
+    "q_split_leakage" -> ((s, d) =>
+      graft.operators.Curation.splitLeakage(Tables.documents(s, d))),
+
     // Fused curation gate with reason codes (language → length → TTR →
     // repetition; first failing gate wins).
     "q_curation_audit" -> ((s, d) =>
@@ -5931,6 +5937,37 @@ object SparkEntry {
          SELECT v AS doc_id, min(r) AS cluster_id,
                 CAST(count(DISTINCT r) AS BIGINT) AS cluster_size
          FROM reach GROUP BY 1 ORDER BY 1""",
+
+    // Same recursive-CTE clusters joined with the doc-id-hash split rule;
+    // leaky = a cluster whose members span more than one split.
+    "q_split_leakage" ->
+      """WITH RECURSIVE pairs AS (
+           SELECT doc_a, doc_b FROM (
+             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                    round(len(list_intersect(a.toks, b.toks)) * 1.0
+                          / len(list_distinct(list_concat(a.toks, b.toks))), 6) AS jaccard
+             FROM (SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS toks FROM documents) a
+             JOIN (SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS toks FROM documents) b
+               ON a.source = b.source AND a.doc_id < b.doc_id)
+           WHERE jaccard >= 0.9),
+         edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+         reach(v, r) AS (
+           SELECT a, a FROM edges
+           UNION
+           SELECT r.v, e.b FROM reach r JOIN edges e ON r.r = e.a),
+         clusters AS (SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1),
+         sp AS (SELECT doc_id,
+                       CASE WHEN (doc_id * 2654435761) % 1000000007 % 100 < 90 THEN 'train'
+                            WHEN (doc_id * 2654435761) % 1000000007 % 100 < 95 THEN 'val'
+                            ELSE 'test' END AS split
+                FROM documents),
+         per AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_docs,
+                        count(DISTINCT split) AS n_splits
+                 FROM clusters JOIN sp USING (doc_id) GROUP BY 1)
+         SELECT CAST(count(*) AS BIGINT) AS n_clusters,
+                CAST(count(CASE WHEN n_splits > 1 THEN 1 END) AS BIGINT) AS n_leaky_clusters,
+                CAST(coalesce(sum(CASE WHEN n_splits > 1 THEN n_docs END), 0) AS BIGINT) AS n_leaky_docs
+         FROM per""",
 
     "q_dedup_apply" ->
       """WITH RECURSIVE pairs AS (

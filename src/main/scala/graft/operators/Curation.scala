@@ -158,6 +158,40 @@ object Curation {
       .orderBy("source", "split")
   }
 
+  /** Split-leakage gate — the eval-contamination check [[datasetSplit]]
+    * alone cannot make: the split hashes DOC ids, so two near-duplicate
+    * documents can land in train and test, silently leaking training
+    * text into evaluation. This composes the near-dup clusters
+    * ([[graft.operators.Dedup.connectedComponents]] over the blocked
+    * Jaccard pairs) with the split assignment and counts clusters that
+    * SPAN more than one split. Healthy = 0 leaky clusters; any other
+    * value names exactly how much eval is compromised. (The remedy —
+    * hash the CLUSTER id instead of the doc id — is one select on top of
+    * the same clusters table.)
+    *
+    * Scale shape: the pair/cluster machinery is the banded-not-all-pairs
+    * dedup stack, unchanged; the split table is per-row expression work;
+    * one keyed join on doc_id, one cluster-bounded aggregation, one
+    * 1-row fold. Singleton documents join no cluster and cannot leak. */
+  def splitLeakage(documents: DataFrame, threshold: Double = 0.9): DataFrame = {
+    val clusters = graft.operators.Dedup.connectedComponents(
+      graft.operators.Dedup.blockedJaccardPairsUnsorted(documents, threshold),
+      "doc_a", "doc_b")
+      .select(col("v").as("doc_id"), col("cluster_id"))
+    val h = docHash(col("doc_id")) % 100
+    val split = documents.select(col("doc_id"),
+      when(h < 90, "train").when(h < 95, "val").otherwise("test").as("split"))
+    val per = clusters.join(split, "doc_id")
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("split")).as("n_splits"))
+    per.agg(
+      count(lit(1)).as("n_clusters"),
+      count(when(col("n_splits") > 1, 1)).as("n_leaky_clusters"),
+      coalesce(sum(when(col("n_splits") > 1, col("n_docs"))), lit(0L))
+        .as("n_leaky_docs"))
+  }
+
   /** Fused curation gate with reason codes — the audit table a real run
     * writes next to the kept corpus (every drop must be attributable).
     * First failing gate wins, in fixed order: language → length → lexical

@@ -163,6 +163,36 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(byodSplit.keySet == Set("train", "val", "test"))
   }
 
+  test("splitLeakage counts near-dup clusters that span splits") {
+    // replicate the doc-id split hash to plant a cross-split duplicate
+    def splitOf(id: Long) = {
+      val h = java.lang.Math.floorMod(id * 2654435761L, 1000000007L) % 100
+      if (h < 90) "train" else if (h < 95) "val" else "test"
+    }
+    val ids = 1L to 400L
+    val train = ids.filter(splitOf(_) == "train")
+    val test = ids.filter(splitOf(_) == "test")
+    assert(train.size >= 2 && test.nonEmpty)
+    val dupA = "alpha beta gamma delta epsilon zeta eta theta"
+    val dupB = "one two three four five six seven eight nine"
+    val docs = Seq(
+      (train(0), "s", dupA), (test(0), "s", dupA), // duplicate ACROSS splits: leaky
+      (train(1), "s", dupB), (train(2), "s", dupB), // duplicate within train: clean
+      (train(3), "s", "lonely unique filler document text here"), // singleton
+      (train(4), "s", "another quite different filler doc entirely"))
+      .toDF("doc_id", "source", "text")
+    val got = graft.operators.Curation.splitLeakage(docs).collect()(0)
+    assert(got.getAs[Long]("n_clusters") == 2)
+    assert(got.getAs[Long]("n_leaky_clusters") == 1)
+    assert(got.getAs[Long]("n_leaky_docs") == 2)
+    // all-clean corpus: zero leaks, zero-coalesced doc count
+    val clean = Seq((train(0), "s", dupA), (train(1), "s", dupA))
+      .toDF("doc_id", "source", "text")
+    val g2 = graft.operators.Curation.splitLeakage(clean).collect()(0)
+    assert(g2.getAs[Long]("n_clusters") == 1 && g2.getAs[Long]("n_leaky_clusters") == 0)
+    assert(g2.getAs[Long]("n_leaky_docs") == 0)
+  }
+
   test("curationAudit: first failing gate wins in fixed order") {
     val en = "the cat sat of the mat and the dog is in the house with a friend of mine today"
     val docs = Seq(
