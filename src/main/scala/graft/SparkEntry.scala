@@ -4167,6 +4167,14 @@ object SparkEntry {
     "q_embed_drift_stream" -> ((s, d) =>
       graft.streaming.EmbedDriftStream.runStreamEmbedDrift(s, d)),
 
+    // Label-separability audit: per-label within-class scatter, nearest
+    // other centroid, Fisher-style ratio — the encoder-collapse check the
+    // drift gates can't make (same decimal moment passes; |labels|²·d
+    // centroid arithmetic on the rounded driver summary).
+    "q_label_separability" -> ((s, d) =>
+      graft.operators.EmbeddingDrift.labelSeparability(
+        Tables.embeddings(s, d), col("embedding"), col("label"), dim = 64)),
+
     // Spearman rank correlation of quantity vs extended price — monotone
     // association on ranks (average-rank ties via the exact-integer
     // doubled-rank algebra, distributed runningTotals ECDF scan, moments
@@ -8176,6 +8184,46 @@ object SparkEntry {
                      FROM mn)
          SELECT n_ref, n_cur, round(fr, 6) AS frechet2 FROM ns, f
          WHERE n_ref IS NOT NULL AND n_cur IS NOT NULL""",
+
+    // Same per-(label, dim) decimal moment chains; intra trace and
+    // centroid distances via ascending-i list_reduce folds; nearest pick
+    // breaks ties on the smaller label (row_number ORDER BY d2, gb).
+    "q_label_separability" ->
+      """WITH e AS MATERIALIZED (SELECT CAST(label AS BIGINT) AS g, embedding AS v FROM embeddings
+                    WHERE embedding IS NOT NULL AND len(embedding) = 64
+                      AND len(list_filter(embedding, x -> x IS NULL)) = 0
+                      AND label IS NOT NULL),
+              d AS MATERIALIZED (SELECT CAST(i AS INT) AS i FROM range(0, 64) t(i)),
+              mn AS MATERIALIZED (SELECT e.g AS g, d.i AS i,
+                            round(CAST(sum(CAST(e.v[d.i + 1] AS DECIMAL(38,12))) AS DOUBLE)
+                                  / count(*), 6) AS m,
+                            CAST(count(*) AS BIGINT) AS n
+                     FROM e, d GROUP BY 1, 2),
+              vr AS (SELECT e.g AS g, d.i AS i,
+                            round(CAST(sum(CAST((CAST(e.v[d.i + 1] AS DOUBLE) - mn.m)
+                                              * (CAST(e.v[d.i + 1] AS DOUBLE) - mn.m)
+                                              AS DECIMAL(38,12))) AS DOUBLE)
+                                  / count(*), 6) AS s2
+                     FROM e, d, mn WHERE mn.g = e.g AND mn.i = d.i
+                     GROUP BY 1, 2),
+              intra AS (SELECT g, list_reduce(list(s2 ORDER BY i), (a, b) -> a + b) AS iv
+                        FROM vr GROUP BY 1),
+              nper AS (SELECT g, max(n) AS n FROM mn GROUP BY 1),
+              pd AS (SELECT a.g AS ga, b.g AS gb,
+                            list_reduce(list((a.m - b.m) * (a.m - b.m) ORDER BY a.i),
+                                        (x, y) -> x + y) AS d2
+                     FROM mn a JOIN mn b ON a.i = b.i AND a.g <> b.g
+                     GROUP BY 1, 2),
+              near AS (SELECT ga AS g, gb AS nearest_label, d2 FROM
+                         (SELECT ga, gb, d2,
+                                 row_number() OVER (PARTITION BY ga ORDER BY d2, gb) AS rn
+                          FROM pd)
+                       WHERE rn = 1)
+         SELECT i.g AS label, nper.n AS n, round(i.iv, 6) AS intra_var,
+                near.nearest_label, round(near.d2, 6) AS nearest_dist2,
+                CASE WHEN i.iv > 0 THEN round(near.d2 / i.iv, 6) END AS fisher_ratio
+         FROM intra i JOIN nper ON nper.g = i.g JOIN near ON near.g = i.g
+         ORDER BY label""",
 
     // Grouped Fréchet drift: the same decimal moment chains with the
     // label riding every relation; the ref⋈cur join inside `t` drops

@@ -125,6 +125,108 @@ object EmbeddingDrift {
       outSchema)
   }
 
+  /** Label-separability audit — the Fisher-style encoder health check
+    * the drift gates don't make: [[frechetDrift]] asks "did the cloud
+    * MOVE?"; this asks "are the label sub-clouds still SEPARABLE?" (an
+    * encoder regression that collapses two classes onto each other keeps
+    * the global cloud in place). Per label: the within-class scatter
+    * (trace of the diagonal covariance, the same per-dim variance the
+    * Fréchet gate uses), the nearest OTHER centroid and its squared
+    * distance, and the Fisher-style ratio nearest_dist² / intra —
+    * healthy classes keep the ratio well above 0; a collapse drives it
+    * toward it.
+    *
+    * Exactness: the [[frechetDrift]] recipe verbatim — per-(label, dim)
+    * exact DECIMAL(38,12) sums → rounded means → exact decimal sums of
+    * the double-centered squares → rounded per-dim variances; all folds
+    * (intra trace, centroid distances) run ascending-dim over those
+    * rounded values, fixed double chains the oracle replays; the nearest
+    * pick breaks ties on the smaller label. Labels ride as longs so the
+    * tie order is engine-portable.
+    *
+    * Scale shape: the same two posexplode passes with map-side partials
+    * (shuffle ≤ |labels|·d rows per task); driver summaries are
+    * |labels|·d rows under the [[Robust.MaxSummaryRows]] ceiling; the
+    * centroid-pair work is |labels|²·d driver arithmetic on the rounded
+    * summary, never a data-sized join. Fewer than two labels → EMPTY
+    * (separability of one class is undefined — fail loud, not 0). */
+  def labelSeparability(
+      df: DataFrame, vecCol: Column, labelCol: Column, dim: Int): DataFrame = {
+    require(dim > 0, s"labelSeparability: dim=$dim")
+    val spark = df.sparkSession
+    val dec = DecimalType(38, 12)
+    val outSchema = StructType(Seq(
+      StructField("label", LongType, nullable = true),
+      StructField("n", LongType, nullable = false),
+      StructField("intra_var", DoubleType, nullable = false),
+      StructField("nearest_label", LongType, nullable = true),
+      StructField("nearest_dist2", DoubleType, nullable = false),
+      StructField("fisher_ratio", DoubleType, nullable = true)))
+    val rows = df
+      .filter(labelCol.isNotNull)
+      .select(labelCol.cast("long").as("__g"), vecCol.as("v"))
+      .filter(col("v").isNotNull && size(col("v")) === dim &&
+        !exists(col("v"), x => x.isNull))
+    val meanRows = Robust.collectSummary(
+      rows.select(col("__g"), posexplode(col("v")).as(Seq("i", "x")))
+        .groupBy(col("__g"), col("i"))
+        .agg(sum(col("x").cast(dec)).as("s"), count(lit(1)).as("n"))
+        .select(col("__g"), col("i"),
+          round(col("s").cast(DoubleType) / col("n"), 6).as("m"), col("n")),
+      "labelSeparability")
+    val byG = meanRows.groupBy(_.getLong(0))
+    val labels = byG.keys.toSeq.sorted
+    if (labels.size < 2)
+      return spark.createDataFrame(java.util.Collections.emptyList[Row](), outSchema)
+    def toArr(rs: Array[Row], field: String): Array[Double] = {
+      val a = Array.ofDim[Double](dim)
+      rs.foreach(r => a(r.getAs[Int]("i")) = r.getAs[Double](field))
+      a
+    }
+    val means = byG.map { case (g, rs) => g -> toArr(rs, "m") }
+    val nByG = byG.map { case (g, rs) => g -> rs.head.getAs[Long]("n") }
+    val meansDf = spark.createDataFrame(
+      java.util.Arrays.asList(labels.map(g => Row(g, means(g).toSeq)): _*),
+      StructType(Seq(
+        StructField("__g", LongType, nullable = false),
+        StructField("__m", ArrayType(DoubleType, containsNull = false), nullable = false))))
+    val varRows = Robust.collectSummary(
+      rows.join(broadcast(meansDf), Seq("__g"))
+        .select(col("__g"),
+          posexplode(zip_with(col("v"), col("__m"),
+            (x, m) => (x.cast(DoubleType) - m) * (x.cast(DoubleType) - m)))
+            .as(Seq("i", "sq")))
+        .groupBy(col("__g"), col("i"))
+        .agg(sum(col("sq").cast(dec)).as("ss"), count(lit(1)).as("n"))
+        .select(col("__g"), col("i"),
+          round(col("ss").cast(DoubleType) / col("n"), 6).as("s2")),
+      "labelSeparability")
+    val vars = varRows.groupBy(_.getLong(0)).map { case (g, rs) => g -> toArr(rs, "s2") }
+    def round6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val out = labels.map { g =>
+      var intra = 0.0
+      var i = 0
+      while (i < dim) { intra += vars(g)(i); i += 1 }
+      var bestG = -1L
+      var bestD = Double.MaxValue
+      for (h <- labels if h != g) {
+        var d2 = 0.0
+        var j = 0
+        while (j < dim) {
+          val dm = means(g)(j) - means(h)(j)
+          d2 += dm * dm
+          j += 1
+        }
+        if (d2 < bestD) { bestD = d2; bestG = h } // labels ascend: ties keep the smaller
+      }
+      Row(g, nByG(g), round6(intra), bestG, round6(bestD),
+        if (intra > 0) round6(bestD / intra) else null)
+    }
+    spark.createDataFrame(java.util.Arrays.asList(out: _*), outSchema)
+      .orderBy(col("label"))
+  }
+
   /** Per-`byCol`-segment Fréchet drift — "WHICH slice of the corpus
     * embedded differently?" (the question the global gate's alarm always
     * raises next; completes the grouped-gate convention every scalar gate

@@ -1315,6 +1315,39 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
       .head().getAs[Long]("n_ref") == 10L)
   }
 
+  test("labelSeparability: planted geometry, collapsed pair, single-label empty") {
+    import graft.operators.EmbeddingDrift
+    // label 0 at (10,0), label 1 at (0,10), label 2 at (0,10.5) — labels 1
+    // and 2 are nearly collapsed; every cloud has per-dim variance 0.25 on
+    // dim 0 only (values ±0.5), so intra = 0.25
+    def cloud(label: Long, cx: Float, cy: Float, base: Long) =
+      (0 until 4).map(j => (base + j, label,
+        Array(cx + (if (j % 2 == 0) 0.5f else -0.5f), cy)))
+    val df = (cloud(0L, 10f, 0f, 0L) ++ cloud(1L, 0f, 10f, 10L) ++
+      cloud(2L, 0f, 10.5f, 20L)).toDF("vec_id", "label", "embedding")
+    val got = EmbeddingDrift.labelSeparability(
+      df, col("embedding"), col("label"), dim = 2).collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L))
+    val byLabel = got.map(r => r.getLong(0) -> r).toMap
+    for (l <- Seq(0L, 1L, 2L)) {
+      assert(byLabel(l).getAs[Long]("n") == 4L)
+      assert(byLabel(l).getAs[Double]("intra_var") == 0.25, s"intra of $l")
+    }
+    // nearest pairs: 1 <-> 2 (dist^2 = 0.25), 0 -> 1 (dist^2 = 200)
+    assert(byLabel(0L).getAs[Long]("nearest_label") == 1L)
+    assert(byLabel(0L).getAs[Double]("nearest_dist2") == 200.0)
+    assert(byLabel(1L).getAs[Long]("nearest_label") == 2L)
+    assert(byLabel(1L).getAs[Double]("nearest_dist2") == 0.25)
+    assert(byLabel(2L).getAs[Long]("nearest_label") == 1L)
+    // fisher: collapsed pair ratio 1.0, separated label 800
+    assert(byLabel(1L).getAs[Double]("fisher_ratio") == 1.0)
+    assert(byLabel(0L).getAs[Double]("fisher_ratio") == 800.0)
+    // a single label has no separability: EMPTY, not zero
+    assert(EmbeddingDrift.labelSeparability(
+      df.filter($"label" === 0L), col("embedding"), col("label"), dim = 2)
+      .count() == 0L)
+  }
+
   test("frechetDriftBy: per-group rows equal the global gate per group; one-sided groups drop") {
     import graft.operators.EmbeddingDrift
     // group a: planted orthogonal shift (d²=2); group b: identical clouds
