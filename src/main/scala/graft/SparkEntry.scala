@@ -4271,6 +4271,18 @@ object SparkEntry {
     "q_quality_lr" -> ((s, d) =>
       graft.operators.Curation.qualityScore(Tables.documents(s, d))),
 
+    // Cohen's kappa between the two quality raters (LR keep vs curation
+    // audit kept) — chance-corrected gate agreement: can the cheap gate
+    // stand in for the expensive one? Exact N²-scaled integer algebra,
+    // one double division over the guarded cell fold.
+    "q_cohen_kappa" -> ((s, d) => {
+      val q = graft.operators.Curation.qualityScore(Tables.documents(s, d))
+        .select(col("doc_id"), col("keep"))
+      val a = graft.operators.Curation.curationAudit(Tables.documents(s, d))
+        .select(col("doc_id"), (col("reason") === "kept").as("kept"))
+      graft.operators.Robust.cohenKappa(q.join(a, "doc_id"), col("keep"), col("kept"))
+    }),
+
     // CDC change-log replay with DELETE tombstones onto the customer
     // snapshot: log = orders as balance updates (every 10th order key a
     // tombstone), plus a shifted-key slice exercising the insert path;
@@ -6379,6 +6391,10 @@ object SparkEntry {
          FROM documents GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "q_curation_audit" -> curationAuditSql,
+
+    // Both rater CTEs are the existing oracles (nested-CTE reuse, the
+    // fdr pattern); kappa = (N·D − Σ row·col)/(N² − Σ row·col) in HUGEINT.
+    "q_cohen_kappa" -> cohenKappaSql,
 
     "q_scd2" ->
       """WITH snap AS (SELECT o_custkey, CAST(o_orderdate AS TIMESTAMP) AS ts,
@@ -9210,6 +9226,44 @@ object SparkEntry {
                     ELSE 'kept' END AS reason
         FROM sig ORDER BY doc_id"""
   }
+
+  /** Cohen's kappa between the LR keep gate and the curation-audit kept
+    * gate — both rater CTEs reuse the existing oracle SQL verbatim (the
+    * [[curationAuditSql]] nested-CTE pattern); the kappa algebra is the
+    * N²-scaled integer form with margin folds over the sorted cell list. */
+  private lazy val cohenKappaSql: String =
+    s"""WITH ca AS ($curationAuditSql),
+              ql AS (WITH f AS (SELECT doc_id, string_split(text, ' ') AS t, text FROM documents),
+                          z AS (SELECT doc_id,
+                                       -3.0 + 0.6 * ln(1.0 + CAST(len(t) AS DOUBLE))
+                                       + 0.25 * ((CAST(length(text) AS DOUBLE) - CAST(len(t) - 1 AS DOUBLE)) / CAST(len(t) AS DOUBLE))
+                                       + 1.2 * (CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE))
+                                       + 2.0 * (CAST(len(list_filter(t, x -> list_contains(['the','a','of','and','to','in','is'], x))) AS DOUBLE) / CAST(len(t) AS DOUBLE)) AS z
+                                FROM f)
+                     SELECT doc_id, 1.0 / (1.0 + exp(-z)) >= 0.5 AS keep FROM z),
+              r AS (SELECT CAST(ql.keep AS VARCHAR) AS x,
+                           CAST(ca.reason = 'kept' AS VARCHAR) AS y
+                    FROM ql JOIN ca USING (doc_id)),
+              cells AS (SELECT x, y, CAST(count(*) AS BIGINT) AS cnt FROM r GROUP BY 1, 2),
+              one AS (SELECT list_sort(list({'x': x, 'y': y, 'cnt': cnt})) AS cs,
+                             CAST(sum(cnt) AS HUGEINT) AS n,
+                             CAST(sum(CASE WHEN x = y THEN cnt ELSE 0 END) AS HUGEINT) AS agree
+                      FROM cells),
+              e AS (SELECT n, agree,
+                           list_sum(list_transform(
+                             list_sort(list_distinct(list_concat(
+                               list_transform(cs, c -> c.x), list_transform(cs, c -> c.y)))),
+                             cat -> CAST(coalesce(list_sum(list_transform(
+                                      list_filter(cs, c2 -> c2.x = cat), c2 -> c2.cnt)), 0) AS HUGEINT)
+                                  * CAST(coalesce(list_sum(list_transform(
+                                      list_filter(cs, c2 -> c2.y = cat), c2 -> c2.cnt)), 0) AS HUGEINT)))
+                           AS pe
+                    FROM one)
+         SELECT CAST(n AS BIGINT) AS n_rows, CAST(agree AS BIGINT) AS n_agree,
+                round(CASE WHEN n * n - pe <> 0
+                           THEN CAST(n * agree - pe AS DOUBLE) / CAST(n * n - pe AS DOUBLE)
+                           END, 6) AS kappa
+         FROM e"""
 
   private val intervalJoinSql: String =
     """SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id

@@ -1176,6 +1176,53 @@ object Robust {
             col("nn").cast(DoubleType))), 6).as("z_stat"))
   }
 
+  /** Cohen's kappa between two raters over the same label space — the
+    * GATE-AGREEMENT audit: two quality classifiers that agree 92% of the
+    * time sound aligned, but if both keep ~90% of documents, chance
+    * alone produces ~82% agreement — kappa reports agreement BEYOND
+    * chance ((p_o − p_e)/(1 − p_e)), the number that actually says
+    * whether a cheap gate can stand in for an expensive one.
+    *
+    * Exactness: everything is scaled through by N² to integers — kappa
+    * = (N·D − Σ_c row_c·col_c) / (N² − Σ_c row_c·col_c) with D the
+    * agreement diagonal — all exact DECIMAL(38,0), ONE double division.
+    * NULL when the denominator is 0 (p_e = 1: both raters constant).
+    *
+    * Scale shape: one keyed aggregation to the observed (x, y) cells
+    * ([[guardedCells]] ceiling — a high-cardinality label space fails
+    * loudly), one sorted bounded fold; the margin/diagonal folds run
+    * over the cell array, never the rows. */
+  def cohenKappa(df: DataFrame, raterA: Column, raterB: Column): DataFrame = {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val cells = guardedCells(
+      df.select(raterA.cast("string").as("x"), raterB.cast("string").as("y"))
+        .filter(col("x").isNotNull && col("y").isNotNull)
+        .groupBy(col("x"), col("y")).agg(count(lit(1)).as("cnt")),
+      "cohenKappa")
+    val one = cells.agg(
+      array_sort(collect_list(struct(col("x"), col("y"), col("cnt")))).as("cs"),
+      sum(col("cnt")).as("n"),
+      sum(when(col("x") === col("y"), col("cnt")).otherwise(0L)).as("agree"))
+    val cats = array_sort(array_distinct(concat(
+      transform(col("cs"), c => c.getField("x")),
+      transform(col("cs"), c => c.getField("y")))))
+    val rowOf = (cat: Column) => aggregate(
+      filter(col("cs"), c => c.getField("x") === cat),
+      lit(0L), (a, c) => a + c.getField("cnt"))
+    val colOf = (cat: Column) => aggregate(
+      filter(col("cs"), c => c.getField("y") === cat),
+      lit(0L), (a, c) => a + c.getField("cnt"))
+    val peNum = aggregate(cats, lit(0L).cast(dec38),
+      (acc, cat) => acc + rowOf(cat).cast(dec38) * colOf(cat).cast(dec38))
+    val nDec = col("n").cast(dec38)
+    val num = nDec * col("agree").cast(dec38) - peNum
+    val den = nDec * nDec - peNum
+    one.select(
+      col("n").as("n_rows"), col("agree").as("n_agree"),
+      round(when(den =!= lit(0), num.cast(DoubleType) / den.cast(DoubleType)), 6)
+        .as("kappa"))
+  }
+
   /** Mann–Whitney U (Wilcoxon rank-sum) between two groups — the
     * NONPARAMETRIC companion to [[welchT]] (no normality assumption;
     * the right gate when metric distributions are skewed, which engagement

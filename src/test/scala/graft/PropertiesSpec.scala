@@ -765,6 +765,35 @@ class PropertiesSpec extends AnyFunSuite with SparkSpec {
     assert(Robust.cochranArmitage(oneW, col("w"), col("y")).collect()(0).isNullAt(3))
   }
 
+  test("cohenKappa: hand-computed 2x2, perfect/chance/degenerate cases") {
+    import graft.operators.Robust
+    // classic 2x2: agree-yes 20, agree-no 15, disagreements 5 and 10
+    // N=50, D=35, rows=(25,25), cols=(30,20): kappa = (50*35-1250)/(2500-1250) = 0.4
+    val rows = Seq.fill(20)(("y", "y")) ++ Seq.fill(5)(("y", "n")) ++
+      Seq.fill(10)(("n", "y")) ++ Seq.fill(15)(("n", "n"))
+    val got = Robust.cohenKappa(rows.toDF("a", "b"), col("a"), col("b")).collect()(0)
+    assert(got.getAs[Long]("n_rows") == 50 && got.getAs[Long]("n_agree") == 35)
+    assert(got.getAs[Double]("kappa") == 0.4)
+    // perfect agreement: kappa = 1
+    val perfect = Seq(("x", "x"), ("y", "y"), ("z", "z"), ("x", "x")).toDF("a", "b")
+    assert(Robust.cohenKappa(perfect, col("a"), col("b"))
+      .collect()(0).getAs[Double]("kappa") == 1.0)
+    // exact chance-level agreement (uniform 2x2): kappa = 0
+    val chance = Seq(("t", "t"), ("t", "f"), ("f", "t"), ("f", "f")).toDF("a", "b")
+    assert(Robust.cohenKappa(chance, col("a"), col("b"))
+      .collect()(0).getAs[Double]("kappa") == 0.0)
+    // both raters constant: p_e = 1 -> NULL (fail-soft)
+    val const = Seq(("a", "a"), ("a", "a")).toDF("a", "b")
+    assert(Robust.cohenKappa(const, col("a"), col("b")).collect()(0).isNullAt(2))
+    // asymmetric label spaces (a category seen by only one rater) still
+    // fold correct margins: rater B never says 'z'
+    val asym = Seq(("z", "y"), ("y", "y"), ("y", "y")).toDF("a", "b")
+    // N=3, D=2, rows: z=1,y=2; cols: y=3,z=0 -> pe_num = 1*0 + 2*3 = 6
+    // kappa = (6-6)/(9-6) = 0
+    assert(Robust.cohenKappa(asym, col("a"), col("b"))
+      .collect()(0).getAs[Double]("kappa") == 0.0)
+  }
+
   test("FDR meta-gate: p-values match the normal tail, BH matches first principles") {
     import graft.operators.Robust
     // A&S 7.1.26 accuracy: |erfc error| <= 1.5e-7 against known normal
