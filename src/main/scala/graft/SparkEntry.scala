@@ -3266,6 +3266,16 @@ object SparkEntry {
         substring(col("o_orderpriority"), 1, 1),
         col("o_orderstatus") === "F")),
 
+    // Per-year Cochran–Armitage — is the priority→fulfillment gradient a
+    // structural fact or one era's artifact? Same integer algebra with
+    // the year riding the score aggregation.
+    "q_cochran_armitage_by_year" -> ((s, d) =>
+      graft.operators.Robust.cochranArmitageBy(
+        Tables.orders(s, d)
+          .withColumn("order_year", year(col("o_orderdate")).cast("int")),
+        substring(col("o_orderpriority"), 1, 1),
+        col("o_orderstatus") === "F", "order_year")),
+
     // Per-priority Welch t — the heterogeneous-treatment-effect screen:
     // is the A/B effect uniform across order priorities, or driven by
     // one? Same exact-decimal moments with the segment riding the one
@@ -7561,6 +7571,34 @@ object SparkEntry {
                                 / sqrt(CAST(ss * (nn - ss) * bb AS DOUBLE)
                                        / CAST(nn AS DOUBLE)) END, 6) AS z_stat
          FROM e""",
+
+    // Grouped twin: the year rides the score aggregation; identical
+    // HUGEINT A/B algebra and z chain per segment.
+    "q_cochran_armitage_by_year" ->
+      """WITH b AS (SELECT CAST(year(o_orderdate) AS INT) AS seg,
+                           CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS w,
+                           o_orderstatus = 'F' AS y
+                    FROM orders
+                    WHERE o_orderdate IS NOT NULL
+                      AND o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL),
+              g AS (SELECT seg, w, CAST(count(*) AS HUGEINT) AS n,
+                           CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS HUGEINT) AS s
+                    FROM b GROUP BY 1, 2),
+              one AS (SELECT seg, CAST(count(*) AS BIGINT) AS k,
+                             CAST(sum(n) AS HUGEINT) AS nn, CAST(sum(s) AS HUGEINT) AS ss,
+                             CAST(sum(w * s) AS HUGEINT) AS ws,
+                             CAST(sum(w * n) AS HUGEINT) AS wn,
+                             CAST(sum(w * w * n) AS HUGEINT) AS wwn
+                      FROM g GROUP BY 1),
+              e AS (SELECT seg, k, nn, ss, nn * ws - ss * wn AS a,
+                           nn * wwn - wn * wn AS bb FROM one)
+         SELECT seg AS order_year, k, CAST(nn AS BIGINT) AS n_rows,
+                CAST(ss AS BIGINT) AS n_success,
+                round(CASE WHEN ss > 0 AND ss < nn AND bb > 0
+                           THEN CAST(a AS DOUBLE)
+                                / sqrt(CAST(ss * (nn - ss) * bb AS DOUBLE)
+                                       / CAST(nn AS DOUBLE)) END, 6) AS z_stat
+         FROM e ORDER BY order_year""",
 
     // Same discrete rank-((n+1)//2) median pick per group; the z-moments
     // are count-weighted exact integer cents over the value domain, then

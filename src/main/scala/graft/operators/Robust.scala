@@ -1176,6 +1176,43 @@ object Robust {
             col("nn").cast(DoubleType))), 6).as("z_stat"))
   }
 
+  /** Per-`byCol`-segment Cochran–Armitage — does the ordered trend hold
+    * in EVERY segment (per-year: is the priority→fulfillment gradient a
+    * structural fact or one era's artifact)? Exactly [[cochranArmitage]]
+    * with the segment riding the score aggregation and the ≤ k-row fold
+    * per segment; the same integer A/B algebra and one double z chain.
+    * Degenerate segments (all-success, all-fail, single score) yield a
+    * NULL z but keep their counts (the grouped fail-soft convention). */
+  def cochranArmitageBy(
+      df: DataFrame, score: Column, success: Column, byCol: String): DataFrame = {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val g = df.select(col(byCol).as("__g"), score.cast("long").as("w"),
+        success.cast("boolean").as("y"))
+      .filter(col("__g").isNotNull && col("w").isNotNull && col("y").isNotNull)
+      .groupBy(col("__g"), col("w"))
+      .agg(count(lit(1)).cast(dec38).as("n"),
+        sum(when(col("y"), 1L).otherwise(0L)).cast(dec38).as("s"))
+    val one = g.groupBy(col("__g")).agg(
+      count(lit(1)).as("k"),
+      sum(col("n")).as("nn"), sum(col("s")).as("ss"),
+      sum(col("w").cast(dec38) * col("s")).as("ws"),
+      sum(col("w").cast(dec38) * col("n")).as("wn"),
+      sum(col("w").cast(dec38) * col("w") * col("n")).as("wwn"))
+    val e = one.select(col("__g"), col("k"), col("nn"), col("ss"),
+      (col("nn") * col("ws") - col("ss") * col("wn")).as("__a"),
+      (col("nn") * col("wwn") - col("wn") * col("wn")).as("__b"))
+    e.select(
+      col("__g").as(byCol),
+      col("k"),
+      col("nn").cast("long").as("n_rows"),
+      col("ss").cast("long").as("n_success"),
+      round(when(col("ss") > 0 && col("ss") < col("nn") && col("__b") > 0,
+        col("__a").cast(DoubleType) /
+          sqrt((col("ss") * (col("nn") - col("ss")) * col("__b")).cast(DoubleType) /
+            col("nn").cast(DoubleType))), 6).as("z_stat"))
+      .orderBy(byCol)
+  }
+
   /** Cohen's kappa between two raters over the same label space — the
     * GATE-AGREEMENT audit: two quality classifiers that agree 92% of the
     * time sound aligned, but if both keep ~90% of documents, chance

@@ -763,6 +763,22 @@ class PropertiesSpec extends AnyFunSuite with SparkSpec {
     assert(Robust.cochranArmitage(allS, col("w"), col("y")).collect()(0).isNullAt(3))
     val oneW = Seq((2, true), (2, false), (2, true)).toDF("w", "y")
     assert(Robust.cochranArmitage(oneW, col("w"), col("y")).collect()(0).isNullAt(3))
+    // grouped twin: each segment equals the global gate on its slice; a
+    // degenerate (all-success) segment keeps counts with NULL z
+    val seg = rows.map { case (w, y) => ("s1", w, y) } ++
+      rows.map { case (w, y) => ("s2", w, !y) } ++
+      Seq(("s3", 1, true), ("s3", 2, true))
+    val gdf = seg.toDF("g", "w", "y")
+    val grouped = Robust.cochranArmitageBy(gdf, col("w"), col("y"), "g").collect()
+    assert(grouped.map(_.getString(0)).toSeq == Seq("s1", "s2", "s3"))
+    for (r <- grouped.take(2)) {
+      val single = Robust.cochranArmitage(
+        gdf.filter($"g" === r.getString(0)), col("w"), col("y")).collect()(0)
+      assert(r.getAs[Long]("n_rows") == single.getAs[Long]("n_rows"))
+      assert(r.getAs[Double]("z_stat") == single.getAs[Double]("z_stat"),
+        s"z mismatch in ${r.getString(0)}")
+    }
+    assert(grouped(2).isNullAt(4))
   }
 
   test("cohenKappa: hand-computed 2x2, perfect/chance/degenerate cases") {
