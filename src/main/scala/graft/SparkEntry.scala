@@ -2726,6 +2726,11 @@ object SparkEntry {
     "q_split_leakage" -> ((s, d) =>
       graft.operators.Curation.splitLeakage(Tables.documents(s, d))),
 
+    // The remedy: split by cluster root — leak-free by construction, with
+    // the re-audit carried in the output (leak_free column).
+    "q_split_by_cluster" -> ((s, d) =>
+      graft.operators.Curation.splitByCluster(Tables.documents(s, d))),
+
     // Fused curation gate with reason codes (language → length → TTR →
     // repetition; first failing gate wins).
     "q_curation_audit" -> ((s, d) =>
@@ -5998,6 +6003,38 @@ object SparkEntry {
                 CAST(count(CASE WHEN n_splits > 1 THEN 1 END) AS BIGINT) AS n_leaky_clusters,
                 CAST(coalesce(sum(CASE WHEN n_splits > 1 THEN n_docs END), 0) AS BIGINT) AS n_leaky_docs
          FROM per""",
+
+    // The remedy's oracle: same clusters, split on the cluster-root hash,
+    // per-split rollup plus the recomputed leak_free re-audit.
+    "q_split_by_cluster" ->
+      """WITH RECURSIVE pairs AS (
+           SELECT doc_a, doc_b FROM (
+             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                    round(len(list_intersect(a.toks, b.toks)) * 1.0
+                          / len(list_distinct(list_concat(a.toks, b.toks))), 6) AS jaccard
+             FROM (SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS toks FROM documents) a
+             JOIN (SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS toks FROM documents) b
+               ON a.source = b.source AND a.doc_id < b.doc_id)
+           WHERE jaccard >= 0.9),
+         edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+         reach(v, r) AS (
+           SELECT a, a FROM edges
+           UNION
+           SELECT r.v, e.b FROM reach r JOIN edges e ON r.r = e.a),
+         clusters AS (SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1),
+         a AS (SELECT d.doc_id, c.cluster_id,
+                      CASE WHEN (coalesce(c.cluster_id, d.doc_id) * 2654435761) % 1000000007 % 100 < 90 THEN 'train'
+                           WHEN (coalesce(c.cluster_id, d.doc_id) * 2654435761) % 1000000007 % 100 < 95 THEN 'val'
+                           ELSE 'test' END AS split
+               FROM documents d LEFT JOIN clusters c USING (doc_id)),
+         per AS (SELECT cluster_id, count(DISTINCT split) AS n_splits
+                 FROM a WHERE cluster_id IS NOT NULL GROUP BY 1),
+         leak AS (SELECT CAST(coalesce(sum(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_leaky
+                  FROM per)
+         SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(count(cluster_id) AS BIGINT) AS n_clustered_docs,
+                (SELECT n_leaky FROM leak) = 0 AS leak_free
+         FROM a GROUP BY 1 ORDER BY 1""",
 
     "q_dedup_apply" ->
       """WITH RECURSIVE pairs AS (

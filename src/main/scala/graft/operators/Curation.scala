@@ -192,6 +192,35 @@ object Curation {
         .as("n_leaky_docs"))
   }
 
+  /** The [[splitLeakage]] REMEDY: split by the near-dup CLUSTER root
+    * instead of the doc id — every member of a cluster hashes the same
+    * key, so no cluster can span splits BY CONSTRUCTION (singletons keep
+    * their doc-id hash). Emits the per-split shape plus a `leak_free`
+    * re-audit column computed the [[splitLeakage]] way — the query
+    * carries its own proof instead of asking the reader to trust the
+    * construction. Same dedup-stack cost as the gate plus one left join. */
+  def splitByCluster(documents: DataFrame, threshold: Double = 0.9): DataFrame = {
+    val clusters = graft.operators.Dedup.connectedComponents(
+      graft.operators.Dedup.blockedJaccardPairsUnsorted(documents, threshold),
+      "doc_a", "doc_b")
+      .select(col("v").as("doc_id"), col("cluster_id"))
+    val keyed = documents.select(col("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+    val h = docHash(coalesce(col("cluster_id"), col("doc_id"))) % 100
+    val assigned = keyed.select(col("doc_id"), col("cluster_id"),
+      when(h < 90, "train").when(h < 95, "val").otherwise("test").as("split"))
+    val leak = assigned.filter(col("cluster_id").isNotNull)
+      .groupBy(col("cluster_id")).agg(countDistinct(col("split")).as("n_splits"))
+      .agg(coalesce(sum(when(col("n_splits") > 1, 1L).otherwise(0L)), lit(0L))
+        .as("n_leaky"))
+    assigned.groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), count(col("cluster_id")).as("n_clustered_docs"))
+      .crossJoin(broadcast(leak))
+      .select(col("split"), col("n_docs"), col("n_clustered_docs"),
+        (col("n_leaky") === 0).as("leak_free"))
+      .orderBy(col("split"))
+  }
+
   /** Fused curation gate with reason codes — the audit table a real run
     * writes next to the kept corpus (every drop must be attributable).
     * First failing gate wins, in fixed order: language → length → lexical

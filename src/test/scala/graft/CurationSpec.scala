@@ -191,6 +191,12 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     val g2 = graft.operators.Curation.splitLeakage(clean).collect()(0)
     assert(g2.getAs[Long]("n_clusters") == 1 && g2.getAs[Long]("n_leaky_clusters") == 0)
     assert(g2.getAs[Long]("n_leaky_docs") == 0)
+    // the remedy: cluster-root hashing reunites the leaky pair in one
+    // split, every doc still assigned exactly once, re-audit leak-free
+    val fixed = graft.operators.Curation.splitByCluster(docs).collect()
+    assert(fixed.map(_.getAs[Long]("n_docs")).sum == 6L)
+    assert(fixed.map(_.getAs[Long]("n_clustered_docs")).sum == 4L)
+    assert(fixed.forall(_.getAs[Boolean]("leak_free")))
   }
 
   test("curationAudit: first failing gate wins in fixed order") {
