@@ -8665,7 +8665,7 @@ object SparkEntry {
   private lazy val ljungBoxSql: String = {
     val m = 7
     val head =
-      """WITH s AS (SELECT o_orderdate AS d,
+      """WITH s AS (SELECT CAST(o_orderdate AS DATE) AS d,
                            CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS rev
                     FROM orders GROUP BY 1),
               xs AS (SELECT d, CAST(rev * 100 AS HUGEINT) AS x FROM s),
@@ -8706,7 +8706,7 @@ object SparkEntry {
     * windows and the single moment aggregate; identical Q chain. */
   private lazy val ljungBoxBySql: String = {
     val m = 7
-    """WITH s AS (SELECT o_orderpriority AS g, o_orderdate AS d,
+    """WITH s AS (SELECT o_orderpriority AS g, CAST(o_orderdate AS DATE) AS d,
                            CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS rev
                     FROM orders GROUP BY 1, 2),
               xs AS (SELECT g, d, CAST(rev * 100 AS HUGEINT) AS x FROM s),

@@ -167,7 +167,9 @@ object TimeSeries {
     import graft.functions.dec2
     require(maxLag >= 1, s"need maxLag >= 1, got $maxLag")
     val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
-    val series = df.groupBy(col(dateCol).as("d"))
+    // to_date key: the day domain is calendar-bounded (and DATE-typed,
+    // which the ScaleSpec window guard verifies structurally)
+    val series = df.groupBy(to_date(col(dateCol)).as("d"))
       .agg(sum(dec2(moneyValue)).cast("decimal(18,2)").as("rev"))
       .select(col("d"), (col("rev") * 100).cast(dec38).as("x"))
     val w = Window.orderBy(col("d"))
@@ -218,7 +220,7 @@ object TimeSeries {
     import graft.functions.dec2
     require(maxLag >= 1, s"need maxLag >= 1, got $maxLag")
     val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
-    val series = df.groupBy(col(byCol).as("__g"), col(dateCol).as("d"))
+    val series = df.groupBy(col(byCol).as("__g"), to_date(col(dateCol)).as("d"))
       .agg(sum(dec2(moneyValue)).cast("decimal(18,2)").as("rev"))
       .select(col("__g"), col("d"), (col("rev") * 100).cast(dec38).as("x"))
     val w = Window.partitionBy(col("__g")).orderBy(col("d"))
