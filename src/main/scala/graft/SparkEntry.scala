@@ -2731,6 +2731,12 @@ object SparkEntry {
     "q_split_by_cluster" -> ((s, d) =>
       graft.operators.Curation.splitByCluster(Tables.documents(s, d))),
 
+    // Heaps'-law vocabulary growth at doc-order deciles — "is new data
+    // still bringing new language?" (exact integers: two-level running
+    // scan for cutoffs, token-domain first-doc aggregate, 10-row joins).
+    "q_vocab_growth" -> ((s, d) =>
+      graft.operators.Curation.vocabGrowth(Tables.documents(s, d))),
+
     // Fused curation gate with reason codes (language → length → TTR →
     // repetition; first failing gate wins).
     "q_curation_audit" -> ((s, d) =>
@@ -6442,6 +6448,31 @@ object SparkEntry {
     // Both rater CTEs are the existing oracles (nested-CTE reuse, the
     // fdr pattern); kappa = (N·D − Σ row·col)/(N² − Σ row·col) in HUGEINT.
     "q_cohen_kappa" -> cohenKappaSql,
+
+    // Same doc-order running totals, rank-pick cutoffs, first-doc token
+    // aggregate and 10-row condition join; ttr = vocab/tokens.
+    "q_vocab_growth" ->
+      """WITH pd AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS c
+                     FROM documents),
+              cum AS (SELECT doc_id,
+                             CAST(sum(c) OVER (ORDER BY doc_id) AS BIGINT) AS cum_c,
+                             CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS rn
+                      FROM pd),
+              tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM pd),
+              tg AS (SELECT CAST(k AS INT) AS decile, (n * k + 9) // 10 AS r
+                     FROM tot, range(1, 11) t(k)),
+              cuts AS (SELECT tg.decile, cum.doc_id AS cut, cum.rn AS n_docs,
+                              cum.cum_c AS n_tokens
+                       FROM tg JOIN cum ON cum.rn = tg.r),
+              firsts AS (SELECT tok, min(doc_id) AS first_doc FROM
+                           (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+                            FROM documents)
+                         GROUP BY 1),
+              vc AS (SELECT c.decile, CAST(count(*) AS BIGINT) AS vocab
+                     FROM cuts c JOIN firsts f ON f.first_doc <= c.cut GROUP BY 1)
+         SELECT c.decile, c.n_docs, c.n_tokens, vc.vocab,
+                round(CAST(vc.vocab AS DOUBLE) / CAST(c.n_tokens AS DOUBLE), 6) AS ttr
+         FROM cuts c JOIN vc USING (decile) ORDER BY decile""",
 
     "q_scd2" ->
       """WITH snap AS (SELECT o_custkey, CAST(o_orderdate AS TIMESTAMP) AS ts,

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
 
-import graft.functions.{tokens, TextAnalysis}
+import graft.functions.{distinctTokens, tokens, TextAnalysis}
 
 /** Corpus-curation pipeline stages beyond per-document scoring: source
   * mixing, incremental (batch-vs-corpus) dedup, split assignment, and the
@@ -156,6 +156,49 @@ object Curation {
       .groupBy("source", "split")
       .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"))
       .orderBy("source", "split")
+  }
+
+  /** Heaps'-law vocabulary-growth audit — the corpus-health curve behind
+    * "is new data still bringing new language?": cumulative distinct
+    * vocabulary vs cumulative tokens at doc-order deciles. A healthy
+    * crawl keeps growing vocabulary sub-linearly (Heaps' law, V ≈ K·nᵝ);
+    * a curve that flattens to ZERO growth means the tail is duplicate
+    * boilerplate, and one that grows LINEARLY means garbage/noise tokens
+    * (both curation alarms). All exact integers: per-doc token counts
+    * ride the distributed two-level scan ([[Robust.runningTotals]] —
+    * never a row-sized global window), decile cutoffs are rank picks on
+    * the running doc count, each token's FIRST doc is one token-domain
+    * aggregation, and per-decile vocabulary is a 10-row broadcast
+    * condition-join over that domain.
+    *
+    * Scale shape: one doc-domain scan pass + one token-domain aggregate;
+    * the only broadcasts are the 1-row total and the 10-row cutoff
+    * table. */
+  def vocabGrowth(documents: DataFrame, checkpoints: Int = 10): DataFrame = {
+    require(checkpoints >= 1, s"vocabGrowth: checkpoints=$checkpoints")
+    val perDoc = documents.select(col("doc_id").as("v"),
+      size(tokens(col("text"))).cast(LongType).as("c"),
+      lit(1L).as("one"))
+    val cum = Robust.runningTotals(perDoc, Seq("c", "one"))
+    val tot = perDoc.agg(count(lit(1)).as("__n"))
+    val targets = tot.select(explode(sequence(lit(1), lit(checkpoints))).as("decile"),
+        col("__n"))
+      .select(col("decile"),
+        expr(s"(__n * decile + ${checkpoints - 1}) div $checkpoints").as("__r"))
+    val cuts = cum.join(broadcast(targets), col("cum_one") === col("__r"))
+      .select(col("decile"), col("v").as("__cut"),
+        col("cum_one").as("n_docs"), col("cum_c").as("n_tokens"))
+    val firsts = documents
+      .select(col("doc_id"), explode(distinctTokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(min(col("doc_id")).as("first_doc"))
+    val vocab = firsts.join(broadcast(cuts.select(col("decile"), col("__cut"))),
+        col("first_doc") <= col("__cut"))
+      .groupBy(col("decile")).agg(count(lit(1)).as("vocab"))
+    cuts.join(vocab, "decile")
+      .select(col("decile"), col("n_docs"), col("n_tokens"), col("vocab"),
+        round(col("vocab").cast(DoubleType) / col("n_tokens").cast(DoubleType), 6)
+          .as("ttr"))
+      .orderBy(col("decile"))
   }
 
   /** Split-leakage gate — the eval-contamination check [[datasetSplit]]

@@ -199,6 +199,27 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(fixed.forall(_.getAs[Boolean]("leak_free")))
   }
 
+  test("vocabGrowth: exact Heaps curve on a known corpus") {
+    // doc i = "common w<i>": at decile k (docs 1..k) tokens = 2k,
+    // vocab = k + 1 (the shared word plus k fresh ones)
+    val docs = (0L until 10L).map(i => (i, s"common w$i")).toDF("doc_id", "text")
+    val got = graft.operators.Curation.vocabGrowth(docs).collect()
+    assert(got.map(_.getInt(0)).toSeq == (1 to 10))
+    for (r <- got) {
+      val k = r.getInt(0).toLong
+      assert(r.getAs[Long]("n_docs") == k)
+      assert(r.getAs[Long]("n_tokens") == 2 * k)
+      assert(r.getAs[Long]("vocab") == k + 1, s"vocab at decile $k")
+    }
+    // duplicate tail: the last half brings zero new vocabulary — the
+    // curve flattens exactly (the curation alarm this audit exists for)
+    val dupTail = ((0L until 5L).map(i => (i, s"u$i x$i")) ++
+      (5L until 10L).map(i => (i, "u0 x0"))).toDF("doc_id", "text")
+    val flat = graft.operators.Curation.vocabGrowth(dupTail).collect()
+    val vocabAt = flat.map(r => r.getInt(0) -> r.getAs[Long]("vocab")).toMap
+    assert(vocabAt(5) == 10 && vocabAt(10) == 10)
+  }
+
   test("curationAudit: first failing gate wins in fixed order") {
     val en = "the cat sat of the mat and the dog is in the house with a friend of mine today"
     val docs = Seq(
