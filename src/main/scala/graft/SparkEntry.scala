@@ -1663,6 +1663,17 @@ object SparkEntry {
       graft.operators.TimeSeries.cusumChangepoint(sums, col("bucket"), col("rev"))
     }),
 
+    // Streaming day-of-week anomaly monitor: the same one-(n, Σ)-row-per-
+    // day streaming state as the CUSUM monitor, with the seasonal-profile
+    // gate run batch-side over the sink — parity by construction (the
+    // decimal day sums are order-independent across micro-batches).
+    "q_events_dow_stream" -> ((s, d) => {
+      val sums = EventStreams.runStreamToBatch(s, d, "q_events_dow_stream_sink",
+        EventStreams.windowDailyMoneySums(_))
+        .toDF("bucket", "n", "rev")
+      graft.operators.TimeSeries.dowBandAnomaly(sums, col("bucket"), col("rev"))
+    }),
+
     // Stream-static enrichment: streaming events broadcast-joined to a
     // static category dim, then daily windowed aggregation — the in-flight
     // reference-data join (dim re-resolved per micro-batch, no join state).
@@ -7445,6 +7456,30 @@ object SparkEntry {
                   round(CAST(t - cum AS DOUBLE) / (CAST(dd - i AS DOUBLE) * 100.0), 6)
                 END AS mean_after
          FROM k ORDER BY stat DESC, d ASC LIMIT 1""",
+
+    // The dow gate replayed from raw events — the oracle recomputes the
+    // day sums independently, so stream-state correctness is hash-checked.
+    "q_events_dow_stream" ->
+      """WITH s AS (SELECT CAST(ts AS DATE) AS d,
+                           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS rev
+                    FROM events WHERE value IS NOT NULL GROUP BY 1),
+              e AS (SELECT d, rev,
+                           CAST(date_diff('day', DATE '1970-01-01', d) % 7 AS BIGINT) AS dow07,
+                           CAST(rev * 100 AS HUGEINT) AS rc FROM s),
+              p AS (SELECT dow07, CAST(count(*) AS HUGEINT) AS c,
+                           CAST(sum(rc) AS HUGEINT) AS sm, CAST(sum(rc * rc) AS HUGEINT) AS ssm
+                    FROM e GROUP BY 1 HAVING count(*) >= 3),
+              j AS (SELECT e.d, e.rev, e.dow07, e.rc,
+                           p.c - 1 AS c1, p.sm - e.rc AS s1, p.ssm - e.rc * e.rc AS ss1
+                    FROM e JOIN p ON e.dow07 = p.dow07)
+         SELECT CAST(d AS TIMESTAMP) AS day, dow07, CAST(rev AS DOUBLE) AS revenue,
+                round(CAST(s1 AS DOUBLE) / (CAST(c1 AS DOUBLE) * 100.0), 6) AS dow_mean,
+                round(sqrt(CAST(c1 * ss1 - s1 * s1 AS DOUBLE)
+                           / (CAST(c1 AS DOUBLE) * (CAST(c1 AS DOUBLE) - 1.0))) / 100.0, 6) AS dow_std,
+                abs(CAST(rc AS DOUBLE) / 100.0 - CAST(s1 AS DOUBLE) / (CAST(c1 AS DOUBLE) * 100.0))
+                  > 3.0 * (sqrt(CAST(c1 * ss1 - s1 * s1 AS DOUBLE)
+                                / (CAST(c1 AS DOUBLE) * (CAST(c1 AS DOUBLE) - 1.0))) / 100.0) AS is_anomaly
+         FROM j ORDER BY day""",
 
     // Same exact-integer counts and the same double expression tree for z.
     "q_ab_test" ->
