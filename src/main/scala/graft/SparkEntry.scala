@@ -2748,6 +2748,12 @@ object SparkEntry {
     "q_vocab_growth" -> ((s, d) =>
       graft.operators.Curation.vocabGrowth(Tables.documents(s, d))),
 
+    // Zipf-law fit over the top-1000 frequency head: slope ≈ −1 is
+    // healthy language; flat = boilerplate, steep = degenerate vocab
+    // (TakeOrdered head, sorted ≤1000-term ln fold).
+    "q_zipf_fit" -> ((s, d) =>
+      graft.operators.Curation.zipfFit(Tables.documents(s, d))),
+
     // Fused curation gate with reason codes (language → length → TTR →
     // repetition; first failing gate wins).
     "q_curation_audit" -> ((s, d) =>
@@ -6459,6 +6465,36 @@ object SparkEntry {
     // Both rater CTEs are the existing oracles (nested-CTE reuse, the
     // fdr pattern); kappa = (N·D − Σ row·col)/(N² − Σ row·col) in HUGEINT.
     "q_cohen_kappa" -> cohenKappaSql,
+
+    // Same top-K head (ORDER BY f DESC, tok LIMIT), same sorted struct
+    // list, ascending-rank ln folds (1-based list index = rank) and the
+    // identical OLS chain.
+    "q_zipf_fit" ->
+      """WITH f AS (SELECT tok, CAST(count(*) AS BIGINT) AS f FROM
+                      (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+                    GROUP BY 1 ORDER BY f DESC, tok LIMIT 1000),
+              hs AS (SELECT list_sort(list({'nf': -f, 'tok': tok, 'f': f})) AS hs,
+                            CAST(count(*) AS BIGINT) AS k FROM f),
+              t AS (SELECT k, list_transform(hs, (x, i) ->
+                      {'lx': ln(CAST(i AS DOUBLE)), 'ly': ln(CAST(x.f AS DOUBLE))}) AS ts
+                    FROM hs),
+              m AS (SELECT k, CAST(k AS DOUBLE) AS kd,
+                           list_sum(list_transform(ts, q -> q.lx)) AS sx,
+                           list_sum(list_transform(ts, q -> q.ly)) AS sy,
+                           list_sum(list_transform(ts, q -> q.lx * q.ly)) AS sxy,
+                           list_sum(list_transform(ts, q -> q.lx * q.lx)) AS sxx,
+                           list_sum(list_transform(ts, q -> q.ly * q.ly)) AS syy
+                    FROM t),
+              e AS (SELECT k, kd, sx, sy,
+                           kd * sxy - sx * sy AS covn,
+                           kd * sxx - sx * sx AS vx,
+                           kd * syy - sy * sy AS vy
+                    FROM m)
+         SELECT k AS n_terms,
+                round(CASE WHEN k >= 2 THEN covn / vx END, 6) AS slope,
+                round(CASE WHEN k >= 2 THEN (sy - (covn / vx) * sx) / kd END, 6) AS intercept,
+                round(CASE WHEN k >= 2 AND vy > 0 THEN covn * covn / (vx * vy) END, 6) AS r2
+         FROM e""",
 
     // Same doc-order running totals, rank-pick cutoffs, first-doc token
     // aggregate and 10-row condition join; ttr = vocab/tokens.

@@ -201,6 +201,50 @@ object Curation {
       .orderBy(col("decile"))
   }
 
+  /** Zipf-law fit over the frequency head — the companion corpus-health
+    * number to [[vocabGrowth]]: natural language follows freq ∝ rank^s
+    * with s ≈ −1; a much flatter slope means template/boilerplate
+    * domination, a much steeper one a degenerate vocabulary, and a low
+    * r² a mixed-register corpus. OLS on (ln rank, ln freq) over the TOP
+    * `topK` tokens — the head, where the law holds and where the
+    * computation stays BOUNDED: the token-domain aggregate feeds a
+    * TakeOrdered top-K (never a row-sized rank window), and the five
+    * regression moments fold ascending-rank over the ≤ topK collected
+    * head (the [[graft.operators.Robust.anovaF]] sorted-fold
+    * discipline; per-term ln rides the cross-engine libm agreement the
+    * MI/PSI folds already established). NULL stats when the head is
+    * degenerate (k < 2 or zero y-variance). */
+  def zipfFit(documents: DataFrame, topK: Int = 1000): DataFrame = {
+    require(topK >= 3, s"zipfFit: topK=$topK")
+    val freqs = documents.select(explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("f"))
+      .orderBy(col("f").desc, col("tok")).limit(topK)
+    val one = freqs.agg(
+      array_sort(collect_list(struct((-col("f")).as("nf"), col("tok"), col("f"))))
+        .as("hs"),
+      count(lit(1)).as("k"))
+    val terms = transform(col("hs"), (x, i) =>
+      struct(log(i.cast(DoubleType) + lit(1.0)).as("lx"),
+        log(x.getField("f").cast(DoubleType)).as("ly")))
+    val withT = one.select(col("k"), terms.as("ts"))
+    def fold(f: Column => Column): Column =
+      aggregate(col("ts"), lit(0.0), (a, t) => a + f(t))
+    val kd = col("k").cast(DoubleType)
+    val sx = fold(_.getField("lx"))
+    val sy = fold(_.getField("ly"))
+    val sxy = fold(t => t.getField("lx") * t.getField("ly"))
+    val sxx = fold(t => t.getField("lx") * t.getField("lx"))
+    val syy = fold(t => t.getField("ly") * t.getField("ly"))
+    val covN = kd * sxy - sx * sy
+    val vx = kd * sxx - sx * sx
+    val vy = kd * syy - sy * sy
+    withT.select(
+      col("k").as("n_terms"),
+      round(when(col("k") >= 2, covN / vx), 6).as("slope"),
+      round(when(col("k") >= 2, (sy - (covN / vx) * sx) / kd), 6).as("intercept"),
+      round(when(col("k") >= 2 && vy > 0, covN * covN / (vx * vy)), 6).as("r2"))
+  }
+
   /** Split-leakage gate — the eval-contamination check [[datasetSplit]]
     * alone cannot make: the split hashes DOC ids, so two near-duplicate
     * documents can land in train and test, silently leaking training

@@ -220,6 +220,27 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(vocabAt(5) == 10 && vocabAt(10) == 10)
   }
 
+  test("zipfFit recovers an exact power law; degenerate heads are NULL") {
+    // counts 24/r at ranks 1..4: ln f = ln 24 - ln rank, so slope = -1,
+    // r^2 = 1 up to float residue that the 6-dp round absorbs
+    val text = (Seq.fill(24)("a") ++ Seq.fill(12)("b") ++
+      Seq.fill(8)("c") ++ Seq.fill(6)("d")).mkString(" ")
+    val docs = Seq((0L, text)).toDF("doc_id", "text")
+    val got = graft.operators.Curation.zipfFit(docs).collect()(0)
+    assert(got.getAs[Long]("n_terms") == 4)
+    assert(got.getAs[Double]("slope") == -1.0)
+    assert(got.getAs[Double]("r2") == 1.0)
+    assert(got.getAs[Double]("intercept") == BigDecimal(math.log(24.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // all-equal frequencies: zero y-variance -> NULL r2, slope 0
+    val flat = Seq((0L, "x y z")).toDF("doc_id", "text")
+    val f = graft.operators.Curation.zipfFit(flat).collect()(0)
+    assert(f.getAs[Double]("slope") == 0.0 && f.isNullAt(3))
+    // single token: k < 2 -> all NULL stats
+    val one = Seq((0L, "solo")).toDF("doc_id", "text")
+    assert(graft.operators.Curation.zipfFit(one).collect()(0).isNullAt(1))
+  }
+
   test("curationAudit: first failing gate wins in fixed order") {
     val en = "the cat sat of the mat and the dog is in the house with a friend of mine today"
     val docs = Seq(
