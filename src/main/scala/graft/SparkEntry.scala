@@ -4321,6 +4321,29 @@ object SparkEntry {
       graft.operators.Robust.cohenKappa(q.join(a, "doc_id"), col("keep"), col("kept"))
     }),
 
+    // Calibration bins of the LR quality probability against the curation
+    // label — over-confidence audit before the score is used as a
+    // sampling weight (exact decimal per-bin means, integer rates).
+    "q_calibration" -> ((s, d) => {
+      val q = graft.operators.Curation.qualityScore(Tables.documents(s, d))
+        .select(col("doc_id"), col("quality"))
+      val a = graft.operators.Curation.curationAudit(Tables.documents(s, d))
+        .select(col("doc_id"), (col("reason") === "kept").as("kept"))
+      graft.operators.Robust.calibrationBins(
+        q.join(a, "doc_id"), col("quality"), col("kept"))
+    }),
+
+    // Brier score of the same pair — the one-number calibration metric
+    // (exact decimal (q − y)² sums off the 6-dp score).
+    "q_brier" -> ((s, d) => {
+      val q = graft.operators.Curation.qualityScore(Tables.documents(s, d))
+        .select(col("doc_id"), col("quality"))
+      val a = graft.operators.Curation.curationAudit(Tables.documents(s, d))
+        .select(col("doc_id"), (col("reason") === "kept").as("kept"))
+      graft.operators.Robust.brierScore(
+        q.join(a, "doc_id"), col("quality"), col("kept"))
+    }),
+
     // CDC change-log replay with DELETE tombstones onto the customer
     // snapshot: log = orders as balance updates (every 10th order key a
     // tombstone), plus a shifted-key slice exercising the insert path;
@@ -6465,6 +6488,28 @@ object SparkEntry {
     // Both rater CTEs are the existing oracles (nested-CTE reuse, the
     // fdr pattern); kappa = (N·D − Σ row·col)/(N² − Σ row·col) in HUGEINT.
     "q_cohen_kappa" -> cohenKappaSql,
+
+    // Same rater CTEs; DECIMAL(8,6) recovers the 6-dp score exactly, the
+    // per-bin mean is an exact decimal sum, rates pure integers.
+    "q_calibration" -> (raterJoinCte +
+      """,
+              b AS (SELECT least(CAST(floor(q * 10) AS INT), 9) AS bin, q, y FROM r),
+              g AS (SELECT bin, CAST(count(*) AS BIGINT) AS n, sum(q) AS sq,
+                           CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS pos
+                    FROM b GROUP BY 1)
+         SELECT CAST(bin AS INT) AS bin, n, round(CAST(sq AS DOUBLE) / n, 6) AS avg_pred,
+                round(CAST(pos AS DOUBLE) / n, 6) AS frac_pos
+         FROM g ORDER BY bin"""),
+
+    // Same rater CTEs; exact decimal (q − y)² sums, one double division.
+    "q_brier" -> (raterJoinCte +
+      """,
+              s AS (SELECT (q - CAST(CASE WHEN y THEN 1 ELSE 0 END AS DECIMAL(8,6)))
+                         * (q - CAST(CASE WHEN y THEN 1 ELSE 0 END AS DECIMAL(8,6))) AS sq
+                    FROM r)
+         SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                round(CAST(sum(sq) AS DOUBLE) / count(*), 6) AS brier
+         FROM s"""),
 
     // Same top-K head (ORDER BY f DESC, tok LIMIT), same sorted struct
     // list, ascending-rank ln folds (1-based list index = rank) and the
@@ -9403,6 +9448,24 @@ object SparkEntry {
                     ELSE 'kept' END AS reason
         FROM sig ORDER BY doc_id"""
   }
+
+  /** Shared rater-join CTE prefix for the calibration family: the LR
+    * quality probability joined with the curation-audit label, both
+    * reusing the existing oracle SQL (the [[curationAuditSql]] nested-CTE
+    * pattern). `r` carries (q DECIMAL(8,6), y BOOLEAN). */
+  private lazy val raterJoinCte: String =
+    s"""WITH ca AS ($curationAuditSql),
+              ql AS (WITH f AS (SELECT doc_id, string_split(text, ' ') AS t, text FROM documents),
+                          z AS (SELECT doc_id,
+                                       -3.0 + 0.6 * ln(1.0 + CAST(len(t) AS DOUBLE))
+                                       + 0.25 * ((CAST(length(text) AS DOUBLE) - CAST(len(t) - 1 AS DOUBLE)) / CAST(len(t) AS DOUBLE))
+                                       + 1.2 * (CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE))
+                                       + 2.0 * (CAST(len(list_filter(t, x -> list_contains(['the','a','of','and','to','in','is'], x))) AS DOUBLE) / CAST(len(t) AS DOUBLE)) AS z
+                                FROM f)
+                     SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 6) AS quality FROM z),
+              r AS (SELECT CAST(ql.quality AS DECIMAL(8,6)) AS q,
+                           ca.reason = 'kept' AS y
+                    FROM ql JOIN ca USING (doc_id))"""
 
   /** Cohen's kappa between the LR keep gate and the curation-audit kept
     * gate — both rater CTEs reuse the existing oracle SQL verbatim (the

@@ -1213,6 +1213,51 @@ object Robust {
       .orderBy(byCol)
   }
 
+  /** Calibration (reliability) bins of a [0,1] score against a boolean
+    * outcome — the classifier-health readout behind every learned
+    * quality gate: in each score decile, does the predicted probability
+    * match the observed rate? A gate can have a good kappa and still be
+    * badly calibrated (systematically over-confident), which matters the
+    * moment its score is used as a sampling WEIGHT rather than a
+    * threshold.
+    *
+    * Exactness: the score is 6-dp by the producer's contract (every
+    * probability the repo emits is round(·, 6)), so casting to
+    * DECIMAL(8,6) recovers the intended value exactly and the per-bin
+    * mean is an exact decimal sum with one double division; observed
+    * rates are pure integers. One keyed aggregation to ≤ 10 bins. */
+  def calibrationBins(df: DataFrame, score: Column, label: Column): DataFrame = {
+    val q = score.cast(org.apache.spark.sql.types.DecimalType(8, 6))
+    val bin = least(floor(q * 10).cast("int"), lit(9))
+    df.select(bin.as("bin"), q.as("__q"), label.cast("boolean").as("__y"))
+      .filter(col("__q").isNotNull && col("__y").isNotNull)
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__q")).as("__sq"),
+        sum(when(col("__y"), 1L).otherwise(0L)).as("__pos"))
+      .select(col("bin"), col("n"),
+        round(col("__sq").cast(DoubleType) / col("n"), 6).as("avg_pred"),
+        round(col("__pos").cast(DoubleType) / col("n"), 6).as("frac_pos"))
+      .orderBy(col("bin"))
+  }
+
+  /** Brier score of the same (score, outcome) pair — the ONE-NUMBER
+    * companion to [[calibrationBins]] (mean squared error of the
+    * probability; 0 = oracle, 0.25 = coin). Exact: (q − y)² accumulates
+    * in decimal off the 6-dp score (sums are order-free), one double
+    * division at the end. */
+  def brierScore(df: DataFrame, score: Column, label: Column): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(8, 6)
+    val q = score.cast(dec)
+    val y = when(label.cast("boolean"), lit(1)).otherwise(lit(0)).cast(dec)
+    df.select(q.as("__q"), y.as("__y"))
+      .filter(col("__q").isNotNull && col("__y").isNotNull)
+      .select(((col("__q") - col("__y")) * (col("__q") - col("__y"))).as("__sq"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("__sq")).as("__ss"))
+      .select(col("n_rows"),
+        round(col("__ss").cast(DoubleType) / col("n_rows"), 6).as("brier"))
+  }
+
   /** Cohen's kappa between two raters over the same label space — the
     * GATE-AGREEMENT audit: two quality classifiers that agree 92% of the
     * time sound aligned, but if both keep ~90% of documents, chance

@@ -810,6 +810,25 @@ class PropertiesSpec extends AnyFunSuite with SparkSpec {
       .collect()(0).getAs[Double]("kappa") == 0.0)
   }
 
+  test("calibrationBins and brierScore: hand-computed fixture, bin clamp") {
+    import graft.operators.Robust
+    val rows = Seq((0.95, true), (0.95, true), (0.05, false), (0.05, false),
+      (1.0, true), (0.62, false)).toDF("q", "y")
+    val bins = Robust.calibrationBins(rows, col("q"), col("y"))
+      .collect().map(r => r.getInt(0) -> r).toMap
+    assert(bins.keySet == Set(0, 6, 9)) // 1.0 clamps into bin 9
+    assert(bins(0).getAs[Long]("n") == 2 && bins(0).getAs[Double]("avg_pred") == 0.05)
+    assert(bins(0).getAs[Double]("frac_pos") == 0.0)
+    assert(bins(9).getAs[Long]("n") == 3)
+    // (0.95 + 0.95 + 1.0) / 3 = 0.966667 at 6 dp
+    assert(bins(9).getAs[Double]("avg_pred") == 0.966667)
+    assert(bins(9).getAs[Double]("frac_pos") == 1.0)
+    // brier = (2*.0025 + 2*.0025 + 0 + .3844) / 6 = 0.065733 at 6 dp
+    val b = Robust.brierScore(rows, col("q"), col("y")).collect()(0)
+    assert(b.getAs[Long]("n_rows") == 6)
+    assert(b.getAs[Double]("brier") == 0.065733)
+  }
+
   test("FDR meta-gate: p-values match the normal tail, BH matches first principles") {
     import graft.operators.Robust
     // A&S 7.1.26 accuracy: |erfc error| <= 1.5e-7 against known normal
