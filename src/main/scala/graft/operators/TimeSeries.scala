@@ -935,25 +935,30 @@ object TimeSeries {
     val l = series.select(col("__dn").as("i"), col("__rc").as("xi"))
     val r = series.select(col("__dn").as("j"), col("__rc").as("xj"))
     val pairs = l.join(broadcast(r), col("j") > col("i"))
-    val sAgg = pairs.agg(
-      sum(when(col("xj") > col("xi"), 1L).when(col("xj") < col("xi"), -1L)
-        .otherwise(0L)).as("s"),
-      count(lit(1)).as("m"))
+    // One projection carries BOTH the sign and the slope, MATERIALIZED
+    // (lazy localCheckpoint): the S aggregate and the median selection's
+    // summary + slice passes are three consumers, and each would
+    // otherwise regenerate the whole O(days²) nested-loop pair domain
+    // (measured 5× end-to-end on the grouped form). The pair table is
+    // calendar-bounded — SF-invariant — so materializing it is cheap at
+    // any data scale. The when() guard is load-bearing: whole-stage
+    // codegen fuses this projection into the BNLJ consume and can
+    // evaluate it on a pair the join condition is about to reject
+    // (j = i → zero gap) — ANSI then raises on the division.
+    val slopes = pairs.select(lit("all").as("__one"),
+      when(col("xj") > col("xi"), 1L).when(col("xj") < col("xi"), -1L)
+        .otherwise(0L).as("__sgn"),
+      when(col("j") > col("i"),
+        (col("xj") - col("xi")).cast(DoubleType) /
+          (lit(100.0) * (col("j") - col("i")))).as("sl"))
+      .localCheckpoint(false)
+    val sAgg = slopes.agg(sum(col("__sgn")).as("s"), count(lit(1)).as("m"))
     val nAgg = series.agg(count(lit(1)).as("n_days"))
     val tieAgg = series.groupBy(col("__rc")).agg(count(lit(1)).as("t"))
       .agg(coalesce(sum(col("t").cast(dec38) * (col("t") - 1) * (col("t") * 2 + 5)),
         lit(0L).cast(dec38)).as("ties"))
     // Sen's slope: the rank-⌈m/2⌉ discrete pick over the pair slopes via
     // the distributed bit-grid selection (single constant group)
-    // The when() guard is load-bearing: whole-stage codegen fuses this
-    // projection into the BNLJ consume and can evaluate it on a pair the
-    // join condition is about to reject (j = i → zero gap) — ANSI then
-    // raises on the division. Conditional evaluation keeps it lazy; on
-    // every EMITTED row the branch value is identical.
-    val slopes = pairs.select(lit("all").as("__one"),
-      when(col("j") > col("i"),
-        (col("xj") - col("xi")).cast(DoubleType) /
-          (lit(100.0) * (col("j") - col("i")))).as("sl"))
     val sen = Robust.weightedMedian(slopes, "__one", col("sl"), lit(1L))
       .select(col("w_median").as("sen_slope"))
     val n = col("n_days").cast(dec38)
@@ -997,21 +1002,26 @@ object TimeSeries {
     val r = series.select(col("seg").as("__sr"), col("__dn").as("j"), col("__rc").as("xj"))
     val pairs = l.join(broadcast(r),
       col("seg") === col("__sr") && col("j") > col("i")).drop("__sr")
-    val sAgg = pairs.groupBy(col("seg")).agg(
-      sum(when(col("xj") > col("xi"), 1L).when(col("xj") < col("xi"), -1L)
-        .otherwise(0L)).as("s"),
-      count(lit(1)).as("m"))
+    // Sign + slope in one MATERIALIZED projection (the mannKendallTrend
+    // fix, where it matters most: the grouped pair domain is |segments|×
+    // the global one, and each of the three consumers would regenerate
+    // it — measured 9.7 → 2.9 s at sf0.1). Same load-bearing when()
+    // guard: the projection can fuse into the join consume and see a
+    // pair the range condition is about to reject.
+    val slopes = pairs.select(col("seg"),
+      when(col("xj") > col("xi"), 1L).when(col("xj") < col("xi"), -1L)
+        .otherwise(0L).as("__sgn"),
+      when(col("j") > col("i"),
+        (col("xj") - col("xi")).cast(DoubleType) /
+          (lit(100.0) * (col("j") - col("i")))).as("sl"))
+      .localCheckpoint(false)
+    val sAgg = slopes.groupBy(col("seg")).agg(
+      sum(col("__sgn")).as("s"), count(lit(1)).as("m"))
     val nAgg = series.groupBy(col("seg")).agg(count(lit(1)).as("n_days"))
     val tieAgg = series.groupBy(col("seg"), col("__rc")).agg(count(lit(1)).as("t"))
       .groupBy(col("seg"))
       .agg(coalesce(sum(col("t").cast(dec38) * (col("t") - 1) * (col("t") * 2 + 5)),
         lit(0L).cast(dec38)).as("ties"))
-    // Same load-bearing when() guard: the projection can fuse into the
-    // join consume and see a pair the range condition is about to reject.
-    val slopes = pairs.select(col("seg"),
-      when(col("j") > col("i"),
-        (col("xj") - col("xi")).cast(DoubleType) /
-          (lit(100.0) * (col("j") - col("i")))).as("sl"))
     val sen = Robust.weightedMedian(slopes, "seg", col("sl"), lit(1L))
       .withColumnRenamed("w_median", "sen_slope")
     val n = col("n_days").cast(dec38)
@@ -1063,10 +1073,16 @@ object TimeSeries {
     val l = series.select(col("w"), col("__dn").as("i"), col("__rc").as("xi"))
     val r = series.select(col("w").as("w2"), col("__dn").as("j"), col("__rc").as("xj"))
     val pairs = l.join(broadcast(r), col("w") === col("w2") && col("j") > col("i"))
-    val sAgg = pairs.agg(
-      sum(when(col("xj") > col("xi"), 1L).when(col("xj") < col("xi"), -1L)
-        .otherwise(0L)).as("s"),
-      count(lit(1)).as("m"))
+    // Sign + slope in one MATERIALIZED projection (the mannKendallTrend
+    // fix): three consumers, one pair generation.
+    val slopes = pairs.select(lit("all").as("__one"),
+      when(col("xj") > col("xi"), 1L).when(col("xj") < col("xi"), -1L)
+        .otherwise(0L).as("__sgn"),
+      when(col("j") > col("i"),
+        (col("xj") - col("xi")).cast(DoubleType) /
+          (lit(100.0) * (col("j") - col("i")))).as("sl"))
+      .localCheckpoint(false)
+    val sAgg = slopes.agg(sum(col("__sgn")).as("s"), count(lit(1)).as("m"))
     val nAgg = series.agg(count(lit(1)).as("n_days"))
     // Σ_w n_w(n_w−1)(2n_w+5): the per-season base variance terms
     val vBase = series.groupBy(col("w")).agg(count(lit(1)).cast(dec38).as("nw"))
@@ -1075,12 +1091,6 @@ object TimeSeries {
     val tieAgg = series.groupBy(col("w"), col("__rc")).agg(count(lit(1)).as("t"))
       .agg(coalesce(sum(col("t").cast(dec38) * (col("t") - 1) * (col("t") * 2 + 5)),
         lit(0L).cast(dec38)).as("ties"))
-    // Same load-bearing when() guard as mannKendallTrend: the fused
-    // projection can see a pair the join condition is about to reject.
-    val slopes = pairs.select(lit("all").as("__one"),
-      when(col("j") > col("i"),
-        (col("xj") - col("xi")).cast(DoubleType) /
-          (lit(100.0) * (col("j") - col("i")))).as("sl"))
     val sen = Robust.weightedMedian(slopes, "__one", col("sl"), lit(1L))
       .select(col("w_median").as("sen_slope"))
     val vnum = col("vbase") - col("ties")
