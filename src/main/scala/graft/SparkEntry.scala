@@ -4344,6 +4344,29 @@ object SparkEntry {
         q.join(a, "doc_id"), col("quality"), col("kept"))
     }),
 
+    // ROC AUC of the same pair — exact via the Mann–Whitney doubled-rank
+    // algebra (AUC IS U/(n⁺·n⁻)); ranking quality where calibration
+    // measures probability quality.
+    "q_auc" -> ((s, d) => {
+      val q = graft.operators.Curation.qualityScore(Tables.documents(s, d))
+        .select(col("doc_id"), col("quality"))
+      val a = graft.operators.Curation.curationAudit(Tables.documents(s, d))
+        .select(col("doc_id"), (col("reason") === "kept").as("kept"))
+      graft.operators.Robust.aucScore(
+        q.join(a, "doc_id"), col("quality"), col("kept"))
+    }),
+
+    // Expected calibration error — the one-number fold of q_calibration
+    // (ascending-bin fixed double fold over the rounded bin stats).
+    "q_ece" -> ((s, d) => {
+      val q = graft.operators.Curation.qualityScore(Tables.documents(s, d))
+        .select(col("doc_id"), col("quality"))
+      val a = graft.operators.Curation.curationAudit(Tables.documents(s, d))
+        .select(col("doc_id"), (col("reason") === "kept").as("kept"))
+      graft.operators.Robust.expectedCalibrationError(
+        q.join(a, "doc_id"), col("quality"), col("kept"))
+    }),
+
     // CDC change-log replay with DELETE tombstones onto the customer
     // snapshot: log = orders as balance updates (every 10th order key a
     // tombstone), plus a shifted-key slice exercising the insert path;
@@ -6500,6 +6523,52 @@ object SparkEntry {
          SELECT CAST(bin AS INT) AS bin, n, round(CAST(sq AS DOUBLE) / n, 6) AS avg_pred,
                 round(CAST(pos AS DOUBLE) / n, 6) AS frac_pos
          FROM g ORDER BY bin"""),
+
+    // Same rater CTEs into the exact MW doubled-rank chain; AUC is one
+    // double division off the exact 2·U.
+    "q_auc" -> (raterJoinCte +
+      """,
+              pv AS (SELECT q AS v,
+                            CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+                            CAST(sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS BIGINT) AS cb
+                     FROM r GROUP BY 1),
+              rk AS (SELECT *, coalesce(sum(ca + cb) OVER (ORDER BY v
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+                     FROM pv),
+              a AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a, CAST(sum(cb) AS BIGINT) AS n_b,
+                           CAST(sum(CAST(ca AS HUGEINT) * (CAST(below AS HUGEINT) * 2 + ca + cb + 1)) AS HUGEINT) AS r2a,
+                           CAST(sum(CAST(ca + cb AS HUGEINT) * (ca + cb) * (ca + cb) - (ca + cb)) AS HUGEINT) AS tie3
+                    FROM rk),
+              z AS (SELECT n_a, n_b, r2a - n_a * (n_a + 1) AS u2a, tie3,
+                           CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb
+                    FROM a)
+         SELECT n_a AS n_pos, n_b AS n_neg,
+                round(CASE WHEN n_a > 0 AND n_b > 0
+                           THEN CAST(u2a AS DOUBLE) / (2.0 * na * nb) END, 6) AS auc,
+                round((CAST(u2a AS DOUBLE) / 2.0 - na * nb / 2.0)
+                      / sqrt(na * nb / 12.0 * ((na + nb + 1.0)
+                             - CAST(tie3 AS DOUBLE) / ((na + nb) * (na + nb - 1.0)))), 6) AS z_stat
+         FROM z"""),
+
+    // The calibration bins folded to one number (ascending-bin order,
+    // rounded bin stats — the same two-step chain the operator runs).
+    "q_ece" -> (raterJoinCte +
+      """,
+              b AS (SELECT least(CAST(floor(q * 10) AS INT), 9) AS bin, q, y FROM r),
+              g AS (SELECT bin, CAST(count(*) AS BIGINT) AS n, sum(q) AS sq,
+                           CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS pos
+                    FROM b GROUP BY 1),
+              gf AS (SELECT CAST(bin AS INT) AS bin, n,
+                            round(CAST(sq AS DOUBLE) / n, 6) AS ap,
+                            round(CAST(pos AS DOUBLE) / n, 6) AS fp
+                     FROM g),
+              one AS (SELECT list_sort(list({'bin': bin, 'n': n, 'ap': ap, 'fp': fp})) AS bs,
+                             CAST(sum(n) AS BIGINT) AS n_rows
+                      FROM gf)
+         SELECT n_rows,
+                round(list_sum(list_transform(bs, b2 ->
+                  CAST(b2.n AS DOUBLE) / CAST(n_rows AS DOUBLE) * abs(b2.ap - b2.fp))), 6) AS ece
+         FROM one"""),
 
     // Same rater CTEs; exact decimal (q − y)² sums, one double division.
     "q_brier" -> (raterJoinCte +

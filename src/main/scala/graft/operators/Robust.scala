@@ -1241,6 +1241,45 @@ object Robust {
       .orderBy(col("bin"))
   }
 
+  /** ROC AUC of a score against a boolean outcome — EXACT, because AUC
+    * IS the Mann–Whitney statistic: AUC = U_pos/(n_pos·n_neg) with the
+    * tie-average convention (P(s⁺ > s⁻) + ½·P(s⁺ = s⁻)), so the existing
+    * doubled-rank algebra delivers an exact-integer 2·U and the AUC is
+    * ONE double division. Rides the whole [[mannWhitneyU]] scale shape
+    * (per-distinct-value counts, distributed ECDF scan) and keeps its
+    * z (the "is this ranking better than chance?" significance). */
+  def aucScore(df: DataFrame, score: Column, label: Column): DataFrame = {
+    val tagged = df
+      .filter(score.isNotNull && label.isNotNull)
+      .select(score.as("__s"),
+        when(label.cast("boolean"), "pos").otherwise("neg").as("__l"))
+    mannWhitneyU(tagged, col("__s"), col("__l"), "pos", "neg")
+      .select(
+        col("n_a").as("n_pos"), col("n_b").as("n_neg"),
+        round(when(col("n_a") > 0 && col("n_b") > 0,
+          col("u2_a").cast(DoubleType) /
+            (lit(2.0) * col("n_a").cast(DoubleType) * col("n_b").cast(DoubleType))), 6)
+          .as("auc"),
+        col("z_stat"))
+  }
+
+  /** Expected calibration error — the ONE-NUMBER fold of
+    * [[calibrationBins]]: ECE = Σ_b (n_b/N)·|avg_pred_b − frac_pos_b|,
+    * computed over the bins' ROUNDED outputs in ascending-bin order (a
+    * ≤ 10-element fixed double fold the oracle replays). */
+  def expectedCalibrationError(
+      df: DataFrame, score: Column, label: Column): DataFrame = {
+    val one = calibrationBins(df, score, label).agg(
+      array_sort(collect_list(struct(
+        col("bin"), col("n"), col("avg_pred"), col("frac_pos")))).as("bs"),
+      sum(col("n")).as("n_rows"))
+    val nD = col("n_rows").cast(DoubleType)
+    val ece = aggregate(col("bs"), lit(0.0), (acc, b) =>
+      acc + b.getField("n").cast(DoubleType) / nD *
+        abs(b.getField("avg_pred") - b.getField("frac_pos")))
+    one.select(col("n_rows"), round(ece, 6).as("ece"))
+  }
+
   /** Brier score of the same (score, outcome) pair — the ONE-NUMBER
     * companion to [[calibrationBins]] (mean squared error of the
     * probability; 0 = oracle, 0.25 = coin). Exact: (q − y)² accumulates

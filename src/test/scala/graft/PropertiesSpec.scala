@@ -829,6 +829,45 @@ class PropertiesSpec extends AnyFunSuite with SparkSpec {
     assert(b.getAs[Double]("brier") == 0.065733)
   }
 
+  test("aucScore: perfect/reversed/tied rankings match first principles") {
+    import graft.operators.Robust
+    val perfect = Seq((0.9, true), (0.8, true), (0.2, false), (0.1, false)).toDF("s", "y")
+    val p = Robust.aucScore(perfect, col("s"), col("y")).collect()(0)
+    assert(p.getAs[Long]("n_pos") == 2 && p.getAs[Long]("n_neg") == 2)
+    assert(p.getAs[Double]("auc") == 1.0)
+    val reversed = Seq((0.1, true), (0.2, true), (0.8, false), (0.9, false)).toDF("s", "y")
+    assert(Robust.aucScore(reversed, col("s"), col("y"))
+      .collect()(0).getAs[Double]("auc") == 0.0)
+    // ties: first principles (#(s+ > s-) + 0.5 #(=)) / (n+ n-)
+    val rows = sample(Gen.listOfN(300, for {
+      s <- Gen.choose(0, 9); y <- Gen.oneOf(true, false)
+    } yield (s, y)))
+    val (pos, neg) = (rows.filter(_._2).map(_._1), rows.filterNot(_._2).map(_._1))
+    val wins = (for (a <- pos; b <- neg)
+      yield if (a > b) 1.0 else if (a == b) 0.5 else 0.0).sum
+    val ref = BigDecimal(wins / (pos.size.toLong * neg.size).toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = Robust.aucScore(rows.toDF("s", "y"), col("s"), col("y")).collect()(0)
+    assert(got.getAs[Double]("auc") == ref,
+      s"auc ${got.getAs[Double]("auc")} vs first principles $ref")
+  }
+
+  test("expectedCalibrationError matches the bin fold") {
+    import graft.operators.Robust
+    val rows = Seq((0.95, true), (0.95, true), (0.05, false), (0.05, false),
+      (1.0, true), (0.62, false)).toDF("q", "y")
+    val bins = Robust.calibrationBins(rows, col("q"), col("y"))
+      .collect().sortBy(_.getInt(0))
+    val n = bins.map(_.getAs[Long]("n")).sum.toDouble
+    val ref = BigDecimal(bins.foldLeft(0.0)((acc, b) =>
+        acc + b.getAs[Long]("n") / n *
+          math.abs(b.getAs[Double]("avg_pred") - b.getAs[Double]("frac_pos"))))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = Robust.expectedCalibrationError(rows, col("q"), col("y")).collect()(0)
+    assert(got.getAs[Long]("n_rows") == 6)
+    assert(got.getAs[Double]("ece") == ref, s"ece ${got.getAs[Double]("ece")} vs $ref")
+  }
+
   test("FDR meta-gate: p-values match the normal tail, BH matches first principles") {
     import graft.operators.Robust
     // A&S 7.1.26 accuracy: |erfc error| <= 1.5e-7 against known normal
