@@ -4356,6 +4356,31 @@ object SparkEntry {
         q.join(a, "doc_id"), col("quality"), col("kept"))
     }),
 
+    // Per-source AUC — does the gate's ranking quality hold on every
+    // source, or only on one source's style? One-class sources drop.
+    "q_auc_by_source" -> ((s, d) => {
+      val q = graft.operators.Curation.qualityScore(Tables.documents(s, d))
+        .select(col("doc_id"), col("quality"))
+      val a = graft.operators.Curation.curationAudit(Tables.documents(s, d))
+        .select(col("doc_id"), (col("reason") === "kept").as("kept"))
+      val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      graft.operators.Robust.aucScoreBy(
+        q.join(a, "doc_id").join(src, "doc_id"),
+        col("quality"), col("kept"), "source")
+    }),
+
+    // Confusion-matrix stats of the LR keep decision against the curation
+    // label — the threshold-level readout next to q_auc's threshold-free
+    // one (exact integer cells, guarded precision/recall/F1 chains).
+    "q_confusion" -> ((s, d) => {
+      val q = graft.operators.Curation.qualityScore(Tables.documents(s, d))
+        .select(col("doc_id"), (col("quality") >= 0.5).as("pred"))
+      val a = graft.operators.Curation.curationAudit(Tables.documents(s, d))
+        .select(col("doc_id"), (col("reason") === "kept").as("kept"))
+      graft.operators.Robust.confusionStats(
+        q.join(a, "doc_id"), col("pred"), col("kept"))
+    }),
+
     // Expected calibration error — the one-number fold of q_calibration
     // (ascending-bin fixed double fold over the rounded bin stats).
     "q_ece" -> ((s, d) => {
@@ -6549,6 +6574,53 @@ object SparkEntry {
                       / sqrt(na * nb / 12.0 * ((na + nb + 1.0)
                              - CAST(tie3 AS DOUBLE) / ((na + nb) * (na + nb - 1.0)))), 6) AS z_stat
          FROM z"""),
+
+    // Grouped twin: the source partitions every window and aggregate of
+    // the exact MW chain; one-class sources drop via the HAVING.
+    "q_auc_by_source" -> (raterJoinCte +
+      """,
+              pv AS (SELECT g, q AS v,
+                            CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+                            CAST(sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS BIGINT) AS cb
+                     FROM r GROUP BY 1, 2),
+              rk AS (SELECT *, coalesce(sum(ca + cb) OVER (PARTITION BY g ORDER BY v
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+                     FROM pv),
+              a AS (SELECT g, CAST(sum(ca) AS BIGINT) AS n_a, CAST(sum(cb) AS BIGINT) AS n_b,
+                           CAST(sum(CAST(ca AS HUGEINT) * (CAST(below AS HUGEINT) * 2 + ca + cb + 1)) AS HUGEINT) AS r2a,
+                           CAST(sum(CAST(ca + cb AS HUGEINT) * (ca + cb) * (ca + cb) - (ca + cb)) AS HUGEINT) AS tie3
+                    FROM rk GROUP BY 1
+                    HAVING sum(ca) > 0 AND sum(cb) > 0),
+              z AS (SELECT g, n_a, n_b, r2a - n_a * (n_a + 1) AS u2a, tie3,
+                           CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb
+                    FROM a)
+         SELECT g AS source, n_a AS n_pos, n_b AS n_neg,
+                round(CAST(u2a AS DOUBLE) / (2.0 * na * nb), 6) AS auc,
+                round((CAST(u2a AS DOUBLE) / 2.0 - na * nb / 2.0)
+                      / sqrt(na * nb / 12.0 * ((na + nb + 1.0)
+                             - CAST(tie3 AS DOUBLE) / ((na + nb) * (na + nb - 1.0)))), 6) AS z_stat
+         FROM z ORDER BY source"""),
+
+    // Same rater CTEs; exact integer confusion cells, guarded
+    // precision/recall/F1 chains spelled identically.
+    "q_confusion" -> (raterJoinCte +
+      """,
+              c AS (SELECT q >= 0.5 AS p, y AS a FROM r),
+              m AS (SELECT CAST(count(CASE WHEN p AND a THEN 1 END) AS BIGINT) AS tp,
+                           CAST(count(CASE WHEN p AND NOT a THEN 1 END) AS BIGINT) AS fp,
+                           CAST(count(CASE WHEN NOT p AND a THEN 1 END) AS BIGINT) AS fn,
+                           CAST(count(CASE WHEN NOT p AND NOT a THEN 1 END) AS BIGINT) AS tn
+                    FROM c),
+              e AS (SELECT tp, fp, fn, tn,
+                           CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) AS prec,
+                           CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) AS rec
+                    FROM m)
+         SELECT tp, fp, fn, tn,
+                round(CASE WHEN tp + fp > 0 THEN prec END, 6) AS precision,
+                round(CASE WHEN tp + fn > 0 THEN rec END, 6) AS recall,
+                round(CASE WHEN tp + fp > 0 AND tp + fn > 0 AND prec + rec > 0
+                           THEN 2.0 * prec * rec / (prec + rec) END, 6) AS f1
+         FROM e"""),
 
     // The calibration bins folded to one number (ascending-bin order,
     // rounded bin stats — the same two-step chain the operator runs).
@@ -9532,9 +9604,9 @@ object SparkEntry {
                                        + 2.0 * (CAST(len(list_filter(t, x -> list_contains(['the','a','of','and','to','in','is'], x))) AS DOUBLE) / CAST(len(t) AS DOUBLE)) AS z
                                 FROM f)
                      SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 6) AS quality FROM z),
-              r AS (SELECT CAST(ql.quality AS DECIMAL(8,6)) AS q,
+              r AS (SELECT d.source AS g, CAST(ql.quality AS DECIMAL(8,6)) AS q,
                            ca.reason = 'kept' AS y
-                    FROM ql JOIN ca USING (doc_id))"""
+                    FROM ql JOIN ca USING (doc_id) JOIN documents d USING (doc_id))"""
 
   /** Cohen's kappa between the LR keep gate and the curation-audit kept
     * gate — both rater CTEs reuse the existing oracle SQL verbatim (the

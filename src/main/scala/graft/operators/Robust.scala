@@ -1263,6 +1263,53 @@ object Robust {
         col("z_stat"))
   }
 
+  /** Per-`byCol`-segment ROC AUC — is the ranking quality uniform across
+    * segments, or does the gate only discriminate on one source's style?
+    * Exactly [[aucScore]] riding [[mannWhitneyUBy]] (segment on every
+    * key of the exact doubled-rank algebra); one-class segments drop
+    * (no ranking to score — the grouped MW contract). */
+  def aucScoreBy(
+      df: DataFrame, score: Column, label: Column, byCol: String): DataFrame = {
+    val tagged = df
+      .filter(score.isNotNull && label.isNotNull && col(byCol).isNotNull)
+      .select(col(byCol), score.as("__s"),
+        when(label.cast("boolean"), "pos").otherwise("neg").as("__l"))
+    mannWhitneyUBy(tagged, col("__s"), col("__l"), "pos", "neg", byCol)
+      .select(
+        col(byCol),
+        col("n_a").as("n_pos"), col("n_b").as("n_neg"),
+        round(col("u2_a").cast(DoubleType) /
+          (lit(2.0) * col("n_a").cast(DoubleType) * col("n_b").cast(DoubleType)), 6)
+          .as("auc"),
+        col("z_stat"))
+      .orderBy(byCol)
+  }
+
+  /** Confusion-matrix stats of a boolean prediction against a boolean
+    * outcome — the threshold-level readout next to [[aucScore]]'s
+    * threshold-free one: TP/FP/FN/TN exact integers, precision / recall
+    * / F1 as guarded double chains (NULL when a denominator is empty —
+    * an undefined rate must not read as 0). One aggregate, no shuffle
+    * beyond the scan's. */
+  def confusionStats(df: DataFrame, predicted: Column, actual: Column): DataFrame = {
+    val base = df
+      .select(predicted.cast("boolean").as("p"), actual.cast("boolean").as("a"))
+      .filter(col("p").isNotNull && col("a").isNotNull)
+    val agg = base.agg(
+      count(when(col("p") && col("a"), 1)).as("tp"),
+      count(when(col("p") && !col("a"), 1)).as("fp"),
+      count(when(!col("p") && col("a"), 1)).as("fn"),
+      count(when(!col("p") && !col("a"), 1)).as("tn"))
+    val prec = col("tp").cast(DoubleType) / (col("tp") + col("fp")).cast(DoubleType)
+    val rec = col("tp").cast(DoubleType) / (col("tp") + col("fn")).cast(DoubleType)
+    agg.select(
+      col("tp"), col("fp"), col("fn"), col("tn"),
+      round(when(col("tp") + col("fp") > 0, prec), 6).as("precision"),
+      round(when(col("tp") + col("fn") > 0, rec), 6).as("recall"),
+      round(when(col("tp") + col("fp") > 0 && col("tp") + col("fn") > 0 &&
+        prec + rec > 0, lit(2.0) * prec * rec / (prec + rec)), 6).as("f1"))
+  }
+
   /** Expected calibration error — the ONE-NUMBER fold of
     * [[calibrationBins]]: ECE = Σ_b (n_b/N)·|avg_pred_b − frac_pos_b|,
     * computed over the bins' ROUNDED outputs in ascending-bin order (a

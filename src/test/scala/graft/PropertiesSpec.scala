@@ -850,6 +850,39 @@ class PropertiesSpec extends AnyFunSuite with SparkSpec {
     val got = Robust.aucScore(rows.toDF("s", "y"), col("s"), col("y")).collect()(0)
     assert(got.getAs[Double]("auc") == ref,
       s"auc ${got.getAs[Double]("auc")} vs first principles $ref")
+    // grouped twin: per-segment AUC equals the global gate on each slice;
+    // a one-class segment drops
+    val seg = rows.map { case (s, y) => ("s1", s, y) } ++
+      rows.map { case (s, y) => ("s2", s, !y) } ++
+      Seq(("s3", 5, true), ("s3", 7, true))
+    val gdf = seg.toDF("g", "s", "y")
+    val grouped = Robust.aucScoreBy(gdf, col("s"), col("y"), "g").collect()
+    assert(grouped.map(_.getString(0)).toSeq == Seq("s1", "s2"))
+    for (r <- grouped) {
+      val single = Robust.aucScore(
+        gdf.filter($"g" === r.getString(0)), col("s"), col("y")).collect()(0)
+      assert(r.getAs[Double]("auc") == single.getAs[Double]("auc"),
+        s"auc mismatch in ${r.getString(0)}")
+    }
+  }
+
+  test("confusionStats: hand-computed cells and guarded rates") {
+    import graft.operators.Robust
+    val rows = Seq.fill(6)((true, true)) ++ Seq.fill(2)((true, false)) ++
+      Seq.fill(3)((false, true)) ++ Seq.fill(9)((false, false))
+    val got = Robust.confusionStats(rows.toDF("p", "a"), col("p"), col("a")).collect()(0)
+    assert((got.getAs[Long]("tp"), got.getAs[Long]("fp"),
+      got.getAs[Long]("fn"), got.getAs[Long]("tn")) == ((6L, 2L, 3L, 9L)))
+    assert(got.getAs[Double]("precision") == 0.75)
+    // recall = 6/9, f1 = 2*0.75*(2/3)/(0.75+2/3) = 12/17
+    assert(got.getAs[Double]("recall") == BigDecimal(6.0 / 9.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(got.getAs[Double]("f1") == BigDecimal(12.0 / 17.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // never-predicts-positive: precision NULL (undefined, not 0)
+    val nop = Seq((false, true), (false, false)).toDF("p", "a")
+    val g2 = Robust.confusionStats(nop, col("p"), col("a")).collect()(0)
+    assert(g2.isNullAt(4) && g2.getAs[Double]("recall") == 0.0 && g2.isNullAt(6))
   }
 
   test("expectedCalibrationError matches the bin fold") {
