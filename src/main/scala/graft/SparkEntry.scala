@@ -4356,6 +4356,21 @@ object SparkEntry {
         q.join(a, "doc_id"), col("quality"), col("kept"))
     }),
 
+    // Per-source Cohen's kappa — is the gate agreement uniform across
+    // sources? Degenerate sources keep counts with NULL kappa. The keep
+    // decision thresholds the ROUNDED 6-dp probability (the q_confusion
+    // spelling — the oracle's r.q is the rounded contract value).
+    "q_cohen_kappa_by_source" -> ((s, d) => {
+      val q = graft.operators.Curation.qualityScore(Tables.documents(s, d))
+        .select(col("doc_id"), (col("quality") >= 0.5).as("pred"))
+      val a = graft.operators.Curation.curationAudit(Tables.documents(s, d))
+        .select(col("doc_id"), (col("reason") === "kept").as("kept"))
+      val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      graft.operators.Robust.cohenKappaBy(
+        q.join(a, "doc_id").join(src, "doc_id"),
+        col("pred"), col("kept"), "source")
+    }),
+
     // Per-source AUC — does the gate's ranking quality hold on every
     // source, or only on one source's style? One-class sources drop.
     "q_auc_by_source" -> ((s, d) => {
@@ -6574,6 +6589,33 @@ object SparkEntry {
                       / sqrt(na * nb / 12.0 * ((na + nb + 1.0)
                              - CAST(tie3 AS DOUBLE) / ((na + nb) * (na + nb - 1.0)))), 6) AS z_stat
          FROM z"""),
+
+    // Grouped twin of the kappa algebra: per-source sorted cell folds,
+    // same HUGEINT margins; rounded-threshold keep (the r.q contract).
+    "q_cohen_kappa_by_source" -> (raterJoinCte +
+      """,
+              rr AS (SELECT g, CAST(q >= 0.5 AS VARCHAR) AS x, CAST(y AS VARCHAR) AS yv FROM r),
+              cells AS (SELECT g, x, yv AS y, CAST(count(*) AS BIGINT) AS cnt
+                        FROM rr GROUP BY 1, 2, 3),
+              one AS (SELECT g, list_sort(list({'x': x, 'y': y, 'cnt': cnt})) AS cs,
+                             CAST(sum(cnt) AS HUGEINT) AS n,
+                             CAST(sum(CASE WHEN x = y THEN cnt ELSE 0 END) AS HUGEINT) AS agree
+                      FROM cells GROUP BY 1),
+              e AS (SELECT g, n, agree,
+                           list_sum(list_transform(
+                             list_sort(list_distinct(list_concat(
+                               list_transform(cs, c -> c.x), list_transform(cs, c -> c.y)))),
+                             cat -> CAST(coalesce(list_sum(list_transform(
+                                      list_filter(cs, c2 -> c2.x = cat), c2 -> c2.cnt)), 0) AS HUGEINT)
+                                  * CAST(coalesce(list_sum(list_transform(
+                                      list_filter(cs, c2 -> c2.y = cat), c2 -> c2.cnt)), 0) AS HUGEINT)))
+                           AS pe
+                    FROM one)
+         SELECT g AS source, CAST(n AS BIGINT) AS n_rows, CAST(agree AS BIGINT) AS n_agree,
+                round(CASE WHEN n * n - pe <> 0
+                           THEN CAST(n * agree - pe AS DOUBLE) / CAST(n * n - pe AS DOUBLE)
+                           END, 6) AS kappa
+         FROM e ORDER BY source"""),
 
     // Grouped twin: the source partitions every window and aggregate of
     // the exact MW chain; one-class sources drop via the HAVING.

@@ -1241,6 +1241,48 @@ object Robust {
       .orderBy(col("bin"))
   }
 
+  /** Per-`byCol`-segment Cohen's kappa — is the gate agreement uniform
+    * across segments, or does the cheap gate only track the expensive
+    * one on one source's style? Exactly [[cohenKappa]] per segment:
+    * per-(segment, x, y) cells aggregate distributed under the
+    * [[guardedCellsBy]] ceiling, each segment's N²-scaled integer
+    * algebra folds over its OWN sorted cell array. Degenerate segments
+    * (p_e = 1) keep their counts with NULL kappa. */
+  def cohenKappaBy(
+      df: DataFrame, raterA: Column, raterB: Column, byCol: String): DataFrame = {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val cells = guardedCellsBy(
+      df.select(col(byCol).as("__g"), raterA.cast("string").as("x"),
+          raterB.cast("string").as("y"))
+        .filter(col("__g").isNotNull && col("x").isNotNull && col("y").isNotNull)
+        .groupBy(col("__g"), col("x"), col("y")).agg(count(lit(1)).as("cnt")),
+      "cohenKappaBy")
+    val one = cells.groupBy(col("__g")).agg(
+      array_sort(collect_list(struct(col("x"), col("y"), col("cnt")))).as("cs"),
+      sum(col("cnt")).as("n"),
+      sum(when(col("x") === col("y"), col("cnt")).otherwise(0L)).as("agree"))
+    val cats = array_sort(array_distinct(concat(
+      transform(col("cs"), c => c.getField("x")),
+      transform(col("cs"), c => c.getField("y")))))
+    val rowOf = (cat: Column) => aggregate(
+      filter(col("cs"), c => c.getField("x") === cat),
+      lit(0L), (a, c) => a + c.getField("cnt"))
+    val colOf = (cat: Column) => aggregate(
+      filter(col("cs"), c => c.getField("y") === cat),
+      lit(0L), (a, c) => a + c.getField("cnt"))
+    val peNum = aggregate(cats, lit(0L).cast(dec38),
+      (acc, cat) => acc + rowOf(cat).cast(dec38) * colOf(cat).cast(dec38))
+    val nDec = col("n").cast(dec38)
+    val num = nDec * col("agree").cast(dec38) - peNum
+    val den = nDec * nDec - peNum
+    one.select(
+      col("__g").as(byCol),
+      col("n").as("n_rows"), col("agree").as("n_agree"),
+      round(when(den =!= lit(0), num.cast(DoubleType) / den.cast(DoubleType)), 6)
+        .as("kappa"))
+      .orderBy(byCol)
+  }
+
   /** ROC AUC of a score against a boolean outcome — EXACT, because AUC
     * IS the Mann–Whitney statistic: AUC = U_pos/(n_pos·n_neg) with the
     * tie-average convention (P(s⁺ > s⁻) + ½·P(s⁺ = s⁻)), so the existing

@@ -808,6 +808,22 @@ class PropertiesSpec extends AnyFunSuite with SparkSpec {
     // kappa = (6-6)/(9-6) = 0
     assert(Robust.cohenKappa(asym, col("a"), col("b"))
       .collect()(0).getAs[Double]("kappa") == 0.0)
+    // grouped twin: per-segment equals the global gate on each slice;
+    // a both-raters-constant segment keeps counts with NULL kappa
+    val seg = rows.map { case (a, b) => ("s1", a, b) } ++
+      rows.map { case (a, b) => ("s2", b, a) } ++
+      Seq(("s3", "k", "k"), ("s3", "k", "k"))
+    val gdf = seg.toDF("g", "a", "b")
+    val grouped = Robust.cohenKappaBy(gdf, col("a"), col("b"), "g").collect()
+    assert(grouped.map(_.getString(0)).toSeq == Seq("s1", "s2", "s3"))
+    for (r <- grouped.take(2)) {
+      val single = Robust.cohenKappa(
+        gdf.filter($"g" === r.getString(0)), col("a"), col("b")).collect()(0)
+      assert(r.getAs[Long]("n_rows") == single.getAs[Long]("n_rows"))
+      assert(r.getAs[Double]("kappa") == single.getAs[Double]("kappa"),
+        s"kappa mismatch in ${r.getString(0)}")
+    }
+    assert(grouped(2).getAs[Long]("n_rows") == 2 && grouped(2).isNullAt(3))
   }
 
   test("calibrationBins and brierScore: hand-computed fixture, bin clamp") {
