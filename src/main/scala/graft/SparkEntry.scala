@@ -4384,6 +4384,18 @@ object SparkEntry {
         col("quality"), col("kept"), "source")
     }),
 
+    // Decile lift table of the quality score — targeting concentration
+    // ("keep the top-k deciles, how many positives do I capture?");
+    // discrete score-decile edges, exact integer counts, ≤10-row window.
+    "q_lift_curve" -> ((s, d) => {
+      val q = graft.operators.Curation.qualityScore(Tables.documents(s, d))
+        .select(col("doc_id"), col("quality"))
+      val a = graft.operators.Curation.curationAudit(Tables.documents(s, d))
+        .select(col("doc_id"), (col("reason") === "kept").as("kept"))
+      graft.operators.Robust.liftCurve(
+        q.join(a, "doc_id"), col("quality"), col("kept"))
+    }),
+
     // Confusion-matrix stats of the LR keep decision against the curation
     // label — the threshold-level readout next to q_auc's threshold-free
     // one (exact integer cells, guarded precision/recall/F1 chains).
@@ -6642,6 +6654,37 @@ object SparkEntry {
                       / sqrt(na * nb / 12.0 * ((na + nb + 1.0)
                              - CAST(tie3 AS DOUBLE) / ((na + nb) * (na + nb - 1.0)))), 6) AS z_stat
          FROM z ORDER BY source"""),
+
+    // Same rater CTEs; the decile edges are the identical discrete rank
+    // picks ((p·n+99)//100), bins count edges strictly below, cumulative
+    // window top-bin first, one lift chain per bin.
+    "q_lift_curve" -> (raterJoinCte +
+      s""",
+              vals AS (SELECT CAST(q AS DOUBLE) AS v, y FROM r),
+              rk AS (SELECT v, row_number() OVER (ORDER BY v) AS rn,
+                            count(*) OVER () AS n FROM vals),
+              ed AS (SELECT ${(1 to 9).map(i =>
+                s"max(CASE WHEN rn = (${i * 10} * n + 99) // 100 THEN v END) AS e$i")
+                .mkString(",\n                            ")}
+                     FROM rk),
+              b AS (SELECT ${(1 to 9).map(i =>
+                s"(CASE WHEN v > e$i THEN 1 ELSE 0 END)").mkString(" + ")} AS bin, y
+                    FROM vals, ed),
+              c AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+                           CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS pos
+                    FROM b GROUP BY 1),
+              t AS (SELECT CAST(sum(n) AS BIGINT) AS tn, CAST(sum(pos) AS BIGINT) AS tp FROM c),
+              cu AS (SELECT bin, n, pos,
+                            CAST(sum(n) OVER (ORDER BY bin DESC
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n,
+                            CAST(sum(pos) OVER (ORDER BY bin DESC
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_pos
+                     FROM c)
+         SELECT bin, n, pos, cum_n, cum_pos,
+                round(CASE WHEN tp > 0 THEN
+                  CAST(cum_pos AS DOUBLE) / CAST(cum_n AS DOUBLE)
+                  / (CAST(tp AS DOUBLE) / CAST(tn AS DOUBLE)) END, 6) AS lift
+         FROM cu, t ORDER BY bin DESC"""),
 
     // Same rater CTEs; exact integer confusion cells, guarded
     // precision/recall/F1 chains spelled identically.

@@ -1327,6 +1327,44 @@ object Robust {
       .orderBy(byCol)
   }
 
+  /** Decile lift table of a score against a boolean outcome — the
+    * TARGETING readout next to [[aucScore]]: "if I keep only the top
+    * k score-deciles, how concentrated are the positives?" Bins come
+    * from the DISCRETE score-decile edges (the [[quantileEdges]] rank
+    * picks on the bit grid — actual data values, so binning is exact and
+    * engine-portable), counts are pure integers, cumulatives run top-bin
+    * first over the ≤ nBins domain (an aggregation-bounded window), and
+    * lift = (cum_pos/cum_n)/(P/N) is one double chain per bin. Base-rate
+    * zero (no positives) → NULL lift. */
+  def liftCurve(
+      df: DataFrame, score: Column, label: Column, nBins: Int = 10): DataFrame = {
+    require(nBins >= 2 && 100 % nBins == 0, s"liftCurve: nBins must divide 100, got $nBins")
+    val rows0 = df.filter(score.isNotNull && label.isNotNull)
+      .select(score.cast(DoubleType).as("v"), label.cast("boolean").as("y"))
+    val pcts = (1 until nBins).map(i => i * 100 / nBins)
+    val edges = bitValuesAtRanks(
+      rows0.select(lit(1).as("__g"), col("v"), lit(1L).as("w")), pcts)
+    val bin = pcts.map(p => when(col("v") > col(s"q_$p"), 1).otherwise(0))
+      .reduce(_ + _)
+    val counts = rows0.crossJoin(broadcast(edges.drop("__g", "n")))
+      .select(bin.as("bin"), col("y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(when(col("y"), 1L).otherwise(0L)).as("pos"))
+    val w = Window.orderBy(col("bin").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = counts.agg(sum(col("n")).as("__tn"), sum(col("pos")).as("__tp"))
+    counts
+      .withColumn("cum_n", sum(col("n")).over(w))
+      .withColumn("cum_pos", sum(col("pos")).over(w))
+      .crossJoin(broadcast(tot))
+      .select(col("bin"), col("n"), col("pos"), col("cum_n"), col("cum_pos"),
+        round(when(col("__tp") > 0,
+          col("cum_pos").cast(DoubleType) / col("cum_n").cast(DoubleType) /
+            (col("__tp").cast(DoubleType) / col("__tn").cast(DoubleType))), 6)
+          .as("lift"))
+      .orderBy(col("bin").desc)
+  }
+
   /** Confusion-matrix stats of a boolean prediction against a boolean
     * outcome — the threshold-level readout next to [[aucScore]]'s
     * threshold-free one: TP/FP/FN/TN exact integers, precision / recall

@@ -901,6 +901,27 @@ class PropertiesSpec extends AnyFunSuite with SparkSpec {
     assert(g2.isNullAt(4) && g2.getAs[Double]("recall") == 0.0 && g2.isNullAt(6))
   }
 
+  test("liftCurve: positives concentrated on the top deciles") {
+    import graft.operators.Robust
+    // scores 0.01..1.00, positives above 0.80: each decile bin holds 10
+    // rows, the top two bins hold all 20 positives
+    val rows = (1 to 100).map(i => (i / 100.0, i > 80)).toDF("s", "y")
+    val got = Robust.liftCurve(rows, col("s"), col("y")).collect()
+    assert(got.length == 10)
+    assert(got.map(_.getInt(0)).toSeq == (9 to 0 by -1))
+    assert(got.forall(_.getAs[Long]("n") == 10L))
+    val byBin = got.map(r => r.getInt(0) -> r).toMap
+    assert(byBin(9).getAs[Double]("lift") == 5.0) // 100% pos vs 20% base
+    assert(byBin(8).getAs[Double]("lift") == 5.0)
+    assert(byBin(7).getAs[Double]("lift") == BigDecimal(20.0 / 30.0 / 0.2)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(byBin(0).getAs[Double]("lift") == 1.0) // whole population
+    assert(byBin(0).getAs[Long]("cum_pos") == 20L)
+    // no positives at all: base rate zero -> NULL lift, counts remain
+    val none = (1 to 50).map(i => (i / 50.0, false)).toDF("s", "y")
+    assert(Robust.liftCurve(none, col("s"), col("y")).collect().forall(_.isNullAt(5)))
+  }
+
   test("expectedCalibrationError matches the bin fold") {
     import graft.operators.Robust
     val rows = Seq((0.95, true), (0.95, true), (0.05, false), (0.05, false),
