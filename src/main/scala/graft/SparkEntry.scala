@@ -4314,9 +4314,9 @@ object SparkEntry {
     // stand in for the expensive one? Exact N²-scaled integer algebra,
     // one double division over the guarded cell fold.
     "q_cohen_kappa" -> ((s, d) => {
-      val q = graft.operators.Curation.qualityScore(Tables.documents(s, d))
+      val q = graft.operators.Curation.qualityScoreRaw(Tables.documents(s, d))
         .select(col("doc_id"), col("keep"))
-      val a = graft.operators.Curation.curationAudit(Tables.documents(s, d))
+      val a = graft.operators.Curation.curationAuditRaw(Tables.documents(s, d))
         .select(col("doc_id"), (col("reason") === "kept").as("kept"))
       graft.operators.Robust.cohenKappa(q.join(a, "doc_id"), col("keep"), col("kept"))
     }),
@@ -4325,9 +4325,9 @@ object SparkEntry {
     // label — over-confidence audit before the score is used as a
     // sampling weight (exact decimal per-bin means, integer rates).
     "q_calibration" -> ((s, d) => {
-      val q = graft.operators.Curation.qualityScore(Tables.documents(s, d))
+      val q = graft.operators.Curation.qualityScoreRaw(Tables.documents(s, d))
         .select(col("doc_id"), col("quality"))
-      val a = graft.operators.Curation.curationAudit(Tables.documents(s, d))
+      val a = graft.operators.Curation.curationAuditRaw(Tables.documents(s, d))
         .select(col("doc_id"), (col("reason") === "kept").as("kept"))
       graft.operators.Robust.calibrationBins(
         q.join(a, "doc_id"), col("quality"), col("kept"))
@@ -4336,9 +4336,9 @@ object SparkEntry {
     // Brier score of the same pair — the one-number calibration metric
     // (exact decimal (q − y)² sums off the 6-dp score).
     "q_brier" -> ((s, d) => {
-      val q = graft.operators.Curation.qualityScore(Tables.documents(s, d))
+      val q = graft.operators.Curation.qualityScoreRaw(Tables.documents(s, d))
         .select(col("doc_id"), col("quality"))
-      val a = graft.operators.Curation.curationAudit(Tables.documents(s, d))
+      val a = graft.operators.Curation.curationAuditRaw(Tables.documents(s, d))
         .select(col("doc_id"), (col("reason") === "kept").as("kept"))
       graft.operators.Robust.brierScore(
         q.join(a, "doc_id"), col("quality"), col("kept"))
@@ -4348,9 +4348,9 @@ object SparkEntry {
     // algebra (AUC IS U/(n⁺·n⁻)); ranking quality where calibration
     // measures probability quality.
     "q_auc" -> ((s, d) => {
-      val q = graft.operators.Curation.qualityScore(Tables.documents(s, d))
+      val q = graft.operators.Curation.qualityScoreRaw(Tables.documents(s, d))
         .select(col("doc_id"), col("quality"))
-      val a = graft.operators.Curation.curationAudit(Tables.documents(s, d))
+      val a = graft.operators.Curation.curationAuditRaw(Tables.documents(s, d))
         .select(col("doc_id"), (col("reason") === "kept").as("kept"))
       graft.operators.Robust.aucScore(
         q.join(a, "doc_id"), col("quality"), col("kept"))
@@ -4361,9 +4361,9 @@ object SparkEntry {
     // decision thresholds the ROUNDED 6-dp probability (the q_confusion
     // spelling — the oracle's r.q is the rounded contract value).
     "q_cohen_kappa_by_source" -> ((s, d) => {
-      val q = graft.operators.Curation.qualityScore(Tables.documents(s, d))
+      val q = graft.operators.Curation.qualityScoreRaw(Tables.documents(s, d))
         .select(col("doc_id"), (col("quality") >= 0.5).as("pred"))
-      val a = graft.operators.Curation.curationAudit(Tables.documents(s, d))
+      val a = graft.operators.Curation.curationAuditRaw(Tables.documents(s, d))
         .select(col("doc_id"), (col("reason") === "kept").as("kept"))
       val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
       graft.operators.Robust.cohenKappaBy(
@@ -4374,9 +4374,9 @@ object SparkEntry {
     // Per-source AUC — does the gate's ranking quality hold on every
     // source, or only on one source's style? One-class sources drop.
     "q_auc_by_source" -> ((s, d) => {
-      val q = graft.operators.Curation.qualityScore(Tables.documents(s, d))
+      val q = graft.operators.Curation.qualityScoreRaw(Tables.documents(s, d))
         .select(col("doc_id"), col("quality"))
-      val a = graft.operators.Curation.curationAudit(Tables.documents(s, d))
+      val a = graft.operators.Curation.curationAuditRaw(Tables.documents(s, d))
         .select(col("doc_id"), (col("reason") === "kept").as("kept"))
       val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
       graft.operators.Robust.aucScoreBy(
@@ -4388,9 +4388,9 @@ object SparkEntry {
     // ("keep the top-k deciles, how many positives do I capture?");
     // discrete score-decile edges, exact integer counts, ≤10-row window.
     "q_lift_curve" -> ((s, d) => {
-      val q = graft.operators.Curation.qualityScore(Tables.documents(s, d))
+      val q = graft.operators.Curation.qualityScoreRaw(Tables.documents(s, d))
         .select(col("doc_id"), col("quality"))
-      val a = graft.operators.Curation.curationAudit(Tables.documents(s, d))
+      val a = graft.operators.Curation.curationAuditRaw(Tables.documents(s, d))
         .select(col("doc_id"), (col("reason") === "kept").as("kept"))
       graft.operators.Robust.liftCurve(
         q.join(a, "doc_id"), col("quality"), col("kept"))
@@ -4400,9 +4400,9 @@ object SparkEntry {
     // label — the threshold-level readout next to q_auc's threshold-free
     // one (exact integer cells, guarded precision/recall/F1 chains).
     "q_confusion" -> ((s, d) => {
-      val q = graft.operators.Curation.qualityScore(Tables.documents(s, d))
+      val q = graft.operators.Curation.qualityScoreRaw(Tables.documents(s, d))
         .select(col("doc_id"), (col("quality") >= 0.5).as("pred"))
-      val a = graft.operators.Curation.curationAudit(Tables.documents(s, d))
+      val a = graft.operators.Curation.curationAuditRaw(Tables.documents(s, d))
         .select(col("doc_id"), (col("reason") === "kept").as("kept"))
       graft.operators.Robust.confusionStats(
         q.join(a, "doc_id"), col("pred"), col("kept"))
@@ -4411,9 +4411,9 @@ object SparkEntry {
     // Expected calibration error — the one-number fold of q_calibration
     // (ascending-bin fixed double fold over the rounded bin stats).
     "q_ece" -> ((s, d) => {
-      val q = graft.operators.Curation.qualityScore(Tables.documents(s, d))
+      val q = graft.operators.Curation.qualityScoreRaw(Tables.documents(s, d))
         .select(col("doc_id"), col("quality"))
-      val a = graft.operators.Curation.curationAudit(Tables.documents(s, d))
+      val a = graft.operators.Curation.curationAuditRaw(Tables.documents(s, d))
         .select(col("doc_id"), (col("reason") === "kept").as("kept"))
       graft.operators.Robust.expectedCalibrationError(
         q.join(a, "doc_id"), col("quality"), col("kept"))

@@ -318,10 +318,28 @@ object Curation {
       lang: String = "en",
       minTokens: Int = 20,
       minTtr: Double = 0.4,
+      maxDupBigram: Double = 0.2): DataFrame =
+    curationAuditRaw(documents, lang, minTokens, minTtr, maxDupBigram)
+      .orderBy("doc_id")
+
+  /** [[curationAudit]] without the final harness sort — for consumers
+    * (the eval-ops rater joins) that aggregate immediately: a global
+    * orderBy costs a RANGE-PARTITIONER SAMPLING pass that re-evaluates
+    * this whole heavy text projection once more (measured ~2× the rater
+    * cost inside every join that consumed the sorted form). */
+  def curationAuditRaw(
+      documents: DataFrame,
+      lang: String = "en",
+      minTokens: Int = 20,
+      minTtr: Double = 0.4,
       maxDupBigram: Double = 0.2): DataFrame = {
+    // fan the heavy per-row text work across cores (the q_ngram_freq
+    // precedent: a small single-file scan otherwise runs it on one task)
+    val docs = documents.repartition(
+      documents.sparkSession.sparkContext.defaultParallelism)
     val toks = tokens(col("text"))
     val n = size(toks)
-    documents.select(
+    docs.select(
       col("doc_id"),
       TextAnalysis.langId(col("text")).as("lang_pred"),
       n.cast(IntegerType).as("n_tokens"),
@@ -333,7 +351,6 @@ object Curation {
           .when(col("__ttr") < minTtr, "low_quality")
           .when(col("__rep") > maxDupBigram, "repetitive")
           .otherwise("kept").as("reason"))
-      .orderBy("doc_id")
   }
 
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
@@ -522,7 +539,18 @@ object Curation {
   def qualityScore(
       documents: DataFrame,
       w0: Double = -3.0, wLen: Double = 0.6, wAvgTok: Double = 0.25,
+      wTtr: Double = 1.2, wStop: Double = 2.0): DataFrame =
+    qualityScoreRaw(documents, w0, wLen, wAvgTok, wTtr, wStop)
+      .orderBy(col("doc_id"))
+
+  /** [[qualityScore]] without the final harness sort (see
+    * [[curationAuditRaw]] — the sampling-pass argument). */
+  def qualityScoreRaw(
+      documents: DataFrame,
+      w0: Double = -3.0, wLen: Double = 0.6, wAvgTok: Double = 0.25,
       wTtr: Double = 1.2, wStop: Double = 2.0): DataFrame = {
+    val docs = documents.repartition(
+      documents.sparkSession.sparkContext.defaultParallelism)
     val toks = tokens(col("text"))
     val d = (c: org.apache.spark.sql.Column) => c.cast(DoubleType)
     val n = size(toks)
@@ -534,10 +562,9 @@ object Curation {
     val fStop = d(graft.functions.vocabHits(toks, enStop)) / d(n)
     val z = lit(w0) + lit(wLen) * fLen + lit(wAvgTok) * fAvg +
       lit(wTtr) * fTtr + lit(wStop) * fStop
-    documents.select(
+    docs.select(
       col("doc_id"),
       round(lit(1.0) / (lit(1.0) + exp(-z)), 6).as("quality"),
       (lit(1.0) / (lit(1.0) + exp(-z)) >= 0.5).as("keep"))
-      .orderBy(col("doc_id"))
   }
 }
