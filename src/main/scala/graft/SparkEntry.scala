@@ -1674,6 +1674,16 @@ object SparkEntry {
       graft.operators.TimeSeries.dowBandAnomaly(sums, col("bucket"), col("rev"))
     }),
 
+    // Streaming runs-test monitor — the distribution-free randomness gate
+    // over the same streamed day sums (the day-sums-sink pattern: any
+    // batch gate over the per-day table gets a streaming form for free).
+    "q_events_runs_stream" -> ((s, d) => {
+      val sums = EventStreams.runStreamToBatch(s, d, "q_events_runs_stream_sink",
+        EventStreams.windowDailyMoneySums(_))
+        .toDF("bucket", "n", "rev")
+      graft.operators.TimeSeries.runsTest(sums, col("bucket"), col("rev"))
+    }),
+
     // Stream-static enrichment: streaming events broadcast-joined to a
     // static category dim, then daily windowed aggregation — the in-flight
     // reference-data join (dim re-resolved per micro-batch, no join state).
@@ -7763,6 +7773,35 @@ object SparkEntry {
                   round(CAST(t - cum AS DOUBLE) / (CAST(dd - i AS DOUBLE) * 100.0), 6)
                 END AS mean_after
          FROM k ORDER BY stat DESC, d ASC LIMIT 1""",
+
+    // The runs gate replayed from raw events (independent day-sum
+    // recompute — the streamed state is hash-checked).
+    "q_events_runs_stream" ->
+      """WITH s AS (SELECT CAST(ts AS DATE) AS d,
+                           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS rev
+                    FROM events WHERE value IS NOT NULL GROUP BY 1),
+              c AS (SELECT CAST(count(*) AS BIGINT) AS c FROM s),
+              med AS (SELECT rev AS med FROM
+                        (SELECT rev, row_number() OVER (ORDER BY rev, d) AS rn FROM s), c
+                      WHERE rn = (c + 1) // 2),
+              sg AS (SELECT d, rev > med AS up FROM s, med WHERE rev <> med),
+              t AS (SELECT up, lag(up, 1) OVER (ORDER BY d) AS prev FROM sg),
+              a AS (SELECT CAST(count(CASE WHEN up THEN 1 END) AS BIGINT) AS n_plus,
+                           CAST(count(CASE WHEN NOT up THEN 1 END) AS BIGINT) AS n_minus,
+                           CAST(sum(CASE WHEN prev IS NOT NULL AND up <> prev
+                                         THEN 1 ELSE 0 END) AS BIGINT) AS tr
+                    FROM t),
+              e AS (SELECT n_plus, n_minus,
+                           CASE WHEN n_plus + n_minus > 0 THEN tr + 1 END AS runs,
+                           CAST(n_plus AS DOUBLE) AS p, CAST(n_minus AS DOUBLE) AS q
+                    FROM a)
+         SELECT n_plus, n_minus, runs,
+                round(CASE WHEN n_plus > 0 AND n_minus > 0
+                                AND n_plus * n_minus * 2 > n_plus + n_minus
+                           THEN (CAST(runs AS DOUBLE) - (2.0 * p * q / (p + q) + 1.0))
+                                / sqrt(2.0 * p * q * (2.0 * p * q - (p + q))
+                                       / ((p + q) * (p + q) * (p + q - 1.0))) END, 6) AS z_stat
+         FROM e""",
 
     // The dow gate replayed from raw events — the oracle recomputes the
     // day sums independently, so stream-state correctness is hash-checked.
