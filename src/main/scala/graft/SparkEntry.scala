@@ -3015,6 +3015,13 @@ object SparkEntry {
       graft.operators.TimeSeries.mannKendallSeasonal(
         Tables.orders(s, d), col("o_orderdate"), col("o_totalprice"))),
 
+    // Two-level binary segmentation of the CUSUM — how many regime
+    // shifts, and where? (global argmax, split, the same exact gate per
+    // half; one bounded 1-row driver transfer derives the half flag).
+    "q_cusum_binary_seg" -> ((s, d) =>
+      graft.operators.TimeSeries.cusumBinarySeg(
+        Tables.orders(s, d), col("o_orderdate"), col("o_totalprice"))),
+
     // Per-priority decomposition — each segment's own trend and weekday
     // profile; windows partitioned by segment, per-segment centering.
     "q_seasonal_decompose_by_priority" -> ((s, d) =>
@@ -7669,6 +7676,54 @@ object SparkEntry {
          FROM tr JOIN prof ON tr.seg = prof.seg AND tr.dow07 = prof.dow07
                  JOIN m ON tr.seg = m.seg
          ORDER BY o_orderpriority, day""",
+
+    // Level 1 = the global argmax chain; level 2 replays it with the
+    // half flag partitioning every window and total.
+    "q_cusum_binary_seg" ->
+      """WITH s AS (SELECT CAST(o_orderdate AS DATE) AS d,
+                           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS rev
+                    FROM orders GROUP BY 1),
+              e AS (SELECT d, CAST(rev * 100 AS HUGEINT) AS rc FROM s),
+              c AS (SELECT d, rc, CAST(row_number() OVER (ORDER BY d) AS HUGEINT) AS i,
+                           CAST(sum(rc) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS HUGEINT) AS cum
+                    FROM e),
+              g AS (SELECT CAST(count(*) AS HUGEINT) AS dd, CAST(sum(rc) AS HUGEINT) AS t FROM e),
+              k AS (SELECT d, i, cum, dd, t, abs(dd * cum - i * t) AS stat FROM c, g),
+              l1 AS (SELECT 1 AS level, 'all' AS segment, CAST(dd AS BIGINT) AS n_days,
+                            CAST(d AS TIMESTAMP) AS cp_day,
+                            round(CAST(stat AS DOUBLE) / (CAST(dd AS DOUBLE) * 100.0), 6) AS cusum_max,
+                            round(CAST(cum AS DOUBLE) / (CAST(i AS DOUBLE) * 100.0), 6) AS mean_before,
+                            CASE WHEN dd > i THEN
+                              round(CAST(t - cum AS DOUBLE) / (CAST(dd - i AS DOUBLE) * 100.0), 6)
+                            END AS mean_after,
+                            d AS cpd
+                     FROM k ORDER BY stat DESC, d ASC LIMIT 1),
+              h AS (SELECT e.d, e.rc,
+                           CASE WHEN e.d <= (SELECT cpd FROM l1) THEN 'left' ELSE 'right' END AS seg
+                    FROM e),
+              c2 AS (SELECT seg, d, rc,
+                            CAST(row_number() OVER (PARTITION BY seg ORDER BY d) AS HUGEINT) AS i,
+                            CAST(sum(rc) OVER (PARTITION BY seg ORDER BY d
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS HUGEINT) AS cum
+                     FROM h),
+              g2 AS (SELECT seg, CAST(count(*) AS HUGEINT) AS dd, CAST(sum(rc) AS HUGEINT) AS t
+                     FROM h GROUP BY 1),
+              k2 AS (SELECT c2.seg, d, i, cum, dd, t, abs(dd * cum - i * t) AS stat,
+                            row_number() OVER (PARTITION BY c2.seg
+                              ORDER BY abs(dd * cum - i * t) DESC, d ASC) AS rn
+                     FROM c2 JOIN g2 ON c2.seg = g2.seg),
+              l2 AS (SELECT 2 AS level, seg AS segment, CAST(dd AS BIGINT) AS n_days,
+                            CAST(d AS TIMESTAMP) AS cp_day,
+                            round(CAST(stat AS DOUBLE) / (CAST(dd AS DOUBLE) * 100.0), 6) AS cusum_max,
+                            round(CAST(cum AS DOUBLE) / (CAST(i AS DOUBLE) * 100.0), 6) AS mean_before,
+                            CASE WHEN dd > i THEN
+                              round(CAST(t - cum AS DOUBLE) / (CAST(dd - i AS DOUBLE) * 100.0), 6)
+                            END AS mean_after
+                     FROM k2 WHERE rn = 1)
+         SELECT level, segment, n_days, cp_day, cusum_max, mean_before, mean_after FROM l1
+         UNION ALL
+         SELECT level, segment, n_days, cp_day, cusum_max, mean_before, mean_after FROM l2
+         ORDER BY level, segment""",
 
     // Same-weekday pair join, per-season base variance and tie terms in
     // HUGEINT, identical z chain and OFFSET rank pick for Sen's slope.

@@ -1040,6 +1040,39 @@ object TimeSeries {
       .orderBy(col("segment"))
   }
 
+  /** Two-level binary segmentation of the CUSUM changepoint — the "how
+    * MANY regime shifts, and where?" follow-up [[cusumChangepoint]]'s
+    * single argmax cannot answer (classic binary segmentation, Scott &
+    * Knott 1974 lineage): find the global changepoint, split the series
+    * there, and re-run the same exact-integer D-scaled gate on each
+    * half. Level 1 is the global row; level 2 is one row per half
+    * ('left' ≤ cp < 'right'), each half's argmax judged against its OWN
+    * totals.
+    *
+    * Scale shape: the composition is two runs of machinery that already
+    * passed plan review — the only new cost is ONE bounded driver
+    * transfer (the single level-1 row, the [[graft.operators.Robust
+    * .quantileEdges]] class of model-sized collect) to derive the half
+    * flag, then [[cusumChangepointBy]] with that flag as the segment.
+    * EMPTY input stays EMPTY. */
+  def cusumBinarySeg(
+      df: DataFrame, dateCol: Column, moneyValue: Column): DataFrame = {
+    val l1 = cusumChangepoint(df, dateCol, moneyValue)
+      .select(lit(1).as("level"), lit("all").as("segment"),
+        col("n_days"), col("cp_day"), col("cusum_max"),
+        col("mean_before"), col("mean_after"))
+    val first = l1.select(col("cp_day")).collect() // exactly one row, bounded
+    if (first.isEmpty) return l1
+    val cp1 = first(0).getTimestamp(0)
+    val half = when(to_date(dateCol) <= to_date(lit(cp1)), "left")
+      .otherwise("right")
+    val l2 = cusumChangepointBy(df, half, dateCol, moneyValue)
+      .select(lit(2).as("level"), col("segment"),
+        col("n_days"), col("cp_day"), col("cusum_max"),
+        col("mean_before"), col("mean_after"))
+    l1.unionByName(l2).orderBy(col("level"), col("segment"))
+  }
+
   /** Seasonal Mann–Kendall (Hirsch–Slack 1984) — the trend test that is
     * IMMUNE to weekly seasonality, the [[cusumSeasonalAdjusted]]
     * counterpart in the trend family: comparisons run only WITHIN each

@@ -986,6 +986,30 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("cusumBinarySeg finds both planted steps, constant half is silent") {
+    import graft.operators.TimeSeries
+    // levels 100 (days 1-20), 200 (21-40), 400 (41-60): the bigger step
+    // wins level 1 (argmax at day 40), the left half then finds day 20,
+    // the constant right half reports zero with its earliest-day tiebreak
+    val rows = (0 until 60).map { i =>
+      val d = java.time.LocalDate.of(2024, 1, 1).plusDays(i.toLong)
+      val v = if (i < 20) 100.0 else if (i < 40) 200.0 else 400.0
+      (java.sql.Timestamp.valueOf(d.atStartOfDay), BigDecimal(v))
+    }.toDF("ts", "v").select($"ts", $"v".cast("decimal(18,2)").as("v"))
+    val got = TimeSeries.cusumBinarySeg(rows, col("ts"), col("v")).collect()
+    assert(got.map(r => (r.getInt(0), r.getString(1))).toSeq ==
+      Seq((1, "all"), (2, "left"), (2, "right")))
+    def day(r: org.apache.spark.sql.Row) =
+      r.getTimestamp(3).toLocalDateTime.toLocalDate.getDayOfYear
+    assert(day(got(0)) == 40, s"global cp at day ${day(got(0))}")
+    assert(day(got(1)) == 20, s"left cp at day ${day(got(1))}")
+    assert(got(2).getAs[Double]("cusum_max") == 0.0)
+    assert(day(got(2)) == 41) // all-tied stats pick the earliest day
+    // EMPTY input stays EMPTY
+    assert(TimeSeries.cusumBinarySeg(
+      rows.filter($"v" < 0), col("ts"), col("v")).collect().isEmpty)
+  }
+
   test("mannKendallSeasonal: pure weekly cycle is silent, drift under cycle detected") {
     import graft.operators.TimeSeries
     val cycle = Seq(3.0, -1.0, 2.0, -4.0, 0.0, 5.0, -5.0)
