@@ -2764,6 +2764,12 @@ object SparkEntry {
     "q_zipf_fit" -> ((s, d) =>
       graft.operators.Curation.zipfFit(Tables.documents(s, d))),
 
+    // Near-dup rate by ingestion batch — the crawler-health trend from
+    // the dedup side (rank deciles via the two-level scan, banded
+    // clusters, one left join, 10-row rollup).
+    "q_dup_rate_by_batch" -> ((s, d) =>
+      graft.operators.Curation.dupRateByBatch(Tables.documents(s, d))),
+
     // Fused curation gate with reason codes (language → length → TTR →
     // repetition; first failing gate wins).
     "q_curation_audit" -> ((s, d) =>
@@ -6141,6 +6147,36 @@ object SparkEntry {
                 CAST(count(CASE WHEN n_splits > 1 THEN 1 END) AS BIGINT) AS n_leaky_clusters,
                 CAST(coalesce(sum(CASE WHEN n_splits > 1 THEN n_docs END), 0) AS BIGINT) AS n_leaky_docs
          FROM per""",
+
+    // Same rank-decile assignment (row_number + integer division), same
+    // recursive-CTE clusters, one left join and a 10-row rollup.
+    "q_dup_rate_by_batch" ->
+      """WITH RECURSIVE pairs AS (
+           SELECT doc_a, doc_b FROM (
+             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                    round(len(list_intersect(a.toks, b.toks)) * 1.0
+                          / len(list_distinct(list_concat(a.toks, b.toks))), 6) AS jaccard
+             FROM (SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS toks FROM documents) a
+             JOIN (SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS toks FROM documents) b
+               ON a.source = b.source AND a.doc_id < b.doc_id)
+           WHERE jaccard >= 0.9),
+         edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+         reach(v, r) AS (
+           SELECT a, a FROM edges
+           UNION
+           SELECT r.v, e.b FROM reach r JOIN edges e ON r.r = e.a),
+         clusters AS (SELECT DISTINCT v AS doc_id FROM reach),
+         rk AS (SELECT doc_id,
+                       CAST((row_number() OVER (ORDER BY doc_id) - 1) * 10
+                            // count(*) OVER () + 1 AS INT) AS batch
+                FROM documents),
+         j AS (SELECT rk.batch, c.doc_id IS NOT NULL AS dup
+               FROM rk LEFT JOIN clusters c USING (doc_id))
+         SELECT batch, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(count(CASE WHEN dup THEN 1 END) AS BIGINT) AS n_dup,
+                round(CAST(count(CASE WHEN dup THEN 1 END) AS DOUBLE)
+                      / CAST(count(*) AS DOUBLE), 6) AS dup_rate
+         FROM j GROUP BY 1 ORDER BY 1""",
 
     // The remedy's oracle: same clusters, split on the cluster-root hash,
     // per-split rollup plus the recomputed leak_free re-audit.

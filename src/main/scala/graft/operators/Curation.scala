@@ -201,6 +201,39 @@ object Curation {
       .orderBy(col("decile"))
   }
 
+  /** Near-duplicate rate by ingestion batch — the crawler-health trend
+    * behind "is new data increasingly duplicated?": docs in doc-id order
+    * split into `batches` equal ranks, each batch's fraction of members
+    * of a near-dup cluster. A rising tail is the same alarm a flattening
+    * [[vocabGrowth]] curve raises, seen from the dedup side.
+    *
+    * Scale shape: ranks ride the distributed two-level running scan
+    * (the [[vocabGrowth]] cutoff machinery, assigned per doc with pure
+    * integer division); clusters come from the banded dedup stack; one
+    * left join and a `batches`-row rollup. All exact integers with one
+    * rate division per batch. */
+  def dupRateByBatch(
+      documents: DataFrame, threshold: Double = 0.9, batches: Int = 10): DataFrame = {
+    require(batches >= 1, s"dupRateByBatch: batches=$batches")
+    val perDoc = documents.select(col("doc_id").as("v"), lit(1L).as("one"))
+    val cum = Robust.runningTotals(perDoc, Seq("one"))
+    val tot = perDoc.agg(count(lit(1)).as("__n"))
+    val ranked = cum.crossJoin(broadcast(tot))
+      .select(col("v").as("doc_id"),
+        expr(s"CAST((cum_one - 1) * $batches div __n + 1 AS INT)").as("batch"))
+    val clustered = graft.operators.Dedup.connectedComponents(
+      graft.operators.Dedup.blockedJaccardPairsUnsorted(documents, threshold),
+      "doc_a", "doc_b")
+      .select(col("v").as("doc_id"), lit(true).as("__dup"))
+    ranked.join(clustered, Seq("doc_id"), "left")
+      .groupBy(col("batch"))
+      .agg(count(lit(1)).as("n_docs"), count(col("__dup")).as("n_dup"))
+      .select(col("batch"), col("n_docs"), col("n_dup"),
+        round(col("n_dup").cast(DoubleType) / col("n_docs").cast(DoubleType), 6)
+          .as("dup_rate"))
+      .orderBy(col("batch"))
+  }
+
   /** Zipf-law fit over the frequency head — the companion corpus-health
     * number to [[vocabGrowth]]: natural language follows freq ∝ rank^s
     * with s ≈ −1; a much flatter slope means template/boilerplate

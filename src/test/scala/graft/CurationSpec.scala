@@ -220,6 +220,20 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(vocabAt(5) == 10 && vocabAt(10) == 10)
   }
 
+  test("dupRateByBatch: duplicate tail concentrates in the last batches") {
+    // 20 docs, 2 per batch; the last four docs are identical -> batches
+    // 9 and 10 fully duplicated, everything earlier clean
+    val docs = ((0L until 16L).map(i => (i, "s", s"unique u$i x$i y$i")) ++
+      (16L until 20L).map(i => (i, "s", "same same text here")))
+      .toDF("doc_id", "source", "text")
+    val got = graft.operators.Curation.dupRateByBatch(docs).collect()
+    assert(got.map(_.getInt(0)).toSeq == (1 to 10))
+    assert(got.forall(_.getAs[Long]("n_docs") == 2L))
+    val rates = got.map(r => r.getInt(0) -> r.getAs[Double]("dup_rate")).toMap
+    assert((1 to 8).forall(rates(_) == 0.0))
+    assert(rates(9) == 1.0 && rates(10) == 1.0)
+  }
+
   test("zipfFit recovers an exact power law; degenerate heads are NULL") {
     // counts 24/r at ranks 1..4: ln f = ln 24 - ln rank, so slope = -1,
     // r^2 = 1 up to float residue that the 6-dp round absorbs
