@@ -4379,6 +4379,19 @@ object SparkEntry {
         q.join(a, "doc_id"), col("quality"), col("kept"))
     }),
 
+    // Per-source ECE — which source is the gate over-confident on? Same
+    // exact per-(source, bin) decimal means, per-source ≤10-bin fold.
+    "q_ece_by_source" -> ((s, d) => {
+      val q = graft.operators.Curation.qualityScoreRaw(Tables.documents(s, d))
+        .select(col("doc_id"), col("quality"))
+      val a = graft.operators.Curation.curationAuditRaw(Tables.documents(s, d))
+        .select(col("doc_id"), (col("reason") === "kept").as("kept"))
+      val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      graft.operators.Robust.expectedCalibrationErrorBy(
+        q.join(a, "doc_id").join(src, "doc_id"),
+        col("quality"), col("kept"), "source")
+    }),
+
     // Per-source Cohen's kappa — is the gate agreement uniform across
     // sources? Degenerate sources keep counts with NULL kappa. The keep
     // decision thresholds the ROUNDED 6-dp probability (the q_confusion
@@ -6654,6 +6667,25 @@ object SparkEntry {
                       / sqrt(na * nb / 12.0 * ((na + nb + 1.0)
                              - CAST(tie3 AS DOUBLE) / ((na + nb) * (na + nb - 1.0)))), 6) AS z_stat
          FROM z"""),
+
+    // Grouped twin: per-(source, bin) rounded stats, per-source fold.
+    "q_ece_by_source" -> (raterJoinCte +
+      """,
+              b AS (SELECT g, least(CAST(floor(q * 10) AS INT), 9) AS bin, q, y FROM r),
+              gr AS (SELECT g, bin, CAST(count(*) AS BIGINT) AS n, sum(q) AS sq,
+                            CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS pos
+                     FROM b GROUP BY 1, 2),
+              gf AS (SELECT g, CAST(bin AS INT) AS bin, n,
+                            round(CAST(sq AS DOUBLE) / n, 6) AS ap,
+                            round(CAST(pos AS DOUBLE) / n, 6) AS fp
+                     FROM gr),
+              one AS (SELECT g, list_sort(list({'bin': bin, 'n': n, 'ap': ap, 'fp': fp})) AS bs,
+                             CAST(sum(n) AS BIGINT) AS n_rows
+                      FROM gf GROUP BY 1)
+         SELECT g AS source, n_rows,
+                round(list_sum(list_transform(bs, b2 ->
+                  CAST(b2.n AS DOUBLE) / CAST(n_rows AS DOUBLE) * abs(b2.ap - b2.fp))), 6) AS ece
+         FROM one ORDER BY source"""),
 
     // Grouped twin of the kappa algebra: per-source sorted cell folds,
     // same HUGEINT margins; rounded-threshold keep (the r.q contract).

@@ -1407,6 +1407,38 @@ object Robust {
     one.select(col("n_rows"), round(ece, 6).as("ece"))
   }
 
+  /** Per-`byCol`-segment expected calibration error — WHICH source is
+    * the gate over-confident on? Exactly [[expectedCalibrationError]]
+    * per segment: per-(segment, bin) exact decimal means and integer
+    * rates, each segment's ≤ 10-bin ascending fold over its own rounded
+    * bin stats. */
+  def expectedCalibrationErrorBy(
+      df: DataFrame, score: Column, label: Column, byCol: String): DataFrame = {
+    val q = score.cast(org.apache.spark.sql.types.DecimalType(8, 6))
+    val bin = least(floor(q * 10).cast("int"), lit(9))
+    val bins = df
+      .select(col(byCol).as("__g"), bin.as("bin"), q.as("__q"),
+        label.cast("boolean").as("__y"))
+      .filter(col("__g").isNotNull && col("__q").isNotNull && col("__y").isNotNull)
+      .groupBy(col("__g"), col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__q")).as("__sq"),
+        sum(when(col("__y"), 1L).otherwise(0L)).as("__pos"))
+      .select(col("__g"), col("bin"), col("n"),
+        round(col("__sq").cast(DoubleType) / col("n"), 6).as("avg_pred"),
+        round(col("__pos").cast(DoubleType) / col("n"), 6).as("frac_pos"))
+    val one = bins.groupBy(col("__g")).agg(
+      array_sort(collect_list(struct(
+        col("bin"), col("n"), col("avg_pred"), col("frac_pos")))).as("bs"),
+      sum(col("n")).as("n_rows"))
+    val nD = col("n_rows").cast(DoubleType)
+    val ece = aggregate(col("bs"), lit(0.0), (acc, b) =>
+      acc + b.getField("n").cast(DoubleType) / nD *
+        abs(b.getField("avg_pred") - b.getField("frac_pos")))
+    one.select(col("__g").as(byCol), col("n_rows"), round(ece, 6).as("ece"))
+      .orderBy(byCol)
+  }
+
   /** Brier score of the same (score, outcome) pair — the ONE-NUMBER
     * companion to [[calibrationBins]] (mean squared error of the
     * probability; 0 = oracle, 0.25 = coin). Exact: (q − y)² accumulates

@@ -936,6 +936,19 @@ class PropertiesSpec extends AnyFunSuite with SparkSpec {
     val got = Robust.expectedCalibrationError(rows, col("q"), col("y")).collect()(0)
     assert(got.getAs[Long]("n_rows") == 6)
     assert(got.getAs[Double]("ece") == ref, s"ece ${got.getAs[Double]("ece")} vs $ref")
+    // grouped twin: each segment's ECE equals the global gate on its slice
+    val seg = Seq(("a", 0.95, true), ("a", 0.05, false), ("a", 0.62, false),
+      ("b", 0.95, true), ("b", 0.95, false), ("b", 0.05, false))
+      .toDF("g", "q", "y")
+    val grouped = Robust.expectedCalibrationErrorBy(seg, col("q"), col("y"), "g")
+      .collect()
+    assert(grouped.map(_.getString(0)).toSeq == Seq("a", "b"))
+    for (r <- grouped) {
+      val single = Robust.expectedCalibrationError(
+        seg.filter($"g" === r.getString(0)), col("q"), col("y")).collect()(0)
+      assert(r.getAs[Double]("ece") == single.getAs[Double]("ece"),
+        s"ece mismatch in ${r.getString(0)}")
+    }
   }
 
   test("FDR meta-gate: p-values match the normal tail, BH matches first principles") {
