@@ -935,23 +935,22 @@ object TimeSeries {
     val l = series.select(col("__dn").as("i"), col("__rc").as("xi"))
     val r = series.select(col("__dn").as("j"), col("__rc").as("xj"))
     val pairs = l.join(broadcast(r), col("j") > col("i"))
-    // One projection carries BOTH the sign and the slope, MATERIALIZED
-    // (lazy localCheckpoint): the S aggregate and the median selection's
-    // summary + slice passes are three consumers, and each would
-    // otherwise regenerate the whole O(days²) nested-loop pair domain
-    // (measured 5× end-to-end on the grouped form). The pair table is
-    // calendar-bounded — SF-invariant — so materializing it is cheap at
-    // any data scale. The when() guard is load-bearing: whole-stage
-    // codegen fuses this projection into the BNLJ consume and can
-    // evaluate it on a pair the join condition is about to reject
-    // (j = i → zero gap) — ANSI then raises on the division.
+    // One projection carries BOTH the sign and the slope; consumers
+    // REGENERATE the pair domain rather than checkpoint it — measured
+    // (tools/ProbeMk): one broadcast-loop regeneration costs ~1.7 s at
+    // sf0.1 and is embarrassingly parallel with zero memory footprint,
+    // while a 14M-row checkpoint write costs ~2 regenerations AND turns
+    // memory-pressure sensitive (9 → 14 s swings between bench runs).
+    // The when() guard is load-bearing: whole-stage codegen fuses this
+    // projection into the BNLJ consume and can evaluate it on a pair the
+    // join condition is about to reject (j = i → zero gap) — ANSI then
+    // raises on the division.
     val slopes = pairs.select(lit("all").as("__one"),
       when(col("xj") > col("xi"), 1L).when(col("xj") < col("xi"), -1L)
         .otherwise(0L).as("__sgn"),
       when(col("j") > col("i"),
         (col("xj") - col("xi")).cast(DoubleType) /
           (lit(100.0) * (col("j") - col("i")))).as("sl"))
-      .localCheckpoint(false)
     val sAgg = slopes.agg(sum(col("__sgn")).as("s"), count(lit(1)).as("m"))
     val nAgg = series.agg(count(lit(1)).as("n_days"))
     val tieAgg = series.groupBy(col("__rc")).agg(count(lit(1)).as("t"))
@@ -1002,19 +1001,17 @@ object TimeSeries {
     val r = series.select(col("seg").as("__sr"), col("__dn").as("j"), col("__rc").as("xj"))
     val pairs = l.join(broadcast(r),
       col("seg") === col("__sr") && col("j") > col("i")).drop("__sr")
-    // Sign + slope in one MATERIALIZED projection (the mannKendallTrend
-    // fix, where it matters most: the grouped pair domain is |segments|×
-    // the global one, and each of the three consumers would regenerate
-    // it — measured 9.7 → 2.9 s at sf0.1). Same load-bearing when()
-    // guard: the projection can fuse into the join consume and see a
-    // pair the range condition is about to reject.
+    // Sign + slope in one projection, consumers regenerate (the
+    // mannKendallTrend decision — stable parallel regeneration beats a
+    // memory-pressure-sensitive 14M-row checkpoint). Same load-bearing
+    // when() guard: the projection can fuse into the join consume and
+    // see a pair the range condition is about to reject.
     val slopes = pairs.select(col("seg"),
       when(col("xj") > col("xi"), 1L).when(col("xj") < col("xi"), -1L)
         .otherwise(0L).as("__sgn"),
       when(col("j") > col("i"),
         (col("xj") - col("xi")).cast(DoubleType) /
           (lit(100.0) * (col("j") - col("i")))).as("sl"))
-      .localCheckpoint(false)
     val sAgg = slopes.groupBy(col("seg")).agg(
       sum(col("__sgn")).as("s"), count(lit(1)).as("m"))
     val nAgg = series.groupBy(col("seg")).agg(count(lit(1)).as("n_days"))
@@ -1106,15 +1103,14 @@ object TimeSeries {
     val l = series.select(col("w"), col("__dn").as("i"), col("__rc").as("xi"))
     val r = series.select(col("w").as("w2"), col("__dn").as("j"), col("__rc").as("xj"))
     val pairs = l.join(broadcast(r), col("w") === col("w2") && col("j") > col("i"))
-    // Sign + slope in one MATERIALIZED projection (the mannKendallTrend
-    // fix): three consumers, one pair generation.
+    // Sign + slope in one projection, consumers regenerate (the
+    // mannKendallTrend decision).
     val slopes = pairs.select(lit("all").as("__one"),
       when(col("xj") > col("xi"), 1L).when(col("xj") < col("xi"), -1L)
         .otherwise(0L).as("__sgn"),
       when(col("j") > col("i"),
         (col("xj") - col("xi")).cast(DoubleType) /
           (lit(100.0) * (col("j") - col("i")))).as("sl"))
-      .localCheckpoint(false)
     val sAgg = slopes.agg(sum(col("__sgn")).as("s"), count(lit(1)).as("m"))
     val nAgg = series.agg(count(lit(1)).as("n_days"))
     // Σ_w n_w(n_w−1)(2n_w+5): the per-season base variance terms
