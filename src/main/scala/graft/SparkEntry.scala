@@ -241,7 +241,7 @@ object SparkEntry {
     // overflow ANSI bigint arithmetic, for ANY key value.
     "q_sample_hash" -> ((s, d) =>
       Tables.lineitem(s, d)
-        .filter(((col("l_orderkey") % 3037000499L) * lit(2654435761L)) % 97 === 3)
+        .filter(PortableHash.mix64(col("l_orderkey")) % 97 === 3)
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"), moneySum(col("l_extendedprice")).as("gross"))
         .orderBy(col("l_returnflag"))),
@@ -416,14 +416,14 @@ object SparkEntry {
         .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
       val src = Tables.orders(s, d)
       val kept = src
-        .filter(pmod(col("o_orderkey") % 3037000499L * 2654435761L, lit(1000000007L)) % 97 =!= 3)
+        .filter(pmod(PortableHash.mix64(col("o_orderkey")), lit(PortableHash.P)) % 97 =!= 3)
         .select(col("o_orderkey"),
           when(col("o_orderpriority") === "1-URGENT",
             (dec2(col("o_totalprice")) * dec2(lit(1.1))).cast("double"))
             .otherwise(col("o_totalprice")).as("o_totalprice"),
           col("o_orderstatus"))
       val added = src
-        .filter(pmod(col("o_orderkey") % 3037000499L * 2654435761L, lit(1000000007L)) % 101 === 5)
+        .filter(pmod(PortableHash.mix64(col("o_orderkey")), lit(PortableHash.P)) % 101 === 5)
         .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
           col("o_totalprice"), col("o_orderstatus"))
       val next = kept.unionByName(added)
@@ -913,7 +913,9 @@ object SparkEntry {
     // |Q|·|C| twin is the verification harness, bounded by |Q|=32). Measured
     // recall with 8 bands × 4 planes is ~0.67-0.69 on this uniform-random
     // data (LSH's worst case: true neighbors sit at modest cosine); the
-    // assertion floor is 0.5.
+    // assertion floor is 0.6 (r11, was 0.5 — the ADC-floor discipline:
+    // a halved ANN quality must not pass any gate, so the floor sits just
+    // under the measured band, not at half of it).
     "q_embed_knn_lsh" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val q = emb.filter(col("vec_id") < 32)
@@ -925,7 +927,7 @@ object SparkEntry {
       // DAG (a hits-join + separate totals agg would compute it twice)
       exact.join(approx, Seq("query_id", "neighbor_id"), "left")
         .agg(countDistinct(col("query_id")).as("n_queries"),
-          (coalesce(sum(col("hit")), lit(0L)) >= count(lit(1)) * 0.5).as("recall_ok"))
+          (coalesce(sum(col("hit")), lit(0L)) >= count(lit(1)) * 0.6).as("recall_ok"))
     }),
 
     // IVF (k-means coarse quantizer) ANN — the partition-pruned scale path.
@@ -1292,7 +1294,7 @@ object SparkEntry {
       import graft.functions.TopKBy.topKBy
       Tables.documents(s, d)
         .select(col("source"), col("doc_id"),
-          pmod(col("doc_id") * lit(2654435761L), lit(1000000007L)).cast("double").as("pri"))
+          PortableHash.keyHash(col("doc_id")).cast("double").as("pri"))
         .groupBy(col("source"))
         .agg(topKBy(col("pri"), col("doc_id"), 20).as("keep"))
         .select(col("source"), explode(col("keep.id")).as("doc_id"))
@@ -1309,7 +1311,7 @@ object SparkEntry {
     // aggregate's id tiebreak keeping order total.
     "q_weighted_sample" -> ((s, d) => {
       import graft.functions.TopKBy.topKBy
-      val u = (pmod(col("doc_id") * lit(2654435761L), lit(1000000007L)) + lit(1L))
+      val u = (PortableHash.keyHash(col("doc_id")) + lit(1L))
         .cast("double") / lit(1000000008.0)
       Tables.documents(s, d)
         .select(col("source"), col("doc_id"),
@@ -1647,6 +1649,60 @@ object SparkEntry {
       })
       one.crossJoin(broadcast(tot))
         .select(col("bucket"), col("n_events"), round(psi, 6).as("psi"))
+        .orderBy(col("bucket"))
+    }),
+
+    // Streaming Wasserstein-1 drift monitor — the drift family's MAGNITUDE
+    // axis (q_wasserstein_drift) in monitor form, completing the monitor
+    // conventions (PSI = binned divergence, Fréchet = moment distance,
+    // W1 = mass × distance in value units). The streaming half IS the PSI
+    // monitor's state (windowPsiCounts: per-(window, reference-bin)
+    // integer counts — ≤ |bins| rows per window however many events flow;
+    // one stream, two gates). Batch-side fold: on reference-binned ECDFs
+    // the |F_ref − F_cur| gap is piecewise constant between edges, so
+    // W1 = Σᵢ |cumCᵢ·n_ref − cumRᵢ·n_cur| · (eᵢ₊₁ − eᵢ) / (n_ref·n_cur)
+    // EXACTLY, given the frozen edges — integer numerators in
+    // DECIMAL(38,0) (the wassersteinDistance discipline), one double
+    // multiply per edge term in a FIXED left-to-right chain the oracle
+    // replays, one division at the end. parity_ok asserts the streamed
+    // counts equal a batch recompute bit-for-bit (incremental ≡
+    // recompute — the q_embed_drift_stream contract).
+    "q_wasserstein_stream" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val edges = graft.operators.Robust.quantileEdges(ev, col("value"), 10)
+      val counts = EventStreams.runStreamToBatch(s, d, "q_wasserstein_stream_sink",
+        EventStreams.windowPsiCounts(_, edges)).toDF("bucket", "bin", "cnt")
+      val bin = edges.map(e => when(col("value") > lit(e), 1).otherwise(0)).reduce(_ + _)
+      val vv = ev.filter(col("value").isNotNull)
+      // batch twin of the streamed per-(window, bin) state — the parity gate
+      val twin = vv
+        .select(date_trunc("hour", col("ts")).as("bucket"), bin.as("bin"))
+        .groupBy("bucket", "bin").agg(count(lit(1)).as("cb"))
+      val parity = counts.join(twin, Seq("bucket", "bin"), "full_outer")
+        .agg(coalesce(bool_and(
+          coalesce(col("cnt"), lit(-1L)) === coalesce(col("cb"), lit(-1L))),
+          lit(false)).as("parity_ok"))
+      // frozen reference profile: the whole corpus at the same edges
+      val refAggs = edges.indices.map(i =>
+        sum(when(col("bin") <= i, col("cr")).otherwise(0L)).as(s"r$i")) :+
+        sum(col("cr")).as("n_ref")
+      val refRow = vv.select(bin.as("bin")).groupBy("bin").agg(count(lit(1)).as("cr"))
+        .agg(refAggs.head, refAggs.tail: _*)
+      val curAggs = edges.indices.map(i =>
+        sum(when(col("bin") <= i, col("cnt")).otherwise(0L)).as(s"c$i")) :+
+        sum(col("cnt")).as("n_events")
+      val cur = counts.groupBy("bucket").agg(curAggs.head, curAggs.tail: _*)
+      val dec38 = "decimal(38,0)"
+      val num = (0 until edges.length - 1).map { i =>
+        abs(col(s"c$i").cast(dec38) * col("n_ref") -
+            col(s"r$i").cast(dec38) * col("n_events")).cast("double") *
+          lit(edges(i + 1) - edges(i))
+      }.reduce(_ + _)
+      cur.crossJoin(broadcast(refRow)).crossJoin(broadcast(parity))
+        .select(col("bucket"), col("n_events"),
+          round(num / (col("n_ref").cast(dec38) * col("n_events")).cast("double"), 6)
+            .as("w1"),
+          col("parity_ok"))
         .orderBy(col("bucket"))
     }),
 
@@ -2295,7 +2351,7 @@ object SparkEntry {
         .when(col("l_returnflag") === "N", 13)
         .otherwise(3)
       Tables.lineitem(s, d)
-        .filter(((col("l_orderkey") % 3037000499L) * lit(2654435761L) + col("l_linenumber")) % rate === 0)
+        .filter((PortableHash.mix64(col("l_orderkey")) + col("l_linenumber")) % rate === 0)
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"), moneySum(col("l_extendedprice")).as("gross"))
         .orderBy(col("l_returnflag"))
@@ -3021,6 +3077,16 @@ object SparkEntry {
       graft.operators.TimeSeries.mannKendallSeasonal(
         Tables.orders(s, d), col("o_orderdate"), col("o_totalprice"))),
 
+    // Grouped seasonal twin — each priority's own seasonality-immune
+    // trend (closes the grouped-gate convention: seasonal CUSUM got its
+    // grouped form in r10, seasonal MK gets it here); pairs equi-join on
+    // (segment, weekday) over the calendar-bounded day table, Sen + S
+    // fused into ONE pair-domain consumption.
+    "q_mann_kendall_seasonal_by_priority" -> ((s, d) =>
+      graft.operators.TimeSeries.mannKendallSeasonalBy(
+        Tables.orders(s, d), col("o_orderpriority"), col("o_orderdate"),
+        col("o_totalprice"))),
+
     // Two-level binary segmentation of the CUSUM — how many regime
     // shifts, and where? (global argmax, split, the same exact gate per
     // half; one bounded 1-row driver transfer derives the half flag).
@@ -3106,6 +3172,15 @@ object SparkEntry {
       graft.operators.TimeSeries.forecastBacktestBy(
         Tables.orders(s, d), col("o_orderpriority"), col("o_orderdate"),
         col("o_totalprice"))),
+
+    // Forecast SKILL vs the seasonal-naive baseline (Hyndman–Koehler
+    // MASE shape): matched-day MAE ratio against lag-7, mase(lag_7) ≡ 1
+    // as the built-in self-check, skill = 1 − mase — closes the
+    // forecasting loop the backtest panel opened (error without
+    // judgment).
+    "q_forecast_skill" -> ((s, d) =>
+      graft.operators.TimeSeries.forecastSkill(
+        Tables.orders(s, d), col("o_orderdate"), col("o_totalprice"))),
 
     // Grouped twin: per-priority weekday-adjusted step hunt (medians
     // per (segment, weekday), CUSUM partitioned by segment).
@@ -4062,7 +4137,7 @@ object SparkEntry {
         // noise); measured prints: near at Hamming 6 sharing 1 band, far
         // at Hamming 32 — all deterministic
         val base = Array.tabulate(2048) { i =>
-          val h = i * 2654435761L + 123456789L; ((h >> 16) & 0xFF).toByte
+          val h = i * PortableHash.A + 123456789L; ((h >> 16) & 0xFF).toByte
         }
         val near = base.clone(); (100 until 108).foreach(i => near(i) = (near(i) + 24).toByte)
         val far = Array.tabulate(2048)(i => ((i * i * 17 + 3) % 251).toByte)
@@ -4292,7 +4367,7 @@ object SparkEntry {
     // of payment-card PII detection.
     "q_luhn_check" -> ((s, d) =>
       Tables.orders(s, d)
-        .select(lpad(((col("o_orderkey") % 3037000499L) * 2654435761L % 10000000000000000L)
+        .select(lpad((PortableHash.mix64(col("o_orderkey")) % 10000000000000000L)
           .cast("string"), 16, "0").as("acct"))
         .select(graft.clean.Cleaning.luhnValidFixed(col("acct"), 16).as("valid"))
         .groupBy(col("valid"))
@@ -4932,9 +5007,9 @@ object SparkEntry {
          FROM lineitem GROUP BY 1 ORDER BY 1""",
 
     "q_sample_hash" ->
-      """SELECT l_returnflag, count(*) AS n,
+      s"""SELECT l_returnflag, count(*) AS n,
                 CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS gross
-         FROM lineitem WHERE ((l_orderkey % 3037000499) * 2654435761) % 97 = 3
+         FROM lineitem WHERE (${PortableHash.mix64Sql("l_orderkey")}) % 97 = 3
          GROUP BY 1 ORDER BY 1""",
 
     "q_window_frame" ->
@@ -5518,22 +5593,22 @@ object SparkEntry {
          FROM lineitem""",
 
     "q_weighted_sample" ->
-      """SELECT source, doc_id FROM (
+      s"""SELECT source, doc_id FROM (
            SELECT source, doc_id,
                   row_number() OVER (
                     PARTITION BY source
-                    ORDER BY round(ln(((doc_id * 2654435761) % 1000000007 + 1) / 1000000008.0)
+                    ORDER BY round(ln((${PortableHash.keyHashSql("doc_id")} + 1) / 1000000008.0)
                                    / n_chars, 9) DESC, doc_id) AS rn
            FROM documents)
          WHERE rn <= 10 ORDER BY source, doc_id""",
 
     // window-twin oracle for the bounded-heap grouped top-k
     "q_source_quota" ->
-      """SELECT source, doc_id FROM (
+      s"""SELECT source, doc_id FROM (
            SELECT source, doc_id,
                   row_number() OVER (
                     PARTITION BY source
-                    ORDER BY (doc_id * 2654435761) % 1000000007 DESC, doc_id) AS rn
+                    ORDER BY ${PortableHash.keyHashSql("doc_id")} DESC, doc_id) AS rn
            FROM documents)
          WHERE rn <= 20 ORDER BY source, doc_id""",
 
@@ -5688,6 +5763,8 @@ object SparkEntry {
                   * ln(((CAST(b.cr AS DOUBLE) + 0.5) / (n_ref + 5.0))
                        / ((CAST(b.cc AS DOUBLE) + 0.5) / (CAST(n_events AS DOUBLE) + 5.0))))), 6) AS psi
          FROM one, tot ORDER BY bucket""",
+
+    "q_wasserstein_stream" -> wassersteinStreamSql,
 
     "q_json_extract" -> jsonExtractSql,
     "q_like_search" -> likeSearchSql,
@@ -6097,10 +6174,10 @@ object SparkEntry {
          ORDER BY gap_start""",
 
     "q_stratified_sample" ->
-      """SELECT l_returnflag, count(*) AS n,
+      s"""SELECT l_returnflag, count(*) AS n,
                 CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS gross
          FROM lineitem
-         WHERE ((l_orderkey % 3037000499) * 2654435761 + l_linenumber)
+         WHERE (${PortableHash.mix64Sql("l_orderkey")} + l_linenumber)
                % (CASE l_returnflag WHEN 'A' THEN 7 WHEN 'N' THEN 13 ELSE 3 END) = 0
          GROUP BY 1 ORDER BY 1""",
 
@@ -6133,7 +6210,7 @@ object SparkEntry {
     // Same recursive-CTE clusters joined with the doc-id-hash split rule;
     // leaky = a cluster whose members span more than one split.
     "q_split_leakage" ->
-      """WITH RECURSIVE pairs AS (
+      s"""WITH RECURSIVE pairs AS (
            SELECT doc_a, doc_b FROM (
              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                     round(len(list_intersect(a.toks, b.toks)) * 1.0
@@ -6149,8 +6226,8 @@ object SparkEntry {
            SELECT r.v, e.b FROM reach r JOIN edges e ON r.r = e.a),
          clusters AS (SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1),
          sp AS (SELECT doc_id,
-                       CASE WHEN (doc_id * 2654435761) % 1000000007 % 100 < 90 THEN 'train'
-                            WHEN (doc_id * 2654435761) % 1000000007 % 100 < 95 THEN 'val'
+                       CASE WHEN ${PortableHash.keyHashSql("doc_id")} % 100 < 90 THEN 'train'
+                            WHEN ${PortableHash.keyHashSql("doc_id")} % 100 < 95 THEN 'val'
                             ELSE 'test' END AS split
                 FROM documents),
          per AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_docs,
@@ -6194,7 +6271,7 @@ object SparkEntry {
     // The remedy's oracle: same clusters, split on the cluster-root hash,
     // per-split rollup plus the recomputed leak_free re-audit.
     "q_split_by_cluster" ->
-      """WITH RECURSIVE pairs AS (
+      s"""WITH RECURSIVE pairs AS (
            SELECT doc_a, doc_b FROM (
              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                     round(len(list_intersect(a.toks, b.toks)) * 1.0
@@ -6210,8 +6287,8 @@ object SparkEntry {
            SELECT r.v, e.b FROM reach r JOIN edges e ON r.r = e.a),
          clusters AS (SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1),
          a AS (SELECT d.doc_id, c.cluster_id,
-                      CASE WHEN (coalesce(c.cluster_id, d.doc_id) * 2654435761) % 1000000007 % 100 < 90 THEN 'train'
-                           WHEN (coalesce(c.cluster_id, d.doc_id) * 2654435761) % 1000000007 % 100 < 95 THEN 'val'
+                      CASE WHEN ${PortableHash.keyHashSql("coalesce(c.cluster_id, d.doc_id)")} % 100 < 90 THEN 'train'
+                           WHEN ${PortableHash.keyHashSql("coalesce(c.cluster_id, d.doc_id)")} % 100 < 95 THEN 'val'
                            ELSE 'test' END AS split
                FROM documents d LEFT JOIN clusters c USING (doc_id)),
          per AS (SELECT cluster_id, count(DISTINCT split) AS n_splits
@@ -6333,7 +6410,7 @@ object SparkEntry {
     // Sharded shuffle: the same overflow-proof Knuth scramble in plain
     // BIGINT arithmetic; per-shard ordering replayed with a window.
     "q_shard_shuffle" ->
-      """WITH k AS (SELECT doc_id, (doc_id % 3037000493) * 2654435761 % 3037000493 AS key
+      s"""WITH k AS (SELECT doc_id, ${PortableHash.shardKeySql("doc_id")} AS key
                     FROM documents)
          SELECT doc_id, CAST(key % 16 AS BIGINT) AS shard,
                 row_number() OVER (PARTITION BY key % 16 ORDER BY key, doc_id) AS pos
@@ -6497,17 +6574,17 @@ object SparkEntry {
          FROM c GROUP BY source ORDER BY source""",
 
     "q_table_diff" ->
-      """WITH base AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),
+      s"""WITH base AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),
               kept AS (SELECT o_orderkey,
                               CASE WHEN o_orderpriority = '1-URGENT'
                                    THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.1 AS DECIMAL(18,2)) AS DOUBLE)
                                    ELSE o_totalprice END AS o_totalprice,
                               o_orderstatus
                        FROM orders
-                       WHERE (o_orderkey % 3037000499 * 2654435761) % 1000000007 % 97 <> 3),
+                       WHERE (${PortableHash.mix64Sql("o_orderkey")}) % ${PortableHash.P} % 97 <> 3),
               added AS (SELECT o_orderkey + 10000000 AS o_orderkey, o_totalprice, o_orderstatus
                         FROM orders
-                        WHERE (o_orderkey % 3037000499 * 2654435761) % 1000000007 % 101 = 5),
+                        WHERE (${PortableHash.mix64Sql("o_orderkey")}) % ${PortableHash.P} % 101 = 5),
               nxt AS (SELECT * FROM kept UNION ALL SELECT * FROM added)
          SELECT CASE WHEN a.o_totalprice IS NULL THEN 'added'
                      WHEN b.o_totalprice IS NULL THEN 'removed'
@@ -6562,8 +6639,8 @@ object SparkEntry {
     // mirror the exact arithmetic: 6-dp sigma before allocation, exact
     // decimal normalizer, identical op order in the rate expression
     "q_neyman_sample" ->
-      """WITH b AS (SELECT o_orderstatus AS s, o_totalprice AS v,
-                           (o_orderkey * 2654435761) % 1000000007 AS u
+      s"""WITH b AS (SELECT o_orderstatus AS s, o_totalprice AS v,
+                           ${PortableHash.keyHashSql("o_orderkey")} AS u
                     FROM orders),
               st AS (SELECT s, count(*) AS n_rows, round(stddev_samp(v), 6) AS sigma
                      FROM b GROUP BY s),
@@ -6616,9 +6693,9 @@ object SparkEntry {
          FROM b ORDER BY doc_id""",
 
     "q_dataset_split" ->
-      """SELECT source,
-                CASE WHEN (doc_id * 2654435761) % 1000000007 % 100 < 90 THEN 'train'
-                     WHEN (doc_id * 2654435761) % 1000000007 % 100 < 95 THEN 'val'
+      s"""SELECT source,
+                CASE WHEN ${PortableHash.keyHashSql("doc_id")} % 100 < 90 THEN 'train'
+                     WHEN ${PortableHash.keyHashSql("doc_id")} % 100 < 95 THEN 'val'
                      ELSE 'test' END AS split,
                 count(*) AS n_docs,
                 CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
@@ -7556,6 +7633,29 @@ object SparkEntry {
                 round(CAST(se AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0), 6) AS bias
          FROM g ORDER BY model""",
 
+    // Matched-day MASE: both lag sources joined per model, HUGEINT |err|
+    // sums, the identical guarded division chains.
+    "q_forecast_skill" ->
+      """WITH s AS (SELECT CAST(o_orderdate AS DATE) AS d,
+                           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS rev
+                    FROM orders GROUP BY 1),
+              e AS (SELECT CAST(date_diff('day', DATE '1970-01-01', d) AS BIGINT) AS dn,
+                           CAST(rev * 100 AS HUGEINT) AS rc FROM s),
+              l AS (SELECT 'lag_1' AS model, abs(a.rc - f.rc) AS aerr, abs(a.rc - b.rc) AS berr
+                    FROM e a JOIN e f ON a.dn = f.dn + 1 JOIN e b ON a.dn = b.dn + 7
+                    UNION ALL
+                    SELECT 'lag_7' AS model, abs(a.rc - f.rc) AS aerr, abs(a.rc - b.rc) AS berr
+                    FROM e a JOIN e f ON a.dn = f.dn + 7 JOIN e b ON a.dn = b.dn + 7),
+              g AS (SELECT model, CAST(count(*) AS HUGEINT) AS n,
+                           sum(aerr) AS sae, sum(berr) AS sbe
+                    FROM l GROUP BY 1)
+         SELECT model, CAST(n AS BIGINT) AS n_days,
+                round(CAST(sae AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0), 6) AS mae,
+                round(CAST(sbe AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0), 6) AS baseline_mae,
+                CASE WHEN sbe > 0 THEN round(CAST(sae AS DOUBLE) / CAST(sbe AS DOUBLE), 6) END AS mase,
+                CASE WHEN sbe > 0 THEN round(1.0 - CAST(sae AS DOUBLE) / CAST(sbe AS DOUBLE), 6) END AS skill
+         FROM g ORDER BY model""",
+
     // Segment rides every key of the same exact-cents panel algebra.
     "q_forecast_backtest_by_priority" ->
       """WITH s AS (SELECT o_orderpriority AS seg, CAST(o_orderdate AS DATE) AS d,
@@ -7820,6 +7920,41 @@ object SparkEntry {
                   / sqrt(CAST(vnum AS DOUBLE) / 18.0) END, 6) AS z_stat,
                 (SELECT sl FROM med) AS sen_slope
          FROM nn, sg, vv""",
+
+    // Grouped seasonal twin: the Hirsch–Slack chains with the segment
+    // riding every key — same-weekday pairs within each segment,
+    // per-(segment, season) variance/tie terms rolled up per segment,
+    // per-segment rank-(m+1)//2 Sen pick.
+    "q_mann_kendall_seasonal_by_priority" ->
+      """WITH s AS (SELECT o_orderpriority AS seg, CAST(o_orderdate AS DATE) AS d,
+                           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS rev
+                    FROM orders GROUP BY 1, 2),
+              e AS (SELECT seg, CAST(date_diff('day', DATE '1970-01-01', d) % 7 AS BIGINT) AS w,
+                           CAST(date_diff('day', DATE '1970-01-01', d) AS BIGINT) AS dn,
+                           CAST(rev * 100 AS HUGEINT) AS rc FROM s),
+              p AS (SELECT a.seg, a.dn AS i, b.dn AS j, a.rc AS xi, b.rc AS xj
+                    FROM e a JOIN e b ON a.seg = b.seg AND a.w = b.w AND b.dn > a.dn),
+              sg AS (SELECT seg, CAST(sum(CASE WHEN xj > xi THEN 1 WHEN xj < xi THEN -1 ELSE 0 END) AS BIGINT) AS sv,
+                            CAST(count(*) AS BIGINT) AS m FROM p GROUP BY 1),
+              nn AS (SELECT seg, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 1),
+              vb AS (SELECT seg, CAST(sum(nw * (nw - 1) * (nw * 2 + 5)) AS HUGEINT) AS vbase
+                     FROM (SELECT seg, CAST(count(*) AS HUGEINT) AS nw FROM e GROUP BY seg, w) q
+                     GROUP BY 1),
+              tc AS (SELECT seg, CAST(coalesce(sum(CAST(t AS HUGEINT) * (t - 1) * (t * 2 + 5)), 0) AS HUGEINT) AS ties
+                     FROM (SELECT seg, count(*) AS t FROM e GROUP BY seg, w, rc) q GROUP BY 1),
+              sl AS (SELECT seg, CAST(xj - xi AS DOUBLE) / (100.0 * (j - i)) AS sl,
+                            row_number() OVER (PARTITION BY seg ORDER BY CAST(xj - xi AS DOUBLE) / (100.0 * (j - i))) AS rn
+                     FROM p),
+              med AS (SELECT sl.seg, sl.sl FROM sl JOIN sg ON sl.seg = sg.seg
+                      WHERE sl.rn = (sg.m + 1) // 2)
+         SELECT nn.seg AS segment, n AS n_days, sv AS s_stat,
+                round(CASE WHEN vbase - ties > 0 THEN
+                  (CAST(sv AS DOUBLE) - (CASE WHEN sv > 0 THEN 1.0 WHEN sv < 0 THEN -1.0 ELSE 0.0 END))
+                  / sqrt(CAST(vbase - ties AS DOUBLE) / 18.0) END, 6) AS z_stat,
+                med.sl AS sen_slope
+         FROM nn JOIN sg ON nn.seg = sg.seg JOIN vb ON nn.seg = vb.seg
+                 JOIN tc ON nn.seg = tc.seg JOIN med ON nn.seg = med.seg
+         ORDER BY segment""",
 
     // Grouped twin: segment rides every chain; the Sen median is the
     // identical per-segment rank-(m+1)//2 pick (row_number vs m join).
@@ -9089,7 +9224,7 @@ object SparkEntry {
 
     // Luhn: identical integer fold over digit positions from the right.
     "q_luhn_check" ->
-      """WITH acct AS (SELECT lpad(CAST(o_orderkey % 3037000499 * 2654435761 % 10000000000000000 AS VARCHAR), 16, '0') AS a
+      s"""WITH acct AS (SELECT lpad(CAST(${PortableHash.mix64Sql("o_orderkey")} % 10000000000000000 AS VARCHAR), 16, '0') AS a
                        FROM orders),
               v AS (SELECT list_sum([CASE WHEN x > 9 THEN x - 9 ELSE x END
                                      FOR x IN [CASE WHEN i % 2 = 0
@@ -9343,18 +9478,57 @@ object SparkEntry {
     * [[graft.operators.Bootstrap.PoissonCutoffs]] — the shared-constant
     * pattern ([[graft.operators.Curation.JsVocabSize]]), so the two
     * engines' inverse-CDF draws cannot silently diverge. */
+  /** Oracle for the streaming W1 monitor: same rank-rule reference
+    * deciles as `q_events_psi_stream`, then the SAME fixed left-to-right
+    * 8-term chain of exact-integer ECDF numerators × edge gaps the Spark
+    * side folds (HUGEINT twins DECIMAL(38,0); parity is true by
+    * construction in a batch replay). Generated by loop so the 9 cum
+    * columns and 8 terms cannot drift between engines. */
+  private lazy val wassersteinStreamSql: String = {
+    val eCases = (1 to 9).map(k =>
+      s"max(CASE WHEN rn = (${k * 10}*n+99)//100 THEN v END) AS e$k")
+      .mkString(",\n                    ")
+    val binExpr = (1 to 9).map(k => s"(CASE WHEN v > e$k THEN 1 ELSE 0 END)")
+      .mkString("\n                          + ")
+    val refCums = (0 to 8).map(i =>
+      s"sum(CASE WHEN bin <= $i THEN 1 ELSE 0 END) AS r$i")
+      .mkString(",\n                      ")
+    val curCums = (0 to 8).map(i =>
+      s"sum(CASE WHEN bin <= $i THEN 1 ELSE 0 END) AS c$i")
+      .mkString(",\n                      ")
+    val terms = (0 to 7).map(i =>
+      s"CAST(abs(CAST(c$i AS HUGEINT) * n_ref - CAST(r$i AS HUGEINT) * n_events) AS DOUBLE) * (e${i + 2} - e${i + 1})")
+      .mkString("\n                 + ")
+    s"""WITH v AS (SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
+                          CAST(value AS DOUBLE) AS v
+                   FROM events WHERE value IS NOT NULL),
+             r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn, count(*) OVER () AS n FROM v),
+             e AS (SELECT $eCases
+                   FROM r),
+             bb AS (SELECT bucket, $binExpr AS bin
+                    FROM v, e),
+             ref AS (SELECT $refCums,
+                      count(*) AS n_ref FROM bb),
+             cur AS (SELECT bucket, $curCums,
+                      count(*) AS n_events FROM bb GROUP BY bucket)
+        SELECT bucket, CAST(n_events AS BIGINT) AS n_events,
+               round(($terms)
+                     / CAST(CAST(n_ref AS HUGEINT) * n_events AS DOUBLE), 6) AS w1,
+               true AS parity_ok
+        FROM cur, ref, e ORDER BY bucket"""
+  }
+
   private lazy val bootstrapCiSql: String = {
     val w = graft.operators.Bootstrap.PoissonCutoffs
       .map(c => s"(CASE WHEN u >= $c THEN 1 ELSE 0 END)").mkString(" + ")
     s"""WITH b AS (SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(18,2)) AS v
                    FROM orders WHERE o_totalprice IS NOT NULL),
             r AS (SELECT v,
-                         ((k % 1000000007 + 1000000007) % 1000000007)
-                           * 2654435761 % 1000000007 AS h,
+                         ${PortableHash.keyHashSql("k")} AS h,
                          unnest(range(0, 64)) AS j FROM b),
             x AS (SELECT v, j, (h + j * 1000003) % 1000000007 AS x FROM r),
             u AS (SELECT v, j,
-                         (((x * x) % 1000000007) * 2654435761 + x) % 1000000007 AS u
+                         ${PortableHash.replicateUniformSqlX("x")} AS u
                   FROM x),
             w AS (SELECT v, j, $w AS w FROM u),
             pr AS (SELECT j, CASE WHEN sum(w) > 0
@@ -9381,12 +9555,11 @@ object SparkEntry {
     s"""WITH b AS (SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(18,2)) AS v
                    FROM orders WHERE o_totalprice IS NOT NULL),
             r AS (SELECT v,
-                         ((k % 1000000007 + 1000000007) % 1000000007)
-                           * 2654435761 % 1000000007 AS h,
+                         ${PortableHash.keyHashSql("k")} AS h,
                          unnest(range(0, 64)) AS j FROM b),
             x AS (SELECT v, j, (h + j * 1000003) % 1000000007 AS x FROM r),
             u AS (SELECT v, j,
-                         (((x * x) % 1000000007) * 2654435761 + x) % 1000000007 AS u
+                         ${PortableHash.replicateUniformSqlX("x")} AS u
                   FROM x),
             w AS (SELECT v, j, $w AS w FROM u),
             cw AS (SELECT j, v,
@@ -9420,12 +9593,11 @@ object SparkEntry {
                           CAST(o_totalprice AS DECIMAL(18,2)) AS v
                    FROM orders WHERE o_totalprice IS NOT NULL),
             r AS (SELECT g, v,
-                         ((k % 1000000007 + 1000000007) % 1000000007)
-                           * 2654435761 % 1000000007 AS h,
+                         ${PortableHash.keyHashSql("k")} AS h,
                          unnest(range(0, 64)) AS j FROM b),
             x AS (SELECT g, v, j, (h + j * 1000003) % 1000000007 AS x FROM r),
             u AS (SELECT g, v, j,
-                         (((x * x) % 1000000007) * 2654435761 + x) % 1000000007 AS u
+                         ${PortableHash.replicateUniformSqlX("x")} AS u
                   FROM x),
             w AS (SELECT g, v, j, $w AS w FROM u),
             cw AS (SELECT g, j, v,
@@ -9463,12 +9635,11 @@ object SparkEntry {
                    FROM orders
                    WHERE o_totalprice IS NOT NULL AND o_custkey IS NOT NULL),
             r AS (SELECT arm, v,
-                         ((k % 1000000007 + 1000000007) % 1000000007)
-                           * 2654435761 % 1000000007 AS h,
+                         ${PortableHash.keyHashSql("k")} AS h,
                          unnest(range(0, 64)) AS j FROM b),
             x AS (SELECT arm, v, j, (h + j * 1000003) % 1000000007 AS x FROM r),
             u AS (SELECT arm, v, j,
-                         (((x * x) % 1000000007) * 2654435761 + x) % 1000000007 AS u
+                         ${PortableHash.replicateUniformSqlX("x")} AS u
                   FROM x),
             w AS (SELECT arm, v, j, $w AS w FROM u),
             pr AS (SELECT j,
@@ -9510,12 +9681,11 @@ object SparkEntry {
                           CAST(value AS DECIMAL(18,2)) AS v
                    FROM events WHERE value IS NOT NULL),
             r AS (SELECT g, v,
-                         ((k % 1000000007 + 1000000007) % 1000000007)
-                           * 2654435761 % 1000000007 AS h,
+                         ${PortableHash.keyHashSql("k")} AS h,
                          unnest(range(0, 64)) AS j FROM b),
             x AS (SELECT g, v, j, (h + j * 1000003) % 1000000007 AS x FROM r),
             u AS (SELECT g, v, j,
-                         (((x * x) % 1000000007) * 2654435761 + x) % 1000000007 AS u
+                         ${PortableHash.replicateUniformSqlX("x")} AS u
                   FROM x),
             w AS (SELECT g, v, j, $w AS w FROM u),
             pr AS (SELECT g, j, CASE WHEN sum(w) > 0
@@ -9543,12 +9713,11 @@ object SparkEntry {
                    FROM orders
                    WHERE o_totalprice IS NOT NULL AND o_custkey IS NOT NULL),
             r AS (SELECT g, arm, v,
-                         ((k % 1000000007 + 1000000007) % 1000000007)
-                           * 2654435761 % 1000000007 AS h,
+                         ${PortableHash.keyHashSql("k")} AS h,
                          unnest(range(0, 64)) AS j FROM b),
             x AS (SELECT g, arm, v, j, (h + j * 1000003) % 1000000007 AS x FROM r),
             u AS (SELECT g, arm, v, j,
-                         (((x * x) % 1000000007) * 2654435761 + x) % 1000000007 AS u
+                         ${PortableHash.replicateUniformSqlX("x")} AS u
                   FROM x),
             w AS (SELECT g, arm, v, j, $w AS w FROM u),
             pr AS (SELECT g, j,
@@ -9589,12 +9758,11 @@ object SparkEntry {
                           CAST(o_totalprice AS DECIMAL(18,2)) AS v
                    FROM orders WHERE o_totalprice IS NOT NULL),
             r AS (SELECT g, v,
-                         ((k % 1000000007 + 1000000007) % 1000000007)
-                           * 2654435761 % 1000000007 AS h,
+                         ${PortableHash.keyHashSql("k")} AS h,
                          unnest(range(0, 64)) AS j FROM b),
             x AS (SELECT g, v, j, (h + j * 1000003) % 1000000007 AS x FROM r),
             u AS (SELECT g, v, j,
-                         (((x * x) % 1000000007) * 2654435761 + x) % 1000000007 AS u
+                         ${PortableHash.replicateUniformSqlX("x")} AS u
                   FROM x),
             w AS (SELECT g, v, j, $w AS w FROM u),
             pr AS (SELECT g, j, CASE WHEN sum(w) > 0
@@ -9783,7 +9951,7 @@ object SparkEntry {
       .map { case (src, w) => s"WHEN '$src' THEN $w" }.mkString(" ")
     val wsum = MixtureWeights.values.sum
     s"""WITH d AS (SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
-                          (doc_id * 2654435761) % 1000000007 AS u
+                          ${PortableHash.keyHashSql("doc_id")} AS u
                    FROM documents),
              a AS (SELECT source, CAST(sum(n_toks) AS BIGINT) AS avail FROM d GROUP BY source),
              t AS (SELECT CAST(sum(avail) AS DOUBLE) AS total FROM a),

@@ -43,8 +43,8 @@ case class PoissonWeightSums(
 
   require(replicates >= 1, s"poisson_weight_sums: replicates must be >= 1, got $replicates")
 
-  private val P = 1000000007L
-  private val A = 2654435761L
+  private val P = PortableHash.P
+  private val A = PortableHash.A
 
   override def children: Seq[Expression] = Seq(hashExpr)
   override def nullable: Boolean = false
@@ -151,8 +151,8 @@ case class PoissonWeightedSums(
 
   require(replicates >= 1, s"poisson_weighted_sums: replicates must be >= 1, got $replicates")
 
-  private val P = 1000000007L
-  private val A = 2654435761L
+  private val P = PortableHash.P
+  private val A = PortableHash.A
 
   override def children: Seq[Expression] = Seq(hashExpr, centsExpr)
   override def nullable: Boolean = false

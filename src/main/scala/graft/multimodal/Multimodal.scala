@@ -89,7 +89,7 @@ object Multimodal {
   def syntheticPng(seed: Long, w: Int, h: Int, perturb: Boolean = false): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-    val s = seed * 2654435761L
+    val s = seed * graft.functions.PortableHash.A
     var y = 0
     while (y < h) {
       var x = 0

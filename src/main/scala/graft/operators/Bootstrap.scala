@@ -59,7 +59,7 @@ import graft.functions.dec2
   * statistics on both engines. */
 object Bootstrap {
 
-  private val HashPrime = 1000000007L
+  private val HashPrime = graft.functions.PortableHash.P
 
   /** floor(CDF_Poisson(1)(w) · P) for w = 0..8 — the integer cutoffs of
     * the inverse-CDF draw, shared verbatim with the SQL oracle (the
@@ -86,20 +86,14 @@ object Bootstrap {
     * (Spark pmod is non-negative; the oracle spells the same thing as
     * `(k % P + P) % P`). Property-tested against a BigInt reference at
     * keys bracketing the old overflow boundary. */
-  def keyHash(key: Column): Column =
-    pmod(pmod(key, lit(HashPrime)) * lit(2654435761L), lit(HashPrime))
+  def keyHash(key: Column): Column = graft.functions.PortableHash.keyHash(key)
 
   /** Per-replicate uniform draw u ∈ [0, P) from the key hash `h` and
-    * replicate index `j`: one quadratic mixing round
-    * u = ((x² mod P)·A + x) mod P over x = (h + j·1000003) mod P —
-    * breaks the linear-congruential lattice that quasi-stratified
-    * weights within a replicate (see file header), every intermediate
-    * < P² < 10¹⁸ on both engines. */
-  def replicateUniform(h: Column, j: Column): Column = {
-    val p = lit(HashPrime)
-    val x = pmod(h + j * lit(1000003L), p)
-    pmod(pmod(x * x, p) * lit(2654435761L) + x, p)
-  }
+    * replicate index `j` — forwarder to
+    * [[graft.functions.PortableHash.replicateUniform]] (one quadratic
+    * mixing round; see the file header for why linear draws under-cover). */
+  def replicateUniform(h: Column, j: Column): Column =
+    graft.functions.PortableHash.replicateUniform(h, j)
 
   /** One-row result: `n`, the exact-decimal `mean` of `value`, and the
     * [`ci_lo`, `ci_hi`] percentile bootstrap interval at level `alpha`

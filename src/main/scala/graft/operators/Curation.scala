@@ -13,9 +13,13 @@ import graft.functions.{distinctTokens, tokens, TextAnalysis}
   * chains between raw scan and tokenizer.
   *
   * All sampling decisions use the repo's portable deterministic hash
-  * `(doc_id · 2654435761) mod 1000000007` so every engine (and every
-  * re-run) draws the same sample — reproducibility is a correctness
-  * property for dataset releases, not a convenience.
+  * [[graft.functions.PortableHash.keyHash]]
+  * (`((doc_id mod P) · A) mod P`, P = 1000000007, A = 2654435761) so
+  * every engine (and every re-run) draws the same sample —
+  * reproducibility is a correctness property for dataset releases, not
+  * a convenience — and every intermediate stays in BIGINT for arbitrary
+  * doc ids (the round-10 bootstrap overflow lesson, swept here in
+  * round 11).
   */
 object Curation {
 
@@ -24,10 +28,10 @@ object Curation {
     * operator and the SQL replay cannot silently drift. */
   val JsVocabSize = 256
 
-  private val HashPrime = 1000000007L
+  private val HashPrime = graft.functions.PortableHash.P
 
   private def docHash(c: org.apache.spark.sql.Column) =
-    pmod(c * lit(2654435761L), lit(HashPrime))
+    graft.functions.PortableHash.keyHash(c)
 
   /** Dolma/Pile-style source mixing: given target mixture `weights` and a
     * token budget (`budgetFrac` of the total corpus), derive each source's

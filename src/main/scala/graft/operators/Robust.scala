@@ -505,7 +505,9 @@ object Robust {
     * `totalSamples` rows split across strata ∝ N_h·σ_h (bigger, more
     * variable strata get more samples — the minimum-variance allocation
     * for estimating the population mean), then drawn per stratum with the
-    * repo's deterministic integer hash cut.
+    * repo's deterministic integer hash cut
+    * ([[graft.functions.PortableHash.keyHash]] — overflow-safe for
+    * arbitrary BIGINT keys).
     *
     * Portability: σ_h is rounded to 6 dp BEFORE allocation (a raw
     * one-pass stddev differs across engines in the last bits), and the
@@ -520,7 +522,7 @@ object Robust {
       totalSamples: Long): DataFrame = {
     val base = df.select(
       col(stratumCol).as("__s"), value.cast(DoubleType).as("__v"),
-      pmod(hashKey * lit(2654435761L), lit(1000000007L)).as("__u"))
+      graft.functions.PortableHash.keyHash(hashKey).as("__u"))
     val stats = base.groupBy("__s").agg(
       count(lit(1)).as("n_rows"),
       round(stddev_samp(col("__v")), 6).as("sigma"))
@@ -556,7 +558,9 @@ object Robust {
     * dropped, matching the [[weightedMedian]] contract. PRECONDITION:
     * `rowsRaw` must be deterministic across re-evaluation — the summary
     * and the slice are two scans of it (see [[robustStats]]). */
-  private[operators] def bitValuesAtRanks(rowsRaw: DataFrame, pcts: Seq[Int]): DataFrame = {
+  private[operators] def bitValuesAtRanks(
+      rowsRaw: DataFrame, pcts: Seq[Int],
+      extraSums: Seq[String] = Nil): DataFrame = {
     import graft.functions.BitGrid.bitBucket
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
@@ -571,13 +575,21 @@ object Robust {
     // so the rank-bracket arithmetic runs driver-side on the same table
     // (the robustStats argument; the former checkpoint + windows +
     // explode chain paid three extra barrier jobs for the same rows).
+    // `extraSums` columns (LongType, by name) ride this same scan as
+    // map-side partial sums — a caller needing Σ of a companion column
+    // (Mann–Kendall's S over the pair rows) gets it for free instead of
+    // paying one more regeneration of an expensive input; summed over
+    // the non-null-`v` rows only, per group, exact long arithmetic.
+    val sumAggs = Seq(sum(col("w")).as("__c"),
+      min(col("v")).as("__vmin"), max(col("v")).as("__vmax")) ++
+      extraSums.map(c => sum(col(c)).as(s"__es_$c"))
     val summary = rows.groupBy(col("__g"), col("__bkt"))
-      .agg(sum(col("w")).as("__c"),
-        min(col("v")).as("__vmin"), max(col("v")).as("__vmax"))
+      .agg(sumAggs.head, sumAggs.tail: _*)
     val sSchema = summary.schema
     final case class T(g: Any, bkt: Long, p: Int, resid: Long, tot: Long,
       vmin: Any, vmax: Any, c: Long)
-    val targets = collectSummary(summary, "bitValuesAtRanks")
+    val collected = collectSummary(summary, "bitValuesAtRanks")
+    val targets = collected
       .groupBy(_.get(0)).iterator.flatMap {
       case (g, rs) =>
         val bs = rs.sortBy(_.getLong(1)) // bucket order IS value order
@@ -621,12 +633,29 @@ object Robust {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val aggs = max(col("__tot")).as("n") +: pcts.map(p =>
       min(when(col("__p") === p && col("__cum") >= col("__resid"), col("v"))).as(s"q_$p"))
-    rows.join(broadcast(liveDf), Seq("__g", "__bkt"))
+    val base = rows.join(broadcast(liveDf), Seq("__g", "__bkt"))
       .select(sliceCols: _*)
       .unionByName(injDf)
       .withColumn("__cum", sum(col("w")).over(wSlice))
       .groupBy(col("__g"))
       .agg(aggs.head, aggs.tail: _*)
+    if (extraSums.isEmpty) base
+    else {
+      // per-group extra totals folded driver-side from the ALREADY
+      // collected summary (exact long addition, order-free), broadcast
+      // back onto the |groups|-sized output
+      val exSchema = StructType(sSchema("__g").copy(name = "__g") +:
+        extraSums.map(c => StructField(s"__es_$c", LongType, nullable = false)))
+      val exRows = collected.groupBy(_.get(0)).map { case (g, rs) =>
+        Row.fromSeq(g +: extraSums.indices.map { k =>
+          rs.iterator.map(r =>
+            if (r.isNullAt(5 + k)) 0L else r.getLong(5 + k)).sum
+        })
+      }.toSeq
+      val exDf = rowsRaw.sparkSession.createDataFrame(
+        java.util.Arrays.asList(exRows: _*), exSchema)
+      base.join(broadcast(exDf), Seq("__g"))
+    }
   }
 
   /** Weighted (lower) median per group: the smallest value whose
@@ -660,6 +689,33 @@ object Robust {
       .filter(col("v").isNotNull)
     bitValuesAtRanks(rows, Seq(50))
       .select(col("__g").as(groupCol), col("q_50").as("w_median"))
+      .orderBy(groupCol)
+  }
+
+  /** [[weightedMedian]] plus exact long sums of companion columns riding
+    * the SAME grid-summary scan — for callers whose input is expensive
+    * to regenerate and who otherwise pay one more full pass just to
+    * total a column: Mann–Kendall consumes its O(days²) pair domain for
+    * BOTH the Sen-median selection and the S = Σ sign aggregation, and
+    * the selection's summary pass already reads every pair row, so S is
+    * one more map-side long riding it (one fewer broadcast-nested-loop
+    * regeneration; measured in tools/ProbeMk). Returns
+    * `(groupCol, w_median, n_rows, <name>...)` — n_rows is the group's
+    * total weight; each <name> is Σ cast-to-long of its column over the
+    * group's non-null-`value` rows. Groups with zero total weight DROP
+    * (the [[weightedMedian]] contract). */
+  def weightedMedianWithSums(
+      df: DataFrame, groupCol: String, value: Column, weight: Column,
+      sums: Seq[(String, Column)]): DataFrame = {
+    require(sums.nonEmpty, "weightedMedianWithSums: use weightedMedian for no sums")
+    val rows = df.select(Seq(col(groupCol).as("__g"), value.as("v"),
+        weight.cast(LongType).as("w")) ++
+        sums.map { case (n, c) => c.cast(LongType).as(s"__x$n") }: _*)
+      .filter(col("v").isNotNull)
+    bitValuesAtRanks(rows, Seq(50), sums.map { case (n, _) => s"__x$n" })
+      .select(Seq(col("__g").as(groupCol), col("q_50").as("w_median"),
+        col("n").as("n_rows")) ++
+        sums.map { case (n, _) => col(s"__es___x$n").as(n) }: _*)
       .orderBy(groupCol)
   }
 

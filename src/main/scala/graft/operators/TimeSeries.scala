@@ -951,22 +951,23 @@ object TimeSeries {
       when(col("j") > col("i"),
         (col("xj") - col("xi")).cast(DoubleType) /
           (lit(100.0) * (col("j") - col("i")))).as("sl"))
-    val sAgg = slopes.agg(sum(col("__sgn")).as("s"), count(lit(1)).as("m"))
     val nAgg = series.agg(count(lit(1)).as("n_days"))
     val tieAgg = series.groupBy(col("__rc")).agg(count(lit(1)).as("t"))
       .agg(coalesce(sum(col("t").cast(dec38) * (col("t") - 1) * (col("t") * 2 + 5)),
         lit(0L).cast(dec38)).as("ties"))
-    // Sen's slope: the rank-⌈m/2⌉ discrete pick over the pair slopes via
-    // the distributed bit-grid selection (single constant group)
-    val sen = Robust.weightedMedian(slopes, "__one", col("sl"), lit(1L))
-      .select(col("w_median").as("sen_slope"))
+    // Sen's slope AND S in ONE consumption of the pair domain: the
+    // rank-⌈m/2⌉ grid selection's summary pass already scans every pair
+    // row, so Σ sign rides it as a fused long sum — one fewer BNLJ
+    // regeneration than the former separate sAgg (tools/ProbeMk).
+    val senS = Robust.weightedMedianWithSums(
+      slopes, "__one", col("sl"), lit(1L), Seq("s" -> col("__sgn")))
+      .select(col("w_median").as("sen_slope"), col("s"))
     val n = col("n_days").cast(dec38)
     val vnum = n * (n - 1) * (n * 2 + 5) - col("ties")
     val sD = col("s").cast(DoubleType)
     val cc = when(col("s") > 0, lit(1.0)).when(col("s") < 0, lit(-1.0))
       .otherwise(lit(0.0))
-    nAgg.crossJoin(broadcast(sAgg)).crossJoin(broadcast(tieAgg))
-      .crossJoin(broadcast(sen))
+    nAgg.crossJoin(broadcast(tieAgg)).crossJoin(broadcast(senS))
       .select(
         col("n_days"), col("s").as("s_stat"),
         round(when(vnum > 0, (sD - cc) /
@@ -1012,22 +1013,23 @@ object TimeSeries {
       when(col("j") > col("i"),
         (col("xj") - col("xi")).cast(DoubleType) /
           (lit(100.0) * (col("j") - col("i")))).as("sl"))
-    val sAgg = slopes.groupBy(col("seg")).agg(
-      sum(col("__sgn")).as("s"), count(lit(1)).as("m"))
     val nAgg = series.groupBy(col("seg")).agg(count(lit(1)).as("n_days"))
     val tieAgg = series.groupBy(col("seg"), col("__rc")).agg(count(lit(1)).as("t"))
       .groupBy(col("seg"))
       .agg(coalesce(sum(col("t").cast(dec38) * (col("t") - 1) * (col("t") * 2 + 5)),
         lit(0L).cast(dec38)).as("ties"))
-    val sen = Robust.weightedMedian(slopes, "seg", col("sl"), lit(1L))
-      .withColumnRenamed("w_median", "sen_slope")
+    // Sen + per-segment S fused into one pair-domain consumption (the
+    // mannKendallTrend fusion with the segment riding the group key)
+    val senS = Robust.weightedMedianWithSums(
+      slopes, "seg", col("sl"), lit(1L), Seq("s" -> col("__sgn")))
+      .select(col("seg"), col("w_median").as("sen_slope"), col("s"))
     val n = col("n_days").cast(dec38)
     val vnum = n * (n - 1) * (n * 2 + 5) - col("ties")
     val sD = col("s").cast(DoubleType)
     val cc = when(col("s") > 0, lit(1.0)).when(col("s") < 0, lit(-1.0))
       .otherwise(lit(0.0))
-    nAgg.join(broadcast(sAgg), "seg").join(broadcast(tieAgg), "seg")
-      .join(broadcast(sen), "seg")
+    nAgg.join(broadcast(tieAgg), "seg")
+      .join(broadcast(senS), "seg")
       .select(
         col("seg").as("segment"),
         col("n_days"), col("s").as("s_stat"),
@@ -1111,7 +1113,6 @@ object TimeSeries {
       when(col("j") > col("i"),
         (col("xj") - col("xi")).cast(DoubleType) /
           (lit(100.0) * (col("j") - col("i")))).as("sl"))
-    val sAgg = slopes.agg(sum(col("__sgn")).as("s"), count(lit(1)).as("m"))
     val nAgg = series.agg(count(lit(1)).as("n_days"))
     // Σ_w n_w(n_w−1)(2n_w+5): the per-season base variance terms
     val vBase = series.groupBy(col("w")).agg(count(lit(1)).cast(dec38).as("nw"))
@@ -1120,14 +1121,17 @@ object TimeSeries {
     val tieAgg = series.groupBy(col("w"), col("__rc")).agg(count(lit(1)).as("t"))
       .agg(coalesce(sum(col("t").cast(dec38) * (col("t") - 1) * (col("t") * 2 + 5)),
         lit(0L).cast(dec38)).as("ties"))
-    val sen = Robust.weightedMedian(slopes, "__one", col("sl"), lit(1L))
-      .select(col("w_median").as("sen_slope"))
+    // Sen + S fused into one pair-domain consumption (the
+    // mannKendallTrend fusion)
+    val senS = Robust.weightedMedianWithSums(
+      slopes, "__one", col("sl"), lit(1L), Seq("s" -> col("__sgn")))
+      .select(col("w_median").as("sen_slope"), col("s"))
     val vnum = col("vbase") - col("ties")
     val sD = col("s").cast(DoubleType)
     val cc = when(col("s") > 0, lit(1.0)).when(col("s") < 0, lit(-1.0))
       .otherwise(lit(0.0))
-    nAgg.crossJoin(broadcast(sAgg)).crossJoin(broadcast(vBase))
-      .crossJoin(broadcast(tieAgg)).crossJoin(broadcast(sen))
+    nAgg.crossJoin(broadcast(vBase))
+      .crossJoin(broadcast(tieAgg)).crossJoin(broadcast(senS))
       .select(
         col("n_days"), col("s").as("s_stat"),
         round(when(vnum > 0, (sD - cc) /
@@ -1153,6 +1157,73 @@ object TimeSeries {
     * broadcast self-join per lag on exact epoch-day arithmetic over
     * the calendar-bounded table, map-side-combined decimal sums —
     * |lags| rows out at any data scale. */
+  /** Per-`segmentCol` seasonal Mann–Kendall — each segment's own
+    * seasonality-immune "am I drifting?" (the grouped-gate convention
+    * applied to [[mannKendallSeasonal]], completing the family: seasonal
+    * CUSUM got its grouped form in round 10). Exactly the Hirsch–Slack
+    * algebra with the segment riding EVERY key: per-(segment, day)
+    * pre-agg, pairs equi-joined on (segment, weekday) (+ j > i) over the
+    * calendar-bounded day table — still SF-invariant and ~7× smaller
+    * than the unseasonal pair set — per-(segment, season) base-variance
+    * and tie terms rolled up per segment, and the per-segment Sen median
+    * AND S fused into ONE pair-domain consumption
+    * ([[Robust.weightedMedianWithSums]] keyed by segment). Segments with
+    * < 2 days in every season have no pairs and DROP (the
+    * [[mannKendallTrend]] EMPTY contract applied per segment). */
+  def mannKendallSeasonalBy(
+      df: DataFrame, segmentCol: Column, dateCol: Column,
+      moneyValue: Column): DataFrame = {
+    import graft.functions.dec2
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val series = df.groupBy(segmentCol.as("seg"), to_date(dateCol).as("d"))
+      .agg(sum(dec2(moneyValue)).cast("decimal(18,2)").as("rev"))
+      .select(col("seg"),
+        pmod(datediff(col("d"), lit("1970-01-01").cast("date")), lit(7))
+          .cast("long").as("w"),
+        datediff(col("d"), lit("1970-01-01").cast("date")).cast("long").as("__dn"),
+        (col("rev") * 100).cast(dec38).as("__rc"))
+      .localCheckpoint(false) // consumers: both pair sides, ties, counts
+    val l = series.select(col("seg"), col("w"), col("__dn").as("i"), col("__rc").as("xi"))
+    val r = series.select(col("seg").as("__sr"), col("w").as("w2"),
+      col("__dn").as("j"), col("__rc").as("xj"))
+    val pairs = l.join(broadcast(r),
+      col("seg") === col("__sr") && col("w") === col("w2") && col("j") > col("i"))
+    // Sign + slope in one projection, consumers regenerate (the
+    // mannKendallTrend decision). Same load-bearing when() guard.
+    val slopes = pairs.select(col("seg"),
+      when(col("xj") > col("xi"), 1L).when(col("xj") < col("xi"), -1L)
+        .otherwise(0L).as("__sgn"),
+      when(col("j") > col("i"),
+        (col("xj") - col("xi")).cast(DoubleType) /
+          (lit(100.0) * (col("j") - col("i")))).as("sl"))
+    val nAgg = series.groupBy(col("seg")).agg(count(lit(1)).as("n_days"))
+    val vBase = series.groupBy(col("seg"), col("w"))
+      .agg(count(lit(1)).cast(dec38).as("nw"))
+      .groupBy(col("seg"))
+      .agg(sum(col("nw") * (col("nw") - 1) * (col("nw") * 2 + 5)).as("vbase"))
+    val tieAgg = series.groupBy(col("seg"), col("w"), col("__rc"))
+      .agg(count(lit(1)).as("t"))
+      .groupBy(col("seg"))
+      .agg(coalesce(sum(col("t").cast(dec38) * (col("t") - 1) * (col("t") * 2 + 5)),
+        lit(0L).cast(dec38)).as("ties"))
+    val senS = Robust.weightedMedianWithSums(
+      slopes, "seg", col("sl"), lit(1L), Seq("s" -> col("__sgn")))
+      .select(col("seg"), col("w_median").as("sen_slope"), col("s"))
+    val vnum = col("vbase") - col("ties")
+    val sD = col("s").cast(DoubleType)
+    val cc = when(col("s") > 0, lit(1.0)).when(col("s") < 0, lit(-1.0))
+      .otherwise(lit(0.0))
+    nAgg.join(broadcast(vBase), "seg").join(broadcast(tieAgg), "seg")
+      .join(broadcast(senS), "seg")
+      .select(
+        col("seg").as("segment"),
+        col("n_days"), col("s").as("s_stat"),
+        round(when(vnum > 0, (sD - cc) /
+          sqrt(vnum.cast(DoubleType) / lit(18.0))), 6).as("z_stat"),
+        col("sen_slope"))
+      .orderBy(col("segment"))
+  }
+
   def forecastBacktest(
       df: DataFrame, dateCol: Column, moneyValue: Column,
       lags: Seq[Int] = Seq(1, 7)): DataFrame = {
@@ -1233,6 +1304,68 @@ object TimeSeries {
         round(col("__se").cast(DoubleType) /
           (col("n_days").cast(DoubleType) * lit(100.0)), 6).as("bias"))
       .orderBy(col("segment"), col("model"))
+  }
+
+  /** Forecast SKILL vs the seasonal-naive baseline — the judgment the
+    * backtest panel withholds: MAE says how wrong lag-L is, but only the
+    * ratio against the seasonal-naive says whether a model ADDS anything
+    * over "same weekday last week" (the Hyndman–Koehler 2006 MASE shape
+    * with the seasonal-naive denominator — the right yardstick for a
+    * weekly-cyclic series; a model that can't beat mase < 1 adds
+    * nothing). Evaluated on MATCHED days only (both the model's lag-L
+    * source and the baseline's lag-`baselineLag` source exist), so
+    * numerator and denominator score the SAME days — and mase(lag_7) ≡ 1
+    * rides along as a built-in self-check. skill = 1 − mase (positive =
+    * beats the baseline). A degenerate baseline (Σ|berr| = 0: the series
+    * IS exactly weekly-periodic) yields NULL mase/skill, not a division
+    * blow-up.
+    *
+    * Scale shape: the [[forecastBacktest]] day-domain pre-agg, TWO
+    * broadcast lag joins per model over the calendar-bounded day table
+    * (one more join on the domain the backtest already pays for); exact
+    * integer-cents |err| sums; the only doubles are the final mae/mase/
+    * skill divisions, each a fixed chain the oracle replays. */
+  def forecastSkill(
+      df: DataFrame, dateCol: Column, moneyValue: Column,
+      lags: Seq[Int] = Seq(1, 7), baselineLag: Int = 7): DataFrame = {
+    import graft.functions.dec2
+    require(lags.nonEmpty && lags.forall(_ >= 1), s"need lags >= 1, got $lags")
+    require(baselineLag >= 1, s"need baselineLag >= 1, got $baselineLag")
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val series = df.groupBy(to_date(dateCol).as("d"))
+      .agg(sum(dec2(moneyValue)).cast("decimal(18,2)").as("rev"))
+      .select(
+        datediff(col("d"), lit("1970-01-01").cast("date")).cast("long").as("__dn"),
+        (col("rev") * 100).cast(dec38).as("__rc"))
+      .localCheckpoint(false) // 3·|lags| pair-side consumers of one pre-agg
+    val scored = lags.map { lag =>
+      val f = series.select(col("__dn").as("__fdn"), col("__rc").as("__fc"))
+      val b = series.select(col("__dn").as("__bdn"), col("__rc").as("__bc"))
+      series
+        .join(broadcast(f), col("__dn") === col("__fdn") + lit(lag.toLong))
+        .join(broadcast(b), col("__dn") === col("__bdn") + lit(baselineLag.toLong))
+        .select(lit(s"lag_$lag").as("model"),
+          abs(col("__rc") - col("__fc")).as("aerr"),
+          abs(col("__rc") - col("__bc")).as("berr"))
+    }.reduce(_ unionByName _)
+    scored.groupBy(col("model")).agg(
+        count(lit(1)).as("n_days"),
+        sum(col("aerr")).as("__sae"),
+        sum(col("berr")).as("__sbe"))
+      .select(
+        col("model"), col("n_days"),
+        round(col("__sae").cast(DoubleType) /
+          (col("n_days").cast(DoubleType) * lit(100.0)), 6).as("mae"),
+        round(col("__sbe").cast(DoubleType) /
+          (col("n_days").cast(DoubleType) * lit(100.0)), 6).as("baseline_mae"),
+        when(col("__sbe") > 0,
+          round(col("__sae").cast(DoubleType) / col("__sbe").cast(DoubleType), 6))
+          .as("mase"),
+        when(col("__sbe") > 0,
+          round(lit(1.0) -
+            col("__sae").cast(DoubleType) / col("__sbe").cast(DoubleType), 6))
+          .as("skill"))
+      .orderBy(col("model"))
   }
 
   /** Last-touch revenue attribution: each `convType` event credits its

@@ -38,13 +38,14 @@ object TrainingOrder {
     * training shards and order each shard by a scrambled key — the layout
     * step that fixes a reproducible global training order AND its file
     * placement (shard = file, position = offset) without any RNG state.
-    * The scrambler is the overflow-proof Knuth multiplicative hash
-    * `(id mod p)·2654435761 mod p` (p = 3037000493, products stay under
-    * 2⁶³) — engine-portable integer math, so an external system can
-    * recompute any example's location from its id alone. */
+    * The scrambler is [[graft.functions.PortableHash.shardKey]] — the
+    * overflow-proof Knuth multiplicative hash `(id mod p)·A mod p`
+    * (p = 3037000493, products stay under 2⁶³) — engine-portable integer
+    * math, so an external system can recompute any example's location
+    * from its id alone. */
   def shardShuffle(docs: DataFrame, idCol: String, nShards: Int = 16): DataFrame = {
     require(nShards > 0, s"shardShuffle: nShards must be positive, got $nShards")
-    val key = (col(idCol) % 3037000493L) * 2654435761L % 3037000493L
+    val key = graft.functions.PortableHash.shardKey(col(idCol))
     val sharded = docs
       .select(col(idCol))
       .withColumn("__key", key)

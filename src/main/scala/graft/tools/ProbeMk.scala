@@ -5,7 +5,15 @@ import org.apache.spark.sql.functions._
 
 /** Stage timings for the Mann–Kendall grouped pair machinery — which of
   * (pair generation, S aggregate, Sen selection) owns the 9 s at sf0.1?
-  * Decision record for the slopes-materialization experiment. */
+  * Decision record for the slopes-materialization experiment (r10: keep
+  * regenerating — 1.7 s/regen, embarrassingly parallel, vs a 14M-row
+  * checkpoint that costs ~2 regens AND goes memory-pressure sensitive)
+  * and the round-11 S-fusion: over the same checkpointed 14.45M-pair
+  * slopes at sf0.1, sAgg 2.21 s + weightedMedian 5.10 s = 7.31 s
+  * separate vs 5.87 s fused (weightedMedianWithSums — S rides the grid
+  * summary's map-side partials); in the real operator the fusion ALSO
+  * drops one whole pair-domain regeneration (the sAgg's own BNLJ pass),
+  * so the operator saves ~regen + Δ ≈ 3 s of pair-scan work per call. */
 object ProbeMk {
   def main(args: Array[String]): Unit = {
     val sf = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
@@ -47,6 +55,17 @@ object ProbeMk {
       .agg(sum(col("__sgn")), count(lit(1))).collect())
     t("weightedMedian over slopes")(
       graft.operators.Robust.weightedMedian(slopes, "seg", col("sl"), lit(1L)).collect())
+    // Round-11 fusion: S rides the grid-summary scan instead of its own
+    // aggregation pass — the sAgg above disappears from the operator.
+    t("FUSED medianWithSums")(
+      graft.operators.Robust.weightedMedianWithSums(slopes, "seg", col("sl"),
+        lit(1L), Seq("s" -> col("__sgn"))).collect())
+    t("mannKendallTrendBy e2e")(
+      graft.operators.TimeSeries.mannKendallTrendBy(df,
+        col("o_orderpriority"), col("o_orderdate"), col("o_totalprice")).collect())
+    t("mannKendallSeasonalBy e2e")(
+      graft.operators.TimeSeries.mannKendallSeasonalBy(df,
+        col("o_orderpriority"), col("o_orderdate"), col("o_totalprice")).collect())
     spark.stop()
   }
 }

@@ -1207,6 +1207,38 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(r.getAs[Double]("ci_lo") <= r.getAs[Double]("ci_hi"))
   }
 
+  test("PortableHash: swept family (keyHash/mix64/shardKey + split assignment) BIGINT-safe past the boundary") {
+    import graft.functions.PortableHash
+    val P = BigInt(PortableHash.P); val A = BigInt(PortableHash.A)
+    val MixP = BigInt(PortableHash.MixP); val ShardP = BigInt(PortableHash.ShardP)
+    // keys bracketing ⌊2⁶³/A⌋ ≈ 3.474e9 (where the r10-era unreduced
+    // docHash/neymanSample multiply wrapped), the Long extremes, a
+    // realistic 100 TB-corpus id, and negatives (the `%` sign trap)
+    val boundary = Long.MaxValue / PortableHash.A
+    val keys = Seq(0L, 123L, boundary - 1, boundary, boundary + 1, 4000000000L,
+      Long.MaxValue - 1, Long.MaxValue, -7L, Long.MinValue + 1)
+    val got = keys.toDF("k").select(col("k"),
+        PortableHash.keyHash(col("k")).as("kh"),
+        (PortableHash.mix64(col("k")) % 97).as("m97"),
+        PortableHash.shardKey(col("k")).as("sk")).collect()
+    for (row <- got) {
+      val k = row.getLong(0)
+      assert(row.getLong(1) == ((BigInt(k) mod P) * A mod P).toLong, s"keyHash diverges at k=$k")
+      assert(row.getLong(2) == (((BigInt(k) mod MixP) * A) % 97).toLong, s"mix64 diverges at k=$k")
+      assert(row.getLong(3) == ((BigInt(k) mod ShardP) * A mod ShardP).toLong, s"shardKey diverges at k=$k")
+    }
+    // end to end: the 90/5/5 split assignment survives corpus-scale ids
+    // (the old docHash wrapped silently here while DuckDB threw)
+    val huge = keys.map(k => (k, "web", "some text")).toDF("doc_id", "source", "text")
+    val gotSplits = graft.operators.Curation.datasetSplit(huge)
+      .collect().map(r => r.getAs[String]("split") -> r.getAs[Long]("n_docs")).toMap
+    val expSplits = keys.groupBy { k =>
+      val h = ((BigInt(k) mod P) * A mod P).toLong % 100
+      if (h < 90) "train" else if (h < 95) "val" else "test"
+    }.map { case (s, ks) => s -> ks.length.toLong }
+    assert(gotSplits == expSplits, s"split counts $gotSplits != BigInt reference $expSplits")
+  }
+
   test("bootstrapUpliftCi: constant shift collapses the CI to the shift; spread brackets it") {
     import graft.operators.Bootstrap
     // arm 1 = arm 0 + 5 exactly, constant within arm → every replicate
@@ -1750,6 +1782,76 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
       bySeg("B").getAs[Double]("sen_slope") == -3.0)
     assert(bySeg("C").getAs[Long]("s_stat") == 0 &&
       bySeg("C").isNullAt(bySeg("C").fieldIndex("z_stat")))
+  }
+
+  test("mannKendallSeasonalBy equals the global seasonal test per segment") {
+    import graft.operators.TimeSeries
+    def day(i: Int) = java.sql.Timestamp.valueOf(
+      java.time.LocalDate.of(2024, 1, 1).plusDays(i.toLong).atStartOfDay)
+    // A: pure weekly cycle + drift (the seasonal test must see the
+    // drift), B: pure weekly cycle only (must be silent, S = 0),
+    // C: single day (no same-weekday pairs -> drops).
+    val cycle = Array(10.0, 50.0, 20.0, 80.0, 30.0, 90.0, 40.0)
+    val rows = (0 until 28).flatMap { i =>
+      Seq(("A", day(i), cycle(i % 7) + 3.0 * i), ("B", day(i), cycle(i % 7)))
+    } :+ (("C", day(0), 1.0))
+    val df = rows.toDF("seg", "ts", "v")
+    val got = TimeSeries.mannKendallSeasonalBy(
+      df, col("seg"), col("ts"), col("v")).collect()
+    assert(got.map(_.getAs[String]("segment")).toSeq == Seq("A", "B"))
+    for (row <- got) {
+      val seg = row.getAs[String]("segment")
+      val single = TimeSeries.mannKendallSeasonal(
+        df.filter($"seg" === seg), col("ts"), col("v")).collect()(0)
+      assert(row.getAs[Long]("n_days") == single.getAs[Long]("n_days"), seg)
+      assert(row.getAs[Long]("s_stat") == single.getAs[Long]("s_stat"), seg)
+      assert(Option(row.getAs[java.lang.Double]("z_stat")) ==
+        Option(single.getAs[java.lang.Double]("z_stat")), seg)
+      assert(row.getAs[Double]("sen_slope") == single.getAs[Double]("sen_slope"), seg)
+    }
+    val bySeg = got.map(r => r.getAs[String]("segment") -> r).toMap
+    // A: every within-season pair rises (4 obs per weekday -> 6 pairs x 7)
+    assert(bySeg("A").getAs[Long]("s_stat") == 42)
+    assert(bySeg("A").getAs[Double]("sen_slope") == 3.0)
+    // B: constant within every season -> S = 0 and all-tied variance -> NULL z
+    assert(bySeg("B").getAs[Long]("s_stat") == 0 &&
+      bySeg("B").isNullAt(bySeg("B").fieldIndex("z_stat")))
+  }
+
+  test("forecastSkill: mase(lag_7) is exactly 1; cycle+trend favors the seasonal baseline") {
+    import graft.operators.TimeSeries
+    def day(i: Int) = java.sql.Timestamp.valueOf(
+      java.time.LocalDate.of(2024, 1, 1).plusDays(i.toLong).atStartOfDay)
+    // weekly cycle + 1/day trend: lag-7 errs exactly 7 every day; lag-1
+    // errs |cycle step + 1| — far worse. 28 days -> 21 matched days.
+    val cycle = Array(10.0, 50.0, 20.0, 80.0, 30.0, 90.0, 40.0)
+    val df = (0 until 28).map(i => (day(i), cycle(i % 7) + i)).toDF("ts", "v")
+    val got = TimeSeries.forecastSkill(df, col("ts"), col("v"))
+      .collect().map(r => r.getAs[String]("model") -> r).toMap
+    assert(got.keySet == Set("lag_1", "lag_7"))
+    assert(got("lag_7").getAs[Long]("n_days") == 21)
+    assert(got("lag_1").getAs[Long]("n_days") == 21)
+    // the built-in self-check: the baseline scored against itself
+    assert(got("lag_7").getAs[Double]("mase") == 1.0)
+    assert(got("lag_7").getAs[Double]("skill") == 0.0)
+    assert(got("lag_7").getAs[Double]("mae") ==
+      got("lag_7").getAs[Double]("baseline_mae"))
+    // hand-computed: lag-7 |err| = 7.0/day; lag-1 |err| = |Δcycle + 1|
+    assert(got("lag_7").getAs[Double]("mae") == 7.0)
+    val lag1Errs = (7 until 28).map { i =>
+      math.abs(cycle(i % 7) - cycle((i - 1) % 7) + 1.0)
+    }
+    val expMae1 = BigDecimal(lag1Errs.sum / 21.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got("lag_1").getAs[Double]("mae") == expMae1)
+    assert(got("lag_1").getAs[Double]("mase") > 1.0) // seasonal baseline wins
+    assert(got("lag_1").getAs[Double]("skill") < 0.0)
+    // degenerate baseline: a PURE cycle makes sbe = 0 -> NULL mase/skill
+    val pure = (0 until 28).map(i => (day(i), cycle(i % 7))).toDF("ts", "v")
+    val g2 = TimeSeries.forecastSkill(pure, col("ts"), col("v"))
+      .collect().map(r => r.getAs[String]("model") -> r).toMap
+    assert(g2("lag_7").isNullAt(g2("lag_7").fieldIndex("mase")))
+    assert(g2("lag_1").isNullAt(g2("lag_1").fieldIndex("skill")))
   }
 
   test("cusumSeasonalAdjusted: step under weekly seasonality; pure seasonality is silent") {
