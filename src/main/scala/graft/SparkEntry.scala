@@ -4311,6 +4311,55 @@ object SparkEntry {
       graft.operators.EmbeddingDrift.labelSeparability(
         Tables.embeddings(s, d), col("embedding"), col("label"), dim = 64)),
 
+    // Distributed fixed-iteration Lloyd k-means over the embedding
+    // corpus: per-cluster size + inertia. The model is k·d rounded
+    // doubles (driver/broadcast-sized); each iteration = one shuffle-free
+    // codegen assignment projection + one (cluster, dim) decimal
+    // aggregation; exact-decimal distances make the argmin (ties to the
+    // lower cluster id) bit-replayable in DuckDB.
+    "q_kmeans" -> ((s, d) =>
+      graft.operators.Clustering.kmeansRollup(
+        graft.operators.Clustering.cleanVectors(Tables.embeddings(s, d)),
+        graft.operators.Clustering.modelFor(s, d))),
+
+    // Centroid-based silhouette (Rousseeuw 1987, centroid simplification)
+    // of the trained model — cluster cohesion vs nearest-other-centroid
+    // separation, one projection over the corpus, no O(n²) pairs.
+    "q_silhouette" -> ((s, d) =>
+      graft.operators.Clustering.silhouette(
+        graft.operators.Clustering.cleanVectors(Tables.embeddings(s, d)),
+        graft.operators.Clustering.modelFor(s, d))),
+
+    // Cluster ↔ label mutual information — does the unsupervised
+    // structure recover the labeling? Rides the established sorted-cell
+    // MI fold over the (cluster, label) contingency cells.
+    "q_cluster_label_mi" -> ((s, d) => {
+      val cl = graft.operators.Clustering
+      val assigned = cl.assign(
+        cl.cleanVectors(Tables.embeddings(s, d)), cl.modelFor(s, d))
+      graft.operators.Robust.mutualInformation(
+        assigned.join(
+            Tables.embeddings(s, d).select(col("vec_id"), col("label")), "vec_id")
+          .filter(col("label").isNotNull)
+          .select(col("cl").cast("long").as("x"), col("label").cast("long").as("y")),
+        "x", "y")
+    }),
+
+    // Cluster-balanced sampling: a fixed quota per k-means cluster via
+    // the portable-hash priority + bounded-heap top-k per cluster — the
+    // SemDeDup-style diversity draw (no dense mode dominates the mix).
+    "q_cluster_sample" -> ((s, d) => {
+      import graft.functions.TopKBy.topKBy
+      val cl = graft.operators.Clustering
+      cl.assign(cl.cleanVectors(Tables.embeddings(s, d)), cl.modelFor(s, d))
+        .select(col("cl").cast("int").as("cluster"), col("vec_id"),
+          graft.functions.PortableHash.keyHash(col("vec_id")).cast("double").as("pri"))
+        .groupBy(col("cluster"))
+        .agg(topKBy(col("pri"), col("vec_id"), 20).as("keep"))
+        .select(col("cluster"), explode(col("keep.id")).as("vec_id"))
+        .orderBy(col("cluster"), col("vec_id"))
+    }),
+
     // Spearman rank correlation of quantity vs extended price — monotone
     // association on ranks (average-rank ties via the exact-integer
     // doubled-rank algebra, distributed runningTotals ECDF scan, moments
@@ -8985,6 +9034,15 @@ object SparkEntry {
                 CASE WHEN i.iv > 0 THEN round(near.d2 / i.iv, 6) END AS fisher_ratio
          FROM intra i JOIN nper ON nper.g = i.g JOIN near ON near.g = i.g
          ORDER BY label""",
+
+    // k-means family: the generated fixed-iteration Lloyd replay (the
+    // BpeTrain stage pattern; see Clustering.stagesSql) — hash-order
+    // seeds, per-stage exact-decimal argmin + rounded centroid update
+    // with empty-cluster carry, then each consumer's final fold.
+    "q_kmeans" -> graft.operators.Clustering.kmeansOracleSql(8, 5, 64),
+    "q_silhouette" -> graft.operators.Clustering.silhouetteOracleSql(8, 5, 64),
+    "q_cluster_label_mi" -> graft.operators.Clustering.labelMiOracleSql(8, 5, 64),
+    "q_cluster_sample" -> graft.operators.Clustering.sampleOracleSql(8, 5, 64, 20),
 
     // Grouped Fréchet drift: the same decimal moment chains with the
     // label riding every relation; the ref⋈cur join inside `t` drops

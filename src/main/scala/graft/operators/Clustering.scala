@@ -1,0 +1,275 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.PortableHash
+
+/** Distributed fixed-iteration Lloyd k-means over the embedding corpus,
+  * plus the model-quality and curation consumers that ride its
+  * assignment: the centroid-based silhouette audit, cluster↔label
+  * agreement (mutual information), and cluster-balanced sampling — the
+  * diversity-sampling move of SemDeDup-style pipelines (cluster first,
+  * then budget per cluster so no dense mode dominates the training mix).
+  *
+  * Scale shape: the MODEL is k·d rounded doubles — driver/broadcast
+  * sized, never data-sized. Each Lloyd iteration costs exactly one
+  * shuffle-free codegen assignment projection (argmin over k inlined
+  * centroid literals, the [[IvfIndex]] recipe) plus ONE distributed
+  * aggregation for the centroid update (per-(cluster, dim) decimal sums
+  * over `posexplode` — n·d rows map-side combined down to k·d per task,
+  * the [[EmbeddingDrift]] moment recipe). Iteration count is FIXED (a
+  * hyper-parameter, not data-dependent), so the whole build is
+  * `iters + 1` linear passes at any corpus size. Seeding is the k
+  * smallest portable-hash keys — a deterministic pseudo-random draw both
+  * engines can replay with one TakeOrdered; [[IvfIndex]] keeps the
+  * k-means++-on-a-bounded-sample variant when seeding quality matters
+  * more than replayability.
+  *
+  * Exactness contract (what makes every consumer oracle-replayable in
+  * DuckDB): distances accumulate per-dimension squared deviations as
+  * DECIMAL(38,12) — exact, order-independent — against centroids ROUNDED
+  * to 6dp at every update, so the argmin, ties broken toward the lower
+  * cluster id, is bit-identical on both engines; centroid updates are
+  * exact decimal sums of the raw float components with ONE rounded
+  * double division per (cluster, dim). Empty clusters carry their
+  * previous centroid (spelled identically in the SQL replay). Lloyd 1982
+  * (IEEE Trans. IT 28(2)); silhouette: Rousseeuw 1987 (the centroid
+  * simplification — a and b against cluster CENTERS, so the audit costs
+  * one projection, not O(n²) pair distances); reference capability
+  * surface: analytics-style grouping/rollup only (etl-workflow has no
+  * clustering — this is §7.4 extension surface).
+  */
+object Clustering {
+
+  val DefaultK = 8
+  val DefaultIters = 5
+  val Dim = 64
+
+  private val dec = DecimalType(38, 12)
+
+  private def round6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+    .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Valid vectors only: non-null id, non-null elements, exact dim —
+    * the [[EmbeddingDrift]] hygiene filter. */
+  def cleanVectors(embeddings: DataFrame, dim: Int = Dim): DataFrame =
+    embeddings.select(col("vec_id"), col("embedding").as("v"))
+      .filter(col("vec_id").isNotNull && col("v").isNotNull &&
+        size(col("v")) === dim && !exists(col("v"), x => x.isNull))
+
+  /** Per-cluster distance structs (d2 DECIMAL(25,12), cl INT) with the
+    * centroids inlined as broadcast literals — a pure projection, no
+    * shuffle, no row amplification. The fold accumulates at (25,12):
+    * at precision 38 Spark's decimal Add would REDUCE the scale to fit
+    * p+1 (rounding the 12th decimal away); at 25 every add keeps scale
+    * 12 with 10¹³ of integer headroom, so each step — and the post-add
+    * cast back to (25,12) — is exact. The VALUES therefore equal the
+    * SQL replay's DECIMAL(38,12) group-sums of the same terms (the
+    * double→decimal term cast rounds at scale 12 on both engines), and
+    * exactness makes the fold order irrelevant. */
+  private val decT = DecimalType(25, 12)
+  private def distArray(v: Column, cents: Array[Array[Double]]): Column =
+    array(cents.zipWithIndex.map { case (c, j) =>
+      struct(
+        aggregate(
+          zip_with(v, typedLit(c.toSeq), (x, m) => {
+            val dx = x.cast(DoubleType) - m
+            (dx * dx).cast(decT)
+          }),
+          lit(0).cast(decT),
+          (acc, t) => (acc + t).cast(decT)).as("d2"),
+        lit(j).as("cl"))
+    }: _*)
+
+  /** One assignment pass: (vec_id, v, cl, d2) — nearest centroid, ties
+    * to the lowest cluster id (struct min compares d2 first, then cl). */
+  def assign(rows: DataFrame, cents: Array[Array[Double]]): DataFrame = {
+    val best = array_min(distArray(col("v"), cents))
+    rows.select(col("vec_id"), col("v"),
+      best.getField("cl").as("cl"), best.getField("d2").as("d2"))
+  }
+
+  /** Train: `iters` Lloyd updates from the hash-order seeds; returns the
+    * final centroids (k arrays of 6dp-rounded doubles). Each update is
+    * one distributed (cluster, dim) decimal aggregation; the collected
+    * summary is ≤ k·d rows (model-sized, ceiling-guarded). */
+  def kmeans(rows: DataFrame, k: Int = DefaultK, iters: Int = DefaultIters,
+      dim: Int = Dim): Array[Array[Double]] = {
+    require(k >= 1, s"kmeans: k=$k")
+    require(iters >= 0, s"kmeans: iters=$iters")
+    // deterministic pseudo-random seeds: k smallest (keyHash, vec_id)
+    val seedRows = rows
+      .orderBy(PortableHash.keyHash(col("vec_id")), col("vec_id"))
+      .limit(k).collect()
+    require(seedRows.nonEmpty, "kmeans: no valid vectors to seed from")
+    var cents: Array[Array[Double]] = seedRows.map(r =>
+      r.getSeq[Float](1).iterator.map(f => round6(f.toDouble)).toArray)
+    var t = 0
+    while (t < iters) {
+      val upd = Robust.collectSummary(
+        assign(rows, cents)
+          .select(col("cl"), posexplode(col("v")).as(Seq("i", "x")))
+          .groupBy(col("cl"), col("i"))
+          .agg(sum(col("x").cast(dec)).as("s"), count(lit(1)).as("n"))
+          .select(col("cl"), col("i"),
+            round(col("s").cast(DoubleType) / col("n"), 6).as("m")),
+        "kmeans")
+      val byCl = upd.groupBy(_.getInt(0))
+      cents = cents.zipWithIndex.map { case (prev, j) =>
+        byCl.get(j) match {
+          case Some(rs) => // recomputed mean
+            val a = Array.ofDim[Double](dim)
+            rs.foreach(r => a(r.getAs[Int]("i")) = r.getAs[Double]("m"))
+            a
+          case None => prev // empty cluster keeps its centroid
+        }
+      }
+      t += 1
+    }
+    cents
+  }
+
+  // model memo: Verify/Bench run many consumers against one corpus — the
+  // centroids are the at-rest model (the BpeTrain posture), trained once
+  // per JVM per (dir, k, iters)
+  private val modelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
+
+  def modelFor(spark: SparkSession, dir: String, k: Int = DefaultK,
+      iters: Int = DefaultIters, dim: Int = Dim): Array[Array[Double]] =
+    modelCache.computeIfAbsent(s"$dir|$k|$iters|$dim", _ =>
+      kmeans(cleanVectors(graft.sources.Tables.embeddings(spark, dir), dim),
+        k, iters, dim))
+
+  /** Per-cluster rollup of the final assignment: size + inertia (exact
+    * decimal sum of squared distances, one rounded double at the end). */
+  def kmeansRollup(rows: DataFrame, cents: Array[Array[Double]]): DataFrame =
+    assign(rows, cents)
+      .groupBy(col("cl"))
+      .agg(count(lit(1)).as("n"), sum(col("d2")).as("s"))
+      .select(col("cl").cast(IntegerType).as("cluster"), col("n"),
+        round(col("s").cast(DoubleType), 6).as("inertia"))
+      .orderBy(col("cluster"))
+
+  /** Centroid-based silhouette per cluster: a = distance to the nearest
+    * centroid (the assignment), b = distance to the second-nearest;
+    * s = (b − a) / max(a, b) ∈ [0, 1] here since a ≤ b (re-assignment
+    * under the same centroids), 0 when both are 0 (point ON two
+    * coincident centroids). Per-row s is one deterministic double chain
+    * (sqrt is IEEE-exact); the per-cluster mean sums exact decimals. */
+  def silhouette(rows: DataFrame, cents: Array[Array[Double]]): DataFrame = {
+    require(cents.length >= 2, "silhouette: needs k >= 2 clusters")
+    val sorted = array_sort(distArray(col("v"), cents))
+    val aD = sqrt(element_at(sorted, 1).getField("d2").cast(DoubleType))
+    val bD = sqrt(element_at(sorted, 2).getField("d2").cast(DoubleType))
+    val mx = greatest(aD, bD)
+    val sv = when(mx === 0.0, lit(0.0)).otherwise((bD - aD) / mx)
+    rows
+      .select(element_at(sorted, 1).getField("cl").as("cl"), sv.as("sv"))
+      .groupBy(col("cl"))
+      .agg(count(lit(1)).as("n"), sum(col("sv").cast(dec)).as("ss"))
+      .select(col("cl").cast(IntegerType).as("cluster"), col("n"),
+        round(col("ss").cast(DoubleType) / col("n"), 6).as("silhouette"))
+      .orderBy(col("cluster"))
+  }
+
+  // ---------------------------------------------------------------------
+  // DuckDB replay — the generated fixed-iteration stage chain (the
+  // BpeTrain.oracleSql pattern). MATERIALIZED is load-bearing: cent{t}
+  // feeds both the next assignment and the carry-over anti-join.
+  // ---------------------------------------------------------------------
+
+  /** CTE chain ending in `rkf` (final distances under cent{iters}, with
+    * rn = per-vector rank by (d2, cl)) and `af` (rn = 1). */
+  def stagesSql(k: Int, iters: Int, dim: Int): String = {
+    val base =
+      s"""e AS MATERIALIZED (SELECT vec_id, embedding AS v FROM embeddings
+         |       WHERE vec_id IS NOT NULL AND embedding IS NOT NULL AND len(embedding) = $dim
+         |         AND len(list_filter(embedding, x -> x IS NULL)) = 0),
+         |d AS MATERIALIZED (SELECT CAST(i AS INT) AS i FROM range(0, $dim) t(i)),
+         |vx AS MATERIALIZED (SELECT e.vec_id AS vec_id, d.i AS i,
+         |       e.v[d.i + 1] AS xf, CAST(e.v[d.i + 1] AS DOUBLE) AS x FROM e, d),
+         |seeds AS MATERIALIZED (
+         |  SELECT CAST(row_number() OVER (ORDER BY ${PortableHash.keyHashSql("vec_id")}, vec_id) - 1 AS INT) AS cl,
+         |         vec_id
+         |  FROM (SELECT vec_id FROM e ORDER BY ${PortableHash.keyHashSql("vec_id")}, vec_id LIMIT $k)),
+         |cent0 AS MATERIALIZED (SELECT s.cl AS cl, vx.i AS i, round(vx.x, 6) AS m
+         |  FROM seeds s JOIN vx ON vx.vec_id = s.vec_id)""".stripMargin
+    val steps = (1 to iters).map { t =>
+      s"""a$t AS MATERIALIZED (
+         |  SELECT vec_id, cl, d2 FROM (
+         |    SELECT vx.vec_id AS vec_id, c.cl AS cl,
+         |           sum(CAST((vx.x - c.m) * (vx.x - c.m) AS DECIMAL(38,12))) AS d2,
+         |           row_number() OVER (PARTITION BY vx.vec_id
+         |             ORDER BY sum(CAST((vx.x - c.m) * (vx.x - c.m) AS DECIMAL(38,12))), c.cl) AS rn
+         |    FROM vx JOIN cent${t - 1} c ON c.i = vx.i
+         |    GROUP BY 1, 2) WHERE rn = 1),
+         |upd$t AS MATERIALIZED (
+         |  SELECT a.cl AS cl, vx.i AS i,
+         |         round(CAST(sum(CAST(vx.xf AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6) AS m
+         |  FROM a$t a JOIN vx ON vx.vec_id = a.vec_id
+         |  GROUP BY 1, 2),
+         |cent$t AS MATERIALIZED (
+         |  SELECT cl, i, m FROM upd$t
+         |  UNION ALL
+         |  SELECT c.cl, c.i, c.m FROM cent${t - 1} c
+         |  WHERE c.cl NOT IN (SELECT DISTINCT cl FROM upd$t))""".stripMargin
+    }
+    val fin =
+      s"""rkf AS MATERIALIZED (
+         |  SELECT vx.vec_id AS vec_id, c.cl AS cl,
+         |         sum(CAST((vx.x - c.m) * (vx.x - c.m) AS DECIMAL(38,12))) AS d2,
+         |         row_number() OVER (PARTITION BY vx.vec_id
+         |           ORDER BY sum(CAST((vx.x - c.m) * (vx.x - c.m) AS DECIMAL(38,12))), c.cl) AS rn
+         |  FROM vx JOIN cent$iters c ON c.i = vx.i
+         |  GROUP BY 1, 2),
+         |af AS MATERIALIZED (SELECT vec_id, cl, d2 FROM rkf WHERE rn = 1)""".stripMargin
+    (base +: steps :+ fin).mkString(",\n")
+  }
+
+  def kmeansOracleSql(k: Int, iters: Int, dim: Int): String =
+    s"""WITH ${stagesSql(k, iters, dim)}
+       |SELECT CAST(cl AS INT) AS cluster, CAST(count(*) AS BIGINT) AS n,
+       |       round(CAST(sum(d2) AS DOUBLE), 6) AS inertia
+       |FROM af GROUP BY 1 ORDER BY 1""".stripMargin
+
+  def silhouetteOracleSql(k: Int, iters: Int, dim: Int): String =
+    s"""WITH ${stagesSql(k, iters, dim)},
+       |sil AS (
+       |  SELECT o.cl AS cl,
+       |         CASE WHEN greatest(sqrt(CAST(o.d2 AS DOUBLE)), sqrt(CAST(s.d2 AS DOUBLE))) = 0 THEN 0.0
+       |              ELSE (sqrt(CAST(s.d2 AS DOUBLE)) - sqrt(CAST(o.d2 AS DOUBLE)))
+       |                   / greatest(sqrt(CAST(o.d2 AS DOUBLE)), sqrt(CAST(s.d2 AS DOUBLE))) END AS sv
+       |  FROM (SELECT vec_id, cl, d2 FROM rkf WHERE rn = 1) o
+       |  JOIN (SELECT vec_id, d2 FROM rkf WHERE rn = 2) s USING (vec_id))
+       |SELECT CAST(cl AS INT) AS cluster, CAST(count(*) AS BIGINT) AS n,
+       |       round(CAST(sum(CAST(sv AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6) AS silhouette
+       |FROM sil GROUP BY 1 ORDER BY 1""".stripMargin
+
+  def labelMiOracleSql(k: Int, iters: Int, dim: Int): String =
+    s"""WITH ${stagesSql(k, iters, dim)},
+       |cells AS (SELECT CAST(a.cl AS BIGINT) AS x, CAST(em.label AS BIGINT) AS y,
+       |                 count(*) AS cnt
+       |          FROM af a JOIN embeddings em ON em.vec_id = a.vec_id
+       |          WHERE em.label IS NOT NULL GROUP BY 1, 2),
+       |one AS (SELECT list_sort(list({'x': x, 'y': y, 'cnt': cnt})) AS cs,
+       |               CAST(sum(cnt) AS BIGINT) AS n FROM cells)
+       |SELECT n AS n_rows,
+       |       round(list_sum(list_transform(cs, c ->
+       |         (CAST(c.cnt AS DOUBLE) / CAST(n AS DOUBLE))
+       |         * ln(CAST(c.cnt AS DOUBLE) * CAST(n AS DOUBLE)
+       |              / (CAST(list_sum(list_transform(list_filter(cs, x -> x.x = c.x), t -> t.cnt)) AS DOUBLE)
+       |                 * CAST(list_sum(list_transform(list_filter(cs, x -> x.y = c.y), t -> t.cnt)) AS DOUBLE))))), 6) AS mi_nats
+       |FROM one""".stripMargin
+
+  def sampleOracleSql(k: Int, iters: Int, dim: Int, quota: Int): String =
+    s"""WITH ${stagesSql(k, iters, dim)}
+       |SELECT cluster, vec_id FROM (
+       |  SELECT CAST(a.cl AS INT) AS cluster, a.vec_id AS vec_id,
+       |         row_number() OVER (PARTITION BY a.cl
+       |           ORDER BY ${PortableHash.keyHashSql("a.vec_id")} DESC, a.vec_id) AS rn
+       |  FROM af a)
+       |WHERE rn <= $quota ORDER BY cluster, vec_id""".stripMargin
+}

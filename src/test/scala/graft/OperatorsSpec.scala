@@ -1969,4 +1969,82 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
       r.getAs[String]("model") == "lag_7").get
     assert(b7.getAs[Double]("mae") == 0.0 && b7.getAs[Double]("rmse") == 0.0)
   }
+
+  // scalar twin of PortableHash.keyHash for seed-placement arithmetic
+  private def kh(id: Long): Long =
+    ((id % 1000000007L + 1000000007L) % 1000000007L) * 2654435761L % 1000000007L
+
+  test("kmeans: planted blobs recovered exactly; deterministic; brute-force argmin twin") {
+    import graft.operators.Clustering
+    // seeds are the k smallest (keyHash, id) — place one seed per blob so
+    // 3 Lloyd iterations provably converge to the blob means
+    val ids = (1L to 30L).sortBy(i => (kh(i), i))
+    val (seedIds, restIds) = (ids.take(3), ids.drop(3))
+    val centers = Seq((0f, 0f), (10f, 0f), (0f, 10f))
+    // 4 members per blob with x-offsets {+.5, −.5, +.5, −.5} → mean = center
+    val rows = centers.zipWithIndex.flatMap { case ((cx, cy), b) =>
+      val members = seedIds(b) +: restIds.slice(b * 3, b * 3 + 3)
+      members.zipWithIndex.map { case (id, j) =>
+        val off = if (j % 2 == 0) 0.5f else -0.5f
+        (id, Seq(cx + off, cy))
+      }
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val clean = Clustering.cleanVectors(df, dim = 2)
+    val cents = Clustering.kmeans(clean, k = 3, iters = 3, dim = 2)
+    assert(cents.map(_.toSeq).toSeq ==
+      centers.map { case (x, y) => Seq(x.toDouble, y.toDouble) })
+    // determinism: retraining gives bit-identical centroids
+    assert(Clustering.kmeans(clean, k = 3, iters = 3, dim = 2)
+      .map(_.toSeq).toSeq == cents.map(_.toSeq).toSeq)
+    // rollup: each blob pure (n = 4), inertia = 4 · 0.25 = 1.0
+    val roll = Clustering.kmeansRollup(clean, cents).collect()
+    assert(roll.map(r => (r.getAs[Int]("cluster"), r.getAs[Long]("n"),
+      r.getAs[Double]("inertia"))).toSeq ==
+      Seq((0, 4L, 1.0), (1, 4L, 1.0), (2, 4L, 1.0)))
+    // assignment twin: every row's cluster is the brute-force argmin
+    val assigned = Clustering.assign(clean, cents)
+      .select($"vec_id", $"cl").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    for ((id, v) <- rows) {
+      val d2s = cents.map(c => c.zip(v.map(_.toDouble)).map {
+        case (m, x) => (x - m) * (x - m) }.sum)
+      assert(assigned(id) == d2s.indexOf(d2s.min), s"vec $id")
+    }
+  }
+
+  test("kmeans: empty cluster carries its centroid; silhouette degenerate and planted cases") {
+    import graft.operators.Clustering
+    // 3 ids at the SAME point + 1 far id, k = 3: at least two seeds
+    // coincide, ties go to the lower cluster id, so ≥1 cluster empties
+    // and must carry its (duplicate) centroid instead of crashing
+    val dup = Seq(0f, 0f)
+    val df = Seq((1L, dup), (2L, dup), (3L, dup), (4L, Seq(10f, 10f)))
+      .toDF("vec_id", "embedding")
+    val clean = Clustering.cleanVectors(df, dim = 2)
+    val cents = Clustering.kmeans(clean, k = 3, iters = 2, dim = 2)
+    assert(cents.length == 3)
+    val roll = Clustering.kmeansRollup(clean, cents).collect()
+    assert(roll.map(_.getAs[Long]("n")).sum == 4L && roll.length <= 2)
+    // all-identical corpus under coincident centroids: every distance 0,
+    // the max(a,b) = 0 guard pins s to 0 instead of 0/0
+    val same = Seq((1L, dup), (2L, dup), (3L, dup)).toDF("vec_id", "embedding")
+    val sameClean = Clustering.cleanVectors(same, dim = 2)
+    val sil0 = Clustering.silhouette(
+      sameClean, Clustering.kmeans(sameClean, k = 2, iters = 1, dim = 2)).collect()
+    assert(sil0.map(r => (r.getAs[Long]("n"), r.getAs[Double]("silhouette"))).toSeq ==
+      Seq((3L, 0.0)))
+    // planted far blobs: a = 0.5, b = √(100 + …) ≫ a → silhouette > 0.9
+    val ids = (1L to 30L).sortBy(i => (kh(i), i))
+    val (seedIds, restIds) = (ids.take(2), ids.drop(2))
+    val blobs = Seq((0f, 0f), (20f, 0f)).zipWithIndex.flatMap { case ((cx, cy), b) =>
+      (seedIds(b) +: restIds.slice(b * 3, b * 3 + 3)).zipWithIndex.map {
+        case (id, j) => (id, Seq(cx + (if (j % 2 == 0) 0.5f else -0.5f), cy))
+      }
+    }.toDF("vec_id", "embedding")
+    val bClean = Clustering.cleanVectors(blobs, dim = 2)
+    val silP = Clustering.silhouette(
+      bClean, Clustering.kmeans(bClean, k = 2, iters = 3, dim = 2)).collect()
+    assert(silP.length == 2 && silP.forall(_.getAs[Double]("silhouette") > 0.9))
+  }
 }
