@@ -4480,6 +4480,35 @@ object SparkEntry {
         q.join(a, "doc_id"), col("quality"), col("kept"))
     }),
 
+    // Fleiss' kappa of the THREE-gate panel (LR keep, curation audit,
+    // length gate) — the multi-rater chance-corrected agreement pairwise
+    // Cohen's kappa can't see. One pass: per-doc vote count k, three
+    // exact integers (N, Σk, Σ pair-agreements), DECIMAL(38,0) algebra.
+    "q_fleiss_kappa" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val q = graft.operators.Curation.qualityScoreRaw(docs)
+        .select(col("doc_id"), col("keep"))
+      val a = graft.operators.Curation.curationAuditRaw(docs)
+        .select(col("doc_id"), (col("reason") === "kept").as("kept"))
+      val l = docs.select(col("doc_id"), (col("n_chars") >= 300).as("long_enough"))
+      graft.operators.Robust.fleissKappa(
+        q.join(a, "doc_id").join(l, "doc_id"),
+        Seq(col("keep"), col("kept"), col("long_enough")))
+    }),
+
+    // Isotonic (PAV) recalibration of the same reliability bins — the
+    // monotone remap that makes the over-confident LR score usable as a
+    // sampling weight. Distributed work = the one ≤10-bin aggregation;
+    // PAVA folds the collected stats with exact integer rate compares.
+    "q_isotonic_calibration" -> ((s, d) => {
+      val q = graft.operators.Curation.qualityScoreRaw(Tables.documents(s, d))
+        .select(col("doc_id"), col("quality"))
+      val a = graft.operators.Curation.curationAuditRaw(Tables.documents(s, d))
+        .select(col("doc_id"), (col("reason") === "kept").as("kept"))
+      graft.operators.Robust.isotonicCalibration(
+        q.join(a, "doc_id"), col("quality"), col("kept"))
+    }),
+
     // Brier score of the same pair — the one-number calibration metric
     // (exact decimal (q − y)² sums off the 6-dp score).
     "q_brier" -> ((s, d) => {
@@ -6767,6 +6796,17 @@ object SparkEntry {
          SELECT CAST(bin AS INT) AS bin, n, round(CAST(sq AS DOUBLE) / n, 6) AS avg_pred,
                 round(CAST(pos AS DOUBLE) / n, 6) AS frac_pos
          FROM g ORDER BY bin"""),
+
+    // Fleiss: the three rater CTEs (LR keep + curation kept + length
+    // gate), per-doc vote count, then the exact HUGEINT κ algebra.
+    "q_fleiss_kappa" -> fleissKappaSql,
+
+    // Isotonic replay: the same bins, then ≤9 unrolled pool-adjacent-
+    // violator merge stages (each stage: pool sums → lag compare on
+    // exact integer cross-products → adopt the predecessor's pool id).
+    // Any maximal adjacent-pooling order reaches the unique isotonic
+    // fit, so this fixed point equals the engine's stack PAVA.
+    "q_isotonic_calibration" -> isotonicCalibrationSql,
 
     // Same rater CTEs into the exact MW doubled-rank chain; AUC is one
     // double division off the exact 2·U.
@@ -10080,6 +10120,77 @@ object SparkEntry {
               r AS (SELECT d.source AS g, CAST(ql.quality AS DECIMAL(8,6)) AS q,
                            ca.reason = 'kept' AS y
                     FROM ql JOIN ca USING (doc_id) JOIN documents d USING (doc_id))"""
+
+  /** Fleiss replay: the cohenKappaSql rater CTEs plus the n_chars length
+    * gate; κ = (A·r·N − E·(r−1)) / ((r−1)·(r²N² − E)) at r = 3, exact
+    * HUGEINT intermediates, one double division (den = 0 → NULL). */
+  private lazy val fleissKappaSql: String =
+    s"""WITH ca AS ($curationAuditSql),
+       |     ql AS (WITH f AS (SELECT doc_id, string_split(text, ' ') AS t, text FROM documents),
+       |                 z AS (SELECT doc_id,
+       |                              -3.0 + 0.6 * ln(1.0 + CAST(len(t) AS DOUBLE))
+       |                              + 0.25 * ((CAST(length(text) AS DOUBLE) - CAST(len(t) - 1 AS DOUBLE)) / CAST(len(t) AS DOUBLE))
+       |                              + 1.2 * (CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE))
+       |                              + 2.0 * (CAST(len(list_filter(t, x -> list_contains(['the','a','of','and','to','in','is'], x))) AS DOUBLE) / CAST(len(t) AS DOUBLE)) AS z
+       |                       FROM f)
+       |            SELECT doc_id, 1.0 / (1.0 + exp(-z)) >= 0.5 AS keep FROM z),
+       |     kk AS (SELECT (CASE WHEN ql.keep THEN 1 ELSE 0 END
+       |                  + CASE WHEN ca.reason = 'kept' THEN 1 ELSE 0 END
+       |                  + CASE WHEN d.n_chars >= 300 THEN 1 ELSE 0 END) AS k
+       |            FROM ql JOIN ca USING (doc_id) JOIN documents d USING (doc_id)),
+       |     agg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |                    CAST(sum(k) AS HUGEINT) AS s1,
+       |                    CAST(sum(k * (k - 1) + (3 - k) * (2 - k)) AS HUGEINT) AS a
+       |             FROM kk),
+       |     alg AS (SELECT n, a,
+       |                    s1 * s1 + (3 * CAST(n AS HUGEINT) - s1) * (3 * CAST(n AS HUGEINT) - s1) AS e
+       |             FROM agg)
+       |SELECT n,
+       |       round(CAST(a AS DOUBLE) / (CAST(n AS DOUBLE) * 6.0), 6) AS p_bar,
+       |       round(CAST(e AS DOUBLE) / (9.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS p_e,
+       |       CASE WHEN 2 * (9 * CAST(n AS HUGEINT) * n - e) = 0 THEN NULL
+       |            ELSE round(CAST(a * 3 * CAST(n AS HUGEINT) - e * 2 AS DOUBLE)
+       |                       / CAST(2 * (9 * CAST(n AS HUGEINT) * n - e) AS DOUBLE), 6) END AS kappa
+       |FROM alg""".stripMargin
+
+  /** PAV replay for `q_isotonic_calibration`: the calibration bins, then
+    * 9 unrolled merge stages — 10 bins need at most 9 merges, and every
+    * stage with a violation performs at least one, so stage 9 is always
+    * the fixed point (asserted by construction: a violating pair whose
+    * predecessor pair is sound does a genuine merge). */
+  private lazy val isotonicCalibrationSql: String = {
+    val stages = (1 to 9).map { t =>
+      s"""pl$t AS (SELECT pool, CAST(sum(pos) AS HUGEINT) AS ppos,
+         |               CAST(sum(n) AS HUGEINT) AS pn
+         |        FROM s${t - 1} GROUP BY pool),
+         |mg$t AS (SELECT pool, CASE WHEN lpos IS NOT NULL AND lpos * pn > ppos * lpn
+         |                          THEN lpool ELSE pool END AS np
+         |        FROM (SELECT pool, ppos, pn,
+         |                     lag(pool) OVER (ORDER BY pool) AS lpool,
+         |                     lag(ppos) OVER (ORDER BY pool) AS lpos,
+         |                     lag(pn) OVER (ORDER BY pool) AS lpn
+         |              FROM pl$t)),
+         |s$t AS (SELECT s.bin, s.n, s.pos, m.np AS pool
+         |       FROM s${t - 1} s JOIN mg$t m ON s.pool = m.pool)""".stripMargin
+    }.mkString(",\n")
+    raterJoinCte +
+      s""",
+         |b AS (SELECT least(CAST(floor(q * 10) AS INT), 9) AS bin, q, y FROM r),
+         |g AS (SELECT bin, CAST(count(*) AS BIGINT) AS n, sum(q) AS sq,
+         |             CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS pos
+         |      FROM b GROUP BY 1),
+         |s0 AS (SELECT bin, n, pos, bin AS pool FROM g),
+         |$stages,
+         |fin AS (SELECT s.bin AS bin, pl.ppos AS ppos, pl.pn AS pn
+         |        FROM s9 s JOIN (SELECT pool, CAST(sum(pos) AS HUGEINT) AS ppos,
+         |                               CAST(sum(n) AS HUGEINT) AS pn
+         |                        FROM s9 GROUP BY pool) pl ON s.pool = pl.pool)
+         |SELECT CAST(g.bin AS INT) AS bin, g.n,
+         |       round(CAST(g.sq AS DOUBLE) / g.n, 6) AS avg_pred,
+         |       round(CAST(g.pos AS DOUBLE) / g.n, 6) AS frac_pos,
+         |       round(CAST(f.ppos AS DOUBLE) / f.pn, 6) AS frac_iso
+         |FROM g JOIN fin f ON f.bin = g.bin ORDER BY bin""".stripMargin
+  }
 
   /** Cohen's kappa between the LR keep gate and the curation-audit kept
     * gate — both rater CTEs reuse the existing oracle SQL verbatim (the

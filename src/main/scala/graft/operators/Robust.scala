@@ -1,9 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StructField, StructType}
 
 import graft.functions.dec2
 
@@ -1295,6 +1295,112 @@ object Robust {
         round(col("__sq").cast(DoubleType) / col("n"), 6).as("avg_pred"),
         round(col("__pos").cast(DoubleType) / col("n"), 6).as("frac_pos"))
       .orderBy(col("bin"))
+  }
+
+  /** Isotonic (pool-adjacent-violators) recalibration of the reliability
+    * bins — the monotone remap that turns an over/under-confident score
+    * into a usable sampling weight without fitting a parametric curve
+    * (Zadrozny & Elkan 2002; Barlow et al. 1972 for PAVA). The
+    * distributed work is exactly [[calibrationBins]]' one ≤10-bin
+    * aggregation; PAVA itself runs on the collected bin stats — a ≤10
+    * element driver fold, model-sized by construction. All pooling
+    * decisions compare exact integer cross-products (prev_pos·n >
+    * pos·prev_n), never float rates, so the pooled partition — and the
+    * unique isotonic fit it induces — is bit-replayable in SQL: the
+    * oracle reaches the same fixed point by repeatedly merging adjacent
+    * violating pools (≤ 9 unrolled stages for 10 bins; each violating
+    * stage merges ≥ 1 pair, and the isotonic L2 projection is unique, so
+    * ANY maximal adjacent-pooling order lands on the same fitted rates —
+    * correctly-rounded IEEE division makes equal rationals equal
+    * doubles). Output: the calibration table (bin, n, avg_pred,
+    * frac_pos) plus the monotone `frac_iso` fit. */
+  def isotonicCalibration(df: DataFrame, score: Column, label: Column): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("bin", IntegerType, nullable = false),
+      StructField("n", LongType, nullable = false),
+      StructField("avg_pred", DoubleType, nullable = true),
+      StructField("frac_pos", DoubleType, nullable = true),
+      StructField("frac_iso", DoubleType, nullable = true)))
+    val q = score.cast(org.apache.spark.sql.types.DecimalType(8, 6))
+    val bin = least(floor(q * 10).cast("int"), lit(9))
+    val binRows = collectSummary(
+      df.select(bin.as("bin"), q.as("__q"), label.cast("boolean").as("__y"))
+        .filter(col("__q").isNotNull && col("__y").isNotNull)
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("__q")).as("sq"),
+          sum(when(col("__y"), 1L).otherwise(0L)).as("pos"))
+        .select(col("bin"), col("n"),
+          round(col("sq").cast(DoubleType) / col("n"), 6).as("avg_pred"),
+          col("pos")),
+      "isotonicCalibration").sortBy(_.getInt(0))
+    def round6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    // classic stack PAVA over (pos, n) with exact integer rate compares
+    final case class Pool(pos: Long, n: Long, members: List[Int])
+    val pools = binRows.foldLeft(List.empty[Pool]) { (acc, r) =>
+      var st = Pool(r.getAs[Long]("pos"), r.getAs[Long]("n"),
+        List(r.getInt(0))) :: acc
+      // merge while the pool below strictly out-rates the one above
+      while (st.lengthCompare(2) >= 0 &&
+          BigInt(st(1).pos) * st.head.n > BigInt(st.head.pos) * st(1).n) {
+        val top :: prev :: rest = st: @unchecked
+        st = Pool(prev.pos + top.pos, prev.n + top.n,
+          prev.members ::: top.members) :: rest
+      }
+      st
+    }
+    val isoByBin: Map[Int, Double] = pools.flatMap(p =>
+      p.members.map(_ -> round6(p.pos.toDouble / p.n.toDouble))).toMap
+    val out = binRows.map { r =>
+      val b = r.getInt(0)
+      val n = r.getAs[Long]("n")
+      val pos = r.getAs[Long]("pos")
+      Row(b, n, r.getAs[Double]("avg_pred"),
+        round6(pos.toDouble / n.toDouble), isoByBin(b))
+    }
+    spark.createDataFrame(java.util.Arrays.asList(out: _*), outSchema)
+      .orderBy(col("bin"))
+  }
+
+  /** Fleiss' kappa over r ≥ 2 binary raters (Fleiss 1971) — the
+    * multi-rater generalization [[cohenKappa]] can't make: with THREE
+    * quality gates voting on every document, pairwise kappas can all
+    * look moderate while the panel as a whole agrees no better than
+    * chance. Per subject the only statistic needed is k = #true votes;
+    * everything aggregates to three exact integers (N, S1 = Σk,
+    * A = Σ[k(k−1) + (r−k)(r−k−1)]) in one pass — no per-subject state,
+    * no category table. κ = (A·r·N − E·(r−1)) / ((r−1)·(r²N² − E)) with
+    * E = S1² + S0², all DECIMAL(38,0) (exact to N ~ 10¹⁸/r² subjects);
+    * one double division at the end. Unanimous-single-category panels
+    * (E = r²N²) have P_e = 1 → NULL kappa, like the degenerate
+    * [[cohenKappa]] contract. */
+  def fleissKappa(df: DataFrame, raters: Seq[Column]): DataFrame = {
+    val r = raters.length
+    require(r >= 2, s"fleissKappa: needs >= 2 raters, got $r")
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val k = raters.map(c => when(c, 1L).otherwise(0L)).reduce(_ + _)
+    val rl = lit(r.toLong)
+    val agg = df.select(k.as("k"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("s1"),
+        sum(col("k") * (col("k") - 1L) +
+          (rl - col("k")) * (rl - 1L - col("k"))).as("a"))
+    val nD = col("n").cast(dec38)
+    val s1 = col("s1").cast(dec38)
+    val s0 = rl.cast(dec38) * nD - s1
+    val e = s1 * s1 + s0 * s0
+    val num = col("a").cast(dec38) * rl.cast(dec38) * nD - e * lit((r - 1).toLong).cast(dec38)
+    val den = lit((r - 1).toLong).cast(dec38) *
+      (lit((r.toLong * r)).cast(dec38) * nD * nD - e)
+    agg.select(col("n"),
+      round(col("a").cast(DoubleType) /
+        (col("n").cast(DoubleType) * lit((r * (r - 1)).toDouble)), 6).as("p_bar"),
+      round(e.cast(DoubleType) /
+        (lit((r * r).toDouble) * col("n").cast(DoubleType) * col("n").cast(DoubleType)), 6)
+        .as("p_e"),
+      when(den === lit(0).cast(dec38), lit(null).cast(DoubleType))
+        .otherwise(round(num.cast(DoubleType) / den.cast(DoubleType), 6)).as("kappa"))
   }
 
   /** Per-`byCol`-segment Cohen's kappa — is the gate agreement uniform

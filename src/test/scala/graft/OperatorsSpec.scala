@@ -1970,6 +1970,57 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(b7.getAs[Double]("mae") == 0.0 && b7.getAs[Double]("rmse") == 0.0)
   }
 
+  test("isotonicCalibration: chain merge to the pooled rate; monotone input unchanged; empty") {
+    import graft.operators.Robust
+    def df(rows: Seq[(Double, Boolean)]) = rows.toDF("score", "label")
+    // bins 0/5/9 with rates 1.0 / 0.5 / 0.0 — PAVA must chain-merge all
+    // three pools: (4+2)/(4+4) = 0.75 still out-rates 0.0, so the final
+    // pool is (4+2+0)/12 = 0.5 across every bin
+    val anti = df(
+      Seq.fill(4)((0.05, true)) ++
+        Seq(((0.55, true)), ((0.55, true)), ((0.55, false)), ((0.55, false))) ++
+        Seq.fill(4)((0.95, false)))
+    val got = Robust.isotonicCalibration(anti, col("score"), col("label")).collect()
+    assert(got.map(r => (r.getAs[Int]("bin"), r.getAs[Long]("n"),
+      r.getAs[Double]("frac_pos"), r.getAs[Double]("frac_iso"))).toSeq ==
+      Seq((0, 4L, 1.0, 0.5), (5, 4L, 0.5, 0.5), (9, 4L, 0.0, 0.5)))
+    assert(got.head.getAs[Double]("avg_pred") == 0.05)
+    // already-monotone bins are a PAVA no-op: frac_iso == frac_pos
+    val mono = df(Seq((0.05, false), (0.05, false), (0.05, false), (0.05, true),
+      (0.95, true), (0.95, true), (0.95, true), (0.95, false)))
+    assert(Robust.isotonicCalibration(mono, col("score"), col("label")).collect()
+      .forall(r => r.getAs[Double]("frac_iso") == r.getAs[Double]("frac_pos")))
+    // strict-violation-only pooling: equal adjacent rates stay separate
+    // but fit the same value either way (correctly-rounded division)
+    assert(Robust.isotonicCalibration(df(Seq.empty), col("score"), col("label"))
+      .count() == 0L)
+  }
+
+  test("fleissKappa: perfect = 1, uniform-combination panel = 0, unanimous-degenerate NULL") {
+    import graft.operators.Robust
+    def df(rows: Seq[(Boolean, Boolean, Boolean)]) = rows.toDF("a", "b", "c")
+    val rat = Seq(col("a"), col("b"), col("c"))
+    // perfect mixed agreement: P̄ = 1, Pe = 0.5, κ = 1
+    val perfect = Robust.fleissKappa(df(Seq(
+      (true, true, true), (true, true, true),
+      (false, false, false), (false, false, false))), rat).head()
+    assert(perfect.getAs[Long]("n") == 4L &&
+      perfect.getAs[Double]("p_bar") == 1.0 &&
+      perfect.getAs[Double]("p_e") == 0.5 &&
+      perfect.getAs[Double]("kappa") == 1.0)
+    // all 8 vote combinations once: agreement exactly at chance → κ = 0
+    val combos = for (a <- Seq(true, false); b <- Seq(true, false);
+      c <- Seq(true, false)) yield (a, b, c)
+    val chance = Robust.fleissKappa(df(combos), rat).head()
+    assert(chance.getAs[Double]("p_bar") == 0.5 &&
+      chance.getAs[Double]("p_e") == 0.5 &&
+      chance.getAs[Double]("kappa") == 0.0)
+    // unanimous single category: Pe = 1 → NULL κ (the cohenKappa contract)
+    val degen = Robust.fleissKappa(
+      df(Seq((true, true, true), (true, true, true))), rat).head()
+    assert(degen.getAs[Double]("p_bar") == 1.0 && degen.isNullAt(degen.fieldIndex("kappa")))
+  }
+
   // scalar twin of PortableHash.keyHash for seed-placement arithmetic
   private def kh(id: Long): Long =
     ((id % 1000000007L + 1000000007L) % 1000000007L) * 2654435761L % 1000000007L
