@@ -4496,6 +4496,36 @@ object SparkEntry {
         Seq(col("keep"), col("kept"), col("long_enough")))
     }),
 
+    // Grouped Fleiss: is the panel's agreement uniform across sources?
+    // The segment rides the one aggregation's key; unanimous sources
+    // keep their row with NULL kappa.
+    "q_fleiss_kappa_by_source" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val q = graft.operators.Curation.qualityScoreRaw(docs)
+        .select(col("doc_id"), col("keep"))
+      val a = graft.operators.Curation.curationAuditRaw(docs)
+        .select(col("doc_id"), (col("reason") === "kept").as("kept"))
+      val l = docs.select(col("doc_id"), col("source"),
+        (col("n_chars") >= 300).as("long_enough"))
+      graft.operators.Robust.fleissKappaBy(
+        q.join(a, "doc_id").join(l, "doc_id"),
+        Seq(col("keep"), col("kept"), col("long_enough")), "source")
+    }),
+
+    // Per-source isotonic recalibration — each source gets its own
+    // monotone fit (per-(source, bin) stats in one aggregation, per-
+    // source exact-integer PAVA on the ≤ |sources|·10 collected rows).
+    "q_isotonic_by_source" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val q = graft.operators.Curation.qualityScoreRaw(docs)
+        .select(col("doc_id"), col("quality"))
+      val a = graft.operators.Curation.curationAuditRaw(docs)
+        .select(col("doc_id"), (col("reason") === "kept").as("kept"))
+      graft.operators.Robust.isotonicCalibrationBy(
+        q.join(a, "doc_id").join(docs.select(col("doc_id"), col("source")), "doc_id"),
+        col("quality"), col("kept"), "source")
+    }),
+
     // Isotonic (PAV) recalibration of the same reliability bins — the
     // monotone remap that makes the over-confident LR score usable as a
     // sampling weight. Distributed work = the one ≤10-bin aggregation;
@@ -6800,6 +6830,10 @@ object SparkEntry {
     // Fleiss: the three rater CTEs (LR keep + curation kept + length
     // gate), per-doc vote count, then the exact HUGEINT κ algebra.
     "q_fleiss_kappa" -> fleissKappaSql,
+
+    // Grouped twins: source riding the aggregation keys / the PAV pools.
+    "q_fleiss_kappa_by_source" -> fleissKappaBySql,
+    "q_isotonic_by_source" -> isotonicBySql,
 
     // Isotonic replay: the same bins, then ≤9 unrolled pool-adjacent-
     // violator merge stages (each stage: pool sums → lag compare on
@@ -10152,6 +10186,76 @@ object SparkEntry {
        |            ELSE round(CAST(a * 3 * CAST(n AS HUGEINT) - e * 2 AS DOUBLE)
        |                       / CAST(2 * (9 * CAST(n AS HUGEINT) * n - e) AS DOUBLE), 6) END AS kappa
        |FROM alg""".stripMargin
+
+  /** Grouped Fleiss replay: the same rater CTEs with d.source riding the
+    * vote-count aggregation; identical per-source HUGEINT algebra. */
+  private lazy val fleissKappaBySql: String =
+    s"""WITH ca AS ($curationAuditSql),
+       |     ql AS (WITH f AS (SELECT doc_id, string_split(text, ' ') AS t, text FROM documents),
+       |                 z AS (SELECT doc_id,
+       |                              -3.0 + 0.6 * ln(1.0 + CAST(len(t) AS DOUBLE))
+       |                              + 0.25 * ((CAST(length(text) AS DOUBLE) - CAST(len(t) - 1 AS DOUBLE)) / CAST(len(t) AS DOUBLE))
+       |                              + 1.2 * (CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE))
+       |                              + 2.0 * (CAST(len(list_filter(t, x -> list_contains(['the','a','of','and','to','in','is'], x))) AS DOUBLE) / CAST(len(t) AS DOUBLE)) AS z
+       |                       FROM f)
+       |            SELECT doc_id, 1.0 / (1.0 + exp(-z)) >= 0.5 AS keep FROM z),
+       |     kk AS (SELECT d.source AS g,
+       |                   (CASE WHEN ql.keep THEN 1 ELSE 0 END
+       |                  + CASE WHEN ca.reason = 'kept' THEN 1 ELSE 0 END
+       |                  + CASE WHEN d.n_chars >= 300 THEN 1 ELSE 0 END) AS k
+       |            FROM ql JOIN ca USING (doc_id) JOIN documents d USING (doc_id)),
+       |     agg AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+       |                    CAST(sum(k) AS HUGEINT) AS s1,
+       |                    CAST(sum(k * (k - 1) + (3 - k) * (2 - k)) AS HUGEINT) AS a
+       |             FROM kk GROUP BY g),
+       |     alg AS (SELECT g, n, a,
+       |                    s1 * s1 + (3 * CAST(n AS HUGEINT) - s1) * (3 * CAST(n AS HUGEINT) - s1) AS e
+       |             FROM agg)
+       |SELECT g AS source, n,
+       |       round(CAST(a AS DOUBLE) / (CAST(n AS DOUBLE) * 6.0), 6) AS p_bar,
+       |       round(CAST(e AS DOUBLE) / (9.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS p_e,
+       |       CASE WHEN 2 * (9 * CAST(n AS HUGEINT) * n - e) = 0 THEN NULL
+       |            ELSE round(CAST(a * 3 * CAST(n AS HUGEINT) - e * 2 AS DOUBLE)
+       |                       / CAST(2 * (9 * CAST(n AS HUGEINT) * n - e) AS DOUBLE), 6) END AS kappa
+       |FROM alg ORDER BY source""".stripMargin
+
+  /** Per-source PAV replay: the q_isotonic_calibration stage chain with
+    * the source partitioning every pool window and join. */
+  private lazy val isotonicBySql: String = {
+    val stages = (1 to 9).map { t =>
+      s"""pl$t AS (SELECT g, pool, CAST(sum(pos) AS HUGEINT) AS ppos,
+         |               CAST(sum(n) AS HUGEINT) AS pn
+         |        FROM s${t - 1} GROUP BY g, pool),
+         |mg$t AS (SELECT g, pool, CASE WHEN lpos IS NOT NULL AND lpos * pn > ppos * lpn
+         |                          THEN lpool ELSE pool END AS np
+         |        FROM (SELECT g, pool, ppos, pn,
+         |                     lag(pool) OVER (PARTITION BY g ORDER BY pool) AS lpool,
+         |                     lag(ppos) OVER (PARTITION BY g ORDER BY pool) AS lpos,
+         |                     lag(pn) OVER (PARTITION BY g ORDER BY pool) AS lpn
+         |              FROM pl$t)),
+         |s$t AS (SELECT s.g, s.bin, s.n, s.pos, m.np AS pool
+         |       FROM s${t - 1} s JOIN mg$t m ON s.g = m.g AND s.pool = m.pool)""".stripMargin
+    }.mkString(",\n")
+    raterJoinCte +
+      s""",
+         |b AS (SELECT g, least(CAST(floor(q * 10) AS INT), 9) AS bin, q, y FROM r),
+         |g0 AS (SELECT g, bin, CAST(count(*) AS BIGINT) AS n, sum(q) AS sq,
+         |              CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS pos
+         |       FROM b GROUP BY 1, 2),
+         |s0 AS (SELECT g, bin, n, pos, bin AS pool FROM g0),
+         |$stages,
+         |fin AS (SELECT s.g AS g, s.bin AS bin, pl.ppos AS ppos, pl.pn AS pn
+         |        FROM s9 s JOIN (SELECT g, pool, CAST(sum(pos) AS HUGEINT) AS ppos,
+         |                               CAST(sum(n) AS HUGEINT) AS pn
+         |                        FROM s9 GROUP BY g, pool) pl
+         |          ON s.g = pl.g AND s.pool = pl.pool)
+         |SELECT g0.g AS source, CAST(g0.bin AS INT) AS bin, g0.n,
+         |       round(CAST(g0.sq AS DOUBLE) / g0.n, 6) AS avg_pred,
+         |       round(CAST(g0.pos AS DOUBLE) / g0.n, 6) AS frac_pos,
+         |       round(CAST(f.ppos AS DOUBLE) / f.pn, 6) AS frac_iso
+         |FROM g0 JOIN fin f ON f.g = g0.g AND f.bin = g0.bin
+         |ORDER BY source, bin""".stripMargin
+  }
 
   /** PAV replay for `q_isotonic_calibration`: the calibration bins, then
     * 9 unrolled merge stages — 10 bins need at most 9 merges, and every

@@ -1403,6 +1403,105 @@ object Robust {
         .otherwise(round(num.cast(DoubleType) / den.cast(DoubleType), 6)).as("kappa"))
   }
 
+  /** Per-`byCol`-segment Fleiss' kappa — is the PANEL's agreement
+    * uniform across sources, or do the three gates only co-vote on one
+    * source's style? Exactly [[fleissKappa]] per segment: the segment
+    * rides the one aggregation's key; each segment's κ is bit-identical
+    * to the global operator on that slice (twin-tested). Unanimous
+    * segments keep their row with NULL kappa. */
+  def fleissKappaBy(df: DataFrame, raters: Seq[Column], byCol: String): DataFrame = {
+    val r = raters.length
+    require(r >= 2, s"fleissKappaBy: needs >= 2 raters, got $r")
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val k = raters.map(c => when(c, 1L).otherwise(0L)).reduce(_ + _)
+    val rl = lit(r.toLong)
+    val agg = df.filter(col(byCol).isNotNull)
+      .select(col(byCol).as("__g"), k.as("k"))
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("s1"),
+        sum(col("k") * (col("k") - 1L) +
+          (rl - col("k")) * (rl - 1L - col("k"))).as("a"))
+    val nD = col("n").cast(dec38)
+    val s1 = col("s1").cast(dec38)
+    val s0 = rl.cast(dec38) * nD - s1
+    val e = s1 * s1 + s0 * s0
+    val num = col("a").cast(dec38) * rl.cast(dec38) * nD - e * lit((r - 1).toLong).cast(dec38)
+    val den = lit((r - 1).toLong).cast(dec38) *
+      (lit((r.toLong * r)).cast(dec38) * nD * nD - e)
+    agg.select(col("__g").as(byCol), col("n"),
+      round(col("a").cast(DoubleType) /
+        (col("n").cast(DoubleType) * lit((r * (r - 1)).toDouble)), 6).as("p_bar"),
+      round(e.cast(DoubleType) /
+        (lit((r * r).toDouble) * col("n").cast(DoubleType) * col("n").cast(DoubleType)), 6)
+        .as("p_e"),
+      when(den === lit(0).cast(dec38), lit(null).cast(DoubleType))
+        .otherwise(round(num.cast(DoubleType) / den.cast(DoubleType), 6)).as("kappa"))
+      .orderBy(byCol)
+  }
+
+  /** Per-`byCol`-segment isotonic recalibration — the per-source
+    * calibration table with its own monotone fit (an over-confidence
+    * pattern can be one source's artifact; a pooled remap would smear
+    * it). Exactly [[isotonicCalibration]] per segment: per-(segment,
+    * bin) stats in the one distributed aggregation (summary ≤
+    * |segments|·10 rows, ceiling-guarded), then each segment's own
+    * exact-integer stack PAVA — per-segment rows bit-identical to the
+    * global operator on that slice (twin-tested). */
+  def isotonicCalibrationBy(
+      df: DataFrame, score: Column, label: Column, byCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField(byCol, org.apache.spark.sql.types.StringType, nullable = true),
+      StructField("bin", IntegerType, nullable = false),
+      StructField("n", LongType, nullable = false),
+      StructField("avg_pred", DoubleType, nullable = true),
+      StructField("frac_pos", DoubleType, nullable = true),
+      StructField("frac_iso", DoubleType, nullable = true)))
+    val q = score.cast(org.apache.spark.sql.types.DecimalType(8, 6))
+    val bin = least(floor(q * 10).cast("int"), lit(9))
+    val binRows = collectSummary(
+      df.select(col(byCol).cast("string").as("__g"), bin.as("bin"),
+          q.as("__q"), label.cast("boolean").as("__y"))
+        .filter(col("__g").isNotNull && col("__q").isNotNull && col("__y").isNotNull)
+        .groupBy(col("__g"), col("bin"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("__q")).as("sq"),
+          sum(when(col("__y"), 1L).otherwise(0L)).as("pos"))
+        .select(col("__g"), col("bin"), col("n"),
+          round(col("sq").cast(DoubleType) / col("n"), 6).as("avg_pred"),
+          col("pos")),
+      "isotonicCalibrationBy")
+    def round6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    final case class Pool(pos: Long, n: Long, members: List[Int])
+    val out = binRows.groupBy(_.getString(0)).toSeq.sortBy(_._1).flatMap {
+      case (g, rs) =>
+        val sorted = rs.sortBy(_.getInt(1))
+        val pools = sorted.foldLeft(List.empty[Pool]) { (acc, r) =>
+          var st = Pool(r.getAs[Long]("pos"), r.getAs[Long]("n"),
+            List(r.getInt(1))) :: acc
+          while (st.lengthCompare(2) >= 0 &&
+              BigInt(st(1).pos) * st.head.n > BigInt(st.head.pos) * st(1).n) {
+            val top :: prev :: rest = st: @unchecked
+            st = Pool(prev.pos + top.pos, prev.n + top.n,
+              prev.members ::: top.members) :: rest
+          }
+          st
+        }
+        val isoByBin: Map[Int, Double] = pools.flatMap(p =>
+          p.members.map(_ -> round6(p.pos.toDouble / p.n.toDouble))).toMap
+        sorted.map { r =>
+          val b = r.getInt(1)
+          val n = r.getAs[Long]("n")
+          val pos = r.getAs[Long]("pos")
+          Row(g, b, n, r.getAs[Double]("avg_pred"),
+            round6(pos.toDouble / n.toDouble), isoByBin(b))
+        }
+    }
+    spark.createDataFrame(java.util.Arrays.asList(out: _*), outSchema)
+      .orderBy(col(byCol), col("bin"))
+  }
+
   /** Per-`byCol`-segment Cohen's kappa — is the gate agreement uniform
     * across segments, or does the cheap gate only track the expensive
     * one on one source's style? Exactly [[cohenKappa]] per segment:

@@ -2021,6 +2021,43 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(degen.getAs[Double]("p_bar") == 1.0 && degen.isNullAt(degen.fieldIndex("kappa")))
   }
 
+  test("fleissKappaBy / isotonicCalibrationBy: per-segment rows equal the global gate per slice") {
+    import graft.operators.Robust
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 120).map { i =>
+      val g = if (i % 3 == 0) "web" else "book"
+      val s = math.rint(rnd.nextDouble() * 1e6) / 1e6
+      (g, s, rnd.nextBoolean(), rnd.nextBoolean(), rnd.nextBoolean())
+    }
+    val df = rows.toDF("src", "score", "a", "b", "c")
+    val rat = Seq(col("a"), col("b"), col("c"))
+    val grouped = Robust.fleissKappaBy(df, rat, "src").collect()
+    assert(grouped.map(_.getString(0)).toSeq == Seq("book", "web"))
+    for (row <- grouped) {
+      val single = Robust.fleissKappa(
+        df.filter($"src" === row.getString(0)), rat).head()
+      for (c <- Seq("p_bar", "p_e", "kappa"))
+        assert(row.getAs[Double](c) == single.getAs[Double](c), s"$c in ${row.getString(0)}")
+      assert(row.getAs[Long]("n") == single.getAs[Long]("n"))
+    }
+    val gIso = Robust.isotonicCalibrationBy(
+      df, col("score"), col("a"), "src").collect()
+    for (g <- Seq("book", "web")) {
+      val slice = Robust.isotonicCalibration(
+        df.filter($"src" === g), col("score"), col("a")).collect()
+      val mine = gIso.filter(_.getString(0) == g)
+      assert(mine.length == slice.length, g)
+      for ((m, s) <- mine.zip(slice)) {
+        assert(m.getAs[Int]("bin") == s.getAs[Int]("bin"))
+        for (c <- Seq("avg_pred", "frac_pos", "frac_iso"))
+          assert(m.getAs[Double](c) == s.getAs[Double](c), s"$c bin ${s.getAs[Int]("bin")} in $g")
+      }
+      // and every per-segment fit is monotone in the bin order
+      assert(mine.map(_.getAs[Double]("frac_iso")).toSeq ==
+        mine.map(_.getAs[Double]("frac_iso")).toSeq.sorted)
+    }
+  }
+
   // scalar twin of PortableHash.keyHash for seed-placement arithmetic
   private def kh(id: Long): Long =
     ((id % 1000000007L + 1000000007L) % 1000000007L) * 2654435761L % 1000000007L
