@@ -4496,6 +4496,20 @@ object SparkEntry {
         Seq(col("keep"), col("kept"), col("long_enough")))
     }),
 
+    // Split-conformal calibration of the quality gate: hash-parity
+    // calibration/test split, exact ⌈(n+1)·0.9⌉-th order statistic of
+    // the nonconformity scores via the two-level scan, then the
+    // distribution-free coverage + set-size audit on the held-out half.
+    "q_conformal_gate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val q = graft.operators.Curation.qualityScoreRaw(docs)
+        .select(col("doc_id"), col("quality"))
+      val a = graft.operators.Curation.curationAuditRaw(docs)
+        .select(col("doc_id"), (col("reason") === "kept").as("kept"))
+      graft.operators.Robust.conformalGate(
+        q.join(a, "doc_id"), col("doc_id"), col("quality"), col("kept"))
+    }),
+
     // Grouped Fleiss: is the panel's agreement uniform across sources?
     // The segment rides the one aggregation's key; unanimous sources
     // keep their row with NULL kappa.
@@ -6834,6 +6848,11 @@ object SparkEntry {
     // Grouped twins: source riding the aggregation keys / the PAV pools.
     "q_fleiss_kappa_by_source" -> fleissKappaBySql,
     "q_isotonic_by_source" -> isotonicBySql,
+
+    // Conformal replay: doc-id-parity split, window rank pick of the
+    // nonconformity order statistic, max()-folded scalars so the empty
+    // test half still yields the operator's single row.
+    "q_conformal_gate" -> conformalGateSql,
 
     // Isotonic replay: the same bins, then ≤9 unrolled pool-adjacent-
     // violator merge stages (each stage: pool sums → lag compare on
@@ -10186,6 +10205,40 @@ object SparkEntry {
        |            ELSE round(CAST(a * 3 * CAST(n AS HUGEINT) - e * 2 AS DOUBLE)
        |                       / CAST(2 * (9 * CAST(n AS HUGEINT) * n - e) AS DOUBLE), 6) END AS kappa
        |FROM alg""".stripMargin
+
+  /** Conformal replay: the rater CTEs with doc_id carried for the parity
+    * split; q̂ = min v with cum ≥ ⌈(n_cal+1)·0.9⌉ (coalesce 1 when the
+    * rank overshoots), exact DECIMAL(8,6) nonconformity compares. */
+  private lazy val conformalGateSql: String =
+    s"""WITH ca AS ($curationAuditSql),
+       |     ql AS (WITH f AS (SELECT doc_id, string_split(text, ' ') AS t, text FROM documents),
+       |                 z AS (SELECT doc_id,
+       |                              -3.0 + 0.6 * ln(1.0 + CAST(len(t) AS DOUBLE))
+       |                              + 0.25 * ((CAST(length(text) AS DOUBLE) - CAST(len(t) - 1 AS DOUBLE)) / CAST(len(t) AS DOUBLE))
+       |                              + 1.2 * (CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE))
+       |                              + 2.0 * (CAST(len(list_filter(t, x -> list_contains(['the','a','of','and','to','in','is'], x))) AS DOUBLE) / CAST(len(t) AS DOUBLE)) AS z
+       |                       FROM f)
+       |            SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 6) AS quality FROM z),
+       |     rr AS (SELECT ql.doc_id AS doc_id, CAST(ql.quality AS DECIMAL(8,6)) AS q,
+       |                   ca.reason = 'kept' AS y
+       |            FROM ql JOIN ca USING (doc_id)),
+       |     b AS (SELECT doc_id, q, y,
+       |                  (${graft.functions.PortableHash.keyHashSql("doc_id")}) % 2 = 0 AS is_cal,
+       |                  CASE WHEN y THEN CAST(CAST(1 AS DECIMAL(8,6)) - q AS DECIMAL(8,6))
+       |                       ELSE q END AS a
+       |           FROM rr),
+       |     pv AS (SELECT a AS v, CAST(count(*) AS BIGINT) AS c FROM b WHERE is_cal GROUP BY 1),
+       |     tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_cal FROM pv),
+       |     cum AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM pv),
+       |     qh AS (SELECT coalesce(min(v), CAST(1 AS DECIMAL(8,6))) AS qhat
+       |            FROM cum, tot
+       |            WHERE cum >= CAST(floor(CAST(90 * (n_cal + 1) + 99 AS DOUBLE) / 100.0) AS BIGINT))
+       |SELECT max(tot.n_cal) AS n_cal, CAST(count(*) AS BIGINT) AS n_test,
+       |       CAST(max(qh.qhat) AS DOUBLE) AS qhat,
+       |       round(CAST(sum(CASE WHEN b.a <= qh.qhat THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS coverage,
+       |       round(CAST(sum((CASE WHEN CAST(CAST(1 AS DECIMAL(8,6)) - b.q AS DECIMAL(8,6)) <= qh.qhat THEN 1 ELSE 0 END)
+       |                    + (CASE WHEN b.q <= qh.qhat THEN 1 ELSE 0 END)) AS DOUBLE) / count(*), 6) AS avg_set_size
+       |FROM b, qh, tot WHERE NOT b.is_cal""".stripMargin
 
   /** Grouped Fleiss replay: the same rater CTEs with d.source riding the
     * vote-count aggregation; identical per-source HUGEINT algebra. */

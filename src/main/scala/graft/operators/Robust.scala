@@ -1403,6 +1403,65 @@ object Robust {
         .otherwise(round(num.cast(DoubleType) / den.cast(DoubleType), 6)).as("kappa"))
   }
 
+  /** Split-conformal calibration of a probabilistic gate (Vovk's
+    * inductive conformal prediction; Angelopoulos & Bates 2021 survey) —
+    * the DISTRIBUTION-FREE coverage guarantee the reliability-bin family
+    * can't give: calibrate a nonconformity threshold q̂ on one half, and
+    * prediction sets {c : 1 − p̂(c) ≤ q̂} on the other half contain the
+    * true label with probability ≥ 1 − α, for ANY score quality —
+    * a badly calibrated score just pays in set size, which is exactly
+    * what `avg_set_size` surfaces.
+    *
+    * Scale shape: the halves split by portable-hash parity (engine-
+    * portable, no shuffle); the calibration quantile is the EXACT
+    * ⌈(n+1)(1−α)⌉-th order statistic via per-distinct-value counts +
+    * the [[runningTotals]] two-level scan — never a row-sized window,
+    * never a sort-to-driver; the test half folds to one row of integer
+    * counts. Everything compares DECIMAL(8,6) nonconformity scores
+    * exactly, so the whole chain replays in SQL. k > n_cal (tiny
+    * calibration sets) degrades honestly to q̂ = 1 — the full
+    * prediction set, coverage 1, the conformal contract. */
+  def conformalGate(df: DataFrame, id: Column, score: Column, label: Column,
+      coverPct: Int = 90): DataFrame = {
+    require(coverPct >= 1 && coverPct <= 99, s"conformalGate: coverPct=$coverPct")
+    val dec86 = org.apache.spark.sql.types.DecimalType(8, 6)
+    val one = lit(1).cast(dec86)
+    val base = df
+      .select(id.as("__id"), score.cast(dec86).as("q"),
+        label.cast("boolean").as("y"))
+      .filter(col("__id").isNotNull && col("q").isNotNull && col("y").isNotNull)
+      .withColumn("is_cal",
+        pmod(graft.functions.PortableHash.keyHash(col("__id")), lit(2L)) === 0L)
+      .withColumn("a", when(col("y"), (one - col("q")).cast(dec86))
+        .otherwise(col("q")))
+    val perValue = base.filter(col("is_cal"))
+      .groupBy(col("a").as("v")).agg(count(lit(1)).as("cnt"))
+    val cum = runningTotals(perValue, Seq("cnt"))
+    val tot = perValue.agg(sum(col("cnt")).as("n_cal"))
+    // k = ⌈(n+1)·coverPct/100⌉ — exact for n < 2^53/100 (floor over an
+    // exactly-representable double)
+    val kOf = (n: Column) => floor(
+      (lit(coverPct.toLong) * (n + 1L) + 99L).cast(DoubleType) / 100.0)
+      .cast(LongType)
+    val qhatRow = broadcast(cum.crossJoin(broadcast(tot))
+      .filter(col("cum_cnt") >= kOf(col("n_cal")))
+      .agg(coalesce(min(col("v")), one).as("qhat"))
+      .crossJoin(broadcast(tot)))
+    base.filter(!col("is_cal"))
+      .crossJoin(qhatRow)
+      .agg(
+        first(col("n_cal")).as("n_cal"),
+        count(lit(1)).as("n_test"),
+        first(col("qhat")).as("__qh"),
+        sum(when(col("a") <= col("qhat"), 1L).otherwise(0L)).as("__cov"),
+        sum(when((one - col("q")).cast(dec86) <= col("qhat"), 1L).otherwise(0L) +
+          when(col("q") <= col("qhat"), 1L).otherwise(0L)).as("__sz"))
+      .select(col("n_cal"), col("n_test"),
+        col("__qh").cast(DoubleType).as("qhat"),
+        round(col("__cov").cast(DoubleType) / col("n_test"), 6).as("coverage"),
+        round(col("__sz").cast(DoubleType) / col("n_test"), 6).as("avg_set_size"))
+  }
+
   /** Per-`byCol`-segment Fleiss' kappa — is the PANEL's agreement
     * uniform across sources, or do the three gates only co-vote on one
     * source's style? Exactly [[fleissKappa]] per segment: the segment

@@ -2058,6 +2058,38 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("conformalGate: hand-computed q̂ and coverage; perfect score; rank overshoot") {
+    import graft.operators.Robust
+    val evens = (1L to 200L).filter(kh(_) % 2 == 0)
+    val odds = (1L to 200L).filter(kh(_) % 2 == 1)
+    // 9 calibration docs with nonconformity 0.1..0.9 (true labels, a = 1−q):
+    // k = ⌈0.9·10⌉ = 9 → q̂ = 0.9; test docs at a = 0.85 (covered) and
+    // a = 0.95 (not covered) → coverage 0.5
+    val cal = evens.take(9).zipWithIndex.map { case (id, i) =>
+      (id, 1.0 - (i + 1) * 0.1, true) }
+    val tst = Seq((odds(0), 0.15, true), (odds(1), 0.05, true))
+    val r = Robust.conformalGate(
+      (cal ++ tst).toDF("doc_id", "score", "label"),
+      col("doc_id"), col("score"), col("label")).head()
+    assert(r.getAs[Long]("n_cal") == 9L && r.getAs[Long]("n_test") == 2L)
+    assert(r.getAs[Double]("qhat") == 0.9 && r.getAs[Double]("coverage") == 0.5)
+    // a perfect score: every nonconformity 0 → q̂ = 0, singleton sets,
+    // full coverage
+    val perfect = (evens.take(9).map(id => (id, 1.0, true)) ++
+      odds.take(4).map(id => (id, 1.0, true)) ++
+      Seq((odds(4), 0.0, false))).toDF("doc_id", "score", "label")
+    val p = Robust.conformalGate(perfect, col("doc_id"), col("score"), col("label")).head()
+    assert(p.getAs[Double]("qhat") == 0.0 && p.getAs[Double]("coverage") == 1.0 &&
+      p.getAs[Double]("avg_set_size") == 1.0)
+    // n_cal < 9 → k > n_cal: q̂ degrades to 1 (full sets, coverage 1)
+    val tiny = Robust.conformalGate(
+      (evens.take(3).map(id => (id, 0.4, true)) ++
+        Seq((odds(0), 0.2, false))).toDF("doc_id", "score", "label"),
+      col("doc_id"), col("score"), col("label")).head()
+    assert(tiny.getAs[Double]("qhat") == 1.0 && tiny.getAs[Double]("coverage") == 1.0 &&
+      tiny.getAs[Double]("avg_set_size") == 2.0)
+  }
+
   // scalar twin of PortableHash.keyHash for seed-placement arithmetic
   private def kh(id: Long): Long =
     ((id % 1000000007L + 1000000007L) % 1000000007L) * 2654435761L % 1000000007L
