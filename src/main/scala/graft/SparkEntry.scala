@@ -4510,6 +4510,19 @@ object SparkEntry {
         q.join(a, "doc_id"), col("doc_id"), col("quality"), col("kept"))
     }),
 
+    // Mondrian (group-conditional) conformal: a separate q̂ per source so
+    // the coverage guarantee holds per source, not just marginally.
+    "q_conformal_by_source" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val q = graft.operators.Curation.qualityScoreRaw(docs)
+        .select(col("doc_id"), col("quality"))
+      val a = graft.operators.Curation.curationAuditRaw(docs)
+        .select(col("doc_id"), (col("reason") === "kept").as("kept"))
+      graft.operators.Robust.conformalGateBy(
+        q.join(a, "doc_id").join(docs.select(col("doc_id"), col("source")), "doc_id"),
+        col("doc_id"), col("quality"), col("kept"), "source")
+    }),
+
     // Grouped Fleiss: is the panel's agreement uniform across sources?
     // The segment rides the one aggregation's key; unanimous sources
     // keep their row with NULL kappa.
@@ -6853,6 +6866,11 @@ object SparkEntry {
     // nonconformity order statistic, max()-folded scalars so the empty
     // test half still yields the operator's single row.
     "q_conformal_gate" -> conformalGateSql,
+
+    // Mondrian replay: source partitioning the split, the rank window,
+    // and every fold; calibration-side-driven LEFT JOINs keep test-less
+    // sources as (n_test = 0, NULL coverage) rows.
+    "q_conformal_by_source" -> conformalBySql,
 
     // Isotonic replay: the same bins, then ≤9 unrolled pool-adjacent-
     // violator merge stages (each stage: pool sums → lag compare on
@@ -10239,6 +10257,49 @@ object SparkEntry {
        |       round(CAST(sum((CASE WHEN CAST(CAST(1 AS DECIMAL(8,6)) - b.q AS DECIMAL(8,6)) <= qh.qhat THEN 1 ELSE 0 END)
        |                    + (CASE WHEN b.q <= qh.qhat THEN 1 ELSE 0 END)) AS DOUBLE) / count(*), 6) AS avg_set_size
        |FROM b, qh, tot WHERE NOT b.is_cal""".stripMargin
+
+  /** Mondrian conformal replay: source rides the parity split, the
+    * PARTITION BY of the rank window, and every fold; LEFT JOINs drive
+    * from the calibration side like the operator. */
+  private lazy val conformalBySql: String =
+    s"""WITH ca AS ($curationAuditSql),
+       |     ql AS (WITH f AS (SELECT doc_id, string_split(text, ' ') AS t, text FROM documents),
+       |                 z AS (SELECT doc_id,
+       |                              -3.0 + 0.6 * ln(1.0 + CAST(len(t) AS DOUBLE))
+       |                              + 0.25 * ((CAST(length(text) AS DOUBLE) - CAST(len(t) - 1 AS DOUBLE)) / CAST(len(t) AS DOUBLE))
+       |                              + 1.2 * (CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE))
+       |                              + 2.0 * (CAST(len(list_filter(t, x -> list_contains(['the','a','of','and','to','in','is'], x))) AS DOUBLE) / CAST(len(t) AS DOUBLE)) AS z
+       |                       FROM f)
+       |            SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 6) AS quality FROM z),
+       |     rr AS (SELECT ql.doc_id AS doc_id, d.source AS g,
+       |                   CAST(ql.quality AS DECIMAL(8,6)) AS q, ca.reason = 'kept' AS y
+       |            FROM ql JOIN ca USING (doc_id) JOIN documents d USING (doc_id)),
+       |     b AS (SELECT doc_id, g, q, y,
+       |                  (${graft.functions.PortableHash.keyHashSql("doc_id")}) % 2 = 0 AS is_cal,
+       |                  CASE WHEN y THEN CAST(CAST(1 AS DECIMAL(8,6)) - q AS DECIMAL(8,6))
+       |                       ELSE q END AS a
+       |           FROM rr),
+       |     pv AS (SELECT g, a AS v, CAST(count(*) AS BIGINT) AS c FROM b WHERE is_cal GROUP BY 1, 2),
+       |     tot AS (SELECT g, CAST(sum(c) AS BIGINT) AS n_cal FROM pv GROUP BY 1),
+       |     cum AS (SELECT g, v, sum(c) OVER (PARTITION BY g ORDER BY v) AS cum FROM pv),
+       |     qh0 AS (SELECT cum.g AS g, min(cum.v) AS qh0
+       |             FROM cum JOIN tot ON tot.g = cum.g
+       |             WHERE cum.cum >= CAST(floor(CAST(90 * (tot.n_cal + 1) + 99 AS DOUBLE) / 100.0) AS BIGINT)
+       |             GROUP BY 1),
+       |     qh AS (SELECT tot.g AS g, tot.n_cal AS n_cal,
+       |                   coalesce(qh0.qh0, CAST(1 AS DECIMAL(8,6))) AS qhat
+       |            FROM tot LEFT JOIN qh0 ON qh0.g = tot.g),
+       |     tf AS (SELECT b.g AS g, CAST(count(*) AS BIGINT) AS n_test,
+       |                   CAST(sum(CASE WHEN b.a <= qh.qhat THEN 1 ELSE 0 END) AS BIGINT) AS cov,
+       |                   CAST(sum((CASE WHEN CAST(CAST(1 AS DECIMAL(8,6)) - b.q AS DECIMAL(8,6)) <= qh.qhat THEN 1 ELSE 0 END)
+       |                          + (CASE WHEN b.q <= qh.qhat THEN 1 ELSE 0 END)) AS BIGINT) AS sz
+       |            FROM b JOIN qh ON qh.g = b.g WHERE NOT b.is_cal GROUP BY 1)
+       |SELECT qh.g AS source, qh.n_cal AS n_cal,
+       |       coalesce(tf.n_test, 0) AS n_test,
+       |       CAST(qh.qhat AS DOUBLE) AS qhat,
+       |       round(CAST(tf.cov AS DOUBLE) / tf.n_test, 6) AS coverage,
+       |       round(CAST(tf.sz AS DOUBLE) / tf.n_test, 6) AS avg_set_size
+       |FROM qh LEFT JOIN tf ON tf.g = qh.g ORDER BY source""".stripMargin
 
   /** Grouped Fleiss replay: the same rater CTEs with d.source riding the
     * vote-count aggregation; identical per-source HUGEINT algebra. */

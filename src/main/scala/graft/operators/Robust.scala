@@ -1462,6 +1462,60 @@ object Robust {
         round(col("__sz").cast(DoubleType) / col("n_test"), 6).as("avg_set_size"))
   }
 
+  /** Group-conditional (Mondrian) conformal calibration — a SEPARATE q̂
+    * per segment, so the ≥ 1−α guarantee holds PER SOURCE, not just
+    * marginally (a marginal q̂ can over-cover an easy source while
+    * under-covering a hard one — averaged away in [[conformalGate]]'s
+    * single row). Exactly the global operator per segment: per-(segment,
+    * value) counts, the GROUPED two-level scan, per-segment rank rule
+    * and fold — each segment's row bit-identical to [[conformalGate]]
+    * on that slice (twin-tested). Rows drive from the CALIBRATION side:
+    * a segment with no test rows keeps its (n_test = 0, NULL coverage)
+    * row; a segment with no calibration rows has no guarantee to offer
+    * and DROPS — the honest contract. */
+  def conformalGateBy(df: DataFrame, id: Column, score: Column, label: Column,
+      byCol: String, coverPct: Int = 90): DataFrame = {
+    require(coverPct >= 1 && coverPct <= 99, s"conformalGateBy: coverPct=$coverPct")
+    val dec86 = org.apache.spark.sql.types.DecimalType(8, 6)
+    val one = lit(1).cast(dec86)
+    val base = df
+      .select(col(byCol).as("__g"), id.as("__id"), score.cast(dec86).as("q"),
+        label.cast("boolean").as("y"))
+      .filter(col("__g").isNotNull && col("__id").isNotNull &&
+        col("q").isNotNull && col("y").isNotNull)
+      .withColumn("is_cal",
+        pmod(graft.functions.PortableHash.keyHash(col("__id")), lit(2L)) === 0L)
+      .withColumn("a", when(col("y"), (one - col("q")).cast(dec86))
+        .otherwise(col("q")))
+    val perValue = base.filter(col("is_cal"))
+      .groupBy(col("__g"), col("a").as("v")).agg(count(lit(1)).as("cnt"))
+    val cum = runningTotalsBy(perValue, Seq("__g"), Seq("cnt"))
+    val tot = perValue.groupBy(col("__g")).agg(sum(col("cnt")).as("n_cal"))
+    val kOf = (n: Column) => floor(
+      (lit(coverPct.toLong) * (n + 1L) + 99L).cast(DoubleType) / 100.0)
+      .cast(LongType)
+    val qhGroups = cum.join(broadcast(tot), "__g")
+      .filter(col("cum_cnt") >= kOf(col("n_cal")))
+      .groupBy(col("__g")).agg(min(col("v")).as("__qh0"))
+    val qhat = tot.join(qhGroups, Seq("__g"), "left")
+      .select(col("__g"), col("n_cal"),
+        coalesce(col("__qh0"), one).as("qhat"))
+    val testFold = base.filter(!col("is_cal"))
+      .join(broadcast(qhat), "__g")
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("a") <= col("qhat"), 1L).otherwise(0L)).as("__cov"),
+        sum(when((one - col("q")).cast(dec86) <= col("qhat"), 1L).otherwise(0L) +
+          when(col("q") <= col("qhat"), 1L).otherwise(0L)).as("__sz"))
+    qhat.join(testFold, Seq("__g"), "left")
+      .select(col("__g").as(byCol), col("n_cal"),
+        coalesce(col("n_test"), lit(0L)).as("n_test"),
+        col("qhat").cast(DoubleType).as("qhat"),
+        round(col("__cov").cast(DoubleType) / col("n_test"), 6).as("coverage"),
+        round(col("__sz").cast(DoubleType) / col("n_test"), 6).as("avg_set_size"))
+      .orderBy(byCol)
+  }
+
   /** Per-`byCol`-segment Fleiss' kappa — is the PANEL's agreement
     * uniform across sources, or do the three gates only co-vote on one
     * source's style? Exactly [[fleissKappa]] per segment: the segment

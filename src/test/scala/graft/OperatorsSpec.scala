@@ -2090,6 +2090,38 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
       tiny.getAs[Double]("avg_set_size") == 2.0)
   }
 
+  test("conformalGateBy: per-segment rows equal the global gate per slice; test-less segment kept") {
+    import graft.operators.Robust
+    val rnd = new scala.util.Random(11)
+    val rows = (1L to 160L).map { id =>
+      val g = if (id % 2 == 0) "web" else "book" // independent of hash parity
+      (g, id, math.rint(rnd.nextDouble() * 1e6) / 1e6, rnd.nextBoolean())
+    }
+    val df = rows.toDF("src", "doc_id", "score", "label")
+    val grouped = Robust.conformalGateBy(
+      df, col("doc_id"), col("score"), col("label"), "src").collect()
+    assert(grouped.map(_.getString(0)).toSeq == Seq("book", "web"))
+    for (row <- grouped) {
+      val single = Robust.conformalGate(
+        df.filter($"src" === row.getString(0)),
+        col("doc_id"), col("score"), col("label")).head()
+      assert(row.getAs[Long]("n_cal") == single.getAs[Long]("n_cal"))
+      assert(row.getAs[Long]("n_test") == single.getAs[Long]("n_test"))
+      for (c <- Seq("qhat", "coverage", "avg_set_size"))
+        assert(row.getAs[Double](c) == single.getAs[Double](c),
+          s"$c in ${row.getString(0)}")
+    }
+    // a segment whose rows ALL land in the calibration half keeps its
+    // (n_test = 0, NULL coverage) row — the calibration-side contract
+    val calOnly = (1000001L to 1000400L).filter(kh(_) % 2 == 0).take(5)
+    val mixed = (rows ++ calOnly.map(id => ("calonly", id, 0.5, true)))
+      .toDF("src", "doc_id", "score", "label")
+    val co = Robust.conformalGateBy(
+      mixed, col("doc_id"), col("score"), col("label"), "src").collect()
+      .find(_.getString(0) == "calonly").get
+    assert(co.getAs[Long]("n_test") == 0L && co.isNullAt(co.fieldIndex("coverage")))
+  }
+
   // scalar twin of PortableHash.keyHash for seed-placement arithmetic
   private def kh(id: Long): Long =
     ((id % 1000000007L + 1000000007L) % 1000000007L) * 2654435761L % 1000000007L
