@@ -4303,6 +4303,13 @@ object SparkEntry {
     "q_embed_drift_stream" -> ((s, d) =>
       graft.streaming.EmbedDriftStream.runStreamEmbedDrift(s, d)),
 
+    // Streaming cluster-share monitor: the frozen even-half k-means
+    // model judges the arriving odd half — state = k integer counts
+    // (stateless codegen assignment → complete-mode count), per-cluster
+    // share table with smoothed PSI terms, parity asserted in-plan.
+    "q_kmeans_share_stream" -> ((s, d) =>
+      graft.streaming.ClusterShareStream.runStreamClusterShare(s, d)),
+
     // Label-separability audit: per-label within-class scatter, nearest
     // other centroid, Fisher-style ratio — the encoder-collapse check the
     // drift gates can't make (same decimal moment passes; |labels|²·d
@@ -9151,6 +9158,7 @@ object SparkEntry {
     // seeds, per-stage exact-decimal argmin + rounded centroid update
     // with empty-cluster carry, then each consumer's final fold.
     "q_kmeans" -> graft.operators.Clustering.kmeansOracleSql(8, 5, 64),
+    "q_kmeans_share_stream" -> graft.operators.Clustering.shareStreamOracleSql(8, 5, 64),
     "q_silhouette" -> graft.operators.Clustering.silhouetteOracleSql(8, 5, 64),
     "q_cluster_label_mi" -> graft.operators.Clustering.labelMiOracleSql(8, 5, 64),
     "q_cluster_sample" -> graft.operators.Clustering.sampleOracleSql(8, 5, 64, 20),

@@ -182,12 +182,16 @@ object Clustering {
   // ---------------------------------------------------------------------
 
   /** CTE chain ending in `rkf` (final distances under cent{iters}, with
-    * rn = per-vector rank by (d2, cl)) and `af` (rn = 1). */
-  def stagesSql(k: Int, iters: Int, dim: Int): String = {
+    * rn = per-vector rank by (d2, cl)) and `af` (rn = 1). `trainWhere`
+    * restricts the TRAINING corpus (e.g. the frozen even-id reference
+    * half for the streaming share monitor); the assignment stages keep
+    * scanning only the training rows — consumers needing assignment of
+    * other rows add their own stage over `cent$iters`. */
+  def stagesSql(k: Int, iters: Int, dim: Int, trainWhere: String = ""): String = {
     val base =
       s"""e AS MATERIALIZED (SELECT vec_id, embedding AS v FROM embeddings
          |       WHERE vec_id IS NOT NULL AND embedding IS NOT NULL AND len(embedding) = $dim
-         |         AND len(list_filter(embedding, x -> x IS NULL)) = 0),
+         |         AND len(list_filter(embedding, x -> x IS NULL)) = 0$trainWhere),
          |d AS MATERIALIZED (SELECT CAST(i AS INT) AS i FROM range(0, $dim) t(i)),
          |vx AS MATERIALIZED (SELECT e.vec_id AS vec_id, d.i AS i,
          |       e.v[d.i + 1] AS xf, CAST(e.v[d.i + 1] AS DOUBLE) AS x FROM e, d),
@@ -263,6 +267,54 @@ object Clustering {
        |              / (CAST(list_sum(list_transform(list_filter(cs, x -> x.x = c.x), t -> t.cnt)) AS DOUBLE)
        |                 * CAST(list_sum(list_transform(list_filter(cs, x -> x.y = c.y), t -> t.cnt)) AS DOUBLE))))), 6) AS mi_nats
        |FROM one""".stripMargin
+
+  /** Model trained on the frozen even-id REFERENCE half only — the
+    * streaming share monitor's at-rest model (new data must not move
+    * the centroids it is judged against). */
+  def refModelFor(spark: SparkSession, dir: String, k: Int = DefaultK,
+      iters: Int = DefaultIters, dim: Int = Dim): Array[Array[Double]] =
+    modelCache.computeIfAbsent(s"$dir|$k|$iters|$dim|ref", _ =>
+      kmeans(cleanVectors(
+          graft.sources.Tables.embeddings(spark, dir)
+            .filter(pmod(col("vec_id"), lit(2L)) === 0), dim),
+        k, iters, dim))
+
+  /** Replay of the streaming cluster-share monitor: train on the even
+    * half, assign EVERY valid vector under the final centroids, then
+    * the per-cluster share table with smoothed PSI terms (the
+    * q_psi_drift +0.5 / +k/2 Laplace spelling). Empty sides yield no
+    * rows (absence is not zero drift). */
+  def shareStreamOracleSql(k: Int, iters: Int, dim: Int): String = {
+    val pad = k / 2.0
+    val pr = s"(CAST(cr AS DOUBLE) + 0.5) / (CAST(tt.n_ref AS DOUBLE) + $pad)"
+    val pc = s"(CAST(ccur AS DOUBLE) + 0.5) / (CAST(tt.n_cur AS DOUBLE) + $pad)"
+    s"""WITH ${stagesSql(k, iters, dim, " AND vec_id % 2 = 0")},
+       |va AS MATERIALIZED (SELECT vec_id, embedding AS v, vec_id % 2 = 1 AS is_cur FROM embeddings
+       |       WHERE vec_id IS NOT NULL AND embedding IS NOT NULL AND len(embedding) = $dim
+       |         AND len(list_filter(embedding, x -> x IS NULL)) = 0),
+       |vxa AS MATERIALIZED (SELECT va.vec_id AS vec_id, va.is_cur AS is_cur, d.i AS i,
+       |       CAST(va.v[d.i + 1] AS DOUBLE) AS x FROM va, d),
+       |aa AS MATERIALIZED (
+       |  SELECT vec_id, is_cur, cl FROM (
+       |    SELECT vxa.vec_id AS vec_id, vxa.is_cur AS is_cur, c.cl AS cl,
+       |           row_number() OVER (PARTITION BY vxa.vec_id
+       |             ORDER BY sum(CAST((vxa.x - c.m) * (vxa.x - c.m) AS DECIMAL(38,12))), c.cl) AS rn
+       |    FROM vxa JOIN cent$iters c ON c.i = vxa.i
+       |    GROUP BY 1, 2, 3) WHERE rn = 1),
+       |cc AS (SELECT cl, CAST(sum(CASE WHEN is_cur THEN 0 ELSE 1 END) AS BIGINT) AS cr,
+       |              CAST(sum(CASE WHEN is_cur THEN 1 ELSE 0 END) AS BIGINT) AS ccur
+       |       FROM aa GROUP BY 1),
+       |dom AS (SELECT CAST(gs.g AS INT) AS cluster, coalesce(cc.cr, 0) AS cr,
+       |               coalesce(cc.ccur, 0) AS ccur
+       |        FROM generate_series(0, ${k - 1}) gs(g) LEFT JOIN cc ON cc.cl = gs.g),
+       |tt AS (SELECT CAST(sum(cr) AS BIGINT) AS n_ref, CAST(sum(ccur) AS BIGINT) AS n_cur FROM dom)
+       |SELECT dom.cluster AS cluster, cr AS n_ref, ccur AS n_cur,
+       |       round(CAST(cr AS DOUBLE) / CAST(tt.n_ref AS DOUBLE), 6) AS share_ref,
+       |       round(CAST(ccur AS DOUBLE) / CAST(tt.n_cur AS DOUBLE), 6) AS share_cur,
+       |       round(($pr - $pc) * ln(($pr) / ($pc)), 6) AS psi_term,
+       |       TRUE AS parity_ok
+       |FROM dom, tt WHERE tt.n_ref > 0 AND tt.n_cur > 0 ORDER BY cluster""".stripMargin
+  }
 
   def sampleOracleSql(k: Int, iters: Int, dim: Int, quota: Int): String =
     s"""WITH ${stagesSql(k, iters, dim)}

@@ -1,0 +1,123 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{BooleanType, DoubleType, IntegerType, LongType, StructField, StructType}
+
+import graft.operators.Clustering
+import graft.schema.Schemas
+import graft.sources.{Staging, Tables}
+
+/** STREAMING cluster-share monitor — the clustering family's monitor
+  * form (the [[EmbedDriftStream]] convention): [[Clustering]] trains a
+  * k-means model on the frozen even-id REFERENCE half offline; this
+  * form watches the current corpus ARRIVE and maintains per-cluster
+  * assignment counts incrementally. A mixture shift — one semantic mode
+  * suddenly dominating the crawl — moves the share table long before
+  * any per-dimension moment gate fires, and the readout says WHICH mode.
+  *
+  * Streaming state is k integer counts (model-sized however many
+  * vectors flow): the assignment is a STATELESS codegen projection
+  * against the broadcast centroid literals, so the streaming plan is
+  * scan → project → k-row complete-mode count — the
+  * [[EventStreams.windowPsiCounts]] bin-count discipline with the
+  * k-means cells as the bins. Integer counts are exactly mergeable, so
+  * the streamed state is BIT-IDENTICAL to a batch recompute under any
+  * micro-batch slicing — asserted in-plan (`parity_ok`). The drift
+  * readout is the per-cluster share table with the q_psi_drift
+  * +0.5 / +k/2 Laplace-smoothed PSI terms (empty cells stay finite);
+  * a missing side yields EMPTY — absence is not zero drift. */
+object ClusterShareStream {
+
+  private val StreamShuffleWidth = sys.env.getOrElse("GRAFT_STREAM_SHUFFLE", "8")
+
+  /** The streamed current-side corpus: odd vec_ids striped into
+    * `nBatches` files (the even half is the frozen reference). */
+  private def stagedCur(spark: SparkSession, dir: String, nBatches: Int): java.io.File =
+    Staging.dir(s"cluster-share-$nBatches", dir) { d =>
+      val vecs = Tables.embeddings(spark, dir).filter(pmod(col("vec_id"), lit(2L)) === 1)
+      (0 until nBatches).foreach { i =>
+        val stage = new java.io.File(d, s"__stage$i")
+        vecs.filter(pmod((col("vec_id") / 2).cast("long"), lit(nBatches)) === i)
+          .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+        val part = stage.listFiles().find(_.getName.endsWith(".parquet")).get
+        val dest = new java.io.File(d, f"batch-$i%02d.parquet")
+        java.nio.file.Files.move(part.toPath, dest.toPath)
+        dest.setLastModified(1700000000000L + i * 600000L)
+        Staging.rmTree(stage)
+      }
+    }
+
+  private def round6(x: Double): Double =
+    java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  private def countsOf(rows: Array[Row], k: Int): Array[Long] = {
+    val a = Array.fill(k)(0L)
+    rows.foreach(r => a(r.getAs[Int]("cl")) = r.getAs[Long]("n"))
+    a
+  }
+
+  /** Run the monitor to completion: per-cluster
+    * (cluster, n_ref, n_cur, share_ref, share_cur, psi_term, parity_ok)
+    * rows; `parity_ok` asserts streamed counts ≡ a batch recompute of
+    * the same assignment (incremental ≡ recompute). */
+  def runStreamClusterShare(
+      spark: SparkSession, dir: String,
+      nBatches: Int = 4, assertParity: Boolean = true): DataFrame = {
+    val (k, iters, dim) = (Clustering.DefaultK, Clustering.DefaultIters, Clustering.Dim)
+    val outSchema = StructType(Seq(
+      StructField("cluster", IntegerType, nullable = false),
+      StructField("n_ref", LongType, nullable = false),
+      StructField("n_cur", LongType, nullable = false),
+      StructField("share_ref", DoubleType, nullable = false),
+      StructField("share_cur", DoubleType, nullable = false),
+      StructField("psi_term", DoubleType, nullable = false),
+      StructField("parity_ok", BooleanType, nullable = false)))
+    val cents = Clustering.refModelFor(spark, dir, k, iters, dim)
+    val staged = stagedCur(spark, dir, nBatches)
+    val name = "q_kmeans_share_stream_sink"
+
+    val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", StreamShuffleWidth)
+    try {
+      val q = Clustering.assign(
+          Clustering.cleanVectors(
+            spark.readStream.schema(Schemas.embeddings)
+              .option("maxFilesPerTrigger", "1")
+              .parquet(staged.toString), dim),
+          cents)
+        .groupBy(col("cl")).agg(count(lit(1)).as("n"))
+        .writeStream.format("memory").queryName(name).outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+
+    def batchCounts(parity: Long): Array[Row] = Clustering.assign(
+        Clustering.cleanVectors(
+          Tables.embeddings(spark, dir)
+            .filter(pmod(col("vec_id"), lit(2L)) === parity), dim),
+        cents)
+      .groupBy(col("cl")).agg(count(lit(1)).as("n")).collect()
+
+    val curState = spark.table(name).collect() // ≤ k rows — model-sized
+    val cur = countsOf(curState, k)
+    val ref = countsOf(batchCounts(0L), k)
+    val parityOk = !assertParity ||
+      java.util.Arrays.equals(cur, countsOf(batchCounts(1L), k))
+    val nRef = ref.sum
+    val nCur = cur.sum
+    if (nRef == 0L || nCur == 0L) // absence is not zero drift
+      return spark.createDataFrame(java.util.Collections.emptyList[Row](), outSchema)
+    val pad = k / 2.0
+    val out = (0 until k).map { j =>
+      val pr = (ref(j).toDouble + 0.5) / (nRef.toDouble + pad)
+      val pc = (cur(j).toDouble + 0.5) / (nCur.toDouble + pad)
+      Row(j, ref(j), cur(j),
+        round6(ref(j).toDouble / nRef.toDouble),
+        round6(cur(j).toDouble / nCur.toDouble),
+        round6((pr - pc) * math.log(pr / pc)),
+        parityOk)
+    }
+    spark.createDataFrame(java.util.Arrays.asList(out: _*), outSchema)
+      .orderBy(col("cluster"))
+  }
+}
