@@ -831,6 +831,18 @@ object SparkEntry {
       Similarity.bruteForceKnn(emb.filter(col("vec_id") < 32), emb, k = 5)
     }),
 
+    // kNN label-noise audit: probes whose neighborhoods overwhelmingly
+    // disagree with their label are mislabeled-or-outlier; per-label
+    // rollup says which CLASS is noisy (deterministic hash-picked probe
+    // budget, exact integer majority rule).
+    "q_label_noise" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      graft.operators.Similarity.labelNoiseKnn(
+        emb.filter(
+          pmod(graft.functions.PortableHash.keyHash(col("vec_id")), lit(16L)) === 0L),
+        emb, k = 5)
+    }),
+
     // Hard-negative mining: per query vector, the top-3 most-similar
     // candidates of a DIFFERENT label (the contrastive-training negatives
     // nearest the boundary). Mismatch predicate folded into the join,
@@ -5476,6 +5488,27 @@ object SparkEntry {
            FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
            WHERE q.vec_id < 32)
          WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    // Label-noise replay: the q_embed_knn rank chain over the hash-picked
+    // probe set, then the exact integer majority + per-label rollup.
+    "q_label_noise" ->
+      s"""WITH kn AS (
+         |  SELECT * FROM (
+         |    SELECT q.vec_id AS query_id, q.label AS ql, c.vec_id AS neighbor_id, c.label AS nl,
+         |           row_number() OVER (
+         |             PARTITION BY q.vec_id
+         |             ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) DESC,
+         |                      c.vec_id) AS rank
+         |    FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+         |    WHERE (${graft.functions.PortableHash.keyHashSql("q.vec_id")}) % 16 = 0)
+         |  WHERE rank <= 5),
+         |d AS (SELECT query_id, ql, CAST(count(*) AS BIGINT) AS kk,
+         |             CAST(sum(CASE WHEN nl != ql THEN 1 ELSE 0 END) AS BIGINT) AS mis
+         |      FROM kn GROUP BY 1, 2)
+         |SELECT CAST(ql AS BIGINT) AS label, CAST(count(*) AS BIGINT) AS n_checked,
+         |       CAST(sum(CASE WHEN mis * 2 > kk THEN 1 ELSE 0 END) AS BIGINT) AS n_suspect,
+         |       round(CAST(sum(mis) AS DOUBLE) / sum(kk), 6) AS disagreement
+         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_hard_negatives" ->
       """SELECT * FROM (

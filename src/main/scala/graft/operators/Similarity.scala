@@ -45,6 +45,38 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** kNN label-noise audit (the Wilson-editing / confident-learning
+    * screen, Northcutt et al. 2021 simplified to neighborhood
+    * disagreement): a labeled point whose nearest neighbors
+    * overwhelmingly carry a DIFFERENT label is either mislabeled or an
+    * outlier — either way it does not belong in supervised training
+    * untouched. For each probe vector: top-k cosine neighbors
+    * ([[bruteForceKnn]]'s bounded-broadcast shape), neighbor labels
+    * joined on the BOUNDED |Q|·k result, per-probe disagreement =
+    * mislabeled-neighbor fraction, suspect = strict majority (exact
+    * integer compare mis·2 > k). Rolled up per label: which CLASS is
+    * noisy. Probes are a deterministic portable-hash sample — audit
+    * cost is |Q|·|corpus| dots with |Q| a fixed budget, and at scale
+    * the same fold rides the IVF/LSH probed buckets instead. */
+  def labelNoiseKnn(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
+    val knn = bruteForceKnn(queries, candidates, k)
+    val ql = queries.select(col("vec_id").as("query_id"), col("label").as("q_label"))
+    val nl = candidates.select(col("vec_id").as("neighbor_id"), col("label").as("n_label"))
+    knn.join(broadcast(ql), "query_id")
+      .join(nl, "neighbor_id") // |Q|·k left side — never a corpus broadcast
+      .groupBy(col("query_id"), col("q_label"))
+      .agg(count(lit(1)).as("kk"),
+        sum(when(col("n_label") =!= col("q_label"), 1L).otherwise(0L)).as("mis"))
+      .groupBy(col("q_label").cast("long").as("label"))
+      .agg(count(lit(1)).as("n_checked"),
+        sum(when(col("mis") * 2L > col("kk"), 1L).otherwise(0L)).as("n_suspect"),
+        sum(col("mis")).as("__mis"), sum(col("kk")).as("__kk"))
+      .select(col("label"), col("n_checked"), col("n_suspect"),
+        round(col("__mis").cast(org.apache.spark.sql.types.DoubleType) /
+          col("__kk"), 6).as("disagreement"))
+      .orderBy(col("label"))
+  }
+
   /** Hard-negative mining for contrastive training (Schroff et al. 2015
     * FaceNet; the standard retrieval-training data op): for each query
     * vector, the top-k most-similar candidates with a DIFFERENT label —

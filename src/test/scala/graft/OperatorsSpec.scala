@@ -2122,6 +2122,30 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(co.getAs[Long]("n_test") == 0L && co.isNullAt(co.fieldIndex("coverage")))
   }
 
+  test("labelNoiseKnn: planted mislabel flagged by its neighborhood; clean blobs stay clean") {
+    import graft.operators.Similarity
+    // three angular blobs (cosine = direction): A at 0 rad (label 0),
+    // B at 1.2 (label 1), C at 2.4 (label 2); one point INSIDE A's
+    // angular range carries label 9 — its whole neighborhood disagrees
+    def vec(theta: Double) = Seq(math.cos(theta).toFloat, math.sin(theta).toFloat)
+    val a = (0 until 8).map(j => (j.toLong, vec(j * 0.01), 0))
+    val b = (0 until 8).map(j => (100L + j, vec(1.2 + j * 0.01), 1))
+    val c = (0 until 8).map(j => (200L + j, vec(2.4 + j * 0.01), 2))
+    val bad = Seq((999L, vec(0.035), 9))
+    val df = (a ++ b ++ c ++ bad).toDF("vec_id", "embedding", "label")
+    val got = Similarity.labelNoiseKnn(df, df, k = 5).collect()
+      .map(r => r.getAs[Long]("label") ->
+        (r.getAs[Long]("n_checked"), r.getAs[Long]("n_suspect"),
+          r.getAs[Double]("disagreement"))).toMap
+    // the mislabel: all 5 neighbors are label 0 → disagreement 1, suspect
+    assert(got(9L) == ((1L, 1L, 1.0)))
+    // clean blobs: no suspects; B and C never see the planted point
+    assert(got(1L) == ((8L, 0L, 0.0)) && got(2L) == ((8L, 0L, 0.0)))
+    // A's points see at most the one intruder in their top-5 → below the
+    // majority rule, and mean disagreement stays low
+    assert(got(0L)._2 == 0L && got(0L)._3 < 0.3)
+  }
+
   // scalar twin of PortableHash.keyHash for seed-placement arithmetic
   private def kh(id: Long): Long =
     ((id % 1000000007L + 1000000007L) % 1000000007L) * 2654435761L % 1000000007L
