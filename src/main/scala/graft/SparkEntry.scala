@@ -4341,6 +4341,20 @@ object SparkEntry {
         graft.operators.Clustering.cleanVectors(Tables.embeddings(s, d)),
         graft.operators.Clustering.modelFor(s, d))),
 
+    // Elbow sweep k ∈ {2, 4, 8}: total inertia per model — the
+    // model-selection evidence behind the family's fixed k (each model
+    // trains once per JVM; each k costs one assignment + one fold).
+    "q_kmeans_elbow" -> ((s, d) => {
+      val cl = graft.operators.Clustering
+      val rows = cl.cleanVectors(Tables.embeddings(s, d))
+      Seq(2, 4, 8).map { k =>
+        cl.assign(rows, cl.modelFor(s, d, k))
+          .agg(count(lit(1)).as("n"), sum(col("d2")).as("s"))
+          .select(lit(k).as("k"), col("n"),
+            round(col("s").cast("double"), 6).as("inertia"))
+      }.reduce(_.unionAll(_)).orderBy(col("k"))
+    }),
+
     // Centroid-based silhouette (Rousseeuw 1987, centroid simplification)
     // of the trained model — cluster cohesion vs nearest-other-centroid
     // separation, one projection over the corpus, no O(n²) pairs.
@@ -9122,7 +9136,7 @@ object SparkEntry {
                       AND len(list_filter(embedding, x -> x IS NULL)) = 0),
               d AS MATERIALIZED (SELECT CAST(i AS INT) AS i FROM range(0, 64) t(i)),
               mn AS MATERIALIZED (SELECT e.is_ref AS is_ref, d.i AS i,
-                            round(CAST(sum(CAST(e.v[d.i + 1] AS DECIMAL(38,12))) AS DOUBLE)
+                            round(CAST(sum(CAST(CAST(e.v[d.i + 1] AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE)
                                   / count(*), 6) AS m,
                             CAST(count(*) AS BIGINT) AS n
                      FROM e, d GROUP BY 1, 2),
@@ -9156,7 +9170,7 @@ object SparkEntry {
                       AND label IS NOT NULL),
               d AS MATERIALIZED (SELECT CAST(i AS INT) AS i FROM range(0, 64) t(i)),
               mn AS MATERIALIZED (SELECT e.g AS g, d.i AS i,
-                            round(CAST(sum(CAST(e.v[d.i + 1] AS DECIMAL(38,12))) AS DOUBLE)
+                            round(CAST(sum(CAST(CAST(e.v[d.i + 1] AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE)
                                   / count(*), 6) AS m,
                             CAST(count(*) AS BIGINT) AS n
                      FROM e, d GROUP BY 1, 2),
@@ -9192,6 +9206,7 @@ object SparkEntry {
     // with empty-cluster carry, then each consumer's final fold.
     "q_kmeans" -> graft.operators.Clustering.kmeansOracleSql(8, 5, 64),
     "q_kmeans_share_stream" -> graft.operators.Clustering.shareStreamOracleSql(8, 5, 64),
+    "q_kmeans_elbow" -> graft.operators.Clustering.elbowOracleSql(Seq(2, 4, 8), 5, 64),
     "q_silhouette" -> graft.operators.Clustering.silhouetteOracleSql(8, 5, 64),
     "q_cluster_label_mi" -> graft.operators.Clustering.labelMiOracleSql(8, 5, 64),
     "q_cluster_sample" -> graft.operators.Clustering.sampleOracleSql(8, 5, 64, 20),
@@ -9207,7 +9222,7 @@ object SparkEntry {
                       AND label IS NOT NULL),
               d AS MATERIALIZED (SELECT CAST(i AS INT) AS i FROM range(0, 64) t(i)),
               mn AS MATERIALIZED (SELECT e.g AS g, e.is_ref AS is_ref, d.i AS i,
-                            round(CAST(sum(CAST(e.v[d.i + 1] AS DECIMAL(38,12))) AS DOUBLE)
+                            round(CAST(sum(CAST(CAST(e.v[d.i + 1] AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE)
                                   / count(*), 6) AS m,
                             CAST(count(*) AS BIGINT) AS n
                      FROM e, d GROUP BY 1, 2, 3),
@@ -9248,7 +9263,7 @@ object SparkEntry {
                       AND len(list_filter(embedding, x -> x IS NULL)) = 0),
               d AS MATERIALIZED (SELECT CAST(i AS INT) AS i FROM range(0, 64) t(i)),
               mo AS (SELECT e.is_ref AS is_ref, d.i AS i,
-                            sum(CAST(e.v[d.i + 1] AS DECIMAL(38,12))) AS sx,
+                            sum(CAST(CAST(e.v[d.i + 1] AS DOUBLE) AS DECIMAL(38,12))) AS sx,
                             sum(CAST(CAST(e.v[d.i + 1] AS DOUBLE)
                                      * CAST(e.v[d.i + 1] AS DOUBLE)
                                      AS DECIMAL(38,12))) AS sxx,
@@ -10024,7 +10039,7 @@ object SparkEntry {
                       AND len(list_filter(embedding, x -> x IS NULL)) = 0),
               d AS MATERIALIZED (SELECT CAST(i AS INT) AS i FROM range(0, 64) t(i)),
               mn AS MATERIALIZED (SELECT d.i AS i,
-                            round(CAST(sum(CAST(e.v[d.i + 1] AS DECIMAL(38,12))) AS DOUBLE)
+                            round(CAST(sum(CAST(CAST(e.v[d.i + 1] AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE)
                                   / count(*), 6) AS m
                      FROM e, d GROUP BY d.i),
               cp AS MATERIALIZED (SELECT d1.i AS i, d2.i AS j,
@@ -10083,7 +10098,7 @@ object SparkEntry {
                       AND len(list_filter(embedding, x -> x IS NULL)) = 0),
               d AS MATERIALIZED (SELECT CAST(i AS INT) AS i FROM range(0, 64) t(i)),
               mn AS MATERIALIZED (SELECT e.g AS g, d.i AS i,
-                            round(CAST(sum(CAST(e.v[d.i + 1] AS DECIMAL(38,12))) AS DOUBLE)
+                            round(CAST(sum(CAST(CAST(e.v[d.i + 1] AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE)
                                   / count(*), 6) AS m
                      FROM e, d GROUP BY e.g, d.i),
               idx AS MATERIALIZED (SELECT g, row_number() OVER () AS rid, v FROM e),

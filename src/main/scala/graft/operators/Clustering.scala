@@ -28,10 +28,11 @@ import graft.functions.PortableHash
   * more than replayability.
   *
   * Exactness contract (what makes every consumer oracle-replayable in
-  * DuckDB): distances accumulate per-dimension squared deviations as
-  * DECIMAL(38,12) — exact, order-independent — against centroids ROUNDED
-  * to 6dp at every update, so the argmin, ties broken toward the lower
-  * cluster id, is bit-identical on both engines; centroid updates are
+  * DuckDB): distances are FULLY decimal-exact rationals (see
+  * [[distArray]] — no double→decimal cast anywhere in the chain)
+  * against centroids ROUNDED to 6dp at every update, so the argmin,
+  * ties broken toward the lower cluster id, is bit-identical on both
+  * engines; centroid updates are
   * exact decimal sums of the raw float components with ONE rounded
   * double division per (cluster, dim). Empty clusters carry their
   * previous centroid (spelled identically in the SQL replay). Lloyd 1982
@@ -59,23 +60,39 @@ object Clustering {
       .filter(col("vec_id").isNotNull && col("v").isNotNull &&
         size(col("v")) === dim && !exists(col("v"), x => x.isNull))
 
-  /** Per-cluster distance structs (d2 DECIMAL(25,12), cl INT) with the
+  /** Per-cluster distance structs (d2 DECIMAL(35,24), cl INT) with the
     * centroids inlined as broadcast literals — a pure projection, no
-    * shuffle, no row amplification. The fold accumulates at (25,12):
-    * at precision 38 Spark's decimal Add would REDUCE the scale to fit
-    * p+1 (rounding the 12th decimal away); at 25 every add keeps scale
-    * 12 with 10¹³ of integer headroom, so each step — and the post-add
-    * cast back to (25,12) — is exact. The VALUES therefore equal the
-    * SQL replay's DECIMAL(38,12) group-sums of the same terms (the
-    * double→decimal term cast rounds at scale 12 on both engines), and
-    * exactness makes the fold order irrelevant. */
-  private val decT = DecimalType(25, 12)
+    * shuffle, no row amplification.
+    *
+    * The distance algebra is FULLY decimal-exact past the one float
+    * cast — no double-PRODUCT→decimal cast anywhere: a double product
+    * cast at scale 12 can land on a rounding boundary where Spark
+    * (shortest-repr HALF_UP) and the SQL engine disagree by one ulp —
+    * observed on the k = 4 elbow chain (~10⁶ casts). Instead:
+    * xq = x cast to DECIMAL(16,12) — Spark casts floats via their
+    * DOUBLE widening, and the oracle must spell the SAME path
+    * (`CAST(CAST(v AS DOUBLE) AS DECIMAL)`): DuckDB's direct
+    * FLOAT→DECIMAL multiplies in FLOAT precision and diverges in the
+    * 9th significant digit (the second k = 4 find; six embed-family
+    * oracles carried that latent mismatch under their 6dp output
+    * rounding and are now hardened). m is recovered as DECIMAL(8,6)
+    * from the 6dp double literal (exact — the round(_, 6) double IS
+    * that 6-decimal rational), dx at (17,12) and dx² at (35,24) —
+    * every step exact with no precision reduction, so both engines
+    * compute identical rationals and the fold order is irrelevant.
+    * The per-step Add yields (36,24); the cast back to (35,24) is
+    * exact (d2 < 64·2048² ≈ 3·10⁸ ≪ 10¹¹). At 100 TB latency the
+    * [[IvfIndex]] double-argmin path is the throughput variant; this
+    * is the replayable form. */
+  private val decX = DecimalType(16, 12)
+  private val decM = DecimalType(8, 6)
+  private val decT = DecimalType(35, 24)
   private def distArray(v: Column, cents: Array[Array[Double]]): Column =
     array(cents.zipWithIndex.map { case (c, j) =>
       struct(
         aggregate(
           zip_with(v, typedLit(c.toSeq), (x, m) => {
-            val dx = x.cast(DoubleType) - m
+            val dx = x.cast(decX) - m.cast(decM)
             (dx * dx).cast(decT)
           }),
           lit(0).cast(decT),
@@ -187,49 +204,49 @@ object Clustering {
     * half for the streaming share monitor); the assignment stages keep
     * scanning only the training rows — consumers needing assignment of
     * other rows add their own stage over `cent$iters`. */
-  def stagesSql(k: Int, iters: Int, dim: Int, trainWhere: String = ""): String = {
+  def stagesSql(k: Int, iters: Int, dim: Int, trainWhere: String = "", ns: String = ""): String = {
     val base =
-      s"""e AS MATERIALIZED (SELECT vec_id, embedding AS v FROM embeddings
+      s"""${ns}e AS MATERIALIZED (SELECT vec_id, embedding AS v FROM embeddings
          |       WHERE vec_id IS NOT NULL AND embedding IS NOT NULL AND len(embedding) = $dim
          |         AND len(list_filter(embedding, x -> x IS NULL)) = 0$trainWhere),
-         |d AS MATERIALIZED (SELECT CAST(i AS INT) AS i FROM range(0, $dim) t(i)),
-         |vx AS MATERIALIZED (SELECT e.vec_id AS vec_id, d.i AS i,
-         |       e.v[d.i + 1] AS xf, CAST(e.v[d.i + 1] AS DOUBLE) AS x FROM e, d),
-         |seeds AS MATERIALIZED (
+         |${ns}d AS MATERIALIZED (SELECT CAST(i AS INT) AS i FROM range(0, $dim) t(i)),
+         |${ns}vx AS MATERIALIZED (SELECT e.vec_id AS vec_id, d.i AS i,
+         |       CAST(e.v[d.i + 1] AS DOUBLE) AS x FROM ${ns}e e, ${ns}d d),
+         |${ns}seeds AS MATERIALIZED (
          |  SELECT CAST(row_number() OVER (ORDER BY ${PortableHash.keyHashSql("vec_id")}, vec_id) - 1 AS INT) AS cl,
          |         vec_id
-         |  FROM (SELECT vec_id FROM e ORDER BY ${PortableHash.keyHashSql("vec_id")}, vec_id LIMIT $k)),
-         |cent0 AS MATERIALIZED (SELECT s.cl AS cl, vx.i AS i, round(vx.x, 6) AS m
-         |  FROM seeds s JOIN vx ON vx.vec_id = s.vec_id)""".stripMargin
+         |  FROM (SELECT vec_id FROM ${ns}e ORDER BY ${PortableHash.keyHashSql("vec_id")}, vec_id LIMIT $k)),
+         |${ns}cent0 AS MATERIALIZED (SELECT s.cl AS cl, vx.i AS i, round(vx.x, 6) AS m
+         |  FROM ${ns}seeds s JOIN ${ns}vx vx ON vx.vec_id = s.vec_id)""".stripMargin
     val steps = (1 to iters).map { t =>
-      s"""a$t AS MATERIALIZED (
+      s"""${ns}a$t AS MATERIALIZED (
          |  SELECT vec_id, cl, d2 FROM (
          |    SELECT vx.vec_id AS vec_id, c.cl AS cl,
-         |           sum(CAST((vx.x - c.m) * (vx.x - c.m) AS DECIMAL(38,12))) AS d2,
+         |           sum(CAST((CAST(vx.x AS DECIMAL(16,12)) - CAST(c.m AS DECIMAL(8,6))) * (CAST(vx.x AS DECIMAL(16,12)) - CAST(c.m AS DECIMAL(8,6))) AS DECIMAL(38,24))) AS d2,
          |           row_number() OVER (PARTITION BY vx.vec_id
-         |             ORDER BY sum(CAST((vx.x - c.m) * (vx.x - c.m) AS DECIMAL(38,12))), c.cl) AS rn
-         |    FROM vx JOIN cent${t - 1} c ON c.i = vx.i
+         |             ORDER BY sum(CAST((CAST(vx.x AS DECIMAL(16,12)) - CAST(c.m AS DECIMAL(8,6))) * (CAST(vx.x AS DECIMAL(16,12)) - CAST(c.m AS DECIMAL(8,6))) AS DECIMAL(38,24))), c.cl) AS rn
+         |    FROM ${ns}vx vx JOIN ${ns}cent${t - 1} c ON c.i = vx.i
          |    GROUP BY 1, 2) WHERE rn = 1),
-         |upd$t AS MATERIALIZED (
+         |${ns}upd$t AS MATERIALIZED (
          |  SELECT a.cl AS cl, vx.i AS i,
-         |         round(CAST(sum(CAST(vx.xf AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6) AS m
-         |  FROM a$t a JOIN vx ON vx.vec_id = a.vec_id
+         |         round(CAST(sum(CAST(vx.x AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6) AS m
+         |  FROM ${ns}a$t a JOIN ${ns}vx vx ON vx.vec_id = a.vec_id
          |  GROUP BY 1, 2),
-         |cent$t AS MATERIALIZED (
-         |  SELECT cl, i, m FROM upd$t
+         |${ns}cent$t AS MATERIALIZED (
+         |  SELECT cl, i, m FROM ${ns}upd$t
          |  UNION ALL
-         |  SELECT c.cl, c.i, c.m FROM cent${t - 1} c
-         |  WHERE c.cl NOT IN (SELECT DISTINCT cl FROM upd$t))""".stripMargin
+         |  SELECT c.cl, c.i, c.m FROM ${ns}cent${t - 1} c
+         |  WHERE c.cl NOT IN (SELECT DISTINCT cl FROM ${ns}upd$t))""".stripMargin
     }
     val fin =
-      s"""rkf AS MATERIALIZED (
+      s"""${ns}rkf AS MATERIALIZED (
          |  SELECT vx.vec_id AS vec_id, c.cl AS cl,
-         |         sum(CAST((vx.x - c.m) * (vx.x - c.m) AS DECIMAL(38,12))) AS d2,
+         |         sum(CAST((CAST(vx.x AS DECIMAL(16,12)) - CAST(c.m AS DECIMAL(8,6))) * (CAST(vx.x AS DECIMAL(16,12)) - CAST(c.m AS DECIMAL(8,6))) AS DECIMAL(38,24))) AS d2,
          |         row_number() OVER (PARTITION BY vx.vec_id
-         |           ORDER BY sum(CAST((vx.x - c.m) * (vx.x - c.m) AS DECIMAL(38,12))), c.cl) AS rn
-         |  FROM vx JOIN cent$iters c ON c.i = vx.i
+         |           ORDER BY sum(CAST((CAST(vx.x AS DECIMAL(16,12)) - CAST(c.m AS DECIMAL(8,6))) * (CAST(vx.x AS DECIMAL(16,12)) - CAST(c.m AS DECIMAL(8,6))) AS DECIMAL(38,24))), c.cl) AS rn
+         |  FROM ${ns}vx vx JOIN ${ns}cent$iters c ON c.i = vx.i
          |  GROUP BY 1, 2),
-         |af AS MATERIALIZED (SELECT vec_id, cl, d2 FROM rkf WHERE rn = 1)""".stripMargin
+         |${ns}af AS MATERIALIZED (SELECT vec_id, cl, d2 FROM ${ns}rkf WHERE rn = 1)""".stripMargin
     (base +: steps :+ fin).mkString(",\n")
   }
 
@@ -298,7 +315,7 @@ object Clustering {
        |  SELECT vec_id, is_cur, cl FROM (
        |    SELECT vxa.vec_id AS vec_id, vxa.is_cur AS is_cur, c.cl AS cl,
        |           row_number() OVER (PARTITION BY vxa.vec_id
-       |             ORDER BY sum(CAST((vxa.x - c.m) * (vxa.x - c.m) AS DECIMAL(38,12))), c.cl) AS rn
+       |             ORDER BY sum(CAST((CAST(vxa.x AS DECIMAL(16,12)) - CAST(c.m AS DECIMAL(8,6))) * (CAST(vxa.x AS DECIMAL(16,12)) - CAST(c.m AS DECIMAL(8,6))) AS DECIMAL(38,24))), c.cl) AS rn
        |    FROM vxa JOIN cent$iters c ON c.i = vxa.i
        |    GROUP BY 1, 2, 3) WHERE rn = 1),
        |cc AS (SELECT cl, CAST(sum(CASE WHEN is_cur THEN 0 ELSE 1 END) AS BIGINT) AS cr,
@@ -314,6 +331,17 @@ object Clustering {
        |       round(($pr - $pc) * ln(($pr) / ($pc)), 6) AS psi_term,
        |       TRUE AS parity_ok
        |FROM dom, tt WHERE tt.n_ref > 0 AND tt.n_cur > 0 ORDER BY cluster""".stripMargin
+  }
+
+  /** Elbow sweep: the full training chain per k (namespaced CTEs), one
+    * (n, inertia) row each — the model-selection evidence for the
+    * family's fixed k. */
+  def elbowOracleSql(ks: Seq[Int], iters: Int, dim: Int): String = {
+    val chains = ks.map(k => stagesSql(k, iters, dim, "", s"k${k}_"))
+    val selects = ks.map(k =>
+      s"SELECT CAST($k AS INT) AS k, CAST(count(*) AS BIGINT) AS n, " +
+        s"round(CAST(sum(d2) AS DOUBLE), 6) AS inertia FROM k${k}_af")
+    s"WITH ${chains.mkString(",\n")}\n${selects.mkString("\nUNION ALL ")}\nORDER BY k"
   }
 
   def sampleOracleSql(k: Int, iters: Int, dim: Int, quota: Int): String =
