@@ -9141,9 +9141,8 @@ object SparkEntry {
                             CAST(count(*) AS BIGINT) AS n
                      FROM e, d GROUP BY 1, 2),
               vr AS (SELECT e.is_ref AS is_ref, d.i AS i,
-                            round(CAST(sum(CAST((CAST(e.v[d.i + 1] AS DOUBLE) - mn.m)
-                                              * (CAST(e.v[d.i + 1] AS DOUBLE) - mn.m)
-                                              AS DECIMAL(38,12))) AS DOUBLE)
+                            round(CAST(sum((CAST(CAST(e.v[d.i + 1] AS DOUBLE) AS DECIMAL(16,12)) - CAST(mn.m AS DECIMAL(8,6)))
+                                              * (CAST(CAST(e.v[d.i + 1] AS DOUBLE) AS DECIMAL(16,12)) - CAST(mn.m AS DECIMAL(8,6)))) AS DOUBLE)
                                   / count(*), 6) AS s2
                      FROM e, d, mn WHERE mn.is_ref = e.is_ref AND mn.i = d.i
                      GROUP BY 1, 2),
@@ -9175,9 +9174,8 @@ object SparkEntry {
                             CAST(count(*) AS BIGINT) AS n
                      FROM e, d GROUP BY 1, 2),
               vr AS (SELECT e.g AS g, d.i AS i,
-                            round(CAST(sum(CAST((CAST(e.v[d.i + 1] AS DOUBLE) - mn.m)
-                                              * (CAST(e.v[d.i + 1] AS DOUBLE) - mn.m)
-                                              AS DECIMAL(38,12))) AS DOUBLE)
+                            round(CAST(sum((CAST(CAST(e.v[d.i + 1] AS DOUBLE) AS DECIMAL(16,12)) - CAST(mn.m AS DECIMAL(8,6)))
+                                              * (CAST(CAST(e.v[d.i + 1] AS DOUBLE) AS DECIMAL(16,12)) - CAST(mn.m AS DECIMAL(8,6)))) AS DOUBLE)
                                   / count(*), 6) AS s2
                      FROM e, d, mn WHERE mn.g = e.g AND mn.i = d.i
                      GROUP BY 1, 2),
@@ -9227,9 +9225,8 @@ object SparkEntry {
                             CAST(count(*) AS BIGINT) AS n
                      FROM e, d GROUP BY 1, 2, 3),
               vr AS (SELECT e.g AS g, e.is_ref AS is_ref, d.i AS i,
-                            round(CAST(sum(CAST((CAST(e.v[d.i + 1] AS DOUBLE) - mn.m)
-                                              * (CAST(e.v[d.i + 1] AS DOUBLE) - mn.m)
-                                              AS DECIMAL(38,12))) AS DOUBLE)
+                            round(CAST(sum((CAST(CAST(e.v[d.i + 1] AS DOUBLE) AS DECIMAL(16,12)) - CAST(mn.m AS DECIMAL(8,6)))
+                                              * (CAST(CAST(e.v[d.i + 1] AS DOUBLE) AS DECIMAL(16,12)) - CAST(mn.m AS DECIMAL(8,6)))) AS DOUBLE)
                                   / count(*), 6) AS s2
                      FROM e, d, mn
                      WHERE mn.g = e.g AND mn.is_ref = e.is_ref AND mn.i = d.i
@@ -9264,9 +9261,8 @@ object SparkEntry {
               d AS MATERIALIZED (SELECT CAST(i AS INT) AS i FROM range(0, 64) t(i)),
               mo AS (SELECT e.is_ref AS is_ref, d.i AS i,
                             sum(CAST(CAST(e.v[d.i + 1] AS DOUBLE) AS DECIMAL(38,12))) AS sx,
-                            sum(CAST(CAST(e.v[d.i + 1] AS DOUBLE)
-                                     * CAST(e.v[d.i + 1] AS DOUBLE)
-                                     AS DECIMAL(38,12))) AS sxx,
+                            sum(CAST(CAST(e.v[d.i + 1] AS DOUBLE) AS DECIMAL(16,12))
+                                     * CAST(CAST(e.v[d.i + 1] AS DOUBLE) AS DECIMAL(16,12))) AS sxx,
                             CAST(count(*) AS BIGINT) AS n
                      FROM e, d GROUP BY 1, 2),
               mv AS (SELECT is_ref, i, n,

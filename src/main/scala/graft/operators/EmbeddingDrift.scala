@@ -90,10 +90,14 @@ object EmbeddingDrift {
     val varRows = rows.join(broadcast(meansDf), Seq("is_ref"))
       .select(col("is_ref"),
         posexplode(zip_with(col("v"), col("__m"),
-          (x, m) => (x.cast(DoubleType) - m) * (x.cast(DoubleType) - m)))
+          (x, m) => {
+              // exact decimals: no double-product cast (see Clustering.distArray)
+              val dx = x.cast(DecimalType(16, 12)) - m.cast(DecimalType(8, 6))
+              dx * dx
+            }))
           .as(Seq("i", "sq")))
       .groupBy(col("is_ref"), col("i"))
-      .agg(sum(col("sq").cast(dec)).as("ss"), count(lit(1)).as("n"))
+      .agg(sum(col("sq")).as("ss"), count(lit(1)).as("n"))
       .select(col("is_ref"), col("i"),
         round(col("ss").cast(DoubleType) / col("n"), 6).as("s2"))
       .collect()
@@ -194,10 +198,14 @@ object EmbeddingDrift {
       rows.join(broadcast(meansDf), Seq("__g"))
         .select(col("__g"),
           posexplode(zip_with(col("v"), col("__m"),
-            (x, m) => (x.cast(DoubleType) - m) * (x.cast(DoubleType) - m)))
+            (x, m) => {
+              // exact decimals: no double-product cast (see Clustering.distArray)
+              val dx = x.cast(DecimalType(16, 12)) - m.cast(DecimalType(8, 6))
+              dx * dx
+            }))
             .as(Seq("i", "sq")))
         .groupBy(col("__g"), col("i"))
-        .agg(sum(col("sq").cast(dec)).as("ss"), count(lit(1)).as("n"))
+        .agg(sum(col("sq")).as("ss"), count(lit(1)).as("n"))
         .select(col("__g"), col("i"),
           round(col("ss").cast(DoubleType) / col("n"), 6).as("s2")),
       "labelSeparability")
@@ -300,10 +308,14 @@ object EmbeddingDrift {
       rows.join(broadcast(meansDf), Seq("__g", "is_ref"))
         .select(col("__g"), col("is_ref"),
           posexplode(zip_with(col("v"), col("__m"),
-            (x, m) => (x.cast(DoubleType) - m) * (x.cast(DoubleType) - m)))
+            (x, m) => {
+              // exact decimals: no double-product cast (see Clustering.distArray)
+              val dx = x.cast(DecimalType(16, 12)) - m.cast(DecimalType(8, 6))
+              dx * dx
+            }))
             .as(Seq("i", "sq")))
         .groupBy(col("__g"), col("is_ref"), col("i"))
-        .agg(sum(col("sq").cast(dec)).as("ss"), count(lit(1)).as("n"))
+        .agg(sum(col("sq")).as("ss"), count(lit(1)).as("n"))
         .select(col("__g"), col("is_ref"), col("i"),
           round(col("ss").cast(DoubleType) / col("n"), 6).as("s2")),
       "frechetDriftBy")

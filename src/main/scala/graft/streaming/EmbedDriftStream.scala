@@ -53,7 +53,8 @@ object EmbedDriftStream {
         !exists(col("v"), x => x.isNull))
       .select(posexplode(col("v")).as(Seq("i", "x")))
       .select(col("i"), col("x").cast(dec).as("xd"),
-        (col("x").cast(DoubleType) * col("x").cast(DoubleType)).cast(dec).as("xx"))
+        // exact decimal square — no double-product cast (Clustering.distArray)
+        (col("x").cast(DecimalType(16, 12)) * col("x").cast(DecimalType(16, 12))).as("xx"))
       .groupBy(col("i"))
       .agg(sum(col("xd")).as("sx"), sum(col("xx")).as("sxx"),
         count(lit(1)).as("n"))
