@@ -4355,6 +4355,61 @@ object SparkEntry {
       }.reduce(_.unionAll(_)).orderBy(col("k"))
     }),
 
+    // Per-cluster quality profile: WHICH semantic mode is low quality —
+    // the SemDeDup-style pruning decision input (assignment ⋈ the LR
+    // quality score on the shared id domain; exact decimal score sums).
+    "q_cluster_quality" -> ((s, d) => {
+      val cl = graft.operators.Clustering
+      val assigned = cl.assign(
+        cl.cleanVectors(Tables.embeddings(s, d)), cl.modelFor(s, d))
+      val q = graft.operators.Curation.qualityScoreRaw(Tables.documents(s, d))
+        .select(col("doc_id"), col("quality"), col("keep"))
+      assigned.select(col("cl"), col("vec_id"))
+        .join(q, col("vec_id") === col("doc_id"))
+        .groupBy(col("cl"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("quality").cast(org.apache.spark.sql.types.DecimalType(8, 6))).as("sq"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("keeps"))
+        .select(col("cl").cast("int").as("cluster"), col("n"),
+          round(col("sq").cast("double") / col("n"), 6).as("avg_quality"),
+          round(col("keeps").cast("double") / col("n"), 6).as("keep_rate"))
+        .orderBy(col("cluster"))
+    }),
+
+    // Per-cluster distinctive terms: WHAT each semantic mode is about —
+    // cluster-tf × ln(k / cluster-df) over the assignment ⋈ documents
+    // join. The tf ≥ 3 prune bounds the ranking window's input: the true
+    // top-5 of any large cluster has tf far above any fixed floor, so
+    // pruning is lossless while keeping the per-cluster window small
+    // (at 100 TB raise the floor with the data; the window never sees
+    // the vocabulary tail).
+    "q_cluster_terms" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.tokens
+      val cl = graft.operators.Clustering
+      val k = graft.operators.Clustering.DefaultK
+      val assigned = cl.assign(
+        cl.cleanVectors(Tables.embeddings(s, d)), cl.modelFor(s, d))
+        .select(col("cl"), col("vec_id"))
+      val terms = assigned
+        .join(Tables.documents(s, d).select(col("doc_id"), col("text")),
+          col("vec_id") === col("doc_id"))
+        .select(col("cl"), explode(tokens(col("text"))).as("term"))
+        .filter(length(col("term")) >= 4) // drop stopword-length tokens
+      val tf = terms.groupBy(col("cl"), col("term")).agg(count(lit(1)).as("tf"))
+      val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("cdf"))
+      val w = Window.partitionBy(col("cl"))
+        .orderBy(col("score").desc, col("term"))
+      tf.filter(col("tf") >= 3).join(df_, Seq("term"))
+        .select(col("cl"), col("term"),
+          round(col("tf") * log(lit(k.toDouble * 2) / col("cdf")), 6).as("score"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("cl").cast("int").as("cluster"), col("rank"),
+          col("term"), col("score"))
+        .orderBy(col("cluster"), col("rank"))
+    }),
+
     // Centroid-based silhouette (Rousseeuw 1987, centroid simplification)
     // of the trained model — cluster cohesion vs nearest-other-centroid
     // separation, one projection over the corpus, no O(n²) pairs.
@@ -9205,6 +9260,41 @@ object SparkEntry {
     "q_kmeans" -> graft.operators.Clustering.kmeansOracleSql(8, 5, 64),
     "q_kmeans_share_stream" -> graft.operators.Clustering.shareStreamOracleSql(8, 5, 64),
     "q_kmeans_elbow" -> graft.operators.Clustering.elbowOracleSql(Seq(2, 4, 8), 5, 64),
+
+    // Cluster composition consumers: the assignment joined back to the
+    // text stack on the shared id domain (quality profile; distinctive
+    // terms with the rounded-score rank discipline of q_tfidf_top_per_doc).
+    "q_cluster_quality" ->
+      s"""WITH ${graft.operators.Clustering.stagesSql(8, 5, 64)},
+         |ql AS (WITH f AS (SELECT doc_id, string_split(text, ' ') AS t, text FROM documents),
+         |            z AS (SELECT doc_id,
+         |                         -3.0 + 0.6 * ln(1.0 + CAST(len(t) AS DOUBLE))
+         |                         + 0.25 * ((CAST(length(text) AS DOUBLE) - CAST(len(t) - 1 AS DOUBLE)) / CAST(len(t) AS DOUBLE))
+         |                         + 1.2 * (CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE))
+         |                         + 2.0 * (CAST(len(list_filter(t, x -> list_contains(['the','a','of','and','to','in','is'], x))) AS DOUBLE) / CAST(len(t) AS DOUBLE)) AS z
+         |                  FROM f)
+         |       SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 6) AS quality,
+         |              1.0 / (1.0 + exp(-z)) >= 0.5 AS keep FROM z),
+         |j AS (SELECT a.cl AS cl, ql.quality AS q, ql.keep AS keep
+         |      FROM af a JOIN ql ON ql.doc_id = a.vec_id)
+         |SELECT CAST(cl AS INT) AS cluster, CAST(count(*) AS BIGINT) AS n,
+         |       round(CAST(sum(CAST(q AS DECIMAL(8,6))) AS DOUBLE) / count(*), 6) AS avg_quality,
+         |       round(CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS keep_rate
+         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_cluster_terms" ->
+      s"""WITH ${graft.operators.Clustering.stagesSql(8, 5, 64)},
+         |tj AS (SELECT a.cl AS cl, unnest(string_split(dd.text, ' ')) AS term
+         |       FROM af a JOIN documents dd ON dd.doc_id = a.vec_id),
+         |tt AS (SELECT cl, term, CAST(count(*) AS BIGINT) AS tf
+         |       FROM tj WHERE len(term) >= 4 GROUP BY 1, 2),
+         |cdf AS (SELECT term, CAST(count(*) AS BIGINT) AS cdf FROM tt GROUP BY 1)
+         |SELECT CAST(cl AS INT) AS cluster, rank, term, score FROM (
+         |  SELECT cl, term, round(tf * ln(16.0 / cdf), 6) AS score,
+         |         CAST(row_number() OVER (PARTITION BY cl
+         |                ORDER BY round(tf * ln(16.0 / cdf), 6) DESC, term) AS INT) AS rank
+         |  FROM tt JOIN cdf USING (term) WHERE tf >= 3)
+         |WHERE rank <= 5 ORDER BY cluster, rank""".stripMargin,
     "q_silhouette" -> graft.operators.Clustering.silhouetteOracleSql(8, 5, 64),
     "q_cluster_label_mi" -> graft.operators.Clustering.labelMiOracleSql(8, 5, 64),
     "q_cluster_sample" -> graft.operators.Clustering.sampleOracleSql(8, 5, 64, 20),
