@@ -747,4 +747,17 @@ class ScaleSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
     assert(p.contains("avg("), p)
   }
+
+  test("k-means assignment is a pure projection (no exchange, no join); rollup pays ONE shuffle") {
+    import graft.operators.Clustering
+    val rows = Clustering.cleanVectors(Tables.embeddings(spark, sf))
+    val cents = Clustering.modelFor(spark, sf)
+    // assignment: centroids ride as inlined literals — scan → project only
+    val pa = plan(Clustering.assign(rows, cents))
+    assert(!pa.contains("Exchange") && !pa.contains("Join"), pa)
+    // rollup: exactly the one hash aggregation exchange, nothing else
+    val pr = plan(Clustering.kmeansRollup(rows, cents))
+    assert("Exchange hashpartitioning".r.findAllIn(pr).size == 1, pr)
+    assert(!pr.contains("Join") && !pr.contains("CartesianProduct"), pr)
+  }
 }
