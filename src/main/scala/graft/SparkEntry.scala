@@ -2798,6 +2798,15 @@ object SparkEntry {
       graft.operators.Curation.dataMixture(
         Tables.documents(s, d), MixtureWeights, budgetFrac = 0.5)),
 
+    // Capped waterfill allocator: the overflow a saturated source can't
+    // absorb redistributes ∝ weight to the unsaturated ones (at 90% the
+    // weight-4/5 sources bind and spill into the rest). One per-source
+    // aggregation + a driver fold over the |sources|-row summary.
+    "q_mixture_waterfill" -> ((s, d) =>
+      graft.operators.Curation.mixtureWaterfill(
+        Tables.documents(s, d),
+        MixtureWeights.view.mapValues(_.toLong).toMap, budgetPct = 90)),
+
     // Incremental (batch-vs-corpus) dedup with reason-coded statuses; the
     // corpus/batch split is the id midpoint, derived like orderSpan.
     "q_incremental_dedup" -> ((s, d) => {
@@ -6903,6 +6912,11 @@ object SparkEntry {
 
     "q_data_mixture" -> dataMixtureSql,
 
+    // Waterfill replay: the same ratio-ordered prefix scan — exact
+    // HUGEINT cross-products decide saturation, the first non-saturated
+    // row pins the water level, floor division allocates the rest.
+    "q_mixture_waterfill" -> mixtureWaterfillSql,
+
     // Brute-force quadratic replay of the prefix-filter near checks (the
     // driver runs oracles at sf0.01 only); same 6-dp rounded Jaccard, same
     // size-ratio precondition, same precedence CASE.
@@ -10257,6 +10271,43 @@ object SparkEntry {
   // Mixture oracle: same weight literals (generated from MixtureWeights),
   // same op order in the rate arithmetic (bit-identical doubles), and the
   // keep decision as an INTEGER cut on the portable hash.
+  /** Waterfill replay: saturation monotone along the avail/w ratio
+    * order (IEEE double key, source tie-break — the operator sorts by
+    * the identical key); rows before the first non-saturated row have
+    * a VALID running leftover because every predecessor saturated, so
+    * `ORDER BY rn LIMIT 1` over the violated condition is exactly the
+    * cutoff; flags past the cutoff are never consulted. */
+  private lazy val mixtureWaterfillSql: String = {
+    val wcase = MixtureWeights.toSeq.sortBy(_._1)
+      .map { case (src, w) => s"WHEN '$src' THEN ${w.toLong}" }.mkString(" ")
+    s"""WITH dt AS (SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+       |            FROM documents WHERE source IS NOT NULL),
+       |a AS (SELECT source, CAST(sum(n_toks) AS BIGINT) AS avail FROM dt GROUP BY 1),
+       |sw AS (SELECT source, avail, CAST(CASE source $wcase END AS BIGINT) AS w
+       |       FROM a WHERE (CASE source $wcase END) IS NOT NULL),
+       |t AS (SELECT CAST(sum(avail) AS HUGEINT) AS total FROM sw),
+       |r AS (SELECT source, avail, w,
+       |             row_number() OVER (ORDER BY CAST(avail AS DOUBLE) / w, source) AS rn,
+       |             coalesce(sum(avail) OVER (ORDER BY CAST(avail AS DOUBLE) / w, source
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefa,
+       |             sum(w) OVER (ORDER BY CAST(avail AS DOUBLE) / w, source
+       |               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS remw
+       |      FROM sw),
+       |s AS (SELECT r.*, CAST((t.total * 90) // 100 - r.prefa AS HUGEINT) AS lrem FROM r, t),
+       |cut AS (SELECT rn AS crn, lrem AS lc, CAST(remw AS HUGEINT) AS wc FROM s
+       |        WHERE NOT (lrem * w >= CAST(avail AS HUGEINT) * remw)
+       |        ORDER BY rn LIMIT 1)
+       |SELECT s.source AS source, s.avail AS avail_tokens, s.w AS weight,
+       |       CAST(CASE WHEN s.rn < cut.crn THEN s.avail
+       |                 ELSE (cut.lc * s.w) // cut.wc END AS BIGINT) AS alloc_tokens,
+       |       s.rn < cut.crn AS saturated,
+       |       CASE WHEN s.avail > 0
+       |            THEN round(CAST(CASE WHEN s.rn < cut.crn THEN s.avail
+       |                            ELSE (cut.lc * s.w) // cut.wc END AS DOUBLE)
+       |                       / s.avail, 6) END AS rate
+       |FROM s, cut ORDER BY source""".stripMargin
+  }
+
   private lazy val dataMixtureSql: String = {
     val wcase = MixtureWeights.toSeq.sortBy(_._1)
       .map { case (src, w) => s"WHEN '$src' THEN $w" }.mkString(" ")

@@ -48,6 +48,79 @@ object Curation {
     * The rate threshold is materialized as an INTEGER cut on the hash
     * (`floor(rate · P)`) so the keep decision is integer-exact and
     * engine-portable — no float `<` at the sampling boundary. */
+  /** Capped waterfill token-budget allocator — the redistribution
+    * [[dataMixture]] doesn't do: a single-pass `min(1, share/avail)`
+    * cap LOSES the budget a saturated source couldn't absorb, so the
+    * delivered mix under-spends whenever any source is scarce. The
+    * waterfill reallocates overflow to unsaturated sources ∝ weight
+    * until a fixpoint — the standard mixture move when per-source
+    * availability caps bind (the water level θ = leftover/Σw over the
+    * unsaturated set; a source saturates iff avail ≤ θ·w).
+    *
+    * Closed form instead of iteration: sort sources ascending by
+    * avail/w — saturation is monotone along that order — then ONE
+    * prefix scan finds the cutoff: the first row where
+    * lrem·w < avail·remW (exact integer cross-products; lrem/remW =
+    * budget minus the saturated prefix / weights from here on). Rows
+    * before the cutoff saturate at avail; the cutoff row's (lrem, remW)
+    * set the level and everyone after gets ⌊lrem·w/remW⌋ (floor crumbs
+    * ≤ |unsaturated| tokens stay unspent — documented, not hidden).
+    * The distributed work is ONE per-source aggregation; the scan folds
+    * driver-side over the ≤ |sources| summary (model-sized, the PAVA
+    * posture). The sort key avail/w is the IEEE double ratio — both
+    * engines compute the identical key, ties break on source.
+    * budgetPct < 100 guarantees the cutoff exists (B < Σ avail). */
+  def mixtureWaterfill(
+      documents: DataFrame, weights: Map[String, Long], budgetPct: Int): DataFrame = {
+    require(budgetPct >= 1 && budgetPct < 100,
+      s"mixtureWaterfill: budgetPct in [1, 100), got $budgetPct")
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "mixtureWaterfill: weights must be positive")
+    val spark = documents.sparkSession
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("source",
+        org.apache.spark.sql.types.StringType, nullable = true),
+      org.apache.spark.sql.types.StructField("avail_tokens", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("weight", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("alloc_tokens", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("saturated",
+        org.apache.spark.sql.types.BooleanType, nullable = false),
+      org.apache.spark.sql.types.StructField("rate", DoubleType, nullable = true)))
+    val srcRows = Robust.collectSummary(
+      documents
+        .select(col("source"), size(tokens(col("text"))).cast(LongType).as("n_toks"))
+        .filter(col("source").isNotNull)
+        .groupBy(col("source")).agg(sum(col("n_toks")).as("avail"))
+        .withColumn("w", element_at(typedLit(weights), col("source")))
+        .filter(col("w").isNotNull), // sources outside the mixture drop
+      "mixtureWaterfill")
+    final case class S(src: String, avail: Long, w: Long)
+    val ss = srcRows
+      .map(r => S(r.getString(0), r.getAs[Long]("avail"), r.getAs[Long]("w")))
+      .sortBy(s => (s.avail.toDouble / s.w.toDouble, s.src))
+    val total = ss.iterator.map(s => BigInt(s.avail)).sum
+    val b0 = total * budgetPct / 100 // floor
+    def round6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    var lrem = b0
+    var remW = ss.iterator.map(s => BigInt(s.w)).sum
+    var level: Option[(BigInt, BigInt)] = None
+    val out = ss.map { s =>
+      val sat = level.isEmpty && lrem * s.w >= BigInt(s.avail) * remW
+      val alloc =
+        if (sat) { lrem -= s.avail; remW -= s.w; s.avail }
+        else {
+          if (level.isEmpty) level = Some((lrem, remW))
+          val (lc, wc) = level.get
+          (lc * s.w / wc).toLong
+        }
+      org.apache.spark.sql.Row(s.src, s.avail, s.w, alloc, sat,
+        if (s.avail > 0) round6(alloc.toDouble / s.avail.toDouble) else null)
+    }
+    spark.createDataFrame(java.util.Arrays.asList(out: _*), outSchema)
+      .orderBy(col("source"))
+  }
+
   def dataMixture(
       documents: DataFrame,
       weights: Map[String, Double],

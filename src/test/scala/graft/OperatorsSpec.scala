@@ -2146,6 +2146,33 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(got(0L)._2 == 0L && got(0L)._3 < 0.3)
   }
 
+  test("mixtureWaterfill: hand-computed cutoff; overflow redistributes; no-saturation = proportional") {
+    import graft.operators.Curation
+    def doc(src: String, n: Int) = (src, List.fill(n)("x").mkString(" "))
+    // A(100, w1) B(10, w1) C(100, w2), budget 50% of 210 = 105:
+    // ratio order B(10) A(100) C(50) → wait, C ratio = 100/2 = 50 < A's 100
+    // scan: B saturates (105·1 ≥ 10·4), leftover 95 over W=3 → C gets
+    // ⌊95·2/3⌋ = 63, A gets ⌊95/3⌋ = 31
+    val df = Seq(doc("A", 100), doc("B", 10), doc("C", 100)).toDF("source", "text")
+    val got = Curation.mixtureWaterfill(df, Map("A" -> 1L, "B" -> 1L, "C" -> 2L), 50)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("alloc_tokens"), r.getAs[Boolean]("saturated"),
+          r.getAs[Double]("rate"))).toMap
+    assert(got("B") == ((10L, true, 1.0)))
+    assert(got("C") == ((63L, false, 0.63)))
+    assert(got("A") == ((31L, false, 0.31)))
+    // nothing scarce → pure proportional split, nobody saturated
+    val even = Seq(doc("A", 100), doc("B", 100)).toDF("source", "text")
+    val g2 = Curation.mixtureWaterfill(even, Map("A" -> 1L, "B" -> 1L), 50)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("alloc_tokens"), r.getAs[Boolean]("saturated"))).toMap
+    assert(g2("A") == ((50L, false)) && g2("B") == ((50L, false)))
+    // a source outside the mixture drops
+    assert(Curation.mixtureWaterfill(
+      Seq(doc("A", 10), doc("Z", 10)).toDF("source", "text"),
+      Map("A" -> 1L), 50).collect().map(_.getString(0)).toSeq == Seq("A"))
+  }
+
   // scalar twin of PortableHash.keyHash for seed-placement arithmetic
   private def kh(id: Long): Long =
     ((id % 1000000007L + 1000000007L) % 1000000007L) * 2654435761L % 1000000007L
