@@ -1135,4 +1135,40 @@ class PropertiesSpec extends AnyFunSuite with SparkSpec {
     assert(got.getAs[Double]("ci_lo") == lo, s"ci_lo ${got.getAs[Double]("ci_lo")} != $lo")
     assert(got.getAs[Double]("ci_hi") == hi, s"ci_hi ${got.getAs[Double]("ci_hi")} != $hi")
   }
+
+  test("mixtureWaterfill's one-scan cutoff equals the iterative fixpoint on random instances") {
+    import graft.operators.Curation
+    val rnd = new scala.util.Random(17)
+    for (trial <- 1 to 6) {
+      val srcs = (0 until 6).map(i =>
+        (s"s$i", 1 + rnd.nextInt(500), 1L + rnd.nextInt(5)))
+      val pct = Seq(30, 60, 90)(trial % 3)
+      val df = srcs.map { case (g, n, _) =>
+        (g, List.fill(n)("x").mkString(" ")) }.toDF("source", "text")
+      val got = Curation.mixtureWaterfill(
+        df, srcs.map(s => s._1 -> s._3).toMap, pct).collect()
+        .map(r => r.getString(0) ->
+          (r.getAs[Long]("alloc_tokens"), r.getAs[Boolean]("saturated"))).toMap
+      // reference: the fixpoint definition — grow the saturated set until
+      // stable (exact rational compares), then floor-allocate the rest
+      val b = BigInt(srcs.map(_._2).sum) * pct / 100
+      var satSet = Set.empty[String]
+      var changed = true
+      while (changed) {
+        val lrem = b - srcs.filter(s => satSet(s._1)).map(s => BigInt(s._2)).sum
+        val remW = srcs.filterNot(s => satSet(s._1)).map(s => BigInt(s._3)).sum
+        val add = srcs.filterNot(s => satSet(s._1))
+          .filter(s => BigInt(s._2) * remW <= lrem * s._3).map(_._1)
+        changed = add.nonEmpty
+        satSet ++= add
+      }
+      val lrem = b - srcs.filter(s => satSet(s._1)).map(s => BigInt(s._2)).sum
+      val remW = srcs.filterNot(s => satSet(s._1)).map(s => BigInt(s._3)).sum
+      for ((g, n, w) <- srcs) {
+        val expAlloc = if (satSet(g)) n.toLong else (lrem * w / remW).toLong
+        assert(got(g) == ((expAlloc, satSet(g))),
+          s"trial $trial pct $pct src $g: got ${got(g)} exp ($expAlloc, ${satSet(g)})")
+      }
+    }
+  }
 }
