@@ -104,6 +104,13 @@ object Bench {
     if (only.isEmpty) // a GRAFT_ONLY subset must not clobber the full record
       Files.writeString(Paths.get("bench_detail.json"),
         s"""{"sf":"$sfDir","runs_per_query":$nPasses,"aggregation":"min","total_sec":${r3(total)},"operator_only":$opOnly,"queries":$detail}""" + "\n")
+    // Controlled-measurement runs (the ambient-drift audits) need per-query
+    // detail for a GRAFT_ONLY subset without clobbering the full record:
+    // GRAFT_DETAIL_OUT names an explicit sidecar file for this run only.
+    sys.env.get("GRAFT_DETAIL_OUT").foreach { p =>
+      Files.writeString(Paths.get(p),
+        s"""{"sf":"$sfDir","runs_per_query":$nPasses,"aggregation":"min","total_sec":${r3(total)},"operator_only":$opOnly,"queries":$detail}""" + "\n")
+    }
     // The stdout contract line stays small: total + the 40 slowest queries
     // (the regression-relevant ones) at 2 decimals — ~1.3 KB, comfortably
     // inside the tail capture. Printed LAST so the tail always contains it.

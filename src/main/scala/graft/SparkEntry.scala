@@ -843,6 +843,30 @@ object SparkEntry {
         emb, k = 5)
     }),
 
+    // IVF-probed label-noise audit at the UNBOUNDED-|Q| scale shape:
+    // every labeled vector audits itself against its probed cells (the
+    // q_hard_negatives_ivf recipe — plain cell_id equi-join, no corpus
+    // or query broadcast). SELF-ASSERTING: per-query suspect flags vs
+    // the in-plan exact brute-force twin; a probe miss can flip a
+    // borderline majority vote, so agreement is approximate by design —
+    // measured 0.9940 (sf0.01) / 0.9935 (sf0.1) with 8/16 cells
+    // (tools/ProbeLabelNoise); floor 0.9 (the ADC-floor discipline:
+    // just under the measured band, never half of it).
+    "q_label_noise_ivf" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val idx = graft.operators.IvfIndex.build(s, emb, nLists = 16)
+      val approx = graft.operators.IvfIndex.labelNoiseIvf(
+          idx, emb.select(col("vec_id"), col("label")), emb, k = 5, nProbe = 8)
+        .select(col("query_id"), col("suspect").as("s_ivf"))
+      graft.operators.Similarity.labelNoisePerQuery(emb, emb, k = 5)
+        .select(col("query_id"), col("suspect").as("s_exact"))
+        .join(approx, Seq("query_id"), "left")
+        .agg(count(lit(1)).as("n_audited"),
+          sum(when(col("s_exact"), 1L).otherwise(0L)).as("n_suspect_exact"),
+          (sum(when(col("s_exact") === coalesce(col("s_ivf"), lit(false)), 1L)
+            .otherwise(0L)) >= count(lit(1)) * 0.9).as("agreement_ok"))
+    }),
+
     // Hard-negative mining: per query vector, the top-3 most-similar
     // candidates of a DIFFERENT label (the contrastive-training negatives
     // nearest the boundary). Mismatch predicate folded into the join,
@@ -4331,6 +4355,37 @@ object SparkEntry {
     "q_kmeans_share_stream" -> ((s, d) =>
       graft.streaming.ClusterShareStream.runStreamClusterShare(s, d)),
 
+    // Grouped cluster-share monitor: the count key is (label, cluster) —
+    // the global form says WHICH mode shifted, this says WHOSE slice
+    // shifted it. State = |labels|·k integers; within-label shares and
+    // smoothed PSI terms; streamed ≡ batch asserted in-plan per label.
+    "q_cluster_share_by_label" -> ((s, d) =>
+      graft.streaming.ClusterShareStream.runStreamClusterShareBy(s, d)),
+
+    // Quality-weighted per-cluster sampling quotas — the SemDeDup-style
+    // budget decision composing three operators: k-means assignment ×
+    // quality keep counts × the capped-waterfill allocator (weight =
+    // kept-doc count, capacity = cluster size, budget 60% of the
+    // quality-bearing corpus; high-quality clusters saturate first).
+    "q_cluster_quota" -> ((s, d) => {
+      val cl = graft.operators.Clustering
+      cl.sampleQuota(
+        cl.cleanVectors(Tables.embeddings(s, d)), cl.modelFor(s, d),
+        graft.operators.Curation.qualityScoreRaw(Tables.documents(s, d))
+          .select(col("doc_id"), col("keep")), budgetPct = 60)
+    }),
+
+    // SemDeDup (Abbas et al. 2023): within-k-means-cell semantic pruning
+    // — pairs generated ONLY inside an assignment cell (the cell, not
+    // the corpus, bounds the quadratic), keeper = the portable-hash key
+    // minimum of each near-dup relation, per-cluster prune rates. The
+    // oracle replays the full kmeans stage chain + the within-cell pair
+    // predicate + the same keeper rule.
+    "q_semdedup_kmeans" -> ((s, d) =>
+      graft.operators.Clustering.semDedup(
+        graft.operators.Clustering.cleanVectors(Tables.embeddings(s, d)),
+        graft.operators.Clustering.modelFor(s, d))),
+
     // Label-separability audit: per-label within-class scatter, nearest
     // other centroid, Fisher-style ratio — the encoder-collapse check the
     // drift gates can't make (same decimal moment passes; |labels|²·d
@@ -4606,6 +4661,13 @@ object SparkEntry {
       graft.operators.Robust.conformalGate(
         q.join(a, "doc_id"), col("doc_id"), col("quality"), col("kept"))
     }),
+
+    // Streaming conformal coverage monitor: q̂ frozen from the
+    // calibration half offline; the test half arrives as a stream and
+    // the coverage audit maintains THREE integers (n, covered, set-size
+    // sum) — trivially mergeable, batch parity asserted in-plan.
+    "q_conformal_stream" -> ((s, d) =>
+      graft.streaming.ConformalStream.runStreamConformal(s, d)),
 
     // Mondrian (group-conditional) conformal: a separate q̂ per source so
     // the coverage guarantee holds per source, not just marginally.
@@ -4948,6 +5010,18 @@ object SparkEntry {
       graft.operators.IvfIndex.hardNegativesIvf(
         reg.ivfFull(s, d), emb.select(col("vec_id"), col("label")),
         emb, k = 3, nProbe = 8)
+    }),
+    // Contract form: IVF audit ⋈ O(|Q|·|C|) brute-force twin + per-query
+    // flag-agreement agg. Operator: the probed-bucket disagreement fold
+    // against the at-rest index, rolled up per label — what a curation
+    // pipeline runs at 100 TB.
+    "q_label_noise_ivf" -> ((s, d) => {
+      val reg = graft.operators.IndexRegistry
+      val emb = Tables.embeddings(s, d)
+      graft.operators.Similarity.labelNoiseRollup(
+        graft.operators.IvfIndex.labelNoiseIvf(
+          reg.ivfFull(s, d), emb.select(col("vec_id"), col("label")),
+          emb, k = 5, nProbe = 8))
     }),
     // Contract form: IVF-PQ mining ⋈ O(|Q|·|C|) brute-force twin + recall
     // agg. Operator: the cell-keyed ADC self-mining join against the
@@ -5587,6 +5661,27 @@ object SparkEntry {
          |       CAST(sum(CASE WHEN mis * 2 > kk THEN 1 ELSE 0 END) AS BIGINT) AS n_suspect,
          |       round(CAST(sum(mis) AS DOUBLE) / sum(kk), 6) AS disagreement
          |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // IVF-probed audit: the oracle replays the EXACT unbounded-|Q| twin
+    // (the same rank chain with no probe-budget filter) for n_audited and
+    // n_suspect_exact, and pins the self-asserted flag agreement.
+    "q_label_noise_ivf" ->
+      """WITH kn AS (
+        |  SELECT * FROM (
+        |    SELECT q.vec_id AS query_id, q.label AS ql, c.label AS nl,
+        |           row_number() OVER (
+        |             PARTITION BY q.vec_id
+        |             ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) DESC,
+        |                      c.vec_id) AS rank
+        |    FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id)
+        |  WHERE rank <= 5),
+        |d AS (SELECT query_id, CAST(count(*) AS BIGINT) AS kk,
+        |             CAST(sum(CASE WHEN nl != ql THEN 1 ELSE 0 END) AS BIGINT) AS mis
+        |      FROM kn GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_audited,
+        |       CAST(sum(CASE WHEN mis * 2 > kk THEN 1 ELSE 0 END) AS BIGINT) AS n_suspect_exact,
+        |       true AS agreement_ok
+        |FROM d""".stripMargin,
 
     "q_hard_negatives" ->
       """SELECT * FROM (
@@ -6989,6 +7084,11 @@ object SparkEntry {
     // nonconformity order statistic, max()-folded scalars so the empty
     // test half still yields the operator's single row.
     "q_conformal_gate" -> conformalGateSql,
+
+    // Streaming coverage monitor: the batch gate replay restricted to the
+    // same frozen-q̂ algebra (integer counts merge exactly under any
+    // micro-batch slicing, so streamed ≡ batch — parity pinned TRUE).
+    "q_conformal_stream" -> conformalStreamSql,
 
     // Mondrian replay: source partitioning the split, the rank window,
     // and every fold; calibration-side-driven LEFT JOINs keep test-less
@@ -9273,7 +9373,57 @@ object SparkEntry {
     // with empty-cluster carry, then each consumer's final fold.
     "q_kmeans" -> graft.operators.Clustering.kmeansOracleSql(8, 5, 64),
     "q_kmeans_share_stream" -> graft.operators.Clustering.shareStreamOracleSql(8, 5, 64),
+
+    // Grouped monitor twin: (label, cluster) counts off the same frozen
+    // even-half chain; within-label shares/PSI; parity pinned TRUE.
+    "q_cluster_share_by_label" ->
+      graft.operators.Clustering.shareStreamByOracleSql(8, 5, 64),
+
+    // SemDeDup replay: the full kmeans stage chain + within-cell pair
+    // predicate (the established 6dp list_cosine_similarity twin) + the
+    // portable-hash keeper rule + distinct-victim counts per cluster.
+    "q_semdedup_kmeans" -> graft.operators.Clustering.semDedupOracleSql(
+      8, 5, 64, graft.operators.Clustering.SemDedupTau),
     "q_kmeans_elbow" -> graft.operators.Clustering.elbowOracleSql(Seq(2, 4, 8), 5, 64),
+
+    // Cluster-quota replay: kmeans chain + the quality keep CTE + the
+    // q_mixture_waterfill ratio-ordered window fold with (avail, w) =
+    // (cluster size, kept count); zero-keep clusters drop.
+    "q_cluster_quota" ->
+      s"""WITH ${graft.operators.Clustering.stagesSql(8, 5, 64)},
+         |ql AS (WITH f AS (SELECT doc_id, string_split(text, ' ') AS t, text FROM documents),
+         |            z AS (SELECT doc_id,
+         |                         -3.0 + 0.6 * ln(1.0 + CAST(len(t) AS DOUBLE))
+         |                         + 0.25 * ((CAST(length(text) AS DOUBLE) - CAST(len(t) - 1 AS DOUBLE)) / CAST(len(t) AS DOUBLE))
+         |                         + 1.2 * (CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE))
+         |                         + 2.0 * (CAST(len(list_filter(t, x -> list_contains(['the','a','of','and','to','in','is'], x))) AS DOUBLE) / CAST(len(t) AS DOUBLE)) AS z
+         |                  FROM f)
+         |       SELECT doc_id, 1.0 / (1.0 + exp(-z)) >= 0.5 AS keep FROM z),
+         |sw AS (SELECT a.cl AS cl, CAST(count(*) AS BIGINT) AS avail,
+         |              CAST(sum(CASE WHEN ql.keep THEN 1 ELSE 0 END) AS BIGINT) AS w
+         |       FROM af a JOIN ql ON ql.doc_id = a.vec_id GROUP BY 1),
+         |sw2 AS (SELECT * FROM sw WHERE w > 0),
+         |t AS (SELECT CAST(sum(avail) AS HUGEINT) AS total FROM sw2),
+         |r AS (SELECT cl, avail, w,
+         |             row_number() OVER (ORDER BY CAST(avail AS DOUBLE) / w, cl) AS rn,
+         |             coalesce(sum(avail) OVER (ORDER BY CAST(avail AS DOUBLE) / w, cl
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefa,
+         |             sum(w) OVER (ORDER BY CAST(avail AS DOUBLE) / w, cl
+         |               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS remw
+         |      FROM sw2),
+         |s2 AS (SELECT r.*, CAST((t.total * 60) // 100 - r.prefa AS HUGEINT) AS lrem FROM r, t),
+         |cut AS (SELECT rn AS crn, lrem AS lc, CAST(remw AS HUGEINT) AS wc FROM s2
+         |        WHERE NOT (lrem * w >= CAST(avail AS HUGEINT) * remw)
+         |        ORDER BY rn LIMIT 1)
+         |SELECT CAST(s2.cl AS INT) AS cluster, s2.avail AS n, s2.w AS keeps,
+         |       CAST(CASE WHEN s2.rn < cut.crn THEN s2.avail
+         |                 ELSE (cut.lc * s2.w) // cut.wc END AS BIGINT) AS quota,
+         |       s2.rn < cut.crn AS saturated,
+         |       CASE WHEN s2.avail > 0
+         |            THEN round(CAST(CASE WHEN s2.rn < cut.crn THEN s2.avail
+         |                            ELSE (cut.lc * s2.w) // cut.wc END AS DOUBLE)
+         |                       / s2.avail, 6) END AS fill_rate
+         |FROM s2, cut ORDER BY cluster""".stripMargin,
 
     // Cluster composition consumers: the assignment joined back to the
     // text stack on the shared id domain (quality profile; distinctive
@@ -10450,6 +10600,12 @@ object SparkEntry {
        |       round(CAST(sum((CASE WHEN CAST(CAST(1 AS DECIMAL(8,6)) - b.q AS DECIMAL(8,6)) <= qh.qhat THEN 1 ELSE 0 END)
        |                    + (CASE WHEN b.q <= qh.qhat THEN 1 ELSE 0 END)) AS DOUBLE) / count(*), 6) AS avg_set_size
        |FROM b, qh, tot WHERE NOT b.is_cal""".stripMargin
+
+  /** [[conformalGateSql]] + the monitor's pinned parity column. */
+  private lazy val conformalStreamSql: String = {
+    val marker = "AS avg_set_size"
+    conformalGateSql.replace(marker, marker + ",\n       TRUE AS parity_ok")
+  }
 
   /** Mondrian conformal replay: source rides the parity split, the
     * PARTITION BY of the rank window, and every fold; LEFT JOINs drive

@@ -108,6 +108,13 @@ object Clustering {
       best.getField("cl").as("cl"), best.getField("d2").as("d2"))
   }
 
+  /** Assignment that PRESERVES the caller's columns (grouped consumers
+    * carry their segment through the projection): appends `cl` only.
+    * Same inlined-literal argmin as [[assign]] — still exchange-free. */
+  def assignAll(rows: DataFrame, cents: Array[Array[Double]]): DataFrame =
+    rows.select(col("*"),
+      array_min(distArray(col("v"), cents)).getField("cl").as("cl"))
+
   /** Train: `iters` Lloyd updates from the hash-order seeds; returns the
     * final centroids (k arrays of 6dp-rounded doubles). Each update is
     * one distributed (cluster, dim) decimal aggregation; the collected
@@ -191,6 +198,133 @@ object Clustering {
         round(col("ss").cast(DoubleType) / col("n"), 6).as("silhouette"))
       .orderBy(col("cluster"))
   }
+
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): within-cluster semantic
+    * pruning — the operator the clustering and dedup stacks exist to
+    * compose. Candidate pairs are generated ONLY inside a k-means
+    * assignment cell, so at 100 TB the CELL (k grows with the corpus in
+    * the paper's regime, n/k bounded), not the corpus, bounds the
+    * quadratic. Keep-one-per-near-dup-group is the deterministic
+    * portable-hash rule: a vector is PRUNED iff some same-cell neighbor
+    * at cosine ≥ τ carries a smaller (keyHash, vec_id) key — the
+    * group's global key-minimum always survives, both engines replay
+    * the same keeper, and no connected-components pass is needed (one
+    * pair join / generator pass + one distinct-victim count).
+    *
+    * Plan shape (the [[IvfIndex.semDedupPairs]] measurement): within-
+    * cell scoring is NOT a self-join — with k distinct keys a sort-merge
+    * join replays each cell per probe row (~10× slower at sf0.1).
+    * ONE hash shuffle groups each cell into a bounded array and the
+    * native [[graft.functions.PairGenerators.cosinePairs]] generator
+    * scores i<j pairs lazily, emitting survivors only (loose raw cutoff
+    * τ−1e-6, then the exact rounded-6dp threshold keeps borderline
+    * pairs bit-identical with the oracle's `list_cosine_similarity`
+    * replay — the established q_semdedup pairing). The per-cluster size
+    * rollup rides a separate map-combined count aggregation (k rows per
+    * task) instead of a checkpoint of the corpus-sized cells table.
+    *
+    * Output: per-cluster (cluster, n, n_pruned, n_kept, prune_rate) —
+    * the prune decision a curation pipeline applies before sampling. */
+  def semDedup(rows: DataFrame, cents: Array[Array[Double]],
+      tau: Double = SemDedupTau): DataFrame = {
+    val asg = assign(rows, cents).select(col("cl"), col("vec_id"), col("v"))
+    val sizes = asg.groupBy(col("cl")).agg(count(lit(1)).as("n"))
+    val pairs = asg
+      .groupBy(col("cl"))
+      .agg(collect_list(struct(col("vec_id"), col("v"),
+        graft.functions.l2Norm(col("v")).as("nrm"))).as("members"))
+      .select(col("cl"),
+        graft.functions.PairGenerators.cosinePairs(col("members"), tau - 1e-6)
+          .as(Seq("vec_a", "vec_b", "cosine")))
+      .filter(round(col("cosine"), 6) >= tau)
+    val khA = PortableHash.keyHash(col("vec_a"))
+    val khB = PortableHash.keyHash(col("vec_b"))
+    val victims = pairs.select(col("cl"),
+      when(khA < khB || (khA === khB && col("vec_a") < col("vec_b")),
+        col("vec_b")).otherwise(col("vec_a")).as("victim"))
+    val pruned = victims.groupBy(col("cl"))
+      .agg(countDistinct(col("victim")).as("np"))
+    sizes.join(pruned, Seq("cl"), "left")
+      .select(col("cl").cast(IntegerType).as("cluster"), col("n"),
+        coalesce(col("np"), lit(0L)).as("n_pruned"),
+        (col("n") - coalesce(col("np"), lit(0L))).as("n_kept"),
+        round(coalesce(col("np"), lit(0L)).cast(DoubleType) / col("n"), 6)
+          .as("prune_rate"))
+      .orderBy(col("cluster"))
+  }
+
+  /** Quality-weighted per-cluster sampling quotas — the actual
+    * SemDeDup-style budget decision, composing three operators: the
+    * k-means assignment (which mode), the quality gate's keep counts
+    * (how good the mode is), and the capped-waterfill allocator (how
+    * much budget each mode gets). Weight = the cluster's kept-doc count
+    * (exact integers — the keep RATE scaled by size, so quota ∝ quality
+    * mass), capacity = the cluster SIZE, budget = `budgetPct`% of the
+    * corpus: high-quality clusters saturate first and their unabsorbed
+    * budget reallocates ∝ weight to the rest — the
+    * [[Curation.mixtureWaterfill]] closed form (saturation is monotone
+    * along the avail/w ratio order; ONE prefix scan with exact BigInt
+    * cross-products finds the cutoff) over clusters instead of sources.
+    * Clusters with zero kept docs carry no quality mass and DROP (no
+    * quota to offer — the waterfill out-of-mixture convention).
+    *
+    * Scale shape: one assignment projection + one (cluster) aggregation
+    * joined to the quality projection on the shared id domain; the fold
+    * runs driver-side over the k-row summary (model-sized). The DRAW
+    * then rides the established pickers (fixed-quota `topKBy` or the
+    * dataMixture hash-threshold rate at 100 TB). */
+  def sampleQuota(rows: DataFrame, cents: Array[Array[Double]],
+      quality: DataFrame, budgetPct: Int): DataFrame = {
+    require(budgetPct >= 1 && budgetPct < 100,
+      s"sampleQuota: budgetPct in [1, 100), got $budgetPct")
+    val spark = rows.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("cluster", IntegerType, nullable = false),
+      StructField("n", LongType, nullable = false),
+      StructField("keeps", LongType, nullable = false),
+      StructField("quota", LongType, nullable = false),
+      StructField("saturated", org.apache.spark.sql.types.BooleanType, nullable = false),
+      StructField("fill_rate", DoubleType, nullable = true)))
+    val stats = Robust.collectSummary(
+      assign(rows, cents).select(col("cl"), col("vec_id"))
+        .join(quality.select(col("doc_id"), col("keep")),
+          col("vec_id") === col("doc_id"))
+        .groupBy(col("cl"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("keeps")),
+      "sampleQuota")
+    final case class S(cl: Int, avail: Long, w: Long)
+    val ss = stats
+      .map(r => S(r.getInt(0), r.getAs[Long]("n"), r.getAs[Long]("keeps")))
+      .filter(_.w > 0) // zero quality mass → no quota (drops, like
+      .sortBy(s => (s.avail.toDouble / s.w.toDouble, s.cl)) // out-of-mixture)
+    val total = ss.iterator.map(s => BigInt(s.avail)).sum
+    val b0 = total * budgetPct / 100 // floor
+    var lrem = b0
+    var remW = ss.iterator.map(s => BigInt(s.w)).sum
+    var level: Option[(BigInt, BigInt)] = None
+    val out = ss.map { s =>
+      val sat = level.isEmpty && lrem * s.w >= BigInt(s.avail) * remW
+      val alloc =
+        if (sat) { lrem -= s.avail; remW -= s.w; s.avail }
+        else {
+          if (level.isEmpty) level = Some((lrem, remW))
+          val (lc, wc) = level.get
+          (lc * s.w / wc).toLong
+        }
+      Row(s.cl, s.avail, s.w, alloc, sat,
+        if (s.avail > 0) round6(alloc.toDouble / s.avail.toDouble) else null)
+    }
+    spark.createDataFrame(java.util.Arrays.asList(out: _*), outSchema)
+      .orderBy(col("cluster"))
+  }
+
+  /** SemDeDup threshold on this corpus: uniform-random 64-d embeddings
+    * concentrate cosine near 0 ± d^-1/2, so the near-dup tail that a real
+    * crawl would show at ≥ 0.95 sits at ≥ ~0.3 here — chosen so the
+    * verify SF exercises nonzero prune counts through the keeper fold. */
+  val SemDedupTau = 0.3
 
   // ---------------------------------------------------------------------
   // DuckDB replay — the generated fixed-iteration stage chain (the
@@ -333,6 +467,48 @@ object Clustering {
        |FROM dom, tt WHERE tt.n_ref > 0 AND tt.n_cur > 0 ORDER BY cluster""".stripMargin
   }
 
+  /** Grouped replay of the streaming cluster-share monitor: same frozen
+    * even-half model, but the count key is (label, cluster) — WHOSE
+    * corpus slice shifted the mixture. Shares and the smoothed PSI terms
+    * are WITHIN-label; a label empty on either side drops whole (absence
+    * is not zero drift, per segment). */
+  def shareStreamByOracleSql(k: Int, iters: Int, dim: Int): String = {
+    val pad = k / 2.0
+    val pr = s"(CAST(dom.cr AS DOUBLE) + 0.5) / (CAST(tt.n_ref AS DOUBLE) + $pad)"
+    val pc = s"(CAST(dom.ccur AS DOUBLE) + 0.5) / (CAST(tt.n_cur AS DOUBLE) + $pad)"
+    s"""WITH ${stagesSql(k, iters, dim, " AND vec_id % 2 = 0")},
+       |va AS MATERIALIZED (SELECT vec_id, embedding AS v, CAST(label AS BIGINT) AS label,
+       |       vec_id % 2 = 1 AS is_cur FROM embeddings
+       |       WHERE vec_id IS NOT NULL AND embedding IS NOT NULL AND len(embedding) = $dim
+       |         AND len(list_filter(embedding, x -> x IS NULL)) = 0 AND label IS NOT NULL),
+       |vxa AS MATERIALIZED (SELECT va.vec_id AS vec_id, va.label AS label, va.is_cur AS is_cur,
+       |       d.i AS i, CAST(va.v[d.i + 1] AS DOUBLE) AS x FROM va, d),
+       |aa AS MATERIALIZED (
+       |  SELECT vec_id, label, is_cur, cl FROM (
+       |    SELECT vxa.vec_id AS vec_id, vxa.label AS label, vxa.is_cur AS is_cur, c.cl AS cl,
+       |           row_number() OVER (PARTITION BY vxa.vec_id
+       |             ORDER BY sum(CAST((CAST(vxa.x AS DECIMAL(16,12)) - CAST(c.m AS DECIMAL(8,6))) * (CAST(vxa.x AS DECIMAL(16,12)) - CAST(c.m AS DECIMAL(8,6))) AS DECIMAL(38,24))), c.cl) AS rn
+       |    FROM vxa JOIN cent$iters c ON c.i = vxa.i
+       |    GROUP BY 1, 2, 3, 4) WHERE rn = 1),
+       |cc AS (SELECT label, cl, CAST(sum(CASE WHEN is_cur THEN 0 ELSE 1 END) AS BIGINT) AS cr,
+       |              CAST(sum(CASE WHEN is_cur THEN 1 ELSE 0 END) AS BIGINT) AS ccur
+       |       FROM aa GROUP BY 1, 2),
+       |lbl AS (SELECT label FROM cc GROUP BY 1 HAVING sum(cr) > 0 AND sum(ccur) > 0),
+       |dom AS (SELECT lbl.label AS label, CAST(gs.g AS INT) AS cluster,
+       |               coalesce(cc.cr, 0) AS cr, coalesce(cc.ccur, 0) AS ccur
+       |        FROM lbl CROSS JOIN generate_series(0, ${k - 1}) gs(g)
+       |        LEFT JOIN cc ON cc.label = lbl.label AND cc.cl = gs.g),
+       |tt AS (SELECT label, CAST(sum(cr) AS BIGINT) AS n_ref,
+       |              CAST(sum(ccur) AS BIGINT) AS n_cur FROM dom GROUP BY 1)
+       |SELECT dom.label AS label, dom.cluster AS cluster, dom.cr AS n_ref, dom.ccur AS n_cur,
+       |       round(CAST(dom.cr AS DOUBLE) / CAST(tt.n_ref AS DOUBLE), 6) AS share_ref,
+       |       round(CAST(dom.ccur AS DOUBLE) / CAST(tt.n_cur AS DOUBLE), 6) AS share_cur,
+       |       round(($pr - $pc) * ln(($pr) / ($pc)), 6) AS psi_term,
+       |       TRUE AS parity_ok
+       |FROM dom JOIN tt ON tt.label = dom.label
+       |ORDER BY label, cluster""".stripMargin
+  }
+
   /** Elbow sweep: the full training chain per k (namespaced CTEs), one
     * (n, inertia) row each — the model-selection evidence for the
     * family's fixed k. */
@@ -343,6 +519,30 @@ object Clustering {
         s"round(CAST(sum(d2) AS DOUBLE), 6) AS inertia FROM k${k}_af")
     s"WITH ${chains.mkString(",\n")}\n${selects.mkString("\nUNION ALL ")}\nORDER BY k"
   }
+
+  /** SemDeDup replay: the stage chain's final assignment, within-cell
+    * pairs by brute join (exact at the verify SF), the same keeper rule,
+    * distinct-victim counts per cluster. `list_cosine_similarity` at 6dp
+    * is the established bit-exact twin of the Spark double-fold cosine. */
+  def semDedupOracleSql(k: Int, iters: Int, dim: Int, tau: Double): String =
+    s"""WITH ${stagesSql(k, iters, dim)},
+       |sdv AS MATERIALIZED (SELECT a.vec_id AS vec_id, a.cl AS cl,
+       |               CAST(e.v AS DOUBLE[]) AS vd,
+       |               ${PortableHash.keyHashSql("a.vec_id")} AS kh
+       |        FROM af a JOIN e ON e.vec_id = a.vec_id),
+       |sdp AS (SELECT x.cl AS cl,
+       |               CASE WHEN x.kh < y.kh OR (x.kh = y.kh AND x.vec_id < y.vec_id)
+       |                    THEN y.vec_id ELSE x.vec_id END AS victim
+       |        FROM sdv x JOIN sdv y ON x.cl = y.cl AND x.vec_id < y.vec_id
+       |        WHERE round(list_cosine_similarity(x.vd, y.vd), 6) >= $tau),
+       |sdn AS (SELECT cl, CAST(count(*) AS BIGINT) AS n FROM sdv GROUP BY 1),
+       |sdx AS (SELECT cl, CAST(count(DISTINCT victim) AS BIGINT) AS n_pruned
+       |        FROM sdp GROUP BY 1)
+       |SELECT CAST(sdn.cl AS INT) AS cluster, sdn.n AS n,
+       |       CAST(coalesce(sdx.n_pruned, 0) AS BIGINT) AS n_pruned,
+       |       CAST(sdn.n - coalesce(sdx.n_pruned, 0) AS BIGINT) AS n_kept,
+       |       round(CAST(coalesce(sdx.n_pruned, 0) AS DOUBLE) / sdn.n, 6) AS prune_rate
+       |FROM sdn LEFT JOIN sdx ON sdx.cl = sdn.cl ORDER BY 1""".stripMargin
 
   def sampleOracleSql(k: Int, iters: Int, dim: Int, quota: Int): String =
     s"""WITH ${stagesSql(k, iters, dim)}

@@ -677,4 +677,41 @@ object Curation {
       round(lit(1.0) / (lit(1.0) + exp(-z)), 6).as("quality"),
       (lit(1.0) / (lit(1.0) + exp(-z)) >= 0.5).as("keep"))
   }
+
+  /** Fused (doc_id, quality, kept) projection — ONE per-row pass that
+    * computes [[qualityScoreRaw]]'s LR score AND [[curationAuditRaw]]'s
+    * gate verdict together. Row-wise identical to
+    * `qualityScoreRaw ⋈ curationAuditRaw` on doc_id (both are
+    * deterministic maps of the same row — equivalence pinned by a twin
+    * test, OperatorsSpec), but usable on a STREAMING source where the
+    * two-scan join would be a stream-stream join. `kept` is the
+    * conjunction of the audit's four gates (the when-chain's `reason =
+    * 'kept'` arm): language, length, lexical diversity, repetition. */
+  def qualityKeptRaw(
+      documents: DataFrame,
+      lang: String = "en",
+      minTokens: Int = 20,
+      minTtr: Double = 0.4,
+      maxDupBigram: Double = 0.2,
+      w0: Double = -3.0, wLen: Double = 0.6, wAvgTok: Double = 0.25,
+      wTtr: Double = 1.2, wStop: Double = 2.0): DataFrame = {
+    val docs = documents.repartition(
+      documents.sparkSession.sparkContext.defaultParallelism)
+    val toks = tokens(col("text"))
+    val d = (c: org.apache.spark.sql.Column) => c.cast(DoubleType)
+    val n = size(toks)
+    val fLen = log(lit(1.0) + d(n))
+    val fAvg = (d(length(col("text"))) - d(n - 1)) / d(n)
+    val fTtr = d(size(array_distinct(toks))) / d(n)
+    val enStop = TextAnalysis.stopwords.toMap.apply("en")
+    val fStop = d(graft.functions.vocabHits(toks, enStop)) / d(n)
+    val z = lit(w0) + lit(wLen) * fLen + lit(wAvgTok) * fAvg +
+      lit(wTtr) * fTtr + lit(wStop) * fStop
+    docs.select(
+      col("doc_id"),
+      round(lit(1.0) / (lit(1.0) + exp(-z)), 6).as("quality"),
+      (TextAnalysis.langId(col("text")) === lang &&
+        n.cast(IntegerType) >= minTokens && fTtr >= minTtr &&
+        TextAnalysis.dupNGramFraction(toks, 2) <= maxDupBigram).as("kept"))
+  }
 }

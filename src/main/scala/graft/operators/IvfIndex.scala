@@ -293,6 +293,57 @@ object IvfIndex {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** kNN label-noise audit riding the IVF probed buckets — the
+    * [[Similarity.labelNoisePerQuery]] disagreement fold at the
+    * unbounded-|Q| scale shape (the [[hardNegativesIvf]] recipe): every
+    * labeled vector audits itself against its nProbe nearest cells,
+    * probes ⋈ cells on a plain cell_id equi-join — no corpus or
+    * query-set broadcast anywhere. Approximate by design: a probe miss
+    * can swap a neighbor and flip a borderline majority vote, so the
+    * contract query compares per-query suspect FLAGS against the exact
+    * twin and asserts agreement ≥ an honest measured floor. Returns
+    * per-query (query_id, q_label, kk, mis, suspect). */
+  def labelNoiseIvf(
+      index: Index, labels: DataFrame, queries: DataFrame,
+      k: Int, nProbe: Int): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val cents = index.centroids.toSeq
+      .map { case (id, arr) => (id, arr.map(_.toFloat)) }
+      .toDF("cell_id", "centroid")
+    val q = queries.select(
+      col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"), l2Norm(col("embedding")).as("q_nrm"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("cent_sim").desc, col("cell_id").asc)
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("cent_sim", dotProduct(col("q_emb"), col("centroid")))
+      .withColumn("probe_rank", row_number().over(wProbe))
+      .filter(col("probe_rank") <= nProbe)
+      .select(col("query_id"), col("q_emb"), col("q_nrm"), col("cell_id"))
+    val corpus = index.assigned
+      .select(col("cell_id"), col("vec_id").as("neighbor_id"),
+        col("embedding").as("c_emb"), l2Norm(col("embedding")).as("c_nrm"))
+    val knn = Similarity.rankTopK(
+      probes.join(corpus, Seq("cell_id"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select(
+          col("query_id"), col("neighbor_id"),
+          round(dotProduct(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")), 6)
+            .as("cosine")),
+      k)
+    // labels rejoin on the BOUNDED |Q|·k result, never a corpus broadcast
+    knn
+      .join(labels.select(col("vec_id").as("query_id"),
+        col("label").as("q_label")), Seq("query_id"))
+      .join(labels.select(col("vec_id").as("neighbor_id"),
+        col("label").as("n_label")), Seq("neighbor_id"))
+      .groupBy(col("query_id"), col("q_label"))
+      .agg(count(lit(1)).as("kk"),
+        sum(when(col("n_label") =!= col("q_label"), 1L).otherwise(0L)).as("mis"))
+      .withColumn("suspect", col("mis") * 2L > col("kk"))
+  }
+
   /** `(distance-proxy, cell)` structs per centroid: |x−c|² up to the
     * constant |x|² term — one native dot product per cell, all inside
     * whole-stage codegen, centroids inlined as broadcast literals. */

@@ -1421,19 +1421,35 @@ object Robust {
     * exactly, so the whole chain replays in SQL. k > n_cal (tiny
     * calibration sets) degrades honestly to q̂ = 1 — the full
     * prediction set, coverage 1, the conformal contract. */
-  def conformalGate(df: DataFrame, id: Column, score: Column, label: Column,
-      coverPct: Int = 90): DataFrame = {
-    require(coverPct >= 1 && coverPct <= 99, s"conformalGate: coverPct=$coverPct")
+  /** The conformal family's scored projection — (__id, q, y, is_cal, a):
+    * score clamped to DECIMAL(8,6), nonconformity a = y ? 1−q : q,
+    * calibration/test split by portable-hash parity. PUBLIC so the
+    * streaming coverage monitor ([[graft.streaming.ConformalStream]])
+    * applies the IDENTICAL per-row map to arriving rows — drift between
+    * the gate and its monitor is impossible by construction. */
+  def conformalScored(df: DataFrame, id: Column, score: Column,
+      label: Column): DataFrame = {
     val dec86 = org.apache.spark.sql.types.DecimalType(8, 6)
     val one = lit(1).cast(dec86)
-    val base = df
-      .select(id.as("__id"), score.cast(dec86).as("q"),
+    df.select(id.as("__id"), score.cast(dec86).as("q"),
         label.cast("boolean").as("y"))
       .filter(col("__id").isNotNull && col("q").isNotNull && col("y").isNotNull)
       .withColumn("is_cal",
         pmod(graft.functions.PortableHash.keyHash(col("__id")), lit(2L)) === 0L)
       .withColumn("a", when(col("y"), (one - col("q")).cast(dec86))
         .otherwise(col("q")))
+  }
+
+  /** Frozen calibration summary — ONE row (qhat DECIMAL(8,6), n_cal):
+    * the exact ⌈(n+1)·coverPct/100⌉-th order statistic of the
+    * calibration half's nonconformity scores via per-distinct-value
+    * counts + the [[runningTotals]] two-level scan (never a row-sized
+    * window, never a sort-to-driver). This is the at-rest model the
+    * streaming coverage monitor judges arrivals against; k > n_cal
+    * degrades honestly to q̂ = 1 (full sets, coverage 1). */
+  def conformalQhatRow(base: DataFrame, coverPct: Int): DataFrame = {
+    val dec86 = org.apache.spark.sql.types.DecimalType(8, 6)
+    val one = lit(1).cast(dec86)
     val perValue = base.filter(col("is_cal"))
       .groupBy(col("a").as("v")).agg(count(lit(1)).as("cnt"))
     val cum = runningTotals(perValue, Seq("cnt"))
@@ -1443,10 +1459,19 @@ object Robust {
     val kOf = (n: Column) => floor(
       (lit(coverPct.toLong) * (n + 1L) + 99L).cast(DoubleType) / 100.0)
       .cast(LongType)
-    val qhatRow = broadcast(cum.crossJoin(broadcast(tot))
+    cum.crossJoin(broadcast(tot))
       .filter(col("cum_cnt") >= kOf(col("n_cal")))
       .agg(coalesce(min(col("v")), one).as("qhat"))
-      .crossJoin(broadcast(tot)))
+      .crossJoin(broadcast(tot))
+  }
+
+  def conformalGate(df: DataFrame, id: Column, score: Column, label: Column,
+      coverPct: Int = 90): DataFrame = {
+    require(coverPct >= 1 && coverPct <= 99, s"conformalGate: coverPct=$coverPct")
+    val dec86 = org.apache.spark.sql.types.DecimalType(8, 6)
+    val one = lit(1).cast(dec86)
+    val base = conformalScored(df, id, score, label)
+    val qhatRow = broadcast(conformalQhatRow(base, coverPct))
     base.filter(!col("is_cal"))
       .crossJoin(qhatRow)
       .agg(

@@ -58,7 +58,15 @@ object Similarity {
     * noisy. Probes are a deterministic portable-hash sample — audit
     * cost is |Q|·|corpus| dots with |Q| a fixed budget, and at scale
     * the same fold rides the IVF/LSH probed buckets instead. */
-  def labelNoiseKnn(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
+  def labelNoiseKnn(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame =
+    labelNoiseRollup(labelNoisePerQuery(queries, candidates, k))
+
+  /** Per-query disagreement fold over an exact brute-force kNN:
+    * (query_id, q_label, kk, mis, suspect) — suspect = strict integer
+    * majority of mismatched neighbor labels. Exposed so the IVF-probed
+    * scale tier ([[IvfIndex.labelNoiseIvf]]) can compare suspect flags
+    * against this exact twin in-plan. */
+  def labelNoisePerQuery(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
     val knn = bruteForceKnn(queries, candidates, k)
     val ql = queries.select(col("vec_id").as("query_id"), col("label").as("q_label"))
     val nl = candidates.select(col("vec_id").as("neighbor_id"), col("label").as("n_label"))
@@ -67,6 +75,12 @@ object Similarity {
       .groupBy(col("query_id"), col("q_label"))
       .agg(count(lit(1)).as("kk"),
         sum(when(col("n_label") =!= col("q_label"), 1L).otherwise(0L)).as("mis"))
+      .withColumn("suspect", col("mis") * 2L > col("kk"))
+  }
+
+  /** The per-label rollup shared by the exact and IVF-probed audits. */
+  def labelNoiseRollup(perQuery: DataFrame): DataFrame =
+    perQuery
       .groupBy(col("q_label").cast("long").as("label"))
       .agg(count(lit(1)).as("n_checked"),
         sum(when(col("mis") * 2L > col("kk"), 1L).otherwise(0L)).as("n_suspect"),
@@ -75,7 +89,6 @@ object Similarity {
         round(col("__mis").cast(org.apache.spark.sql.types.DoubleType) /
           col("__kk"), 6).as("disagreement"))
       .orderBy(col("label"))
-  }
 
   /** Hard-negative mining for contrastive training (Schroff et al. 2015
     * FaceNet; the standard retrieval-training data op): for each query

@@ -57,6 +57,86 @@ object ClusterShareStream {
     a
   }
 
+  /** GROUPED monitor (the grouped-gate convention): the count key is
+    * (label, cluster) — the global form says WHICH mode shifted, this
+    * says WHOSE corpus slice shifted it. State = |labels|·k integer
+    * counts (still model-sized — the label domain is a fixed vocabulary,
+    * never data-sized); shares and the Laplace-smoothed PSI terms are
+    * WITHIN-label, so each label's row block is exactly the global
+    * monitor run on that slice (twin-tested). A label empty on either
+    * side drops whole — absence is not zero drift, per segment. */
+  def runStreamClusterShareBy(
+      spark: SparkSession, dir: String,
+      nBatches: Int = 4, assertParity: Boolean = true): DataFrame = {
+    val (k, iters, dim) = (Clustering.DefaultK, Clustering.DefaultIters, Clustering.Dim)
+    val outSchema = StructType(Seq(
+      StructField("label", LongType, nullable = false),
+      StructField("cluster", IntegerType, nullable = false),
+      StructField("n_ref", LongType, nullable = false),
+      StructField("n_cur", LongType, nullable = false),
+      StructField("share_ref", DoubleType, nullable = false),
+      StructField("share_cur", DoubleType, nullable = false),
+      StructField("psi_term", DoubleType, nullable = false),
+      StructField("parity_ok", BooleanType, nullable = false)))
+    val cents = Clustering.refModelFor(spark, dir, k, iters, dim)
+    val staged = stagedCur(spark, dir, nBatches)
+    val name = "q_cluster_share_by_label_sink"
+
+    def grouped(df: DataFrame): DataFrame = Clustering.assignAll(
+        df.filter(col("vec_id").isNotNull && col("label").isNotNull &&
+            col("embedding").isNotNull)
+          .select(col("vec_id"), col("label").cast(LongType).as("label"),
+            col("embedding").as("v"))
+          .filter(size(col("v")) === dim && !exists(col("v"), x => x.isNull)),
+        cents)
+      .groupBy(col("label"), col("cl")).agg(count(lit(1)).as("n"))
+
+    val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", StreamShuffleWidth)
+    try {
+      val q = grouped(
+          spark.readStream.schema(Schemas.embeddings)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(staged.toString))
+        .writeStream.format("memory").queryName(name).outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+
+    def batchCounts(parity: Long): Map[(Long, Int), Long] = grouped(
+        Tables.embeddings(spark, dir)
+          .filter(pmod(col("vec_id"), lit(2L)) === parity))
+      .collect()
+      .map(r => (r.getAs[Long]("label"), r.getAs[Int]("cl")) -> r.getAs[Long]("n"))
+      .toMap
+    val cur = spark.table(name).collect() // ≤ |labels|·k rows — model-sized
+      .map(r => (r.getAs[Long]("label"), r.getAs[Int]("cl")) -> r.getAs[Long]("n"))
+      .toMap
+    val ref = batchCounts(0L)
+    val parityOk = !assertParity || cur == batchCounts(1L)
+    val labels = (ref.keySet ++ cur.keySet).map(_._1)
+      .filter(l => (0 until k).exists(j => ref.getOrElse((l, j), 0L) > 0L) &&
+        (0 until k).exists(j => cur.getOrElse((l, j), 0L) > 0L))
+      .toSeq.sorted
+    val pad = k / 2.0
+    val out = labels.flatMap { l =>
+      val nRef = (0 until k).map(j => ref.getOrElse((l, j), 0L)).sum
+      val nCur = (0 until k).map(j => cur.getOrElse((l, j), 0L)).sum
+      (0 until k).map { j =>
+        val r = ref.getOrElse((l, j), 0L)
+        val c = cur.getOrElse((l, j), 0L)
+        val pr = (r.toDouble + 0.5) / (nRef.toDouble + pad)
+        val pc = (c.toDouble + 0.5) / (nCur.toDouble + pad)
+        Row(l, j, r, c,
+          round6(r.toDouble / nRef.toDouble),
+          round6(c.toDouble / nCur.toDouble),
+          round6((pr - pc) * math.log(pr / pc)),
+          parityOk)
+      }
+    }
+    spark.createDataFrame(java.util.Arrays.asList(out: _*), outSchema)
+      .orderBy(col("label"), col("cluster"))
+  }
+
   /** Run the monitor to completion: per-cluster
     * (cluster, n_ref, n_cur, share_ref, share_cur, psi_term, parity_ok)
     * rows; `parity_ok` asserts streamed counts ≡ a batch recompute of

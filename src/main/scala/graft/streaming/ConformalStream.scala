@@ -1,0 +1,114 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{BooleanType, DoubleType, LongType, StructField, StructType}
+
+import graft.operators.{Curation, Robust}
+import graft.schema.Schemas
+import graft.sources.{Staging, Tables}
+
+/** STREAMING conformal coverage monitor — the conformal gate's monitor
+  * form (the [[ClusterShareStream]] convention): q̂ is FROZEN from the
+  * calibration half offline (the frozen reference-model convention —
+  * arriving data must not move the threshold it is judged against);
+  * this form watches the TEST half arrive and maintains the coverage
+  * audit incrementally. If the score distribution drifts, empirical
+  * coverage slides off the 1−α target long before any accuracy metric
+  * can be recomputed — this is the gate's own health check.
+  *
+  * Streaming state is THREE integers (n_test, n_covered, set-size sum):
+  * the per-row score → nonconformity map is a STATELESS projection
+  * (identical to the batch gate's by construction —
+  * [[Robust.conformalScored]] is the shared spelling), and integer
+  * counts are exactly mergeable, so the streamed audit is BIT-IDENTICAL
+  * to a batch recompute under any micro-batch slicing — asserted
+  * in-plan (`parity_ok`). Output row matches [[Robust.conformalGate]]
+  * (n_cal, n_test, qhat, coverage, avg_set_size) + parity_ok. */
+object ConformalStream {
+
+  private val StreamShuffleWidth = sys.env.getOrElse("GRAFT_STREAM_SHUFFLE", "8")
+
+  /** The streamed test-half corpus: documents whose portable-hash parity
+    * puts them OUTSIDE the calibration half, striped into `nBatches`
+    * files by doc_id. */
+  private def stagedTest(spark: SparkSession, dir: String, nBatches: Int): java.io.File =
+    Staging.dir(s"conformal-stream-$nBatches", dir) { d =>
+      val test = Tables.documents(spark, dir).filter(
+        pmod(graft.functions.PortableHash.keyHash(col("doc_id")), lit(2L)) === 1L)
+      (0 until nBatches).foreach { i =>
+        val stage = new java.io.File(d, s"__stage$i")
+        test.filter(pmod(col("doc_id"), lit(nBatches.toLong)) === i)
+          .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+        val part = stage.listFiles().find(_.getName.endsWith(".parquet")).get
+        val dest = new java.io.File(d, f"batch-$i%02d.parquet")
+        java.nio.file.Files.move(part.toPath, dest.toPath)
+        dest.setLastModified(1700000000000L + i * 600000L)
+        Staging.rmTree(stage)
+      }
+    }
+
+  private def round6(x: Double): Double =
+    java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Run the monitor to completion: ONE row
+    * (n_cal, n_test, qhat, coverage, avg_set_size, parity_ok). */
+  def runStreamConformal(
+      spark: SparkSession, dir: String,
+      nBatches: Int = 4, coverPct: Int = 90,
+      assertParity: Boolean = true): DataFrame = {
+    val dec86 = org.apache.spark.sql.types.DecimalType(8, 6)
+    val one = lit(1).cast(dec86)
+    val outSchema = StructType(Seq(
+      StructField("n_cal", LongType, nullable = false),
+      StructField("n_test", LongType, nullable = false),
+      StructField("qhat", DoubleType, nullable = false),
+      StructField("coverage", DoubleType, nullable = false),
+      StructField("avg_set_size", DoubleType, nullable = false),
+      StructField("parity_ok", BooleanType, nullable = false)))
+
+    def scored(docs: DataFrame): DataFrame = Robust.conformalScored(
+      Curation.qualityKeptRaw(docs), col("doc_id"), col("quality"), col("kept"))
+
+    // frozen at-rest model: ONE collected row (n_cal, q̂)
+    val calRow = Robust.conformalQhatRow(
+      scored(Tables.documents(spark, dir)), coverPct).collect()(0)
+    val qhat = calRow.getAs[java.math.BigDecimal]("qhat")
+    val nCal = calRow.getAs[Long]("n_cal")
+    val qhatLit = lit(qhat).cast(dec86)
+
+    def coverFold(df: DataFrame): DataFrame = df.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("a") <= qhatLit, 1L).otherwise(0L)).as("cov"),
+      sum(when((one - col("q")).cast(dec86) <= qhatLit, 1L).otherwise(0L) +
+        when(col("q") <= qhatLit, 1L).otherwise(0L)).as("sz"))
+
+    val staged = stagedTest(spark, dir, nBatches)
+    val name = "q_conformal_stream_sink"
+    val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", StreamShuffleWidth)
+    try {
+      val q = coverFold(scored(
+          spark.readStream.schema(Schemas.documents)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(staged.toString)))
+        .writeStream.format("memory").queryName(name).outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+
+    def triple(rows: Array[Row]): (Long, Long, Long) = {
+      val r = rows(0)
+      (r.getAs[Long]("n"), r.getAs[Long]("cov"), r.getAs[Long]("sz"))
+    }
+    val streamed = triple(spark.table(name).collect()) // 1 row — model-sized
+    val parityOk = !assertParity || streamed == triple(coverFold(
+      scored(Tables.documents(spark, dir)).filter(!col("is_cal"))).collect())
+    val (n, cov, sz) = streamed
+    if (n == 0L) // no test rows — nothing to audit (absence is not coverage)
+      return spark.createDataFrame(java.util.Collections.emptyList[Row](), outSchema)
+    val out = Row(nCal, n, qhat.doubleValue(),
+      round6(cov.toDouble / n.toDouble), round6(sz.toDouble / n.toDouble),
+      parityOk)
+    spark.createDataFrame(java.util.Arrays.asList(out), outSchema)
+  }
+}

@@ -422,4 +422,34 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     rows.foreach(r =>
       assert(r.getAs[Boolean]("keep") == (r.getAs[Double]("quality") >= 0.5)))
   }
+
+  test("qualityKeptRaw is row-identical to qualityScoreRaw ⋈ curationAuditRaw (fused = joined)") {
+    import graft.operators.Curation
+    import graft.sources.Tables
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val fused = Curation.qualityKeptRaw(docs)
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getAs[Double]("quality"), r.getAs[Boolean]("kept")))
+    val joined = Curation.qualityScoreRaw(docs).select($"doc_id", $"quality")
+      .join(Curation.curationAuditRaw(docs)
+        .select($"doc_id", ($"reason" === "kept").as("kept")), "doc_id")
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getAs[Double]("quality"), r.getAs[Boolean]("kept")))
+    assert(fused.nonEmpty && fused.toSeq == joined.toSeq)
+    // degenerate rows exercise every gate arm of the fused conjunction
+    val edge = Seq(
+      (1L, "the cat is in the hat and the dog sat on the mat with a bat near the rat and a hat"),
+      (2L, "zz zz"), // too short AND not-English
+      (3L, ("the quick brown fox " * 10).trim)) // repetitive bigrams
+      .toDF("doc_id", "text")
+    val f2 = Curation.qualityKeptRaw(edge).orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getAs[Boolean]("kept")))
+    val j2 = Curation.qualityScoreRaw(edge).select($"doc_id")
+      .join(Curation.curationAuditRaw(edge)
+        .select($"doc_id", ($"reason" === "kept").as("kept")), "doc_id")
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getAs[Boolean]("kept")))
+    assert(f2.toSeq == j2.toSeq)
+    assert(f2.toMap == Map(1L -> true, 2L -> false, 3L -> false), f2.mkString(","))
+  }
 }

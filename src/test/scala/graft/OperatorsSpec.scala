@@ -2146,6 +2146,37 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(got(0L)._2 == 0L && got(0L)._3 < 0.3)
   }
 
+  test("labelNoiseIvf: planted mislabel flagged THROUGH the probed path; flags agree with the exact twin") {
+    import graft.operators.{IvfIndex, Similarity}
+    // same angular-blob design as the brute-force test: the mislabeled
+    // point sits INSIDE blob A's angular range, so its probed cell is A's
+    // and its whole probed neighborhood disagrees with label 9
+    def vec(theta: Double) = Seq(math.cos(theta).toFloat, math.sin(theta).toFloat)
+    val a = (0 until 8).map(j => (j.toLong, vec(j * 0.01), 0))
+    val b = (0 until 8).map(j => (100L + j, vec(1.2 + j * 0.01), 1))
+    val c = (0 until 8).map(j => (200L + j, vec(2.4 + j * 0.01), 2))
+    val bad = Seq((999L, vec(0.035), 9))
+    val df = (a ++ b ++ c ++ bad).toDF("vec_id", "embedding", "label")
+    val labels = df.select($"vec_id", $"label")
+    val idx = IvfIndex.build(spark, df, nLists = 3)
+    val per = IvfIndex.labelNoiseIvf(idx, labels, df, k = 5, nProbe = 1).collect()
+    assert(per.filter(_.getAs[Boolean]("suspect"))
+      .map(_.getAs[Long]("query_id")).toSeq == Seq(999L), per.mkString("\n"))
+    // per-query suspect flags agree with the exact twin (nProbe = 1 on
+    // well-separated blobs loses no neighbor that could flip a vote)
+    val exact = Similarity.labelNoisePerQuery(df, df, k = 5).collect()
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Boolean]("suspect")).toMap
+    assert(per.length == exact.size &&
+      per.forall(r => exact(r.getAs[Long]("query_id")) == r.getAs[Boolean]("suspect")))
+    // the shared rollup localizes the noise to class 9
+    val roll = Similarity.labelNoiseRollup(
+        IvfIndex.labelNoiseIvf(idx, labels, df, k = 5, nProbe = 1))
+      .collect().map(r => r.getAs[Long]("label") ->
+        (r.getAs[Long]("n_checked"), r.getAs[Long]("n_suspect"))).toMap
+    assert(roll(9L) == ((1L, 1L)) && roll(0L)._2 == 0L &&
+      roll(1L) == ((8L, 0L)) && roll(2L) == ((8L, 0L)))
+  }
+
   test("mixtureWaterfill: hand-computed cutoff; overflow redistributes; no-saturation = proportional") {
     import graft.operators.Curation
     def doc(src: String, n: Int) = (src, List.fill(n)("x").mkString(" "))
@@ -2214,6 +2245,77 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
         case (m, x) => (x - m) * (x - m) }.sum)
       assert(assigned(id) == d2s.indexOf(d2s.min), s"vec $id")
     }
+  }
+
+  test("semDedup: planted near-dup PATH prunes only the max-key middle; pair-less cluster intact") {
+    import graft.operators.Clustering
+    // Blob A: three short vectors near the origin at angles 0°/60°/120° —
+    // cos(0,60) = cos(60,120) = 0.5 ≥ τ = 0.3 but cos(0,120) = −0.5 < τ:
+    // a near-dup PATH x–y–z, not a clique. The keeper rule ("pruned iff a
+    // smaller-(keyHash, id) neighbor at ≥ τ exists") prunes ONLY y when y
+    // holds the largest key — a count a clique could never discriminate
+    // (any keeper rule prunes |clique|−1). Blob B: one far vector — no
+    // pairs, prune_rate 0.
+    val ids = (1L to 20L).sortBy(i => (kh(i), i))
+    val (seedA, seedB) = (ids(0), ids(1))             // one seed per blob
+    val rest = ids.drop(2)
+    val (m120, m60) = (rest(0), rest(1))              // key(m60) > key(m120) > key(seedA)
+    val a0 = Seq(0.5f, 0f)                            // 0° — the key minimum (seedA)
+    val a60 = Seq(0.25f, 0.433f)                      // 60° — the path middle, max key
+    val a120 = Seq(-0.25f, 0.433f)                    // 120°
+    val df = Seq((seedA, a0), (m60, a60), (m120, a120), (seedB, Seq(10f, 10f)))
+      .toDF("vec_id", "embedding")
+    val clean = Clustering.cleanVectors(df, dim = 2)
+    val cents = Clustering.kmeans(clean, k = 2, iters = 2, dim = 2)
+    val got = Clustering.semDedup(clean, cents).collect()
+      .map(r => (r.getAs[Long]("n"), r.getAs[Long]("n_pruned"),
+        r.getAs[Long]("n_kept"), r.getAs[Double]("prune_rate"))).toSet
+    assert(got == Set((3L, 1L, 2L, 0.333333), (1L, 0L, 1L, 0.0)), got.toString)
+    // clique control: all three at 0°-ish (pairwise cosine 1) → keep ONE
+    val cl = Seq((seedA, Seq(0.5f, 0f)), (m60, Seq(0.6f, 0f)), (m120, Seq(0.4f, 0f)),
+      (seedB, Seq(10f, 10f))).toDF("vec_id", "embedding")
+    val cleanCl = Clustering.cleanVectors(cl, dim = 2)
+    val gotCl = Clustering.semDedup(cleanCl,
+      Clustering.kmeans(cleanCl, k = 2, iters = 2, dim = 2)).collect()
+      .map(r => (r.getAs[Long]("n"), r.getAs[Long]("n_pruned"))).toSet
+    assert(gotCl == Set((3L, 2L), (1L, 0L)), gotCl.toString)
+  }
+
+  test("sampleQuota: hand-computed waterfill over clusters; saturation; zero-keep cluster drops") {
+    import graft.operators.Clustering
+    // two planted blobs of 4 (one seed each, the established arrangement)
+    val ids = (1L to 30L).sortBy(i => (kh(i), i))
+    val (seedIds, restIds) = (ids.take(2), ids.drop(2))
+    val blobs = Seq((0f, 0f), (10f, 0f)).zipWithIndex.map { case ((cx, cy), b) =>
+      (seedIds(b) +: restIds.slice(b * 3, b * 3 + 3)).zipWithIndex.map {
+        case (id, j) => (id, Seq(cx + (if (j % 2 == 0) 0.5f else -0.5f), cy))
+      }
+    }
+    val df = blobs.flatten.toDF("vec_id", "embedding")
+    val clean = Clustering.cleanVectors(df, dim = 2)
+    val cents = Clustering.kmeans(clean, k = 2, iters = 3, dim = 2)
+    def quality(keepsA: Seq[Long], keepsB: Seq[Long]) =
+      blobs.flatten.map { case (id, _) =>
+        (id, keepsA.contains(id) || keepsB.contains(id))
+      }.toDF("doc_id", "keep")
+    val qal = quality(blobs(0).map(_._1).take(2), blobs(1).map(_._1))
+    def run(budget: Int, q: org.apache.spark.sql.DataFrame) =
+      Clustering.sampleQuota(clean, cents, q, budget).collect()
+        .map(r => r.getAs[Long]("keeps") ->
+          ((r.getAs[Long]("n"), r.getAs[Long]("quota"),
+            r.getAs[Boolean]("saturated"), r.getAs[Double]("fill_rate")))).toMap
+    // budget 50% of 8 = 4; ratios A = 4/2, B = 4/4 → order B, A; nobody
+    // saturates (4·4 < 4·6): level (4, 6) → B ⌊16/6⌋ = 2, A ⌊8/6⌋ = 1
+    assert(run(50, qal) == Map(4L -> ((4L, 2L, false, 0.5)),
+      2L -> ((4L, 1L, false, 0.25))), run(50, qal).toString)
+    // budget 75% = 6: B saturates exactly (6·4 ≥ 4·6) → 4; A ⌊2·2/2⌋ = 2
+    assert(run(75, qal) == Map(4L -> ((4L, 4L, true, 1.0)),
+      2L -> ((4L, 2L, false, 0.5))), run(75, qal).toString)
+    // zero-keep cluster DROPS and stops counting toward the budget base:
+    // only A remains (keeps 2), budget 50% of ITS 4 rows = 2
+    val qa = quality(blobs(0).map(_._1).take(2), Seq.empty)
+    val got = run(50, qa)
+    assert(got == Map(2L -> ((4L, 2L, false, 0.5))), got.toString)
   }
 
   test("kmeans: empty cluster carries its centroid; silhouette degenerate and planted cases") {

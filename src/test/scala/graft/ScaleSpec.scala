@@ -748,6 +748,59 @@ class ScaleSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("avg("), p)
   }
 
+  test("semDedup: pair generation is cell-bounded — the in-cell generator, ONE cell shuffle, no pair join") {
+    import graft.operators.Clustering
+    val rows = Clustering.cleanVectors(Tables.embeddings(spark, sf))
+    val cents = Clustering.modelFor(spark, sf)
+    val p = plan(Clustering.semDedup(rows, cents))
+    // pairs come from the native in-cell generator, never a relation join
+    assert(p.contains("cosine_pairs"), p)
+    // below the generator: exactly the one hash shuffle that groups each
+    // cell, and NO join — cross-cluster pair generation is structurally
+    // impossible (the generator only sees one cell's member array)
+    val below = p.substring(p.indexOf("cosine_pairs"))
+    assert(!below.contains("Join"), below)
+    assert("Exchange hashpartitioning".r.findAllIn(below).size == 1, below)
+    // and nothing in the whole plan nested-loops two relations
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("grouped cluster-share monitor: label blocks sum to the global monitor; parity holds") {
+    import graft.streaming.ClusterShareStream
+    val by = ClusterShareStream.runStreamClusterShareBy(spark, sf).collect()
+    val global = ClusterShareStream.runStreamClusterShare(spark, sf).collect()
+      .map(r => r.getAs[Int]("cluster") ->
+        (r.getAs[Long]("n_ref"), r.getAs[Long]("n_cur"))).toMap
+    assert(by.nonEmpty && by.forall(_.getAs[Boolean]("parity_ok")))
+    // per-cluster sums over labels reproduce the global count table (the
+    // testdata has no null labels, so no rows fall out of the grouping)
+    val sums = by.groupBy(_.getAs[Int]("cluster")).map { case (cl, rs) =>
+      cl -> (rs.map(_.getAs[Long]("n_ref")).sum, rs.map(_.getAs[Long]("n_cur")).sum)
+    }
+    assert(sums == global, s"sums=$sums global=$global")
+    // each label block is the global algebra on that slice: shares sum
+    // to 1 within the label (same n_ref/n_cur denominators)
+    by.groupBy(_.getAs[Long]("label")).foreach { case (l, rs) =>
+      assert(math.abs(rs.map(_.getAs[Double]("share_ref")).sum - 1.0) < 1e-4, s"label $l")
+      assert(math.abs(rs.map(_.getAs[Double]("share_cur")).sum - 1.0) < 1e-4, s"label $l")
+    }
+  }
+
+  test("streaming conformal monitor equals the batch gate row, plus in-plan parity") {
+    import graft.operators.{Curation, Robust}
+    val got = graft.streaming.ConformalStream.runStreamConformal(spark, sf).head()
+    assert(got.getAs[Boolean]("parity_ok"))
+    val docs = Tables.documents(spark, sf)
+    val q = Curation.qualityScoreRaw(docs).select($"doc_id", $"quality")
+    val a = Curation.curationAuditRaw(docs)
+      .select($"doc_id", ($"reason" === "kept").as("kept"))
+    val want = Robust.conformalGate(
+      q.join(a, "doc_id"), $"doc_id", $"quality", $"kept").head()
+    assert(Seq("n_cal", "n_test", "qhat", "coverage", "avg_set_size")
+      .forall(c => got.getAs[Any](c) == want.getAs[Any](c)),
+      s"got=$got want=$want")
+  }
+
   test("k-means assignment is a pure projection (no exchange, no join); rollup pays ONE shuffle") {
     import graft.operators.Clustering
     val rows = Clustering.cleanVectors(Tables.embeddings(spark, sf))
