@@ -82,14 +82,17 @@ object ClusterShareStream {
     val staged = stagedCur(spark, dir, nBatches)
     val name = "q_cluster_share_by_label_sink"
 
-    def grouped(df: DataFrame): DataFrame = Clustering.assignAll(
-        df.filter(col("vec_id").isNotNull && col("label").isNotNull &&
-            col("embedding").isNotNull)
-          .select(col("vec_id"), col("label").cast(LongType).as("label"),
-            col("embedding").as("v"))
-          .filter(size(col("v")) === dim && !exists(col("v"), x => x.isNull)),
-        cents)
-      .groupBy(col("label"), col("cl")).agg(count(lit(1)).as("n"))
+    // label-preserving hygiene + assignment, shared by the stream fold
+    // and the one-pass batch recompute
+    def labeled(df: DataFrame): DataFrame = Clustering.assignAll(
+      df.filter(col("vec_id").isNotNull && col("label").isNotNull &&
+          col("embedding").isNotNull)
+        .select(col("vec_id"), col("label").cast(LongType).as("label"),
+          col("embedding").as("v"))
+        .filter(size(col("v")) === dim && !exists(col("v"), x => x.isNull)),
+      cents)
+    def grouped(df: DataFrame): DataFrame =
+      labeled(df).groupBy(col("label"), col("cl")).agg(count(lit(1)).as("n"))
 
     val saved = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", StreamShuffleWidth)
@@ -102,17 +105,19 @@ object ClusterShareStream {
       try q.processAllAvailable() finally q.stop()
     } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
 
-    def batchCounts(parity: Long): Map[(Long, Int), Long] = grouped(
-        Tables.embeddings(spark, dir)
-          .filter(pmod(col("vec_id"), lit(2L)) === parity))
-      .collect()
+    // ref + parity in ONE assignment pass (the id parity rides the key)
+    val both = labeled(Tables.embeddings(spark, dir))
+      .groupBy(pmod(col("vec_id"), lit(2L)).as("par"), col("label"), col("cl"))
+      .agg(count(lit(1)).as("n")).collect()
+    def halfCounts(parity: Long): Map[(Long, Int), Long] = both
+      .filter(_.getAs[Long]("par") == parity)
       .map(r => (r.getAs[Long]("label"), r.getAs[Int]("cl")) -> r.getAs[Long]("n"))
       .toMap
     val cur = spark.table(name).collect() // ≤ |labels|·k rows — model-sized
       .map(r => (r.getAs[Long]("label"), r.getAs[Int]("cl")) -> r.getAs[Long]("n"))
       .toMap
-    val ref = batchCounts(0L)
-    val parityOk = !assertParity || cur == batchCounts(1L)
+    val ref = halfCounts(0L)
+    val parityOk = !assertParity || cur == halfCounts(1L)
     val labels = (ref.keySet ++ cur.keySet).map(_._1)
       .filter(l => (0 until k).exists(j => ref.getOrElse((l, j), 0L) > 0L) &&
         (0 until k).exists(j => cur.getOrElse((l, j), 0L) > 0L))
@@ -171,18 +176,21 @@ object ClusterShareStream {
       try q.processAllAvailable() finally q.stop()
     } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
 
-    def batchCounts(parity: Long): Array[Row] = Clustering.assign(
-        Clustering.cleanVectors(
-          Tables.embeddings(spark, dir)
-            .filter(pmod(col("vec_id"), lit(2L)) === parity), dim),
-        cents)
-      .groupBy(col("cl")).agg(count(lit(1)).as("n")).collect()
+    // ref + parity batch counts in ONE assignment pass (the id parity
+    // rides the count key — two filtered passes would run the decimal
+    // argmin projection over the corpus twice for no reason)
+    val both = Clustering.assign(
+        Clustering.cleanVectors(Tables.embeddings(spark, dir), dim), cents)
+      .groupBy(pmod(col("vec_id"), lit(2L)).as("par"), col("cl"))
+      .agg(count(lit(1)).as("n")).collect()
+    def halfCounts(parity: Long): Array[Row] =
+      both.filter(_.getAs[Long]("par") == parity)
 
     val curState = spark.table(name).collect() // ≤ k rows — model-sized
     val cur = countsOf(curState, k)
-    val ref = countsOf(batchCounts(0L), k)
+    val ref = countsOf(halfCounts(0L), k)
     val parityOk = !assertParity ||
-      java.util.Arrays.equals(cur, countsOf(batchCounts(1L), k))
+      java.util.Arrays.equals(cur, countsOf(halfCounts(1L), k))
     val nRef = ref.sum
     val nCur = cur.sum
     if (nRef == 0L || nCur == 0L) // absence is not zero drift

@@ -70,9 +70,15 @@ object ConformalStream {
     def scored(docs: DataFrame): DataFrame = Robust.conformalScored(
       Curation.qualityKeptRaw(docs), col("doc_id"), col("quality"), col("kept"))
 
+    // ONE text-scoring pass over the batch corpus, checkpointed: the q̂
+    // calibration and the parity fold both read it — the scored base is
+    // 5 narrow columns, while re-running the langId/TTR/bigram text
+    // projection per consumer measured 9.49 → 6.66 s on the whole
+    // monitor at sf0.1 (this fusion + the share-monitor one-pass change)
+    val base = scored(Tables.documents(spark, dir)).localCheckpoint(false)
+
     // frozen at-rest model: ONE collected row (n_cal, q̂)
-    val calRow = Robust.conformalQhatRow(
-      scored(Tables.documents(spark, dir)), coverPct).collect()(0)
+    val calRow = Robust.conformalQhatRow(base, coverPct).collect()(0)
     val qhat = calRow.getAs[java.math.BigDecimal]("qhat")
     val nCal = calRow.getAs[Long]("n_cal")
     val qhatLit = lit(qhat).cast(dec86)
@@ -101,8 +107,8 @@ object ConformalStream {
       (r.getAs[Long]("n"), r.getAs[Long]("cov"), r.getAs[Long]("sz"))
     }
     val streamed = triple(spark.table(name).collect()) // 1 row — model-sized
-    val parityOk = !assertParity || streamed == triple(coverFold(
-      scored(Tables.documents(spark, dir)).filter(!col("is_cal"))).collect())
+    val parityOk = !assertParity ||
+      streamed == triple(coverFold(base.filter(!col("is_cal"))).collect())
     val (n, cov, sz) = streamed
     if (n == 0L) // no test rows — nothing to audit (absence is not coverage)
       return spark.createDataFrame(java.util.Collections.emptyList[Row](), outSchema)
