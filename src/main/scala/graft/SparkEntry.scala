@@ -4386,6 +4386,19 @@ object SparkEntry {
         graft.operators.Clustering.cleanVectors(Tables.embeddings(s, d)),
         graft.operators.Clustering.modelFor(s, d))),
 
+    // The END-TO-END SemDeDup budget: prune near-dups per cell, then
+    // waterfill the sample budget over the SURVIVING pool weighted by
+    // its quality keeps — redundant modes can't absorb budget with
+    // copies. Composes the dedup keeper, the quality gate, and the
+    // capped-waterfill allocator into one decision table.
+    "q_semdedup_quota" -> ((s, d) => {
+      val cl = graft.operators.Clustering
+      cl.semDedupQuota(
+        cl.cleanVectors(Tables.embeddings(s, d)), cl.modelFor(s, d),
+        graft.operators.Curation.qualityScoreRaw(Tables.documents(s, d))
+          .select(col("doc_id"), col("keep")), budgetPct = 60)
+    }),
+
     // Label-separability audit: per-label within-class scatter, nearest
     // other centroid, Fisher-style ratio — the encoder-collapse check the
     // drift gates can't make (same decimal moment passes; |labels|²·d
@@ -9424,6 +9437,50 @@ object SparkEntry {
          |                            ELSE (cut.lc * s2.w) // cut.wc END AS DOUBLE)
          |                       / s2.avail, 6) END AS fill_rate
          |FROM s2, cut ORDER BY cluster""".stripMargin,
+
+    // End-to-end SemDeDup budget replay: the shared victim-pair prefix,
+    // NOT EXISTS survivors, quality keeps among survivors, then the
+    // same ratio-ordered waterfill windows over (n_kept, keeps).
+    "q_semdedup_quota" ->
+      s"""WITH ${graft.operators.Clustering.semDedupCellsSql(
+             8, 5, 64, graft.operators.Clustering.SemDedupTau)},
+         |surv AS (SELECT v.cl AS cl, v.vec_id AS vec_id FROM sdv v
+         |         WHERE NOT EXISTS (SELECT 1 FROM sdp p
+         |                           WHERE p.cl = v.cl AND p.victim = v.vec_id)),
+         |ql AS (WITH f AS (SELECT doc_id, string_split(text, ' ') AS t, text FROM documents),
+         |            z AS (SELECT doc_id,
+         |                         -3.0 + 0.6 * ln(1.0 + CAST(len(t) AS DOUBLE))
+         |                         + 0.25 * ((CAST(length(text) AS DOUBLE) - CAST(len(t) - 1 AS DOUBLE)) / CAST(len(t) AS DOUBLE))
+         |                         + 1.2 * (CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE))
+         |                         + 2.0 * (CAST(len(list_filter(t, x -> list_contains(['the','a','of','and','to','in','is'], x))) AS DOUBLE) / CAST(len(t) AS DOUBLE)) AS z
+         |                  FROM f)
+         |       SELECT doc_id, 1.0 / (1.0 + exp(-z)) >= 0.5 AS keep FROM z),
+         |sz AS (SELECT cl, CAST(count(*) AS BIGINT) AS n FROM sdv GROUP BY 1),
+         |sw AS (SELECT s.cl AS cl, CAST(count(*) AS BIGINT) AS avail,
+         |              CAST(sum(CASE WHEN ql.keep THEN 1 ELSE 0 END) AS BIGINT) AS w
+         |       FROM surv s JOIN ql ON ql.doc_id = s.vec_id GROUP BY 1),
+         |sw2 AS (SELECT * FROM sw WHERE w > 0),
+         |t AS (SELECT CAST(sum(avail) AS HUGEINT) AS total FROM sw2),
+         |r AS (SELECT cl, avail, w,
+         |             row_number() OVER (ORDER BY CAST(avail AS DOUBLE) / w, cl) AS rn,
+         |             coalesce(sum(avail) OVER (ORDER BY CAST(avail AS DOUBLE) / w, cl
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefa,
+         |             sum(w) OVER (ORDER BY CAST(avail AS DOUBLE) / w, cl
+         |               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS remw
+         |      FROM sw2),
+         |s2 AS (SELECT r.*, CAST((t.total * 60) // 100 - r.prefa AS HUGEINT) AS lrem FROM r, t),
+         |cut AS (SELECT rn AS crn, lrem AS lc, CAST(remw AS HUGEINT) AS wc FROM s2
+         |        WHERE NOT (lrem * w >= CAST(avail AS HUGEINT) * remw)
+         |        ORDER BY rn LIMIT 1)
+         |SELECT CAST(s2.cl AS INT) AS cluster, sz.n AS n, s2.avail AS n_kept, s2.w AS keeps,
+         |       CAST(CASE WHEN s2.rn < cut.crn THEN s2.avail
+         |                 ELSE (cut.lc * s2.w) // cut.wc END AS BIGINT) AS quota,
+         |       s2.rn < cut.crn AS saturated,
+         |       CASE WHEN s2.avail > 0
+         |            THEN round(CAST(CASE WHEN s2.rn < cut.crn THEN s2.avail
+         |                            ELSE (cut.lc * s2.w) // cut.wc END AS DOUBLE)
+         |                       / s2.avail, 6) END AS fill_rate
+         |FROM s2 JOIN sz ON sz.cl = s2.cl, cut ORDER BY cluster""".stripMargin,
 
     // Cluster composition consumers: the assignment joined back to the
     // text stack on the shared id domain (quality profile; distinctive

@@ -230,6 +230,23 @@ object Clustering {
       tau: Double = SemDedupTau): DataFrame = {
     val asg = assign(rows, cents).select(col("cl"), col("vec_id"), col("v"))
     val sizes = asg.groupBy(col("cl")).agg(count(lit(1)).as("n"))
+    val pruned = semDedupVictims(asg, tau).groupBy(col("cl"))
+      .agg(countDistinct(col("victim")).as("np"))
+    sizes.join(pruned, Seq("cl"), "left")
+      .select(col("cl").cast(IntegerType).as("cluster"), col("n"),
+        coalesce(col("np"), lit(0L)).as("n_pruned"),
+        (col("n") - coalesce(col("np"), lit(0L))).as("n_kept"),
+        round(coalesce(col("np"), lit(0L)).cast(DoubleType) / col("n"), 6)
+          .as("prune_rate"))
+      .orderBy(col("cluster"))
+  }
+
+  /** Near-dup VICTIMS per assignment cell — (cl, victim) rows, possibly
+    * repeated (one per witnessing pair): victim = the larger-(keyHash,
+    * vec_id) member of each within-cell pair at cosine ≥ τ. Pairs come
+    * from the native in-cell generator after ONE hash shuffle keyed by
+    * the assignment (see [[semDedup]]'s plan story). */
+  private def semDedupVictims(asg: DataFrame, tau: Double): DataFrame = {
     val pairs = asg
       .groupBy(col("cl"))
       .agg(collect_list(struct(col("vec_id"), col("v"),
@@ -240,18 +257,9 @@ object Clustering {
       .filter(round(col("cosine"), 6) >= tau)
     val khA = PortableHash.keyHash(col("vec_a"))
     val khB = PortableHash.keyHash(col("vec_b"))
-    val victims = pairs.select(col("cl"),
+    pairs.select(col("cl"),
       when(khA < khB || (khA === khB && col("vec_a") < col("vec_b")),
         col("vec_b")).otherwise(col("vec_a")).as("victim"))
-    val pruned = victims.groupBy(col("cl"))
-      .agg(countDistinct(col("victim")).as("np"))
-    sizes.join(pruned, Seq("cl"), "left")
-      .select(col("cl").cast(IntegerType).as("cluster"), col("n"),
-        coalesce(col("np"), lit(0L)).as("n_pruned"),
-        (col("n") - coalesce(col("np"), lit(0L))).as("n_kept"),
-        round(coalesce(col("np"), lit(0L)).cast(DoubleType) / col("n"), 6)
-          .as("prune_rate"))
-      .orderBy(col("cluster"))
   }
 
   /** Quality-weighted per-cluster sampling quotas — the actual
@@ -294,27 +302,94 @@ object Clustering {
         .agg(count(lit(1)).as("n"),
           sum(when(col("keep"), 1L).otherwise(0L)).as("keeps")),
       "sampleQuota")
-    final case class S(cl: Int, avail: Long, w: Long)
-    val ss = stats
-      .map(r => S(r.getInt(0), r.getAs[Long]("n"), r.getAs[Long]("keeps")))
-      .filter(_.w > 0) // zero quality mass → no quota (drops, like
-      .sortBy(s => (s.avail.toDouble / s.w.toDouble, s.cl)) // out-of-mixture)
-    val total = ss.iterator.map(s => BigInt(s.avail)).sum
-    val b0 = total * budgetPct / 100 // floor
-    var lrem = b0
-    var remW = ss.iterator.map(s => BigInt(s.w)).sum
+      .map(r => (r.getInt(0), r.getAs[Long]("n"), r.getAs[Long]("keeps")))
+      .filter(_._3 > 0) // zero quality mass → no quota (out-of-mixture)
+    val quotas = waterfillQuota(stats, budgetPct)
+    val out = stats.map { case (cl, avail, w) =>
+      val (alloc, sat) = quotas(cl)
+      Row(cl, avail, w, alloc, sat,
+        if (avail > 0) round6(alloc.toDouble / avail.toDouble) else null)
+    }
+    spark.createDataFrame(java.util.Arrays.asList(out: _*), outSchema)
+      .orderBy(col("cluster"))
+  }
+
+  /** The closed-form capped-waterfill cutoff over a collected
+    * (cluster, avail, w) summary — ONE prefix scan along the avail/w
+    * ratio order with exact BigInt cross-products (the
+    * [[Curation.mixtureWaterfill]] algebra; property-tested against the
+    * iterative fixpoint there). Shared by [[sampleQuota]] and
+    * [[semDedupQuota]]. Callers pre-filter w > 0. */
+  private def waterfillQuota(stats: Seq[(Int, Long, Long)],
+      budgetPct: Int): Map[Int, (Long, Boolean)] = {
+    val ss = stats.sortBy(s => (s._2.toDouble / s._3.toDouble, s._1))
+    val total = ss.iterator.map(s => BigInt(s._2)).sum
+    var lrem = total * budgetPct / 100 // floor
+    var remW = ss.iterator.map(s => BigInt(s._3)).sum
     var level: Option[(BigInt, BigInt)] = None
-    val out = ss.map { s =>
-      val sat = level.isEmpty && lrem * s.w >= BigInt(s.avail) * remW
+    ss.map { case (cl, avail, w) =>
+      val sat = level.isEmpty && lrem * w >= BigInt(avail) * remW
       val alloc =
-        if (sat) { lrem -= s.avail; remW -= s.w; s.avail }
+        if (sat) { lrem -= avail; remW -= w; avail }
         else {
           if (level.isEmpty) level = Some((lrem, remW))
           val (lc, wc) = level.get
-          (lc * s.w / wc).toLong
+          (lc * w / wc).toLong
         }
-      Row(s.cl, s.avail, s.w, alloc, sat,
-        if (s.avail > 0) round6(alloc.toDouble / s.avail.toDouble) else null)
+      cl -> ((alloc, sat))
+    }.toMap
+  }
+
+  /** The END-TO-END SemDeDup budget decision: prune near-dups inside
+    * each cell ([[semDedup]]'s keeper rule), THEN waterfill the sample
+    * budget over the SURVIVING pool weighted by its quality keeps — the
+    * full cluster → dedup → budget pipeline (Abbas et al. 2023) as one
+    * decision table. [[sampleQuota]] is the dedup-blind form; here a
+    * cluster that is mostly near-duplicates offers only its post-prune
+    * capacity, so redundant modes cannot absorb budget with copies.
+    *
+    * Scale shape: the assignment projection feeds BOTH the victim
+    * generator (one cell-keyed shuffle) and the survivor anti-join
+    * (cell-local keys); quality joins on the shared id domain; the fold
+    * runs driver-side over the k-row summary. Zero-keep clusters drop
+    * (out-of-mixture). Output: per-cluster (cluster, n, n_kept, keeps,
+    * quota, saturated, fill_rate) with fill_rate = quota / n_kept. */
+  def semDedupQuota(rows: DataFrame, cents: Array[Array[Double]],
+      quality: DataFrame, tau: Double = SemDedupTau,
+      budgetPct: Int = 60): DataFrame = {
+    require(budgetPct >= 1 && budgetPct < 100,
+      s"semDedupQuota: budgetPct in [1, 100), got $budgetPct")
+    val spark = rows.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("cluster", IntegerType, nullable = false),
+      StructField("n", LongType, nullable = false),
+      StructField("n_kept", LongType, nullable = false),
+      StructField("keeps", LongType, nullable = false),
+      StructField("quota", LongType, nullable = false),
+      StructField("saturated", org.apache.spark.sql.types.BooleanType, nullable = false),
+      StructField("fill_rate", DoubleType, nullable = true)))
+    val asg = assign(rows, cents).select(col("cl"), col("vec_id"), col("v"))
+    val sizes = Robust.collectSummary(
+        asg.groupBy(col("cl")).agg(count(lit(1)).as("n")), "semDedupQuota")
+      .map(r => r.getInt(0) -> r.getAs[Long]("n")).toMap
+    val survivors = asg.select(col("cl"), col("vec_id"))
+      .join(semDedupVictims(asg, tau).withColumnRenamed("victim", "vec_id"),
+        Seq("cl", "vec_id"), "left_anti")
+    val stats = Robust.collectSummary(
+      survivors
+        .join(quality.select(col("doc_id"), col("keep")),
+          col("vec_id") === col("doc_id"))
+        .groupBy(col("cl"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("keeps")),
+      "semDedupQuota")
+      .map(r => (r.getInt(0), r.getAs[Long]("n_kept"), r.getAs[Long]("keeps")))
+      .filter(_._3 > 0)
+    val quotas = waterfillQuota(stats, budgetPct)
+    val out = stats.map { case (cl, kept, w) =>
+      val (alloc, sat) = quotas(cl)
+      Row(cl, sizes(cl), kept, w, alloc, sat,
+        if (kept > 0) round6(alloc.toDouble / kept.toDouble) else null)
     }
     spark.createDataFrame(java.util.Arrays.asList(out: _*), outSchema)
       .orderBy(col("cluster"))
@@ -520,12 +595,12 @@ object Clustering {
     s"WITH ${chains.mkString(",\n")}\n${selects.mkString("\nUNION ALL ")}\nORDER BY k"
   }
 
-  /** SemDeDup replay: the stage chain's final assignment, within-cell
-    * pairs by brute join (exact at the verify SF), the same keeper rule,
-    * distinct-victim counts per cluster. `list_cosine_similarity` at 6dp
-    * is the established bit-exact twin of the Spark double-fold cosine. */
-  def semDedupOracleSql(k: Int, iters: Int, dim: Int, tau: Double): String =
-    s"""WITH ${stagesSql(k, iters, dim)},
+  /** The shared SemDeDup replay prefix: the stage chain + per-cell
+    * vectors with hash keys (`sdv`) + the victim pairs under the keeper
+    * rule (`sdp`). `list_cosine_similarity` at 6dp is the established
+    * bit-exact twin of the Spark double-fold cosine. */
+  def semDedupCellsSql(k: Int, iters: Int, dim: Int, tau: Double): String =
+    s"""${stagesSql(k, iters, dim)},
        |sdv AS MATERIALIZED (SELECT a.vec_id AS vec_id, a.cl AS cl,
        |               CAST(e.v AS DOUBLE[]) AS vd,
        |               ${PortableHash.keyHashSql("a.vec_id")} AS kh
@@ -534,7 +609,13 @@ object Clustering {
        |               CASE WHEN x.kh < y.kh OR (x.kh = y.kh AND x.vec_id < y.vec_id)
        |                    THEN y.vec_id ELSE x.vec_id END AS victim
        |        FROM sdv x JOIN sdv y ON x.cl = y.cl AND x.vec_id < y.vec_id
-       |        WHERE round(list_cosine_similarity(x.vd, y.vd), 6) >= $tau),
+       |        WHERE round(list_cosine_similarity(x.vd, y.vd), 6) >= $tau)""".stripMargin
+
+  /** SemDeDup replay: the within-cell victims under the keeper rule,
+    * distinct-victim counts per cluster (exact brute pairs at the
+    * verify SF). */
+  def semDedupOracleSql(k: Int, iters: Int, dim: Int, tau: Double): String =
+    s"""WITH ${semDedupCellsSql(k, iters, dim, tau)},
        |sdn AS (SELECT cl, CAST(count(*) AS BIGINT) AS n FROM sdv GROUP BY 1),
        |sdx AS (SELECT cl, CAST(count(DISTINCT victim) AS BIGINT) AS n_pruned
        |        FROM sdp GROUP BY 1)

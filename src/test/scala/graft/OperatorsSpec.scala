@@ -2281,6 +2281,33 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(gotCl == Set((3L, 2L), (1L, 0L)), gotCl.toString)
   }
 
+  test("semDedupQuota: budget fills over the POST-prune pool — the pruned member carries no capacity") {
+    import graft.operators.Clustering
+    // the path fixture: blob A = {seedA(0°), m60, m120} with m60 (max
+    // key) pruned → survivors {seedA, m120}; blob B = {seedB} untouched
+    val ids = (1L to 20L).sortBy(i => (kh(i), i))
+    val (seedA, seedB) = (ids(0), ids(1))
+    val rest = ids.drop(2)
+    val (m120, m60) = (rest(0), rest(1))
+    val df = Seq((seedA, Seq(0.5f, 0f)), (m60, Seq(0.25f, 0.433f)),
+      (m120, Seq(-0.25f, 0.433f)), (seedB, Seq(10f, 10f)))
+      .toDF("vec_id", "embedding")
+    val clean = Clustering.cleanVectors(df, dim = 2)
+    val cents = Clustering.kmeans(clean, k = 2, iters = 2, dim = 2)
+    // keeps among SURVIVORS: A keeps only seedA (m120 fails the gate;
+    // m60's quality is irrelevant — it is pruned); B keeps seedB
+    val quality = Seq((seedA, true), (m60, true), (m120, false), (seedB, true))
+      .toDF("doc_id", "keep")
+    // budget 90% of the 3 survivors = 2: ratios A = 2/1, B = 1/1 →
+    // order B, A; B saturates exactly (2·1 ≥ 1·2) → 1; A ⌊1·1/1⌋ = 1
+    val got = Clustering.semDedupQuota(clean, cents, quality, budgetPct = 90)
+      .collect().map(r => (r.getAs[Long]("n"), r.getAs[Long]("n_kept"),
+        r.getAs[Long]("keeps"), r.getAs[Long]("quota"),
+        r.getAs[Boolean]("saturated"), r.getAs[Double]("fill_rate"))).toSet
+    assert(got == Set((3L, 2L, 1L, 1L, false, 0.5), (1L, 1L, 1L, 1L, true, 1.0)),
+      got.toString)
+  }
+
   test("sampleQuota: hand-computed waterfill over clusters; saturation; zero-keep cluster drops") {
     import graft.operators.Clustering
     // two planted blobs of 4 (one seed each, the established arrangement)

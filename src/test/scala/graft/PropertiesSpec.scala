@@ -1171,4 +1171,60 @@ class PropertiesSpec extends AnyFunSuite with SparkSpec {
       }
     }
   }
+  test("semDedup equals a brute-force keeper reference over random vector sets") {
+    import graft.operators.Clustering
+    def kh(id: Long): Long =
+      ((id % 1000000007L + 1000000007L) % 1000000007L) * 2654435761L % 1000000007L
+    // two fixed centroids close enough that random vectors land on BOTH
+    // sides (the assignment itself is taken from the operator — this
+    // property tests the prune fold); the first coordinate is floored
+    // away from zero so no vector is the origin (cosine undefined there)
+    val cents = Array(Array(-1.0, 0.0, 0.0, 0.0), Array(1.0, 1.0, 1.0, 1.0))
+    val gen = for {
+      n <- Gen.choose(4, 18)
+      ids <- Gen.pick(n, 1L to 400L)
+      vecs <- Gen.listOfN(n, Gen.listOfN(4, Gen.choose(-10, 10)))
+    } yield ids.toList.zip(vecs.map(v =>
+      (v.head.toFloat / 5f + 0.3f) +: v.tail.map(_.toFloat / 5f)))
+    val trials = sample(Gen.listOfN(40, gen))
+    val tau = 0.3
+    trials.zipWithIndex.foreach { case (rows, trial) =>
+      val df = rows.toDF("vec_id", "embedding")
+      val got = Clustering.semDedup(
+          Clustering.cleanVectors(df, dim = 4), cents, tau).collect()
+        .map(r => r.getAs[Int]("cluster") ->
+          ((r.getAs[Long]("n"), r.getAs[Long]("n_pruned")))).toMap
+      // reference: take the assignment as computed (tested elsewhere),
+      // then per cluster the brute-force pair scan + the keeper rule —
+      // pruned iff a smaller-(keyHash, id) neighbor at cosine >= tau
+      val asg = Clustering.assign(
+          Clustering.cleanVectors(df, dim = 4), cents)
+        .select($"vec_id", $"cl").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val byCl = rows.groupBy { case (id, _) => asg(id) }
+      for ((cl, members) <- byCl) {
+        def cos(a: Seq[Float], b: Seq[Float]): Double = {
+          var s = 0.0; var na = 0.0; var nb = 0.0
+          for (i <- a.indices) {
+            s += a(i).toDouble * b(i).toDouble
+            na += a(i).toDouble * a(i).toDouble
+            nb += b(i).toDouble * b(i).toDouble
+          }
+          val d = math.sqrt(na) * math.sqrt(nb)
+          if (d == 0.0) 0.0 else s / d
+        }
+        def r6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+        val pruned = members.count { case (id, v) =>
+          members.exists { case (oid, ov) =>
+            oid != id && r6(cos(v, ov)) >= tau &&
+              (kh(oid) < kh(id) || (kh(oid) == kh(id) && oid < id))
+          }
+        }
+        assert(got(cl) == ((members.size.toLong, pruned.toLong)),
+          s"trial $trial cluster $cl: got ${got(cl)} " +
+            s"exp (${members.size}, $pruned)")
+      }
+    }
+  }
 }
