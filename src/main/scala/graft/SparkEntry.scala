@@ -4386,6 +4386,16 @@ object SparkEntry {
         graft.operators.Clustering.cleanVectors(Tables.embeddings(s, d)),
         graft.operators.Clustering.modelFor(s, d))),
 
+    // Grouped SemDeDup readout: the same keeper decision rolled up per
+    // SOURCE — whose crawl contributed the near-dups (sums over sources
+    // reproduce the global per-cluster totals, twin-tested).
+    "q_semdedup_by_source" -> ((s, d) => {
+      val cl = graft.operators.Clustering
+      cl.semDedupBySource(
+        cl.cleanVectors(Tables.embeddings(s, d)), cl.modelFor(s, d),
+        Tables.documents(s, d))
+    }),
+
     // The END-TO-END SemDeDup budget: prune near-dups per cell, then
     // waterfill the sample budget over the SURVIVING pool weighted by
     // its quality keeps — redundant modes can't absorb budget with
@@ -9437,6 +9447,24 @@ object SparkEntry {
          |                            ELSE (cut.lc * s2.w) // cut.wc END AS DOUBLE)
          |                       / s2.avail, 6) END AS fill_rate
          |FROM s2, cut ORDER BY cluster""".stripMargin,
+
+    // Grouped SemDeDup replay: distinct victims off the shared prefix,
+    // attributed to their document's source.
+    "q_semdedup_by_source" ->
+      s"""WITH ${graft.operators.Clustering.semDedupCellsSql(
+             8, 5, 64, graft.operators.Clustering.SemDedupTau)},
+         |sv AS (SELECT DISTINCT victim FROM sdp),
+         |nn AS (SELECT dd.source AS source, CAST(count(*) AS BIGINT) AS n
+         |       FROM sdv JOIN documents dd ON dd.doc_id = sdv.vec_id
+         |       WHERE dd.source IS NOT NULL GROUP BY 1),
+         |pp AS (SELECT dd.source AS source, CAST(count(*) AS BIGINT) AS np
+         |       FROM sv JOIN documents dd ON dd.doc_id = sv.victim
+         |       WHERE dd.source IS NOT NULL GROUP BY 1)
+         |SELECT nn.source AS source, nn.n AS n,
+         |       CAST(coalesce(pp.np, 0) AS BIGINT) AS n_pruned,
+         |       CAST(nn.n - coalesce(pp.np, 0) AS BIGINT) AS n_kept,
+         |       round(CAST(coalesce(pp.np, 0) AS DOUBLE) / nn.n, 6) AS prune_rate
+         |FROM nn LEFT JOIN pp ON pp.source = nn.source ORDER BY 1""".stripMargin,
 
     // End-to-end SemDeDup budget replay: the shared victim-pair prefix,
     // NOT EXISTS survivors, quality keeps among survivors, then the

@@ -320,6 +320,36 @@ object Clustering {
       .orderBy(col("cluster"))
   }
 
+  /** Grouped SemDeDup readout: prune rates per SOURCE — whose crawl is
+    * redundant (the grouped-gate convention applied to the flagship:
+    * [[semDedup]] says WHICH semantic mode carries near-dups, this says
+    * WHO contributed them). The prune decision is UNCHANGED — the same
+    * within-cell keeper rule over the same assignment — only the rollup
+    * key changes: each vector attributes to its document's source on
+    * the shared id domain. A source's rate is the fraction of ITS
+    * vectors pruned anywhere, so sums over sources reproduce the global
+    * table's totals exactly (twin-tested). */
+  def semDedupBySource(rows: DataFrame, cents: Array[Array[Double]],
+      documents: DataFrame, tau: Double = SemDedupTau): DataFrame = {
+    val asg = assign(rows, cents).select(col("cl"), col("vec_id"), col("v"))
+      .localCheckpoint(false)
+    val src = documents.select(col("doc_id"), col("source"))
+      .filter(col("source").isNotNull)
+    val sizes = asg.join(src, col("vec_id") === col("doc_id"))
+      .groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val pruned = semDedupVictims(asg, tau)
+      .select(col("victim")).distinct() // single assignment: one cell each
+      .join(src, col("victim") === col("doc_id"))
+      .groupBy(col("source")).agg(count(lit(1)).as("np"))
+    sizes.join(pruned, Seq("source"), "left")
+      .select(col("source"), col("n"),
+        coalesce(col("np"), lit(0L)).as("n_pruned"),
+        (col("n") - coalesce(col("np"), lit(0L))).as("n_kept"),
+        round(coalesce(col("np"), lit(0L)).cast(DoubleType) / col("n"), 6)
+          .as("prune_rate"))
+      .orderBy(col("source"))
+  }
+
   /** The closed-form capped-waterfill cutoff over a collected
     * (cluster, avail, w) summary — ONE prefix scan along the avail/w
     * ratio order with exact BigInt cross-products (the

@@ -765,6 +765,24 @@ class ScaleSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("semDedupBySource: source totals reproduce the global per-cluster prune table") {
+    import graft.operators.Clustering
+    val rows = Clustering.cleanVectors(Tables.embeddings(spark, sf))
+    val cents = Clustering.modelFor(spark, sf)
+    val by = Clustering.semDedupBySource(rows, cents, Tables.documents(spark, sf))
+      .collect()
+    val global = Clustering.semDedup(rows, cents).collect()
+    // every embedding id maps to a document (shared id domain), so the
+    // same keeper decision splits losslessly across sources
+    assert(by.map(_.getAs[Long]("n")).sum == global.map(_.getAs[Long]("n")).sum)
+    assert(by.map(_.getAs[Long]("n_pruned")).sum ==
+      global.map(_.getAs[Long]("n_pruned")).sum)
+    by.foreach { r =>
+      assert(r.getAs[Long]("n_kept") ==
+        r.getAs[Long]("n") - r.getAs[Long]("n_pruned"))
+    }
+  }
+
   test("grouped cluster-share monitor: label blocks sum to the global monitor; parity holds") {
     import graft.streaming.ClusterShareStream
     val by = ClusterShareStream.runStreamClusterShareBy(spark, sf).collect()
