@@ -4692,6 +4692,13 @@ object SparkEntry {
     "q_conformal_stream" -> ((s, d) =>
       graft.streaming.ConformalStream.runStreamConformal(s, d)),
 
+    // Grouped streaming coverage monitor: a SEPARATE frozen q̂ per
+    // source; arriving rows join their source's q̂ through a stream-
+    // static broadcast, state = three integers per source. A marginal
+    // monitor can read healthy while one source under-covers.
+    "q_conformal_stream_by_source" -> ((s, d) =>
+      graft.streaming.ConformalStream.runStreamConformalBy(s, d)),
+
     // Mondrian (group-conditional) conformal: a separate q̂ per source so
     // the coverage guarantee holds per source, not just marginally.
     "q_conformal_by_source" -> ((s, d) => {
@@ -7112,6 +7119,10 @@ object SparkEntry {
     // same frozen-q̂ algebra (integer counts merge exactly under any
     // micro-batch slicing, so streamed ≡ batch — parity pinned TRUE).
     "q_conformal_stream" -> conformalStreamSql,
+
+    // Grouped monitor: the Mondrian gate replay + pinned parity (per-
+    // source integer counts merge exactly per segment).
+    "q_conformal_stream_by_source" -> conformalStreamBySql,
 
     // Mondrian replay: source partitioning the split, the rank window,
     // and every fold; calibration-side-driven LEFT JOINs keep test-less
@@ -10690,6 +10701,12 @@ object SparkEntry {
   private lazy val conformalStreamSql: String = {
     val marker = "AS avg_set_size"
     conformalGateSql.replace(marker, marker + ",\n       TRUE AS parity_ok")
+  }
+
+  /** [[conformalBySql]] + the grouped monitor's pinned parity column. */
+  private lazy val conformalStreamBySql: String = {
+    val marker = "AS avg_set_size"
+    conformalBySql.replace(marker, marker + ",\n       TRUE AS parity_ok")
   }
 
   /** Mondrian conformal replay: source rides the parity split, the

@@ -694,7 +694,8 @@ object Curation {
       minTtr: Double = 0.4,
       maxDupBigram: Double = 0.2,
       w0: Double = -3.0, wLen: Double = 0.6, wAvgTok: Double = 0.25,
-      wTtr: Double = 1.2, wStop: Double = 2.0): DataFrame = {
+      wTtr: Double = 1.2, wStop: Double = 2.0,
+      extra: Seq[String] = Nil): DataFrame = {
     val docs = documents.repartition(
       documents.sparkSession.sparkContext.defaultParallelism)
     val toks = tokens(col("text"))
@@ -707,11 +708,10 @@ object Curation {
     val fStop = d(graft.functions.vocabHits(toks, enStop)) / d(n)
     val z = lit(w0) + lit(wLen) * fLen + lit(wAvgTok) * fAvg +
       lit(wTtr) * fTtr + lit(wStop) * fStop
-    docs.select(
-      col("doc_id"),
-      round(lit(1.0) / (lit(1.0) + exp(-z)), 6).as("quality"),
+    docs.select(col("doc_id") +: extra.map(col) :+
+      round(lit(1.0) / (lit(1.0) + exp(-z)), 6).as("quality") :+
       (TextAnalysis.langId(col("text")) === lang &&
         n.cast(IntegerType) >= minTokens && fTtr >= minTtr &&
-        TextAnalysis.dupNGramFraction(toks, 2) <= maxDupBigram).as("kept"))
+        TextAnalysis.dupNGramFraction(toks, 2) <= maxDupBigram).as("kept"): _*)
   }
 }

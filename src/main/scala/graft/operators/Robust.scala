@@ -1498,13 +1498,13 @@ object Robust {
     * a segment with no test rows keeps its (n_test = 0, NULL coverage)
     * row; a segment with no calibration rows has no guarantee to offer
     * and DROPS — the honest contract. */
-  def conformalGateBy(df: DataFrame, id: Column, score: Column, label: Column,
-      byCol: String, coverPct: Int = 90): DataFrame = {
-    require(coverPct >= 1 && coverPct <= 99, s"conformalGateBy: coverPct=$coverPct")
+  /** Grouped twin of [[conformalScored]]: the segment rides along as
+    * `__g`. PUBLIC for the grouped streaming coverage monitor. */
+  def conformalScoredBy(df: DataFrame, byCol: String, id: Column,
+      score: Column, label: Column): DataFrame = {
     val dec86 = org.apache.spark.sql.types.DecimalType(8, 6)
     val one = lit(1).cast(dec86)
-    val base = df
-      .select(col(byCol).as("__g"), id.as("__id"), score.cast(dec86).as("q"),
+    df.select(col(byCol).as("__g"), id.as("__id"), score.cast(dec86).as("q"),
         label.cast("boolean").as("y"))
       .filter(col("__g").isNotNull && col("__id").isNotNull &&
         col("q").isNotNull && col("y").isNotNull)
@@ -1512,6 +1512,14 @@ object Robust {
         pmod(graft.functions.PortableHash.keyHash(col("__id")), lit(2L)) === 0L)
       .withColumn("a", when(col("y"), (one - col("q")).cast(dec86))
         .otherwise(col("q")))
+  }
+
+  /** Grouped twin of [[conformalQhatRow]]: one (__g, n_cal, qhat) row
+    * per segment that HAS calibration rows (cal-less segments have no
+    * guarantee to offer and drop — the Mondrian contract). */
+  def conformalQhatRowsBy(base: DataFrame, coverPct: Int): DataFrame = {
+    val dec86 = org.apache.spark.sql.types.DecimalType(8, 6)
+    val one = lit(1).cast(dec86)
     val perValue = base.filter(col("is_cal"))
       .groupBy(col("__g"), col("a").as("v")).agg(count(lit(1)).as("cnt"))
     val cum = runningTotalsBy(perValue, Seq("__g"), Seq("cnt"))
@@ -1522,9 +1530,18 @@ object Robust {
     val qhGroups = cum.join(broadcast(tot), "__g")
       .filter(col("cum_cnt") >= kOf(col("n_cal")))
       .groupBy(col("__g")).agg(min(col("v")).as("__qh0"))
-    val qhat = tot.join(qhGroups, Seq("__g"), "left")
+    tot.join(qhGroups, Seq("__g"), "left")
       .select(col("__g"), col("n_cal"),
         coalesce(col("__qh0"), one).as("qhat"))
+  }
+
+  def conformalGateBy(df: DataFrame, id: Column, score: Column, label: Column,
+      byCol: String, coverPct: Int = 90): DataFrame = {
+    require(coverPct >= 1 && coverPct <= 99, s"conformalGateBy: coverPct=$coverPct")
+    val dec86 = org.apache.spark.sql.types.DecimalType(8, 6)
+    val one = lit(1).cast(dec86)
+    val base = conformalScoredBy(df, byCol, id, score, label)
+    val qhat = conformalQhatRowsBy(base, coverPct)
     val testFold = base.filter(!col("is_cal"))
       .join(broadcast(qhat), "__g")
       .groupBy(col("__g"))

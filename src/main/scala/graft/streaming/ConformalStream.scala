@@ -51,6 +51,87 @@ object ConformalStream {
   private def round6(x: Double): Double =
     java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
 
+  /** GROUPED monitor (the Mondrian companion, per the grouped-gate
+    * convention): a SEPARATE frozen q̂ per source, so each source's
+    * coverage is judged against its own guarantee — a marginal monitor
+    * can read healthy while one source's crawl quietly under-covers.
+    * State = three integers PER SOURCE (the source domain is a fixed
+    * vocabulary — model-sized); the arriving row joins its source's
+    * frozen q̂ through a stream-static broadcast join (sources without
+    * calibration have no guarantee to offer: their rows drop, the
+    * Mondrian contract). Output mirrors [[Robust.conformalGateBy]] +
+    * parity_ok; calibration-only sources keep (n_test = 0, NULL) rows. */
+  def runStreamConformalBy(
+      spark: SparkSession, dir: String,
+      nBatches: Int = 4, coverPct: Int = 90,
+      assertParity: Boolean = true): DataFrame = {
+    val dec86 = org.apache.spark.sql.types.DecimalType(8, 6)
+    val one = lit(1).cast(dec86)
+    val outSchema = StructType(Seq(
+      StructField("source", org.apache.spark.sql.types.StringType, nullable = true),
+      StructField("n_cal", LongType, nullable = false),
+      StructField("n_test", LongType, nullable = false),
+      StructField("qhat", DoubleType, nullable = false),
+      StructField("coverage", DoubleType, nullable = true),
+      StructField("avg_set_size", DoubleType, nullable = true),
+      StructField("parity_ok", BooleanType, nullable = false)))
+
+    def scoredBy(docs: DataFrame): DataFrame = Robust.conformalScoredBy(
+      Curation.qualityKeptRaw(docs, extra = Seq("source")),
+      "source", col("doc_id"), col("quality"), col("kept"))
+
+    val base = scoredBy(Tables.documents(spark, dir)).localCheckpoint(false)
+    // frozen at-rest model: (source, n_cal, q̂) — |sources| rows
+    val qhat = Robust.conformalQhatRowsBy(base, coverPct)
+      .collect().map(r => r.getAs[String]("__g") ->
+        ((r.getAs[Long]("n_cal"), r.getAs[java.math.BigDecimal]("qhat")))).toMap
+    val qhatDf = broadcast(spark.createDataFrame(
+      java.util.Arrays.asList(qhat.toSeq.sortBy(_._1).map { case (g, (_, q)) =>
+        Row(g, q) }: _*),
+      StructType(Seq(
+        StructField("__g", org.apache.spark.sql.types.StringType),
+        StructField("qhat", dec86)))))
+
+    def coverFoldBy(df: DataFrame): DataFrame = df
+      .join(qhatDf, Seq("__g")) // stream-static broadcast; cal-less drop
+      .groupBy(col("__g")).agg(
+        count(lit(1)).as("n"),
+        sum(when(col("a") <= col("qhat"), 1L).otherwise(0L)).as("cov"),
+        sum(when((one - col("q")).cast(dec86) <= col("qhat"), 1L).otherwise(0L) +
+          when(col("q") <= col("qhat"), 1L).otherwise(0L)).as("sz"))
+
+    val staged = stagedTest(spark, dir, nBatches)
+    val name = "q_conformal_stream_by_source_sink"
+    val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", StreamShuffleWidth)
+    try {
+      val q = coverFoldBy(scoredBy(
+          spark.readStream.schema(Schemas.documents)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(staged.toString)))
+        .writeStream.format("memory").queryName(name).outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+
+    def folds(rows: Array[Row]): Map[String, (Long, Long, Long)] =
+      rows.map(r => r.getAs[String]("__g") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("cov"), r.getAs[Long]("sz")))).toMap
+    val streamed = folds(spark.table(name).collect()) // ≤ |sources| rows
+    val parityOk = !assertParity ||
+      streamed == folds(coverFoldBy(base.filter(!col("is_cal"))).collect())
+    val out = qhat.toSeq.sortBy(_._1).map { case (g, (nCal, qh)) =>
+      streamed.get(g) match {
+        case Some((n, cov, sz)) =>
+          Row(g, nCal, n, qh.doubleValue(),
+            round6(cov.toDouble / n.toDouble), round6(sz.toDouble / n.toDouble),
+            parityOk)
+        case None => // calibration-only source: guarantee offered, untested
+          Row(g, nCal, 0L, qh.doubleValue(), null, null, parityOk)
+      }
+    }
+    spark.createDataFrame(java.util.Arrays.asList(out: _*), outSchema)
+  }
+
   /** Run the monitor to completion: ONE row
     * (n_cal, n_test, qhat, coverage, avg_set_size, parity_ok). */
   def runStreamConformal(

@@ -819,6 +819,26 @@ class ScaleSpec extends AnyFunSuite with SparkSpec {
       s"got=$got want=$want")
   }
 
+  test("grouped conformal monitor equals the Mondrian gate rows, plus in-plan parity") {
+    import graft.operators.{Curation, Robust}
+    val got = graft.streaming.ConformalStream.runStreamConformalBy(spark, sf)
+      .collect().sortBy(_.getAs[String]("source"))
+    assert(got.nonEmpty && got.forall(_.getAs[Boolean]("parity_ok")))
+    val docs = Tables.documents(spark, sf)
+    val q = Curation.qualityScoreRaw(docs).select($"doc_id", $"quality")
+    val a = Curation.curationAuditRaw(docs)
+      .select($"doc_id", ($"reason" === "kept").as("kept"))
+    val want = Robust.conformalGateBy(
+        q.join(a, "doc_id").join(docs.select($"doc_id", $"source"), "doc_id"),
+        $"doc_id", $"quality", $"kept", "source")
+      .collect().sortBy(_.getAs[String]("source"))
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (g, w) =>
+      Seq("source", "n_cal", "n_test", "qhat", "coverage", "avg_set_size")
+        .foreach(c => assert(g.getAs[Any](c) == w.getAs[Any](c), s"$c: $g vs $w"))
+    }
+  }
+
   test("k-means assignment is a pure projection (no exchange, no join); rollup pays ONE shuffle") {
     import graft.operators.Clustering
     val rows = Clustering.cleanVectors(Tables.embeddings(spark, sf))
