@@ -4386,6 +4386,15 @@ object SparkEntry {
         graft.operators.Clustering.cleanVectors(Tables.embeddings(s, d)),
         graft.operators.Clustering.modelFor(s, d))),
 
+    // Semantic split-leakage audit: near-dup EMBEDDING pairs crossing
+    // the 90/5/5 split — the paraphrase contamination the text-shingle
+    // leakage gate can't see. Off-diagonal rows are the leaks.
+    "q_semantic_leakage" -> ((s, d) => {
+      val cl = graft.operators.Clustering
+      cl.semanticLeakage(
+        cl.cleanVectors(Tables.embeddings(s, d)), cl.modelFor(s, d))
+    }),
+
     // Grouped SemDeDup readout: the same keeper decision rolled up per
     // SOURCE — whose crawl contributed the near-dups (sums over sources
     // reproduce the global per-cluster totals, twin-tested).
@@ -9458,6 +9467,27 @@ object SparkEntry {
          |                            ELSE (cut.lc * s2.w) // cut.wc END AS DOUBLE)
          |                       / s2.avail, 6) END AS fill_rate
          |FROM s2, cut ORDER BY cluster""".stripMargin,
+
+    // Semantic-leakage replay: within-cell pairs off the shared prefix
+    // (sdv carries the portable hash, so the split rule is kh % 100),
+    // split labels sorted per pair, counts + shares.
+    "q_semantic_leakage" ->
+      s"""WITH ${graft.operators.Clustering.semDedupCellsSql(
+             8, 5, 64, graft.operators.Clustering.SemDedupTau)},
+         |pr AS (SELECT CASE WHEN x.kh % 100 < 90 THEN 'train'
+         |                   WHEN x.kh % 100 < 95 THEN 'val' ELSE 'test' END AS s_a,
+         |              CASE WHEN y.kh % 100 < 90 THEN 'train'
+         |                   WHEN y.kh % 100 < 95 THEN 'val' ELSE 'test' END AS s_b
+         |       FROM sdv x JOIN sdv y ON x.cl = y.cl AND x.vec_id < y.vec_id
+         |       WHERE round(list_cosine_similarity(x.vd, y.vd), 6) >= ${graft.operators.Clustering.SemDedupTau}),
+         |pu AS (SELECT least(s_a, s_b) AS split_a, greatest(s_a, s_b) AS split_b FROM pr),
+         |c AS (SELECT split_a, split_b, CAST(count(*) AS BIGINT) AS n_pairs
+         |      FROM pu GROUP BY 1, 2),
+         |t AS (SELECT CAST(sum(n_pairs) AS BIGINT) AS tt FROM c)
+         |SELECT split_a, split_b, n_pairs,
+         |       round(CAST(n_pairs AS DOUBLE) / t.tt, 6) AS share,
+         |       split_a != split_b AS is_leak
+         |FROM c, t ORDER BY 1, 2""".stripMargin,
 
     // Grouped SemDeDup replay: distinct victims off the shared prefix,
     // attributed to their document's source.

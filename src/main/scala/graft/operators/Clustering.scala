@@ -252,8 +252,11 @@ object Clustering {
     * vec_id) member of each within-cell pair at cosine ≥ τ. Pairs come
     * from the native in-cell generator after ONE hash shuffle keyed by
     * the assignment (see [[semDedup]]'s plan story). */
-  private def semDedupVictims(asg: DataFrame, tau: Double): DataFrame = {
-    val pairs = asg
+  /** Within-cell near-dup pairs at cosine ≥ τ — (cl, vec_a, vec_b) with
+    * vec_a < vec_b, from the native in-cell generator after ONE hash
+    * shuffle keyed by the assignment (see [[semDedup]]'s plan story). */
+  private def semDedupPairs(asg: DataFrame, tau: Double): DataFrame =
+    asg
       .groupBy(col("cl"))
       .agg(collect_list(struct(col("vec_id"), col("v"),
         graft.functions.l2Norm(col("v")).as("nrm"))).as("members"))
@@ -261,11 +264,44 @@ object Clustering {
         graft.functions.PairGenerators.cosinePairs(col("members"), tau - 1e-6)
           .as(Seq("vec_a", "vec_b", "cosine")))
       .filter(round(col("cosine"), 6) >= tau)
+
+  private def semDedupVictims(asg: DataFrame, tau: Double): DataFrame = {
     val khA = PortableHash.keyHash(col("vec_a"))
     val khB = PortableHash.keyHash(col("vec_b"))
-    pairs.select(col("cl"),
+    semDedupPairs(asg, tau).select(col("cl"),
       when(khA < khB || (khA === khB && col("vec_a") < col("vec_b")),
         col("vec_b")).otherwise(col("vec_a")).as("victim"))
+  }
+
+  /** SEMANTIC split-leakage audit: near-dup EMBEDDING pairs that cross
+    * the train/val/test boundary — the eval contamination
+    * [[Curation.splitLeakage]]'s text-shingle gate cannot see
+    * (paraphrases and re-renders share no 3-gram but sit at high
+    * cosine). Same 90/5/5 portable-hash split rule as q_dataset_split,
+    * same within-cell pair generation as [[semDedup]] (the cell bounds
+    * the quadratic at 100 TB). Output: one row per unordered split
+    * pair with its near-dup pair count and share — rows with
+    * split_a ≠ split_b are the leaks; a leak-free corpus under a
+    * cluster-respecting split has only the diagonal. */
+  def semanticLeakage(rows: DataFrame, cents: Array[Array[Double]],
+      tau: Double = SemDedupTau): DataFrame = {
+    val asg = assign(rows, cents).select(col("cl"), col("vec_id"), col("v"))
+    def splitOf(id: Column) = {
+      val h = pmod(PortableHash.keyHash(id), lit(100L))
+      when(h < 90L, "train").when(h < 95L, "val").otherwise("test")
+    }
+    val sa = splitOf(col("vec_a"))
+    val sb = splitOf(col("vec_b"))
+    val pairs = semDedupPairs(asg, tau).select(
+      least(sa, sb).as("split_a"), greatest(sa, sb).as("split_b"))
+    val counts = pairs.groupBy(col("split_a"), col("split_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val tot = counts.agg(sum(col("n_pairs")).as("__t"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("split_a"), col("split_b"), col("n_pairs"),
+        round(col("n_pairs").cast(DoubleType) / col("__t"), 6).as("share"),
+        (col("split_a") =!= col("split_b")).as("is_leak"))
+      .orderBy(col("split_a"), col("split_b"))
   }
 
   /** Quality-weighted per-cluster sampling quotas — the actual

@@ -2281,6 +2281,42 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(gotCl == Set((3L, 2L), (1L, 0L)), gotCl.toString)
   }
 
+  test("semanticLeakage: planted cross-split near-dup pair surfaces as an off-diagonal leak row") {
+    import graft.operators.Clustering
+    // a clique of parallel vectors (pairwise cosine 1) in one cell plus a
+    // far singleton; expected split labels derive from the same hash rule
+    val ids = (1L to 20L).sortBy(i => (kh(i), i))
+    val (seedA, seedB) = (ids(0), ids(1))
+    val rest = ids.drop(2)
+    val members = Seq(seedA, rest(0), rest(1))
+    val df = (members.zipWithIndex.map { case (id, j) =>
+      (id, Seq(0.5f + j * 0.1f, 0f))
+    } :+ (seedB, Seq(10f, 10f))).toDF("vec_id", "embedding")
+    val clean = Clustering.cleanVectors(df, dim = 2)
+    val cents = Clustering.kmeans(clean, k = 2, iters = 2, dim = 2)
+    def split(id: Long): String = {
+      val h = kh(id) % 100
+      if (h < 90) "train" else if (h < 95) "val" else "test"
+    }
+    val exp = members.combinations(2).toSeq
+      .map { case Seq(a, b) =>
+        val (sa, sb) = (split(a), split(b))
+        (Seq(sa, sb).min, Seq(sa, sb).max)
+      }
+      .groupBy(identity).map { case (k2, v) => k2 -> v.size.toLong }
+    val got = Clustering.semanticLeakage(clean, cents).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getAs[Long]("n_pairs"), r.getAs[Boolean]("is_leak")))).toMap
+    assert(got.keySet == exp.keySet, s"got $got exp $exp")
+    exp.foreach { case (k2, n) =>
+      assert(got(k2) == ((n, k2._1 != k2._2)), s"$k2: ${got(k2)} vs $n")
+    }
+    // shares sum to 1 over the emitted rows
+    val shares = Clustering.semanticLeakage(clean, cents).collect()
+      .map(_.getAs[Double]("share")).sum
+    assert(math.abs(shares - 1.0) < 1e-6)
+  }
+
   test("semDedupQuota: budget fills over the POST-prune pool — the pruned member carries no capacity") {
     import graft.operators.Clustering
     // the path fixture: blob A = {seedA(0°), m60, m120} with m60 (max
