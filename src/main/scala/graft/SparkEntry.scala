@@ -4395,6 +4395,16 @@ object SparkEntry {
         cl.cleanVectors(Tables.embeddings(s, d)), cl.modelFor(s, d))
     }),
 
+    // The leakage REMEDY: split by the embedding near-dup CLUSTER ROOT
+    // (connected components of the within-cell pair graph), so no
+    // near-dup relation can span splits by construction; carries the
+    // recomputed off-diagonal re-audit as its own proof (leak_free).
+    "q_split_by_semcluster" -> ((s, d) => {
+      val cl = graft.operators.Clustering
+      cl.splitBySemCluster(
+        cl.cleanVectors(Tables.embeddings(s, d)), cl.modelFor(s, d))
+    }),
+
     // Grouped SemDeDup readout: the same keeper decision rolled up per
     // SOURCE — whose crawl contributed the near-dups (sums over sources
     // reproduce the global per-cluster totals, twin-tested).
@@ -4404,6 +4414,17 @@ object SparkEntry {
         cl.cleanVectors(Tables.embeddings(s, d)), cl.modelFor(s, d),
         Tables.documents(s, d))
     }),
+
+    // CONTINUOUS SemDeDup — the flagship's streaming face: embeddings
+    // replay as a batched file stream; each micro-batch assigns under
+    // the FROZEN k-means model, probes ONLY its own cells' at-rest
+    // partitions for cross-batch near-dup pairs, runs the in-batch
+    // generator for same-batch pairs, and appends. Keeper rule applies
+    // to the accumulated pairs at readout (retroactive eviction for
+    // free), so streamed decisions ≡ whole-corpus semDedup exactly,
+    // any batch split — asserted in-plan (ids, cosines, multiplicity).
+    "q_semdedup_ingest_stream" -> ((s, d) =>
+      graft.streaming.SemDedupIngest.runStreamSemDedupIngest(s, d)),
 
     // The END-TO-END SemDeDup budget: prune near-dups per cell, then
     // waterfill the sample budget over the SURVIVING pool weighted by
@@ -4991,6 +5012,10 @@ object SparkEntry {
     // Operator: the batched ingest stream probing the persisted band index.
     "q_dedup_ingest_stream" -> ((s, d) =>
       graft.streaming.DedupIngest.runStreamDedupIngest(s, d, assertFull = false)),
+    // Contract form: streamed pairs ⋈ whole-corpus generator (equality).
+    // Operator: the cell-pruned ingest stream under the frozen model.
+    "q_semdedup_ingest_stream" -> ((s, d) =>
+      graft.streaming.SemDedupIngest.runStreamSemDedupIngest(s, d, assertParity = false)),
     // Contract form: at-rest index ⋈ whole-corpus re-encode (parity).
     // Operator: train + initial encode + the batched cell-append stream.
     "q_ann_ingest_stream" -> ((s, d) =>
@@ -9489,6 +9514,20 @@ object SparkEntry {
          |       split_a != split_b AS is_leak
          |FROM c, t ORDER BY 1, 2""".stripMargin,
 
+    // The remedy's replay: exact within-cell pairs off the shared
+    // prefix, recursive-CTE components, cluster-root hash split, and
+    // the recomputed off-diagonal re-audit fold.
+    "q_split_by_semcluster" ->
+      graft.operators.Clustering.splitBySemClusterOracleSql(
+        8, 5, 64, graft.operators.Clustering.SemDedupTau),
+
+    // Streaming SemDeDup replay: the whole-corpus per-cluster prune
+    // table + the pinned parity column (streamed pairs ≡ whole-corpus
+    // generator, multiplicity included, asserted in-plan).
+    "q_semdedup_ingest_stream" ->
+      graft.operators.Clustering.semDedupStreamOracleSql(
+        8, 5, 64, graft.operators.Clustering.SemDedupTau),
+
     // Grouped SemDeDup replay: distinct victims off the shared prefix,
     // attributed to their document's source.
     "q_semdedup_by_source" ->
@@ -10727,17 +10766,23 @@ object SparkEntry {
        |                    + (CASE WHEN b.q <= qh.qhat THEN 1 ELSE 0 END)) AS DOUBLE) / count(*), 6) AS avg_set_size
        |FROM b, qh, tot WHERE NOT b.is_cal""".stripMargin
 
-  /** [[conformalGateSql]] + the monitor's pinned parity column. */
-  private lazy val conformalStreamSql: String = {
-    val marker = "AS avg_set_size"
-    conformalGateSql.replace(marker, marker + ",\n       TRUE AS parity_ok")
+  /** Splice the pinned parity column after a marker alias that must
+    * occur EXACTLY once — a rename or a second occurrence in the base
+    * SQL fails loudly here instead of silently drifting the oracle. */
+  private def withParityAfter(sql: String, marker: String): String = {
+    val hits = sql.sliding(marker.length).count(_ == marker)
+    require(hits == 1,
+      s"withParityAfter: marker '$marker' occurs $hits times, expected 1")
+    sql.replace(marker, marker + ",\n       TRUE AS parity_ok")
   }
 
+  /** [[conformalGateSql]] + the monitor's pinned parity column. */
+  private lazy val conformalStreamSql: String =
+    withParityAfter(conformalGateSql, "AS avg_set_size")
+
   /** [[conformalBySql]] + the grouped monitor's pinned parity column. */
-  private lazy val conformalStreamBySql: String = {
-    val marker = "AS avg_set_size"
-    conformalBySql.replace(marker, marker + ",\n       TRUE AS parity_ok")
-  }
+  private lazy val conformalStreamBySql: String =
+    withParityAfter(conformalBySql, "AS avg_set_size")
 
   /** Mondrian conformal replay: source rides the parity split, the
     * PARTITION BY of the rank window, and every fold; LEFT JOINs drive

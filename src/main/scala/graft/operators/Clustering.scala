@@ -247,15 +247,12 @@ object Clustering {
       .orderBy(col("cluster"))
   }
 
-  /** Near-dup VICTIMS per assignment cell — (cl, victim) rows, possibly
-    * repeated (one per witnessing pair): victim = the larger-(keyHash,
-    * vec_id) member of each within-cell pair at cosine ≥ τ. Pairs come
-    * from the native in-cell generator after ONE hash shuffle keyed by
-    * the assignment (see [[semDedup]]'s plan story). */
   /** Within-cell near-dup pairs at cosine ≥ τ — (cl, vec_a, vec_b) with
     * vec_a < vec_b, from the native in-cell generator after ONE hash
-    * shuffle keyed by the assignment (see [[semDedup]]'s plan story). */
-  private def semDedupPairs(asg: DataFrame, tau: Double): DataFrame =
+    * shuffle keyed by the assignment (see [[semDedup]]'s plan story).
+    * `private[graft]`: [[graft.streaming.SemDedupIngest]] asserts its
+    * streamed pair set against this whole-corpus form. */
+  private[graft] def semDedupPairs(asg: DataFrame, tau: Double): DataFrame =
     asg
       .groupBy(col("cl"))
       .agg(collect_list(struct(col("vec_id"), col("v"),
@@ -265,10 +262,22 @@ object Clustering {
           .as(Seq("vec_a", "vec_b", "cosine")))
       .filter(round(col("cosine"), 6) >= tau)
 
-  private def semDedupVictims(asg: DataFrame, tau: Double): DataFrame = {
+  /** Near-dup VICTIMS per assignment cell — (cl, victim) rows, possibly
+    * repeated (one per witnessing pair): victim = the larger-(keyHash,
+    * vec_id) member of each within-cell pair at cosine ≥ τ. Pairs come
+    * from the native in-cell generator after ONE hash shuffle keyed by
+    * the assignment (see [[semDedup]]'s plan story). */
+  private def semDedupVictims(asg: DataFrame, tau: Double): DataFrame =
+    victimsFromPairs(semDedupPairs(asg, tau))
+
+  /** The keeper rule applied to an already-generated (cl, vec_a, vec_b)
+    * pair table: victim = the larger-(keyHash, vec_id) member of each
+    * pair. Shared with the streaming ingest, whose pairs arrive from the
+    * at-rest-index probe instead of the whole-corpus generator. */
+  private[graft] def victimsFromPairs(pairs: DataFrame): DataFrame = {
     val khA = PortableHash.keyHash(col("vec_a"))
     val khB = PortableHash.keyHash(col("vec_b"))
-    semDedupPairs(asg, tau).select(col("cl"),
+    pairs.select(col("cl"),
       when(khA < khB || (khA === khB && col("vec_a") < col("vec_b")),
         col("vec_b")).otherwise(col("vec_a")).as("victim"))
   }
@@ -294,14 +303,72 @@ object Clustering {
     val sb = splitOf(col("vec_b"))
     val pairs = semDedupPairs(asg, tau).select(
       least(sa, sb).as("split_a"), greatest(sa, sb).as("split_b"))
+    // checkpoint the ≤6-row grid: the total is an aggregate of the SAME
+    // lineage, so without it the assignment + cosinePairs shuffle would
+    // replay twice (the shared-consumer convention of [[semDedup]])
     val counts = pairs.groupBy(col("split_a"), col("split_b"))
       .agg(count(lit(1)).as("n_pairs"))
+      .localCheckpoint(false)
     val tot = counts.agg(sum(col("n_pairs")).as("__t"))
     counts.crossJoin(broadcast(tot))
       .select(col("split_a"), col("split_b"), col("n_pairs"),
         round(col("n_pairs").cast(DoubleType) / col("__t"), 6).as("share"),
         (col("split_a") =!= col("split_b")).as("is_leak"))
       .orderBy(col("split_a"), col("split_b"))
+  }
+
+  /** The [[semanticLeakage]] REMEDY — the embedding-space twin of
+    * [[Curation.splitByCluster]]: assign train/val/test by the near-dup
+    * CLUSTER ROOT instead of the vec id, so no embedding near-dup
+    * relation can span splits BY CONSTRUCTION. Near-dup relations are
+    * the connected components of the within-cell pair graph (the same
+    * [[semDedup]] pair generator — the k-means cell bounds the
+    * quadratic at 100 TB; components can only form inside a cell, so
+    * the component graph is cell-local and near-dup-sized, solved by
+    * [[Dedup.connectedComponents]]'s bounded-driver union-find / pointer
+    * jumping). Singletons keep their vec-id hash. Emits the per-split
+    * shape plus a `leak_free` re-audit column computed the
+    * [[semanticLeakage]] way — the off-diagonal near-dup pair mass under
+    * the NEW split, which must be zero: the query carries its own proof
+    * instead of asking the reader to trust the construction.
+    *
+    * Scale shape: one assignment projection, one cell-keyed pair
+    * shuffle (near-dup-sized output), the component solve over the pair
+    * graph (orders of magnitude smaller than the corpus), one left join
+    * to attach roots, two id-keyed joins for the re-audit fold (pair
+    * table sized), one 3-row rollup. */
+  def splitBySemCluster(rows: DataFrame, cents: Array[Array[Double]],
+      tau: Double = SemDedupTau): DataFrame = {
+    val asg = assign(rows, cents).select(col("cl"), col("vec_id"), col("v"))
+      .localCheckpoint(false)
+    // pairs feed BOTH the component solve and the re-audit fold: without
+    // the checkpoint the assignment + cosinePairs shuffle replays per
+    // consumer (the semDedup shared-consumer convention)
+    val pairs = semDedupPairs(asg, tau).select(col("vec_a"), col("vec_b"))
+      .localCheckpoint(false)
+    val clusters = Dedup.connectedComponents(pairs, "vec_a", "vec_b")
+      .select(col("v").as("vec_id"), col("cluster_id"))
+    val h = pmod(PortableHash.keyHash(
+      coalesce(col("cluster_id"), col("vec_id"))), lit(100L))
+    val assigned = asg.select(col("vec_id"))
+      .join(clusters, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster_id"),
+        when(h < 90L, "train").when(h < 95L, "val").otherwise("test")
+          .as("split"))
+      .localCheckpoint(false) // rollup + both re-audit joins consume it
+    val sp = assigned.select(col("vec_id"), col("split"))
+    val leak = pairs
+      .join(sp.toDF("vec_a", "s_a"), "vec_a")
+      .join(sp.toDF("vec_b", "s_b"), "vec_b")
+      .agg(coalesce(sum(when(col("s_a") =!= col("s_b"), 1L).otherwise(0L)),
+        lit(0L)).as("n_offdiag"))
+    assigned.groupBy(col("split"))
+      .agg(count(lit(1)).as("n_vecs"),
+        count(col("cluster_id")).as("n_clustered_vecs"))
+      .crossJoin(broadcast(leak))
+      .select(col("split"), col("n_vecs"), col("n_clustered_vecs"),
+        (col("n_offdiag") === 0L).as("leak_free"))
+      .orderBy(col("split"))
   }
 
   /** Quality-weighted per-cluster sampling quotas — the actual
@@ -699,6 +766,56 @@ object Clustering {
        |       CAST(sdn.n - coalesce(sdx.n_pruned, 0) AS BIGINT) AS n_kept,
        |       round(CAST(coalesce(sdx.n_pruned, 0) AS DOUBLE) / sdn.n, 6) AS prune_rate
        |FROM sdn LEFT JOIN sdx ON sdx.cl = sdn.cl ORDER BY 1""".stripMargin
+
+  /** [[graft.streaming.SemDedupIngest]] replay: the whole-corpus
+    * per-cluster prune table ([[semDedupOracleSql]]) + the monitor
+    * family's pinned in-plan parity column. Streamed pairs ≡ the
+    * whole-corpus generator for any batch split (each unordered pair is
+    * examined exactly once, when its later member arrives), so the
+    * streamed rollup hash-matches this replay and parity_ok pins the
+    * pair-set equality the hash can't see. */
+  def semDedupStreamOracleSql(k: Int, iters: Int, dim: Int,
+      tau: Double): String =
+    s"""WITH ${semDedupCellsSql(k, iters, dim, tau)},
+       |sdn AS (SELECT cl, CAST(count(*) AS BIGINT) AS n FROM sdv GROUP BY 1),
+       |sdx AS (SELECT cl, CAST(count(DISTINCT victim) AS BIGINT) AS n_pruned
+       |        FROM sdp GROUP BY 1)
+       |SELECT CAST(sdn.cl AS INT) AS cluster, sdn.n AS n,
+       |       CAST(coalesce(sdx.n_pruned, 0) AS BIGINT) AS n_pruned,
+       |       CAST(sdn.n - coalesce(sdx.n_pruned, 0) AS BIGINT) AS n_kept,
+       |       round(CAST(coalesce(sdx.n_pruned, 0) AS DOUBLE) / sdn.n, 6) AS prune_rate,
+       |       TRUE AS parity_ok
+       |FROM sdn LEFT JOIN sdx ON sdx.cl = sdn.cl ORDER BY 1""".stripMargin
+
+  /** [[splitBySemCluster]] replay: the shared stage-chain + cell-vector
+    * prefix, exact brute within-cell pairs, recursive-CTE connected
+    * components (min-root, the q_split_by_cluster shape), the
+    * cluster-root hash split, and the recomputed off-diagonal re-audit. */
+  def splitBySemClusterOracleSql(k: Int, iters: Int, dim: Int,
+      tau: Double): String =
+    s"""WITH RECURSIVE ${semDedupCellsSql(k, iters, dim, tau)},
+       |sdpair AS MATERIALIZED (SELECT x.vec_id AS vec_a, y.vec_id AS vec_b
+       |        FROM sdv x JOIN sdv y ON x.cl = y.cl AND x.vec_id < y.vec_id
+       |        WHERE round(list_cosine_similarity(x.vd, y.vd), 6) >= $tau),
+       |edges AS (SELECT vec_a AS a, vec_b AS b FROM sdpair
+       |          UNION SELECT vec_b, vec_a FROM sdpair),
+       |reach(v, r) AS (
+       |  SELECT a, a FROM edges
+       |  UNION
+       |  SELECT r.v, e.b FROM reach r JOIN edges e ON r.r = e.a),
+       |cc AS (SELECT v AS vec_id, min(r) AS cluster_id FROM reach GROUP BY 1),
+       |asn AS (SELECT s.vec_id AS vec_id, cc.cluster_id AS cluster_id,
+       |               CASE WHEN ${PortableHash.keyHashSql("coalesce(cc.cluster_id, s.vec_id)")} % 100 < 90 THEN 'train'
+       |                    WHEN ${PortableHash.keyHashSql("coalesce(cc.cluster_id, s.vec_id)")} % 100 < 95 THEN 'val'
+       |                    ELSE 'test' END AS split
+       |        FROM sdv s LEFT JOIN cc ON cc.vec_id = s.vec_id),
+       |lk AS (SELECT CAST(coalesce(sum(CASE WHEN xa.split != xb.split THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_offdiag
+       |       FROM sdpair p JOIN asn xa ON xa.vec_id = p.vec_a
+       |                     JOIN asn xb ON xb.vec_id = p.vec_b)
+       |SELECT split, CAST(count(*) AS BIGINT) AS n_vecs,
+       |       CAST(count(cluster_id) AS BIGINT) AS n_clustered_vecs,
+       |       (SELECT n_offdiag FROM lk) = 0 AS leak_free
+       |FROM asn GROUP BY 1 ORDER BY 1""".stripMargin
 
   def sampleOracleSql(k: Int, iters: Int, dim: Int, quota: Int): String =
     s"""WITH ${stagesSql(k, iters, dim)}

@@ -2317,6 +2317,46 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(shares - 1.0) < 1e-6)
   }
 
+  test("splitBySemCluster: cross-split clique reunites under the root hash; re-audit leak-free") {
+    import graft.operators.Clustering
+    def split(id: Long): String = {
+      val h = kh(id) % 100
+      if (h < 90) "train" else if (h < 95) "val" else "test"
+    }
+    // seeds = the two smallest (kh, id) keys (the kmeans seeding rule):
+    // seedA anchors the clique cell, seedB the far singleton's cell.
+    // Pick a clique member whose NAIVE split differs from seedA's — the
+    // planted contamination the remedy must reunite.
+    val ids = (1L to 400L).sortBy(i => (kh(i), i))
+    val (seedA, seedB) = (ids(0), ids(1))
+    val rest = ids.drop(2)
+    val mOther = rest.find(split(_) != split(seedA)).get
+    val mSame = rest.find(i => i != mOther && split(i) == split(seedA)).get
+    val members = Seq(seedA, mOther, mSame) // clique: pairwise cosine 1
+    assert(members.map(split).distinct.size >= 2) // naive split WOULD leak
+    val df = (members.zipWithIndex.map { case (id, j) =>
+      (id, Seq(0.5f + j * 0.1f, 0f))
+    } :+ (seedB, Seq(10f, 10f))).toDF("vec_id", "embedding")
+    val clean = Clustering.cleanVectors(df, dim = 2)
+    val cents = Clustering.kmeans(clean, k = 2, iters = 2, dim = 2)
+    // sanity: the naive audit sees the planted leak
+    val naive = Clustering.semanticLeakage(clean, cents).collect()
+    assert(naive.exists(_.getAs[Boolean]("is_leak")))
+    val got = Clustering.splitBySemCluster(clean, cents).collect()
+    // reunification: ALL clique members land in the ROOT's split (the
+    // component min id), every vec assigned exactly once, re-audit green
+    val rootSplit = split(members.min)
+    val bySplit = got.map(r => r.getString(0) ->
+      ((r.getAs[Long]("n_vecs"), r.getAs[Long]("n_clustered_vecs")))).toMap
+    assert(bySplit(rootSplit)._2 == 3L, bySplit.toString)
+    assert(got.map(_.getAs[Long]("n_vecs")).sum == 4L)
+    assert(got.map(_.getAs[Long]("n_clustered_vecs")).sum == 3L)
+    assert(got.forall(_.getAs[Boolean]("leak_free")), got.mkString(","))
+    // the singleton keeps its own id hash (it joins no cluster)
+    val singletonRow = bySplit(split(seedB))
+    assert(singletonRow._1 - singletonRow._2 >= 1L)
+  }
+
   test("semDedupQuota: budget fills over the POST-prune pool — the pruned member carries no capacity") {
     import graft.operators.Clustering
     // the path fixture: blob A = {seedA(0°), m60, m120} with m60 (max

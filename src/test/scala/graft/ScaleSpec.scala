@@ -273,6 +273,47 @@ class ScaleSpec extends AnyFunSuite with SparkSpec {
     assert(row.getAs[Long]("n_vecs") == Tables.embeddings(spark, sf).count())
   }
 
+  test("streaming SemDeDup ingest: streamed prune table equals whole-corpus semDedup, any batch split") {
+    val cl = graft.operators.Clustering
+    // 3 batches (odd split: exercises cross-batch probe AND in-batch
+    // generator); parity (pairs ≡ whole-corpus generator, multiplicity
+    // included) asserted in-plan inside the run
+    val got = graft.streaming.SemDedupIngest
+      .runStreamSemDedupIngest(spark, sf, nBatches = 3).collect()
+    assert(got.nonEmpty && got.forall(_.getAs[Boolean]("parity_ok")))
+    val batch = cl.semDedup(
+      cl.cleanVectors(Tables.embeddings(spark, sf)), cl.modelFor(spark, sf))
+      .collect()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getInt(0), r.getAs[Long]("n"), r.getAs[Long]("n_pruned"),
+        r.getAs[Long]("n_kept"), r.getAs[Double]("prune_rate"))
+    assert(got.map(key).toSeq == batch.map(key).toSeq)
+  }
+
+  test("streaming SemDeDup ingest: the probe reads ONLY the batch's cell partitions") {
+    import org.apache.spark.sql.types._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sdidx").toFile
+    try {
+      Seq((1L, Seq(1f, 0f), 1.0, 0), (2L, Seq(0f, 1f), 1.0, 1),
+        (3L, Seq(1f, 1f), 1.4, 2))
+        .toDF("vec_id", "v", "nrm", "cl")
+        .write.partitionBy("cl").mode("overwrite").parquet(tmp.toString)
+      val idxSchema = StructType(Seq(
+        StructField("vec_id", LongType), StructField("v", ArrayType(FloatType)),
+        StructField("nrm", DoubleType), StructField("cl", IntegerType)))
+      val files = graft.streaming.SemDedupIngest.cellFiles(tmp, Seq(0, 2))
+      assert(files.nonEmpty && files.forall(f =>
+        f.getPath.contains("cl=0") || f.getPath.contains("cl=2")))
+      val snap = graft.streaming.SemDedupIngest
+        .snapshotRead(spark, tmp, idxSchema, files)
+      // structural: the probe's scan CANNOT touch cell 1's files
+      assert(snap.inputFiles.nonEmpty && snap.inputFiles.forall(p =>
+        p.contains("cl=0") || p.contains("cl=2")))
+      assert(snap.select($"cl").distinct().collect()
+        .map(_.getInt(0)).toSet == Set(0, 2))
+    } finally graft.sources.Staging.rmTree(tmp)
+  }
+
   test("streaming SCD2 ingest: incremental merge equals one-shot scdType2 over the whole input") {
     // date-striped batches close open intervals / append versions; closed
     // history immutable; parity asserted row-for-row inside the run
