@@ -4415,6 +4415,29 @@ object SparkEntry {
         Tables.documents(s, d))
     }),
 
+    // CONTINUOUS semantic split-leakage monitor — the audit as a gate:
+    // each micro-batch generates its near-dup pairs (cell-pruned probe
+    // + in-batch generator, the ingest machinery) and appends ONLY its
+    // ≤6-row split-pair grid delta; state is 6 integers. A
+    // contaminating crawl pages someone before the next offline audit.
+    // Streamed grid ≡ the whole-corpus audit asserted in-plan.
+    "q_semantic_leakage_stream" -> ((s, d) =>
+      graft.streaming.SemDedupIngest.runStreamSemanticLeakage(s, d)),
+
+    // SemDeDup with DATA-DRIVEN k — the executable "k grows with the
+    // corpus" posture: the capacity rule (smallest candidate k with
+    // n/k ≤ 64, the paper's bounded-cell regime; see
+    // Clustering.selectK for why not the inertia elbow) picks k from
+    // the corpus count, then the standard per-cluster prune table runs
+    // under the selected model. Picks k = 2/4/8 at sf0.001/0.01/0.1.
+    "q_semdedup_auto_k" -> ((s, d) => {
+      val cl = graft.operators.Clustering
+      val clean = cl.cleanVectors(Tables.embeddings(s, d))
+      val k = cl.selectK(clean.count())
+      cl.semDedup(clean, cl.modelFor(s, d, k = k))
+        .select(lit(k).as("selected_k"), col("*"))
+    }),
+
     // CONTINUOUS SemDeDup — the flagship's streaming face: embeddings
     // replay as a batched file stream; each micro-batch assigns under
     // the FROZEN k-means model, probes ONLY its own cells' at-rest
@@ -5016,6 +5039,10 @@ object SparkEntry {
     // Operator: the cell-pruned ingest stream under the frozen model.
     "q_semdedup_ingest_stream" -> ((s, d) =>
       graft.streaming.SemDedupIngest.runStreamSemDedupIngest(s, d, assertParity = false)),
+    // Contract form: streamed 6-integer grid ⋈ whole-corpus audit (parity).
+    // Operator: the grid-delta monitor stream alone.
+    "q_semantic_leakage_stream" -> ((s, d) =>
+      graft.streaming.SemDedupIngest.runStreamSemanticLeakage(s, d, assertParity = false)),
     // Contract form: at-rest index ⋈ whole-corpus re-encode (parity).
     // Operator: train + initial encode + the batched cell-append stream.
     "q_ann_ingest_stream" -> ((s, d) =>
@@ -9496,23 +9523,13 @@ object SparkEntry {
     // Semantic-leakage replay: within-cell pairs off the shared prefix
     // (sdv carries the portable hash, so the split rule is kh % 100),
     // split labels sorted per pair, counts + shares.
-    "q_semantic_leakage" ->
-      s"""WITH ${graft.operators.Clustering.semDedupCellsSql(
-             8, 5, 64, graft.operators.Clustering.SemDedupTau)},
-         |pr AS (SELECT CASE WHEN x.kh % 100 < 90 THEN 'train'
-         |                   WHEN x.kh % 100 < 95 THEN 'val' ELSE 'test' END AS s_a,
-         |              CASE WHEN y.kh % 100 < 90 THEN 'train'
-         |                   WHEN y.kh % 100 < 95 THEN 'val' ELSE 'test' END AS s_b
-         |       FROM sdv x JOIN sdv y ON x.cl = y.cl AND x.vec_id < y.vec_id
-         |       WHERE round(list_cosine_similarity(x.vd, y.vd), 6) >= ${graft.operators.Clustering.SemDedupTau}),
-         |pu AS (SELECT least(s_a, s_b) AS split_a, greatest(s_a, s_b) AS split_b FROM pr),
-         |c AS (SELECT split_a, split_b, CAST(count(*) AS BIGINT) AS n_pairs
-         |      FROM pu GROUP BY 1, 2),
-         |t AS (SELECT CAST(sum(n_pairs) AS BIGINT) AS tt FROM c)
-         |SELECT split_a, split_b, n_pairs,
-         |       round(CAST(n_pairs AS DOUBLE) / t.tt, 6) AS share,
-         |       split_a != split_b AS is_leak
-         |FROM c, t ORDER BY 1, 2""".stripMargin,
+    "q_semantic_leakage" -> semanticLeakageOracleSql,
+
+    // The streaming monitor's replay: the same grid + the pinned
+    // parity column (streamed 6-integer grid ≡ the whole-corpus audit,
+    // asserted in-plan).
+    "q_semantic_leakage_stream" ->
+      withParityAfter(semanticLeakageOracleSql, "AS is_leak"),
 
     // The remedy's replay: exact within-cell pairs off the shared
     // prefix, recursive-CTE components, cluster-root hash split, and
@@ -9527,6 +9544,15 @@ object SparkEntry {
     "q_semdedup_ingest_stream" ->
       graft.operators.Clustering.semDedupStreamOracleSql(
         8, 5, 64, graft.operators.Clustering.SemDedupTau),
+
+    // Auto-k replay: one namespaced chain per candidate k, the exact
+    // integer capacity rule as a 1-row CTE, the selected chain's prune
+    // table (mutually exclusive UNION arms).
+    "q_semdedup_auto_k" ->
+      graft.operators.Clustering.semDedupAutoKOracleSql(
+        graft.operators.Clustering.AutoKCandidates, 5, 64,
+        graft.operators.Clustering.SemDedupTau,
+        graft.operators.Clustering.AutoKCap),
 
     // Grouped SemDeDup replay: distinct victims off the shared prefix,
     // attributed to their document's source.
@@ -10765,6 +10791,29 @@ object SparkEntry {
        |       round(CAST(sum((CASE WHEN CAST(CAST(1 AS DECIMAL(8,6)) - b.q AS DECIMAL(8,6)) <= qh.qhat THEN 1 ELSE 0 END)
        |                    + (CASE WHEN b.q <= qh.qhat THEN 1 ELSE 0 END)) AS DOUBLE) / count(*), 6) AS avg_set_size
        |FROM b, qh, tot WHERE NOT b.is_cal""".stripMargin
+
+  /** Semantic split-leakage replay, shared by the offline audit
+    * (q_semantic_leakage) and its streaming monitor (+ parity column):
+    * within-cell pairs off the shared SemDeDup prefix, split labels
+    * from the portable hash (kh % 100), sorted per pair, counts +
+    * shares, off-diagonal rows flagged. */
+  private lazy val semanticLeakageOracleSql: String =
+    s"""WITH ${graft.operators.Clustering.semDedupCellsSql(
+           8, 5, 64, graft.operators.Clustering.SemDedupTau)},
+       |pr AS (SELECT CASE WHEN x.kh % 100 < 90 THEN 'train'
+       |                   WHEN x.kh % 100 < 95 THEN 'val' ELSE 'test' END AS s_a,
+       |              CASE WHEN y.kh % 100 < 90 THEN 'train'
+       |                   WHEN y.kh % 100 < 95 THEN 'val' ELSE 'test' END AS s_b
+       |       FROM sdv x JOIN sdv y ON x.cl = y.cl AND x.vec_id < y.vec_id
+       |       WHERE round(list_cosine_similarity(x.vd, y.vd), 6) >= ${graft.operators.Clustering.SemDedupTau}),
+       |pu AS (SELECT least(s_a, s_b) AS split_a, greatest(s_a, s_b) AS split_b FROM pr),
+       |c AS (SELECT split_a, split_b, CAST(count(*) AS BIGINT) AS n_pairs
+       |      FROM pu GROUP BY 1, 2),
+       |t AS (SELECT CAST(sum(n_pairs) AS BIGINT) AS tt FROM c)
+       |SELECT split_a, split_b, n_pairs,
+       |       round(CAST(n_pairs AS DOUBLE) / t.tt, 6) AS share,
+       |       split_a != split_b AS is_leak
+       |FROM c, t ORDER BY 1, 2""".stripMargin
 
   /** Splice the pinned parity column after a marker alias that must
     * occur EXACTLY once — a rename or a second occurrence in the base

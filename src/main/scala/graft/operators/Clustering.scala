@@ -537,6 +537,30 @@ object Clustering {
       .orderBy(col("cluster"))
   }
 
+  /** The executable form of the SemDeDup "k grows with the corpus"
+    * posture (Abbas et al. 2023 run k ∝ corpus so n/k stays bounded):
+    * pick the smallest candidate k whose average cell occupancy n/k is
+    * at or under `cap`, falling back to the largest candidate. Chosen
+    * over an inertia-elbow rule deliberately: on this corpus the elbow
+    * sweep (q_kmeans_elbow) shows inertia declining SMOOTHLY — uniform
+    * synthetic embeddings have no true cluster count, so a marginal-
+    * gain argmin would pick noise — while the capacity rule is exact
+    * integer arithmetic both engines replay bit-identically AND is the
+    * property the cell-bounded-quadratic scale argument actually needs.
+    * Candidates must be sorted ascending. */
+  def selectK(n: Long, candidates: Seq[Int] = AutoKCandidates,
+      cap: Long = AutoKCap): Int = {
+    require(candidates.nonEmpty && candidates == candidates.sorted,
+      s"selectK: candidates must be non-empty ascending, got $candidates")
+    candidates.find(k => n <= cap * k).getOrElse(candidates.max)
+  }
+
+  /** Auto-k parameters: with cap 128 the rule picks k = 4 at
+    * n = 500 (sf0.001 / sf0.01) and k = 8 at n = 2000 (sf0.1) — the
+    * selector provably moves with the corpus on the shipped data. */
+  val AutoKCandidates = Seq(2, 4, 8)
+  val AutoKCap = 128L
+
   /** SemDeDup threshold on this corpus: uniform-random 64-d embeddings
     * concentrate cosine near 0 ± d^-1/2, so the near-dup tail that a real
     * crawl would show at ≥ 0.95 sits at ≥ ~0.3 here — chosen so the
@@ -741,16 +765,17 @@ object Clustering {
     * vectors with hash keys (`sdv`) + the victim pairs under the keeper
     * rule (`sdp`). `list_cosine_similarity` at 6dp is the established
     * bit-exact twin of the Spark double-fold cosine. */
-  def semDedupCellsSql(k: Int, iters: Int, dim: Int, tau: Double): String =
-    s"""${stagesSql(k, iters, dim)},
-       |sdv AS MATERIALIZED (SELECT a.vec_id AS vec_id, a.cl AS cl,
+  def semDedupCellsSql(k: Int, iters: Int, dim: Int, tau: Double,
+      ns: String = ""): String =
+    s"""${stagesSql(k, iters, dim, "", ns)},
+       |${ns}sdv AS MATERIALIZED (SELECT a.vec_id AS vec_id, a.cl AS cl,
        |               CAST(e.v AS DOUBLE[]) AS vd,
        |               ${PortableHash.keyHashSql("a.vec_id")} AS kh
-       |        FROM af a JOIN e ON e.vec_id = a.vec_id),
-       |sdp AS (SELECT x.cl AS cl,
+       |        FROM ${ns}af a JOIN ${ns}e e ON e.vec_id = a.vec_id),
+       |${ns}sdp AS (SELECT x.cl AS cl,
        |               CASE WHEN x.kh < y.kh OR (x.kh = y.kh AND x.vec_id < y.vec_id)
        |                    THEN y.vec_id ELSE x.vec_id END AS victim
-       |        FROM sdv x JOIN sdv y ON x.cl = y.cl AND x.vec_id < y.vec_id
+       |        FROM ${ns}sdv x JOIN ${ns}sdv y ON x.cl = y.cl AND x.vec_id < y.vec_id
        |        WHERE round(list_cosine_similarity(x.vd, y.vd), 6) >= $tau)""".stripMargin
 
   /** SemDeDup replay: the within-cell victims under the keeper rule,
@@ -786,6 +811,36 @@ object Clustering {
        |       round(CAST(coalesce(sdx.n_pruned, 0) AS DOUBLE) / sdn.n, 6) AS prune_rate,
        |       TRUE AS parity_ok
        |FROM sdn LEFT JOIN sdx ON sdx.cl = sdn.cl ORDER BY 1""".stripMargin
+
+  /** Auto-k SemDeDup replay: one namespaced stage chain + cell-pair
+    * prefix PER candidate k (the elbow-oracle pattern), the capacity
+    * rule ([[selectK]] — exact integer compare over the hygiene-filtered
+    * corpus count) as a 1-row CTE, and the per-cluster prune table of
+    * the SELECTED chain only (the UNION arms are mutually exclusive on
+    * sel.k, so exactly one contributes rows). */
+  def semDedupAutoKOracleSql(candidates: Seq[Int], iters: Int, dim: Int,
+      tau: Double, cap: Long): String = {
+    require(candidates.nonEmpty && candidates == candidates.sorted)
+    val chains = candidates.map(k => semDedupCellsSql(k, iters, dim, tau, s"k${k}_"))
+    val nExpr = s"(SELECT count(*) FROM k${candidates.head}_e)"
+    val selCase = candidates.init
+      .map(k => s"WHEN $nExpr <= $cap * $k THEN $k").mkString(" ")
+    val sel = s"sel AS (SELECT CASE $selCase ELSE ${candidates.max} END AS k)"
+    val arms = candidates.map { k =>
+      s"""SELECT CAST(sel.k AS INT) AS selected_k, CAST(sdn.cl AS INT) AS cluster,
+         |       sdn.n AS n, CAST(coalesce(sdx.n_pruned, 0) AS BIGINT) AS n_pruned,
+         |       CAST(sdn.n - coalesce(sdx.n_pruned, 0) AS BIGINT) AS n_kept,
+         |       round(CAST(coalesce(sdx.n_pruned, 0) AS DOUBLE) / sdn.n, 6) AS prune_rate
+         |FROM (SELECT cl, CAST(count(*) AS BIGINT) AS n FROM k${k}_sdv GROUP BY 1) sdn
+         |LEFT JOIN (SELECT cl, CAST(count(DISTINCT victim) AS BIGINT) AS n_pruned
+         |           FROM k${k}_sdp GROUP BY 1) sdx ON sdx.cl = sdn.cl, sel
+         |WHERE sel.k = $k""".stripMargin
+    }
+    s"""WITH ${chains.mkString(",\n")},
+       |$sel
+       |${arms.mkString("\nUNION ALL\n")}
+       |ORDER BY cluster""".stripMargin
+  }
 
   /** [[splitBySemCluster]] replay: the shared stage-chain + cell-vector
     * prefix, exact brute within-cell pairs, recursive-CTE connected

@@ -274,8 +274,11 @@ object IvfIndex {
       .join(labels.select(col("vec_id"), col("label").as("c_label")), Seq("vec_id"))
       .select(col("cell_id"), col("vec_id").as("neighbor_id"), col("c_label"),
         col("embedding").as("c_emb"), l2Norm(col("embedding")).as("c_nrm"))
+    // SHUFFLE_HASH pinned (the ProbeScale finding): with unbounded |Q|
+    // the probe side carries q_emb per row — a small-side ESTIMATE must
+    // never broadcast it; the build side is the cell-bounded corpus
     val mined = Similarity.rankTopK(
-      probes.join(corpus, Seq("cell_id"))
+      probes.join(corpus.hint("shuffle_hash"), Seq("cell_id"))
         .filter(col("query_id") =!= col("neighbor_id") &&
           col("q_label") =!= col("c_label"))
         .select(
@@ -324,8 +327,10 @@ object IvfIndex {
     val corpus = index.assigned
       .select(col("cell_id"), col("vec_id").as("neighbor_id"),
         col("embedding").as("c_emb"), l2Norm(col("embedding")).as("c_nrm"))
+    // SHUFFLE_HASH pinned: unbounded |Q| self-audit, same shape as
+    // [[hardNegativesIvf]] — the fat probe side must never broadcast
     val knn = Similarity.rankTopK(
-      probes.join(corpus, Seq("cell_id"))
+      probes.join(corpus.hint("shuffle_hash"), Seq("cell_id"))
         .filter(col("query_id") =!= col("neighbor_id"))
         .select(
           col("query_id"), col("neighbor_id"),

@@ -402,8 +402,15 @@ object Pq {
       .withColumn("lut",
         graft.functions.PqExpressions.pqQueryLut(col("embedding"), cb.centroids))
       .drop("embedding")
+    // SHUFFLE_HASH pinned on the code side: the optimizer's size
+    // estimate cannot see the post-exchange LUT bytes, so left to stats
+    // it BROADCASTS the fat probe side — measured fatal at a synthetic
+    // 10× sf0.1 (1.1 GiB of collected task results > maxResultSize;
+    // ProbeScale, round 13). The hint makes the cell equi-join build
+    // its per-partition hash from the 16-byte codes — the side that is
+    // bounded per cell by design — and the probe side streams.
     Similarity.rankTopK(
-      qplan.join(index.encoded, Seq("cell_id"))
+      qplan.join(index.encoded.hint("shuffle_hash"), Seq("cell_id"))
         .select(col("query_id"), col("vec_id").as("neighbor_id"),
           round(graft.functions.PqExpressions.pqLutScore(
             col("code"), col("lut"), col("cent_dot"), col("recon_nrm"), col("q_nrm")), 6)
@@ -455,10 +462,14 @@ object Pq {
       .withColumn("lut",
         graft.functions.PqExpressions.pqQueryLut(col("embedding"), cb.centroids))
       .drop("embedding")
-    val corpus = index.encoded
+    // labels are corpus-scale (one row per vector), not a small dim:
+    // pin the id equi-join so neither side is ever broadcast
+    val corpus = index.encoded.hint("shuffle_hash")
       .join(labels.select(col("vec_id"), col("label").as("c_label")), Seq("vec_id"))
+    // same SHUFFLE_HASH pin as [[ivfPqSearchBatch]]: self-mining |Q| ≈
+    // |corpus|, the LUT-fattened probe side must never be broadcast
     Similarity.rankTopK(
-      qplan.join(corpus, Seq("cell_id"))
+      qplan.join(corpus.hint("shuffle_hash"), Seq("cell_id"))
         .filter(col("query_id") =!= col("vec_id") &&
           col("q_label") =!= col("c_label"))
         .select(col("query_id"), col("vec_id").as("neighbor_id"),
@@ -469,7 +480,7 @@ object Pq {
   }
 
   private def withNeighborLabels(mined: DataFrame, labels: DataFrame): DataFrame =
-    mined
+    mined.hint("shuffle_hash") // |Q|·k result ⋈ corpus-scale labels
       .join(labels.select(col("vec_id").as("neighbor_id"),
         col("label").as("neighbor_label")), Seq("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), col("neighbor_label"),
@@ -507,9 +518,12 @@ object Pq {
       col("embedding").as("q_emb"), l2Norm(col("embedding")).as("q_nrm"))
     val ce = corpus.select(col("vec_id").as("neighbor_id"),
       col("embedding").as("c_emb"), l2Norm(col("embedding")).as("c_nrm"))
-    val rescored = short
+    // both rejoin keys are corpus-scale in self-mining (shortlist =
+    // |Q|·kShort rows, qe/ce = corpus embeddings): pin SHUFFLE_HASH so
+    // a small-side estimate can never broadcast any of them
+    val rescored = short.hint("shuffle_hash")
       .join(ce, Seq("neighbor_id"))
-      .join(qe, Seq("query_id"))
+      .join(qe.hint("shuffle_hash"), Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(dotProduct(col("q_emb"), col("c_emb"))
           / (col("q_nrm") * col("c_nrm")), 6).as("cosine"))

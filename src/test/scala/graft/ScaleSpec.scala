@@ -273,6 +273,30 @@ class ScaleSpec extends AnyFunSuite with SparkSpec {
     assert(row.getAs[Long]("n_vecs") == Tables.embeddings(spark, sf).count())
   }
 
+  test("auto-k SemDeDup: the capacity rule moves with the corpus; selected-k table = fixed-k operator") {
+    val cl = graft.operators.Clustering
+    // boundary algebra: n = cap·k stays at k, n = cap·k + 1 moves up;
+    // past the largest candidate's capacity the rule falls back to it
+    assert(cl.selectK(256) == 2 && cl.selectK(257) == 4)
+    assert(cl.selectK(512) == 4 && cl.selectK(513) == 8 && cl.selectK(9999) == 8)
+    // two SFs pick DIFFERENT k from their REAL corpus counts — the
+    // selector provably moves with the shipped data
+    def nAt(dir: String): Long =
+      cl.cleanVectors(Tables.embeddings(spark, dir)).count()
+    val kSmall = cl.selectK(nAt(sf))
+    val kBig = cl.selectK(nAt("/root/testdata/sf0.1"))
+    assert(kSmall == 4 && kBig == 8)
+    // and the auto-k query's table IS the fixed-k operator's at that k
+    val a = graft.SparkEntry.queries("q_semdedup_auto_k")(spark, sf).collect()
+    assert(a.nonEmpty && a.forall(_.getAs[Int]("selected_k") == kSmall))
+    val fixed = cl.semDedup(
+      cl.cleanVectors(Tables.embeddings(spark, sf)),
+      cl.modelFor(spark, sf, k = kSmall)).collect()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Int]("cluster"), r.getAs[Long]("n"), r.getAs[Long]("n_pruned"))
+    assert(a.map(key).toSeq == fixed.map(key).toSeq)
+  }
+
   test("streaming SemDeDup ingest: streamed prune table equals whole-corpus semDedup, any batch split") {
     val cl = graft.operators.Clustering
     // 3 batches (odd split: exercises cross-batch probe AND in-batch
@@ -288,6 +312,20 @@ class ScaleSpec extends AnyFunSuite with SparkSpec {
       (r.getInt(0), r.getAs[Long]("n"), r.getAs[Long]("n_pruned"),
         r.getAs[Long]("n_kept"), r.getAs[Double]("prune_rate"))
     assert(got.map(key).toSeq == batch.map(key).toSeq)
+  }
+
+  test("streaming semantic-leakage monitor: 6-integer grid state equals the whole-corpus audit") {
+    val cl = graft.operators.Clustering
+    val got = graft.streaming.SemDedupIngest
+      .runStreamSemanticLeakage(spark, sf, nBatches = 3).collect()
+    assert(got.nonEmpty && got.forall(_.getAs[Boolean]("parity_ok")))
+    val full = cl.semanticLeakage(
+      cl.cleanVectors(Tables.embeddings(spark, sf)), cl.modelFor(spark, sf))
+      .collect()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getString(1), r.getAs[Long]("n_pairs"),
+        r.getAs[Double]("share"), r.getAs[Boolean]("is_leak"))
+    assert(got.map(key).toSeq == full.map(key).toSeq)
   }
 
   test("streaming SemDeDup ingest: the probe reads ONLY the batch's cell partitions") {
