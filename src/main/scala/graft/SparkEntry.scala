@@ -4930,6 +4930,112 @@ object SparkEntry {
         .orderBy(col("c_custkey"))
     }),
 
+    // ---- Pairwise-preference ranking (Bradley–Terry / RLHF-ops) --------
+
+    // Bradley–Terry strengths over the 5-language domain from hash-block-
+    // bounded within-source comparisons (winner = longer doc). The win
+    // matrix is aggregated distributed; the MM fit runs on the collected
+    // MODEL-sized matrix (≤10 integer rows) in an explicit left-assoc op
+    // order the generated oracle unrolls — scores hash-match at 6dp.
+    "q_bradley_terry" -> ((s, d) =>
+      graft.operators.Preference.bradleyTerry(s, Tables.documents(s, d))),
+
+    // Grouped form: independent fits per length regime (short/long at 300
+    // chars) — is the language preference order stable across regimes?
+    "q_bradley_terry_by_len" -> ((s, d) =>
+      graft.operators.Preference.bradleyTerryByRegime(s, Tables.documents(s, d))),
+
+    // CONTINUOUS Bradley–Terry — the preference family's streaming face
+    // (the SemDedupIngest convention): documents replay as a batched
+    // file stream; each micro-batch generates comparisons against the
+    // at-rest store (block-pruned probe) plus itself, and appends its
+    // win-matrix INCREMENTS (integers — additive, so streamed ≡ batch
+    // exactly for any split, asserted in-plan). The readout fits the
+    // SAME unrolled MM arithmetic: scores stay hash-exact in the oracle.
+    "q_bradley_terry_stream" -> ((s, d) =>
+      graft.streaming.PreferenceIngest.runStreamBradleyTerry(s, d)),
+
+    // ---- Retrieval evaluation (recall@k / MRR / nDCG@k) -----------------
+
+    // IR metrics of the binary-quantization (sign/int1) retrieval tier
+    // against the exact-cosine gold, per query: the eval harness for any
+    // compressed retrieval stack. The ±1 dot score is an exact integer, so
+    // BOTH rankings replay in the oracle and every metric is hash-exact —
+    // no self-asserting floor. (Uniform-random embeddings are sign
+    // quantization's worst case; the measured recall is the point.)
+    "q_retrieval_eval" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") < 32)
+      val gold = Similarity.bruteForceKnn(q, emb, k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val appr = Similarity.binaryQuantKnn(q, emb, k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+      Similarity.retrievalMetrics(gold, appr, k = 5)
+    }),
+
+    // Grouped rollup by query label: integer hit sums for mean recall,
+    // exact DECIMAL sums of the 6dp per-query values for mean rr/nDCG
+    // (summation-order-free on both engines — still hash-exact).
+    "q_retrieval_eval_by_label" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") < 32)
+      val gold = Similarity.bruteForceKnn(q, emb, k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val appr = Similarity.binaryQuantKnn(q, emb, k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+      Similarity.retrievalMetricsBy(
+        Similarity.retrievalMetrics(gold, appr, k = 5), emb, k = 5)
+    }),
+
+    // The same metrics harness over the IVF tier (8/16 cells probed).
+    // IVF's ranking depends on trained centroids, so this one is self-
+    // asserting: floors far under the measured values (recall 0.806/0.844,
+    // MRR 1.000, nDCG 0.870/0.894 at sf0.01/sf0.1 — tools/ProbeRetrieval),
+    // with the oracle pinning the query count and the literals.
+    "q_retrieval_eval_ivf" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") < 32)
+      val gold = Similarity.bruteForceKnn(q, emb, k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val index = graft.operators.IvfIndex.build(s, emb, nLists = 16)
+      val appr = graft.operators.IvfIndex.search(s, index, q, k = 5, nProbe = 8)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+      Similarity.retrievalMetrics(gold, appr, k = 5)
+        .agg(count(lit(1)).as("n_queries"),
+          (sum(col("hits")).cast("double")
+            / (lit(5.0) * count(lit(1))) >= 0.6).as("recall_ok"),
+          (sum(col("rr").cast("decimal(10,6)")).cast("double")
+            / count(lit(1)) >= 0.5).as("mrr_ok"),
+          (sum(col("ndcg").cast("decimal(10,6)")).cast("double")
+            / count(lit(1)) >= 0.5).as("ndcg_ok"))
+    }),
+
+    // ---- Re-identification risk audits (privacy release gates) ---------
+
+    // k-anonymity class-size histogram over the (nation, segment,
+    // acctbal-bucket) quasi-identifier: one hash-shuffle groupBy + a
+    // class-table re-agg; the smallest class_size row IS the dataset's k.
+    "q_k_anonymity" -> ((s, d) =>
+      graft.operators.Privacy.kAnonymityProfile(
+        Tables.customer(s, d),
+        Seq(col("c_nationkey"), col("c_mktsegment"),
+          floor(col("c_acctbal") / 100.0).cast("long")))),
+
+    // l-diversity of the sensitive attribute (acctbal) within (nation,
+    // segment) classes: l = 1 classes leak the attribute even when
+    // k-anonymous.
+    "q_l_diversity" -> ((s, d) =>
+      graft.operators.Privacy.lDiversitySummary(
+        Tables.customer(s, d),
+        Seq(col("c_nationkey"), col("c_mktsegment")), col("c_acctbal"))),
+
+    // Fixed generalization ladder to k ≥ 5: per level the class count,
+    // min class size and suppression cost, `chosen` marking the minimal
+    // qualifying generalization. Levels 1+ re-aggregate level 0's class
+    // table — one corpus scan serves the whole ladder.
+    "q_k_anon_generalize" -> ((s, d) =>
+      graft.operators.Privacy.generalizationLadder(Tables.customer(s, d), k = 5L)),
+
     // TPC-H Q6 shape (forecast revenue change): single-scan aggregate with
     // every predicate in PushedFilters — the pure pushdown benchmark.
     "q_sql_tpch_q6" -> ((s, d) => {
@@ -5043,6 +5149,10 @@ object SparkEntry {
     // Operator: the grid-delta monitor stream alone.
     "q_semantic_leakage_stream" -> ((s, d) =>
       graft.streaming.SemDedupIngest.runStreamSemanticLeakage(s, d, assertParity = false)),
+    // Contract form: streamed win matrix ⋈ whole-corpus matrix (equality).
+    // Operator: the block-pruned ingest stream + MM readout alone.
+    "q_bradley_terry_stream" -> ((s, d) =>
+      graft.streaming.PreferenceIngest.runStreamBradleyTerry(s, d, assertParity = false)),
     // Contract form: at-rest index ⋈ whole-corpus re-encode (parity).
     // Operator: train + initial encode + the batched cell-append stream.
     "q_ann_ingest_stream" -> ((s, d) =>
@@ -9968,7 +10078,89 @@ object SparkEntry {
                            l.op AS op
                     FROM s FULL OUTER JOIN latest l ON s.k = l.k)
          SELECT c_custkey, c_acctbal, cdc_action
-         FROM j WHERE op IS NULL OR op <> 'D' ORDER BY c_custkey"""
+         FROM j WHERE op IS NULL OR op <> 'D' ORDER BY c_custkey""",
+
+    // Bradley–Terry: the MM fit unrolled from the SAME constants as the
+    // Scala driver loop (identical IEEE ops in identical order — hash-
+    // exact scores, no floors). See Preference.btOracleSql.
+    "q_bradley_terry" -> graft.operators.Preference.btOracleSql,
+    "q_bradley_terry_by_len" -> graft.operators.Preference.btOracleSqlByRegime,
+
+    // Streaming replay: the batch fit's exact chain + the pinned parity
+    // (streamed win matrix ≡ whole-corpus matrix, exact integers).
+    "q_bradley_terry_stream" -> graft.operators.Preference.btOracleSqlStream,
+
+    // Retrieval eval: binary-quantized tier replayed exactly (±1 dot is
+    // an exact integer, gold is the proven cosine rank chain); metrics
+    // composed from shared gain literals — hash-exact per query.
+    "q_retrieval_eval" -> Similarity.retrievalEvalPerQuerySql(qMax = 32, k = 5),
+    "q_retrieval_eval_by_label" -> Similarity.retrievalEvalByLabelSql(qMax = 32, k = 5),
+
+    // Self-asserting (IVF ranking depends on trained centroids): the
+    // oracle pins the query count and the asserted floors.
+    "q_retrieval_eval_ivf" ->
+      """SELECT count(DISTINCT vec_id) AS n_queries, true AS recall_ok,
+                true AS mrr_ok, true AS ndcg_ok
+         FROM embeddings WHERE vec_id < 32""",
+
+    // k-anonymity histogram: classes over the QI, then sizes re-agged.
+    "q_k_anonymity" ->
+      """WITH cls AS (
+           SELECT c_nationkey, c_mktsegment,
+                  CAST(floor(c_acctbal / 100.0) AS BIGINT) AS bb,
+                  count(*) AS class_size
+           FROM customer GROUP BY 1, 2, 3)
+         SELECT class_size, CAST(count(*) AS BIGINT) AS n_classes,
+                CAST(sum(class_size) AS BIGINT) AS n_rows
+         FROM cls GROUP BY 1 ORDER BY 1""",
+
+    "q_l_diversity" ->
+      """WITH cls AS (
+           SELECT c_nationkey, c_mktsegment, count(*) AS class_size,
+                  count(DISTINCT c_acctbal) AS l
+           FROM customer GROUP BY 1, 2)
+         SELECT CAST(count(*) AS BIGINT) AS n_classes,
+                CAST(min(l) AS BIGINT) AS min_l,
+                CAST(sum(CASE WHEN l = 1 THEN 1 ELSE 0 END) AS BIGINT) AS classes_l1,
+                CAST(sum(CASE WHEN l = 1 THEN class_size ELSE 0 END) AS BIGINT) AS rows_l1
+         FROM cls""",
+
+    // Generalization ladder: level 0 is the only corpus-scale GROUP BY;
+    // levels 1+ re-aggregate the class table (floor-bucket coarsening
+    // composes). `chosen` = first level with min_k >= 5.
+    "q_k_anon_generalize" ->
+      """WITH l0 AS (
+           SELECT c_nationkey AS nation, c_mktsegment AS segment,
+                  CAST(floor(c_acctbal / 100.0) AS BIGINT) AS bb,
+                  count(*) AS cnt
+           FROM customer GROUP BY 1, 2, 3),
+         l1 AS (SELECT nation, segment,
+                       CAST(floor(CAST(bb AS DOUBLE) / 10.0) AS BIGINT) AS bb,
+                       CAST(sum(cnt) AS BIGINT) AS cnt
+                FROM l0 GROUP BY 1, 2, 3),
+         l2 AS (SELECT nation, segment, CAST(sum(cnt) AS BIGINT) AS cnt
+                FROM l0 GROUP BY 1, 2),
+         l3 AS (SELECT segment, CAST(sum(cnt) AS BIGINT) AS cnt
+                FROM l0 GROUP BY 1),
+         lv AS (
+           SELECT 0 AS level, CAST(count(*) AS BIGINT) AS n_classes,
+                  CAST(min(cnt) AS BIGINT) AS min_k,
+                  CAST(sum(CASE WHEN cnt < 5 THEN cnt ELSE 0 END) AS BIGINT) AS rows_at_risk
+           FROM l0
+           UNION ALL
+           SELECT 1, CAST(count(*) AS BIGINT), CAST(min(cnt) AS BIGINT),
+                  CAST(sum(CASE WHEN cnt < 5 THEN cnt ELSE 0 END) AS BIGINT) FROM l1
+           UNION ALL
+           SELECT 2, CAST(count(*) AS BIGINT), CAST(min(cnt) AS BIGINT),
+                  CAST(sum(CASE WHEN cnt < 5 THEN cnt ELSE 0 END) AS BIGINT) FROM l2
+           UNION ALL
+           SELECT 3, CAST(count(*) AS BIGINT), CAST(min(cnt) AS BIGINT),
+                  CAST(sum(CASE WHEN cnt < 5 THEN cnt ELSE 0 END) AS BIGINT) FROM l3)
+         SELECT level, n_classes, min_k, rows_at_risk,
+                (min_k >= 5 AND coalesce(max(CASE WHEN min_k >= 5 THEN 1 ELSE 0 END)
+                   OVER (ORDER BY level ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) = 0)
+                  AS chosen
+         FROM lv ORDER BY level"""
   )
 
   /** Generated per-lag UNION ALL oracle for [[q_acf]]: the same exact

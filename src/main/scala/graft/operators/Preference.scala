@@ -1,0 +1,310 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.PortableHash
+
+/** Pairwise-preference ranking — the Bradley–Terry model (Bradley &
+  * Terry 1952; the MM fit follows Hunter 2004, "MM algorithms for
+  * generalized Bradley-Terry models"). This is the standard machinery
+  * behind RLHF preference datasets and LLM arena leaderboards: given
+  * pairwise comparisons between a FIXED, small set of items, estimate a
+  * latent strength p_i per item such that P(i beats j) = p_i/(p_i+p_j).
+  *
+  * Architecture at 100 TB: the data-sized work is the comparison
+  * generation + win-matrix aggregation, both fully distributed — pairs
+  * are generated only within a (source, hash-block) cell (the SemDeDup
+  * posture: the BLOCK bounds the quadratic, and the block count grows
+  * with the corpus), and the matrix aggregation is one shuffle with
+  * map-side partials. The MM iterations then run on the collected
+  * matrix, which is MODEL-sized (≤ |items|²/2 entries — |items| is a
+  * fixed enum like language or model-variant, never data-sized), the
+  * same posture as the k-means centroid fold in
+  * [[graft.operators.Clustering]].
+  *
+  * Oracle exactness: every float operation of the MM fit is performed in
+  * an EXPLICIT left-associated order over items sorted lexicographically,
+  * and [[btOracleSql]] generates the DuckDB twin UNROLLED from the same
+  * constants — identical IEEE operations in identical order give
+  * bitwise-identical doubles, so the scores hash-match at 6 dp with no
+  * "self-asserting floor" weakening. (Win counts are integers; the only
+  * floats are the divisions and the explicitly-ordered sums.)
+  */
+object Preference {
+
+  /** The item domain: document language, sorted — a fixed enum in this
+    * corpus (asserted stable across SFs). The unrolled MM fit and its
+    * generated SQL twin both derive from this single constant. */
+  val Items: IndexedSeq[String] = IndexedSeq("de", "en", "es", "fr", "zh")
+
+  /** Comparison-blocking modulus: documents only compare within the same
+    * (source, keyHash(doc_id) % Blocks) cell, so the per-cell pair count
+    * is occupancy-bounded. Scale by growing Blocks with the corpus. */
+  val Blocks = 8
+
+  /** Fixed MM iteration budget — convergence at 5 items is < 10 iters;
+    * fixed count keeps the oracle replay exact (no data-dependent loop). */
+  val Iters = 20
+
+  /** Regime threshold on n_chars for the grouped form: preferences are
+    * fit separately for short and long documents, testing rank stability
+    * across length regimes. */
+  val RegimeChars = 300L
+
+  private def regimeCol: Column =
+    when(col("n_chars") >= RegimeChars, lit("long")).otherwise(lit("short"))
+
+  private def regimeSql: String =
+    s"CASE WHEN n_chars >= $RegimeChars THEN 'long' ELSE 'short' END"
+
+  /** Distributed win-matrix over language pairs: documents meet within a
+    * (source, block[, regime]) cell, the lexicographically-smaller lang
+    * is `i`, winner = longer text, ties dropped. Output: (regime?,) i, j,
+    * n (matches), w (wins by i) — integers only. */
+  def winMatrix(docs: DataFrame, byRegime: Boolean): DataFrame = {
+    val base = docs.select(
+      col("doc_id"), col("lang"), col("source"), col("n_chars"),
+      pmod(PortableHash.keyHash(col("doc_id")), lit(Blocks.toLong)).as("blk"),
+      regimeCol.as("regime"))
+    val keys = Seq("source", "blk") ++ (if (byRegime) Seq("regime") else Nil)
+    val a = base.select(
+      (keys.map(col) :+ col("lang").as("i") :+ col("n_chars").as("ca")): _*)
+    val b = base.select(
+      (keys.map(c => col(c).as(s"b_$c")) :+ col("lang").as("j")
+        :+ col("n_chars").as("cb")): _*)
+    val joined = a.join(b,
+      keys.map(c => col(c) === col(s"b_$c")).reduce(_ && _)
+        && col("i") < col("j") && col("ca") =!= col("cb"))
+    val groupCols = (if (byRegime) Seq(col("regime")) else Nil) ++
+      Seq(col("i"), col("j"))
+    joined.groupBy(groupCols: _*)
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("ca") > col("cb"), 1L).otherwise(0L)).as("w"))
+  }
+
+  /** The MM fit over one collected win matrix, in the canonical order:
+    * for each item i (sorted), den_i = Σ_{j≠i, sorted} n_ij/(p_i+p_j)
+    * left-associated; p'_i = W_i/den_i; then normalized by the
+    * left-associated sum over sorted items. [[btOracleSql]] unrolls the
+    * SAME order, so both engines produce bitwise-identical doubles. */
+  private[operators] def mmFit(
+      n: Map[(String, String), Long],
+      w: Map[(String, String), Long]): (Map[String, Long], Map[String, Long], Map[String, Double]) = {
+    val items = Items
+    def nTot(i: String, j: String): Long =
+      if (items.indexOf(i) < items.indexOf(j)) n.getOrElse((i, j), 0L)
+      else n.getOrElse((j, i), 0L)
+    val wins: Map[String, Long] = items.map { i =>
+      i -> items.filter(_ != i).foldLeft(0L) { (acc, j) =>
+        acc + (if (items.indexOf(i) < items.indexOf(j)) w.getOrElse((i, j), 0L)
+               else n.getOrElse((j, i), 0L) - w.getOrElse((j, i), 0L))
+      }
+    }.toMap
+    val matches: Map[String, Long] =
+      items.map(i => i -> items.filter(_ != i).map(nTot(i, _)).sum).toMap
+    var p: Map[String, Double] = items.map(_ -> 1.0 / items.size).toMap
+    for (_ <- 1 to Iters) {
+      val raw: Map[String, Double] = items.map { i =>
+        var den = Option.empty[Double]
+        items.filter(_ != i).foreach { j =>
+          val t = nTot(i, j).toDouble / (p(i) + p(j))
+          den = Some(den.fold(t)(_ + t))
+        }
+        val d = den.get
+        i -> (if (d > 0) wins(i).toDouble / d else p(i))
+      }.toMap
+      var s = Option.empty[Double]
+      items.foreach(i => s = Some(s.fold(raw(i))(_ + raw(i))))
+      val sv = s.get
+      p = items.map(i => i -> raw(i) / sv).toMap
+    }
+    (wins, matches, p)
+  }
+
+  /** Driver-side twin of Spark's `round(col, 6)` (HALF_UP over the
+    * shortest-repr decimal, i.e. BigDecimal.valueOf — NOT the exact
+    * binary expansion), so driver-rounded scores equal what the SQL
+    * oracle's round(x, 6) produces. */
+  private def round6(x: Double): Double =
+    BigDecimal.valueOf(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  private val resultSchema = StructType(Seq(
+    StructField("item", StringType, nullable = false),
+    StructField("wins", LongType, nullable = false),
+    StructField("matches", LongType, nullable = false),
+    StructField("score", DoubleType, nullable = false),
+    StructField("rank", LongType, nullable = false)))
+
+  /** The fitted result table from a collected win matrix — shared by the
+    * batch operator and the streaming ingest readout
+    * ([[graft.streaming.PreferenceIngest]]), so both produce the
+    * identical arithmetic the unrolled oracle replays. */
+  def scoresTable(
+      spark: SparkSession,
+      n: Map[(String, String), Long],
+      w: Map[(String, String), Long]): DataFrame = {
+    val (wins, matches, p) = mmFit(n, w)
+    val ranked = Items.sortBy(i => (-p(i), i)).zipWithIndex
+      .map { case (i, r) => i -> (r + 1L) }.toMap
+    val rows = Items.map(i => Row(
+      i, wins(i), matches(i), round6(p(i)), ranked(i)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), resultSchema)
+      .orderBy(col("item"))
+  }
+
+  /** Bradley–Terry scores per item. The collect is the win matrix —
+    * ≤ |Items|²/2 rows, model-sized by construction (see header). */
+  def bradleyTerry(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val m = winMatrix(docs, byRegime = false)
+      .collect() // model-sized: ≤ |Items|²/2 = 10 integer rows
+    val n = m.map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val w = m.map(r => (r.getString(0), r.getString(1)) -> r.getLong(3)).toMap
+    scoresTable(spark, n, w)
+  }
+
+  /** Grouped form: an independent fit per length regime — rank stability
+    * across regimes. Collect is 2 × the model-sized matrix. */
+  def bradleyTerryByRegime(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val m = winMatrix(docs, byRegime = true)
+      .collect() // model-sized: ≤ 2 regimes × 10 integer rows
+    val regimes = Seq("long", "short")
+    val rows = regimes.flatMap { reg =>
+      val sub = m.filter(_.getString(0) == reg)
+      val n = sub.map(r => (r.getString(1), r.getString(2)) -> r.getLong(3)).toMap
+      val w = sub.map(r => (r.getString(1), r.getString(2)) -> r.getLong(4)).toMap
+      val (wins, matches, p) = mmFit(n, w)
+      val ranked = Items.sortBy(i => (-p(i), i)).zipWithIndex
+        .map { case (i, r) => i -> (r + 1L) }.toMap
+      Items.map(i => Row(
+        reg, i, wins(i), matches(i), round6(p(i)), ranked(i)))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(StructField("regime", StringType, nullable = false) +: resultSchema.fields.toSeq))
+      .orderBy(col("regime"), col("item"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Oracle SQL generation — unrolled from the SAME constants as the fit.
+  // ---------------------------------------------------------------------
+
+  private def pairCells(filter: String): String = {
+    val items = Items
+    val cols = for {
+      ai <- items.indices; bi <- (ai + 1) until items.size
+    } yield {
+      val (i, j) = (items(ai), items(bi))
+      s"coalesce(sum(CASE WHEN i='$i' AND j='$j' THEN n END),0) AS n_${i}_$j, " +
+        s"coalesce(sum(CASE WHEN i='$i' AND j='$j' THEN w END),0) AS w_${i}_$j"
+    }
+    s"""m0 AS (
+       |  SELECT a.lang AS i, b.lang AS j, count(*) AS n,
+       |         sum(CASE WHEN a.n_chars > b.n_chars THEN 1 ELSE 0 END) AS w
+       |  FROM d a JOIN d b
+       |    ON a.source = b.source AND a.blk = b.blk$filter
+       |   AND a.lang < b.lang AND a.n_chars != b.n_chars
+       |  GROUP BY 1, 2),
+       |m AS (SELECT ${cols.mkString(", ")} FROM m0)""".stripMargin
+  }
+
+  /** The unrolled MM chain: each iteration is scalar arithmetic over ONE
+    * row of p_<item> columns, with every sum left-associated in item
+    * order — the exact op sequence of [[mmFit]]. */
+  private def mmChainSql(): String = {
+    val items = Items
+    def nRef(i: String, j: String): String =
+      if (items.indexOf(i) < items.indexOf(j)) s"n_${i}_$j" else s"n_${j}_$i"
+    def winsExpr(i: String): String = {
+      val terms = items.filter(_ != i).map { j =>
+        if (items.indexOf(i) < items.indexOf(j)) s"w_${i}_$j"
+        else s"(n_${j}_$i - w_${j}_$i)"
+      }
+      terms.reduceLeft((a, b) => s"($a + $b)")
+    }
+    val matCols = (for {
+      ai <- items.indices; bi <- (ai + 1) until items.size
+    } yield s"n_${items(ai)}_${items(bi)}, w_${items(ai)}_${items(bi)}").mkString(", ")
+    val p0 = (1.0 / items.size).toString
+    val it0 = s"it0 AS (SELECT m.*, " +
+      items.map(i => s"CAST($p0 AS DOUBLE) AS p_$i").mkString(", ") + ", " +
+      items.map(i => s"CAST(${winsExpr(i)} AS DOUBLE) AS wn_$i").mkString(", ") +
+      " FROM m)"
+    val steps = (1 to Iters).flatMap { t =>
+      val raws = items.map { i =>
+        val den = items.filter(_ != i)
+          .map(j => s"CAST(${nRef(i, j)} AS DOUBLE)/(p_$i + p_$j)")
+          .reduceLeft((a, b) => s"($a + $b)")
+        s"CASE WHEN ($den) > 0 THEN wn_$i/($den) ELSE p_$i END AS r_$i"
+      }
+      val ssum = items.map(i => s"r_$i").reduceLeft((a, b) => s"($a + $b)")
+      Seq(
+        s"r$t AS (SELECT *, ${raws.mkString(", ")} FROM it${t - 1})",
+        s"it$t AS (SELECT $matCols, ${items.map(i => s"wn_$i").mkString(", ")}, " +
+          items.map(i => s"r_$i/($ssum) AS p_$i").mkString(", ") + s" FROM r$t)")
+    }
+    (it0 +: steps).mkString(",\n")
+  }
+
+  private def matchesExpr(i: String): String = {
+    val items = Items
+    items.filter(_ != i).map { j =>
+      if (items.indexOf(i) < items.indexOf(j)) s"n_${i}_$j" else s"n_${j}_$i"
+    }.mkString(" + ")
+  }
+
+  private def rankSql(prefix: String): String =
+    // rank by (score DESC, item) over the final single row's columns:
+    // count of items with strictly greater score, item as tiebreak.
+    Items.map { i =>
+      val greater = Items.filter(_ != i).map { j =>
+        s"CASE WHEN p_$j > p_$i OR (p_$j = p_$i AND '$j' < '$i') THEN 1 ELSE 0 END"
+      }.mkString(" + ")
+      s"SELECT '$i' AS item, CAST(wn_$i AS BIGINT) AS wins, " +
+        s"CAST(${matchesExpr(i)} AS BIGINT) AS matches, " +
+        s"round(p_$i, 6) AS score, CAST(1 + $greater AS BIGINT) AS rank " +
+        s"FROM it$Iters$prefix"
+    }.mkString(" UNION ALL ")
+
+  /** DuckDB oracle for [[bradleyTerry]] over the `documents` table. */
+  def btOracleSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, lang, source, n_chars,
+       |         ${PortableHash.keyHashSql("doc_id")} % $Blocks AS blk
+       |  FROM documents),
+       |${pairCells("")},
+       |${mmChainSql()}
+       |SELECT * FROM (${rankSql("")}) ORDER BY item""".stripMargin
+
+  /** [[btOracleSql]] + a pinned `parity_ok` for the streaming ingest
+    * (streamed matrix ≡ batch matrix is asserted in-plan; the scores are
+    * the same arithmetic). The marker must occur exactly once — a drift
+    * in the base SQL fails loudly instead of silently skewing the
+    * oracle (the q_conformal_stream convention). */
+  def btOracleSqlStream: String = {
+    val marker = "SELECT * FROM ("
+    require(btOracleSql.indexOf(marker) >= 0 &&
+      btOracleSql.indexOf(marker) == btOracleSql.lastIndexOf(marker),
+      s"parity-injection marker not unique in btOracleSql")
+    btOracleSql.replace(marker, "SELECT *, true AS parity_ok FROM (")
+  }
+
+  /** DuckDB oracle for [[bradleyTerryByRegime]]: the same unrolled chain
+    * instantiated per regime (regimes are a fixed 2-value enum). */
+  def btOracleSqlByRegime: String = {
+    val per = Seq("long", "short").map { reg =>
+      s"""SELECT '$reg' AS regime, * FROM (
+         |WITH d AS (
+         |  SELECT doc_id, lang, source, n_chars,
+         |         ${PortableHash.keyHashSql("doc_id")} % $Blocks AS blk
+         |  FROM documents
+         |  WHERE ($regimeSql) = '$reg'),
+         |${pairCells("")},
+         |${mmChainSql()}
+         |${rankSql("")})""".stripMargin
+    }
+    s"SELECT * FROM (${per.mkString(" UNION ALL ")}) ORDER BY regime, item"
+  }
+}

@@ -341,4 +341,163 @@ object Similarity {
       .dropDuplicates("query_id", "neighbor_id")
     rankTopK(scored, k)
   }
+
+  // -----------------------------------------------------------------------
+  // Retrieval evaluation — recall@k / MRR / nDCG@k against an exact gold.
+  // -----------------------------------------------------------------------
+
+  /** Binary (sign) quantization retrieval tier: vectors are reduced to
+    * their sign pattern (±1 per component — the int1 quantization used to
+    * shrink 100 TB embedding stores 32×), and ranking is by the ±1 dot
+    * product, which for equal-dimension vectors is a monotone function of
+    * Hamming distance on the sign bits. The score is an INTEGER-valued
+    * double (sum of ±1 terms — exact in IEEE regardless of summation
+    * order), so ranking is bit-deterministic with no rounding step and
+    * the DuckDB oracle replays it exactly. Same bounded-|Q| broadcast
+    * shape as [[bruteForceKnn]]; at scale the sign bits live in the index
+    * and this is a popcount scan. */
+  def binaryQuantKnn(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
+    def sgn(c: Column): Column =
+      transform(c, x => when(x >= 0, lit(1.0d)).otherwise(lit(-1.0d)))
+    val q = queries.select(
+      col("vec_id").as("query_id"), sgn(col("embedding")).as("q_sgn"))
+    val c = candidates
+      .repartition(candidates.sparkSession.sparkContext.defaultParallelism)
+      .select(col("vec_id").as("neighbor_id"), sgn(col("embedding")).as("c_sgn"))
+    val scored = broadcast(q)
+      .join(c, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        dotProduct(col("q_sgn"), col("c_sgn")).as("cosine"))
+    rankTopK(scored, k)
+  }
+
+  /** Rank-discount gains 1/log2(r+1) for r = 1..k — THE constants both
+    * the Spark metric fold and the generated oracle SQL share (the SQL
+    * literals are these doubles' shortest-repr strings, so both engines
+    * hold bitwise-identical values). */
+  def ndcgGains(k: Int): IndexedSeq[Double] =
+    (1 to k).map(r => 1.0 / (math.log(r + 1.0) / math.log(2.0)))
+
+  /** Ideal DCG@k for binary relevance with ≥ k relevant items: the
+    * left-associated sum of [[ndcgGains]] — the same association order
+    * the generated SQL literal chain uses. */
+  def idcgAt(k: Int): Double = ndcgGains(k).reduceLeft(_ + _)
+
+  /** Per-query IR metrics of a retrieved list against an exact gold set:
+    * recall@k, reciprocal rank (of the first gold item in the retrieved
+    * ranking), and nDCG@k with binary relevance.
+    *
+    * Float determinism: per-rank relevance indicators are aggregated as
+    * integers (max of 0/1 per rank — order-free), and the DCG is then
+    * composed OUTSIDE the aggregation as a left-associated chain
+    * rel_1·g_1 + … + rel_k·g_k over the shared [[ndcgGains]] literals —
+    * the identical op sequence the generated oracle runs, so results
+    * hash-match at 6 dp. Inputs are the bounded |Q|·k frames; the join
+    * and aggregation never touch corpus-scale data. */
+  def retrievalMetrics(gold: DataFrame, retrieved: DataFrame, k: Int): DataFrame = {
+    val gains = ndcgGains(k)
+    val g = gold.select(col("query_id"), col("neighbor_id"), lit(1).as("rel0"))
+    val j = retrieved.select(col("query_id"), col("neighbor_id"), col("rank"))
+      .join(g, Seq("query_id", "neighbor_id"), "left")
+      .select(col("query_id"), col("rank"),
+        coalesce(col("rel0"), lit(0)).as("rel"))
+    val relAt = (1 to k).map(r =>
+      coalesce(max(when(col("rank") === r, col("rel"))), lit(0)).as(s"rel_$r"))
+    val aggCols =
+      min(when(col("rel") === 1, col("rank"))).cast("long").as("first_hit") +: relAt
+    val agg = j.groupBy(col("query_id")).agg(
+      sum(col("rel")).cast("long").as("hits"), aggCols: _*)
+    val dcg = (1 to k).map(r => col(s"rel_$r") * lit(gains(r - 1)))
+      .reduceLeft(_ + _)
+    agg.select(
+      col("query_id"), col("hits"),
+      round(col("hits").cast("double") / lit(k.toDouble), 6).as("recall_at_k"),
+      round(coalesce(lit(1.0) / col("first_hit"), lit(0.0)), 6).as("rr"),
+      round(dcg / lit(idcgAt(k)), 6).as("ndcg"))
+      .orderBy(col("query_id"))
+  }
+
+  /** Grouped rollup of [[retrievalMetrics]] rows by a label column joined
+    * from the query side: mean recall from INTEGER hit sums, mean rr and
+    * mean nDCG through exact DECIMAL(10,6) sums of the already-6dp-rounded
+    * per-query values (decimal addition is exact integer arithmetic, so
+    * the rollup is summation-order-free on both engines). */
+  def retrievalMetricsBy(perQuery: DataFrame, labels: DataFrame, k: Int): DataFrame =
+    perQuery
+      .join(labels.select(col("vec_id").as("query_id"), col("label")), Seq("query_id"))
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n_queries"),
+        sum(col("hits")).cast("long").as("hits"),
+        round(sum(col("hits")).cast("double")
+          / (lit(k.toDouble) * count(lit(1))), 6).as("mean_recall"),
+        round(sum(col("rr").cast("decimal(10,6)")).cast("double")
+          / count(lit(1)), 6).as("mean_rr"),
+        round(sum(col("ndcg").cast("decimal(10,6)")).cast("double")
+          / count(lit(1)), 6).as("mean_ndcg"))
+      .orderBy(col("label"))
+
+  /** Oracle SQL fragment: per-query metrics of the binary-quantized tier
+    * vs the exact-cosine gold over `embeddings`, queries `vec_id < qMax`.
+    * Generated from the same [[ndcgGains]]/[[idcgAt]] constants and the
+    * same left-associated composition as [[retrievalMetrics]]. */
+  def retrievalEvalOracleSql(qMax: Int, k: Int): String = {
+    val gains = ndcgGains(k)
+    val dcg = (1 to k)
+      .map(r => s"coalesce(max(CASE WHEN rank = $r THEN rel END),0) * CAST(${gains(r - 1)} AS DOUBLE)")
+      .reduceLeft((a, b) => s"$a + $b")
+    s"""WITH gold AS (
+       |  SELECT * FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |           row_number() OVER (PARTITION BY q.vec_id
+       |             ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) DESC, c.vec_id) AS rank
+       |    FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+       |    WHERE q.vec_id < $qMax)
+       |  WHERE rank <= $k),
+       |approx AS (
+       |  SELECT * FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |           row_number() OVER (PARTITION BY q.vec_id
+       |             ORDER BY list_dot_product(
+       |               list_transform(CAST(q.embedding AS DOUBLE[]), x -> CASE WHEN x >= 0 THEN 1.0 ELSE -1.0 END),
+       |               list_transform(CAST(c.embedding AS DOUBLE[]), x -> CASE WHEN x >= 0 THEN 1.0 ELSE -1.0 END)) DESC, c.vec_id) AS rank
+       |    FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+       |    WHERE q.vec_id < $qMax)
+       |  WHERE rank <= $k),
+       |j AS (
+       |  SELECT a.query_id, a.rank,
+       |         CASE WHEN g.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+       |  FROM approx a LEFT JOIN gold g
+       |    ON a.query_id = g.query_id AND a.neighbor_id = g.neighbor_id),
+       |pq AS (
+       |  SELECT query_id,
+       |         CAST(sum(rel) AS BIGINT) AS hits,
+       |         CAST(min(CASE WHEN rel = 1 THEN rank END) AS BIGINT) AS first_hit,
+       |         $dcg AS dcg
+       |  FROM j GROUP BY 1)""".stripMargin
+  }
+
+  /** Full oracle for the per-query contract rows. */
+  def retrievalEvalPerQuerySql(qMax: Int, k: Int): String =
+    s"""${retrievalEvalOracleSql(qMax, k)}
+       |SELECT query_id, hits,
+       |       round(CAST(hits AS DOUBLE) / $k, 6) AS recall_at_k,
+       |       round(coalesce(CAST(1.0 AS DOUBLE) / first_hit, CAST(0.0 AS DOUBLE)), 6) AS rr,
+       |       round(dcg / CAST(${idcgAt(k)} AS DOUBLE), 6) AS ndcg
+       |FROM pq ORDER BY query_id""".stripMargin
+
+  /** Full oracle for the grouped rollup (query label from `embeddings`). */
+  def retrievalEvalByLabelSql(qMax: Int, k: Int): String =
+    s"""${retrievalEvalOracleSql(qMax, k)},
+       |pql AS (
+       |  SELECT pq.*, e.label,
+       |         round(coalesce(CAST(1.0 AS DOUBLE) / first_hit, CAST(0.0 AS DOUBLE)), 6) AS rr,
+       |         round(dcg / CAST(${idcgAt(k)} AS DOUBLE), 6) AS ndcg
+       |  FROM pq JOIN embeddings e ON pq.query_id = e.vec_id)
+       |SELECT label, CAST(count(*) AS BIGINT) AS n_queries,
+       |       CAST(sum(hits) AS BIGINT) AS hits,
+       |       round(CAST(sum(hits) AS DOUBLE) / (CAST($k AS DOUBLE) * count(*)), 6) AS mean_recall,
+       |       round(CAST(sum(CAST(rr AS DECIMAL(10,6))) AS DOUBLE) / count(*), 6) AS mean_rr,
+       |       round(CAST(sum(CAST(ndcg AS DECIMAL(10,6))) AS DOUBLE) / count(*), 6) AS mean_ndcg
+       |FROM pql GROUP BY 1 ORDER BY 1""".stripMargin
 }

@@ -1,0 +1,196 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Preference, Privacy, Similarity}
+
+/** Round-13 eval-ops families: Bradley–Terry preference ranking,
+  * retrieval-evaluation metrics, and re-identification-risk audits. */
+class EvalOpsSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  // --- Bradley–Terry --------------------------------------------------
+
+  /** Synthetic docs where length strictly orders by a planted language
+    * preference: zh > en > de everywhere they meet (es/fr get mid-table
+    * lengths). One source, enough docs that every block has meetings. */
+  private def plantedDocs = {
+    val langs = Seq("de", "en", "es", "fr", "zh")
+    val lift = Map("de" -> 0L, "es" -> 200L, "fr" -> 250L, "en" -> 400L, "zh" -> 800L)
+    val rows = for {
+      i <- 0L until 60L
+      (lang, li) <- langs.zipWithIndex
+    } yield (i * 5 + li, "x", lang, "s0", lift(lang) + i % 3)
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  test("bradleyTerry ranks a planted strict preference correctly and normalizes") {
+    val out = Preference.bradleyTerry(spark, plantedDocs).collect()
+    assert(out.length == 5)
+    val byItem = out.map(r => r.getAs[String]("item") ->
+      (r.getAs[Long]("wins"), r.getAs[Long]("matches"),
+        r.getAs[Double]("score"), r.getAs[Long]("rank"))).toMap
+    // zh beats everyone it meets; de loses everything ⇒ rank order
+    assert(byItem("zh")._4 == 1L, s"zh should rank 1: $byItem")
+    assert(byItem("en")._4 == 2L)
+    assert(byItem("de")._4 == 5L)
+    // de never wins (lift gap 200 > intra-noise 2): zero wins, score → ~0
+    assert(byItem("de")._1 == 0L && byItem("de")._3 < 0.01)
+    // scores are a normalized simplex (6dp rounding tolerance)
+    val sum = out.map(_.getAs[Double]("score")).sum
+    assert(math.abs(sum - 1.0) < 5e-6, s"scores must sum to 1, got $sum")
+    // each match produces exactly one win: Σ wins = Σ matches / 2
+    assert(out.map(_.getAs[Long]("wins")).sum * 2 ==
+      out.map(_.getAs[Long]("matches")).sum)
+  }
+
+  test("bradleyTerry fitted strengths reproduce empirical win rates (MM fixed point)") {
+    // With only two langs actually meeting (others absent), the BT win
+    // probability p_a/(p_a+p_b) must equal the empirical rate at the MM
+    // fixed point. 3 langs present pairwise: check one pair's implied
+    // probability against its empirical w/n within convergence slack.
+    val rows = (0L until 200L).flatMap { i =>
+      // en beats de 3 of 4 meetings; zh beats en 1 of 2; zh beats de 1 of 2
+      Seq(
+        (i * 10 + 0, "x", "de", "s0", if (i % 4 == 0) 100L else 10L),
+        (i * 10 + 1, "x", "en", "s0", 50L),
+        (i * 10 + 2, "x", "zh", "s0", if (i % 2 == 0) 60L else 40L))
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Preference.bradleyTerry(spark, rows).collect()
+      .map(r => r.getAs[String]("item") -> r.getAs[Double]("score")).toMap
+    val pEnDe = out("en") / (out("en") + out("de"))
+    assert(pEnDe > 0.6 && pEnDe < 0.9, s"implied P(en>de) ≈ 0.75, got $pEnDe")
+  }
+
+  test("bradleyTerryByRegime fits regimes independently") {
+    // Short regime: en longer; long regime: de longer — opposite ranks.
+    val rows = (0L until 120L).flatMap { i =>
+      Seq(
+        (i * 4 + 0, "x", "de", "s0", 10L + i % 2),
+        (i * 4 + 1, "x", "en", "s0", 100L + i % 2),
+        (i * 4 + 2, "x", "de", "s1", 900L + i % 2),
+        (i * 4 + 3, "x", "en", "s1", 500L + i % 2))
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Preference.bradleyTerryByRegime(spark, rows).collect()
+    val rank = out.map(r => (r.getAs[String]("regime"), r.getAs[String]("item")) ->
+      r.getAs[Long]("rank")).toMap
+    assert(rank(("short", "en")) < rank(("short", "de")))
+    assert(rank(("long", "de")) < rank(("long", "en")))
+  }
+
+  // --- Retrieval metrics ----------------------------------------------
+
+  private def frame(rows: Seq[(Long, Long, Int)]) =
+    rows.toDF("query_id", "neighbor_id", "rank")
+
+  test("retrievalMetrics: identical gold and retrieved give perfect metrics") {
+    val r = frame((1 to 5).map(i => (7L, i.toLong, i)))
+    val g = r.select(col("query_id"), col("neighbor_id"))
+    val m = Similarity.retrievalMetrics(g, r, k = 5).collect()(0)
+    assert(m.getAs[Long]("hits") == 5L)
+    assert(m.getAs[Double]("recall_at_k") == 1.0)
+    assert(m.getAs[Double]("rr") == 1.0)
+    assert(m.getAs[Double]("ndcg") == 1.0)
+  }
+
+  test("retrievalMetrics: disjoint retrieval gives zero metrics") {
+    val g = frame((1 to 5).map(i => (7L, i.toLong, i)))
+      .select(col("query_id"), col("neighbor_id"))
+    val r = frame((1 to 5).map(i => (7L, (100 + i).toLong, i)))
+    val m = Similarity.retrievalMetrics(g, r, k = 5).collect()(0)
+    assert(m.getAs[Long]("hits") == 0L)
+    assert(m.getAs[Double]("recall_at_k") == 0.0)
+    assert(m.getAs[Double]("rr") == 0.0)
+    assert(m.getAs[Double]("ndcg") == 0.0)
+  }
+
+  test("retrievalMetrics: single hit at rank 3 gives the closed-form values") {
+    val g = frame(Seq((7L, 42L, 1))).select(col("query_id"), col("neighbor_id"))
+    val r = frame(Seq((7L, 1L, 1), (7L, 2L, 2), (7L, 42L, 3), (7L, 4L, 4), (7L, 5L, 5)))
+    val m = Similarity.retrievalMetrics(g, r, k = 5).collect()(0)
+    assert(m.getAs[Long]("hits") == 1L)
+    assert(m.getAs[Double]("recall_at_k") == 0.2)
+    assert(m.getAs[Double]("rr") == 0.333333)
+    val expected = BigDecimal.valueOf(Similarity.ndcgGains(5)(2) / Similarity.idcgAt(5))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(m.getAs[Double]("ndcg") == expected)
+  }
+
+  test("binaryQuantKnn preserves exact ranking for sign-aligned vectors") {
+    // Vectors on axes: query q = (1,0,0...); candidate sharing q's sign
+    // pattern must outrank one differing in every component.
+    val e = Seq(
+      (0L, Array(1f, 1f, 1f, 1f)),
+      (1L, Array(0.9f, 0.8f, 0.7f, 0.6f)),   // same signs as 0 → dot 4
+      (2L, Array(-1f, -1f, -1f, 0.5f)),      // 3 sign flips → dot -2
+      (3L, Array(1f, -1f, 1f, -1f)))         // 2 flips → dot 0
+      .toDF("vec_id", "embedding")
+    val out = Similarity.binaryQuantKnn(e.filter(col("vec_id") === 0), e, k = 3)
+      .orderBy(col("rank")).collect()
+    assert(out.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(1L, 3L, 2L))
+    assert(out(0).getAs[Double]("cosine") == 4.0) // exact integer score
+  }
+
+  // --- Privacy audits --------------------------------------------------
+
+  private def people = Seq(
+    // (custkey, name, nation, acctbal, segment)
+    (1L, "a", 1, 150.0, "AUTO"), (2L, "b", 1, 160.0, "AUTO"),
+    (3L, "c", 1, 170.0, "AUTO"), (4L, "d", 1, 260.0, "AUTO"),
+    (5L, "e", 2, 150.0, "AUTO"), (6L, "f", 2, 150.0, "AUTO"))
+    .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+
+  test("kAnonymityProfile: histogram of QI class sizes") {
+    val prof = Privacy.kAnonymityProfile(
+      people, Seq(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 100.0).cast("long"))).collect()
+    // classes: (1,AUTO,1)={1,2,3} size 3; (1,AUTO,2)={4} size 1; (2,AUTO,1)={5,6} size 2
+    val m = prof.map(r => r.getAs[Long]("class_size") ->
+      (r.getAs[Long]("n_classes"), r.getAs[Long]("n_rows"))).toMap
+    assert(m == Map(1L -> (1L, 1L), 2L -> (1L, 2L), 3L -> (1L, 3L)))
+  }
+
+  test("lDiversitySummary flags constant-sensitive classes") {
+    val s = Privacy.lDiversitySummary(
+      people, Seq(col("c_nationkey"), col("c_mktsegment")), col("c_acctbal"))
+      .collect()(0)
+    // classes: nation 1 (4 rows, 4 distinct bals → l=4), nation 2 (2 rows, l=1)
+    assert(s.getAs[Long]("n_classes") == 2L)
+    assert(s.getAs[Long]("min_l") == 1L)
+    assert(s.getAs[Long]("classes_l1") == 1L)
+    assert(s.getAs[Long]("rows_l1") == 2L)
+  }
+
+  test("generalizationLadder picks the first level meeting k, and floor buckets compose") {
+    val lad = Privacy.generalizationLadder(people, k = 4L)
+      .orderBy(col("level")).collect()
+    assert(lad.length == 4)
+    // level 0 min_k = 1; level 1 (bal/1000 → all bucket 0): classes are
+    // (1,AUTO)=4 rows, (2,AUTO)=2 → min 2; level 2 same; level 3 (AUTO)=6 ≥ 4
+    assert(lad(0).getAs[Long]("min_k") == 1L && !lad(0).getAs[Boolean]("chosen"))
+    assert(lad(3).getAs[Long]("min_k") == 6L && lad(3).getAs[Boolean]("chosen"))
+    assert(lad.count(_.getAs[Boolean]("chosen")) == 1)
+    // floor composition incl. negatives: floor(x/1000) == floor(floor(x/100)/10)
+    for (x <- Seq(-1950.0, -100.0, -1.0, 0.0, 99.9, 1049.5))
+      assert(math.floor(x / 1000.0) == math.floor(math.floor(x / 100.0) / 10.0))
+  }
+
+  test("generalizationLadder level-1+ rows re-aggregate level 0 (single corpus scan)") {
+    // Structural: all four level readouts consume the CHECKPOINTED level-0
+    // class table — the corpus relation appears in no branch (it was
+    // scanned exactly once, into the checkpoint).
+    val plan = Privacy.generalizationLadder(people, k = 5L)
+      .queryExecution.optimizedPlan
+    val corpusScans = plan.collect {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
+    }
+    val rddLeaves = plan.collect {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd.id
+    }
+    assert(corpusScans.isEmpty,
+      s"every level must read the checkpointed class table, found ${corpusScans.length} corpus scans")
+    assert(rddLeaves.distinct.length == 1 && rddLeaves.length == 4,
+      s"expected 4 reads of one checkpoint, got $rddLeaves")
+  }
+}

@@ -352,6 +352,34 @@ class ScaleSpec extends AnyFunSuite with SparkSpec {
     } finally graft.sources.Staging.rmTree(tmp)
   }
 
+  test("streaming Bradley–Terry ingest: streamed fit equals the batch operator, any batch split") {
+    // 3 batches (odd split: cross-batch probe AND in-batch join both
+    // exercised); parity (streamed win matrix ≡ whole-corpus matrix,
+    // exact integers) asserted in-plan inside the run
+    val got = graft.streaming.PreferenceIngest
+      .runStreamBradleyTerry(spark, sf, nBatches = 3).collect()
+    assert(got.nonEmpty && got.forall(_.getAs[Boolean]("parity_ok")))
+    val batch = graft.operators.Preference
+      .bradleyTerry(spark, Tables.documents(spark, sf)).collect()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[String]("item"), r.getAs[Long]("wins"), r.getAs[Long]("matches"),
+        r.getAs[Double]("score"), r.getAs[Long]("rank"))
+    assert(got.map(key).toSeq == batch.map(key).toSeq)
+  }
+
+  test("streaming Bradley–Terry ingest: the probe reads ONLY the batch's block partitions") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-btstore").toFile
+    try {
+      Seq((1L, "en", "s0", 10L, 0L), (2L, "de", "s0", 20L, 1L),
+        (3L, "fr", "s0", 30L, 2L))
+        .toDF("doc_id", "lang", "source", "n_chars", "blk")
+        .write.partitionBy("blk").mode("overwrite").parquet(tmp.toString)
+      val files = graft.streaming.PreferenceIngest.blockFiles(tmp, Seq(0L, 2L))
+      assert(files.nonEmpty && files.forall(f =>
+        f.getPath.contains("blk=0") || f.getPath.contains("blk=2")))
+    } finally graft.sources.Staging.rmTree(tmp)
+  }
+
   test("streaming SCD2 ingest: incremental merge equals one-shot scdType2 over the whole input") {
     // date-striped batches close open intervals / append versions; closed
     // history immutable; parity asserted row-for-row inside the run
