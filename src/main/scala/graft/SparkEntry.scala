@@ -4945,6 +4945,13 @@ object SparkEntry {
     "q_bradley_terry_by_len" -> ((s, d) =>
       graft.operators.Preference.bradleyTerryByRegime(s, Tables.documents(s, d))),
 
+    // Pairwise win rates with the Wilson 95% interval — the leaderboard-
+    // confidence companion: a pair whose interval straddles 1/2 has not
+    // demonstrated a preference at this sample size, however the point
+    // fit orders it. Fully distributed, closed-form, hash-exact.
+    "q_bt_pairs_ci" -> ((s, d) =>
+      graft.operators.Preference.pairsWilson(Tables.documents(s, d))),
+
     // CONTINUOUS Bradley–Terry — the preference family's streaming face
     // (the SemDedupIngest convention): documents replay as a batched
     // file stream; each micro-batch generates comparisons against the
@@ -4985,6 +4992,17 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("rank"))
       Similarity.retrievalMetricsBy(
         Similarity.retrievalMetrics(gold, appr, k = 5), emb, k = 5)
+    }),
+
+    // Matryoshka-style dimension-truncation eval: exact-cosine retrieval
+    // over prefix dims 8/16/32 scored against the full-64d gold — the
+    // quality/size trade curve read before choosing an at-rest embedding
+    // width. Prefix cosine = the proven dot/norm spelling over sliced
+    // arrays, so the whole curve is hash-exact.
+    "q_retrieval_eval_dims" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.retrievalEvalDims(
+        emb.filter(col("vec_id") < 32), emb, k = 5, dims = Seq(8, 16, 32))
     }),
 
     // The same metrics harness over the IVF tier (8/16 cells probed).
@@ -10089,6 +10107,15 @@ object SparkEntry {
     // Streaming replay: the batch fit's exact chain + the pinned parity
     // (streamed win matrix ≡ whole-corpus matrix, exact integers).
     "q_bradley_terry_stream" -> graft.operators.Preference.btOracleSqlStream,
+
+    // Wilson intervals: same matrix, same closed-form op sequence with
+    // z literals generated from the shared constant.
+    "q_bt_pairs_ci" -> graft.operators.Preference.btPairsWilsonSql,
+
+    // Dimension-truncation curve: one replayed rank chain per prefix
+    // length vs the proven full-dimension gold chain.
+    "q_retrieval_eval_dims" ->
+      Similarity.retrievalEvalDimsSql(qMax = 32, k = 5, dims = Seq(8, 16, 32)),
 
     // Retrieval eval: binary-quantized tier replayed exactly (±1 dot is
     // an exact integer, gold is the proven cosine rank chain); metrics

@@ -187,6 +187,66 @@ object Preference {
       .orderBy(col("regime"), col("item"))
   }
 
+  /** Φ⁻¹(0.975) — the 95% Wilson z, shared by the Spark expression and
+    * the generated SQL literal. */
+  val WilsonZ = 1.959963984540054
+
+  /** Pairwise win rates with the Wilson 95% score interval — the
+    * leaderboard-confidence companion to the point fit: a pair whose
+    * interval contains 1/2 has NOT demonstrated a preference at this
+    * sample size, however the MM point estimates order it. Fully
+    * distributed (one aggregation, no collect); every float op is a
+    * fixed closed-form sequence mirrored literally in
+    * [[btPairsWilsonSql]], so the table is hash-exact. */
+  def pairsWilson(docs: DataFrame): DataFrame = {
+    val z2 = WilsonZ * WilsonZ
+    val nD = col("n").cast("double")
+    val p = col("w").cast("double") / nD
+    val denom = lit(1.0) + lit(z2) / nD
+    val center = (p + lit(z2) / (lit(2.0) * nD)) / denom
+    val half = lit(WilsonZ) *
+      sqrt((p * (lit(1.0) - p)) / nD + lit(z2) / (lit(4.0) * nD * nD)) / denom
+    winMatrix(docs, byRegime = false)
+      .select(col("i"), col("j"), col("n").as("matches"), col("w").as("wins_i"),
+        round(p, 6).as("win_rate"),
+        round(center - half, 6).as("wilson_lo"),
+        round(center + half, 6).as("wilson_hi"),
+        (round(center - half, 6) > 0.5 || round(center + half, 6) < 0.5)
+          .as("decisive"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  /** DuckDB oracle for [[pairsWilson]] — same matrix, same closed-form
+    * op sequence with the z literals generated from [[WilsonZ]]. */
+  def btPairsWilsonSql: String = {
+    val z2 = (WilsonZ * WilsonZ).toString
+    val z = WilsonZ.toString
+    val nD = "CAST(n AS DOUBLE)"
+    val p = s"(CAST(w AS DOUBLE) / $nD)"
+    val denom = s"(CAST(1.0 AS DOUBLE) + CAST($z2 AS DOUBLE) / $nD)"
+    val center = s"(($p + CAST($z2 AS DOUBLE) / (CAST(2.0 AS DOUBLE) * $nD)) / $denom)"
+    val half = s"(CAST($z AS DOUBLE) * sqrt(($p * (CAST(1.0 AS DOUBLE) - $p)) / $nD + " +
+      s"CAST($z2 AS DOUBLE) / (CAST(4.0 AS DOUBLE) * $nD * $nD)) / $denom)"
+    s"""WITH d AS (
+       |  SELECT doc_id, lang, source, n_chars,
+       |         ${PortableHash.keyHashSql("doc_id")} % $Blocks AS blk
+       |  FROM documents),
+       |m0 AS (
+       |  SELECT a.lang AS i, b.lang AS j, count(*) AS n,
+       |         sum(CASE WHEN a.n_chars > b.n_chars THEN 1 ELSE 0 END) AS w
+       |  FROM d a JOIN d b
+       |    ON a.source = b.source AND a.blk = b.blk
+       |   AND a.lang < b.lang AND a.n_chars != b.n_chars
+       |  GROUP BY 1, 2)
+       |SELECT i, j, CAST(n AS BIGINT) AS matches, CAST(w AS BIGINT) AS wins_i,
+       |       round($p, 6) AS win_rate,
+       |       round($center - $half, 6) AS wilson_lo,
+       |       round($center + $half, 6) AS wilson_hi,
+       |       (round($center - $half, 6) > 0.5 OR round($center + $half, 6) < 0.5)
+       |         AS decisive
+       |FROM m0 ORDER BY i, j""".stripMargin
+  }
+
   // ---------------------------------------------------------------------
   // Oracle SQL generation — unrolled from the SAME constants as the fit.
   // ---------------------------------------------------------------------

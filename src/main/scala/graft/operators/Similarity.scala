@@ -437,6 +437,86 @@ object Similarity {
           / count(lit(1)), 6).as("mean_ndcg"))
       .orderBy(col("label"))
 
+  /** One-row rollup of [[retrievalMetrics]] output — integer hit sums
+    * for mean recall, exact DECIMAL sums of the 6dp per-query values for
+    * mean rr/nDCG (the [[retrievalMetricsBy]] discipline, ungrouped). */
+  def retrievalMetricsSummary(perQuery: DataFrame, k: Int): DataFrame =
+    perQuery.agg(
+      count(lit(1)).as("n_queries"),
+      sum(col("hits")).cast("long").as("hits"),
+      round(sum(col("hits")).cast("double")
+        / (lit(k.toDouble) * count(lit(1))), 6).as("mean_recall"),
+      round(sum(col("rr").cast("decimal(10,6)")).cast("double")
+        / count(lit(1)), 6).as("mean_rr"),
+      round(sum(col("ndcg").cast("decimal(10,6)")).cast("double")
+        / count(lit(1)), 6).as("mean_ndcg"))
+
+  /** Matryoshka-style dimension-truncation retrieval eval (Kusupati
+    * 2022): for each prefix length d, rank by EXACT cosine over the
+    * first d components and score against the full-dimension gold — the
+    * quality/size trade curve a 100 TB embedding store reads before
+    * choosing its at-rest dimensionality. Prefix cosine is the same
+    * proven dot/norm spelling over sliced arrays, so every row is
+    * hash-exact in the oracle. The gold is computed once and
+    * checkpointed for the |dims| consumers. */
+  def retrievalEvalDims(
+      queries: DataFrame, corpus: DataFrame, k: Int, dims: Seq[Int]): DataFrame = {
+    val gold = bruteForceKnn(queries, corpus, k)
+      .select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint(false) // |dims| consumers — the shared-consumer convention
+    def trunc(df: DataFrame, d: Int): DataFrame =
+      df.withColumn("embedding", slice(col("embedding"), 1, d))
+    dims.map { d =>
+      val appr = bruteForceKnn(trunc(queries, d), trunc(corpus, d), k)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+      retrievalMetricsSummary(retrievalMetrics(gold, appr, k), k)
+        .select(lit(d).as("dim"), col("*"))
+    }.reduceLeft(_ unionByName _).orderBy(col("dim"))
+  }
+
+  /** Oracle for [[retrievalEvalDims]]: one replayed chain per prefix
+    * length, UNION ALL'd — the gold chain is the proven full-dimension
+    * rank spelling; the truncated side slices the DOUBLE[] cast. */
+  def retrievalEvalDimsSql(qMax: Int, k: Int, dims: Seq[Int]): String = {
+    val per = dims.map { d =>
+      val gains = ndcgGains(k)
+      val dcg = (1 to k)
+        .map(r => s"coalesce(max(CASE WHEN rank = $r THEN rel END),0) * CAST(${gains(r - 1)} AS DOUBLE)")
+        .reduceLeft((a, b) => s"$a + $b")
+      s"""SELECT CAST($d AS INT) AS dim, CAST(count(*) AS BIGINT) AS n_queries,
+         |       CAST(sum(hits) AS BIGINT) AS hits,
+         |       round(CAST(sum(hits) AS DOUBLE) / (CAST($k AS DOUBLE) * count(*)), 6) AS mean_recall,
+         |       round(CAST(sum(CAST(round(coalesce(CAST(1.0 AS DOUBLE) / first_hit, CAST(0.0 AS DOUBLE)), 6) AS DECIMAL(10,6))) AS DOUBLE) / count(*), 6) AS mean_rr,
+         |       round(CAST(sum(CAST(round(dcg / CAST(${idcgAt(k)} AS DOUBLE), 6) AS DECIMAL(10,6))) AS DOUBLE) / count(*), 6) AS mean_ndcg
+         |FROM (
+         |  SELECT query_id, CAST(sum(rel) AS BIGINT) AS hits,
+         |         CAST(min(CASE WHEN rel = 1 THEN rank END) AS BIGINT) AS first_hit,
+         |         $dcg AS dcg
+         |  FROM (
+         |    SELECT a.query_id, a.rank,
+         |           CASE WHEN g.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+         |    FROM (
+         |      SELECT * FROM (
+         |        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |               row_number() OVER (PARTITION BY q.vec_id
+         |                 ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[])[1:$d], CAST(c.embedding AS DOUBLE[])[1:$d]), 6) DESC, c.vec_id) AS rank
+         |        FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+         |        WHERE q.vec_id < $qMax)
+         |      WHERE rank <= $k) a
+         |    LEFT JOIN (
+         |      SELECT * FROM (
+         |        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |               row_number() OVER (PARTITION BY q.vec_id
+         |                 ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) DESC, c.vec_id) AS rank
+         |        FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+         |        WHERE q.vec_id < $qMax)
+         |      WHERE rank <= $k) g
+         |      ON a.query_id = g.query_id AND a.neighbor_id = g.neighbor_id)
+         |  GROUP BY query_id)""".stripMargin
+    }
+    s"SELECT * FROM (${per.mkString(" UNION ALL ")}) ORDER BY dim"
+  }
+
   /** Oracle SQL fragment: per-query metrics of the binary-quantized tier
     * vs the exact-cosine gold over `embeddings`, queries `vec_id < qMax`.
     * Generated from the same [[ndcgGains]]/[[idcgAt]] constants and the

@@ -123,6 +123,33 @@ object ProbeScale {
     val hn1 = t("q_hard_negatives_ivfpq 1x")(q("q_hard_negatives_ivfpq", base).count())
     val hn10 = t("q_hard_negatives_ivfpq 10x")(q("q_hard_negatives_ivfpq", out).count())
 
+    // ---- family 5: Bradley–Terry, blocks grow with the corpus ----------
+    // The comparison quadratic is bounded by (source, block) occupancy;
+    // the paper-regime scale path grows Blocks with the corpus — measured
+    // here by re-deriving the matrix with blocks 8 → 80 so occupancy
+    // stays flat while n grows 10×. The flat quantity is the per-cell
+    // occupancy; the comparison count should grow ~linearly (not 100×).
+    def btMatrix(dir: String, blocks: Int): Long = {
+      val d = graft.sources.Tables.documents(spark, dir).select(
+        col("lang"), col("source"), col("n_chars"),
+        pmod(graft.functions.PortableHash.keyHash(col("doc_id")),
+          lit(blocks.toLong)).as("blk"))
+      val nDocs = d.count()
+      val cells = d.groupBy(col("source"), col("blk")).agg(count(lit(1)).as("c"))
+        .agg(avg(col("c"))).head().getDouble(0)
+      val a = d.select(col("source"), col("blk"), col("lang").as("i"), col("n_chars").as("ca"))
+      val b = d.select(col("source").as("s2"), col("blk").as("b2"),
+        col("lang").as("j"), col("n_chars").as("cb"))
+      val m = a.join(b, col("source") === col("s2") && col("blk") === col("b2") &&
+          col("i") < col("j") && col("ca") =!= col("cb"))
+        .groupBy(col("i"), col("j")).agg(count(lit(1)).as("n"))
+      val pairs = m.agg(sum(col("n"))).head().getLong(0)
+      println(f"  n=$nDocs docs, blocks=$blocks, avg cell=$cells%.1f, comparisons=$pairs")
+      pairs
+    }
+    val bt1 = t("bradley-terry matrix 1x (blocks=8)")(btMatrix(base, 8))
+    val bt10 = t("bradley-terry matrix 10x (blocks=80)")(btMatrix(out, 80))
+
     // ---- control: all-pairs Jaccard SHOULD grow superlinearly ----------
     val ap1 = t("q_allpairs_jaccard 1x (control)")(q("q_allpairs_jaccard", base).count())
     val ap10 = t("q_allpairs_jaccard 10x (control)")(q("q_allpairs_jaccard", out).count())
@@ -132,6 +159,7 @@ object ProbeScale {
     println(f"  semdedup (k grown 10x)   ${sd10 / sd1}%6.2f  (cell occupancy flat)")
     println(f"  conformal_stream         ${cf10 / cf1}%6.2f  (state = 3 integers)")
     println(f"  hard_negatives_ivfpq     ${hn10 / hn1}%6.2f  (16-byte codes move)")
+    println(f"  bradley-terry (blocks 10x) ${bt10 / bt1}%6.2f  (cell occupancy flat)")
     println(f"  allpairs_jaccard CONTROL ${ap10 / ap1}%6.2f  (should be >> 10)")
     spark.stop()
   }

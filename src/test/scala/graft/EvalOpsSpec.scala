@@ -79,6 +79,30 @@ class EvalOpsSpec extends AnyFunSuite with SparkSpec {
     assert(rank(("long", "de")) < rank(("long", "en")))
   }
 
+  test("pairsWilson: closed-form interval on a known matrix, decisive iff CI excludes 1/2") {
+    // one source, one block-dominant pair set: construct 20 de-en
+    // comparisons where en wins 15 (p̂ = .75 for i = de is 5/20 = .25)
+    val rows = (0L until 20L).flatMap { i =>
+      Seq((i * 2, "x", "de", "s0", if (i < 5) 100L else 10L),
+        (i * 2 + 1, "x", "en", "s0", 50L))
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Preference.pairsWilson(rows).collect()
+    val deEn = out.find(r => r.getAs[String]("i") == "de" && r.getAs[String]("j") == "en").get
+    val n = deEn.getAs[Long]("matches").toDouble
+    val p = deEn.getAs[Long]("wins_i").toDouble / n
+    assert(deEn.getAs[Double]("win_rate") == BigDecimal.valueOf(p).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // reference Wilson bounds computed independently
+    val z = Preference.WilsonZ; val z2 = z * z
+    val denom = 1.0 + z2 / n
+    val center = (p + z2 / (2.0 * n)) / denom
+    val half = z * math.sqrt((p * (1 - p)) / n + z2 / (4.0 * n * n)) / denom
+    def r6(x: Double) = BigDecimal.valueOf(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(deEn.getAs[Double]("wilson_lo") == r6(center - half))
+    assert(deEn.getAs[Double]("wilson_hi") == r6(center + half))
+    // the interval lies below 1/2 at this sample size ⇒ decisive
+    assert(deEn.getAs[Boolean]("decisive") == (r6(center + half) < 0.5 || r6(center - half) > 0.5))
+  }
+
   // --- Retrieval metrics ----------------------------------------------
 
   private def frame(rows: Seq[(Long, Long, Int)]) =
@@ -115,6 +139,22 @@ class EvalOpsSpec extends AnyFunSuite with SparkSpec {
     val expected = BigDecimal.valueOf(Similarity.ndcgGains(5)(2) / Similarity.idcgAt(5))
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(m.getAs[Double]("ndcg") == expected)
+  }
+
+  test("retrievalEvalDims: full-width prefix reproduces the gold exactly (metrics = 1)") {
+    val e = (0L until 20L).map(i =>
+      (i, Array(math.sin(i * 1.7).toFloat, math.cos(i * 2.3).toFloat,
+        math.sin(i * 0.9 + 1).toFloat, math.cos(i * 1.1 + 2).toFloat)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.retrievalEvalDims(
+      e.filter(col("vec_id") < 4), e, k = 3, dims = Seq(2, 4)).collect()
+    val full = out.find(_.getAs[Int]("dim") == 4).get
+    assert(full.getAs[Double]("mean_recall") == 1.0)
+    assert(full.getAs[Double]("mean_rr") == 1.0)
+    assert(full.getAs[Double]("mean_ndcg") == 1.0)
+    // the truncated prefix can only do as well or worse
+    val half = out.find(_.getAs[Int]("dim") == 2).get
+    assert(half.getAs[Double]("mean_recall") <= 1.0)
   }
 
   test("binaryQuantKnn preserves exact ranking for sign-aligned vectors") {
