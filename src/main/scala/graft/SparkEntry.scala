@@ -5028,6 +5028,15 @@ object SparkEntry {
             / count(lit(1)) >= 0.5).as("ndcg_ok"))
     }),
 
+    // CONTINUOUS retrieval-quality monitor — the eval family's streaming
+    // face (the AnnServe convention): query traffic replays as a batched
+    // file stream against the FROZEN IVF index; per-batch IR metrics vs
+    // the exact audit twin append to the monitor sink. Floors far under
+    // the measured tier values; parity = streamed per-query rows ≡ the
+    // whole-set evaluation (multiplicity included), asserted in-plan.
+    "q_retrieval_eval_stream" -> ((s, d) =>
+      graft.streaming.RetrievalEvalStream.runStreamRetrievalEval(s, d)),
+
     // ---- Re-identification risk audits (privacy release gates) ---------
 
     // k-anonymity class-size histogram over the (nation, segment,
@@ -5171,6 +5180,10 @@ object SparkEntry {
     // Operator: the block-pruned ingest stream + MM readout alone.
     "q_bradley_terry_stream" -> ((s, d) =>
       graft.streaming.PreferenceIngest.runStreamBradleyTerry(s, d, assertParity = false)),
+    // Contract form: streamed metric rows ⋈ whole-set evaluation (parity).
+    // Operator: the monitor stream (IVF search + per-batch audit) alone.
+    "q_retrieval_eval_stream" -> ((s, d) =>
+      graft.streaming.RetrievalEvalStream.runStreamRetrievalEval(s, d, assertParity = false)),
     // Contract form: at-rest index ⋈ whole-corpus re-encode (parity).
     // Operator: train + initial encode + the batched cell-append stream.
     "q_ann_ingest_stream" -> ((s, d) =>
@@ -10129,6 +10142,13 @@ object SparkEntry {
       """SELECT count(DISTINCT vec_id) AS n_queries, true AS recall_ok,
                 true AS mrr_ok, true AS ndcg_ok
          FROM embeddings WHERE vec_id < 32""",
+
+    // Streaming monitor: the oracle pins the traffic-sample size, the
+    // floors, and the streamed ≡ whole-set parity boolean.
+    "q_retrieval_eval_stream" ->
+      """SELECT count(DISTINCT vec_id) AS n_queries, true AS recall_ok,
+                true AS mrr_ok, true AS ndcg_ok, true AS parity_ok
+         FROM embeddings WHERE vec_id % 5 = 1""",
 
     // k-anonymity histogram: classes over the QI, then sizes re-agged.
     "q_k_anonymity" ->

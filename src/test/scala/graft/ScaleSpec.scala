@@ -380,6 +380,18 @@ class ScaleSpec extends AnyFunSuite with SparkSpec {
     } finally graft.sources.Staging.rmTree(tmp)
   }
 
+  test("streaming retrieval-eval monitor: streamed metrics equal the whole-set evaluation, any split") {
+    // 3 batches; parity (streamed per-query metric rows ≡ the whole-set
+    // evaluation under the frozen index, multiplicity included) is
+    // asserted in-plan inside the run
+    val row = graft.streaming.RetrievalEvalStream
+      .runStreamRetrievalEval(spark, sf, nBatches = 3).head()
+    assert(row.getAs[Long]("n_queries") > 0)
+    assert(row.getAs[Boolean]("parity_ok"))
+    assert(row.getAs[Boolean]("recall_ok") && row.getAs[Boolean]("mrr_ok")
+      && row.getAs[Boolean]("ndcg_ok"))
+  }
+
   test("streaming SCD2 ingest: incremental merge equals one-shot scdType2 over the whole input") {
     // date-striped batches close open intervals / append versions; closed
     // history immutable; parity asserted row-for-row inside the run
