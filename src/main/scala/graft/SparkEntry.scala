@@ -5056,6 +5056,14 @@ object SparkEntry {
         Tables.customer(s, d),
         Seq(col("c_nationkey"), col("c_mktsegment")), col("c_acctbal"))),
 
+    // Differentially-private release composition: suppress classes under
+    // the k-anonymity floor, Laplace(1/ε)-noise the surviving counts
+    // (deterministic inverse-CDF over a portable-hash uniform — the
+    // bootstrap replicate discipline, so the oracle replays the release
+    // bit-for-bit; production draws a fresh seed).
+    "q_dp_release" -> ((s, d) =>
+      graft.operators.Privacy.dpRelease(Tables.customer(s, d), k = 5L, eps = 0.5)),
+
     // Fixed generalization ladder to k ≥ 5: per level the class count,
     // min class size and suppression cost, `chosen` marking the minimal
     // qualifying generalization. Levels 1+ re-aggregate level 0's class
@@ -10171,6 +10179,10 @@ object SparkEntry {
                 CAST(sum(CASE WHEN l = 1 THEN 1 ELSE 0 END) AS BIGINT) AS classes_l1,
                 CAST(sum(CASE WHEN l = 1 THEN class_size ELSE 0 END) AS BIGINT) AS rows_l1
          FROM cls""",
+
+    // DP release: same suppression gate + the same inverse-CDF Laplace
+    // sequence with literals generated from shared constants.
+    "q_dp_release" -> graft.operators.Privacy.dpReleaseSql(k = 5L, eps = 0.5),
 
     // Generalization ladder: level 0 is the only corpus-scale GROUP BY;
     // levels 1+ re-aggregate the class table (floor-bucket coarsening

@@ -47,6 +47,53 @@ object Privacy {
         sum(when(col("l") === 1, 1L).otherwise(0L)).as("classes_l1"),
         sum(when(col("l") === 1, col("class_size")).otherwise(0L)).as("rows_l1"))
 
+  /** Differentially-private histogram release with suppression — the
+    * end-to-end release composition: classes below the k-anonymity floor
+    * are SUPPRESSED (never released, noisy or not), surviving counts get
+    * Laplace(Δ/ε) noise (Δ = 1 for a count histogram — Dwork 2006). The
+    * Laplace draw is the inverse-CDF over a portable-hash uniform (the
+    * [[graft.operators.Bootstrap]] replicate discipline): deterministic
+    * under the fixed seed so the DuckDB oracle replays it bit-for-bit —
+    * a production release draws a fresh seed; determinism here is the
+    * verification harness, the math is the same. One corpus-scale
+    * groupBy; everything after is class-table arithmetic. */
+  def dpRelease(customer: DataFrame, k: Long, eps: Double): DataFrame = {
+    import graft.functions.PortableHash
+    val invEps = 1.0 / eps
+    // u ∈ (0,1): (h + 0.5)/P — the half-offset keeps ln's argument > 0
+    val u = (PortableHash.keyHash(col("c_nationkey")).cast("double") + lit(0.5)) /
+      lit(PortableHash.P.toDouble)
+    val v = u - lit(0.5)
+    val noise = lit(-invEps) *
+      when(v >= 0, lit(1.0)).otherwise(lit(-1.0)) *
+      log(lit(1.0) - lit(2.0) * abs(v))
+    customer.groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= k)
+      .select(col("c_nationkey"),
+        round(col("n").cast("double") + noise, 6).as("n_released"),
+        lit(eps).as("epsilon"))
+      .orderBy(col("c_nationkey"))
+  }
+
+  /** DuckDB oracle for [[dpRelease]] — the same inverse-CDF sequence with
+    * literals generated from the same constants. */
+  def dpReleaseSql(k: Long, eps: Double): String = {
+    import graft.functions.PortableHash
+    val invEps = (1.0 / eps).toString
+    val u = s"((CAST(${PortableHash.keyHashSql("c_nationkey")} AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(${PortableHash.P.toDouble} AS DOUBLE))"
+    val v = s"($u - CAST(0.5 AS DOUBLE))"
+    val noise = s"(CAST(-$invEps AS DOUBLE) * " +
+      s"(CASE WHEN $v >= 0 THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END) * " +
+      s"ln(CAST(1.0 AS DOUBLE) - CAST(2.0 AS DOUBLE) * abs($v)))"
+    s"""WITH cls AS (
+       |  SELECT c_nationkey, count(*) AS n FROM customer GROUP BY 1)
+       |SELECT c_nationkey,
+       |       round(CAST(n AS DOUBLE) + $noise, 6) AS n_released,
+       |       CAST($eps AS DOUBLE) AS epsilon
+       |FROM cls WHERE n >= $k ORDER BY c_nationkey""".stripMargin
+  }
+
   /** Fixed generalization ladder over (nation, segment, acctbal-bucket):
     * level 0 = finest buckets, each level coarsens, final level drops
     * columns. Reports per level: class count, min class size (the

@@ -202,6 +202,23 @@ class EvalOpsSpec extends AnyFunSuite with SparkSpec {
     assert(s.getAs[Long]("rows_l1") == 2L)
   }
 
+  test("dpRelease suppresses sub-k classes and adds the closed-form Laplace noise") {
+    // nation 1 has 4 rows (< k=4? use k=3: released), nation 2 has 2 (< 3: suppressed)
+    val out = graft.operators.Privacy.dpRelease(people, k = 3L, eps = 0.5).collect()
+    assert(out.map(_.getAs[Int]("c_nationkey")).toSeq == Seq(1))
+    val r = out.head
+    // independent mirror of the inverse-CDF draw for key 1
+    val P = graft.functions.PortableHash.P
+    val h = ((1L % P) * graft.functions.PortableHash.A) % P
+    val u = (h.toDouble + 0.5) / P.toDouble
+    val v = u - 0.5
+    val noise = -2.0 * (if (v >= 0) 1.0 else -1.0) * math.log(1.0 - 2.0 * math.abs(v))
+    val expected = BigDecimal.valueOf(4.0 + noise)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Double]("n_released") == expected)
+    assert(r.getAs[Double]("epsilon") == 0.5)
+  }
+
   test("generalizationLadder picks the first level meeting k, and floor buckets compose") {
     val lad = Privacy.generalizationLadder(people, k = 4L)
       .orderBy(col("level")).collect()
