@@ -4930,6 +4930,28 @@ object SparkEntry {
         .orderBy(col("c_custkey"))
     }),
 
+    // Label-propagation community detection (Raghavan 2007, deterministic
+    // min-label tiebreak, 3 fixed synchronous rounds) over the within-cell
+    // embedding near-dup graph — the curation step between pairwise dedup
+    // and canonical-document election: LPA splits weakly-bridged blobs
+    // into their dense parts where min-root connected components would
+    // glue everything reachable. Per round: one keyed join + one keyed
+    // argmax over integers; the oracle unrolls the same rounds.
+    "q_label_prop" -> ((s, d) => {
+      val cl = graft.operators.Clustering
+      val asg = cl.assign(cl.cleanVectors(Tables.embeddings(s, d)), cl.modelFor(s, d))
+        .select(col("cl"), col("vec_id"), col("v"))
+      val edges = cl.semDedupPairs(asg, cl.SemDedupTau)
+        .select(col("vec_a").as("a"), col("vec_b").as("b"))
+      graft.operators.Graph.labelPropagation(
+          asg.select(col("vec_id").as("v")), edges, iters = 3)
+        .groupBy(col("lbl"))
+        .agg(count(lit(1)).as("n_members"))
+        .filter(col("n_members") >= 2)
+        .select(col("lbl").as("community"), col("n_members"))
+        .orderBy(col("community"))
+    }),
+
     // ---- Pairwise-preference ranking (Bradley–Terry / RLHF-ops) --------
 
     // Bradley–Terry strengths over the 5-language domain from hash-block-
@@ -10132,6 +10154,11 @@ object SparkEntry {
     // Wilson intervals: same matrix, same closed-form op sequence with
     // z literals generated from the shared constant.
     "q_bt_pairs_ci" -> graft.operators.Preference.btPairsWilsonSql,
+
+    // LPA replay: the shared k-means stage chain, exact within-cell
+    // pairs, 3 unrolled synchronous rounds, ≥2-member community rollup.
+    "q_label_prop" -> graft.operators.Clustering.labelPropOracleSql(
+      8, 5, 64, graft.operators.Clustering.SemDedupTau, lpaIters = 3),
 
     // Dimension-truncation curve: one replayed rank chain per prefix
     // length vs the proven full-dimension gold chain.

@@ -872,6 +872,34 @@ object Clustering {
        |       (SELECT n_offdiag FROM lk) = 0 AS leak_free
        |FROM asn GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** [[graft.operators.Graph.labelPropagation]] over the within-cell
+    * near-dup pairs, replayed: the shared stage-chain + cell-vector
+    * prefix, exact brute pairs, then `lpaIters` UNROLLED synchronous
+    * rounds (count per (node, neighbor label) → max count → min label,
+    * isolated nodes keep theirs — the exact deterministic update the
+    * Spark loop runs on integers), and the ≥2-member community rollup. */
+  def labelPropOracleSql(k: Int, iters: Int, dim: Int, tau: Double,
+      lpaIters: Int): String = {
+    val rounds = (1 to lpaIters).map { t =>
+      s"""c$t AS (SELECT e.a AS v, l.lbl AS lbl, count(*) AS cnt
+         |        FROM edges e JOIN it${t - 1} l ON l.v = e.b GROUP BY 1, 2),
+         |m$t AS (SELECT v, lbl, cnt, max(cnt) OVER (PARTITION BY v) AS mc FROM c$t),
+         |b$t AS (SELECT v, min(lbl) AS best FROM m$t WHERE cnt = mc GROUP BY 1),
+         |it$t AS (SELECT i.v, coalesce(b$t.best, i.lbl) AS lbl
+         |         FROM it${t - 1} i LEFT JOIN b$t ON b$t.v = i.v)""".stripMargin
+    }
+    s"""WITH ${semDedupCellsSql(k, iters, dim, tau)},
+       |sdpair AS MATERIALIZED (SELECT x.vec_id AS vec_a, y.vec_id AS vec_b
+       |        FROM sdv x JOIN sdv y ON x.cl = y.cl AND x.vec_id < y.vec_id
+       |        WHERE round(list_cosine_similarity(x.vd, y.vd), 6) >= $tau),
+       |edges AS (SELECT vec_a AS a, vec_b AS b FROM sdpair
+       |          UNION ALL SELECT vec_b, vec_a FROM sdpair),
+       |it0 AS (SELECT vec_id AS v, vec_id AS lbl FROM sdv),
+       |${rounds.mkString(",\n")}
+       |SELECT lbl AS community, CAST(count(*) AS BIGINT) AS n_members
+       |FROM it$lpaIters GROUP BY 1 HAVING count(*) >= 2 ORDER BY 1""".stripMargin
+  }
+
   def sampleOracleSql(k: Int, iters: Int, dim: Int, quota: Int): String =
     s"""WITH ${stagesSql(k, iters, dim)}
        |SELECT cluster, vec_id FROM (

@@ -19,6 +19,44 @@ import org.apache.spark.sql.types.DoubleType
   */
 object Graph {
 
+  /** Synchronous label propagation (Raghavan 2007) with a DETERMINISTIC
+    * update — at each fixed iteration every node takes the label most
+    * frequent among its neighbors, ties broken by SMALLEST label, isolated
+    * nodes keep theirs. Fixed iteration count + deterministic tiebreak
+    * make the result exactly replayable (the oracle unrolls the same
+    * rounds), unlike the randomized-order LPA the paper sweeps.
+    *
+    * Community detection over the near-dup graph is the curation step
+    * between pairwise dedup and canonical-document election: LPA splits
+    * a weakly-bridged blob into its dense parts where min-root connected
+    * components would glue everything reachable into one cluster.
+    *
+    * Scale: each round is one keyed join of the (undirected) edge table
+    * against the slim (node, label) vector + one keyed argmax — the
+    * [[pageRank]] iteration discipline, lineage truncated per round;
+    * nothing collects. `edges` carries each undirected pair ONCE
+    * (a < b); both orientations are derived here. */
+  def labelPropagation(nodes: DataFrame, edges: DataFrame, iters: Int): DataFrame = {
+    val und = edges.select(col("a"), col("b"))
+      .unionByName(edges.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint(false) // consumed once per round
+    var labels = nodes.select(col("v"), col("v").as("lbl"))
+    for (_ <- 1 to iters) {
+      val cnt = und
+        .join(labels.select(col("v").as("__n"), col("lbl")), col("b") === col("__n"))
+        .groupBy(col("a"), col("lbl")).agg(count(lit(1)).as("cnt"))
+      // argmax by (count DESC, label ASC): max over (cnt, -lbl) structs —
+      // exact integers, no window over row-sized data without keys
+      val best = cnt.groupBy(col("a"))
+        .agg(max(struct(col("cnt"), (-col("lbl")).as("neg"))).as("m"))
+        .select(col("a").as("__v"), (-col("m.neg")).as("best"))
+      labels = labels.join(best, col("v") === col("__v"), "left")
+        .select(col("v"), coalesce(col("best"), col("lbl")).as("lbl"))
+        .localCheckpoint(false) // truncate the per-round lineage
+    }
+    labels
+  }
+
   /** Exact triangle count of an undirected pair graph (e.g. the near-dup
     * candidate graph — triangle density distinguishes tight dup CLIQUES
     * from chains before clustering commits to a canonical-per-cluster

@@ -172,6 +172,23 @@ class EvalOpsSpec extends AnyFunSuite with SparkSpec {
     assert(out(0).getAs[Double]("cosine") == 4.0) // exact integer score
   }
 
+  // --- Label propagation -------------------------------------------------
+
+  test("labelPropagation splits two cliques joined by one bridge (CC would merge them)") {
+    val nodes = Seq(1L, 2L, 3L, 10L, 11L, 12L).toDF("v")
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (3L, 10L)).toDF("a", "b")
+    val out = graft.operators.Graph.labelPropagation(nodes, edges, iters = 3)
+      .groupBy(col("lbl")).agg(count(lit(1)).as("n"))
+      .orderBy(col("lbl")).collect()
+    // two communities of 3 — the bridge does not merge the cliques
+    assert(out.length == 2, s"expected 2 communities, got ${out.toSeq}")
+    assert(out.forall(_.getAs[Long]("n") == 3L))
+    // sanity: connected components WOULD merge (everything is reachable)
+    val cc = graft.operators.Dedup.connectedComponents(edges, "a", "b").collect()
+    assert(cc.map(_.getLong(1)).distinct.length == 1)
+  }
+
   // --- Privacy audits --------------------------------------------------
 
   private def people = Seq(
