@@ -4952,6 +4952,23 @@ object SparkEntry {
         .orderBy(col("community"))
     }),
 
+    // Newman modularity of the LPA communities — the quality readout: Q
+    // near 0 says the communities are no better than random, so a dedup
+    // policy keyed on them is keyed on noise. Exact integer numerator
+    // Σ_c(4·m·m_c − d_c²) in DECIMAL (summation-order-free), ONE double
+    // division at the end — hash-exact.
+    "q_modularity" -> ((s, d) => {
+      val cl = graft.operators.Clustering
+      val asg = cl.assign(cl.cleanVectors(Tables.embeddings(s, d)), cl.modelFor(s, d))
+        .select(col("cl"), col("vec_id"), col("v"))
+      val edges = cl.semDedupPairs(asg, cl.SemDedupTau)
+        .select(col("vec_a").as("a"), col("vec_b").as("b"))
+        .localCheckpoint(false) // LPA rounds + three modularity consumers
+      val labels = graft.operators.Graph.labelPropagation(
+        asg.select(col("vec_id").as("v")), edges, iters = 3)
+      graft.operators.Graph.modularity(labels, edges)
+    }),
+
     // ---- Pairwise-preference ranking (Bradley–Terry / RLHF-ops) --------
 
     // Bradley–Terry strengths over the 5-language domain from hash-block-
@@ -5086,6 +5103,16 @@ object SparkEntry {
     "q_dp_release" -> ((s, d) =>
       graft.operators.Privacy.dpRelease(Tables.customer(s, d), k = 5L, eps = 0.5)),
 
+    // CONTINUOUS k-anonymity monitor — the privacy family's streaming
+    // face (the ClusterShareStream count discipline): arriving records
+    // update per-QI class counts (state = the fixed 25×5 (nation,
+    // segment) vocabulary — model-sized); a class dipping under the k
+    // floor pages on arrival, not at the next offline audit. Integer
+    // counts merge exactly, so streamed ≡ batch bit-for-bit (asserted
+    // in-plan) and the histogram hash-matches the plain-SQL oracle.
+    "q_k_anonymity_stream" -> ((s, d) =>
+      graft.streaming.KAnonStream.runStreamKAnonymity(s, d)),
+
     // Fixed generalization ladder to k ≥ 5: per level the class count,
     // min class size and suppression cost, `chosen` marking the minimal
     // qualifying generalization. Levels 1+ re-aggregate level 0's class
@@ -5214,6 +5241,10 @@ object SparkEntry {
     // Operator: the monitor stream (IVF search + per-batch audit) alone.
     "q_retrieval_eval_stream" -> ((s, d) =>
       graft.streaming.RetrievalEvalStream.runStreamRetrievalEval(s, d, assertParity = false)),
+    // Contract form: streamed class counts ⋈ batch recompute (parity).
+    // Operator: the complete-mode count stream + histogram readout alone.
+    "q_k_anonymity_stream" -> ((s, d) =>
+      graft.streaming.KAnonStream.runStreamKAnonymity(s, d, assertParity = false)),
     // Contract form: at-rest index ⋈ whole-corpus re-encode (parity).
     // Operator: train + initial encode + the batched cell-append stream.
     "q_ann_ingest_stream" -> ((s, d) =>
@@ -10160,6 +10191,11 @@ object SparkEntry {
     "q_label_prop" -> graft.operators.Clustering.labelPropOracleSql(
       8, 5, 64, graft.operators.Clustering.SemDedupTau, lpaIters = 3),
 
+    // Modularity replay: the LPA chain + exact-integer numerator + one
+    // final double division.
+    "q_modularity" -> graft.operators.Clustering.modularityOracleSql(
+      8, 5, 64, graft.operators.Clustering.SemDedupTau, lpaIters = 3),
+
     // Dimension-truncation curve: one replayed rank chain per prefix
     // length vs the proven full-dimension gold chain.
     "q_retrieval_eval_dims" ->
@@ -10210,6 +10246,18 @@ object SparkEntry {
     // DP release: same suppression gate + the same inverse-CDF Laplace
     // sequence with literals generated from shared constants.
     "q_dp_release" -> graft.operators.Privacy.dpReleaseSql(k = 5L, eps = 0.5),
+
+    // Streaming k-anonymity monitor: the (nation, segment) class-size
+    // histogram replayed in plain SQL; parity pinned (streamed counts ≡
+    // batch recompute, exact integers, asserted in-plan).
+    "q_k_anonymity_stream" ->
+      """WITH cls AS (
+           SELECT c_nationkey, c_mktsegment, count(*) AS class_size
+           FROM customer GROUP BY 1, 2)
+         SELECT class_size, CAST(count(*) AS BIGINT) AS n_classes,
+                CAST(sum(class_size) AS BIGINT) AS n_rows,
+                (class_size < 5) AS at_risk, true AS parity_ok
+         FROM cls GROUP BY 1 ORDER BY 1""",
 
     // Generalization ladder: level 0 is the only corpus-scale GROUP BY;
     // levels 1+ re-aggregate the class table (floor-bucket coarsening

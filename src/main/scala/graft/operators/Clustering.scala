@@ -878,7 +878,7 @@ object Clustering {
     * rounds (count per (node, neighbor label) → max count → min label,
     * isolated nodes keep theirs — the exact deterministic update the
     * Spark loop runs on integers), and the ≥2-member community rollup. */
-  def labelPropOracleSql(k: Int, iters: Int, dim: Int, tau: Double,
+  private def lpaChainSql(k: Int, iters: Int, dim: Int, tau: Double,
       lpaIters: Int): String = {
     val rounds = (1 to lpaIters).map { t =>
       s"""c$t AS (SELECT e.a AS v, l.lbl AS lbl, count(*) AS cnt
@@ -888,17 +888,48 @@ object Clustering {
          |it$t AS (SELECT i.v, coalesce(b$t.best, i.lbl) AS lbl
          |         FROM it${t - 1} i LEFT JOIN b$t ON b$t.v = i.v)""".stripMargin
     }
-    s"""WITH ${semDedupCellsSql(k, iters, dim, tau)},
+    s"""${semDedupCellsSql(k, iters, dim, tau)},
        |sdpair AS MATERIALIZED (SELECT x.vec_id AS vec_a, y.vec_id AS vec_b
        |        FROM sdv x JOIN sdv y ON x.cl = y.cl AND x.vec_id < y.vec_id
        |        WHERE round(list_cosine_similarity(x.vd, y.vd), 6) >= $tau),
        |edges AS (SELECT vec_a AS a, vec_b AS b FROM sdpair
        |          UNION ALL SELECT vec_b, vec_a FROM sdpair),
        |it0 AS (SELECT vec_id AS v, vec_id AS lbl FROM sdv),
-       |${rounds.mkString(",\n")}
+       |${rounds.mkString(",\n")}""".stripMargin
+  }
+
+  def labelPropOracleSql(k: Int, iters: Int, dim: Int, tau: Double,
+      lpaIters: Int): String =
+    s"""WITH ${lpaChainSql(k, iters, dim, tau, lpaIters)}
        |SELECT lbl AS community, CAST(count(*) AS BIGINT) AS n_members
        |FROM it$lpaIters GROUP BY 1 HAVING count(*) >= 2 ORDER BY 1""".stripMargin
-  }
+
+  /** [[graft.operators.Graph.modularity]] over the LPA labeling,
+    * replayed: the LPA chain, then the exact-integer numerator
+    * Σ_c (4·m·m_c − d_c²) in DECIMAL and one final double division. */
+  def modularityOracleSql(k: Int, iters: Int, dim: Int, tau: Double,
+      lpaIters: Int): String =
+    s"""WITH ${lpaChainSql(k, iters, dim, tau, lpaIters)},
+       |deg AS (SELECT a AS v, count(*) AS d FROM edges GROUP BY 1),
+       |dsumm AS (SELECT l.lbl, CAST(sum(d.d) AS DECIMAL(18,0)) AS dc
+       |          FROM it$lpaIters l JOIN deg d ON d.v = l.v GROUP BY 1),
+       |minn AS (SELECT x.lbl, CAST(count(*) AS DECIMAL(18,0)) AS mc
+       |         FROM sdpair p JOIN it$lpaIters x ON x.v = p.vec_a
+       |                       JOIN it$lpaIters y ON y.v = p.vec_b
+       |         WHERE y.lbl = x.lbl GROUP BY 1),
+       |mt AS (SELECT CAST(count(*) AS DECIMAL(18,0)) AS m FROM sdpair),
+       |co AS (SELECT CAST(sum(CAST(4 AS DECIMAL(18,0)) * mt.m
+       |                        * coalesce(minn.mc, CAST(0 AS DECIMAL(18,0)))
+       |                      - dsumm.dc * dsumm.dc) AS DECIMAL(38,0)) AS q_num,
+       |              max(mt.m) AS m
+       |       FROM dsumm LEFT JOIN minn ON minn.lbl = dsumm.lbl, mt),
+       |nc AS (SELECT count(DISTINCT lbl) AS n_communities FROM it$lpaIters)
+       |SELECT nc.n_communities, CAST(co.m AS BIGINT) AS m_edges,
+       |       CAST(co.q_num AS BIGINT) AS q_num,
+       |       round(CAST(co.q_num AS DOUBLE)
+       |             / (CAST(4.0 AS DOUBLE) * CAST(co.m AS DOUBLE) * CAST(co.m AS DOUBLE)), 6)
+       |         AS modularity
+       |FROM co, nc""".stripMargin
 
   def sampleOracleSql(k: Int, iters: Int, dim: Int, quota: Int): String =
     s"""WITH ${stagesSql(k, iters, dim)}

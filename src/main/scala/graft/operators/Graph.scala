@@ -57,6 +57,48 @@ object Graph {
     labels
   }
 
+  /** Newman modularity of a labeling over an undirected graph, computed
+    * EXACTLY: Q = Σ_c [m_c/m − (d_c/2m)²] is evaluated as the integer
+    * numerator Σ_c (4·m·m_c − d_c²) over exact DECIMAL(38,0) — summation-
+    * order-free — with ONE double division at the end, so the score is
+    * engine-reproducible with no float-accumulation caveats. The quality
+    * readout for [[labelPropagation]]: Q near 0 says the "communities"
+    * are no better than random, so a dedup policy keyed on them is keyed
+    * on noise. `edges` carries each undirected pair once (a < b).
+    * Returns ONE row (n_communities, m_edges, q_num, modularity). */
+  def modularity(labels: DataFrame, edges: DataFrame): DataFrame = {
+    // operand width 18 keeps every decimal product inside width 38 on
+    // BOTH engines (4·m·m_c is (1+18+18), d_c² is 36) — counts are far
+    // below 10¹⁸ at any realistic graph scale
+    val dec = "decimal(18,0)"
+    val und = edges.select(col("a"), col("b"))
+      .unionByName(edges.select(col("b").as("a"), col("a").as("b")))
+    val la = labels.select(col("v").as("a"), col("lbl").as("la"))
+    val lb = labels.select(col("v").as("b"), col("lbl").as("lb"))
+    // internal-edge count per community (each undirected edge once)
+    val mIn = edges.join(la, Seq("a")).join(lb, Seq("b"))
+      .filter(col("la") === col("lb"))
+      .groupBy(col("la").as("lbl")).agg(count(lit(1)).cast(dec).as("mc"))
+    // total degree per community (cut edges count toward both sides)
+    val dSum = und.groupBy(col("a").as("v")).agg(count(lit(1)).as("d"))
+      .join(labels, Seq("v"))
+      .groupBy(col("lbl")).agg(sum(col("d")).cast(dec).as("dc"))
+    val mTot = edges.agg(count(lit(1)).cast(dec).as("m"))
+    val nComm = labels.agg(countDistinct(col("lbl")).as("n_communities"))
+    val contrib = dSum.join(mIn, Seq("lbl"), "left")
+      .crossJoin(broadcast(mTot)) // 1-row scalar composition, house pattern
+      .select((lit(4).cast(dec) * col("m") * coalesce(col("mc"), lit(0).cast(dec))
+        - col("dc") * col("dc")).as("c"), col("m"))
+      .agg(sum(col("c")).cast("decimal(38,0)").as("q_num"), max(col("m")).as("m"))
+    contrib.crossJoin(broadcast(nComm))
+      .select(col("n_communities"),
+        col("m").cast("long").as("m_edges"),
+        col("q_num").cast("long").as("q_num"),
+        round(col("q_num").cast("double")
+          / (lit(4.0) * col("m").cast("double") * col("m").cast("double")), 6)
+          .as("modularity"))
+  }
+
   /** Exact triangle count of an undirected pair graph (e.g. the near-dup
     * candidate graph — triangle density distinguishes tight dup CLIQUES
     * from chains before clustering commits to a canonical-per-cluster

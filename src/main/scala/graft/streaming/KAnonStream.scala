@@ -1,0 +1,101 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.{Staging, Tables}
+
+/** Continuous k-anonymity monitor — the privacy family's streaming face
+  * (the [[ClusterShareStream]] count discipline): customer records
+  * arrive as a replayed file stream and the monitor maintains per-QI
+  * class counts incrementally. A class dipping below the k floor as
+  * deletes/inserts flow is a release blocker the NEXT offline audit
+  * would catch too late — the monitor pages on arrival.
+  *
+  * Streaming state is |QI classes| integer counts — the QI here is
+  * (nation, segment), a fixed 25×5 vocabulary, so state is model-sized
+  * however many records flow; the aggregation is one complete-mode
+  * count keyed by the QI. Integer counts are exactly mergeable, so the
+  * streamed state is BIT-IDENTICAL to a batch recompute under any
+  * micro-batch slicing — asserted in-plan (`parity_ok`) — and the
+  * histogram readout hash-matches the same plain-SQL oracle as the
+  * batch audit, parity pinned. */
+object KAnonStream {
+
+  private val StreamShuffleWidth = sys.env.getOrElse("GRAFT_STREAM_SHUFFLE", "8")
+
+  private val CustomerSchema = StructType(Seq(
+    StructField("c_custkey", LongType),
+    StructField("c_name", StringType),
+    StructField("c_nationkey", IntegerType),
+    StructField("c_acctbal", DoubleType),
+    StructField("c_mktsegment", StringType)))
+
+  private def stagedCustomers(spark: SparkSession, dir: String, nBatches: Int): java.io.File =
+    Staging.dir(s"kanon-$nBatches", dir) { d =>
+      val rows = Tables.customer(spark, dir)
+      (0 until nBatches).foreach { i =>
+        val stage = new java.io.File(d, s"__stage$i")
+        rows.filter(pmod(col("c_custkey"), lit(nBatches.toLong)) === i)
+          .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+        val part = stage.listFiles().find(_.getName.endsWith(".parquet")).get
+        val dest = new java.io.File(d, f"batch-$i%02d.parquet")
+        java.nio.file.Files.move(part.toPath, dest.toPath)
+        dest.setLastModified(1700000000000L + i * 600000L)
+        Staging.rmTree(stage)
+      }
+    }
+
+  /** Run the monitor to completion: the class-size histogram
+    * (class_size, n_classes, n_rows, at_risk) + `parity_ok` (streamed
+    * class counts ≡ batch recompute, exact integers). */
+  def runStreamKAnonymity(
+      spark: SparkSession, dir: String, nBatches: Int = 4, k: Long = 5L,
+      assertParity: Boolean = true): DataFrame = {
+    val staged = stagedCustomers(spark, dir, nBatches)
+    val name = "q_k_anonymity_stream_sink"
+
+    val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", StreamShuffleWidth)
+    try {
+      val q = spark.readStream.schema(CustomerSchema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged.toString)
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+
+    // streamed state: ≤ |nations|·|segments| integer rows — model-sized
+    val cur = spark.table(name).collect()
+      .map(r => (r.getAs[Int]("c_nationkey"), r.getAs[String]("c_mktsegment"))
+        -> r.getAs[Long]("n")).toMap
+    val parityOk = !assertParity || {
+      val batch = Tables.customer(spark, dir)
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n")).collect()
+        .map(r => (r.getAs[Int]("c_nationkey"), r.getAs[String]("c_mktsegment"))
+          -> r.getAs[Long]("n")).toMap
+      cur == batch
+    }
+    // histogram readout over the model-sized state, driver-side
+    val hist = cur.values.groupBy(identity).map { case (size, xs) =>
+      (size, xs.size.toLong, size * xs.size.toLong)
+    }.toSeq.sortBy(_._1)
+    val rows = hist.map { case (size, nc, nr) =>
+      Row(size, nc, nr, size < k, parityOk)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("class_size", LongType, nullable = false),
+        StructField("n_classes", LongType, nullable = false),
+        StructField("n_rows", LongType, nullable = false),
+        StructField("at_risk", BooleanType, nullable = false),
+        StructField("parity_ok", BooleanType, nullable = false))))
+      .orderBy(col("class_size"))
+  }
+}

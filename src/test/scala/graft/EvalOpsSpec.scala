@@ -189,6 +189,19 @@ class EvalOpsSpec extends AnyFunSuite with SparkSpec {
     assert(cc.map(_.getLong(1)).distinct.length == 1)
   }
 
+  test("modularity: hand-computed exact value on the two-clique bridge graph") {
+    val nodes = Seq(1L, 2L, 3L, 10L, 11L, 12L).toDF("v")
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (3L, 10L)).toDF("a", "b")
+    val labels = graft.operators.Graph.labelPropagation(nodes, edges, iters = 3)
+    val q = graft.operators.Graph.modularity(labels, edges).collect()(0)
+    // m = 7; two communities, each m_c = 3, d_c = 7 (the bridge counts
+    // toward both) ⇒ q_num = 2·(4·7·3 − 49) = 70; Q = 70/196 = 0.357143
+    assert(q.getAs[Long]("m_edges") == 7L)
+    assert(q.getAs[Long]("q_num") == 70L)
+    assert(q.getAs[Double]("modularity") == 0.357143)
+  }
+
   // --- Privacy audits --------------------------------------------------
 
   private def people = Seq(

@@ -392,6 +392,19 @@ class ScaleSpec extends AnyFunSuite with SparkSpec {
       && row.getAs[Boolean]("ndcg_ok"))
   }
 
+  test("streaming k-anonymity monitor: streamed class counts equal the batch audit, any split") {
+    val got = graft.streaming.KAnonStream
+      .runStreamKAnonymity(spark, sf, nBatches = 3).collect()
+    assert(got.nonEmpty && got.forall(_.getAs[Boolean]("parity_ok")))
+    val batch = graft.operators.Privacy.kAnonymityProfile(
+      Tables.customer(spark, sf),
+      Seq(org.apache.spark.sql.functions.col("c_nationkey"),
+        org.apache.spark.sql.functions.col("c_mktsegment"))).collect()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("class_size"), r.getAs[Long]("n_classes"), r.getAs[Long]("n_rows"))
+    assert(got.map(key).toSeq == batch.map(key).toSeq)
+  }
+
   test("streaming SCD2 ingest: incremental merge equals one-shot scdType2 over the whole input") {
     // date-striped batches close open intervals / append versions; closed
     // history immutable; parity asserted row-for-row inside the run
