@@ -4984,6 +4984,14 @@ object SparkEntry {
     "q_bradley_terry_by_len" -> ((s, d) =>
       graft.operators.Preference.bradleyTerryByRegime(s, Tables.documents(s, d))),
 
+    // Per-pair fit diagnostics: observed vs model-expected wins under
+    // the fitted strengths — the calibration check on the BT assumption
+    // itself (a large residual marks a pair the single-scalar model
+    // can't explain: non-transitive preference hiding under the
+    // leaderboard number). Hash-exact via the same unrolled chain.
+    "q_bt_fit" -> ((s, d) =>
+      graft.operators.Preference.fitDiagnostics(s, Tables.documents(s, d))),
+
     // Pairwise win rates with the Wilson 95% interval — the leaderboard-
     // confidence companion: a pair whose interval straddles 1/2 has not
     // demonstrated a preference at this sample size, however the point
@@ -10185,6 +10193,10 @@ object SparkEntry {
     // Wilson intervals: same matrix, same closed-form op sequence with
     // z literals generated from the shared constant.
     "q_bt_pairs_ci" -> graft.operators.Preference.btPairsWilsonSql,
+
+    // Fit diagnostics: the unrolled chain + one UNION arm per pair over
+    // the final iteration's full-precision p columns.
+    "q_bt_fit" -> graft.operators.Preference.btFitOracleSql,
 
     // LPA replay: the shared k-means stage chain, exact within-cell
     // pairs, 3 unrolled synchronous rounds, ≥2-member community rollup.

@@ -247,6 +247,66 @@ object Preference {
        |FROM m0 ORDER BY i, j""".stripMargin
   }
 
+  /** Per-pair fit diagnostics — observed vs MODEL-EXPECTED wins under
+    * the fitted strengths (e_ij = n_ij·p_i/(p_i+p_j)): the calibration
+    * check on the Bradley–Terry assumption itself. A pair whose residual
+    * is large relative to n is one the single-scalar-per-item model
+    * cannot explain (non-transitive preference, context effects) — the
+    * sign that a leaderboard number is hiding structure. Uses the SAME
+    * full-precision fitted p as [[scoresTable]] (rounding only at
+    * output), mirrored literally in [[btFitOracleSql]]. */
+  def fitDiagnostics(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val m = winMatrix(docs, byRegime = false)
+      .collect() // model-sized: ≤ |Items|²/2 integer rows
+    val n = m.map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val w = m.map(r => (r.getString(0), r.getString(1)) -> r.getLong(3)).toMap
+    val (_, _, p) = mmFit(n, w)
+    val rows = for {
+      ai <- Items.indices; bi <- (ai + 1) until Items.size
+      i = Items(ai); j = Items(bi)
+      nij = n.getOrElse((i, j), 0L) if nij > 0
+    } yield {
+      val wij = w.getOrElse((i, j), 0L)
+      val e = nij.toDouble * (p(i) / (p(i) + p(j)))
+      Row(i, j, nij, wij, round6(e), round6(wij.toDouble - e))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("i", StringType, nullable = false),
+        StructField("j", StringType, nullable = false),
+        StructField("matches", LongType, nullable = false),
+        StructField("wins_i", LongType, nullable = false),
+        StructField("expected_wins", DoubleType, nullable = false),
+        StructField("residual", DoubleType, nullable = false))))
+      .orderBy(col("i"), col("j"))
+  }
+
+  /** DuckDB oracle for [[fitDiagnostics]]: the unrolled MM chain, then
+    * one UNION arm per pair reading the final iteration's full-precision
+    * p columns — the identical double sequence. */
+  def btFitOracleSql: String = {
+    val arms = for {
+      ai <- Items.indices; bi <- (ai + 1) until Items.size
+      i = Items(ai); j = Items(bi)
+    } yield {
+      val e = s"(CAST(n_${i}_$j AS DOUBLE) * (p_$i / (p_$i + p_$j)))"
+      s"""SELECT '$i' AS i, '$j' AS j,
+         |       CAST(n_${i}_$j AS BIGINT) AS matches,
+         |       CAST(w_${i}_$j AS BIGINT) AS wins_i,
+         |       round($e, 6) AS expected_wins,
+         |       round(CAST(w_${i}_$j AS DOUBLE) - $e, 6) AS residual
+         |FROM it$Iters WHERE n_${i}_$j > 0""".stripMargin
+    }
+    s"""WITH d AS (
+       |  SELECT doc_id, lang, source, n_chars,
+       |         ${PortableHash.keyHashSql("doc_id")} % $Blocks AS blk
+       |  FROM documents),
+       |${pairCells("")},
+       |${mmChainSql()}
+       |SELECT * FROM (${arms.mkString(" UNION ALL ")}) ORDER BY i, j""".stripMargin
+  }
+
   // ---------------------------------------------------------------------
   // Oracle SQL generation — unrolled from the SAME constants as the fit.
   // ---------------------------------------------------------------------

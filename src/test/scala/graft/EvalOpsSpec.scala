@@ -79,6 +79,23 @@ class EvalOpsSpec extends AnyFunSuite with SparkSpec {
     assert(rank(("long", "de")) < rank(("long", "en")))
   }
 
+  test("fitDiagnostics: two-item fit reproduces the empirical rate (residual ~ 0)") {
+    // with exactly two items the BT fixed point IS the empirical win
+    // rate, so the model-expected wins match the observed ones up to
+    // MM convergence slack
+    val rows = (0L until 200L).flatMap { i =>
+      Seq((i * 10 + 0, "x", "de", "s0", if (i % 4 == 0) 100L else 10L),
+        (i * 10 + 1, "x", "en", "s0", 50L))
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Preference.fitDiagnostics(spark, rows).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[String]("i") == "de" && r.getAs[String]("j") == "en")
+    assert(math.abs(r.getAs[Double]("residual")) < 0.01,
+      s"two-item residual should vanish at the fixed point: $r")
+    assert(math.abs(r.getAs[Double]("expected_wins") - r.getAs[Long]("wins_i")) < 0.01)
+  }
+
   test("pairsWilson: closed-form interval on a known matrix, decisive iff CI excludes 1/2") {
     // one source, one block-dominant pair set: construct 20 de-en
     // comparisons where en wins 15 (p̂ = .75 for i = de is 5/20 = .25)
