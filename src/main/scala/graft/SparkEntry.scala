@@ -4984,6 +4984,14 @@ object SparkEntry {
     "q_bradley_terry_by_len" -> ((s, d) =>
       graft.operators.Preference.bradleyTerryByRegime(s, Tables.documents(s, d))),
 
+    // DPO-style preference-pair construction (Rafailov 2023 data prep):
+    // within each (source, block, lang) cell, every doc pair with a
+    // strictly different INTEGER quality signal (unique-token count)
+    // becomes one (chosen, rejected) row — mining preference data from
+    // a quality-ranked corpus when no human labels exist. Hash-exact.
+    "q_dpo_pairs" -> ((s, d) =>
+      graft.operators.Preference.dpoPairs(Tables.documents(s, d))),
+
     // Per-pair fit diagnostics: observed vs model-expected wins under
     // the fitted strengths — the calibration check on the BT assumption
     // itself (a large residual marks a pair the single-scalar model
@@ -10197,6 +10205,9 @@ object SparkEntry {
     // Fit diagnostics: the unrolled chain + one UNION arm per pair over
     // the final iteration's full-precision p columns.
     "q_bt_fit" -> graft.operators.Preference.btFitOracleSql,
+
+    // DPO pairs: the same cell join over the same integer signal.
+    "q_dpo_pairs" -> graft.operators.Preference.dpoPairsSql,
 
     // LPA replay: the shared k-means stage chain, exact within-cell
     // pairs, 3 unrolled synchronous rounds, ≥2-member community rollup.

@@ -187,6 +187,57 @@ object Preference {
       .orderBy(col("regime"), col("item"))
   }
 
+  /** Preference-pair construction for DPO-style training (Rafailov
+    * 2023): within each (source, block, language) cell, every document
+    * pair with a strictly different quality signal becomes one
+    * (chosen, rejected) row — the standard recipe for mining preference
+    * data from a quality-ranked corpus when no human labels exist. The
+    * signal here is the INTEGER unique-token count (lexical richness —
+    * one of the q_doc_quality metrics), so the comparison is exact and
+    * tie handling is structural, not float-sensitive. Same hash-block
+    * bounding as [[winMatrix]]: the cell, not the corpus, bounds the
+    * pair count, and Blocks grows with the corpus. */
+  def dpoPairs(docs: DataFrame): DataFrame = {
+    val base = docs.select(
+      col("doc_id"), col("lang"), col("source"),
+      pmod(PortableHash.keyHash(col("doc_id")), lit(Blocks.toLong)).as("blk"),
+      size(array_distinct(split(col("text"), " "))).as("uq"))
+    val a = base.select(col("source"), col("blk"), col("lang"),
+      col("doc_id").as("a_id"), col("uq").as("a_uq"))
+    val b = base.select(col("source").as("b_source"), col("blk").as("b_blk"),
+      col("lang").as("b_lang"), col("doc_id").as("b_id"), col("uq").as("b_uq"))
+    a.join(b,
+      col("source") === col("b_source") && col("blk") === col("b_blk") &&
+        col("lang") === col("b_lang") && col("a_id") < col("b_id") &&
+        col("a_uq") =!= col("b_uq"))
+      .select(col("lang"), col("source"),
+        when(col("a_uq") > col("b_uq"), col("a_id")).otherwise(col("b_id")).as("chosen_id"),
+        when(col("a_uq") > col("b_uq"), col("b_id")).otherwise(col("a_id")).as("rejected_id"),
+        greatest(col("a_uq"), col("b_uq")).as("chosen_uq"),
+        least(col("a_uq"), col("b_uq")).as("rejected_uq"),
+        (greatest(col("a_uq"), col("b_uq")) - least(col("a_uq"), col("b_uq"))).as("gap"))
+      .orderBy(col("chosen_id"), col("rejected_id"))
+  }
+
+  /** DuckDB oracle for [[dpoPairs]] — the same cell join over the same
+    * integer signal. */
+  def dpoPairsSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, lang, source,
+       |         ${PortableHash.keyHashSql("doc_id")} % $Blocks AS blk,
+       |         CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS uq
+       |  FROM documents)
+       |SELECT a.lang, a.source,
+       |       CASE WHEN a.uq > b.uq THEN a.doc_id ELSE b.doc_id END AS chosen_id,
+       |       CASE WHEN a.uq > b.uq THEN b.doc_id ELSE a.doc_id END AS rejected_id,
+       |       CAST(greatest(a.uq, b.uq) AS INT) AS chosen_uq,
+       |       CAST(least(a.uq, b.uq) AS INT) AS rejected_uq,
+       |       CAST(greatest(a.uq, b.uq) - least(a.uq, b.uq) AS INT) AS gap
+       |FROM d a JOIN d b
+       |  ON a.source = b.source AND a.blk = b.blk AND a.lang = b.lang
+       | AND a.doc_id < b.doc_id AND a.uq != b.uq
+       |ORDER BY chosen_id, rejected_id""".stripMargin
+
   /** Φ⁻¹(0.975) — the 95% Wilson z, shared by the Spark expression and
     * the generated SQL literal. */
   val WilsonZ = 1.959963984540054

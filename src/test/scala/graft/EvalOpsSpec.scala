@@ -96,6 +96,32 @@ class EvalOpsSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(r.getAs[Double]("expected_wins") - r.getAs[Long]("wins_i")) < 0.01)
   }
 
+  test("dpoPairs: chosen is the lexically richer doc, ties and cross-cell pairs drop") {
+    val docs = Seq(
+      (0L, "a b c d e", "en", "s0", 9L),   // 5 unique
+      (8L, "a a a b b", "en", "s0", 9L),   // 2 unique — if co-celled with 0: rejected
+      (1L, "x y", "de", "s0", 3L),         // different lang: never pairs with en
+      (2L, "p q r", "en", "s1", 5L))       // different source: never pairs with s0
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Preference.dpoPairs(docs).collect()
+    // pairs only form within (source, blk, lang); whatever the hash
+    // blocking, any emitted pair must respect the invariants:
+    out.foreach { r =>
+      assert(r.getAs[Int]("chosen_uq") > r.getAs[Int]("rejected_uq"))
+      assert(r.getAs[Int]("gap") ==
+        r.getAs[Int]("chosen_uq") - r.getAs[Int]("rejected_uq"))
+    }
+    // and if docs 0 and 8 share a block, the richer one is chosen
+    out.find(r => Set(r.getAs[Long]("chosen_id"), r.getAs[Long]("rejected_id")) == Set(0L, 8L))
+      .foreach { r =>
+        assert(r.getAs[Long]("chosen_id") == 0L && r.getAs[Int]("chosen_uq") == 5)
+      }
+    // cross-lang and cross-source pairs are structurally absent
+    assert(!out.exists(r => Set(r.getAs[Long]("chosen_id"), r.getAs[Long]("rejected_id"))
+      .intersect(Set(1L, 2L)).nonEmpty && Set(r.getAs[Long]("chosen_id"),
+      r.getAs[Long]("rejected_id")).intersect(Set(0L, 8L)).nonEmpty))
+  }
+
   test("pairsWilson: closed-form interval on a known matrix, decisive iff CI excludes 1/2") {
     // one source, one block-dominant pair set: construct 20 de-en
     // comparisons where en wins 15 (p̂ = .75 for i = de is 5/20 = .25)
