@@ -999,7 +999,10 @@ object SparkEntry {
       import graft.operators.IvfIndex
       val emb = Tables.embeddings(s, d)
       val isNew = col("vec_id") % 5 === 0
-      val idx0 = IvfIndex.build(s, emb.filter(!isNew), nLists = 16)
+      // list count from the capacity rule on the ACCEPTED corpus — the
+      // add path runs under a model whose cell structure was sized for
+      // the corpus it trained on (fixed nLists measured 11.22x at 10x)
+      val idx0 = IvfIndex.buildAuto(s, emb.filter(!isNew))
       val idx = IvfIndex.addToIndex(idx0, emb.filter(isNew))
       val q = emb.filter(col("vec_id") < 32)
       val exact = Similarity.bruteForceKnn(q, emb, k = 5)
@@ -1020,6 +1023,32 @@ object SparkEntry {
       recall.crossJoin(parity)
     }),
 
+    // DATA-DRIVEN list count — the executable "nLists grows with the
+    // corpus" posture (the q_semdedup_auto_k convention): the capacity
+    // rule picks the smallest candidate keeping expected cell occupancy
+    // at or under 125 (4 at sf0.01's 500 vectors, 16 at sf0.1's 2000 —
+    // ProbeScale measured the FIXED-nLists regime at 11.22x search cost
+    // for 10x data, the regime this rule retires), then the standard
+    // probe search runs under the selected model. Self-asserting:
+    // recall@5 vs the in-plan exact twin (floor 0.65, the IVF family
+    // convention); the oracle replays the integer capacity rule, so a
+    // build that ignored the selector hash-mismatches selected_nlists.
+    "q_ivf_auto_nlists" -> ((s, d) => {
+      import graft.operators.IvfIndex
+      val emb = Tables.embeddings(s, d)
+      val idx = IvfIndex.buildAuto(s, emb)
+      val q = emb.filter(col("vec_id") < 32)
+      val exact = Similarity.bruteForceKnn(q, emb, k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val approx = IvfIndex.search(s, idx, q, k = 5, nProbe = 8)
+        .select(col("query_id"), col("neighbor_id")).withColumn("hit", lit(1L))
+      exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+        .agg(countDistinct(col("query_id")).as("n_queries"),
+          (coalesce(sum(col("hit")), lit(0L)) >= count(lit(1)) * 0.65).as("recall_ok"))
+        .select(lit(idx.centroids.length).as("selected_nlists"),
+          col("n_queries"), col("recall_ok"))
+    }),
+
     // INCREMENTAL IVF-PQ maintenance — the FAISS add path for the
     // compressed tier: coarse centroids AND residual codebooks train on
     // the 80% corpus, the vec_id % 5 == 0 batch is assigned + residual-
@@ -1034,12 +1063,17 @@ object SparkEntry {
       import graft.operators.Pq
       val emb = Tables.embeddings(s, d)
       val isNew = col("vec_id") % 5 === 0
-      val idx0 = Pq.buildIvfPq(s, emb.filter(!isNew), dims = 64, nLists = 16, m = 16, ksub = 64)
+      val old = emb.filter(!isNew)
+      val idx0 = Pq.buildIvfPq(s, old, dims = 64,
+        nLists = graft.operators.IvfIndex.autoNLists(old.count()), m = 16, ksub = 64)
       val idx = Pq.addToIvfPq(idx0, emb.filter(isNew))
       val q = emb.filter(col("vec_id") < 32)
       val exact = Similarity.bruteForceKnn(q, emb, k = 5)
         .select(col("query_id"), col("neighbor_id"))
-      val approx = Pq.ivfPqSearch(idx, q, k = 5, nProbe = 8)
+      // nProbe capped by the auto-selected list count (4 at the small
+      // SFs — probing every cell, the exhaustive-PQ limit)
+      val approx = Pq.ivfPqSearch(idx, q, k = 5,
+        nProbe = math.min(8, idx.ivfCents.length))
         .select(col("query_id"), col("neighbor_id")).withColumn("hit", lit(1L))
       val recall = exact.join(approx, Seq("query_id", "neighbor_id"), "left")
         .agg(countDistinct(col("query_id")).as("n_queries"),
@@ -5117,7 +5151,8 @@ object SparkEntry {
     // bootstrap replicate discipline, so the oracle replays the release
     // bit-for-bit; production draws a fresh seed).
     "q_dp_release" -> ((s, d) =>
-      graft.operators.Privacy.dpRelease(Tables.customer(s, d), k = 5L, eps = 0.5)),
+      graft.operators.Privacy.dpRelease(Tables.customer(s, d),
+        k = graft.operators.Privacy.DefaultK, eps = 0.5)),
 
     // CONTINUOUS k-anonymity monitor — the privacy family's streaming
     // face (the ClusterShareStream count discipline): arriving records
@@ -5134,7 +5169,8 @@ object SparkEntry {
     // qualifying generalization. Levels 1+ re-aggregate level 0's class
     // table — one corpus scan serves the whole ladder.
     "q_k_anon_generalize" -> ((s, d) =>
-      graft.operators.Privacy.generalizationLadder(Tables.customer(s, d), k = 5L)),
+      graft.operators.Privacy.generalizationLadder(Tables.customer(s, d),
+        k = graft.operators.Privacy.DefaultK)),
 
     // TPC-H Q6 shape (forecast revenue change): single-scan aggregate with
     // every predicate in PushedFilters — the pure pushdown benchmark.
@@ -6043,6 +6079,17 @@ object SparkEntry {
       """SELECT count(DISTINCT vec_id) AS n_queries, true AS recall_ok,
                 true AS parity_ok
          FROM embeddings WHERE vec_id < 32""",
+
+    // Auto-nLists replay: the exact integer capacity rule as a CASE over
+    // the corpus count (generated from the SAME constants as the
+    // operator), recall floor asserted in-plan.
+    "q_ivf_auto_nlists" ->
+      s"""SELECT CAST(${graft.operators.IvfIndex.autoNListsCaseSql("count(*)")} AS INT)
+                   AS selected_nlists,
+                 CAST(count(DISTINCT vec_id) FILTER (WHERE vec_id < 32) AS BIGINT)
+                   AS n_queries,
+                 true AS recall_ok
+         FROM embeddings""",
 
     // Incremental IVF-PQ add: recall floor + add≡rebuild encode parity
     // asserted in-plan, oracle pins the outcomes.
@@ -10268,25 +10315,25 @@ object SparkEntry {
 
     // DP release: same suppression gate + the same inverse-CDF Laplace
     // sequence with literals generated from shared constants.
-    "q_dp_release" -> graft.operators.Privacy.dpReleaseSql(k = 5L, eps = 0.5),
+    "q_dp_release" -> graft.operators.Privacy.dpReleaseSql(k = graft.operators.Privacy.DefaultK, eps = 0.5),
 
     // Streaming k-anonymity monitor: the (nation, segment) class-size
     // histogram replayed in plain SQL; parity pinned (streamed counts ≡
     // batch recompute, exact integers, asserted in-plan).
     "q_k_anonymity_stream" ->
-      """WITH cls AS (
+      s"""WITH cls AS (
            SELECT c_nationkey, c_mktsegment, count(*) AS class_size
            FROM customer GROUP BY 1, 2)
          SELECT class_size, CAST(count(*) AS BIGINT) AS n_classes,
                 CAST(sum(class_size) AS BIGINT) AS n_rows,
-                (class_size < 5) AS at_risk, true AS parity_ok
+                (class_size < ${graft.operators.Privacy.DefaultK}) AS at_risk, true AS parity_ok
          FROM cls GROUP BY 1 ORDER BY 1""",
 
     // Generalization ladder: level 0 is the only corpus-scale GROUP BY;
     // levels 1+ re-aggregate the class table (floor-bucket coarsening
-    // composes). `chosen` = first level with min_k >= 5.
+    // composes). `chosen` = first level with min_k >= DefaultK.
     "q_k_anon_generalize" ->
-      """WITH l0 AS (
+      s"""WITH l0 AS (
            SELECT c_nationkey AS nation, c_mktsegment AS segment,
                   CAST(floor(c_acctbal / 100.0) AS BIGINT) AS bb,
                   count(*) AS cnt
@@ -10302,19 +10349,19 @@ object SparkEntry {
          lv AS (
            SELECT 0 AS level, CAST(count(*) AS BIGINT) AS n_classes,
                   CAST(min(cnt) AS BIGINT) AS min_k,
-                  CAST(sum(CASE WHEN cnt < 5 THEN cnt ELSE 0 END) AS BIGINT) AS rows_at_risk
+                  CAST(sum(CASE WHEN cnt < ${graft.operators.Privacy.DefaultK} THEN cnt ELSE 0 END) AS BIGINT) AS rows_at_risk
            FROM l0
            UNION ALL
            SELECT 1, CAST(count(*) AS BIGINT), CAST(min(cnt) AS BIGINT),
-                  CAST(sum(CASE WHEN cnt < 5 THEN cnt ELSE 0 END) AS BIGINT) FROM l1
+                  CAST(sum(CASE WHEN cnt < ${graft.operators.Privacy.DefaultK} THEN cnt ELSE 0 END) AS BIGINT) FROM l1
            UNION ALL
            SELECT 2, CAST(count(*) AS BIGINT), CAST(min(cnt) AS BIGINT),
-                  CAST(sum(CASE WHEN cnt < 5 THEN cnt ELSE 0 END) AS BIGINT) FROM l2
+                  CAST(sum(CASE WHEN cnt < ${graft.operators.Privacy.DefaultK} THEN cnt ELSE 0 END) AS BIGINT) FROM l2
            UNION ALL
            SELECT 3, CAST(count(*) AS BIGINT), CAST(min(cnt) AS BIGINT),
-                  CAST(sum(CASE WHEN cnt < 5 THEN cnt ELSE 0 END) AS BIGINT) FROM l3)
+                  CAST(sum(CASE WHEN cnt < ${graft.operators.Privacy.DefaultK} THEN cnt ELSE 0 END) AS BIGINT) FROM l3)
          SELECT level, n_classes, min_k, rows_at_risk,
-                (min_k >= 5 AND coalesce(max(CASE WHEN min_k >= 5 THEN 1 ELSE 0 END)
+                (min_k >= ${graft.operators.Privacy.DefaultK} AND coalesce(max(CASE WHEN min_k >= ${graft.operators.Privacy.DefaultK} THEN 1 ELSE 0 END)
                    OVER (ORDER BY level ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) = 0)
                   AS chosen
          FROM lv ORDER BY level"""

@@ -52,17 +52,22 @@ object IndexRegistry {
 
   /** Flat IVF index trained and built on the accepted corpus only
     * (vec_id % 5 != 0) — the frozen model `q_ivf_incremental`'s add path
-    * runs under. */
+    * runs under. List count from the [[IvfIndex.autoNLists]] capacity
+    * rule (the incremental family's convention — a growing deployment
+    * re-tiers its cell structure at train time); the full-corpus
+    * indexes above keep the contract entries' pinned nLists = 16. */
   def ivf80(spark: SparkSession, dir: String): IvfIndex.Index =
     get(dir, "ivf-80") {
       stageIvf(spark, dir, "ivf-80",
-        Tables.embeddings(spark, dir).filter(!isNew("vec_id")))
+        Tables.embeddings(spark, dir).filter(!isNew("vec_id")), auto = true)
     }
 
   private def stageIvf(
       spark: SparkSession, dir: String, tag: String,
-      corpus: DataFrame): IvfIndex.Index = {
-    val built = IvfIndex.build(spark, corpus, nLists = 16)
+      corpus: DataFrame, auto: Boolean = false): IvfIndex.Index = {
+    val built =
+      if (auto) IvfIndex.buildAuto(spark, corpus)
+      else IvfIndex.build(spark, corpus, nLists = 16)
     val d = Staging.dir(s"idx-$tag", dir) { f =>
       built.assigned.write.partitionBy("cell_id")
         .parquet(new java.io.File(f, "assigned").toString)
@@ -108,7 +113,7 @@ object IndexRegistry {
   def ivfPq80(spark: SparkSession, dir: String): Pq.IvfPqIndex =
     get(dir, "ivfpq-80") {
       stageIvfPq(spark, dir, "ivfpq-80",
-        Tables.embeddings(spark, dir).filter(!isNew("vec_id")))
+        Tables.embeddings(spark, dir).filter(!isNew("vec_id")), auto = true)
     }
 
   /** The staged parquet root of [[ivfPq80]]'s encoded corpus — the ingest
@@ -120,8 +125,10 @@ object IndexRegistry {
 
   private def stageIvfPq(
       spark: SparkSession, dir: String, tag: String,
-      corpus: DataFrame): Pq.IvfPqIndex = {
-    val built = Pq.buildIvfPq(spark, corpus, dims = 64, nLists = 16, m = 16, ksub = 64)
+      corpus: DataFrame, auto: Boolean = false): Pq.IvfPqIndex = {
+    val nl = if (auto) IvfIndex.autoNLists(
+      corpus.select(col("vec_id")).count()) else 16
+    val built = Pq.buildIvfPq(spark, corpus, dims = 64, nLists = nl, m = 16, ksub = 64)
     val d = Staging.dir(s"idx-$tag", dir) { f =>
       built.encoded.write.partitionBy("cell_id")
         .parquet(new java.io.File(f, "encoded").toString)

@@ -24,6 +24,59 @@ object IvfIndex {
 
   final case class Index(assigned: DataFrame, centroids: Array[(Int, Array[Double])])
 
+  /** Auto-nLists parameters: with occupancy 125 the rule picks
+    * nLists = 4 at n = 500 (sf0.001 / sf0.01) and nLists = 16 at
+    * n = 2000 (sf0.1) — the selector provably moves with the corpus on
+    * the shipped data (the [[Clustering.selectK]] convention). */
+  val AutoNListsCandidates: Seq[Int] = Seq(4, 8, 16, 32, 64, 128)
+  val AutoNListsOccupancy: Long = 125L
+
+  /** Target-occupancy list-count rule — the FAISS capacity convention
+    * made executable: the smallest candidate `nLists` keeping expected
+    * cell occupancy n/nLists at or under `occupancy`. ProbeScale
+    * measured the FIXED-nLists regime at 11.22× search cost for 10×
+    * data (cells fatten linearly with the corpus); growing the list
+    * count with the corpus keeps cells bounded, so probe cost scales
+    * with data/nLists ≈ constant per cell and the search exponent stays
+    * near the SemDeDup family's ~2×, not 11×. Exact integer compare —
+    * the DuckDB oracle replays it via [[autoNListsCaseSql]]. */
+  def autoNLists(n: Long, candidates: Seq[Int] = AutoNListsCandidates,
+      occupancy: Long = AutoNListsOccupancy): Int = {
+    require(candidates.nonEmpty && candidates == candidates.sorted,
+      s"autoNLists: candidates must be non-empty ascending, got $candidates")
+    candidates.find(nl => n <= occupancy * nl).getOrElse(candidates.max)
+  }
+
+  /** The [[autoNLists]] rule as a SQL CASE over `countExpr` — generated
+    * from the SAME constants (the selectK-oracle pattern), so operator
+    * and oracle cannot desynchronize. */
+  def autoNListsCaseSql(countExpr: String,
+      candidates: Seq[Int] = AutoNListsCandidates,
+      occupancy: Long = AutoNListsOccupancy): String = {
+    val arms = candidates.init.map(nl =>
+      s"WHEN $countExpr <= ${occupancy * nl} THEN $nl").mkString(" ")
+    s"(CASE $arms ELSE ${candidates.max} END)"
+  }
+
+  /** [[build]] with the list count picked by the [[autoNLists]]
+    * capacity rule from the corpus count — the index face a
+    * continuously-growing deployment calls, so re-training at a larger
+    * corpus automatically re-tiers the cell structure instead of letting
+    * fixed cells fatten linearly. One count (reused by build's sampling
+    * threshold), then the standard bounded-sample train + one
+    * assignment pass. */
+  def buildAuto(
+      spark: SparkSession,
+      embeddings: DataFrame,
+      seed: Long = 42L,
+      trainCap: Int = 16384,
+      maxIter: Int = 10,
+      tol: Double = 1e-4): Index = {
+    val n = embeddings.select(col("vec_id"), col("embedding")).count()
+    build(spark, embeddings, autoNLists(n), seed, trainCap, maxIter, tol,
+      knownTotal = Some(n))
+  }
+
   /** Build: train seeded k-means (k-means++ init, Lloyd refinement) on a
     * deterministic hash-sample of at most `trainCap` vectors, then assign
     * every vector to its nearest cell in one distributed pass.
@@ -38,13 +91,14 @@ object IvfIndex {
       seed: Long = 42L,
       trainCap: Int = 16384,
       maxIter: Int = 10,
-      tol: Double = 1e-4): Index = {
+      tol: Double = 1e-4,
+      knownTotal: Option[Long] = None): Index = {
     val base = embeddings.select(col("vec_id"), col("embedding"))
 
     // Deterministic bounded sample: hash-threshold filter (no global sort,
     // no limit — the picked SET is independent of partitioning), then a
     // driver-side collect of ≤ ~trainCap rows.
-    val total = base.count()
+    val total = knownTotal.getOrElse(base.count())
     val picked =
       if (total <= trainCap) base
       else {

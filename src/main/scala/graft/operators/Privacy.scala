@@ -23,6 +23,12 @@ import org.apache.spark.sql.functions._
   */
 object Privacy {
 
+  /** The release gate's k-anonymity floor, shared by every privacy
+    * operator AND its generated oracle SQL (the Blocks/WilsonZ
+    * convention): changing the default here re-derives both sides, so
+    * operator and oracle cannot silently desynchronize. */
+  val DefaultK: Long = 5L
+
   /** Class-size profile over a QI: for each class size, how many classes
     * and rows sit at that size — the full k-anonymity histogram (the
     * release gate reads the smallest sizes; min class size = the

@@ -25,12 +25,15 @@ object KAnonStream {
 
   private val StreamShuffleWidth = sys.env.getOrElse("GRAFT_STREAM_SHUFFLE", "8")
 
-  private val CustomerSchema = StructType(Seq(
-    StructField("c_custkey", LongType),
-    StructField("c_name", StringType),
-    StructField("c_nationkey", IntegerType),
-    StructField("c_acctbal", DoubleType),
-    StructField("c_mktsegment", StringType)))
+  /** Stream-read schema DERIVED from the batch table's schema, pruned to
+    * the monitor's columns — a regenerated dataset with widened physical
+    * types flows through unchanged instead of breaking the streaming
+    * read while the batch path keeps working. */
+  private def customerStreamSchema(spark: SparkSession, dir: String): StructType = {
+    val base = Tables.customer(spark, dir).schema
+    StructType(Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+      "c_mktsegment").map(n => base(n)))
+  }
 
   private def stagedCustomers(spark: SparkSession, dir: String, nBatches: Int): java.io.File =
     Staging.dir(s"kanon-$nBatches", dir) { d =>
@@ -51,7 +54,8 @@ object KAnonStream {
     * (class_size, n_classes, n_rows, at_risk) + `parity_ok` (streamed
     * class counts ≡ batch recompute, exact integers). */
   def runStreamKAnonymity(
-      spark: SparkSession, dir: String, nBatches: Int = 4, k: Long = 5L,
+      spark: SparkSession, dir: String, nBatches: Int = 4,
+      k: Long = graft.operators.Privacy.DefaultK,
       assertParity: Boolean = true): DataFrame = {
     val staged = stagedCustomers(spark, dir, nBatches)
     val name = "q_k_anonymity_stream_sink"
@@ -59,7 +63,7 @@ object KAnonStream {
     val saved = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", StreamShuffleWidth)
     try {
-      val q = spark.readStream.schema(CustomerSchema)
+      val q = spark.readStream.schema(customerStreamSchema(spark, dir))
         .option("maxFilesPerTrigger", "1")
         .parquet(staged.toString)
         .groupBy(col("c_nationkey"), col("c_mktsegment"))
@@ -71,13 +75,13 @@ object KAnonStream {
 
     // streamed state: ≤ |nations|·|segments| integer rows — model-sized
     val cur = spark.table(name).collect()
-      .map(r => (r.getAs[Int]("c_nationkey"), r.getAs[String]("c_mktsegment"))
+      .map(r => (r.getAs[Number]("c_nationkey").longValue(), r.getAs[String]("c_mktsegment"))
         -> r.getAs[Long]("n")).toMap
     val parityOk = !assertParity || {
       val batch = Tables.customer(spark, dir)
         .groupBy(col("c_nationkey"), col("c_mktsegment"))
         .agg(count(lit(1)).as("n")).collect()
-        .map(r => (r.getAs[Int]("c_nationkey"), r.getAs[String]("c_mktsegment"))
+        .map(r => (r.getAs[Number]("c_nationkey").longValue(), r.getAs[String]("c_mktsegment"))
           -> r.getAs[Long]("n")).toMap
       cur == batch
     }

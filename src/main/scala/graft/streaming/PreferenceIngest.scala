@@ -96,7 +96,9 @@ object PreferenceIngest {
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
         pmod(PortableHash.keyHash(col("doc_id")),
           lit(Preference.Blocks.toLong)).as("blk"))
-      .localCheckpoint(false)
+      // eager: materialized HERE, before the two concurrent consumers in
+      // foreachBatch spawn — neither future races the checkpoint write
+      .localCheckpoint(true)
     // the batch's block set: bounded (≤ Blocks ids) — plans the probe
     val blocks = asg.select(col("blk")).distinct()
       .collect().map(_.getLong(0)).toSeq
@@ -141,7 +143,7 @@ object PreferenceIngest {
     val out = java.nio.file.Files.createTempDirectory("graft-btingest").toFile
     val storeDir = new java.io.File(out, "store")
     val incDir = new java.io.File(out, "inc")
-
+    try {
     val saved = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", StreamShuffleWidth)
     try {
@@ -183,9 +185,11 @@ object PreferenceIngest {
       val wF = full.map(r => (r.getString(0), r.getString(1)) -> r.getLong(3)).toMap
       nS == nF && wS == wF
     }
-    Staging.rmTree(out)
     Preference.scoresTable(spark, nS, wS)
       .withColumn("parity_ok", lit(parityOk))
       .orderBy(col("item"))
+    // scratch removed on EVERY exit — a failed stream run must not leak
+    // temp dirs across runs
+    } finally Staging.rmTree(out)
   }
 }

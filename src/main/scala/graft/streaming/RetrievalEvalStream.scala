@@ -76,7 +76,7 @@ object RetrievalEvalStream {
     val staged = stagedQueries(spark, dir, nBatches)
     val out = java.nio.file.Files.createTempDirectory("graft-releval").toFile
     val metDir = new java.io.File(out, "metrics")
-
+    try {
     val saved = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", StreamShuffleWidth)
     try {
@@ -119,7 +119,9 @@ object RetrievalEvalStream {
         (col("mean_ndcg") >= 0.5).as("ndcg_ok"),
         col("parity_ok"))
       .collect() // 1 row — materialize before the scratch dir is deleted
-    Staging.rmTree(out)
     spark.createDataFrame(java.util.Arrays.asList(row: _*), row.head.schema)
+    // scratch removed on EVERY exit — a failed stream run must not leak
+    // temp dirs across runs
+    } finally Staging.rmTree(out)
   }
 }

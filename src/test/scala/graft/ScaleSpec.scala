@@ -297,6 +297,29 @@ class ScaleSpec extends AnyFunSuite with SparkSpec {
     assert(a.map(key).toSeq == fixed.map(key).toSeq)
   }
 
+  test("auto-nLists IVF: the capacity rule moves with the corpus; buildAuto carries rule-sized cells") {
+    import graft.operators.IvfIndex
+    // boundary algebra: n = occ·nl stays at nl, n = occ·nl + 1 moves up;
+    // past the largest candidate's capacity the rule falls back to it
+    assert(IvfIndex.autoNLists(500) == 4 && IvfIndex.autoNLists(501) == 8)
+    assert(IvfIndex.autoNLists(1000) == 8 && IvfIndex.autoNLists(1001) == 16)
+    assert(IvfIndex.autoNLists(1000000) == 128)
+    // two SFs pick DIFFERENT nLists from their REAL corpus counts — the
+    // selector provably moves with the shipped data
+    val nSmall = Tables.embeddings(spark, sf).count()
+    val nBig = Tables.embeddings(spark, "/root/testdata/sf0.1").count()
+    assert(IvfIndex.autoNLists(nSmall) == 4 && IvfIndex.autoNLists(nBig) == 16)
+    // buildAuto's index is structurally the rule's: centroid count =
+    // rule(n), and assignment ≡ a fixed build at the selected count
+    val idx = IvfIndex.buildAuto(spark, Tables.embeddings(spark, sf))
+    assert(idx.centroids.length == 4)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"vec_id", $"cell_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSet
+    val fixed = IvfIndex.build(spark, Tables.embeddings(spark, sf), nLists = 4)
+    assert(rows(idx.assigned) == rows(fixed.assigned))
+  }
+
   test("streaming SemDeDup ingest: streamed prune table equals whole-corpus semDedup, any batch split") {
     val cl = graft.operators.Clustering
     // 3 batches (odd split: exercises cross-batch probe AND in-batch
