@@ -5003,6 +5003,37 @@ object SparkEntry {
       graft.operators.Graph.modularity(labels, edges)
     }),
 
+    // LOUVAIN-STYLE REFINEMENT over the LPA labeling — one deterministic
+    // mutual-best merge round on the AGGREGATED community graph: exact
+    // integer merge gains (4*m*w - 2*dA*dB, the modularity numerator
+    // algebra), reciprocal-choice matching (disjoint merges => gains add
+    // exactly, and the globally best pair is always mutual, so any
+    // positive-gain pair guarantees strict Q uplift — asserted in-plan
+    // via `improved`). Both Q numerators are exact integers, so the
+    // oracle replays the WHOLE round hash-exactly, refined score
+    // included.
+    "q_louvain_refine" -> ((s, d) => {
+      val cl = graft.operators.Clustering
+      val G = graft.operators.Graph
+      val asg = cl.assign(cl.cleanVectors(Tables.embeddings(s, d)), cl.modelFor(s, d))
+        .select(col("cl"), col("vec_id"), col("v"))
+      val edges = cl.semDedupPairs(asg, cl.SemDedupTau)
+        .select(col("vec_a").as("a"), col("vec_b").as("b"))
+        .localCheckpoint(false) // LPA rounds + refine + two modularity reads
+      val lpa = G.labelPropagation(asg.select(col("vec_id").as("v")), edges, iters = 3)
+        .localCheckpoint(false) // refine + modularity both consume it
+      val refined = G.refineCommunities(lpa, edges)
+      val qL = G.modularity(lpa, edges).select(
+        col("m_edges"), col("n_communities").as("n_comm_lpa"),
+        col("q_num").as("q_num_lpa"), col("modularity").as("modularity_lpa"))
+      val qR = G.modularity(refined, edges).select(
+        col("n_communities").as("n_comm_refined"),
+        col("q_num").as("q_num_refined"),
+        col("modularity").as("modularity_refined"))
+      qL.crossJoin(broadcast(qR)) // two 1-row aggregates, house pattern
+        .withColumn("improved", col("q_num_refined") > col("q_num_lpa"))
+    }),
+
     // ---- Pairwise-preference ranking (Bradley–Terry / RLHF-ops) --------
 
     // Bradley–Terry strengths over the 5-language domain from hash-block-
@@ -5025,6 +5056,31 @@ object SparkEntry {
     // a quality-ranked corpus when no human labels exist. Hash-exact.
     "q_dpo_pairs" -> ((s, d) =>
       graft.operators.Preference.dpoPairs(Tables.documents(s, d))),
+
+    // CAPPED DPO mining — the production shape of q_dpo_pairs: top-m
+    // highest-gap rejected per chosen (bounded-heap TopKBy aggregate —
+    // map-side partial heaps ship <= m entries per chosen through the
+    // one shuffle) with a minimum-margin threshold, so output is O(n*m)
+    // not O(cell^2). Self-asserting: the heap form is compared row-for-
+    // row against the row_number window twin in-plan (parity_ok) and
+    // the per-chosen bound is asserted (bound_ok); the oracle replays
+    // the integer ranking via a window over the same candidate join.
+    "q_dpo_pairs_capped" -> ((s, d) => {
+      val P = graft.operators.Preference
+      val docs = Tables.documents(s, d)
+      val keys = Seq("lang", "source", "chosen_id", "rejected_id",
+        "chosen_uq", "rejected_uq", "gap", "pair_rank")
+      val capped = P.dpoPairsCapped(docs)
+      val joined = capped.withColumn("in_a", lit(1L))
+        .join(P.dpoPairsCappedWindow(docs).withColumn("in_b", lit(1L)),
+          keys, "full")
+      val checks = joined.agg(
+        (coalesce(sum(when(col("in_a").isNull || col("in_b").isNull, 1L)),
+          lit(0L)) === 0L).as("parity_ok"),
+        (max(col("pair_rank")) <= P.DpoCapM).as("bound_ok"))
+      capped.crossJoin(broadcast(checks))
+        .orderBy(col("chosen_id"), col("pair_rank"))
+    }),
 
     // Per-pair fit diagnostics: observed vs model-expected wins under
     // the fitted strengths — the calibration check on the BT assumption
@@ -5144,6 +5200,15 @@ object SparkEntry {
       graft.operators.Privacy.lDiversitySummary(
         Tables.customer(s, d),
         Seq(col("c_nationkey"), col("c_mktsegment")), col("c_acctbal"))),
+
+    // t-closeness — the ladder rung above l-diversity: per-QI-class EMD
+    // of the sensitive distribution (acctbal thousands-bucket, an
+    // ordered 11-value integer domain) vs the global one, via exact
+    // integer prefix sums with the common denominator cleared; one
+    // corpus scan, everything after re-aggregates the bounded
+    // (QI x value) class table. Hash-exact like q_k_anonymity.
+    "q_t_closeness" -> ((s, d) =>
+      graft.operators.Privacy.tCloseness(Tables.customer(s, d))),
 
     // Differentially-private release composition: suppress classes under
     // the k-anonymity floor, Laplace(1/ε)-noise the surviving counts
@@ -10256,6 +10321,11 @@ object SparkEntry {
     // DPO pairs: the same cell join over the same integer signal.
     "q_dpo_pairs" -> graft.operators.Preference.dpoPairsSql,
 
+    // Capped-miner replay: same candidate join, same integer window
+    // ranking, caps interpolated from the shared constants; parity and
+    // bound booleans pinned.
+    "q_dpo_pairs_capped" -> graft.operators.Preference.dpoPairsCappedSql(),
+
     // LPA replay: the shared k-means stage chain, exact within-cell
     // pairs, 3 unrolled synchronous rounds, ≥2-member community rollup.
     "q_label_prop" -> graft.operators.Clustering.labelPropOracleSql(
@@ -10264,6 +10334,11 @@ object SparkEntry {
     // Modularity replay: the LPA chain + exact-integer numerator + one
     // final double division.
     "q_modularity" -> graft.operators.Clustering.modularityOracleSql(
+      8, 5, 64, graft.operators.Clustering.SemDedupTau, lpaIters = 3),
+
+    // Louvain refinement replay: LPA chain + integer merge gains +
+    // mutual-best matching + relabel + both exact Q numerators.
+    "q_louvain_refine" -> graft.operators.Clustering.louvainRefineOracleSql(
       8, 5, 64, graft.operators.Clustering.SemDedupTau, lpaIters = 3),
 
     // Dimension-truncation curve: one replayed rank chain per prefix
@@ -10312,6 +10387,10 @@ object SparkEntry {
                 CAST(sum(CASE WHEN l = 1 THEN 1 ELSE 0 END) AS BIGINT) AS classes_l1,
                 CAST(sum(CASE WHEN l = 1 THEN class_size ELSE 0 END) AS BIGINT) AS rows_l1
          FROM cls""",
+
+    // t-closeness replay: the same integer prefix-sum EMD chain, the
+    // threshold interpolated from the shared DefaultT constant.
+    "q_t_closeness" -> graft.operators.Privacy.tClosenessSql(),
 
     // DP release: same suppression gate + the same inverse-CDF Laplace
     // sequence with literals generated from shared constants.

@@ -931,6 +931,70 @@ object Clustering {
        |         AS modularity
        |FROM co, nc""".stripMargin
 
+  /** [[graft.operators.Graph.refineCommunities]] over the LPA labeling,
+    * replayed end-to-end: the LPA chain, the exact-integer merge gains
+    * (4·m·w − 2·d_A·d_B), the mutual-best matching, the relabel, and
+    * BOTH modularity numerators — everything up to the two final
+    * divisions is integer/decimal arithmetic, so the row is hash-exact
+    * including the refined score. */
+  def louvainRefineOracleSql(k: Int, iters: Int, dim: Int, tau: Double,
+      lpaIters: Int): String = {
+    val it = s"it$lpaIters"
+    def qSide(lblTable: String, ns: String): String =
+      s"""${ns}ds AS (SELECT l.lbl, CAST(sum(d.d) AS DECIMAL(18,0)) AS dc
+         |        FROM $lblTable l JOIN deg d ON d.v = l.v GROUP BY 1),
+         |${ns}mi AS (SELECT x.lbl, CAST(count(*) AS DECIMAL(18,0)) AS mc
+         |        FROM sdpair p JOIN $lblTable x ON x.v = p.vec_a
+         |                      JOIN $lblTable y ON y.v = p.vec_b
+         |        WHERE y.lbl = x.lbl GROUP BY 1),
+         |${ns}co AS (SELECT CAST(sum(CAST(4 AS DECIMAL(18,0)) * mt.m
+         |                         * coalesce(${ns}mi.mc, CAST(0 AS DECIMAL(18,0)))
+         |                       - ${ns}ds.dc * ${ns}ds.dc) AS DECIMAL(38,0)) AS q_num
+         |        FROM ${ns}ds LEFT JOIN ${ns}mi ON ${ns}mi.lbl = ${ns}ds.lbl, mt),
+         |${ns}nc AS (SELECT count(DISTINCT lbl) AS n FROM $lblTable)""".stripMargin
+    s"""WITH ${lpaChainSql(k, iters, dim, tau, lpaIters)},
+       |deg AS (SELECT a AS v, count(*) AS d FROM edges GROUP BY 1),
+       |mt AS (SELECT CAST(count(*) AS DECIMAL(18,0)) AS m FROM sdpair),
+       |cdeg AS (SELECT l.lbl AS c, CAST(sum(d.d) AS DECIMAL(18,0)) AS dc
+       |         FROM $it l JOIN deg d ON d.v = l.v GROUP BY 1),
+       |cw AS (SELECT least(x.lbl, y.lbl) AS c1, greatest(x.lbl, y.lbl) AS c2,
+       |              CAST(count(*) AS DECIMAL(18,0)) AS w
+       |       FROM sdpair p JOIN $it x ON x.v = p.vec_a
+       |                     JOIN $it y ON y.v = p.vec_b
+       |       WHERE x.lbl != y.lbl GROUP BY 1, 2),
+       |gains AS (
+       |  SELECT cw.c1 AS c1, cw.c2 AS c2,
+       |         CAST(4 AS DECIMAL(18,0)) * mt.m * cw.w
+       |           - CAST(2 AS DECIMAL(18,0)) * d1.dc * d2.dc AS gain
+       |  FROM cw JOIN cdeg d1 ON d1.c = cw.c1
+       |          JOIN cdeg d2 ON d2.c = cw.c2, mt),
+       |pos AS (SELECT * FROM gains WHERE gain > 0),
+       |dir AS (SELECT c1 AS c, c2 AS p, gain FROM pos
+       |        UNION ALL SELECT c2, c1, gain FROM pos),
+       |mx AS (SELECT c, p, gain, max(gain) OVER (PARTITION BY c) AS mg FROM dir),
+       |best AS (SELECT c, min(p) AS p FROM mx WHERE gain = mg GROUP BY 1),
+       |mutual AS (SELECT x.p AS absorbed, x.c AS root
+       |           FROM best x JOIN best y ON x.p = y.c AND y.p = x.c
+       |           WHERE x.c < x.p),
+       |ref AS (SELECT i.v AS v, coalesce(mu.root, i.lbl) AS lbl
+       |        FROM $it i LEFT JOIN mutual mu ON mu.absorbed = i.lbl),
+       |${qSide(it, "l_")},
+       |${qSide("ref", "r_")}
+       |SELECT CAST(mt.m AS BIGINT) AS m_edges,
+       |       l_nc.n AS n_comm_lpa,
+       |       CAST(l_co.q_num AS BIGINT) AS q_num_lpa,
+       |       round(CAST(l_co.q_num AS DOUBLE)
+       |             / (CAST(4.0 AS DOUBLE) * CAST(mt.m AS DOUBLE) * CAST(mt.m AS DOUBLE)), 6)
+       |         AS modularity_lpa,
+       |       r_nc.n AS n_comm_refined,
+       |       CAST(r_co.q_num AS BIGINT) AS q_num_refined,
+       |       round(CAST(r_co.q_num AS DOUBLE)
+       |             / (CAST(4.0 AS DOUBLE) * CAST(mt.m AS DOUBLE) * CAST(mt.m AS DOUBLE)), 6)
+       |         AS modularity_refined,
+       |       (r_co.q_num > l_co.q_num) AS improved
+       |FROM mt, l_co, l_nc, r_co, r_nc""".stripMargin
+  }
+
   def sampleOracleSql(k: Int, iters: Int, dim: Int, quota: Int): String =
     s"""WITH ${stagesSql(k, iters, dim)}
        |SELECT cluster, vec_id FROM (

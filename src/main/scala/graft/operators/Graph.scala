@@ -99,6 +99,68 @@ object Graph {
           .as("modularity"))
   }
 
+  /** Louvain-style refinement over a labeling (Blondel et al. 2008's
+    * local-move/aggregate idea, restricted to ONE deterministic round):
+    * communities are merged pairwise when doing so increases modularity,
+    * using the exact integer gain ΔQ_num = 4·m·w_AB − 2·d_A·d_B (the
+    * [[modularity]] numerator algebra — positive iff 2m·w_AB > d_A·d_B).
+    * Merges are the MUTUAL-BEST matching: each community names its
+    * highest-gain positive partner (ties to the smallest id) and a merge
+    * applies only when the choice is reciprocal. The matching makes the
+    * round exact and order-free — merged pairs are disjoint, so each
+    * pre-computed gain stays valid and total ΔQ_num is their sum, all
+    * strictly positive — and the globally best pair is always mutual, so
+    * whenever ANY positive-gain pair exists the round strictly improves
+    * Q (asserted in-plan by `q_louvain_refine`). Fully distributed and
+    * data-independent in shape: the community graph is an aggregation of
+    * the edge table (one shuffle), best-partner is a keyed integer
+    * argmax, and the relabel is one keyed join — no driver state, no
+    * sequential merge loop; the LPA labeling already did the data-sized
+    * coarsening, this pass repairs its over-splits on the community
+    * graph. */
+  def refineCommunities(labels: DataFrame, edges: DataFrame): DataFrame = {
+    val dec = "decimal(18,0)"
+    val la = labels.select(col("v").as("a"), col("lbl").as("la"))
+    val lb = labels.select(col("v").as("b"), col("lbl").as("lb"))
+    // cross-community edge weights (each undirected pair once, c1 < c2)
+    val cw = edges.join(la, Seq("a")).join(lb, Seq("b"))
+      .filter(col("la") =!= col("lb"))
+      .groupBy(least(col("la"), col("lb")).as("c1"),
+        greatest(col("la"), col("lb")).as("c2"))
+      .agg(count(lit(1)).cast(dec).as("w"))
+    // total degree per community (cut edges toward both sides)
+    val und = edges.select(col("a"), col("b"))
+      .unionByName(edges.select(col("b").as("a"), col("a").as("b")))
+    val cdeg = und.join(la, Seq("a"))
+      .groupBy(col("la").as("c")).agg(count(lit(1)).cast(dec).as("dc"))
+    val mTot = edges.agg(count(lit(1)).cast(dec).as("m"))
+    // exact integer merge gain; operand width 18 keeps products inside
+    // width 38 on both engines (the modularity convention)
+    val gains = cw
+      .join(cdeg.select(col("c").as("c1"), col("dc").as("d1")), Seq("c1"))
+      .join(cdeg.select(col("c").as("c2"), col("dc").as("d2")), Seq("c2"))
+      .crossJoin(broadcast(mTot)) // 1-row scalar composition, house pattern
+      .select(col("c1"), col("c2"),
+        (lit(4).cast(dec) * col("m") * col("w")
+          - lit(2).cast(dec) * col("d1") * col("d2")).as("gain"))
+      .filter(col("gain") > 0)
+    // best positive partner per community: argmax (gain DESC, id ASC) —
+    // the labelPropagation struct-max trick, exact integers
+    val dir = gains.select(col("c1").as("c"), col("c2").as("p"), col("gain"))
+      .unionByName(gains.select(col("c2").as("c"), col("c1").as("p"), col("gain")))
+    val best = dir.groupBy(col("c"))
+      .agg(max(struct(col("gain"), (-col("p")).as("np"))).as("m"))
+      .select(col("c"), (-col("m.np")).as("p"))
+    // reciprocal choices only → a matching; absorbed takes the root
+    // (smaller) community id
+    val mutual = best.alias("x")
+      .join(best.alias("y"), col("x.p") === col("y.c") && col("y.p") === col("x.c"))
+      .filter(col("x.c") < col("x.p"))
+      .select(col("x.p").as("lbl"), col("x.c").as("root"))
+    labels.join(mutual, Seq("lbl"), "left")
+      .select(col("v"), coalesce(col("root"), col("lbl")).as("lbl"))
+  }
+
   /** Exact triangle count of an undirected pair graph (e.g. the near-dup
     * candidate graph — triangle density distinguishes tight dup CLIQUES
     * from chains before clustering commits to a canonical-per-cluster

@@ -238,6 +238,109 @@ object Preference {
        | AND a.doc_id < b.doc_id AND a.uq != b.uq
        |ORDER BY chosen_id, rejected_id""".stripMargin
 
+  /** Capped-miner defaults: at most [[DpoCapM]] rejected per chosen,
+    * margin (unique-token gap) at least [[DpoMinMargin]] — shared by the
+    * operator, the window twin, and the generated oracle SQL. */
+  val DpoCapM = 4
+  val DpoMinMargin = 2
+
+  /** [[dpoPairs]] CAPPED — the shape a preference-data pipeline actually
+    * ships: the uncapped miner emits every within-cell ordered pair
+    * (O(cell²) rows, 18k at sf0.1), where production DPO mining keeps
+    * only the top-`m` HIGHEST-GAP rejected per chosen (the clearest
+    * contrasts teach the most) and drops pairs under a minimum margin
+    * (near-ties are label noise when the signal is a heuristic). Output
+    * is O(n·m).
+    *
+    * Scale shape: the candidate join is the same cell-bounded pair
+    * generation as [[winMatrix]], and the per-chosen cap runs through
+    * the bounded-heap [[graft.functions.TopKBy]] aggregate — map-side
+    * partial heaps ship ≤ m entries per (chosen, task) through the ONE
+    * shuffle, never materializing the full per-chosen candidate list.
+    * Ordering (gap DESC, rejected_id ASC) is deterministic and integer-
+    * exact, so the DuckDB window replay matches row-for-row. */
+  def dpoPairsCapped(docs: DataFrame,
+      m: Int = DpoCapM, minMargin: Int = DpoMinMargin): DataFrame = {
+    import graft.functions.TopKBy.topKBy
+    val cand = dpoCandidates(docs, minMargin)
+    cand
+      .groupBy(col("lang"), col("source"), col("chosen_id"), col("chosen_uq"))
+      .agg(topKBy(col("gap").cast("double"), col("rejected_id"), m).as("tk"))
+      .select(col("lang"), col("source"), col("chosen_id"), col("chosen_uq"),
+        posexplode(col("tk")))
+      .select(col("lang"), col("source"), col("chosen_id"),
+        col("col.id").as("rejected_id"), col("chosen_uq"),
+        (col("chosen_uq") - col("col.score").cast("int")).as("rejected_uq"),
+        col("col.score").cast("int").as("gap"),
+        (col("pos") + 1).cast("int").as("pair_rank"))
+      .orderBy(col("chosen_id"), col("pair_rank"))
+  }
+
+  /** The `row_number` window twin of [[dpoPairsCapped]] — same candidate
+    * set, same (gap DESC, rejected_id ASC) order, ranked by a window
+    * instead of the bounded heap. Sorts every candidate row (the cost
+    * the heap avoids); exists so the contract query can assert the heap
+    * form ≡ the textbook form in-plan. */
+  def dpoPairsCappedWindow(docs: DataFrame,
+      m: Int = DpoCapM, minMargin: Int = DpoMinMargin): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("chosen_id"))
+      .orderBy(col("gap").desc, col("rejected_id").asc)
+    dpoCandidates(docs, minMargin)
+      .withColumn("pair_rank", row_number().over(w).cast("int"))
+      .filter(col("pair_rank") <= m)
+      .select(col("lang"), col("source"), col("chosen_id"), col("rejected_id"),
+        col("chosen_uq"), col("rejected_uq"), col("gap"), col("pair_rank"))
+      .orderBy(col("chosen_id"), col("pair_rank"))
+  }
+
+  /** Shared candidate generation for the capped miner and its window
+    * twin: within-cell (source, block, language) pairs where the chosen
+    * side leads by at least `minMargin` unique tokens. */
+  private def dpoCandidates(docs: DataFrame, minMargin: Int): DataFrame = {
+    val base = docs.select(
+      col("doc_id"), col("lang"), col("source"),
+      pmod(PortableHash.keyHash(col("doc_id")), lit(Blocks.toLong)).as("blk"),
+      size(array_distinct(split(col("text"), " "))).as("uq"))
+    val a = base.select(col("source"), col("blk"), col("lang"),
+      col("doc_id").as("chosen_id"), col("uq").as("chosen_uq"))
+    val b = base.select(col("source").as("b_source"), col("blk").as("b_blk"),
+      col("lang").as("b_lang"), col("doc_id").as("rejected_id"),
+      col("uq").as("rejected_uq"))
+    a.join(b,
+      col("source") === col("b_source") && col("blk") === col("b_blk") &&
+        col("lang") === col("b_lang") &&
+        col("chosen_uq") - col("rejected_uq") >= minMargin)
+      .select(col("lang"), col("source"), col("chosen_id"), col("rejected_id"),
+        col("chosen_uq"), col("rejected_uq"),
+        (col("chosen_uq") - col("rejected_uq")).as("gap"))
+  }
+
+  /** DuckDB oracle for [[dpoPairsCapped]] — the same integer candidate
+    * join, ranked by the same (gap DESC, rejected_id) window, capped at
+    * the same shared constants. */
+  def dpoPairsCappedSql(m: Int = DpoCapM, minMargin: Int = DpoMinMargin): String =
+    s"""WITH d AS (
+       |  SELECT doc_id, lang, source,
+       |         ${PortableHash.keyHashSql("doc_id")} % $Blocks AS blk,
+       |         CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS uq
+       |  FROM documents),
+       |p AS (
+       |  SELECT a.lang, a.source, a.doc_id AS chosen_id, b.doc_id AS rejected_id,
+       |         a.uq AS chosen_uq, b.uq AS rejected_uq, a.uq - b.uq AS gap
+       |  FROM d a JOIN d b
+       |    ON a.source = b.source AND a.blk = b.blk AND a.lang = b.lang
+       |   AND a.uq - b.uq >= $minMargin),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY chosen_id
+       |                 ORDER BY gap DESC, rejected_id) AS pair_rank FROM p)
+       |SELECT lang, source, chosen_id, rejected_id,
+       |       CAST(chosen_uq AS INT) AS chosen_uq,
+       |       CAST(rejected_uq AS INT) AS rejected_uq,
+       |       CAST(gap AS INT) AS gap, CAST(pair_rank AS INT) AS pair_rank,
+       |       true AS parity_ok, true AS bound_ok
+       |FROM r WHERE pair_rank <= $m
+       |ORDER BY chosen_id, pair_rank""".stripMargin
+
   /** Φ⁻¹(0.975) — the 95% Wilson z, shared by the Spark expression and
     * the generated SQL literal. */
   val WilsonZ = 1.959963984540054

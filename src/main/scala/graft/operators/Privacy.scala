@@ -53,6 +53,116 @@ object Privacy {
         sum(when(col("l") === 1, 1L).otherwise(0L)).as("classes_l1"),
         sum(when(col("l") === 1, col("class_size")).otherwise(0L)).as("rows_l1"))
 
+  /** The t-closeness release threshold (Li, Li & Venkatasubramanian
+    * 2007 use 0.15–0.2 in their case studies), shared by the operator
+    * and its generated oracle SQL. */
+  val DefaultT: Double = 0.2
+
+  /** t-closeness audit (Li, Li & Venkatasubramanian 2007, "t-Closeness:
+    * Privacy Beyond k-Anonymity and l-Diversity") — the ladder rung
+    * above l-diversity: a QI class can be k-anonymous AND l-diverse yet
+    * still leak when its sensitive-attribute DISTRIBUTION differs
+    * sharply from the global one (the classic skewed-class attack). Per
+    * class, the Earth Mover's Distance between the class's and the
+    * corpus's sensitive distribution over the ORDERED integer domain —
+    * for an ordered domain with unit ground distances,
+    * EMD = (1/(v−1)) · Σ_i |Σ_{j≤i} (p_j − q_j)|, a prefix-sum fold.
+    *
+    * Exactness: the prefix sums run over INTEGER cross-products
+    * (cnt_class·n_total − cnt_global·n_class — common denominator
+    * n_class·n_total cleared), so everything up to the single final
+    * division is exact long arithmetic and the DuckDB oracle replays
+    * the table hash-exactly, the q_k_anonymity standard.
+    *
+    * Scale shape: ONE corpus-scale groupBy builds the (QI, value) count
+    * table; classes, the global histogram, and the corpus totals are
+    * re-aggregations of that bounded table (distinct QI × domain
+    * values, model-sized), and the per-class prefix window runs over
+    * the ≤ |domain| rows of one class — the generalizationLadder
+    * posture. Sensitive attribute: floor(c_acctbal / 1000) — an
+    * ordered 11-value integer domain on the shipped data. */
+  def tCloseness(customer: DataFrame, t: Double = DefaultT): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // the only corpus-scale aggregation; everything below re-aggregates
+    // this bounded (25 nations × 5 segments × ~11 buckets) class table
+    val cv = customer.groupBy(
+      col("c_nationkey").as("nation"),
+      col("c_mktsegment").as("segment"),
+      floor(col("c_acctbal") / 1000.0).cast("long").as("sval"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(false)
+    val classes = cv.groupBy(col("nation"), col("segment"))
+      .agg(sum(col("cnt")).as("n_class"))
+    val globals = cv.groupBy(col("sval")).agg(sum(col("cnt")).as("g"))
+    val totals = globals.agg(sum(col("g")).as("n_total"),
+      count(lit(1)).as("v"))
+    // full class × domain grid (both sides bounded aggregates — the
+    // house scalar-composition crossJoin pattern), absent values at 0
+    val grid = classes
+      .crossJoin(broadcast(globals))
+      .crossJoin(broadcast(totals))
+      .join(cv, Seq("nation", "segment", "sval"), "left")
+      .select(col("nation"), col("segment"), col("sval"),
+        col("n_class"), col("n_total"), col("v"),
+        (coalesce(col("cnt"), lit(0L)) * col("n_total") -
+          col("g") * col("n_class")).as("diff"))
+    // per-class prefix over the ordered domain: ≤ |domain| rows per
+    // class — bounded by the value vocabulary, never by data
+    val wPrefix = Window.partitionBy(col("nation"), col("segment"))
+      .orderBy(col("sval"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid
+      .withColumn("prefix", sum(col("diff")).over(wPrefix))
+      .groupBy(col("nation"), col("segment"), col("n_class"),
+        col("n_total"), col("v"))
+      .agg(sum(abs(col("prefix"))).as("emd_num"))
+      .select(col("nation"), col("segment"), col("n_class").as("class_size"),
+        round(col("emd_num").cast("double") /
+          (col("n_class") * col("n_total") * (col("v") - lit(1L))).cast("double"),
+          6).as("t_dist"))
+      .withColumn("meets_t", col("t_dist") <= t)
+      .orderBy(col("nation"), col("segment"))
+  }
+
+  /** DuckDB oracle for [[tCloseness]] — the same integer prefix-sum
+    * chain with the threshold interpolated from [[DefaultT]]. */
+  def tClosenessSql(t: Double = DefaultT): String =
+    s"""WITH cv AS (
+       |  SELECT c_nationkey AS nation, c_mktsegment AS segment,
+       |         CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS sval,
+       |         count(*) AS cnt
+       |  FROM customer GROUP BY 1, 2, 3),
+       |cls AS (SELECT nation, segment, CAST(sum(cnt) AS BIGINT) AS n_class
+       |        FROM cv GROUP BY 1, 2),
+       |glb AS (SELECT sval, CAST(sum(cnt) AS BIGINT) AS g FROM cv GROUP BY 1),
+       |tot AS (SELECT CAST(sum(g) AS BIGINT) AS n_total,
+       |               CAST(count(*) AS BIGINT) AS v FROM glb),
+       |grid AS (
+       |  SELECT cls.nation, cls.segment, glb.sval, cls.n_class,
+       |         tot.n_total, tot.v,
+       |         CAST(coalesce(cv.cnt, 0) * tot.n_total - glb.g * cls.n_class
+       |              AS BIGINT) AS diff
+       |  FROM cls CROSS JOIN glb CROSS JOIN tot
+       |  LEFT JOIN cv ON cv.nation = cls.nation AND cv.segment = cls.segment
+       |             AND cv.sval = glb.sval),
+       |pre AS (
+       |  SELECT nation, segment, n_class, n_total, v,
+       |         CAST(sum(diff) OVER (PARTITION BY nation, segment
+       |              ORDER BY sval ROWS BETWEEN UNBOUNDED PRECEDING
+       |              AND CURRENT ROW) AS BIGINT) AS prefix
+       |  FROM grid),
+       |emd AS (
+       |  SELECT nation, segment, n_class, n_total, v,
+       |         CAST(sum(abs(prefix)) AS BIGINT) AS emd_num
+       |  FROM pre GROUP BY 1, 2, 3, 4, 5)
+       |SELECT nation, segment, n_class AS class_size,
+       |       round(CAST(emd_num AS DOUBLE) /
+       |             CAST(n_class * n_total * (v - 1) AS DOUBLE), 6) AS t_dist,
+       |       (round(CAST(emd_num AS DOUBLE) /
+       |              CAST(n_class * n_total * (v - 1) AS DOUBLE), 6)
+       |          <= CAST($t AS DOUBLE)) AS meets_t
+       |FROM emd ORDER BY nation, segment""".stripMargin
+
   /** Differentially-private histogram release with suppression — the
     * end-to-end release composition: classes below the k-anonymity floor
     * are SUPPRESSED (never released, noisy or not), surviving counts get

@@ -122,6 +122,53 @@ class EvalOpsSpec extends AnyFunSuite with SparkSpec {
       r.getAs[Long]("rejected_id")).intersect(Set(0L, 8L)).nonEmpty))
   }
 
+  test("tCloseness: planted skewed classes score EMD 0.5, the global-matching class scores 0") {
+    // two sensitive buckets (acctbal 500 → 0, 2500 → 2); class 1 sits
+    // entirely in the low bucket, class 2 entirely in the high one,
+    // class 3 matches the global 50/50 split exactly
+    val df = (
+      (0 until 10).map(_ => (1, "A", 500.0)) ++
+      (0 until 10).map(_ => (2, "A", 2500.0)) ++
+      (0 until 5).flatMap(_ => Seq((3, "A", 500.0), (3, "A", 2500.0))))
+      .toDF("c_nationkey", "c_mktsegment", "c_acctbal")
+    val out = Privacy.tCloseness(df).collect()
+      .map(r => r.getAs[Int]("nation") ->
+        (r.getAs[Double]("t_dist"), r.getAs[Boolean]("meets_t"))).toMap
+    // v = 2, so EMD = |p_low − q_low|: skewed classes |1 − 0.5| = 0.5,
+    // the matching class exactly 0
+    assert(out(1) == (0.5, false))
+    assert(out(2) == (0.5, false))
+    assert(out(3) == (0.0, true))
+  }
+
+  test("dpoPairsCapped: per-chosen cap, margin threshold, top-gap selection vs a driver reference") {
+    // 40 docs, one (lang, source); unique-token count varies 1..13 so
+    // cells contain many margin-qualified partners per chosen
+    val docs = (0L until 40L).map(i =>
+      (i, ('a' to ('a' + (i % 13)).toChar).map(_.toString).mkString(" "), "en", "s0", 9L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Preference.dpoPairsCapped(docs, m = 2, minMargin = 3).collect()
+    // independent reference: recompute blocks + ranking with plain Scala
+    // collections (not the operator's join/heap machinery)
+    val blk = docs.select(col("doc_id"),
+        pmod(graft.functions.PortableHash.keyHash(col("doc_id")),
+          lit(Preference.Blocks.toLong)).as("blk"),
+        size(array_distinct(split(col("text"), " "))).as("uq"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val expect = (for {
+      (c, cb, cu) <- blk.toSeq
+      ((r, _, ru), idx) <- blk.toSeq
+        .filter { case (r, rb, ru) => rb == cb && cu - ru >= 3 }
+        .sortBy { case (r, _, ru) => (-(cu - ru), r) }.take(2).zipWithIndex
+    } yield (c, r, cu, ru, cu - ru, idx + 1)).toSet
+    val got = out.map(r => (r.getAs[Long]("chosen_id"), r.getAs[Long]("rejected_id"),
+      r.getAs[Int]("chosen_uq"), r.getAs[Int]("rejected_uq"), r.getAs[Int]("gap"),
+      r.getAs[Int]("pair_rank"))).toSet
+    assert(expect.nonEmpty && got == expect)
+    assert(out.groupBy(_.getAs[Long]("chosen_id")).values.forall(_.size <= 2))
+    assert(out.forall(_.getAs[Int]("gap") >= 3))
+  }
+
   test("pairsWilson: closed-form interval on a known matrix, decisive iff CI excludes 1/2") {
     // one source, one block-dominant pair set: construct 20 de-en
     // comparisons where en wins 15 (p̂ = .75 for i = de is 5/20 = .25)
@@ -246,6 +293,26 @@ class EvalOpsSpec extends AnyFunSuite with SparkSpec {
     assert(q.getAs[Long]("m_edges") == 7L)
     assert(q.getAs[Long]("q_num") == 70L)
     assert(q.getAs[Double]("modularity") == 0.357143)
+  }
+
+  test("refineCommunities merges the positive-gain pair only, with the hand-computed exact gain") {
+    // three triangles A={0,1,2}, B={3,4,5}, C={6,7,8}; A and B joined by
+    // 4 cross edges, C isolated. m = 13, dA = dB = 10, dC = 6;
+    // gain(A,B) = 4·13·4 − 2·10·10 = 8 > 0, no other community pair
+    // shares an edge — so the mutual-best matching merges exactly A∪B.
+    val labels = Seq(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L, 4L -> 3L,
+      5L -> 3L, 6L -> 6L, 7L -> 6L, 8L -> 6L).toDF("v", "lbl")
+    val edges = Seq((0L, 1L), (0L, 2L), (1L, 2L), (3L, 4L), (3L, 5L), (4L, 5L),
+      (6L, 7L), (6L, 8L), (7L, 8L), (0L, 3L), (0L, 4L), (1L, 3L), (1L, 4L))
+      .toDF("a", "b")
+    val refined = graft.operators.Graph.refineCommunities(labels, edges)
+    val got = refined.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L to 5L).forall(got(_) == 0L)) // B absorbed into A's root id
+    assert((6L to 8L).forall(got(_) == 6L)) // C untouched
+    // exact numerator moves by exactly the merge gain: 232 → 240
+    val qB = graft.operators.Graph.modularity(labels, edges).collect()(0)
+    val qA = graft.operators.Graph.modularity(refined, edges).collect()(0)
+    assert(qB.getAs[Long]("q_num") == 232L && qA.getAs[Long]("q_num") == 240L)
   }
 
   // --- Privacy audits --------------------------------------------------
