@@ -5082,6 +5082,18 @@ object SparkEntry {
         .orderBy(col("chosen_id"), col("pair_rank"))
     }),
 
+    // CONTINUOUS DPO mining — the capped miner's streaming face (the
+    // PreferenceIngest block-pruned probe discipline): each micro-batch
+    // mines candidate pairs against the at-rest store (cross-batch, at
+    // the later arrival) plus the in-batch join; the cap applies at
+    // readout over the accumulated candidates (keeper-at-readout, so a
+    // late high-gap partner retroactively evicts a weaker pair exactly
+    // as the batch miner would). Streamed candidate set ≡ batch
+    // dpoPairs asserted in-plan with multiplicity; output table =
+    // dpoPairsCapped bit-for-bit, same generated window-replay oracle.
+    "q_dpo_pairs_stream" -> ((s, d) =>
+      graft.streaming.PreferenceIngest.runStreamDpoPairs(s, d)),
+
     // Per-pair fit diagnostics: observed vs model-expected wins under
     // the fitted strengths — the calibration check on the BT assumption
     // itself (a large residual marks a pair the single-scalar model
@@ -5354,6 +5366,10 @@ object SparkEntry {
     // Operator: the block-pruned ingest stream + MM readout alone.
     "q_bradley_terry_stream" -> ((s, d) =>
       graft.streaming.PreferenceIngest.runStreamBradleyTerry(s, d, assertParity = false)),
+    // Contract form: streamed candidate set ⋈ batch dpoPairs (parity).
+    // Operator: the block-pruned mining stream + capped readout alone.
+    "q_dpo_pairs_stream" -> ((s, d) =>
+      graft.streaming.PreferenceIngest.runStreamDpoPairs(s, d, assertParity = false)),
     // Contract form: streamed metric rows ⋈ whole-set evaluation (parity).
     // Operator: the monitor stream (IVF search + per-batch audit) alone.
     "q_retrieval_eval_stream" -> ((s, d) =>
@@ -10325,6 +10341,10 @@ object SparkEntry {
     // ranking, caps interpolated from the shared constants; parity and
     // bound booleans pinned.
     "q_dpo_pairs_capped" -> graft.operators.Preference.dpoPairsCappedSql(),
+
+    // Streamed capped miner: identical expected table (the cap is a
+    // deterministic readout view of the exactly-once candidate set).
+    "q_dpo_pairs_stream" -> graft.operators.Preference.dpoPairsCappedSql(),
 
     // LPA replay: the shared k-means stage chain, exact within-cell
     // pairs, 3 unrolled synchronous rounds, ≥2-member community rollup.

@@ -133,6 +133,154 @@ object PreferenceIngest {
     (asg, inBatch.unionByName(cross))
   }
 
+  private val DpoStoreSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("lang", StringType),
+    StructField("source", StringType), StructField("uq", IntegerType),
+    StructField("blk", LongType)))
+
+  private val DpoPairSchema = StructType(Seq(
+    StructField("lang", StringType), StructField("source", StringType),
+    StructField("chosen_id", LongType), StructField("rejected_id", LongType),
+    StructField("chosen_uq", IntegerType), StructField("rejected_uq", IntegerType),
+    StructField("gap", IntegerType)))
+
+  /** CONTINUOUS DPO pair mining — the preference family's last
+    * batch-only face, streamed with the [[runStreamBradleyTerry]]
+    * block-pruned probe discipline: documents arrive as a replayed file
+    * stream; each micro-batch mines its (chosen, rejected) candidate
+    * pairs — against the at-rest store via the block-pruned probe for
+    * cross-batch partners, via the in-batch `a_id < b_id` join for
+    * same-batch partners — and appends them. Every unordered
+    * within-cell pair with a different signal is examined exactly once,
+    * when its LATER document arrives, so the accumulated candidate set
+    * equals [[Preference.dpoPairs]] exactly, whatever the batch split
+    * (asserted in-plan with multiplicity — `parity_ok`).
+    *
+    * The CAP is applied at readout over the accumulated candidates (the
+    * [[SemDedupIngest]] keeper-at-readout convention — which also makes
+    * the cap RETROACTIVE for free: a late-arriving high-gap partner
+    * evicts a weaker pair from its chosen's top-m exactly as the batch
+    * miner would), so the output table is [[Preference.dpoPairsCapped]]
+    * bit-for-bit and hash-matches the same generated DuckDB window
+    * replay. */
+  def runStreamDpoPairs(
+      spark: SparkSession, dir: String, nBatches: Int = 3,
+      assertParity: Boolean = true): DataFrame = {
+    import graft.functions.TopKBy.topKBy
+    val staged = stagedDocs(spark, dir, nBatches)
+    val out = java.nio.file.Files.createTempDirectory("graft-dpoingest").toFile
+    val storeDir = new java.io.File(out, "store")
+    val pairDir = new java.io.File(out, "pairs")
+    try {
+      val saved = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", StreamShuffleWidth)
+      try {
+        val q = spark.readStream.schema(Schemas.documents)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(staged.toString)
+          .writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val s = batch.sparkSession
+            // the SAME signal spelling as the batch miner: unique-token
+            // count, cell = (source, keyHash(doc_id) % Blocks, lang)
+            val asg = batch
+              .select(col("doc_id"), col("lang"), col("source"),
+                size(array_distinct(split(col("text"), " "))).as("uq"),
+                pmod(PortableHash.keyHash(col("doc_id")),
+                  lit(Preference.Blocks.toLong)).as("blk"))
+              .filter(col("doc_id").isNotNull && col("lang").isNotNull &&
+                col("source").isNotNull && col("uq").isNotNull)
+              // eager: materialized before the two concurrent consumers
+              .localCheckpoint(true)
+            val blocks = asg.select(col("blk")).distinct()
+              .collect().map(_.getLong(0)).toSeq
+            val store = snapshotRead(s, storeDir, DpoStoreSchema,
+              blockFiles(storeDir, blocks))
+            def orient(aId: org.apache.spark.sql.Column, aUq: org.apache.spark.sql.Column,
+                bId: org.apache.spark.sql.Column, bUq: org.apache.spark.sql.Column) = Seq(
+              when(aUq > bUq, aId).otherwise(bId).as("chosen_id"),
+              when(aUq > bUq, bId).otherwise(aId).as("rejected_id"),
+              greatest(aUq, bUq).as("chosen_uq"),
+              least(aUq, bUq).as("rejected_uq"),
+              (greatest(aUq, bUq) - least(aUq, bUq)).as("gap"))
+            val aB = asg.select(col("source"), col("blk"), col("lang"),
+              col("doc_id").as("a_id"), col("uq").as("a_uq"))
+            val bB = asg.select(col("source").as("b_source"), col("blk").as("b_blk"),
+              col("lang").as("b_lang"), col("doc_id").as("b_id"), col("uq").as("b_uq"))
+            // in-batch: each same-batch pair once via the id ordering
+            val inBatch = aB.join(bB,
+              col("source") === col("b_source") && col("blk") === col("b_blk") &&
+                col("lang") === col("b_lang") && col("a_id") < col("b_id") &&
+                col("a_uq") =!= col("b_uq"))
+              .select(col("lang") +: col("source") +:
+                orient(col("a_id"), col("a_uq"), col("b_id"), col("b_uq")): _*)
+            // cross-batch: batch × pinned at-rest store — each pair once,
+            // at its later member's arrival
+            val cross = aB.join(
+              store.select(col("source").as("b_source"), col("blk").as("b_blk"),
+                col("lang").as("b_lang"), col("doc_id").as("b_id"),
+                col("uq").as("b_uq")),
+              col("source") === col("b_source") && col("blk") === col("b_blk") &&
+                col("lang") === col("b_lang") && col("a_uq") =!= col("b_uq"))
+              .select(col("lang") +: col("source") +:
+                orient(col("a_id"), col("a_uq"), col("b_id"), col("b_uq")): _*)
+            import scala.concurrent.{Await, Future}
+            import scala.concurrent.duration.Duration
+            import scala.concurrent.ExecutionContext.Implicits.global
+            val pairsF = Future(inBatch.unionByName(cross)
+              .write.mode("append").parquet(pairDir.toString))
+            val storeF = Future(asg.coalesce(1)
+              .write.partitionBy("blk").mode("append").parquet(storeDir.toString))
+            Await.result(pairsF, Duration.Inf)
+            Await.result(storeF, Duration.Inf)
+            ()
+          }
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+
+      val pairsAll = snapshotRead(spark, pairDir, DpoPairSchema, listParquet(pairDir))
+        .localCheckpoint(false) // capped readout + parity both consume it
+      val parity =
+        if (assertParity) {
+          // multiplicity included: a replayed batch value-matches but
+          // fails mult = 1
+          val keys = Seq("lang", "source", "chosen_id", "rejected_id",
+            "chosen_uq", "rejected_uq", "gap")
+          val streamed = pairsAll.groupBy(keys.map(col): _*)
+            .agg(count(lit(1)).as("mult")).withColumn("in_s", lit(1L))
+          val full = Preference.dpoPairs(Tables.documents(spark, dir))
+            .withColumn("in_f", lit(1L))
+          streamed.join(full, keys, "full")
+            .agg((coalesce(sum(when(col("in_s").isNull || col("in_f").isNull
+              || col("mult") =!= 1L, 1L)), lit(0L)) === 0L).as("parity_ok"))
+        } else spark.range(1).select(lit(true).as("parity_ok"))
+      // capped readout: the SAME margin + bounded-heap chain as the
+      // batch dpoPairsCapped — retroactive eviction for free
+      val capped = pairsAll
+        .filter(col("gap") >= Preference.DpoMinMargin)
+        .groupBy(col("lang"), col("source"), col("chosen_id"), col("chosen_uq"))
+        .agg(topKBy(col("gap").cast("double"), col("rejected_id"),
+          Preference.DpoCapM).as("tk"))
+        .select(col("lang"), col("source"), col("chosen_id"), col("chosen_uq"),
+          posexplode(col("tk")))
+        .select(col("lang"), col("source"), col("chosen_id"),
+          col("col.id").as("rejected_id"), col("chosen_uq"),
+          (col("chosen_uq") - col("col.score").cast("int")).as("rejected_uq"),
+          col("col.score").cast("int").as("gap"),
+          (col("pos") + 1).cast("int").as("pair_rank"))
+      val bound = capped.agg(
+        (max(col("pair_rank")) <= Preference.DpoCapM).as("bound_ok"))
+      capped
+        .crossJoin(broadcast(parity)) // 1-row booleans, house pattern
+        .crossJoin(broadcast(bound))
+        .orderBy(col("chosen_id"), col("pair_rank"))
+        // eager: materialized off the scratch files BEFORE the finally
+        // below deletes them — the caller gets block-manager-backed rows
+        .localCheckpoint(true)
+    } finally Staging.rmTree(out)
+  }
+
   /** Run the ingest to completion: the [[Preference.bradleyTerry]] table
     * plus `parity_ok` (streamed matrix ≡ whole-corpus matrix, exact
     * integers). `assertParity = false` times the ingest alone. */

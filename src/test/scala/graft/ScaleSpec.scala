@@ -390,6 +390,22 @@ class ScaleSpec extends AnyFunSuite with SparkSpec {
     assert(got.map(key).toSeq == batch.map(key).toSeq)
   }
 
+  test("streaming DPO miner: capped readout equals the batch miner, any batch split") {
+    // 4 batches (different split from the contract query's 3 —
+    // exactly-once pairing must hold for ANY slicing); candidate-set
+    // parity vs batch dpoPairs asserted in-plan inside the run
+    val got = graft.streaming.PreferenceIngest
+      .runStreamDpoPairs(spark, sf, nBatches = 4).collect()
+    assert(got.nonEmpty && got.forall(_.getAs[Boolean]("parity_ok")))
+    assert(got.forall(_.getAs[Boolean]("bound_ok")))
+    val batch = graft.operators.Preference
+      .dpoPairsCapped(Tables.documents(spark, sf)).collect()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("chosen_id"), r.getAs[Long]("rejected_id"),
+        r.getAs[Int]("gap"), r.getAs[Int]("pair_rank"))
+    assert(got.map(key).toSeq == batch.map(key).toSeq)
+  }
+
   test("streaming Bradley–Terry ingest: the probe reads ONLY the batch's block partitions") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-btstore").toFile
     try {
