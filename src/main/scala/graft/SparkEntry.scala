@@ -5034,6 +5034,34 @@ object SparkEntry {
         .withColumn("improved", col("q_num_refined") > col("q_num_lpa"))
     }),
 
+    // ITERATED Louvain refinement — the full loop with the mutual-best
+    // matching as the local-move phase: 3 fixed rounds, each
+    // re-aggregating the community graph under the previous labeling.
+    // Q is non-decreasing (a no-gain round is a fixed point); the fixed
+    // round count keeps the chain exactly replayable — the oracle
+    // unrolls all three rounds and both integer numerators.
+    "q_louvain_rounds" -> ((s, d) => {
+      val cl = graft.operators.Clustering
+      val G = graft.operators.Graph
+      val asg = cl.assign(cl.cleanVectors(Tables.embeddings(s, d)), cl.modelFor(s, d))
+        .select(col("cl"), col("vec_id"), col("v"))
+      val edges = cl.semDedupPairs(asg, cl.SemDedupTau)
+        .select(col("vec_a").as("a"), col("vec_b").as("b"))
+        .localCheckpoint(false) // LPA + 3 refine rounds + 2 modularity reads
+      val lpa = G.labelPropagation(asg.select(col("vec_id").as("v")), edges, iters = 3)
+        .localCheckpoint(false)
+      val refined = G.refineCommunitiesRounds(lpa, edges, rounds = 3)
+      val qL = G.modularity(lpa, edges).select(
+        col("m_edges"), col("n_communities").as("n_comm_lpa"),
+        col("q_num").as("q_num_lpa"), col("modularity").as("modularity_lpa"))
+      val qR = G.modularity(refined, edges).select(
+        col("n_communities").as("n_comm_refined"),
+        col("q_num").as("q_num_refined"),
+        col("modularity").as("modularity_refined"))
+      qL.crossJoin(broadcast(qR)) // two 1-row aggregates, house pattern
+        .withColumn("improved", col("q_num_refined") > col("q_num_lpa"))
+    }),
+
     // ---- Pairwise-preference ranking (Bradley–Terry / RLHF-ops) --------
 
     // Bradley–Terry strengths over the 5-language domain from hash-block-
@@ -5222,6 +5250,14 @@ object SparkEntry {
     "q_t_closeness" -> ((s, d) =>
       graft.operators.Privacy.tCloseness(Tables.customer(s, d))),
 
+    // CONTINUOUS t-closeness monitor — the privacy ladder's streaming
+    // rung above q_k_anonymity_stream: complete-mode counts over the
+    // fixed (nation, segment, bucket) grid (model-sized state), readout
+    // through the SAME tClosenessFromCounts expression tree as the
+    // batch audit, streamed ≡ batch asserted in-plan (exact integers).
+    "q_t_closeness_stream" -> ((s, d) =>
+      graft.streaming.KAnonStream.runStreamTCloseness(s, d)),
+
     // Differentially-private release composition: suppress classes under
     // the k-anonymity floor, Laplace(1/ε)-noise the surviving counts
     // (deterministic inverse-CDF over a portable-hash uniform — the
@@ -5378,6 +5414,10 @@ object SparkEntry {
     // Operator: the complete-mode count stream + histogram readout alone.
     "q_k_anonymity_stream" -> ((s, d) =>
       graft.streaming.KAnonStream.runStreamKAnonymity(s, d, assertParity = false)),
+    // Contract form: streamed grid ⋈ batch recompute (parity).
+    // Operator: the complete-mode count stream + EMD readout alone.
+    "q_t_closeness_stream" -> ((s, d) =>
+      graft.streaming.KAnonStream.runStreamTCloseness(s, d, assertParity = false)),
     // Contract form: at-rest index ⋈ whole-corpus re-encode (parity).
     // Operator: train + initial encode + the batched cell-append stream.
     "q_ann_ingest_stream" -> ((s, d) =>
@@ -10361,6 +10401,10 @@ object SparkEntry {
     "q_louvain_refine" -> graft.operators.Clustering.louvainRefineOracleSql(
       8, 5, 64, graft.operators.Clustering.SemDedupTau, lpaIters = 3),
 
+    // Iterated refinement replay: three unrolled mutual-best rounds.
+    "q_louvain_rounds" -> graft.operators.Clustering.louvainRefineOracleSql(
+      8, 5, 64, graft.operators.Clustering.SemDedupTau, lpaIters = 3, rounds = 3),
+
     // Dimension-truncation curve: one replayed rank chain per prefix
     // length vs the proven full-dimension gold chain.
     "q_retrieval_eval_dims" ->
@@ -10411,6 +10455,10 @@ object SparkEntry {
     // t-closeness replay: the same integer prefix-sum EMD chain, the
     // threshold interpolated from the shared DefaultT constant.
     "q_t_closeness" -> graft.operators.Privacy.tClosenessSql(),
+
+    // Streaming monitor replay: identical expected table (integer counts
+    // merge exactly), parity boolean pinned.
+    "q_t_closeness_stream" -> graft.operators.Privacy.tClosenessSql(parityCol = true),
 
     // DP release: same suppression gate + the same inverse-CDF Laplace
     // sequence with literals generated from shared constants.

@@ -931,14 +931,46 @@ object Clustering {
        |         AS modularity
        |FROM co, nc""".stripMargin
 
-  /** [[graft.operators.Graph.refineCommunities]] over the LPA labeling,
-    * replayed end-to-end: the LPA chain, the exact-integer merge gains
-    * (4·m·w − 2·d_A·d_B), the mutual-best matching, the relabel, and
-    * BOTH modularity numerators — everything up to the two final
-    * divisions is integer/decimal arithmetic, so the row is hash-exact
-    * including the refined score. */
+  /** One mutual-best merge round of
+    * [[graft.operators.Graph.refineCommunities]] as a CTE chain: reads
+    * labeling `src`, emits labeling `dst`, namespaced by `pfx`. `deg`
+    * and `mt` (round-invariant) must already be in scope. */
+  private def refineRoundSql(src: String, pfx: String, dst: String): String =
+    s"""${pfx}cdeg AS (SELECT l.lbl AS c, CAST(sum(d.d) AS DECIMAL(18,0)) AS dc
+       |         FROM $src l JOIN deg d ON d.v = l.v GROUP BY 1),
+       |${pfx}cw AS (SELECT least(x.lbl, y.lbl) AS c1, greatest(x.lbl, y.lbl) AS c2,
+       |              CAST(count(*) AS DECIMAL(18,0)) AS w
+       |       FROM sdpair p JOIN $src x ON x.v = p.vec_a
+       |                     JOIN $src y ON y.v = p.vec_b
+       |       WHERE x.lbl != y.lbl GROUP BY 1, 2),
+       |${pfx}gains AS (
+       |  SELECT cw.c1 AS c1, cw.c2 AS c2,
+       |         CAST(4 AS DECIMAL(18,0)) * mt.m * cw.w
+       |           - CAST(2 AS DECIMAL(18,0)) * d1.dc * d2.dc AS gain
+       |  FROM ${pfx}cw cw JOIN ${pfx}cdeg d1 ON d1.c = cw.c1
+       |          JOIN ${pfx}cdeg d2 ON d2.c = cw.c2, mt),
+       |${pfx}pos AS (SELECT * FROM ${pfx}gains WHERE gain > 0),
+       |${pfx}dir AS (SELECT c1 AS c, c2 AS p, gain FROM ${pfx}pos
+       |        UNION ALL SELECT c2, c1, gain FROM ${pfx}pos),
+       |${pfx}mx AS (SELECT c, p, gain, max(gain) OVER (PARTITION BY c) AS mg
+       |       FROM ${pfx}dir),
+       |${pfx}best AS (SELECT c, min(p) AS p FROM ${pfx}mx WHERE gain = mg GROUP BY 1),
+       |${pfx}mutual AS (SELECT x.p AS absorbed, x.c AS root
+       |           FROM ${pfx}best x JOIN ${pfx}best y ON x.p = y.c AND y.p = x.c
+       |           WHERE x.c < x.p),
+       |$dst AS MATERIALIZED (SELECT i.v AS v, coalesce(mu.root, i.lbl) AS lbl
+       |        FROM $src i LEFT JOIN ${pfx}mutual mu ON mu.absorbed = i.lbl)""".stripMargin
+
+  /** [[graft.operators.Graph.refineCommunities]] iterated `rounds`
+    * times over the LPA labeling, replayed end-to-end: the LPA chain,
+    * then one [[refineRoundSql]] chain per round (exact integer gains,
+    * mutual-best matching, relabel), then BOTH modularity numerators —
+    * everything up to the two final divisions is integer/decimal
+    * arithmetic, so the row is hash-exact including the refined score.
+    * `rounds = 1` is `q_louvain_refine`'s oracle. */
   def louvainRefineOracleSql(k: Int, iters: Int, dim: Int, tau: Double,
-      lpaIters: Int): String = {
+      lpaIters: Int, rounds: Int = 1): String = {
+    require(rounds >= 1, s"louvainRefineOracleSql: rounds=$rounds")
     val it = s"it$lpaIters"
     def qSide(lblTable: String, ns: String): String =
       s"""${ns}ds AS (SELECT l.lbl, CAST(sum(d.d) AS DECIMAL(18,0)) AS dc
@@ -952,34 +984,16 @@ object Clustering {
          |                       - ${ns}ds.dc * ${ns}ds.dc) AS DECIMAL(38,0)) AS q_num
          |        FROM ${ns}ds LEFT JOIN ${ns}mi ON ${ns}mi.lbl = ${ns}ds.lbl, mt),
          |${ns}nc AS (SELECT count(DISTINCT lbl) AS n FROM $lblTable)""".stripMargin
+    val roundChains = (1 to rounds).map { r =>
+      refineRoundSql(if (r == 1) "ref0" else s"ref${r - 1}", s"r${r}_", s"ref$r")
+    }
     s"""WITH ${lpaChainSql(k, iters, dim, tau, lpaIters)},
        |deg AS (SELECT a AS v, count(*) AS d FROM edges GROUP BY 1),
        |mt AS (SELECT CAST(count(*) AS DECIMAL(18,0)) AS m FROM sdpair),
-       |cdeg AS (SELECT l.lbl AS c, CAST(sum(d.d) AS DECIMAL(18,0)) AS dc
-       |         FROM $it l JOIN deg d ON d.v = l.v GROUP BY 1),
-       |cw AS (SELECT least(x.lbl, y.lbl) AS c1, greatest(x.lbl, y.lbl) AS c2,
-       |              CAST(count(*) AS DECIMAL(18,0)) AS w
-       |       FROM sdpair p JOIN $it x ON x.v = p.vec_a
-       |                     JOIN $it y ON y.v = p.vec_b
-       |       WHERE x.lbl != y.lbl GROUP BY 1, 2),
-       |gains AS (
-       |  SELECT cw.c1 AS c1, cw.c2 AS c2,
-       |         CAST(4 AS DECIMAL(18,0)) * mt.m * cw.w
-       |           - CAST(2 AS DECIMAL(18,0)) * d1.dc * d2.dc AS gain
-       |  FROM cw JOIN cdeg d1 ON d1.c = cw.c1
-       |          JOIN cdeg d2 ON d2.c = cw.c2, mt),
-       |pos AS (SELECT * FROM gains WHERE gain > 0),
-       |dir AS (SELECT c1 AS c, c2 AS p, gain FROM pos
-       |        UNION ALL SELECT c2, c1, gain FROM pos),
-       |mx AS (SELECT c, p, gain, max(gain) OVER (PARTITION BY c) AS mg FROM dir),
-       |best AS (SELECT c, min(p) AS p FROM mx WHERE gain = mg GROUP BY 1),
-       |mutual AS (SELECT x.p AS absorbed, x.c AS root
-       |           FROM best x JOIN best y ON x.p = y.c AND y.p = x.c
-       |           WHERE x.c < x.p),
-       |ref AS (SELECT i.v AS v, coalesce(mu.root, i.lbl) AS lbl
-       |        FROM $it i LEFT JOIN mutual mu ON mu.absorbed = i.lbl),
-       |${qSide(it, "l_")},
-       |${qSide("ref", "r_")}
+       |ref0 AS MATERIALIZED (SELECT v, lbl FROM $it),
+       |${roundChains.mkString(",\n")},
+       |${qSide("ref0", "l_")},
+       |${qSide(s"ref$rounds", "r_")}
        |SELECT CAST(mt.m AS BIGINT) AS m_edges,
        |       l_nc.n AS n_comm_lpa,
        |       CAST(l_co.q_num AS BIGINT) AS q_num_lpa,

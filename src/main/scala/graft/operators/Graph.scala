@@ -161,6 +161,23 @@ object Graph {
       .select(col("v"), coalesce(col("root"), col("lbl")).as("lbl"))
   }
 
+  /** [[refineCommunities]] iterated a FIXED number of rounds — the
+    * Louvain loop with the deterministic mutual-best matching as its
+    * local-move phase: each round re-aggregates the community graph
+    * under the previous round's labeling and applies one matching. A
+    * round with no positive-gain pair is a fixed point (labels pass
+    * through unchanged), so Q is non-decreasing across rounds and the
+    * fixed round count keeps the result exactly replayable (the oracle
+    * unrolls the same rounds — the LPA convention). Lineage truncated
+    * per round. */
+  def refineCommunitiesRounds(labels: DataFrame, edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"refineCommunitiesRounds: rounds=$rounds")
+    var l = labels
+    for (_ <- 1 to rounds)
+      l = refineCommunities(l, edges).localCheckpoint(false)
+    l
+  }
+
   /** Exact triangle count of an undirected pair graph (e.g. the near-dup
     * candidate graph — triangle density distinguishes tight dup CLIQUES
     * from chains before clustering commits to a canonical-per-cluster

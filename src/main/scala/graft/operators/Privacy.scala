@@ -81,16 +81,25 @@ object Privacy {
     * the ≤ |domain| rows of one class — the generalizationLadder
     * posture. Sensitive attribute: floor(c_acctbal / 1000) — an
     * ordered 11-value integer domain on the shipped data. */
-  def tCloseness(customer: DataFrame, t: Double = DefaultT): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  def tCloseness(customer: DataFrame, t: Double = DefaultT): DataFrame =
     // the only corpus-scale aggregation; everything below re-aggregates
     // this bounded (25 nations × 5 segments × ~11 buckets) class table
-    val cv = customer.groupBy(
-      col("c_nationkey").as("nation"),
-      col("c_mktsegment").as("segment"),
-      floor(col("c_acctbal") / 1000.0).cast("long").as("sval"))
-      .agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(false)
+    tClosenessFromCounts(
+      customer.groupBy(
+        col("c_nationkey").as("nation"),
+        col("c_mktsegment").as("segment"),
+        floor(col("c_acctbal") / 1000.0).cast("long").as("sval"))
+        .agg(count(lit(1)).as("cnt")),
+      t)
+
+  /** [[tCloseness]] from an already-aggregated (nation, segment, sval,
+    * cnt) class-value table — the shared arithmetic face: the batch
+    * audit feeds it the corpus groupBy, the streaming monitor feeds it
+    * the accumulated complete-mode state, so streamed ≡ batch is the
+    * SAME expression tree over equal integers. */
+  def tClosenessFromCounts(counts: DataFrame, t: Double = DefaultT): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cv = counts.localCheckpoint(false)
     val classes = cv.groupBy(col("nation"), col("segment"))
       .agg(sum(col("cnt")).as("n_class"))
     val globals = cv.groupBy(col("sval")).agg(sum(col("cnt")).as("g"))
@@ -126,7 +135,7 @@ object Privacy {
 
   /** DuckDB oracle for [[tCloseness]] — the same integer prefix-sum
     * chain with the threshold interpolated from [[DefaultT]]. */
-  def tClosenessSql(t: Double = DefaultT): String =
+  def tClosenessSql(t: Double = DefaultT, parityCol: Boolean = false): String =
     s"""WITH cv AS (
        |  SELECT c_nationkey AS nation, c_mktsegment AS segment,
        |         CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS sval,
@@ -160,7 +169,8 @@ object Privacy {
        |             CAST(n_class * n_total * (v - 1) AS DOUBLE), 6) AS t_dist,
        |       (round(CAST(emd_num AS DOUBLE) /
        |              CAST(n_class * n_total * (v - 1) AS DOUBLE), 6)
-       |          <= CAST($t AS DOUBLE)) AS meets_t
+       |          <= CAST($t AS DOUBLE)) AS meets_t${
+            if (parityCol) ",\n       true AS parity_ok" else ""}
        |FROM emd ORDER BY nation, segment""".stripMargin
 
   /** Differentially-private histogram release with suppression — the

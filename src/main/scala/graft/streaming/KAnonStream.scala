@@ -50,6 +50,55 @@ object KAnonStream {
       }
     }
 
+  /** CONTINUOUS t-closeness monitor — the streaming face of
+    * [[graft.operators.Privacy.tCloseness]], the [[runStreamKAnonymity]]
+    * count discipline one rung up the privacy ladder: state is the
+    * (nation, segment, acctbal-bucket) class-VALUE count grid (a fixed
+    * 25×5×~11 vocabulary — model-sized however many records flow),
+    * maintained as one complete-mode count. The readout feeds the
+    * accumulated grid to [[graft.operators.Privacy.tClosenessFromCounts]]
+    * — the SAME expression tree the batch audit runs — so streamed ≡
+    * batch is exact-integer equality (asserted in-plan, `parity_ok`)
+    * and the EMD table hash-matches the same generated oracle. */
+  def runStreamTCloseness(
+      spark: SparkSession, dir: String, nBatches: Int = 4,
+      t: Double = graft.operators.Privacy.DefaultT,
+      assertParity: Boolean = true): DataFrame = {
+    val staged = stagedCustomers(spark, dir, nBatches)
+    val name = "q_t_closeness_stream_sink"
+    val bucket = floor(col("c_acctbal") / 1000.0).cast("long")
+
+    val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", StreamShuffleWidth)
+    try {
+      val q = spark.readStream.schema(customerStreamSchema(spark, dir))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged.toString)
+        .groupBy(col("c_nationkey").as("nation"),
+          col("c_mktsegment").as("segment"), bucket.as("sval"))
+        .agg(count(lit(1)).as("cnt"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+
+    def toMap(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+      (r.getAs[Number]("nation").longValue(), r.getAs[String]("segment"),
+        r.getAs[Long]("sval")) -> r.getAs[Long]("cnt")).toMap
+    // streamed state: ≤ |nations|·|segments|·|buckets| integer rows
+    val cur = spark.table(name)
+    val parityOk = !assertParity || {
+      val batch = Tables.customer(spark, dir)
+        .groupBy(col("c_nationkey").as("nation"),
+          col("c_mktsegment").as("segment"), bucket.as("sval"))
+        .agg(count(lit(1)).as("cnt"))
+      toMap(cur.collect()) == toMap(batch.collect())
+    }
+    graft.operators.Privacy.tClosenessFromCounts(cur, t)
+      .withColumn("parity_ok", lit(parityOk))
+      .orderBy(col("nation"), col("segment"))
+  }
+
   /** Run the monitor to completion: the class-size histogram
     * (class_size, n_classes, n_rows, at_risk) + `parity_ok` (streamed
     * class counts ≡ batch recompute, exact integers). */

@@ -313,6 +313,11 @@ class EvalOpsSpec extends AnyFunSuite with SparkSpec {
     val qB = graft.operators.Graph.modularity(labels, edges).collect()(0)
     val qA = graft.operators.Graph.modularity(refined, edges).collect()(0)
     assert(qB.getAs[Long]("q_num") == 232L && qA.getAs[Long]("q_num") == 240L)
+    // after the merge no community pair shares an edge → round 2 is a
+    // fixed point: iterating must not change the labeling further
+    val r3 = graft.operators.Graph.refineCommunitiesRounds(labels, edges, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r3 == got)
   }
 
   // --- Privacy audits --------------------------------------------------

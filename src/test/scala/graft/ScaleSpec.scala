@@ -444,6 +444,21 @@ class ScaleSpec extends AnyFunSuite with SparkSpec {
     assert(got.map(key).toSeq == batch.map(key).toSeq)
   }
 
+  test("streaming t-closeness monitor: streamed EMD table equals the batch audit, any split") {
+    // 3 batches (different split from the contract query's 4); grid
+    // parity asserted in-plan inside the run
+    val got = graft.streaming.KAnonStream
+      .runStreamTCloseness(spark, sf, nBatches = 3).collect()
+    assert(got.nonEmpty && got.forall(_.getAs[Boolean]("parity_ok")))
+    val batch = graft.operators.Privacy
+      .tCloseness(Tables.customer(spark, sf)).collect()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Number]("nation").longValue(), r.getAs[String]("segment"),
+        r.getAs[Long]("class_size"), r.getAs[Double]("t_dist"),
+        r.getAs[Boolean]("meets_t"))
+    assert(got.map(key).toSeq == batch.map(key).toSeq)
+  }
+
   test("streaming SCD2 ingest: incremental merge equals one-shot scdType2 over the whole input") {
     // date-striped batches close open intervals / append versions; closed
     // history immutable; parity asserted row-for-row inside the run
