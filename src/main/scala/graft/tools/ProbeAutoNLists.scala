@@ -1,0 +1,77 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.{IvfIndex, Pq}
+
+/** Round-14 companion to the ProbeScale table: the fixed-nLists
+  * hard-negative row measured **11.22×** for 10× data (cells fatten
+  * linearly — cost ≈ nProbe·|Q|·occupancy with occupancy growing 10×).
+  * This probe re-measures the SAME mining operator with the list count
+  * picked by the [[IvfIndex.autoNLists]] capacity rule at each scale
+  * (16 at n = 2,000; 128 at n = 20,000 — occupancy 125 → 156, near
+  * flat), so compute grows ~linearly with the corpus and the wall
+  * exponent should land in the SemDeDup row's ~2-3× class, not 11×.
+  *
+  * The index is built and MATERIALIZED outside the timer (the at-rest
+  * registry posture — the steady-state cost a capacity plan prices is
+  * the mining pass, not the one-time build); wall is min-of-2 on the
+  * mining join + rollup alone. */
+object ProbeAutoNLists {
+
+  private val Off = 10000000000L
+  private val Reps = 10
+
+  def main(args: Array[String]): Unit = {
+    val base = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val tenDir = if (args.length > 1) args(1) else "/tmp/graft-ingest10x/corpus10x"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // 10x corpus: reuse ProbeIngestScale's synthesis if absent
+    if (!new java.io.File(s"$tenDir/embeddings.parquet").exists()) {
+      val dim = 64
+      val reps = explode(typedLit((0 until Reps).toArray)).as("__r")
+      spark.read.parquet(s"$base/embeddings.parquet")
+        .select(col("*"), reps)
+        .select(
+          (col("vec_id") + col("__r") * Off).as("vec_id"),
+          concat(slice(col("embedding"), col("__r") + 1, lit(dim) - col("__r")),
+            slice(col("embedding"), lit(1), col("__r"))).as("embedding"),
+          col("label"))
+        .write.mode("overwrite").parquet(s"$tenDir/embeddings.parquet")
+    }
+
+    def side(tag: String, dir: String): Double = {
+      val emb = graft.sources.Tables.embeddings(spark, dir)
+      val n = emb.count()
+      val nl = IvfIndex.autoNLists(n)
+      // build + materialize UNTIMED: the at-rest index posture
+      val built = Pq.buildIvfPq(spark, emb, dims = 64, nLists = nl, m = 16, ksub = 64)
+      val idx = Pq.IvfPqIndex(
+        built.encoded.localCheckpoint(true), built.ivfCents, built.cb)
+      val labels = emb.select(col("vec_id"), col("label"))
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        Pq.hardNegativesIvfPq(idx, labels, emb, k = 3, nProbe = 8).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val wall = Seq(once(), once()).min
+      println(f"$tag%-4s n=$n%6d auto nLists=$nl%3d occ=${n / nl}%4d  mining wall(min2)=$wall%7.2f s")
+      wall
+    }
+
+    val w1 = side("1x", base)
+    val w10 = side("10x", tenDir)
+    println(f"auto-nLists mining exponent t(10x)/t(1x) = ${w10 / w1}%.2f (fixed-nLists row measured 11.22)")
+    spark.stop()
+  }
+}
