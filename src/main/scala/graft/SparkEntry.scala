@@ -2860,10 +2860,30 @@ object SparkEntry {
     // absorb redistributes ∝ weight to the unsaturated ones (at 90% the
     // weight-4/5 sources bind and spill into the rest). One per-source
     // aggregation + a driver fold over the |sources|-row summary.
+    // DoReMi-style domain reweighting (Xie 2023) — the mixture family's
+    // feedback loop: EG ascent on per-domain excess loss (proxy:
+    // 1 - avg LR quality; a production run feeds real losses into the
+    // same fold). One corpus aggregation; the 5-iteration EG fold runs
+    // on the |Sources|-row summary with 6dp rounding each step and a
+    // LEFT-ASSOCIATED normalizer, so the weight trajectory replays
+    // hash-exactly in the unrolled oracle (the BT MM discipline).
+    "q_mixture_reweight" -> ((s, d) =>
+      graft.operators.Curation.mixtureReweight(s, Tables.documents(s, d))),
+
     "q_mixture_waterfill" -> ((s, d) =>
       graft.operators.Curation.mixtureWaterfill(
         Tables.documents(s, d),
         MixtureWeights.view.mapValues(_.toLong).toMap, budgetPct = 90)),
+
+    // Data-constrained repeat-epochs allocator (Muennighoff 2023): when
+    // the budget (200% of deduped tokens) exceeds a source's uniques,
+    // epochs repeat (capped at 4) and repeated passes are priced with a
+    // per-epoch 1/2 value decay — m(E) = 2 - 2^(1-E), dyadic hence
+    // double-exact; all else is integer arithmetic, hash-exact.
+    "q_repeat_epochs" -> ((s, d) =>
+      graft.operators.Curation.repeatEpochs(
+        Tables.documents(s, d),
+        MixtureWeights.view.mapValues(_.toLong).toMap)),
 
     // Incremental (batch-vs-corpus) dedup with reason-coded statuses; the
     // corpus/batch split is the id midpoint, derived like orderSpan.
@@ -6321,6 +6341,11 @@ object SparkEntry {
                  LEFT JOIN g3 ON g1.source = g3.source
          ORDER BY g1.source""",
 
+    // EG reweighting replay: the quality CTE + per-source aggregation +
+    // 5 unrolled weight CTEs with explicit left-assoc normalizer sums,
+    // all generated from the shared Sources/eta/iters constants.
+    "q_mixture_reweight" -> graft.operators.Curation.mixtureReweightSql(),
+
     "q_doc_quality" ->
       s"""SELECT doc_id, CAST(length(text) AS INT) AS n_chars_calc,
                  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
@@ -7488,6 +7513,11 @@ object SparkEntry {
     // HUGEINT cross-products decide saturation, the first non-saturated
     // row pins the water level, floor division allocates the rest.
     "q_mixture_waterfill" -> mixtureWaterfillSql,
+
+    // Repeat-epochs replay: the same (source, text) dedup + integer
+    // allocation chain, dyadic multipliers from the shared formula.
+    "q_repeat_epochs" -> graft.operators.Curation.repeatEpochsSql(
+      MixtureWeights.view.mapValues(_.toLong).toMap),
 
     // Brute-force quadratic replay of the prefix-filter near checks (the
     // driver runs oracles at sf0.01 only); same 6-dp rounded Jaccard, same

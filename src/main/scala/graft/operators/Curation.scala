@@ -121,6 +121,247 @@ object Curation {
       .orderBy(col("source"))
   }
 
+  /** Data-constrained repeat-epochs allocator (Muennighoff et al. 2023,
+    * "Scaling Data-Constrained Language Models"): when the token budget
+    * exceeds a source's UNIQUE tokens, the trainer repeats epochs — and
+    * repeated data is worth less each pass. Given mixture weights and a
+    * budget over the deduped corpus, allocate each source its
+    * proportional request, derive the epoch count it implies (capped at
+    * `maxEpochs` — the paper's ~4-epochs-before-returns-vanish
+    * finding), and price the allocation in EFFECTIVE tokens under a
+    * per-epoch value decay of 1/2: m(E) = 2 − 2^(1−E), so E = 1..4 ⇒
+    * ×{1, 1.5, 1.75, 1.875} — DYADIC multipliers, hence double-EXACT,
+    * no transcendental anywhere (δ = 1/2 is the fixture; the paper fits
+    * δ from loss curves — the allocator is the operator).
+    *
+    * Scale shape: one corpus-scale (source, text) dedup aggregation +
+    * one per-source re-agg; the allocation folds driver-side over the
+    * |sources|-row summary (the waterfill posture). All integer
+    * arithmetic (BigInt cross-products, floor/ceil divisions) until the
+    * one rounded utilization ratio — hash-exact by construction. */
+  def repeatEpochs(
+      documents: DataFrame, weights: Map[String, Long],
+      budgetPct: Int = 200, maxEpochs: Int = 4): DataFrame = {
+    require(budgetPct >= 1, s"repeatEpochs: budgetPct >= 1, got $budgetPct")
+    require(maxEpochs >= 1 && maxEpochs <= 16, s"repeatEpochs: maxEpochs=$maxEpochs")
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "repeatEpochs: weights must be positive")
+    val spark = documents.sparkSession
+    import org.apache.spark.sql.types._
+    val perSrc = Robust.collectSummary(
+      documents
+        .filter(col("source").isNotNull && col("text").isNotNull)
+        .select(col("source"), col("text"),
+          size(tokens(col("text"))).cast(LongType).as("n_toks"))
+        .groupBy(col("source"), col("text"))
+        .agg(max(col("n_toks")).as("n_toks"), count(lit(1)).as("copies"))
+        .groupBy(col("source"))
+        .agg(sum(col("n_toks")).as("u"),
+          sum(col("n_toks") * col("copies")).as("tot"))
+        .withColumn("w", element_at(typedLit(weights), col("source")))
+        .filter(col("w").isNotNull), // sources outside the mixture drop
+      "repeatEpochs")
+      .map(r => (r.getString(0), r.getAs[Long]("u"), r.getAs[Long]("tot"),
+        r.getAs[Long]("w")))
+      .sortBy(_._1)
+    val sumU = perSrc.iterator.map(s => BigInt(s._2)).sum
+    val sumW = perSrc.iterator.map(s => BigInt(s._4)).sum
+    val budget = sumU * budgetPct / 100 // floor
+    def mult(e: Int): Double = 2.0 - math.pow(2.0, 1 - e) // dyadic, exact
+    val rows = perSrc.map { case (src, u, tot, w) =>
+      val request = (budget * w / sumW).toLong // floor
+      val epochs =
+        if (u == 0L) 1
+        else math.min(maxEpochs.toLong, math.max(1L, (request + u - 1) / u)).toInt
+      val effective = u.toDouble * mult(epochs) // dyadic ⇒ exact
+      val utilization =
+        if (request > 0) r6(effective / request.toDouble) else null
+      org.apache.spark.sql.Row(src, u, tot, w, request, epochs, effective,
+        utilization)
+    }
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*),
+      StructType(Seq(
+        StructField("source", StringType, nullable = true),
+        StructField("unique_tokens", LongType, nullable = false),
+        StructField("total_tokens", LongType, nullable = false),
+        StructField("weight", LongType, nullable = false),
+        StructField("request_tokens", LongType, nullable = false),
+        StructField("epochs", IntegerType, nullable = false),
+        StructField("effective_tokens", DoubleType, nullable = false),
+        StructField("utilization", DoubleType, nullable = true))))
+      .orderBy(col("source"))
+  }
+
+  /** DuckDB oracle for [[repeatEpochs]] — the same integer chain with
+    * the dyadic multipliers generated from the same formula. */
+  def repeatEpochsSql(weights: Map[String, Long],
+      budgetPct: Int = 200, maxEpochs: Int = 4): String = {
+    val wRows = weights.toSeq.sortBy(_._1)
+      .map { case (s, w) => s"('$s', CAST($w AS BIGINT))" }.mkString(", ")
+    val multCase = "CASE e.epochs " + (1 to maxEpochs).map(e =>
+      s"WHEN $e THEN CAST(${2.0 - math.pow(2.0, 1 - e)} AS DOUBLE)").mkString(" ") +
+      " END"
+    s"""WITH pt AS (
+       |  SELECT source, text,
+       |         CAST(max(len(string_split(text, ' '))) AS BIGINT) AS n_toks,
+       |         CAST(count(*) AS BIGINT) AS copies
+       |  FROM documents WHERE source IS NOT NULL AND text IS NOT NULL
+       |  GROUP BY 1, 2),
+       |ps AS (SELECT source, CAST(sum(n_toks) AS BIGINT) AS u,
+       |              CAST(sum(n_toks * copies) AS BIGINT) AS tot
+       |       FROM pt GROUP BY 1),
+       |wt(source, w) AS (VALUES $wRows),
+       |j AS (SELECT ps.source AS source, ps.u AS u, ps.tot AS tot, wt.w AS w
+       |      FROM ps JOIN wt ON wt.source = ps.source),
+       |g AS (SELECT CAST(sum(u) AS BIGINT) AS su, CAST(sum(w) AS BIGINT) AS sw
+       |      FROM j),
+       |a AS (SELECT j.*, (g.su * $budgetPct // 100) * j.w // g.sw AS request
+       |      FROM j, g),
+       |e AS (SELECT a.*,
+       |             CAST(CASE WHEN a.u = 0 THEN 1
+       |                  ELSE least($maxEpochs, greatest(1, (a.request + a.u - 1) // a.u))
+       |                  END AS INT) AS epochs
+       |      FROM a)
+       |SELECT e.source AS source, e.u AS unique_tokens, e.tot AS total_tokens,
+       |       e.w AS weight, CAST(e.request AS BIGINT) AS request_tokens,
+       |       e.epochs AS epochs,
+       |       CAST(e.u AS DOUBLE) * $multCase AS effective_tokens,
+       |       CASE WHEN e.request > 0
+       |            THEN round(CAST(e.u AS DOUBLE) * $multCase / CAST(e.request AS DOUBLE), 6)
+       |            END AS utilization
+       |FROM e ORDER BY source""".stripMargin
+  }
+
+  /** The corpus's source domain — a fixed 20-name vocabulary on the
+    * shipped data (asserted at run time, the [[Preference.Items]]
+    * convention): the unrolled EG oracle derives its column set and
+    * left-associated normalizer sums from this single constant. */
+  val Sources: IndexedSeq[String] = (0 until 20).map(i => s"src$i").sorted
+
+  /** EG reweighting defaults, shared with the generated oracle. */
+  val ReweightEta = 1.0
+  val ReweightIters = 5
+
+  private def r6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+    .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** DoReMi-style domain reweighting (Xie et al. 2023, "DoReMi:
+    * Optimizing Data Mixtures Speeds Up Language Model Pretraining"):
+    * the mixture family's missing feedback loop — [[dataMixture]] and
+    * [[mixtureWaterfill]] allocate under GIVEN weights; this derives
+    * the weights, by exponentiated-gradient ascent on per-domain excess
+    * loss (hard/underfit domains upweight multiplicatively, then the
+    * simplex renormalizes). The loss proxy here is 1 − avg LR quality
+    * per source (no trained reference model exists in this harness; a
+    * production run feeds real per-domain excess losses into the same
+    * fold — the update rule is the operator, the proxy is the fixture).
+    *
+    * Scale shape: ONE corpus-scale aggregation (per-source doc count +
+    * exact DECIMAL(8,6) quality sum — map-side partial); the EG fold
+    * then runs on the collected |Sources|-row summary (a fixed 20-name
+    * vocabulary — model-sized, the win-matrix posture). Exactness: each
+    * iteration rounds to 6dp (raw = round6(w·exp(η·e)), w' =
+    * round6(raw/Z)) with Z the LEFT-ASSOCIATED sum over source-sorted
+    * 6dp raws — identical IEEE ops in identical order on both engines,
+    * so the weight trajectory replays hash-exactly in the unrolled
+    * DuckDB twin (the Bradley–Terry MM discipline; exp at 6dp is the
+    * established quality-sigmoid precedent). */
+  def mixtureReweight(
+      spark: org.apache.spark.sql.SparkSession,
+      documents: DataFrame,
+      eta: Double = ReweightEta, iters: Int = ReweightIters,
+      sources: IndexedSeq[String] = Sources): DataFrame = {
+    import org.apache.spark.sql.types._
+    val perSrc = qualityScoreRaw(documents)
+      .join(documents.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .filter(col("source").isNotNull)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum(col("quality").cast(DecimalType(8, 6))).cast(DoubleType)
+          / count(lit(1)), 6).as("avg_quality"))
+      .collect() // model-sized: the fixed |Sources| vocabulary
+      .map(r => (r.getString(0), r.getAs[Long]("n_docs"), r.getAs[Double]("avg_quality")))
+      .sortBy(_._1)
+    require(perSrc.map(_._1).toSeq == sources,
+      s"mixtureReweight: source domain moved — got ${perSrc.map(_._1).toSeq}")
+    val excess = perSrc.map { case (_, _, q) => r6(1.0 - q) }
+    var w = Array.fill(sources.length)(r6(1.0 / sources.length))
+    for (_ <- 1 to iters) {
+      val raw = Array.tabulate(sources.length)(i => r6(w(i) * math.exp(eta * excess(i))))
+      val z = raw.reduceLeft(_ + _) // left-assoc over source-sorted order
+      w = raw.map(r => r6(r / z))
+    }
+    val rows = perSrc.zipWithIndex.map { case ((s, n, q), i) =>
+      org.apache.spark.sql.Row(s, n, q, excess(i), w(i),
+        r6(w(i) * sources.length))
+    }
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*),
+      StructType(Seq(
+        StructField("source", StringType, nullable = false),
+        StructField("n_docs", LongType, nullable = false),
+        StructField("avg_quality", DoubleType, nullable = false),
+        StructField("excess", DoubleType, nullable = false),
+        StructField("weight", DoubleType, nullable = false),
+        StructField("boost", DoubleType, nullable = false))))
+      .orderBy(col("source"))
+  }
+
+  /** DuckDB oracle for [[mixtureReweight]] — the same per-source
+    * aggregation and the EG iterations UNROLLED from the same
+    * constants: one 1-row weight CTE per iteration with explicit
+    * left-associated normalizer parentheses. */
+  def mixtureReweightSql(eta: Double = ReweightEta,
+      iters: Int = ReweightIters): String = {
+    def wc(s: String) = s"w_$s"
+    def rc(s: String) = s"r_$s"
+    val w0 = r6(1.0 / Sources.length)
+    val qlCte =
+      """ql AS MATERIALIZED (
+        |  WITH f AS (SELECT doc_id, string_split(text, ' ') AS t, text FROM documents),
+        |       z AS (SELECT doc_id,
+        |                    -3.0 + 0.6 * ln(1.0 + CAST(len(t) AS DOUBLE))
+        |                    + 0.25 * ((CAST(length(text) AS DOUBLE) - CAST(len(t) - 1 AS DOUBLE)) / CAST(len(t) AS DOUBLE))
+        |                    + 1.2 * (CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE))
+        |                    + 2.0 * (CAST(len(list_filter(t, x -> list_contains(['the','a','of','and','to','in','is'], x))) AS DOUBLE) / CAST(len(t) AS DOUBLE)) AS z
+        |             FROM f)
+        |  SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 6) AS quality FROM z)""".stripMargin
+    val perCte =
+      """e AS MATERIALIZED (
+        |  SELECT d.source AS source, CAST(count(*) AS BIGINT) AS n_docs,
+        |         round(CAST(sum(CAST(ql.quality AS DECIMAL(8,6))) AS DOUBLE) / count(*), 6) AS avg_quality,
+        |         round(1.0 - round(CAST(sum(CAST(ql.quality AS DECIMAL(8,6))) AS DOUBLE) / count(*), 6), 6) AS excess
+        |  FROM ql JOIN documents d ON d.doc_id = ql.doc_id
+        |  WHERE d.source IS NOT NULL GROUP BY 1)""".stripMargin
+    val w0Cte = s"w0 AS MATERIALIZED (SELECT ${Sources.map(s => s"CAST($w0 AS DOUBLE) AS ${wc(s)}").mkString(", ")})"
+    val iterCtes = (1 to iters).map { t =>
+      val raws = Sources.map(s =>
+        s"round(w${t - 1}.${wc(s)} * exp(CAST($eta AS DOUBLE) * " +
+          s"(SELECT excess FROM e WHERE source = '$s')), 6) AS ${rc(s)}").mkString(",\n       ")
+      val zSum = Sources.map(rc).reduceLeft((a, b) => s"($a + $b)")
+      val ws = Sources.map(s => s"round(i$t.${rc(s)} / n$t.z, 6) AS ${wc(s)}").mkString(", ")
+      // every stage MATERIALIZED: 1-row CTEs, but the final CASE
+      // references w$iters 2·|Sources| times and DuckDB re-evaluates
+      // plain CTEs per reference (the q_louvain_rounds lesson)
+      s"""i$t AS MATERIALIZED (SELECT $raws FROM w${t - 1}),
+         |n$t AS MATERIALIZED (SELECT $zSum AS z FROM i$t),
+         |w$t AS MATERIALIZED (SELECT $ws FROM i$t, n$t)""".stripMargin
+    }
+    val weightCase = "CASE e.source " +
+      Sources.map(s => s"WHEN '$s' THEN (SELECT ${wc(s)} FROM w$iters)").mkString(" ") +
+      " END"
+    s"""WITH $qlCte,
+       |$perCte,
+       |$w0Cte,
+       |${iterCtes.mkString(",\n")}
+       |SELECT e.source AS source, e.n_docs AS n_docs, e.avg_quality AS avg_quality,
+       |       e.excess AS excess,
+       |       $weightCase AS weight,
+       |       round($weightCase * ${Sources.length}, 6) AS boost
+       |FROM e ORDER BY source""".stripMargin
+  }
+
   def dataMixture(
       documents: DataFrame,
       weights: Map[String, Double],

@@ -423,6 +423,65 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
       assert(r.getAs[Boolean]("keep") == (r.getAs[Double]("quality") >= 0.5)))
   }
 
+  test("mixtureReweight: high-excess source upweights, simplex preserved, independent fold agrees") {
+    val C = graft.operators.Curation
+    // two planted sources: "a" = stopword-rich prose (high quality, low
+    // excess), "b" = token soup (low quality, high excess)
+    val docs = ((0L until 10L).map(i =>
+        (i, "the cat sat on the mat and the dog is in the house", "a")) ++
+      (10L until 20L).map(i =>
+        (i, "zq xv kj pw qq ml nb vc xs wd", "b")))
+      .toDF("doc_id", "text", "source")
+    val out = C.mixtureReweight(spark, docs, eta = 1.0, iters = 5,
+        sources = IndexedSeq("a", "b")).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Double]("excess"), r.getAs[Double]("weight"))).toMap
+    assert(out("b")._1 > out("a")._1)       // soup has higher excess loss
+    assert(out("b")._2 > out("a")._2)       // ... and upweights
+    // simplex: per-iteration 6dp rounding keeps the sum within 1 ulp6
+    assert(math.abs(out("a")._2 + out("b")._2 - 1.0) <= 2e-6)
+    // independent driver fold over the same excesses reproduces exactly
+    def r6(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val e = Array(out("a")._1, out("b")._1)
+    var w = Array(0.5, 0.5)
+    for (_ <- 1 to 5) {
+      val raw = Array(r6(w(0) * math.exp(e(0))), r6(w(1) * math.exp(e(1))))
+      val z = raw(0) + raw(1)
+      w = raw.map(r => r6(r / z))
+    }
+    assert(out("a")._2 == w(0) && out("b")._2 == w(1))
+  }
+
+  test("repeatEpochs: dedup counts uniques, epochs from the request, dyadic pricing, cap binds") {
+    val C = graft.operators.Curation
+    // source a: two distinct 5-token texts, one duplicated (U=10, tot=15);
+    // source b: one 10-token text (U=10, tot=10)
+    val docs = Seq(
+      (0L, "a b c d e", "a"), (1L, "f g h i j", "a"), (2L, "a b c d e", "a"),
+      (3L, "k l m n o p q r s t", "b"))
+      .toDF("doc_id", "text", "source")
+    val out = C.repeatEpochs(docs, Map("a" -> 1L, "b" -> 3L), budgetPct = 200)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    // B = floor(20·200/100) = 40; requests 10 / 30 (exact integer floors)
+    assert(out("a").getAs[Long]("unique_tokens") == 10L &&
+      out("a").getAs[Long]("total_tokens") == 15L)
+    assert(out("a").getAs[Long]("request_tokens") == 10L &&
+      out("a").getAs[Int]("epochs") == 1 &&
+      out("a").getAs[Double]("effective_tokens") == 10.0 &&
+      out("a").getAs[Double]("utilization") == 1.0)
+    // b: ceil(30/10) = 3 epochs, m(3) = 1.75 exactly (dyadic)
+    assert(out("b").getAs[Long]("request_tokens") == 30L &&
+      out("b").getAs[Int]("epochs") == 3 &&
+      out("b").getAs[Double]("effective_tokens") == 17.5 &&
+      out("b").getAs[Double]("utilization") == 0.583333)
+    // the 4-epoch cap binds under a 10x budget
+    val capped = C.repeatEpochs(docs, Map("a" -> 1L, "b" -> 3L), budgetPct = 1000)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    assert(capped("b").getAs[Int]("epochs") == 4 &&
+      capped("b").getAs[Double]("effective_tokens") == 18.75)
+  }
+
   test("qualityKeptRaw is row-identical to qualityScoreRaw ⋈ curationAuditRaw (fused = joined)") {
     import graft.operators.Curation
     import graft.sources.Tables
