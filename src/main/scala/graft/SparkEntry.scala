@@ -2870,6 +2870,14 @@ object SparkEntry {
     "q_mixture_reweight" -> ((s, d) =>
       graft.operators.Curation.mixtureReweight(s, Tables.documents(s, d))),
 
+    // CONTINUOUS mixture reweighting — the monitor-family face of the
+    // EG fold: per-source (count, exact DECIMAL quality-sum) state over
+    // the fixed 20-source vocabulary; decimal sums merge exactly, so
+    // streamed ≡ batch bit-for-bit (asserted in-plan) and the weight
+    // table hash-matches the same unrolled oracle.
+    "q_mixture_reweight_stream" -> ((s, d) =>
+      graft.streaming.MixtureStream.runStreamMixtureReweight(s, d)),
+
     "q_mixture_waterfill" -> ((s, d) =>
       graft.operators.Curation.mixtureWaterfill(
         Tables.documents(s, d),
@@ -5438,6 +5446,10 @@ object SparkEntry {
     // Operator: the complete-mode count stream + EMD readout alone.
     "q_t_closeness_stream" -> ((s, d) =>
       graft.streaming.KAnonStream.runStreamTCloseness(s, d, assertParity = false)),
+    // Contract form: streamed per-source state ⋈ batch recompute (parity).
+    // Operator: the complete-mode quality stream + EG readout alone.
+    "q_mixture_reweight_stream" -> ((s, d) =>
+      graft.streaming.MixtureStream.runStreamMixtureReweight(s, d, assertParity = false)),
     // Contract form: at-rest index ⋈ whole-corpus re-encode (parity).
     // Operator: train + initial encode + the batched cell-append stream.
     "q_ann_ingest_stream" -> ((s, d) =>
@@ -6345,6 +6357,10 @@ object SparkEntry {
     // 5 unrolled weight CTEs with explicit left-assoc normalizer sums,
     // all generated from the shared Sources/eta/iters constants.
     "q_mixture_reweight" -> graft.operators.Curation.mixtureReweightSql(),
+
+    // Streamed EG monitor: identical expected table + pinned parity.
+    "q_mixture_reweight_stream" ->
+      graft.operators.Curation.mixtureReweightSql(parityCol = true),
 
     "q_doc_quality" ->
       s"""SELECT doc_id, CAST(length(text) AS INT) AS n_chars_calc,

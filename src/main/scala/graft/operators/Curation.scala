@@ -283,8 +283,21 @@ object Curation {
       .collect() // model-sized: the fixed |Sources| vocabulary
       .map(r => (r.getString(0), r.getAs[Long]("n_docs"), r.getAs[Double]("avg_quality")))
       .sortBy(_._1)
-    require(perSrc.map(_._1).toSeq == sources,
-      s"mixtureReweight: source domain moved — got ${perSrc.map(_._1).toSeq}")
+    egReweightTable(spark, perSrc.toIndexedSeq, eta, iters, sources)
+  }
+
+  /** The EG fold + result table shared by [[mixtureReweight]] and the
+    * streaming monitor: `perSrc` is the source-sorted (source, n_docs,
+    * avg_quality) summary — model-sized — and every float op runs in
+    * the same fixed order on both callers, so streamed ≡ batch is
+    * bitwise. */
+  private[graft] def egReweightTable(
+      spark: org.apache.spark.sql.SparkSession,
+      perSrc: IndexedSeq[(String, Long, Double)],
+      eta: Double, iters: Int, sources: IndexedSeq[String]): DataFrame = {
+    import org.apache.spark.sql.types._
+    require(perSrc.map(_._1) == sources,
+      s"egReweightTable: source domain moved — got ${perSrc.map(_._1)}")
     val excess = perSrc.map { case (_, _, q) => r6(1.0 - q) }
     var w = Array.fill(sources.length)(r6(1.0 / sources.length))
     for (_ <- 1 to iters) {
@@ -313,7 +326,7 @@ object Curation {
     * constants: one 1-row weight CTE per iteration with explicit
     * left-associated normalizer parentheses. */
   def mixtureReweightSql(eta: Double = ReweightEta,
-      iters: Int = ReweightIters): String = {
+      iters: Int = ReweightIters, parityCol: Boolean = false): String = {
     def wc(s: String) = s"w_$s"
     def rc(s: String) = s"r_$s"
     val w0 = r6(1.0 / Sources.length)
@@ -358,7 +371,8 @@ object Curation {
        |SELECT e.source AS source, e.n_docs AS n_docs, e.avg_quality AS avg_quality,
        |       e.excess AS excess,
        |       $weightCase AS weight,
-       |       round($weightCase * ${Sources.length}, 6) AS boost
+       |       round($weightCase * ${Sources.length}, 6) AS boost${
+            if (parityCol) ",\n       true AS parity_ok" else ""}
        |FROM e ORDER BY source""".stripMargin
   }
 
@@ -902,21 +916,31 @@ object Curation {
       wTtr: Double = 1.2, wStop: Double = 2.0): DataFrame = {
     val docs = documents.repartition(
       documents.sparkSession.sparkContext.defaultParallelism)
-    val toks = tokens(col("text"))
-    val d = (c: org.apache.spark.sql.Column) => c.cast(DoubleType)
-    val n = size(toks)
-    val fLen = log(lit(1.0) + d(n))
-    // mean token length from exact ints: (chars − spaces) / tokens
-    val fAvg = (d(length(col("text"))) - d(n - 1)) / d(n)
-    val fTtr = d(size(array_distinct(toks))) / d(n)
-    val enStop = TextAnalysis.stopwords.toMap.apply("en")
-    val fStop = d(graft.functions.vocabHits(toks, enStop)) / d(n)
-    val z = lit(w0) + lit(wLen) * fLen + lit(wAvgTok) * fAvg +
-      lit(wTtr) * fTtr + lit(wStop) * fStop
+    val z = qualityLogit(col("text"), w0, wLen, wAvgTok, wTtr, wStop)
     docs.select(
       col("doc_id"),
       round(lit(1.0) / (lit(1.0) + exp(-z)), 6).as("quality"),
       (lit(1.0) / (lit(1.0) + exp(-z)) >= 0.5).as("keep"))
+  }
+
+  /** The LR quality logit as a scalar Column — shared by
+    * [[qualityScoreRaw]] and the streaming reweight monitor so both
+    * compute the IDENTICAL per-row expression tree. */
+  private[graft] def qualityLogit(
+      text: Column,
+      w0: Double = -3.0, wLen: Double = 0.6, wAvgTok: Double = 0.25,
+      wTtr: Double = 1.2, wStop: Double = 2.0): Column = {
+    val toks = tokens(text)
+    val d = (c: org.apache.spark.sql.Column) => c.cast(DoubleType)
+    val n = size(toks)
+    val fLen = log(lit(1.0) + d(n))
+    // mean token length from exact ints: (chars − spaces) / tokens
+    val fAvg = (d(length(text)) - d(n - 1)) / d(n)
+    val fTtr = d(size(array_distinct(toks))) / d(n)
+    val enStop = TextAnalysis.stopwords.toMap.apply("en")
+    val fStop = d(graft.functions.vocabHits(toks, enStop)) / d(n)
+    lit(w0) + lit(wLen) * fLen + lit(wAvgTok) * fAvg +
+      lit(wTtr) * fTtr + lit(wStop) * fStop
   }
 
   /** Fused (doc_id, quality, kept) projection — ONE per-row pass that

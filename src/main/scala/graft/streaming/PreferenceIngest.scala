@@ -38,8 +38,9 @@ object PreferenceIngest {
   private val StreamShuffleWidth = sys.env.getOrElse("GRAFT_STREAM_SHUFFLE", "8")
 
   /** Replay the documents table as `nBatches` doc_id-striped parquet
-    * files (memoized per (data dir, nBatches)). */
-  private def stagedDocs(spark: SparkSession, dir: String, nBatches: Int): java.io.File =
+    * files (memoized per (data dir, nBatches)); shared with
+    * [[MixtureStream]]. */
+  private[streaming] def stagedDocs(spark: SparkSession, dir: String, nBatches: Int): java.io.File =
     Staging.dir(s"docs-preference-$nBatches", dir) { d =>
       val docs = Tables.documents(spark, dir)
       (0 until nBatches).foreach { i =>

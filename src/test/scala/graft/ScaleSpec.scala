@@ -459,6 +459,20 @@ class ScaleSpec extends AnyFunSuite with SparkSpec {
     assert(got.map(key).toSeq == batch.map(key).toSeq)
   }
 
+  test("streaming mixture-reweight monitor: streamed EG weights equal the batch fold, any split") {
+    // 4 batches (different split from the contract query's 3); decimal
+    // state parity asserted in-plan inside the run
+    val got = graft.streaming.MixtureStream
+      .runStreamMixtureReweight(spark, sf, nBatches = 4).collect()
+    assert(got.nonEmpty && got.forall(_.getAs[Boolean]("parity_ok")))
+    val batch = graft.operators.Curation
+      .mixtureReweight(spark, Tables.documents(spark, sf)).collect()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[String]("source"), r.getAs[Long]("n_docs"),
+        r.getAs[Double]("avg_quality"), r.getAs[Double]("weight"))
+    assert(got.map(key).toSeq == batch.map(key).toSeq)
+  }
+
   test("streaming SCD2 ingest: incremental merge equals one-shot scdType2 over the whole input") {
     // date-striped batches close open intervals / append versions; closed
     // history immutable; parity asserted row-for-row inside the run
