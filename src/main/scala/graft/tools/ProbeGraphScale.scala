@@ -1,0 +1,84 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Clustering, Graph, IvfIndex}
+
+/** Round-14 scale measurement for the community family (LPA +
+  * mutual-best Louvain refinement): every round is one keyed join of
+  * the undirected edge table against the slim label vector plus one
+  * keyed integer argmax, so cost should track the EDGE COUNT — which in
+  * the paper regime (cell count grown with the corpus, the ProbeScale
+  * semdedup row) grows ~linearly with the data, not quadratically.
+  *
+  * Measured end-to-end on the 10× rotated-replica corpus: pair
+  * generation (nLists 8 → 80, the grown-k regime), 3 LPA rounds,
+  * 3 refinement rounds, and both exact modularity folds — the
+  * q_louvain_rounds operator chain minus its oracle. The printed edge
+  * counts are the claimed cost driver; the wall ratio should sit in
+  * the ~2-3× class of the other linear families, not 10-100×. */
+object ProbeGraphScale {
+
+  private val Off = 10000000000L
+  private val Reps = 10
+
+  def main(args: Array[String]): Unit = {
+    val base = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val tenDir = if (args.length > 1) args(1) else "/tmp/graft-ingest10x/corpus10x"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if (!new java.io.File(s"$tenDir/embeddings.parquet").exists()) {
+      val dim = 64
+      val reps = explode(typedLit((0 until Reps).toArray)).as("__r")
+      spark.read.parquet(s"$base/embeddings.parquet")
+        .select(col("*"), reps)
+        .select(
+          (col("vec_id") + col("__r") * Off).as("vec_id"),
+          concat(slice(col("embedding"), col("__r") + 1, lit(dim) - col("__r")),
+            slice(col("embedding"), lit(1), col("__r"))).as("embedding"),
+          col("label"))
+        .write.mode("overwrite").parquet(s"$tenDir/embeddings.parquet")
+    }
+
+    def side(tag: String, dir: String, nLists: Int): Double = {
+      val emb = graft.sources.Tables.embeddings(spark, dir)
+      val n = emb.count()
+      def once(): (Long, Long, Double, Double) = {
+        val t0 = System.nanoTime()
+        // grown-k pair generation (the ProbeScale semdedup regime)
+        val edges = IvfIndex
+          .semDedupPairs(spark, emb, nLists = nLists,
+            tau = Clustering.SemDedupTau, assignTo = 2)
+          .select(col("vec_a").as("a"), col("vec_b").as("b"))
+          .localCheckpoint(false)
+        val nodes = Clustering.cleanVectors(emb).select(col("vec_id").as("v"))
+        val lpa = Graph.labelPropagation(nodes, edges, iters = 3)
+          .localCheckpoint(false)
+        val refined = Graph.refineCommunitiesRounds(lpa, edges, rounds = 3)
+        val m = edges.count()
+        val q = Graph.modularity(refined, edges).collect()(0)
+        val wall = (System.nanoTime() - t0) / 1e9
+        (m, q.getAs[Long]("q_num"), q.getAs[Double]("modularity"), wall)
+      }
+      val runs = (1 to 2).map(_ => once())
+      val (m, _, q, _) = runs.head
+      val wall = runs.map(_._4).min
+      println(f"$tag%-4s n=$n%6d nLists=$nLists%3d edges=$m%8d refined Q=$q%8.6f  wall(min2)=$wall%7.2f s")
+      wall
+    }
+
+    val w1 = side("1x", base, 8)
+    val w10 = side("10x", tenDir, 80)
+    println(f"community-family exponent t(10x)/t(1x) = ${w10 / w1}%.2f")
+    spark.stop()
+  }
+}
