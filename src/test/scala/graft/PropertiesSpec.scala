@@ -86,6 +86,35 @@ class PropertiesSpec extends AnyFunSuite with SparkSpec {
     assert(Dedup.dropDuplicatesByKey(once, Seq("k")).count() == once.count())
   }
 
+  test("refineCommunities never decreases the exact Q numerator; merges form a coarsening") {
+    // 8 random graphs (one Spark pass each): Q_num(refined) >= Q_num(in)
+    // must hold for ANY labeling — the mutual-best matching only applies
+    // strictly-positive exact gains — and the refined labeling must be a
+    // COARSENING (each input community maps to exactly one output label).
+    val n = 14
+    val graphs = sample(Gen.listOfN(8,
+      Gen.listOfN(24, Gen.zip(Gen.choose(0, n - 1), Gen.choose(0, n - 1)))))
+    graphs.zipWithIndex.foreach { case (raw, gi) =>
+      val edges = raw.collect { case (a, b) if a != b =>
+        (math.min(a, b).toLong, math.max(a, b).toLong) }.distinct
+        .toDF("a", "b")
+      // labeling: singleton communities (the adversarial start — every
+      // positive-gain structure is still unmerged)
+      val labels = (0 until n).map(i => (i.toLong, i.toLong)).toDF("v", "lbl")
+      val refined = graft.operators.Graph.refineCommunities(labels, edges)
+        .localCheckpoint(false) // modularity + coarsening both consume it
+      val qIn = graft.operators.Graph.modularity(labels, edges)
+        .collect()(0).getAs[Long]("q_num")
+      val qOut = graft.operators.Graph.modularity(refined, edges)
+        .collect()(0).getAs[Long]("q_num")
+      assert(qOut >= qIn, s"graph $gi: refinement decreased Q_num $qIn -> $qOut")
+      // coarsening: each input label lands on exactly one refined label
+      val m = refined.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val byInput = (0 until n).groupBy(i => i.toLong) // singleton input labels
+      assert(byInput.forall { case (lbl, vs) => vs.map(v => m(v.toLong)).distinct.size == 1 })
+    }
+  }
+
   test("connectedComponents matches union-find on random graphs") {
     val n = 30
     val raw = sample(Gen.listOfN(50, Gen.zip(Gen.choose(0, n - 1), Gen.choose(0, n - 1))))
