@@ -1064,8 +1064,10 @@ object SparkEntry {
       val emb = Tables.embeddings(s, d)
       val isNew = col("vec_id") % 5 === 0
       val old = emb.filter(!isNew)
+      val nOld = old.count() // one corpus count feeds both the tier rule and the sampler
       val idx0 = Pq.buildIvfPq(s, old, dims = 64,
-        nLists = graft.operators.IvfIndex.autoNLists(old.count()), m = 16, ksub = 64)
+        nLists = graft.operators.IvfIndex.autoNLists(nOld), m = 16, ksub = 64,
+        knownTotal = Some(nOld))
       val idx = Pq.addToIvfPq(idx0, emb.filter(isNew))
       val q = emb.filter(col("vec_id") < 32)
       val exact = Similarity.bruteForceKnn(q, emb, k = 5)

@@ -132,7 +132,10 @@ object Curation {
     * per-epoch value decay of 1/2: m(E) = 2 − 2^(1−E), so E = 1..4 ⇒
     * ×{1, 1.5, 1.75, 1.875} — DYADIC multipliers, hence double-EXACT,
     * no transcendental anywhere (δ = 1/2 is the fixture; the paper fits
-    * δ from loss curves — the allocator is the operator).
+    * δ from loss curves — the allocator is the operator). Pricing is
+    * CONTINUOUS in the request: full epochs at m(e), the funded
+    * fraction of the last epoch at its marginal value 2^(−e) — a
+    * request never pays for tokens it didn't fund, so utilization ≤ 1.
     *
     * Scale shape: one corpus-scale (source, text) dedup aggregation +
     * one per-source re-agg; the allocation folds driver-side over the
@@ -173,7 +176,20 @@ object Curation {
       val epochs =
         if (u == 0L) 1
         else math.min(maxEpochs.toLong, math.max(1L, (request + u - 1) / u)).toInt
-      val effective = u.toDouble * mult(epochs) // dyadic ⇒ exact
+      // continuous-epoch pricing: eFull funded full epochs at m(eFull)
+      // (m(0)=0 from the same formula), plus the funded FRACTION of
+      // epoch eFull+1 at that epoch's marginal value 2^(−eFull) — the
+      // paper's decay curve integrated over the request, not rounded up
+      // to whole epochs. Tokens past the maxEpochs cap buy nothing, so
+      // utilization never exceeds 1. Both terms are dyadic × integer ⇒
+      // double-exact; no rounding until the one utilization ratio.
+      val effective =
+        if (u == 0L) 0.0
+        else {
+          val eFull = math.min(maxEpochs.toLong, request / u).toInt
+          val partial = if (eFull >= maxEpochs) 0L else request - eFull * u
+          u.toDouble * mult(eFull) + partial.toDouble * math.pow(2.0, -eFull)
+        }
       val utilization =
         if (request > 0) r6(effective / request.toDouble) else null
       org.apache.spark.sql.Row(src, u, tot, w, request, epochs, effective,
@@ -199,9 +215,16 @@ object Curation {
       budgetPct: Int = 200, maxEpochs: Int = 4): String = {
     val wRows = weights.toSeq.sortBy(_._1)
       .map { case (s, w) => s"('$s', CAST($w AS BIGINT))" }.mkString(", ")
-    val multCase = "CASE e.epochs " + (1 to maxEpochs).map(e =>
+    // full-epoch multiplier m(e_full) and the marginal value 2^(−e_full)
+    // of the partial epoch, both generated from the same Scala formulas
+    val multCase = "CASE f.e_full " + (0 to maxEpochs).map(e =>
       s"WHEN $e THEN CAST(${2.0 - math.pow(2.0, 1 - e)} AS DOUBLE)").mkString(" ") +
       " END"
+    val margCase = "CASE f.e_full " + (0 until maxEpochs).map(e =>
+      s"WHEN $e THEN CAST(${math.pow(2.0, -e)} AS DOUBLE)").mkString(" ") +
+      " ELSE CAST(0.0 AS DOUBLE) END"
+    val effExpr = s"(CASE WHEN f.u = 0 THEN CAST(0.0 AS DOUBLE) ELSE " +
+      s"CAST(f.u AS DOUBLE) * $multCase + CAST(f.partial AS DOUBLE) * $margCase END)"
     s"""WITH pt AS (
        |  SELECT source, text,
        |         CAST(max(len(string_split(text, ' '))) AS BIGINT) AS n_toks,
@@ -221,16 +244,23 @@ object Curation {
        |e AS (SELECT a.*,
        |             CAST(CASE WHEN a.u = 0 THEN 1
        |                  ELSE least($maxEpochs, greatest(1, (a.request + a.u - 1) // a.u))
-       |                  END AS INT) AS epochs
-       |      FROM a)
-       |SELECT e.source AS source, e.u AS unique_tokens, e.tot AS total_tokens,
-       |       e.w AS weight, CAST(e.request AS BIGINT) AS request_tokens,
-       |       e.epochs AS epochs,
-       |       CAST(e.u AS DOUBLE) * $multCase AS effective_tokens,
-       |       CASE WHEN e.request > 0
-       |            THEN round(CAST(e.u AS DOUBLE) * $multCase / CAST(e.request AS DOUBLE), 6)
+       |                  END AS INT) AS epochs,
+       |             CASE WHEN a.u = 0 THEN CAST(0 AS BIGINT)
+       |                  ELSE least(CAST($maxEpochs AS BIGINT), a.request // a.u)
+       |                  END AS e_full
+       |      FROM a),
+       |f AS (SELECT e.*,
+       |             CASE WHEN e.u = 0 OR e.e_full >= $maxEpochs THEN CAST(0 AS BIGINT)
+       |                  ELSE e.request - e.e_full * e.u END AS partial
+       |      FROM e)
+       |SELECT f.source AS source, f.u AS unique_tokens, f.tot AS total_tokens,
+       |       f.w AS weight, CAST(f.request AS BIGINT) AS request_tokens,
+       |       f.epochs AS epochs,
+       |       $effExpr AS effective_tokens,
+       |       CASE WHEN f.request > 0
+       |            THEN round($effExpr / CAST(f.request AS DOUBLE), 6)
        |            END AS utilization
-       |FROM e ORDER BY source""".stripMargin
+       |FROM f ORDER BY source""".stripMargin
   }
 
   /** The corpus's source domain — a fixed 20-name vocabulary on the
@@ -290,14 +320,20 @@ object Curation {
     * streaming monitor: `perSrc` is the source-sorted (source, n_docs,
     * avg_quality) summary — model-sized — and every float op runs in
     * the same fixed order on both callers, so streamed ≡ batch is
-    * bitwise. */
+    * bitwise. Sources in the fixed vocabulary but absent from the slice
+    * zero-fill (n_docs=0, avg_quality=0.0 ⇒ excess 1.0 — an absent
+    * source looks maximally under-served, the EG-natural reading);
+    * names outside the vocabulary have no weight slot and are dropped
+    * (they never enter the mixture). On the verify corpora all sources
+    * are present, so the aligned path is byte-identical to the strict
+    * one there. */
   private[graft] def egReweightTable(
       spark: org.apache.spark.sql.SparkSession,
-      perSrc: IndexedSeq[(String, Long, Double)],
+      perSrcRaw: IndexedSeq[(String, Long, Double)],
       eta: Double, iters: Int, sources: IndexedSeq[String]): DataFrame = {
     import org.apache.spark.sql.types._
-    require(perSrc.map(_._1) == sources,
-      s"egReweightTable: source domain moved — got ${perSrc.map(_._1)}")
+    val bySrc = perSrcRaw.iterator.map(t => t._1 -> t).toMap
+    val perSrc = sources.map(s => bySrc.getOrElse(s, (s, 0L, 0.0)))
     val excess = perSrc.map { case (_, _, q) => r6(1.0 - q) }
     var w = Array.fill(sources.length)(r6(1.0 / sources.length))
     for (_ <- 1 to iters) {

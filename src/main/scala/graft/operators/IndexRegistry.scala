@@ -126,9 +126,10 @@ object IndexRegistry {
   private def stageIvfPq(
       spark: SparkSession, dir: String, tag: String,
       corpus: DataFrame, auto: Boolean = false): Pq.IvfPqIndex = {
-    val nl = if (auto) IvfIndex.autoNLists(
-      corpus.select(col("vec_id")).count()) else 16
-    val built = Pq.buildIvfPq(spark, corpus, dims = 64, nLists = nl, m = 16, ksub = 64)
+    val n = if (auto) Some(corpus.select(col("vec_id")).count()) else None
+    val nl = n.map(IvfIndex.autoNLists(_)).getOrElse(16)
+    val built = Pq.buildIvfPq(spark, corpus, dims = 64, nLists = nl, m = 16,
+      ksub = 64, knownTotal = n)
     val d = Staging.dir(s"idx-$tag", dir) { f =>
       built.encoded.write.partitionBy("cell_id")
         .parquet(new java.io.File(f, "encoded").toString)

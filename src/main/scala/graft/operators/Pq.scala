@@ -192,16 +192,19 @@ object Pq {
       seed: Long = 42L,
       trainCap: Int = 16384,
       maxIter: Int = 10,
-      tol: Double = 1e-4): IvfPqIndex = {
+      tol: Double = 1e-4,
+      knownTotal: Option[Long] = None): IvfPqIndex = {
     require(m >= 1 && dims % m == 0, s"buildIvfPq: m=$m must divide dims=$dims")
     val dsub = dims / m
 
     // ONE bounded hash-sample pass feeds both trainings: coarse k-means,
     // then per-subspace residual codebooks (driver-side nearest-cell
     // assignment of the sample is trainCap × nLists × dims flops —
-    // independent of corpus size)
+    // independent of corpus size). Callers that already counted the
+    // corpus (e.g. for autoNLists) pass knownTotal to skip the rescan —
+    // the IvfIndex.buildAuto convention.
     val base = embeddings.select(col("vec_id"), col("embedding"))
-    val total = base.count()
+    val total = knownTotal.getOrElse(base.count())
     val picked =
       if (total <= trainCap) base
       else {

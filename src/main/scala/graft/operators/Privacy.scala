@@ -126,9 +126,13 @@ object Privacy {
         col("n_total"), col("v"))
       .agg(sum(abs(col("prefix"))).as("emd_num"))
       .select(col("nation"), col("segment"), col("n_class").as("class_size"),
-        round(col("emd_num").cast("double") /
-          (col("n_class") * col("n_total") * (col("v") - lit(1L))).cast("double"),
-          6).as("t_dist"))
+        // v = 1 ⇒ every class distribution trivially equals the global
+        // (single-value domain): define t_dist = 0 rather than divide
+        // by (v−1) = 0
+        when(col("v") > 1L,
+          round(col("emd_num").cast("double") /
+            (col("n_class") * col("n_total") * (col("v") - lit(1L))).cast("double"),
+            6)).otherwise(lit(0.0)).as("t_dist"))
       .withColumn("meets_t", col("t_dist") <= t)
       .orderBy(col("nation"), col("segment"))
   }
@@ -165,10 +169,12 @@ object Privacy {
        |         CAST(sum(abs(prefix)) AS BIGINT) AS emd_num
        |  FROM pre GROUP BY 1, 2, 3, 4, 5)
        |SELECT nation, segment, n_class AS class_size,
-       |       round(CAST(emd_num AS DOUBLE) /
-       |             CAST(n_class * n_total * (v - 1) AS DOUBLE), 6) AS t_dist,
-       |       (round(CAST(emd_num AS DOUBLE) /
+       |       CASE WHEN v > 1 THEN round(CAST(emd_num AS DOUBLE) /
+       |             CAST(n_class * n_total * (v - 1) AS DOUBLE), 6)
+       |            ELSE CAST(0.0 AS DOUBLE) END AS t_dist,
+       |       (CASE WHEN v > 1 THEN round(CAST(emd_num AS DOUBLE) /
        |              CAST(n_class * n_total * (v - 1) AS DOUBLE), 6)
+       |             ELSE CAST(0.0 AS DOUBLE) END
        |          <= CAST($t AS DOUBLE)) AS meets_t${
             if (parityCol) ",\n       true AS parity_ok" else ""}
        |FROM emd ORDER BY nation, segment""".stripMargin

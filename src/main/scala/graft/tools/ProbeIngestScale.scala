@@ -62,16 +62,21 @@ object ProbeIngestScale {
       StructField("nrm", DoubleType), StructField("cl", IntegerType)))
 
     // ---- 10x corpus (ProbeScale's rotation synthesis, idempotent) -----
+    // Same if-absent guard as ProbeAutoNLists/ProbeGraphScale: the three
+    // probes share this substrate path, so a rerun must not silently
+    // re-synthesize it under the others.
     val tenDir = s"$work/corpus10x"
-    val reps = explode(typedLit((0 until Reps).toArray)).as("__r")
-    spark.read.parquet(s"$base/embeddings.parquet")
-      .select(col("*"), reps)
-      .select(
-        (col("vec_id") + col("__r") * Off).as("vec_id"),
-        concat(slice(col("embedding"), col("__r") + 1, lit(dim) - col("__r")),
-          slice(col("embedding"), lit(1), col("__r"))).as("embedding"),
-        col("label"))
-      .write.mode("overwrite").parquet(s"$tenDir/embeddings.parquet")
+    if (!new java.io.File(s"$tenDir/embeddings.parquet").exists()) {
+      val reps = explode(typedLit((0 until Reps).toArray)).as("__r")
+      spark.read.parquet(s"$base/embeddings.parquet")
+        .select(col("*"), reps)
+        .select(
+          (col("vec_id") + col("__r") * Off).as("vec_id"),
+          concat(slice(col("embedding"), col("__r") + 1, lit(dim) - col("__r")),
+            slice(col("embedding"), lit(1), col("__r"))).as("embedding"),
+          col("label"))
+        .write.mode("overwrite").parquet(s"$tenDir/embeddings.parquet")
+    }
 
     // ---- the trigger: 8 vectors, fresh ids, same on both sides --------
     val batch = spark.read.parquet(s"$base/embeddings.parquet")

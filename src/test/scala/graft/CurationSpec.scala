@@ -480,6 +480,20 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
       .collect().map(r => r.getAs[String]("source") -> r).toMap
     assert(capped("b").getAs[Int]("epochs") == 4 &&
       capped("b").getAs[Double]("effective_tokens") == 18.75)
+    // fractional final epoch: B = 50, requests 12 / 37. a funds 1 full
+    // epoch + 2 tokens of epoch 2 at marginal 1/2 ⇒ 11.0; b funds 3 full
+    // epochs + 7 tokens of epoch 4 at marginal 1/8 ⇒ 18.375. Both ≤ 1
+    // utilization — the request never pays for unfunded tokens.
+    val frac = C.repeatEpochs(docs, Map("a" -> 1L, "b" -> 3L), budgetPct = 250)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    assert(frac("a").getAs[Long]("request_tokens") == 12L &&
+      frac("a").getAs[Int]("epochs") == 2 &&
+      frac("a").getAs[Double]("effective_tokens") == 11.0 &&
+      frac("a").getAs[Double]("utilization") == 0.916667)
+    assert(frac("b").getAs[Long]("request_tokens") == 37L &&
+      frac("b").getAs[Int]("epochs") == 4 &&
+      frac("b").getAs[Double]("effective_tokens") == 18.375 &&
+      frac("b").getAs[Double]("utilization") == 0.496622)
   }
 
   test("qualityKeptRaw is row-identical to qualityScoreRaw ⋈ curationAuditRaw (fused = joined)") {
