@@ -58,6 +58,37 @@ object IvfIndex {
     s"(CASE $arms ELSE ${candidates.max} END)"
   }
 
+  /** Auto-nProbe — the SEARCH-side companion of [[autoNLists]]: probe
+    * `min(nLists, 2·⌈√nLists⌉)` cells. With the build rule pinning cell
+    * occupancy near [[AutoNListsOccupancy]], per-query probe cost is
+    * occupancy·nProbe ∝ √n — sublinear in the corpus. The two wrong
+    * regimes this rule sits between: a probe count PROPORTIONAL to
+    * nLists is a disguised linear scan (cost ∝ n), and a PINNED count
+    * lets recall decay as the neighbor mass spreads over ever more
+    * cells (and at small tiers it silently probes EVERYTHING, making
+    * recall floors vacuous as capacity evidence). On the candidate
+    * tiers: 4→4 (exhaustive at the tiny tier — unavoidable), 8→6,
+    * 16→8 (the family's long-measured operating point: recall
+    * 0.81–0.84 on uniform-random data), 32→12, 64→16, 128→24. IEEE
+    * sqrt is correctly rounded, so the rule is deterministic and the
+    * DuckDB oracle replays the composed count→nLists→nProbe rule via
+    * [[autoNProbeCaseSql]]. */
+  def autoNProbe(nLists: Int): Int = {
+    require(nLists >= 1, s"autoNProbe: nLists >= 1, got $nLists")
+    math.min(nLists, 2 * math.ceil(math.sqrt(nLists.toDouble)).toInt)
+  }
+
+  /** The composed [[autoNLists]] ∘ [[autoNProbe]] rule as a SQL CASE
+    * over `countExpr` — generated from the SAME constants, so operator
+    * and oracle cannot desynchronize. */
+  def autoNProbeCaseSql(countExpr: String,
+      candidates: Seq[Int] = AutoNListsCandidates,
+      occupancy: Long = AutoNListsOccupancy): String = {
+    val arms = candidates.init.map(nl =>
+      s"WHEN $countExpr <= ${occupancy * nl} THEN ${autoNProbe(nl)}").mkString(" ")
+    s"(CASE $arms ELSE ${autoNProbe(candidates.max)} END)"
+  }
+
   /** [[build]] with the list count picked by the [[autoNLists]]
     * capacity rule from the corpus count — the index face a
     * continuously-growing deployment calls, so re-training at a larger

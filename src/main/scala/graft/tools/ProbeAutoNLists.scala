@@ -54,18 +54,40 @@ object ProbeAutoNLists {
       val emb = graft.sources.Tables.embeddings(spark, dir)
       val n = emb.count()
       val nl = IvfIndex.autoNLists(n)
+      val np = IvfIndex.autoNProbe(nl)
       // build + materialize UNTIMED: the at-rest index posture
-      val built = Pq.buildIvfPq(spark, emb, dims = 64, nLists = nl, m = 16, ksub = 64)
+      val built = Pq.buildIvfPq(spark, emb, dims = 64, nLists = nl, m = 16,
+        ksub = 64, knownTotal = Some(n))
       val idx = Pq.IvfPqIndex(
         built.encoded.localCheckpoint(true), built.ivfCents, built.cb)
       val labels = emb.select(col("vec_id"), col("label"))
       def once(): Double = {
         val t0 = System.nanoTime()
-        Pq.hardNegativesIvfPq(idx, labels, emb, k = 3, nProbe = 8).count()
+        Pq.hardNegativesIvfPq(idx, labels, emb, k = 3, nProbe = np).count()
         (System.nanoTime() - t0) / 1e9
       }
       val wall = Seq(once(), once()).min
-      println(f"$tag%-4s n=$n%6d auto nLists=$nl%3d occ=${n / nl}%4d  mining wall(min2)=$wall%7.2f s")
+      // recall@3 at the RULED nProbe vs the exact twin, on a bounded
+      // 64-query hash sample — the search-side capacity evidence: at 1x
+      // the rule probes 8/16, at 10x 24/128 (non-exhaustive on BOTH
+      // sides), so a held recall here is real, not the probe-everything
+      // limit. The exact twin is |Qs|·n — bounded by the sample.
+      val qs = emb.filter(pmod(xxhash64(col("vec_id")), lit(1000L)) < 32)
+        .localCheckpoint(true)
+      val nQ = qs.count()
+      val exact = graft.operators.Similarity.bruteForceKnn(qs, emb, k = 3)
+        .select(col("query_id"), col("neighbor_id")).localCheckpoint(true)
+      def recallAt(np_ : Int): Double = {
+        val appr = Pq.ivfPqSearch(idx, qs, k = 3, nProbe = np_)
+          .select(col("query_id"), col("neighbor_id")).withColumn("hit", lit(1L))
+        exact.join(appr, Seq("query_id", "neighbor_id"), "left")
+          .agg((sum(coalesce(col("hit"), lit(0L))).cast("double") / count(lit(1)))
+            .as("recall")).collect()(0).getDouble(0)
+      }
+      val rec = recallAt(np)
+      val rec8 = recallAt(math.min(8, nl)) // the retired pinned count, for the table
+      println(f"$tag%-4s n=$n%6d auto nLists=$nl%3d occ=${n / nl}%4d nProbe=$np%3d  " +
+        f"mining wall(min2)=$wall%7.2f s  recall@3(|Q|=$nQ%3d)=$rec%.3f  recall@3(pinned 8)=$rec8%.3f")
       wall
     }
 
