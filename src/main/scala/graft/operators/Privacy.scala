@@ -273,4 +273,110 @@ object Privacy {
       .drop("qualifies")
       .orderBy(col("level"))
   }
+
+  /** The accountant's fixtures, shared with the generated oracle: the
+    * total ε budget a release campaign may spend, and the δ at which
+    * the zCDP bound is converted back to (ε, δ)-DP. */
+  val DefaultEpsBudget: Double = 2.0
+  val DefaultDeltaTarget: Double = 1e-6
+
+  /** The release ledger the accountant runs over: one Laplace release
+    * per (nation, segment) class histogram — the [[dpRelease]] family
+    * at per-segment granularity — with a deterministic per-release ε in
+    * INTEGER MICRO-UNITS (ε_micro = 100000 + 50000·((nation +
+    * len(segment)) mod 4), i.e. ε ∈ {0.10, 0.15, 0.20, 0.25}): releases
+    * of bigger/noisier classes spend different budget, and the varied ε
+    * exercises HETEROGENEOUS composition. Laplace ⇒ every per-release
+    * δ_i = 0. Ledger size = distinct (nation, segment) — release-log-
+    * sized, never data-sized. */
+  def dpAccountantLedger(customer: DataFrame): DataFrame =
+    customer
+      .select(col("c_nationkey").as("nation"), col("c_mktsegment").as("segment"))
+      .distinct()
+      .select(col("nation"), col("segment"),
+        (lit(100000L) + lit(50000L) *
+          pmod(col("nation") + length(col("segment")), lit(4))).cast("long")
+          .as("eps_micro"))
+
+  /** (ε, δ) composition accountant over a release ledger — the budget
+    * meter a DP release campaign runs: after each release, how much ε
+    * is spent under (a) BASIC composition (ε adds up — Dwork & Roth
+    * 2014, Thm 3.16) and (b) zCDP composition (Bun & Steinke 2016): an
+    * ε-DP mechanism is (ε²/2)-zCDP, zCDP adds up, and ρ-zCDP converts
+    * back to (ρ + 2·√(ρ·ln(1/δ)), δ)-DP at the target δ. Basic is
+    * tighter for few releases; the √k zCDP bound overtakes it past
+    * k ≈ 2·ln(1/δ)/(1 − ε/2)² releases (≈ 33 at the ledger's mean
+    * ε ≈ 0.175, δ = 1e-6) — the accountant reports both, spends the
+    * MINIMUM (both bounds are valid simultaneously), and flags each
+    * release against the budget. The planted over-budget behavior on
+    * the shipped ledger: ~125 releases at ε ∈ [0.1, 0.25] cross the
+    * 2.0 budget near release 12, so `within_budget` flips true→false
+    * mid-table, and the zCDP column overtakes basic in the tail — both
+    * regimes visible in one run.
+    *
+    * Exactness: ε in integer micro-units makes every prefix sum exact
+    * BIGINT arithmetic (Σε and Σε² in micro²-units); the only float
+    * work is the final conversion — one division, one √ (correctly
+    * rounded IEEE in both engines), ln(1/δ) interpolated as a shared
+    * literal — so the oracle replays hash-exactly, the Wilson/Laplace
+    * precedent. Scale shape: the ledger is release-log-sized (bounded
+    * by the release campaign, not the corpus), so the single-partition
+    * ordered prefix window is bounded work — the waterfill posture. */
+  def dpAccountant(ledger: DataFrame,
+      epsBudget: Double = DefaultEpsBudget,
+      deltaTarget: Double = DefaultDeltaTarget): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lnInvDelta = math.log(1.0 / deltaTarget)
+    val w = Window.orderBy(col("nation"), col("segment"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val rhoD = col("s2").cast("double") / 2.0e12 // Σ(ε_micro²)/2 in ε²-units
+    val epsBasic = round(col("sb").cast("double") / 1.0e6, 6)
+    val epsZcdp = round(rhoD + lit(2.0) * sqrt(rhoD * lit(lnInvDelta)), 6)
+    val epsSpent = least(epsBasic, epsZcdp)
+    ledger
+      .withColumn("n_releases", count(lit(1)).over(w))
+      .withColumn("sb", sum(col("eps_micro")).over(w))
+      .withColumn("s2", sum(col("eps_micro") * col("eps_micro")).over(w))
+      .select(
+        col("nation"), col("segment"),
+        round(col("eps_micro").cast("double") / 1.0e6, 6).as("eps"),
+        col("n_releases"),
+        epsBasic.as("eps_basic"),
+        epsZcdp.as("eps_zcdp"),
+        epsSpent.as("eps_spent"),
+        (epsSpent <= lit(epsBudget)).as("within_budget"))
+      .orderBy(col("nation"), col("segment"))
+  }
+
+  /** DuckDB oracle for [[dpAccountant]] over [[dpAccountantLedger]] —
+    * the same integer prefix chain with ln(1/δ) and the budget
+    * interpolated from the same constants. */
+  def dpAccountantSql(epsBudget: Double = DefaultEpsBudget,
+      deltaTarget: Double = DefaultDeltaTarget): String = {
+    val l = math.log(1.0 / deltaTarget)
+    val rhoD = "(CAST(s2 AS DOUBLE) / CAST(2000000000000.0 AS DOUBLE))"
+    val epsBasic = "round(CAST(sb AS DOUBLE) / CAST(1000000.0 AS DOUBLE), 6)"
+    val epsZcdp = s"round($rhoD + CAST(2.0 AS DOUBLE) * sqrt($rhoD * CAST($l AS DOUBLE)), 6)"
+    s"""WITH led AS (
+       |  SELECT c_nationkey AS nation, c_mktsegment AS segment,
+       |         CAST(100000 + 50000 * ((c_nationkey + length(c_mktsegment)) % 4) AS BIGINT)
+       |           AS eps_micro
+       |  FROM customer GROUP BY 1, 2),
+       |pre AS (
+       |  SELECT nation, segment, eps_micro,
+       |         CAST(count(*) OVER w AS BIGINT) AS n_releases,
+       |         CAST(sum(eps_micro) OVER w AS BIGINT) AS sb,
+       |         CAST(sum(eps_micro * eps_micro) OVER w AS BIGINT) AS s2
+       |  FROM led
+       |  WINDOW w AS (ORDER BY nation, segment
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+       |SELECT nation, segment,
+       |       round(CAST(eps_micro AS DOUBLE) / CAST(1000000.0 AS DOUBLE), 6) AS eps,
+       |       n_releases,
+       |       $epsBasic AS eps_basic,
+       |       $epsZcdp AS eps_zcdp,
+       |       least($epsBasic, $epsZcdp) AS eps_spent,
+       |       (least($epsBasic, $epsZcdp) <= CAST($epsBudget AS DOUBLE)) AS within_budget
+       |FROM pre ORDER BY nation, segment""".stripMargin
+  }
 }
