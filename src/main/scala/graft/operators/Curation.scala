@@ -209,22 +209,29 @@ object Curation {
       .orderBy(col("source"))
   }
 
+  /** The continuous-epoch effective-tokens expression over alias `a`
+    * (expects columns `u`, `e_full`, `partial`): the full-epoch
+    * multiplier m(e_full) and the marginal value 2^(−e_full) of the
+    * partial epoch as CASEs generated from the same Scala formulas —
+    * shared by [[repeatEpochsSql]] and [[mixturePlanSql]]. */
+  private def epochEffExpr(a: String, maxEpochs: Int): String = {
+    val multCase = s"CASE $a.e_full " + (0 to maxEpochs).map(e =>
+      s"WHEN $e THEN CAST(${2.0 - math.pow(2.0, 1 - e)} AS DOUBLE)").mkString(" ") +
+      " END"
+    val margCase = s"CASE $a.e_full " + (0 until maxEpochs).map(e =>
+      s"WHEN $e THEN CAST(${math.pow(2.0, -e)} AS DOUBLE)").mkString(" ") +
+      " ELSE CAST(0.0 AS DOUBLE) END"
+    s"(CASE WHEN $a.u = 0 THEN CAST(0.0 AS DOUBLE) ELSE " +
+      s"CAST($a.u AS DOUBLE) * $multCase + CAST($a.partial AS DOUBLE) * $margCase END)"
+  }
+
   /** DuckDB oracle for [[repeatEpochs]] — the same integer chain with
     * the dyadic multipliers generated from the same formula. */
   def repeatEpochsSql(weights: Map[String, Long],
       budgetPct: Int = 200, maxEpochs: Int = 4): String = {
     val wRows = weights.toSeq.sortBy(_._1)
       .map { case (s, w) => s"('$s', CAST($w AS BIGINT))" }.mkString(", ")
-    // full-epoch multiplier m(e_full) and the marginal value 2^(−e_full)
-    // of the partial epoch, both generated from the same Scala formulas
-    val multCase = "CASE f.e_full " + (0 to maxEpochs).map(e =>
-      s"WHEN $e THEN CAST(${2.0 - math.pow(2.0, 1 - e)} AS DOUBLE)").mkString(" ") +
-      " END"
-    val margCase = "CASE f.e_full " + (0 until maxEpochs).map(e =>
-      s"WHEN $e THEN CAST(${math.pow(2.0, -e)} AS DOUBLE)").mkString(" ") +
-      " ELSE CAST(0.0 AS DOUBLE) END"
-    val effExpr = s"(CASE WHEN f.u = 0 THEN CAST(0.0 AS DOUBLE) ELSE " +
-      s"CAST(f.u AS DOUBLE) * $multCase + CAST(f.partial AS DOUBLE) * $margCase END)"
+    val effExpr = epochEffExpr("f", maxEpochs)
     s"""WITH pt AS (
        |  SELECT source, text,
        |         CAST(max(len(string_split(text, ' '))) AS BIGINT) AS n_toks,
@@ -261,6 +268,150 @@ object Curation {
        |            THEN round($effExpr / CAST(f.request AS DOUBLE), 6)
        |            END AS utilization
        |FROM f ORDER BY source""".stripMargin
+  }
+
+  /** The end-to-end mixture PLAN — the composition a production run
+    * actually executes: [[mixtureReweight]] derives per-source weights
+    * from measured quality (EG on excess loss), [[repeatEpochs]] prices
+    * each source's proportional request in effective tokens under the
+    * repeat-decay curve, and [[mixtureWaterfill]] allocates a capped
+    * budget against per-source availability with overflow
+    * redistribution. One row per source carrying all three stages'
+    * outputs, plus four in-plan invariant booleans the chain must
+    * satisfy: the derived weights sum to 1 (6dp rounding slack), no
+    * request is priced above what it funded (utilization ≤ 1 — the
+    * continuous-pricing contract), no allocation exceeds availability,
+    * and the total allocation respects the waterfill budget (integer
+    * cross-multiplied, no division).
+    *
+    * Scale shape: each stage is one corpus-scale aggregation over the
+    * shared checkpointed (doc_id, text, source) projection (scanned
+    * once per stage — at 100 TB a caller persists the per-doc token
+    * counts instead); everything downstream is |sources|-row algebra.
+    * The weight handoff is a model-sized collect (the fixed vocabulary)
+    * quantized to integer micro-units — the same exact-integer contract
+    * the two allocators already require. */
+  def mixturePlan(
+      spark: org.apache.spark.sql.SparkSession,
+      documents: DataFrame,
+      epochsBudgetPct: Int = 200,
+      wfBudgetPct: Int = 90): DataFrame = {
+    val base = documents.select(col("doc_id"), col("text"), col("source"))
+      .localCheckpoint(false)
+    val rw = mixtureReweight(spark, base)
+    val wMap = rw.select(col("source"), col("weight")).collect() // |Sources| rows
+      .map(r => r.getString(0) -> math.round(r.getDouble(1) * 1e6)).toMap
+    val re = repeatEpochs(base, wMap, budgetPct = epochsBudgetPct)
+    val wf = mixtureWaterfill(base, wMap, budgetPct = wfBudgetPct)
+    val plan = rw.select(col("source"), col("weight"))
+      .join(re.select(col("source"), col("weight").as("w_micro"),
+        col("request_tokens"), col("epochs"), col("effective_tokens")), Seq("source"))
+      .join(wf.select(col("source"), col("avail_tokens"), col("alloc_tokens"),
+        col("saturated")), Seq("source"))
+      .localCheckpoint(false) // one barrier: plan rows + the invariant rollup
+    val inv = plan.agg(
+      (abs(sum(col("weight")) - lit(1.0)) <= lit(2.0e-5)).as("weights_sum_ok"),
+      (sum(when(col("effective_tokens") >
+        col("request_tokens").cast("double"), 1L).otherwise(0L)) === 0L)
+        .as("priced_within_request"),
+      (sum(when(col("alloc_tokens") > col("avail_tokens"), 1L).otherwise(0L)) === 0L)
+        .as("alloc_within_avail"),
+      (sum(col("alloc_tokens")) * lit(100L) <=
+        sum(col("avail_tokens")) * lit(wfBudgetPct.toLong)).as("alloc_within_budget"))
+    plan.crossJoin(broadcast(inv)).orderBy(col("source"))
+  }
+
+  /** DuckDB oracle for [[mixturePlan]] — the three stage oracles
+    * CHAINED: the reweight prelude's weight CASE feeds an integer
+    * micro-weight CTE, which drives the repeat-epochs chain and the
+    * ratio-ordered waterfill fold, all from the shared generators
+    * (every multiply-referenced stage MATERIALIZED — the
+    * q_louvain_rounds lesson). */
+  def mixturePlanSql(epochsBudgetPct: Int = 200, wfBudgetPct: Int = 90,
+      maxEpochs: Int = 4): String = {
+    val (ctes, weightCase) = reweightCtes(ReweightEta, ReweightIters)
+    val effExpr = epochEffExpr("f2", maxEpochs)
+    s"""WITH $ctes,
+       |wm AS MATERIALIZED (
+       |  SELECT e.source AS source, $weightCase AS weight,
+       |         CAST(round($weightCase * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS w
+       |  FROM e),
+       |pt2 AS MATERIALIZED (
+       |  SELECT source, text,
+       |         CAST(max(len(string_split(text, ' '))) AS BIGINT) AS n_toks,
+       |         CAST(count(*) AS BIGINT) AS copies
+       |  FROM documents WHERE source IS NOT NULL AND text IS NOT NULL
+       |  GROUP BY 1, 2),
+       |ps2 AS (SELECT source, CAST(sum(n_toks) AS BIGINT) AS u,
+       |               CAST(sum(n_toks * copies) AS BIGINT) AS tot
+       |        FROM pt2 GROUP BY 1),
+       |j2 AS (SELECT ps2.source AS source, ps2.u AS u, ps2.tot AS tot, wm.w AS w
+       |       FROM ps2 JOIN wm ON wm.source = ps2.source),
+       |g2 AS (SELECT CAST(sum(u) AS BIGINT) AS su, CAST(sum(w) AS BIGINT) AS sw
+       |       FROM j2),
+       |a2 AS (SELECT j2.*, (g2.su * $epochsBudgetPct // 100) * j2.w // g2.sw AS request
+       |       FROM j2, g2),
+       |e2 AS (SELECT a2.*,
+       |              CAST(CASE WHEN a2.u = 0 THEN 1
+       |                   ELSE least($maxEpochs, greatest(1, (a2.request + a2.u - 1) // a2.u))
+       |                   END AS INT) AS epochs,
+       |              CASE WHEN a2.u = 0 THEN CAST(0 AS BIGINT)
+       |                   ELSE least(CAST($maxEpochs AS BIGINT), a2.request // a2.u)
+       |                   END AS e_full
+       |       FROM a2),
+       |f2 AS MATERIALIZED (
+       |  SELECT e2.*,
+       |         CASE WHEN e2.u = 0 OR e2.e_full >= $maxEpochs THEN CAST(0 AS BIGINT)
+       |              ELSE e2.request - e2.e_full * e2.u END AS partial
+       |  FROM e2),
+       |dt3 AS (SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+       |        FROM documents WHERE source IS NOT NULL),
+       |av3 AS (SELECT source, CAST(sum(n_toks) AS BIGINT) AS avail FROM dt3 GROUP BY 1),
+       |sw3 AS (SELECT av3.source AS source, av3.avail AS avail, wm.w AS w
+       |        FROM av3 JOIN wm ON wm.source = av3.source),
+       |t3 AS (SELECT CAST(sum(avail) AS HUGEINT) AS total FROM sw3),
+       |r3 AS (SELECT source, avail, w,
+       |              row_number() OVER (ORDER BY CAST(avail AS DOUBLE) / w, source) AS rn,
+       |              coalesce(sum(avail) OVER (ORDER BY CAST(avail AS DOUBLE) / w, source
+       |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefa,
+       |              sum(w) OVER (ORDER BY CAST(avail AS DOUBLE) / w, source
+       |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS remw
+       |       FROM sw3),
+       |s3 AS MATERIALIZED (
+       |  SELECT r3.*, CAST((t3.total * $wfBudgetPct) // 100 - r3.prefa AS HUGEINT) AS lrem
+       |  FROM r3, t3),
+       |cut3 AS MATERIALIZED (
+       |  SELECT rn AS crn, lrem AS lc, CAST(remw AS HUGEINT) AS wc FROM s3
+       |  WHERE NOT (lrem * w >= CAST(avail AS HUGEINT) * remw)
+       |  ORDER BY rn LIMIT 1),
+       |wf3 AS MATERIALIZED (
+       |  SELECT s3.source AS source, s3.avail AS avail_tokens,
+       |         CAST(CASE WHEN s3.rn < cut3.crn THEN s3.avail
+       |                   ELSE (cut3.lc * s3.w) // cut3.wc END AS BIGINT) AS alloc_tokens,
+       |         s3.rn < cut3.crn AS saturated
+       |  FROM s3, cut3),
+       |plan0 AS MATERIALIZED (
+       |  SELECT wm.source AS source, wm.weight AS weight, wm.w AS w_micro,
+       |         CAST(f2.request AS BIGINT) AS request_tokens,
+       |         f2.epochs AS epochs,
+       |         $effExpr AS effective_tokens,
+       |         wf3.avail_tokens AS avail_tokens, wf3.alloc_tokens AS alloc_tokens,
+       |         wf3.saturated AS saturated
+       |  FROM wm
+       |  JOIN f2 ON f2.source = wm.source
+       |  JOIN wf3 ON wf3.source = wm.source),
+       |inv AS MATERIALIZED (
+       |  SELECT (abs(sum(weight) - CAST(1.0 AS DOUBLE)) <= CAST(2.0e-5 AS DOUBLE))
+       |           AS weights_sum_ok,
+       |         (sum(CASE WHEN effective_tokens > CAST(request_tokens AS DOUBLE)
+       |                   THEN 1 ELSE 0 END) = 0) AS priced_within_request,
+       |         (sum(CASE WHEN alloc_tokens > avail_tokens THEN 1 ELSE 0 END) = 0)
+       |           AS alloc_within_avail,
+       |         (CAST(sum(alloc_tokens) AS HUGEINT) * 100 <=
+       |          CAST(sum(avail_tokens) AS HUGEINT) * $wfBudgetPct)
+       |           AS alloc_within_budget
+       |  FROM plan0)
+       |SELECT plan0.*, inv.* FROM plan0, inv ORDER BY source""".stripMargin
   }
 
   /** The corpus's source domain — a fixed 20-name vocabulary on the
@@ -361,8 +512,12 @@ object Curation {
     * aggregation and the EG iterations UNROLLED from the same
     * constants: one 1-row weight CTE per iteration with explicit
     * left-associated normalizer parentheses. */
-  def mixtureReweightSql(eta: Double = ReweightEta,
-      iters: Int = ReweightIters, parityCol: Boolean = false): String = {
+  /** The reweight oracle's CTE prelude — the quality/per-source/EG-
+    * iteration chain — plus the per-source weight CASE (which
+    * references alias `e.source`), shared by [[mixtureReweightSql]]
+    * and the chained [[mixturePlanSql]] so the two oracles cannot
+    * desynchronize. */
+  private def reweightCtes(eta: Double, iters: Int): (String, String) = {
     def wc(s: String) = s"w_$s"
     def rc(s: String) = s"r_$s"
     val w0 = r6(1.0 / Sources.length)
@@ -400,10 +555,13 @@ object Curation {
     val weightCase = "CASE e.source " +
       Sources.map(s => s"WHEN '$s' THEN (SELECT ${wc(s)} FROM w$iters)").mkString(" ") +
       " END"
-    s"""WITH $qlCte,
-       |$perCte,
-       |$w0Cte,
-       |${iterCtes.mkString(",\n")}
+    (s"$qlCte,\n$perCte,\n$w0Cte,\n${iterCtes.mkString(",\n")}", weightCase)
+  }
+
+  def mixtureReweightSql(eta: Double = ReweightEta,
+      iters: Int = ReweightIters, parityCol: Boolean = false): String = {
+    val (ctes, weightCase) = reweightCtes(eta, iters)
+    s"""WITH $ctes
        |SELECT e.source AS source, e.n_docs AS n_docs, e.avg_quality AS avg_quality,
        |       e.excess AS excess,
        |       $weightCase AS weight,
