@@ -969,7 +969,7 @@ object Clustering {
     * arithmetic, so the row is hash-exact including the refined score.
     * `rounds = 1` is `q_louvain_refine`'s oracle. */
   def louvainRefineOracleSql(k: Int, iters: Int, dim: Int, tau: Double,
-      lpaIters: Int, rounds: Int = 1): String = {
+      lpaIters: Int, rounds: Int = 1, convergedCol: Boolean = false): String = {
     require(rounds >= 1, s"louvainRefineOracleSql: rounds=$rounds")
     val it = s"it$lpaIters"
     def qSide(lblTable: String, ns: String): String =
@@ -987,13 +987,20 @@ object Clustering {
     val roundChains = (1 to rounds).map { r =>
       refineRoundSql(if (r == 1) "ref0" else s"ref${r - 1}", s"r${r}_", s"ref$r")
     }
+    // fixed-point certificate: ONE MORE gains chain under the final
+    // labeling (refineRoundSql reused; its unreferenced relabel CTE is
+    // never evaluated) — converged ⇔ zero positive-gain pairs
+    val convChain = if (convergedCol)
+      s",\n${refineRoundSql(s"ref$rounds", "cv_", s"ref${rounds + 1}")}" +
+        ",\nconv AS (SELECT (count(*) = 0) AS converged FROM cv_pos)"
+    else ""
     s"""WITH ${lpaChainSql(k, iters, dim, tau, lpaIters)},
        |deg AS (SELECT a AS v, count(*) AS d FROM edges GROUP BY 1),
        |mt AS (SELECT CAST(count(*) AS DECIMAL(18,0)) AS m FROM sdpair),
        |ref0 AS MATERIALIZED (SELECT v, lbl FROM $it),
        |${roundChains.mkString(",\n")},
        |${qSide("ref0", "l_")},
-       |${qSide(s"ref$rounds", "r_")}
+       |${qSide(s"ref$rounds", "r_")}$convChain
        |SELECT CAST(mt.m AS BIGINT) AS m_edges,
        |       l_nc.n AS n_comm_lpa,
        |       CAST(l_co.q_num AS BIGINT) AS q_num_lpa,
@@ -1005,8 +1012,9 @@ object Clustering {
        |       round(CAST(r_co.q_num AS DOUBLE)
        |             / (CAST(4.0 AS DOUBLE) * CAST(mt.m AS DOUBLE) * CAST(mt.m AS DOUBLE)), 6)
        |         AS modularity_refined,
-       |       (r_co.q_num > l_co.q_num) AS improved
-       |FROM mt, l_co, l_nc, r_co, r_nc""".stripMargin
+       |       (r_co.q_num > l_co.q_num) AS improved${
+          if (convergedCol) ",\n       conv.converged AS converged" else ""}
+       |FROM mt, l_co, l_nc, r_co, r_nc${if (convergedCol) ", conv" else ""}""".stripMargin
   }
 
   def sampleOracleSql(k: Int, iters: Int, dim: Int, quota: Int): String =

@@ -119,6 +119,33 @@ object Graph {
     * coarsening, this pass repairs its over-splits on the community
     * graph. */
   def refineCommunities(labels: DataFrame, edges: DataFrame): DataFrame = {
+    val gains = mergeGains(labels, edges)
+    // best positive partner per community: argmax (gain DESC, id ASC) —
+    // the labelPropagation struct-max trick, exact integers
+    val dir = gains.select(col("c1").as("c"), col("c2").as("p"), col("gain"))
+      .unionByName(gains.select(col("c2").as("c"), col("c1").as("p"), col("gain")))
+    val best = dir.groupBy(col("c"))
+      .agg(max(struct(col("gain"), (-col("p")).as("np"))).as("m"))
+      .select(col("c"), (-col("m.np")).as("p"))
+    // reciprocal choices only → a matching; absorbed takes the root
+    // (smaller) community id
+    val mutual = best.alias("x")
+      .join(best.alias("y"), col("x.p") === col("y.c") && col("y.p") === col("x.c"))
+      .filter(col("x.c") < col("x.p"))
+      .select(col("x.p").as("lbl"), col("x.c").as("root"))
+    labels.join(mutual, Seq("lbl"), "left")
+      .select(col("v"), coalesce(col("root"), col("lbl")).as("lbl"))
+  }
+
+  /** The refinement round's candidate table: positive merge-gain
+    * community pairs (c1 < c2, exact integer gain 4·m·w − 2·d_A·d_B)
+    * under a labeling — extracted from [[refineCommunities]] and
+    * exposed so callers can certify a FIXED POINT: an empty table means
+    * no pairwise merge can improve Q (the globally best pair is always
+    * mutual, so no positive pair ⇒ no merge ⇒ further rounds are
+    * no-ops). Same shapes as the round itself: one aggregation of the
+    * edge table, keyed joins, a broadcast 1-row total. */
+  def mergeGains(labels: DataFrame, edges: DataFrame): DataFrame = {
     val dec = "decimal(18,0)"
     val la = labels.select(col("v").as("a"), col("lbl").as("la"))
     val lb = labels.select(col("v").as("b"), col("lbl").as("lb"))
@@ -136,7 +163,7 @@ object Graph {
     val mTot = edges.agg(count(lit(1)).cast(dec).as("m"))
     // exact integer merge gain; operand width 18 keeps products inside
     // width 38 on both engines (the modularity convention)
-    val gains = cw
+    cw
       .join(cdeg.select(col("c").as("c1"), col("dc").as("d1")), Seq("c1"))
       .join(cdeg.select(col("c").as("c2"), col("dc").as("d2")), Seq("c2"))
       .crossJoin(broadcast(mTot)) // 1-row scalar composition, house pattern
@@ -144,21 +171,6 @@ object Graph {
         (lit(4).cast(dec) * col("m") * col("w")
           - lit(2).cast(dec) * col("d1") * col("d2")).as("gain"))
       .filter(col("gain") > 0)
-    // best positive partner per community: argmax (gain DESC, id ASC) —
-    // the labelPropagation struct-max trick, exact integers
-    val dir = gains.select(col("c1").as("c"), col("c2").as("p"), col("gain"))
-      .unionByName(gains.select(col("c2").as("c"), col("c1").as("p"), col("gain")))
-    val best = dir.groupBy(col("c"))
-      .agg(max(struct(col("gain"), (-col("p")).as("np"))).as("m"))
-      .select(col("c"), (-col("m.np")).as("p"))
-    // reciprocal choices only → a matching; absorbed takes the root
-    // (smaller) community id
-    val mutual = best.alias("x")
-      .join(best.alias("y"), col("x.p") === col("y.c") && col("y.p") === col("x.c"))
-      .filter(col("x.c") < col("x.p"))
-      .select(col("x.p").as("lbl"), col("x.c").as("root"))
-    labels.join(mutual, Seq("lbl"), "left")
-      .select(col("v"), coalesce(col("root"), col("lbl")).as("lbl"))
   }
 
   /** [[refineCommunities]] iterated a FIXED number of rounds — the
