@@ -188,6 +188,26 @@ object Dedup {
   def bandPartition(n: Int = BandIndexBuckets): Column =
     pmod(hash(col("band"), col("bucket")), lit(n))
 
+  /** Capacity rule for the at-rest band layout — the autoNLists posture
+    * applied to the band index: partitions sized to a fixed expected
+    * row occupancy, so the probe's pruned fraction stays at the
+    * trigger's bucket footprint instead of degenerating to the whole
+    * index as the corpus grows. The probed-partition count for a batch
+    * is min(N, |batch|·bands) in the worst case (each (band, bucket)
+    * hashes to one partition), so with FIXED N = 16 a multi-document
+    * trigger hits every partition — tools/ProbeDedupIngestScale
+    * measured the fixed layout probing 100% of a 10× index's rows for
+    * a 4-doc trigger, vs 30.7% (49/160 partitions) under this rule's
+    * N = 160 on the same index. At the shipped verify SFs the rule
+    * returns the legacy 16 (80,000 band rows / 5,000 = 16 exactly), so
+    * gate behavior is unchanged; growth past that re-tiers the layout.
+    * Capped at 4096 so the probe-side distinct collect and per-trigger
+    * append fan-out stay config-bounded. */
+  val BandPartitionOccupancy: Long = 5000L
+  def autoBandBuckets(bandRowCount: Long): Int =
+    math.min(4096L, math.max(BandIndexBuckets.toLong,
+      (bandRowCount + BandPartitionOccupancy - 1) / BandPartitionOccupancy)).toInt
+
   /** Incremental MinHash near-dup: dedup an incoming batch against an
     * already-accepted corpus WITHOUT rescanning it — the shape a 100 TB
     * ingest pipeline actually runs (the whole-corpus self-join of
@@ -215,11 +235,13 @@ object Dedup {
       bands: Int = 16,
       rowsPerBand: Int = 4,
       threshold: Double = 0.7,
-      probeBuckets: Option[Seq[Int]] = None): DataFrame = {
+      probeBuckets: Option[Seq[Int]] = None,
+      bandBuckets: Int = BandIndexBuckets): DataFrame = {
     // When the index is the partitioned at-rest layout (has a pbkt
     // partition column, see [[bandPartition]]), plan the probe like the
     // IVF cell probe: push the batch's DISTINCT bucket hashes (bounded by
-    // BandIndexBuckets — a config constant, never data-sized) as a static
+    // `bandBuckets` — the layout's partition count, capped by the
+    // autoBandBuckets rule, never data-sized) as a static
     // isin partition filter, so the per-batch index scan prunes at rest to
     // the buckets the batch can actually hit. (DPP can't do this here:
     // shingleSets checkpoints the batch, which hides its selective filter
@@ -234,7 +256,7 @@ object Dedup {
     // `preBanded` so the permutations aren't recomputed here at all.
     minHashIncrementalPairsImpl(
       newShingles, bandRows(newShingles, bands, rowsPerBand),
-      indexBanded, indexShingles, threshold, probeBuckets)
+      indexBanded, indexShingles, threshold, probeBuckets, bandBuckets)
   }
 
   /** [[minHashIncrementalPairs]] with the batch's banding rows supplied by
@@ -246,10 +268,11 @@ object Dedup {
       indexBanded: DataFrame,
       indexShingles: DataFrame,
       threshold: Double = 0.7,
-      probeBuckets: Option[Seq[Int]] = None): DataFrame =
+      probeBuckets: Option[Seq[Int]] = None,
+      bandBuckets: Int = BandIndexBuckets): DataFrame =
     minHashIncrementalPairsImpl(
       newShingles, preBanded.select(col("doc_id"), col("band"), col("bucket")),
-      indexBanded, indexShingles, threshold, probeBuckets)
+      indexBanded, indexShingles, threshold, probeBuckets, bandBuckets)
 
   private def minHashIncrementalPairsImpl(
       newShingles: DataFrame,
@@ -257,7 +280,8 @@ object Dedup {
       indexBanded: DataFrame,
       indexShingles: DataFrame,
       threshold: Double,
-      probeBuckets: Option[Seq[Int]]): DataFrame = {
+      probeBuckets: Option[Seq[Int]],
+      bandBuckets: Int = BandIndexBuckets): DataFrame = {
     val (newBanded, prunedIndex) =
       if (indexBanded.columns.contains("pbkt")) {
         probeBuckets match {
@@ -265,7 +289,7 @@ object Dedup {
             (newBanded0, indexBanded.filter(col("pbkt").isin(bkts: _*)))
           case None =>
             val nb = newBanded0.localCheckpoint(false)
-            val bkts = nb.select(bandPartition().as("pbkt")).distinct()
+            val bkts = nb.select(bandPartition(bandBuckets).as("pbkt")).distinct()
               .collect().map(_.getInt(0)).toSeq
             (nb, indexBanded.filter(col("pbkt").isin(bkts: _*)))
         }

@@ -93,6 +93,12 @@ object DedupIngest {
       spark: SparkSession, dir: String,
       nBatches: Int = 2, assertFull: Boolean = true): DataFrame = {
     val staged = stagedDocs(spark, dir, nBatches)
+    // the at-rest layout's partition count from the capacity rule: the
+    // corpus size is known at stream bootstrap (it is the staged input),
+    // and the count is reused by the final readout. At the verify SFs
+    // the rule returns the legacy 16, so gate behavior is unchanged.
+    val nDocs = Tables.documents(spark, dir).count()
+    val nPart = Dedup.autoBandBuckets(nDocs * 16L)
     val out = java.nio.file.Files.createTempDirectory("graft-ingest").toFile
     val bandDir = new java.io.File(out, "bands")
     val shDir = new java.io.File(out, "shingles")
@@ -101,7 +107,7 @@ object DedupIngest {
     val shSchema = Dedup.shingleSets(Tables.documents(spark, dir).limit(0), n = 3).schema
     val bandSchema = Dedup.bandRows(Tables.documents(spark, dir).limit(0)
       .transform(Dedup.shingleSets(_, n = 3)))
-      .withColumn("pbkt", Dedup.bandPartition()).schema
+      .withColumn("pbkt", Dedup.bandPartition(nPart)).schema
 
     val saved = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", StreamShuffleWidth)
@@ -132,12 +138,12 @@ object DedupIngest {
           // instead of serializing behind the band append's directory
           // diff. Per-trigger wall-clock is then the checkpoint pass plus
           // ONE write latency, not three in sequence.
-          val bkts = newBands.select(Dedup.bandPartition().as("pbkt"))
+          val bkts = newBands.select(Dedup.bandPartition(nPart).as("pbkt"))
             .distinct().collect().map(_.getInt(0)).toSeq
           // one file per bucket dir per trigger: the append is tiny and
           // per-task dynamic-partition fan-out would 16× the file count
           val bandsF = Future(
-            newBands.withColumn("pbkt", Dedup.bandPartition())
+            newBands.withColumn("pbkt", Dedup.bandPartition(nPart))
               .coalesce(1).write.partitionBy("pbkt").mode("append").parquet(bandDir.toString))
           val shF = Future(newSh.write.mode("append").parquet(shDir.toString))
           val pairsF = Future(
@@ -188,7 +194,6 @@ object DedupIngest {
             count(lit(1)).as("n_pairs"),
             lit(true).as("match_ok")).head()
         }
-      val nDocs = Tables.documents(spark, dir).count()
       import spark.implicits._
       Seq((nDocs, row.getLong(0) > 0L, row.getBoolean(1)))
         .toDF("n_docs", "pairs_nonempty", "match_full")

@@ -1,0 +1,139 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** Round-15 measurement for the LAST argued-not-measured ingest claim
+  * (SCALE.md's own honesty note): the DedupIngest band-pruned probe
+  * against a 10× at-rest index, on a substrate whose near-dup rate is
+  * HELD — so probe growth separates cleanly into overhead vs true
+  * positives.
+  *
+  * Substrate: replica r of each document prefixes every token with
+  * `r<r>_`. Token tagging is a bijection on 3-token shingles, so each
+  * replica's INTERNAL near-dup structure equals the original exactly,
+  * while cross-replica shingle sets are DISJOINT (Jaccard 0 — no
+  * chance pairs at any threshold). 10× docs ⇒ exactly 10× near-dup
+  * pairs: rate held by construction, unlike the rotated-replica
+  * embedding substrate where chance-level cosine pairs inflate edges.
+  *
+  * Probe protocol (the ProbeIngestScale posture): the at-rest band
+  * index + shingle store are staged UNTIMED per side; the TRIGGER — 4
+  * replica-0 documents with fresh ids and their last token dropped
+  * (true near-dups of their at-rest originals, identical on every
+  * side) — runs the stream's exact per-batch pair path
+  * ([[Dedup.minHashIncrementalPairsPreBanded]] with the driver-planned
+  * bucket list). Reported per side: wall (min-of-3), band-index rows
+  * inside the probed `pbkt` partitions (the pruned scan's size), the
+  * probed-partition count, and the pair count (must be 4 everywhere —
+  * rate held).
+  *
+  * The third row stages the SAME 10× index under a FINER at-rest
+  * partition count (160 instead of the shipped 16): with 16
+  * partitions a multi-document trigger's band rows hit nearly every
+  * partition, so the pruned scan degenerates to the whole index and
+  * probe cost tracks index size; a partition count grown with the
+  * corpus (the autoNLists posture applied to the band layout) keeps
+  * the probed fraction at the trigger's footprint. */
+object ProbeDedupIngestScale {
+
+  private val Off = 10000000000L
+  private val Reps = 10
+
+  private def tagged(docs: DataFrame, rep: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    array_join(
+      transform(split(col("text"), " "),
+        t => concat(lit("r"), rep.cast("string"), lit("_"), t)),
+      " ")
+
+  def main(args: Array[String]): Unit = {
+    val base = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val work = "/tmp/graft-ingest10x"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // ---- held-rate text substrates (if-absent guarded, shared path) ---
+    val oneDir = s"$work/docs1x-tagged"
+    val tenDir = s"$work/docs10x-tagged"
+    val src = spark.read.parquet(s"$base/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    if (!new java.io.File(oneDir).exists())
+      src.select(col("doc_id"), tagged(src, lit(0)).as("text"))
+        .write.parquet(oneDir)
+    if (!new java.io.File(tenDir).exists()) {
+      val reps = explode(typedLit((0 until Reps).toArray)).as("__r")
+      src.select(col("*"), reps)
+        .select((col("doc_id") + col("__r") * Off).as("doc_id"),
+          tagged(src, col("__r")).as("text"))
+        .write.parquet(tenDir)
+    }
+
+    // ---- the trigger: 4 replica-0 docs, fresh ids, last token dropped
+    // (exact-Jaccard near-dups of their at-rest originals; same batch on
+    // every side)
+    val trigger = src.filter(col("doc_id") < 4)
+      .select((col("doc_id") + lit(99L) * Off).as("doc_id"),
+        tagged(src, lit(0)).as("text"))
+      .select(col("doc_id"),
+        when(size(split(col("text"), " ")) > 1,
+          array_join(slice(split(col("text"), " "), lit(1),
+            size(split(col("text"), " ")) - 1), " "))
+          .otherwise(col("text")).as("text"))
+      .localCheckpoint(true)
+    println(s"trigger batch: ${trigger.count()} docs")
+
+    def side(tag: String, corpusDir: String, nPart: Int): Unit = {
+      val docs = spark.read.parquet(corpusDir)
+      val bandDir = new java.io.File(s"$work/bandidx-$tag")
+      val shDir = new java.io.File(s"$work/shidx-$tag")
+      if (!bandDir.exists()) {
+        val sh = Dedup.shingleSets(docs, n = 3)
+        Dedup.bandRows(sh)
+          .withColumn("pbkt", Dedup.bandPartition(nPart))
+          .repartition(col("pbkt"))
+          .write.partitionBy("pbkt").parquet(bandDir.toString)
+        sh.write.parquet(shDir.toString)
+      }
+      val bandsSnap = spark.read.parquet(bandDir.toString)
+      val shSnap = spark.read.parquet(shDir.toString)
+
+      // the stream's per-batch path: one banding pass, driver-planned
+      // bucket list, pruned probe + exact-Jaccard verification
+      val newSh = Dedup.shingleSets(trigger, n = 3).localCheckpoint(true)
+      val newBands = Dedup.bandRows(newSh).localCheckpoint(true)
+      val bkts = newBands.select(Dedup.bandPartition(nPart).as("pbkt"))
+        .distinct().collect().map(_.getInt(0)).toSeq
+      val probedRows = bandsSnap.filter(col("pbkt").isin(bkts: _*)).count()
+      val indexRows = bandsSnap.count()
+      def once(): (Long, Double) = {
+        val t0 = System.nanoTime()
+        val n = Dedup.minHashIncrementalPairsPreBanded(
+          newSh, newBands, bandsSnap, shSnap, probeBuckets = Some(bkts)).count()
+        (n, (System.nanoTime() - t0) / 1e9)
+      }
+      val runs = (1 to 3).map(_ => once())
+      val pairs = runs.head._1
+      val wall = runs.map(_._2).min
+      println(f"$tag%-8s N=$nPart%4d index=$indexRows%9d rows  probed=$probedRows%9d " +
+        f"(${100.0 * probedRows / math.max(1L, indexRows)}%5.1f%%, ${bkts.length}%3d/$nPart parts)  " +
+        f"pairs=$pairs%2d  probe wall(min3)=$wall%6.2f s")
+    }
+
+    side("1x", oneDir, Dedup.BandIndexBuckets)
+    side("10x", tenDir, Dedup.BandIndexBuckets)
+    // the capacity rule's N for the 10x index (500,000 docs x 16 bands
+    // at sf0.1 x 10 = 800,000 band rows / 5,000 occupancy = 160)
+    side("10x-ruled", tenDir,
+      Dedup.autoBandBuckets(spark.read.parquet(tenDir).count() * 16L))
+    spark.stop()
+  }
+}

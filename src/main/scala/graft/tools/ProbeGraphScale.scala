@@ -49,15 +49,15 @@ object ProbeGraphScale {
         .write.mode("overwrite").parquet(s"$tenDir/embeddings.parquet")
     }
 
-    def side(tag: String, dir: String, nLists: Int): Double = {
+    def side(tag: String, dir: String, nLists: Int,
+        tau: Double = Clustering.SemDedupTau): (Double, Long) = {
       val emb = graft.sources.Tables.embeddings(spark, dir)
       val n = emb.count()
       def once(): (Long, Long, Double, Double) = {
         val t0 = System.nanoTime()
         // grown-k pair generation (the ProbeScale semdedup regime)
         val edges = IvfIndex
-          .semDedupPairs(spark, emb, nLists = nLists,
-            tau = Clustering.SemDedupTau, assignTo = 2)
+          .semDedupPairs(spark, emb, nLists = nLists, tau = tau, assignTo = 2)
           .select(col("vec_a").as("a"), col("vec_b").as("b"))
           .localCheckpoint(false)
         val nodes = Clustering.cleanVectors(emb).select(col("vec_id").as("v"))
@@ -72,13 +72,23 @@ object ProbeGraphScale {
       val runs = (1 to 2).map(_ => once())
       val (m, _, q, _) = runs.head
       val wall = runs.map(_._4).min
-      println(f"$tag%-4s n=$n%6d nLists=$nLists%3d edges=$m%8d refined Q=$q%8.6f  wall(min2)=$wall%7.2f s")
-      wall
+      println(f"$tag%-9s n=$n%6d nLists=$nLists%3d tau=$tau%4.2f edges=$m%8d refined Q=$q%8.6f  " +
+        f"wall(min2)=$wall%7.2f s  per-Medge=${1e6 * wall / math.max(1L, m)}%6.2f s")
+      (wall, m)
     }
 
-    val w1 = side("1x", base, 8)
-    val w10 = side("10x", tenDir, 80)
-    println(f"community-family exponent t(10x)/t(1x) = ${w10 / w1}%.2f")
+    val (w1, e1) = side("1x", base, 8)
+    val (w10, e10) = side("10x", tenDir, 80)
+    // marginal per-edge cost, fixed overhead removed: the SAME 10x
+    // corpus at a raised tau — data size and plan identical, only the
+    // edge count moves, so the wall delta over the edge delta is the
+    // chain's true per-edge slope (the busy-cluster unit; idle cores
+    // can't mask it the way the cross-scale ratio lets them)
+    val (w10b, e10b) = side("10x-t.45", tenDir, 80, tau = 0.45)
+    println(f"community-family: wall exponent ${w10 / w1}%.2f for ${e10.toDouble / e1}%.1fx edges; " +
+      f"per-edge ${(1e6 * w10 / e10) / (1e6 * w1 / e1)}%.2fx; " +
+      f"marginal slope at 10x = ${1e6 * (w10 - w10b) / math.max(1L, e10 - e10b)}%.3f s/Medge " +
+      f"(${e10 - e10b}%d edge delta)")
     spark.stop()
   }
 }
