@@ -1007,7 +1007,8 @@ object SparkEntry {
       val q = emb.filter(col("vec_id") < 32)
       val exact = Similarity.bruteForceKnn(q, emb, k = 5)
         .select(col("query_id"), col("neighbor_id"))
-      val approx = IvfIndex.search(s, idx, q, k = 5, nProbe = 8)
+      val approx = IvfIndex.search(s, idx, q, k = 5,
+        nProbe = IvfIndex.autoNProbe(idx.centroids.length))
         .select(col("query_id"), col("neighbor_id")).withColumn("hit", lit(1L))
       val recall = exact.join(approx, Seq("query_id", "neighbor_id"), "left")
         .agg(countDistinct(col("query_id")).as("n_queries"),
@@ -1029,24 +1030,28 @@ object SparkEntry {
     // at or under 125 (4 at sf0.01's 500 vectors, 16 at sf0.1's 2000 —
     // ProbeScale measured the FIXED-nLists regime at 11.22x search cost
     // for 10x data, the regime this rule retires), then the standard
-    // probe search runs under the selected model. Self-asserting:
-    // recall@5 vs the in-plan exact twin (floor 0.65, the IVF family
-    // convention); the oracle replays the integer capacity rule, so a
-    // build that ignored the selector hash-mismatches selected_nlists.
+    // probe search runs under the selected model with the probe count
+    // from the SEARCH-side companion rule (autoNProbe = 2·⌈√nLists⌉
+    // capped at nLists — sublinear probe cost, non-exhaustive once the
+    // tier grows past the tiny SFs). Self-asserting: recall@5 vs the
+    // in-plan exact twin (floor 0.65, the IVF family convention); the
+    // oracle replays BOTH integer rules, so a build that ignored either
+    // selector hash-mismatches selected_nlists / ruled_nprobe.
     "q_ivf_auto_nlists" -> ((s, d) => {
       import graft.operators.IvfIndex
       val emb = Tables.embeddings(s, d)
       val idx = IvfIndex.buildAuto(s, emb)
+      val np = IvfIndex.autoNProbe(idx.centroids.length)
       val q = emb.filter(col("vec_id") < 32)
       val exact = Similarity.bruteForceKnn(q, emb, k = 5)
         .select(col("query_id"), col("neighbor_id"))
-      val approx = IvfIndex.search(s, idx, q, k = 5, nProbe = 8)
+      val approx = IvfIndex.search(s, idx, q, k = 5, nProbe = np)
         .select(col("query_id"), col("neighbor_id")).withColumn("hit", lit(1L))
       exact.join(approx, Seq("query_id", "neighbor_id"), "left")
         .agg(countDistinct(col("query_id")).as("n_queries"),
           (coalesce(sum(col("hit")), lit(0L)) >= count(lit(1)) * 0.65).as("recall_ok"))
         .select(lit(idx.centroids.length).as("selected_nlists"),
-          col("n_queries"), col("recall_ok"))
+          lit(np).as("ruled_nprobe"), col("n_queries"), col("recall_ok"))
     }),
 
     // INCREMENTAL IVF-PQ maintenance — the FAISS add path for the
@@ -1072,10 +1077,10 @@ object SparkEntry {
       val q = emb.filter(col("vec_id") < 32)
       val exact = Similarity.bruteForceKnn(q, emb, k = 5)
         .select(col("query_id"), col("neighbor_id"))
-      // nProbe capped by the auto-selected list count (4 at the small
-      // SFs — probing every cell, the exhaustive-PQ limit)
+      // probe count from the search-side rule (exhaustive only at the
+      // tiny 4-cell tier, where autoNProbe(4) = 4)
       val approx = Pq.ivfPqSearch(idx, q, k = 5,
-        nProbe = math.min(8, idx.ivfCents.length))
+        nProbe = graft.operators.IvfIndex.autoNProbe(idx.ivfCents.length))
         .select(col("query_id"), col("neighbor_id")).withColumn("hit", lit(1L))
       val recall = exact.join(approx, Seq("query_id", "neighbor_id"), "left")
         .agg(countDistinct(col("query_id")).as("n_queries"),
@@ -2894,6 +2899,17 @@ object SparkEntry {
       graft.operators.Curation.repeatEpochs(
         Tables.documents(s, d),
         MixtureWeights.view.mapValues(_.toLong).toMap)),
+
+    // The END-TO-END mixture plan — the composition a production run
+    // executes: measured quality → EG weights (mixtureReweight) →
+    // integer micro-weights → proportional requests priced under the
+    // repeat-decay curve (repeatEpochs) → capped waterfill allocation
+    // against availability. One row per source with all three stages'
+    // outputs plus four in-plan invariants (weights sum to 1, priced ≤
+    // funded, alloc ≤ avail, Σalloc within the waterfill budget). The
+    // oracle chains the three stage generators off the SAME weight CTE.
+    "q_mixture_plan" -> ((s, d) =>
+      graft.operators.Curation.mixturePlan(s, Tables.documents(s, d))),
 
     // Incremental (batch-vs-corpus) dedup with reason-coded statuses; the
     // corpus/batch split is the id midpoint, derived like orderSpan.
@@ -5081,6 +5097,7 @@ object SparkEntry {
       val lpa = G.labelPropagation(asg.select(col("vec_id").as("v")), edges, iters = 3)
         .localCheckpoint(false)
       val refined = G.refineCommunitiesRounds(lpa, edges, rounds = 3)
+        .localCheckpoint(false) // modularity fold + the fixed-point check
       val qL = G.modularity(lpa, edges).select(
         col("m_edges"), col("n_communities").as("n_comm_lpa"),
         col("q_num").as("q_num_lpa"), col("modularity").as("modularity_lpa"))
@@ -5088,7 +5105,13 @@ object SparkEntry {
         col("n_communities").as("n_comm_refined"),
         col("q_num").as("q_num_refined"),
         col("modularity").as("modularity_refined"))
-      qL.crossJoin(broadcast(qR)) // two 1-row aggregates, house pattern
+      // fixed-point certificate: zero positive-gain pairs under the
+      // final labeling ⇒ the fixed 3-round count reached convergence
+      // (a 4th round would be a no-op); false means it stopped early
+      val conv = G.mergeGains(refined, edges)
+        .agg((count(lit(1)) === 0L).as("converged"))
+      qL.crossJoin(broadcast(qR)) // 1-row aggregates, house pattern
+        .crossJoin(broadcast(conv))
         .withColumn("improved", col("q_num_refined") > col("q_num_lpa"))
     }),
 
@@ -5288,6 +5311,19 @@ object SparkEntry {
     "q_t_closeness_stream" -> ((s, d) =>
       graft.streaming.KAnonStream.runStreamTCloseness(s, d)),
 
+    // (ε, δ) COMPOSITION ACCOUNTANT — the budget meter over a release
+    // campaign (one Laplace release per (nation, segment) histogram,
+    // heterogeneous ε in integer micro-units): per release, ε spent
+    // under basic composition (Σε) AND zCDP composition (Bun–Steinke:
+    // Σε²/2, converted back at δ = 1e-6), the tighter of the two
+    // charged, each release flagged against the 2.0 budget. The shipped
+    // ledger plants BOTH regimes: within_budget flips true→false near
+    // release 12, and the √k zCDP bound overtakes basic in the tail.
+    // All prefix sums exact BIGINT (micro-units); hash-exact oracle.
+    "q_dp_accountant" -> ((s, d) =>
+      graft.operators.Privacy.dpAccountant(
+        graft.operators.Privacy.dpAccountantLedger(Tables.customer(s, d)))),
+
     // Differentially-private release composition: suppress classes under
     // the k-anonymity floor, Laplace(1/ε)-noise the surviving counts
     // (deterministic inverse-CDF over a portable-hash uniform — the
@@ -5359,10 +5395,12 @@ object SparkEntry {
     // re-deriving it per pass would time corpus re-shingling the pipeline
     // never does).
     "q_minhash_incremental" -> ((s, d) => {
-      val (atRestBands, atRestSh) = graft.operators.IndexRegistry.minhashAtRest(s, d)
+      val (atRestBands, atRestSh, nPart) =
+        graft.operators.IndexRegistry.minhashAtRest(s, d)
       val newSh = Dedup.shingleSets(
         Tables.documents(s, d).filter(col("doc_id") % 5 === 0), n = 3)
-      Dedup.minHashIncrementalPairs(newSh, atRestBands, atRestSh)
+      Dedup.minHashIncrementalPairs(newSh, atRestBands, atRestSh,
+        bandBuckets = nPart)
     }),
     // Contract form: sketches ⋈ distributed-rank exact twin + bound
     // booleans. Operator: per-source KLL build, corpus merge, quantile
@@ -6235,12 +6273,14 @@ object SparkEntry {
                 true AS parity_ok
          FROM embeddings WHERE vec_id < 32""",
 
-    // Auto-nLists replay: the exact integer capacity rule as a CASE over
-    // the corpus count (generated from the SAME constants as the
-    // operator), recall floor asserted in-plan.
+    // Auto-nLists + auto-nProbe replay: BOTH exact integer capacity
+    // rules as CASEs over the corpus count (generated from the SAME
+    // constants as the operator), recall floor asserted in-plan.
     "q_ivf_auto_nlists" ->
       s"""SELECT CAST(${graft.operators.IvfIndex.autoNListsCaseSql("count(*)")} AS INT)
                    AS selected_nlists,
+                 CAST(${graft.operators.IvfIndex.autoNProbeCaseSql("count(*)")} AS INT)
+                   AS ruled_nprobe,
                  CAST(count(DISTINCT vec_id) FILTER (WHERE vec_id < 32) AS BIGINT)
                    AS n_queries,
                  true AS recall_ok
@@ -7536,6 +7576,11 @@ object SparkEntry {
     // allocation chain, dyadic multipliers from the shared formula.
     "q_repeat_epochs" -> graft.operators.Curation.repeatEpochsSql(
       MixtureWeights.view.mapValues(_.toLong).toMap),
+
+    // Chained mixture-plan replay: the reweight prelude's weight CASE
+    // feeds the micro-weight CTE that drives both allocator chains —
+    // all three stage oracles from the shared generators.
+    "q_mixture_plan" -> graft.operators.Curation.mixturePlanSql(),
 
     // Brute-force quadratic replay of the prefix-filter near checks (the
     // driver runs oracles at sf0.01 only); same 6-dp rounded Jaccard, same
@@ -10449,9 +10494,11 @@ object SparkEntry {
     "q_louvain_refine" -> graft.operators.Clustering.louvainRefineOracleSql(
       8, 5, 64, graft.operators.Clustering.SemDedupTau, lpaIters = 3),
 
-    // Iterated refinement replay: three unrolled mutual-best rounds.
+    // Iterated refinement replay: three unrolled mutual-best rounds plus
+    // the fixed-point certificate (a fourth gains chain, count = 0).
     "q_louvain_rounds" -> graft.operators.Clustering.louvainRefineOracleSql(
-      8, 5, 64, graft.operators.Clustering.SemDedupTau, lpaIters = 3, rounds = 3),
+      8, 5, 64, graft.operators.Clustering.SemDedupTau, lpaIters = 3, rounds = 3,
+      convergedCol = true),
 
     // Dimension-truncation curve: one replayed rank chain per prefix
     // length vs the proven full-dimension gold chain.
@@ -10511,6 +10558,10 @@ object SparkEntry {
     // DP release: same suppression gate + the same inverse-CDF Laplace
     // sequence with literals generated from shared constants.
     "q_dp_release" -> graft.operators.Privacy.dpReleaseSql(k = graft.operators.Privacy.DefaultK, eps = 0.5),
+
+    // Composition accountant replay: the same BIGINT micro-unit prefix
+    // chain; ln(1/δ) and the budget interpolated from shared constants.
+    "q_dp_accountant" -> graft.operators.Privacy.dpAccountantSql(),
 
     // Streaming k-anonymity monitor: the (nation, segment) class-size
     // histogram replayed in plain SQL; parity pinned (streamed counts ≡

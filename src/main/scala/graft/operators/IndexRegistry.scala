@@ -145,8 +145,15 @@ object IndexRegistry {
     * (doc_id % 5 != 0): `(doc_id, band, bucket)` banding rows plus the
     * shingle sets the exact-Jaccard verify step joins back to — the two
     * tables [[Dedup.minHashIncrementalPairs]] probes, persisted exactly as
-    * the ingest stream persists them. Returns (bands, shingles). */
-  def minhashAtRest(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    * the ingest stream persists them. Returns (bands, shingles, the
+    * layout's partition count from [[Dedup.autoBandBuckets]] — probes
+    * must plan buckets with the SAME N the writer used). */
+  def minhashAtRest(spark: SparkSession, dir: String): (DataFrame, DataFrame, Int) = {
+    // the capacity rule sizes the partition count from the accepted
+    // corpus (legacy 16 at the verify SFs); the count rides back to the
+    // caller so the probe's bucket planning uses the layout's own N
+    val nPart = Dedup.autoBandBuckets(
+      Tables.documents(spark, dir).filter(!isNew("doc_id")).count() * 16L)
     val d = Staging.dir("idx-minhash", dir) { f =>
       val oldSh = Dedup
         .shingleSets(Tables.documents(spark, dir).filter(!isNew("doc_id")), n = 3)
@@ -154,11 +161,11 @@ object IndexRegistry {
       // partitioned by the band-hash bucket so a batch probe prunes at
       // rest; repartition on the key first so each bucket dir gets ONE
       // file instead of a per-task dynamic-partition fan-out
-      Dedup.bandRows(oldSh).withColumn("pbkt", Dedup.bandPartition())
+      Dedup.bandRows(oldSh).withColumn("pbkt", Dedup.bandPartition(nPart))
         .repartition(col("pbkt"))
         .write.partitionBy("pbkt").parquet(new java.io.File(f, "bands").toString)
     }
     (spark.read.parquet(new java.io.File(d, "bands").toString),
-      spark.read.parquet(new java.io.File(d, "shingles").toString))
+      spark.read.parquet(new java.io.File(d, "shingles").toString), nPart)
   }
 }

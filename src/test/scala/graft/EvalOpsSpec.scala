@@ -141,6 +141,49 @@ class EvalOpsSpec extends AnyFunSuite with SparkSpec {
     assert(out(3) == (0.0, true))
   }
 
+  test("dpAccountant: exact basic/zCDP bounds, the tighter charged, planted over-budget flips the flag") {
+    // planted ledger: 60 releases of ε = 0.5 each (eps_micro 500000),
+    // nation 0..59, one segment — basic crosses the 2.0 budget at
+    // release 5, and the √k zCDP bound overtakes basic past
+    // k ≈ 2·ln(1/δ)/(1 − ε/2)² ≈ 49, so BOTH regimes appear in one
+    // table
+    val led = (0 until 60).map(n => (n, "A", 500000L))
+      .toDF("nation", "segment", "eps_micro")
+    val out = Privacy.dpAccountant(led).collect()
+      .map(r => r.getAs[Long]("n_releases") -> r).toMap
+    val lnInvDelta = math.log(1.0 / Privacy.DefaultDeltaTarget)
+    def zcdp(k: Int): Double = {
+      val rho = k * 0.125 // k · ε²/2 = k · 0.25/2
+      // HALF_UP at 6dp — the same rounding Spark's round() applies
+      BigDecimal(rho + 2.0 * math.sqrt(rho * lnInvDelta))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    // exact basic prefix: k · 0.5
+    assert(out(1L).getAs[Double]("eps_basic") == 0.5 &&
+      out(4L).getAs[Double]("eps_basic") == 2.0 &&
+      out(60L).getAs[Double]("eps_basic") == 30.0)
+    // the flag flips exactly where the tighter bound crosses 2.0:
+    // release 4 spends 2.0 (within), release 5 spends 2.5 (over)
+    assert(out(4L).getAs[Boolean]("within_budget"))
+    assert(!out(5L).getAs[Boolean]("within_budget"))
+    // zCDP matches the closed form, is looser than basic early and
+    // TIGHTER past the crossover; eps_spent = min
+    (1 to 60).foreach { k =>
+      val r = out(k.toLong)
+      assert(r.getAs[Double]("eps_zcdp") == zcdp(k))
+      assert(r.getAs[Double]("eps_spent") ==
+        math.min(r.getAs[Double]("eps_basic"), r.getAs[Double]("eps_zcdp")))
+    }
+    assert(out(5L).getAs[Double]("eps_zcdp") > out(5L).getAs[Double]("eps_basic"))
+    assert(out(60L).getAs[Double]("eps_zcdp") < out(60L).getAs[Double]("eps_basic"))
+    // spend is monotone nondecreasing in the release count (both
+    // bounds accumulate), so once over budget, always over
+    (2 to 60).foreach { k =>
+      assert(out(k.toLong).getAs[Double]("eps_spent") >=
+        out(k.toLong - 1).getAs[Double]("eps_spent"))
+    }
+  }
+
   test("dpoPairsCapped: per-chosen cap, margin threshold, top-gap selection vs a driver reference") {
     // 40 docs, one (lang, source); unique-token count varies 1..13 so
     // cells contain many margin-qualified partners per chosen

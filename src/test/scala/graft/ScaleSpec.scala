@@ -320,6 +320,48 @@ class ScaleSpec extends AnyFunSuite with SparkSpec {
     assert(rows(idx.assigned) == rows(fixed.assigned))
   }
 
+  test("auto-nProbe: the search rule moves with the tier and is non-exhaustive past the tiny SFs") {
+    import graft.operators.IvfIndex
+    // the candidate-tier values: 2·⌈√nLists⌉ capped at nLists
+    assert(Seq(4, 8, 16, 32, 64, 128).map(IvfIndex.autoNProbe) ==
+      Seq(4, 6, 8, 12, 16, 24))
+    // exhaustive ONLY at the tiny tier; at the 10x tier (128 lists) the
+    // rule probes 24/128 — recall floors there are real capacity
+    // evidence, not the probe-everything limit
+    assert(IvfIndex.autoNProbe(4) == 4)
+    Seq(8, 16, 32, 64, 128).foreach(nl => assert(IvfIndex.autoNProbe(nl) < nl))
+    // monotone in the tier, and sublinear: doubling nLists grows the
+    // probe count by strictly less than 2x at every step past the cap
+    val probes = Seq(8, 16, 32, 64, 128).map(IvfIndex.autoNProbe)
+    probes.sliding(2).foreach { case Seq(a, b) => assert(a < b && b < 2 * a) }
+    // the composed count→nLists→nProbe rule moves across the SHIPPED
+    // corpora: sf0.001/sf0.01 (500 vectors → 4 lists → probe all 4) vs
+    // sf0.1 (2000 → 16 lists → probe 8)
+    val nSmall = Tables.embeddings(spark, sf).count()
+    val nBig = Tables.embeddings(spark, "/root/testdata/sf0.1").count()
+    assert(IvfIndex.autoNProbe(IvfIndex.autoNLists(nSmall)) == 4)
+    assert(IvfIndex.autoNProbe(IvfIndex.autoNLists(nBig)) == 8)
+  }
+
+  test("autoBandBuckets: occupancy rule holds the legacy N at the verify SFs and re-tiers past them") {
+    val D = graft.operators.Dedup
+    // legacy floor at and below the shipped sizes: sf0.01 = 500 docs x
+    // 16 bands = 8,000 rows, sf0.1 = 80,000 rows (the 5,000-occupancy
+    // boundary exactly)
+    assert(D.autoBandBuckets(8000L) == 16)
+    assert(D.autoBandBuckets(80000L) == 16)
+    // growth re-tiers: 10x the sf0.1 index → 160 partitions; ceil, not
+    // floor; capped at 4096 so probe planning stays config-bounded
+    assert(D.autoBandBuckets(80001L) == 17)
+    assert(D.autoBandBuckets(800000L) == 160)
+    assert(D.autoBandBuckets(1000000000L) == 4096)
+    // the rule's N applied to the shipped corpora equals the legacy
+    // layout, so gate behavior is unchanged where oracles run
+    val n01 = Tables.documents(spark, sf).count()
+    val n1 = Tables.documents(spark, "/root/testdata/sf0.1").count()
+    assert(D.autoBandBuckets(n01 * 16) == 16 && D.autoBandBuckets(n1 * 16) == 16)
+  }
+
   test("streaming SemDeDup ingest: streamed prune table equals whole-corpus semDedup, any batch split") {
     val cl = graft.operators.Clustering
     // 3 batches (odd split: exercises cross-batch probe AND in-batch
