@@ -5324,6 +5324,14 @@ object SparkEntry {
       graft.operators.Privacy.dpAccountant(
         graft.operators.Privacy.dpAccountantLedger(Tables.customer(s, d)))),
 
+    // CONTINUOUS DP accounting — the accountant's monitor face: the
+    // ledger's classes are discovered on arrival (complete-mode QI
+    // counts, model-sized state), the readout runs the same shared ε
+    // rule + accountant expression tree, and the exact-BIGINT prefix
+    // arithmetic makes streamed ≡ batch bit-for-bit (asserted in-plan).
+    "q_dp_accountant_stream" -> ((s, d) =>
+      graft.streaming.KAnonStream.runStreamDpAccountant(s, d)),
+
     // Differentially-private release composition: suppress classes under
     // the k-anonymity floor, Laplace(1/ε)-noise the surviving counts
     // (deterministic inverse-CDF over a portable-hash uniform — the
@@ -10562,6 +10570,11 @@ object SparkEntry {
     // Composition accountant replay: the same BIGINT micro-unit prefix
     // chain; ln(1/δ) and the budget interpolated from shared constants.
     "q_dp_accountant" -> graft.operators.Privacy.dpAccountantSql(),
+
+    // Streaming accountant replay: identical table (exact integer
+    // arithmetic merges exactly), parity boolean pinned.
+    "q_dp_accountant_stream" ->
+      graft.operators.Privacy.dpAccountantSql(parityCol = true),
 
     // Streaming k-anonymity monitor: the (nation, segment) class-size
     // histogram replayed in plain SQL; parity pinned (streamed counts ≡

@@ -289,14 +289,19 @@ object Privacy {
     * exercises HETEROGENEOUS composition. Laplace ⇒ every per-release
     * δ_i = 0. Ledger size = distinct (nation, segment) — release-log-
     * sized, never data-sized. */
+  /** The ledger's per-release ε in integer micro-units — ONE Column
+    * tree shared by the batch ledger and the streaming monitor, so the
+    * two faces cannot drift. */
+  def releaseEpsMicro(nation: Column, segment: Column): Column =
+    (lit(100000L) + lit(50000L) * pmod(nation + length(segment), lit(4)))
+      .cast("long")
+
   def dpAccountantLedger(customer: DataFrame): DataFrame =
     customer
       .select(col("c_nationkey").as("nation"), col("c_mktsegment").as("segment"))
       .distinct()
       .select(col("nation"), col("segment"),
-        (lit(100000L) + lit(50000L) *
-          pmod(col("nation") + length(col("segment")), lit(4))).cast("long")
-          .as("eps_micro"))
+        releaseEpsMicro(col("nation"), col("segment")).as("eps_micro"))
 
   /** (ε, δ) composition accountant over a release ledger — the budget
     * meter a DP release campaign runs: after each release, how much ε
@@ -352,7 +357,8 @@ object Privacy {
     * the same integer prefix chain with ln(1/δ) and the budget
     * interpolated from the same constants. */
   def dpAccountantSql(epsBudget: Double = DefaultEpsBudget,
-      deltaTarget: Double = DefaultDeltaTarget): String = {
+      deltaTarget: Double = DefaultDeltaTarget,
+      parityCol: Boolean = false): String = {
     val l = math.log(1.0 / deltaTarget)
     val rhoD = "(CAST(s2 AS DOUBLE) / CAST(2000000000000.0 AS DOUBLE))"
     val epsBasic = "round(CAST(sb AS DOUBLE) / CAST(1000000.0 AS DOUBLE), 6)"
@@ -376,7 +382,8 @@ object Privacy {
        |       $epsBasic AS eps_basic,
        |       $epsZcdp AS eps_zcdp,
        |       least($epsBasic, $epsZcdp) AS eps_spent,
-       |       (least($epsBasic, $epsZcdp) <= CAST($epsBudget AS DOUBLE)) AS within_budget
+       |       (least($epsBasic, $epsZcdp) <= CAST($epsBudget AS DOUBLE)) AS within_budget${
+            if (parityCol) ",\n       true AS parity_ok" else ""}
        |FROM pre ORDER BY nation, segment""".stripMargin
   }
 }

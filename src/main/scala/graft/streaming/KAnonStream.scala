@@ -151,4 +151,56 @@ object KAnonStream {
         StructField("parity_ok", BooleanType, nullable = false))))
       .orderBy(col("class_size"))
   }
+
+  /** CONTINUOUS DP-budget accounting — the streaming face of
+    * [[graft.operators.Privacy.dpAccountant]]: as customer records flow,
+    * the monitor discovers the release ledger's classes ON ARRIVAL (a
+    * new (nation, segment) class appearing in the stream is a new
+    * release on the ledger) and re-meters the campaign's ε spend each
+    * trigger — the budget-exceeded page fires when the class arrives,
+    * not at the next offline audit. State is the fixed QI grid's
+    * integer counts (complete mode, model-sized); the readout applies
+    * the SAME shared ε rule ([[graft.operators.Privacy.releaseEpsMicro]])
+    * and the SAME accountant expression tree, and the accountant's
+    * arithmetic is exact BIGINT prefix sums, so streamed ≡ batch is
+    * bit-for-bit under any micro-batch slicing (asserted in-plan,
+    * `parity_ok`) and the table hash-matches the batch oracle with the
+    * parity column appended. */
+  def runStreamDpAccountant(
+      spark: SparkSession, dir: String, nBatches: Int = 4,
+      epsBudget: Double = graft.operators.Privacy.DefaultEpsBudget,
+      deltaTarget: Double = graft.operators.Privacy.DefaultDeltaTarget,
+      assertParity: Boolean = true): DataFrame = {
+    val staged = stagedCustomers(spark, dir, nBatches)
+    val name = "q_dp_accountant_stream_sink"
+
+    val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", StreamShuffleWidth)
+    try {
+      val q = spark.readStream.schema(customerStreamSchema(spark, dir))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged.toString)
+        .groupBy(col("c_nationkey").as("nation"), col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("n"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+
+    // streamed state: the fixed QI grid — model-sized
+    val cur = spark.table(name)
+    val parityOk = !assertParity || {
+      def keys(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+        (r.getAs[Number]("nation").longValue(), r.getAs[String]("segment"))).toSet
+      keys(cur.collect()) == keys(Tables.customer(spark, dir)
+        .select(col("c_nationkey").as("nation"), col("c_mktsegment").as("segment"))
+        .distinct().collect())
+    }
+    val ledger = cur.select(col("nation"), col("segment"),
+      graft.operators.Privacy.releaseEpsMicro(col("nation"), col("segment"))
+        .as("eps_micro"))
+    graft.operators.Privacy.dpAccountant(ledger, epsBudget, deltaTarget)
+      .withColumn("parity_ok", lit(parityOk))
+      .orderBy(col("nation"), col("segment"))
+  }
 }

@@ -501,6 +501,23 @@ class ScaleSpec extends AnyFunSuite with SparkSpec {
     assert(got.map(key).toSeq == batch.map(key).toSeq)
   }
 
+  test("streaming DP accountant: streamed spend table equals the batch accountant, any split") {
+    // 3 batches (different split from the contract query's 4); ledger
+    // class-set parity asserted in-plan inside the run
+    val got = graft.streaming.KAnonStream
+      .runStreamDpAccountant(spark, sf, nBatches = 3).collect()
+    assert(got.nonEmpty && got.forall(_.getAs[Boolean]("parity_ok")))
+    val batch = graft.operators.Privacy.dpAccountant(
+      graft.operators.Privacy.dpAccountantLedger(Tables.customer(spark, sf)))
+      .collect()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Number]("nation").longValue(), r.getAs[String]("segment"),
+        r.getAs[Double]("eps"), r.getAs[Long]("n_releases"),
+        r.getAs[Double]("eps_basic"), r.getAs[Double]("eps_zcdp"),
+        r.getAs[Double]("eps_spent"), r.getAs[Boolean]("within_budget"))
+    assert(got.map(key).toSeq == batch.map(key).toSeq)
+  }
+
   test("streaming mixture-reweight monitor: streamed EG weights equal the batch fold, any split") {
     // 4 batches (different split from the contract query's 3); decimal
     // state parity asserted in-plan inside the run
