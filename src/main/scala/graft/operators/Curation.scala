@@ -329,6 +329,15 @@ object Curation {
     * q_louvain_rounds lesson). */
   def mixturePlanSql(epochsBudgetPct: Int = 200, wfBudgetPct: Int = 90,
       maxEpochs: Int = 4): String = {
+    // the operator's stage preconditions, enforced at generation time
+    // too: wfBudgetPct >= 100 would leave the waterfill cut CTE empty
+    // and silently collapse the oracle to zero rows instead of failing
+    require(epochsBudgetPct >= 1,
+      s"mixturePlanSql: epochsBudgetPct >= 1, got $epochsBudgetPct")
+    require(wfBudgetPct >= 1 && wfBudgetPct < 100,
+      s"mixturePlanSql: wfBudgetPct in [1, 100), got $wfBudgetPct")
+    require(maxEpochs >= 1 && maxEpochs <= 16,
+      s"mixturePlanSql: maxEpochs=$maxEpochs")
     val (ctes, weightCase) = reweightCtes(ReweightEta, ReweightIters)
     val effExpr = epochEffExpr("f2", maxEpochs)
     s"""WITH $ctes,
@@ -473,9 +482,12 @@ object Curation {
     * the same fixed order on both callers, so streamed ≡ batch is
     * bitwise. Sources in the fixed vocabulary but absent from the slice
     * zero-fill (n_docs=0, avg_quality=0.0 ⇒ excess 1.0 — an absent
-    * source looks maximally under-served, the EG-natural reading);
-    * names outside the vocabulary have no weight slot and are dropped
-    * (they never enter the mixture). On the verify corpora all sources
+    * source looks maximally under-served, the EG-natural reading — a
+    * corpus SLICE degrades gracefully). Names OUTSIDE the vocabulary
+    * still fail fast: an unknown name means the source domain moved
+    * upstream (e.g. a rename), and dropping it silently while its old
+    * name zero-fills to the maximal weight would shift the whole
+    * mixture with no error anywhere. On the verify corpora all sources
     * are present, so the aligned path is byte-identical to the strict
     * one there. */
   private[graft] def egReweightTable(
@@ -483,6 +495,9 @@ object Curation {
       perSrcRaw: IndexedSeq[(String, Long, Double)],
       eta: Double, iters: Int, sources: IndexedSeq[String]): DataFrame = {
     import org.apache.spark.sql.types._
+    val extra = perSrcRaw.map(_._1).toSet -- sources.toSet
+    require(extra.isEmpty,
+      s"egReweightTable: sources outside the fixed vocabulary — domain moved upstream: ${extra.toSeq.sorted}")
     val bySrc = perSrcRaw.iterator.map(t => t._1 -> t).toMap
     val perSrc = sources.map(s => bySrc.getOrElse(s, (s, 0L, 0.0)))
     val excess = perSrc.map { case (_, _, q) => r6(1.0 - q) }

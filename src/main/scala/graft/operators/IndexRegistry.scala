@@ -149,15 +149,18 @@ object IndexRegistry {
     * layout's partition count from [[Dedup.autoBandBuckets]] — probes
     * must plan buckets with the SAME N the writer used). */
   def minhashAtRest(spark: SparkSession, dir: String): (DataFrame, DataFrame, Int) = {
-    // the capacity rule sizes the partition count from the accepted
-    // corpus (legacy 16 at the verify SFs); the count rides back to the
-    // caller so the probe's bucket planning uses the layout's own N
-    val nPart = Dedup.autoBandBuckets(
-      Tables.documents(spark, dir).filter(!isNew("doc_id")).count() * 16L)
     val d = Staging.dir("idx-minhash", dir) { f =>
       val oldSh = Dedup
         .shingleSets(Tables.documents(spark, dir).filter(!isNew("doc_id")), n = 3)
       oldSh.write.parquet(new java.io.File(f, "shingles").toString)
+      // the capacity rule sizes the partition count from the accepted
+      // corpus AT WRITE TIME (legacy 16 at the verify SFs) and the N is
+      // RECORDED WITH THE LAYOUT — the probe-planning invariant ("use
+      // the writer's N") must survive a persisted index and a changed
+      // occupancy constant, not rely on re-deriving the same value
+      val nPart = Dedup.autoBandBuckets(oldSh.count() * 16L)
+      java.nio.file.Files.writeString(
+        new java.io.File(f, "npart").toPath, nPart.toString)
       // partitioned by the band-hash bucket so a batch probe prunes at
       // rest; repartition on the key first so each bucket dir gets ONE
       // file instead of a per-task dynamic-partition fan-out
@@ -165,6 +168,9 @@ object IndexRegistry {
         .repartition(col("pbkt"))
         .write.partitionBy("pbkt").parquet(new java.io.File(f, "bands").toString)
     }
+    // read the layout's own N back (no corpus rescan on memoized calls)
+    val nPart = java.nio.file.Files
+      .readString(new java.io.File(d, "npart").toPath).trim.toInt
     (spark.read.parquet(new java.io.File(d, "bands").toString),
       spark.read.parquet(new java.io.File(d, "shingles").toString), nPart)
   }

@@ -67,12 +67,15 @@ object ProbeAutoNLists {
         (System.nanoTime() - t0) / 1e9
       }
       val wall = Seq(once(), once()).min
-      // recall@3 at the RULED nProbe vs the exact twin, on a bounded
-      // 64-query hash sample — the search-side capacity evidence: at 1x
-      // the rule probes 8/16, at 10x 24/128 (non-exhaustive on BOTH
-      // sides), so a held recall here is real, not the probe-everything
-      // limit. The exact twin is |Qs|·n — bounded by the sample.
-      val qs = emb.filter(pmod(xxhash64(col("vec_id")), lit(1000L)) < 32)
+      // recall@3 at the RULED nProbe vs the exact twin, on a BOUNDED
+      // hash sample (~64 queries at EVERY corpus size — the threshold
+      // scales inversely with n, so the exact twin stays |Qs|·n ≈ 64·n,
+      // linear in the corpus, not quadratic). The search-side capacity
+      // evidence: at 1x the rule probes 8/16, at 10x 24/128
+      // (non-exhaustive on BOTH sides), so a held recall here is real,
+      // not the probe-everything limit.
+      val qThresh = math.max(1L, 64L * 1000L / n)
+      val qs = emb.filter(pmod(xxhash64(col("vec_id")), lit(1000L)) < qThresh)
         .localCheckpoint(true)
       val nQ = qs.count()
       val exact = graft.operators.Similarity.bruteForceKnn(qs, emb, k = 3)

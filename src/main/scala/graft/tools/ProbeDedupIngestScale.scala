@@ -42,9 +42,10 @@ object ProbeDedupIngestScale {
   private val Off = 10000000000L
   private val Reps = 10
 
-  private def tagged(docs: DataFrame, rep: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+  private def tagged(text: org.apache.spark.sql.Column,
+      rep: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     array_join(
-      transform(split(col("text"), " "),
+      transform(split(text, " "),
         t => concat(lit("r"), rep.cast("string"), lit("_"), t)),
       " ")
 
@@ -67,13 +68,13 @@ object ProbeDedupIngestScale {
     val src = spark.read.parquet(s"$base/documents.parquet")
       .select(col("doc_id"), col("text"))
     if (!new java.io.File(oneDir).exists())
-      src.select(col("doc_id"), tagged(src, lit(0)).as("text"))
+      src.select(col("doc_id"), tagged(col("text"), lit(0)).as("text"))
         .write.parquet(oneDir)
     if (!new java.io.File(tenDir).exists()) {
       val reps = explode(typedLit((0 until Reps).toArray)).as("__r")
       src.select(col("*"), reps)
         .select((col("doc_id") + col("__r") * Off).as("doc_id"),
-          tagged(src, col("__r")).as("text"))
+          tagged(col("text"), col("__r")).as("text"))
         .write.parquet(tenDir)
     }
 
@@ -82,7 +83,7 @@ object ProbeDedupIngestScale {
     // every side)
     val trigger = src.filter(col("doc_id") < 4)
       .select((col("doc_id") + lit(99L) * Off).as("doc_id"),
-        tagged(src, lit(0)).as("text"))
+        tagged(col("text"), lit(0)).as("text"))
       .select(col("doc_id"),
         when(size(split(col("text"), " ")) > 1,
           array_join(slice(split(col("text"), " "), lit(1),

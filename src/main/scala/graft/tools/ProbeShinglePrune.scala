@@ -109,6 +109,18 @@ object ProbeShinglePrune {
       .queryExecution.executedPlan.toString
     println(f"sbkt as join attribute        wall(min3)=$w2%6.3f s  " +
       s"dynamicpruning=${plan2.contains("dynamicpruning")}")
+    // the scan-side evidence the wall numbers can't carry at this scale:
+    // the shingle FileScan's PartitionFilters line (empty ⇒ the whole
+    // store is scanned), plus what a fired pruning WOULD have read —
+    // rows in the candidate buckets vs the full store
+    plan2.linesIterator.filter(_.contains("PartitionFilters"))
+      .foreach(l => println("  scan: " + l.trim.take(160)))
+    val candBkts = cands2.select(col("sb_a")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val pruned = sh.filter(col("sbkt").isin(candBkts: _*)).count()
+    val full = sh.count()
+    println(f"  full store=$full%d rows; candidate buckets ${candBkts.length}%d/$M " +
+      f"hold $pruned%d rows (${100.0 * pruned / full}%.1f%% — what a fired pruning would scan)")
     spark.stop()
   }
 }

@@ -453,6 +453,30 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(out("a")._2 == w(0) && out("b")._2 == w(1))
   }
 
+  test("mixtureReweight domain guard: an absent source zero-fills, an unknown name fails fast") {
+    val C = graft.operators.Curation
+    val docs = (0L until 5L)
+      .map(i => (i, "the cat sat on the mat", "a"))
+      .toDF("doc_id", "text", "source")
+    // "b" is in the vocabulary but absent from the slice: zero-fill —
+    // n_docs 0, excess 1.0 (maximally under-served), weights still sum
+    val out = C.mixtureReweight(spark, docs, eta = 1.0, iters = 5,
+        sources = IndexedSeq("a", "b")).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Double]("excess"))).toMap
+    assert(out("b") == (0L, 1.0) && out("a")._1 == 5L)
+    // a name OUTSIDE the vocabulary means the domain moved upstream
+    // (e.g. a rename): fail fast, never silently shift the mixture
+    val renamed = (0L until 5L)
+      .map(i => (i, "the cat sat on the mat", "a-renamed"))
+      .toDF("doc_id", "text", "source")
+    val e = intercept[IllegalArgumentException] {
+      C.mixtureReweight(spark, renamed, eta = 1.0, iters = 5,
+        sources = IndexedSeq("a", "b"))
+    }
+    assert(e.getMessage.contains("domain moved"))
+  }
+
   test("repeatEpochs: dedup counts uniques, epochs from the request, dyadic pricing, cap binds") {
     val C = graft.operators.Curation
     // source a: two distinct 5-token texts, one duplicated (U=10, tot=15);
