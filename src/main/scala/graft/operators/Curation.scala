@@ -309,8 +309,12 @@ object Curation {
       .join(wf.select(col("source"), col("avail_tokens"), col("alloc_tokens"),
         col("saturated")), Seq("source"))
       .localCheckpoint(false) // one barrier: plan rows + the invariant rollup
+    // the simplex invariant lives on the FULL-vocabulary weight table:
+    // the joined plan only carries sources present in the corpus, and a
+    // slice missing a source must not read as a simplex violation
+    val wsum = rw.agg(
+      (abs(sum(col("weight")) - lit(1.0)) <= lit(2.0e-5)).as("weights_sum_ok"))
     val inv = plan.agg(
-      (abs(sum(col("weight")) - lit(1.0)) <= lit(2.0e-5)).as("weights_sum_ok"),
       (sum(when(col("effective_tokens") >
         col("request_tokens").cast("double"), 1L).otherwise(0L)) === 0L)
         .as("priced_within_request"),
@@ -318,7 +322,8 @@ object Curation {
         .as("alloc_within_avail"),
       (sum(col("alloc_tokens")) * lit(100L) <=
         sum(col("avail_tokens")) * lit(wfBudgetPct.toLong)).as("alloc_within_budget"))
-    plan.crossJoin(broadcast(inv)).orderBy(col("source"))
+    plan.crossJoin(broadcast(wsum)).crossJoin(broadcast(inv))
+      .orderBy(col("source"))
   }
 
   /** DuckDB oracle for [[mixturePlan]] — the three stage oracles
@@ -409,10 +414,12 @@ object Curation {
        |  FROM wm
        |  JOIN f2 ON f2.source = wm.source
        |  JOIN wf3 ON wf3.source = wm.source),
-       |inv AS MATERIALIZED (
+       |wsum AS MATERIALIZED (
        |  SELECT (abs(sum(weight) - CAST(1.0 AS DOUBLE)) <= CAST(2.0e-5 AS DOUBLE))
-       |           AS weights_sum_ok,
-       |         (sum(CASE WHEN effective_tokens > CAST(request_tokens AS DOUBLE)
+       |           AS weights_sum_ok
+       |  FROM wm),
+       |inv AS MATERIALIZED (
+       |  SELECT (sum(CASE WHEN effective_tokens > CAST(request_tokens AS DOUBLE)
        |                   THEN 1 ELSE 0 END) = 0) AS priced_within_request,
        |         (sum(CASE WHEN alloc_tokens > avail_tokens THEN 1 ELSE 0 END) = 0)
        |           AS alloc_within_avail,
@@ -420,7 +427,7 @@ object Curation {
        |          CAST(sum(avail_tokens) AS HUGEINT) * $wfBudgetPct)
        |           AS alloc_within_budget
        |  FROM plan0)
-       |SELECT plan0.*, inv.* FROM plan0, inv ORDER BY source""".stripMargin
+       |SELECT plan0.*, wsum.*, inv.* FROM plan0, wsum, inv ORDER BY source""".stripMargin
   }
 
   /** The corpus's source domain — a fixed 20-name vocabulary on the

@@ -477,6 +477,34 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(e.getMessage.contains("domain moved"))
   }
 
+  test("mixturePlan: invariant booleans hold on random corpus slices, absent sources included") {
+    val C = graft.operators.Curation
+    val rnd = new scala.util.Random(7)
+    (1 to 3).foreach { _ =>
+      // a random 2-5 source slice of the fixed vocabulary: most of the
+      // 20 sources are ABSENT, so the simplex invariant must be read
+      // off the full-vocabulary weight table, not the joined plan rows
+      val srcs = rnd.shuffle(C.Sources).take(2 + rnd.nextInt(4))
+      val docs = (0L until (10L + rnd.nextInt(30))).map { i =>
+        val words = (0 to 3 + rnd.nextInt(12)).map(_ => s"w${rnd.nextInt(20)}")
+          .mkString(" ")
+        (i, words, srcs((i % srcs.length).toInt))
+      }.toDF("doc_id", "text", "source")
+      val out = C.mixturePlan(spark, docs).collect()
+      assert(out.nonEmpty && out.length == srcs.length)
+      out.foreach { r =>
+        assert(r.getAs[Boolean]("weights_sum_ok"))
+        assert(r.getAs[Boolean]("priced_within_request"))
+        assert(r.getAs[Boolean]("alloc_within_avail"))
+        assert(r.getAs[Boolean]("alloc_within_budget"))
+        // the row-level facts behind the rollup booleans
+        assert(r.getAs[Double]("effective_tokens") <=
+          r.getAs[Long]("request_tokens").toDouble)
+        assert(r.getAs[Long]("alloc_tokens") <= r.getAs[Long]("avail_tokens"))
+      }
+    }
+  }
+
   test("repeatEpochs: dedup counts uniques, epochs from the request, dyadic pricing, cap binds") {
     val C = graft.operators.Curation
     // source a: two distinct 5-token texts, one duplicated (U=10, tot=15);
