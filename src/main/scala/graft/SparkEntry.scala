@@ -2914,6 +2914,16 @@ object SparkEntry {
     "q_mixture_plan" -> ((s, d) =>
       graft.operators.Curation.mixturePlan(s, Tables.documents(s, d))),
 
+    // The COUPLED plan — waterfill over PRICED availability: each
+    // source's supply is ⌊effective_tokens⌋ from the epoch pricing
+    // (exact-integer dyadic floor), so alloc ≤ effective by
+    // construction and the budget is spent in value units — the
+    // allocator a production run couples to its pricing. Shared
+    // generators end-to-end (reweight prelude, epochs chain, waterfill
+    // fold); invariants include the coupling (alloc_within_effective).
+    "q_mixture_plan_v2" -> ((s, d) =>
+      graft.operators.Curation.mixturePlanV2(s, Tables.documents(s, d))),
+
     // Incremental (batch-vs-corpus) dedup with reason-coded statuses; the
     // corpus/batch split is the id midpoint, derived like orderSpan.
     "q_incremental_dedup" -> ((s, d) => {
@@ -5335,6 +5345,18 @@ object SparkEntry {
     "q_dp_accountant_stream" -> ((s, d) =>
       graft.streaming.KAnonStream.runStreamDpAccountant(s, d)),
 
+    // Heterogeneous (ε, δ) composition — the production ledger of mixed
+    // Laplace + GAUSSIAN releases: basic composition sums BOTH axes
+    // (Σε, Σδ), so a Gaussian campaign can exhaust the δ budget while ε
+    // is cheap; the zCDP path (ρ adds regardless of mechanism) stays
+    // valid at the fixed conversion δ. All three regimes visible on the
+    // shipped ledger: ε binds basic near release 12, zCDP overtakes in
+    // the tail, Σδ crosses the δ budget late. Exact BIGINT prefix sums
+    // in micro/nano/micro² units; hash-exact oracle.
+    "q_dp_accountant_hetero" -> ((s, d) =>
+      graft.operators.Privacy.dpAccountantHetero(
+        graft.operators.Privacy.dpAccountantHeteroLedger(Tables.customer(s, d)))),
+
     // Differentially-private release composition: suppress classes under
     // the k-anonymity floor, Laplace(1/ε)-noise the surviving counts
     // (deterministic inverse-CDF over a portable-hash uniform — the
@@ -7592,6 +7614,7 @@ object SparkEntry {
     // feeds the micro-weight CTE that drives both allocator chains —
     // all three stage oracles from the shared generators.
     "q_mixture_plan" -> graft.operators.Curation.mixturePlanSql(),
+    "q_mixture_plan_v2" -> graft.operators.Curation.mixturePlanV2Sql(),
 
     // Brute-force quadratic replay of the prefix-filter near checks (the
     // driver runs oracles at sf0.01 only); same 6-dp rounded Jaccard, same
@@ -10573,6 +10596,7 @@ object SparkEntry {
     // Composition accountant replay: the same BIGINT micro-unit prefix
     // chain; ln(1/δ) and the budget interpolated from shared constants.
     "q_dp_accountant" -> graft.operators.Privacy.dpAccountantSql(),
+    "q_dp_accountant_hetero" -> graft.operators.Privacy.dpAccountantHeteroSql(),
 
     // Streaming accountant replay: identical table (exact integer
     // arithmetic merges exactly), parity boolean pinned.
@@ -11284,6 +11308,9 @@ object SparkEntry {
     * a VALID running leftover because every predecessor saturated, so
     * `ORDER BY rn LIMIT 1` over the violated condition is exactly the
     * cutoff; flags past the cutoff are never consulted. */
+  // Supply from raw availability; the fold itself is the SHARED
+  // generator (Curation.waterfillCtes) behind both chained mixture
+  // plans, so the stage oracle cannot desynchronize from them.
   private lazy val mixtureWaterfillSql: String = {
     val wcase = MixtureWeights.toSeq.sortBy(_._1)
       .map { case (src, w) => s"WHEN '$src' THEN ${w.toLong}" }.mkString(" ")
@@ -11292,27 +11319,14 @@ object SparkEntry {
        |a AS (SELECT source, CAST(sum(n_toks) AS BIGINT) AS avail FROM dt GROUP BY 1),
        |sw AS (SELECT source, avail, CAST(CASE source $wcase END AS BIGINT) AS w
        |       FROM a WHERE (CASE source $wcase END) IS NOT NULL),
-       |t AS (SELECT CAST(sum(avail) AS HUGEINT) AS total FROM sw),
-       |r AS (SELECT source, avail, w,
-       |             row_number() OVER (ORDER BY CAST(avail AS DOUBLE) / w, source) AS rn,
-       |             coalesce(sum(avail) OVER (ORDER BY CAST(avail AS DOUBLE) / w, source
-       |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefa,
-       |             sum(w) OVER (ORDER BY CAST(avail AS DOUBLE) / w, source
-       |               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS remw
-       |      FROM sw),
-       |s AS (SELECT r.*, CAST((t.total * 90) // 100 - r.prefa AS HUGEINT) AS lrem FROM r, t),
-       |cut AS (SELECT rn AS crn, lrem AS lc, CAST(remw AS HUGEINT) AS wc FROM s
-       |        WHERE NOT (lrem * w >= CAST(avail AS HUGEINT) * remw)
-       |        ORDER BY rn LIMIT 1)
-       |SELECT s.source AS source, s.avail AS avail_tokens, s.w AS weight,
-       |       CAST(CASE WHEN s.rn < cut.crn THEN s.avail
-       |                 ELSE (cut.lc * s.w) // cut.wc END AS BIGINT) AS alloc_tokens,
-       |       s.rn < cut.crn AS saturated,
-       |       CASE WHEN s.avail > 0
-       |            THEN round(CAST(CASE WHEN s.rn < cut.crn THEN s.avail
-       |                            ELSE (cut.lc * s.w) // cut.wc END AS DOUBLE)
-       |                       / s.avail, 6) END AS rate
-       |FROM s, cut ORDER BY source""".stripMargin
+       |${graft.operators.Curation.waterfillCtes("", "sw", 90)}
+       |SELECT wf.source AS source, wf.avail AS avail_tokens, wf.w AS weight,
+       |       wf.alloc_tokens AS alloc_tokens,
+       |       wf.saturated AS saturated,
+       |       CASE WHEN wf.avail > 0
+       |            THEN round(CAST(wf.alloc_tokens AS DOUBLE) / wf.avail, 6)
+       |            END AS rate
+       |FROM wf ORDER BY source""".stripMargin
   }
 
   private lazy val dataMixtureSql: String = {

@@ -94,31 +94,45 @@ object Curation {
         .withColumn("w", element_at(typedLit(weights), col("source")))
         .filter(col("w").isNotNull), // sources outside the mixture drop
       "mixtureWaterfill")
-    final case class S(src: String, avail: Long, w: Long)
-    val ss = srcRows
-      .map(r => S(r.getString(0), r.getAs[Long]("avail"), r.getAs[Long]("w")))
-      .sortBy(s => (s.avail.toDouble / s.w.toDouble, s.src))
-    val total = ss.iterator.map(s => BigInt(s.avail)).sum
-    val b0 = total * budgetPct / 100 // floor
-    def round6(x: Double): Double = java.math.BigDecimal.valueOf(x)
-      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
-    var lrem = b0
-    var remW = ss.iterator.map(s => BigInt(s.w)).sum
+    val out = waterfillFold(
+      srcRows.map(r => (r.getString(0), r.getAs[Long]("avail"), r.getAs[Long]("w"))),
+      budgetPct)
+      .map { a =>
+        org.apache.spark.sql.Row(a.src, a.avail, a.w, a.alloc, a.saturated,
+          if (a.avail > 0) r6(a.alloc.toDouble / a.avail.toDouble) else null)
+      }
+    spark.createDataFrame(java.util.Arrays.asList(out: _*), outSchema)
+      .orderBy(col("source"))
+  }
+
+  /** One waterfill allocation row of [[waterfillFold]]. */
+  private[graft] final case class WfAlloc(
+      src: String, avail: Long, w: Long, alloc: Long, saturated: Boolean)
+
+  /** The closed-form cutoff scan from [[mixtureWaterfill]]'s docstring,
+    * over an (unsorted) (source, avail, weight) summary — the driver
+    * fold SHARED by [[mixtureWaterfill]] (supply = raw availability)
+    * and [[mixturePlanV2]] (supply = epoch-priced effective tokens), so
+    * the coupled plan cannot drift from the standalone allocator.
+    * Returns rows in ascending avail/w order; callers re-sort. */
+  private[graft] def waterfillFold(
+      rows: Seq[(String, Long, Long)], budgetPct: Int): Seq[WfAlloc] = {
+    val ss = rows.sortBy { case (src, avail, w) => (avail.toDouble / w.toDouble, src) }
+    val total = ss.iterator.map(s => BigInt(s._2)).sum
+    var lrem = total * budgetPct / 100 // floor
+    var remW = ss.iterator.map(s => BigInt(s._3)).sum
     var level: Option[(BigInt, BigInt)] = None
-    val out = ss.map { s =>
-      val sat = level.isEmpty && lrem * s.w >= BigInt(s.avail) * remW
+    ss.map { case (src, avail, w) =>
+      val sat = level.isEmpty && lrem * w >= BigInt(avail) * remW
       val alloc =
-        if (sat) { lrem -= s.avail; remW -= s.w; s.avail }
+        if (sat) { lrem -= avail; remW -= w; avail }
         else {
           if (level.isEmpty) level = Some((lrem, remW))
           val (lc, wc) = level.get
-          (lc * s.w / wc).toLong
+          (lc * w / wc).toLong
         }
-      org.apache.spark.sql.Row(s.src, s.avail, s.w, alloc, sat,
-        if (s.avail > 0) round6(alloc.toDouble / s.avail.toDouble) else null)
+      WfAlloc(src, avail, w, alloc, sat)
     }
-    spark.createDataFrame(java.util.Arrays.asList(out: _*), outSchema)
-      .orderBy(col("source"))
   }
 
   /** Data-constrained repeat-epochs allocator (Muennighoff et al. 2023,
@@ -225,41 +239,87 @@ object Curation {
       s"CAST($a.u AS DOUBLE) * $multCase + CAST($a.partial AS DOUBLE) * $margCase END)"
   }
 
-  /** DuckDB oracle for [[repeatEpochs]] — the same integer chain with
+  /** The repeat-epochs oracle CTE chain — aliases `pt/ps/j/g/ep/f`
+    * suffixed with `sfx`, per-source weights read from `weightCte` (any
+    * CTE exposing (source, w)) — the SHARED generator behind
+    * [[repeatEpochsSql]], [[mixturePlanSql]] and [[mixturePlanV2Sql]]
+    * (the reweightCtes convention: one stage oracle, every chained plan
+    * derives from it, so an edit cannot desynchronize them). The final
+    * CTE `f$sfx` carries (source, u, tot, w, request, epochs, e_full,
+    * partial); [[epochEffExpr]](s"f$sfx") prices it. */
+  private def epochsCtes(sfx: String, weightCte: String,
+      budgetPct: Int, maxEpochs: Int): String =
+    s"""pt$sfx AS MATERIALIZED (
+       |  SELECT source, text,
+       |         CAST(max(len(string_split(text, ' '))) AS BIGINT) AS n_toks,
+       |         CAST(count(*) AS BIGINT) AS copies
+       |  FROM documents WHERE source IS NOT NULL AND text IS NOT NULL
+       |  GROUP BY 1, 2),
+       |ps$sfx AS (SELECT source, CAST(sum(n_toks) AS BIGINT) AS u,
+       |              CAST(sum(n_toks * copies) AS BIGINT) AS tot
+       |       FROM pt$sfx GROUP BY 1),
+       |j$sfx AS (SELECT ps$sfx.source AS source, ps$sfx.u AS u, ps$sfx.tot AS tot,
+       |              $weightCte.w AS w
+       |      FROM ps$sfx JOIN $weightCte ON $weightCte.source = ps$sfx.source),
+       |g$sfx AS (SELECT CAST(sum(u) AS BIGINT) AS su, CAST(sum(w) AS BIGINT) AS sw
+       |      FROM j$sfx),
+       |a$sfx AS (SELECT j$sfx.*, (g$sfx.su * $budgetPct // 100) * j$sfx.w // g$sfx.sw AS request
+       |      FROM j$sfx, g$sfx),
+       |ep$sfx AS (SELECT a$sfx.*,
+       |             CAST(CASE WHEN a$sfx.u = 0 THEN 1
+       |                  ELSE least($maxEpochs, greatest(1, (a$sfx.request + a$sfx.u - 1) // a$sfx.u))
+       |                  END AS INT) AS epochs,
+       |             CASE WHEN a$sfx.u = 0 THEN CAST(0 AS BIGINT)
+       |                  ELSE least(CAST($maxEpochs AS BIGINT), a$sfx.request // a$sfx.u)
+       |                  END AS e_full
+       |      FROM a$sfx),
+       |f$sfx AS MATERIALIZED (
+       |  SELECT ep$sfx.*,
+       |         CASE WHEN ep$sfx.u = 0 OR ep$sfx.e_full >= $maxEpochs THEN CAST(0 AS BIGINT)
+       |              ELSE ep$sfx.request - ep$sfx.e_full * ep$sfx.u END AS partial
+       |  FROM ep$sfx)""".stripMargin
+
+  /** The ratio-ordered waterfill fold — aliases `t/r/s/cut/wf` suffixed
+    * with `sfx` — over `supplyCte` exposing (source, avail, w): the
+    * closed-form cutoff scan from [[mixtureWaterfill]]'s docstring as
+    * SQL, SHARED by the q_mixture_waterfill oracle and both chained
+    * mixture plans. `wf$sfx` carries (source, avail, w, alloc_tokens,
+    * saturated); callers shape the final select. Requires the caller's
+    * budget < 100% of supply so the cutoff row exists (the operator's
+    * own precondition). */
+  private[graft] def waterfillCtes(sfx: String, supplyCte: String,
+      budgetPct: Int): String =
+    s"""t$sfx AS (SELECT CAST(sum(avail) AS HUGEINT) AS total FROM $supplyCte),
+       |r$sfx AS (SELECT source, avail, w,
+       |              row_number() OVER (ORDER BY CAST(avail AS DOUBLE) / w, source) AS rn,
+       |              coalesce(sum(avail) OVER (ORDER BY CAST(avail AS DOUBLE) / w, source
+       |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefa,
+       |              sum(w) OVER (ORDER BY CAST(avail AS DOUBLE) / w, source
+       |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS remw
+       |       FROM $supplyCte),
+       |s$sfx AS MATERIALIZED (
+       |  SELECT r$sfx.*, CAST((t$sfx.total * $budgetPct) // 100 - r$sfx.prefa AS HUGEINT) AS lrem
+       |  FROM r$sfx, t$sfx),
+       |cut$sfx AS MATERIALIZED (
+       |  SELECT rn AS crn, lrem AS lc, CAST(remw AS HUGEINT) AS wc FROM s$sfx
+       |  WHERE NOT (lrem * w >= CAST(avail AS HUGEINT) * remw)
+       |  ORDER BY rn LIMIT 1),
+       |wf$sfx AS MATERIALIZED (
+       |  SELECT s$sfx.source AS source, s$sfx.avail AS avail, s$sfx.w AS w,
+       |         CAST(CASE WHEN s$sfx.rn < cut$sfx.crn THEN s$sfx.avail
+       |                   ELSE (cut$sfx.lc * s$sfx.w) // cut$sfx.wc END AS BIGINT) AS alloc_tokens,
+       |         s$sfx.rn < cut$sfx.crn AS saturated
+       |  FROM s$sfx, cut$sfx)""".stripMargin
+
+  /** DuckDB oracle for [[repeatEpochs]] — the shared epochs chain with
     * the dyadic multipliers generated from the same formula. */
   def repeatEpochsSql(weights: Map[String, Long],
       budgetPct: Int = 200, maxEpochs: Int = 4): String = {
     val wRows = weights.toSeq.sortBy(_._1)
       .map { case (s, w) => s"('$s', CAST($w AS BIGINT))" }.mkString(", ")
     val effExpr = epochEffExpr("f", maxEpochs)
-    s"""WITH pt AS (
-       |  SELECT source, text,
-       |         CAST(max(len(string_split(text, ' '))) AS BIGINT) AS n_toks,
-       |         CAST(count(*) AS BIGINT) AS copies
-       |  FROM documents WHERE source IS NOT NULL AND text IS NOT NULL
-       |  GROUP BY 1, 2),
-       |ps AS (SELECT source, CAST(sum(n_toks) AS BIGINT) AS u,
-       |              CAST(sum(n_toks * copies) AS BIGINT) AS tot
-       |       FROM pt GROUP BY 1),
-       |wt(source, w) AS (VALUES $wRows),
-       |j AS (SELECT ps.source AS source, ps.u AS u, ps.tot AS tot, wt.w AS w
-       |      FROM ps JOIN wt ON wt.source = ps.source),
-       |g AS (SELECT CAST(sum(u) AS BIGINT) AS su, CAST(sum(w) AS BIGINT) AS sw
-       |      FROM j),
-       |a AS (SELECT j.*, (g.su * $budgetPct // 100) * j.w // g.sw AS request
-       |      FROM j, g),
-       |e AS (SELECT a.*,
-       |             CAST(CASE WHEN a.u = 0 THEN 1
-       |                  ELSE least($maxEpochs, greatest(1, (a.request + a.u - 1) // a.u))
-       |                  END AS INT) AS epochs,
-       |             CASE WHEN a.u = 0 THEN CAST(0 AS BIGINT)
-       |                  ELSE least(CAST($maxEpochs AS BIGINT), a.request // a.u)
-       |                  END AS e_full
-       |      FROM a),
-       |f AS (SELECT e.*,
-       |             CASE WHEN e.u = 0 OR e.e_full >= $maxEpochs THEN CAST(0 AS BIGINT)
-       |                  ELSE e.request - e.e_full * e.u END AS partial
-       |      FROM e)
+    s"""WITH wt(source, w) AS (VALUES $wRows),
+       |${epochsCtes("", "wt", budgetPct, maxEpochs)}
        |SELECT f.source AS source, f.u AS unique_tokens, f.tot AS total_tokens,
        |       f.w AS weight, CAST(f.request AS BIGINT) AS request_tokens,
        |       f.epochs AS epochs,
@@ -350,66 +410,19 @@ object Curation {
        |  SELECT e.source AS source, $weightCase AS weight,
        |         CAST(round($weightCase * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS w
        |  FROM e),
-       |pt2 AS MATERIALIZED (
-       |  SELECT source, text,
-       |         CAST(max(len(string_split(text, ' '))) AS BIGINT) AS n_toks,
-       |         CAST(count(*) AS BIGINT) AS copies
-       |  FROM documents WHERE source IS NOT NULL AND text IS NOT NULL
-       |  GROUP BY 1, 2),
-       |ps2 AS (SELECT source, CAST(sum(n_toks) AS BIGINT) AS u,
-       |               CAST(sum(n_toks * copies) AS BIGINT) AS tot
-       |        FROM pt2 GROUP BY 1),
-       |j2 AS (SELECT ps2.source AS source, ps2.u AS u, ps2.tot AS tot, wm.w AS w
-       |       FROM ps2 JOIN wm ON wm.source = ps2.source),
-       |g2 AS (SELECT CAST(sum(u) AS BIGINT) AS su, CAST(sum(w) AS BIGINT) AS sw
-       |       FROM j2),
-       |a2 AS (SELECT j2.*, (g2.su * $epochsBudgetPct // 100) * j2.w // g2.sw AS request
-       |       FROM j2, g2),
-       |e2 AS (SELECT a2.*,
-       |              CAST(CASE WHEN a2.u = 0 THEN 1
-       |                   ELSE least($maxEpochs, greatest(1, (a2.request + a2.u - 1) // a2.u))
-       |                   END AS INT) AS epochs,
-       |              CASE WHEN a2.u = 0 THEN CAST(0 AS BIGINT)
-       |                   ELSE least(CAST($maxEpochs AS BIGINT), a2.request // a2.u)
-       |                   END AS e_full
-       |       FROM a2),
-       |f2 AS MATERIALIZED (
-       |  SELECT e2.*,
-       |         CASE WHEN e2.u = 0 OR e2.e_full >= $maxEpochs THEN CAST(0 AS BIGINT)
-       |              ELSE e2.request - e2.e_full * e2.u END AS partial
-       |  FROM e2),
+       |${epochsCtes("2", "wm", epochsBudgetPct, maxEpochs)},
        |dt3 AS (SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
        |        FROM documents WHERE source IS NOT NULL),
        |av3 AS (SELECT source, CAST(sum(n_toks) AS BIGINT) AS avail FROM dt3 GROUP BY 1),
        |sw3 AS (SELECT av3.source AS source, av3.avail AS avail, wm.w AS w
        |        FROM av3 JOIN wm ON wm.source = av3.source),
-       |t3 AS (SELECT CAST(sum(avail) AS HUGEINT) AS total FROM sw3),
-       |r3 AS (SELECT source, avail, w,
-       |              row_number() OVER (ORDER BY CAST(avail AS DOUBLE) / w, source) AS rn,
-       |              coalesce(sum(avail) OVER (ORDER BY CAST(avail AS DOUBLE) / w, source
-       |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefa,
-       |              sum(w) OVER (ORDER BY CAST(avail AS DOUBLE) / w, source
-       |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS remw
-       |       FROM sw3),
-       |s3 AS MATERIALIZED (
-       |  SELECT r3.*, CAST((t3.total * $wfBudgetPct) // 100 - r3.prefa AS HUGEINT) AS lrem
-       |  FROM r3, t3),
-       |cut3 AS MATERIALIZED (
-       |  SELECT rn AS crn, lrem AS lc, CAST(remw AS HUGEINT) AS wc FROM s3
-       |  WHERE NOT (lrem * w >= CAST(avail AS HUGEINT) * remw)
-       |  ORDER BY rn LIMIT 1),
-       |wf3 AS MATERIALIZED (
-       |  SELECT s3.source AS source, s3.avail AS avail_tokens,
-       |         CAST(CASE WHEN s3.rn < cut3.crn THEN s3.avail
-       |                   ELSE (cut3.lc * s3.w) // cut3.wc END AS BIGINT) AS alloc_tokens,
-       |         s3.rn < cut3.crn AS saturated
-       |  FROM s3, cut3),
+       |${waterfillCtes("3", "sw3", wfBudgetPct)},
        |plan0 AS MATERIALIZED (
        |  SELECT wm.source AS source, wm.weight AS weight, wm.w AS w_micro,
        |         CAST(f2.request AS BIGINT) AS request_tokens,
        |         f2.epochs AS epochs,
        |         $effExpr AS effective_tokens,
-       |         wf3.avail_tokens AS avail_tokens, wf3.alloc_tokens AS alloc_tokens,
+       |         wf3.avail AS avail_tokens, wf3.alloc_tokens AS alloc_tokens,
        |         wf3.saturated AS saturated
        |  FROM wm
        |  JOIN f2 ON f2.source = wm.source
@@ -425,6 +438,163 @@ object Curation {
        |           AS alloc_within_avail,
        |         (CAST(sum(alloc_tokens) AS HUGEINT) * 100 <=
        |          CAST(sum(avail_tokens) AS HUGEINT) * $wfBudgetPct)
+       |           AS alloc_within_budget
+       |  FROM plan0)
+       |SELECT plan0.*, wsum.*, inv.* FROM plan0, wsum, inv ORDER BY source""".stripMargin
+  }
+
+  /** Floor of the continuous-epoch effective-token price — the COUPLED
+    * plan's waterfill supply — in PURE integer arithmetic: effective =
+    * u·m(e_full) + partial·2^(−e_full) has denominator 2^maxEpochs, so
+    * scaling by 2^maxEpochs makes the numerator an exact integer and
+    * one floor-division recovers ⌊effective⌋ with no float anywhere
+    * (the micro-unit discipline applied to the dyadic decay curve). */
+  private[graft] def effFloor(u: Long, request: Long, maxEpochs: Int): Long =
+    if (u == 0L) 0L
+    else {
+      val scale = 1L << maxEpochs
+      val eFull = math.min(maxEpochs.toLong, request / u).toInt
+      val partial = if (eFull >= maxEpochs) 0L else request - eFull * u
+      val multNum = 2 * scale - (1L << (maxEpochs + 1 - eFull))
+      val margNum = if (eFull >= maxEpochs) 0L else 1L << (maxEpochs - eFull)
+      (u * multNum + partial * margNum) / scale
+    }
+
+  /** [[effFloor]] as DuckDB SQL over the epochs-chain alias `a`
+    * (columns `u`, `e_full`, `partial`) — CASEs generated from the same
+    * powers of two. */
+  private def effFloorExpr(a: String, maxEpochs: Int): String = {
+    val scale = 1L << maxEpochs
+    val multCase = s"CASE $a.e_full " + (0 to maxEpochs).map(e =>
+      s"WHEN $e THEN ${2 * scale - (1L << (maxEpochs + 1 - e))}").mkString(" ") +
+      " END"
+    val margCase = s"CASE $a.e_full " + (0 until maxEpochs).map(e =>
+      s"WHEN $e THEN ${1L << (maxEpochs - e)}").mkString(" ") + " ELSE 0 END"
+    s"(CASE WHEN $a.u = 0 THEN CAST(0 AS BIGINT) ELSE " +
+      s"CAST(($a.u * ($multCase) + $a.partial * ($margCase)) // $scale AS BIGINT) END)"
+  }
+
+  /** The COUPLED mixture plan — [[mixturePlan]] with the allocator fed
+    * what pricing says the tokens are WORTH: [[mixturePlan]] waterfills
+    * against raw per-source availability while [[repeatEpochs]] prices
+    * the same weights' requests in effective tokens, so a saturated
+    * scarce source could be "allocated" raw tokens whose repeat-decayed
+    * value is lower. Here each source's waterfill SUPPLY is
+    * ⌊effective_tokens⌋ from the epoch pricing ([[effFloor]] — exact
+    * integer), so alloc ≤ effective BY CONSTRUCTION and the budget is
+    * spent in value units: reweight → price → waterfill-over-effective,
+    * the chain a production allocator runs. In-plan invariants: the
+    * weight simplex (full-vocabulary table, the [[mixturePlan]]
+    * convention), pricing ≤ request, the COUPLED alloc ≤ effective, and
+    * Σalloc within the waterfill budget over the priced supply.
+    *
+    * Scale shape: identical to [[mixturePlan]] — per-stage corpus
+    * aggregations over one checkpointed projection, |sources|-row
+    * driver algebra ([[waterfillFold]] shared with the standalone
+    * allocator), model-sized weight handoff. */
+  def mixturePlanV2(
+      spark: org.apache.spark.sql.SparkSession,
+      documents: DataFrame,
+      epochsBudgetPct: Int = 200,
+      wfBudgetPct: Int = 90,
+      maxEpochs: Int = 4): DataFrame = {
+    require(wfBudgetPct >= 1 && wfBudgetPct < 100,
+      s"mixturePlanV2: wfBudgetPct in [1, 100), got $wfBudgetPct")
+    import org.apache.spark.sql.types._
+    val base = documents.select(col("doc_id"), col("text"), col("source"))
+      .localCheckpoint(false)
+    val rw = mixtureReweight(spark, base)
+    val wMap = rw.select(col("source"), col("weight")).collect() // |Sources| rows
+      .map(r => r.getString(0) -> math.round(r.getDouble(1) * 1e6)).toMap
+    val re = repeatEpochs(base, wMap, budgetPct = epochsBudgetPct,
+      maxEpochs = maxEpochs)
+    // |sources|-row handoff: price → integer supply → shared fold
+    val priced = re.select(col("source"), col("weight"), col("unique_tokens"),
+      col("request_tokens"), col("epochs"), col("effective_tokens")).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("weight"),
+        r.getAs[Long]("unique_tokens"), r.getAs[Long]("request_tokens"),
+        r.getAs[Int]("epochs"), r.getAs[Double]("effective_tokens")))
+      .sortBy(_._1)
+    val alloc = waterfillFold(
+      priced.map { case (s, w, u, req, _, _) => (s, effFloor(u, req, maxEpochs), w) },
+      wfBudgetPct).iterator.map(a => a.src -> a).toMap
+    val rows = priced.map { case (s, w, _, req, ep, eff) =>
+      val a = alloc(s)
+      org.apache.spark.sql.Row(s, w, req, ep, eff, a.avail, a.alloc, a.saturated)
+    }
+    val created = spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*),
+      StructType(Seq(
+        StructField("source", StringType, nullable = true),
+        StructField("w_micro", LongType, nullable = false),
+        StructField("request_tokens", LongType, nullable = false),
+        StructField("epochs", IntegerType, nullable = false),
+        StructField("effective_tokens", DoubleType, nullable = false),
+        StructField("supply_tokens", LongType, nullable = false),
+        StructField("alloc_tokens", LongType, nullable = false),
+        StructField("saturated", BooleanType, nullable = false))))
+    val plan = rw.select(col("source"), col("weight"))
+      .join(created, Seq("source"))
+      .localCheckpoint(false) // one barrier: plan rows + the invariant rollup
+    val wsum = rw.agg(
+      (abs(sum(col("weight")) - lit(1.0)) <= lit(2.0e-5)).as("weights_sum_ok"))
+    val inv = plan.agg(
+      (sum(when(col("effective_tokens") >
+        col("request_tokens").cast("double"), 1L).otherwise(0L)) === 0L)
+        .as("priced_within_request"),
+      (sum(when(col("alloc_tokens").cast("double") > col("effective_tokens"), 1L)
+        .otherwise(0L)) === 0L).as("alloc_within_effective"),
+      (sum(col("alloc_tokens")) * lit(100L) <=
+        sum(col("supply_tokens")) * lit(wfBudgetPct.toLong)).as("alloc_within_budget"))
+    plan.crossJoin(broadcast(wsum)).crossJoin(broadcast(inv))
+      .orderBy(col("source"))
+  }
+
+  /** DuckDB oracle for [[mixturePlanV2]] — the reweight prelude, the
+    * SHARED epochs chain, the integer effective-floor supply, and the
+    * SHARED waterfill fold, all from the same generators as the stage
+    * oracles. */
+  def mixturePlanV2Sql(epochsBudgetPct: Int = 200, wfBudgetPct: Int = 90,
+      maxEpochs: Int = 4): String = {
+    require(epochsBudgetPct >= 1,
+      s"mixturePlanV2Sql: epochsBudgetPct >= 1, got $epochsBudgetPct")
+    require(wfBudgetPct >= 1 && wfBudgetPct < 100,
+      s"mixturePlanV2Sql: wfBudgetPct in [1, 100), got $wfBudgetPct")
+    require(maxEpochs >= 1 && maxEpochs <= 16,
+      s"mixturePlanV2Sql: maxEpochs=$maxEpochs")
+    val (ctes, weightCase) = reweightCtes(ReweightEta, ReweightIters)
+    val effExpr = epochEffExpr("f2", maxEpochs)
+    val supExpr = effFloorExpr("f2", maxEpochs)
+    s"""WITH $ctes,
+       |wm AS MATERIALIZED (
+       |  SELECT e.source AS source, $weightCase AS weight,
+       |         CAST(round($weightCase * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS w
+       |  FROM e),
+       |${epochsCtes("2", "wm", epochsBudgetPct, maxEpochs)},
+       |sup2 AS MATERIALIZED (
+       |  SELECT f2.source AS source, $supExpr AS avail, f2.w AS w FROM f2),
+       |${waterfillCtes("3", "sup2", wfBudgetPct)},
+       |plan0 AS MATERIALIZED (
+       |  SELECT wm.source AS source, wm.weight AS weight, wm.w AS w_micro,
+       |         CAST(f2.request AS BIGINT) AS request_tokens,
+       |         f2.epochs AS epochs,
+       |         $effExpr AS effective_tokens,
+       |         wf3.avail AS supply_tokens, wf3.alloc_tokens AS alloc_tokens,
+       |         wf3.saturated AS saturated
+       |  FROM wm
+       |  JOIN f2 ON f2.source = wm.source
+       |  JOIN wf3 ON wf3.source = wm.source),
+       |wsum AS MATERIALIZED (
+       |  SELECT (abs(sum(weight) - CAST(1.0 AS DOUBLE)) <= CAST(2.0e-5 AS DOUBLE))
+       |           AS weights_sum_ok
+       |  FROM wm),
+       |inv AS MATERIALIZED (
+       |  SELECT (sum(CASE WHEN effective_tokens > CAST(request_tokens AS DOUBLE)
+       |                   THEN 1 ELSE 0 END) = 0) AS priced_within_request,
+       |         (sum(CASE WHEN CAST(alloc_tokens AS DOUBLE) > effective_tokens
+       |                   THEN 1 ELSE 0 END) = 0) AS alloc_within_effective,
+       |         (CAST(sum(alloc_tokens) AS HUGEINT) * 100 <=
+       |          CAST(sum(supply_tokens) AS HUGEINT) * $wfBudgetPct)
        |           AS alloc_within_budget
        |  FROM plan0)
        |SELECT plan0.*, wsum.*, inv.* FROM plan0, wsum, inv ORDER BY source""".stripMargin
@@ -553,13 +723,24 @@ object Curation {
         |                    + 2.0 * (CAST(len(list_filter(t, x -> list_contains(['the','a','of','and','to','in','is'], x))) AS DOUBLE) / CAST(len(t) AS DOUBLE)) AS z
         |             FROM f)
         |  SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 6) AS quality FROM z)""".stripMargin
+    // zero-fill over the FIXED vocabulary, mirroring egReweightTable: a
+    // corpus slice missing a vocabulary source must read (n_docs=0,
+    // avg_quality=0.0 ⇒ excess 1.0) here too — without it the weight
+    // CASE's scalar subqueries go NULL and poison the EG normalizer
+    val vocabRows = Sources.map(s => s"('$s')").mkString(", ")
     val perCte =
-      """e AS MATERIALIZED (
-        |  SELECT d.source AS source, CAST(count(*) AS BIGINT) AS n_docs,
-        |         round(CAST(sum(CAST(ql.quality AS DECIMAL(8,6))) AS DOUBLE) / count(*), 6) AS avg_quality,
-        |         round(1.0 - round(CAST(sum(CAST(ql.quality AS DECIMAL(8,6))) AS DOUBLE) / count(*), 6), 6) AS excess
-        |  FROM ql JOIN documents d ON d.doc_id = ql.doc_id
-        |  WHERE d.source IS NOT NULL GROUP BY 1)""".stripMargin
+      s"""eagg AS MATERIALIZED (
+         |  SELECT d.source AS source, CAST(count(*) AS BIGINT) AS n_docs,
+         |         round(CAST(sum(CAST(ql.quality AS DECIMAL(8,6))) AS DOUBLE) / count(*), 6) AS avg_quality
+         |  FROM ql JOIN documents d ON d.doc_id = ql.doc_id
+         |  WHERE d.source IS NOT NULL GROUP BY 1),
+         |e AS MATERIALIZED (
+         |  SELECT v.source AS source,
+         |         coalesce(eagg.n_docs, CAST(0 AS BIGINT)) AS n_docs,
+         |         coalesce(eagg.avg_quality, CAST(0.0 AS DOUBLE)) AS avg_quality,
+         |         round(1.0 - coalesce(eagg.avg_quality, CAST(0.0 AS DOUBLE)), 6) AS excess
+         |  FROM (VALUES $vocabRows) v(source)
+         |  LEFT JOIN eagg ON eagg.source = v.source)""".stripMargin
     val w0Cte = s"w0 AS MATERIALIZED (SELECT ${Sources.map(s => s"CAST($w0 AS DOUBLE) AS ${wc(s)}").mkString(", ")})"
     val iterCtes = (1 to iters).map { t =>
       val raws = Sources.map(s =>

@@ -204,9 +204,38 @@ object Dedup {
     * Capped at 4096 so the probe-side distinct collect and per-trigger
     * append fan-out stay config-bounded. */
   val BandPartitionOccupancy: Long = 5000L
+
+  /** The 4096 cap, quantified (it is a design choice, not a silent
+    * constant): the cap bounds the probe-side distinct collect and the
+    * per-trigger append fan-out at 4096 values/dirs — config-sized
+    * driver work whatever the corpus. Its consequence: past ~20.5 M
+    * band rows (4096 × 5000 occupancy) per-partition row counts grow
+    * linearly with the corpus again — the probed FRACTION stays ≤
+    * footprint/4096 (a 4-doc trigger probes ≤ 64/4096 ≈ 1.6% of
+    * partitions), but each probed partition is corpus/4096 rows (at a
+    * 10¹² band-row corpus, ~2.4 × 10⁸ rows ≈ a few GB per partition —
+    * many Spark tasks, still a pruned scan). The remedy at that tier is
+    * a SECOND partition level (pbkt × sub-bucket) under the same
+    * occupancy rule: the collect/fan-out bound stays 4096 at level one
+    * and the probe's isin plan is unchanged, only the write path gains
+    * a directory level. Kept single-level here because every scale this
+    * repo stages sits far below the cap and the two-level layout adds
+    * state (two counts) for no measurable benefit at ≤ 10⁶ rows. */
   def autoBandBuckets(bandRowCount: Long): Int =
     math.min(4096L, math.max(BandIndexBuckets.toLong,
       (bandRowCount + BandPartitionOccupancy - 1) / BandPartitionOccupancy)).toInt
+
+  /** The at-rest SHINGLE store's partition key — the [[bandPartition]]
+    * posture applied to the verify side: writers partition the persisted
+    * `(doc_id, sh)` table by `sbkt = pmod(hash(doc_id), n)`, and the
+    * exact-Jaccard verify join-back prunes at rest to the partitions the
+    * trigger's CANDIDATE ids can hit ([[minHashIncrementalPairsPreBanded]]
+    * plans the bucket list from the checkpointed candidate set — the
+    * r15 ProbeShinglePrune finding was that Spark DPP does NOT fire on
+    * this layout; the static isin plan below is the mechanism that
+    * does work, exactly as it does for the band index probe). */
+  def shinglePartition(id: Column, n: Int = BandIndexBuckets): Column =
+    pmod(hash(id), lit(n))
 
   /** Incremental MinHash near-dup: dedup an incoming batch against an
     * already-accepted corpus WITHOUT rescanning it — the shape a 100 TB
@@ -220,9 +249,12 @@ object Dedup {
     * `(band, bucket)`, and the in-batch self-join — so per-batch cost is
     * `|batch| × bands` rows probing the index, independent of corpus text
     * size. Exact-Jaccard verification joins candidate ids back to the two
-    * shingle tables (id-selective; at rest the index side is additionally
-    * cut down by bucketing/bloom on `doc_id`). Doc-id spaces of batch and
-    * index must be disjoint (they are successive ingest batches).
+    * shingle tables; when the index shingles rest partitioned by
+    * [[shinglePartition]] (`sbkt` column present), that join-back also
+    * prunes at rest to the candidate ids' partitions — the scan is then
+    * candidate-footprint-sized on BOTH index sides, not corpus-sized.
+    * Doc-id spaces of batch and index must be disjoint (they are
+    * successive ingest batches).
     *
     * Emits the same `(doc_a, doc_b, jaccard)` rows the full-corpus operator
     * would for every pair involving a batch document — banding is
@@ -236,7 +268,8 @@ object Dedup {
       rowsPerBand: Int = 4,
       threshold: Double = 0.7,
       probeBuckets: Option[Seq[Int]] = None,
-      bandBuckets: Int = BandIndexBuckets): DataFrame = {
+      bandBuckets: Int = BandIndexBuckets,
+      shingleBuckets: Int = BandIndexBuckets): DataFrame = {
     // When the index is the partitioned at-rest layout (has a pbkt
     // partition column, see [[bandPartition]]), plan the probe like the
     // IVF cell probe: push the batch's DISTINCT bucket hashes (bounded by
@@ -256,7 +289,8 @@ object Dedup {
     // `preBanded` so the permutations aren't recomputed here at all.
     minHashIncrementalPairsImpl(
       newShingles, bandRows(newShingles, bands, rowsPerBand),
-      indexBanded, indexShingles, threshold, probeBuckets, bandBuckets)
+      indexBanded, indexShingles, threshold, probeBuckets, bandBuckets,
+      shingleBuckets)
   }
 
   /** [[minHashIncrementalPairs]] with the batch's banding rows supplied by
@@ -269,10 +303,12 @@ object Dedup {
       indexShingles: DataFrame,
       threshold: Double = 0.7,
       probeBuckets: Option[Seq[Int]] = None,
-      bandBuckets: Int = BandIndexBuckets): DataFrame =
+      bandBuckets: Int = BandIndexBuckets,
+      shingleBuckets: Int = BandIndexBuckets): DataFrame =
     minHashIncrementalPairsImpl(
       newShingles, preBanded.select(col("doc_id"), col("band"), col("bucket")),
-      indexBanded, indexShingles, threshold, probeBuckets, bandBuckets)
+      indexBanded, indexShingles, threshold, probeBuckets, bandBuckets,
+      shingleBuckets)
 
   private def minHashIncrementalPairsImpl(
       newShingles: DataFrame,
@@ -281,7 +317,8 @@ object Dedup {
       indexShingles: DataFrame,
       threshold: Double,
       probeBuckets: Option[Seq[Int]],
-      bandBuckets: Int = BandIndexBuckets): DataFrame = {
+      bandBuckets: Int = BandIndexBuckets,
+      shingleBuckets: Int = BandIndexBuckets): DataFrame = {
     val (newBanded, prunedIndex) =
       if (indexBanded.columns.contains("pbkt")) {
         probeBuckets match {
@@ -305,12 +342,35 @@ object Dedup {
           col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-    val candidates =
+    val candidates0 =
       vsIndex.unionByName(inBatch).dropDuplicates("doc_a", "doc_b")
+    // At-rest shingle-store pruning (the r15 "next pressure point"):
+    // when the index shingles rest partitioned by sbkt
+    // ([[shinglePartition]]), the verify join-back prunes to the
+    // partitions holding CANDIDATE ids. Candidate ids are not plannable
+    // before the probe runs (the ProbeShinglePrune observation), so the
+    // candidate set is checkpointed FIRST — it is trigger-footprint-
+    // sized (the batch's near-dup partners, never the corpus) — and one
+    // bounded collect (≤ min(2·|candidates|, shingleBuckets) ints)
+    // plans the static isin partition filter, the same mechanism the
+    // band-index probe uses (DPP does not fire on this layout; the
+    // static plan does — recorded in tools/ProbeShinglePrune).
+    val (candidates, idxShingles) =
+      if (indexShingles.columns.contains("sbkt")) {
+        val c = candidates0.localCheckpoint(false)
+        val sbkts = c
+          .select(explode(array(col("doc_a"), col("doc_b"))).as("__id"))
+          .select(shinglePartition(col("__id"), shingleBuckets).as("sbkt"))
+          .distinct().collect().map(_.getInt(0)).toSeq
+        val pruned =
+          if (sbkts.isEmpty) indexShingles.limit(0)
+          else indexShingles.filter(col("sbkt").isin(sbkts: _*))
+        (c, pruned.drop("sbkt"))
+      } else (candidates0, indexShingles)
     // Verification join-back reads each side from whichever store holds it;
     // the union is by-name on the same (doc_id, sh) schema, and the id-equi
     // joins stay hash joins keyed on candidate ids.
-    val shingled = newShingles.unionByName(indexShingles)
+    val shingled = newShingles.unionByName(idxShingles)
       .select(col("doc_id"), col("sh").as("shingles"))
     candidates
       .join(shingled.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), Seq("doc_a"))

@@ -386,4 +386,155 @@ object Privacy {
             if (parityCol) ",\n       true AS parity_ok" else ""}
        |FROM pre ORDER BY nation, segment""".stripMargin
   }
+
+  /** The heterogeneous accountant's δ budget: basic composition sums
+    * per-release δ_i too, and a campaign of Gaussian releases can
+    * exhaust the δ budget while ε is still cheap — the failure mode the
+    * pure-ε ledger can't meter. Shared with the generated oracle. */
+  val DefaultDeltaBudget: Double = 1e-5
+
+  /** Per-release mechanism rule for the heterogeneous ledger — ONE
+    * Column tree shared with the oracle generator: every third class
+    * (by the same portable key the ε rule uses) releases via the
+    * GAUSSIAN mechanism, the rest via Laplace. */
+  def releaseIsGauss(nation: Column, segment: Column): Column =
+    pmod(nation + length(segment), lit(3)) === 0
+
+  /** Per-release δ in integer NANO-units (δ_i ∈ {2,3,4}·10⁻⁷ for
+    * Gaussian releases, 0 for Laplace — Laplace is pure ε-DP): integer
+    * units make Σδ an exact BIGINT prefix sum, the ε micro-unit
+    * discipline applied to the second budget axis. */
+  def releaseDeltaNano(nation: Column, segment: Column): Column =
+    when(releaseIsGauss(nation, segment),
+      lit(200L) + lit(100L) * pmod(nation, lit(3))).otherwise(lit(0L)).cast("long")
+
+  /** Heterogeneous release ledger: each (nation, segment) class
+    * releases once, via Laplace (ε_i, δ_i = 0, ρ_i = ε_i²/2 — Bun &
+    * Steinke Prop 1.4) or Gaussian (declared certificate (ε_i, δ_i),
+    * ρ_i from the mechanism's σ). The ledger carries 2ρ_i in integer
+    * micro²-units (`rho2`): ε_micro² for Laplace, ε_micro²/2 for the
+    * Gaussian rows (σ chosen so ρ = ε²/4 — Gaussian's concentrated
+    * tail buys a smaller ρ at the same certificate; the multiples-of-
+    * 50000 ε grid keeps the halving exact). A production ledger records
+    * each release's declared triple the same way — integer accounting
+    * grains, rounded conservatively at declaration time. */
+  def dpAccountantHeteroLedger(customer: DataFrame): DataFrame = {
+    val eps = releaseEpsMicro(col("nation"), col("segment"))
+    customer
+      .select(col("c_nationkey").as("nation"), col("c_mktsegment").as("segment"))
+      .distinct()
+      .select(col("nation"), col("segment"),
+        when(releaseIsGauss(col("nation"), col("segment")), "gaussian")
+          .otherwise("laplace").as("mechanism"),
+        eps.as("eps_micro"),
+        releaseDeltaNano(col("nation"), col("segment")).as("delta_nano"),
+        when(releaseIsGauss(col("nation"), col("segment")), eps * eps / 2L)
+          .otherwise(eps * eps).cast("long").as("rho2"))
+  }
+
+  /** Heterogeneous (ε, δ) composition accountant — [[dpAccountant]]
+    * extended to the production case of mixed Laplace + Gaussian
+    * releases: BASIC composition now sums BOTH axes ((Σε_i, Σδ_i)-DP —
+    * Dwork & Roth Thm 3.16 composes the δs additively), so the basic
+    * certificate is valid only while Σδ_i ≤ the δ budget — a Gaussian
+    * campaign can exhaust δ while ε is still cheap, the regime the
+    * pure-ε accountant cannot see. The zCDP path is UNCHANGED in shape
+    * (ρ adds regardless of mechanism; Bun & Steinke Lemma 1.7) and its
+    * conversion δ is the fixed target, so it stays valid when basic's
+    * δ runs out — the accountant reports both certificates and flags
+    * the release against the (ε, δ) budget pair if EITHER path is
+    * within it. On the shipped ledger all three regimes are visible:
+    * basic binds ε first (release ~12), zCDP overtakes basic in the
+    * tail, and Σδ crosses the δ budget near the end of the table.
+    *
+    * Exactness: Σε (micro), Σδ (nano) and Σ2ρ (micro²) are exact
+    * BIGINT prefix sums; the float work is three divisions, one √ and
+    * shared literals — hash-exact replay, the [[dpAccountant]]
+    * standard. Ledger-bounded single-partition window, the same
+    * documented release-log-size argument. */
+  def dpAccountantHetero(ledger: DataFrame,
+      epsBudget: Double = DefaultEpsBudget,
+      deltaBudget: Double = DefaultDeltaBudget,
+      deltaTarget: Double = DefaultDeltaTarget): DataFrame = {
+    require(deltaTarget <= deltaBudget,
+      s"dpAccountantHetero: conversion target δ=$deltaTarget exceeds the δ budget $deltaBudget")
+    import org.apache.spark.sql.expressions.Window
+    val lnInvDelta = math.log(1.0 / deltaTarget)
+    val w = Window.orderBy(col("nation"), col("segment"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val rhoD = col("s2").cast("double") / 2.0e12 // Σ(2ρ·1e12)/2e12 = Σρ
+    val epsBasic = round(col("sb").cast("double") / 1.0e6, 6)
+    val deltaBasic = round(col("sd").cast("double") / 1.0e9, 9)
+    val epsZcdp = round(rhoD + lit(2.0) * sqrt(rhoD * lit(lnInvDelta)), 6)
+    val basicOk = epsBasic <= lit(epsBudget) && deltaBasic <= lit(deltaBudget)
+    val zcdpOk = epsZcdp <= lit(epsBudget) // conversion δ ≤ δ budget by require
+    ledger
+      .withColumn("n_releases", count(lit(1)).over(w))
+      .withColumn("sb", sum(col("eps_micro")).over(w))
+      .withColumn("sd", sum(col("delta_nano")).over(w))
+      .withColumn("s2", sum(col("rho2")).over(w))
+      .select(
+        col("nation"), col("segment"), col("mechanism"),
+        round(col("eps_micro").cast("double") / 1.0e6, 6).as("eps"),
+        round(col("delta_nano").cast("double") / 1.0e9, 9).as("delta"),
+        col("n_releases"),
+        epsBasic.as("eps_basic"),
+        deltaBasic.as("delta_basic"),
+        epsZcdp.as("eps_zcdp"),
+        basicOk.as("basic_within"),
+        zcdpOk.as("zcdp_within"),
+        (basicOk || zcdpOk).as("within_budget"))
+      .orderBy(col("nation"), col("segment"))
+  }
+
+  /** DuckDB oracle for [[dpAccountantHetero]] over
+    * [[dpAccountantHeteroLedger]] — the same integer prefix chains with
+    * every constant interpolated from the shared fixtures. */
+  def dpAccountantHeteroSql(epsBudget: Double = DefaultEpsBudget,
+      deltaBudget: Double = DefaultDeltaBudget,
+      deltaTarget: Double = DefaultDeltaTarget): String = {
+    val l = math.log(1.0 / deltaTarget)
+    val rhoD = "(CAST(s2 AS DOUBLE) / CAST(2000000000000.0 AS DOUBLE))"
+    val epsBasic = "round(CAST(sb AS DOUBLE) / CAST(1000000.0 AS DOUBLE), 6)"
+    val deltaBasic = "round(CAST(sd AS DOUBLE) / CAST(1000000000.0 AS DOUBLE), 9)"
+    val epsZcdp = s"round($rhoD + CAST(2.0 AS DOUBLE) * sqrt($rhoD * CAST($l AS DOUBLE)), 6)"
+    val basicOk = s"($epsBasic <= CAST($epsBudget AS DOUBLE) AND $deltaBasic <= CAST($deltaBudget AS DOUBLE))"
+    val zcdpOk = s"($epsZcdp <= CAST($epsBudget AS DOUBLE))"
+    s"""WITH led AS (
+       |  SELECT c_nationkey AS nation, c_mktsegment AS segment,
+       |         CASE WHEN (c_nationkey + length(c_mktsegment)) % 3 = 0
+       |              THEN 'gaussian' ELSE 'laplace' END AS mechanism,
+       |         CAST(100000 + 50000 * ((c_nationkey + length(c_mktsegment)) % 4) AS BIGINT)
+       |           AS eps_micro,
+       |         CAST(CASE WHEN (c_nationkey + length(c_mktsegment)) % 3 = 0
+       |              THEN 200 + 100 * (c_nationkey % 3) ELSE 0 END AS BIGINT)
+       |           AS delta_nano,
+       |         CAST(CASE WHEN (c_nationkey + length(c_mktsegment)) % 3 = 0
+       |              THEN (CAST(100000 + 50000 * ((c_nationkey + length(c_mktsegment)) % 4) AS BIGINT)
+       |                    * CAST(100000 + 50000 * ((c_nationkey + length(c_mktsegment)) % 4) AS BIGINT)) // 2
+       |              ELSE CAST(100000 + 50000 * ((c_nationkey + length(c_mktsegment)) % 4) AS BIGINT)
+       |                   * CAST(100000 + 50000 * ((c_nationkey + length(c_mktsegment)) % 4) AS BIGINT)
+       |              END AS BIGINT) AS rho2
+       |  FROM customer GROUP BY 1, 2),
+       |pre AS (
+       |  SELECT nation, segment, mechanism, eps_micro, delta_nano,
+       |         CAST(count(*) OVER w AS BIGINT) AS n_releases,
+       |         CAST(sum(eps_micro) OVER w AS BIGINT) AS sb,
+       |         CAST(sum(delta_nano) OVER w AS BIGINT) AS sd,
+       |         CAST(sum(rho2) OVER w AS BIGINT) AS s2
+       |  FROM led
+       |  WINDOW w AS (ORDER BY nation, segment
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+       |SELECT nation, segment, mechanism,
+       |       round(CAST(eps_micro AS DOUBLE) / CAST(1000000.0 AS DOUBLE), 6) AS eps,
+       |       round(CAST(delta_nano AS DOUBLE) / CAST(1000000000.0 AS DOUBLE), 9) AS delta,
+       |       n_releases,
+       |       $epsBasic AS eps_basic,
+       |       $deltaBasic AS delta_basic,
+       |       $epsZcdp AS eps_zcdp,
+       |       $basicOk AS basic_within,
+       |       $zcdpOk AS zcdp_within,
+       |       ($basicOk OR $zcdpOk) AS within_budget
+       |FROM pre ORDER BY nation, segment""".stripMargin
+  }
 }

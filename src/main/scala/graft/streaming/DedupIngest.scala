@@ -103,8 +103,12 @@ object DedupIngest {
     val bandDir = new java.io.File(out, "bands")
     val shDir = new java.io.File(out, "shingles")
     val pairDir = new java.io.File(out, "pairs")
-    // sink schemas, derived lazily from the table schema (no jobs)
-    val shSchema = Dedup.shingleSets(Tables.documents(spark, dir).limit(0), n = 3).schema
+    // sink schemas, derived lazily from the table schema (no jobs).
+    // The shingle store rests partitioned by sbkt (shinglePartition) so
+    // the verify join-back prunes to candidate-held partitions — the
+    // same at-rest posture as the band index's pbkt.
+    val shSchema = Dedup.shingleSets(Tables.documents(spark, dir).limit(0), n = 3)
+      .withColumn("sbkt", Dedup.shinglePartition(col("doc_id"), nPart)).schema
     val bandSchema = Dedup.bandRows(Tables.documents(spark, dir).limit(0)
       .transform(Dedup.shingleSets(_, n = 3)))
       .withColumn("pbkt", Dedup.bandPartition(nPart)).schema
@@ -145,10 +149,14 @@ object DedupIngest {
           val bandsF = Future(
             newBands.withColumn("pbkt", Dedup.bandPartition(nPart))
               .coalesce(1).write.partitionBy("pbkt").mode("append").parquet(bandDir.toString))
-          val shF = Future(newSh.write.mode("append").parquet(shDir.toString))
+          val shF = Future(
+            newSh.withColumn("sbkt", Dedup.shinglePartition(col("doc_id"), nPart))
+              .coalesce(1).write.partitionBy("sbkt").mode("append")
+              .parquet(shDir.toString))
           val pairsF = Future(
             Dedup.minHashIncrementalPairsPreBanded(
-                newSh, newBands, bandsSnap, shSnap, probeBuckets = Some(bkts))
+                newSh, newBands, bandsSnap, shSnap, probeBuckets = Some(bkts),
+                shingleBuckets = nPart)
               .write.mode("append").parquet(pairDir.toString))
           Await.result(bandsF, Duration.Inf)
           Await.result(shF, Duration.Inf)

@@ -187,14 +187,19 @@ object KAnonStream {
       try q.processAllAvailable() finally q.stop()
     } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
 
-    // streamed state: the fixed QI grid — model-sized
+    // streamed state: the fixed QI grid — model-sized. Parity is the
+    // FULL state (keys AND counts) vs a batch recompute — strictly
+    // stronger than what the accountant needs (its output depends only
+    // on the class set), so the docstring's bit-for-bit claim is the
+    // thing actually asserted.
     val cur = spark.table(name)
     val parityOk = !assertParity || {
-      def keys(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
-        (r.getAs[Number]("nation").longValue(), r.getAs[String]("segment"))).toSet
-      keys(cur.collect()) == keys(Tables.customer(spark, dir)
-        .select(col("c_nationkey").as("nation"), col("c_mktsegment").as("segment"))
-        .distinct().collect())
+      def toMap(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+        (r.getAs[Number]("nation").longValue(), r.getAs[String]("segment"))
+          -> r.getAs[Long]("n")).toMap
+      toMap(cur.collect()) == toMap(Tables.customer(spark, dir)
+        .groupBy(col("c_nationkey").as("nation"), col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("n")).collect())
     }
     val ledger = cur.select(col("nation"), col("segment"),
       graft.operators.Privacy.releaseEpsMicro(col("nation"), col("segment"))

@@ -104,11 +104,21 @@ object ProbeDedupIngestScale {
           .write.partitionBy("pbkt").parquet(bandDir.toString)
         sh.write.parquet(shDir.toString)
       }
+      // round-16: the shingle store's at-rest sbkt layout (the verify
+      // side of the pruning story; keyed by nPart so the ruled row
+      // stages its own)
+      val shPartDir = new java.io.File(s"$work/shidx-sbkt-$tag-$nPart")
+      if (!shPartDir.exists())
+        spark.read.parquet(shDir.toString)
+          .withColumn("sbkt", Dedup.shinglePartition(col("doc_id"), nPart))
+          .repartition(col("sbkt"))
+          .write.partitionBy("sbkt").parquet(shPartDir.toString)
       val bandsSnap = spark.read.parquet(bandDir.toString)
-      val shSnap = spark.read.parquet(shDir.toString)
+      val shSnap = spark.read.parquet(shPartDir.toString)
 
       // the stream's per-batch path: one banding pass, driver-planned
-      // bucket list, pruned probe + exact-Jaccard verification
+      // bucket list, pruned probe + exact-Jaccard verification over the
+      // sbkt-pruned shingle store
       val newSh = Dedup.shingleSets(trigger, n = 3).localCheckpoint(true)
       val newBands = Dedup.bandRows(newSh).localCheckpoint(true)
       val bkts = newBands.select(Dedup.bandPartition(nPart).as("pbkt"))
@@ -118,15 +128,43 @@ object ProbeDedupIngestScale {
       def once(): (Long, Double) = {
         val t0 = System.nanoTime()
         val n = Dedup.minHashIncrementalPairsPreBanded(
-          newSh, newBands, bandsSnap, shSnap, probeBuckets = Some(bkts)).count()
+          newSh, newBands, bandsSnap, shSnap, probeBuckets = Some(bkts),
+          shingleBuckets = nPart).count()
         (n, (System.nanoTime() - t0) / 1e9)
       }
       val runs = (1 to 3).map(_ => once())
       val pairs = runs.head._1
       val wall = runs.map(_._2).min
+      // verify-side readout: the candidate set the probe generates (the
+      // operator's own path, replayed once for the measurement), its
+      // sbkt footprint, and the shingle-store rows inside it — the rows
+      // the verify join-back now reads instead of the whole store
+      val pruned = bandsSnap.filter(col("pbkt").isin(bkts: _*))
+      val vsIdx = newBands.alias("n")
+        .join(pruned.alias("i"),
+          col("n.band") === col("i.band") && col("n.bucket") === col("i.bucket"))
+        .select(least(col("n.doc_id"), col("i.doc_id")).as("doc_a"),
+          greatest(col("n.doc_id"), col("i.doc_id")).as("doc_b"))
+      val inB = newBands.alias("a")
+        .join(newBands.alias("b"),
+          col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      val cand = vsIdx.unionByName(inB).dropDuplicates("doc_a", "doc_b")
+        .localCheckpoint(true)
+      val sbkts = cand.select(explode(array(col("doc_a"), col("doc_b"))).as("id"))
+        .select(Dedup.shinglePartition(col("id"), nPart).as("sbkt"))
+        .distinct().collect().map(_.getInt(0)).toSeq
+      val shFull = shSnap.count()
+      val shProbed =
+        if (sbkts.isEmpty) 0L
+        else shSnap.filter(col("sbkt").isin(sbkts: _*)).count()
       println(f"$tag%-8s N=$nPart%4d index=$indexRows%9d rows  probed=$probedRows%9d " +
         f"(${100.0 * probedRows / math.max(1L, indexRows)}%5.1f%%, ${bkts.length}%3d/$nPart parts)  " +
         f"pairs=$pairs%2d  probe wall(min3)=$wall%6.2f s")
+      println(f"${""}%-8s verify side: sh_store=$shFull%9d rows  sh_probed=$shProbed%9d " +
+        f"(${100.0 * shProbed / math.max(1L, shFull)}%5.1f%%, ${sbkts.length}%3d/$nPart parts, " +
+        f"cands=${cand.count()}%d)")
     }
 
     side("1x", oneDir, Dedup.BandIndexBuckets)

@@ -505,6 +505,52 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("mixturePlanV2: waterfill couples to priced supply — alloc ≤ effective, effFloor exact, slices hold") {
+    val C = graft.operators.Curation
+    // effFloor is the exact integer floor of the dyadic price: compare
+    // against the double formula over a grid that exercises every
+    // e_full arm including the cap and the fractional final epoch
+    def effD(u: Long, req: Long, maxE: Int): Double =
+      if (u == 0) 0.0
+      else {
+        val eF = math.min(maxE.toLong, req / u).toInt
+        val partial = if (eF >= maxE) 0L else req - eF * u
+        u.toDouble * (2.0 - math.pow(2.0, 1 - eF)) +
+          partial.toDouble * math.pow(2.0, -eF)
+      }
+    for (u <- Seq(0L, 1L, 7L, 10L, 1000L); req <- Seq(0L, 3L, 10L, 25L, 47L, 5000L))
+      assert(C.effFloor(u, req, 4) == math.floor(effD(u, req, 4)).toLong,
+        s"effFloor($u, $req)")
+    val rnd = new scala.util.Random(11)
+    (1 to 3).foreach { _ =>
+      val srcs = rnd.shuffle(C.Sources).take(2 + rnd.nextInt(4))
+      val docs = (0L until (10L + rnd.nextInt(30))).map { i =>
+        val words = (0 to 3 + rnd.nextInt(12)).map(_ => s"w${rnd.nextInt(20)}")
+          .mkString(" ")
+        (i, words, srcs((i % srcs.length).toInt))
+      }.toDF("doc_id", "text", "source")
+      val out = C.mixturePlanV2(spark, docs).collect()
+      assert(out.nonEmpty && out.length == srcs.length)
+      out.foreach { r =>
+        assert(r.getAs[Boolean]("weights_sum_ok"))
+        assert(r.getAs[Boolean]("priced_within_request"))
+        assert(r.getAs[Boolean]("alloc_within_effective"))
+        assert(r.getAs[Boolean]("alloc_within_budget"))
+        // the COUPLING, row-level: supply is the priced floor and the
+        // allocation never exceeds what pricing says the tokens are worth
+        assert(r.getAs[Long]("supply_tokens") ==
+          math.floor(r.getAs[Double]("effective_tokens")).toLong)
+        assert(r.getAs[Long]("alloc_tokens") <= r.getAs[Long]("supply_tokens"))
+        assert(r.getAs[Long]("alloc_tokens").toDouble <=
+          r.getAs[Double]("effective_tokens"))
+      }
+      // the budget is spent in VALUE units: Σalloc within 90% of Σsupply
+      val totAlloc = out.map(_.getAs[Long]("alloc_tokens")).sum
+      val totSupply = out.map(_.getAs[Long]("supply_tokens")).sum
+      assert(totAlloc * 100 <= totSupply * 90)
+    }
+  }
+
   test("repeatEpochs: dedup counts uniques, epochs from the request, dyadic pricing, cap binds") {
     val C = graft.operators.Curation
     // source a: two distinct 5-token texts, one duplicated (U=10, tot=15);

@@ -184,6 +184,56 @@ class EvalOpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("dpAccountantHetero: δ budget binds before ε on a Gaussian campaign; zCDP path stays valid; crossover moves with ρ") {
+    import Privacy.{DefaultDeltaBudget, DefaultDeltaTarget}
+    val lnInvDelta = math.log(1.0 / DefaultDeltaTarget)
+    def r(x: Double, dp: Int): Double =
+      BigDecimal(x).setScale(dp, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // planted Gaussian campaign: 60 releases of ε = 0.01, δ = 2.5e-7,
+    // 2ρ = ε²/2 in micro² (the ledger's gaussian rule). Σδ crosses the
+    // 1e-5 δ budget at release 41 (40·250 = 10000 nano = the budget)
+    // while Σε = 0.41 is far under the 2.0 ε budget — the regime the
+    // pure-ε accountant cannot see. The zCDP certificate (conversion
+    // δ = 1e-6, no Σδ) stays valid, so within_budget holds even after
+    // basic's δ runs out.
+    val gauss = (0 until 60).map(n =>
+      (n, "A", "gaussian", 10000L, 250L, 10000L * 10000L / 2L))
+      .toDF("nation", "segment", "mechanism", "eps_micro", "delta_nano", "rho2")
+    val out = Privacy.dpAccountantHetero(gauss).collect()
+      .map(x => x.getAs[Long]("n_releases") -> x).toMap
+    (1 to 60).foreach { k =>
+      val row = out(k.toLong)
+      assert(row.getAs[Double]("eps_basic") == r(k * 0.01, 6))
+      assert(row.getAs[Double]("delta_basic") == r(k * 250.0 / 1.0e9, 9))
+      val rho = k * (10000.0 * 10000.0 / 2.0) / 2.0e12
+      assert(row.getAs[Double]("eps_zcdp") ==
+        r(rho + 2.0 * math.sqrt(rho * lnInvDelta), 6))
+      assert(row.getAs[Boolean]("zcdp_within"))
+      assert(row.getAs[Boolean]("basic_within") == (k * 250L <= 10000L))
+      assert(row.getAs[Boolean]("within_budget")) // zCDP rescues the tail
+    }
+    assert(out(40L).getAs[Boolean]("basic_within") &&
+      !out(41L).getAs[Boolean]("basic_within") &&
+      out(41L).getAs[Double]("eps_basic") < 2.0) // δ bound, not ε
+    // the zCDP-vs-basic crossover MOVES with the mechanism's ρ: at the
+    // same ε = 0.5 grid, Gaussian rows carry ρ = ε²/4 vs Laplace's
+    // ε²/2, so the √k bound overtakes basic roughly twice as early
+    def crossover(rho2PerRelease: Long, mech: String): Int = {
+      val led = (0 until 60).map(n => (n, "A", mech, 500000L, 0L, rho2PerRelease))
+        .toDF("nation", "segment", "mechanism", "eps_micro", "delta_nano", "rho2")
+      Privacy.dpAccountantHetero(led).collect()
+        .filter(x => x.getAs[Double]("eps_zcdp") < x.getAs[Double]("eps_basic"))
+        .map(_.getAs[Long]("n_releases")).min.toInt
+    }
+    val kLap = crossover(500000L * 500000L, "laplace")
+    val kGauss = crossover(500000L * 500000L / 2L, "gaussian")
+    assert(kGauss < kLap, s"crossover should move: gauss=$kGauss lap=$kLap")
+    // δ target above the δ budget is an invalid configuration
+    intercept[IllegalArgumentException] {
+      Privacy.dpAccountantHetero(gauss, deltaBudget = 1e-7)
+    }
+  }
+
   test("dpoPairsCapped: per-chosen cap, margin threshold, top-gap selection vs a driver reference") {
     // 40 docs, one (lang, source); unique-token count varies 1..13 so
     // cells contain many margin-qualified partners per chosen

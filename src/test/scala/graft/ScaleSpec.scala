@@ -751,6 +751,35 @@ class ScaleSpec extends AnyFunSuite with SparkSpec {
     assert(pruned == flat && pruned.nonEmpty)
   }
 
+  test("shingle store at rest: verify join-back partition-prunes to the candidate ids' buckets") {
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, sf)
+    val accepted = Dedup.shingleSets(docs.filter($"doc_id" % 5 =!= 0), n = 3)
+    val bandDir = Files.createTempDirectory("graft-bands2").toString
+    Dedup.bandRows(accepted).withColumn("pbkt", Dedup.bandPartition())
+      .write.mode("overwrite").partitionBy("pbkt").parquet(bandDir)
+    val atRestBands = spark.read.parquet(bandDir)
+    val shDir = Files.createTempDirectory("graft-shstore").toString
+    accepted.withColumn("sbkt", Dedup.shinglePartition($"doc_id"))
+      .write.mode("overwrite").partitionBy("sbkt").parquet(shDir)
+    val atRestSh = spark.read.parquet(shDir)
+    val batch = Dedup.shingleSets(docs.filter($"doc_id" % 5 === 0), n = 3)
+    val pairs = Dedup.minHashIncrementalPairs(batch, atRestBands, atRestSh)
+    // the candidate ids' sbkt set lands as a PARTITION filter on the
+    // at-rest shingle scan — the verify join-back reads candidate-held
+    // partitions, never the whole store
+    val leaf = pairs.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).find(s => s.contains("sbkt") && s.contains("PartitionFilters"))
+      .getOrElse("")
+    assert(leaf.contains("PartitionFilters") &&
+      (leaf.contains("INSET") || leaf.contains(" IN (")), leaf)
+    // pruning must not change the answer: same pairs as the flat store
+    val flat = Dedup.minHashIncrementalPairs(batch, atRestBands, accepted)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val pruned = pairs.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pruned == flat && pruned.nonEmpty)
+  }
+
   test("clustered compaction preserves data skipping; plain compaction would destroy it") {
     import graft.operators.Layout
     val n = 20000
