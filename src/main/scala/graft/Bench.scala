@@ -91,6 +91,37 @@ object Bench {
     })
     val failed = results.collect { case (k, v) if v < 0 => k }.toSeq.sorted
     val total = results.values.filter(_ >= 0).sum
+    // Per-query ambient guard: any row whose min-of-N exceeds 2× its
+    // per-query anchor gets an immediate warm min-of-6 in the SAME
+    // session, so a cross-epoch ratio can be adjudicated from one epoch
+    // instead of a follow-up probe session (the q_embed_knn_lsh saga:
+    // three rounds of cold-path bounce before a warm probe settled it).
+    // Anchor = the r8 clean-session detail file; override GRAFT_ANCHOR.
+    // Capped at 8 reruns so a systemic regression (which a warm rerun
+    // would not exonerate anyway) cannot double the bench wall.
+    val anchorPath = sys.env.getOrElse("GRAFT_ANCHOR", "bench_detail_r08_baseline.json")
+    val anchors: Map[String, Double] =
+      try {
+        val txt = new String(Files.readAllBytes(Paths.get(anchorPath)))
+        val qsec = txt.substring(txt.indexOf("\"queries\":"))
+        """"([A-Za-z0-9_]+)":(-?[0-9.]+)""".r.findAllMatchIn(qsec)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case _: Throwable => Map.empty[String, Double] }
+    val flagged = results.collect {
+      case (k, v) if v >= 0 && anchors.get(k).exists(a => a > 0 && v > 2 * a) => k
+    }.toSeq.sorted.take(8)
+    val warm: Map[String, Double] = flagged.map { name =>
+      val fn = suite(name)
+      if (guardExempt(name)) spark.conf.unset(graft.plans.CartesianGuard.ConfKey)
+      else spark.conf.set(graft.plans.CartesianGuard.ConfKey, guardBytes)
+      val ts = (1 to 6).map { _ =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).count() catch { case _: Throwable => () }
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> ts.min
+    }.toMap
     def r2(v: Double): Double = math.round(v * 100) / 100.0
     def r3(v: Double): Double = math.round(v * 1000) / 1000.0
     val bySlowest = results.toSeq.sortBy { case (k, v) => (-v, k) }
@@ -99,17 +130,19 @@ object Bench {
     // a 117-query map at 3 decimals (~4.3 KB) overflowed it in rounds 1-2.
     val detail = bySlowest.map { case (k, v) => s""""$k":${r3(v)}""" }
       .mkString("{", ",", "}")
+    val warmJson = warm.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""$k":${r3(v)}""" }.mkString("{", ",", "}")
     val opOnly = overrides.keySet.intersect(suite.keySet).toSeq.sorted
       .map(n => s""""$n"""").mkString("[", ",", "]")
+    val detailLine =
+      s"""{"sf":"$sfDir","runs_per_query":$nPasses,"aggregation":"min","total_sec":${r3(total)},"operator_only":$opOnly,"warm_sec":$warmJson,"queries":$detail}""" + "\n"
     if (only.isEmpty) // a GRAFT_ONLY subset must not clobber the full record
-      Files.writeString(Paths.get("bench_detail.json"),
-        s"""{"sf":"$sfDir","runs_per_query":$nPasses,"aggregation":"min","total_sec":${r3(total)},"operator_only":$opOnly,"queries":$detail}""" + "\n")
+      Files.writeString(Paths.get("bench_detail.json"), detailLine)
     // Controlled-measurement runs (the ambient-drift audits) need per-query
     // detail for a GRAFT_ONLY subset without clobbering the full record:
     // GRAFT_DETAIL_OUT names an explicit sidecar file for this run only.
     sys.env.get("GRAFT_DETAIL_OUT").foreach { p =>
-      Files.writeString(Paths.get(p),
-        s"""{"sf":"$sfDir","runs_per_query":$nPasses,"aggregation":"min","total_sec":${r3(total)},"operator_only":$opOnly,"queries":$detail}""" + "\n")
+      Files.writeString(Paths.get(p), detailLine)
     }
     // The stdout contract line stays small: total + the 40 slowest queries
     // (the regression-relevant ones) at 2 decimals — ~1.3 KB, comfortably
