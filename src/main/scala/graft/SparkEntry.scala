@@ -5357,6 +5357,18 @@ object SparkEntry {
       graft.operators.Privacy.dpAccountantHetero(
         graft.operators.Privacy.dpAccountantHeteroLedger(Tables.customer(s, d)))),
 
+    // Amplification by Poisson subsampling — the privacy ladder's third
+    // composition rung: a release computed on a q-subsample enjoys
+    // ε' = ln(1 + q·(e^ε − 1)) (Balle et al. 2018), 18× cheaper at
+    // q = 5%, ε = 0.25 — how production pipelines afford release
+    // campaigns. ε' is rounded to integer micro-units per release (one
+    // exp + one ln, the libm-agreement precedent, BEFORE composition),
+    // so every prefix sum is exact BIGINT and the oracle replays
+    // hash-exactly.
+    "q_dp_accountant_subsampled" -> ((s, d) =>
+      graft.operators.Privacy.dpAccountantSubsampled(
+        graft.operators.Privacy.dpAccountantSubsampledLedger(Tables.customer(s, d)))),
+
     // Differentially-private release composition: suppress classes under
     // the k-anonymity floor, Laplace(1/ε)-noise the surviving counts
     // (deterministic inverse-CDF over a portable-hash uniform — the
@@ -10597,6 +10609,8 @@ object SparkEntry {
     // chain; ln(1/δ) and the budget interpolated from shared constants.
     "q_dp_accountant" -> graft.operators.Privacy.dpAccountantSql(),
     "q_dp_accountant_hetero" -> graft.operators.Privacy.dpAccountantHeteroSql(),
+    "q_dp_accountant_subsampled" ->
+      graft.operators.Privacy.dpAccountantSubsampledSql(),
 
     // Streaming accountant replay: identical table (exact integer
     // arithmetic merges exactly), parity boolean pinned.

@@ -432,6 +432,123 @@ object Privacy {
           .otherwise(eps * eps).cast("long").as("rho2"))
   }
 
+  /** Per-release Poisson sampling rate in integer PPM (parts-per-
+    * million) — q ∈ {1%, 5%, 10%, 25%} over the same portable class
+    * key: a release computed on a subsample of the data spends LESS
+    * budget, and the varied rate exercises the amplification lemma
+    * across its range. Keyed on nation alone — DECOUPLED from the ε
+    * rule's (nation + len(segment)) key, so the ledger covers the
+    * (ε, q) cross product, not a diagonal. Integer PPM keeps the
+    * ledger exact. */
+  def releaseSampleRatePpm(nation: Column, segment: Column): Column = {
+    val m = pmod(nation, lit(4))
+    when(m === 0, 10000L).when(m === 1, 50000L)
+      .when(m === 2, 100000L).otherwise(250000L).cast("long")
+  }
+
+  /** Subsampled release ledger: each (nation, segment) class releases a
+    * Laplace(1/ε) histogram computed on a Poisson q-subsample, so the
+    * release enjoys the AMPLIFIED guarantee ε′ = ln(1 + q·(e^ε − 1))
+    * (amplification by subsampling — Li, Qardaji & Su 2012; Balle,
+    * Barthe & Gaboardi 2018 Thm 8 for the Poisson form). ε′ is rounded
+    * to INTEGER micro-units per release — one exp + one ln + one round
+    * (the cross-engine libm-agreement precedent), the ONLY float step,
+    * taken BEFORE composition — after which every prefix sum is exact
+    * BIGINT again and the oracle replays hash-exactly. */
+  def dpAccountantSubsampledLedger(customer: DataFrame): DataFrame = {
+    val eps = releaseEpsMicro(col("nation"), col("segment"))
+    val qPpm = releaseSampleRatePpm(col("nation"), col("segment"))
+    val qD = qPpm.cast("double") / 1.0e6
+    val eD = eps.cast("double") / 1.0e6
+    val ampMicro =
+      round(log(lit(1.0) + qD * (exp(eD) - lit(1.0))) * 1.0e6).cast("long")
+    customer
+      .select(col("c_nationkey").as("nation"), col("c_mktsegment").as("segment"))
+      .distinct()
+      .select(col("nation"), col("segment"),
+        eps.as("eps_micro"), qPpm.as("q_ppm"), ampMicro.as("eps_amp_micro"))
+  }
+
+  /** Amplification-by-subsampling accountant — the privacy ladder's
+    * third composition rung (after [[dpAccountant]]'s pure-ε and
+    * [[dpAccountantHetero]]'s mixed-mechanism ledgers): the campaign
+    * composes the AMPLIFIED per-release guarantees, basic and zCDP
+    * exactly as [[dpAccountant]] does (an ε′-DP release is (ε′²/2)-zCDP
+    * — the amplified guarantee IS a pure-ε guarantee, so both
+    * composition paths apply to it unchanged). Subsampling moves the
+    * whole budget curve down — a q = 5% release of ε = 0.25 spends
+    * ε′ ≈ 0.0141, 18× cheaper — which is exactly how production
+    * pipelines afford release campaigns over user-level data. Same
+    * exact-BIGINT prefix discipline, ledger-bounded window. */
+  def dpAccountantSubsampled(ledger: DataFrame,
+      epsBudget: Double = DefaultEpsBudget,
+      deltaTarget: Double = DefaultDeltaTarget): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lnInvDelta = math.log(1.0 / deltaTarget)
+    val w = Window.orderBy(col("nation"), col("segment"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val rhoD = col("s2").cast("double") / 2.0e12
+    val epsBasic = round(col("sb").cast("double") / 1.0e6, 6)
+    val epsZcdp = round(rhoD + lit(2.0) * sqrt(rhoD * lit(lnInvDelta)), 6)
+    val epsSpent = least(epsBasic, epsZcdp)
+    ledger
+      .withColumn("n_releases", count(lit(1)).over(w))
+      .withColumn("sb", sum(col("eps_amp_micro")).over(w))
+      .withColumn("s2", sum(col("eps_amp_micro") * col("eps_amp_micro")).over(w))
+      .select(
+        col("nation"), col("segment"),
+        round(col("eps_micro").cast("double") / 1.0e6, 6).as("eps"),
+        round(col("q_ppm").cast("double") / 1.0e6, 6).as("q"),
+        round(col("eps_amp_micro").cast("double") / 1.0e6, 6).as("eps_amp"),
+        col("n_releases"),
+        epsBasic.as("eps_basic"),
+        epsZcdp.as("eps_zcdp"),
+        epsSpent.as("eps_spent"),
+        (epsSpent <= lit(epsBudget)).as("within_budget"))
+      .orderBy(col("nation"), col("segment"))
+  }
+
+  /** DuckDB oracle for [[dpAccountantSubsampled]] over
+    * [[dpAccountantSubsampledLedger]] — the amplification expression
+    * and the prefix chains generated from the same constants. */
+  def dpAccountantSubsampledSql(epsBudget: Double = DefaultEpsBudget,
+      deltaTarget: Double = DefaultDeltaTarget): String = {
+    val l = math.log(1.0 / deltaTarget)
+    val epsM = "CAST(100000 + 50000 * ((c_nationkey + length(c_mktsegment)) % 4) AS BIGINT)"
+    val qPpm = ("CAST(CASE c_nationkey % 4 " +
+      "WHEN 0 THEN 10000 WHEN 1 THEN 50000 WHEN 2 THEN 100000 " +
+      "ELSE 250000 END AS BIGINT)")
+    val amp = s"CAST(round(ln(CAST(1.0 AS DOUBLE) + " +
+      s"(CAST($qPpm AS DOUBLE) / CAST(1000000.0 AS DOUBLE)) * " +
+      s"(exp(CAST($epsM AS DOUBLE) / CAST(1000000.0 AS DOUBLE)) - CAST(1.0 AS DOUBLE))) " +
+      s"* CAST(1000000.0 AS DOUBLE)) AS BIGINT)"
+    val rhoD = "(CAST(s2 AS DOUBLE) / CAST(2000000000000.0 AS DOUBLE))"
+    val epsBasic = "round(CAST(sb AS DOUBLE) / CAST(1000000.0 AS DOUBLE), 6)"
+    val epsZcdp = s"round($rhoD + CAST(2.0 AS DOUBLE) * sqrt($rhoD * CAST($l AS DOUBLE)), 6)"
+    s"""WITH led AS (
+       |  SELECT c_nationkey AS nation, c_mktsegment AS segment,
+       |         $epsM AS eps_micro, $qPpm AS q_ppm, $amp AS eps_amp_micro
+       |  FROM customer GROUP BY 1, 2),
+       |pre AS (
+       |  SELECT nation, segment, eps_micro, q_ppm, eps_amp_micro,
+       |         CAST(count(*) OVER w AS BIGINT) AS n_releases,
+       |         CAST(sum(eps_amp_micro) OVER w AS BIGINT) AS sb,
+       |         CAST(sum(eps_amp_micro * eps_amp_micro) OVER w AS BIGINT) AS s2
+       |  FROM led
+       |  WINDOW w AS (ORDER BY nation, segment
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+       |SELECT nation, segment,
+       |       round(CAST(eps_micro AS DOUBLE) / CAST(1000000.0 AS DOUBLE), 6) AS eps,
+       |       round(CAST(q_ppm AS DOUBLE) / CAST(1000000.0 AS DOUBLE), 6) AS q,
+       |       round(CAST(eps_amp_micro AS DOUBLE) / CAST(1000000.0 AS DOUBLE), 6) AS eps_amp,
+       |       n_releases,
+       |       $epsBasic AS eps_basic,
+       |       $epsZcdp AS eps_zcdp,
+       |       least($epsBasic, $epsZcdp) AS eps_spent,
+       |       (least($epsBasic, $epsZcdp) <= CAST($epsBudget AS DOUBLE)) AS within_budget
+       |FROM pre ORDER BY nation, segment""".stripMargin
+  }
+
   /** Heterogeneous (ε, δ) composition accountant — [[dpAccountant]]
     * extended to the production case of mixed Laplace + Gaussian
     * releases: BASIC composition now sums BOTH axes ((Σε_i, Σδ_i)-DP —

@@ -123,10 +123,19 @@ object ProbeIvfClusteredScale {
       }
       val recF = recallFlatAt(np)
       val recF8 = recallFlatAt(math.min(8, nl))
+      // retrieve-then-rerank at the ruled probes: kShort=24 ADC shortlist,
+      // exact rerank to k=3 — the production knob SCALE.md names for
+      // closing the PQ-distortion gap the ivfpq column shows
+      val short = Pq.ivfPqSearch(idx, qs, k = 24, nProbe = np)
+      val rr = Similarity.rerankExact(short, qs, emb, k = 3)
+        .select(col("query_id"), col("neighbor_id")).withColumn("hit", lit(1L))
+      val recRr = exact.join(rr, Seq("query_id", "neighbor_id"), "left")
+        .agg((sum(coalesce(col("hit"), lit(0L))).cast("double") / count(lit(1)))
+          .as("recall")).collect()(0).getDouble(0)
       println(f"$tag%-4s n=$n%6d clusters=$Centers nLists=$nl%3d occ=${n / nl}%4d " +
         f"nProbe=$np%3d (${100.0 * np / nl}%4.1f%% of cells)  " +
         f"recall@3(|Q|=$nQ%3d): ivfpq ruled=$rec%.3f pinned8=$rec8%.3f | " +
-        f"ivf-flat ruled=$recF%.3f pinned8=$recF8%.3f")
+        f"ivf-flat ruled=$recF%.3f pinned8=$recF8%.3f | ivfpq+rerank ruled=$recRr%.3f")
     }
 
     side("1x", stage("1x", 2000L))

@@ -234,6 +234,49 @@ class EvalOpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("dpAccountantSubsampled: exact amplification per release, monotone in q, composition matches dpAccountant on the amplified ledger") {
+    // synthetic 4-class customer slice covering all four q arms
+    val cust = Seq(
+      (0, "AAAA"), (1, "AAAA"), (2, "AAAA"), (3, "AAAA"))
+      .toDF("c_nationkey", "c_mktsegment")
+    val led = Privacy.dpAccountantSubsampledLedger(cust)
+      .collect().map(r => r.getAs[Int]("nation") ->
+        (r.getAs[Long]("eps_micro"), r.getAs[Long]("q_ppm"),
+          r.getAs[Long]("eps_amp_micro"))).toMap
+    // per-release closed form, recomputed independently; amplification
+    // strictly shrinks ε for q < 1
+    led.foreach { case (_, (em, qp, am)) =>
+      val expect = math.round(
+        math.log(1.0 + (qp / 1.0e6) * (math.exp(em / 1.0e6) - 1.0)) * 1.0e6)
+      assert(am == expect && am < em)
+    }
+    // q arms land as planted: nation % 4 cycles the PPM table (the q
+    // key is DECOUPLED from the ε key, so the ledger covers the cross
+    // product)
+    assert(led(0)._2 == 10000L && led(1)._2 == 50000L &&
+      led(2)._2 == 100000L && led(3)._2 == 250000L)
+    // the q=5% ε=0.25 example from the docstring: ~18× cheaper
+    val e25 = Privacy.dpAccountantSubsampledLedger(
+      // ε arm (1+6)%4=3 → 0.25; q arm 1%4=1 → 5%
+      Seq((1, "AAAAAA")).toDF("c_nationkey", "c_mktsegment"))
+      .collect()(0)
+    assert(e25.getAs[Long]("eps_micro") == 250000L &&
+      e25.getAs[Long]("q_ppm") == 50000L &&
+      e25.getAs[Long]("eps_amp_micro") == 14101L) // ln(1+0.05·(e^0.25−1))·1e6
+    // composition of the amplified guarantees IS dpAccountant over a
+    // ledger whose eps_micro is the amplified value — cross-checked
+    // against the existing operator, column for column
+    val full = Privacy.dpAccountantSubsampledLedger(cust).localCheckpoint(true)
+    val sub = Privacy.dpAccountantSubsampled(full).collect()
+      .map(r => (r.getAs[Long]("n_releases"), r.getAs[Double]("eps_basic"),
+        r.getAs[Double]("eps_zcdp"), r.getAs[Boolean]("within_budget")))
+    val ref = Privacy.dpAccountant(full.select(col("nation"), col("segment"),
+      col("eps_amp_micro").as("eps_micro"))).collect()
+      .map(r => (r.getAs[Long]("n_releases"), r.getAs[Double]("eps_basic"),
+        r.getAs[Double]("eps_zcdp"), r.getAs[Boolean]("within_budget")))
+    assert(sub.toSeq == ref.toSeq)
+  }
+
   test("dpoPairsCapped: per-chosen cap, margin threshold, top-gap selection vs a driver reference") {
     // 40 docs, one (lang, source); unique-token count varies 1..13 so
     // cells contain many margin-qualified partners per chosen
