@@ -21,7 +21,12 @@ import graft.sources.{Staging, Tables}
   * ([[Dedup.bandPartition]], the same at-rest posture as the IVF cell
   * layout): the probe derives the same hash map-side and joins on it, so
   * the per-batch index scan prunes to the buckets the batch can actually
-  * hit instead of re-reading the whole index every trigger.
+  * hit instead of re-reading the whole index every trigger. The SHINGLE
+  * store rests partitioned the same way by `sbkt = pmod(hash(doc_id), N)`
+  * ([[Dedup.shinglePartition]]), so the exact-Jaccard verify join-back
+  * prunes to the partitions holding the trigger's CANDIDATE ids — both
+  * index scans are trigger-footprint-sized, measured 4.9% of store rows
+  * at 10× under the ruled layout (tools/ProbeDedupIngestScale).
   *
   * Every unordered pair is examined exactly once (when its LATER document
   * arrives: earlier-batch partners via the index probe, same-batch
