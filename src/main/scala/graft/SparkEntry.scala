@@ -2924,6 +2924,13 @@ object SparkEntry {
     "q_mixture_plan_v2" -> ((s, d) =>
       graft.operators.Curation.mixturePlanV2(s, Tables.documents(s, d))),
 
+    // Padding-waste audit — the batch-shape cost a trainer pays:
+    // flat padding to maxLen vs B equal-width length buckets, per
+    // bucket waste + overall fractions, all exact integers; the
+    // bucketed-never-worse invariant asserted in-plan.
+    "q_padding_waste" -> ((s, d) =>
+      graft.operators.Curation.paddingWaste(Tables.documents(s, d))),
+
     // Incremental (batch-vs-corpus) dedup with reason-coded statuses; the
     // corpus/batch split is the id midpoint, derived like orderSpan.
     "q_incremental_dedup" -> ((s, d) => {
@@ -5357,6 +5364,14 @@ object SparkEntry {
       graft.operators.Privacy.dpAccountantHetero(
         graft.operators.Privacy.dpAccountantHeteroLedger(Tables.customer(s, d)))),
 
+    // CONTINUOUS heterogeneous (ε, δ) accounting — the mixed-mechanism
+    // ledger's monitor face: classes discovered on arrival, the ledger
+    // built through the shared FromClasses face, the δ-budget page
+    // fires when the crossing Gaussian release arrives; exact BIGINT
+    // prefix sums on all three axes ⇒ streamed ≡ batch bit-for-bit.
+    "q_dp_accountant_hetero_stream" -> ((s, d) =>
+      graft.streaming.KAnonStream.runStreamDpAccountantHetero(s, d)),
+
     // Amplification by Poisson subsampling — the privacy ladder's third
     // composition rung: a release computed on a q-subsample enjoys
     // ε' = ln(1 + q·(e^ε − 1)) (Balle et al. 2018), 18× cheaper at
@@ -7627,6 +7642,7 @@ object SparkEntry {
     // all three stage oracles from the shared generators.
     "q_mixture_plan" -> graft.operators.Curation.mixturePlanSql(),
     "q_mixture_plan_v2" -> graft.operators.Curation.mixturePlanV2Sql(),
+    "q_padding_waste" -> graft.operators.Curation.paddingWasteSql(),
 
     // Brute-force quadratic replay of the prefix-filter near checks (the
     // driver runs oracles at sf0.01 only); same 6-dp rounded Jaccard, same
@@ -10611,6 +10627,8 @@ object SparkEntry {
     "q_dp_accountant_hetero" -> graft.operators.Privacy.dpAccountantHeteroSql(),
     "q_dp_accountant_subsampled" ->
       graft.operators.Privacy.dpAccountantSubsampledSql(),
+    "q_dp_accountant_hetero_stream" ->
+      graft.operators.Privacy.dpAccountantHeteroSql(parityCol = true),
 
     // Streaming accountant replay: identical table (exact integer
     // arithmetic merges exactly), parity boolean pinned.

@@ -600,6 +600,102 @@ object Curation {
        |SELECT plan0.*, wsum.*, inv.* FROM plan0, wsum, inv ORDER BY source""".stripMargin
   }
 
+  /** Padding-waste audit — the batch-shape cost a trainer actually
+    * pays: every sequence in a batch is padded to the batch's sequence
+    * length, and padded positions buy nothing. Compares FLAT padding
+    * (every sequence padded to `maxLen`) with length-BUCKETED batching
+    * (B equal-width length buckets, each sequence padded to its
+    * bucket's upper edge k·maxLen/B — the standard bucketed-batching
+    * move). Per bucket: doc count, real token sum, the padded length,
+    * and the waste under both strategies; every row also carries the
+    * overall waste fractions and the in-plan invariant that bucketing
+    * never wastes MORE than flat padding (true by construction — each
+    * sequence's bucketed pad target is ≤ maxLen). Sequences longer
+    * than `maxLen` are counted truncated to `maxLen` (waste 0 here;
+    * truncation LOSS is the packing family's audit, not padding's).
+    *
+    * Scale shape: one corpus scan to per-doc token counts, one B-row
+    * keyed rollup, a broadcast 1-row total — all exact integers with
+    * two rounded fractions. The [[datasetSplit]] posture. */
+  def paddingWaste(
+      documents: DataFrame, maxLen: Int = 256, buckets: Int = 8): DataFrame = {
+    require(maxLen >= 1 && buckets >= 1 && maxLen % buckets == 0,
+      s"paddingWaste: buckets ($buckets) must divide maxLen ($maxLen)")
+    val bw = (maxLen / buckets).toLong
+    val n = size(tokens(col("text"))).cast(LongType)
+    val nc = least(n, lit(maxLen.toLong))
+    // integer ceil division (nc·B / L) with the ≥1 floor for empty-ish
+    // rows — the numerator is ≤ maxLen·(B+1), far inside double
+    // exactness, so the floor division is exact
+    val k = greatest(lit(1L),
+      floor((nc * buckets + lit(maxLen.toLong - 1L)) / lit(maxLen.toDouble))
+        .cast(LongType))
+    val per = documents
+      .select(k.as("bucket"), nc.as("nc"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nc")).as("sum_tokens"),
+        sum(col("bucket") * bw - col("nc")).as("waste_bucketed"),
+        sum(lit(maxLen.toLong) - col("nc")).as("waste_flat"))
+      .localCheckpoint(false) // two consumers: rows + the totals rollup
+    val tot = per.agg(
+      sum(col("n_docs")).as("t_docs"),
+      sum(col("sum_tokens")).as("t_tokens"),
+      sum(col("waste_bucketed")).as("t_wb"),
+      sum(col("waste_flat")).as("t_wf"))
+    per.crossJoin(broadcast(tot))
+      .select(col("bucket"), (col("bucket") * bw).as("padded_to"),
+        col("n_docs"), col("sum_tokens"),
+        col("waste_bucketed"), col("waste_flat"),
+        round(col("sum_tokens").cast(DoubleType) /
+          (col("n_docs") * col("bucket") * bw).cast(DoubleType), 6).as("util"),
+        round(col("t_wb").cast(DoubleType) /
+          (col("t_tokens") + col("t_wb")).cast(DoubleType), 6)
+          .as("waste_frac_bucketed"),
+        round(col("t_wf").cast(DoubleType) /
+          (col("t_docs") * lit(maxLen.toLong)).cast(DoubleType), 6)
+          .as("waste_frac_flat"),
+        (col("t_wb") <= col("t_wf")).as("bucketed_no_worse"))
+      .orderBy(col("bucket"))
+  }
+
+  /** DuckDB oracle for [[paddingWaste]] — the same integer chain with
+    * the bucket arithmetic interpolated from the same constants. */
+  def paddingWasteSql(maxLen: Int = 256, buckets: Int = 8): String = {
+    require(maxLen >= 1 && buckets >= 1 && maxLen % buckets == 0,
+      s"paddingWasteSql: buckets ($buckets) must divide maxLen ($maxLen)")
+    val bw = maxLen / buckets
+    s"""WITH dt AS (
+       |  SELECT least(CAST(len(string_split(text, ' ')) AS BIGINT),
+       |               CAST($maxLen AS BIGINT)) AS nc
+       |  FROM documents),
+       |kb AS (SELECT greatest(CAST(1 AS BIGINT),
+       |              (nc * $buckets + ${maxLen - 1}) // $maxLen) AS bucket, nc
+       |       FROM dt),
+       |per AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+       |               CAST(sum(nc) AS BIGINT) AS sum_tokens,
+       |               CAST(sum(bucket * $bw - nc) AS BIGINT) AS waste_bucketed,
+       |               CAST(sum($maxLen - nc) AS BIGINT) AS waste_flat
+       |        FROM kb GROUP BY 1),
+       |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS t_docs,
+       |               CAST(sum(sum_tokens) AS BIGINT) AS t_tokens,
+       |               CAST(sum(waste_bucketed) AS BIGINT) AS t_wb,
+       |               CAST(sum(waste_flat) AS BIGINT) AS t_wf
+       |        FROM per)
+       |SELECT per.bucket AS bucket,
+       |       CAST(per.bucket * $bw AS BIGINT) AS padded_to,
+       |       per.n_docs AS n_docs, per.sum_tokens AS sum_tokens,
+       |       per.waste_bucketed AS waste_bucketed, per.waste_flat AS waste_flat,
+       |       round(CAST(per.sum_tokens AS DOUBLE) /
+       |             CAST(per.n_docs * per.bucket * $bw AS DOUBLE), 6) AS util,
+       |       round(CAST(tot.t_wb AS DOUBLE) /
+       |             CAST(tot.t_tokens + tot.t_wb AS DOUBLE), 6) AS waste_frac_bucketed,
+       |       round(CAST(tot.t_wf AS DOUBLE) /
+       |             CAST(tot.t_docs * $maxLen AS DOUBLE), 6) AS waste_frac_flat,
+       |       (tot.t_wb <= tot.t_wf) AS bucketed_no_worse
+       |FROM per, tot ORDER BY bucket""".stripMargin
+  }
+
   /** The corpus's source domain — a fixed 20-name vocabulary on the
     * shipped data (asserted at run time, the [[Preference.Items]]
     * convention): the unrolled EG oracle derives its column set and

@@ -418,18 +418,27 @@ object Privacy {
     * 50000 ε grid keeps the halving exact). A production ledger records
     * each release's declared triple the same way — integer accounting
     * grains, rounded conservatively at declaration time. */
-  def dpAccountantHeteroLedger(customer: DataFrame): DataFrame = {
+  def dpAccountantHeteroLedger(customer: DataFrame): DataFrame =
+    dpAccountantHeteroLedgerFromClasses(
+      customer
+        .select(col("c_nationkey").as("nation"), col("c_mktsegment").as("segment"))
+        .distinct())
+
+  /** [[dpAccountantHeteroLedger]] from an already-distinct (nation,
+    * segment) class table — the shared arithmetic face (the
+    * [[tClosenessFromCounts]] convention): the batch audit feeds it the
+    * corpus distinct, the streaming monitor feeds it the accumulated
+    * complete-mode class set, so streamed ≡ batch is the SAME
+    * expression tree over the same classes. */
+  def dpAccountantHeteroLedgerFromClasses(classes: DataFrame): DataFrame = {
     val eps = releaseEpsMicro(col("nation"), col("segment"))
-    customer
-      .select(col("c_nationkey").as("nation"), col("c_mktsegment").as("segment"))
-      .distinct()
-      .select(col("nation"), col("segment"),
-        when(releaseIsGauss(col("nation"), col("segment")), "gaussian")
-          .otherwise("laplace").as("mechanism"),
-        eps.as("eps_micro"),
-        releaseDeltaNano(col("nation"), col("segment")).as("delta_nano"),
-        when(releaseIsGauss(col("nation"), col("segment")), eps * eps / 2L)
-          .otherwise(eps * eps).cast("long").as("rho2"))
+    classes.select(col("nation"), col("segment"),
+      when(releaseIsGauss(col("nation"), col("segment")), "gaussian")
+        .otherwise("laplace").as("mechanism"),
+      eps.as("eps_micro"),
+      releaseDeltaNano(col("nation"), col("segment")).as("delta_nano"),
+      when(releaseIsGauss(col("nation"), col("segment")), eps * eps / 2L)
+        .otherwise(eps * eps).cast("long").as("rho2"))
   }
 
   /** Per-release Poisson sampling rate in integer PPM (parts-per-
@@ -609,7 +618,8 @@ object Privacy {
     * every constant interpolated from the shared fixtures. */
   def dpAccountantHeteroSql(epsBudget: Double = DefaultEpsBudget,
       deltaBudget: Double = DefaultDeltaBudget,
-      deltaTarget: Double = DefaultDeltaTarget): String = {
+      deltaTarget: Double = DefaultDeltaTarget,
+      parityCol: Boolean = false): String = {
     val l = math.log(1.0 / deltaTarget)
     val rhoD = "(CAST(s2 AS DOUBLE) / CAST(2000000000000.0 AS DOUBLE))"
     val epsBasic = "round(CAST(sb AS DOUBLE) / CAST(1000000.0 AS DOUBLE), 6)"
@@ -651,7 +661,8 @@ object Privacy {
        |       $epsZcdp AS eps_zcdp,
        |       $basicOk AS basic_within,
        |       $zcdpOk AS zcdp_within,
-       |       ($basicOk OR $zcdpOk) AS within_budget
+       |       ($basicOk OR $zcdpOk) AS within_budget${
+            if (parityCol) ",\n       true AS parity_ok" else ""}
        |FROM pre ORDER BY nation, segment""".stripMargin
   }
 }

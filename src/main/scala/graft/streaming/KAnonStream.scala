@@ -208,4 +208,56 @@ object KAnonStream {
       .withColumn("parity_ok", lit(parityOk))
       .orderBy(col("nation"), col("segment"))
   }
+
+  /** CONTINUOUS heterogeneous (ε, δ) accounting — the monitor face of
+    * [[graft.operators.Privacy.dpAccountantHetero]], completing the
+    * accountant family's batch/stream symmetry: classes discovered on
+    * arrival (complete-mode QI counts, model-sized state), the readout
+    * builds the MIXED Laplace+Gaussian ledger through the shared
+    * [[graft.operators.Privacy.dpAccountantHeteroLedgerFromClasses]]
+    * face and runs the same accountant expression tree — exact BIGINT
+    * prefix sums on all three axes (Σε micro, Σδ nano, Σ2ρ micro²), so
+    * streamed ≡ batch bit-for-bit under any micro-batch slicing. The
+    * δ-budget-exceeded page (the regime only the hetero accountant can
+    * see) fires when the crossing Gaussian release arrives. Parity is
+    * the FULL state (keys and counts) vs a batch recompute, the
+    * [[runStreamDpAccountant]] standard. */
+  def runStreamDpAccountantHetero(
+      spark: SparkSession, dir: String, nBatches: Int = 4,
+      epsBudget: Double = graft.operators.Privacy.DefaultEpsBudget,
+      deltaBudget: Double = graft.operators.Privacy.DefaultDeltaBudget,
+      deltaTarget: Double = graft.operators.Privacy.DefaultDeltaTarget,
+      assertParity: Boolean = true): DataFrame = {
+    val staged = stagedCustomers(spark, dir, nBatches)
+    val name = "q_dp_accountant_hetero_stream_sink"
+
+    val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", StreamShuffleWidth)
+    try {
+      val q = spark.readStream.schema(customerStreamSchema(spark, dir))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged.toString)
+        .groupBy(col("c_nationkey").as("nation"), col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("n"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+
+    val cur = spark.table(name)
+    val parityOk = !assertParity || {
+      def toMap(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+        (r.getAs[Number]("nation").longValue(), r.getAs[String]("segment"))
+          -> r.getAs[Long]("n")).toMap
+      toMap(cur.collect()) == toMap(Tables.customer(spark, dir)
+        .groupBy(col("c_nationkey").as("nation"), col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("n")).collect())
+    }
+    graft.operators.Privacy.dpAccountantHetero(
+      graft.operators.Privacy.dpAccountantHeteroLedgerFromClasses(
+        cur.select(col("nation"), col("segment"))),
+      epsBudget, deltaBudget, deltaTarget)
+      .withColumn("parity_ok", lit(parityOk))
+      .orderBy(col("nation"), col("segment"))
+  }
 }

@@ -505,6 +505,39 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("paddingWaste: planted lengths land in their buckets, waste exact, truncation counts at maxLen") {
+    val C = graft.operators.Curation
+    // maxLen 16, 4 buckets of width 4: lengths 1 (bucket 1), 4 (edge of
+    // bucket 1), 5 (bucket 2), 12 (edge of bucket 3), 20 (truncated to
+    // 16 → bucket 4, waste 0)
+    def doc(i: Long, n: Int) = (i, Seq.fill(n)("w").mkString(" "), "s0")
+    val docs = Seq(doc(0, 1), doc(1, 4), doc(2, 5), doc(3, 12), doc(4, 20))
+      .toDF("doc_id", "text", "source")
+    val out = C.paddingWaste(docs, maxLen = 16, buckets = 4).collect()
+      .map(r => r.getAs[Long]("bucket") -> r).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L))
+    // bucket 1: lengths {1, 4} → padded_to 4, waste (4−1)+(4−4)=3;
+    // flat waste (16−1)+(16−4)=27
+    assert(out(1L).getAs[Long]("padded_to") == 4L &&
+      out(1L).getAs[Long]("n_docs") == 2L &&
+      out(1L).getAs[Long]("waste_bucketed") == 3L &&
+      out(1L).getAs[Long]("waste_flat") == 27L)
+    // bucket 2: length 5 → padded_to 8, waste 3; bucket 3: 12 → edge,
+    // waste 0; bucket 4: truncated 16, waste 0 both ways
+    assert(out(2L).getAs[Long]("waste_bucketed") == 3L &&
+      out(3L).getAs[Long]("waste_bucketed") == 0L &&
+      out(4L).getAs[Long]("waste_bucketed") == 0L &&
+      out(4L).getAs[Long]("waste_flat") == 0L &&
+      out(4L).getAs[Long]("sum_tokens") == 16L)
+    // overall fractions: Σwb=6, Σtokens=38 → 6/44; Σwf=42 over 5·16=80
+    assert(out(1L).getAs[Double]("waste_frac_bucketed") ==
+      BigDecimal(6.0 / 44.0).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(out(1L).getAs[Double]("waste_frac_flat") == 0.525)
+    assert(out.values.forall(_.getAs[Boolean]("bucketed_no_worse")))
+    // util exact: bucket 2 → 5/8
+    assert(out(2L).getAs[Double]("util") == 0.625)
+  }
+
   test("mixturePlanV2: waterfill couples to priced supply — alloc ≤ effective, effFloor exact, slices hold") {
     val C = graft.operators.Curation
     // effFloor is the exact integer floor of the dyadic price: compare

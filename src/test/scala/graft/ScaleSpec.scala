@@ -518,6 +518,25 @@ class ScaleSpec extends AnyFunSuite with SparkSpec {
     assert(got.map(key).toSeq == batch.map(key).toSeq)
   }
 
+  test("streaming hetero DP accountant: streamed mixed-mechanism spend equals the batch accountant, any split") {
+    // 3 batches (different split from the contract query's 4); FULL
+    // state parity (keys and counts) asserted in-plan inside the run
+    val got = graft.streaming.KAnonStream
+      .runStreamDpAccountantHetero(spark, sf, nBatches = 3).collect()
+    assert(got.nonEmpty && got.forall(_.getAs[Boolean]("parity_ok")))
+    val batch = graft.operators.Privacy.dpAccountantHetero(
+      graft.operators.Privacy.dpAccountantHeteroLedger(Tables.customer(spark, sf)))
+      .collect()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Number]("nation").longValue(), r.getAs[String]("segment"),
+        r.getAs[String]("mechanism"), r.getAs[Double]("eps"),
+        r.getAs[Double]("delta"), r.getAs[Long]("n_releases"),
+        r.getAs[Double]("eps_basic"), r.getAs[Double]("delta_basic"),
+        r.getAs[Double]("eps_zcdp"), r.getAs[Boolean]("basic_within"),
+        r.getAs[Boolean]("zcdp_within"), r.getAs[Boolean]("within_budget"))
+    assert(got.map(key).toSeq == batch.map(key).toSeq)
+  }
+
   test("streaming mixture-reweight monitor: streamed EG weights equal the batch fold, any split") {
     // 4 batches (different split from the contract query's 3); decimal
     // state parity asserted in-plan inside the run
