@@ -66,10 +66,26 @@ object ProbeIvfClusteredScale {
       Array.fill(Centers)(Array.fill(Dims)(rnd.nextGaussian().toFloat))
     val centerLit = typedLit(centers.map(_.toSeq).toSeq)
 
-    def stage(tag: String, n: Long): String = {
+    // Zipf-mass center assignment (cluster c holds mass ∝ 1/(c+1)): the
+    // shape a real topic distribution has — few giant topics + a long
+    // tail — sitting between the equal-mass clusters and the uniform
+    // worst case. Cumulative thresholds in 20-bit hash units, assigned
+    // by counting thresholds ≤ the row's hash slice (deterministic).
+    val zipfThresh: Seq[Long] = {
+      val w = (1 to Centers).map(c => 1.0 / c)
+      val tot = w.sum
+      w.scanLeft(0.0)(_ + _).tail.map(cum => (cum / tot * 1048576.0).toLong)
+    }
+    def zipfIdx: Column =
+      size(filter(typedLit(zipfThresh),
+        t => t <= pmod(xxhash64(col("id"), lit(31337)), lit(1048576L)))).cast("int")
+
+    def stage(tag: String, n: Long, equalMass: Boolean): String = {
       val dir = s"$work/emb-$tag"
       if (!new java.io.File(dir).exists()) {
-        val cIdx = pmod(col("id"), lit(Centers.toLong)).cast("int")
+        val cIdx =
+          if (equalMass) pmod(col("id"), lit(Centers.toLong)).cast("int")
+          else zipfIdx
         val emb = transform(sequence(lit(0), lit(Dims - 1)), d =>
           (element_at(element_at(centerLit, cIdx + 1), d + 1).cast("double") +
             lit(Sigma) * gauss(col("id") * Dims + d, 104729)).cast("float"))
@@ -138,8 +154,13 @@ object ProbeIvfClusteredScale {
         f"ivf-flat ruled=$recF%.3f pinned8=$recF8%.3f | ivfpq+rerank ruled=$recRr%.3f")
     }
 
-    side("1x", stage("1x", 2000L))
-    side("10x", stage("10x", 20000L))
+    side("1x", stage("1x", 2000L, equalMass = true))
+    side("10x", stage("10x", 20000L, equalMass = true))
+    // Zipf-mass variant: the largest cluster holds ~23% of points
+    // (≈ 4,700 at 10×), the tail cluster ~0.6% — the intermediate
+    // regime between equal-mass clusters and the uniform worst case
+    side("z1x", stage("z1x", 2000L, equalMass = false))
+    side("z10x", stage("z10x", 20000L, equalMass = false))
     println("uniform-substrate reference (r15 ProbeAutoNLists): ruled 0.443 -> 0.268 at 10x")
     spark.stop()
   }
