@@ -106,7 +106,14 @@ object Bench {
         val qsec = txt.substring(txt.indexOf("\"queries\":"))
         """"([A-Za-z0-9_]+)":(-?[0-9.]+)""".r.findAllMatchIn(qsec)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
-      } catch { case _: Throwable => Map.empty[String, Double] }
+      } catch { case e: Throwable =>
+        // LOUD: an empty warm_sec must mean "no outliers", never "the
+        // guard silently never loaded an anchor" — the detail JSON also
+        // records anchors_loaded so the two cases stay distinguishable
+        System.err.println(
+          s"[bench] ambient guard DISABLED: anchor $anchorPath unreadable (${e.getMessage})")
+        Map.empty[String, Double]
+      }
     val flagged = results.collect {
       case (k, v) if v >= 0 && anchors.get(k).exists(a => a > 0 && v > 2 * a) => k
     }.toSeq.sorted.take(8)
@@ -114,13 +121,22 @@ object Bench {
       val fn = suite(name)
       if (guardExempt(name)) spark.conf.unset(graft.plans.CartesianGuard.ConfKey)
       else spark.conf.set(graft.plans.CartesianGuard.ConfKey, guardBytes)
+      // failures must be LOUD here too (the pass() rule): a swallowed
+      // warm-run error would publish its fast failure time as an
+      // ambient-noise exoneration of a genuinely broken query
       val ts = (1 to 6).map { _ =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).count() catch { case _: Throwable => () }
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] warm $name FAILED: ${e.getMessage}")
+            false
+          }
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-        (System.nanoTime() - t0) / 1e9
+        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
-      name -> ts.min
+      val good = ts.filter(_ >= 0)
+      name -> (if (good.nonEmpty) good.min else -1.0)
     }.toMap
     def r2(v: Double): Double = math.round(v * 100) / 100.0
     def r3(v: Double): Double = math.round(v * 1000) / 1000.0
@@ -135,7 +151,7 @@ object Bench {
     val opOnly = overrides.keySet.intersect(suite.keySet).toSeq.sorted
       .map(n => s""""$n"""").mkString("[", ",", "]")
     val detailLine =
-      s"""{"sf":"$sfDir","runs_per_query":$nPasses,"aggregation":"min","total_sec":${r3(total)},"operator_only":$opOnly,"warm_sec":$warmJson,"queries":$detail}""" + "\n"
+      s"""{"sf":"$sfDir","runs_per_query":$nPasses,"aggregation":"min","total_sec":${r3(total)},"operator_only":$opOnly,"anchors_loaded":${anchors.size},"warm_sec":$warmJson,"queries":$detail}""" + "\n"
     if (only.isEmpty) // a GRAFT_ONLY subset must not clobber the full record
       Files.writeString(Paths.get("bench_detail.json"), detailLine)
     // Controlled-measurement runs (the ambient-drift audits) need per-query

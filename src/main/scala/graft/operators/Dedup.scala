@@ -331,19 +331,7 @@ object Dedup {
             (nb, indexBanded.filter(col("pbkt").isin(bkts: _*)))
         }
       } else (newBanded0, indexBanded)
-    val vsIndex = newBanded.alias("n")
-      .join(prunedIndex.alias("i"),
-        col("n.band") === col("i.band") && col("n.bucket") === col("i.bucket"))
-      .select(least(col("n.doc_id"), col("i.doc_id")).as("doc_a"),
-        greatest(col("n.doc_id"), col("i.doc_id")).as("doc_b"))
-    val inBatch = newBanded.alias("a")
-      .join(newBanded.alias("b"),
-        col("a.band") === col("b.band") &&
-          col("a.bucket") === col("b.bucket") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-    val candidates0 =
-      vsIndex.unionByName(inBatch).dropDuplicates("doc_a", "doc_b")
+    val candidates0 = incrementalCandidates(newBanded, prunedIndex)
     // At-rest shingle-store pruning (the r15 "next pressure point"):
     // when the index shingles rest partitioned by sbkt
     // ([[shinglePartition]]), the verify join-back prunes to the
@@ -372,12 +360,60 @@ object Dedup {
     // joins stay hash joins keyed on candidate ids.
     val shingled = newShingles.unionByName(idxShingles)
       .select(col("doc_id"), col("sh").as("shingles"))
-    candidates
-      .join(shingled.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), Seq("doc_a"))
-      .join(shingled.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), Seq("doc_b"))
+    val prunedPath = indexShingles.columns.contains("sbkt")
+    // Fail-safe on the pruned path: a `shingleBuckets` that does not
+    // match the N the store was WRITTEN with would collect the wrong
+    // sbkt values, the isin filter would keep the wrong partitions, and
+    // an inner join-back would silently DROP true near-dup pairs. The
+    // left join + raise_error turns that layout mismatch into a loud
+    // analysis-time failure at the first affected candidate — map-side,
+    // zero extra jobs (the unpruned path keeps the inner joins: every
+    // id is a member of one of the two full stores by construction).
+    def guarded(c: Column, id: Column): Column =
+      when(c.isNull, raise_error(concat(
+        lit("minHashIncrementalPairs: candidate doc "), id.cast("string"),
+        lit(" missing from the pruned shingle store — does shingleBuckets" +
+          " match the N the store was written with (shinglePartition)?"))))
+        .otherwise(c)
+    val joined =
+      if (prunedPath)
+        candidates
+          .join(shingled.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")),
+            Seq("doc_a"), "left")
+          .join(shingled.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")),
+            Seq("doc_b"), "left")
+          .select(col("doc_a"), col("doc_b"),
+            guarded(col("sh_a"), col("doc_a")).as("sh_a"),
+            guarded(col("sh_b"), col("doc_b")).as("sh_b"))
+      else
+        candidates
+          .join(shingled.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), Seq("doc_a"))
+          .join(shingled.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), Seq("doc_b"))
+    joined
       .select(col("doc_a"), col("doc_b"),
         round(sortedJaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** Candidate-pair generation shared by [[minHashIncrementalPairsImpl]]
+    * and the ProbeDedupIngestScale verify-side readout (exposed so the
+    * probe measures the SHIPPED candidate rule, not a copy that can
+    * drift): batch-vs-index equi-join on (band, bucket) plus the
+    * in-batch self-join, deduplicated as bare id pairs. */
+  private[graft] def incrementalCandidates(
+      newBanded: DataFrame, prunedIndex: DataFrame): DataFrame = {
+    val vsIndex = newBanded.alias("n")
+      .join(prunedIndex.alias("i"),
+        col("n.band") === col("i.band") && col("n.bucket") === col("i.bucket"))
+      .select(least(col("n.doc_id"), col("i.doc_id")).as("doc_a"),
+        greatest(col("n.doc_id"), col("i.doc_id")).as("doc_b"))
+    val inBatch = newBanded.alias("a")
+      .join(newBanded.alias("b"),
+        col("a.band") === col("b.band") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    vsIndex.unionByName(inBatch).dropDuplicates("doc_a", "doc_b")
   }
 
   /** SimHash near-duplicates: 64-bit fingerprints, candidates via 4×16-bit

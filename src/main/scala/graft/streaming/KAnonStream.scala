@@ -166,14 +166,18 @@ object KAnonStream {
     * bit-for-bit under any micro-batch slicing (asserted in-plan,
     * `parity_ok`) and the table hash-matches the batch oracle with the
     * parity column appended. */
-  def runStreamDpAccountant(
-      spark: SparkSession, dir: String, nBatches: Int = 4,
-      epsBudget: Double = graft.operators.Privacy.DefaultEpsBudget,
-      deltaTarget: Double = graft.operators.Privacy.DefaultDeltaTarget,
-      assertParity: Boolean = true): DataFrame = {
+  /** The accountant monitors' shared stream harness: run the
+    * complete-mode (nation, segment) → count stream to completion and
+    * return (accumulated state, full-state parity vs a batch
+    * recompute). Parity is the FULL state (keys AND counts) — strictly
+    * stronger than what the accountants need (their outputs depend
+    * only on the class set), so each monitor's bit-for-bit claim is
+    * the thing actually asserted, and both monitors assert it through
+    * ONE code path that cannot drift. */
+  private def runQiCountStream(
+      spark: SparkSession, dir: String, nBatches: Int, sinkName: String,
+      assertParity: Boolean): (DataFrame, Boolean) = {
     val staged = stagedCustomers(spark, dir, nBatches)
-    val name = "q_dp_accountant_stream_sink"
-
     val saved = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", StreamShuffleWidth)
     try {
@@ -182,17 +186,13 @@ object KAnonStream {
         .parquet(staged.toString)
         .groupBy(col("c_nationkey").as("nation"), col("c_mktsegment").as("segment"))
         .agg(count(lit(1)).as("n"))
-        .writeStream.format("memory").queryName(name)
+        .writeStream.format("memory").queryName(sinkName)
         .outputMode("complete").start()
       try q.processAllAvailable() finally q.stop()
     } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
 
-    // streamed state: the fixed QI grid — model-sized. Parity is the
-    // FULL state (keys AND counts) vs a batch recompute — strictly
-    // stronger than what the accountant needs (its output depends only
-    // on the class set), so the docstring's bit-for-bit claim is the
-    // thing actually asserted.
-    val cur = spark.table(name)
+    // streamed state: the fixed QI grid — model-sized
+    val cur = spark.table(sinkName)
     val parityOk = !assertParity || {
       def toMap(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
         (r.getAs[Number]("nation").longValue(), r.getAs[String]("segment"))
@@ -201,6 +201,16 @@ object KAnonStream {
         .groupBy(col("c_nationkey").as("nation"), col("c_mktsegment").as("segment"))
         .agg(count(lit(1)).as("n")).collect())
     }
+    (cur, parityOk)
+  }
+
+  def runStreamDpAccountant(
+      spark: SparkSession, dir: String, nBatches: Int = 4,
+      epsBudget: Double = graft.operators.Privacy.DefaultEpsBudget,
+      deltaTarget: Double = graft.operators.Privacy.DefaultDeltaTarget,
+      assertParity: Boolean = true): DataFrame = {
+    val (cur, parityOk) = runQiCountStream(
+      spark, dir, nBatches, "q_dp_accountant_stream_sink", assertParity)
     val ledger = cur.select(col("nation"), col("segment"),
       graft.operators.Privacy.releaseEpsMicro(col("nation"), col("segment"))
         .as("eps_micro"))
@@ -228,31 +238,8 @@ object KAnonStream {
       deltaBudget: Double = graft.operators.Privacy.DefaultDeltaBudget,
       deltaTarget: Double = graft.operators.Privacy.DefaultDeltaTarget,
       assertParity: Boolean = true): DataFrame = {
-    val staged = stagedCustomers(spark, dir, nBatches)
-    val name = "q_dp_accountant_hetero_stream_sink"
-
-    val saved = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", StreamShuffleWidth)
-    try {
-      val q = spark.readStream.schema(customerStreamSchema(spark, dir))
-        .option("maxFilesPerTrigger", "1")
-        .parquet(staged.toString)
-        .groupBy(col("c_nationkey").as("nation"), col("c_mktsegment").as("segment"))
-        .agg(count(lit(1)).as("n"))
-        .writeStream.format("memory").queryName(name)
-        .outputMode("complete").start()
-      try q.processAllAvailable() finally q.stop()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
-
-    val cur = spark.table(name)
-    val parityOk = !assertParity || {
-      def toMap(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
-        (r.getAs[Number]("nation").longValue(), r.getAs[String]("segment"))
-          -> r.getAs[Long]("n")).toMap
-      toMap(cur.collect()) == toMap(Tables.customer(spark, dir)
-        .groupBy(col("c_nationkey").as("nation"), col("c_mktsegment").as("segment"))
-        .agg(count(lit(1)).as("n")).collect())
-    }
+    val (cur, parityOk) = runQiCountStream(
+      spark, dir, nBatches, "q_dp_accountant_hetero_stream_sink", assertParity)
     graft.operators.Privacy.dpAccountantHetero(
       graft.operators.Privacy.dpAccountantHeteroLedgerFromClasses(
         cur.select(col("nation"), col("segment"))),

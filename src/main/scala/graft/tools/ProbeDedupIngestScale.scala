@@ -135,22 +135,13 @@ object ProbeDedupIngestScale {
       val runs = (1 to 3).map(_ => once())
       val pairs = runs.head._1
       val wall = runs.map(_._2).min
-      // verify-side readout: the candidate set the probe generates (the
-      // operator's own path, replayed once for the measurement), its
-      // sbkt footprint, and the shingle-store rows inside it — the rows
-      // the verify join-back now reads instead of the whole store
-      val pruned = bandsSnap.filter(col("pbkt").isin(bkts: _*))
-      val vsIdx = newBands.alias("n")
-        .join(pruned.alias("i"),
-          col("n.band") === col("i.band") && col("n.bucket") === col("i.bucket"))
-        .select(least(col("n.doc_id"), col("i.doc_id")).as("doc_a"),
-          greatest(col("n.doc_id"), col("i.doc_id")).as("doc_b"))
-      val inB = newBands.alias("a")
-        .join(newBands.alias("b"),
-          col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      val cand = vsIdx.unionByName(inB).dropDuplicates("doc_a", "doc_b")
+      // verify-side readout: the candidate set via the operator's OWN
+      // generator (Dedup.incrementalCandidates — shared code, so the
+      // measurement cannot drift from the shipped path), its sbkt
+      // footprint, and the shingle-store rows inside it — the rows the
+      // verify join-back now reads instead of the whole store
+      val cand = Dedup.incrementalCandidates(
+        newBands, bandsSnap.filter(col("pbkt").isin(bkts: _*)))
         .localCheckpoint(true)
       val sbkts = cand.select(explode(array(col("doc_a"), col("doc_b"))).as("id"))
         .select(Dedup.shinglePartition(col("id"), nPart).as("sbkt"))

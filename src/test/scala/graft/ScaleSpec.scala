@@ -799,6 +799,31 @@ class ScaleSpec extends AnyFunSuite with SparkSpec {
     assert(pruned == flat && pruned.nonEmpty)
   }
 
+  test("shingle-store pruning: a layout mismatch fails loud instead of silently dropping pairs") {
+    import graft.operators.Dedup
+    // exact-dup pair (identical text ⇒ all bands equal ⇒ the candidate
+    // is guaranteed), index side carrying a WRONG sbkt labeling: the
+    // probe's correctly-derived bucket list prunes the row away, and
+    // the guard must raise instead of silently dropping the pair
+    val idx = Dedup.shingleSets(
+      Seq((0L, "x y z w v u t s")).toDF("doc_id", "text"), n = 3)
+    val batch = Dedup.shingleSets(
+      Seq((1L, "x y z w v u t s")).toDF("doc_id", "text"), n = 3)
+    val bands = Dedup.bandRows(idx)
+    val wrong = idx.withColumn("sbkt", lit(999))
+    val ex = intercept[Exception] {
+      Dedup.minHashIncrementalPairs(batch, bands, wrong).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(ex).exists(_.contains("missing from the pruned shingle store")), ex)
+    // positive control: the CORRECT labeling finds the pair through the
+    // same pruned path
+    val right = idx.withColumn("sbkt", Dedup.shinglePartition($"doc_id"))
+    val got = Dedup.minHashIncrementalPairs(batch, bands, right).collect()
+    assert(got.length == 1 && got(0).getDouble(2) == 1.0)
+  }
+
   test("clustered compaction preserves data skipping; plain compaction would destroy it") {
     import graft.operators.Layout
     val n = 20000
