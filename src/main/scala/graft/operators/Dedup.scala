@@ -215,15 +215,72 @@ object Dedup {
     * partitions), but each probed partition is corpus/4096 rows (at a
     * 10¹² band-row corpus, ~2.4 × 10⁸ rows ≈ a few GB per partition —
     * many Spark tasks, still a pruned scan). The remedy at that tier is
-    * a SECOND partition level (pbkt × sub-bucket) under the same
-    * occupancy rule: the collect/fan-out bound stays 4096 at level one
-    * and the probe's isin plan is unchanged, only the write path gains
-    * a directory level. Kept single-level here because every scale this
-    * repo stages sits far below the cap and the two-level layout adds
-    * state (two counts) for no measurable benefit at ≤ 10⁶ rows. */
+    * the SECOND partition level [[autoBandLayout]] ships (pbkt × sbb
+    * under the same occupancy rule): the collect/fan-out bound stays
+    * 4096 at level one and the probe plans both levels as one static
+    * cell-id filter, so occupancy is restored past the cap. This
+    * single-level rule remains the shipped default because every scale
+    * this repo stages sits far below the cap; writers that expect to
+    * cross it use the layout rule instead. */
   def autoBandBuckets(bandRowCount: Long): Int =
     math.min(4096L, math.max(BandIndexBuckets.toLong,
       (bandRowCount + BandPartitionOccupancy - 1) / BandPartitionOccupancy)).toInt
+
+  /** Two-level band layout `(n1, n2)` — the cap lift the [[autoBandBuckets]]
+    * docstring names: level one keeps the 4096 collect/fan-out bound, level
+    * two (`sbb`, a second partition directory) restores the occupancy rule
+    * past it, so per-partition row counts stay ≤ [[BandPartitionOccupancy]]
+    * at ANY corpus size. Decomposition: with `c = pmod(hash(band, bucket),
+    * n1·n2)`, `pbkt = c mod n1` equals the single-level [[bandPartition]]
+    * key EXACTLY (since `n1 | n1·n2`, `(h mod n1·n2) mod n1 = h mod n1`) and
+    * `sbb = c div n1` — so `(pbkt, sbb) ↔ c` is a bijection and exact
+    * pair-pruning over the two levels reads the SAME rows a single-level
+    * layout at `n1·n2` partitions would, while driver-side planning stays
+    * n1-bounded (≤ 4096 values; past-4096 cell batches fall back to the
+    * level-1 prune, see [[minHashIncrementalPairsPreBanded]]). Below the
+    * cap `n2 = 1` and the layout is byte-identical to today's single-level
+    * store (no `sbb` column written) — gate behavior unchanged at every
+    * verify SF.
+    *
+    * Level two is capped at 4096 as well — total ≤ 16.7 M partitions —
+    * which holds the occupancy rule exactly up to ~8.4 × 10¹⁰ band rows
+    * (4096² × 5000, ≈ 4000× the single-level cap point). Past THAT,
+    * occupancy grows linearly again, and deliberately so: restoring
+    * 5000-row occupancy at 10¹² rows would mean 2 × 10⁸ directories of
+    * ~80 KB parquet — pathological small files — whereas the capped
+    * layout reads ~60 k rows (~1 MB) per partition there, a sane at-rest
+    * file size, still pair-pruned to the trigger's cell footprint
+    * (≤ footprint/16.7 M of the index). The cap trades bounded file
+    * counts for bounded occupancy exactly where file size, not partition
+    * row count, becomes the binding constraint. */
+  def autoBandLayout(bandRowCount: Long): (Int, Int) = {
+    val needed = math.max(BandIndexBuckets.toLong,
+      (bandRowCount + BandPartitionOccupancy - 1) / BandPartitionOccupancy)
+    val n1 = math.min(4096L, needed).toInt
+    val n2 = math.min(4096L, (needed + n1 - 1) / n1).toInt
+    (n1, n2)
+  }
+
+  /** Level-two partition key for the two-level band layout
+    * ([[autoBandLayout]]): `sbb = (pmod(hash(band, bucket), n1·n2)) div n1`,
+    * the quotient of the combined cell id whose remainder is the unchanged
+    * level-one [[bandPartition]] key. */
+  def bandSubPartition(n1: Int, n2: Int): Column =
+    (pmod(hash(col("band"), col("bucket")), lit(n1 * n2)) / lit(n1)).cast("int")
+
+  /** Combined two-level cell id `c = sbb·n1 + pbkt = pmod(hash(band,
+    * bucket), n1·n2)` — what probe planning collects and the at-rest scan's
+    * partition filter tests ([[minHashIncrementalPairsPreBanded]]). */
+  def bandCell(n1: Int, n2: Int): Column =
+    pmod(hash(col("band"), col("bucket")), lit(n1 * n2))
+
+  /** Add the at-rest band partition column(s) for layout `(n1, n2)`:
+    * always `pbkt`, plus `sbb` when the layout is two-level. Writers
+    * `partitionBy("pbkt")` or `partitionBy("pbkt", "sbb")` accordingly. */
+  def withBandLayout(bandRows: DataFrame, n1: Int, n2: Int): DataFrame = {
+    val one = bandRows.withColumn("pbkt", bandPartition(n1))
+    if (n2 > 1) one.withColumn("sbb", bandSubPartition(n1, n2)) else one
+  }
 
   /** The at-rest SHINGLE store's partition key — the [[bandPartition]]
     * posture applied to the verify side: writers partition the persisted
@@ -269,7 +326,8 @@ object Dedup {
       threshold: Double = 0.7,
       probeBuckets: Option[Seq[Int]] = None,
       bandBuckets: Int = BandIndexBuckets,
-      shingleBuckets: Int = BandIndexBuckets): DataFrame = {
+      shingleBuckets: Int = BandIndexBuckets,
+      bandSubBuckets: Int = 1): DataFrame = {
     // When the index is the partitioned at-rest layout (has a pbkt
     // partition column, see [[bandPartition]]), plan the probe like the
     // IVF cell probe: push the batch's DISTINCT bucket hashes (bounded by
@@ -290,7 +348,7 @@ object Dedup {
     minHashIncrementalPairsImpl(
       newShingles, bandRows(newShingles, bands, rowsPerBand),
       indexBanded, indexShingles, threshold, probeBuckets, bandBuckets,
-      shingleBuckets)
+      shingleBuckets, bandSubBuckets)
   }
 
   /** [[minHashIncrementalPairs]] with the batch's banding rows supplied by
@@ -304,11 +362,13 @@ object Dedup {
       threshold: Double = 0.7,
       probeBuckets: Option[Seq[Int]] = None,
       bandBuckets: Int = BandIndexBuckets,
-      shingleBuckets: Int = BandIndexBuckets): DataFrame =
+      shingleBuckets: Int = BandIndexBuckets,
+      bandSubBuckets: Int = 1,
+      probeCells: Option[Seq[Int]] = None): DataFrame =
     minHashIncrementalPairsImpl(
       newShingles, preBanded.select(col("doc_id"), col("band"), col("bucket")),
       indexBanded, indexShingles, threshold, probeBuckets, bandBuckets,
-      shingleBuckets)
+      shingleBuckets, bandSubBuckets, probeCells)
 
   private def minHashIncrementalPairsImpl(
       newShingles: DataFrame,
@@ -318,9 +378,43 @@ object Dedup {
       threshold: Double,
       probeBuckets: Option[Seq[Int]],
       bandBuckets: Int = BandIndexBuckets,
-      shingleBuckets: Int = BandIndexBuckets): DataFrame = {
+      shingleBuckets: Int = BandIndexBuckets,
+      bandSubBuckets: Int = 1,
+      probeCells: Option[Seq[Int]] = None): DataFrame = {
     val (newBanded, prunedIndex) =
-      if (indexBanded.columns.contains("pbkt")) {
+      if (indexBanded.columns.contains("sbb")) {
+        // Two-level at-rest layout ([[autoBandLayout]]): plan BOTH levels
+        // from the batch's banding as one static partition filter on the
+        // combined cell id — exact pair pruning, so the scan reads the
+        // same rows a single-level layout at n1·n2 partitions would,
+        // while every driver-side list stays ≤ 4096 values (a batch
+        // whose cell footprint exceeds the bound falls back to the
+        // level-1 prune, which is capped at n1 ≤ 4096 by construction).
+        // A caller that passed the default bandSubBuckets = 1 against a
+        // two-level store would plan cell ids in [0, n1) while the store
+        // holds cells up to n1·n2 — every sbb ≥ 1 row would silently
+        // prune away — so mismatched layout params fail loud instead.
+        require(bandSubBuckets > 1,
+          "minHashIncrementalPairs: the band index carries a two-level " +
+            "layout (sbb column) — pass bandSubBuckets = the N2 it was " +
+            "written with (autoBandLayout)")
+        val (nb, cs) = probeCells match {
+          case Some(cells) => (newBanded0, cells)
+          case None =>
+            val nb0 = newBanded0.localCheckpoint(false)
+            val cells = nb0
+              .select(bandCell(bandBuckets, bandSubBuckets).as("c"))
+              .distinct().limit(4097).collect().map(_.getInt(0)).toSeq
+            (nb0, cells)
+        }
+        if (cs.length > 4096) {
+          val bkts = nb.select(bandPartition(bandBuckets).as("pbkt"))
+            .distinct().collect().map(_.getInt(0)).toSeq
+          (nb, indexBanded.filter(col("pbkt").isin(bkts: _*)))
+        } else
+          (nb, indexBanded.filter(
+            (col("sbb") * lit(bandBuckets) + col("pbkt")).isin(cs: _*)))
+      } else if (indexBanded.columns.contains("pbkt")) {
         probeBuckets match {
           case Some(bkts) =>
             (newBanded0, indexBanded.filter(col("pbkt").isin(bkts: _*)))

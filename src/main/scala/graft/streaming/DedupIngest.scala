@@ -103,7 +103,10 @@ object DedupIngest {
     // and the count is reused by the final readout. At the verify SFs
     // the rule returns the legacy 16, so gate behavior is unchanged.
     val nDocs = Tables.documents(spark, dir).count()
-    val nPart = Dedup.autoBandBuckets(nDocs * 16L)
+    // nSub = 1 everywhere below the 4096 cap (every verify SF); past it
+    // the layout goes two-level (pbkt × sbb, Dedup.autoBandLayout) and
+    // the probe plans both levels — same code path, no special casing
+    val (nPart, nSub) = Dedup.autoBandLayout(nDocs * 16L)
     val out = java.nio.file.Files.createTempDirectory("graft-ingest").toFile
     val bandDir = new java.io.File(out, "bands")
     val shDir = new java.io.File(out, "shingles")
@@ -114,9 +117,10 @@ object DedupIngest {
     // same at-rest posture as the band index's pbkt.
     val shSchema = Dedup.shingleSets(Tables.documents(spark, dir).limit(0), n = 3)
       .withColumn("sbkt", Dedup.shinglePartition(col("doc_id"), nPart)).schema
-    val bandSchema = Dedup.bandRows(Tables.documents(spark, dir).limit(0)
-      .transform(Dedup.shingleSets(_, n = 3)))
-      .withColumn("pbkt", Dedup.bandPartition(nPart)).schema
+    val bandSchema = Dedup.withBandLayout(
+      Dedup.bandRows(Tables.documents(spark, dir).limit(0)
+        .transform(Dedup.shingleSets(_, n = 3))), nPart, nSub).schema
+    val bandPartCols = if (nSub > 1) Seq("pbkt", "sbb") else Seq("pbkt")
 
     val saved = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", StreamShuffleWidth)
@@ -147,21 +151,35 @@ object DedupIngest {
           // instead of serializing behind the band append's directory
           // diff. Per-trigger wall-clock is then the checkpoint pass plus
           // ONE write latency, not three in sequence.
-          val bkts = newBands.select(Dedup.bandPartition(nPart).as("pbkt"))
-            .distinct().collect().map(_.getInt(0)).toSeq
+          // two-level stores plan the combined cell id instead (both
+          // levels in one static filter, Dedup.autoBandLayout); either
+          // list is bounded — ≤ 4096 values (past that the probe falls
+          // back to the level-1 prune, so collecting more is pointless)
+          val cells =
+            if (nSub > 1)
+              Some(newBands.select(Dedup.bandCell(nPart, nSub).as("c"))
+                .distinct().limit(4097).collect().map(_.getInt(0)).toSeq)
+            else None
+          val bkts =
+            if (nSub > 1) Nil
+            else newBands.select(Dedup.bandPartition(nPart).as("pbkt"))
+              .distinct().collect().map(_.getInt(0)).toSeq
           // one file per bucket dir per trigger: the append is tiny and
           // per-task dynamic-partition fan-out would 16× the file count
           val bandsF = Future(
-            newBands.withColumn("pbkt", Dedup.bandPartition(nPart))
-              .coalesce(1).write.partitionBy("pbkt").mode("append").parquet(bandDir.toString))
+            Dedup.withBandLayout(newBands, nPart, nSub)
+              .coalesce(1).write.partitionBy(bandPartCols: _*)
+              .mode("append").parquet(bandDir.toString))
           val shF = Future(
             newSh.withColumn("sbkt", Dedup.shinglePartition(col("doc_id"), nPart))
               .coalesce(1).write.partitionBy("sbkt").mode("append")
               .parquet(shDir.toString))
           val pairsF = Future(
             Dedup.minHashIncrementalPairsPreBanded(
-                newSh, newBands, bandsSnap, shSnap, probeBuckets = Some(bkts),
-                shingleBuckets = nPart)
+                newSh, newBands, bandsSnap, shSnap,
+                probeBuckets = if (nSub > 1) None else Some(bkts),
+                shingleBuckets = nPart, bandSubBuckets = nSub,
+                probeCells = cells)
               .write.mode("append").parquet(pairDir.toString))
           Await.result(bandsF, Duration.Inf)
           Await.result(shF, Duration.Inf)

@@ -92,16 +92,16 @@ object ProbeDedupIngestScale {
       .localCheckpoint(true)
     println(s"trigger batch: ${trigger.count()} docs")
 
-    def side(tag: String, corpusDir: String, nPart: Int): Unit = {
+    def side(tag: String, corpusDir: String, nPart: Int, nSub: Int = 1): Unit = {
       val docs = spark.read.parquet(corpusDir)
       val bandDir = new java.io.File(s"$work/bandidx-$tag")
       val shDir = new java.io.File(s"$work/shidx-$tag")
+      val partCols = if (nSub > 1) Seq("pbkt", "sbb") else Seq("pbkt")
       if (!bandDir.exists()) {
         val sh = Dedup.shingleSets(docs, n = 3)
-        Dedup.bandRows(sh)
-          .withColumn("pbkt", Dedup.bandPartition(nPart))
-          .repartition(col("pbkt"))
-          .write.partitionBy("pbkt").parquet(bandDir.toString)
+        Dedup.withBandLayout(Dedup.bandRows(sh), nPart, nSub)
+          .repartition(partCols.map(col): _*)
+          .write.partitionBy(partCols: _*).parquet(bandDir.toString)
         sh.write.parquet(shDir.toString)
       }
       // round-16: the shingle store's at-rest sbkt layout (the verify
@@ -121,15 +121,30 @@ object ProbeDedupIngestScale {
       // sbkt-pruned shingle store
       val newSh = Dedup.shingleSets(trigger, n = 3).localCheckpoint(true)
       val newBands = Dedup.bandRows(newSh).localCheckpoint(true)
+      // probe plan, exactly as DedupIngest builds it: level-1 bucket list
+      // for single-level stores, the combined cell-id list for two-level
       val bkts = newBands.select(Dedup.bandPartition(nPart).as("pbkt"))
         .distinct().collect().map(_.getInt(0)).toSeq
-      val probedRows = bandsSnap.filter(col("pbkt").isin(bkts: _*)).count()
+      val cells =
+        if (nSub > 1)
+          Some(newBands.select(Dedup.bandCell(nPart, nSub).as("c"))
+            .distinct().collect().map(_.getInt(0)).toSeq)
+        else None
+      val pruneFilter = cells match {
+        case Some(cs) => (col("sbb") * lit(nPart) + col("pbkt")).isin(cs: _*)
+        case None => col("pbkt").isin(bkts: _*)
+      }
+      val nParts = nPart * nSub
+      val nProbedParts = cells.map(_.length).getOrElse(bkts.length)
+      val probedRows = bandsSnap.filter(pruneFilter).count()
       val indexRows = bandsSnap.count()
       def once(): (Long, Double) = {
         val t0 = System.nanoTime()
         val n = Dedup.minHashIncrementalPairsPreBanded(
-          newSh, newBands, bandsSnap, shSnap, probeBuckets = Some(bkts),
-          shingleBuckets = nPart).count()
+          newSh, newBands, bandsSnap, shSnap,
+          probeBuckets = if (nSub > 1) None else Some(bkts),
+          shingleBuckets = nPart, bandSubBuckets = nSub,
+          probeCells = cells).count()
         (n, (System.nanoTime() - t0) / 1e9)
       }
       val runs = (1 to 3).map(_ => once())
@@ -141,7 +156,7 @@ object ProbeDedupIngestScale {
       // footprint, and the shingle-store rows inside it — the rows the
       // verify join-back now reads instead of the whole store
       val cand = Dedup.incrementalCandidates(
-        newBands, bandsSnap.filter(col("pbkt").isin(bkts: _*)))
+        newBands, bandsSnap.filter(pruneFilter))
         .localCheckpoint(true)
       val sbkts = cand.select(explode(array(col("doc_a"), col("doc_b"))).as("id"))
         .select(Dedup.shinglePartition(col("id"), nPart).as("sbkt"))
@@ -150,8 +165,9 @@ object ProbeDedupIngestScale {
       val shProbed =
         if (sbkts.isEmpty) 0L
         else shSnap.filter(col("sbkt").isin(sbkts: _*)).count()
-      println(f"$tag%-8s N=$nPart%4d index=$indexRows%9d rows  probed=$probedRows%9d " +
-        f"(${100.0 * probedRows / math.max(1L, indexRows)}%5.1f%%, ${bkts.length}%3d/$nPart parts)  " +
+      val layout = if (nSub > 1) s"$nPart x$nSub" else s"$nPart"
+      println(f"$tag%-8s N=$layout%7s index=$indexRows%9d rows  probed=$probedRows%9d " +
+        f"(${100.0 * probedRows / math.max(1L, indexRows)}%5.1f%%, $nProbedParts%3d/$nParts parts)  " +
         f"pairs=$pairs%2d  probe wall(min3)=$wall%6.2f s")
       println(f"${""}%-8s verify side: sh_store=$shFull%9d rows  sh_probed=$shProbed%9d " +
         f"(${100.0 * shProbed / math.max(1L, shFull)}%5.1f%%, ${sbkts.length}%3d/$nPart parts, " +
@@ -164,6 +180,14 @@ object ProbeDedupIngestScale {
     // at sf0.1 x 10 = 800,000 band rows / 5,000 occupancy = 160)
     side("10x-ruled", tenDir,
       Dedup.autoBandBuckets(spark.read.parquet(tenDir).count() * 16L))
+    // round-16 cap lift: the SAME 160 total partitions staged as the
+    // TWO-LEVEL layout (16 x 10 — level one forced to the legacy 16 to
+    // stand in for a corpus past the 4096 cap, where n1 saturates and
+    // only sbb can grow). Exact pair-pruning over (pbkt, sbb) must read
+    // the SAME rows the single-level 160 row reads — the cell id is the
+    // same hash mod 160, only the directory structure differs — while
+    // driver-side planning stays level-one-bounded.
+    side("10x-2lvl", tenDir, Dedup.BandIndexBuckets, nSub = 10)
     spark.stop()
   }
 }

@@ -362,6 +362,83 @@ class ScaleSpec extends AnyFunSuite with SparkSpec {
     assert(D.autoBandBuckets(n01 * 16) == 16 && D.autoBandBuckets(n1 * 16) == 16)
   }
 
+  test("autoBandLayout: single-level below the 4096 cap, occupancy restored by sbb past it") {
+    val D = graft.operators.Dedup
+    // below the cap the layout IS autoBandBuckets with n2 = 1 — byte-
+    // identical stores, gate behavior unchanged at every verify SF
+    assert(D.autoBandLayout(8000L) == ((16, 1)))
+    assert(D.autoBandLayout(800000L) == ((160, 1)))
+    assert(D.autoBandLayout(4096L * 5000L) == ((4096, 1)))
+    // past it, level one saturates and sbb carries the occupancy rule
+    assert(D.autoBandLayout(4096L * 5000L + 1L) == ((4096, 2)))
+    // invariant: occupancy restored up to the two-level capacity
+    // (4096² × 5000 ≈ 8.4e10 rows)
+    for (rows <- Seq(4096L * 5000L + 1L, 123456789L, 4096L * 4096L * 5000L)) {
+      val (m1, m2) = D.autoBandLayout(rows)
+      assert(rows <= m1.toLong * m2 * D.BandPartitionOccupancy, s"rows=$rows")
+    }
+    // past the two-level capacity both levels saturate (bounded file
+    // counts beat 80 KB files at the 10^12 design point — see docstring)
+    assert(D.autoBandLayout(1000000000000L) == ((4096, 4096)))
+  }
+
+  test("two-level band layout: (pbkt, sbb) decomposes the cell id; pbkt equals the single-level key") {
+    import graft.operators.Dedup
+    val (n1, n2) = (4, 3)
+    val bad = Dedup.withBandLayout(
+      Dedup.bandRows(Dedup.shingleSets(Tables.documents(spark, sf), n = 3)), n1, n2)
+      .filter(Dedup.bandSubPartition(n1, n2) * lit(n1) + Dedup.bandPartition(n1)
+        =!= Dedup.bandCell(n1, n2)
+        || col("pbkt") =!= Dedup.bandPartition(n1)
+        || col("sbb") < 0 || col("sbb") >= n2)
+      .count()
+    assert(bad == 0L)
+  }
+
+  test("two-level band index at rest: pair-pruned probe reads single-level-160-equivalent rows") {
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, sf)
+    val accepted = Dedup.shingleSets(docs.filter($"doc_id" % 5 =!= 0), n = 3)
+    val (n1, n2) = (4, 3) // forced two-level: stands in for past-cap scale
+    val dir = Files.createTempDirectory("graft-bands2lvl").toString
+    Dedup.withBandLayout(Dedup.bandRows(accepted), n1, n2)
+      .write.mode("overwrite").partitionBy("pbkt", "sbb").parquet(dir)
+    val atRest = spark.read.parquet(dir)
+    val batch = Dedup.shingleSets(docs.filter($"doc_id" % 5 === 0), n = 3)
+    val pairs = Dedup.minHashIncrementalPairs(batch, atRest, accepted,
+      bandBuckets = n1, bandSubBuckets = n2)
+    // the combined cell-id filter lands as a PARTITION filter over BOTH
+    // directory levels — the scan reads the cells the batch hits, exactly
+    // what a single-level layout at n1·n2 partitions would read
+    val leaf = pairs.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).find(s => s.contains("sbb") && s.contains("PartitionFilters"))
+      .getOrElse("")
+    assert(leaf.contains("PartitionFilters") &&
+      (leaf.contains("INSET") || leaf.contains(" IN (")), leaf)
+    // pruning must not change the answer: same pairs as the flat index
+    val flat = Dedup.minHashIncrementalPairs(batch,
+      atRest.drop("pbkt", "sbb"), accepted)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val pruned = pairs.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pruned == flat && pruned.nonEmpty)
+    // exact equivalence of the two prune plans: rows kept by the pair
+    // filter == rows kept filtering the same cells on a single-level
+    // layout at n1·n2 (the decomposition is a bijection)
+    val cells = Dedup.bandRows(batch).select(Dedup.bandCell(n1, n2).as("c"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val viaPair = atRest
+      .filter(($"sbb" * n1 + $"pbkt").isin(cells: _*)).count()
+    val viaFlat = Dedup.bandRows(accepted)
+      .filter(Dedup.bandCell(n1, n2).isin(cells: _*)).count()
+    assert(viaPair == viaFlat && viaPair > 0L)
+    // a mismatched layout param fails loud instead of silently pruning
+    // every sbb ≥ 1 row away (the hardened-guard posture)
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.minHashIncrementalPairs(batch, atRest, accepted, bandBuckets = n1)
+    }
+    assert(ex.getMessage.contains("two-level"), ex.getMessage)
+  }
+
   test("streaming SemDeDup ingest: streamed prune table equals whole-corpus semDedup, any batch split") {
     val cl = graft.operators.Clustering
     // 3 batches (odd split: exercises cross-batch probe AND in-batch
