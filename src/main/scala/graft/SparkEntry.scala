@@ -5384,6 +5384,26 @@ object SparkEntry {
       graft.operators.Privacy.dpAccountantSubsampled(
         graft.operators.Privacy.dpAccountantSubsampledLedger(Tables.customer(s, d)))),
 
+    // RDP (moments) accountant for subsampled-Gaussian training runs —
+    // the DP-SGD rung (Abadi et al. 2016; Mironov 2017; MTZ 2019): each
+    // class is a run (q, σ, T); the one-step RDP bound at each integer
+    // order in the grid is a finite binomial sum, CEILED to micro-units
+    // (valid upper bound — the conservative direction), after which run
+    // totals (T·ε_step) and campaign prefix sums are exact BIGINT; the
+    // (ε, δ)-conversion min over orders makes best_alpha move down the
+    // ledger. Hash-exact oracle from the same unrolled expression tree.
+    "q_dp_accountant_rdp" -> ((s, d) =>
+      graft.operators.Privacy.dpAccountantRdp(
+        graft.operators.Privacy.dpAccountantRdpLedger(Tables.customer(s, d)))),
+
+    // CONTINUOUS RDP (DP-SGD) accounting — runs discovered on arrival,
+    // the ledger built through the shared FromClasses face, the same
+    // accountant tree: per-run ceil-to-micro keeps every prefix sum
+    // exact BIGINT, so streamed ≡ batch bit-for-bit under any slicing;
+    // the budget page fires when the crossing run arrives.
+    "q_dp_accountant_rdp_stream" -> ((s, d) =>
+      graft.streaming.KAnonStream.runStreamDpAccountantRdp(s, d)),
+
     // Differentially-private release composition: suppress classes under
     // the k-anonymity floor, Laplace(1/ε)-noise the surviving counts
     // (deterministic inverse-CDF over a portable-hash uniform — the
@@ -10627,6 +10647,9 @@ object SparkEntry {
     "q_dp_accountant_hetero" -> graft.operators.Privacy.dpAccountantHeteroSql(),
     "q_dp_accountant_subsampled" ->
       graft.operators.Privacy.dpAccountantSubsampledSql(),
+    "q_dp_accountant_rdp" -> graft.operators.Privacy.dpAccountantRdpSql(),
+    "q_dp_accountant_rdp_stream" ->
+      graft.operators.Privacy.dpAccountantRdpSql(parityCol = true),
     "q_dp_accountant_hetero_stream" ->
       graft.operators.Privacy.dpAccountantHeteroSql(parityCol = true),
 

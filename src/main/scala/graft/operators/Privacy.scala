@@ -665,4 +665,227 @@ object Privacy {
             if (parityCol) ",\n       true AS parity_ok" else ""}
        |FROM pre ORDER BY nation, segment""".stripMargin
   }
+
+  // --------------------------------------------------------------------
+  // RDP (moments) accountant for subsampled-Gaussian training runs — the
+  // privacy ladder's fourth rung, and the one DP-SGD actually needs
+  // (Abadi et al. 2016; Mironov 2017; Mironov, Talwar & Zhang 2019).
+
+  /** The RDP accountant's Rényi-order grid. Integer orders make the
+    * subsampled-Gaussian RDP bound a FINITE binomial sum (MTZ19, the
+    * formula every production accountant implements for integer α);
+    * capped at 16 so the largest exp() argument on the ledger's
+    * parameter grid stays ≤ α(α−1)/(2σ²_min) + ln C(16,8) ≈ 197 — far
+    * inside double range, so the unrolled sum needs no log-sum-exp
+    * rearrangement and replays bitwise in both engines. */
+  val RdpAlphas: Seq[Int] = Seq(2, 3, 4, 8, 16)
+
+  /** Per-run Poisson sampling rate in integer PPM for the DP-SGD
+    * ledger — q ∈ {0.1%, 0.5%, 1%, 2.5%}, the minibatch-over-corpus
+    * regime (an order of magnitude below [[releaseSampleRatePpm]]'s
+    * release-subsample grid, which is the point: DP-SGD's privacy
+    * comes from very small q amplified over many steps). */
+  def releaseSgdRatePpm(nation: Column): Column = {
+    val m = pmod(nation, lit(4))
+    when(m === 0, 1000L).when(m === 1, 5000L)
+      .when(m === 2, 10000L).otherwise(25000L).cast("long")
+  }
+
+  /** Per-run Gaussian noise multiplier σ in integer MILLI-units —
+    * σ ∈ {0.8, 1.0, 2.0, 4.0}, keyed on (nation + len(segment)) mod 4
+    * (decoupled from the q rule's nation-only key, so the ledger covers
+    * the (q, σ) cross product). The 0.8 floor is what caps the exp()
+    * arguments (see [[RdpAlphas]]). */
+  def releaseSigmaMilli(nation: Column, segment: Column): Column = {
+    val m = pmod(nation + length(segment), lit(4))
+    when(m === 0, 800L).when(m === 1, 1000L)
+      .when(m === 2, 2000L).otherwise(4000L).cast("long")
+  }
+
+  /** Per-run step count T ∈ {100, …, 500} — each ledger row is one
+    * TRAINING RUN of T identical subsampled-Gaussian steps; RDP
+    * composes a run as T·ε_step(α) (Mironov 2017 Prop 1), an exact
+    * BIGINT multiply once ε_step is in integer micro-units. */
+  def releaseStepsCount(nation: Column, segment: Column): Column =
+    (lit(100L) * (lit(1L) + pmod(nation + length(segment), lit(5)))).cast("long")
+
+  /** Exact binomial coefficient (fits Long for the shipped grid:
+    * max C(16,8) = 12 870). */
+  private def binomial(n: Int, k: Int): Long =
+    (1 to k).foldLeft(1L)((acc, i) => acc * (n - i + 1) / i)
+
+  /** One-step subsampled-Gaussian RDP bound at integer order α (MTZ19;
+    * the TF-Privacy / Opacus integer-order formula):
+    * ε(α) = (1/(α−1))·ln Σ_{k=0}^{α} C(α,k)(1−q)^{α−k} q^k e^{(k²−k)/(2σ²)}.
+    * Emitted as ONE arithmetic tree — powers expressed through exp/ln
+    * (the only libm calls the cross-engine agreement precedent covers),
+    * terms summed left-associated — mirrored verbatim by
+    * [[rdpStepEpsSqlExpr]] so both engines run identical IEEE ops in
+    * identical order. */
+  private def rdpStepEps(alpha: Int, qD: Column, sD: Column): Column = {
+    val ln1q = log(lit(1.0) - qD)
+    val lnq = log(qD)
+    val inv2s2 = lit(1.0) / (lit(2.0) * (sD * sD))
+    val terms = (0 to alpha).map { k =>
+      val arg = lit((alpha - k).toDouble) * ln1q + lit(k.toDouble) * lnq +
+        lit((k.toLong * k - k).toDouble) * inv2s2
+      lit(binomial(alpha, k).toDouble) * exp(arg)
+    }
+    log(terms.reduceLeft(_ + _)) / lit((alpha - 1).toDouble)
+  }
+
+  /** The DuckDB twin of [[rdpStepEps]] — generated from the same grid
+    * constants with the same association order. */
+  private def rdpStepEpsSqlExpr(alpha: Int, qD: String, sD: String): String = {
+    val ln1q = s"ln(CAST(1.0 AS DOUBLE) - $qD)"
+    val lnq = s"ln($qD)"
+    val inv2s2 = s"(CAST(1.0 AS DOUBLE) / (CAST(2.0 AS DOUBLE) * ($sD * $sD)))"
+    val terms = (0 to alpha).map { k =>
+      val arg = s"((CAST(${(alpha - k).toDouble} AS DOUBLE) * $ln1q + " +
+        s"CAST(${k.toDouble} AS DOUBLE) * $lnq) + " +
+        s"CAST(${(k.toLong * k - k).toDouble} AS DOUBLE) * $inv2s2)"
+      s"CAST(${binomial(alpha, k).toDouble} AS DOUBLE) * exp($arg)"
+    }
+    s"(ln(${terms.reduceLeft((a, b) => s"($a + $b)")}) / " +
+      s"CAST(${(alpha - 1).toDouble} AS DOUBLE))"
+  }
+
+  /** DP-SGD run ledger: each (nation, segment) class is one training
+    * run (q, σ, T) with the one-step RDP bound at every grid order
+    * CEILED to integer micro-units (`e_a<α>`). Ceiling — not rounding —
+    * keeps the stored bound a VALID RDP upper bound (the conservative
+    * direction; a floor could understate spent budget), and it is the
+    * only float step: after it, run totals (T·ε_step) and campaign
+    * prefix sums are exact BIGINT, the house accountant discipline.
+    * ε_step(α) ≥ 0 always (every e^{(k²−k)/(2σ²)} ≥ 1 makes the inner
+    * sum ≥ the binomial theorem's 1), so ceil never goes negative. */
+  def dpAccountantRdpLedgerFromClasses(classes: DataFrame): DataFrame = {
+    val base = classes.select(col("nation"), col("segment"),
+      releaseSgdRatePpm(col("nation")).as("q_ppm"),
+      releaseSigmaMilli(col("nation"), col("segment")).as("sigma_milli"),
+      releaseStepsCount(col("nation"), col("segment")).as("steps"))
+    val qD = col("q_ppm").cast("double") / lit(1.0e6)
+    val sD = col("sigma_milli").cast("double") / lit(1.0e3)
+    base.select(col("nation") +: col("segment") +: col("q_ppm") +:
+      col("sigma_milli") +: col("steps") +:
+      RdpAlphas.map(a =>
+        ceil(rdpStepEps(a, qD, sD) * lit(1.0e6)).cast("long").as(s"e_a$a")): _*)
+  }
+
+  def dpAccountantRdpLedger(customer: DataFrame): DataFrame =
+    dpAccountantRdpLedgerFromClasses(
+      customer
+        .select(col("c_nationkey").as("nation"), col("c_mktsegment").as("segment"))
+        .distinct())
+
+  /** RDP composition accountant over a DP-SGD run ledger — the rung the
+    * first three cannot reach: per-release (ε, δ) certificates of a
+    * subsampled-Gaussian STEP are so loose that basic/zCDP composition
+    * over T·|runs| steps is vacuous, while RDP composes tightly: at
+    * each Rényi order α the campaign's ε_RDP(α) is Σ_runs T·ε_step(α)
+    * (linear composition, Mironov 2017 Prop 1 — here an exact BIGINT
+    * prefix sum of micro-units), converted to (ε, δ_target)-DP via
+    * ε = ε_RDP(α) + ln(1/δ)/(α−1) (Prop 3) and minimized over the
+    * grid. `best_alpha` is the arg-min (smallest on ties) — it MOVES
+    * down the ledger, large orders early (small conversion penalty)
+    * toward the order with the flattest growth as spend accumulates,
+    * the signature RDP-accountant behavior. Float work per output row:
+    * one division + one literal add per order, then round(·, 6) —
+    * order-free off exact integers, hash-exact replay. Ledger-bounded
+    * single-partition window, the documented accountant argument. */
+  def dpAccountantRdp(ledger: DataFrame,
+      epsBudget: Double = DefaultEpsBudget,
+      deltaTarget: Double = DefaultDeltaTarget): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("nation"), col("segment"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withCums = RdpAlphas.foldLeft(
+      ledger.withColumn("n_releases", count(lit(1)).over(w))) {
+      (df, a) => df.withColumn(s"c_a$a",
+        sum(col("steps") * col(s"e_a$a")).over(w))
+    }
+    val conv = RdpAlphas.map { a =>
+      val pen = math.log(1.0 / deltaTarget) / (a - 1).toDouble
+      round(col(s"c_a$a").cast("double") / lit(1.0e6) + lit(pen), 6)
+        .as(s"eps_a$a")
+    }
+    val converted = withCums.select(col("nation") +: col("segment") +:
+      round(col("q_ppm").cast("double") / 1.0e6, 6).as("q") +:
+      round(col("sigma_milli").cast("double") / 1.0e3, 3).as("sigma") +:
+      col("steps") +: col("n_releases") +: conv: _*)
+    val spent = least(RdpAlphas.map(a => col(s"eps_a$a")): _*)
+    val best = RdpAlphas.init.foldRight(
+      lit(RdpAlphas.last): Column) { (a, rest) =>
+      when(col(s"eps_a$a") === col("eps_spent"), lit(a)).otherwise(rest)
+    }
+    converted
+      .withColumn("eps_spent", spent)
+      .withColumn("best_alpha", best.cast("int"))
+      .withColumn("within_budget", col("eps_spent") <= lit(epsBudget))
+      .orderBy(col("nation"), col("segment"))
+  }
+
+  /** DuckDB oracle for [[dpAccountantRdp]] over
+    * [[dpAccountantRdpLedger]] — ledger rules, the unrolled per-order
+    * RDP sums, prefix chains and conversion all generated from the
+    * same constants in the same association order. */
+  def dpAccountantRdpSql(epsBudget: Double = DefaultEpsBudget,
+      deltaTarget: Double = DefaultDeltaTarget,
+      parityCol: Boolean = false): String = {
+    val qPpm = ("CAST(CASE c_nationkey % 4 " +
+      "WHEN 0 THEN 1000 WHEN 1 THEN 5000 WHEN 2 THEN 10000 " +
+      "ELSE 25000 END AS BIGINT)")
+    val sMil = ("CAST(CASE (c_nationkey + length(c_mktsegment)) % 4 " +
+      "WHEN 0 THEN 800 WHEN 1 THEN 1000 WHEN 2 THEN 2000 " +
+      "ELSE 4000 END AS BIGINT)")
+    val steps =
+      "CAST(100 * (1 + (c_nationkey + length(c_mktsegment)) % 5) AS BIGINT)"
+    val qD = "(CAST(q_ppm AS DOUBLE) / CAST(1000000.0 AS DOUBLE))"
+    val sD = "(CAST(sigma_milli AS DOUBLE) / CAST(1000.0 AS DOUBLE))"
+    val eCols = RdpAlphas.map(a =>
+      s"CAST(ceil(${rdpStepEpsSqlExpr(a, qD, sD)} * " +
+        s"CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS e_a$a").mkString(",\n         ")
+    val cumCols = RdpAlphas.map(a =>
+      s"CAST(sum(steps * e_a$a) OVER w AS BIGINT) AS c_a$a").mkString(",\n         ")
+    val convCols = RdpAlphas.map { a =>
+      val pen = math.log(1.0 / deltaTarget) / (a - 1).toDouble
+      s"round(CAST(c_a$a AS DOUBLE) / CAST(1000000.0 AS DOUBLE) + " +
+        s"CAST($pen AS DOUBLE), 6) AS eps_a$a"
+    }.mkString(",\n         ")
+    val spent = s"least(${RdpAlphas.map(a => s"eps_a$a").mkString(", ")})"
+    val best = "CASE " + RdpAlphas.init.map(a =>
+      s"WHEN eps_a$a = eps_spent THEN $a ").mkString +
+      s"ELSE ${RdpAlphas.last} END"
+    s"""WITH cls AS (
+       |  SELECT c_nationkey AS nation, c_mktsegment AS segment,
+       |         $qPpm AS q_ppm, $sMil AS sigma_milli, $steps AS steps
+       |  FROM customer GROUP BY 1, 2, 3, 4, 5),
+       |led AS (
+       |  SELECT nation, segment, q_ppm, sigma_milli, steps,
+       |         $eCols
+       |  FROM cls),
+       |pre AS (
+       |  SELECT nation, segment, q_ppm, sigma_milli, steps,
+       |         CAST(count(*) OVER w AS BIGINT) AS n_releases,
+       |         $cumCols
+       |  FROM led
+       |  WINDOW w AS (ORDER BY nation, segment
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |conv AS (
+       |  SELECT nation, segment,
+       |         round(CAST(q_ppm AS DOUBLE) / CAST(1000000.0 AS DOUBLE), 6) AS q,
+       |         round(CAST(sigma_milli AS DOUBLE) / CAST(1000.0 AS DOUBLE), 3) AS sigma,
+       |         steps, n_releases,
+       |         $convCols
+       |  FROM pre),
+       |fin AS (
+       |  SELECT *, $spent AS eps_spent FROM conv)
+       |SELECT nation, segment, q, sigma, steps, n_releases,
+       |       ${RdpAlphas.map(a => s"eps_a$a").mkString(", ")},
+       |       eps_spent,
+       |       CAST($best AS INTEGER) AS best_alpha,
+       |       (eps_spent <= CAST($epsBudget AS DOUBLE)) AS within_budget${
+            if (parityCol) ",\n       true AS parity_ok" else ""}
+       |FROM fin ORDER BY nation, segment""".stripMargin
+  }
 }

@@ -247,4 +247,30 @@ object KAnonStream {
       .withColumn("parity_ok", lit(parityOk))
       .orderBy(col("nation"), col("segment"))
   }
+
+  /** CONTINUOUS RDP (DP-SGD) accounting — the monitor face of
+    * [[graft.operators.Privacy.dpAccountantRdp]], keeping the
+    * accountant family's batch/stream symmetry at its fourth rung:
+    * training runs discovered on arrival (complete-mode QI counts,
+    * model-sized state), the run ledger built through the shared
+    * [[graft.operators.Privacy.dpAccountantRdpLedgerFromClasses]] face
+    * and fed to the same accountant tree — per-order ceil-to-micro
+    * happens per RUN (class), so every prefix sum is exact BIGINT and
+    * streamed ≡ batch bit-for-bit under any micro-batch slicing. The
+    * budget page fires when the crossing run arrives; class-set parity
+    * vs a batch recompute, the [[runStreamDpAccountant]] standard. */
+  def runStreamDpAccountantRdp(
+      spark: SparkSession, dir: String, nBatches: Int = 4,
+      epsBudget: Double = graft.operators.Privacy.DefaultEpsBudget,
+      deltaTarget: Double = graft.operators.Privacy.DefaultDeltaTarget,
+      assertParity: Boolean = true): DataFrame = {
+    val (cur, parityOk) = runQiCountStream(
+      spark, dir, nBatches, "q_dp_accountant_rdp_stream_sink", assertParity)
+    graft.operators.Privacy.dpAccountantRdp(
+      graft.operators.Privacy.dpAccountantRdpLedgerFromClasses(
+        cur.select(col("nation"), col("segment"))),
+      epsBudget, deltaTarget)
+      .withColumn("parity_ok", lit(parityOk))
+      .orderBy(col("nation"), col("segment"))
+  }
 }

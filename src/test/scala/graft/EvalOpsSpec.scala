@@ -277,6 +277,88 @@ class EvalOpsSpec extends AnyFunSuite with SparkSpec {
     assert(sub.toSeq == ref.toSeq)
   }
 
+  test("dpAccountantRdp: α=2 closed form, Gaussian-RDP dominance, α-monotone steps, best_alpha moves down a planted campaign") {
+    import Privacy.RdpAlphas
+    // 4-arm synthetic: segment lengths chosen so (nation + len) % 4 = 0
+    // on every row — σ pinned at 0.8 while nation % 4 cycles q through
+    // {0.1%, 0.5%, 1%, 2.5%} (the decoupled-key posture, isolating q)
+    val cust = Seq(
+      (0, "AAAAAAAA"), (1, "AAAAAAA"), (2, "AAAAAA"), (3, "AAAAA"))
+      .toDF("c_nationkey", "c_mktsegment")
+    val led = Privacy.dpAccountantRdpLedger(cust).collect()
+      .map(r => r.getAs[Int]("nation") -> r).toMap
+    assert(led(0).getAs[Long]("q_ppm") == 1000L &&
+      led(3).getAs[Long]("q_ppm") == 25000L &&
+      led.values.forall(_.getAs[Long]("sigma_milli") == 800L))
+    led.values.foreach { r =>
+      val q = r.getAs[Long]("q_ppm") / 1.0e6
+      val s = r.getAs[Long]("sigma_milli") / 1.0e3
+      // α = 2 admits the known closed form ε(2) = ln(1 + q²(e^{1/σ²}−1))
+      // (the binomial sum telescopes); recomputed independently here, so
+      // association order differs from the operator's unrolled sum —
+      // allow the ceil to sit one micro-unit apart
+      val closed = math.ceil(
+        math.log(1.0 + q * q * (math.exp(1.0 / (s * s)) - 1.0)) * 1.0e6).toLong
+      assert(math.abs(r.getAs[Long]("e_a2") - closed) <= 1L,
+        s"e_a2=${r.getAs[Long]("e_a2")} closed=$closed")
+      // subsampling only helps: ε_sub(α) ≤ α/(2σ²), the unsubsampled
+      // Gaussian RDP (weights sum to 1 under the max term)
+      RdpAlphas.foreach { a =>
+        assert(r.getAs[Long](s"e_a$a") <=
+          math.ceil(a / (2.0 * s * s) * 1.0e6).toLong + 1L)
+      }
+      // Rényi divergence is nondecreasing in the order
+      RdpAlphas.sliding(2).foreach { case Seq(a, b) =>
+        assert(r.getAs[Long](s"e_a$a") <= r.getAs[Long](s"e_a$b"))
+      }
+    }
+    // per-step ε strictly increases with q at fixed σ, every order
+    RdpAlphas.foreach { a =>
+      val e = (0 to 3).map(n => led(n).getAs[Long](s"e_a$a"))
+      assert(e == e.sorted && e.distinct.size == 4, s"alpha=$a: $e")
+    }
+    // planted campaign: 60 identical runs (q = 2.5%, σ = 0.8, T = 400 —
+    // nation 3, 5-char segments keep every arm fixed while the class
+    // key varies). The conversion trade-off makes best_alpha MOVE down
+    // the ledger: large orders early (cheap ln(1/δ)/(α−1) penalty),
+    // smaller orders as Σ T·ε_step(α) accumulates — nonincreasing, with
+    // at least two distinct orders visited; eps_spent is nondecreasing
+    // (budget once exceeded stays exceeded)
+    val campaign = Privacy.dpAccountantRdp(
+      Privacy.dpAccountantRdpLedgerFromClasses(
+        (0 until 60).map(i => (3, f"S$i%04d"))
+          .toDF("nation", "segment"))).collect()
+    assert(campaign.length == 60 &&
+      campaign.head.getAs[Long]("steps") == 400L)
+    val byN = campaign.map(r => r.getAs[Long]("n_releases") -> r).toMap
+    (2 to 60).foreach { k =>
+      assert(byN(k.toLong).getAs[Double]("eps_spent") >=
+        byN(k.toLong - 1).getAs[Double]("eps_spent"))
+      assert(byN(k.toLong).getAs[Int]("best_alpha") <=
+        byN(k.toLong - 1).getAs[Int]("best_alpha"))
+    }
+    assert(campaign.map(_.getAs[Int]("best_alpha")).distinct.length >= 2,
+      campaign.map(_.getAs[Int]("best_alpha")).distinct.toSeq.toString)
+    // the budget page fires mid-campaign on a MILDER planted campaign
+    // (q = 1%, σ = 2.0, T = 200 — nation 2, 4-char segments): release 1
+    // converts through α = 16 at ≈ 0.97, inside the 2.0 budget; the
+    // accumulating spend crosses it near release ~25, and release 60
+    // sits at ≈ 3.37 (the harsh movement campaign above is over budget
+    // from release 1 — too loud to show the flip)
+    val mild = Privacy.dpAccountantRdp(
+      Privacy.dpAccountantRdpLedgerFromClasses(
+        (0 until 60).map(i => (2, f"S$i%03d"))
+          .toDF("nation", "segment"))).collect()
+      .map(r => r.getAs[Long]("n_releases") -> r).toMap
+    assert(mild(1L).getAs[Long]("steps") == 200L &&
+      mild(1L).getAs[Boolean]("within_budget") &&
+      !mild(60L).getAs[Boolean]("within_budget"))
+    val flips = (2 to 60).count(k =>
+      mild(k.toLong).getAs[Boolean]("within_budget") !=
+        mild(k.toLong - 1).getAs[Boolean]("within_budget"))
+    assert(flips == 1) // monotone spend ⇒ exactly one crossing
+  }
+
   test("dpoPairsCapped: per-chosen cap, margin threshold, top-gap selection vs a driver reference") {
     // 40 docs, one (lang, source); unique-token count varies 1..13 so
     // cells contain many margin-qualified partners per chosen

@@ -614,6 +614,26 @@ class ScaleSpec extends AnyFunSuite with SparkSpec {
     assert(got.map(key).toSeq == batch.map(key).toSeq)
   }
 
+  test("streaming RDP accountant: streamed DP-SGD spend equals the batch accountant, any split") {
+    // 3 batches (different split from the contract query's 4); FULL
+    // state parity (keys and counts) asserted in-plan inside the run
+    val got = graft.streaming.KAnonStream
+      .runStreamDpAccountantRdp(spark, sf, nBatches = 3).collect()
+    assert(got.nonEmpty && got.forall(_.getAs[Boolean]("parity_ok")))
+    val batch = graft.operators.Privacy.dpAccountantRdp(
+      graft.operators.Privacy.dpAccountantRdpLedger(Tables.customer(spark, sf)))
+      .collect()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Number]("nation").longValue(), r.getAs[String]("segment"),
+        r.getAs[Double]("q"), r.getAs[Double]("sigma"),
+        r.getAs[Long]("steps"), r.getAs[Long]("n_releases"),
+        graft.operators.Privacy.RdpAlphas.map(a =>
+          r.getAs[Double](s"eps_a$a")),
+        r.getAs[Double]("eps_spent"), r.getAs[Int]("best_alpha"),
+        r.getAs[Boolean]("within_budget"))
+    assert(got.map(key).toSeq == batch.map(key).toSeq)
+  }
+
   test("streaming mixture-reweight monitor: streamed EG weights equal the batch fold, any split") {
     // 4 batches (different split from the contract query's 3); decimal
     // state parity asserted in-plan inside the run
