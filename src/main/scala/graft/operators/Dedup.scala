@@ -407,15 +407,19 @@ object Dedup {
               .distinct().limit(4097).collect().map(_.getInt(0)).toSeq
             (nb0, cells)
         }
-        if (cs.length > 4096) {
-          val bkts = nb.select(bandPartition(bandBuckets).as("pbkt"))
-            .distinct().collect().map(_.getInt(0)).toSeq
-          (nb, indexBanded.filter(col("pbkt").isin(bkts: _*)))
-        } else
-          (nb, indexBanded.filter(
-            (col("sbb") * lit(bandBuckets) + col("pbkt")).isin(cs: _*)))
+        val pruned =
+          if (cs.length > 4096) {
+            val bkts = nb.select(bandPartition(bandBuckets).as("pbkt"))
+              .distinct().collect().map(_.getInt(0)).toSeq
+            indexBanded.filter(col("pbkt").isin(bkts: _*))
+          } else
+            indexBanded.filter(
+              (col("sbb") * lit(bandBuckets) + col("pbkt")).isin(cs: _*))
+        (nb, guardBandLayout(pruned,
+          bandCell(bandBuckets, bandSubBuckets) ===
+            col("sbb") * lit(bandBuckets) + col("pbkt")))
       } else if (indexBanded.columns.contains("pbkt")) {
-        probeBuckets match {
+        val pruned = probeBuckets match {
           case Some(bkts) =>
             (newBanded0, indexBanded.filter(col("pbkt").isin(bkts: _*)))
           case None =>
@@ -424,6 +428,8 @@ object Dedup {
               .collect().map(_.getInt(0)).toSeq
             (nb, indexBanded.filter(col("pbkt").isin(bkts: _*)))
         }
+        (pruned._1, guardBandLayout(pruned._2,
+          bandPartition(bandBuckets) === col("pbkt")))
       } else (newBanded0, indexBanded)
     val candidates0 = incrementalCandidates(newBanded, prunedIndex)
     // At-rest shingle-store pruning (the r15 "next pressure point"):
@@ -488,6 +494,27 @@ object Dedup {
         round(sortedJaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
+
+  /** In-plan layout fail-safe for the pruned band-index scan: `check`
+    * recomputes the partition key(s) from (band, bucket) with the
+    * CALLER'S layout params and compares against the stored columns. A
+    * caller whose (bandBuckets, bandSubBuckets) differ from what the
+    * store was written with would otherwise collect cell ids in the
+    * wrong ring — the isin filter keeps the wrong partitions and true
+    * near-dup pairs silently vanish (they never reach the shingle
+    * guard, which only sees surviving candidates). Attached to doc_id —
+    * a column every downstream join reads, so the optimizer cannot
+    * prune it — the mismatch raises loud at the first scanned row,
+    * map-side, zero extra jobs. (A mismatched layout that prunes away
+    * EVERY partition still yields silently-empty output — unavoidable
+    * without a store-side manifest — but any surviving row fails the
+    * recomputation with near certainty.) */
+  private def guardBandLayout(pruned: DataFrame, check: Column): DataFrame =
+    pruned.withColumn("doc_id",
+      when(!check, raise_error(lit(
+        "minHashIncrementalPairs: band index layout mismatch — do " +
+          "(bandBuckets, bandSubBuckets) match what the store was " +
+          "written with (autoBandLayout)?"))).otherwise(col("doc_id")))
 
   /** Candidate-pair generation shared by [[minHashIncrementalPairsImpl]]
     * and the ProbeDedupIngestScale verify-side readout (exposed so the

@@ -178,6 +178,7 @@ object DedupIngest {
             Dedup.minHashIncrementalPairsPreBanded(
                 newSh, newBands, bandsSnap, shSnap,
                 probeBuckets = if (nSub > 1) None else Some(bkts),
+                bandBuckets = nPart,
                 shingleBuckets = nPart, bandSubBuckets = nSub,
                 probeCells = cells)
               .write.mode("append").parquet(pairDir.toString))

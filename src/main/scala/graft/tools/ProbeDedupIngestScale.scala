@@ -123,13 +123,22 @@ object ProbeDedupIngestScale {
       val newBands = Dedup.bandRows(newSh).localCheckpoint(true)
       // probe plan, exactly as DedupIngest builds it: level-1 bucket list
       // for single-level stores, the combined cell-id list for two-level
-      val bkts = newBands.select(Dedup.bandPartition(nPart).as("pbkt"))
-        .distinct().collect().map(_.getInt(0)).toSeq
+      val bkts =
+        if (nSub > 1) Nil
+        else newBands.select(Dedup.bandPartition(nPart).as("pbkt"))
+          .distinct().collect().map(_.getInt(0)).toSeq
       val cells =
         if (nSub > 1)
           Some(newBands.select(Dedup.bandCell(nPart, nSub).as("c"))
-            .distinct().collect().map(_.getInt(0)).toSeq)
+            .distinct().limit(4097).collect().map(_.getInt(0)).toSeq)
         else None
+      // the readout below prints cell-exact pruning stats; the shipped
+      // impl falls back to the level-1 prune past 4096 cells, so a
+      // trigger that large would make the printout misrepresent the
+      // timed path — fail loud instead (the 4-doc trigger is ≤ 64)
+      require(cells.forall(_.length <= 4096),
+        s"$tag: trigger cell footprint exceeds the 4096 isin bound — " +
+          "printed pruning stats would not match the timed fall-back path")
       val pruneFilter = cells match {
         case Some(cs) => (col("sbb") * lit(nPart) + col("pbkt")).isin(cs: _*)
         case None => col("pbkt").isin(bkts: _*)
@@ -143,6 +152,7 @@ object ProbeDedupIngestScale {
         val n = Dedup.minHashIncrementalPairsPreBanded(
           newSh, newBands, bandsSnap, shSnap,
           probeBuckets = if (nSub > 1) None else Some(bkts),
+          bandBuckets = nPart,
           shingleBuckets = nPart, bandSubBuckets = nSub,
           probeCells = cells).count()
         (n, (System.nanoTime() - t0) / 1e9)

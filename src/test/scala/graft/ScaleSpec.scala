@@ -437,6 +437,27 @@ class ScaleSpec extends AnyFunSuite with SparkSpec {
       Dedup.minHashIncrementalPairs(batch, atRest, accepted, bandBuckets = n1)
     }
     assert(ex.getMessage.contains("two-level"), ex.getMessage)
+    // a WRONG bandBuckets (vs the store's written n1) reaches the
+    // in-plan layout guard: surviving rows fail the partition-key
+    // recomputation and raise instead of silently dropping pairs
+    val ex2 = intercept[Exception] {
+      Dedup.minHashIncrementalPairs(batch, atRest, accepted,
+        bandBuckets = 8, bandSubBuckets = n2).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(ex2).exists(_.contains("layout mismatch")), ex2)
+    // and a geometry whose n1 differs from the legacy default (the
+    // past-cap shape: level one NOT 16) — pairs must still equal the
+    // flat index when the caller passes the written layout
+    val (m1, m2) = (8, 2)
+    val dir2 = Files.createTempDirectory("graft-bands2lvl8").toString
+    Dedup.withBandLayout(Dedup.bandRows(accepted), m1, m2)
+      .write.mode("overwrite").partitionBy("pbkt", "sbb").parquet(dir2)
+    val pruned8 = Dedup.minHashIncrementalPairs(batch,
+      spark.read.parquet(dir2), accepted, bandBuckets = m1, bandSubBuckets = m2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pruned8 == flat && pruned8.nonEmpty)
   }
 
   test("streaming SemDeDup ingest: streamed prune table equals whole-corpus semDedup, any batch split") {
