@@ -294,6 +294,33 @@ object Dedup {
   def shinglePartition(id: Column, n: Int = BandIndexBuckets): Column =
     pmod(hash(id), lit(n))
 
+  /** Two-level shingle-store keys — [[autoBandLayout]]'s decomposition
+    * applied to the verify side (`ssb = cell div m1` with `sbkt = cell
+    * mod m1` unchanged, `(sbkt, ssb) ↔ cell` a bijection): past the
+    * 4096 cap a single-level store's probed PARTITION count stays
+    * candidate-bounded but each partition's row count grows linearly
+    * with the corpus — the same degeneration the band side's cap lift
+    * fixed — so the second level restores doc-occupancy there too. The
+    * probe plans both levels from the checkpointed candidate ids
+    * (≤ 2·|candidates| cells — trigger-sized), and the existing
+    * left-join + raise_error candidate guard already fails loud on any
+    * layout mismatch: a wrong (m1, m2) prunes a candidate's partition
+    * away and the guard names the missing doc. */
+  def shingleCell(id: Column, m1: Int, m2: Int): Column =
+    pmod(hash(id), lit(m1 * m2))
+
+  def shingleSubPartition(id: Column, m1: Int, m2: Int): Column =
+    (pmod(hash(id), lit(m1 * m2)) / lit(m1)).cast("int")
+
+  /** Add the at-rest shingle partition column(s) for layout `(m1, m2)`:
+    * always `sbkt`, plus `ssb` when two-level. */
+  def withShingleLayout(shingles: DataFrame, m1: Int, m2: Int): DataFrame = {
+    val one = shingles.withColumn("sbkt", shinglePartition(col("doc_id"), m1))
+    if (m2 > 1)
+      one.withColumn("ssb", shingleSubPartition(col("doc_id"), m1, m2))
+    else one
+  }
+
   /** Incremental MinHash near-dup: dedup an incoming batch against an
     * already-accepted corpus WITHOUT rescanning it — the shape a 100 TB
     * ingest pipeline actually runs (the whole-corpus self-join of
@@ -327,7 +354,8 @@ object Dedup {
       probeBuckets: Option[Seq[Int]] = None,
       bandBuckets: Int = BandIndexBuckets,
       shingleBuckets: Int = BandIndexBuckets,
-      bandSubBuckets: Int = 1): DataFrame = {
+      bandSubBuckets: Int = 1,
+      shingleSubBuckets: Int = 1): DataFrame = {
     // When the index is the partitioned at-rest layout (has a pbkt
     // partition column, see [[bandPartition]]), plan the probe like the
     // IVF cell probe: push the batch's DISTINCT bucket hashes (bounded by
@@ -348,7 +376,7 @@ object Dedup {
     minHashIncrementalPairsImpl(
       newShingles, bandRows(newShingles, bands, rowsPerBand),
       indexBanded, indexShingles, threshold, probeBuckets, bandBuckets,
-      shingleBuckets, bandSubBuckets)
+      shingleBuckets, bandSubBuckets, shingleSubBuckets = shingleSubBuckets)
   }
 
   /** [[minHashIncrementalPairs]] with the batch's banding rows supplied by
@@ -364,11 +392,12 @@ object Dedup {
       bandBuckets: Int = BandIndexBuckets,
       shingleBuckets: Int = BandIndexBuckets,
       bandSubBuckets: Int = 1,
-      probeCells: Option[Seq[Int]] = None): DataFrame =
+      probeCells: Option[Seq[Int]] = None,
+      shingleSubBuckets: Int = 1): DataFrame =
     minHashIncrementalPairsImpl(
       newShingles, preBanded.select(col("doc_id"), col("band"), col("bucket")),
       indexBanded, indexShingles, threshold, probeBuckets, bandBuckets,
-      shingleBuckets, bandSubBuckets, probeCells)
+      shingleBuckets, bandSubBuckets, probeCells, shingleSubBuckets)
 
   private def minHashIncrementalPairsImpl(
       newShingles: DataFrame,
@@ -380,7 +409,8 @@ object Dedup {
       bandBuckets: Int = BandIndexBuckets,
       shingleBuckets: Int = BandIndexBuckets,
       bandSubBuckets: Int = 1,
-      probeCells: Option[Seq[Int]] = None): DataFrame = {
+      probeCells: Option[Seq[Int]] = None,
+      shingleSubBuckets: Int = 1): DataFrame = {
     val (newBanded, prunedIndex) =
       if (indexBanded.columns.contains("sbb")) {
         // Two-level at-rest layout ([[autoBandLayout]]): plan BOTH levels
@@ -444,7 +474,29 @@ object Dedup {
     // band-index probe uses (DPP does not fire on this layout; the
     // static plan does — recorded in tools/ProbeShinglePrune).
     val (candidates, idxShingles) =
-      if (indexShingles.columns.contains("sbkt")) {
+      if (indexShingles.columns.contains("ssb")) {
+        // Two-level store ([[withShingleLayout]]): both levels planned
+        // from the candidate ids as one combined cell-id filter —
+        // ≤ 2·|candidates| values, trigger-sized. A wrong (m1, m2)
+        // prunes a candidate's partition away and the left-join guard
+        // below raises naming the missing doc, so no extra fail-safe is
+        // needed on this branch.
+        require(shingleSubBuckets > 1,
+          "minHashIncrementalPairs: the shingle store carries a " +
+            "two-level layout (ssb column) — pass shingleSubBuckets = " +
+            "the M2 it was written with (withShingleLayout)")
+        val c = candidates0.localCheckpoint(false)
+        val cells = c
+          .select(explode(array(col("doc_a"), col("doc_b"))).as("__id"))
+          .select(shingleCell(col("__id"), shingleBuckets, shingleSubBuckets)
+            .as("cell"))
+          .distinct().collect().map(_.getInt(0)).toSeq
+        val pruned =
+          if (cells.isEmpty) indexShingles.limit(0)
+          else indexShingles.filter(
+            (col("ssb") * lit(shingleBuckets) + col("sbkt")).isin(cells: _*))
+        (c, pruned.drop("sbkt", "ssb"))
+      } else if (indexShingles.columns.contains("sbkt")) {
         val c = candidates0.localCheckpoint(false)
         val sbkts = c
           .select(explode(array(col("doc_a"), col("doc_b"))).as("__id"))

@@ -115,8 +115,10 @@ object DedupIngest {
     // The shingle store rests partitioned by sbkt (shinglePartition) so
     // the verify join-back prunes to candidate-held partitions — the
     // same at-rest posture as the band index's pbkt.
-    val shSchema = Dedup.shingleSets(Tables.documents(spark, dir).limit(0), n = 3)
-      .withColumn("sbkt", Dedup.shinglePartition(col("doc_id"), nPart)).schema
+    val shSchema = Dedup.withShingleLayout(
+      Dedup.shingleSets(Tables.documents(spark, dir).limit(0), n = 3),
+      nPart, nSub).schema
+    val shPartCols = if (nSub > 1) Seq("sbkt", "ssb") else Seq("sbkt")
     val bandSchema = Dedup.withBandLayout(
       Dedup.bandRows(Tables.documents(spark, dir).limit(0)
         .transform(Dedup.shingleSets(_, n = 3))), nPart, nSub).schema
@@ -171,8 +173,8 @@ object DedupIngest {
               .coalesce(1).write.partitionBy(bandPartCols: _*)
               .mode("append").parquet(bandDir.toString))
           val shF = Future(
-            newSh.withColumn("sbkt", Dedup.shinglePartition(col("doc_id"), nPart))
-              .coalesce(1).write.partitionBy("sbkt").mode("append")
+            Dedup.withShingleLayout(newSh, nPart, nSub)
+              .coalesce(1).write.partitionBy(shPartCols: _*).mode("append")
               .parquet(shDir.toString))
           val pairsF = Future(
             Dedup.minHashIncrementalPairsPreBanded(
@@ -180,7 +182,7 @@ object DedupIngest {
                 probeBuckets = if (nSub > 1) None else Some(bkts),
                 bandBuckets = nPart,
                 shingleBuckets = nPart, bandSubBuckets = nSub,
-                probeCells = cells)
+                probeCells = cells, shingleSubBuckets = nSub)
               .write.mode("append").parquet(pairDir.toString))
           Await.result(bandsF, Duration.Inf)
           Await.result(shF, Duration.Inf)

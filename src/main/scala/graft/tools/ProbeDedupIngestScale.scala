@@ -106,13 +106,13 @@ object ProbeDedupIngestScale {
       }
       // round-16: the shingle store's at-rest sbkt layout (the verify
       // side of the pruning story; keyed by nPart so the ruled row
-      // stages its own)
-      val shPartDir = new java.io.File(s"$work/shidx-sbkt-$tag-$nPart")
+      // stages its own; two-level sides stage sbkt × ssb)
+      val shPartCols = if (nSub > 1) Seq("sbkt", "ssb") else Seq("sbkt")
+      val shPartDir = new java.io.File(s"$work/shidx-sbkt-$tag-$nPart-$nSub")
       if (!shPartDir.exists())
-        spark.read.parquet(shDir.toString)
-          .withColumn("sbkt", Dedup.shinglePartition(col("doc_id"), nPart))
-          .repartition(col("sbkt"))
-          .write.partitionBy("sbkt").parquet(shPartDir.toString)
+        Dedup.withShingleLayout(spark.read.parquet(shDir.toString), nPart, nSub)
+          .repartition(shPartCols.map(col): _*)
+          .write.partitionBy(shPartCols: _*).parquet(shPartDir.toString)
       val bandsSnap = spark.read.parquet(bandDir.toString)
       val shSnap = spark.read.parquet(shPartDir.toString)
 
@@ -154,7 +154,7 @@ object ProbeDedupIngestScale {
           probeBuckets = if (nSub > 1) None else Some(bkts),
           bandBuckets = nPart,
           shingleBuckets = nPart, bandSubBuckets = nSub,
-          probeCells = cells).count()
+          probeCells = cells, shingleSubBuckets = nSub).count()
         (n, (System.nanoTime() - t0) / 1e9)
       }
       val runs = (1 to 3).map(_ => once())
@@ -168,19 +168,27 @@ object ProbeDedupIngestScale {
       val cand = Dedup.incrementalCandidates(
         newBands, bandsSnap.filter(pruneFilter))
         .localCheckpoint(true)
-      val sbkts = cand.select(explode(array(col("doc_a"), col("doc_b"))).as("id"))
-        .select(Dedup.shinglePartition(col("id"), nPart).as("sbkt"))
-        .distinct().collect().map(_.getInt(0)).toSeq
+      val candIds = cand.select(explode(array(col("doc_a"), col("doc_b"))).as("id"))
+      val (shCells, shFilter) =
+        if (nSub > 1) {
+          val cs = candIds
+            .select(Dedup.shingleCell(col("id"), nPart, nSub).as("cell"))
+            .distinct().collect().map(_.getInt(0)).toSeq
+          (cs, (col("ssb") * lit(nPart) + col("sbkt")).isin(cs: _*))
+        } else {
+          val ss = candIds
+            .select(Dedup.shinglePartition(col("id"), nPart).as("sbkt"))
+            .distinct().collect().map(_.getInt(0)).toSeq
+          (ss, col("sbkt").isin(ss: _*))
+        }
       val shFull = shSnap.count()
-      val shProbed =
-        if (sbkts.isEmpty) 0L
-        else shSnap.filter(col("sbkt").isin(sbkts: _*)).count()
+      val shProbed = if (shCells.isEmpty) 0L else shSnap.filter(shFilter).count()
       val layout = if (nSub > 1) s"$nPart x$nSub" else s"$nPart"
       println(f"$tag%-8s N=$layout%7s index=$indexRows%9d rows  probed=$probedRows%9d " +
         f"(${100.0 * probedRows / math.max(1L, indexRows)}%5.1f%%, $nProbedParts%3d/$nParts parts)  " +
         f"pairs=$pairs%2d  probe wall(min3)=$wall%6.2f s")
       println(f"${""}%-8s verify side: sh_store=$shFull%9d rows  sh_probed=$shProbed%9d " +
-        f"(${100.0 * shProbed / math.max(1L, shFull)}%5.1f%%, ${sbkts.length}%3d/$nPart parts, " +
+        f"(${100.0 * shProbed / math.max(1L, shFull)}%5.1f%%, ${shCells.length}%3d/$nParts parts, " +
         f"cands=${cand.count()}%d)")
     }
 

@@ -917,6 +917,52 @@ class ScaleSpec extends AnyFunSuite with SparkSpec {
     assert(pruned == flat && pruned.nonEmpty)
   }
 
+  test("two-level shingle store at rest: verify join-back prunes both levels; pairs equal the flat store") {
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, sf)
+    val accepted = Dedup.shingleSets(docs.filter($"doc_id" % 5 =!= 0), n = 3)
+    val bandDir = Files.createTempDirectory("graft-bands3").toString
+    Dedup.bandRows(accepted).withColumn("pbkt", Dedup.bandPartition())
+      .write.mode("overwrite").partitionBy("pbkt").parquet(bandDir)
+    val atRestBands = spark.read.parquet(bandDir)
+    val (m1, m2) = (4, 3) // forced two-level: the past-cap verify shape
+    val shDir = Files.createTempDirectory("graft-shstore2lvl").toString
+    Dedup.withShingleLayout(accepted, m1, m2)
+      .write.mode("overwrite").partitionBy("sbkt", "ssb").parquet(shDir)
+    val atRestSh = spark.read.parquet(shDir)
+    val batch = Dedup.shingleSets(docs.filter($"doc_id" % 5 === 0), n = 3)
+    val pairs = Dedup.minHashIncrementalPairs(batch, atRestBands, atRestSh,
+      shingleBuckets = m1, shingleSubBuckets = m2)
+    // the candidate ids' combined cell filter lands as a PARTITION
+    // filter over BOTH shingle-store directory levels
+    val leaf = pairs.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).find(s => s.contains("ssb") && s.contains("PartitionFilters"))
+      .getOrElse("")
+    assert(leaf.contains("PartitionFilters") &&
+      (leaf.contains("INSET") || leaf.contains(" IN (")), leaf)
+    // pruning must not change the answer
+    val flat = Dedup.minHashIncrementalPairs(batch, atRestBands, accepted)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val pruned = pairs.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pruned == flat && pruned.nonEmpty)
+    // default shingleSubBuckets against a two-level store fails loud
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.minHashIncrementalPairs(batch, atRestBands, atRestSh,
+        shingleBuckets = m1)
+    }
+    assert(ex.getMessage.contains("two-level"), ex.getMessage)
+    // and a wrong M2 reaches the existing left-join candidate guard:
+    // the mispruned store loses a candidate's partition and the guard
+    // raises naming the missing doc instead of silently dropping pairs
+    val ex2 = intercept[Exception] {
+      Dedup.minHashIncrementalPairs(batch, atRestBands, atRestSh,
+        shingleBuckets = m1, shingleSubBuckets = 5).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(ex2).exists(_.contains("missing from the pruned shingle store")), ex2)
+  }
+
   test("shingle-store pruning: a layout mismatch fails loud instead of silently dropping pairs") {
     import graft.operators.Dedup
     // exact-dup pair (identical text ⇒ all bands equal ⇒ the candidate
