@@ -226,6 +226,24 @@ object Dedup {
     math.min(4096L, math.max(BandIndexBuckets.toLong,
       (bandRowCount + BandPartitionOccupancy - 1) / BandPartitionOccupancy)).toInt
 
+  /** The shared two-level decomposition both at-rest layouts build on:
+    * with `c = pmod(h, n1·n2)`, level one is `c mod n1` (equal to the
+    * single-level key `pmod(h, n1)` since `n1 | n1·n2`) and level two
+    * is `c div n1` — `(level1, level2) ↔ c` a bijection, so exact
+    * cell-id pruning over the pair reads what a single-level layout at
+    * `n1·n2` partitions would. One implementation serves the band index
+    * (h = hash(band, bucket)) and the shingle store (h = hash(doc_id));
+    * a fix to the decomposition lands in both. */
+  private def levelSub(h: Column, n1: Int, n2: Int): Column =
+    (pmod(h, lit(n1 * n2)) / lit(n1)).cast("int")
+
+  private def withTwoLevel(
+      df: DataFrame, h: Column, n1: Int, n2: Int,
+      c1: String, c2: String): DataFrame = {
+    val one = df.withColumn(c1, pmod(h, lit(n1)))
+    if (n2 > 1) one.withColumn(c2, levelSub(h, n1, n2)) else one
+  }
+
   /** Two-level band layout `(n1, n2)` — the cap lift the [[autoBandBuckets]]
     * docstring names: level one keeps the 4096 collect/fan-out bound, level
     * two (`sbb`, a second partition directory) restores the occupancy rule
@@ -266,7 +284,7 @@ object Dedup {
     * the quotient of the combined cell id whose remainder is the unchanged
     * level-one [[bandPartition]] key. */
   def bandSubPartition(n1: Int, n2: Int): Column =
-    (pmod(hash(col("band"), col("bucket")), lit(n1 * n2)) / lit(n1)).cast("int")
+    levelSub(hash(col("band"), col("bucket")), n1, n2)
 
   /** Combined two-level cell id `c = sbb·n1 + pbkt = pmod(hash(band,
     * bucket), n1·n2)` — what probe planning collects and the at-rest scan's
@@ -277,10 +295,8 @@ object Dedup {
   /** Add the at-rest band partition column(s) for layout `(n1, n2)`:
     * always `pbkt`, plus `sbb` when the layout is two-level. Writers
     * `partitionBy("pbkt")` or `partitionBy("pbkt", "sbb")` accordingly. */
-  def withBandLayout(bandRows: DataFrame, n1: Int, n2: Int): DataFrame = {
-    val one = bandRows.withColumn("pbkt", bandPartition(n1))
-    if (n2 > 1) one.withColumn("sbb", bandSubPartition(n1, n2)) else one
-  }
+  def withBandLayout(bandRows: DataFrame, n1: Int, n2: Int): DataFrame =
+    withTwoLevel(bandRows, hash(col("band"), col("bucket")), n1, n2, "pbkt", "sbb")
 
   /** The at-rest SHINGLE store's partition key — the [[bandPartition]]
     * posture applied to the verify side: writers partition the persisted
@@ -310,16 +326,12 @@ object Dedup {
     pmod(hash(id), lit(m1 * m2))
 
   def shingleSubPartition(id: Column, m1: Int, m2: Int): Column =
-    (pmod(hash(id), lit(m1 * m2)) / lit(m1)).cast("int")
+    levelSub(hash(id), m1, m2)
 
   /** Add the at-rest shingle partition column(s) for layout `(m1, m2)`:
     * always `sbkt`, plus `ssb` when two-level. */
-  def withShingleLayout(shingles: DataFrame, m1: Int, m2: Int): DataFrame = {
-    val one = shingles.withColumn("sbkt", shinglePartition(col("doc_id"), m1))
-    if (m2 > 1)
-      one.withColumn("ssb", shingleSubPartition(col("doc_id"), m1, m2))
-    else one
-  }
+  def withShingleLayout(shingles: DataFrame, m1: Int, m2: Int): DataFrame =
+    withTwoLevel(shingles, hash(col("doc_id")), m1, m2, "sbkt", "ssb")
 
   /** Incremental MinHash near-dup: dedup an incoming batch against an
     * already-accepted corpus WITHOUT rescanning it — the shape a 100 TB
@@ -469,42 +481,35 @@ object Dedup {
     // before the probe runs (the ProbeShinglePrune observation), so the
     // candidate set is checkpointed FIRST — it is trigger-footprint-
     // sized (the batch's near-dup partners, never the corpus) — and one
-    // bounded collect (≤ min(2·|candidates|, shingleBuckets) ints)
-    // plans the static isin partition filter, the same mechanism the
-    // band-index probe uses (DPP does not fire on this layout; the
+    // bounded collect ([[shingleProbePlan]]: ≤ 4096 values on either
+    // level) plans the static isin partition filter, the same mechanism
+    // the band-index probe uses (DPP does not fire on this layout; the
     // static plan does — recorded in tools/ProbeShinglePrune).
     val (candidates, idxShingles) =
       if (indexShingles.columns.contains("ssb")) {
         // Two-level store ([[withShingleLayout]]): both levels planned
-        // from the candidate ids as one combined cell-id filter —
-        // ≤ 2·|candidates| values, trigger-sized. A wrong (m1, m2)
-        // prunes a candidate's partition away and the left-join guard
-        // below raises naming the missing doc, so no extra fail-safe is
-        // needed on this branch.
+        // from the candidate ids as one combined cell-id filter
+        // ([[shingleProbePlan]] — trigger-sized, bounded). A wrong
+        // (m1, m2) prunes a candidate's partition away and the
+        // left-join guard below raises naming the missing doc, so no
+        // extra fail-safe is needed on this branch.
         require(shingleSubBuckets > 1,
           "minHashIncrementalPairs: the shingle store carries a " +
             "two-level layout (ssb column) — pass shingleSubBuckets = " +
             "the M2 it was written with (withShingleLayout)")
         val c = candidates0.localCheckpoint(false)
-        val cells = c
-          .select(explode(array(col("doc_a"), col("doc_b"))).as("__id"))
-          .select(shingleCell(col("__id"), shingleBuckets, shingleSubBuckets)
-            .as("cell"))
-          .distinct().collect().map(_.getInt(0)).toSeq
         val pruned =
-          if (cells.isEmpty) indexShingles.limit(0)
-          else indexShingles.filter(
-            (col("ssb") * lit(shingleBuckets) + col("sbkt")).isin(cells: _*))
+          shingleProbePlan(c, shingleBuckets, shingleSubBuckets)._2 match {
+            case None => indexShingles.limit(0)
+            case Some(f) => indexShingles.filter(f)
+          }
         (c, pruned.drop("sbkt", "ssb"))
       } else if (indexShingles.columns.contains("sbkt")) {
         val c = candidates0.localCheckpoint(false)
-        val sbkts = c
-          .select(explode(array(col("doc_a"), col("doc_b"))).as("__id"))
-          .select(shinglePartition(col("__id"), shingleBuckets).as("sbkt"))
-          .distinct().collect().map(_.getInt(0)).toSeq
-        val pruned =
-          if (sbkts.isEmpty) indexShingles.limit(0)
-          else indexShingles.filter(col("sbkt").isin(sbkts: _*))
+        val pruned = shingleProbePlan(c, shingleBuckets, 1)._2 match {
+          case None => indexShingles.limit(0)
+          case Some(f) => indexShingles.filter(f)
+        }
         (c, pruned.drop("sbkt"))
       } else (candidates0, indexShingles)
     // Verification join-back reads each side from whichever store holds it;
@@ -545,6 +550,34 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         round(sortedJaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** Plan the shingle-store prune for a checkpointed candidate set:
+    * returns (the planned partition-key values, the filter), or None
+    * when there are no candidates. Values are the candidates' combined
+    * cell ids for a two-level store (m2 > 1), bounded at 4096 — a
+    * larger footprint falls back to the level-1 sbkt prune, itself
+    * bounded by m1 ≤ 4096, the same discipline as the band side —
+    * else the level-1 sbkt values (≤ min(2·|candidates|, m1)). Shared
+    * with the ProbeDedupIngestScale verify-side readout so the
+    * measurement cannot drift from the shipped plan. */
+  private[graft] def shingleProbePlan(
+      candidates: DataFrame, m1: Int, m2: Int): (Seq[Int], Option[Column]) = {
+    val ids = candidates
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("__id"))
+    def level1: (Seq[Int], Option[Column]) = {
+      val sbkts = ids.select(shinglePartition(col("__id"), m1).as("sbkt"))
+        .distinct().collect().map(_.getInt(0)).toSeq
+      (sbkts, if (sbkts.isEmpty) None else Some(col("sbkt").isin(sbkts: _*)))
+    }
+    if (m2 > 1) {
+      val cells = ids.select(shingleCell(col("__id"), m1, m2).as("cell"))
+        .distinct().limit(4097).collect().map(_.getInt(0)).toSeq
+      if (cells.length > 4096) level1
+      else (cells,
+        if (cells.isEmpty) None
+        else Some((col("ssb") * lit(m1) + col("sbkt")).isin(cells: _*)))
+    } else level1
   }
 
   /** In-plan layout fail-safe for the pruned band-index scan: `check`

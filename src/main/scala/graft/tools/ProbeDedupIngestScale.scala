@@ -168,21 +168,11 @@ object ProbeDedupIngestScale {
       val cand = Dedup.incrementalCandidates(
         newBands, bandsSnap.filter(pruneFilter))
         .localCheckpoint(true)
-      val candIds = cand.select(explode(array(col("doc_a"), col("doc_b"))).as("id"))
-      val (shCells, shFilter) =
-        if (nSub > 1) {
-          val cs = candIds
-            .select(Dedup.shingleCell(col("id"), nPart, nSub).as("cell"))
-            .distinct().collect().map(_.getInt(0)).toSeq
-          (cs, (col("ssb") * lit(nPart) + col("sbkt")).isin(cs: _*))
-        } else {
-          val ss = candIds
-            .select(Dedup.shinglePartition(col("id"), nPart).as("sbkt"))
-            .distinct().collect().map(_.getInt(0)).toSeq
-          (ss, col("sbkt").isin(ss: _*))
-        }
+      // the SHIPPED prune plan (Dedup.shingleProbePlan — shared code, so
+      // the readout cannot drift from what the timed path reads)
+      val (shCells, shFilter) = Dedup.shingleProbePlan(cand, nPart, nSub)
       val shFull = shSnap.count()
-      val shProbed = if (shCells.isEmpty) 0L else shSnap.filter(shFilter).count()
+      val shProbed = shFilter.map(f => shSnap.filter(f).count()).getOrElse(0L)
       val layout = if (nSub > 1) s"$nPart x$nSub" else s"$nPart"
       println(f"$tag%-8s N=$layout%7s index=$indexRows%9d rows  probed=$probedRows%9d " +
         f"(${100.0 * probedRows / math.max(1L, indexRows)}%5.1f%%, $nProbedParts%3d/$nParts parts)  " +

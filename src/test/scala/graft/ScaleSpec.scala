@@ -21,6 +21,10 @@ class ScaleSpec extends AnyFunSuite with SparkSpec {
   private def plan(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.executedPlan.toString
 
+  /** All messages down an exception's cause chain (loud-guard asserts). */
+  private def causeMsgs(t: Throwable): Seq[String] =
+    Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ causeMsgs(e.getCause))
+
   test("filters are pushed into the parquet scan") {
     val p = plan(Tables.lineitem(spark, sf).filter($"l_quantity" >= 25).select($"l_orderkey"))
     assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThanOrEqual(l_quantity,25.0)]"), p)
@@ -444,9 +448,7 @@ class ScaleSpec extends AnyFunSuite with SparkSpec {
       Dedup.minHashIncrementalPairs(batch, atRest, accepted,
         bandBuckets = 8, bandSubBuckets = n2).collect()
     }
-    def msgs(t: Throwable): Seq[String] =
-      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
-    assert(msgs(ex2).exists(_.contains("layout mismatch")), ex2)
+    assert(causeMsgs(ex2).exists(_.contains("layout mismatch")), ex2)
     // and a geometry whose n1 differs from the legacy default (the
     // past-cap shape: level one NOT 16) — pairs must still equal the
     // flat index when the caller passes the written layout
@@ -958,9 +960,7 @@ class ScaleSpec extends AnyFunSuite with SparkSpec {
       Dedup.minHashIncrementalPairs(batch, atRestBands, atRestSh,
         shingleBuckets = m1, shingleSubBuckets = 5).collect()
     }
-    def msgs(t: Throwable): Seq[String] =
-      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
-    assert(msgs(ex2).exists(_.contains("missing from the pruned shingle store")), ex2)
+    assert(causeMsgs(ex2).exists(_.contains("missing from the pruned shingle store")), ex2)
   }
 
   test("shingle-store pruning: a layout mismatch fails loud instead of silently dropping pairs") {
@@ -978,9 +978,7 @@ class ScaleSpec extends AnyFunSuite with SparkSpec {
     val ex = intercept[Exception] {
       Dedup.minHashIncrementalPairs(batch, bands, wrong).collect()
     }
-    def msgs(t: Throwable): Seq[String] =
-      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
-    assert(msgs(ex).exists(_.contains("missing from the pruned shingle store")), ex)
+    assert(causeMsgs(ex).exists(_.contains("missing from the pruned shingle store")), ex)
     // positive control: the CORRECT labeling finds the pair through the
     // same pruned path
     val right = idx.withColumn("sbkt", Dedup.shinglePartition($"doc_id"))
