@@ -96,7 +96,8 @@ object DedupIngest {
     * a continuous pipeline never rescans its accepted corpus. */
   def runStreamDedupIngest(
       spark: SparkSession, dir: String,
-      nBatches: Int = 2, assertFull: Boolean = true): DataFrame = {
+      nBatches: Int = 2, assertFull: Boolean = true,
+      layoutOverride: Option[(Int, Int)] = None): DataFrame = {
     val staged = stagedDocs(spark, dir, nBatches)
     // the at-rest layout's partition count from the capacity rule: the
     // corpus size is known at stream bootstrap (it is the staged input),
@@ -105,8 +106,12 @@ object DedupIngest {
     val nDocs = Tables.documents(spark, dir).count()
     // nSub = 1 everywhere below the 4096 cap (every verify SF); past it
     // the layout goes two-level (pbkt × sbb, Dedup.autoBandLayout) and
-    // the probe plans both levels — same code path, no special casing
-    val (nPart, nSub) = Dedup.autoBandLayout(nDocs * 16L)
+    // the probe plans both levels — same code path, no special casing.
+    // `layoutOverride` forces a layout regardless of corpus size — the
+    // ScaleSpec two-level ingest test uses it to drive the past-cap
+    // write/probe shape end-to-end at a verify SF.
+    val (nPart, nSub) =
+      layoutOverride.getOrElse(Dedup.autoBandLayout(nDocs * 16L))
     val out = java.nio.file.Files.createTempDirectory("graft-ingest").toFile
     val bandDir = new java.io.File(out, "bands")
     val shDir = new java.io.File(out, "shingles")

@@ -637,6 +637,22 @@ class ScaleSpec extends AnyFunSuite with SparkSpec {
     assert(got.map(key).toSeq == batch.map(key).toSeq)
   }
 
+  test("streaming dedup ingest under a FORCED two-level layout: streamed pairs equal the whole-corpus operator") {
+    // the past-cap write/probe shape driven end-to-end through the real
+    // ingest stream (the capacity rule returns nSub = 1 at every verify
+    // SF, so without the override no test ever runs the two-level
+    // ingest path — the gap the wrong-n1 latent hid behind): 3 batches,
+    // both at-rest stores written pbkt×sbb / sbkt×ssb at (4, 3), full
+    // streamed ≡ whole-corpus parity (ids, jaccard, multiplicity)
+    // asserted in-plan by the run itself
+    val got = graft.streaming.DedupIngest
+      .runStreamDedupIngest(spark, sf, nBatches = 3,
+        layoutOverride = Some((4, 3)))
+      .collect()
+    assert(got.length == 1 && got(0).getAs[Boolean]("pairs_nonempty") &&
+      got(0).getAs[Boolean]("match_full"))
+  }
+
   test("streaming RDP accountant: streamed DP-SGD spend equals the batch accountant, any split") {
     // 3 batches (different split from the contract query's 4); FULL
     // state parity (keys and counts) asserted in-plan inside the run
