@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 /** Time-series similarity search over event streams (the streaming-data
   * similarity-search shape): bucket each key's activity into a fixed-width
@@ -926,11 +926,20 @@ object TimeSeries {
       df: DataFrame, dateCol: Column, moneyValue: Column): DataFrame = {
     import graft.functions.dec2
     val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    // __rc rides the O(days²) pair kernel as a PRIMITIVE long, not
+    // DECIMAL(38,0): decimal(18,2)·100 is an integer of ≤ 18 significant
+    // digits, so cents always fit a long BY CONSTRUCTION (max 10¹⁸ <
+    // 2⁶³−1), the pair difference |xj−xi| < 2·10¹⁸ cannot overflow, and
+    // long→double rounds to the identical nearest double as
+    // decimal(38,0)→double — bit-for-bit the same signs, slopes, and tie
+    // groups, with the 38-digit BigDecimal objects gone from the ~10⁷-row
+    // pair loop (precision 38 > 18 forces Spark's Decimal onto the
+    // BigDecimal slow path for every compare/subtract).
     val series = df.groupBy(to_date(dateCol).as("d"))
       .agg(sum(dec2(moneyValue)).cast("decimal(18,2)").as("rev"))
       .select(
         datediff(col("d"), lit("1970-01-01").cast("date")).cast("long").as("__dn"),
-        (col("rev") * 100).cast(dec38).as("__rc"))
+        (col("rev") * 100).cast(LongType).as("__rc"))
       .localCheckpoint(false) // consumers: both pair sides, ties, count
     val l = series.select(col("__dn").as("i"), col("__rc").as("xi"))
     val r = series.select(col("__dn").as("j"), col("__rc").as("xj"))
@@ -996,7 +1005,9 @@ object TimeSeries {
       .agg(sum(dec2(moneyValue)).cast("decimal(18,2)").as("rev"))
       .select(col("seg"),
         datediff(col("d"), lit("1970-01-01").cast("date")).cast("long").as("__dn"),
-        (col("rev") * 100).cast(dec38).as("__rc"))
+        // long cents in the pair kernel — the mannKendallTrend narrowing
+        // (provably exact: decimal(18,2)·100 always fits a long)
+        (col("rev") * 100).cast(LongType).as("__rc"))
       .localCheckpoint(false) // consumers: both pair sides, ties, count
     val l = series.select(col("seg"), col("__dn").as("i"), col("__rc").as("xi"))
     val r = series.select(col("seg").as("__sr"), col("__dn").as("j"), col("__rc").as("xj"))
@@ -1100,7 +1111,9 @@ object TimeSeries {
         pmod(datediff(col("d"), lit("1970-01-01").cast("date")), lit(7))
           .cast("long").as("w"),
         datediff(col("d"), lit("1970-01-01").cast("date")).cast("long").as("__dn"),
-        (col("rev") * 100).cast(dec38).as("__rc"))
+        // long cents in the pair kernel — the mannKendallTrend narrowing
+        // (provably exact: decimal(18,2)·100 always fits a long)
+        (col("rev") * 100).cast(LongType).as("__rc"))
       .localCheckpoint(false) // consumers: both pair sides, ties, counts
     val l = series.select(col("w"), col("__dn").as("i"), col("__rc").as("xi"))
     val r = series.select(col("w").as("w2"), col("__dn").as("j"), col("__rc").as("xj"))
@@ -1181,7 +1194,9 @@ object TimeSeries {
         pmod(datediff(col("d"), lit("1970-01-01").cast("date")), lit(7))
           .cast("long").as("w"),
         datediff(col("d"), lit("1970-01-01").cast("date")).cast("long").as("__dn"),
-        (col("rev") * 100).cast(dec38).as("__rc"))
+        // long cents in the pair kernel — the mannKendallTrend narrowing
+        // (provably exact: decimal(18,2)·100 always fits a long)
+        (col("rev") * 100).cast(LongType).as("__rc"))
       .localCheckpoint(false) // consumers: both pair sides, ties, counts
     val l = series.select(col("seg"), col("w"), col("__dn").as("i"), col("__rc").as("xi"))
     val r = series.select(col("seg").as("__sr"), col("w").as("w2"),
