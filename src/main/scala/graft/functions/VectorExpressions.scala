@@ -615,7 +615,132 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
 }
 
+/** Exact-decimal per-centroid squared distances — the native kernel behind
+  * `Clustering.distArray`. Produces the BIT-IDENTICAL
+  * `array<struct<d2: decimal(35,24), cl: int>>` the HOF spelling produced:
+  * per dim, `xq = CAST(CAST(x AS DOUBLE) AS DECIMAL(16,12))` (Spark's
+  * float→decimal path: `java.math.BigDecimal.valueOf` = shortest-repr,
+  * then HALF_UP at scale 12), `m` at DECIMAL(8,6) (6dp literals — exact),
+  * `dx` at scale 12, `dx²` at scale 24, summed exactly.
+  *
+  * Why native: every quantity is an exact fixed-scale integer —
+  * |unscaled(dx)| ≤ ~10¹⁶ fits a long, dx² fits 128 bits, and the 64-term
+  * sum stays < 2¹²⁷ — so the whole inner loop runs in primitive long /
+  * two-word arithmetic with ONE BigDecimal constructed per (row, cluster).
+  * The HOF spelling (`zip_with` + `aggregate`, one lambda per element per
+  * cluster per row) interpreted ~k·dim BigDecimal subtract/multiply/add
+  * chains per row (DECIMAL(35,24) is past the compact-long precision 18,
+  * so each op allocated java.math.BigDecimal objects) plus k intermediate
+  * arrays; on the clustering family's assignment passes that was the
+  * dominant per-row cost. Overflow posture matches the cast chain it
+  * replaces: a float too large for DECIMAL(16,12) or a sum past
+  * DECIMAL(35,24) raises (the ANSI cast would have), it never wraps.
+  *
+  * Null/shape semantics (the zip_with/aggregate contract): a null element
+  * or a length ≠ the centroid dim yields null `d2` for every cluster
+  * (callers filter both up front — cleanVectors / assignAll hygiene). */
+case class DecDistArray(child: Expression, cents: Seq[Seq[Double]])
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("d2", DecimalType(35, 24), nullable = true),
+      StructField("cl", IntegerType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "dec_dist_array"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckSuccess
+    case other =>
+      TypeCheckFailure(s"$prettyName: input must be array<float>, got ${other.catalogString}")
+  }
+
+  @transient private lazy val k = cents.length
+  @transient private lazy val dim = if (cents.isEmpty) 0 else cents.head.length
+  // centroid coordinates as unscaled DECIMAL(8,6) longs, pre-shifted to
+  // the dx scale 12 (m·10⁶) so the inner loop is one subtract
+  @transient private lazy val mU12: Array[Array[Long]] = cents.map(_.map(m =>
+    java.math.BigDecimal.valueOf(m).setScale(6, java.math.RoundingMode.HALF_UP)
+      .unscaledValue().longValueExact() * 1000000L).toArray).toArray
+  @transient private lazy val ten35 = java.math.BigInteger.TEN.pow(35)
+
+  /** The kernel, public so the generated code can call it. */
+  def compute(input: ArrayData): ArrayData = {
+    val n = input.numElements()
+    var degenerate = n != dim
+    var i = 0
+    while (!degenerate && i < n) { degenerate = input.isNullAt(i); i += 1 }
+    val out = new Array[Any](k)
+    if (degenerate) {
+      var j = 0
+      while (j < k) {
+        out(j) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](null, j))
+        j += 1
+      }
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+    // per-dim cast, hoisted out of the per-cluster loop (the HOF spelling
+    // re-cast x once per cluster): unscaled DECIMAL(16,12) longs
+    val xu = new Array[Long](dim)
+    i = 0
+    while (i < dim) {
+      val bd = java.math.BigDecimal.valueOf(input.getFloat(i).toDouble)
+        .setScale(12, java.math.RoundingMode.HALF_UP)
+      if (bd.precision() > 16) // |x| ≥ 10⁴ cannot fit (16,12); cast raises
+        throw new ArithmeticException(
+          s"$prettyName: ${input.getFloat(i)} does not fit DECIMAL(16,12)")
+      xu(i) = bd.unscaledValue().longValueExact()
+      i += 1
+    }
+    var j = 0
+    while (j < k) {
+      val m = mU12(j)
+      var hi = 0L
+      var lo = 0L
+      i = 0
+      while (i < dim) {
+        val dx = xu(i) - m(i)
+        val pLo = dx * dx
+        val pHi = Math.multiplyHigh(dx, dx)
+        val newLo = lo + pLo
+        hi += pHi + (if (java.lang.Long.compareUnsigned(newLo, pLo) < 0) 1L else 0L)
+        lo = newLo
+        i += 1
+      }
+      val bytes = java.nio.ByteBuffer.allocate(16).putLong(hi).putLong(lo).array()
+      val bi = new java.math.BigInteger(1, bytes)
+      if (bi.compareTo(ten35) >= 0) // the (35,24) cast would have raised
+        throw new ArithmeticException(s"$prettyName: d2 does not fit DECIMAL(35,24)")
+      val d2 = Decimal(new java.math.BigDecimal(bi, 24), 35, 24)
+      out(j) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](d2, j))
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      // one virtual call per row into the compiled kernel — keeps the
+      // whole-stage pipeline (no CodegenFallback node) without generating
+      // 128-bit arithmetic in Java source
+      val ref = ctx.addReferenceObj("decDist", this, classOf[DecDistArray].getName)
+      s"${ev.value} = $ref.compute($c);"
+    })
+
+  override protected def withNewChildInternal(c: Expression): DecDistArray =
+    copy(child = c)
+}
+
 object VectorExpressions {
+  def decDistArray(v: Column, cents: Array[Array[Double]]): Column =
+    ColumnBridge.column(DecDistArray(
+      ColumnBridge.expression(v), cents.map(_.toSeq).toSeq))
+
   def vectorDot(a: Column, b: Column): Column =
     ColumnBridge.column(VectorDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 

@@ -87,7 +87,16 @@ object Clustering {
   private val decX = DecimalType(16, 12)
   private val decM = DecimalType(8, 6)
   private val decT = DecimalType(35, 24)
+  // Native kernel (graft.functions.DecDistArray): bit-identical decimals
+  // to the zip_with/aggregate spelling below, computed in primitive
+  // long/128-bit arithmetic — the HOF lambda chain allocated BigDecimals
+  // per (element, cluster, row) and dominated every assignment pass.
   private def distArray(v: Column, cents: Array[Array[Double]]): Column =
+    graft.functions.VectorExpressions.decDistArray(v, cents)
+
+  /** The original higher-order-function spelling — retained as the twin
+    * the native kernel is property-tested against (ClusteringSpec). */
+  private[graft] def distArrayHof(v: Column, cents: Array[Array[Double]]): Column =
     array(cents.zipWithIndex.map { case (c, j) =>
       struct(
         aggregate(

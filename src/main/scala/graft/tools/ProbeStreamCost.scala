@@ -34,6 +34,13 @@ object ProbeStreamCost {
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // PROBE_CONF="k=v;k=v" — session-conf overrides for A/B experiments
+    // (e.g. codegen off to separate Janino cost from execution cost)
+    sys.env.get("PROBE_CONF").foreach(_.split(";").filter(_.nonEmpty)
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k, v)
+      })
 
     final case class B(query: String, batch: Long, d: Map[String, Long],
       stateMs: Long, rows: Long)
@@ -57,11 +64,32 @@ object ProbeStreamCost {
     }
     spark.streams.addListener(listener)
 
+    // per-JOB decomposition (PROBE_JOBS=1): where inside addBatch the time
+    // goes — each micro-batch's jobs carry "batch = N" in the description
+    final case class J(jobId: Int, ms: Long, tasks: Int, desc: String)
+    val jobs = ArrayBuffer.empty[J]
+    val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String, Int)]()
+    if (sys.env.get("PROBE_JOBS").contains("1"))
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          val d = Option(e.properties)
+            .flatMap(p => Option(p.getProperty("spark.job.description"))).getOrElse("")
+          starts.put(e.jobId,
+            (e.time, d, e.stageInfos.map(_.numTasks).sum))
+        }
+        override def onJobEnd(e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          Option(starts.remove(e.jobId)).foreach { case (t0, d, nt) =>
+            jobs.synchronized { jobs += J(e.jobId, e.time - t0, nt, d.take(110)) }
+          }
+        }
+      })
+
     val nRuns = sys.env.getOrElse("PROBE_RUNS", "2").toInt
     args.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
       (1 to nRuns).foreach { run =>
         events.synchronized(events.clear())
+        jobs.synchronized(jobs.clear())
         val t0 = System.nanoTime()
         val n = fn(spark, dir).count()
         val wall = (System.nanoTime() - t0) / 1e9
@@ -70,7 +98,8 @@ object ProbeStreamCost {
         // listener events are delivered async; give the bus a moment
         Thread.sleep(300)
         println(f"%n=== $name run $run: wall $wall%.2f s, $n rows ===")
-        val evs = events.synchronized(events.toVector).sortBy(b => (b.query, b.batch))
+        val evs = events.synchronized(events.toVector)
+          .sortBy(b => (Option(b.query).getOrElse(""), b.batch))
         val keys = Seq("triggerExecution", "queryPlanning", "getBatch",
           "latestOffset", "addBatch", "walCommit", "commitOffsets")
         evs.foreach { b =>
@@ -79,6 +108,12 @@ object ProbeStreamCost {
         }
         val trig = evs.map(_.d.getOrElse("triggerExecution", 0L)).sum
         println(f"  batches=${evs.size} sum(triggerExecution)=${trig} ms of $wall%.2f s wall")
+        val js = jobs.synchronized(jobs.toVector)
+        if (js.nonEmpty) {
+          js.sortBy(_.jobId).foreach(j =>
+            println(f"    job ${j.jobId}%4d ${j.ms}%5d ms ${j.tasks}%4d tasks  ${j.desc}"))
+          println(f"    sum(jobs)=${js.map(_.ms).sum} ms over ${js.size} jobs")
+        }
       }
     }
     spark.stop()
