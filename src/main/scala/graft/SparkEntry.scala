@@ -803,8 +803,7 @@ object SparkEntry {
       // Materialize (id, vec, norm) once: the brute-force twin and the LSH
       // operator both branch from it (norms would otherwise recompute per
       // branch).
-      val base = emb
-        .repartition(s.sparkContext.defaultParallelism)
+      val base = graft.operators.Widen.cpuWide(emb) // barrier, not bare repartition
         .select(col("vec_id"), col("embedding"), l2Norm(col("embedding")).as("nrm"))
         .localCheckpoint(false)
       val exact = base.alias("a")
@@ -3423,12 +3422,11 @@ object SparkEntry {
       // window form re-splits the text per position, see
       // winnowFingerprints' formulation note). Pair counts are hash-
       // insensitive, so the DuckDB oracle replays STRING windows.
-      val wins = docs
+      val wins = graft.operators.Widen.cpuWide(docs) // barrier below the kernel
         .select(col("doc_id"), tokens(col("text")).as("t"))
         .filter(size(col("t")) >= L)
         .select(col("doc_id"),
           explode(graft.functions.VectorExpressions.shingleHashes(col("t"), L)).as("wh"))
-        .repartition(s.sparkContext.defaultParallelism)
         .localCheckpoint(false)
       val exact = wins.alias("a")
         .join(wins.alias("b"),
@@ -3456,8 +3454,7 @@ object SparkEntry {
     // exact pair count and pins the booleans.
     "q_semdedup" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      val base = emb
-        .repartition(s.sparkContext.defaultParallelism)
+      val base = graft.operators.Widen.cpuWide(emb) // barrier, not bare repartition
         .select(col("vec_id"), col("embedding"), l2Norm(col("embedding")).as("nrm"))
         .localCheckpoint(false)
       val exact = base.alias("a")

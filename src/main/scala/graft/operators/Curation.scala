@@ -1191,10 +1191,10 @@ object Curation {
       minTokens: Int = 20,
       minTtr: Double = 0.4,
       maxDupBigram: Double = 0.2): DataFrame = {
-    // fan the heavy per-row text work across cores (the q_ngram_freq
-    // precedent: a small single-file scan otherwise runs it on one task)
-    val docs = documents.repartition(
-      documents.sparkSession.sparkContext.defaultParallelism)
+    // fan the heavy per-row text work across cores behind a barrier AQE
+    // cannot re-fuse (Widen.cpuWide: the bare repartition was measured
+    // collapsing to one task under checkpoint/broadcast materialization)
+    val docs = Widen.cpuWide(documents)
     val toks = tokens(col("text"))
     val n = size(toks)
     docs.select(
@@ -1407,8 +1407,8 @@ object Curation {
       documents: DataFrame,
       w0: Double = -3.0, wLen: Double = 0.6, wAvgTok: Double = 0.25,
       wTtr: Double = 1.2, wStop: Double = 2.0): DataFrame = {
-    val docs = documents.repartition(
-      documents.sparkSession.sparkContext.defaultParallelism)
+    // Widen.cpuWide, not bare repartition — see curationAuditRaw
+    val docs = Widen.cpuWide(documents)
     val z = qualityLogit(col("text"), w0, wLen, wAvgTok, wTtr, wStop)
     docs.select(
       col("doc_id"),
@@ -1454,8 +1454,11 @@ object Curation {
       w0: Double = -3.0, wLen: Double = 0.6, wAvgTok: Double = 0.25,
       wTtr: Double = 1.2, wStop: Double = 2.0,
       extra: Seq[String] = Nil): DataFrame = {
-    val docs = documents.repartition(
-      documents.sparkSession.sparkContext.defaultParallelism)
+    // Widen.cpuWide, not bare repartition — see curationAuditRaw. The
+    // conformal monitors checkpoint THIS projection, and the bare
+    // repartition was measured collapsing the whole scoring pass to one
+    // 1.1–2.8 s task inside the checkpoint materialization.
+    val docs = Widen.cpuWide(documents)
     val toks = tokens(col("text"))
     val d = (c: org.apache.spark.sql.Column) => c.cast(DoubleType)
     val n = size(toks)

@@ -66,8 +66,11 @@ object Dedup {
     * persisting it before multi-consumer candidate generation is the
     * standard design, not a local-mode workaround. */
   def shingleSets(documents: DataFrame, n: Int): DataFrame =
-    documents
-      .repartition(documents.sparkSession.sparkContext.defaultParallelism)
+    // Widen.cpuWide, not bare repartition: this projection is consumed
+    // through a localCheckpoint, and AQE's stage materialization was
+    // measured fusing a bare repartition's compute onto the 1-task scan
+    // side (the conformal-monitor finding, tools/ProbeStreamCost)
+    Widen.cpuWide(documents)
       .select(col("doc_id"), sortedShingleHashes(col("text"), n).as("sh"))
       .localCheckpoint(false)
 
@@ -628,8 +631,7 @@ object Dedup {
     * `maxHamming`. */
   def simHashNearDuplicates(documents: DataFrame, maxHamming: Int = 3): DataFrame =
     hamming64BandedPairs(
-      documents
-        .repartition(documents.sparkSession.sparkContext.defaultParallelism)
+      Widen.cpuWide(documents) // barrier form — see shingleSets
         .select(col("doc_id"), simHash64(tokens(col("text"))).as("simhash")),
       "doc_id", "simhash", maxHamming)
 
@@ -878,8 +880,10 @@ object Dedup {
     * branches read it, and the per-document HOF fingerprint chain is the
     * expensive part (same multi-consumer rule as [[shingleSets]]). */
   def substringCandidatePairs(documents: DataFrame, k: Int = 5, w: Int = 4): DataFrame = {
-    val fp = winnowFingerprints(documents, k, w)
-      .repartition(documents.sparkSession.sparkContext.defaultParallelism)
+    // widen BELOW the fingerprint projection (the old repartition sat
+    // above it, so the winnowing itself ran at scan width — one task on
+    // a single-file scan — before being spread for the join)
+    val fp = winnowFingerprints(Widen.cpuWide(documents), k, w)
       .localCheckpoint(false)
     fp.alias("a")
       .join(fp.alias("b"),
@@ -919,8 +923,7 @@ object Dedup {
       rowsPerBand: Int = 4,
       threshold: Double = 0.4): DataFrame =
     embeddingNearDupFromBase(
-      embeddings
-        .repartition(embeddings.sparkSession.sparkContext.defaultParallelism)
+      Widen.cpuWide(embeddings) // barrier form — see shingleSets
         .select(col("vec_id"), col("embedding"), l2Norm(col("embedding")).as("nrm"))
         .localCheckpoint(false),
       bands, rowsPerBand, threshold)

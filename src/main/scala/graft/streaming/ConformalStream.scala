@@ -156,9 +156,11 @@ object ConformalStream {
     // 5 narrow columns, while re-running the langId/TTR/bigram text
     // projection per consumer measured 9.49 → 6.66 s on the whole
     // monitor at sf0.1 (this fusion + the share-monitor one-pass change)
+    spark.sparkContext.setJobDescription("conformal: score+checkpoint base")
     val base = scored(Tables.documents(spark, dir)).localCheckpoint(false)
 
     // frozen at-rest model: ONE collected row (n_cal, q̂)
+    spark.sparkContext.setJobDescription("conformal: qhat calibration")
     val calRow = Robust.conformalQhatRow(base, coverPct).collect()(0)
     val qhat = calRow.getAs[java.math.BigDecimal]("qhat")
     val nCal = calRow.getAs[Long]("n_cal")
@@ -170,10 +172,12 @@ object ConformalStream {
       sum(when((one - col("q")).cast(dec86) <= qhatLit, 1L).otherwise(0L) +
         when(col("q") <= qhatLit, 1L).otherwise(0L)).as("sz"))
 
+    spark.sparkContext.setJobDescription("conformal: stage stream input")
     val staged = stagedTest(spark, dir, nBatches)
     val name = "q_conformal_stream_sink"
     val saved = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", StreamShuffleWidth)
+    spark.sparkContext.setJobDescription(null)
     try {
       val q = coverFold(scored(
           spark.readStream.schema(Schemas.documents)
@@ -187,9 +191,11 @@ object ConformalStream {
       val r = rows(0)
       (r.getAs[Long]("n"), r.getAs[Long]("cov"), r.getAs[Long]("sz"))
     }
+    spark.sparkContext.setJobDescription("conformal: sink read + parity fold")
     val streamed = triple(spark.table(name).collect()) // 1 row — model-sized
     val parityOk = !assertParity ||
       streamed == triple(coverFold(base.filter(!col("is_cal"))).collect())
+    spark.sparkContext.setJobDescription(null)
     val (n, cov, sz) = streamed
     if (n == 0L) // no test rows — nothing to audit (absence is not coverage)
       return spark.createDataFrame(java.util.Collections.emptyList[Row](), outSchema)

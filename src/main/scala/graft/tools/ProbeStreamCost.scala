@@ -73,7 +73,10 @@ object ProbeStreamCost {
       spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
         override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
           val d = Option(e.properties)
-            .flatMap(p => Option(p.getProperty("spark.job.description"))).getOrElse("")
+            .flatMap(p => Option(p.getProperty("spark.job.description")))
+            .getOrElse("") + " | " +
+            e.stageInfos.flatMap(_.rddInfos.map(_.callSite))
+              .distinct.mkString("; ")
           starts.put(e.jobId,
             (e.time, d, e.stageInfos.map(_.numTasks).sum))
         }
